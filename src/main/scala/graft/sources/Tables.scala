@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet source layer over the driver's TPC-H-ish test data (TESTDATA.md).
+  *
+  * Registers one temp view per table for SQL-based queries, plus the
+  * `array_reduce_*` UDAF family (≈ the reference's `register_table` +
+  * `register_udaf` session setup, reference `src/monoid.rs:540-566`).
+  * Idempotent; call at the top of every `SparkEntry.queries` entry.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
+    // for; with nanosAsLong it arrives as Long ns-since-epoch → truncate to
+    // micros (integer div — ns epoch values exceed 2^53, so no doubles).
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Session configs needed to read the driver's parquet (nanos timestamps). */
+  def configure(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Register all tables as temp views + the UDAF family in this session. */
+  def load(spark: SparkSession, dir: String): Unit = {
+    configure(spark)
+    graft.functions.ArrayReduce.registerAll(spark)
+    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+  }
+}
