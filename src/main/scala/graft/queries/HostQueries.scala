@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Host-engine relational queries over the TPC-H-ish tables.
+  *
+  * The reference inherits its entire relational algebra from DataFusion
+  * (SURVEY.md §2b — zero code in the repo for scans, joins, windows, …); the
+  * Spark rebuild inherits the same surface from Spark SQL / Catalyst. These
+  * queries *exercise* that inherited surface category by category, each with
+  * a DuckDB oracle, so the correctness gate covers what a user of the
+  * reference+DataFusion stack can run today.
+  *
+  * FP-determinism rules for hash-matching oracles (SURVEY.md §7):
+  *  - money sums go through DECIMAL(18,2) (exact, order-independent), then
+  *    one final cast to DOUBLE — identical on both engines;
+  *  - l_quantity-style integral doubles sum exactly — safe as-is;
+  *  - arbitrary doubles (events.value, o_totalprice) are only counted,
+  *    min/max'd, or compared per-row — never accumulated;
+  *  - top-k / window ORDER BYs always carry a unique key as tiebreaker.
+  */
+object HostQueries {
+
+  private def q(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables.load(spark, dir)
+    spark.sql(sql)
+  }
+
+  /** Spark SQL and DuckDB share ANSI syntax for every query below, so each
+    * entry is (sparkAndOracleSql). Divergences are handled per-query.
+    */
+  private case class Q(name: String, sparkSql: String, oracle: Option[String])
+  private def same(name: String, sql: String) = Q(name, sql, Some(sql))
+
+  private val defs: Seq[Q] = Seq(
+    // --- aggregation: TPC-H Q1 shape (filter → groupBy → multi-agg) ---
+    same("q_host_agg_pricing",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+
+    // --- multi-way join with broadcastable dims + agg ---
+    same("q_host_join_nation_revenue",
+      """SELECT n_name, r_name,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY n_name, r_name""".stripMargin),
+
+    // --- big fact-fact shuffle join ---
+    same("q_host_join_lineitem_orders",
+      """SELECT o_orderpriority,
+        |       count(*) AS n_lines,
+        |       CAST(sum(l_quantity) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY o_orderpriority""".stripMargin),
+
+    // --- semi / anti joins (EXISTS / NOT EXISTS) ---
+    same("q_host_semi_anti",
+      """SELECT
+        |  (SELECT count(*) FROM customer WHERE EXISTS
+        |     (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS with_orders,
+        |  (SELECT count(*) FROM customer WHERE NOT EXISTS
+        |     (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS without_orders""".stripMargin),
+
+    // --- window functions: rank per partition with unique tiebreak ---
+    same("q_host_window_top_orders",
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3""".stripMargin),
+
+    // --- running window aggregate. (l_orderkey, l_linenumber) is NOT unique
+    // in this dataset, so l_quantity joins the sort key: rows tied on the
+    // full ORDER BY have equal quantity, making every prefix sum
+    // order-invariant ---
+    same("q_host_window_running",
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(sum(l_quantity) OVER (PARTITION BY l_orderkey
+        |         ORDER BY l_linenumber, l_quantity, l_partkey, l_suppkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem""".stripMargin),
+
+    // --- top-k (global sort + limit, unique tiebreak) ---
+    same("q_host_topk_orders",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin),
+
+    // --- set operations ---
+    same("q_host_setops",
+      """SELECT 'both' AS tag, count(*) AS n FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT 'building_no_open' AS tag, count(*) AS n FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""".stripMargin),
+
+    // --- rollup (grouping sets) ---
+    same("q_host_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(l_quantity) AS DOUBLE) AS qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin),
+
+    // --- distinct aggregation ---
+    same("q_host_distinct",
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS distinct_parts,
+        |       count(DISTINCT l_suppkey) AS distinct_supps
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+
+    // --- scalar string/date/math functions + CASE, per-row (no agg) ---
+    same("q_host_scalar_funcs",
+      """SELECT p_partkey,
+        |       upper(p_brand) AS brand_u,
+        |       substr(p_name, 1, 8) AS name8,
+        |       CAST(length(p_type) AS BIGINT) AS type_len,
+        |       concat(p_brand, '#', p_type) AS tagged,
+        |       CASE WHEN p_size > 25 THEN 'large'
+        |            WHEN p_size > 10 THEN 'medium'
+        |            ELSE 'small' END AS size_class,
+        |       abs(p_size - 25) AS dist25,
+        |       p_retailprice * 2 AS px2
+        |FROM part WHERE p_size % 2 = 1""".stripMargin),
+
+    // --- date/time bucketing over the events stream table ---
+    same("q_host_events_hourly",
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |       count(*) AS n, min(value) AS mn, max(value) AS mx,
+        |       count(DISTINCT user_id) AS users
+        |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin),
+
+    // --- correlated scalar subquery (integral avg → deterministic) ---
+    same("q_host_subquery_avg",
+      """SELECT l_returnflag, count(*) AS n_small
+        |FROM lineitem l1
+        |WHERE l_quantity < (SELECT avg(l_quantity) * 0.5
+        |                    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY l_returnflag""".stripMargin),
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(d => d.name -> ((s: SparkSession, dir: String) => q(s, dir, d.sparkSql))).toMap
+
+  val oracleSql: Map[String, String] =
+    defs.flatMap(d => d.oracle.map(d.name -> _)).toMap
+}

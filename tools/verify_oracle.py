@@ -46,9 +46,14 @@ def main(out_dir, sf_dir):
                 if g.shape == e.shape:
                     for c in g.columns:
                         if not g[c].equals(e[c]):
+                            if g[c].dtype != e[c].dtype:
+                                print(f"  col={c} DTYPE spark={g[c].dtype} "
+                                      f"duckdb={e[c].dtype}")
                             d = g[c] != e[c]
-                            print(f"  col={c} spark={g[c][d].iloc[0]!r} "
-                                  f"duckdb={e[c][d].iloc[0]!r}")
+                            if d.any():
+                                print(f"  col={c} spark={g[c][d].iloc[0]!r} "
+                                      f"duckdb={e[c][d].iloc[0]!r} "
+                                      f"({int(d.sum())} rows differ)")
         except Exception as ex:
             bad += 1
             print(name, "ERROR", ex)
