@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.MonoidQueries.queries ++
-      graft.queries.HostQueries.queries
+      graft.queries.HostQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.MonoidQueries.oracleSql ++
-      graft.queries.HostQueries.oracleSql
+      graft.queries.HostQueries.oracleSql ++
+      graft.queries.PipelineQueries.oracleSql
 }

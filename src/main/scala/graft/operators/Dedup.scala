@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.functions.SimHash
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deduplication operators for training-data pipelines (north star,
+  * SURVEY.md §2c): exact, MinHash+LSH, SimHash, and exact n-gram Jaccard.
+  *
+  * Scale design (the point is 100 TB, not 60k rows):
+  *  - every candidate-generation step is a hash-partitioned `groupBy`/join on
+  *    a bucket key — no cross joins, no driver-side state;
+  *  - LSH bucket joins bound the pair space; oversized buckets (degenerate
+  *    keys, skew) are capped with `maxBucket` before the self-join, which is
+  *    the standard guard against quadratic blowup on skewed shards;
+  *  - signatures are computed with codegen'd higher-order functions
+  *    (`transform`/`aggregate`), one scan, no UDF boxing, no shuffle until
+  *    the bucket key exists;
+  *  - verification joins are on doc-id pairs (sort-merge/shuffle-hash on
+  *    long keys) and broadcast nothing, so they survive arbitrary corpus
+  *    size.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by a key column (e.g. raw text, or
+    * [[TextAnalysis.fingerprint]] for canonicalized-exact dedup): one row
+    * per distinct key with the representative (min) id and the copy count.
+    * A plain hash `groupBy` — fully distributed, map-side partial agg.
+    */
+  def exactGroups(df: DataFrame, id: Column, key: Column): DataFrame =
+    df.groupBy(key.as("dup_key"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("copies"))
+
+  /** Hash each shingle through `numHashes` independent 64-bit families and
+    * keep the per-family minimum: the classic MinHash signature
+    * (Broder 1997, "On the resemblance and containment of documents").
+    * Implemented as nested `transform` over xxhash64(shingle, i) — the
+    * family index as an extra hash input gives independent families without
+    * precomputed coefficients.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(1), lit(numHashes)),
+      i => array_min(transform(shingles, s => xxhash64(s, i))))
+
+  /** LSH banding: split the signature into `bands` bands of
+    * `numHashes/bands` rows each and hash each band to a bucket key.
+    * Docs sharing any band bucket become candidate pairs
+    * (P[candidate] = 1-(1-J^r)^b).
+    */
+  def lshBands(sig: Column, numHashes: Int, bands: Int): Column = {
+    val r = numHashes / bands
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(sig, b * r + 1, r), lit(b)).as("bucket"))): _*)
+  }
+
+  /** Candidate near-duplicate pairs via MinHash+LSH over word `ngram`
+    * shingles, then exact-Jaccard verification at `threshold`.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 2, numHashes: Int = 32, bands: Int = 16,
+      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val shingled = df.select(
+      col(idCol).as("id"),
+      array_distinct(TextAnalysis.wordNgrams(toks, ngram)).as("shingles"))
+      .where(size(col("shingles")) > 0)
+
+    val sig = shingled.select(col("id"), col("shingles"),
+      minhashSignature(col("shingles"), numHashes).as("sig"))
+
+    val banded = sig
+      .select(col("id"), explode(lshBands(col("sig"), numHashes, bands)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+
+    // skew guard: drop degenerate buckets before the quadratic self-join
+    val bucketed = banded
+      .withColumn("bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .where(col("bsize") <= maxBucket)
+
+    val candidates = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    verifyJaccard(candidates, shingled, threshold)
+  }
+
+  /** Exact Jaccard over distinct shingle sets for given candidate pairs. */
+  private def verifyJaccard(pairs: DataFrame, shingled: DataFrame,
+      threshold: Double): DataFrame = {
+    val sa = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val sb = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact word-ngram Jaccard for all pairs inside a caller-supplied
+    * blocking condition (deterministic, oracle-expressible). Blocking keeps
+    * the join linear-ish; at scale the block key should be an equi-key
+    * (LSH bucket, source, time window), not a range.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, ngram: Int,
+      blockJoin: (Column, Column) => Column, threshold: Double): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val t = df.select(col(idCol).as("id"),
+      array_distinct(TextAnalysis.wordNgrams(toks, ngram)).as("sh"))
+    // empty shingle sets would make the Jaccard denominator 0 (an error
+    // under Spark 4's default ANSI mode) — J is undefined there anyway
+    val a = t.where(size(col("sh")) > 0)
+      .select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = t.where(size(col("sh")) > 0)
+      .select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b") && blockJoin(col("id_a"), col("id_b")))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit simhash per doc (custom codegen'd
+    * Catalyst expression), 4×16-bit band blocking (a pair within Hamming
+    * distance ≤ 3 of a 64-bit key shares at least one of 4 bands — the
+    * pigeonhole guarantee), then exact Hamming verification via
+    * `bit_count(xor)`.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming <= 3, "4-band blocking only guarantees recall for hamming <= 3")
+    val hashed = df.select(col(idCol).as("id"),
+      SimHash.simhash64(TextAnalysis.tokens(col(textCol))).as("sh"))
+
+    val banded = hashed.select(col("id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bb"))
+      .select(col("id"), col("sh"), col("bb.band"), col("bb.key"))
+
+    val bucketed = banded
+      .withColumn("bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
+      .where(col("bsize") <= maxBucket)
+
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Similarity search over embedding columns (`array<float>`): exact cosine
+  * top-k as the correctness baseline, and two sublinear scale paths —
+  * random-hyperplane LSH bucketing and IVF-style coarse quantization
+  * (north star, SURVEY.md §2c).
+  *
+  * Scale design:
+  *  - the query vector is a one-row broadcast — a brute-force scan is one
+  *    pass, no shuffle, `TakeOrdered(k)` on partial top-ks;
+  *  - LSH/IVF cut the scanned fraction: candidates come from an equi-join
+  *    on bucket/centroid id (hash shuffle on small keys), so the exact
+  *    re-rank touches a constant fraction of a 100 TB corpus;
+  *  - all arithmetic is `zip_with`/`aggregate` higher-order functions in
+  *    double precision — codegen'd, no UDF, deterministic fold order.
+  */
+object Similarity {
+
+  /** Sequential left-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine against the vector with id `queryId` (excluded
+    * from results). Tie-broken by id for determinism.
+    */
+  def knnBrute(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = df.where(col(idCol) === queryId)
+      .select(col(vecCol).as("qvec"))
+    df.join(broadcast(q))
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol), cosine(col(vecCol), col("qvec")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Random-hyperplane LSH signature (Charikar 2002): bit k is the sign of
+    * the dot product with a pseudo-random ±1 hyperplane derived from
+    * xxhash64(dim, k) — deterministic, no stored model. Returns an
+    * integer bucket id with `bits` bits.
+    */
+  def hyperplaneBucket(vec: Column, bits: Int): Column =
+    (0 until bits).map { k =>
+      val signedSum = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
+          when(xxhash64(d, lit(k)).bitwiseAND(lit(1L)) === 1L, x.cast("double"))
+            .otherwise(-x.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+      when(signedSum > 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k: candidates share the query's LSH bucket (plus all buckets at
+    * Hamming distance 1 — multi-probe), exact cosine re-rank. Recall is
+    * probabilistic; `SimilaritySpec` measures it against [[knnBrute]].
+    */
+  def knnLsh(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, bits: Int = 12): DataFrame = {
+    val bucketed = df.select(col(idCol), col(vecCol),
+      hyperplaneBucket(col(vecCol), bits).as("bucket"))
+    val q = bucketed.where(col(idCol) === queryId)
+      .select(col(vecCol).as("qvec"), col("bucket").as("qbucket"))
+    // multi-probe: query bucket + each single-bit flip
+    val probes = q.select(col("qvec"),
+      explode(array(col("qbucket") +:
+        (0 until bits).map(b => col("qbucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
+    bucketed.join(broadcast(probes), "bucket")
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol), cosine(col(vecCol), col("qvec")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-style coarse quantization: `centroids` rows (deterministically, ids
+    * divisible by `centroidEvery`) act as the codebook; every vector is
+    * assigned to its nearest centroid by cosine (broadcast join + window
+    * argmax). Returns (id, centroid_id) — the inverted index a 100 TB
+    * deployment would write back partitioned by centroid.
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroidEvery: Long): DataFrame = {
+    val cents = df.where(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
+    val scored = df.join(broadcast(cents))
+      .select(col(idCol), col("centroid_id"),
+        cosine(col(vecCol), col("cvec")).as("cscore"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cscore").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(idCol), col("centroid_id"))
+  }
+
+  /** IVF ANN top-k: probe the `nprobe` centroids nearest to the query, exact
+    * re-rank inside their inverted lists.
+    */
+  def knnIvf(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int, centroidEvery: Long = 50, nprobe: Int = 3): DataFrame = {
+    val assigned = ivfAssign(df, idCol, vecCol, centroidEvery)
+    val q = df.where(col(idCol) === queryId).select(col(vecCol).as("qvec"))
+    val cents = df.where(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
+    val probeCents = cents.join(broadcast(q))
+      .select(col("centroid_id"), cosine(col("cvec"), col("qvec")).as("cs"))
+      .orderBy(col("cs").desc, col("centroid_id")).limit(nprobe)
+      .select("centroid_id")
+    df.join(assigned, idCol)
+      .join(broadcast(probeCents), "centroid_id")
+      .join(broadcast(q))
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol), cosine(col(vecCol), col("qvec")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate pairs: LSH-bucketed candidate generation,
+    * exact cosine verification at `threshold`. Same shape as
+    * [[Dedup.minhashPairs]] but over vectors.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 8, maxBucket: Int = 10000): DataFrame = {
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      hyperplaneBucket(col(vecCol), bits).as("bucket"))
+      .withColumn("bsize", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .where(col("bsize") <= maxBucket)
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("score"))
+      .where(col("score") >= threshold)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, n-gram shingling, token counting, quality scoring,
+  * document fingerprinting, and a lightweight n-gram/stopword language-ID
+  * heuristic.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` (codegen'd
+  * higher-order functions — no UDFs), so filters/projections around these
+  * columns stay inside whole-stage codegen and scale linearly with
+  * executors. These are north-star additions (SURVEY.md §2c) — the reference
+  * itself contains no text operators.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of lowercased text; empty array for blank text. */
+  def tokens(text: Column): Column = {
+    val t = split(trim(lower(text)), "\\s+")
+    when(trim(text) === "", array().cast("array<string>")).otherwise(t)
+  }
+
+  /** Word n-grams ("shingles") as space-joined strings; empty when fewer
+    * than n tokens. Guarded so `sequence` never sees a negative bound.
+    */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword token count: runs of letters, runs of digits, or single
+    * non-alphanumeric symbols (the pre-tokenization split most BPE vocabs
+    * assume). Pattern is RE2/Java-regex compatible for oracle parity.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Ratio of punctuation characters to total characters (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    val p = length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+    when(n === 0, lit(0.0)).otherwise(p.cast("double") / n.cast("double"))
+  }
+
+  /** English-ish stopwords present in the corpus domain; used by quality
+    * scoring (a real pipeline would plug corpus-appropriate lists).
+    */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for")
+
+  /** Fraction of tokens that are stopwords (0 for empty docs). */
+  def stopwordRatio(toks: Column): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    val hits = size(filter(toks, t => array_contains(sw, t)))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / size(toks).cast("double"))
+  }
+
+  /** Heuristic quality score in [0,1]: rewards mid-length docs, light
+    * punctuation, and a moderate stopword rate. All-rational arithmetic →
+    * bit-identical across engines for oracle checking.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val punctPenalty = lit(1.0) - least(punctRatio(text) * 4, lit(1.0))
+    val swScore = least(stopwordRatio(toks) * 5, lit(1.0))
+    (lenScore * 0.4) + (punctPenalty * 0.3) + (swScore * 0.3)
+  }
+
+  /** Canonical document fingerprint: md5 of lowercased text with
+    * non-alphanumerics stripped and whitespace collapsed. Two docs that
+    * differ only in case/punctuation/spacing collide — the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Per-language marker-word profiles for the language-ID heuristic.
+    * Tiny on purpose: broadcast as literal arrays into codegen.
+    */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "it", "that", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"),
+  )
+
+  /** N-gram/stopword language ID: score = fraction of tokens found in each
+    * language's marker profile; CJK codepoints short-circuit to zh. Returns
+    * the argmax language code, 'und' when nothing scores.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (code, words) =>
+      val profile = array(words.map(lit): _*)
+      struct(
+        size(filter(toks, t => array_contains(profile, t))).cast("double").as("score"),
+        lit(code).as("code"))
+    }
+    // array_max on struct(score, code) orders by score then code — ties
+    // break deterministically toward the later code
+    val best = array_max(array(scored: _*))
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh"))
+      .when(best.getField("score") > 0, best.getField("code"))
+      .otherwise(lit("und"))
+  }
+}

@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Training-data-pipeline queries (north star, SURVEY.md §2c): text
+  * analysis, deduplication, and similarity search over `documents` and
+  * `embeddings`.
+  *
+  * Oracle policy: deterministic rational/string computations get full DuckDB
+  * oracles (dialect-translated — `string_split` vs `split`, `len` vs
+  * `size`); LSH-based operators are probabilistic pipelines whose
+  * correctness contract is recall vs an exact baseline — they're covered by
+  * ScalaTest brute-force comparisons and registered rows-only here.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = {
+    Tables.load(s, d)
+    graft.functions.SimHash.register(s)
+    s.table("documents")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- text analysis: per-doc stats (oracle-checked) ---
+    "q_text_stats" -> ((s, d) => docs(s, d).select(
+      col("doc_id"),
+      col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"),
+      length(col("text")).cast("long").as("n_chars_real"),
+      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+      TextAnalysis.stopwordRatio(TextAnalysis.tokens(col("text"))).as("stopword_ratio"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    // --- canonical fingerprint (oracle-checked: md5 on both engines) ---
+    "q_text_fingerprint" -> ((s, d) => docs(s, d).select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // --- language ID heuristic + confusion counts vs the labeled column ---
+    "q_text_langid" -> ((s, d) => docs(s, d)
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))),
+
+    // --- exact dedup on canonicalized word-set key (oracle-checked) ---
+    "q_dedup_exact" -> ((s, d) => Dedup.exactGroups(
+      docs(s, d), col("doc_id"),
+      array_join(array_sort(array_distinct(split(lower(col("text")), " "))), " "))),
+
+    // --- exact 2-gram Jaccard over id-window-blocked pairs (oracle-checked)
+    "q_dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(
+      docs(s, d), "doc_id", "text", ngram = 2,
+      blockJoin = (a, b) => b - a <= 25, threshold = 0.5)),
+
+    // --- MinHash+LSH near-dup pairs (rows-only; recall-tested in DedupSpec)
+    "q_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(
+      docs(s, d), "doc_id", "text", ngram = 2,
+      numHashes = 32, bands = 16, threshold = 0.7)),
+
+    // --- SimHash near-dup pairs (rows-only; custom Catalyst expression) ---
+    "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(
+      docs(s, d), "doc_id", "text", maxHamming = 3)),
+
+    // --- similarity search: exact brute-force top-k (oracle-checked) ---
+    "q_knn_brute" -> ((s, d) => {
+      Tables.load(s, d)
+      Similarity.knnBrute(s.table("embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)
+    }),
+
+    // --- similarity search: LSH ANN top-k (rows-only; recall in spec) ---
+    "q_knn_lsh" -> ((s, d) => {
+      Tables.load(s, d)
+      Similarity.knnLsh(s.table("embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)
+    }),
+
+    // --- similarity search: IVF ANN top-k (rows-only; recall in spec) ---
+    "q_knn_ivf" -> ((s, d) => {
+      Tables.load(s, d)
+      Similarity.knnIvf(s.table("embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)
+    }),
+
+    // --- embedding near-dup pairs above cosine threshold (rows-only) ---
+    "q_embed_neardup" -> ((s, d) => {
+      Tables.load(s, d)
+      Similarity.nearDupPairs(s.table("embeddings"), "vec_id", "embedding",
+        threshold = 0.4, bits = 4)
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |       len(toks)::BIGINT AS n_tokens,
+        |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_subwords,
+        |       length(text)::BIGINT AS n_chars_real,
+        |       CASE WHEN length(text) = 0 THEN 0.0
+        |            ELSE length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE / length(text)::DOUBLE END AS punct_ratio,
+        |       CASE WHEN len(toks) = 0 THEN 0.0
+        |            ELSE len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for'], x)))::DOUBLE / len(toks)::DOUBLE END AS stopword_ratio,
+        |       (least(length(text)::DOUBLE / 500.0, 1.0) * 0.4)
+        |       + ((1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE / length(text)::DOUBLE END) * 4, 1.0)) * 0.3)
+        |       + (least((CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for'], x)))::DOUBLE / len(toks)::DOUBLE END) * 5, 1.0) * 0.3) AS quality
+        |FROM t""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ') AS dup_key,
+        |       min(doc_id) AS keep_id, count(*) AS copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+        |           ELSE list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]) END) AS sh
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |               ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |        FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE AS jaccard
+        |FROM t a JOIN t b
+        |  ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 25
+        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.5""".stripMargin,
+
+    "q_knn_brute" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |       list_dot_product(embedding::DOUBLE[], qv) /
+        |         (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+        |          sqrt(list_dot_product(qv, qv))) AS score
+        |FROM embeddings, q
+        |WHERE vec_id <> 0
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+  )
+}

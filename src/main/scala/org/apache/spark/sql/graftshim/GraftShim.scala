@@ -1,0 +1,28 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.{ExpressionColumnNode, ExpressionUtils}
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Minimal bridge into Spark's `private[sql]` surface, so graft can expose
+  * custom Catalyst `Expression`s as `Column`s and register them for SQL.
+  *
+  * Spark 4 moved `Column` to a backend-agnostic representation
+  * (`ColumnNode`); wrapping a catalyst `Expression` requires
+  * `ExpressionColumnNode`, which is `private[sql]` — hence this shim package,
+  * the conventional pattern for Spark-native extension libraries.
+  */
+object GraftShim {
+
+  /** Wrap a Catalyst expression as a user-facing Column. */
+  def column(e: Expression): Column = Column(ExpressionColumnNode(e))
+
+  /** Extract the Catalyst expression backing a Column. */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register an expression builder as a SQL function in this session. */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+}

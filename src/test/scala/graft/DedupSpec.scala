@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.{SimHash, SimHashUtil}
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+
+  test("exactGroups: planted exact duplicates collapse to one representative") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("id", "text")
+    val got = Dedup.exactGroups(df, col("id"), col("text"))
+      .orderBy("keep_id").collect()
+    assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhashPairs finds planted near-duplicates") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 38).map(i => s"w$i").mkString(" ") + " zz1 zz2" // ~0.88 2-gram J
+    val far = (100 to 140).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhashPairs recall vs exact jaccard on real documents (J >= 0.9)") {
+    // exact all-pairs baseline at J>=0.9 (500 docs → 125k pairs, fine locally)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", ngram = 2,
+      blockJoin = (_, _) => lit(true), threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(docs, "doc_id", "text", ngram = 2,
+      numHashes = 32, bands = 16, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH output is exact-verified → precision 1; recall bounded by banding
+    assert(lsh.subsetOf(exact))
+    assert(exact.nonEmpty, "corpus should contain J>=0.9 pairs")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("simhash64 expression: eval and codegen agree, deterministic") {
+    val df = Seq(Seq("a", "b", "c"), Seq("a", "b", "c"), Seq("x", "y")).toDF("toks")
+    val vals = df.select(SimHash.simhash64(col("toks")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(vals(0) == vals(1))
+    assert(vals(0) != vals(2))
+    // matches the shared static implementation (what codegen emits)
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(UTF8String.fromString("a"), UTF8String.fromString("b"),
+        UTF8String.fromString("c")))
+    assert(vals(0) == SimHashUtil.simhash64(arr))
+  }
+
+  test("simhashPairs: near-identical docs within hamming 3, distinct docs not") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 59).map(i => s"tok$i").mkString(" ") + " other"
+    val far = (200 to 260).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash SQL registration") {
+    SimHash.register(spark)
+    val n = spark.sql(
+      "SELECT simhash64(array('a','b')) AS h").collect()(0).getLong(0)
+    assert(n == SimHashUtil.simhash64(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(UTF8String.fromString("a"), UTF8String.fromString("b")))))
+  }
+
+  test("jaccardPairs ngram guard: docs shorter than n produce no pairs") {
+    val df = Seq((1L, "one"), (2L, "one"), (3L, "two words here")).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", ngram = 2,
+      blockJoin = (_, _) => lit(true), threshold = 0.1).collect()
+    assert(pairs.isEmpty) // single-token docs have empty shingle sets → J undefined → dropped
+  }
+}

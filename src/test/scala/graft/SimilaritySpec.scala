@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  test("cosine: known vectors") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)),
+      (Seq(1.0f, 0.0f), Seq(-1.0f, 0.0f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(got(0)) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(math.abs(got(2) + 1.0) < 1e-12)
+  }
+
+  test("knnBrute: self excluded, scores descending, k respected") {
+    val res = Similarity.knnBrute(emb, "vec_id", "embedding", 0L, 10).collect()
+    assert(res.length == 10)
+    assert(!res.map(_.getLong(0)).contains(0L))
+    val scores = res.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted.reverse))
+  }
+
+  /** Corpus with 10 planted near-duplicates of vec 0 (small deterministic
+    * per-dimension perturbation → cosine ≈ 1): the genuine "near neighbor"
+    * regime ANN structures exist for. The base synthetic embeddings are
+    * near-orthogonal (max pairwise cosine ≈ 0.47), so unplanted top-k is
+    * noise, not neighborhood.
+    */
+  private lazy val planted = {
+    val dups = (1 to 10).map { i =>
+      emb.where(col("vec_id") === 0L)
+        .select(lit(100000L + i).as("vec_id"),
+          transform(col("embedding"),
+            x => x + lit(i.toFloat / 1000.0f)).as("embedding"),
+          lit(99).as("label"))
+    }.reduce(_ union _)
+    emb.select("vec_id", "embedding", "label").union(dups).cache()
+  }
+
+  test("knnLsh recall vs brute force on planted near-duplicates") {
+    val exact = Similarity.knnBrute(planted, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.forall(_ > 100000L), "brute-force top-10 should be the planted dups")
+    val approx = Similarity.knnLsh(planted, "vec_id", "embedding", 0L, 10, bits = 8)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall@10 = $recall")
+  }
+
+  test("knnIvf recall vs brute force on planted near-duplicates") {
+    val exact = Similarity.knnBrute(planted, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.knnIvf(planted, "vec_id", "embedding", 0L, 10,
+      centroidEvery = 50, nprobe = 3).collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall@10 = $recall")
+  }
+
+  test("ivfAssign: every vector gets exactly one centroid") {
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", 50L)
+    assert(assigned.count() == emb.count())
+    assert(assigned.groupBy("vec_id").count().where(col("count") > 1).count() == 0)
+  }
+
+  test("nearDupPairs: planted duplicate vector is found with score ~1") {
+    val planted = emb.limit(1)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
+    val withDup = emb.select("vec_id", "embedding", "label").union(planted)
+    val pairs = Similarity.nearDupPairs(withDup, "vec_id", "embedding",
+      threshold = 0.99, bits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._2 == p._1 + 100000L && p._3 > 0.999))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("text").select(c).collect()(0).get(0) match {
+      case s: scala.collection.Seq[_] => s.toSeq
+      case other => other
+    }
+
+  test("tokens: whitespace split, lowercased, empty-safe") {
+    assert(one("Hello  World", TextAnalysis.tokens(col("text")))
+      .asInstanceOf[Seq[String]] == Seq("hello", "world"))
+    assert(one("", TextAnalysis.tokens(col("text"))).asInstanceOf[Seq[String]].isEmpty)
+    assert(one("   ", TextAnalysis.tokens(col("text"))).asInstanceOf[Seq[String]].isEmpty)
+  }
+
+  test("wordNgrams: 2-grams, short-doc guard") {
+    val toks = TextAnalysis.tokens(col("text"))
+    assert(one("a b c", TextAnalysis.wordNgrams(toks, 2))
+      .asInstanceOf[Seq[String]] == Seq("a b", "b c"))
+    assert(one("a", TextAnalysis.wordNgrams(toks, 2)).asInstanceOf[Seq[String]].isEmpty)
+  }
+
+  test("subwordCount: BPE-ish pre-tokenization") {
+    // "don't stop123" → don | ' | t | stop | 123 = 5
+    assert(one("don't stop123", TextAnalysis.subwordCount(col("text"))) == 5)
+  }
+
+  test("punctRatio and stopwordRatio bounds") {
+    val pr = one("a,b.c!", TextAnalysis.punctRatio(col("text"))).asInstanceOf[Double]
+    assert(pr == 3.0 / 6.0)
+    val sr = one("the cat and the dog",
+      TextAnalysis.stopwordRatio(TextAnalysis.tokens(col("text")))).asInstanceOf[Double]
+    assert(sr == 3.0 / 5.0)
+  }
+
+  test("qualityScore in [0,1]") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bad = docs.select(TextAnalysis.qualityScore(col("text")).as("q"))
+      .where(col("q") < 0 || col("q") > 1).count()
+    assert(bad == 0)
+  }
+
+  test("fingerprint: case/punct/whitespace-insensitive") {
+    val fp1 = one("Hello,   World!", TextAnalysis.fingerprint(col("text")))
+    val fp2 = one("hello world", TextAnalysis.fingerprint(col("text")))
+    val fp3 = one("hello mars", TextAnalysis.fingerprint(col("text")))
+    assert(fp1 == fp2)
+    assert(fp1 != fp3)
+  }
+
+  test("langId: marker words and CJK routing") {
+    assert(one("the cat is on the mat and it was good",
+      TextAnalysis.langId(col("text"))) == "en")
+    assert(one("el perro y la casa de los gatos",
+      TextAnalysis.langId(col("text"))) == "es")
+    assert(one("der hund ist nicht mit der katze",
+      TextAnalysis.langId(col("text"))) == "de")
+    assert(one("你好世界", TextAnalysis.langId(col("text"))) == "zh")
+    assert(one("zzz qqq xxx", TextAnalysis.langId(col("text"))) == "und")
+  }
+}
