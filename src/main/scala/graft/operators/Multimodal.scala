@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+
+/** Multimodal column handling: images/audio/video ride through the engine as
+  * opaque `binary` columns plus typed metadata structs; per-item decode /
+  * feature-extract / resize / frame-sample run as partition-local batch
+  * transforms (north star, SURVEY.md §2c).
+  *
+  * The decode step itself is a STUB: no image/audio codecs exist in this
+  * environment, so [[StubCodec]] derives deterministic metadata from the
+  * byte stream. Everything around it — binary schema, typed Dataset
+  * plumbing, partition-local batching via `mapPartitions` (the Scala
+  * analogue of arrow-batched `mapInPandas`), metadata structs, and the
+  * downstream relational ops — is real and tested; swapping StubCodec for a
+  * JNI/javacv decoder changes one function.
+  *
+  * Scale notes: decode is embarrassingly parallel and partition-local (no
+  * shuffle); binary payloads stay off the driver; at 100 TB the only knobs
+  * are `spark.sql.files.maxPartitionBytes` (bound batch memory) and
+  * repartitioning upstream if payload sizes are skewed.
+  */
+object Multimodal {
+
+  /** Typed metadata for a decoded image-like payload. */
+  case class ImageMeta(width: Int, height: Int, channels: Int, format: String)
+
+  case class BinaryItem(item_id: Long, payload: Array[Byte])
+  case class DecodedItem(item_id: Long, n_bytes: Long, width: Int,
+      height: Int, channels: Int, format: String)
+
+  /** Deterministic stand-in for a real codec. Reads "header" bytes the way a
+    * real decoder reads magic numbers + dimensions. ??? -- replace with a
+    * real decoder (e.g. javacv / ImageIO via JNI) in a full deployment.
+    */
+  object StubCodec {
+    def decode(payload: Array[Byte]): ImageMeta = {
+      def b(i: Int): Int = if (payload.length > i) payload(i) & 0xff else 0
+      ImageMeta(
+        width = 16 + b(0) % 128,
+        height = 16 + b(1) % 128,
+        channels = 1 + b(2) % 4,
+        format = (payload.length % 3) match {
+          case 0 => "png"
+          case 1 => "jpg"
+          case _ => "webp"
+        })
+    }
+
+    /** Stub resize: real implementation reencodes pixels; the stub rescales
+      * metadata and truncates the payload proportionally.
+      */
+    def resize(payload: Array[Byte], meta: ImageMeta, w: Int, h: Int): (Array[Byte], ImageMeta) = {
+      val scale = (w.toLong * h) .toDouble / math.max(1, meta.width.toLong * meta.height)
+      val n = math.max(1, math.min(payload.length, (payload.length * scale).toInt))
+      (payload.take(n), meta.copy(width = w, height = h))
+    }
+
+    /** Stub frame sampling for "video" payloads: returns byte offsets of
+      * every `stride`-th fake frame boundary.
+      */
+    def frameOffsets(payload: Array[Byte], stride: Int): Seq[Long] =
+      (0L until payload.length.toLong by stride.toLong).toSeq
+  }
+
+  /** Batch decode: one pass per partition, typed output. The inner loop is
+    * an iterator transform — constant memory per partition regardless of
+    * corpus size.
+    */
+  def decodeItems(items: Dataset[BinaryItem]): Dataset[DecodedItem] = {
+    implicit val enc = Encoders.product[DecodedItem]
+    items.mapPartitions { it =>
+      it.map { item =>
+        val m = StubCodec.decode(item.payload)
+        DecodedItem(item.item_id, item.payload.length.toLong,
+          m.width, m.height, m.channels, m.format)
+      }
+    }
+  }
+
+  /** DataFrame-level entry: binary column + id → decoded metadata table. */
+  def decode(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = df.select(col(idCol).cast("long").as("item_id"),
+      col(binCol).as("payload")).as[BinaryItem]
+    decodeItems(typed).toDF()
+  }
+
+  /** Frame sampling over a binary "video" column → (item_id, frame_offset)
+    * rows, one scan, explode on the executor side.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+      stride: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = df.select(col(idCol).cast("long").as("item_id"),
+      col(binCol).as("payload")).as[BinaryItem]
+    typed.flatMap(item => StubCodec.frameOffsets(item.payload, stride)
+        .map(off => (item.item_id, off)))
+      .toDF("item_id", "frame_offset")
+  }
+}

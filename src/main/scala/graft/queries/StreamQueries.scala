@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.operators.Multimodal
+import graft.sources.Tables
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Event-time windowing (batch mode of the unified streaming transforms —
+  * the streaming execution of the same code is exercised in StreamingSpec
+  * with watermarks) and multimodal binary-column queries.
+  *
+  * Events oracles cast DuckDB's ns timestamps to micros (`ts::TIMESTAMP`),
+  * matching `Tables`' `ts div 1000` conversion; window starts are computed
+  * with epoch-microsecond floor division on both engines.
+  */
+object StreamQueries {
+
+  private def events(s: SparkSession, d: String): DataFrame = {
+    Tables.load(s, d)
+    s.table("events")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> ((s, d) =>
+      EventStreams.tumblingStats(events(s, d), "15 minutes")),
+
+    "q_stream_sliding" -> ((s, d) =>
+      EventStreams.slidingCounts(events(s, d), "30 minutes", "15 minutes")),
+
+    "q_stream_session" -> ((s, d) =>
+      EventStreams.sessionize(events(s, d), "30 minutes")),
+
+    "q_multimodal_meta" -> ((s, d) => {
+      Tables.load(s, d)
+      val docsBin = s.table("documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.decode(docsBin, "doc_id", "payload")
+    }),
+
+    "q_multimodal_frames" -> ((s, d) => {
+      Tables.load(s, d)
+      val docsBin = s.table("documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.sampleFrames(docsBin, "doc_id", "payload", stride = 64)
+        .groupBy("item_id").agg(count(lit(1)).as("n_frames"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """WITH t AS (SELECT ts::TIMESTAMP AS ts, event_type, value FROM events)
+        |SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS win_start,
+        |       make_timestamp((epoch_us(ts) // 900000000) * 900000000 + 900000000) AS win_end,
+        |       event_type, count(*) AS n, min(value) AS mn, max(value) AS mx
+        |FROM t GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_stream_sliding" ->
+      """WITH t AS (SELECT ts::TIMESTAMP AS ts, event_type FROM events),
+        |w AS (SELECT event_type,
+        |             unnest([(epoch_us(ts) // 900000000) * 900000000,
+        |                     (epoch_us(ts) // 900000000) * 900000000 - 900000000]) AS ws
+        |      FROM t)
+        |SELECT make_timestamp(ws) AS win_start, event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    // gaps-and-islands replication of session_window semantics: a new
+    // session starts when the gap is >= 30 min (Spark merges only
+    // strictly-overlapping [ts, ts+gap) intervals); session end = last+gap
+    "q_stream_session" ->
+      """WITH t AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
+        |m AS (SELECT user_id, ts, value,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(ts) AS sess_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS sess_end,
+        |       count(*) AS n_events, min(value) AS mn_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // the stub codec's arithmetic re-expressed over the (all-ASCII) text:
+    // byte i == ascii(char i+1)
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS item_id, length(text)::BIGINT AS n_bytes,
+        |       16 + ascii(substr(text, 1, 1)) % 128 AS width,
+        |       16 + ascii(substr(text, 2, 1)) % 128 AS height,
+        |       1 + ascii(substr(text, 3, 1)) % 4 AS channels,
+        |       CASE length(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg'
+        |            ELSE 'webp' END AS format
+        |FROM documents""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """SELECT doc_id AS item_id,
+        |       ((length(text) + 63) // 64)::BIGINT AS n_frames
+        |FROM documents""".stripMargin,
+  )
+}

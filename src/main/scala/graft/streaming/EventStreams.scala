@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+
+/** Event-time processing over the `events` table, written as *unified*
+  * transforms: each takes a DataFrame that may be a batch table or a
+  * streaming source — Structured Streaming's core design point — so the
+  * same code runs in the DuckDB-oracled batch gate and under a watermarked
+  * stream (`StreamingSpec` drives both).
+  *
+  * Scale notes: windowed aggregation state is keyed by (window, group key)
+  * and expired by the watermark, so executor state is bounded; session
+  * windows merge incrementally. At 100 TB/day the shuffle is on
+  * (window, key) — the same hash partitioning as any groupBy.
+  */
+object EventStreams {
+
+  /** Tumbling event-time windows with per-type stats. */
+  def tumblingStats(events: DataFrame, width: String): DataFrame =
+    events.groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("mn"),
+        max(col("value")).as("mx"))
+      .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
+        col("event_type"), col("n"), col("mn"), col("mx"))
+
+  /** Sliding windows (width, slide). */
+  def slidingCounts(events: DataFrame, width: String, slide: String): DataFrame =
+    events.groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Session windows per user with an inactivity gap: (user, session start,
+    * session end, events). Built-in `session_window` — incremental merge in
+    * streaming, gaps-and-islands semantics in batch.
+    */
+  def sessionize(events: DataFrame, gap: String): DataFrame =
+    events.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("value")).as("mn_value"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("w.end").as("sess_end"), col("n_events"), col("mn_value"))
+
+  /** Streaming variant of [[tumblingStats]] with a watermark bound on state. */
+  def streamingTumblingStats(stream: DataFrame, width: String,
+      watermark: String): DataFrame =
+    tumblingStats(stream.withWatermark("ts", watermark), width)
+
+  // --- custom stateful processing (flatMapGroupsWithState) ---
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)
+
+  /** Custom sessionizer over `flatMapGroupsWithState`: emits a session when
+    * the event-time gap exceeds `gapMs`. Demonstrates arbitrary per-key
+    * state (the escape hatch when built-in windows can't express the
+    * semantics); state size is O(1) per active user.
+    */
+  def statefulSessions(events: Dataset[Event], gapMs: Long,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+      : Dataset[SessionOut] = {
+    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val stEnc = Encoders.product[SessionState]
+
+    def fn(userId: Long, it: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val sorted = it.toSeq.sortBy(_.ts.getTime)
+      var cur = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(s.copy(last = t, n = s.n + 1))
+          case Some(s) =>
+            out += SessionOut(userId, s.start, s.last, s.n)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      // batch mode: flush the trailing session; a streaming deployment
+      // would keep it in state and flush on timeout instead
+      cur.foreach { s =>
+        if (!state.hasTimedOut) out += SessionOut(userId, s.start, s.last, s.n)
+      }
+      state.remove()
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(fn)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{BinaryItem, ImageMeta, StubCodec}
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("StubCodec.decode: header-derived metadata, deterministic") {
+    val m = StubCodec.decode("hello world padding".getBytes("UTF-8"))
+    assert(m.width == 16 + 'h'.toInt % 128)
+    assert(m.height == 16 + 'e'.toInt % 128)
+    assert(m.channels == 1 + 'l'.toInt % 4)
+    assert(m == StubCodec.decode("hello world padding".getBytes("UTF-8")))
+    // empty payload doesn't crash
+    assert(StubCodec.decode(Array.emptyByteArray).width == 16)
+  }
+
+  test("decode: binary column → typed metadata table, distributed") {
+    val df = Seq((1L, "abcdef".getBytes), (2L, "xy".getBytes))
+      .toDF("id", "payload").repartition(2)
+    val got = Multimodal.decode(df, "id", "payload")
+      .orderBy("item_id").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("n_bytes") == 6L)
+    assert(got(0).getAs[String]("format") == "png") // 6 % 3 == 0
+    assert(got(1).getAs[String]("format") == "webp") // 2 % 3 == 2
+  }
+
+  test("resize stub: metadata rescaled, payload bounded") {
+    val payload = Array.fill[Byte](1000)(7)
+    val meta = ImageMeta(100, 100, 3, "png")
+    val (p2, m2) = StubCodec.resize(payload, meta, 10, 10)
+    assert(m2.width == 10 && m2.height == 10)
+    assert(p2.length <= payload.length && p2.length >= 1)
+  }
+
+  test("sampleFrames: ceil(len/stride) offsets per item") {
+    val df = Seq((1L, Array.fill[Byte](130)(1)), (2L, Array.fill[Byte](64)(1)))
+      .toDF("id", "payload")
+    val got = Multimodal.sampleFrames(df, "id", "payload", stride = 64)
+      .groupBy("item_id").agg(count(lit(1)).as("n"))
+      .orderBy("item_id").collect().map(_.getLong(1))
+    assert(got.toSeq == Seq(3L, 1L)) // 130→offsets 0,64,128; 64→offset 0
+  }
+}

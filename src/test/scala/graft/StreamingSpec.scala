@@ -1,0 +1,76 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Drives the unified event-time transforms as REAL streams (MemoryStream +
+  * watermark + processAllAvailable) and checks stream/batch equivalence —
+  * the core Structured Streaming contract.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  private val sample = Seq(
+    (1L, ts(0), "click", 1.0),
+    (1L, ts(4), "click", 2.0),
+    (2L, ts(7), "view", 3.0),
+    (1L, ts(21), "click", 4.0),
+    (2L, ts(59), "view", 5.0))
+
+  private def sampleDF = sample.toDF("user_id", "ts", "event_type", "value")
+
+  test("tumblingStats over a real stream equals batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+
+    val q = EventStreams.streamingTumblingStats(stream, "15 minutes", "10 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+        .orderBy("win_start", "event_type").collect().map(_.toSeq)
+      val batch = EventStreams.tumblingStats(sampleDF, "15 minutes")
+        .orderBy("win_start", "event_type").collect().map(_.toSeq)
+      assert(streamed.toSeq == batch.toSeq)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sessionize (session_window) in batch: gap semantics") {
+    val got = EventStreams.sessionize(sampleDF, "10 minutes")
+      .orderBy("user_id", "sess_start")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    // user 1: events at 0,4 merge; 21 is its own session. user 2: 7 and 59 separate.
+    assert(got.toSeq == Seq((1L, 2L), (1L, 1L), (2L, 1L), (2L, 1L)))
+  }
+
+  test("statefulSessions (flatMapGroupsWithState) matches session_window batch") {
+    val ds = sampleDF.as[EventStreams.Event]
+    val got = EventStreams.statefulSessions(ds, gapMs = 10 * 60 * 1000)
+      .collect().map(s => (s.user_id, s.n_events)).sorted.toSeq
+    assert(got == Seq((1L, 1), (1L, 2), (2L, 1), (2L, 1)))
+  }
+
+  test("streaming session_window with watermark runs end-to-end") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = EventStreams.sessionize(stream.withWatermark("ts", "1 hour"), "10 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("session_out").start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      assert(spark.table("session_out").count() == 4)
+    } finally q.stop()
+  }
+}
