@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up: JVM/codegen/scheduler initialization and table registration
+    // should not be billed to whichever query happens to run first
+    try {
+      spark.range(1000000L).selectExpr("sum(id)").count()
+      graft.sources.Tables.load(spark, sfDir)
+      spark.table("lineitem").limit(1000).count()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -58,27 +58,56 @@ object Dedup {
     * shingles, then exact-Jaccard verification at `threshold`.
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
     */
-  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      ngram: Int = 2, numHashes: Int = 32, bands: Int = 16,
-      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    val shingled = df.select(
-      col(idCol).as("id"),
-      array_distinct(TextAnalysis.wordNgrams(toks, ngram)).as("shingles"))
-      .where(size(col("shingles")) > 0)
+  /** Tokenize into its own projection before shingling: `wordNgrams` refers
+    * to the token array once per element, and feeding it the raw
+    * tokenization *expression* would inline that expression into every
+    * lambda element — O(tokens²) regex splits per document (measured 9s for
+    * 5k docs). Materializing the attribute makes each reference an O(1)
+    * array read. CollapseProject keeps the stages separate because split()
+    * is non-cheap.
+    */
+  private def shingleTable(df: DataFrame, idCol: String, textCol: String,
+      ngram: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      // `sh` is empty exactly when there are fewer than n tokens, so filter
+      // on the cheap token count — filtering on size(sh) would let predicate
+      // pushdown re-inline the shingle expression below the projection,
+      // reintroducing the quadratic evaluation
+      .where(size(col("toks")) >= ngram)
+      .select(col("id"),
+        array_distinct(TextAnalysis.wordNgrams(col("toks"), ngram)).as("sh"))
 
-    val sig = shingled.select(col("id"), col("shingles"),
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 2, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    // shingles are carried as 64-bit hashes from here on: the signature only
+    // needs hash values, and Jaccard over hashed sets equals Jaccard over
+    // the sets (collisions are ~n²/2⁶⁴) — long arrays shuffle ~10x smaller
+    // than string arrays and intersect without string comparison.
+    // Persisted: consumed three times (signature path + both sides of the
+    // verification join); at 100 TB this materialization is the standard
+    // "write the shingle table once" step of a dedup pipeline.
+    val shingled = shingleTable(df, idCol, textCol, ngram)
+      .select(col("id"),
+        array_distinct(transform(col("sh"), s => xxhash64(s))).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val sig = shingled.select(col("id"),
       minhashSignature(col("shingles"), numHashes).as("sig"))
 
     val banded = sig
       .select(col("id"), explode(lshBands(col("sig"), numHashes, bands)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
 
-    // skew guard: drop degenerate buckets before the quadratic self-join
+    // skew guard: drop degenerate buckets before the quadratic self-join.
+    // Persisted because the self-join consumes it twice — otherwise the
+    // whole signature pipeline runs twice.
     val bucketed = banded
       .withColumn("bsize", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
       .where(col("bsize") <= maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val candidates = bucketed.as("a")
       .join(bucketed.as("b"),
@@ -104,23 +133,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Exact word-ngram Jaccard for all pairs inside a caller-supplied
-    * blocking condition (deterministic, oracle-expressible). Blocking keeps
-    * the join linear-ish; at scale the block key should be an equi-key
-    * (LSH bucket, source, time window), not a range.
+  /** Exact word-ngram Jaccard for all pairs within `idWindow` of each other
+    * (deterministic, oracle-expressible). The window predicate is turned
+    * into an *equi*-join on block keys (block = id / idWindow; the left side
+    * explodes into its own and the next block, which covers every pair with
+    * id_b - id_a <= idWindow) — a plain range predicate would plan as a
+    * BroadcastNestedLoopJoin over all O(n²) pairs, which is exactly the
+    * quadratic scan this operator exists to avoid.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, ngram: Int,
-      blockJoin: (Column, Column) => Column, threshold: Double): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    val t = df.select(col(idCol).as("id"),
-      array_distinct(TextAnalysis.wordNgrams(toks, ngram)).as("sh"))
+      idWindow: Long, threshold: Double): DataFrame = {
     // empty shingle sets would make the Jaccard denominator 0 (an error
-    // under Spark 4's default ANSI mode) — J is undefined there anyway
-    val a = t.where(size(col("sh")) > 0)
-      .select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = t.where(size(col("sh")) > 0)
-      .select(col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, col("id_a") < col("id_b") && blockJoin(col("id_a"), col("id_b")))
+    // under Spark 4's default ANSI mode) — J is undefined there anyway;
+    // shingleTable drops them. Shingles are compared as 64-bit hashes:
+    // |A∩B| over hashed distinct sets equals the string-set value up to a
+    // ~n²/2⁶⁴ collision chance, and the pair join shuffles/intersects long
+    // arrays instead of string arrays (~10x cheaper).
+    val nonEmpty = shingleTable(df, idCol, textCol, ngram)
+      .select(col("id"),
+        array_distinct(transform(col("sh"), s => xxhash64(s))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // integer (not FP) block math: ids may exceed 2^53 in a real corpus
+    val blk = expr(s"id div ${idWindow}L")
+    val a = nonEmpty.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      explode(array(blk, blk + 1)).as("blk"))
+    val b = nonEmpty.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      blk.as("blk"))
+    a.join(b, Seq("blk"))
+      .where(col("id_a") < col("id_b") && col("id_b") - col("id_a") <= idWindow)
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))

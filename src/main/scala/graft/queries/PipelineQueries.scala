@@ -53,12 +53,12 @@ object PipelineQueries {
     // --- exact 2-gram Jaccard over id-window-blocked pairs (oracle-checked)
     "q_dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(
       docs(s, d), "doc_id", "text", ngram = 2,
-      blockJoin = (a, b) => b - a <= 25, threshold = 0.5)),
+      idWindow = 25L, threshold = 0.5)),
 
     // --- MinHash+LSH near-dup pairs (rows-only; recall-tested in DedupSpec)
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(
       docs(s, d), "doc_id", "text", ngram = 2,
-      numHashes = 32, bands = 16, threshold = 0.7)),
+      numHashes = 32, bands = 8, threshold = 0.7)),
 
     // --- SimHash near-dup pairs (rows-only; custom Catalyst expression) ---
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(
@@ -89,7 +89,7 @@ object PipelineQueries {
     "q_embed_neardup" -> ((s, d) => {
       Tables.load(s, d)
       Similarity.nearDupPairs(s.table("embeddings"), "vec_id", "embedding",
-        threshold = 0.4, bits = 4)
+        threshold = 0.4, bits = 6)
     }),
   )
 

@@ -29,10 +29,20 @@ object Tables {
   def configure(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  /** Register all tables as temp views + the UDAF family in this session. */
+  // cache the active dir per session: repeated schema inference (a parquet
+  // footer read per table) and UDAF re-registration would otherwise run
+  // once per query and dominate short benchmarks
+  private val activeDir = new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  /** Register all tables as temp views + the UDAF family in this session.
+    * Idempotent while the dir is unchanged; call freely per query.
+    */
   def load(spark: SparkSession, dir: String): Unit = {
-    configure(spark)
-    graft.functions.ArrayReduce.registerAll(spark)
-    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    if (activeDir.put(spark, dir) != dir) {
+      configure(spark)
+      graft.functions.ArrayReduce.registerAll(spark)
+      graft.functions.SimHash.register(spark)
+      names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    }
   }
 }

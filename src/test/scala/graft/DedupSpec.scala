@@ -31,7 +31,7 @@ class DedupSpec extends SparkSpec {
   test("minhashPairs recall vs exact jaccard on real documents (J >= 0.9)") {
     // exact all-pairs baseline at J>=0.9 (500 docs → 125k pairs, fine locally)
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", ngram = 2,
-      blockJoin = (_, _) => lit(true), threshold = 0.9)
+      idWindow = 1L << 40, threshold = 0.9) // window >> max id → all pairs
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.minhashPairs(docs, "doc_id", "text", ngram = 2,
       numHashes = 32, bands = 16, threshold = 0.9)
@@ -78,7 +78,7 @@ class DedupSpec extends SparkSpec {
   test("jaccardPairs ngram guard: docs shorter than n produce no pairs") {
     val df = Seq((1L, "one"), (2L, "one"), (3L, "two words here")).toDF("doc_id", "text")
     val pairs = Dedup.jaccardPairs(df, "doc_id", "text", ngram = 2,
-      blockJoin = (_, _) => lit(true), threshold = 0.1).collect()
+      idWindow = 1L << 40, threshold = 0.1).collect()
     assert(pairs.isEmpty) // single-token docs have empty shingle sets → J undefined → dropped
   }
 }
