@@ -93,6 +93,29 @@ object Monoid {
   val maxFloat: Monoid[Float] = inst[Float](Float.NegativeInfinity, "max")(math.max)
   val maxDouble: Monoid[Double] = inst[Double](Double.NegativeInfinity, "max")(math.max)
 
+  // --- unsigned emulation (reference src/monoid.rs supports u8-u64; the
+  // JVM has no unsigned primitives, so u8/u16 ride on Int and u32 on Long
+  // with clamping to [0, maxU] — matching Rust's unsigned saturating_add/mul
+  // exactly. u64 would need Decimal/BigInt arithmetic off the primitive fast
+  // path and is the one documented omission (SURVEY.md §7). ---
+  @inline private def clampU(max: Long)(v: Long): Long =
+    if (v > max) max else if (v < 0L) 0L else v
+  private def uIntInst(max: Long, id: Long, nm: String)(f: (Long, Long) => Long): Monoid[Int] =
+    inst[Int](id.toInt, nm)((a, b) => clampU(max)(f(a.toLong, b.toLong)).toInt)
+
+  val sumU8: Monoid[Int] = uIntInst(255L, 0L, "sum")(_ + _)
+  val sumU16: Monoid[Int] = uIntInst(65535L, 0L, "sum")(_ + _)
+  val sumU32: Monoid[Long] = inst[Long](0L, "sum")((a, b) => clampU(4294967295L)(a + b))
+  val productU8: Monoid[Int] = uIntInst(255L, 1L, "product")(_ * _)
+  val productU16: Monoid[Int] = uIntInst(65535L, 1L, "product")(_ * _)
+  val productU32: Monoid[Long] = inst[Long](1L, "product")((a, b) => clampU(4294967295L)(satMulLong(a, b)))
+  val maxU8: Monoid[Int] = uIntInst(255L, 0L, "max")(math.max) // u8::MIN == 0
+  val maxU16: Monoid[Int] = uIntInst(65535L, 0L, "max")(math.max)
+  val maxU32: Monoid[Long] = inst[Long](0L, "max")(math.max)
+  val minU8: Monoid[Int] = uIntInst(255L, 255L, "min")(math.min) // identity u8::MAX
+  val minU16: Monoid[Int] = uIntInst(65535L, 65535L, "min")(math.min)
+  val minU32: Monoid[Long] = inst[Long](4294967295L, "min")(math.min)
+
   // --- min (reference src/monoid.rs:190-221; float identity +Inf) ---
   val minByte: Monoid[Byte] = inst[Byte](Byte.MaxValue, "min")((a, b) => if (a <= b) a else b)
   val minShort: Monoid[Short] = inst[Short](Short.MaxValue, "min")((a, b) => if (a <= b) a else b)

@@ -55,12 +55,31 @@ object MonoidQueries {
     "q_array_sum_float" -> ((s, d) => q(s, d,
       """SELECT label, array_reduce_sum_float(embedding) AS sm
         |FROM embeddings GROUP BY label""".stripMargin)),
+
+    // the native TypedImperativeAggregate path (type inferred from input)
+    "q_array_sum_native" -> ((s, d) => q(s, d,
+      """SELECT l_orderkey, array_reduce_sum_native(arr) AS arr_sum FROM (
+        |  SELECT l_orderkey,
+        |         array(l_linenumber, l_linenumber * 2, CAST(l_quantity AS INT)) AS arr
+        |  FROM lineitem)
+        |GROUP BY l_orderkey""".stripMargin)),
   )
 
   /** DuckDB equivalents. Element-wise reduce = unnest with subscripts,
     * per-position aggregate, reassemble ordered list (SURVEY.md §5d).
     */
+  private val sumIntOracle: String =
+    """SELECT l_orderkey, list(s ORDER BY pos) AS arr_sum FROM (
+      |  SELECT l_orderkey, pos, sum(v)::INTEGER AS s FROM (
+      |    SELECT l_orderkey,
+      |           unnest([l_linenumber, l_linenumber * 2, l_quantity::INTEGER]) AS v,
+      |           generate_subscripts([l_linenumber, l_linenumber * 2, l_quantity::INTEGER], 1) AS pos
+      |    FROM lineitem)
+      |  GROUP BY l_orderkey, pos)
+      |GROUP BY l_orderkey""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_array_sum_native" -> sumIntOracle,
     "q_array_sum_int" ->
       """SELECT l_orderkey, list(s ORDER BY pos) AS arr_sum FROM (
         |  SELECT l_orderkey, pos, sum(v)::INTEGER AS s FROM (

@@ -41,6 +41,7 @@ object Tables {
     if (activeDir.put(spark, dir) != dir) {
       configure(spark)
       graft.functions.ArrayReduce.registerAll(spark)
+      graft.functions.ArrayReduceAgg.register(spark)
       graft.functions.SimHash.register(spark)
       names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
     }

@@ -16,6 +16,8 @@ object TestSpark {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.ArrayReduce.registerAll(s)
+    graft.functions.ArrayReduceAgg.register(s)
+    graft.functions.SimHash.register(s)
     s
   }
 }
