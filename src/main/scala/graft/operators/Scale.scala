@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Skew- and shuffle-management operators — the patterns that keep the other
+  * operators alive at 100 TB (SURVEY.md §2c "100 TB-scale design"):
+  * salted joins for skewed keys, skew-proof distinct counting, and bucketed
+  * co-located joins.
+  *
+  * Note Spark already handles two big classes without help: algebraic
+  * aggregates get map-side partial aggregation (so a skewed groupBy-sum
+  * doesn't need salting), and AQE splits skewed *shuffle* partitions for
+  * sort-merge joins. The operators here cover what those don't: broadcast
+  * -ineligible joins against a skewed key column, distinct-state explosions,
+  * and shuffle elimination via storage layout.
+  */
+object Scale {
+
+  /** Join `big` (skew-keyed) with `small` when `small` is too large to
+    * broadcast and AQE's skew splitting isn't available/enough: each big row
+    * gets a deterministic salt in [0, salts); `small` is replicated `salts`
+    * times; the join key becomes (key, salt), spreading one hot key over
+    * `salts` reducers.
+    *
+    * The salt is derived by hashing the big row's full struct — deterministic
+    * (re-runs and retries agree), uniform, and correctness-neutral (any
+    * per-row salt works; identical rows colliding on a salt is harmless).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    val bigS = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)).cast("int"))
+    val smallS = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Exact distinct count per key that survives key skew: shuffle once on
+    * (key, value) — whose cardinality is spread even when `key` alone is hot
+    * — then count per key. The classic rewrite of `count(DISTINCT v)` whose
+    * single-reducer-per-key state would otherwise OOM on a hot key.
+    */
+  def skewProofCountDistinct(df: DataFrame, key: Column, value: Column,
+      resultName: String = "n_distinct"): DataFrame =
+    df.select(key.as("__k"), value.as("__v"))
+      .distinct()
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as(resultName))
+      .withColumnRenamed("__k", "key")
+
+  /** Write `df` bucketed+sorted by `key` into the session catalog: two
+    * tables bucketed the same way equi-join with NO shuffle exchange (the
+    * layout IS the partitioning). At 100 TB this is the difference between
+    * re-shuffling the fact table per query and never shuffling it at all.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+}

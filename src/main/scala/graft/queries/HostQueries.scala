@@ -145,6 +145,19 @@ object HostQueries {
         |       count(DISTINCT user_id) AS users
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin),
 
+    // --- JSON extraction over the events.props column ---
+    Q("q_host_json",
+      """SELECT event_type,
+        |       CAST(sum(CAST(get_json_object(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |       CAST(max(CAST(get_json_object(props, '$.k') AS INT)) AS INT) AS max_k,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+      Some("""SELECT event_type,
+        |       sum(json_extract_string(props, '$.k')::INTEGER)::BIGINT AS sum_k,
+        |       max(json_extract_string(props, '$.k')::INTEGER)::INTEGER AS max_k,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin)),
+
     // --- correlated scalar subquery (integral avg → deterministic) ---
     same("q_host_subquery_avg",
       """SELECT l_returnflag, count(*) AS n_small

@@ -48,6 +48,17 @@ object EventStreams {
       watermark: String): DataFrame =
     tumblingStats(stream.withWatermark("ts", watermark), width)
 
+  /** Streaming exact dedup: drops events whose key was already seen, with
+    * state bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark`) — the streaming face of
+    * [[graft.operators.Dedup.exactGroups]]. State is keyed by `keys` only,
+    * so it scales with distinct keys inside the watermark, not stream length.
+    */
+  def streamingDedup(stream: DataFrame, watermark: String,
+      keys: String*): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.toSeq)
+
   // --- custom stateful processing (flatMapGroupsWithState) ---
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Scale
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  test("saltedJoin equals plain join on skewed data") {
+    // planted skew: one hot key with 10k rows
+    val big = (1 to 10000).map(i => (1L, s"v$i")) ++ (1 to 100).map(i => (i.toLong + 1, s"w$i"))
+    val bigDf = big.toDF("k", "payload")
+    val smallDf = (1L to 101L).map(k => (k, s"dim$k")).toDF("k", "attr")
+
+    val plain = bigDf.join(smallDf, "k")
+    val salted = Scale.saltedJoin(bigDf, smallDf, "k", salts = 8)
+
+    assert(salted.count() == plain.count())
+    val a = plain.orderBy("k", "payload").collect().map(_.toSeq).toSeq
+    val b = salted.select(plain.columns.map(col): _*)
+      .orderBy("k", "payload").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("skewProofCountDistinct equals count(DISTINCT)") {
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "a"), (2L, "a"), (3L, "x"), (3L, "y"), (3L, "z"))
+      .toDF("k", "v")
+    val got = Scale.skewProofCountDistinct(df, col("k"), col("v"))
+      .orderBy("key").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 3L)))
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val os = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    Scale.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
+    Scale.writeBucketed(os.withColumnRenamed("o_orderkey", "l_orderkey"),
+      "os_bucketed", "l_orderkey", 8)
+
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("os_bucketed"), "l_orderkey")
+    joined.count() // materialize so AQE finalizes the plan
+    val exec = joined.queryExecution.executedPlan
+    val shuffles = collectWithSubqueries(exec) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty,
+      s"bucketed join should be shuffle-free, found: ${shuffles.size} exchanges")
+
+    // and it returns the same rows as the unbucketed join
+    assert(joined.count() ==
+      li.join(os, li("l_orderkey") === os("o_orderkey")).count())
+  }
+}

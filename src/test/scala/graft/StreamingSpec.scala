@@ -60,6 +60,23 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 1), (1L, 2), (2L, 1), (2L, 1)))
   }
 
+  test("streamingDedup drops duplicate keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventStreams.streamingDedup(stream, "1 hour", "event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData((1L, ts(0), "a", 1.0), (2L, ts(1), "b", 2.0),
+        (1L, ts(2), "a-dup", 3.0), (3L, ts(3), "c", 4.0), (2L, ts(4), "b-dup", 5.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming session_window with watermark runs end-to-end") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String, Double)]
