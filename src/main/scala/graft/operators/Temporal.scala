@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively. */
+object Temporal {
+
+  /** As-of (point-in-time) left join: for every left row, attach `valueCols`
+    * from the latest right row with the same `by` keys and
+    * `right.timeCol <= left.timeCol`; null when no prior right row exists.
+    *
+    * Built by composition (preference tier (a) of the extension ladder —
+    * no custom physical operator needed): tag and union both sides, then a
+    * running `last(_, ignoreNulls)` window ordered by (time, side) carries
+    * the most recent right values forward into left rows. One shuffle on the
+    * `by` keys — the same cost as any keyed window, with none of the
+    * unbounded range-join blowup a naive `l.ts >= r.ts` join would plan.
+    * Right rows sort before left rows at equal timestamps, so the join is
+    * inclusive (ties match), like DuckDB/pandas `ASOF JOIN`.
+    *
+    * Right rows should be unique per (by, timeCol) — pre-aggregate
+    * otherwise, or ties resolve by sort order of `valueCols`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, by: Seq[String],
+      timeCol: String, valueCols: Seq[String], suffix: String = "_asof"): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+    val r = right
+      .select((by.map(col) :+ col(timeCol)) ++ valueCols.map(col): _*)
+      .withColumn("__side", lit(0))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(by.map(col): _*)
+      .orderBy(col(timeCol), col("__side"), struct(valueCols.map(col): _*))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = valueCols.foldLeft(u) { (df, c) =>
+      df.withColumn(c + suffix, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.where(col("__side") === 1)
+      .drop("__side")
+      .drop(valueCols: _*)
+  }
+}

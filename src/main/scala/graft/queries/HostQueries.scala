@@ -158,6 +158,45 @@ object HostQueries {
         |       count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin)),
 
+    // --- pivot (Spark .pivot ≡ conditional aggregation; oracle uses the
+    // FILTER form so both engines compute identical conditional sums) ---
+    same("q_host_pivot",
+      """SELECT l_returnflag,
+        |       CAST(sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_open,
+        |       CAST(sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_filled,
+        |       count(*) FILTER (WHERE l_linestatus = 'O') AS n_open,
+        |       count(*) FILTER (WHERE l_linestatus = 'F') AS n_filled
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+
+    // --- cube (all grouping-set combinations) ---
+    same("q_host_cube",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(l_quantity) AS DOUBLE) AS qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin),
+
+    // --- explode / unnest (lateral row generation) ---
+    Q("q_host_explode",
+      """SELECT word, count(*) AS n
+        |FROM (SELECT explode(split(p_name, ' ')) AS word FROM part)
+        |GROUP BY word""".stripMargin,
+      Some("""SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+        |GROUP BY word""".stripMargin)),
+
+    // --- IN / NOT IN subqueries ---
+    same("q_host_in_subquery",
+      """SELECT count(*) AS n_building_lines
+        |FROM lineitem WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_custkey IN (
+        |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'))""".stripMargin),
+
+    // --- date arithmetic / extraction ---
+    same("q_host_date_arith",
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+        |       count(*) AS n,
+        |       CAST(min(o_orderdate + INTERVAL 30 DAY) AS DATE) AS min_due
+        |FROM orders GROUP BY 1, 2""".stripMargin),
+
     // --- correlated scalar subquery (integral avg → deterministic) ---
     same("q_host_subquery_avg",
       """SELECT l_returnflag, count(*) AS n_small

@@ -118,6 +118,33 @@ object PipelineQueries {
         |       md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
 
+    // faithful DuckDB replication of TextAnalysis.langId: per-language
+    // marker-word hit counts, argmax with ties toward the later code
+    // (matching Spark's struct(score, code) array_max ordering), CJK
+    // short-circuit, 'und' when nothing scores
+    "q_text_langid" ->
+      """WITH t AS (
+        |  SELECT lang, text,
+        |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, text,
+        |    len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','ein','mit','zu','den'], x))) AS s_de,
+        |    len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','it','that','was','for'], x))) AS s_en,
+        |    len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','los','se','por'], x))) AS s_es,
+        |    len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','une','dans','que','pour'], x))) AS s_fr
+        |  FROM t)
+        |SELECT lang,
+        |       CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |            WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |            WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |            WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+        |            WHEN s_en >= s_de THEN 'en'
+        |            ELSE 'de' END AS predicted,
+        |       count(*) AS n
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ') AS dup_key,
         |       min(doc_id) AS keep_id, count(*) AS copies

@@ -31,6 +31,19 @@ object StreamQueries {
     "q_stream_session" -> ((s, d) =>
       EventStreams.sessionize(events(s, d), "30 minutes")),
 
+    // as-of join: each click annotated with the user's latest prior purchase
+    "q_asof_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pval"))
+      graft.operators.Temporal.asofJoin(
+        clicks, purchases, by = Seq("user_id"), timeCol = "ts",
+        valueCols = Seq("pval"))
+    }),
+
     "q_multimodal_meta" -> ((s, d) => {
       Tables.load(s, d)
       val docsBin = s.table("documents")
@@ -80,6 +93,15 @@ object StreamQueries {
         |       max(ts) + INTERVAL 30 MINUTE AS sess_end,
         |       count(*) AS n_events, min(value) AS mn_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts::TIMESTAMP AS ts, max(value) AS pval FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts, r.pval AS pval_asof
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
     // the stub codec's arithmetic re-expressed over the (all-ASCII) text:
     // byte i == ascii(char i+1)

@@ -13,7 +13,10 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      // fresh warehouse per JVM: the dir outlives the in-memory catalog, so
+      // a fixed path collides with stale table locations on the next run
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.ArrayReduce.registerAll(s)

@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.Temporal
+import java.sql.Timestamp
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("asofJoin: latest prior right row per key, inclusive ties, null before first") {
+    val left = Seq((1L, 100L, ts(5)), (2L, 100L, ts(15)), (3L, 100L, ts(2)),
+      (4L, 200L, ts(10))).toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, ts(5), 1.5), (100L, ts(10), 2.5), (200L, ts(20), 9.9))
+      .toDF("user_id", "ts", "pval")
+
+    val got = Temporal.asofJoin(left, right, Seq("user_id"), "ts", Seq("pval"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(r.fieldIndex("pval_asof")))))
+
+    assert(got.toSeq == Seq(
+      (1L, Some(1.5)),  // tie at 10:05 matches (inclusive)
+      (2L, Some(2.5)),  // latest prior is 10:10
+      (3L, None),       // before any purchase
+      (4L, None)))      // user 200's purchase is later
+  }
+
+  test("asofJoin keeps all left rows and adds only the suffixed column") {
+    val left = Seq((1L, 7L, ts(1))).toDF("event_id", "user_id", "ts")
+    val right = Seq((7L, ts(0), 42.0)).toDF("user_id", "ts", "pval")
+    val out = Temporal.asofJoin(left, right, Seq("user_id"), "ts", Seq("pval"))
+    assert(out.columns.toSeq == Seq("event_id", "user_id", "ts", "pval_asof"))
+    assert(out.count() == 1)
+  }
+}
