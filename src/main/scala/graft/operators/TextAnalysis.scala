@@ -80,6 +80,35 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
+  /** TF-IDF top-`topK` terms per document: raw term frequency × smoothed
+    * inverse document frequency `ln((N+1)/(df+1))`, ranked per doc with a
+    * deterministic (score desc, term) tiebreak.
+    *
+    * Fully distributed: explode → two hash aggregations (term counts, doc
+    * frequencies) → broadcast of the 1-row corpus count and the term-df
+    * table (term vocabulary ≪ corpus at scale; for web-scale vocabularies
+    * the df join falls back to a shuffle hash join automatically).
+    */
+  def tfIdf(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      topK: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .select(col("doc"), explode(col("toks")).as("term"))
+    val tf = terms.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val n = df.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dft, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * log((col("n_docs") + 1).cast("double") / (col("df_t") + 1).cast("double")))
+    val w = Window.partitionBy(col("doc"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topK)
+      .select(col("doc"), col("term"), round(col("tfidf"), 6).as("score"),
+        col("rn").cast("long").as("rank"))
+  }
+
   /** Per-language marker-word profiles for the language-ID heuristic.
     * Tiny on purpose: broadcast as literal arrays into codegen.
     */

@@ -45,6 +45,22 @@ object PipelineQueries {
       .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
       .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))),
 
+    // --- tf-idf top terms per doc (oracle-checked; log rounded to 6dp) ---
+    "q_text_tfidf" -> ((s, d) =>
+      TextAnalysis.tfIdf(docs(s, d), "doc_id", "text", topK = 3)),
+
+    // --- approximate sketches (HLL distinct, quantiles): rows-only —
+    // implementation-specific estimates have no cross-engine oracle; error
+    // bounds vs exact values are asserted in SketchSpec ---
+    "q_approx_sketches" -> ((s, d) => {
+      Tables.load(s, d)
+      s.sql(
+        """SELECT l_returnflag,
+          |       approx_count_distinct(l_partkey) AS approx_parts,
+          |       percentile_approx(l_quantity, array(0.5, 0.95), 10000) AS q_50_95
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    }),
+
     // --- exact dedup on canonicalized word-set key (oracle-checked) ---
     "q_dedup_exact" -> ((s, d) => Dedup.exactGroups(
       docs(s, d), col("doc_id"),
@@ -144,6 +160,26 @@ object PipelineQueries {
         |            ELSE 'de' END AS predicted,
         |       count(*) AS n
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id AS doc, unnest(
+        |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc, tf.term, tf,
+        |         tf * ln((n_docs + 1)::DOUBLE / (df_t + 1)::DOUBLE) AS tfidf
+        |  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc, term, tfidf,
+        |         row_number() OVER (PARTITION BY doc ORDER BY tfidf DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc, term, round(tfidf, 6) AS score, rn AS rank
+        |FROM ranked WHERE rn <= 3""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ') AS dup_key,

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+
+/** Plan-shape regression tests: the properties that make these queries
+  * survive a 100x scale-up are asserted here, so a refactor that silently
+  * turns a broadcast join into a nested-loop join (or un-pushes a filter)
+  * fails CI rather than a production run.
+  */
+class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def executed(name: String): (DataFrame, SparkPlan) = {
+    // other suites cache tables; cache substitution would swap parquet scans
+    // for InMemoryTableScan and invalidate the pushdown assertions
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    (df, df.queryExecution.executedPlan)
+  }
+
+  test("dim joins broadcast (q_host_join_nation_revenue)") {
+    val (_, plan) = executed("q_host_join_nation_revenue")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size == 3, s"expected 3 broadcast joins, got ${bhj.size}")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty, "no nested-loop joins expected")
+  }
+
+  test("filter and projection push to the parquet scan (q_host_agg_pricing)") {
+    val (_, plan) = executed("q_host_agg_pricing")
+    val scans = plan.toString()
+    assert(scans.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "shipdate filter should reach the scan")
+    assert(!scans.contains("l_orderkey"),
+      "unused columns must be pruned from the read schema")
+  }
+
+  test("blocked jaccard joins on equi-keys, never nested-loop") {
+    val (_, plan) = executed("q_dedup_jaccard")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty,
+      "range blocking must plan as an equi-join on block keys, not BNLJ")
+  }
+
+  test("array_reduce UDAFs plan two-phase (partial + final) aggregation") {
+    val df = SparkEntry.queries("q_array_sum_int")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString()
+    // ObjectHashAggregate appears twice: partial before, final after the exchange
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected two-phase ObjectHashAggregate, plan:\n$plan")
+  }
+
+  test("native array_reduce also plans two-phase on ObjectHashAggregate") {
+    val df = SparkEntry.queries("q_array_sum_native")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2)
+  }
+
+  test("brute-force knn broadcasts the query vector, no shuffle of the corpus") {
+    val (_, plan) = executed("q_knn_brute")
+    val shuffles = collectWithSubqueries(plan) { case s: ShuffleExchangeExec => s }
+    // only the final top-k single-partition exchange is acceptable
+    assert(shuffles.size <= 1,
+      s"corpus scan should not shuffle for a broadcast query vector: ${shuffles.size}")
+  }
+}
