@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Dumps `explain("formatted")` for selected queries (dev tool backing
+  * PLANS.md): `runMain graft.ExplainAll <outFile> <query...>`
+  */
+object ExplainAll {
+  def main(args: Array[String]): Unit = {
+    val out = args(0)
+    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, "/root/testdata/sf0.01")
+      sb.append(s"===== $n =====\n")
+      sb.append(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      sb.append("\n")
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    spark.stop()
+  }
+}

@@ -59,6 +59,27 @@ object EventStreams {
     stream.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.toSeq)
 
+  /** Stream-stream interval join: clicks joined to the same user's purchases
+    * that happened in (click_ts - lookback, click_ts]. Both sides carry
+    * watermarks so the join state is bounded — the streaming analogue of
+    * [[graft.operators.Temporal.asofJoin]]'s "recent context" semantics,
+    * expressed as Structured Streaming's watermarked interval join.
+    */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame, watermark: String,
+      lookback: String): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") <= col("click_ts") &&
+        col("purchase_ts") > col("click_ts") - expr(s"INTERVAL $lookback"))
+      .drop("p_user")
+  }
+
   // --- custom stateful processing (flatMapGroupsWithState) ---
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Source-format coverage: the reference inherits scans from its host engine
+  * (SURVEY.md §2b); our host engine reads parquet/csv/json — prove the
+  * round-trips preserve data, and that the array-reduce family runs over
+  * every format's output identically.
+  */
+class SourcesSpec extends SparkSpec {
+
+  private lazy val tmp = java.nio.file.Files.createTempDirectory("graft-src").toString
+  private lazy val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+  test("csv round-trip preserves rows and values") {
+    li.write.mode("overwrite").option("header", "true").csv(s"$tmp/li_csv")
+    val back = spark.read.option("header", "true")
+      .schema(li.schema).csv(s"$tmp/li_csv")
+    assert(back.count() == li.count())
+    val a = li.agg(sum("l_quantity"), count(lit(1))).collect()(0)
+    val b = back.agg(sum("l_quantity"), count(lit(1))).collect()(0)
+    assert(a == b)
+  }
+
+  test("json round-trip preserves rows and values") {
+    li.write.mode("overwrite").json(s"$tmp/li_json")
+    val back = spark.read.schema(li.schema).json(s"$tmp/li_json")
+    assert(back.count() == li.count())
+    assert(back.agg(sum("l_quantity")).collect()(0) ==
+      li.agg(sum("l_quantity")).collect()(0))
+  }
+
+  test("array_reduce gives identical results over parquet, csv, and json sources") {
+    def reduceOver(df: org.apache.spark.sql.DataFrame): Seq[Seq[Int]] = {
+      df.select(array(col("l_linenumber"),
+          col("l_quantity").cast("int")).as("arr"), col("l_returnflag"))
+        .createOrReplaceTempView("src_fmt")
+      spark.sql(
+        """SELECT l_returnflag, array_reduce_sum_native(arr) AS s
+          |FROM src_fmt GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        .collect().toSeq.map(_.getSeq[Int](1))
+    }
+    val fromParquet = reduceOver(li)
+    val fromCsv = reduceOver(spark.read.option("header", "true")
+      .schema(li.schema).csv(s"$tmp/li_csv"))
+    val fromJson = reduceOver(spark.read.schema(li.schema).json(s"$tmp/li_json"))
+    assert(fromParquet == fromCsv)
+    assert(fromParquet == fromJson)
+  }
+}

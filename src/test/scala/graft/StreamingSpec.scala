@@ -77,6 +77,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    val clickMem = MemoryStream[(Long, Timestamp, Long)]
+    val purchMem = MemoryStream[(Long, Timestamp, Double)]
+    val clicks = clickMem.toDF().toDF("event_id", "ts", "user_id")
+    val purchases = purchMem.toDF().toDF("user_id", "ts", "value")
+
+    val q = EventStreams.intervalJoin(clicks, purchases, "1 hour", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ij_out").start()
+    try {
+      clickMem.addData((1L, ts(10), 100L), (2L, ts(30), 100L), (3L, ts(10), 200L))
+      purchMem.addData((100L, ts(5), 9.0), (100L, ts(25), 7.0), (200L, ts(50), 5.0))
+      q.processAllAvailable()
+      val streamed = spark.table("ij_out")
+        .select("click_id", "purchase_value")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+      // click 1 @10 sees purchase @5 (within 10 min); click 2 @30 sees @25;
+      // click 3 @10 sees nothing (user 200's purchase is later)
+      assert(streamed == Seq((1L, 9.0), (2L, 7.0)))
+
+      val batch = EventStreams.intervalJoin(
+        Seq((1L, ts(10), 100L), (2L, ts(30), 100L), (3L, ts(10), 200L))
+          .toDF("event_id", "ts", "user_id"),
+        Seq((100L, ts(5), 9.0), (100L, ts(25), 7.0), (200L, ts(50), 5.0))
+          .toDF("user_id", "ts", "value"),
+        "1 hour", "10 minutes")
+        .select("click_id", "purchase_value")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming session_window with watermark runs end-to-end") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String, Double)]
