@@ -87,7 +87,10 @@ object Dedup {
     // than string arrays and intersect without string comparison.
     // Persisted: consumed three times (signature path + both sides of the
     // verification join); at 100 TB this materialization is the standard
-    // "write the shingle table once" step of a dedup pipeline.
+    // "write the shingle table once" step of a dedup pipeline. Lifecycle:
+    // repeated calls over the same input build plan-identical DataFrames, so
+    // Spark's cache-manager canonicalization reuses one entry rather than
+    // accumulating; callers that are done can spark.catalog.clearCache().
     val shingled = shingleTable(df, idCol, textCol, ngram)
       .select(col("id"),
         array_distinct(transform(col("sh"), s => xxhash64(s))).as("shingles"))

@@ -44,6 +44,7 @@ object Scale {
   def skewProofCountDistinct(df: DataFrame, key: Column, value: Column,
       resultName: String = "n_distinct"): DataFrame =
     df.select(key.as("__k"), value.as("__v"))
+      .where(col("__v").isNotNull) // count(DISTINCT v) ignores nulls — match it
       .distinct()
       .groupBy(col("__k"))
       .agg(count(lit(1)).as(resultName))

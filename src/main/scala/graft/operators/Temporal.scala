@@ -25,20 +25,27 @@ object Temporal {
     */
   def asofJoin(left: DataFrame, right: DataFrame, by: Seq[String],
       timeCol: String, valueCols: Seq[String], suffix: String = "_asof"): DataFrame = {
+    // right value columns are renamed to their suffixed output names BEFORE
+    // the union: if the left side happens to carry a column with a valueCol's
+    // name, it must neither feed the fill window nor be dropped from the
+    // output (a silent-corruption hazard flagged in review)
+    val outCols = valueCols.map(_ + suffix)
+    outCols.foreach(c => require(!left.columns.contains(c),
+      s"left side already has a column named '$c' — pick a different suffix"))
     val l = left.withColumn("__side", lit(1))
     val r = right
-      .select((by.map(col) :+ col(timeCol)) ++ valueCols.map(col): _*)
+      .select((by.map(col) :+ col(timeCol)) ++
+        valueCols.map(c => col(c).as(c + suffix)): _*)
       .withColumn("__side", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window
       .partitionBy(by.map(col): _*)
-      .orderBy(col(timeCol), col("__side"), struct(valueCols.map(col): _*))
+      .orderBy(col(timeCol), col("__side"), struct(outCols.map(col): _*))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = valueCols.foldLeft(u) { (df, c) =>
-      df.withColumn(c + suffix, last(col(c), ignoreNulls = true).over(w))
+    val filled = outCols.foldLeft(u) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
     filled.where(col("__side") === 1)
       .drop("__side")
-      .drop(valueCols: _*)
   }
 }

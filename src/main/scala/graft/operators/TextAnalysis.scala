@@ -80,6 +80,31 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
+  /** Sliding-window document chunking: split each doc into token windows of
+    * `size` tokens advancing by `stride` (overlap = size - stride), the
+    * standard pre-training/RAG chunker. Emits (doc, chunk_id, chunk_text,
+    * n_tokens); the final window is the shorter tail. One projection + one
+    * generator — no shuffle, scales linearly.
+    */
+  def chunk(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(stride > 0 && size >= stride, "need 0 < stride <= size")
+    df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .where(org.apache.spark.sql.functions.size(col("toks")) > 0)
+      .withColumn("n_chunks",
+        when(org.apache.spark.sql.functions.size(col("toks")) <= size, lit(1))
+          .otherwise(expr(s"(size(toks) - $size + $stride - 1) div $stride") + 1))
+      .select(col("doc"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"),
+        col("toks"))
+      .select(col("doc"), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(slice(col("toks"), col("chunk_id") * stride + 1, lit(size)), " ")
+          .as("chunk_text"),
+        org.apache.spark.sql.functions
+          .size(slice(col("toks"), col("chunk_id") * stride + 1, lit(size)))
+          .cast("long").as("n_tokens"))
+  }
+
   /** TF-IDF top-`topK` terms per document: raw term frequency × smoothed
     * inverse document frequency `ln((N+1)/(df+1))`, ranked per doc with a
     * deterministic (score desc, term) tiebreak.

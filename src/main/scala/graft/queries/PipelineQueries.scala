@@ -45,6 +45,10 @@ object PipelineQueries {
       .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
       .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))),
 
+    // --- sliding-window chunking for training pipelines (oracle-checked) ---
+    "q_text_chunk" -> ((s, d) =>
+      TextAnalysis.chunk(docs(s, d), "doc_id", "text", size = 32, stride = 24)),
+
     // --- tf-idf top terms per doc (oracle-checked; log rounded to 6dp) ---
     "q_text_tfidf" -> ((s, d) =>
       TextAnalysis.tfIdf(docs(s, d), "doc_id", "text", topK = 3)),
@@ -160,6 +164,22 @@ object PipelineQueries {
         |            ELSE 'de' END AS predicted,
         |       count(*) AS n
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id AS doc,
+        |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc, toks,
+        |         CASE WHEN len(toks) <= 32 THEN 1
+        |              ELSE (len(toks) - 32 + 24 - 1) // 24 + 1 END AS n_chunks
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc, i AS chunk_id,
+        |       array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text,
+        |       len(toks[i * 24 + 1 : i * 24 + 32])::BIGINT AS n_tokens
+        |FROM c, unnest(generate_series(0, n_chunks - 1)) AS u(i)""".stripMargin,
 
     "q_text_tfidf" ->
       """WITH terms AS (

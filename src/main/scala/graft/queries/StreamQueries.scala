@@ -114,9 +114,13 @@ object StreamQueries {
         |            ELSE 'webp' END AS format
         |FROM documents""".stripMargin,
 
+    // length(text) > 0 guard: an empty payload yields no frame offsets on
+    // the Spark side (flatMap of an empty range), so the oracle must emit
+    // no row either. (Both multimodal oracles assume all-ASCII text, where
+    // char count == byte count — true of this corpus by construction.)
     "q_multimodal_frames" ->
       """SELECT doc_id AS item_id,
         |       ((length(text) + 63) // 64)::BIGINT AS n_frames
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE length(text) > 0""".stripMargin,
   )
 }

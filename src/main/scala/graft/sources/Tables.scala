@@ -38,12 +38,16 @@ object Tables {
     * Idempotent while the dir is unchanged; call freely per query.
     */
   def load(spark: SparkSession, dir: String): Unit = {
-    if (activeDir.put(spark, dir) != dir) {
+    if (activeDir.get(spark) != dir) {
       configure(spark)
       graft.functions.ArrayReduce.registerAll(spark)
       graft.functions.ArrayReduceAgg.register(spark)
       graft.functions.SimHash.register(spark)
       names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+      // only mark loaded after full success — a partial registration (e.g.
+      // transient IO failure on one parquet footer) must be retried, not
+      // cached as done for the rest of the session
+      activeDir.put(spark, dir)
     }
   }
 }

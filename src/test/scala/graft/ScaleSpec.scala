@@ -24,11 +24,15 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(a == b)
   }
 
-  test("skewProofCountDistinct equals count(DISTINCT)") {
-    val df = Seq((1L, "a"), (1L, "b"), (1L, "a"), (2L, "a"), (3L, "x"), (3L, "y"), (3L, "z"))
-      .toDF("k", "v")
+  test("skewProofCountDistinct equals count(DISTINCT), incl. null handling") {
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "a"), (1L, null), (2L, "a"),
+      (3L, "x"), (3L, "y"), (3L, "z")).toDF("k", "v")
     val got = Scale.skewProofCountDistinct(df, col("k"), col("v"))
       .orderBy("key").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // count(DISTINCT v) ignores nulls: key 1 has 2, not 3
+    val expected = df.groupBy("k").agg(countDistinct(col("v")).as("n"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == expected.toSeq)
     assert(got.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 3L)))
   }
 

@@ -25,6 +25,23 @@ class TemporalSpec extends SparkSpec {
       (4L, None)))      // user 200's purchase is later
   }
 
+  test("asofJoin preserves a left column that shares a valueCol's name") {
+    val left = Seq((1L, 100L, ts(10), 111.0)).toDF("event_id", "user_id", "ts", "pval")
+    val right = Seq((100L, ts(5), 2.5)).toDF("user_id", "ts", "pval")
+    val out = Temporal.asofJoin(left, right, Seq("user_id"), "ts", Seq("pval"))
+      .collect()(0)
+    assert(out.getAs[Double]("pval") == 111.0)     // left's own column intact
+    assert(out.getAs[Double]("pval_asof") == 2.5)  // fill from the right side
+  }
+
+  test("asofJoin rejects a left column that collides with the output name") {
+    val left = Seq((1L, 100L, ts(10), 9.0)).toDF("event_id", "user_id", "ts", "pval_asof")
+    val right = Seq((100L, ts(5), 2.5)).toDF("user_id", "ts", "pval")
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(left, right, Seq("user_id"), "ts", Seq("pval"))
+    }
+  }
+
   test("asofJoin keeps all left rows and adds only the suffixed column") {
     val left = Seq((1L, 7L, ts(1))).toDF("event_id", "user_id", "ts")
     val right = Seq((7L, ts(0), 42.0)).toDF("user_id", "ts", "pval")

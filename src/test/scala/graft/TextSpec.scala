@@ -54,6 +54,20 @@ class TextSpec extends SparkSpec {
     assert(fp1 != fp3)
   }
 
+  test("chunk: sliding windows with overlap, short-doc single chunk") {
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.chunk(df, "doc_id", "text", size = 4, stride = 3)
+      .orderBy("doc", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // 10 tokens, size 4, stride 3 → chunks at 0,3,6 cover to 10: (10-4+2)/3+1 = 3... tail at 9
+    assert(got.count(_._1 == 1L) == 3)
+    assert(got(0) == (1L, 0L, "t1 t2 t3 t4", 4L))
+    assert(got(1) == (1L, 1L, "t4 t5 t6 t7", 4L))
+    assert(got(2) == (1L, 2L, "t7 t8 t9 t10", 4L))
+    assert(got(3) == (2L, 0L, "a b", 2L))
+  }
+
   test("langId: marker words and CJK routing") {
     assert(one("the cat is on the mat and it was good",
       TextAnalysis.langId(col("text"))) == "en")
