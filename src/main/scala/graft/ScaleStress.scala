@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling experiment (dev tool): replicate documents/embeddings 10x with
+  * shifted ids and compare operator runtimes vs the 1x corpus — a local
+  * stand-in for the 100x question ("does the work grow linearly, or does a
+  * hidden quadratic term bite?"). `runMain graft.ScaleStress`
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val docs10 = (0 until 10).map(i => docs1
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L)))
+      .reduce(_ union _)
+    docs10.write.mode("overwrite").parquet("/tmp/stress/documents10.parquet")
+    val emb1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val emb10 = (0 until 10).map(i => emb1
+        .withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L)))
+      .reduce(_ union _)
+    emb10.write.mode("overwrite").parquet("/tmp/stress/embeddings10.parquet")
+
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[stress] $tag rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+
+    val d1 = docs1
+    val d10 = spark.read.parquet("/tmp/stress/documents10.parquet")
+    val e1 = emb1
+    val e10 = spark.read.parquet("/tmp/stress/embeddings10.parquet")
+
+    import graft.operators.{Dedup, Similarity}
+    time("minhash 1x (5k docs)")(
+      Dedup.minhashPairs(d1, "doc_id", "text", threshold = 0.9).count())
+    time("minhash 10x (50k docs)")(
+      Dedup.minhashPairs(d10, "doc_id", "text", threshold = 0.9, maxBucket = 1000).count())
+    time("jaccard-blocked 1x")(
+      Dedup.jaccardPairs(d1, "doc_id", "text", 2, 25L, 0.5).count())
+    time("jaccard-blocked 10x")(
+      Dedup.jaccardPairs(d10, "doc_id", "text", 2, 25L, 0.5).count())
+    time("knn brute 1x (2k vecs)")(
+      Similarity.knnBrute(e1, "vec_id", "embedding", 0L, 10).count())
+    time("knn brute 10x (20k vecs)")(
+      Similarity.knnBrute(e10, "vec_id", "embedding", 0L, 10).count())
+    time("simhash 1x")(
+      Dedup.simhashPairs(d1, "doc_id", "text").count())
+    time("simhash 10x")(
+      Dedup.simhashPairs(d10, "doc_id", "text").count())
+    spark.stop()
+  }
+}
