@@ -145,6 +145,35 @@ object HostQueries {
         |       count(DISTINCT user_id) AS users
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin),
 
+    // --- regex extraction + conditional scalar functions ---
+    Q("q_host_regex",
+      """SELECT p_partkey,
+        |       CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INT) AS brand_num,
+        |       coalesce(nullif(p_type, ''), 'unknown') AS type_nz,
+        |       greatest(p_size, 10) AS size_floor10,
+        |       least(p_size, 40) AS size_cap40
+        |FROM part WHERE p_size BETWEEN 5 AND 45""".stripMargin,
+      Some("""SELECT p_partkey,
+        |       regexp_extract(p_brand, 'Brand#(\d+)', 1)::INTEGER AS brand_num,
+        |       coalesce(nullif(p_type, ''), 'unknown') AS type_nz,
+        |       greatest(p_size, 10)::INTEGER AS size_floor10,
+        |       least(p_size, 40)::INTEGER AS size_cap40
+        |FROM part WHERE p_size BETWEEN 5 AND 45""".stripMargin)),
+
+    // --- exact percentiles (interpolated; integral doubles → deterministic)
+    Q("q_host_percentile",
+      """SELECT l_returnflag,
+        |       percentile(l_quantity, 0.5) AS p50,
+        |       percentile(l_quantity, 0.9) AS p90,
+        |       CAST(min(l_quantity) AS DOUBLE) AS mn,
+        |       CAST(max(l_quantity) AS DOUBLE) AS mx
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      Some("""SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS p50,
+        |       quantile_cont(l_quantity, 0.9) AS p90,
+        |       min(l_quantity) AS mn, max(l_quantity) AS mx
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // --- JSON extraction over the events.props column ---
     Q("q_host_json",
       """SELECT event_type,

@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Recommended production session configuration for this library — the
+  * settings a cluster deployment should start from. The driver's
+  * Verify/Bench mains use their own fixed config (driver contract); this
+  * builder is the library-user entry point.
+  */
+object GraftSession {
+
+  /** Apply the recommended configs to a builder. Cluster-size-dependent
+    * knobs (shuffle partitions, memory) are left to the deployment.
+    */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    // AQE: runtime re-planning — coalesces small shuffle partitions,
+    // converts to broadcast when runtime stats allow, splits skewed
+    // partitions in sort-merge joins
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // deterministic timestamps for cross-engine comparisons
+    .config("spark.sql.session.timeZone", "UTC")
+    // the driver data's nanosecond timestamps (Tables.configure also sets
+    // this per-session, but a fresh session should start correct)
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // bound scan partition size so executor memory is sized by config, not
+    // by whatever file layout the input happens to have
+    .config("spark.sql.files.maxPartitionBytes", 128L * 1024 * 1024)
+
+  /** Local session with everything registered (tables + UDAF families). */
+  def local(cores: Int, sfDir: String): SparkSession = {
+    val spark = configure(SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    Tables.load(spark, sfDir)
+    spark
+  }
+}

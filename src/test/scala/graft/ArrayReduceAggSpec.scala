@@ -82,6 +82,15 @@ class ArrayReduceAggSpec extends SparkSpec {
       == Seq(4294967295L, 15L))
   }
 
+  test("native rejects non-numeric element types with a clear error") {
+    Seq(Seq("a", "b")).toDF("arrays").createOrReplaceTempView("t_str")
+    val ex = intercept[Exception] {
+      spark.sql("SELECT array_reduce_sum_native(arrays) FROM t_str").collect()
+    }
+    assert(ex.getMessage.contains("unsupported element type") ||
+      ex.getMessage.contains("array<numeric>"))
+  }
+
   test("native matches Aggregator on real embeddings (floats in double fold ≈)") {
     Tables.load(spark, sfDir)
     val native = spark.sql(
