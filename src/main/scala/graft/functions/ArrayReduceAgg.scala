@@ -56,43 +56,40 @@ case class ArrayReduceAgg(
     case t => throw new IllegalArgumentException(s"unsupported element type $t")
   }
 
-  // width-correct saturating fold over the Long carrier for integrals
-  @transient private lazy val longMonoid: Monoid[Long] = {
-    def widen[T](m: Monoid[T], narrow: Long => T, toL: T => Long): Monoid[Long] =
-      new Monoid[Long] {
-        val identity: Long = toL(m.identity)
-        def combine(a: Long, b: Long): Long = toL(m.combine(narrow(a), narrow(b)))
-        val name: String = m.name
-      }
-    import Monoid._
+  // Width-correct saturating fold over the Long carrier for integrals,
+  // written directly on Long so the inner loop never boxes (Function2 is
+  // @specialized for Long, unlike the generic Monoid trait): inputs are in
+  // the element width's range, so sum fits in Long and product of two
+  // sub-Long widths fits in Long — one clamp to the width reproduces the
+  // Rust saturating semantics (pinned against the Aggregator family in
+  // ArrayReduceAggSpec).
+  @transient private lazy val (longIdentity, longCombine): (Long, (Long, Long) => Long) = {
+    val (lo, hi) = elemType match {
+      case ByteType => (Byte.MinValue.toLong, Byte.MaxValue.toLong)
+      case ShortType => (Short.MinValue.toLong, Short.MaxValue.toLong)
+      case IntegerType => (Int.MinValue.toLong, Int.MaxValue.toLong)
+      case _ => (Long.MinValue, Long.MaxValue)
+    }
+    @inline def clamp(v: Long): Long = if (v > hi) hi else if (v < lo) lo else v
     (opName, elemType) match {
-      case ("sum", ByteType) => widen[Byte](sumByte, _.toByte, _.toLong)
-      case ("sum", ShortType) => widen[Short](sumShort, _.toShort, _.toLong)
-      case ("sum", IntegerType) => widen[Int](sumInt, _.toInt, _.toLong)
-      case ("sum", LongType) => sumLong
-      case ("product", ByteType) => widen[Byte](productByte, _.toByte, _.toLong)
-      case ("product", ShortType) => widen[Short](productShort, _.toShort, _.toLong)
-      case ("product", IntegerType) => widen[Int](productInt, _.toInt, _.toLong)
-      case ("product", LongType) => productLong
-      case ("max", ByteType) => widen[Byte](maxByte, _.toByte, _.toLong)
-      case ("max", ShortType) => widen[Short](maxShort, _.toShort, _.toLong)
-      case ("max", IntegerType) => widen[Int](maxInt, _.toInt, _.toLong)
-      case ("max", LongType) => maxLong
-      case ("min", ByteType) => widen[Byte](minByte, _.toByte, _.toLong)
-      case ("min", ShortType) => widen[Short](minShort, _.toShort, _.toLong)
-      case ("min", IntegerType) => widen[Int](minInt, _.toInt, _.toLong)
-      case ("min", LongType) => minLong
+      case ("sum", LongType) => (0L, Monoid.satAddLong _)
+      case ("product", LongType) => (1L, Monoid.satMulLong _)
+      case ("sum", _) => (0L, (a: Long, b: Long) => clamp(a + b))
+      case ("product", _) => (1L, (a: Long, b: Long) => clamp(a * b))
+      case ("max", _) => (lo, (a: Long, b: Long) => math.max(a, b))
+      case ("min", _) => (hi, (a: Long, b: Long) => math.min(a, b))
       case (op, t) => throw new IllegalArgumentException(s"no monoid $op/$t")
     }
   }
 
-  @transient private lazy val doubleMonoid: Monoid[Double] = opName match {
-    case "sum" => Monoid.sumDouble
-    case "product" => Monoid.productDouble
-    case "max" => Monoid.maxDouble // identity -Inf, as for f32/f64 in the reference
-    case "min" => Monoid.minDouble
-    case op => throw new IllegalArgumentException(s"no monoid $op")
-  }
+  @transient private lazy val (doubleIdentity, doubleCombine): (Double, (Double, Double) => Double) =
+    opName match {
+      case "sum" => (0.0, (a: Double, b: Double) => a + b)
+      case "product" => (1.0, (a: Double, b: Double) => a * b)
+      case "max" => (Double.NegativeInfinity, (a: Double, b: Double) => math.max(a, b))
+      case "min" => (Double.PositiveInfinity, (a: Double, b: Double) => math.min(a, b))
+      case op => throw new IllegalArgumentException(s"no monoid $op")
+    }
 
   override def createAggregationBuffer(): ArrayReduceBuffer =
     new ArrayReduceBuffer(null, null)
@@ -104,25 +101,25 @@ case class ArrayReduceAgg(
     val n = arr.numElements()
     if (integral) {
       if (buf.longs == null && n > 0)
-        buf.longs = Array.fill(n)(longMonoid.identity)
+        buf.longs = Array.fill(n)(longIdentity)
       if (buf.longs != null) {
         val m = math.min(n, buf.longs.length) // truncate longer arrays
         var j = 0
         while (j < m) {
           if (!arr.isNullAt(j)) // null element = identity (src/monoid.rs:371-373)
-            buf.longs(j) = longMonoid.combine(buf.longs(j), getLong(arr, j))
+            buf.longs(j) = longCombine(buf.longs(j), getLong(arr, j))
           j += 1
         }
       }
     } else {
       if (buf.values == null && n > 0)
-        buf.values = Array.fill(n)(doubleMonoid.identity)
+        buf.values = Array.fill(n)(doubleIdentity)
       if (buf.values != null) {
         val m = math.min(n, buf.values.length)
         var j = 0
         while (j < m) {
           if (!arr.isNullAt(j))
-            buf.values(j) = doubleMonoid.combine(buf.values(j), getDouble(arr, j))
+            buf.values(j) = doubleCombine(buf.values(j), getDouble(arr, j))
           j += 1
         }
       }
@@ -150,14 +147,14 @@ case class ArrayReduceAgg(
       else if (b.longs != null) {
         val m = math.min(a.longs.length, b.longs.length)
         var j = 0
-        while (j < m) { a.longs(j) = longMonoid.combine(a.longs(j), b.longs(j)); j += 1 }
+        while (j < m) { a.longs(j) = longCombine(a.longs(j), b.longs(j)); j += 1 }
       }
     } else {
       if (a.values == null) a.values = b.values
       else if (b.values != null) {
         val m = math.min(a.values.length, b.values.length)
         var j = 0
-        while (j < m) { a.values(j) = doubleMonoid.combine(a.values(j), b.values(j)); j += 1 }
+        while (j < m) { a.values(j) = doubleCombine(a.values(j), b.values(j)); j += 1 }
       }
     }
     a

@@ -47,14 +47,14 @@ object Monoid {
     else if (v < Int.MinValue) Int.MinValue
     else v.toInt
 
-  @inline private def satAddLong(a: Long, b: Long): Long =
+  @inline private[functions] def satAddLong(a: Long, b: Long): Long =
     try Math.addExact(a, b)
     catch {
       case _: ArithmeticException =>
         if (a > 0) Long.MaxValue else Long.MinValue
     }
 
-  @inline private def satMulLong(a: Long, b: Long): Long =
+  @inline private[functions] def satMulLong(a: Long, b: Long): Long =
     try Math.multiplyExact(a, b)
     catch {
       case _: ArithmeticException =>

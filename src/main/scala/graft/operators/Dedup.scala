@@ -123,17 +123,21 @@ object Dedup {
     verifyJaccard(candidates, shingled, threshold)
   }
 
-  /** Exact Jaccard over distinct shingle sets for given candidate pairs. */
-  private def verifyJaccard(pairs: DataFrame, shingled: DataFrame,
-      threshold: Double): DataFrame = {
-    val sa = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-    val sb = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
-    pairs.join(sa, "id_a").join(sb, "id_b")
+  /** Append exact-Jaccard over (sh_a, sh_b) and keep pairs >= threshold. */
+  private def jaccardFilter(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Exact Jaccard over distinct shingle sets for given candidate pairs. */
+  private def verifyJaccard(pairs: DataFrame, shingled: DataFrame,
+      threshold: Double): DataFrame = {
+    val sa = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val sb = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    jaccardFilter(pairs.join(sa, "id_a").join(sb, "id_b"), threshold)
   }
 
   /** Exact word-ngram Jaccard for all pairs within `idWindow` of each other
@@ -162,13 +166,10 @@ object Dedup {
       explode(array(blk, blk + 1)).as("blk"))
     val b = nonEmpty.select(col("id").as("id_b"), col("sh").as("sh_b"),
       blk.as("blk"))
-    a.join(b, Seq("blk"))
-      .where(col("id_a") < col("id_b") && col("id_b") - col("id_a") <= idWindow)
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    jaccardFilter(
+      a.join(b, Seq("blk"))
+        .where(col("id_a") < col("id_b") && col("id_b") - col("id_a") <= idWindow),
+      threshold)
   }
 
   /** SimHash near-dup pairs: 64-bit simhash per doc (custom codegen'd

@@ -87,21 +87,20 @@ object TextAnalysis {
     * generator — no shuffle, scales linearly.
     */
   def chunk(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
-      size: Int, stride: Int): org.apache.spark.sql.DataFrame = {
-    require(stride > 0 && size >= stride, "need 0 < stride <= size")
+      window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(stride > 0 && window >= stride, "need 0 < stride <= window")
     df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
-      .where(org.apache.spark.sql.functions.size(col("toks")) > 0)
+      .where(size(col("toks")) > 0)
       .withColumn("n_chunks",
-        when(org.apache.spark.sql.functions.size(col("toks")) <= size, lit(1))
-          .otherwise(expr(s"(size(toks) - $size + $stride - 1) div $stride") + 1))
+        when(size(col("toks")) <= window, lit(1))
+          .otherwise(expr(s"(size(toks) - $window + $stride - 1) div $stride") + 1))
       .select(col("doc"),
         explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"),
         col("toks"))
       .select(col("doc"), col("chunk_id").cast("long").as("chunk_id"),
-        array_join(slice(col("toks"), col("chunk_id") * stride + 1, lit(size)), " ")
+        array_join(slice(col("toks"), col("chunk_id") * stride + 1, lit(window)), " ")
           .as("chunk_text"),
-        org.apache.spark.sql.functions
-          .size(slice(col("toks"), col("chunk_id") * stride + 1, lit(size)))
+        size(slice(col("toks"), col("chunk_id") * stride + 1, lit(window)))
           .cast("long").as("n_tokens"))
   }
 

@@ -80,15 +80,7 @@ object MonoidQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_array_sum_native" -> sumIntOracle,
-    "q_array_sum_int" ->
-      """SELECT l_orderkey, list(s ORDER BY pos) AS arr_sum FROM (
-        |  SELECT l_orderkey, pos, sum(v)::INTEGER AS s FROM (
-        |    SELECT l_orderkey,
-        |           unnest([l_linenumber, l_linenumber * 2, l_quantity::INTEGER]) AS v,
-        |           generate_subscripts([l_linenumber, l_linenumber * 2, l_quantity::INTEGER], 1) AS pos
-        |    FROM lineitem)
-        |  GROUP BY l_orderkey, pos)
-        |GROUP BY l_orderkey""".stripMargin,
+    "q_array_sum_int" -> sumIntOracle,
 
     "q_array_product_int" ->
       """SELECT l_orderkey, list(p ORDER BY pos) AS arr_prod FROM (

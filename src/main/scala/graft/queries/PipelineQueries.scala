@@ -18,8 +18,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object PipelineQueries {
 
   private def docs(s: SparkSession, d: String): DataFrame = {
-    Tables.load(s, d)
-    graft.functions.SimHash.register(s)
+    Tables.load(s, d) // registers views + all UDAF/expression families
     s.table("documents")
   }
 
@@ -47,7 +46,7 @@ object PipelineQueries {
 
     // --- sliding-window chunking for training pipelines (oracle-checked) ---
     "q_text_chunk" -> ((s, d) =>
-      TextAnalysis.chunk(docs(s, d), "doc_id", "text", size = 32, stride = 24)),
+      TextAnalysis.chunk(docs(s, d), "doc_id", "text", window = 32, stride = 24)),
 
     // --- tf-idf top terms per doc (oracle-checked; log rounded to 6dp) ---
     "q_text_tfidf" -> ((s, d) =>

@@ -31,6 +31,16 @@ object StreamQueries {
     "q_stream_session" -> ((s, d) =>
       EventStreams.sessionize(events(s, d), "30 minutes")),
 
+    // the custom flatMapGroupsWithState sessionizer, run in batch mode —
+    // deterministic, so it goes through the DuckDB gate like any operator
+    "q_stream_stateful_sessions" -> ((s, d) => {
+      import s.implicits._
+      val ds = events(s, d)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[EventStreams.Event]
+      EventStreams.statefulSessions(ds, gapMs = 30L * 60 * 1000).toDF()
+    }),
+
     // as-of join: each click annotated with the user's latest prior purchase
     "q_asof_join" -> ((s, d) => {
       val ev = events(s, d)
@@ -92,6 +102,21 @@ object StreamQueries {
         |SELECT user_id, min(ts) AS sess_start,
         |       max(ts) + INTERVAL 30 MINUTE AS sess_end,
         |       count(*) AS n_events, min(value) AS mn_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // gaps-and-islands on epoch-millisecond values: the Scala sessionizer
+    // compares java.sql.Timestamp.getTime (ms, floored from micros) with a
+    // STRICT > gap test, and session end = last event (no gap extension)
+    "q_stream_stateful_sessions" ->
+      """WITH t AS (SELECT user_id, epoch_ms(ts::TIMESTAMP) AS ms FROM events),
+        |m AS (SELECT user_id, ms,
+        |        CASE WHEN lag(ms) OVER w IS NULL
+        |               OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+        |      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ms
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms,
+        |       count(*)::INTEGER AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "q_asof_join" ->

@@ -57,7 +57,7 @@ class TextSpec extends SparkSpec {
   test("chunk: sliding windows with overlap, short-doc single chunk") {
     val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a b"))
       .toDF("doc_id", "text")
-    val got = graft.operators.TextAnalysis.chunk(df, "doc_id", "text", size = 4, stride = 3)
+    val got = graft.operators.TextAnalysis.chunk(df, "doc_id", "text", window = 4, stride = 3)
       .orderBy("doc", "chunk_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
     // 10 tokens, size 4, stride 3 → chunks at 0,3,6 cover to 10: (10-4+2)/3+1 = 3... tail at 9
