@@ -104,6 +104,20 @@ object PipelineQueries {
         queryId = 0L, k = 10)
     }),
 
+    // --- capstone: the full cleaning pipeline composed — quality filter →
+    // language filter → canonical-key dedup (keep lowest doc_id) ---
+    "q_pipeline_clean" -> ((s, d) => {
+      val scored = docs(s, d).select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        array_join(array_sort(array_distinct(split(lower(col("text")), " "))), " ")
+          .as("dup_key"))
+        .where(col("quality") >= 0.5 && col("lang") === "en")
+      scored.groupBy(col("dup_key"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("family_size"))
+        .select(col("keep_id"), col("family_size"))
+    }),
+
     // --- embedding near-dup pairs above cosine threshold (rows-only) ---
     "q_embed_neardup" -> ((s, d) => {
       Tables.load(s, d)
@@ -221,6 +235,23 @@ object PipelineQueries {
         |  ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 25
         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.5""".stripMargin,
+
+    "q_pipeline_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    (least(length(text)::DOUBLE / 500.0, 1.0) * 0.4)
+        |    + ((1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE / length(text)::DOUBLE END) * 4, 1.0)) * 0.3)
+        |    + (least((CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for'], x)))::DOUBLE / len(toks)::DOUBLE END) * 5, 1.0) * 0.3) AS quality,
+        |    array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ') AS dup_key
+        |  FROM t)
+        |SELECT min(doc_id) AS keep_id, count(*) AS family_size
+        |FROM scored WHERE quality >= 0.5 AND lang = 'en'
+        |GROUP BY dup_key""".stripMargin,
 
     "q_knn_brute" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

@@ -15,6 +15,7 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    configure(spark) // nanos timestamps need the session conf before the read
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
     // for; with nanosAsLong it arrives as Long ns-since-epoch → truncate to

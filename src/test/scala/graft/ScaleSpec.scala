@@ -36,6 +36,24 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 3L)))
   }
 
+  test("partitioned writes enable partition pruning on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    graft.sources.Tables.table(spark, sfDir, "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(s"$dir/events")
+
+    val pruned = spark.read.parquet(s"$dir/events")
+      .where(col("event_type") === "purchase")
+    pruned.count()
+    val plan = pruned.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"expected partition filters in scan, plan:\n$plan")
+
+    // pruning is also semantically right: same rows as the unpartitioned read
+    val expected = graft.sources.Tables.table(spark, sfDir, "events")
+      .where(col("event_type") === "purchase").count()
+    assert(pruned.count() == expected)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
