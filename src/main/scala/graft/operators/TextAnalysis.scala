@@ -30,6 +30,17 @@ object TextAnalysis {
       transform(sequence(lit(1), size(toks) - (n - 1)), i =>
         concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
 
+  /** Character n-grams (byte-level dedup robustness — catches
+    * token-boundary edits word shingles miss). Pass a plain column (or
+    * materialize any derived expression in its own projection first): the
+    * lambda references `text` once per character, so an inlined expression
+    * would be recomputed O(len) times (see Dedup.shingleTable).
+    */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 

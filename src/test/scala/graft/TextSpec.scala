@@ -26,6 +26,13 @@ class TextSpec extends SparkSpec {
     assert(one("a", TextAnalysis.wordNgrams(toks, 2)).asInstanceOf[Seq[String]].isEmpty)
   }
 
+  test("charNgrams: trigram window, short-text guard") {
+    assert(one("abcde", graft.operators.TextAnalysis.charNgrams(col("text"), 3))
+      .asInstanceOf[Seq[String]] == Seq("abc", "bcd", "cde"))
+    assert(one("ab", graft.operators.TextAnalysis.charNgrams(col("text"), 3))
+      .asInstanceOf[Seq[String]].isEmpty)
+  }
+
   test("subwordCount: BPE-ish pre-tokenization") {
     // "don't stop123" → don | ' | t | stop | 123 = 5
     assert(one("don't stop123", TextAnalysis.subwordCount(col("text"))) == 5)
