@@ -41,6 +41,18 @@ object StreamQueries {
       EventStreams.statefulSessions(ds, gapMs = 30L * 60 * 1000).toDF()
     }),
 
+    // the watermarked stream-stream interval join, run on the batch tables —
+    // an equi+range join (equi on user, range on event time)
+    "q_range_join" -> ((s, d) => {
+      val ev = events(s, d)
+      EventStreams.intervalJoin(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "purchase"),
+        watermark = "1 hour", lookback = "10 minutes")
+        .select(col("click_id"), col("user_id"), col("purchase_ts"),
+          col("purchase_value"))
+    }),
+
     // as-of join: each click annotated with the user's latest prior purchase
     "q_asof_join" -> ((s, d) => {
       val ev = events(s, d)
@@ -118,6 +130,16 @@ object StreamQueries {
         |SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms,
         |       count(*)::INTEGER AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q_range_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts::TIMESTAMP AS click_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts::TIMESTAMP AS purchase_ts, value AS purchase_value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, c.user_id, p.purchase_ts, p.purchase_value
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.purchase_ts <= c.click_ts
+        |  AND p.purchase_ts > c.click_ts - INTERVAL 10 MINUTE""".stripMargin,
 
     "q_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
