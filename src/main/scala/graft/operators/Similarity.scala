@@ -43,6 +43,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch exact top-k: many query vectors at once — the realistic
+    * retrieval shape (serve a query *set*, not one vector). `queries` is
+    * (qid, qvec); the whole set broadcasts, the corpus is scanned once, and
+    * a per-query window rank keeps k. Scales as one corpus pass per batch
+    * regardless of |queries| (until the broadcast limit, then bucket the
+    * query set).
+    */
+  def knnBatch(df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
+    val scored = df.join(broadcast(q))
+      .where(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        cosine(col(vecCol), col("qvec")).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Random-hyperplane LSH signature (Charikar 2002): bit k is the sign of
     * the dot product with a pseudo-random ±1 hyperplane derived from
     * xxhash64(dim, k) — deterministic, no stored model. Returns an

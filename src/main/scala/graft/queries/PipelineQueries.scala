@@ -90,6 +90,15 @@ object PipelineQueries {
         queryId = 0L, k = 10)
     }),
 
+    // --- batch retrieval: top-k for a query SET in one corpus pass ---
+    "q_knn_batch" -> ((s, d) => {
+      Tables.load(s, d)
+      val emb = s.table("embeddings")
+      Similarity.knnBatch(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("vec_id"), col("score"), col("rank"))
+    }),
+
     // --- similarity search: LSH ANN top-k (rows-only; recall in spec) ---
     "q_knn_lsh" -> ((s, d) => {
       Tables.load(s, d)
@@ -252,6 +261,21 @@ object PipelineQueries {
         |SELECT min(doc_id) AS keep_id, count(*) AS family_size
         |FROM scored WHERE quality >= 0.5 AND lang = 'en'
         |GROUP BY dup_key""".stripMargin,
+
+    "q_knn_batch" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |         list_dot_product(e.embedding::DOUBLE[], q.qv) /
+        |           (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |            sqrt(list_dot_product(q.qv, q.qv))) AS score
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+        |ranked AS (
+        |  SELECT qid, vec_id, score,
+        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin,
 
     "q_knn_brute" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

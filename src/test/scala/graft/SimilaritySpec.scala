@@ -63,6 +63,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall@10 = $recall")
   }
 
+  test("knnBatch: per-query ranks agree with single-query knnBrute") {
+    val queries = emb.where(col("vec_id") < 3)
+    val batch = Similarity.knnBatch(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq
+      }
+    for (q <- 0L to 2L) {
+      val single = Similarity.knnBrute(emb, "vec_id", "embedding", q, 5)
+        .collect().map(_.getLong(0)).toSeq
+      assert(batch(q) == single, s"query $q")
+    }
+  }
+
   test("ivfAssign: every vector gets exactly one centroid") {
     val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", 50L)
     assert(assigned.count() == emb.count())
