@@ -88,7 +88,52 @@ object SimHash {
   def simhash64(tokens: Column): Column =
     GraftShim.column(SimHash(GraftShim.expression(tokens)))
 
-  /** Register `simhash64` for SQL use in this session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register `simhash64` + `rolling_hash64` for SQL use in this session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     GraftShim.registerFunction(spark, "simhash64", exprs => SimHash(exprs.head))
+    GraftShim.registerFunction(spark, "rolling_hash64", exprs => RollingHash(exprs.head))
+  }
+}
+
+object RollingHashUtil {
+  /** Polynomial (Rabin-Karp) rolling hash of a token sequence in wrapping
+    * 64-bit arithmetic: `h = Σ hash64(tok_i) · B^(n-1-i)`. Order-SENSITIVE —
+    * unlike set-based fingerprints, reordered documents hash differently —
+    * and incrementally updatable (`h' = h·B + hash64(tok)`), the property
+    * content-defined chunking and streaming fingerprinters rely on.
+    */
+  val B = 0x100000001b3L // FNV prime as the polynomial base
+
+  def rollingHash64(arr: ArrayData): Long = {
+    var h = 0L
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      h = h * B + (if (arr.isNullAt(i)) 0L else SimHashUtil.hash64(arr.getUTF8String(i)))
+      i += 1
+    }
+    h
+  }
+}
+
+/** Catalyst expression: `rolling_hash64(array<string>) -> long` (codegen'd
+  * static call, same tier as [[SimHash]]).
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash64"
+
+  override def nullSafeEval(v: Any): Any =
+    RollingHashUtil.rollingHash64(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHashUtil.rollingHash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  def rollingHash64(tokens: Column): Column =
+    GraftShim.column(RollingHash(GraftShim.expression(tokens)))
 }

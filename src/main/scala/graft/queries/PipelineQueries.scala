@@ -39,6 +39,14 @@ object PipelineQueries {
       col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    // --- rolling-hash fingerprint (order-sensitive Rabin-Karp over tokens;
+    // custom codegen expression — rows-only, no 64-bit wrapping-arithmetic
+    // equivalent in the oracle engine) ---
+    "q_text_rolling_fp" -> ((s, d) => docs(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        graft.functions.RollingHash.rollingHash64(col("toks")).as("fp64"))),
+
     // --- language ID heuristic + confusion counts vs the labeled column ---
     "q_text_langid" -> ((s, d) => docs(s, d)
       .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))

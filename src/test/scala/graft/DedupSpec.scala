@@ -75,6 +75,24 @@ class DedupSpec extends SparkSpec {
         Array(UTF8String.fromString("a"), UTF8String.fromString("b")))))
   }
 
+  test("rolling_hash64: order-sensitive, incremental, deterministic") {
+    val df = Seq(
+      Seq("a", "b", "c"), Seq("a", "b", "c"), Seq("c", "b", "a"), Seq("a", "b"),
+    ).toDF("toks")
+    val vals = df.select(graft.functions.RollingHash.rollingHash64(col("toks")))
+      .collect().map(_.getLong(0))
+    assert(vals(0) == vals(1)) // deterministic
+    assert(vals(0) != vals(2)) // order-sensitive (simhash/word-set would collide)
+    // incremental property: h([a,b,c]) = h([a,b])*B + hash(c)
+    assert(vals(0) == vals(3) * graft.functions.RollingHashUtil.B +
+      graft.functions.SimHashUtil.hash64(
+        org.apache.spark.unsafe.types.UTF8String.fromString("c")))
+    // SQL registration
+    graft.functions.SimHash.register(spark)
+    assert(spark.sql("SELECT rolling_hash64(array('a','b','c')) AS h")
+      .collect()(0).getLong(0) == vals(0))
+  }
+
   test("jaccardPairs ngram guard: docs shorter than n produce no pairs") {
     val df = Seq((1L, "one"), (2L, "one"), (3L, "two words here")).toDF("doc_id", "text")
     val pairs = Dedup.jaccardPairs(df, "doc_id", "text", ngram = 2,
