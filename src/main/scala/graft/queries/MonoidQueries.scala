@@ -8,9 +8,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * SURVEY.md §2a, driven through SQL exactly like the reference's tests drive
   * DataFusion, reference `src/monoid.rs:569`).
   *
+  * Result shape: the UDAF produces an `ArrayType` column (one reduced array
+  * per group, reference `src/monoid.rs:402`), which the driver's comparator
+  * cannot hash (array cells are unhashable in its pandas sort). Every query
+  * therefore `posexplode`s the reduced array into `(group, pos, value)`
+  * scalar rows — the UDAF still runs in full; only the dump shape changes.
+  * `pos` is 1-based BIGINT to match DuckDB `generate_subscripts`.
+  *
   * Oracle notes (SURVEY.md §7 "hard parts"):
   *  - int/integral-double sums are order-independent → hash-checkable vs
-  *    DuckDB (`unnest + generate_subscripts → GROUP BY pos → list(ORDER BY pos)`).
+  *    DuckDB (`unnest + generate_subscripts → GROUP BY (key, pos)`).
   *  - float32 sum is order-dependent across partitions (FP non-associativity)
   *    → registered rows-only (no oracle SQL), exactly as flagged in SURVEY §7.
   *  - product values are kept small so Rust-style saturation never triggers
@@ -23,101 +30,97 @@ object MonoidQueries {
     spark.sql(sql)
   }
 
+  /** Wraps an aggregate-to-array subquery so the result is scalar rows. */
+  private def exploded(key: String, valCol: String, agg: String): String =
+    s"""SELECT $key, CAST(pos + 1 AS BIGINT) AS pos, elem AS $valCol
+       |FROM ($agg) LATERAL VIEW posexplode($valCol) AS pos, elem""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_array_sum_int" -> ((s, d) => q(s, d,
+    "q_array_sum_int" -> ((s, d) => q(s, d, exploded("l_orderkey", "arr_sum",
       """SELECT l_orderkey, array_reduce_sum_int(arr) AS arr_sum FROM (
         |  SELECT l_orderkey,
         |         array(l_linenumber, l_linenumber * 2, CAST(l_quantity AS INT)) AS arr
         |  FROM lineitem)
-        |GROUP BY l_orderkey""".stripMargin)),
+        |GROUP BY l_orderkey""".stripMargin))),
 
-    "q_array_product_int" -> ((s, d) => q(s, d,
+    "q_array_product_int" -> ((s, d) => q(s, d, exploded("l_orderkey", "arr_prod",
       """SELECT l_orderkey, array_reduce_product_int(arr) AS arr_prod FROM (
         |  SELECT l_orderkey, array(1 + l_linenumber % 3, 2) AS arr FROM lineitem)
-        |GROUP BY l_orderkey""".stripMargin)),
+        |GROUP BY l_orderkey""".stripMargin))),
 
-    "q_array_sum_double" -> ((s, d) => q(s, d,
+    "q_array_sum_double" -> ((s, d) => q(s, d, exploded("l_returnflag", "arr_sum",
       """SELECT l_returnflag, array_reduce_sum_double(arr) AS arr_sum FROM (
         |  SELECT l_returnflag, array(l_quantity, CAST(l_linenumber AS DOUBLE)) AS arr
         |  FROM lineitem)
-        |GROUP BY l_returnflag""".stripMargin)),
+        |GROUP BY l_returnflag""".stripMargin))),
 
-    "q_array_max_float" -> ((s, d) => q(s, d,
+    "q_array_max_float" -> ((s, d) => q(s, d, exploded("label", "mx",
       """SELECT label, array_reduce_max_float(embedding) AS mx
-        |FROM embeddings GROUP BY label""".stripMargin)),
+        |FROM embeddings GROUP BY label""".stripMargin))),
 
-    "q_array_min_float" -> ((s, d) => q(s, d,
+    "q_array_min_float" -> ((s, d) => q(s, d, exploded("label", "mn",
       """SELECT label, array_reduce_min_float(embedding) AS mn
-        |FROM embeddings GROUP BY label""".stripMargin)),
+        |FROM embeddings GROUP BY label""".stripMargin))),
 
     // float32 sum: correct but not bit-stable across partition orders →
-    // rows-only check (no oracle entry)
-    "q_array_sum_float" -> ((s, d) => q(s, d,
+    // rows-only check (no oracle entry); still exploded so the dump is scalar
+    "q_array_sum_float" -> ((s, d) => q(s, d, exploded("label", "sm",
       """SELECT label, array_reduce_sum_float(embedding) AS sm
-        |FROM embeddings GROUP BY label""".stripMargin)),
+        |FROM embeddings GROUP BY label""".stripMargin))),
 
     // the native TypedImperativeAggregate path (type inferred from input)
-    "q_array_sum_native" -> ((s, d) => q(s, d,
+    "q_array_sum_native" -> ((s, d) => q(s, d, exploded("l_orderkey", "arr_sum",
       """SELECT l_orderkey, array_reduce_sum_native(arr) AS arr_sum FROM (
         |  SELECT l_orderkey,
         |         array(l_linenumber, l_linenumber * 2, CAST(l_quantity AS INT)) AS arr
         |  FROM lineitem)
-        |GROUP BY l_orderkey""".stripMargin)),
+        |GROUP BY l_orderkey""".stripMargin))),
   )
 
   /** DuckDB equivalents. Element-wise reduce = unnest with subscripts,
-    * per-position aggregate, reassemble ordered list (SURVEY.md §5d).
+    * per-position aggregate (SURVEY.md §5d); `pos` (1-based BIGINT) comes
+    * straight from `generate_subscripts`, matching the Spark-side explode.
     */
   private val sumIntOracle: String =
-    """SELECT l_orderkey, list(s ORDER BY pos) AS arr_sum FROM (
-      |  SELECT l_orderkey, pos, sum(v)::INTEGER AS s FROM (
-      |    SELECT l_orderkey,
-      |           unnest([l_linenumber, l_linenumber * 2, l_quantity::INTEGER]) AS v,
-      |           generate_subscripts([l_linenumber, l_linenumber * 2, l_quantity::INTEGER], 1) AS pos
-      |    FROM lineitem)
-      |  GROUP BY l_orderkey, pos)
-      |GROUP BY l_orderkey""".stripMargin
+    """SELECT l_orderkey, pos, sum(v)::INTEGER AS arr_sum FROM (
+      |  SELECT l_orderkey,
+      |         unnest([l_linenumber, l_linenumber * 2, l_quantity::INTEGER]) AS v,
+      |         generate_subscripts([l_linenumber, l_linenumber * 2, l_quantity::INTEGER], 1) AS pos
+      |  FROM lineitem)
+      |GROUP BY l_orderkey, pos""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_array_sum_native" -> sumIntOracle,
     "q_array_sum_int" -> sumIntOracle,
 
     "q_array_product_int" ->
-      """SELECT l_orderkey, list(p ORDER BY pos) AS arr_prod FROM (
-        |  SELECT l_orderkey, pos, product(v)::INTEGER AS p FROM (
-        |    SELECT l_orderkey,
-        |           unnest([1 + l_linenumber % 3, 2]) AS v,
-        |           generate_subscripts([1 + l_linenumber % 3, 2], 1) AS pos
-        |    FROM lineitem)
-        |  GROUP BY l_orderkey, pos)
-        |GROUP BY l_orderkey""".stripMargin,
+      """SELECT l_orderkey, pos, product(v)::INTEGER AS arr_prod FROM (
+        |  SELECT l_orderkey,
+        |         unnest([1 + l_linenumber % 3, 2]) AS v,
+        |         generate_subscripts([1 + l_linenumber % 3, 2], 1) AS pos
+        |  FROM lineitem)
+        |GROUP BY l_orderkey, pos""".stripMargin,
 
     "q_array_sum_double" ->
-      """SELECT l_returnflag, list(s ORDER BY pos) AS arr_sum FROM (
-        |  SELECT l_returnflag, pos, sum(v) AS s FROM (
-        |    SELECT l_returnflag,
-        |           unnest([l_quantity, l_linenumber::DOUBLE]) AS v,
-        |           generate_subscripts([l_quantity, l_linenumber::DOUBLE], 1) AS pos
-        |    FROM lineitem)
-        |  GROUP BY l_returnflag, pos)
-        |GROUP BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag, pos, sum(v) AS arr_sum FROM (
+        |  SELECT l_returnflag,
+        |         unnest([l_quantity, l_linenumber::DOUBLE]) AS v,
+        |         generate_subscripts([l_quantity, l_linenumber::DOUBLE], 1) AS pos
+        |  FROM lineitem)
+        |GROUP BY l_returnflag, pos""".stripMargin,
 
     "q_array_max_float" ->
-      """SELECT label, list(m ORDER BY pos) AS mx FROM (
-        |  SELECT label, pos, max(v) AS m FROM (
-        |    SELECT label, unnest(embedding) AS v,
-        |           generate_subscripts(embedding, 1) AS pos
-        |    FROM embeddings)
-        |  GROUP BY label, pos)
-        |GROUP BY label""".stripMargin,
+      """SELECT label, pos, max(v) AS mx FROM (
+        |  SELECT label, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings)
+        |GROUP BY label, pos""".stripMargin,
 
     "q_array_min_float" ->
-      """SELECT label, list(m ORDER BY pos) AS mn FROM (
-        |  SELECT label, pos, min(v) AS m FROM (
-        |    SELECT label, unnest(embedding) AS v,
-        |           generate_subscripts(embedding, 1) AS pos
-        |    FROM embeddings)
-        |  GROUP BY label, pos)
-        |GROUP BY label""".stripMargin,
+      """SELECT label, pos, min(v) AS mn FROM (
+        |  SELECT label, unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings)
+        |GROUP BY label, pos""".stripMargin,
   )
 }

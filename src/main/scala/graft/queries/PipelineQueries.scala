@@ -62,13 +62,16 @@ object PipelineQueries {
 
     // --- approximate sketches (HLL distinct, quantiles): rows-only —
     // implementation-specific estimates have no cross-engine oracle; error
-    // bounds vs exact values are asserted in SketchSpec ---
+    // bounds vs exact values are asserted in SketchSpec. Quantiles are
+    // emitted as two scalar columns (the driver's comparator can't hash
+    // array cells) ---
     "q_approx_sketches" -> ((s, d) => {
       Tables.load(s, d)
       s.sql(
         """SELECT l_returnflag,
           |       approx_count_distinct(l_partkey) AS approx_parts,
-          |       percentile_approx(l_quantity, array(0.5, 0.95), 10000) AS q_50_95
+          |       element_at(percentile_approx(l_quantity, array(0.5, 0.95), 10000), 1) AS q50,
+          |       element_at(percentile_approx(l_quantity, array(0.5, 0.95), 10000), 2) AS q95
           |FROM lineitem GROUP BY l_returnflag""".stripMargin)
     }),
 

@@ -31,6 +31,22 @@ def main(out_dir, sf_dir):
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     bad = 0
+    # The DRIVER's comparator cannot hash array cells (pandas sort_values on
+    # numpy.ndarray columns raises) — flag ANY dump with array columns, even
+    # rows-only ones, as driver-incompatible.
+    import glob as _glob, os as _os
+    for d in sorted(_glob.glob(f"{out_dir}/*/")):
+        name = _os.path.basename(d.rstrip("/"))
+        try:
+            df = con.execute(
+                f"SELECT * FROM read_parquet('{d}*.parquet') LIMIT 100").df()
+            arr_cols = [c for c in df.columns if df[c].apply(
+                lambda v: isinstance(v, (list, np.ndarray))).any()]
+            if arr_cols:
+                bad += 1
+                print(name, "DRIVER-INCOMPATIBLE array columns:", arr_cols)
+        except Exception:
+            pass
     for name, sql in sorted(oracle.items()):
         try:
             got = con.execute(
