@@ -18,6 +18,23 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (args.contains("explain")) df.explain("formatted")
+    if (args.contains("dump")) {
+      // single-query oracle iteration: same dump shape as Verify, under
+      // /tmp/scratch_out, so tools/verify_oracle.py can compare just this one
+      val out = "/tmp/scratch_out"
+      df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
+      val sql = SparkEntry.oracleSql.get(name)
+      sql.foreach { s =>
+        val esc = s.flatMap {
+          case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+          case '\r' => "\\r"; case '\t' => "\\t"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+        }
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$out/oracle_sql.json"),
+          s"""{"$name": "$esc"}""")
+      }
+    }
     val t0 = System.nanoTime()
     val n = df.count()
     println(s"[scratch] $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}")

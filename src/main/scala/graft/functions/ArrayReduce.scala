@@ -55,10 +55,11 @@ object ArrayReduce {
       family[Long]("long", sumLong, productLong, maxLong, minLong) ++
       family[Float]("float", sumFloat, productFloat, maxFloat, minFloat) ++
       family[Double]("double", sumDouble, productDouble, maxDouble, minDouble) ++
-      // unsigned emulation over signed carriers (u64 omitted, SURVEY.md §7)
+      // unsigned emulation over signed/decimal carriers — all of u8-u64
       family[Int]("u8", sumU8, productU8, maxU8, minU8) ++
       family[Int]("u16", sumU16, productU16, maxU16, minU16) ++
-      family[Long]("u32", sumU32, productU32, maxU32, minU32)
+      family[Long]("u32", sumU32, productU32, maxU32, minU32) ++
+      family[BigDecimal]("u64", sumU64, productU64, maxU64, minU64)
   }
 
   /** Idempotent session-wide registration of the whole family. */

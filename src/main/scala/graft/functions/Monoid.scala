@@ -96,8 +96,8 @@ object Monoid {
   // --- unsigned emulation (reference src/monoid.rs supports u8-u64; the
   // JVM has no unsigned primitives, so u8/u16 ride on Int and u32 on Long
   // with clamping to [0, maxU] — matching Rust's unsigned saturating_add/mul
-  // exactly. u64 would need Decimal/BigInt arithmetic off the primitive fast
-  // path and is the one documented omission (SURVEY.md §7). ---
+  // exactly. u64 rides on BigDecimal (→ Spark DecimalType) below — exact,
+  // off the primitive fast path, completing all 10 reference types. ---
   @inline private def clampU(max: Long)(v: Long): Long =
     if (v > max) max else if (v < 0L) 0L else v
   private def uIntInst(max: Long, id: Long, nm: String)(f: (Long, Long) => Long): Monoid[Int] =
@@ -115,6 +115,21 @@ object Monoid {
   val minU8: Monoid[Int] = uIntInst(255L, 255L, "min")(math.min) // identity u8::MAX
   val minU16: Monoid[Int] = uIntInst(65535L, 65535L, "min")(math.min)
   val minU32: Monoid[Long] = inst[Long](4294967295L, "min")(math.min)
+
+  // --- u64 on an exact BigDecimal carrier (Spark DecimalType(38,18):
+  // 20 integral digits ≥ the 20 digits of u64::MAX). Clamp to
+  // [0, 2^64-1] = Rust's unsigned saturating_add/mul. ---
+  val maxU64Value: BigDecimal = BigDecimal("18446744073709551615")
+  @inline private def clampU64(v: BigDecimal): BigDecimal =
+    if (v > maxU64Value) maxU64Value else if (v < 0) BigDecimal(0) else v
+  val sumU64: Monoid[BigDecimal] =
+    inst[BigDecimal](BigDecimal(0), "sum")((a, b) => clampU64(a + b))
+  val productU64: Monoid[BigDecimal] =
+    inst[BigDecimal](BigDecimal(1), "product")((a, b) => clampU64(a * b))
+  val maxU64: Monoid[BigDecimal] =
+    inst[BigDecimal](BigDecimal(0), "max")((a, b) => if (a >= b) a else b)
+  val minU64: Monoid[BigDecimal] =
+    inst[BigDecimal](maxU64Value, "min")((a, b) => if (a <= b) a else b)
 
   // --- min (reference src/monoid.rs:190-221; float identity +Inf) ---
   val minByte: Monoid[Byte] = inst[Byte](Byte.MaxValue, "min")((a, b) => if (a <= b) a else b)

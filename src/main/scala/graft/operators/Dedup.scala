@@ -206,4 +206,249 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  // ---------------------------------------------------------------------
+  // Portable (oracle-checkable) MinHash: every hash is md5-derived, so the
+  // *identical* pipeline replays in any SQL engine with md5() — the driver
+  // can hash-check candidate generation + verification end to end, not just
+  // recall-test it. Same scale design as [[minhashPairs]].
+  // ---------------------------------------------------------------------
+
+  /** Modulus for the portable hash family: 2^31-1 (Mersenne prime). Base
+    * hashes are reduced mod P *before* the affine step so `a*h+b < 2^62` —
+    * portable to engines where int64 overflow is an error, not a wrap.
+    */
+  val PortablePrime: Long = 2147483647L
+
+  /** Deterministic affine-family coefficients (a_j, b_j) from a fixed
+    * MINSTD generator, so the Spark pipeline and the generated oracle SQL
+    * share the exact same hash family.
+    */
+  def portableCoefficients(numHashes: Int): IndexedSeq[(Long, Long)] = {
+    var x = 1103515245L % PortablePrime
+    def next(): Long = { x = (x * 48271L) % PortablePrime; x }
+    (1 to numHashes).map(_ => (next(), next()))
+  }
+
+  /** md5-derived shingle-hash sets: (id, hs: array<long>) with
+    * hs = distinct (first 60 md5 bits mod P) of each word-ngram shingle.
+    */
+  private def portableShingleHashes(df: DataFrame, idCol: String,
+      textCol: String, ngram: Int): DataFrame =
+    shingleTable(df, idCol, textCol, ngram)
+      .select(col("id"), array_distinct(transform(col("sh"),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+          % PortablePrime)).as("hs"))
+
+  /** MinHash+LSH near-dup pairs, portable-hash variant of [[minhashPairs]]:
+    * shingle → md5 hash set → affine minhash signature → band equi-join
+    * (bucket key = the band's r signature values, joined as an array) →
+    * exact-Jaccard verification. Deterministic end to end; DuckDB replay
+    * comes from [[minhashOracleSql]] with the same constants.
+    */
+  def minhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 2, numHashes: Int = 16, bands: Int = 8,
+      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val cs = portableCoefficients(numHashes)
+    val hashed = portableShingleHashes(df, idCol, textCol, ngram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // signature via explode + hash-aggregate rather than per-row HOF folds:
+    // Spark's higher-order functions are CodegenFallback (interpreted), so
+    // numHashes array_min(transform(...)) passes are the slow path, while
+    // min() aggregates over the exploded hashes stay in whole-stage codegen
+    // with map-side partial aggregation (the shuffle carries numHashes longs
+    // per doc per partition — fine at any scale)
+    val minCols = cs.zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("h") + lit(b)) % PortablePrime).as(s"mh$j")
+    }
+    val sig = hashed
+      .select(col("id"), explode(col("hs")).as("h"))
+      .groupBy(col("id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(j => col(s"mh$j")): _*).as("sig"))
+
+    val banded = sig
+      .select(col("id"), posexplode(array((0 until bands).map(bd =>
+        slice(col("sig"), bd * r + 1, r)): _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+
+    val bucketed = banded
+      .withColumn("bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .where(col("bsize") <= maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val candidates = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    verifyJaccard(candidates,
+      hashed.select(col("id"), col("hs").as("shingles")), threshold)
+  }
+
+  /** Bit width of the portable SimHash (60 = the bits in 15 md5 hex chars). */
+  val PortableSimhashBits: Int = 60
+
+  /** SimHash near-dup pairs, portable-hash variant of [[simhashPairs]]:
+    * token hashes are the first 60 md5 bits, the per-bit ±1 vote is folded
+    * with `aggregate`/`zip_with` (codegen'd, one pass over the tokens), and
+    * blocking is 4 bands × 15 bits (pigeonhole guarantee for hamming ≤ 3).
+    * Deterministic and engine-portable → oracle via [[simhashOracleSql]].
+    * Docs with no tokens are dropped (a signature over zero tokens is
+    * meaningless, and it keeps the engines' group sets identical).
+    */
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming <= 3, "4-band blocking only guarantees recall for hamming <= 3")
+    val bits = PortableSimhashBits
+    val bandWidth = bits / 4
+    // explode + codegen'd hash-aggregate (±1 vote sum per bit) rather than a
+    // per-row HOF fold: higher-order functions are CodegenFallback, while 60
+    // sum() columns over the exploded tokens stay in whole-stage codegen
+    // with map-side partial aggregation. Docs with no tokens drop out of the
+    // explode — same group set as the oracle's unnest.
+    val tok = df
+      .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .select(col("id"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+    val voteCols = (0 until bits).map(b =>
+      sum(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+        .as(s"c$b"))
+    val sig = tok.groupBy(col("id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("id"),
+        (0 until bits).map(b =>
+          when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sh"))
+
+    val banded = sig.select(col("id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sh"), b * bandWidth)
+            .bitwiseAND(lit((1L << bandWidth) - 1)).as("key"))): _*)).as("bb"))
+      .select(col("id"), col("sh"), col("bb.band"), col("bb.key"))
+
+    val bucketed = banded
+      .withColumn("bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
+      .where(col("bsize") <= maxBucket)
+
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** DuckDB SQL replaying [[simhashPairsPortable]] value-for-value: same
+    * md5 token hashes, same ±1 votes (one `sum` per bit), same band keys,
+    * same hamming verify.
+    */
+  def simhashOracleSql(table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 3,
+      maxBucket: Int = 10000): String = {
+    val bits = PortableSimhashBits
+    val bandWidth = bits / 4
+    val cntExprs = (0 until bits).map(b =>
+      s"sum(((h >> $b) & 1) * 2 - 1) AS c$b").mkString(",\n    ")
+    val sigExpr = (0 until bits).map(b =>
+      s"(CASE WHEN c$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT id, sh, $b AS band, (sh >> ${b * bandWidth}) & ${(1L << bandWidth) - 1} AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT $idCol AS id,
+       |         CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(lower($textCol)), '\\s+') END AS toks
+       |  FROM $table),
+       |h AS (
+       |  SELECT id, ('0x' || substr(md5(unnest(toks)), 1, 15))::BIGINT AS h
+       |  FROM toks WHERE len(toks) >= 1),
+       |cnt AS (
+       |  SELECT id,
+       |    $cntExprs
+       |  FROM h GROUP BY id),
+       |sig AS (
+       |  SELECT id, $sigExpr AS sh FROM cnt),
+       |banded AS (
+       |  $bandSelects),
+       |bucketed AS (
+       |  SELECT id, sh, band, key FROM banded
+       |  QUALIFY count(*) OVER (PARTITION BY band, key) <= $maxBucket),
+       |pairs AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+       |  FROM pairs)
+       |WHERE hamming <= $maxHamming""".stripMargin
+  }
+
+  /** DuckDB SQL replaying [[minhashPairsPortable]] value-for-value (same
+    * md5 base hash, same coefficients, same banding, same exact-Jaccard
+    * verify). `ngram` is fixed at 2 — the word-bigram shingler is inlined.
+    */
+  def minhashOracleSql(table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text", numHashes: Int = 16, bands: Int = 8,
+      threshold: Double = 0.5, maxBucket: Int = 1000): String = {
+    val P = PortablePrime
+    val r = numHashes / bands
+    val sigExprs = portableCoefficients(numHashes).map { case (a, b) =>
+      s"list_aggregate(list_transform(hs, h -> ($a * h + $b) % $P), 'min')"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until bands).map { bd =>
+      val lo = bd * r + 1
+      s"SELECT id, $bd AS band, sig[$lo:${lo + r - 1}] AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT $idCol AS id,
+       |         CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(lower($textCol)), '\\s+') END AS toks
+       |  FROM $table),
+       |strsh AS (
+       |  SELECT id, list_distinct(list_transform(range(1, len(toks)),
+       |                i -> toks[i] || ' ' || toks[i + 1])) AS strsh
+       |  FROM toks WHERE len(toks) >= 2),
+       |hs AS (
+       |  SELECT id, list_distinct(list_transform(strsh,
+       |                s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $P)) AS hs
+       |  FROM strsh),
+       |sig AS (
+       |  SELECT id, [$sigExprs] AS sig FROM hs),
+       |banded AS (
+       |  $bandSelects),
+       |bucketed AS (
+       |  SELECT id, band, bucket FROM banded
+       |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= $maxBucket),
+       |pairs AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+       |j AS (
+       |  SELECT id_a, id_b,
+       |         len(list_intersect(ha.hs, hb.hs)) AS inter,
+       |         len(ha.hs) AS la, len(hb.hs) AS lb
+       |  FROM pairs
+       |  JOIN hs ha ON ha.id = pairs.id_a
+       |  JOIN hs hb ON hb.id = pairs.id_b)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT id_a, id_b,
+       |         inter::DOUBLE / (la + lb - inter)::DOUBLE AS jaccard FROM j)
+       |WHERE jaccard >= $threshold""".stripMargin
+  }
 }

@@ -173,4 +173,45 @@ object TextAnalysis {
       .when(best.getField("score") > 0, best.getField("code"))
       .otherwise(lit("und"))
   }
+
+  /** Multiplier for the portable rolling fingerprint. Kept under 2^31 so
+    * `acc * B + h < 2^62` (acc, h < [[graft.operators.Dedup.PortablePrime]])
+    * — no int64 overflow in any engine.
+    */
+  val PortableFpBase: Long = 1000003L
+
+  /** Order-sensitive Rabin–Karp fingerprint over a token array, portable
+    * variant of [[graft.functions.SimHash.rollingHash64]]: token hashes are
+    * md5-derived and the fold is mod 2^31-1, so any engine with md5()
+    * replays it exactly ([[rollingFpOracleSql]] is the DuckDB replay).
+    * Empty token array → 0.
+    */
+  def portableRollingFp(toks: Column): Column = {
+    val P = Dedup.PortablePrime
+    val hs = transform(toks,
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long") % P)
+    aggregate(hs, lit(0L), (acc, h) => (acc * PortableFpBase + h) % P)
+  }
+
+  /** DuckDB SQL replaying [[portableRollingFp]] over `documents`
+    * value-for-value (list_reduce needs a seeded first element, hence the
+    * prepended 0 — which also makes the empty-token case yield 0).
+    */
+  def rollingFpOracleSql(table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text"): String = {
+    val P = Dedup.PortablePrime
+    s"""WITH toks AS (
+       |  SELECT $idCol AS id,
+       |         CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(lower($textCol)), '\\s+') END AS toks
+       |  FROM $table),
+       |hs AS (
+       |  SELECT id, list_transform(toks,
+       |           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % $P) AS hs
+       |  FROM toks)
+       |SELECT id AS doc_id,
+       |       list_reduce([0::BIGINT] || hs,
+       |         (acc, h) -> (acc * $PortableFpBase + h) % $P) AS fp_mod
+       |FROM hs""".stripMargin
+  }
 }

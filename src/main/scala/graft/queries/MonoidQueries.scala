@@ -68,6 +68,16 @@ object MonoidQueries {
       """SELECT label, array_reduce_sum_float(embedding) AS sm
         |FROM embeddings GROUP BY label""".stripMargin))),
 
+    // u64 emulation on the DecimalType carrier (the 10th reference element
+    // type; reference src/monoid.rs:34-37) — exact unsigned-64 arithmetic
+    "q_array_sum_u64" -> ((s, d) => q(s, d, exploded("l_orderkey", "arr_sum",
+      """SELECT l_orderkey, array_reduce_sum_u64(arr) AS arr_sum FROM (
+        |  SELECT l_orderkey,
+        |         CAST(array(l_linenumber, l_linenumber * 2, CAST(l_quantity AS INT))
+        |              AS ARRAY<DECIMAL(38,18)>) AS arr
+        |  FROM lineitem)
+        |GROUP BY l_orderkey""".stripMargin))),
+
     // the native TypedImperativeAggregate path (type inferred from input)
     "q_array_sum_native" -> ((s, d) => q(s, d, exploded("l_orderkey", "arr_sum",
       """SELECT l_orderkey, array_reduce_sum_native(arr) AS arr_sum FROM (
@@ -92,6 +102,14 @@ object MonoidQueries {
   val oracleSql: Map[String, String] = Map(
     "q_array_sum_native" -> sumIntOracle,
     "q_array_sum_int" -> sumIntOracle,
+
+    "q_array_sum_u64" ->
+      """SELECT l_orderkey, pos, sum(v)::DECIMAL(38,18) AS arr_sum FROM (
+        |  SELECT l_orderkey,
+        |         unnest([l_linenumber, l_linenumber * 2, l_quantity::INTEGER]) AS v,
+        |         generate_subscripts([l_linenumber, l_linenumber * 2, l_quantity::INTEGER], 1) AS pos
+        |  FROM lineitem)
+        |GROUP BY l_orderkey, pos""".stripMargin,
 
     "q_array_product_int" ->
       """SELECT l_orderkey, pos, product(v)::INTEGER AS arr_prod FROM (

@@ -47,6 +47,14 @@ object PipelineQueries {
       .select(col("doc_id"),
         graft.functions.RollingHash.rollingHash64(col("toks")).as("fp64"))),
 
+    // --- portable rolling fingerprint (md5 token hashes, mod-prime fold):
+    // same Rabin-Karp structure as above but engine-portable, so it IS
+    // oracle-checked (TextAnalysis.rollingFpOracleSql) ---
+    "q_text_rolling_fp_mod" -> ((s, d) => docs(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TextAnalysis.portableRollingFp(col("toks")).as("fp_mod"))),
+
     // --- language ID heuristic + confusion counts vs the labeled column ---
     "q_text_langid" -> ((s, d) => docs(s, d)
       .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
@@ -90,8 +98,19 @@ object PipelineQueries {
       docs(s, d), "doc_id", "text", ngram = 2,
       numHashes = 32, bands = 8, threshold = 0.7)),
 
+    // --- MinHash+LSH with md5-portable hashes: the SAME pipeline replayed
+    // in DuckDB (Dedup.minhashOracleSql shares the hash constants), so the
+    // full LSH candidate-generation + verification is hash-checked ---
+    "q_dedup_minhash_md5" -> ((s, d) => Dedup.minhashPairsPortable(
+      docs(s, d), "doc_id", "text")),
+
     // --- SimHash near-dup pairs (rows-only; custom Catalyst expression) ---
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(
+      docs(s, d), "doc_id", "text", maxHamming = 3)),
+
+    // --- SimHash with md5-portable 60-bit hashes: same band-blocked
+    // pipeline replayed in DuckDB (Dedup.simhashOracleSql) → hash-checked ---
+    "q_dedup_simhash_md5" -> ((s, d) => Dedup.simhashPairsPortable(
       docs(s, d), "doc_id", "text", maxHamming = 3)),
 
     // --- similarity search: exact brute-force top-k (oracle-checked) ---
@@ -147,6 +166,10 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_minhash_md5" -> Dedup.minhashOracleSql(),
+    "q_text_rolling_fp_mod" -> TextAnalysis.rollingFpOracleSql(),
+    "q_dedup_simhash_md5" -> Dedup.simhashOracleSql(),
+
     "q_text_stats" ->
       """WITH t AS (
         |  SELECT doc_id, lang, text,

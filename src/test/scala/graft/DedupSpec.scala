@@ -43,6 +43,41 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("minhashPairsPortable finds planted near-duplicates, precision 1") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 38).map(i => s"w$i").mkString(" ") + " zz1 zz2"
+    val far = (100 to 140).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairsPortable(df, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhashPairsPortable subset of exact jaccard (verified output)") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", ngram = 2,
+      idWindow = 1L << 40, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairsPortable(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // exact-verified candidates → precision 1
+    assert(lsh.nonEmpty)
+  }
+
+  test("simhashPairsPortable: token-identical docs paired, distinct docs not") {
+    // a 1-token edit flips ~6 of 60 bits in expectation (every zero-vote bit
+    // can flip), so hamming<=3 is not guaranteed for token *edits*; the
+    // deterministic contract is: identical token streams → hamming 0
+    // (whitespace/canonicalization-level duplicates), disjoint streams → far
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = "  " + (1 to 60).map(i => s"tok$i").mkString("   ") + " "
+    val far = (200 to 260).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairsPortable(df, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simhash64 expression: eval and codegen agree, deterministic") {
     val df = Seq(Seq("a", "b", "c"), Seq("a", "b", "c"), Seq("x", "y")).toDF("toks")
     val vals = df.select(SimHash.simhash64(col("toks")).as("h"))

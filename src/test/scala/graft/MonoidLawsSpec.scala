@@ -72,6 +72,23 @@ class MonoidLawsSpec extends AnyFunSuite {
   laws("maxFloat", Monoid.maxFloat, Gen.chooseNum(-1e30f, 1e30f))
   laws("minDouble", Monoid.minDouble, Gen.chooseNum(-1e300, 1e300))
 
+  // u64 on the BigDecimal carrier: lawful in non-saturating ranges, exact
+  laws("sumU64", Monoid.sumU64,
+    Gen.chooseNum(0L, 1000000L).map(BigDecimal(_)))
+  laws("maxU64 (full u64 range)", Monoid.maxU64,
+    Gen.chooseNum(0L, Long.MaxValue).map(v => BigDecimal(v) * 2))
+  laws("minU64 (full u64 range)", Monoid.minU64,
+    Gen.chooseNum(0L, Long.MaxValue).map(v => BigDecimal(v) * 2))
+
+  test("u64 saturation clamps exactly at [0, 2^64-1]") {
+    val max = Monoid.maxU64Value
+    assert(Monoid.sumU64.combine(max, BigDecimal(1)) == max)
+    assert(Monoid.sumU64.combine(max - 1, BigDecimal(1)) == max)
+    assert(Monoid.productU64.combine(max, BigDecimal(2)) == max)
+    assert(Monoid.minU64.identity == max) // identity = u64::MAX
+    assert(Monoid.maxU64.identity == BigDecimal(0)) // identity = u64::MIN
+  }
+
   test("saturation clamps exactly at the Rust bounds") {
     assert(Monoid.sumInt.combine(Int.MaxValue, 1) == Int.MaxValue)
     assert(Monoid.sumInt.combine(Int.MinValue, -1) == Int.MinValue)

@@ -85,4 +85,14 @@ class TextSpec extends SparkSpec {
     assert(one("你好世界", TextAnalysis.langId(col("text"))) == "zh")
     assert(one("zzz qqq xxx", TextAnalysis.langId(col("text"))) == "und")
   }
+
+  test("portableRollingFp: order-sensitive, deterministic, empty → 0") {
+    def fp(s: String): Long =
+      one(s, TextAnalysis.portableRollingFp(TextAnalysis.tokens(col("text"))))
+        .asInstanceOf[Long]
+    assert(fp("a b c") != fp("c b a")) // order matters (unlike a set hash)
+    assert(fp("a b c") == fp("a b c")) // deterministic
+    assert(fp("") == 0L)
+    assert(fp("a b c") >= 0L && fp("a b c") < 2147483647L) // in [0, P)
+  }
 }
