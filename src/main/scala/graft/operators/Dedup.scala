@@ -190,10 +190,13 @@ object Dedup {
           shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bb"))
       .select(col("id"), col("sh"), col("bb.band"), col("bb.key"))
 
+    // persisted: the self-join reads it twice (otherwise the simhash
+    // signature scan runs twice)
     val bucketed = banded
       .withColumn("bsize", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
       .where(col("bsize") <= maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     bucketed.as("a")
       .join(bucketed.as("b"),
@@ -336,10 +339,14 @@ object Dedup {
             .bitwiseAND(lit((1L << bandWidth) - 1)).as("key"))): _*)).as("bb"))
       .select(col("id"), col("sh"), col("bb.band"), col("bb.key"))
 
+    // persisted: the self-join reads it twice, and upstream is the full
+    // md5 + 60-column vote aggregate — without this the signature pipeline
+    // executes twice
     val bucketed = banded
       .withColumn("bsize", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
       .where(col("bsize") <= maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     bucketed.as("a")
       .join(bucketed.as("b"),

@@ -31,14 +31,22 @@ object Similarity {
 
   /** Exact top-k by cosine against the vector with id `queryId` (excluded
     * from results). Tie-broken by id for determinism.
+    *
+    * Norms are materialized once per side before the scoring join: `cosine`
+    * inlined per pair would re-fold `norm(a)`/`norm(b)` for every candidate
+    * (HOF folds are interpreted — 3 passes per pair instead of 1). The
+    * arithmetic `dot/(sqrt·sqrt)` is unchanged, so scores stay bit-identical
+    * to the one-shot [[cosine]].
     */
   def knnBrute(df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int): DataFrame = {
     val q = df.where(col(idCol) === queryId)
-      .select(col(vecCol).as("qvec"))
-    df.join(broadcast(q))
+      .select(col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm"))
+    df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+      .join(broadcast(q))
       .where(col(idCol) =!= queryId)
-      .select(col(idCol), cosine(col(vecCol), col("qvec")).as("score"))
+      .select(col(idCol),
+        (dot(col(vecCol), col("qvec")) / (col("nrm") * col("qnrm"))).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -52,11 +60,14 @@ object Similarity {
     */
   def knnBatch(df: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"))
-    val scored = df.join(broadcast(q))
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
+      norm(col(qvecCol)).as("qnrm"))
+    val scored = df
+      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+      .join(broadcast(q))
       .where(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol),
-        cosine(col(vecCol), col("qvec")).as("score"))
+        (dot(col(vecCol), col("qvec")) / (col("nrm") * col("qnrm"))).as("score"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -85,16 +96,19 @@ object Similarity {
   def knnLsh(df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, bits: Int = 12): DataFrame = {
     val bucketed = df.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("nrm"),
       hyperplaneBucket(col(vecCol), bits).as("bucket"))
     val q = bucketed.where(col(idCol) === queryId)
-      .select(col(vecCol).as("qvec"), col("bucket").as("qbucket"))
+      .select(col(vecCol).as("qvec"), col("nrm").as("qnrm"),
+        col("bucket").as("qbucket"))
     // multi-probe: query bucket + each single-bit flip
-    val probes = q.select(col("qvec"),
+    val probes = q.select(col("qvec"), col("qnrm"),
       explode(array(col("qbucket") +:
         (0 until bits).map(b => col("qbucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
     bucketed.join(broadcast(probes), "bucket")
       .where(col(idCol) =!= queryId)
-      .select(col(idCol), cosine(col(vecCol), col("qvec")).as("score"))
+      .select(col(idCol),
+        (dot(col(vecCol), col("qvec")) / (col("nrm") * col("qnrm"))).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -108,10 +122,13 @@ object Similarity {
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
       centroidEvery: Long): DataFrame = {
     val cents = df.where(col(idCol) % centroidEvery === 0)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
-    val scored = df.join(broadcast(cents))
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"),
+        norm(col(vecCol)).as("cnrm"))
+    val scored = df
+      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+      .join(broadcast(cents))
       .select(col(idCol), col("centroid_id"),
-        cosine(col(vecCol), col("cvec")).as("cscore"))
+        (dot(col(vecCol), col("cvec")) / (col("nrm") * col("cnrm"))).as("cscore"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("cscore").desc, col("centroid_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -125,18 +142,21 @@ object Similarity {
   def knnIvf(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
       k: Int, centroidEvery: Long = 50, nprobe: Int = 3): DataFrame = {
     val assigned = ivfAssign(df, idCol, vecCol, centroidEvery)
-    val q = df.where(col(idCol) === queryId).select(col(vecCol).as("qvec"))
+    val q = df.where(col(idCol) === queryId)
+      .select(col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm"))
     val cents = df.where(col(idCol) % centroidEvery === 0)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
     val probeCents = cents.join(broadcast(q))
       .select(col("centroid_id"), cosine(col("cvec"), col("qvec")).as("cs"))
       .orderBy(col("cs").desc, col("centroid_id")).limit(nprobe)
       .select("centroid_id")
-    df.join(assigned, idCol)
+    df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+      .join(assigned, idCol)
       .join(broadcast(probeCents), "centroid_id")
       .join(broadcast(q))
       .where(col(idCol) =!= queryId)
-      .select(col(idCol), cosine(col(vecCol), col("qvec")).as("score"))
+      .select(col(idCol),
+        (dot(col(vecCol), col("qvec")) / (col("nrm") * col("qnrm"))).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -147,14 +167,19 @@ object Similarity {
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 8, maxBucket: Int = 10000): DataFrame = {
+    // norms materialized per vector (not per pair — see knnBrute note) and
+    // the bucketed table persisted: the self-join consumes it twice, and the
+    // hyperplane signature (bits HOF folds per row) is the expensive part
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"),
       hyperplaneBucket(col(vecCol), bits).as("bucket"))
       .withColumn("bsize", count(lit(1)).over(Window.partitionBy(col("bucket"))))
       .where(col("bsize") <= maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.v"), col("b.v")).as("score"))
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("score"))
       .where(col("score") >= threshold)
   }
 }
