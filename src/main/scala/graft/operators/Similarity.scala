@@ -136,6 +136,91 @@ object Similarity {
       .select(col(idCol), col("centroid_id"))
   }
 
+  /** Nearest-centroid assignment against an explicit codebook
+    * (centroid_id, cvec): broadcast join + window argmax. The general form
+    * behind [[ivfAssign]].
+    */
+  def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col("centroid_id"), col("cvec"),
+      norm(col("cvec")).as("cnrm"))
+    val scored = df
+      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+      .join(broadcast(cents))
+      .select(col(idCol), col("centroid_id"),
+        (dot(col(vecCol), col("cvec")) / (col("nrm") * col("cnrm"))).as("cscore"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cscore").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(idCol), col("centroid_id"))
+  }
+
+  /** Lloyd k-means over an embedding column, entirely in DataFrame ops:
+    * assignment = broadcast join + window argmax; update = `posexplode` →
+    * per-(centroid, dim) mean → re-assembled in dim order. The k centroids
+    * (a model, not data) are collected to the driver between iterations and
+    * re-broadcast — the standard big-data k-means shape: the corpus is only
+    * ever scanned, never collected. Deterministic init: the `k` smallest
+    * ids. Returns (centroid_id, cvec as array<double>).
+    *
+    * Note: per-dim `avg` folds in partition order, so trained centroids can
+    * differ in final double bits across cluster layouts — fine for a
+    * codebook (assignment is re-ranked exactly), but keep trained-IVF
+    * queries out of the bit-exact correctness gate.
+    */
+  def ivfTrain(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    val vecsAsDouble = df.select(col(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centroids = vecsAsDouble.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long").as("centroid_id"), col("v").as("cvec"))
+    for (_ <- 1 to iters) {
+      val assigned = assignToCentroids(vecsAsDouble, idCol, "v", centroids)
+      val updated = vecsAsDouble.join(assigned, idCol)
+        .select(col("centroid_id"), posexplode(col("v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cvec"))
+      // collect the tiny (k × dim) model and rebuild a literal DataFrame so
+      // the lineage doesn't grow by one full corpus scan per iteration
+      val rows = updated.collect()
+      import spark.implicits._
+      centroids = rows.map(r => (r.getLong(0),
+        r.getSeq[Double](1))).toSeq.toDF("centroid_id", "cvec")
+    }
+    vecsAsDouble.unpersist()
+    centroids
+  }
+
+  /** IVF ANN top-k against a trained codebook ([[ivfTrain]]): probe the
+    * `nprobe` nearest centroids, exact cosine re-rank in their lists.
+    */
+  def knnIvfTrained(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, queryId: Long, k: Int, nprobe: Int = 3): DataFrame = {
+    val assigned = assignToCentroids(df, idCol, vecCol, centroids)
+    val q = df.where(col(idCol) === queryId)
+      .select(col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm"))
+    val cents = centroids.select(col("centroid_id"), col("cvec"))
+    val probeCents = cents.join(broadcast(q))
+      .select(col("centroid_id"), cosine(col("cvec"), col("qvec")).as("cs"))
+      .orderBy(col("cs").desc, col("centroid_id")).limit(nprobe)
+      .select("centroid_id")
+    df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+      .join(assigned, idCol)
+      .join(broadcast(probeCents), "centroid_id")
+      .join(broadcast(q))
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol),
+        (dot(col(vecCol), col("qvec")) / (col("nrm") * col("qnrm"))).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF ANN top-k: probe the `nprobe` centroids nearest to the query, exact
     * re-rank inside their inverted lists.
     */

@@ -59,6 +59,50 @@ object EventStreams {
     stream.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.toSeq)
 
+  /** Streaming duplicate suppression via MinHash band buckets: each incoming
+    * document expands to its LSH band buckets
+    * ([[graft.operators.Dedup.minhashPairsPortable]]'s banding, md5-portable
+    * hashes) and `dropDuplicatesWithinWatermark` on (band, bucket) keeps only
+    * the FIRST claim of each bucket. A document whose EVERY bucket was
+    * already claimed (signature-identical within the watermark — exact and
+    * near-exact duplicates) emits nothing and is dropped; a doc claiming at
+    * least one fresh bucket survives. Partial near-dups (J ≈ 0.9 at r = 2
+    * still differs in ~1-2 of 8 bands in expectation) survive — full
+    * near-dup *pair detection* needs the batch verify join; this operator is
+    * the bounded-state streaming filter in front of it. State is keyed by
+    * buckets and expired by the watermark, so it scales with distinct
+    * content inside the horizon, not stream length. Emits
+    * (doc_id, ts, band, bucket) claim rows; distinct surviving doc_ids are
+    * the pass-through set.
+    */
+  def streamingMinhashDedup(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermark: String, numHashes: Int = 16,
+      bands: Int = 8): DataFrame = {
+    val r = numHashes / bands
+    val cs = graft.operators.Dedup.portableCoefficients(numHashes)
+    val P = graft.operators.Dedup.PortablePrime
+    val toks = graft.operators.TextAnalysis.tokens(col(textCol))
+    val withSh = docs
+      .select(col(idCol).as("doc_id"), col(tsCol).as("ts"), toks.as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("ts"),
+        array_distinct(graft.operators.TextAnalysis.wordNgrams(col("toks"), 2)).as("sh"))
+      .select(col("doc_id"), col("ts"), transform(col("sh"),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % P).as("hs"))
+    // per-row signature (HOF fold: streaming sources can't take the
+    // explode+groupBy shortcut without an extra shuffled agg per microbatch)
+    val sig = withSh.select(col("doc_id"), col("ts"),
+      array(cs.map { case (a, b) =>
+        array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % P)) }: _*).as("sig"))
+    sig
+      .select(col("doc_id"), col("ts"), posexplode(array((0 until bands).map(bd =>
+        concat_ws(",", slice(col("sig"), bd * r + 1, r))): _*)))
+      .select(col("doc_id"), col("ts"), col("pos").as("band"),
+        col("col").as("bucket"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("band", "bucket"))
+  }
+
   /** Stream-stream interval join: clicks joined to the same user's purchases
     * that happened in (click_ts - lookback, click_ts]. Both sides carry
     * watermarks so the join state is bounded — the streaming analogue of
@@ -79,6 +123,31 @@ object EventStreams {
         col("purchase_ts") > col("click_ts") - expr(s"INTERVAL $lookback"))
       .drop("p_user")
   }
+
+  /** `foreachBatch` sink: append each micro-batch to parquet, keeping only
+    * keys never seen in prior batches (left-anti join against what's on
+    * disk) — upsert-style dedup for sinks Spark has no native merge for.
+    * The anti-join is per-batch against the sink's own compacted key set;
+    * at scale the sink table is partitioned and the join prunes to the
+    * touched partitions.
+    */
+  def dedupedParquetSink(stream: DataFrame, keyCol: String, outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val deduped = batch.dropDuplicates(keyCol)
+        val novel =
+          if (new java.io.File(outDir).exists())
+            deduped.join(sp.read.parquet(outDir).select(col(keyCol)).distinct(),
+              Seq(keyCol), "left_anti")
+          else deduped
+        novel.write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
 
   // --- custom stateful processing (flatMapGroupsWithState) ---
 

@@ -63,6 +63,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall@10 = $recall")
   }
 
+  test("ivfTrain + knnIvfTrained: k centroids, full-dim codebook, recall holds") {
+    val cents = Similarity.ivfTrain(planted, "vec_id", "embedding", k = 12,
+      iters = 2)
+    assert(cents.count() == 12)
+    val dim = planted.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .first().getInt(0)
+    assert(cents.select("cvec").collect()
+      .forall(_.getSeq[Double](0).length == dim))
+    val exact = Similarity.knnBrute(planted, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.knnIvfTrained(planted, "vec_id", "embedding",
+      cents, 0L, 10, nprobe = 3).collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"trained-IVF recall@10 = $recall")
+  }
+
   test("knnBatch: per-query ranks agree with single-query knnBrute") {
     val queries = emb.where(col("vec_id") < 3)
     val batch = Similarity.knnBatch(emb, "vec_id", "embedding",

@@ -123,4 +123,48 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("session_out").count() == 4)
     } finally q.stop()
   }
+
+  test("streamingMinhashDedup: signature-identical dup dropped, fresh docs pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val dup = "  " + (1 to 40).map(i => s"w$i").mkString("   ") // same tokens
+    val far = (100 to 140).map(i => s"w$i").mkString(" ")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val stream = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStreams.streamingMinhashDedup(
+      stream, "doc_id", "text", "ts", watermark = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mh_dedup_out").start()
+    try {
+      mem.addData((1L, ts(0), base))
+      q.processAllAvailable() // doc 1 claims all its band buckets first
+      mem.addData((2L, ts(1), dup), (3L, ts(2), far))
+      q.processAllAvailable()
+      val survivors = spark.table("mh_dedup_out").select("doc_id")
+        .distinct().collect().map(_.getLong(0)).sorted.toSeq
+      // doc 2 tokenizes identically to doc 1 → identical signature → every
+      // bucket already claimed → dropped; disjoint doc 3 claims fresh
+      // buckets and survives
+      assert(survivors == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("dedupedParquetSink: appended batches keep only never-seen keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_").toFile
+    val out = new java.io.File(dir, "data").getAbsolutePath
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val stream = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStreams.dedupedParquetSink(stream, "doc_id", out, ckpt)
+    try {
+      mem.addData((1L, ts(0), "a"), (2L, ts(1), "b"), (1L, ts(2), "a-dup"))
+      q.processAllAvailable()
+      mem.addData((2L, ts(3), "b-dup"), (3L, ts(4), "c"))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L)) // each key exactly once across batches
+    } finally q.stop()
+  }
 }
