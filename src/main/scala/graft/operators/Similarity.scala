@@ -246,6 +246,76 @@ object Similarity {
       .limit(k)
   }
 
+  /** ±1 hyperplane sign table derived from md5 (computed once on the JVM,
+    * inlined as literals on both engines) — the portable analogue of
+    * [[hyperplaneBucket]]'s xxhash planes.
+    */
+  def portablePlaneSigns(bits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(bits, dim) { (k, d) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${k}_$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if ((java.lang.Long.parseLong(hex.substring(0, 15), 16) & 1L) == 1L) 1.0
+      else -1.0
+    }
+
+  /** Embedding near-dup pairs, portable variant of [[nearDupPairs]]: the
+    * hyperplane signs are md5-derived literals, all arithmetic is sequential
+    * double folds (Spark `aggregate(zip_with(...))` ≡ DuckDB
+    * `list_dot_product` bit-for-bit), so the full bucket → pair → cosine
+    * pipeline replays in DuckDB ([[nearDupOracleSql]]). `dim` must match the
+    * embedding length (fixed-length vectors, FIXTURES.md).
+    */
+  def nearDupPairsPortable(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 6, dim: Int = 64,
+      maxBucket: Int = 10000): DataFrame = {
+    val signs = portablePlaneSigns(bits, dim)
+    val bucketExpr = (0 until bits).map { k =>
+      val signed = aggregate(
+        zip_with(col(vecCol), typedLit(signs(k).toSeq),
+          (x, sgn) => x.cast("double") * sgn),
+        lit(0.0), (acc, v) => acc + v)
+      when(signed > 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"), bucketExpr.as("bucket"))
+      .withColumn("bsize", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .where(col("bsize") <= maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("score"))
+      .where(col("score") >= threshold)
+  }
+
+  /** DuckDB SQL replaying [[nearDupPairsPortable]] value-for-value over the
+    * `embeddings` table (same sign literals, same fold order, same cap).
+    */
+  def nearDupOracleSql(threshold: Double, bits: Int = 6, dim: Int = 64,
+      maxBucket: Int = 10000, table: String = "embeddings",
+      idCol: String = "vec_id", vecCol: String = "embedding"): String = {
+    val signs = portablePlaneSigns(bits, dim)
+    def lst(a: Array[Double]): String =
+      a.map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]::DOUBLE[]")
+    val bucketExpr = (0 until bits).map { k =>
+      s"(CASE WHEN list_dot_product(v, ${lst(signs(k))}) > 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH vecs AS (
+       |  SELECT $idCol AS id, $vecCol::DOUBLE[] AS v,
+       |         sqrt(list_dot_product($vecCol::DOUBLE[], $vecCol::DOUBLE[])) AS nrm
+       |  FROM $table),
+       |bucketed AS (
+       |  SELECT id, v, nrm, $bucketExpr AS bucket FROM vecs
+       |  QUALIFY count(*) OVER (PARTITION BY bucket) <= $maxBucket)
+       |SELECT id_a, id_b, score FROM (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS score
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.bucket = b.bucket AND a.id < b.id)
+       |WHERE score >= $threshold""".stripMargin
+  }
+
   /** Embedding near-duplicate pairs: LSH-bucketed candidate generation,
     * exact cosine verification at `threshold`. Same shape as
     * [[Dedup.minhashPairs]] but over vectors.

@@ -233,6 +233,54 @@ object HostQueries {
         |WHERE l_quantity < (SELECT avg(l_quantity) * 0.5
         |                    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
         |GROUP BY l_returnflag""".stripMargin),
+
+    // --- GROUPING SETS (beyond rollup/cube: explicit set list + grouping()) ---
+    same("q_host_grouping_sets",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |       CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin),
+
+    // --- window frames: RANGE/ROWS BETWEEN running + sliding aggregates ---
+    same("q_host_window_frames",
+      """SELECT o_orderkey,
+        |       CAST(sum(o_orderkey % 10 + 1) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderkey
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS sliding_n,
+        |       CAST(count(*) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n,
+        |       CAST(first_value(o_orderkey) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT) AS first_ok,
+        |       CAST(lag(o_orderkey, 1, -1) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT) AS prev_ok
+        |FROM orders""".stripMargin),
+
+    // --- conditional aggregation: FILTER clause + CASE-guarded counts ---
+    same("q_host_conditional_agg",
+      """SELECT l_returnflag,
+        |       count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |       count(*) FILTER (WHERE l_discount = 0) AS n_nodisc,
+        |       CAST(sum(CASE WHEN l_linenumber = 1 THEN l_quantity ELSE 0 END) AS DOUBLE)
+        |         AS qty_first_lines,
+        |       CAST(max(CASE WHEN l_tax > 0.05 THEN l_quantity END) AS DOUBLE) AS max_taxed_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+
+    // --- map construction + lookup (map_from_arrays / element access) ---
+    Q("q_host_map_funcs",
+      """SELECT n_nationkey,
+        |       element_at(map(n_name, n_regionkey), n_name) AS looked_up,
+        |       CAST(size(map(n_name, n_regionkey)) AS BIGINT) AS m_size
+        |FROM nation""".stripMargin,
+      Some(
+        // DuckDB map extraction yields a LIST of matches — take element 1
+        """SELECT n_nationkey,
+          |       list_extract(map_extract(map([n_name], [n_regionkey]), n_name), 1)
+          |         AS looked_up,
+          |       cardinality(map([n_name], [n_regionkey]))::BIGINT AS m_size
+          |FROM nation""".stripMargin)),
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -163,12 +163,22 @@ object PipelineQueries {
       Similarity.nearDupPairs(s.table("embeddings"), "vec_id", "embedding",
         threshold = 0.4, bits = 6)
     }),
+
+    // --- embedding near-dup with md5-derived hyperplanes: the full LSH +
+    // cosine-verify pipeline replayed in DuckDB (Similarity.nearDupOracleSql
+    // shares the sign literals) → hash-checked ---
+    "q_embed_neardup_md5" -> ((s, d) => {
+      Tables.load(s, d)
+      Similarity.nearDupPairsPortable(s.table("embeddings"), "vec_id",
+        "embedding", threshold = 0.4)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_minhash_md5" -> Dedup.minhashOracleSql(),
     "q_text_rolling_fp_mod" -> TextAnalysis.rollingFpOracleSql(),
     "q_dedup_simhash_md5" -> Dedup.simhashOracleSql(),
+    "q_embed_neardup_md5" -> Similarity.nearDupOracleSql(threshold = 0.4),
 
     "q_text_stats" ->
       """WITH t AS (
