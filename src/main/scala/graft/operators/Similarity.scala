@@ -270,15 +270,9 @@ object Similarity {
       threshold: Double, bits: Int = 6, dim: Int = 64,
       maxBucket: Int = 10000): DataFrame = {
     val signs = portablePlaneSigns(bits, dim)
-    val bucketExpr = (0 until bits).map { k =>
-      val signed = aggregate(
-        zip_with(col(vecCol), typedLit(signs(k).toSeq),
-          (x, sgn) => x.cast("double") * sgn),
-        lit(0.0), (acc, v) => acc + v)
-      when(signed > 0, lit(1L << k)).otherwise(lit(0L))
-    }.reduce(_ + _)
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("nrm"), bucketExpr.as("bucket"))
+      norm(col(vecCol)).as("nrm"),
+      portableBucketExpr(col(vecCol), signs).as("bucket"))
       .withColumn("bsize", count(lit(1)).over(Window.partitionBy(col("bucket"))))
       .where(col("bsize") <= maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -289,6 +283,73 @@ object Similarity {
       .where(col("score") >= threshold)
   }
 
+  /** Spark bucket expression over md5-derived plane signs (shared by the
+    * portable LSH operators).
+    */
+  private def portableBucketExpr(vec: Column, signs: Array[Array[Double]]): Column =
+    signs.indices.map { k =>
+      val signed = aggregate(
+        zip_with(vec, typedLit(signs(k).toSeq),
+          (x, sgn) => x.cast("double") * sgn),
+        lit(0.0), (acc, v) => acc + v)
+      when(signed > 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** DuckDB bucket expression over the same sign literals. */
+  private def portableBucketSql(vecExpr: String, signs: Array[Array[Double]]): String =
+    signs.indices.map { k =>
+      val lst = signs(k).map(v => if (v > 0) "1" else "-1")
+        .mkString("[", ",", "]::DOUBLE[]")
+      s"(CASE WHEN list_dot_product($vecExpr, $lst) > 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** ANN top-k with md5-portable hyperplanes, portable variant of [[knnLsh]]
+    * (same multi-probe: query bucket + all single-bit flips, exact cosine
+    * re-rank). Deterministic end to end → DuckDB replay via
+    * [[knnLshOracleSql]].
+    */
+  def knnLshPortable(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, bits: Int = 8, dim: Int = 64): DataFrame = {
+    val signs = portablePlaneSigns(bits, dim)
+    val bucketed = df.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("nrm"),
+      portableBucketExpr(col(vecCol), signs).as("bucket"))
+    val q = bucketed.where(col(idCol) === queryId)
+      .select(col(vecCol).as("qvec"), col("nrm").as("qnrm"),
+        col("bucket").as("qbucket"))
+    val probes = q.select(col("qvec"), col("qnrm"),
+      explode(array(col("qbucket") +:
+        (0 until bits).map(b => col("qbucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
+    bucketed.join(broadcast(probes), "bucket")
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol),
+        (dot(col(vecCol), col("qvec")) / (col("nrm") * col("qnrm"))).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB SQL replaying [[knnLshPortable]] value-for-value. */
+  def knnLshOracleSql(queryId: Long, k: Int, bits: Int = 8, dim: Int = 64,
+      table: String = "embeddings", idCol: String = "vec_id",
+      vecCol: String = "embedding"): String = {
+    val signs = portablePlaneSigns(bits, dim)
+    val probeList = ("q.qbucket" +:
+      (0 until bits).map(b => s"xor(q.qbucket, ${1L << b})")).mkString("[", ", ", "]")
+    s"""WITH vecs AS (
+       |  SELECT $idCol AS id, $vecCol::DOUBLE[] AS v,
+       |         sqrt(list_dot_product($vecCol::DOUBLE[], $vecCol::DOUBLE[])) AS nrm,
+       |         ${portableBucketSql(s"$vecCol::DOUBLE[]", signs)} AS bucket
+       |  FROM $table),
+       |q AS (SELECT v AS qvec, nrm AS qnrm, bucket AS qbucket FROM vecs
+       |      WHERE id = $queryId),
+       |probes AS (SELECT qvec, qnrm, unnest($probeList) AS bucket FROM q)
+       |SELECT id AS $idCol, score FROM (
+       |  SELECT a.id, list_dot_product(a.v, p.qvec) / (a.nrm * p.qnrm) AS score
+       |  FROM vecs a JOIN probes p USING (bucket)
+       |  WHERE a.id <> $queryId)
+       |ORDER BY score DESC, id LIMIT $k""".stripMargin
+  }
+
   /** DuckDB SQL replaying [[nearDupPairsPortable]] value-for-value over the
     * `embeddings` table (same sign literals, same fold order, same cap).
     */
@@ -296,17 +357,12 @@ object Similarity {
       maxBucket: Int = 10000, table: String = "embeddings",
       idCol: String = "vec_id", vecCol: String = "embedding"): String = {
     val signs = portablePlaneSigns(bits, dim)
-    def lst(a: Array[Double]): String =
-      a.map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]::DOUBLE[]")
-    val bucketExpr = (0 until bits).map { k =>
-      s"(CASE WHEN list_dot_product(v, ${lst(signs(k))}) > 0 THEN ${1L << k} ELSE 0 END)"
-    }.mkString(" + ")
     s"""WITH vecs AS (
        |  SELECT $idCol AS id, $vecCol::DOUBLE[] AS v,
        |         sqrt(list_dot_product($vecCol::DOUBLE[], $vecCol::DOUBLE[])) AS nrm
        |  FROM $table),
        |bucketed AS (
-       |  SELECT id, v, nrm, $bucketExpr AS bucket FROM vecs
+       |  SELECT id, v, nrm, ${portableBucketSql("v", signs)} AS bucket FROM vecs
        |  QUALIFY count(*) OVER (PARTITION BY bucket) <= $maxBucket)
        |SELECT id_a, id_b, score FROM (
        |  SELECT a.id AS id_a, b.id AS id_b,

@@ -69,14 +69,17 @@ object MonoidQueries {
         |FROM embeddings GROUP BY label""".stripMargin))),
 
     // u64 emulation on the DecimalType carrier (the 10th reference element
-    // type; reference src/monoid.rs:34-37) — exact unsigned-64 arithmetic
-    "q_array_sum_u64" -> ((s, d) => q(s, d, exploded("l_orderkey", "arr_sum",
-      """SELECT l_orderkey, array_reduce_sum_u64(arr) AS arr_sum FROM (
-        |  SELECT l_orderkey,
-        |         CAST(array(l_linenumber, l_linenumber * 2, CAST(l_quantity AS INT))
+    // type; reference src/monoid.rs:34-37) — exact unsigned-64 arithmetic.
+    // Runs over orders (not lineitem): the BigDecimal path is the exactness
+    // tier, deliberately off the primitive fast path; int/native variants
+    // cover throughput on the big table.
+    "q_array_sum_u64" -> ((s, d) => q(s, d, exploded("o_custkey", "arr_sum",
+      """SELECT o_custkey, array_reduce_sum_u64(arr) AS arr_sum FROM (
+        |  SELECT o_custkey,
+        |         CAST(array(o_orderkey % 97, o_orderkey % 31)
         |              AS ARRAY<DECIMAL(38,18)>) AS arr
-        |  FROM lineitem)
-        |GROUP BY l_orderkey""".stripMargin))),
+        |  FROM orders)
+        |GROUP BY o_custkey""".stripMargin))),
 
     // the native TypedImperativeAggregate path (type inferred from input)
     "q_array_sum_native" -> ((s, d) => q(s, d, exploded("l_orderkey", "arr_sum",
@@ -104,12 +107,12 @@ object MonoidQueries {
     "q_array_sum_int" -> sumIntOracle,
 
     "q_array_sum_u64" ->
-      """SELECT l_orderkey, pos, sum(v)::DECIMAL(38,18) AS arr_sum FROM (
-        |  SELECT l_orderkey,
-        |         unnest([l_linenumber, l_linenumber * 2, l_quantity::INTEGER]) AS v,
-        |         generate_subscripts([l_linenumber, l_linenumber * 2, l_quantity::INTEGER], 1) AS pos
-        |  FROM lineitem)
-        |GROUP BY l_orderkey, pos""".stripMargin,
+      """SELECT o_custkey, pos, sum(v)::DECIMAL(38,18) AS arr_sum FROM (
+        |  SELECT o_custkey,
+        |         unnest([o_orderkey % 97, o_orderkey % 31]) AS v,
+        |         generate_subscripts([o_orderkey % 97, o_orderkey % 31], 1) AS pos
+        |  FROM orders)
+        |GROUP BY o_custkey, pos""".stripMargin,
 
     "q_array_product_int" ->
       """SELECT l_orderkey, pos, product(v)::INTEGER AS arr_prod FROM (

@@ -136,6 +136,14 @@ object PipelineQueries {
         queryId = 0L, k = 10)
     }),
 
+    // --- LSH ANN with md5-portable hyperplanes: deterministic multi-probe
+    // pipeline replayed in DuckDB (Similarity.knnLshOracleSql) ---
+    "q_knn_lsh_md5" -> ((s, d) => {
+      Tables.load(s, d)
+      Similarity.knnLshPortable(s.table("embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)
+    }),
+
     // --- similarity search: IVF ANN top-k (rows-only; recall in spec) ---
     "q_knn_ivf" -> ((s, d) => {
       Tables.load(s, d)
@@ -179,6 +187,40 @@ object PipelineQueries {
     "q_text_rolling_fp_mod" -> TextAnalysis.rollingFpOracleSql(),
     "q_dedup_simhash_md5" -> Dedup.simhashOracleSql(),
     "q_embed_neardup_md5" -> Similarity.nearDupOracleSql(threshold = 0.4),
+    "q_knn_lsh_md5" -> Similarity.knnLshOracleSql(queryId = 0L, k = 10),
+
+    // q_knn_ivf is deterministic end to end (every-Nth-id centroids, double
+    // folds, unique tiebreakers) → full DuckDB replay: assignment argmax,
+    // probe selection, exact re-rank. Constants mirror the queries entry
+    // (queryId=0, k=10, centroidEvery=50, nprobe=3).
+    "q_knn_ivf" ->
+      """WITH vecs AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT id AS centroid_id, v AS cvec, nrm AS cnrm FROM vecs
+        |  WHERE id % 50 = 0),
+        |assigned AS (
+        |  SELECT id, centroid_id FROM (
+        |    SELECT a.id, c.centroid_id,
+        |           row_number() OVER (PARTITION BY a.id
+        |             ORDER BY list_dot_product(a.v, c.cvec) / (a.nrm * c.cnrm) DESC,
+        |                      c.centroid_id) AS rn
+        |    FROM vecs a CROSS JOIN cents c)
+        |  WHERE rn = 1),
+        |q AS (SELECT v AS qvec, nrm AS qnrm FROM vecs WHERE id = 0),
+        |probe AS (
+        |  SELECT centroid_id FROM cents, q
+        |  ORDER BY list_dot_product(cvec, qvec) / (cnrm * qnrm) DESC, centroid_id
+        |  LIMIT 3)
+        |SELECT id AS vec_id, score FROM (
+        |  SELECT a.id, list_dot_product(a.v, q.qvec) / (a.nrm * q.qnrm) AS score
+        |  FROM vecs a
+        |  JOIN assigned USING (id)
+        |  JOIN probe USING (centroid_id), q
+        |  WHERE a.id <> 0)
+        |ORDER BY score DESC, id LIMIT 10""".stripMargin,
 
     "q_text_stats" ->
       """WITH t AS (
