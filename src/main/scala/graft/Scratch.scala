@@ -9,9 +9,10 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SCRATCH_CPUS", "4")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -35,9 +36,15 @@ object Scratch {
           s"""{"$name": "$esc"}""")
       }
     }
-    val t0 = System.nanoTime()
-    val n = df.count()
-    println(s"[scratch] $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}")
+    val reps = if (args.contains("repeat")) 3 else 1
+    var n = 0L
+    (1 to reps).foreach { i =>
+      spark.catalog.clearCache() // fresh persist lifecycle per rep
+      val df2 = SparkEntry.queries(name)(spark, sfDir)
+      val t0 = System.nanoTime()
+      n = df2.count()
+      println(s"[scratch] $name rep=$i rows=$n sec=${(System.nanoTime() - t0) / 1e9}")
+    }
     spark.stop()
   }
 }

@@ -53,7 +53,9 @@ object Multimodal {
       */
     def resize(payload: Array[Byte], meta: ImageMeta, w: Int, h: Int): (Array[Byte], ImageMeta) = {
       val scale = (w.toLong * h) .toDouble / math.max(1, meta.width.toLong * meta.height)
-      val n = math.max(1, math.min(payload.length, (payload.length * scale).toInt))
+      // clamp order matters: empty payloads resize to 0 bytes (min binds
+      // last), non-empty ones to at least 1
+      val n = math.min(payload.length, math.max(1, (payload.length * scale).toInt))
       (payload.take(n), meta.copy(width = w, height = h))
     }
 
@@ -86,6 +88,27 @@ object Multimodal {
     val typed = df.select(col(idCol).cast("long").as("item_id"),
       col(binCol).as("payload")).as[BinaryItem]
     decodeItems(typed).toDF()
+  }
+
+  /** Decode + resize in one partition pass: (item_id, resized byte count,
+    * target dims, original dims) — the shape of a thumbnailing stage in a
+    * training-data pipeline (stub pixel math, real Spark plumbing).
+    */
+  def resize(df: DataFrame, idCol: String, binCol: String,
+      w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = df.select(col(idCol).cast("long").as("item_id"),
+      col(binCol).as("payload")).as[BinaryItem]
+    typed.mapPartitions { it =>
+      it.map { item =>
+        val m = StubCodec.decode(item.payload)
+        val (resized, m2) = StubCodec.resize(item.payload, m, w, h)
+        (item.item_id, resized.length.toLong, m2.width, m2.height,
+          m.width, m.height)
+      }
+    }.toDF("item_id", "n_bytes_resized", "width", "height",
+      "orig_width", "orig_height")
   }
 
   /** Frame sampling over a binary "video" column → (item_id, frame_offset)

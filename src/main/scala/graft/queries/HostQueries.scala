@@ -268,6 +268,62 @@ object HostQueries {
         |       CAST(max(CASE WHEN l_tax > 0.05 THEN l_quantity END) AS DOUBLE) AS max_taxed_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin),
 
+    // --- EXISTS / NOT EXISTS correlated subqueries ---
+    same("q_host_exists",
+      """SELECT c_mktsegment,
+        |       count(*) FILTER (WHERE EXISTS (
+        |         SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS with_orders,
+        |       count(*) FILTER (WHERE NOT EXISTS (
+        |         SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS without_orders
+        |FROM customer GROUP BY c_mktsegment""".stripMargin),
+
+    // --- array functions: construct, sort, slice, contains, position ---
+    Q("q_host_array_funcs",
+      """SELECT n_nationkey,
+        |       CAST(element_at(array_sort(array(n_regionkey, n_nationkey % 3,
+        |                                        n_nationkey % 7)), 1) AS INT) AS smallest,
+        |       CAST(size(slice(array(n_regionkey, n_nationkey % 3, n_nationkey % 7),
+        |                       1, 2)) AS BIGINT) AS sliced_n,
+        |       array_contains(array(n_regionkey, n_nationkey % 3), 2) AS has_two,
+        |       CAST(array_position(array_sort(array(n_regionkey, n_nationkey % 3,
+        |                                            n_nationkey % 7)),
+        |                           n_regionkey) AS BIGINT) AS pos_of_region
+        |FROM nation""".stripMargin,
+      Some(
+        // DuckDB: 1-based list funcs; list_position returns NULL-able int;
+        // list_sort ascending default matches array_sort
+        """SELECT n_nationkey,
+          |       list_sort([n_regionkey, n_nationkey % 3, n_nationkey % 7])[1]::INTEGER
+          |         AS smallest,
+          |       len([n_regionkey, n_nationkey % 3, n_nationkey % 7][1:2])::BIGINT
+          |         AS sliced_n,
+          |       list_contains([n_regionkey, n_nationkey % 3], 2) AS has_two,
+          |       coalesce(list_position(list_sort([n_regionkey, n_nationkey % 3,
+          |                                         n_nationkey % 7]),
+          |                              n_regionkey), 0)::BIGINT AS pos_of_region
+          |FROM nation""".stripMargin)),
+
+    // --- nested struct construction + field access ---
+    Q("q_host_struct_nested",
+      """SELECT s.info.region AS region, count(*) AS n,
+        |       CAST(min(s.info.key) AS INT) AS min_key
+        |FROM (
+        |  SELECT named_struct('info',
+        |           named_struct('region', n_regionkey, 'key', n_nationkey),
+        |         'name', n_name) AS s
+        |  FROM nation)
+        |GROUP BY s.info.region""".stripMargin,
+      Some(
+        // DuckDB spells struct construction struct_pack(field := v)
+        """SELECT s.info.region AS region, count(*) AS n,
+          |       min(s.info.key)::INTEGER AS min_key
+          |FROM (
+          |  SELECT struct_pack(info := struct_pack(region := n_regionkey,
+          |                                         key := n_nationkey),
+          |                     name := n_name) AS s
+          |  FROM nation)
+          |GROUP BY s.info.region""".stripMargin)),
+
     // --- map construction + lookup (map_from_arrays / element access) ---
     Q("q_host_map_funcs",
       """SELECT n_nationkey,

@@ -80,6 +80,13 @@ object StreamQueries {
       Multimodal.sampleFrames(docsBin, "doc_id", "payload", stride = 64)
         .groupBy("item_id").agg(count(lit(1)).as("n_frames"))
     }),
+
+    "q_multimodal_resize" -> ((s, d) => {
+      Tables.load(s, d)
+      val docsBin = s.table("documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.resize(docsBin, "doc_id", "payload", w = 32, h = 32)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -169,5 +176,21 @@ object StreamQueries {
       """SELECT doc_id AS item_id,
         |       ((length(text) + 63) // 64)::BIGINT AS n_frames
         |FROM documents WHERE length(text) > 0""".stripMargin,
+
+    // stub-resize math replayed: scale = 1024/(w*h) in double, resized byte
+    // count = min(len, max(1, trunc(len*scale))) — empty payloads stay 0;
+    // all-ASCII corpus, so char positions == byte positions (same
+    // assumption as the other two)
+    "q_multimodal_resize" ->
+      """SELECT doc_id AS item_id,
+        |       least(length(text), greatest(1,
+        |         trunc(length(text) * (1024.0 /
+        |           greatest(1, (16 + ascii(substr(text, 1, 1)) % 128)::BIGINT
+        |                       * (16 + ascii(substr(text, 2, 1)) % 128))))::BIGINT
+        |       ))::BIGINT AS n_bytes_resized,
+        |       32 AS width, 32 AS height,
+        |       16 + ascii(substr(text, 1, 1)) % 128 AS orig_width,
+        |       16 + ascii(substr(text, 2, 1)) % 128 AS orig_height
+        |FROM documents""".stripMargin,
   )
 }
