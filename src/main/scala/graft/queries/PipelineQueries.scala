@@ -98,6 +98,11 @@ object PipelineQueries {
       docs(s, d), "doc_id", "text", ngram = 2,
       numHashes = 32, bands = 8, threshold = 0.7)),
 
+    // --- exact char-5-gram Jaccard (byte-level dedup robustness; string
+    // shingles end to end so the oracle replays without hashing) ---
+    "q_dedup_jaccard_char" -> ((s, d) => Dedup.jaccardPairsChar(
+      docs(s, d), "doc_id", "text")),
+
     // --- MinHash+LSH with md5-portable hashes: the SAME pipeline replayed
     // in DuckDB (Dedup.minhashOracleSql shares the hash constants), so the
     // full LSH candidate-generation + verification is hash-checked ---
@@ -141,6 +146,14 @@ object PipelineQueries {
     "q_knn_lsh_md5" -> ((s, d) => {
       Tables.load(s, d)
       Similarity.knnLshPortable(s.table("embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)
+    }),
+
+    // --- int8-quantized exact top-k (4x smaller vectors; integer sums →
+    // deterministic, oracle-replayed) ---
+    "q_knn_quantized" -> ((s, d) => {
+      Tables.load(s, d)
+      Similarity.knnQuantized(s.table("embeddings"), "vec_id", "embedding",
         queryId = 0L, k = 10)
     }),
 
@@ -188,6 +201,8 @@ object PipelineQueries {
     "q_dedup_simhash_md5" -> Dedup.simhashOracleSql(),
     "q_embed_neardup_md5" -> Similarity.nearDupOracleSql(threshold = 0.4),
     "q_knn_lsh_md5" -> Similarity.knnLshOracleSql(queryId = 0L, k = 10),
+    "q_knn_quantized" -> Similarity.knnQuantizedOracleSql(queryId = 0L, k = 10),
+    "q_dedup_jaccard_char" -> Dedup.jaccardCharOracleSql(),
 
     // q_knn_ivf is deterministic end to end (every-Nth-id centroids, double
     // folds, unique tiebreakers) → full DuckDB replay: assignment argmax,

@@ -128,6 +128,18 @@ class DedupSpec extends SparkSpec {
       .collect()(0).getLong(0) == vals(0))
   }
 
+  test("jaccardPairsChar catches token-boundary edits word shingles miss") {
+    val base = (1 to 30).map(i => s"word$i").mkString(" ")
+    val glued = base.replaceFirst("word10 word11", "word10word11") // space removed
+    val df = Seq((1L, base), (2L, glued)).toDF("doc_id", "text")
+    // word-bigram jaccard drops sharply around the edit; char 5-grams keep
+    // most shingles intact
+    val charPairs = Dedup.jaccardPairsChar(df, "doc_id", "text",
+      n = 5, idWindow = 25L, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(charPairs.toSeq == Seq((1L, 2L)))
+  }
+
   test("jaccardPairs ngram guard: docs shorter than n produce no pairs") {
     val df = Seq((1L, "one"), (2L, "one"), (3L, "two words here")).toDF("doc_id", "text")
     val pairs = Dedup.jaccardPairs(df, "doc_id", "text", ngram = 2,

@@ -79,6 +79,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"trained-IVF recall@10 = $recall")
   }
 
+  test("knnQuantized: int8 ranking agrees closely with full-precision") {
+    val exact = Similarity.knnBrute(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val quant = Similarity.knnQuantized(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = (exact & quant).size
+    assert(overlap >= 7, s"int8 top-10 overlap with fp32 = $overlap/10")
+  }
+
+  test("quantizeInt8: values within [-127, 127], zero vector stays zero") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(0.5f, -1.0f, 0.25f)), (2L, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(q(1L) == Seq(64, -127, 32)) // round(0.5/ (1/127)) = 64 (half up)
+    assert(q(2L) == Seq(0, 0, 0))
+    assert(q.values.flatten.forall(v => v >= -127 && v <= 127))
+  }
+
   test("knnBatch: per-query ranks agree with single-query knnBrute") {
     val queries = emb.where(col("vec_id") < 3)
     val batch = Similarity.knnBatch(emb, "vec_id", "embedding",
