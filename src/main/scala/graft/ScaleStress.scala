@@ -54,6 +54,22 @@ object ScaleStress {
       Dedup.simhashPairs(d1, "doc_id", "text").count())
     time("simhash 10x")(
       Dedup.simhashPairs(d10, "doc_id", "text").count())
+    time("minhash-md5 1x")(
+      Dedup.minhashPairsPortable(d1, "doc_id", "text").count())
+    time("minhash-md5 10x")(
+      Dedup.minhashPairsPortable(d10, "doc_id", "text").count())
+    time("simhash-md5 1x")(
+      Dedup.simhashPairsPortable(d1, "doc_id", "text").count())
+    time("simhash-md5 10x")(
+      Dedup.simhashPairsPortable(d10, "doc_id", "text").count())
+    time("char-jaccard 1x")(
+      Dedup.jaccardPairsChar(d1, "doc_id", "text").count())
+    time("char-jaccard 10x")(
+      Dedup.jaccardPairsChar(d10, "doc_id", "text").count())
+    time("neardup-md5 1x")(
+      Similarity.nearDupPairsPortable(e1, "vec_id", "embedding", 0.4).count())
+    time("neardup-md5 10x")(
+      Similarity.nearDupPairsPortable(e10, "vec_id", "embedding", 0.4).count())
     spark.stop()
   }
 }

@@ -164,6 +164,20 @@ object PipelineQueries {
         queryId = 0L, k = 10)
     }),
 
+    // --- deterministic train/val/test split: md5(doc_id) mod 100 buckets
+    // (80/10/10) — content-stable assignment, the standard reproducible
+    // alternative to seeded random sampling; oracle replays the same hash ---
+    "q_pipeline_split" -> ((s, d) => docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 100L).as("bucket"))
+      .select(col("doc_id"), col("lang"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))),
+
     // --- capstone: the full cleaning pipeline composed — quality filter →
     // language filter → canonical-key dedup (keep lowest doc_id) ---
     "q_pipeline_clean" -> ((s, d) => {
@@ -203,6 +217,16 @@ object PipelineQueries {
     "q_knn_lsh_md5" -> Similarity.knnLshOracleSql(queryId = 0L, k = 10),
     "q_knn_quantized" -> Similarity.knnQuantizedOracleSql(queryId = 0L, k = 10),
     "q_dedup_jaccard_char" -> Dedup.jaccardCharOracleSql(),
+
+    "q_pipeline_split" ->
+      """SELECT lang, split, count(*) AS n, min(doc_id) AS min_id FROM (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN b < 80 THEN 'train'
+        |              WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, lang,
+        |               ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+        |        FROM documents))
+        |GROUP BY lang, split""".stripMargin,
 
     // q_knn_ivf is deterministic end to end (every-Nth-id centroids, double
     // folds, unique tiebreakers) → full DuckDB replay: assignment argmax,
