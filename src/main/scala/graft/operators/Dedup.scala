@@ -369,6 +369,70 @@ object Dedup {
       hashed.select(col("id"), col("hs").as("shingles")), threshold)
   }
 
+  /** Batch analogue of
+    * [[graft.streaming.EventStreams.streamingMinhashDedup]]'s claim
+    * semantics: per (band, bucket) the winning (minimum) doc id and the
+    * claim count — what the streaming dedup's state would contain after the
+    * whole corpus passed. Ties the streaming operator's semantics into the
+    * batch correctness gate via [[bandClaimsOracleSql]].
+    */
+  def minhashBandClaims(df: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 2, numHashes: Int = 16, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val cs = portableCoefficients(numHashes)
+    val minCols = cs.zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("h") + lit(b)) % PortablePrime).as(s"mh$j")
+    }
+    val sig = portableShingleHashes(df, idCol, textCol, ngram)
+      .select(col("id"), explode(col("hs")).as("h"))
+      .groupBy(col("id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(j => col(s"mh$j")): _*).as("sig"))
+    sig
+      .select(col("id"), posexplode(array((0 until bands).map(bd =>
+        concat_ws(",", transform(slice(col("sig"), bd * r + 1, r),
+          x => x.cast("string")))): _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket_key"))
+      .groupBy(col("band"), col("bucket_key"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_claims"))
+  }
+
+  /** DuckDB SQL replaying [[minhashBandClaims]] value-for-value. */
+  def bandClaimsOracleSql(table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text",
+      numHashes: Int = 16, bands: Int = 8): String = {
+    val P = PortablePrime
+    val r = numHashes / bands
+    val sigExprs = portableCoefficients(numHashes).map { case (a, b) =>
+      s"list_aggregate(list_transform(hs, h -> ($a * h + $b) % $P), 'min')"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until bands).map { bd =>
+      val lo = bd * r + 1
+      s"SELECT id, $bd AS band, array_to_string(sig[$lo:${lo + r - 1}], ',') AS bucket_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT $idCol AS id,
+       |         CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(lower($textCol)), '\\s+') END AS toks
+       |  FROM $table),
+       |strsh AS (
+       |  SELECT id, list_distinct(list_transform(range(1, len(toks)),
+       |                i -> toks[i] || ' ' || toks[i + 1])) AS strsh
+       |  FROM toks WHERE len(toks) >= 2),
+       |hs AS (
+       |  SELECT id, list_distinct(list_transform(strsh,
+       |                s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $P)) AS hs
+       |  FROM strsh),
+       |sig AS (
+       |  SELECT id, [$sigExprs] AS sig FROM hs),
+       |banded AS (
+       |  $bandSelects)
+       |SELECT band, bucket_key, min(id) AS keep_id, count(*) AS n_claims
+       |FROM banded GROUP BY band, bucket_key""".stripMargin
+  }
+
   /** Bit width of the portable SimHash (60 = the bits in 15 md5 hex chars). */
   val PortableSimhashBits: Int = 60
 

@@ -109,6 +109,11 @@ object PipelineQueries {
     "q_dedup_minhash_md5" -> ((s, d) => Dedup.minhashPairsPortable(
       docs(s, d), "doc_id", "text")),
 
+    // --- batch analogue of the streaming minhash-band dedup state: per
+    // band bucket the winning doc + claim count (oracle-checked) ---
+    "q_dedup_band_claims" -> ((s, d) => Dedup.minhashBandClaims(
+      docs(s, d), "doc_id", "text")),
+
     // --- SimHash near-dup pairs (rows-only; custom Catalyst expression) ---
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(
       docs(s, d), "doc_id", "text", maxHamming = 3)),
@@ -217,6 +222,8 @@ object PipelineQueries {
     "q_knn_lsh_md5" -> Similarity.knnLshOracleSql(queryId = 0L, k = 10),
     "q_knn_quantized" -> Similarity.knnQuantizedOracleSql(queryId = 0L, k = 10),
     "q_dedup_jaccard_char" -> Dedup.jaccardCharOracleSql(),
+
+    "q_dedup_band_claims" -> Dedup.bandClaimsOracleSql(),
 
     "q_pipeline_split" ->
       """SELECT lang, split, count(*) AS n, min(doc_id) AS min_id FROM (
