@@ -324,6 +324,52 @@ object HostQueries {
           |  FROM nation)
           |GROUP BY s.info.region""".stripMargin)),
 
+    // --- recursive CTE (Spark 4 WITH RECURSIVE): month spine over the
+    // orders date range, left-joined to per-month order counts ---
+    same("q_host_recursive_cte",
+      // the max bound rides along as a column: a subquery in the recursive
+      // member would rescan orders once per iteration (80 scans)
+      """WITH RECURSIVE months(m, mx) AS (
+        |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE),
+        |         CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE), mx FROM months WHERE m < mx)
+        |SELECT m, count(o_orderkey) AS n
+        |FROM months LEFT JOIN orders
+        |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        |GROUP BY m""".stripMargin),
+
+    // --- TPC-H Q3 shape: top revenue among unshipped orders (money sums
+    // through DECIMAL, unique tiebreaker on the key) ---
+    same("q_host_q3_shipping",
+      """SELECT l_orderkey,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       CAST(min(o_orderdate) AS DATE) AS o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < DATE '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+
+    // --- TPC-H Q5 shape: revenue where customer and supplier share the
+    // nation (join through region for the predicate chain) ---
+    same("q_host_q5_local_supplier",
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin),
+
     // --- map construction + lookup (map_from_arrays / element access) ---
     Q("q_host_map_funcs",
       """SELECT n_nationkey,
