@@ -67,4 +67,37 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(shuffles.size <= 1,
       s"corpus scan should not shuffle for a broadcast query vector: ${shuffles.size}")
   }
+
+  test("runtime bloom-filter join pruning injects on a selective join") {
+    // at 100 TB the fact-side scan of a selective join should be pre-filtered
+    // by a bloom filter built from the dim side (Spark 3.3+ runtime row
+    // filtering); size thresholds are lowered so the tiny test data triggers
+    // the same plan rewrite a production-sized input would
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // creation side must fit UNDER its threshold (raise it), application
+      // side must scan OVER its threshold (lower it) for injection
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1B",
+      // bloom injection targets shuffle joins; the tiny test tables would
+      // broadcast (at 100 TB both sides shuffle, which is the real case)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      graft.sources.Tables.load(spark, sfDir)
+      val df = spark.sql(
+        """SELECT l.l_orderkey, l.l_quantity
+          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |WHERE o.o_totalprice > 500000.0""".stripMargin)
+      val optimized = df.queryExecution.optimizedPlan.toString()
+      assert(optimized.contains("bloom_filter") ||
+        optimized.contains("BloomFilter"),
+        s"expected a runtime bloom filter on the fact side, plan:\n$optimized")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
