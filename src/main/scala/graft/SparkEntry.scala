@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.MonoidQueries.queries ++
       graft.queries.HostQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.StreamQueries.queries
+      graft.queries.StreamQueries.queries ++
+      graft.queries.ScaleQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     graft.queries.MonoidQueries.oracleSql ++
       graft.queries.HostQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
-      graft.queries.StreamQueries.oracleSql
+      graft.queries.StreamQueries.oracleSql ++
+      graft.queries.ScaleQueries.oracleSql
 }

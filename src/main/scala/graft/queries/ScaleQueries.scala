@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.operators.Scale
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Oracle-checked queries driving the skew/shuffle-management operators
+  * (graft.operators.Scale). The point of these oracles: a salted join and a
+  * skew-proof distinct are *rewrites* — their whole contract is producing
+  * exactly the plain operator's answer, which is precisely what the DuckDB
+  * hash-compare asserts (the oracle SQL is the UNrewritten form).
+  */
+object ScaleQueries {
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame = {
+    Tables.load(s, d)
+    s.table(name)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // salted equi-join == plain equi-join (aggregated so the dump is small)
+    "q_scale_salted_join" -> ((s, d) => {
+      val big = t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"),
+        col("l_returnflag"))
+      val small = t(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      Scale.saltedJoin(big, small, "l_orderkey", salts = 8)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("o_custkey")).as("sum_cust"))
+    }),
+
+    // skew-proof distinct == count(DISTINCT v)
+    "q_scale_distinct" -> ((s, d) => Scale.skewProofCountDistinct(
+      t(s, d, "lineitem"), col("l_returnflag"), col("l_partkey"))),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_scale_salted_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       sum(l_quantity) AS sum_qty,
+        |       sum(o_custkey)::BIGINT AS sum_cust
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q_scale_distinct" ->
+      """SELECT l_returnflag AS key, count(DISTINCT l_partkey) AS n_distinct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+  )
+}

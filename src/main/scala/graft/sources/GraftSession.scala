@@ -19,6 +19,10 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // runtime row-level filtering: selective dim-side predicates build a
+    // bloom filter applied to the fact-side scan of shuffle joins
+    // (PlanSpec asserts the injection fires)
+    .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     // deterministic timestamps for cross-engine comparisons
     .config("spark.sql.session.timeZone", "UTC")
     // the driver data's nanosecond timestamps (Tables.configure also sets
