@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.HostQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.StreamQueries.queries ++
-      graft.queries.ScaleQueries.queries
+      graft.queries.ScaleQueries.queries ++
+      graft.queries.SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.HostQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
       graft.queries.StreamQueries.oracleSql ++
-      graft.queries.ScaleQueries.oracleSql
+      graft.queries.ScaleQueries.oracleSql ++
+      graft.queries.SourceQueries.oracleSql
 }

@@ -370,6 +370,31 @@ object HostQueries {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin),
 
+    // --- ANSI-mode error-safe functions: try_divide / try_cast return NULL
+    // where strict ANSI evaluation would throw ---
+    Q("q_host_try_funcs",
+      """SELECT l_returnflag,
+        |       count(*) FILTER (WHERE try_divide(l_quantity, l_linenumber - 1) IS NULL)
+        |         AS n_div_null,
+        |       CAST(sum(try_divide(l_quantity, 2)) AS DOUBLE) AS half_qty,
+        |       count(try_cast(l_returnflag AS INT)) AS n_numeric_flags
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      Some(
+        """SELECT l_returnflag,
+          |       count(*) FILTER (WHERE l_linenumber = 1) AS n_div_null,
+          |       sum(l_quantity / 2) AS half_qty,
+          |       count(TRY_CAST(l_returnflag AS INT)) AS n_numeric_flags
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // --- ranking window functions: dense_rank / percent_rank / ntile ---
+    same("q_host_ranking",
+      """SELECT o_orderkey,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS dr,
+        |       percent_rank() OVER w AS pr,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin),
+
     // --- map construction + lookup (map_from_arrays / element access) ---
     Q("q_host_map_funcs",
       """SELECT n_nationkey,
