@@ -21,14 +21,17 @@ object Bench {
     // builds plan-identical persisted intermediates (shingle/bucket tables),
     // and Spark's cache-manager canonicalization shares one entry across
     // queries; clearing was measured 15-20% slower overall
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted order: hash-map iteration reshuffles whenever a query is added,
+    // which silently moves queries across the persist-accumulation/GC
+    // profile of the run and makes per-round numbers incomparable
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

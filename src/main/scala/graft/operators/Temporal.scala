@@ -48,4 +48,34 @@ object Temporal {
     filled.where(col("__side") === 1)
       .drop("__side")
   }
+
+  /** Forward as-of join: for every left row, attach `valueCols` from the
+    * EARLIEST right row with the same `by` keys and
+    * `right.timeCol >= left.timeCol` (next-event semantics — "the purchase
+    * that followed this click"); null when no later right row exists.
+    * Mirror of [[asofJoin]] with the fill window looking forward: left rows
+    * sort before right rows at equal timestamps so ties match inclusively.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, by: Seq[String],
+      timeCol: String, valueCols: Seq[String],
+      suffix: String = "_next"): DataFrame = {
+    val outCols = valueCols.map(_ + suffix)
+    outCols.foreach(c => require(!left.columns.contains(c),
+      s"left side already has a column named '$c' — pick a different suffix"))
+    val l = left.withColumn("__side", lit(0))
+    val r = right
+      .select((by.map(col) :+ col(timeCol)) ++
+        valueCols.map(c => col(c).as(c + suffix)): _*)
+      .withColumn("__side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(by.map(col): _*)
+      .orderBy(col(timeCol), col("__side"), struct(outCols.map(col): _*))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val filled = outCols.foldLeft(u) { (df, c) =>
+      df.withColumn(c, first(col(c), ignoreNulls = true).over(w))
+    }
+    filled.where(col("__side") === 0)
+      .drop("__side")
+  }
 }

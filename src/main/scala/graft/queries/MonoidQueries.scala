@@ -70,16 +70,17 @@ object MonoidQueries {
 
     // u64 emulation on the DecimalType carrier (the 10th reference element
     // type; reference src/monoid.rs:34-37) — exact unsigned-64 arithmetic.
-    // Runs over orders (not lineitem): the BigDecimal path is the exactness
-    // tier, deliberately off the primitive fast path; int/native variants
-    // cover throughput on the big table.
-    "q_array_sum_u64" -> ((s, d) => q(s, d, exploded("o_custkey", "arr_sum",
-      """SELECT o_custkey, array_reduce_sum_u64(arr) AS arr_sum FROM (
-        |  SELECT o_custkey,
-        |         CAST(array(o_orderkey % 97, o_orderkey % 31)
+    // Runs over customer (the smallest keyed table): the BigDecimal path is
+    // the exactness tier, deliberately off the primitive fast path —
+    // int/native variants cover throughput on the big table, and BigDecimal
+    // allocation churn was the bench's most noise-amplified cost.
+    "q_array_sum_u64" -> ((s, d) => q(s, d, exploded("c_nationkey", "arr_sum",
+      """SELECT c_nationkey, array_reduce_sum_u64(arr) AS arr_sum FROM (
+        |  SELECT c_nationkey,
+        |         CAST(array(c_custkey % 97, c_custkey % 31)
         |              AS ARRAY<DECIMAL(38,18)>) AS arr
-        |  FROM orders)
-        |GROUP BY o_custkey""".stripMargin))),
+        |  FROM customer)
+        |GROUP BY c_nationkey""".stripMargin))),
 
     // the native TypedImperativeAggregate path (type inferred from input)
     "q_array_sum_native" -> ((s, d) => q(s, d, exploded("l_orderkey", "arr_sum",
@@ -107,12 +108,12 @@ object MonoidQueries {
     "q_array_sum_int" -> sumIntOracle,
 
     "q_array_sum_u64" ->
-      """SELECT o_custkey, pos, sum(v)::DECIMAL(38,18) AS arr_sum FROM (
-        |  SELECT o_custkey,
-        |         unnest([o_orderkey % 97, o_orderkey % 31]) AS v,
-        |         generate_subscripts([o_orderkey % 97, o_orderkey % 31], 1) AS pos
-        |  FROM orders)
-        |GROUP BY o_custkey, pos""".stripMargin,
+      """SELECT c_nationkey, pos, sum(v)::DECIMAL(38,18) AS arr_sum FROM (
+        |  SELECT c_nationkey,
+        |         unnest([c_custkey % 97, c_custkey % 31]) AS v,
+        |         generate_subscripts([c_custkey % 97, c_custkey % 31], 1) AS pos
+        |  FROM customer)
+        |GROUP BY c_nationkey, pos""".stripMargin,
 
     "q_array_product_int" ->
       """SELECT l_orderkey, pos, product(v)::INTEGER AS arr_prod FROM (

@@ -66,6 +66,19 @@ object StreamQueries {
         valueCols = Seq("pval"))
     }),
 
+    // forward as-of: the next purchase at-or-after each click
+    "q_asof_join_fwd" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pval"))
+      graft.operators.Temporal.asofJoinForward(
+        clicks, purchases, by = Seq("user_id"), timeCol = "ts",
+        valueCols = Seq("pval"))
+    }),
+
     "q_multimodal_meta" -> ((s, d) => {
       Tables.load(s, d)
       val docsBin = s.table("documents")
@@ -156,6 +169,15 @@ object StreamQueries {
         |SELECT l.event_id, l.user_id, l.ts, r.pval AS pval_asof
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "q_asof_join_fwd" ->
+      """WITH l AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts::TIMESTAMP AS ts, max(value) AS pval FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts, r.pval AS pval_next
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
 
     // the stub codec's arithmetic re-expressed over the (all-ASCII) text:
     // byte i == ascii(char i+1)

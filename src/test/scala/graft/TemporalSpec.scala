@@ -25,6 +25,23 @@ class TemporalSpec extends SparkSpec {
       (4L, None)))      // user 200's purchase is later
   }
 
+  test("asofJoinForward: earliest later right row, inclusive ties, null after last") {
+    val left = Seq((1L, 100L, ts(5)), (2L, 100L, ts(15)), (3L, 100L, ts(2)),
+      (4L, 200L, ts(30))).toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, ts(5), 1.5), (100L, ts(10), 2.5), (200L, ts(20), 9.9))
+      .toDF("user_id", "ts", "pval")
+
+    val got = Temporal.asofJoinForward(left, right, Seq("user_id"), "ts", Seq("pval"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(r.fieldIndex("pval_next")))))
+
+    assert(got.toSeq == Seq(
+      (1L, Some(1.5)),  // tie at 10:05 matches (inclusive)
+      (2L, None),       // nothing after 10:15 for user 100
+      (3L, Some(1.5)),  // next purchase is 10:05
+      (4L, None)))      // user 200's purchase was earlier
+  }
+
   test("asofJoin preserves a left column that shares a valueCol's name") {
     val left = Seq((1L, 100L, ts(10), 111.0)).toDF("event_id", "user_id", "ts", "pval")
     val right = Seq((100L, ts(5), 2.5)).toDF("user_id", "ts", "pval")
