@@ -370,6 +370,19 @@ object HostQueries {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin),
 
+    // --- TPC-H Q10 shape: returned-item revenue per customer ---
+    same("q_host_q10_returns",
+      """SELECT c_custkey, c_name, n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+
     // --- ANSI-mode error-safe functions: try_divide / try_cast return NULL
     // where strict ANSI evaluation would throw ---
     Q("q_host_try_funcs",

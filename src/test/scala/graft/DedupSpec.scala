@@ -128,6 +128,18 @@ class DedupSpec extends SparkSpec {
       .collect()(0).getLong(0) == vals(0))
   }
 
+  test("base-131 char-gram encoding is injective on ASCII 5-grams") {
+    // the char-jaccard pipeline treats the polynomial as an exact encoding,
+    // not a hash — codes < 131 make it the base-131 representation
+    val rnd = new scala.util.Random(7)
+    val grams = Seq.fill(20000)(
+      String.valueOf(Array.fill(5)((32 + rnd.nextInt(95)).toChar)))
+    def enc(s: String): Long =
+      s.foldLeft(0L)((acc, c) => acc * 131L + c.toLong)
+    val distinctGrams = grams.distinct
+    assert(distinctGrams.map(enc).distinct.size == distinctGrams.size)
+  }
+
   test("jaccardPairsChar catches token-boundary edits word shingles miss") {
     val base = (1 to 30).map(i => s"word$i").mkString(" ")
     val glued = base.replaceFirst("word10 word11", "word10word11") // space removed

@@ -124,6 +124,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late events from streaming tumbling aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = EventStreams.streamingTumblingStats(stream, "15 minutes", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      // batch 1: events up to 10:59 → watermark advances to 10:49
+      mem.addData((1L, ts(0), "click", 1.0), (2L, ts(59), "view", 2.0))
+      q.processAllAvailable()
+      // batch 2: an event at 10:01 — far behind the watermark → dropped;
+      // its 15-min window [10:00,10:15) already finalized with n=1
+      mem.addData((3L, ts(1), "click", 99.0))
+      q.processAllAvailable()
+      // close remaining windows so append mode emits them
+      mem.addData((4L, Timestamp.valueOf("2024-01-01 12:00:00"), "view", 0.0))
+      q.processAllAvailable()
+      val firstWin = spark.table("late_out")
+        .where(col("win_start") === Timestamp.valueOf("2024-01-01 10:00:00"))
+        .select("n").collect().map(_.getLong(0))
+      assert(firstWin.toSeq == Seq(1L),
+        s"late event must not reopen the finalized window: ${firstWin.toSeq}")
+    } finally q.stop()
+  }
+
   test("streamingMinhashDedup: signature-identical dup dropped, fresh docs pass") {
     implicit val sqlCtx = spark.sqlContext
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
