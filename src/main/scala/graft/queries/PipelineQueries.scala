@@ -83,6 +83,17 @@ object PipelineQueries {
           |FROM lineitem GROUP BY l_returnflag""".stripMargin)
     }),
 
+    // --- Misra-Gries heavy hitters: k=5 >= 3 distinct values, so the
+    // sketch is provably exact and the oracle checks it against plain
+    // GROUP BY counts; the approximate regime is bound-tested in SketchSpec
+    "q_approx_topk" -> ((s, d) => {
+      Tables.load(s, d)
+      s.sql(
+        """SELECT CAST(pos + 1 AS BIGINT) AS rank, t._1 AS term, t._2 AS cnt
+          |FROM (SELECT approx_top_k_5(l_returnflag) AS tk FROM lineitem)
+          |LATERAL VIEW posexplode(tk) AS pos, t""".stripMargin)
+    }),
+
     // --- exact dedup on canonicalized word-set key (oracle-checked) ---
     "q_dedup_exact" -> ((s, d) => Dedup.exactGroups(
       docs(s, d), col("doc_id"),
@@ -224,6 +235,11 @@ object PipelineQueries {
     "q_dedup_jaccard_char" -> Dedup.jaccardCharOracleSql(),
 
     "q_dedup_band_claims" -> Dedup.bandClaimsOracleSql(),
+
+    "q_approx_topk" ->
+      """SELECT row_number() OVER (ORDER BY cnt DESC, term) AS rank, term, cnt
+        |FROM (SELECT l_returnflag AS term, count(*) AS cnt
+        |      FROM lineitem GROUP BY 1)""".stripMargin,
 
     "q_pipeline_split" ->
       """SELECT lang, split, count(*) AS n, min(doc_id) AS min_id FROM (

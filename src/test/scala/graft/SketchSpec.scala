@@ -37,4 +37,36 @@ class SketchSpec extends SparkSpec {
     val exact = li.select(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
     assert(math.abs(merged - exact).toDouble / exact <= 0.05)
   }
+
+  test("ApproxTopK (Misra-Gries): exact when k >= distinct, bounded when not") {
+    import spark.implicits._
+    graft.functions.ApproxTopK.register(spark, Seq(2, 5))
+    // skewed stream across 8 partitions → real partial/merge path
+    val data = (Seq.fill(1000)("a") ++ Seq.fill(500)("b") ++
+      Seq.fill(200)("c") ++ Seq.fill(100)("d"))
+    val df = data.toDF("v").repartition(8)
+    df.createOrReplaceTempView("mg_in")
+
+    // k=5 >= 4 distinct → exact counts in rank order
+    val exact = spark.sql(
+      "SELECT explode(approx_top_k_5(v)) AS t FROM mg_in")
+      .select("t._1", "t._2").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(exact.toSeq == Seq(("a", 1000L), ("b", 500L), ("c", 200L), ("d", 100L)))
+
+    // k=2 < distinct: the N/(k+1) guarantees of Misra-Gries
+    val n = data.size.toLong
+    val bound = n / 3 // N/(k+1)
+    val approx = spark.sql(
+      "SELECT explode(approx_top_k_2(v)) AS t FROM mg_in")
+      .select("t._1", "t._2").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val trueCounts = Map("a" -> 1000L, "b" -> 500L, "c" -> 200L, "d" -> 100L)
+    // any value with frequency > N/(k+1) must be reported
+    trueCounts.filter(_._2 > bound).keys.foreach(v =>
+      assert(approx.contains(v), s"heavy hitter $v missing: $approx"))
+    // reported counts are lower bounds within N/(k+1) of the truth
+    approx.foreach { case (v, c) =>
+      assert(c <= trueCounts(v), s"$v overcounted: $c")
+      assert(trueCounts(v) - c <= bound, s"$v undercounted beyond bound: $c")
+    }
+  }
 }
