@@ -74,6 +74,26 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** [[knnBatch]] for query sets too large to broadcast at once: the query
+    * ids (only the ids — a few bytes each) come to the driver, are split
+    * into `chunkSize` groups, and each group runs one broadcast + one corpus
+    * pass. Results are identical to a single [[knnBatch]] call (per-query
+    * top-k is independent across queries); wall-clock scales as
+    * ceil(|queries|/chunkSize) corpus passes — the standard batched-serving
+    * shape when the query set is itself large.
+    */
+  def knnBatchChunked(df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+      chunkSize: Int = 10000): DataFrame = {
+    val qids = queries.select(col(qidCol)).distinct()
+      .collect().map(_.getLong(0)).sorted
+    qids.grouped(chunkSize).map { chunk =>
+      knnBatch(df, idCol, vecCol,
+        queries.where(col(qidCol).isInCollection(chunk.toSeq)),
+        qidCol, qvecCol, k)
+    }.reduce(_ unionByName _)
+  }
+
   /** Random-hyperplane LSH signature (Charikar 2002): bit k is the sign of
     * the dot product with a pseudo-random ±1 hyperplane derived from
     * xxhash64(dim, k) — deterministic, no stored model. Returns an

@@ -79,6 +79,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"trained-IVF recall@10 = $recall")
   }
 
+  test("knnBatchChunked equals single-pass knnBatch") {
+    val qs = emb.where(col("vec_id") < 9)
+    val single = Similarity.knnBatch(emb, "vec_id", "embedding",
+      qs, "vec_id", "embedding", k = 5)
+      .select("qid", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val chunked = Similarity.knnBatchChunked(emb, "vec_id", "embedding",
+      qs, "vec_id", "embedding", k = 5, chunkSize = 3) // forces 3 chunks
+      .select("qid", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(chunked == single)
+  }
+
   test("knnQuantized: int8 ranking agrees closely with full-precision") {
     val exact = Similarity.knnBrute(emb, "vec_id", "embedding", 0L, 10)
       .collect().map(_.getLong(0)).toSet
