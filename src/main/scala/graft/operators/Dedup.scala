@@ -22,6 +22,21 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Dedup {
 
+  /** Skew guard shared by every bucket-joined pipeline: drop buckets larger
+    * than `maxBucket` via a count aggregate + broadcast anti-join. Cheaper
+    * than the window-function form (no Sort+Window stages), and the
+    * oversized-bucket list is tiny by construction (each entry represents
+    * > maxBucket rows).
+    */
+  private[operators] def capBuckets(df: DataFrame, keys: Seq[String],
+      maxBucket: Int): DataFrame = {
+    val oversized = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bsize"))
+      .where(col("bsize") > maxBucket)
+      .select(keys.map(col): _*)
+    df.join(broadcast(oversized), keys, "left_anti")
+  }
+
   /** Exact duplicate groups by a key column (e.g. raw text, or
     * [[TextAnalysis.fingerprint]] for canonicalized-exact dedup): one row
     * per distinct key with the representative (min) id and the copy count.
@@ -106,10 +121,7 @@ object Dedup {
     // skew guard: drop degenerate buckets before the quadratic self-join.
     // Persisted because the self-join consumes it twice — otherwise the
     // whole signature pipeline runs twice.
-    val bucketed = banded
-      .withColumn("bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .where(col("bsize") <= maxBucket)
+    val bucketed = capBuckets(banded, Seq("band", "bucket"), maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val candidates = bucketed.as("a")
@@ -264,10 +276,7 @@ object Dedup {
 
     // persisted: the self-join reads it twice (otherwise the simhash
     // signature scan runs twice)
-    val bucketed = banded
-      .withColumn("bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
-      .where(col("bsize") <= maxBucket)
+    val bucketed = capBuckets(banded, Seq("band", "key"), maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     bucketed.as("a")
@@ -354,10 +363,7 @@ object Dedup {
         slice(col("sig"), bd * r + 1, r)): _*)))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
 
-    val bucketed = banded
-      .withColumn("bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .where(col("bsize") <= maxBucket)
+    val bucketed = capBuckets(banded, Seq("band", "bucket"), maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val candidates = bucketed.as("a")
@@ -485,10 +491,7 @@ object Dedup {
     // persisted: the self-join reads it twice, and upstream is the full
     // md5 + 60-column vote aggregate — without this the signature pipeline
     // executes twice
-    val bucketed = banded
-      .withColumn("bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
-      .where(col("bsize") <= maxBucket)
+    val bucketed = capBuckets(banded, Seq("band", "key"), maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     bucketed.as("a")

@@ -290,11 +290,11 @@ object Similarity {
       threshold: Double, bits: Int = 6, dim: Int = 64,
       maxBucket: Int = 10000): DataFrame = {
     val signs = portablePlaneSigns(bits, dim)
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("nrm"),
-      portableBucketExpr(col(vecCol), signs).as("bucket"))
-      .withColumn("bsize", count(lit(1)).over(Window.partitionBy(col("bucket"))))
-      .where(col("bsize") <= maxBucket)
+    val bucketed = Dedup.capBuckets(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm"),
+        portableBucketExpr(col(vecCol), signs).as("bucket")),
+      Seq("bucket"), maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -466,11 +466,11 @@ object Similarity {
     // norms materialized per vector (not per pair — see knnBrute note) and
     // the bucketed table persisted: the self-join consumes it twice, and the
     // hyperplane signature (bits HOF folds per row) is the expensive part
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("nrm"),
-      hyperplaneBucket(col(vecCol), bits).as("bucket"))
-      .withColumn("bsize", count(lit(1)).over(Window.partitionBy(col("bucket"))))
-      .where(col("bsize") <= maxBucket)
+    val bucketed = Dedup.capBuckets(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm"),
+        hyperplaneBucket(col(vecCol), bits).as("bucket")),
+      Seq("bucket"), maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
