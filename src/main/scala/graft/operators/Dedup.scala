@@ -256,6 +256,97 @@ object Dedup {
        |WHERE jaccard >= $threshold""".stripMargin
   }
 
+  /** Connected components over near-duplicate pairs — the last step of a
+    * dedup pipeline: pairs → duplicate FAMILIES, one representative (the
+    * minimum id) per family. Iterative min-label propagation: each round
+    * every node takes the minimum label among itself and its neighbors;
+    * converges in O(component diameter) rounds (duplicate clusters are
+    * shallow in practice), each round one shuffled join + aggregate — the
+    * standard large-graph CC shape, no driver-side graph state. Returns
+    * (doc_id, family_id) for every endpoint of `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (eager) rather than persist: it truncates LINEAGE, not
+    // just recomputation. With persist, every round's logical plan still
+    // embeds the full upstream pair-pipeline tree per reference, and each
+    // (re)plan walks the session's CacheManager — in a session with ~80
+    // cached plans that lookup dominated (17 s in-suite vs 2 s solo). A
+    // checkpointed round is a flat LogicalRDD: planning cost is constant in
+    // both round count and cache-pool size. (On a multi-executor cluster,
+    // swap for reliable `checkpoint()` if executor loss mid-iteration must
+    // be survivable; the iteration shape is unchanged.)
+    // persist (not checkpoint) the input pairs: they are referenced twice
+    // below (forward + reversed), which would execute the upstream pair
+    // pipeline twice in the edges job; a persisted plan also stays
+    // canonicalized, so plan-identical pair queries elsewhere in the
+    // session share the cache entry
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = p
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    // seed = min(self, neighbors): the first propagation round folded into
+    // label init — one aggregate over edges instead of a distinct + a full
+    // join round (edges are symmetrized, so every node appears as src)
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .select(col("src").as("node"), col("label"))
+      .localCheckpoint()
+    // convergence witness: labels only ever decrease, so the label sum is
+    // strictly monotone — equal sums mean a fixpoint (one tiny agg per
+    // round instead of a join-and-compare). Each round MUST be materialized
+    // (the eager checkpoint does it): the round expression references the
+    // previous labels three times, so an unmaterialized k-round chain is a
+    // ~4^k-node plan — measured as a planner OOM at k = 3.
+    def round(ls: DataFrame): DataFrame = {
+      val fromNeighbors = edges
+        .join(ls.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("label"))
+      // pointer-jumping hop (label-of-label): doubles propagation distance
+      // each round → O(log diameter) rounds instead of O(diameter)
+      val viaPointer = ls
+        .join(ls.select(col("node").as("label"), col("label").as("label2")),
+          Seq("label"))
+        .select(col("node"), col("label2").as("label"))
+      ls.unionByName(fromNeighbors).unionByName(viaPointer)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+    }
+    def checksum(df: DataFrame): Long =
+      df.agg(sum(col("label"))).collect()(0).getLong(0)
+    var prev = checksum(labels)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val next = round(labels)
+      val cur = checksum(next)
+      labels = next
+      converged = cur == prev
+      prev = cur
+      i += 1
+    }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(s"[cc] rounds=$i nodes=${labels.count()}")
+    labels.select(col("node").as("doc_id"), col("label").as("family_id"))
+  }
+
+  /** DuckDB SQL: connected components of `pairsSql`'s (id_a, id_b) output
+    * via a recursive transitive closure, label = min reachable node. Fine at
+    * oracle scale (closure is per-component quadratic; duplicate families
+    * are tiny); the Spark side is the one built for big graphs.
+    */
+  def componentsOracleSql(pairsSql: String): String =
+    s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($pairsSql)),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |      UNION SELECT id_b, id_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
+       |SELECT a AS doc_id, least(a, min(b)) AS family_id
+       |FROM reach GROUP BY a""".stripMargin
+
   /** SimHash near-dup pairs: 64-bit simhash per doc (custom codegen'd
     * Catalyst expression), 4×16-bit band blocking (a pair within Hamming
     * distance ≤ 3 of a 64-bit key shares at least one of 4 bands — the

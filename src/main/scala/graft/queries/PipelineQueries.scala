@@ -120,6 +120,12 @@ object PipelineQueries {
     "q_dedup_minhash_md5" -> ((s, d) => Dedup.minhashPairsPortable(
       docs(s, d), "doc_id", "text")),
 
+    // --- dedup families: connected components over the portable-minhash
+    // pair graph, one min-id representative per family (oracle: recursive
+    // transitive closure over the same pairs) ---
+    "q_dedup_components" -> ((s, d) => Dedup.connectedComponents(
+      Dedup.minhashPairsPortable(docs(s, d), "doc_id", "text"))),
+
     // --- batch analogue of the streaming minhash-band dedup state: per
     // band bucket the winning doc + claim count (oracle-checked) ---
     "q_dedup_band_claims" -> ((s, d) => Dedup.minhashBandClaims(
@@ -235,6 +241,7 @@ object PipelineQueries {
     "q_dedup_jaccard_char" -> Dedup.jaccardCharOracleSql(),
 
     "q_dedup_band_claims" -> Dedup.bandClaimsOracleSql(),
+    "q_dedup_components" -> Dedup.componentsOracleSql(Dedup.minhashOracleSql()),
 
     "q_approx_topk" ->
       """SELECT row_number() OVER (ORDER BY cnt DESC, term) AS rank, term, cnt

@@ -128,6 +128,17 @@ class DedupSpec extends SparkSpec {
       .collect()(0).getLong(0) == vals(0))
   }
 
+  test("connectedComponents: chains collapse to min-id families") {
+    // chain 1-2-3-4 (diameter 3 → multiple propagation rounds), pair 10-11,
+    // and an untouched pair ordering quirk (7,5) — min id must still win
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (5L, 7L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 5L -> 5L, 7L -> 5L))
+  }
+
   test("base-131 char-gram encoding is injective on ASCII 5-grams") {
     // the char-jaccard pipeline treats the polynomial as an exact encoding,
     // not a hash — codes < 131 make it the base-131 representation
