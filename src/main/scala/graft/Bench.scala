@@ -4,11 +4,29 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      // Harness-mode codegen policy, chosen by measurement. This bench runs
+      // 84 distinct short queries in one JVM: whole-stage codegen makes
+      // janino compile a fresh class per stage per query, and at sf0.1 that
+      // compile time exceeds what codegen saves in execution (A/B at
+      // local[32]: codegen on = 71.1 s, off = 62.8 s; the loss concentrates
+      // in the HOF/UDAF pipelines, which execute as CodegenFallback /
+      // ObjectHashAggregate outside codegen spans anyway). Expression-level
+      // codegen stays ON (turning it off measured 76.4 s). On a cluster
+      // running long scans this flag flips back — compile amortizes and
+      // whole-stage codegen wins; PlanSpec pins the library's default-config
+      // plan shapes (codegen spans included) independently of this harness
+      // setting.
+      .config("spark.sql.codegen.wholeStage", "false")
+    // dev-only A/B hook: "k=v;k=v" extra session confs (unset under the
+    // driver, so recorded runs always use the tuned defaults above)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: JVM/codegen/scheduler initialization and table registration
     // should not be billed to whichever query happens to run first
