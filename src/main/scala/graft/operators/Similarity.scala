@@ -457,6 +457,138 @@ object Similarity {
        |  FROM scored a, q WHERE a.id <> $queryId)
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
 
+  /** Product-quantization codebook (Jégou/Douze/Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search"): split the `dim`-dimensional
+    * space into `m` subspaces of `dim/m` dims; each subspace's code vectors
+    * are the corresponding subvectors of the `codes` smallest-id rows — a
+    * deterministic sampled codebook (same posture as [[ivfAssign]]'s
+    * every-Nth-id centroids: no trained state, so the whole pipeline is
+    * replayable by the oracle engine). Returns (sub, code, csub).
+    */
+  def pqCodebook(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, dim: Int, codes: Int): DataFrame = {
+    val subDim = dim / m
+    val base = df.orderBy(col(idCol)).limit(codes)
+      .select(col(idCol).cast("long").as("code"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+    base.select(col("code"),
+        explode(transform(sequence(lit(0), lit(m - 1)),
+          i => struct(i.cast("int").as("sub"),
+            slice(col("v"), i * subDim + 1, lit(subDim)).as("csub")))).as("e"))
+      .select(col("e.sub").as("sub"), col("code"), col("e.csub").as("csub"))
+  }
+
+  /** PQ encoding: each vector becomes `m` code ids — per subspace, the
+    * codebook entry minimizing L2² distance (ties toward the lower code id).
+    * `dim/m · log₂(codes)` bits per vector instead of `32·dim`: the standard
+    * 100 TB-corpus compression (a 64-dim float32 corpus shrinks 64× at
+    * m=8, codes=16). Shape: explode by subspace → broadcast-join the (tiny)
+    * codebook → window argmin — one corpus scan, no driver state. L2² is
+    * composed from three sequential-fold dot products so the oracle engine
+    * reproduces every double bit-for-bit. Returns (id, sub, code).
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    val subDim = dim / m
+    // materialize the double vector once — slicing the cast expression
+    // inside the per-subspace lambda would re-cast the full array per
+    // subspace (lambda bodies don't CSE against the outer scope)
+    val vecs = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val subs = vecs.select(col("id"),
+        explode(transform(sequence(lit(0), lit(m - 1)),
+          i => struct(i.cast("int").as("sub"),
+            slice(col("v"), i * subDim + 1, lit(subDim)).as("sv")))).as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+    val scored = subs.join(broadcast(codebook), "sub")
+      .select(col("id"), col("sub"), col("code"),
+        (dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("csub"))
+          + dot(col("csub"), col("csub"))).as("d2"))
+    val w = Window.partitionBy(col("id"), col("sub"))
+      .orderBy(col("d2").asc, col("code").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("id"), col("sub"), col("code"))
+  }
+
+  /** PQ ANN top-k by asymmetric distance computation (ADC): the query stays
+    * full-precision; per subspace a (codes)-entry lookup table of L2²
+    * distances to each code vector is built once, and a candidate's
+    * approximate distance is the sum of its codes' table entries — `m` table
+    * lookups per candidate instead of `dim` multiplies. The per-subspace
+    * partial distances are summed in subspace order via a sequential double
+    * fold (sorted collect_list), keeping the result independent of partition
+    * layout and bit-identical to the oracle replay ([[knnPqOracleSql]]).
+    * Returns the `k` nearest (vec_id, adist), ascending distance.
+    */
+  def knnPq(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int, m: Int = 8, dim: Int = 64, codes: Int = 16): DataFrame = {
+    val subDim = dim / m
+    val cb = pqCodebook(df, idCol, vecCol, m, dim, codes)
+    val encoded = pqEncode(df, idCol, vecCol, cb, m, dim)
+    val qsubs = df.where(col(idCol) === queryId)
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .select(explode(transform(sequence(lit(0), lit(m - 1)),
+        i => struct(i.cast("int").as("sub"),
+          slice(col("v"), i * subDim + 1, lit(subDim)).as("qsv")))).as("e"))
+      .select(col("e.sub").as("sub"), col("e.qsv").as("qsv"))
+    val lut = cb.join(broadcast(qsubs), "sub")
+      .select(col("sub"), col("code"),
+        (dot(col("qsv"), col("qsv")) - lit(2.0) * dot(col("qsv"), col("csub"))
+          + dot(col("csub"), col("csub"))).as("pd"))
+    encoded.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("sub"), col("pd")))),
+          s => s.getField("pd")),
+        lit(0.0), (acc, v) => acc + v).as("adist"))
+      .where(col("id") =!= queryId)
+      .orderBy(col("adist").asc, col("id"))
+      .limit(k)
+      .select(col("id").as("vec_id"), col("adist"))
+  }
+
+  /** DuckDB SQL replaying [[knnPq]] value-for-value (same sampled codebook,
+    * same three-dot L2² composition, same sub-ordered sequential sum —
+    * `list_reduce`'s first-element seed equals Spark's 0.0 seed exactly for
+    * finite doubles).
+    */
+  def knnPqOracleSql(queryId: Long, k: Int, m: Int = 8, dim: Int = 64,
+      codes: Int = 16, table: String = "embeddings", idCol: String = "vec_id",
+      vecCol: String = "embedding"): String = {
+    val subDim = dim / m
+    s"""WITH base AS (
+       |  SELECT $idCol AS code, $vecCol::DOUBLE[] AS v FROM $table
+       |  ORDER BY $idCol LIMIT $codes),
+       |cb AS (
+       |  SELECT g.i AS sub, code, v[g.i*$subDim+1 : g.i*$subDim+$subDim] AS csub
+       |  FROM base, generate_series(0, ${m - 1}) g(i)),
+       |vecs AS (SELECT $idCol AS id, $vecCol::DOUBLE[] AS v FROM $table),
+       |subs AS (
+       |  SELECT id, g.i AS sub, v[g.i*$subDim+1 : g.i*$subDim+$subDim] AS sv
+       |  FROM vecs, generate_series(0, ${m - 1}) g(i)),
+       |encoded AS (
+       |  SELECT id, sub, code FROM (
+       |    SELECT id, sub, code,
+       |           row_number() OVER (PARTITION BY id, sub ORDER BY
+       |             list_dot_product(sv, sv) - 2.0 * list_dot_product(sv, csub)
+       |               + list_dot_product(csub, csub), code) AS rn
+       |    FROM subs JOIN cb USING (sub))
+       |  WHERE rn = 1),
+       |q AS (SELECT sub, sv AS qsv FROM subs WHERE id = $queryId),
+       |lut AS (
+       |  SELECT sub, code,
+       |         list_dot_product(qsv, qsv) - 2.0 * list_dot_product(qsv, csub)
+       |           + list_dot_product(csub, csub) AS pd
+       |  FROM cb JOIN q USING (sub))
+       |SELECT id AS $idCol, adist FROM (
+       |  SELECT id, list_reduce(list(pd ORDER BY sub), (a, b) -> a + b) AS adist
+       |  FROM encoded JOIN lut USING (sub, code)
+       |  GROUP BY id)
+       |WHERE id <> $queryId
+       |ORDER BY adist, id LIMIT $k""".stripMargin
+  }
+
   /** Embedding near-duplicate pairs: LSH-bucketed candidate generation,
     * exact cosine verification at `threshold`. Same shape as
     * [[Dedup.minhashPairs]] but over vectors.

@@ -408,6 +408,52 @@ object HostQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin),
 
+    // --- inline VALUES table joined against a scan (constant dimension
+    // tables without a file — common for tiny lookup/mapping tables) ---
+    same("q_host_values_join",
+      """SELECT v.tier, count(*) AS n,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM (VALUES ('BUILDING', 'brick'),
+        |             ('AUTOMOBILE', 'metal'),
+        |             ('MACHINERY', 'metal')) AS v(seg, tier)
+        |JOIN customer ON c_mktsegment = v.seg
+        |GROUP BY v.tier""".stripMargin),
+
+    // --- ordered string aggregation (listagg WITHIN GROUP; DuckDB spells
+    // it string_agg with an inline ORDER BY) ---
+    Q("q_host_listagg",
+      """SELECT r_name, listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS members
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+      Some(
+        """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS members
+          |FROM nation JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name""".stripMargin)),
+
+    // --- lateral column aliases: a derived column referenced by later
+    // select-list expressions in the same query block ---
+    same("q_host_lateral_alias",
+      """SELECT l_orderkey, l_linenumber,
+        |       l_extendedprice * (1 - l_discount) AS net,
+        |       net * 0.07 AS tax,
+        |       net - tax AS net_after_tax
+        |FROM lineitem
+        |WHERE l_orderkey < 100""".stripMargin),
+
+    // --- interval arithmetic + timestamp deltas over the event stream ---
+    Q("q_host_interval_arith",
+      """SELECT event_id,
+        |       ts + INTERVAL 90 MINUTE AS ts_plus,
+        |       ts - INTERVAL 1 DAY AS ts_prev_day,
+        |       CAST(timestampdiff(MINUTE, TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS mins_in
+        |FROM events WHERE user_id < 20""".stripMargin,
+      Some(
+        """SELECT event_id,
+          |       ts + INTERVAL 90 MINUTE AS ts_plus,
+          |       ts - INTERVAL 1 DAY AS ts_prev_day,
+          |       date_diff('minute', TIMESTAMP '2024-01-01 00:00:00', ts)::BIGINT AS mins_in
+          |FROM events WHERE user_id < 20""".stripMargin)),
+
     // --- map construction + lookup (map_from_arrays / element access) ---
     Q("q_host_map_funcs",
       """SELECT n_nationkey,
@@ -424,8 +470,27 @@ object HostQueries {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    defs.map(d => d.name -> ((s: SparkSession, dir: String) => q(s, dir, d.sparkSql))).toMap
+    defs.map(d => d.name -> ((s: SparkSession, dir: String) => q(s, dir, d.sparkSql))).toMap ++ Map[String, (SparkSession, String) => DataFrame](
+      // --- schema-aligned union (unionByName with missing columns): SQL
+      // UNION is positional, so this is exercised through the DataFrame API;
+      // the oracle replays it as an explicitly-ordered UNION ALL ---
+      "q_host_union_by_name" -> ((s, dir) => {
+        Tables.load(s, dir)
+        import org.apache.spark.sql.functions.col
+        val a = s.table("region")
+          .select(col("r_regionkey").as("k"), col("r_name").as("name"))
+        val b = s.table("nation")
+          .select(col("n_name").as("name"), col("n_nationkey").as("k"),
+            col("n_regionkey").as("extra"))
+        a.unionByName(b, allowMissingColumns = true)
+      })
+    )
 
   val oracleSql: Map[String, String] =
-    defs.flatMap(d => d.oracle.map(d.name -> _)).toMap
+    defs.flatMap(d => d.oracle.map(d.name -> _)).toMap ++ Map(
+      "q_host_union_by_name" ->
+        """SELECT r_regionkey AS k, r_name AS name, NULL::INTEGER AS extra FROM region
+          |UNION ALL
+          |SELECT n_nationkey, n_name, n_regionkey FROM nation""".stripMargin
+    )
 }

@@ -179,6 +179,16 @@ object PipelineQueries {
         queryId = 0L, k = 10)
     }),
 
+    // --- product-quantization ANN: deterministic sampled codebook, encode
+    // + ADC top-k — fully deterministic, replayed in DuckDB
+    // (Similarity.knnPqOracleSql); compression/recall trade measured in
+    // SimilaritySpec ---
+    "q_knn_pq" -> ((s, d) => {
+      Tables.load(s, d)
+      Similarity.knnPq(s.table("embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)
+    }),
+
     // --- similarity search: IVF ANN top-k (rows-only; recall in spec) ---
     "q_knn_ivf" -> ((s, d) => {
       Tables.load(s, d)
@@ -238,6 +248,7 @@ object PipelineQueries {
     "q_embed_neardup_md5" -> Similarity.nearDupOracleSql(threshold = 0.4),
     "q_knn_lsh_md5" -> Similarity.knnLshOracleSql(queryId = 0L, k = 10),
     "q_knn_quantized" -> Similarity.knnQuantizedOracleSql(queryId = 0L, k = 10),
+    "q_knn_pq" -> Similarity.knnPqOracleSql(queryId = 0L, k = 10),
     "q_dedup_jaccard_char" -> Dedup.jaccardCharOracleSql(),
 
     "q_dedup_band_claims" -> Dedup.bandClaimsOracleSql(),

@@ -63,6 +63,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall@10 = $recall")
   }
 
+  test("pqEncode: m codes per vector, codes within codebook range") {
+    val cb = Similarity.pqCodebook(emb, "vec_id", "embedding",
+      m = 8, dim = 64, codes = 16)
+    assert(cb.count() == 8 * 16)
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb,
+      m = 8, dim = 64)
+    val n = emb.count()
+    assert(enc.count() == n * 8, "one code per (vector, subspace)")
+    val perVec = enc.groupBy("id").count().select("count").distinct().collect()
+    assert(perVec.length == 1 && perVec(0).getLong(0) == 8L)
+    val codeIds = cb.select("code").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(enc.select("code").distinct().collect()
+      .map(_.getLong(0)).forall(codeIds.contains))
+  }
+
+  test("knnPq recall vs brute force on planted near-duplicates") {
+    val exact = Similarity.knnBrute(planted, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.knnPq(planted, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ ADC recall@10 = $recall")
+    // ADC distances come back ascending (nearest first)
+    val d = Similarity.knnPq(planted, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getDouble(1))
+    assert(d.sameElements(d.sorted))
+  }
+
   test("ivfTrain + knnIvfTrained: k centroids, full-dim codebook, recall holds") {
     val cents = Similarity.ivfTrain(planted, "vec_id", "embedding", k = 12,
       iters = 2)
