@@ -8,13 +8,17 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
   * feature-extract / resize / frame-sample run as partition-local batch
   * transforms (north star, SURVEY.md §2c).
   *
-  * The decode step itself is a STUB: no image/audio codecs exist in this
-  * environment, so [[StubCodec]] derives deterministic metadata from the
-  * byte stream. Everything around it — binary schema, typed Dataset
-  * plumbing, partition-local batching via `mapPartitions` (the Scala
-  * analogue of arrow-batched `mapInPandas`), metadata structs, and the
-  * downstream relational ops — is real and tested; swapping StubCodec for a
-  * JNI/javacv decoder changes one function.
+  * Two codec tiers: [[Multimodal.ImageIoCodec]] really decodes/resizes
+  * anything the JDK's ImageIO readers claim (PNG/JPEG/BMP/GIF — in every
+  * JRE, no external libraries), and [[StubCodec]] derives deterministic
+  * metadata from raw bytes for everything else (the synthetic test corpora,
+  * codecs absent from the JRE) so pipelines stay total. [[decodeAuto]]
+  * composes them with a `real_decode` provenance flag — the production
+  * "decode what you can, flag what you can't" shape. The Spark plumbing —
+  * binary schema, typed Dataset encoding, partition-local batching via
+  * `mapPartitions` (the Scala analogue of arrow-batched `mapInPandas`),
+  * metadata structs, downstream relational ops — is identical for both
+  * tiers; extending to audio/video means adding a codec, not a pipeline.
   *
   * Scale notes: decode is embarrassingly parallel and partition-local (no
   * shuffle); binary payloads stay off the driver; at 100 TB the only knobs
@@ -64,6 +68,89 @@ object Multimodal {
       */
     def frameOffsets(payload: Array[Byte], stride: Int): Seq[Long] =
       (0L until payload.length.toLong by stride.toLong).toSeq
+  }
+
+  /** Real image decoder over the JDK's ImageIO — PNG/JPEG/BMP/GIF readers
+    * ship in every JRE, so this needs no external codec libraries. Payloads
+    * no installed reader claims (e.g. the synthetic test corpora, or codecs
+    * like webp/avif absent from the JRE) return None and callers fall back
+    * to [[StubCodec]], keeping the pipeline total. Executor-local and
+    * allocation-bounded: one reader per payload, disposed eagerly.
+    */
+  object ImageIoCodec {
+    def decode(payload: Array[Byte]): Option[ImageMeta] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val img = r.read(0)
+            Some(ImageMeta(img.getWidth, img.getHeight,
+              img.getRaster.getNumBands, r.getFormatName.toLowerCase))
+          } finally r.dispose()
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally if (iis != null) iis.close()
+    }
+
+    /** Real pixel resize: decode → bilinear rescale → re-encode as PNG.
+      * None when the payload isn't a decodable image.
+      */
+    def resize(payload: Array[Byte], w: Int, h: Int): Option[(Array[Byte], ImageMeta)] =
+      try {
+        Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))).map { src =>
+          val dst = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, w, h, null)
+          } finally g.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", out)
+          (out.toByteArray, ImageMeta(w, h, dst.getRaster.getNumBands, "png"))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Decoded metadata plus whether a real codec (vs the stub) produced it. */
+  case class DecodedItemEx(item_id: Long, n_bytes: Long, width: Int,
+      height: Int, channels: Int, format: String, real_decode: Boolean)
+
+  /** Batch decode with codec autodetection: real ImageIO decode where a
+    * reader claims the payload, [[StubCodec]] metadata otherwise — the
+    * production shape (decode what you can, quarantine-flag what you
+    * can't) with the same partition-local batching as [[decodeItems]].
+    */
+  def decodeItemsAuto(items: Dataset[BinaryItem]): Dataset[DecodedItemEx] = {
+    implicit val enc = Encoders.product[DecodedItemEx]
+    items.mapPartitions { it =>
+      it.map { item =>
+        ImageIoCodec.decode(item.payload) match {
+          case Some(m) => DecodedItemEx(item.item_id, item.payload.length.toLong,
+            m.width, m.height, m.channels, m.format, real_decode = true)
+          case None =>
+            val m = StubCodec.decode(item.payload)
+            DecodedItemEx(item.item_id, item.payload.length.toLong,
+              m.width, m.height, m.channels, m.format, real_decode = false)
+        }
+      }
+    }
+  }
+
+  /** DataFrame-level entry for [[decodeItemsAuto]]. */
+  def decodeAuto(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = df.select(col(idCol).cast("long").as("item_id"),
+      col(binCol).as("payload")).as[BinaryItem]
+    decodeItemsAuto(typed).toDF()
   }
 
   /** Batch decode: one pass per partition, typed output. The inner loop is

@@ -36,6 +36,43 @@ class MultimodalSpec extends SparkSpec {
     assert(p2.length <= payload.length && p2.length >= 1)
   }
 
+  /** Real PNG bytes rendered with the JDK — no fixtures, no codec deps. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("ImageIoCodec: real PNG decodes with true dimensions; garbage falls through") {
+    val m = Multimodal.ImageIoCodec.decode(pngBytes(40, 25))
+    assert(m.contains(ImageMeta(40, 25, 3, "png")))
+    assert(Multimodal.ImageIoCodec.decode("not an image".getBytes).isEmpty)
+    assert(Multimodal.ImageIoCodec.decode(Array.emptyByteArray).isEmpty)
+  }
+
+  test("ImageIoCodec.resize: real pixel rescale, re-decodable output") {
+    val Some((resized, meta)) = Multimodal.ImageIoCodec.resize(pngBytes(64, 64), 16, 8)
+    assert(meta.width == 16 && meta.height == 8)
+    val roundTrip = Multimodal.ImageIoCodec.decode(resized)
+    assert(roundTrip.contains(ImageMeta(16, 8, 3, "png")))
+  }
+
+  test("decodeAuto: real images get real metadata, others stub + flag, distributed") {
+    val df = Seq((1L, pngBytes(33, 21)), (2L, "plain bytes!".getBytes))
+      .toDF("id", "payload").repartition(2)
+    val got = Multimodal.decodeAuto(df, "id", "payload")
+      .orderBy("item_id").collect()
+    assert(got(0).getAs[Boolean]("real_decode"))
+    assert(got(0).getAs[Int]("width") == 33 && got(0).getAs[Int]("height") == 21)
+    assert(got(0).getAs[String]("format") == "png")
+    assert(!got(1).getAs[Boolean]("real_decode"))
+    assert(got(1).getAs[String]("format") == "png") // stub: 12 % 3 == 0
+  }
+
   test("sampleFrames: ceil(len/stride) offsets per item") {
     val df = Seq((1L, Array.fill[Byte](130)(1)), (2L, Array.fill[Byte](64)(1)))
       .toDF("id", "payload")
