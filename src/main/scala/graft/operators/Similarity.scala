@@ -483,8 +483,8 @@ object Similarity {
     * `dim/m · log₂(codes)` bits per vector instead of `32·dim`: the standard
     * 100 TB-corpus compression (a 64-dim float32 corpus shrinks 64× at
     * m=8, codes=16). Shape: explode by subspace → broadcast-join the (tiny)
-    * codebook → window argmin — one corpus scan, no driver state. L2² is
-    * composed from three sequential-fold dot products so the oracle engine
+    * codebook → window argmin — one corpus scan, no driver state. Distances
+    * are composed from sequential-fold dot products so the oracle engine
     * reproduces every double bit-for-bit. Returns (id, sub, code).
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
@@ -500,15 +500,21 @@ object Similarity {
           i => struct(i.cast("int").as("sub"),
             slice(col("v"), i * subDim + 1, lit(subDim)).as("sv")))).as("e"))
       .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
-    val scored = subs.join(broadcast(codebook), "sub")
+    // argmin over codes doesn't need the full L2²: sv·sv is constant within
+    // each (id, sub) window, so ranking by csub·csub − 2·sv·csub (with
+    // csub·csub precomputed once per codebook row) picks the same code with
+    // one fold per pair instead of three — this is the per-row hot loop
+    // (|corpus|·m·codes pairs)
+    val cb = codebook.withColumn("cnorm2", dot(col("csub"), col("csub")))
+    val scored = subs.join(broadcast(cb), "sub")
       .select(col("id"), col("sub"), col("code"),
-        (dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("csub"))
-          + dot(col("csub"), col("csub"))).as("d2"))
-    val w = Window.partitionBy(col("id"), col("sub"))
-      .orderBy(col("d2").asc, col("code").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("id"), col("sub"), col("code"))
+        (col("cnorm2") - lit(2.0) * dot(col("sv"), col("csub"))).as("d2"))
+    // argmin as a hash aggregate (min_by over the (d2, code) tuple — the
+    // code tiebreak keeps it deterministic) rather than a row_number
+    // window: no per-partition sort of the |corpus|·m·codes scored rows,
+    // and partial aggregation shrinks them map-side before the exchange
+    scored.groupBy(col("id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
   }
 
   /** PQ ANN top-k by asymmetric distance computation (ADC): the query stays
@@ -571,8 +577,8 @@ object Similarity {
        |  SELECT id, sub, code FROM (
        |    SELECT id, sub, code,
        |           row_number() OVER (PARTITION BY id, sub ORDER BY
-       |             list_dot_product(sv, sv) - 2.0 * list_dot_product(sv, csub)
-       |               + list_dot_product(csub, csub), code) AS rn
+       |             list_dot_product(csub, csub)
+       |               - 2.0 * list_dot_product(sv, csub), code) AS rn
        |    FROM subs JOIN cb USING (sub))
        |  WHERE rn = 1),
        |q AS (SELECT sub, sv AS qsv FROM subs WHERE id = $queryId),
