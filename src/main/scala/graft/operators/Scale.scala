@@ -61,4 +61,18 @@ object Scale {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Materialize an intermediate to parquet and rescan it — the lifecycle
+    * step for intermediates too large for executor-storage `persist`
+    * (shingle/signature tables of a 100 TB dedup run). Unlike persist it
+    * truncates the logical plan (downstream plans see a flat scan, not the
+    * whole upstream tree), survives executor loss without recompute, and is
+    * shareable across jobs and sessions; the cost is one full write+read of
+    * the intermediate. Rule of thumb: persist for MB..low-GB per executor,
+    * materialize beyond that or whenever the intermediate outlives the job.
+    */
+  def materializeTo(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
 }

@@ -36,6 +36,24 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 3L)))
   }
 
+  test("materializeTo: same rows back, downstream plan is a flat scan") {
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mat").toString
+    val mat = Scale.materializeTo(src, dir)
+    // content round-trips exactly
+    assert(mat.count() == src.count())
+    assert(mat.except(src).isEmpty && src.except(mat).isEmpty)
+    // lineage is truncated: the materialized side plans as a bare file scan
+    // (no project/filter tree from the upstream pipeline)
+    val scans = mat.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.nonEmpty)
+    assert(mat.queryExecution.optimizedPlan.collectLeaves().size == 1)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("partitioned writes enable partition pruning on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     graft.sources.Tables.table(spark, sfDir, "events")
