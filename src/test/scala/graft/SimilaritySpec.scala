@@ -92,6 +92,18 @@ class SimilaritySpec extends SparkSpec {
     assert(d.sameElements(d.sorted))
   }
 
+  test("knnPq: results invariant under partition layout (bit-exact)") {
+    // the distributed-correctness contract: argmin (exact min over doubles)
+    // and the sub-ordered sequential fold make every stage independent of
+    // how rows are split across partitions
+    def run(parts: Int): Seq[(Long, Double)] =
+      Similarity.knnPq(emb.repartition(parts), "vec_id", "embedding", 0L, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val base = run(1)
+    assert(run(7) == base)
+    assert(run(32) == base)
+  }
+
   test("ivfTrain + knnIvfTrained: k centroids, full-dim codebook, recall holds") {
     val cents = Similarity.ivfTrain(planted, "vec_id", "embedding", k = 12,
       iters = 2)
