@@ -70,6 +70,10 @@ object ScaleStress {
       Similarity.nearDupPairsPortable(e1, "vec_id", "embedding", 0.4).count())
     time("neardup-md5 10x")(
       Similarity.nearDupPairsPortable(e10, "vec_id", "embedding", 0.4).count())
+    time("knn pq 1x (2k vecs)")(
+      Similarity.knnPq(e1, "vec_id", "embedding", 0L, 10).count())
+    time("knn pq 10x (20k vecs)")(
+      Similarity.knnPq(e10, "vec_id", "embedding", 0L, 10).count())
     spark.stop()
   }
 }

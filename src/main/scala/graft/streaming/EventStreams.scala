@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 
 /** Event-time processing over the `events` table, written as *unified*
@@ -194,5 +194,45 @@ object EventStreams {
 
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append(), timeout)(fn)
+  }
+
+  // --- custom stateful processing (transformWithState, the Spark 4 API) ---
+
+  case class SeenCount(user_id: Long, event_id: Long, seen_so_far: Long)
+
+  /** Per-user running sequence numbers over `transformWithState` — Spark 4's
+    * arbitrary-state API (StatefulProcessor + named, TTL-managed typed state
+    * on the RocksDB state store) that supersedes mapGroupsWithState. Each
+    * event is emitted with its per-user running count; the ValueState
+    * carries the counter across microbatches. Rows inside a batch are
+    * ordered by event id so output is deterministic regardless of partition
+    * order; state is O(1) per user (one long).
+    */
+  class RunningCountProcessor
+      extends StatefulProcessor[Long, (Long, Long), SeenCount] {
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong,
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[SeenCount] = {
+      var c = if (count.exists()) count.get() else 0L
+      val out = rows.toSeq.sortBy(_._2).map { case (u, eid) =>
+        c += 1
+        SeenCount(u, eid, c)
+      }
+      count.update(c)
+      out.iterator
+    }
+  }
+
+  /** (user_id, event_id) stream → per-user running counts; requires the
+    * RocksDB state store provider when run as a stream.
+    */
+  def runningCounts(events: Dataset[(Long, Long)]): Dataset[SeenCount] = {
+    implicit val enc = Encoders.product[SeenCount]
+    events.groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new RunningCountProcessor, TimeMode.None(),
+        OutputMode.Append())
   }
 }

@@ -77,6 +77,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState running counts: state persists across microbatches") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider; scope
+    // the conf to this query and restore the default afterwards
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Long)]
+    val q = EventStreams.runningCounts(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("twc_out").start()
+    try {
+      mem.addData((1L, 10L), (1L, 11L), (2L, 20L))
+      q.processAllAvailable()
+      mem.addData((1L, 12L), (2L, 21L), (3L, 30L))
+      q.processAllAvailable()
+      val got = spark.table("twc_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      // user 1's counter continues 1,2 → 3 across batches; user 3 starts at 1
+      assert(got == Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+        (2L, 20L, 1L), (2L, 21L, 2L), (3L, 30L, 1L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     implicit val sqlCtx = spark.sqlContext
     val clickMem = MemoryStream[(Long, Timestamp, Long)]
