@@ -100,7 +100,28 @@ object StreamQueries {
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       Multimodal.resize(docsBin, "doc_id", "payload", w = 32, h = 32)
     }),
+
+    // --- feature extraction over binary payloads: none of the synthetic
+    // payloads are decodable images, so every row takes the deterministic
+    // byte-slice fallback — which the oracle replays exactly (integer byte
+    // sums are order-free-exact in doubles; all-ASCII corpus, byte i ==
+    // ascii(char i+1) as in the other multimodal oracles). The real-pixel
+    // path is spec-tested with in-process PNGs (MultimodalSpec). ---
+    "q_multimodal_features" -> ((s, d) => {
+      Tables.load(s, d)
+      val docsBin = s.table("documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.imageFeatures(docsBin, "doc_id", "payload")
+    }),
   )
+
+  /** DuckDB mean of byte codes over the 0-based half-open slice [lo, hi) of
+    * `text` — replays [[Multimodal.imageFeatures]]'s fallback sliceMean.
+    */
+  private def byteSliceMeanSql(lo: String, hi: String): String =
+    s"CASE WHEN ($hi) <= ($lo) THEN 0.0 ELSE " +
+      s"list_sum(list_transform(generate_series(($lo) + 1, $hi), " +
+      s"i -> ascii(substr(text, i, 1))))::DOUBLE / (($hi) - ($lo)) END"
 
   val oracleSql: Map[String, String] = Map(
     "q_stream_tumbling" ->
@@ -203,6 +224,19 @@ object StreamQueries {
     // count = min(len, max(1, trunc(len*scale))) — empty payloads stay 0;
     // all-ASCII corpus, so char positions == byte positions (same
     // assumption as the other two)
+    "q_multimodal_features" -> {
+      val grid = (0 to 3).flatMap(i => (0 to 3).map(j =>
+        s"${byteSliceMeanSql(s"n * ${i * 4 + j} // 16", s"n * ${i * 4 + j + 1} // 16")} AS g$i$j"))
+        .mkString(",\n       ")
+      s"""WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents)
+         |SELECT doc_id AS item_id, false AS real_decode,
+         |       ${byteSliceMeanSql("0", "n // 3")} AS mean_r,
+         |       ${byteSliceMeanSql("n // 3", "2 * n // 3")} AS mean_g,
+         |       ${byteSliceMeanSql("2 * n // 3", "n")} AS mean_b,
+         |       $grid
+         |FROM t""".stripMargin
+    },
+
     "q_multimodal_resize" ->
       """SELECT doc_id AS item_id,
         |       least(length(text), greatest(1,

@@ -73,6 +73,29 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1).getAs[String]("format") == "png") // stub: 12 % 3 == 0
   }
 
+  test("imageFeatures: solid-color PNG yields exact channel means and flat grid") {
+    val img = new java.awt.image.BufferedImage(20, 20,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 20).foreach(x => (0 until 20).foreach(y =>
+      img.setRGB(x, y, 0xCC3366))) // r=204 g=51 b=102
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val df = Seq((1L, out.toByteArray), (2L, "just bytes".getBytes))
+      .toDF("id", "payload").repartition(2)
+    val got = Multimodal.imageFeatures(df, "id", "payload")
+      .orderBy("item_id").collect()
+    assert(got(0).getAs[Boolean]("real_decode"))
+    assert(got(0).getAs[Double]("mean_r") == 204.0)
+    assert(got(0).getAs[Double]("mean_g") == 51.0)
+    assert(got(0).getAs[Double]("mean_b") == 102.0)
+    val luma = 0.299 * 204 + 0.587 * 51 + 0.114 * 102
+    (0 to 3).foreach(i => (0 to 3).foreach(j =>
+      assert(math.abs(got(0).getAs[Double](s"g$i$j") - luma) < 1e-9)))
+    // fallback path: deterministic byte-slice means, flagged not-real
+    assert(!got(1).getAs[Boolean]("real_decode"))
+    assert(got(1).getAs[Double]("mean_r") > 0.0)
+  }
+
   test("sampleFrames: ceil(len/stride) offsets per item") {
     val df = Seq((1L, Array.fill[Byte](130)(1)), (2L, Array.fill[Byte](64)(1)))
       .toDF("id", "payload")
