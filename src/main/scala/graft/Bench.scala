@@ -9,7 +9,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       // Harness-mode codegen policy, chosen by measurement. This bench runs
-      // 90 distinct short queries in one JVM: whole-stage codegen makes
+      // 92 distinct short queries in one JVM: whole-stage codegen makes
       // janino compile a fresh class per stage per query, and at sf0.1 that
       // compile time exceeds what codegen saves in execution (A/B at
       // local[32]: codegen on = 71.1 s, off = 62.8 s; the loss concentrates

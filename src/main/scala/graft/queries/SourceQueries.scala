@@ -30,6 +30,7 @@ object SourceQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_csv_roundtrip" -> ((s, d) => roundtrip(s, d, "csv")),
     "q_source_json_roundtrip" -> ((s, d) => roundtrip(s, d, "json")),
+    "q_source_orc_roundtrip" -> ((s, d) => roundtrip(s, d, "orc")),
   )
 
   private val oracle =
@@ -40,5 +41,6 @@ object SourceQueries {
   val oracleSql: Map[String, String] = Map(
     "q_source_csv_roundtrip" -> oracle,
     "q_source_json_roundtrip" -> oracle,
+    "q_source_orc_roundtrip" -> oracle,
   )
 }
