@@ -210,6 +210,32 @@ object PipelineQueries {
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))),
 
+    // --- deterministic stratified downsampling: per language keep the k
+    // docs ranking lowest by content-stable hash — the reproducible
+    // subsample step of a training pipeline (no seeded RNG, so any engine
+    // and any rerun selects the identical subset) ---
+    "q_pipeline_sample" -> ((s, d) => docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 1000L).as("h"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+      .where(col("rk") <= 20)
+      .select(col("lang"), col("doc_id"), col("rk"))),
+
+    // --- vocabulary building: corpus-wide token counts with a min-count
+    // floor and deterministic rank — the vocab artifact of a tokenizer
+    // training step (hash groupBy: map-side combine, scales with distinct
+    // tokens, not corpus size) ---
+    "q_text_vocab" -> ((s, d) => docs(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= 25)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token"))).cast("long"))),
+
     // --- capstone: the full cleaning pipeline composed — quality filter →
     // language filter → canonical-key dedup (keep lowest doc_id) ---
     "q_pipeline_clean" -> ((s, d) => {
@@ -258,6 +284,25 @@ object PipelineQueries {
       """SELECT row_number() OVER (ORDER BY cnt DESC, term) AS rank, term, cnt
         |FROM (SELECT l_returnflag AS term, count(*) AS cnt
         |      FROM lineitem GROUP BY 1)""".stripMargin,
+
+    "q_pipeline_sample" ->
+      """SELECT lang, doc_id, rk FROM (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang ORDER BY
+        |           ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000,
+        |           doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20""".stripMargin,
+
+    "q_text_vocab" ->
+      """SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
+        |FROM (
+        |  SELECT token, count(*) AS n FROM (
+        |    SELECT unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |             ELSE string_split_regex(trim(lower(text)), '\s+') END) AS token
+        |    FROM documents)
+        |  GROUP BY token)
+        |WHERE n >= 25""".stripMargin,
 
     "q_pipeline_split" ->
       """SELECT lang, split, count(*) AS n, min(doc_id) AS min_id FROM (
