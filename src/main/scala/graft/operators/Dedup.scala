@@ -313,8 +313,10 @@ object Dedup {
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint()
     }
+    // coalesce: sum(label) is NULL on an empty label set (zero near-dup
+    // pairs in the corpus) — without it the fixpoint loop NPEs (ADVICE r02)
     def checksum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).collect()(0).getLong(0)
+      df.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
     var prev = checksum(labels)
     var i = 0
     var converged = false

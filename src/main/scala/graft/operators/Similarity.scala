@@ -85,9 +85,14 @@ object Similarity {
   def knnBatchChunked(df: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
       chunkSize: Int = 10000): DataFrame = {
-    val qids = queries.select(col(qidCol)).distinct()
+    // cast to long before collecting (the caller's id column may be INT),
+    // and short-circuit an empty query set to an empty knnBatch-shaped
+    // frame instead of crashing reduce on zero chunks (ADVICE r02)
+    val qids = queries.select(col(qidCol).cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
-    qids.grouped(chunkSize).map { chunk =>
+    if (qids.isEmpty)
+      knnBatch(df, idCol, vecCol, queries.limit(0), qidCol, qvecCol, k)
+    else qids.grouped(chunkSize).map { chunk =>
       knnBatch(df, idCol, vecCol,
         queries.where(col(qidCol).isInCollection(chunk.toSeq)),
         qidCol, qvecCol, k)

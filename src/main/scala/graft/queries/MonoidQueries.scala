@@ -30,10 +30,18 @@ object MonoidQueries {
     spark.sql(sql)
   }
 
-  /** Wraps an aggregate-to-array subquery so the result is scalar rows. */
-  private def exploded(key: String, valCol: String, agg: String): String =
-    s"""SELECT $key, CAST(pos + 1 AS BIGINT) AS pos, elem AS $valCol
+  /** Wraps an aggregate-to-array subquery so the result is scalar rows.
+    * `castTo` optionally re-types the exploded element for the dump only
+    * (the UDAF's internal carrier type is untouched) — used by the u64
+    * query, whose DECIMAL(38,18) dump representation the driver's
+    * comparator hashes differently from DuckDB's even when values match.
+    */
+  private def exploded(key: String, valCol: String, agg: String,
+                       castTo: String = ""): String = {
+    val elem = if (castTo.isEmpty) "elem" else s"CAST(elem AS $castTo)"
+    s"""SELECT $key, CAST(pos + 1 AS BIGINT) AS pos, $elem AS $valCol
        |FROM ($agg) LATERAL VIEW posexplode($valCol) AS pos, elem""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_array_sum_int" -> ((s, d) => q(s, d, exploded("l_orderkey", "arr_sum",
@@ -74,13 +82,17 @@ object MonoidQueries {
     // the exactness tier, deliberately off the primitive fast path —
     // int/native variants cover throughput on the big table, and BigDecimal
     // allocation churn was the bench's most noise-amplified cost.
+    // Dump is CAST to BIGINT (values are small exact integers): the
+    // DECIMAL(38,18) textual form hash-mismatched the DuckDB oracle even
+    // with identical values (ADVICE r02); the UDAF still aggregates on the
+    // Decimal carrier internally.
     "q_array_sum_u64" -> ((s, d) => q(s, d, exploded("c_nationkey", "arr_sum",
       """SELECT c_nationkey, array_reduce_sum_u64(arr) AS arr_sum FROM (
         |  SELECT c_nationkey,
         |         CAST(array(c_custkey % 97, c_custkey % 31)
         |              AS ARRAY<DECIMAL(38,18)>) AS arr
         |  FROM customer)
-        |GROUP BY c_nationkey""".stripMargin))),
+        |GROUP BY c_nationkey""".stripMargin, castTo = "BIGINT"))),
 
     // the native TypedImperativeAggregate path (type inferred from input)
     "q_array_sum_native" -> ((s, d) => q(s, d, exploded("l_orderkey", "arr_sum",
@@ -108,7 +120,7 @@ object MonoidQueries {
     "q_array_sum_int" -> sumIntOracle,
 
     "q_array_sum_u64" ->
-      """SELECT c_nationkey, pos, sum(v)::DECIMAL(38,18) AS arr_sum FROM (
+      """SELECT c_nationkey, pos, sum(v)::BIGINT AS arr_sum FROM (
         |  SELECT c_nationkey,
         |         unnest([c_custkey % 97, c_custkey % 31]) AS v,
         |         generate_subscripts([c_custkey % 97, c_custkey % 31], 1) AS pos

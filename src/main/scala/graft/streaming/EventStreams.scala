@@ -139,8 +139,13 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sp = batch.sparkSession
         val deduped = batch.dropDuplicates(keyCol)
+        // probe the sink through the Hadoop FileSystem of the path (not
+        // java.io.File, which is driver-local and always says "absent" on
+        // HDFS/S3 — the anti-join would be silently skipped; ADVICE r02)
+        val sinkPath = new org.apache.hadoop.fs.Path(outDir)
+        val fs = sinkPath.getFileSystem(sp.sparkContext.hadoopConfiguration)
         val novel =
-          if (new java.io.File(outDir).exists())
+          if (fs.exists(sinkPath))
             deduped.join(sp.read.parquet(outDir).select(col(keyCol)).distinct(),
               Seq(keyCol), "left_anti")
           else deduped

@@ -139,6 +139,13 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 5L -> 5L, 7L -> 5L))
   }
 
+  test("connectedComponents: empty pair set yields empty frame, no crash") {
+    // sum(label) over zero rows is NULL — the fixpoint checksum must
+    // coalesce it instead of NPE-ing (ADVICE r02)
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(pairs).count() == 0L)
+  }
+
   test("base-131 char-gram encoding is injective on ASCII 5-grams") {
     // the char-jaccard pipeline treats the polynomial as an exact encoding,
     // not a hash — codes < 131 make it the base-131 representation

@@ -133,6 +133,14 @@ class SimilaritySpec extends SparkSpec {
     assert(chunked == single)
   }
 
+  test("knnBatchChunked: empty query set returns empty frame, same schema") {
+    // zero chunks used to crash reduce on an empty iterator (ADVICE r02)
+    val out = Similarity.knnBatchChunked(emb, "vec_id", "embedding",
+      emb.where(col("vec_id") < 0), "vec_id", "embedding", k = 5)
+    assert(out.count() == 0L)
+    assert(out.columns.toSeq == Seq("qid", "vec_id", "score", "rank"))
+  }
+
   test("knnQuantized: int8 ranking agrees closely with full-precision") {
     val exact = Similarity.knnBrute(emb, "vec_id", "embedding", 0L, 10)
       .collect().map(_.getLong(0)).toSet
