@@ -56,11 +56,21 @@ object Scale {
     * re-shuffling the fact table per query and never shuffling it at all.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // a managed table's warehouse dir can outlive the (in-memory) catalog
+    // entry across sessions; "overwrite" can only drop what the catalog
+    // knows, so a leftover location fails the create — clear both first
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Materialize an intermediate to parquet and rescan it — the lifecycle
     * step for intermediates too large for executor-storage `persist`

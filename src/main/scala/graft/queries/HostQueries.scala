@@ -454,6 +454,19 @@ object HostQueries {
           |       date_diff('minute', TIMESTAMP '2024-01-01 00:00:00', ts)::BIGINT AS mins_in
           |FROM events WHERE user_id < 20""".stripMargin)),
 
+    // --- UNPIVOT: wide → long relayout (metric columns to rows). Sums are
+    // exact in DECIMAL, one final DOUBLE cast — both engines share the
+    // SQL-standard UNPIVOT clause ---
+    same("q_host_unpivot",
+      """SELECT l_returnflag, metric, CAST(val AS DOUBLE) AS val
+        |FROM (
+        |  SELECT l_returnflag,
+        |         CAST(sum(l_quantity) AS DECIMAL(18,2)) AS sum_qty,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |         CAST(count(*) AS DECIMAL(18,2)) AS n_rows
+        |  FROM lineitem GROUP BY l_returnflag)
+        |UNPIVOT (val FOR metric IN (sum_qty, sum_price, n_rows))""".stripMargin),
+
     // --- map construction + lookup (map_from_arrays / element access) ---
     Q("q_host_map_funcs",
       """SELECT n_nationkey,

@@ -35,6 +35,24 @@ object ScaleQueries {
     // skew-proof distinct == count(DISTINCT v)
     "q_scale_distinct" -> ((s, d) => Scale.skewProofCountDistinct(
       t(s, d, "lineitem"), col("l_returnflag"), col("l_partkey"))),
+
+    // bucketed co-located join == plain equi-join. Both sides are written
+    // bucketed+sorted on the join key, so the join runs with NO shuffle
+    // exchange (asserted in ScaleSpec) — at 100 TB the layout replaces the
+    // per-query fact-table shuffle. The oracle replays the unbucketed join.
+    "q_scale_bucketed_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      val ord = t(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      Scale.writeBucketed(li, "graft_li_bkt", "l_orderkey", buckets = 8)
+      Scale.writeBucketed(ord, "graft_ord_bkt", "l_orderkey", buckets = 8)
+      s.table("graft_li_bkt").join(s.table("graft_ord_bkt"), "l_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("o_custkey")).as("sum_cust"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -48,5 +66,12 @@ object ScaleQueries {
     "q_scale_distinct" ->
       """SELECT l_returnflag AS key, count(DISTINCT l_partkey) AS n_distinct
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_scale_bucketed_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       sum(l_quantity) AS sum_qty,
+        |       sum(o_custkey)::BIGINT AS sum_cust
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag""".stripMargin,
   )
 }
