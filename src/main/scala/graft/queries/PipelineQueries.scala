@@ -250,6 +250,36 @@ object PipelineQueries {
         .select(col("keep_id"), col("family_size"))
     }),
 
+    // --- END-TO-END training-data pipeline: quality filter → token-count
+    // floor → exact dedup (min-id representative per canonical word-set
+    // key) → deterministic stratified sample (top-15 per language by
+    // content-stable hash). The flagship composition — every stage is an
+    // operator oracled individually above, and the DuckDB oracle replays
+    // the whole chain value-for-value. Per-stage plan shape: one scan,
+    // two window shuffles (dedup key, language), no collects ---
+    "q_pipeline_e2e" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = docs(s, d).select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        array_join(array_sort(array_distinct(split(lower(col("text")), " "))), " ")
+          .as("dup_key"))
+      val filtered = scored.where(col("quality") >= 0.4 && col("n_tokens") >= 5)
+      val deduped = filtered
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("dup_key")).orderBy(col("doc_id"))))
+        .where(col("rn") === 1)
+      val h = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 1000L)
+      deduped
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))).cast("long"))
+        .where(col("rk") <= 15)
+        .select(col("lang"), col("rk"), col("doc_id"), col("n_tokens"),
+          col("quality"))
+    }),
+
     // --- embedding near-dup pairs above cosine threshold (rows-only) ---
     "q_embed_neardup" -> ((s, d) => {
       Tables.load(s, d)
@@ -472,6 +502,33 @@ object PipelineQueries {
         |SELECT min(doc_id) AS keep_id, count(*) AS family_size
         |FROM scored WHERE quality >= 0.5 AND lang = 'en'
         |GROUP BY dup_key""".stripMargin,
+
+    "q_pipeline_e2e" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang, len(toks)::BIGINT AS n_tokens,
+        |    (least(length(text)::DOUBLE / 500.0, 1.0) * 0.4)
+        |    + ((1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE / length(text)::DOUBLE END) * 4, 1.0)) * 0.3)
+        |    + (least((CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for'], x)))::DOUBLE / len(toks)::DOUBLE END) * 5, 1.0) * 0.3) AS quality,
+        |    array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ') AS dup_key
+        |  FROM t),
+        |filtered AS (
+        |  SELECT * FROM scored WHERE quality >= 0.4 AND n_tokens >= 5),
+        |deduped AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY dup_key ORDER BY doc_id) AS rn
+        |    FROM filtered) WHERE rn = 1),
+        |sampled AS (
+        |  SELECT lang, doc_id, n_tokens, quality,
+        |         row_number() OVER (PARTITION BY lang ORDER BY
+        |           ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000,
+        |           doc_id) AS rk
+        |  FROM deduped)
+        |SELECT lang, rk, doc_id, n_tokens, quality FROM sampled WHERE rk <= 15""".stripMargin,
 
     "q_knn_batch" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv

@@ -41,9 +41,14 @@ object ScaleQueries {
     // exchange (asserted in ScaleSpec) — at 100 TB the layout replaces the
     // per-query fact-table shuffle. The oracle replays the unbucketed join.
     "q_scale_bucketed_join" -> ((s, d) => {
+      // deterministic 25% slice: the gate query demonstrates + oracles the
+      // co-located layout (ScaleSpec asserts the no-shuffle plan on full
+      // tables); writing a slice keeps the bench's table-write cost small
       val li = t(s, d, "lineitem")
+        .where(col("l_orderkey") % 4 === 0)
         .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
       val ord = t(s, d, "orders")
+        .where(col("o_orderkey") % 4 === 0)
         .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
       Scale.writeBucketed(li, "graft_li_bkt", "l_orderkey", buckets = 8)
       Scale.writeBucketed(ord, "graft_ord_bkt", "l_orderkey", buckets = 8)
@@ -72,6 +77,7 @@ object ScaleQueries {
         |       sum(l_quantity) AS sum_qty,
         |       sum(o_custkey)::BIGINT AS sum_cust
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_orderkey % 4 = 0
         |GROUP BY l_returnflag""".stripMargin,
   )
 }
