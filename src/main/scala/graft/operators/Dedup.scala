@@ -230,6 +230,48 @@ object Dedup {
       threshold)
   }
 
+  /** Edit-distance (Levenshtein) near-dup pairs within an id window — the
+    * fuzzy-matching tier of record linkage: catches small in-place edits
+    * (typos, single-word swaps) whose n-gram overlap may still pass the
+    * Jaccard tiers but that exact dedup misses entirely. Comparison runs on
+    * a fixed-length lowercased prefix: Levenshtein is O(len²) PER PAIR, so
+    * unbounded operands make the blocked join quadratic in document length
+    * — trimming to `prefixLen` is the standard field-restriction of fuzzy
+    * linkage and bounds per-pair cost by a constant. Same equi-block join
+    * as [[jaccardPairs]] (block = id div window, left side explodes into
+    * its own + next block) — never a nested-loop over all pairs.
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
+      idWindow: Long = 25L, maxDist: Int = 12, prefixLen: Int = 48): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      substring(lower(col(textCol)), 1, prefixLen).as("t"))
+    val blk = expr(s"id div ${idWindow}L")
+    val a = base.select(col("id").as("id_a"), col("t").as("t_a"),
+      explode(array(blk, blk + 1)).as("blk"))
+    val b = base.select(col("id").as("id_b"), col("t").as("t_b"),
+      blk.as("blk"))
+    a.join(b, Seq("blk"))
+      .where(col("id_a") < col("id_b") && col("id_b") - col("id_a") <= idWindow)
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** DuckDB SQL replaying [[fuzzyPairs]]: the window predicate stays a
+    * plain range join (quadratic is fine at oracle scale); `levenshtein`
+    * is the same unit-cost edit distance in both engines.
+    */
+  def fuzzyOracleSql(idWindow: Long = 25L, maxDist: Int = 12,
+      prefixLen: Int = 48, table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text"): String =
+    s"""WITH t AS (
+       |  SELECT $idCol AS id, substr(lower($textCol), 1, $prefixLen) AS t
+       |  FROM $table)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |       levenshtein(a.t, b.t)::BIGINT AS dist
+       |FROM t a JOIN t b ON b.id > a.id AND b.id - a.id <= $idWindow
+       |WHERE levenshtein(a.t, b.t) <= $maxDist""".stripMargin
+
   /** DuckDB SQL replaying [[jaccardPairsChar]] value-for-value. */
   def jaccardCharOracleSql(n: Int = 5, idWindow: Long = 10L,
       threshold: Double = 0.6, table: String = "documents",

@@ -144,6 +144,47 @@ object TextAnalysis {
         col("rn").cast("long").as("rank"))
   }
 
+  /** Per-document Shannon entropy (bits) of the token distribution — the
+    * repetition/diversity quality signal of a training-data pipeline
+    * (spammy low-entropy docs score near 0, natural text 5-8). Exact and
+    * partition-order-proof by construction: per-doc token counts are
+    * sorted before a sequential in-row fold, so the FP summation order is
+    * a pure function of the data — no cross-row double aggregation. The
+    * result is rounded to 6 dp, the same tolerance the tf-idf logs use
+    * against the DuckDB replay ([[entropyOracleSql]]).
+    */
+  def tokenEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("c"))).as("cs"),
+        sum(col("c")).cast("double").as("n"))
+      .select(col("doc_id"),
+        round(aggregate(col("cs"), lit(0.0), (acc, c) =>
+          acc - (c.cast("double") / col("n")) * log2(c.cast("double") / col("n"))),
+          6).as("entropy"))
+
+  /** DuckDB SQL replaying [[tokenEntropy]] value-for-value (same sorted
+    * fold over per-doc counts, same 6 dp rounding).
+    */
+  def entropyOracleSql(table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text"): String =
+    s"""WITH toks AS (
+       |  SELECT $idCol AS doc_id,
+       |         unnest(CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
+       |                ELSE string_split_regex(trim(lower($textCol)), '\\s+') END) AS tok
+       |  FROM $table),
+       |counts AS (
+       |  SELECT doc_id, tok, count(*)::BIGINT AS c FROM toks GROUP BY doc_id, tok),
+       |agg AS (
+       |  SELECT doc_id, list_sort(list(c)) AS cs, sum(c)::DOUBLE AS n
+       |  FROM counts GROUP BY doc_id)
+       |SELECT doc_id,
+       |       round(list_sum(list_transform(cs,
+       |         c -> -(c::DOUBLE / n) * log2(c::DOUBLE / n))), 6) AS entropy
+       |FROM agg""".stripMargin
+
   /** Per-language marker-word profiles for the language-ID heuristic.
     * Tiny on purpose: broadcast as literal arrays into codegen.
     */

@@ -55,6 +55,11 @@ object PipelineQueries {
       .select(col("doc_id"),
         TextAnalysis.portableRollingFp(col("toks")).as("fp_mod"))),
 
+    // --- per-doc token-distribution entropy (repetition/diversity quality
+    // signal; oracle-checked — sorted in-row fold, 6 dp) ---
+    "q_text_entropy" -> ((s, d) =>
+      TextAnalysis.tokenEntropy(docs(s, d), "doc_id", "text")),
+
     // --- language ID heuristic + confusion counts vs the labeled column ---
     "q_text_langid" -> ((s, d) => docs(s, d)
       .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
@@ -129,6 +134,12 @@ object PipelineQueries {
     // --- batch analogue of the streaming minhash-band dedup state: per
     // band bucket the winning doc + claim count (oracle-checked) ---
     "q_dedup_band_claims" -> ((s, d) => Dedup.minhashBandClaims(
+      docs(s, d), "doc_id", "text")),
+
+    // --- fuzzy (edit-distance) near-dup pairs on blocked prefix compare:
+    // the record-linkage tier below the Jaccard/MinHash families
+    // (oracle-checked — levenshtein is identical unit-cost in DuckDB) ---
+    "q_dedup_fuzzy" -> ((s, d) => Dedup.fuzzyPairs(
       docs(s, d), "doc_id", "text")),
 
     // --- SimHash near-dup pairs (rows-only; custom Catalyst expression) ---
@@ -299,6 +310,8 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_minhash_md5" -> Dedup.minhashOracleSql(),
+    "q_dedup_fuzzy" -> Dedup.fuzzyOracleSql(),
+    "q_text_entropy" -> TextAnalysis.entropyOracleSql(),
     "q_text_rolling_fp_mod" -> TextAnalysis.rollingFpOracleSql(),
     "q_dedup_simhash_md5" -> Dedup.simhashOracleSql(),
     "q_embed_neardup_md5" -> Similarity.nearDupOracleSql(threshold = 0.4),

@@ -139,6 +139,18 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 5L -> 5L, 7L -> 5L))
   }
 
+  test("fuzzyPairs: small edits matched, distant texts and far ids excluded") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fax jumps over the lazy dog tonight"), // 1 edit
+      (3L, "completely different content with no resemblance at all"),
+      (90L, "the quick brown fox jumps over the lazy dog tonight") // outside id window
+    ).toDF("doc_id", "text")
+    val got = Dedup.fuzzyPairs(df, "doc_id", "text", idWindow = 25L, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 1L)))
+  }
+
   test("connectedComponents: empty pair set yields empty frame, no crash") {
     // sum(label) over zero rows is NULL — the fixpoint checksum must
     // coalesce it instead of NPE-ing (ADVICE r02)

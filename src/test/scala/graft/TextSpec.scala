@@ -75,6 +75,21 @@ class TextSpec extends SparkSpec {
     assert(got(3) == (2L, 0L, "a b", 2L))
   }
 
+  test("tokenEntropy: uniform/degenerate/mixed distributions") {
+    val df = Seq(
+      (1L, "a a a a"),     // single symbol → 0 bits
+      (2L, "a b"),         // two uniform  → 1 bit
+      (3L, "a b c d"),     // four uniform → 2 bits
+      (4L, "a a b"),       // 2/3,1/3      → ~0.918296
+      (5L, "")             // no tokens    → no row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == 0.0 && got(2L) == 1.0 && got(3L) == 2.0)
+    assert(math.abs(got(4L) - 0.918296) < 1e-6)
+  }
+
   test("langId: marker words and CJK routing") {
     assert(one("the cat is on the mat and it was good",
       TextAnalysis.langId(col("text"))) == "en")
