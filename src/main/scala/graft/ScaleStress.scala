@@ -74,6 +74,17 @@ object ScaleStress {
       Similarity.knnPq(e1, "vec_id", "embedding", 0L, 10).count())
     time("knn pq 10x (20k vecs)")(
       Similarity.knnPq(e10, "vec_id", "embedding", 0L, 10).count())
+    time("fuzzy-levenshtein 1x")(
+      Dedup.fuzzyPairs(d1, "doc_id", "text").count())
+    time("fuzzy-levenshtein 10x")(
+      Dedup.fuzzyPairs(d10, "doc_id", "text").count())
+    import graft.operators.TextAnalysis
+    time("token-entropy 1x")(
+      TextAnalysis.tokenEntropy(d1, "doc_id", "text").count())
+    time("token-entropy 10x")(
+      TextAnalysis.tokenEntropy(d10, "doc_id", "text").count())
+    time("e2e pipeline 1x")(
+      graft.SparkEntry.queries("q_pipeline_e2e")(spark, "/root/testdata/sf0.1").count())
     spark.stop()
   }
 }

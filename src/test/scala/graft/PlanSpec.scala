@@ -46,6 +46,22 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "range blocking must plan as an equi-join on block keys, not BNLJ")
   }
 
+  test("fuzzy (levenshtein) dedup joins on equi-keys, never nested-loop") {
+    val (_, plan) = executed("q_dedup_fuzzy")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty,
+      "id-window blocking must plan as an equi-join on block keys, not BNLJ")
+  }
+
+  test("e2e pipeline: no joins, exactly the two window exchanges") {
+    val (_, plan) = executed("q_pipeline_e2e")
+    val shuffles = collectWithSubqueries(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 2,
+      s"one scan + dedup-key window + language window = 2 exchanges, got ${shuffles.size}")
+    assert(!plan.toString().contains("Join"),
+      "the composed pipeline is join-free — every stage is a projection, filter, or window")
+  }
+
   test("array_reduce UDAFs plan two-phase (partial + final) aggregation") {
     val df = SparkEntry.queries("q_array_sum_int")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString()
