@@ -18,7 +18,10 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
   * binary schema, typed Dataset encoding, partition-local batching via
   * `mapPartitions` (the Scala analogue of arrow-batched `mapInPandas`),
   * metadata structs, downstream relational ops — is identical for both
-  * tiers; extending to audio/video means adding a codec, not a pipeline.
+  * tiers; extending to a new modality means adding a codec, not a pipeline
+  * — demonstrated by the audio tier ([[WavCodec]]: a real RIFF/WAVE parser,
+  * with a headerless raw-PCM16 fallback so the synthetic corpus flows
+  * through the same path).
   *
   * Scale notes: decode is embarrassingly parallel and partition-local (no
   * shuffle); binary payloads stay off the driver; at 100 TB the only knobs
@@ -290,5 +293,126 @@ object Multimodal {
     typed.flatMap(item => StubCodec.frameOffsets(item.payload, stride)
         .map(off => (item.item_id, off)))
       .toDF("item_id", "frame_offset")
+  }
+
+  // --- audio tier: same pipeline, different codec (see object scaladoc) ---
+
+  /** Typed metadata for a parsed audio payload. */
+  case class AudioMeta(sample_rate: Int, channels: Int, bits: Int,
+      n_frames: Long, format: String)
+
+  case class AudioFeatures(item_id: Long, n_samples: Long, pcm_sum: Long,
+      sum_sq: Long, zero_crossings: Long, rms: Double)
+
+  /** Real RIFF/WAVE parser — pure JVM byte reads, no libraries (canonical
+    * PCM layout: RIFF + WAVE + 'fmt ' chunk + chunk scan to 'data').
+    * Returns (meta, dataOffset, dataLength) or None for anything that
+    * isn't a PCM WAV; [[audioFeatures]] then falls back to the headerless
+    * raw-PCM16LE interpretation, so the pipeline stays total exactly like
+    * [[decodeAuto]]'s image tiers.
+    */
+  object WavCodec {
+    def parse(p: Array[Byte]): Option[(AudioMeta, Int, Int)] = {
+      def u8(i: Int): Int = p(i) & 0xff
+      def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def u32(i: Int): Long = u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      def tag(i: Int, s: String): Boolean =
+        p.length >= i + 4 && s.indices.forall(j => p(i + j) == s(j).toByte)
+      if (p.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE") ||
+        !tag(12, "fmt ")) return None
+      val fmtSize = u32(16).toInt
+      val audioFormat = u16(20)
+      val channels = u16(22)
+      val rate = u32(24)
+      val bits = u16(34)
+      if (audioFormat != 1 || channels <= 0 || bits % 8 != 0 || bits == 0)
+        return None
+      // chunk scan to 'data' (fmt may be followed by LIST/fact/etc.)
+      var off = 20 + fmtSize
+      var found = -1
+      var guard = 0
+      while (found < 0 && off + 8 <= p.length && guard < 64) {
+        val sz = u32(off + 4)
+        if (tag(off, "data")) found = off
+        else off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        guard += 1
+      }
+      if (found < 0) return None
+      val dataLen = math.min(u32(found + 4), (p.length - found - 8).toLong).toInt
+      val frame = channels * (bits / 8)
+      Some((AudioMeta(rate.toInt, channels, bits, dataLen.toLong / frame,
+        "wav/pcm"), found + 8, dataLen))
+    }
+  }
+
+  /** Parsed-WAV metadata table: (item_id, n_bytes, sample_rate, channels,
+    * bits, n_frames, real_parse) — non-WAV payloads get n_frames from the
+    * raw-PCM16 fallback and real_parse = false.
+    */
+  def decodeAudio(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = df.select(col(idCol).cast("long").as("item_id"),
+      col(binCol).as("payload")).as[BinaryItem]
+    typed.mapPartitions { it =>
+      it.map { item =>
+        WavCodec.parse(item.payload) match {
+          case Some((m, _, _)) => (item.item_id, item.payload.length.toLong,
+            m.sample_rate, m.channels, m.bits, m.n_frames, true)
+          case None => (item.item_id, item.payload.length.toLong,
+            0, 1, 16, item.payload.length.toLong / 2, false)
+        }
+      }
+    }.toDF("item_id", "n_bytes", "sample_rate", "channels", "bits",
+      "n_frames", "real_parse")
+  }
+
+  /** Audio features over int16 little-endian PCM: a real WAV's data chunk
+    * when the RIFF parse succeeds, the whole payload as headerless PCM16
+    * otherwise. Emits per item:
+    *  - `n_samples`, `pcm_sum` (DC component), `sum_sq` — exact in int64;
+    *  - `zero_crossings` counted after integer-exact DC removal (the sign
+    *    of `x_i*n - sum` — the bias-removed ZCR, no FP in the comparison);
+    *  - `rms = sqrt(sum_sq/n)` — one IEEE op on exact integers, identical
+    *    in any engine (the DuckDB oracle replays all five values).
+    * Items with no full sample (0-1 bytes) emit no row. One partition-local
+    * pass, no shuffle; payloads never visit the driver.
+    */
+  def audioFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = df.select(col(idCol).cast("long").as("item_id"),
+      col(binCol).as("payload")).as[BinaryItem]
+    implicit val enc = Encoders.product[AudioFeatures]
+    typed.mapPartitions { it =>
+      it.flatMap { item =>
+        val (off, len) = WavCodec.parse(item.payload)
+          .map { case (_, o, l) => (o, l) }
+          .getOrElse((0, item.payload.length))
+        val n = len / 2
+        if (n == 0) None
+        else {
+          val xs = new Array[Int](n)
+          var i = 0; var sum = 0L; var ss = 0L
+          while (i < n) {
+            val lo = item.payload(off + 2 * i) & 0xff
+            val hi = item.payload(off + 2 * i + 1)
+            val x = (lo | (hi << 8)).toShort.toInt
+            xs(i) = x; sum += x; ss += x.toLong * x
+            i += 1
+          }
+          var zc = 0L
+          i = 1
+          while (i < n) {
+            if ((xs(i - 1).toLong * n - sum >= 0) !=
+              (xs(i).toLong * n - sum >= 0)) zc += 1
+            i += 1
+          }
+          Some(AudioFeatures(item.item_id, n.toLong, sum, ss, zc,
+            math.sqrt(ss.toDouble / n)))
+        }
+      }
+    }.toDF()
   }
 }

@@ -113,6 +113,19 @@ object StreamQueries {
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       Multimodal.imageFeatures(docsBin, "doc_id", "payload")
     }),
+
+    // --- audio tier: none of the synthetic payloads carry a RIFF header,
+    // so every row takes the headerless raw-PCM16LE interpretation — which
+    // the oracle replays sample-for-sample (int16 LE pairs from ASCII byte
+    // codes; pcm_sum/sum_sq/DC-removed zero crossings all integer-exact,
+    // rms one IEEE sqrt on exact integers). The real RIFF/WAVE parse is
+    // spec-tested with in-process WAVs (MultimodalSpec). ---
+    "q_multimodal_audio" -> ((s, d) => {
+      Tables.load(s, d)
+      val docsBin = s.table("documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.audioFeatures(docsBin, "doc_id", "payload")
+    }),
   )
 
   /** DuckDB mean of byte codes over the 0-based half-open slice [lo, hi) of
@@ -236,6 +249,31 @@ object StreamQueries {
          |       $grid
          |FROM t""".stripMargin
     },
+
+    // raw-PCM16LE replay: sample i (1-based) = c(2i-1) + 256*c(2i) over
+    // ASCII byte codes (always < 32768 for ASCII, so no sign wrap on this
+    // corpus); zero crossings compare the sign of the integer-exact
+    // DC-removed value x*n - sum
+    "q_multimodal_audio" ->
+      """WITH s AS (
+        |  SELECT doc_id, text, (length(text) // 2)::BIGINT AS n FROM documents),
+        |samp AS (
+        |  SELECT doc_id, n,
+        |         list_transform(range(1, (n + 1)::INTEGER), i ->
+        |           ascii(substr(text, (2*i - 1)::INTEGER, 1))
+        |           + 256 * ascii(substr(text, (2*i)::INTEGER, 1))) AS xs
+        |  FROM s WHERE n > 0),
+        |agg AS (
+        |  SELECT doc_id, n, xs,
+        |         list_sum(xs)::BIGINT AS pcm_sum,
+        |         list_sum(list_transform(xs, x -> x::BIGINT * x))::BIGINT AS sum_sq
+        |  FROM samp)
+        |SELECT doc_id AS item_id, n AS n_samples, pcm_sum, sum_sq,
+        |       len(list_filter(range(2, (n + 1)::INTEGER), i ->
+        |         ((xs[i]::BIGINT * n - pcm_sum) >= 0)
+        |          != ((xs[i-1]::BIGINT * n - pcm_sum) >= 0)))::BIGINT AS zero_crossings,
+        |       sqrt(sum_sq::DOUBLE / n::DOUBLE) AS rms
+        |FROM agg""".stripMargin,
 
     "q_multimodal_resize" ->
       """SELECT doc_id AS item_id,

@@ -104,4 +104,52 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("item_id").collect().map(_.getLong(1))
     assert(got.toSeq == Seq(3L, 1L)) // 130→offsets 0,64,128; 64→offset 0
   }
+
+  /** Canonical 44-byte PCM WAV around the given int16 mono samples. */
+  private def wav(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(rate); bb.putInt(rate * 2); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("decodeAudio: real WAV header parsed through the distributed path") {
+    val sine = Array.tabulate[Short](64)(i =>
+      (math.sin(i * math.Pi / 8) * 1000).toShort)
+    val df = Seq((1L, wav(16000, sine)), (2L, "not a wav at all".getBytes))
+      .toDF("id", "payload")
+    val got = Multimodal.decodeAudio(df, "id", "payload")
+      .orderBy("item_id").collect()
+    assert(got(0).getInt(2) == 16000 && got(0).getInt(3) == 1 &&
+      got(0).getInt(4) == 16 && got(0).getLong(5) == 64L &&
+      got(0).getBoolean(6), "real WAV: rate/channels/bits/frames parsed")
+    assert(!got(1).getBoolean(6) && got(1).getLong(5) == 8L,
+      "non-WAV falls back to raw-PCM16 frame count")
+  }
+
+  test("audioFeatures: exact PCM math; WAV wrapper and raw payload agree") {
+    // alternating ±1000: sum 0, sum_sq 4e6·n/ n... per-sample square 1e6
+    val pcm = Array[Short](1000, -1000, 1000, -1000)
+    val raw = {
+      val bb = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      pcm.foreach(bb.putShort); bb.array()
+    }
+    val df = Seq((1L, wav(8000, pcm)), (2L, raw)).toDF("id", "payload")
+    val got = Multimodal.audioFeatures(df, "id", "payload")
+      .orderBy("item_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    // WAV data chunk and headerless payload carry the same samples →
+    // identical features (the parse isolates the data chunk correctly)
+    assert(got(0) == got(1))
+    assert(got(0) == ((4L, 0L, 4000000L, 3L, 1000.0)))
+  }
 }
