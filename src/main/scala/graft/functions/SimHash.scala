@@ -88,11 +88,36 @@ object SimHash {
   def simhash64(tokens: Column): Column =
     GraftShim.column(SimHash(GraftShim.expression(tokens)))
 
-  /** Register `simhash64` + `rolling_hash64` for SQL use in this session. */
+  /** Column-level scalar: engine-free FNV-1a 64-bit of a string (the hash
+    * under simhash/rolling-hash/count-min; exposed for bucket/partition
+    * derivations that must match those sketches).
+    */
+  def fnv64(s: Column): Column =
+    GraftShim.column(Fnv64(GraftShim.expression(s)))
+
+  /** Register `simhash64` + `rolling_hash64` + `fnv64` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     GraftShim.registerFunction(spark, "simhash64", exprs => SimHash(exprs.head))
     GraftShim.registerFunction(spark, "rolling_hash64", exprs => RollingHash(exprs.head))
+    GraftShim.registerFunction(spark, "fnv64", exprs => Fnv64(exprs.head))
   }
+}
+
+/** Catalyst expression: `fnv64(string) -> long` (codegen'd static call,
+  * same tier as [[SimHash]]).
+  */
+case class Fnv64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fnv64"
+
+  override def nullSafeEval(v: Any): Any =
+    SimHashUtil.hash64(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashUtil.hash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 object RollingHashUtil {

@@ -99,6 +99,22 @@ object PipelineQueries {
           |LATERAL VIEW posexplode(tk) AS pos, t""".stripMargin)
     }),
 
+    // --- Count-Min sketch point estimates: 3 distinct keys over a 3x64
+    // sketch — no key pair collides in every row (checkable, and the spec
+    // pins the never-underestimate + merge guarantees), so the estimates
+    // are exact and the oracle checks them against plain GROUP BY counts;
+    // the approximate regime is bound-tested in SketchSpec ---
+    "q_approx_countmin" -> ((s, d) => {
+      Tables.load(s, d)
+      val sk = s.table("lineitem")
+        .agg(expr("count_min_3x64(l_returnflag)").as("sk"))
+      val keys = s.table("lineitem").select(col("l_returnflag").as("k")).distinct()
+      keys.crossJoin(broadcast(sk))
+        .select(col("k"),
+          graft.functions.CountMin.estimateCol(col("sk"), col("k"), 3, 64)
+            .as("est_n"))
+    }),
+
     // --- exact dedup on canonicalized word-set key (oracle-checked) ---
     "q_dedup_exact" -> ((s, d) => Dedup.exactGroups(
       docs(s, d), col("doc_id"),
@@ -312,6 +328,11 @@ object PipelineQueries {
     "q_dedup_minhash_md5" -> Dedup.minhashOracleSql(),
     "q_dedup_fuzzy" -> Dedup.fuzzyOracleSql(),
     "q_text_entropy" -> TextAnalysis.entropyOracleSql(),
+
+    // exact regime: estimates == true counts (see the query's comment)
+    "q_approx_countmin" ->
+      """SELECT l_returnflag AS k, count(*) AS est_n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_text_rolling_fp_mod" -> TextAnalysis.rollingFpOracleSql(),
     "q_dedup_simhash_md5" -> Dedup.simhashOracleSql(),
     "q_embed_neardup_md5" -> Similarity.nearDupOracleSql(threshold = 0.4),

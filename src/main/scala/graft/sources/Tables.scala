@@ -45,6 +45,7 @@ object Tables {
       graft.functions.ArrayReduceAgg.register(spark)
       graft.functions.SimHash.register(spark)
       graft.functions.ApproxTopK.register(spark)
+      graft.functions.CountMin.register(spark)
       names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
       // only mark loaded after full success — a partial registration (e.g.
       // transient IO failure on one parquet footer) must be retried, not

@@ -69,4 +69,57 @@ class SketchSpec extends SparkSpec {
       assert(trueCounts(v) - c <= bound, s"$v undercounted beyond bound: $c")
     }
   }
+
+  test("CountMin: never underestimates; exact in the sparse regime") {
+    import spark.implicits._
+    import graft.functions.CountMin
+    // 200 distinct keys >> width 16: collisions guaranteed → estimates may
+    // exceed truth but NEVER fall below it (the CMS guarantee)
+    val rnd = new scala.util.Random(11)
+    val values = Seq.fill(5000)(s"k${rnd.nextInt(200)}")
+    val df = values.toDF("v")
+    graft.functions.CountMin.register(spark, Seq((3, 16), (3, 64)))
+    val sk = df.agg(expr("count_min_3x16(v)")).collect()(0).getSeq[Long](0)
+    val trueCounts = values.groupBy(identity).view.mapValues(_.size.toLong)
+    trueCounts.foreach { case (v, n) =>
+      val est = CountMin.estimate(sk, v, 3, 16)
+      assert(est >= n, s"$v underestimated: $est < $n")
+    }
+    // sparse regime (3 distinct << 64 wide): exact unless all 3 rows
+    // collide — and for these keys they don't, so estimates are equal
+    val sparse = Seq("a", "a", "b", "c", "c", "c").toDF("v")
+    val sk2 = sparse.agg(expr("count_min_3x64(v)")).collect()(0).getSeq[Long](0)
+    assert(CountMin.estimate(sk2, "a", 3, 64) == 2L)
+    assert(CountMin.estimate(sk2, "b", 3, 64) == 1L)
+    assert(CountMin.estimate(sk2, "c", 3, 64) == 3L)
+  }
+
+  test("CountMin: sketch is partition-layout invariant (mergeable monoid)") {
+    import spark.implicits._
+    val values = (1 to 2000).map(i => s"k${i % 37}")
+    graft.functions.CountMin.register(spark, Seq((3, 64)))
+    val sketches = Seq(1, 7, 32).map { parts =>
+      values.toDF("v").repartition(parts)
+        .agg(expr("count_min_3x64(v)")).collect()(0).getSeq[Long](0)
+    }
+    assert(sketches.distinct.size == 1,
+      "merge order must not change the counters (element-wise sum)")
+  }
+
+  test("CountMin: SQL estimateCol replays the JVM bucket math exactly") {
+    import spark.implicits._
+    import graft.functions.CountMin
+    val keys = (1 to 100).map(i => s"key-$i%weird charsé$i")
+    val df = keys.toDF("v")
+    graft.functions.CountMin.register(spark, Seq((4, 23))) // non-power-of-2
+    val skRow = df.agg(expr("count_min_4x23(v)").as("sk"))
+    val viaSql = keys.toDF("k").crossJoin(broadcast(skRow))
+      .select(col("k"), CountMin.estimateCol(col("sk"), col("k"), 4, 23).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sk = skRow.collect()(0).getSeq[Long](0)
+    keys.foreach { k =>
+      assert(viaSql(k) == CountMin.estimate(sk, k, 4, 23),
+        s"SQL and JVM estimates diverge for $k")
+    }
+  }
 }
