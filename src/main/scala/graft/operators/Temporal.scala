@@ -49,6 +49,28 @@ object Temporal {
       .drop("__side")
   }
 
+  /** [[asofJoin]] with a match-window bound (pandas `merge_asof
+    * tolerance`): the matched right row must additionally satisfy
+    * `left.timeCol - right.timeCol <= tolerance` — stale quotes/events
+    * older than the window do NOT carry forward. Composed on top of
+    * [[asofJoin]] by filling the right row's own timestamp alongside the
+    * values and nulling the values where it falls outside the window —
+    * same single keyed-window shuffle, no extra join.
+    */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, by: Seq[String],
+      timeCol: String, valueCols: Seq[String], tolerance: String,
+      suffix: String = "_asof"): DataFrame = {
+    val rts = "__rts"
+    require(!left.columns.contains(rts + suffix), s"column $rts$suffix reserved")
+    val joined = asofJoin(left, right.withColumn(rts, col(timeCol)),
+      by, timeCol, valueCols :+ rts, suffix)
+    val inWindow = col(rts + suffix).isNotNull &&
+      col(timeCol) <= col(rts + suffix) + expr(s"INTERVAL $tolerance")
+    valueCols.map(_ + suffix).foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(inWindow, col(c)))
+    }.drop(rts + suffix)
+  }
+
   /** Forward as-of join: for every left row, attach `valueCols` from the
     * EARLIEST right row with the same `by` keys and
     * `right.timeCol >= left.timeCol` (next-event semantics — "the purchase

@@ -79,6 +79,21 @@ object StreamQueries {
         valueCols = Seq("pval"))
     }),
 
+    // --- as-of with a staleness bound: matches older than 30 minutes are
+    // nulled (pandas merge_asof tolerance; oracle post-filters DuckDB's
+    // ASOF JOIN on the matched right timestamp) ---
+    "q_asof_join_tol" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pval"))
+      graft.operators.Temporal.asofJoinTolerance(
+        clicks, purchases, by = Seq("user_id"), timeCol = "ts",
+        valueCols = Seq("pval"), tolerance = "30 MINUTE")
+    }),
+
     "q_multimodal_meta" -> ((s, d) => {
       Tables.load(s, d)
       val docsBin = s.table("documents")
@@ -212,6 +227,17 @@ object StreamQueries {
         |SELECT l.event_id, l.user_id, l.ts, r.pval AS pval_next
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
+
+    "q_asof_join_tol" ->
+      """WITH l AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts::TIMESTAMP AS ts, max(value) AS pval FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts,
+        |       CASE WHEN l.ts <= r.ts + INTERVAL 30 MINUTE THEN r.pval END
+        |         AS pval_asof
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
     // the stub codec's arithmetic re-expressed over the (all-ASCII) text:
     // byte i == ascii(char i+1)

@@ -25,6 +25,25 @@ class TemporalSpec extends SparkSpec {
       (4L, None)))      // user 200's purchase is later
   }
 
+  test("asofJoinTolerance: stale matches nulled, window boundary inclusive") {
+    val left = Seq((1L, 100L, ts(5)), (2L, 100L, ts(15)), (3L, 100L, ts(30)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, ts(5), 1.5)).toDF("user_id", "ts", "pval")
+
+    val got = Temporal.asofJoinTolerance(left, right, Seq("user_id"), "ts",
+      Seq("pval"), tolerance = "10 MINUTE")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(r.fieldIndex("pval_asof")))))
+
+    assert(got.toSeq == Seq(
+      (1L, Some(1.5)),  // exact-time match
+      (2L, Some(1.5)),  // 10 minutes later: boundary is inclusive
+      (3L, None)))      // 25 minutes later: stale, nulled
+    // the helper column must not leak into the output
+    assert(!Temporal.asofJoinTolerance(left, right, Seq("user_id"), "ts",
+      Seq("pval"), "10 MINUTE").columns.exists(_.contains("__rts")))
+  }
+
   test("asofJoinForward: earliest later right row, inclusive ties, null after last") {
     val left = Seq((1L, 100L, ts(5)), (2L, 100L, ts(15)), (3L, 100L, ts(2)),
       (4L, 200L, ts(30))).toDF("event_id", "user_id", "ts")
