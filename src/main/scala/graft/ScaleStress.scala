@@ -74,6 +74,10 @@ object ScaleStress {
       Similarity.knnPq(e1, "vec_id", "embedding", 0L, 10).count())
     time("knn pq 10x (20k vecs)")(
       Similarity.knnPq(e10, "vec_id", "embedding", 0L, 10).count())
+    time("neardup-auto 1x")(
+      Similarity.nearDupPairsAuto(e1, "vec_id", "embedding", 0.4).count())
+    time("neardup-auto 10x")(
+      Similarity.nearDupPairsAuto(e10, "vec_id", "embedding", 0.4).count())
     time("fuzzy-levenshtein 1x")(
       Dedup.fuzzyPairs(d1, "doc_id", "text").count())
     time("fuzzy-levenshtein 10x")(

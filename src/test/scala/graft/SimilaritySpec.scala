@@ -141,6 +141,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("qid", "vec_id", "score", "rank"))
   }
 
+  test("sizeBits: log-growth sizing rule, clamped") {
+    import graft.operators.Similarity.sizeBits
+    assert(sizeBits(100, 256) == 4)          // below target → min clamp
+    assert(sizeBits(256 * 64, 256) == 6)     // 64 buckets → 6 bits
+    assert(sizeBits(256L * (1L << 30), 256) == 24) // max clamp
+    // 10x the corpus adds ~log2(10) ≈ 3-4 bits — occupancy stays constant
+    val b1 = sizeBits(2000, 256)
+    val b10 = sizeBits(20000, 256)
+    assert(b10 - b1 >= 3 && b10 - b1 <= 4)
+  }
+
+  test("nearDupPairsAuto: subset of brute-force pairs, threshold respected") {
+    import graft.operators.Similarity
+    val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.4, bits = 0, maxBucket = Int.MaxValue) // 1 bucket = all pairs
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Similarity.nearDupPairsAuto(emb, "vec_id", "embedding",
+      threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.subsetOf(exact), "LSH candidates are exact-verified")
+  }
+
   test("knnQuantized: int8 ranking agrees closely with full-precision") {
     val exact = Similarity.knnBrute(emb, "vec_id", "embedding", 0L, 10)
       .collect().map(_.getLong(0)).toSet
