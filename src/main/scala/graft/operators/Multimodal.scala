@@ -357,11 +357,12 @@ object Multimodal {
       col(binCol).as("payload")).as[BinaryItem]
     typed.mapPartitions { it =>
       it.map { item =>
-        WavCodec.parse(item.payload) match {
-          case Some((m, _, _)) => (item.item_id, item.payload.length.toLong,
+        val p = if (item.payload == null) Array.emptyByteArray else item.payload
+        WavCodec.parse(p) match {
+          case Some((m, _, _)) => (item.item_id, p.length.toLong,
             m.sample_rate, m.channels, m.bits, m.n_frames, true)
-          case None => (item.item_id, item.payload.length.toLong,
-            0, 1, 16, item.payload.length.toLong / 2, false)
+          case None => (item.item_id, p.length.toLong,
+            0, 1, 16, p.length.toLong / 2, false)
         }
       }
     }.toDF("item_id", "n_bytes", "sample_rate", "channels", "bits",
@@ -387,9 +388,12 @@ object Multimodal {
     implicit val enc = Encoders.product[AudioFeatures]
     typed.mapPartitions { it =>
       it.flatMap { item =>
-        val (off, len) = WavCodec.parse(item.payload)
-          .map { case (_, o, l) => (o, l) }
-          .getOrElse((0, item.payload.length))
+        // null payloads (null binary column) emit no row, like empty ones
+        val (off, len) =
+          if (item.payload == null) (0, 0)
+          else WavCodec.parse(item.payload)
+            .map { case (_, o, l) => (o, l) }
+            .getOrElse((0, item.payload.length))
         val n = len / 2
         if (n == 0) None
         else {

@@ -134,6 +134,13 @@ class MultimodalSpec extends SparkSpec {
       "non-WAV falls back to raw-PCM16 frame count")
   }
 
+  test("audio: null and sub-sample payloads emit no feature row, no crash") {
+    val df = Seq((1L, null.asInstanceOf[Array[Byte]]), (2L, Array[Byte](7)))
+      .toDF("id", "payload")
+    assert(Multimodal.audioFeatures(df, "id", "payload").count() == 0L)
+    assert(Multimodal.decodeAudio(df, "id", "payload").count() == 2L)
+  }
+
   test("audioFeatures: exact PCM math; WAV wrapper and raw payload agree") {
     // alternating ±1000: sum 0, sum_sq 4e6·n/ n... per-sample square 1e6
     val pcm = Array[Short](1000, -1000, 1000, -1000)
