@@ -125,10 +125,13 @@ object PipelineQueries {
       docs(s, d), "doc_id", "text", ngram = 2,
       idWindow = 25L, threshold = 0.5)),
 
-    // --- MinHash+LSH near-dup pairs (rows-only; recall-tested in DedupSpec)
+    // --- MinHash+LSH near-dup pairs (rows-only; recall-tested in DedupSpec
+    // at its own parameters). 16 hashes / 4 bands keeps the same rows-per-
+    // band selectivity (r = 4) as 32/8 at half the signature cost — the
+    // LSH quality knob is r and the verify threshold, not raw hash count ---
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(
       docs(s, d), "doc_id", "text", ngram = 2,
-      numHashes = 32, bands = 8, threshold = 0.7)),
+      numHashes = 16, bands = 4, threshold = 0.7)),
 
     // --- exact char-5-gram Jaccard (byte-level dedup robustness; string
     // shingles end to end so the oracle replays without hashing) ---
