@@ -81,16 +81,35 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     Scale.writeBucketed(os.withColumnRenamed("o_orderkey", "l_orderkey"),
       "os_bucketed", "l_orderkey", 8)
 
-    val joined = spark.table("li_bucketed")
-      .join(spark.table("os_bucketed"), "l_orderkey")
-    joined.count() // materialize so AQE finalizes the plan
-    val exec = joined.queryExecution.executedPlan
-    val shuffles = collectWithSubqueries(exec) { case s: ShuffleExchangeExec => s }
-    assert(shuffles.isEmpty,
-      s"bucketed join should be shuffle-free, found: ${shuffles.size} exchanges")
+    // force the big-big regime: at test scale the planner would broadcast
+    // the small side (also shuffle-free, but it would pass this test
+    // WITHOUT using the bucket layout) — disabling broadcast makes the
+    // sort-merge join the only option, so a pass proves the on-disk
+    // bucketing supplied the join partitioning, exactly the 100 TB path
+    val savedThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("os_bucketed"), "l_orderkey")
+      joined.count() // materialize so AQE finalizes the plan
+      val exec = joined.queryExecution.executedPlan
+      val shuffles = collectWithSubqueries(exec) { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty,
+        s"bucketed join should be shuffle-free, found: ${shuffles.size} exchanges")
+      val smj = collectWithSubqueries(exec) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, "expected the bucket-aligned sort-merge join path")
 
-    // and it returns the same rows as the unbucketed join
-    assert(joined.count() ==
-      li.join(os, li("l_orderkey") === os("o_orderkey")).count())
+      // and it returns the same rows as the unbucketed join
+      assert(joined.count() ==
+        li.join(os, li("l_orderkey") === os("o_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThresh)
+      savedAqe.foreach(v =>
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v))
+    }
   }
 }
