@@ -185,6 +185,107 @@ object TextAnalysis {
        |         c -> -(c::DOUBLE / n) * log2(c::DOUBLE / n))), 6) AS entropy
        |FROM agg""".stripMargin
 
+  /** Gopher-style repetition signals per document (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from Training
+    * Gopher", App. A1.1 repetition filters): the fraction of word n-grams
+    * that are duplicates of an earlier one, and the share taken by the
+    * single most frequent n-gram. High values flag boilerplate/spam docs
+    * that slip past length/punctuation quality gates. Distributed shape:
+    * explode → two codegen'd hash aggregates keyed on (doc, gram) then
+    * (doc) — map-side partial aggregation, no per-doc quadratic HOF, no
+    * driver state; at 100 TB it is the same shuffle as any token count.
+    * Emits (doc_id, n_grams, n_distinct, dup_frac, top_frac) for docs with
+    * >= n tokens; fractions rounded to 6 dp for cross-engine comparison
+    * (same tolerance as [[tokenEntropy]]).
+    */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(wordNgrams(col("toks"), n)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double")
+          / col("n_grams").cast("double"), 6).as("dup_frac"),
+        round(col("top_c").cast("double")
+          / col("n_grams").cast("double"), 6).as("top_frac"))
+
+  /** DuckDB SQL replaying [[repetitionStats]] value-for-value. */
+  def repetitionOracleSql(n: Int = 3, table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text"): String = {
+    val gram = (1 to n).map(j => s"toks[i + ${j - 1}]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT $idCol AS doc_id,
+       |         CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(lower($textCol)), '\\s+') END AS toks
+       |  FROM $table),
+       |grams AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(toks) - ${n - 2}), i -> $gram)) AS g
+       |  FROM toks WHERE len(toks) >= $n),
+       |counts AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM grams GROUP BY doc_id, g)
+       |SELECT doc_id, sum(c)::BIGINT AS n_grams, count(*)::BIGINT AS n_distinct,
+       |       round(1 - count(*)::DOUBLE / sum(c)::DOUBLE, 6) AS dup_frac,
+       |       round(max(c)::DOUBLE / sum(c)::DOUBLE, 6) AS top_frac
+       |FROM counts GROUP BY doc_id""".stripMargin
+  }
+
+  /** Benchmark decontamination: per (document, probe) pair, the number of
+    * distinct word n-grams of the probe ("benchmark") document found
+    * verbatim in the training document — the standard n-gram-overlap
+    * contamination check run before training (e.g. GPT-3's 13-gram scan,
+    * Brown et al. 2020 App. C). Probe sets are benchmark-sized (thousands
+    * of docs), so their exploded distinct-gram table is broadcast and the
+    * corpus side never shuffles: one scan of the 100 TB side, a broadcast
+    * hash join on the gram, then a map-side-combined count per pair. For
+    * probe sets too large to broadcast, drop the hint and the same plan
+    * degrades to a shuffle join — shape unchanged. Returns
+    * (doc_id, probe_id, shared_ngrams), only pairs with >= 1 shared gram.
+    */
+  def contamination(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, probes: org.apache.spark.sql.DataFrame,
+      probeIdCol: String, probeTextCol: String,
+      n: Int = 5): org.apache.spark.sql.DataFrame = {
+    def grams(df: org.apache.spark.sql.DataFrame, id: String, text: String,
+        outId: String) =
+      df.select(col(id).as(outId), tokens(col(text)).as("toks"))
+        .where(size(col("toks")) >= n)
+        .select(col(outId),
+          explode(array_distinct(wordNgrams(col("toks"), n))).as("g"))
+    grams(docs, idCol, textCol, "doc_id")
+      .join(broadcast(grams(probes, probeIdCol, probeTextCol, "probe_id")), "g")
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
+
+  /** DuckDB SQL replaying [[contamination]] for a probe set defined by a
+    * SQL predicate over the id (bound as `id` in the CTE; gate setup:
+    * every 20th doc plays the benchmark, the rest are the corpus).
+    */
+  def contaminationOracleSql(n: Int = 5, table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text",
+      probePred: String = "id % 20 = 0"): String = {
+    val gram = (1 to n).map(j => s"toks[i + ${j - 1}]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT $idCol AS id,
+       |         CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(lower($textCol)), '\\s+') END AS toks
+       |  FROM $table),
+       |grams AS (
+       |  SELECT id, unnest(list_distinct(
+       |           list_transform(range(1, len(toks) - ${n - 2}), i -> $gram))) AS g
+       |  FROM toks WHERE len(toks) >= $n),
+       |docs AS (SELECT id AS doc_id, g FROM grams WHERE NOT ($probePred)),
+       |probes AS (SELECT id AS probe_id, g FROM grams WHERE $probePred)
+       |SELECT doc_id, probe_id, count(*)::BIGINT AS shared_ngrams
+       |FROM docs JOIN probes USING (g)
+       |GROUP BY doc_id, probe_id""".stripMargin
+  }
+
   /** Per-language marker-word profiles for the language-ID heuristic.
     * Tiny on purpose: broadcast as literal arrays into codegen.
     */

@@ -60,6 +60,20 @@ object PipelineQueries {
     "q_text_entropy" -> ((s, d) =>
       TextAnalysis.tokenEntropy(docs(s, d), "doc_id", "text")),
 
+    // --- Gopher-style repetition filter signals (oracle-checked) ---
+    "q_text_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats(docs(s, d), "doc_id", "text", n = 3)),
+
+    // --- benchmark decontamination: 4-gram overlap counts between the
+    // corpus and a probe ("benchmark") slice — every 20th doc plays the
+    // benchmark (oracle-checked) ---
+    "q_text_contamination" -> ((s, d) => {
+      val all = docs(s, d)
+      TextAnalysis.contamination(
+        all.where(col("doc_id") % 20 =!= 0), "doc_id", "text",
+        all.where(col("doc_id") % 20 === 0), "doc_id", "text", n = 4)
+    }),
+
     // --- language ID heuristic + confusion counts vs the labeled column ---
     "q_text_langid" -> ((s, d) => docs(s, d)
       .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
@@ -331,6 +345,8 @@ object PipelineQueries {
     "q_dedup_minhash_md5" -> Dedup.minhashOracleSql(),
     "q_dedup_fuzzy" -> Dedup.fuzzyOracleSql(),
     "q_text_entropy" -> TextAnalysis.entropyOracleSql(),
+    "q_text_repetition" -> TextAnalysis.repetitionOracleSql(n = 3),
+    "q_text_contamination" -> TextAnalysis.contaminationOracleSql(n = 4),
 
     // exact regime: estimates == true counts (see the query's comment)
     "q_approx_countmin" ->

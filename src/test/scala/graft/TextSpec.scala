@@ -101,6 +101,43 @@ class TextSpec extends SparkSpec {
     assert(one("zzz qqq xxx", TextAnalysis.langId(col("text"))) == "und")
   }
 
+  test("repetitionStats: duplicate and top n-gram fractions") {
+    val df = Seq(
+      (1L, "a b a b a b"),      // 3-grams: aba, bab, aba, bab → dup 0.5, top 0.5
+      (2L, "w x y z"),          // 2 distinct 3-grams → dup 0, top 0.5
+      (3L, "s s s s s"),        // one gram repeated 3x → dup 2/3, top 1
+      (4L, "a b")               // < 3 tokens → no row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((4L, 2L, 0.5, 0.5)))
+    assert(got(2L) == ((2L, 2L, 0.0, 0.5)))
+    assert(got(3L) == ((3L, 1L, 0.666667, 1.0)))
+  }
+
+  test("contamination: shared distinct n-grams, probe side broadcast") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "the quick brown fox sleeps")
+    ).toDF("doc_id", "text")
+    val probes = Seq(
+      (100L, "the quick brown fox jumps high"),
+      (101L, "entirely unrelated benchmark text here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.contamination(
+      corpus, "doc_id", "text", probes, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 1 shares "the quick brown fox" + "quick brown fox jumps" with probe 100
+    assert(got((1L, 100L)) == 2L)
+    // doc 3 shares only "the quick brown fox"
+    assert(got((3L, 100L)) == 1L)
+    // nothing else overlaps
+    assert(got.size == 2)
+  }
+
   test("portableRollingFp: order-sensitive, deterministic, empty → 0") {
     def fp(s: String): Long =
       one(s, TextAnalysis.portableRollingFp(TextAnalysis.tokens(col("text"))))
