@@ -31,6 +31,18 @@ object StreamQueries {
     "q_stream_session" -> ((s, d) =>
       EventStreams.sessionize(events(s, d), "30 minutes")),
 
+    // the reference's monoid UDAF as a windowed event-time aggregate
+    // (element-wise array sum per 15-minute window); dump explodes the
+    // result array per the driver's scalar-columns contract
+    "q_stream_reduce" -> ((s, d) => {
+      val ev = events(s, d).select(col("ts"),
+        array(col("event_id") % 5, col("user_id") % 7, lit(1L)).as("arr"))
+      EventStreams.tumblingArrayReduce(ev, "15 minutes", col("arr"))
+        .select(col("win_start"), posexplode(col("red")))
+        .select(col("win_start"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("red"))
+    }),
+
     // the custom flatMapGroupsWithState sessionizer, run in batch mode —
     // deterministic, so it goes through the DuckDB gate like any operator
     "q_stream_stateful_sessions" -> ((s, d) => {
@@ -158,6 +170,18 @@ object StreamQueries {
         |       make_timestamp((epoch_us(ts) // 900000000) * 900000000 + 900000000) AS win_end,
         |       event_type, count(*) AS n, min(value) AS mn, max(value) AS mx
         |FROM t GROUP BY 1, 2, 3""".stripMargin,
+
+    // element-wise window reduce = per-(window, position) sum
+    "q_stream_reduce" ->
+      """WITH t AS (SELECT ts::TIMESTAMP AS ts,
+        |                  event_id % 5 AS a1, user_id % 7 AS a2,
+        |                  1::BIGINT AS a3 FROM events),
+        |u AS (SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS win_start,
+        |             unnest([a1, a2, a3]) AS v,
+        |             generate_subscripts([a1, a2, a3], 1) AS pos
+        |      FROM t)
+        |SELECT win_start, pos::BIGINT AS pos, sum(v)::BIGINT AS red
+        |FROM u GROUP BY win_start, pos""".stripMargin,
 
     "q_stream_sliding" ->
       """WITH t AS (SELECT ts::TIMESTAMP AS ts, event_type FROM events),

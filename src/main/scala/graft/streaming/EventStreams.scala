@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 
 /** Event-time processing over the `events` table, written as *unified*
   * transforms: each takes a DataFrame that may be a batch table or a
@@ -47,6 +47,30 @@ object EventStreams {
   def streamingTumblingStats(stream: DataFrame, width: String,
       watermark: String): DataFrame =
     tumblingStats(stream.withWatermark("ts", watermark), width)
+
+  /** The reference's monoid UDAF family as a windowed event-time aggregate:
+    * element-wise array reduction per tumbling window. The monoid contract
+    * (associative combine + identity — reference `src/monoid.rs:23-32`) is
+    * exactly what incremental window-state merging requires, so the SAME
+    * `Aggregator` runs unchanged here: per-micro-batch partial buffers fold
+    * into window state the way per-partition partials fold in batch.
+    * `reducer` is any registered `array_reduce_*` SQL name; `arr` is the
+    * array-valued expression to reduce.
+    */
+  def tumblingArrayReduce(events: DataFrame, width: String, arr: Column,
+      reducer: String = "array_reduce_sum_long"): DataFrame =
+    events.select(window(col("ts"), width).as("w"), arr.as("arr"))
+      .groupBy(col("w"))
+      .agg(call_udf(reducer, col("arr")).as("red"))
+      .select(col("w.start").as("win_start"), col("red"))
+
+  /** Streaming variant of [[tumblingArrayReduce]]: watermark-bounded window
+    * state, same UDAF merge path.
+    */
+  def streamingTumblingArrayReduce(stream: DataFrame, width: String,
+      watermark: String, arr: Column,
+      reducer: String = "array_reduce_sum_long"): DataFrame =
+    tumblingArrayReduce(stream.withWatermark("ts", watermark), width, arr, reducer)
 
   /** Streaming exact dedup: drops events whose key was already seen, with
     * state bounded by the event-time watermark

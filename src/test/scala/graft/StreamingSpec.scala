@@ -45,6 +45,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tumblingArrayReduce over a real stream equals batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.ArrayReduce.registerAll(spark)
+    val arr = array(col("user_id") % 3, col("value").cast("long"), lit(1L))
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = EventStreams.streamingTumblingArrayReduce(
+        stream, "15 minutes", "10 minutes", arr)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("reduce_out").start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("reduce_out")
+        .orderBy("win_start").collect().map(r => (r.get(0), r.getSeq[Long](1)))
+      val batch = EventStreams.tumblingArrayReduce(sampleDF, "15 minutes", arr)
+        .orderBy("win_start").collect().map(r => (r.get(0), r.getSeq[Long](1)))
+      assert(streamed.toSeq == batch.toSeq)
+      assert(batch.nonEmpty)
+      // element-wise sums, not row counts: first window holds rows
+      // (1,1.0),(1,2.0),(2,3.0) → [1+1+2, 1+2+3, 3] = [4,6,3]
+      assert(batch.head._2 == Seq(4L, 6L, 3L))
+    } finally q.stop()
+  }
+
   test("sessionize (session_window) in batch: gap semantics") {
     val got = EventStreams.sessionize(sampleDF, "10 minutes")
       .orderBy("user_id", "sess_start")
