@@ -72,6 +72,26 @@ object Scale {
       .saveAsTable(table)
   }
 
+  /** Export `df` as `n` hash-balanced training shards: shard =
+    * portable-md5(key) mod n, written as `shard=K` parquet partitions with
+    * the rows for each shard routed to one writer task (`repartition` on
+    * the shard column). The dataloader-facing layout step of a training
+    * pipeline: shard sizes concentrate at rows/n (multinomial — no
+    * single-reducer sort or global ntile pass), the assignment is a pure
+    * function of the key (retries, re-runs, and other engines place every
+    * row identically — same md5 recipe as the portable dedup tier), and
+    * the directory layout is self-describing. Returns the re-read frame.
+    */
+  def writeShards(df: DataFrame, path: String, keyCol: String,
+      n: Int): DataFrame = {
+    val sharded = df.withColumn("shard",
+      (conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+        .cast("long") % n).cast("int"))
+    sharded.repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   /** Materialize an intermediate to parquet and rescan it — the lifecycle
     * step for intermediates too large for executor-storage `persist`
     * (shingle/signature tables of a 100 TB dedup run). Unlike persist it

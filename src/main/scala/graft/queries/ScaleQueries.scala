@@ -58,6 +58,20 @@ object ScaleQueries {
           sum(col("l_quantity")).as("sum_qty"),
           sum(col("o_custkey")).as("sum_cust"))
     }),
+    // hash-balanced shard export: write orders as 8 parquet shards, read
+    // the layout back, report per-shard counts + key range. The oracle
+    // replays the md5 shard assignment, so the whole write→read lifecycle
+    // must preserve every row exactly to hash-match.
+    "q_scale_shards" -> ((s, d) => {
+      val back = Scale.writeShards(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+        "/tmp/graft_shards", "o_orderkey", n = 8)
+      back.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          min(col("o_orderkey")).as("key_min"),
+          max(col("o_orderkey")).as("key_max"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -71,6 +85,12 @@ object ScaleQueries {
     "q_scale_distinct" ->
       """SELECT l_returnflag AS key, count(DISTINCT l_partkey) AS n_distinct
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_scale_shards" ->
+      """SELECT (('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT % 8)::INTEGER AS shard,
+        |       count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum,
+        |       min(o_orderkey) AS key_min, max(o_orderkey) AS key_max
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q_scale_bucketed_join" ->
       """SELECT l_returnflag, count(*) AS n,

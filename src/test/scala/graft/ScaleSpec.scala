@@ -36,6 +36,24 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 3L)))
   }
 
+  test("writeShards: lossless, deterministic, balanced-ish layout") {
+    val src = (1L to 1000L).map(k => (k, s"p$k")).toDF("key", "payload")
+    val back = Scale.writeShards(src, "/tmp/graft_shards_spec", "key", n = 8)
+    // lossless round-trip (shard column added, rows preserved)
+    assert(back.count() == 1000L)
+    assert(back.select(sum(col("key"))).collect()(0).getLong(0) == 500500L)
+    val sizes = back.groupBy("shard").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == (0 until 8).toSet)
+    // multinomial concentration: every shard within 3x of fair share
+    assert(sizes.values.forall(n => n > 125 / 3 && n < 125 * 3))
+    // deterministic: a re-export lands every row in the same shard
+    val again = Scale.writeShards(src, "/tmp/graft_shards_spec2", "key", n = 8)
+    val a = back.orderBy("key").collect().map(r => (r.getLong(0), r.getInt(2)))
+    val b = again.orderBy("key").collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("materializeTo: same rows back, downstream plan is a flat scan") {
     val src = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), lower(col("text")).as("t"))
