@@ -533,17 +533,25 @@ object Similarity {
     * layout and bit-identical to the oracle replay ([[knnPqOracleSql]]).
     * Returns the `k` nearest (vec_id, adist), ascending distance.
     */
-  def knnPq(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
-      k: Int, m: Int = 8, dim: Int = 64, codes: Int = 16): DataFrame = {
-    val subDim = dim / m
-    val cb = pqCodebook(df, idCol, vecCol, m, dim, codes)
-    val encoded = pqEncode(df, idCol, vecCol, cb, m, dim)
-    val qsubs = df.where(col(idCol) === queryId)
+  /** Query subvectors (sub, qsv) for ADC: the query vector sliced into the
+    * `m` PQ subspaces at full precision.
+    */
+  private def querySubvectors(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, m: Int, subDim: Int): DataFrame =
+    df.where(col(idCol) === queryId)
       .select(transform(col(vecCol), x => x.cast("double")).as("v"))
       .select(explode(transform(sequence(lit(0), lit(m - 1)),
         i => struct(i.cast("int").as("sub"),
           slice(col("v"), i * subDim + 1, lit(subDim)).as("qsv")))).as("e"))
       .select(col("e.sub").as("sub"), col("e.qsv").as("qsv"))
+
+  /** ADC scoring shared by [[knnPq]] and [[knnIvfPq]]: per-subspace LUT of
+    * query↔code L2² partials (tiny — broadcast), then per-candidate sum in
+    * subspace order via a sequential double fold (sorted collect_list) so
+    * the result is partition-layout-independent and oracle-replayable.
+    */
+  private def pqAdcTopK(encoded: DataFrame, cb: DataFrame, qsubs: DataFrame,
+      queryId: Long, k: Int): DataFrame = {
     val lut = cb.join(broadcast(qsubs), "sub")
       .select(col("sub"), col("code"),
         (dot(col("qsv"), col("qsv")) - lit(2.0) * dot(col("qsv"), col("csub"))
@@ -558,6 +566,50 @@ object Similarity {
       .orderBy(col("adist").asc, col("id"))
       .limit(k)
       .select(col("id").as("vec_id"), col("adist"))
+  }
+
+  def knnPq(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int, m: Int = 8, dim: Int = 64, codes: Int = 16): DataFrame = {
+    val subDim = dim / m
+    val cb = pqCodebook(df, idCol, vecCol, m, dim, codes)
+    val encoded = pqEncode(df, idCol, vecCol, cb, m, dim)
+    pqAdcTopK(encoded, cb,
+      querySubvectors(df, idCol, vecCol, queryId, m, subDim), queryId, k)
+  }
+
+  /** IVF-PQ composite ANN — the standard billion-scale index layout (Jégou,
+    * Douze, Schmid 2011, "Product Quantization for Nearest Neighbor
+    * Search", §V "IVFADC"): the IVF coarse quantizer prunes the corpus to
+    * the `nprobe` cells nearest the query, then PQ ADC scores only the
+    * surviving vectors. At 100 TB the two stages compose their savings —
+    * the cell join cuts the scan to nprobe/k_cells of the corpus and PQ
+    * cuts per-vector cost/memory ~64×; here only the pruned cells are
+    * PQ-encoded, standing in for the encoded-at-ingest corpus an index
+    * build would persist. Deterministic end to end (modular centroids,
+    * first-`codes` codebook, lower-code/lower-id ties) →
+    * [[knnIvfPqOracleSql]] replays it value-for-value in DuckDB.
+    */
+  def knnIvfPq(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int, centroidEvery: Long = 50, nprobe: Int = 3,
+      m: Int = 8, dim: Int = 64, codes: Int = 16): DataFrame = {
+    val subDim = dim / m
+    val assigned = ivfAssign(df, idCol, vecCol, centroidEvery)
+    val q = df.where(col(idCol) === queryId)
+      .select(col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm"))
+    val cents = df.where(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
+    val probeCents = cents.join(broadcast(q))
+      .select(col("centroid_id"), cosine(col("cvec"), col("qvec")).as("cs"))
+      .orderBy(col("cs").desc, col("centroid_id")).limit(nprobe)
+      .select("centroid_id")
+    val pruned = df.select(col(idCol), col(vecCol))
+      .join(assigned, idCol)
+      .join(broadcast(probeCents), "centroid_id")
+      .select(col(idCol), col(vecCol))
+    val cb = pqCodebook(df, idCol, vecCol, m, dim, codes)
+    val encoded = pqEncode(pruned, idCol, vecCol, cb, m, dim)
+    pqAdcTopK(encoded, cb,
+      querySubvectors(df, idCol, vecCol, queryId, m, subDim), queryId, k)
   }
 
   /** DuckDB SQL replaying [[knnPq]] value-for-value (same sampled codebook,
@@ -588,6 +640,71 @@ object Similarity {
        |    FROM subs JOIN cb USING (sub))
        |  WHERE rn = 1),
        |q AS (SELECT sub, sv AS qsv FROM subs WHERE id = $queryId),
+       |lut AS (
+       |  SELECT sub, code,
+       |         list_dot_product(qsv, qsv) - 2.0 * list_dot_product(qsv, csub)
+       |           + list_dot_product(csub, csub) AS pd
+       |  FROM cb JOIN q USING (sub))
+       |SELECT id AS $idCol, adist FROM (
+       |  SELECT id, list_reduce(list(pd ORDER BY sub), (a, b) -> a + b) AS adist
+       |  FROM encoded JOIN lut USING (sub, code)
+       |  GROUP BY id)
+       |WHERE id <> $queryId
+       |ORDER BY adist, id LIMIT $k""".stripMargin
+  }
+
+  /** DuckDB SQL replaying [[knnIvfPq]] value-for-value: the IVF
+    * prune CTEs of the `q_knn_ivf` replay feeding the PQ encode/ADC CTEs
+    * of [[knnPqOracleSql]], with encoding restricted to the probed cells.
+    */
+  def knnIvfPqOracleSql(queryId: Long, k: Int, centroidEvery: Long = 50,
+      nprobe: Int = 3, m: Int = 8, dim: Int = 64, codes: Int = 16,
+      table: String = "embeddings", idCol: String = "vec_id",
+      vecCol: String = "embedding"): String = {
+    val subDim = dim / m
+    s"""WITH vecs AS (
+       |  SELECT $idCol AS id, $vecCol::DOUBLE[] AS v,
+       |         sqrt(list_dot_product($vecCol::DOUBLE[], $vecCol::DOUBLE[])) AS nrm
+       |  FROM $table),
+       |cents AS (
+       |  SELECT id AS centroid_id, v AS cvec, nrm AS cnrm FROM vecs
+       |  WHERE id % $centroidEvery = 0),
+       |assigned AS (
+       |  SELECT id, centroid_id FROM (
+       |    SELECT a.id, c.centroid_id,
+       |           row_number() OVER (PARTITION BY a.id
+       |             ORDER BY list_dot_product(a.v, c.cvec) / (a.nrm * c.cnrm) DESC,
+       |                      c.centroid_id) AS rn
+       |    FROM vecs a CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |qv AS (SELECT v AS qvec, nrm AS qnrm FROM vecs WHERE id = $queryId),
+       |probe AS (
+       |  SELECT centroid_id FROM cents, qv
+       |  ORDER BY list_dot_product(cvec, qvec) / (cnrm * qnrm) DESC, centroid_id
+       |  LIMIT $nprobe),
+       |pruned AS (
+       |  SELECT a.id, a.v FROM vecs a
+       |  JOIN assigned USING (id) JOIN probe USING (centroid_id)),
+       |base AS (
+       |  SELECT $idCol AS code, $vecCol::DOUBLE[] AS v FROM $table
+       |  ORDER BY $idCol LIMIT $codes),
+       |cb AS (
+       |  SELECT g.i AS sub, code, v[g.i*$subDim+1 : g.i*$subDim+$subDim] AS csub
+       |  FROM base, generate_series(0, ${m - 1}) g(i)),
+       |subs AS (
+       |  SELECT id, g.i AS sub, v[g.i*$subDim+1 : g.i*$subDim+$subDim] AS sv
+       |  FROM pruned, generate_series(0, ${m - 1}) g(i)),
+       |encoded AS (
+       |  SELECT id, sub, code FROM (
+       |    SELECT id, sub, code,
+       |           row_number() OVER (PARTITION BY id, sub ORDER BY
+       |             list_dot_product(csub, csub)
+       |               - 2.0 * list_dot_product(sv, csub), code) AS rn
+       |    FROM subs JOIN cb USING (sub))
+       |  WHERE rn = 1),
+       |q AS (
+       |  SELECT g.i AS sub, v[g.i*$subDim+1 : g.i*$subDim+$subDim] AS qsv
+       |  FROM (SELECT v FROM vecs WHERE id = $queryId), generate_series(0, ${m - 1}) g(i)),
        |lut AS (
        |  SELECT sub, code,
        |         list_dot_product(qsv, qsv) - 2.0 * list_dot_product(qsv, csub)

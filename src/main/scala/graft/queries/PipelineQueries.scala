@@ -233,7 +233,15 @@ object PipelineQueries {
         queryId = 0L, k = 10)
     }),
 
-    // --- similarity search: IVF ANN top-k (rows-only; recall in spec) ---
+    // --- IVF-PQ composite (IVFADC): coarse-cell prune + ADC scoring,
+    // deterministic end to end, replayed in DuckDB ---
+    "q_knn_ivfpq" -> ((s, d) => {
+      Tables.load(s, d)
+      Similarity.knnIvfPq(s.table("embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)
+    }),
+
+    // --- similarity search: IVF ANN top-k (oracle-replayed prune + rerank) ---
     "q_knn_ivf" -> ((s, d) => {
       Tables.load(s, d)
       Similarity.knnIvf(s.table("embeddings"), "vec_id", "embedding",
@@ -358,6 +366,7 @@ object PipelineQueries {
     "q_knn_lsh_md5" -> Similarity.knnLshOracleSql(queryId = 0L, k = 10),
     "q_knn_quantized" -> Similarity.knnQuantizedOracleSql(queryId = 0L, k = 10),
     "q_knn_pq" -> Similarity.knnPqOracleSql(queryId = 0L, k = 10),
+    "q_knn_ivfpq" -> Similarity.knnIvfPqOracleSql(queryId = 0L, k = 10),
     "q_dedup_jaccard_char" -> Dedup.jaccardCharOracleSql(),
 
     "q_dedup_band_claims" -> Dedup.bandClaimsOracleSql(),

@@ -92,6 +92,40 @@ class SimilaritySpec extends SparkSpec {
     assert(d.sameElements(d.sorted))
   }
 
+  test("knnIvfPq recall vs brute force on planted near-duplicates") {
+    val exact = Similarity.knnBrute(planted, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.knnIvfPq(planted, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF-PQ recall@10 = $recall")
+  }
+
+  test("knnIvfPq: candidate set is IVF-pruned, scores are PQ ADC") {
+    // the top-3 probed cells for query 0, built from the same public pieces
+    val q = emb.where(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    val probed = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      .join(broadcast(q))
+      .select(col("centroid_id"),
+        Similarity.cosine(col("cvec"), col("qvec")).as("cs"))
+      .orderBy(col("cs").desc, col("centroid_id")).limit(3)
+      .collect().map(_.getLong(0)).toSet
+    val cellOf = Similarity.ivfAssign(emb, "vec_id", "embedding", 50L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullPq = Similarity.knnPq(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = Similarity.knnIvfPq(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, d) =>
+      // every returned id lives in a probed cell…
+      assert(probed.contains(cellOf(id)), s"id $id outside probed cells")
+      // …and carries exactly the full-corpus PQ ADC distance for that id
+      fullPq.get(id).foreach(fd => assert(math.abs(fd - d) < 1e-12))
+    }
+  }
+
   test("knnPq: results invariant under partition layout (bit-exact)") {
     // the distributed-correctness contract: argmin (exact min over doubles)
     // and the sub-ordered sequential fold make every stage independent of
