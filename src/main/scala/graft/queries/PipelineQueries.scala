@@ -129,6 +129,14 @@ object PipelineQueries {
             .as("est_n"))
     }),
 
+    // --- one-scan dataset profile (null/cardinality/range QA pass);
+    // exact tier oracle-checked, HLL tier bound-tested in SketchSpec ---
+    "q_pipeline_profile" -> ((s, d) => {
+      Tables.load(s, d)
+      graft.operators.Profile.profileExact(s.table("lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
+    }),
+
     // --- exact dedup on canonicalized word-set key (oracle-checked) ---
     "q_dedup_exact" -> ((s, d) => Dedup.exactGroups(
       docs(s, d), col("doc_id"),
@@ -354,6 +362,8 @@ object PipelineQueries {
     "q_dedup_fuzzy" -> Dedup.fuzzyOracleSql(),
     "q_text_entropy" -> TextAnalysis.entropyOracleSql(),
     "q_text_repetition" -> TextAnalysis.repetitionOracleSql(n = 3),
+    "q_pipeline_profile" -> graft.operators.Profile.exactOracleSql("lineitem",
+      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
     "q_text_contamination" -> TextAnalysis.contaminationOracleSql(n = 4),
 
     // exact regime: estimates == true counts (see the query's comment)

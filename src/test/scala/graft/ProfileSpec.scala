@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.Profile
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Some("a"), Some(1.5)),
+    (2L, Some("b"), None),
+    (3L, None, Some(2.5)),
+    (4L, Some("a"), Some(1.5)),
+    (5L, None, None)
+  ).toDF("id", "s", "v")
+
+  test("profileExact: per-column nulls, distincts, ranges in one row each") {
+    val got = Profile.profileExact(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(got("id") == ((0L, 5L, "1", "5")))
+    assert(got("s") == ((2L, 2L, "a", "b")))
+    assert(got("v") == ((2L, 2L, "1.5", "2.5")))
+  }
+
+  test("profile (HLL tier): same shape, cardinalities within rsd regime") {
+    val got = Profile.profile(df, Seq("id", "s"), rsd = 0.01)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // 5 and 2 true distincts — at this cardinality HLL is exact
+    assert(got("id") == 5L && got("s") == 2L)
+  }
+
+  test("profile is one job / one scan regardless of column count") {
+    val plan = Profile.profileExact(df, Seq("id", "s", "v"))
+      .queryExecution.executedPlan.toString
+    // a single aggregate tree — no unioned per-column subplans
+    assert(!plan.contains("Union"))
+  }
+}
