@@ -46,6 +46,24 @@ object Dedup {
     df.groupBy(key.as("dup_key"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("copies"))
 
+  /** Incremental ingest dedup: keep only the rows of `incoming` whose `key`
+    * is absent from the already-ingested fingerprint store `seen` (a
+    * one-column frame, e.g. the fingerprints materialized by earlier
+    * batches), deduping within the batch too (min-id representative per
+    * key). The batch face of the streaming `dedupedParquetSink`: at 100 TB
+    * the store is a parquet table of fingerprints, `LEFT ANTI` plans as a
+    * plain shuffled hash join on the key — no driver state, and no
+    * re-reading of previously ingested *content*, only its fingerprints.
+    */
+  def incremental(incoming: DataFrame, id: Column, key: Column,
+      seen: DataFrame): DataFrame = {
+    val seenKeys = seen.toDF("dup_key")
+    incoming.select(id.as("keep_id"), key.as("dup_key"))
+      .groupBy(col("dup_key")).agg(min(col("keep_id")).as("keep_id"))
+      .join(seenKeys, Seq("dup_key"), "left_anti")
+      .select(col("keep_id"), col("dup_key"))
+  }
+
   /** Hash each shingle through `numHashes` independent 64-bit families and
     * keep the per-family minimum: the classic MinHash signature
     * (Broder 1997, "On the resemblance and containment of documents").

@@ -142,6 +142,17 @@ object PipelineQueries {
       docs(s, d), col("doc_id"),
       array_join(array_sort(array_distinct(split(lower(col("text")), " "))), " "))),
 
+    // --- incremental ingest dedup: odd-id docs are the incoming batch,
+    // even-id fingerprints the already-ingested store (oracle-checked) ---
+    "q_dedup_incremental" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.incremental(
+        all.where(col("doc_id") % 2 === 1), col("doc_id"),
+        TextAnalysis.fingerprint(col("text")),
+        all.where(col("doc_id") % 2 === 0)
+          .select(TextAnalysis.fingerprint(col("text"))))
+    }),
+
     // --- exact 2-gram Jaccard over id-window-blocked pairs (oracle-checked)
     "q_dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(
       docs(s, d), "doc_id", "text", ngram = 2,
@@ -472,6 +483,16 @@ object PipelineQueries {
       """SELECT doc_id,
         |       md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |         md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS dup_key
+        |  FROM documents)
+        |SELECT min(doc_id)::BIGINT AS keep_id, dup_key
+        |FROM fp WHERE doc_id % 2 = 1
+        |  AND dup_key NOT IN (SELECT dup_key FROM fp WHERE doc_id % 2 = 0)
+        |GROUP BY dup_key""".stripMargin,
 
     // faithful DuckDB replication of TextAnalysis.langId: per-language
     // marker-word hit counts, argmax with ties toward the later code

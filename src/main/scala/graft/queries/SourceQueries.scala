@@ -27,10 +27,38 @@ object SourceQueries {
         sum(col("n_nationkey")).as("key_sum"))
   }
 
+  /** Schema evolution across parquet batch writes: an old batch without
+    * `o_totalprice` and a new batch with it land in the same dataset dir;
+    * `mergeSchema` reconciles them on read (missing column → NULL) — the
+    * append-only lifecycle of a long-lived training-data table, where new
+    * extraction runs add columns without rewriting history.
+    */
+  private def evolution(s: SparkSession, d: String): DataFrame = {
+    Tables.load(s, d)
+    val dir = "/tmp/graft_evolution"
+    // clear the dataset dir first: each write only overwrites its own batch
+    // subdir, so a stale extra batch from an earlier run would double rows
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val v1 = s.table("orders").where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val v2 = s.table("orders").where(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    v1.write.mode("overwrite").parquet(s"$dir/batch=1")
+    v2.write.mode("overwrite").parquet(s"$dir/batch=2")
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy((col("o_orderkey") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        count(col("o_totalprice")).as("n_priced"),
+        sum(col("o_custkey")).as("cust_sum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_csv_roundtrip" -> ((s, d) => roundtrip(s, d, "csv")),
     "q_source_json_roundtrip" -> ((s, d) => roundtrip(s, d, "json")),
     "q_source_orc_roundtrip" -> ((s, d) => roundtrip(s, d, "orc")),
+    "q_source_evolution" -> ((s, d) => evolution(s, d)),
   )
 
   private val oracle =
@@ -42,5 +70,12 @@ object SourceQueries {
     "q_source_csv_roundtrip" -> oracle,
     "q_source_json_roundtrip" -> oracle,
     "q_source_orc_roundtrip" -> oracle,
+    // merged read == union of the two batches with the old batch's missing
+    // column NULL: n_priced counts only odd keys
+    "q_source_evolution" ->
+      """SELECT o_orderkey % 10 AS bucket, count(*) AS n,
+        |       count(*) FILTER (o_orderkey % 2 = 1)::BIGINT AS n_priced,
+        |       sum(o_custkey)::BIGINT AS cust_sum
+        |FROM orders GROUP BY 1""".stripMargin,
   )
 }

@@ -18,6 +18,18 @@ class DedupSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("incremental: batch-internal dedup plus anti-join against the store") {
+    val incoming = Seq((11L, "a b c"), (12L, "a b c"), (13L, "x y z"),
+      (14L, "seen before")).toDF("id", "text")
+    val seen = Seq("seen before").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text")))
+    val got = Dedup.incremental(incoming, col("id"),
+        TextAnalysis.fingerprint(col("text")), seen)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // 12 collapses into 11 (in-batch dup), 14 is already in the store
+    assert(got == Seq(11L, 13L))
+  }
+
   test("minhashPairs finds planted near-duplicates") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val near = (1 to 38).map(i => s"w$i").mkString(" ") + " zz1 zz2" // ~0.88 2-gram J

@@ -31,6 +31,19 @@ class SourcesSpec extends SparkSpec {
       li.agg(sum("l_quantity")).collect()(0))
   }
 
+  test("mergeSchema reconciles evolved parquet batches; old rows get NULLs") {
+    import spark.implicits._
+    val dir = s"$tmp/evolve"
+    Seq((1L, "a")).toDF("k", "s").write.parquet(s"$dir/batch=1")
+    Seq((2L, "b", 9.5)).toDF("k", "s", "extra").write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("k", "s", "extra", "batch"))
+    val rows = merged.orderBy("k").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("extra"))) // old batch → NULL
+    assert(rows(1).getDouble(rows(1).fieldIndex("extra")) == 9.5)
+  }
+
   test("array_reduce gives identical results over parquet, csv, and json sources") {
     def reduceOver(df: org.apache.spark.sql.DataFrame): Seq[Seq[Int]] = {
       df.select(array(col("l_linenumber"),
