@@ -129,6 +129,37 @@ object PipelineQueries {
             .as("est_n"))
     }),
 
+    // --- corpus mixture table: per (source, lang) doc/token volumes and
+    // each cell's share of all tokens — the stats a curation run uses to
+    // set sampling weights. Total = tiny broadcast cross-join, NOT a global
+    // window (a partition-less window is a single-reducer sort at scale) ---
+    "q_pipeline_mixture" -> ((s, d) => {
+      val t = docs(s, d).select(col("source"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val g = t.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      val total = t.agg(sum(col("n_tokens")).as("total"))
+      g.crossJoin(broadcast(total))
+        .select(col("source"), col("lang"), col("n_docs"), col("tokens"),
+          round(col("tokens").cast("double") / col("total").cast("double"), 6)
+            .as("token_share"))
+    }),
+
+    // --- per-source quality leaders: top-3 docs by quality score (ties to
+    // the lower doc_id) — the human-review sample a curation pass pulls ---
+    "q_pipeline_topk_quality" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("q").desc, col("doc_id"))
+      docs(s, d)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("source"), col("rank"), col("doc_id"),
+          round(col("q"), 6).as("quality"))
+    }),
+
     // --- one-scan dataset profile (null/cardinality/range QA pass);
     // exact tier oracle-checked, HLL tier bound-tested in SketchSpec ---
     "q_pipeline_profile" -> ((s, d) => {
@@ -375,6 +406,37 @@ object PipelineQueries {
     "q_text_repetition" -> TextAnalysis.repetitionOracleSql(n = 3),
     "q_pipeline_profile" -> graft.operators.Profile.exactOracleSql("lineitem",
       Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
+
+    "q_pipeline_mixture" ->
+      """WITH t AS (
+        |  SELECT source, lang,
+        |         len(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |             ELSE string_split_regex(trim(lower(text)), '\s+') END)::BIGINT AS n_tokens
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, lang, count(*) AS n_docs, sum(n_tokens)::BIGINT AS tokens
+        |  FROM t GROUP BY source, lang)
+        |SELECT source, lang, n_docs, tokens,
+        |       round(tokens::DOUBLE / (SELECT sum(tokens) FROM g)::DOUBLE, 6) AS token_share
+        |FROM g""".stripMargin,
+
+    "q_pipeline_topk_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, source,
+        |    (least(length(text)::DOUBLE / 500.0, 1.0) * 0.4)
+        |    + ((1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE / length(text)::DOUBLE END) * 4, 1.0)) * 0.3)
+        |    + (least((CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for'], x)))::DOUBLE / len(toks)::DOUBLE END) * 5, 1.0) * 0.3) AS q
+        |  FROM t)
+        |SELECT source, rank, doc_id, round(q, 6) AS quality FROM (
+        |  SELECT source, doc_id, q,
+        |         row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3""".stripMargin,
     "q_text_contamination" -> TextAnalysis.contaminationOracleSql(n = 4),
 
     // exact regime: estimates == true counts (see the query's comment)
