@@ -84,6 +84,28 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"corpus scan should not shuffle for a broadcast query vector: ${shuffles.size}")
   }
 
+  test("contamination: probe grams broadcast, the corpus side never shuffles") {
+    val (_, plan) = executed("q_text_contamination")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "gram join must be a broadcast hash join")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty)
+    // only the (doc, probe) count aggregate shuffles — the 100 TB corpus
+    // scan itself reaches the join shuffle-free
+    val shuffles = collectWithSubqueries(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1,
+      s"corpus side must not shuffle before the gram join, got ${shuffles.size}")
+  }
+
+  test("mixture shares: total joins as a broadcast, no global window sort") {
+    val (_, plan) = executed("q_pipeline_mixture")
+    assert(collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "token_share must come from a broadcast total, not a global window")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.size == 1, "the one-row total joins via broadcast")
+  }
+
   test("runtime bloom-filter join pruning injects on a selective join") {
     // at 100 TB the fact-side scan of a selective join should be pre-filtered
     // by a bloom filter built from the dim side (Spark 3.3+ runtime row
