@@ -94,6 +94,25 @@ object MonoidQueries {
         |  FROM customer)
         |GROUP BY c_nationkey""".stripMargin, castTo = "BIGINT"))),
 
+    // The flagship operator on its natural real data (SURVEY.md §2c:
+    // embeddings are "the natural real-data input to array_reduce_*"):
+    // per-label embedding CENTROIDS = element-wise array_reduce_sum / n.
+    // Float sums are order-dependent, so the floats ride a FIXED-POINT
+    // carrier (×1e6, rounded to long) — the standard trick for
+    // deterministic distributed float aggregation: long sums are exact and
+    // partition-order-proof, so the whole query hash-checks against DuckDB
+    // (unlike the rows-only q_array_sum_float). Precision loss is 5e-7 per
+    // element, far below embedding noise.
+    "q_embed_centroids" -> ((s, d) => q(s, d,
+      """SELECT label, CAST(pos + 1 AS BIGINT) AS pos,
+        |       ROUND(elem / (n * CAST(1000000 AS DOUBLE)), 6) AS centroid
+        |FROM (
+        |  SELECT label, count(1) AS n,
+        |         array_reduce_sum_long(transform(embedding,
+        |           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))) AS csum
+        |  FROM embeddings GROUP BY label)
+        |LATERAL VIEW posexplode(csum) AS pos, elem""".stripMargin)),
+
     // the native TypedImperativeAggregate path (type inferred from input)
     "q_array_sum_native" -> ((s, d) => q(s, d, exploded("l_orderkey", "arr_sum",
       """SELECT l_orderkey, array_reduce_sum_native(arr) AS arr_sum FROM (
@@ -118,6 +137,16 @@ object MonoidQueries {
   val oracleSql: Map[String, String] = Map(
     "q_array_sum_native" -> sumIntOracle,
     "q_array_sum_int" -> sumIntOracle,
+
+    "q_embed_centroids" ->
+      """WITH f AS (
+        |  SELECT label,
+        |         round(unnest(embedding::DOUBLE[]) * 1000000)::BIGINT AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings)
+        |SELECT label, pos::BIGINT AS pos,
+        |       round(sum(v)::DOUBLE / (count(*)::DOUBLE * 1000000), 6) AS centroid
+        |FROM f GROUP BY label, pos""".stripMargin,
 
     "q_array_sum_u64" ->
       """SELECT c_nationkey, pos, sum(v)::BIGINT AS arr_sum FROM (
