@@ -236,6 +236,26 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Perceptual hash (aHash over the 4×4 luminance grid of
+    * [[imageFeatures]]): bit i set iff cell i's mean exceeds the whole-grid
+    * mean — the classic average-hash image fingerprint. Visually identical
+    * images collide exactly, so a plain hash `groupBy` on `phash` IS the
+    * image dedup pass (and hamming-near hashes can feed SimHash-style
+    * banded blocking for the near-dup tier). The bit math is a fixed-order
+    * codegen'd expression tree over the feature columns — deterministic
+    * and oracle-replayable; `real_decode` provenance rides along.
+    */
+  def perceptualHash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val cells = for { i <- 0 to 3; j <- 0 to 3 } yield s"g$i$j"
+    val gmean = cells.map(col).reduce(_ + _) / lit(16.0)
+    val bits = cells.zipWithIndex.map { case (c, i) =>
+      when(col(c) > col("gmean"), lit(1L << i)).otherwise(lit(0L)) }
+    imageFeatures(df, idCol, binCol)
+      .withColumn("gmean", gmean)
+      .select(col("item_id"), bits.reduce(_ + _).as("phash"),
+        col("real_decode"))
+  }
+
   /** Batch decode: one pass per partition, typed output. The inner loop is
     * an iterator transform — constant memory per partition regardless of
     * corpus size.

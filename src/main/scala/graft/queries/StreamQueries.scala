@@ -141,6 +141,17 @@ object StreamQueries {
       Multimodal.imageFeatures(docsBin, "doc_id", "payload")
     }),
 
+    // perceptual-hash (aHash) image dedup groups: collide on the 16-bit
+    // grid fingerprint, one representative per visual family
+    "q_multimodal_phash" -> ((s, d) => {
+      Tables.load(s, d)
+      val docsBin = s.table("documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.perceptualHash(docsBin, "doc_id", "payload")
+        .groupBy(col("phash"))
+        .agg(min(col("item_id")).as("keep_id"), count(lit(1)).as("copies"))
+    }),
+
     // --- audio tier: none of the synthetic payloads carry a RIFF header,
     // so every row takes the headerless raw-PCM16LE interpretation — which
     // the oracle replays sample-for-sample (int16 LE pairs from ASCII byte
@@ -287,6 +298,27 @@ object StreamQueries {
     // count = min(len, max(1, trunc(len*scale))) — empty payloads stay 0;
     // all-ASCII corpus, so char positions == byte positions (same
     // assumption as the other two)
+    // same grid means as q_multimodal_features → fixed-order mean → strict
+    // per-bit compare → bit sum; dedup groups on the resulting fingerprint
+    "q_multimodal_phash" -> {
+      val grid = (0 to 3).flatMap(i => (0 to 3).map(j =>
+        s"${byteSliceMeanSql(s"n * ${i * 4 + j} // 16", s"n * ${i * 4 + j + 1} // 16")} AS g$i$j"))
+        .mkString(",\n         ")
+      val cells = for { i <- 0 to 3; j <- 0 to 3 } yield s"g$i$j"
+      val mean = cells.mkString("(", " + ", ") / 16.0")
+      val bitsum = cells.zipWithIndex.map { case (c, k) =>
+        s"(CASE WHEN $c > gmean THEN ${1L << k} ELSE 0 END)" }
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |g AS (SELECT doc_id,
+         |         $grid
+         |      FROM t),
+         |h AS (SELECT doc_id, $mean AS gmean, * FROM g)
+         |SELECT phash, min(doc_id)::BIGINT AS keep_id, count(*) AS copies
+         |FROM (SELECT doc_id, ($bitsum)::BIGINT AS phash FROM h)
+         |GROUP BY phash""".stripMargin
+    },
+
     "q_multimodal_features" -> {
       val grid = (0 to 3).flatMap(i => (0 to 3).map(j =>
         s"${byteSliceMeanSql(s"n * ${i * 4 + j} // 16", s"n * ${i * 4 + j + 1} // 16")} AS g$i$j"))

@@ -73,6 +73,33 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1).getAs[String]("format") == "png") // stub: 12 % 3 == 0
   }
 
+  test("perceptualHash: identical images collide, half-split differs, flat image is 0") {
+    // top half dark, bottom half bright → exactly the 8 bottom cells set
+    def halfPng(bright: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 16).foreach(x => (0 until 16).foreach(y =>
+        img.setRGB(x, y, if (y < 8) 0x000000 else bright)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val df = Seq(
+      (1L, halfPng(0xFFFFFF)), (2L, halfPng(0xFFFFFF)), // identical pair
+      (3L, pngBytes(16, 16)),                           // different gradient
+      (4L, halfPng(0x050505))                           // near-flat split
+    ).toDF("id", "payload").repartition(2)
+    val got = Multimodal.perceptualHash(df, "id", "payload")
+      .orderBy("item_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(2L), "identical images must collide")
+    // bottom-half-bright = cells 8..15 above the mean = bits 8..15
+    assert(got(1L) == 0xFF00L)
+    assert(got(1L) != got(3L), "distinct content must (here) differ")
+    // the near-flat split still hashes by relative brightness — same shape
+    assert(got(4L) == got(1L))
+  }
+
   test("imageFeatures: solid-color PNG yields exact channel means and flat grid") {
     val img = new java.awt.image.BufferedImage(20, 20,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
