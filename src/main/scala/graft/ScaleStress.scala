@@ -87,6 +87,20 @@ object ScaleStress {
       TextAnalysis.tokenEntropy(d1, "doc_id", "text").count())
     time("token-entropy 10x")(
       TextAnalysis.tokenEntropy(d10, "doc_id", "text").count())
+    def contam(d: org.apache.spark.sql.DataFrame): Long =
+      TextAnalysis.contamination(
+        d.where(col("doc_id") % 20 =!= 0), "doc_id", "text",
+        d.where(col("doc_id") % 20 === 0), "doc_id", "text", n = 4).count()
+    time("contamination 1x")(contam(d1))
+    time("contamination 10x")(contam(d10))
+    time("repetition 1x")(
+      TextAnalysis.repetitionStats(d1, "doc_id", "text").count())
+    time("repetition 10x")(
+      TextAnalysis.repetitionStats(d10, "doc_id", "text").count())
+    time("knn ivfpq 1x (5k vecs)")(
+      Similarity.knnIvfPq(e1, "vec_id", "embedding", 0L, 10).count())
+    time("knn ivfpq 10x (50k vecs)")(
+      Similarity.knnIvfPq(e10, "vec_id", "embedding", 0L, 10).count())
     time("e2e pipeline 1x")(
       graft.SparkEntry.queries("q_pipeline_e2e")(spark, "/root/testdata/sf0.1").count())
     spark.stop()

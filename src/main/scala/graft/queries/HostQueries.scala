@@ -258,6 +258,17 @@ object HostQueries {
         |         PARTITION BY o_custkey ORDER BY o_orderkey) AS BIGINT) AS prev_ok
         |FROM orders""".stripMargin),
 
+    // --- value-based RANGE frame over event time: trailing 30-minute
+    // per-user activity count (the time-valued frame q_host_window_frames'
+    // ROWS frames don't cover) ---
+    same("q_host_range_frame",
+      """SELECT event_id, user_id,
+        |       CAST(count(*) OVER (
+        |         PARTITION BY user_id ORDER BY ts
+        |         RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS n_trailing_30m
+        |FROM events""".stripMargin),
+
     // --- conditional aggregation: FILTER clause + CASE-guarded counts ---
     same("q_host_conditional_agg",
       """SELECT l_returnflag,
