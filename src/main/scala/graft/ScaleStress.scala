@@ -99,8 +99,13 @@ object ScaleStress {
       TextAnalysis.repetitionStats(d10, "doc_id", "text").count())
     time("knn ivfpq 1x (5k vecs)")(
       Similarity.knnIvfPq(e1, "vec_id", "embedding", 0L, 10).count())
-    time("knn ivfpq 10x (50k vecs)")(
+    time("knn ivfpq 10x (50k vecs, fixed centroidEvery=50)")(
       Similarity.knnIvfPq(e10, "vec_id", "embedding", 0L, 10).count())
+    // the k ~ sqrt(n) sizing rule (centroidEvery = sqrt(n)): assignment work
+    // n*k grows n^1.5, not n² — the IVF analogue of LSH's sizeBits rule
+    time("knn ivfpq 10x (sized centroidEvery=sqrt(n))")(
+      Similarity.knnIvfPq(e10, "vec_id", "embedding", 0L, 10,
+        centroidEvery = Similarity.sizeCentroidEvery(50000L), nprobe = 9).count())
     time("e2e pipeline 1x")(
       graft.SparkEntry.queries("q_pipeline_e2e")(spark, "/root/testdata/sf0.1").count())
     spark.stop()

@@ -756,6 +756,16 @@ object Similarity {
       math.ceil(math.log(ratio) / math.log(2.0)).toInt))
   }
 
+  /** IVF sizing rule, the centroid-count analogue of [[sizeBits]]:
+    * `centroidEvery = √n` gives k = √n cells, so assignment work n·k grows
+    * as n^1.5 — a FIXED stride makes k a constant fraction of the corpus
+    * and assignment quadratic (measured 14× at 10× in ScaleStress; the
+    * sized run is the adjacent row). Probe count stays a tuning knob:
+    * recall per probe falls as cells shrink, so nprobe grows ~√ too.
+    */
+  def sizeCentroidEvery(n: Long): Long =
+    math.max(1L, math.round(math.sqrt(n.toDouble)))
+
   /** [[nearDupPairs]] with [[sizeBits]]-chosen bit width: one cheap
     * count() sizes the signature to the corpus, so a 10× (or 1000×)
     * re-run keeps near-linear cost without retuning. The count is the

@@ -175,6 +175,16 @@ class SimilaritySpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("qid", "vec_id", "score", "rank"))
   }
 
+  test("sizeCentroidEvery: sqrt-growth sizing rule") {
+    assert(Similarity.sizeCentroidEvery(0L) == 1L)
+    assert(Similarity.sizeCentroidEvery(100L) == 10L)
+    assert(Similarity.sizeCentroidEvery(50000L) == 224L)
+    // the property that kills the quadratic: cells k = n / stride ≈ sqrt(n)
+    val n = 1000000L
+    val k = n / Similarity.sizeCentroidEvery(n)
+    assert(math.abs(k - 1000L) <= 1L)
+  }
+
   test("sizeBits: log-growth sizing rule, clamped") {
     import graft.operators.Similarity.sizeBits
     assert(sizeBits(100, 256) == 4)          // below target → min clamp
