@@ -92,6 +92,28 @@ object Scale {
     df.sparkSession.read.parquet(path)
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis 2006, "Weighted random sampling with a reservoir"): each row
+    * gets priority −ln(u)/w with u a uniform derived from the portable md5
+    * hash of its key (content-stable — re-runs, retries, and other engines
+    * draw the SAME sample, the property seeded `rand()` loses on retry),
+    * and the k smallest priorities win, exactly ∝-weight inclusion. The
+    * plan is one scan + a TakeOrderedAndProject top-k — no global sort, no
+    * shuffle of the corpus; at 100 TB per-partition top-k partials merge on
+    * the driver-side heap like any LIMIT+ORDER BY.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+      k: Int): DataFrame = {
+    val P = 2147483647L // graft.operators.Dedup.PortablePrime
+    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long") % P + 1L).cast("double") / lit((P + 1).toDouble)
+    df.select(col(keyCol), weight.as("w"))
+      .select(col(keyCol), (-log(u) / col("w")).as("priority"))
+      .orderBy(col("priority").asc, col(keyCol))
+      .limit(k)
+      .select(col(keyCol), round(col("priority"), 6).as("priority"))
+  }
+
   /** Materialize an intermediate to parquet and rescan it — the lifecycle
     * step for intermediates too large for executor-storage `persist`
     * (shingle/signature tables of a 100 TB dedup run). Unlike persist it

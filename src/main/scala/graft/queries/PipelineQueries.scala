@@ -160,6 +160,15 @@ object PipelineQueries {
           round(col("q"), 6).as("quality"))
     }),
 
+    // --- weighted sampling: 50 docs drawn ∝ quality score via
+    // hash-uniform Efraimidis-Spirakis priorities — deterministic,
+    // content-stable, replayed exactly by the oracle ---
+    "q_pipeline_weighted_sample" -> ((s, d) =>
+      graft.operators.Scale.weightedSample(
+        docs(s, d).select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("q")),
+        "doc_id", col("q") + lit(0.01), k = 50)),
+
     // --- one-scan dataset profile (null/cardinality/range QA pass);
     // exact tier oracle-checked, HLL tier bound-tested in SketchSpec ---
     "q_pipeline_profile" -> ((s, d) => {
@@ -406,6 +415,27 @@ object PipelineQueries {
     "q_text_repetition" -> TextAnalysis.repetitionOracleSql(n = 3),
     "q_pipeline_profile" -> graft.operators.Profile.exactOracleSql("lineitem",
       Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
+
+    "q_pipeline_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    (least(length(text)::DOUBLE / 500.0, 1.0) * 0.4)
+        |    + ((1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE / length(text)::DOUBLE END) * 4, 1.0)) * 0.3)
+        |    + (least((CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for'], x)))::DOUBLE / len(toks)::DOUBLE END) * 5, 1.0) * 0.3)
+        |    + 0.01 AS w
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id, w,
+        |         ((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 2147483647 + 1)::DOUBLE
+        |           / 2147483648.0) AS u
+        |  FROM w)
+        |SELECT doc_id, round(-ln(u) / w, 6) AS priority
+        |FROM p ORDER BY -ln(u) / w, doc_id LIMIT 50""".stripMargin,
 
     "q_pipeline_mixture" ->
       """WITH t AS (

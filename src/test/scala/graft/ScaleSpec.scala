@@ -54,6 +54,21 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("weightedSample: deterministic, layout-invariant, weight-sensitive") {
+    val df = (1L to 1000L).map(k => (k, if (k <= 10) 1000.0 else 0.001))
+      .toDF("key", "w")
+    def run(parts: Int) = Scale.weightedSample(
+        df.repartition(parts), "key", col("w"), k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val base = run(1)
+    assert(base.length == 20)
+    // partition-layout invariant (top-k over deterministic priorities)
+    assert(run(8) == base)
+    // priorities −ln(u)/w: the 10 heavy keys (w 10^6× larger) all win
+    val picked = base.map(_._1).toSet
+    assert((1L to 10L).forall(picked.contains))
+  }
+
   test("materializeTo: same rows back, downstream plan is a flat scan") {
     val src = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), lower(col("text")).as("t"))
