@@ -114,6 +114,28 @@ object Scale {
       .select(col(keyCol), round(col("priority"), 6).as("priority"))
   }
 
+  /** Per-stratum [[weightedSample]]: the k smallest ES priorities within
+    * each stratum (window rank partitioned by the stratum key) — "n docs
+    * per language ∝ quality" in one pass. The window shuffles on the
+    * stratum key only; skewed strata are bounded by the same priority
+    * top-k, not by data volume.
+    */
+  def weightedSampleStratified(df: DataFrame, keyCol: String,
+      stratumCol: String, weight: Column, k: Int): DataFrame = {
+    val P = 2147483647L
+    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long") % P + 1L).cast("double") / lit((P + 1).toDouble)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(col("priority").asc, col(keyCol))
+    df.select(col(stratumCol), col(keyCol), weight.as("w"))
+      .select(col(stratumCol), col(keyCol), (-log(u) / col("w")).as("priority"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(stratumCol), col("rank"), col(keyCol),
+        round(col("priority"), 6).as("priority"))
+  }
+
   /** Materialize an intermediate to parquet and rescan it — the lifecycle
     * step for intermediates too large for executor-storage `persist`
     * (shingle/signature tables of a 100 TB dedup run). Unlike persist it

@@ -169,6 +169,13 @@ object PipelineQueries {
           TextAnalysis.qualityScore(col("text")).as("q")),
         "doc_id", col("q") + lit(0.01), k = 50)),
 
+    // --- stratified weighted sampling: 5 docs per language ∝ quality ---
+    "q_pipeline_weighted_strat" -> ((s, d) =>
+      graft.operators.Scale.weightedSampleStratified(
+        docs(s, d).select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("q")),
+        "doc_id", "lang", col("q") + lit(0.01), k = 5)),
+
     // --- one-scan dataset profile (null/cardinality/range QA pass);
     // exact tier oracle-checked, HLL tier bound-tested in SketchSpec ---
     "q_pipeline_profile" -> ((s, d) => {
@@ -415,6 +422,30 @@ object PipelineQueries {
     "q_text_repetition" -> TextAnalysis.repetitionOracleSql(n = 3),
     "q_pipeline_profile" -> graft.operators.Profile.exactOracleSql("lineitem",
       Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
+
+    "q_pipeline_weighted_strat" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+        |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, lang,
+        |    (least(length(text)::DOUBLE / 500.0, 1.0) * 0.4)
+        |    + ((1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE / length(text)::DOUBLE END) * 4, 1.0)) * 0.3)
+        |    + (least((CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for'], x)))::DOUBLE / len(toks)::DOUBLE END) * 5, 1.0) * 0.3)
+        |    + 0.01 AS w
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id, lang, w,
+        |         ((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 2147483647 + 1)::DOUBLE
+        |           / 2147483648.0) AS u
+        |  FROM w)
+        |SELECT lang, rank, doc_id, round(priority, 6) AS priority FROM (
+        |  SELECT lang, doc_id, -ln(u) / w AS priority,
+        |         row_number() OVER (PARTITION BY lang ORDER BY -ln(u) / w, doc_id) AS rank
+        |  FROM p)
+        |WHERE rank <= 5""".stripMargin,
 
     "q_pipeline_weighted_sample" ->
       """WITH t AS (
