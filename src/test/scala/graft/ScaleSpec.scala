@@ -69,6 +69,21 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert((1L to 10L).forall(picked.contains))
   }
 
+  test("weightedSampleStratified: k per stratum, priorities match the global sampler") {
+    val df = (1L to 300L).map(k => (k, s"lang${k % 3}", 1.0 + (k % 7)))
+      .toDF("key", "lang", "w")
+    val got = Scale.weightedSampleStratified(df, "key", "lang", col("w"), k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 12)
+    assert(got.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L) })
+    // same priority function as the global sampler: its top pick per
+    // stratum appears here with the identical priority value
+    val global = Scale.weightedSample(df, "key", col("w"), k = 300)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (_, _, key, p) => assert(global(key) == p) }
+  }
+
   test("materializeTo: same rows back, downstream plan is a flat scan") {
     val src = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), lower(col("text")).as("t"))
