@@ -21,6 +21,7 @@ object Profile {
 
   private def stats(df: DataFrame, cols: Seq[String],
       distinctOf: String => org.apache.spark.sql.Column): DataFrame = {
+    require(cols.nonEmpty, "profile requires at least one column")
     val aggs = cols.flatMap { c =>
       Seq(
         count(when(col(c).isNull, lit(1))).as(s"__null_$c"),

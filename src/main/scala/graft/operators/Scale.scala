@@ -84,9 +84,13 @@ object Scale {
     */
   def writeShards(df: DataFrame, path: String, keyCol: String,
       n: Int): DataFrame = {
+    require(n >= 1, "shard count must be positive")
+    // null keys would land in the Hive default partition and read back as
+    // shard NULL — still lossless, but a sharded training set wants every
+    // row addressable, so pin them to shard 0 explicitly
     val sharded = df.withColumn("shard",
-      (conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
-        .cast("long") % n).cast("int"))
+      coalesce((conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+        .cast("long") % n).cast("int"), lit(0)))
     sharded.repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
     df.sparkSession.read.parquet(path)
