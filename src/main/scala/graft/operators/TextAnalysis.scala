@@ -286,6 +286,67 @@ object TextAnalysis {
        |GROUP BY doc_id, probe_id""".stripMargin
   }
 
+  /** Collocation extraction: adjacent token pairs scored by pointwise
+    * mutual information, PMI = log(p(w1,w2) / (p(w1)·p(w2))) — the standard
+    * corpus-analytics pass for multiword expressions ("new york"-style
+    * units a whitespace tokenizer splits). Distributed shape: one exploded
+    * unigram aggregate, one exploded bigram aggregate, two keyed joins on
+    * the token (vocabulary-sized — shuffle joins that scale with distinct
+    * tokens, not corpus rows), totals as one-row broadcasts. `minCount`
+    * floors the bigram count — PMI is noise below a handful of
+    * observations. All counts exact; the final log is computed on an
+    * identically-structured rational in both engines and rounded to 6 dp.
+    */
+  def collocations(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minCount: Int = 5): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(explode(tokens(col(textCol))).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totalToks = toks.agg(count(lit(1)).as("t"))
+    val pairs = df.select(tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val totalPairs = pairs.agg(count(lit(1)).as("b"))
+    pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+      .where(col("n12") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(totalPairs))
+      .crossJoin(broadcast(totalToks))
+      .select(col("w1"), col("w2"), col("n12"),
+        round(log((col("n12").cast("double") / col("b")) /
+          ((col("c1").cast("double") / col("t"))
+            * (col("c2").cast("double") / col("t")))), 6).as("pmi"))
+  }
+
+  /** DuckDB SQL replaying [[collocations]] value-for-value. */
+  def collocationsOracleSql(minCount: Int = 5, table: String = "documents",
+      textCol: String = "text"): String =
+    s"""WITH toks AS (
+       |  SELECT CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
+       |              ELSE string_split_regex(trim(lower($textCol)), '\\s+') END AS toks
+       |  FROM $table),
+       |uni AS (
+       |  SELECT tok, count(*)::BIGINT AS c FROM (SELECT unnest(toks) AS tok FROM toks)
+       |  GROUP BY tok),
+       |tt AS (SELECT sum(c) AS t FROM uni),
+       |pairs AS (
+       |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM toks, LATERAL unnest(range(1, len(toks))) AS r(i)
+       |  WHERE len(toks) >= 2),
+       |tb AS (SELECT count(*) AS b FROM pairs),
+       |big AS (
+       |  SELECT w1, w2, count(*)::BIGINT AS n12 FROM pairs GROUP BY w1, w2)
+       |SELECT w1, w2, n12,
+       |       round(ln((n12::DOUBLE / b) /
+       |         ((c1.c::DOUBLE / t) * (c2.c::DOUBLE / t))), 6) AS pmi
+       |FROM big
+       |JOIN uni c1 ON big.w1 = c1.tok
+       |JOIN uni c2 ON big.w2 = c2.tok, tb, tt
+       |WHERE n12 >= $minCount""".stripMargin
+
   /** Per-language marker-word profiles for the language-ID heuristic.
     * Tiny on purpose: broadcast as literal arrays into codegen.
     */

@@ -74,6 +74,10 @@ object PipelineQueries {
         all.where(col("doc_id") % 20 === 0), "doc_id", "text", n = 4)
     }),
 
+    // --- PMI collocations: multiword-expression extraction (oracle-checked)
+    "q_text_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(docs(s, d), "doc_id", "text", minCount = 25)),
+
     // --- language ID heuristic + confusion counts vs the labeled column ---
     "q_text_langid" -> ((s, d) => docs(s, d)
       .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
@@ -420,6 +424,7 @@ object PipelineQueries {
     "q_dedup_fuzzy" -> Dedup.fuzzyOracleSql(),
     "q_text_entropy" -> TextAnalysis.entropyOracleSql(),
     "q_text_repetition" -> TextAnalysis.repetitionOracleSql(n = 3),
+    "q_text_collocations" -> TextAnalysis.collocationsOracleSql(minCount = 25),
     "q_pipeline_profile" -> graft.operators.Profile.exactOracleSql("lineitem",
       Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
 

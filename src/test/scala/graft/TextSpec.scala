@@ -138,6 +138,19 @@ class TextSpec extends SparkSpec {
     assert(got.size == 2)
   }
 
+  test("collocations: exact counts, PMI matches hand computation") {
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(df, "doc_id", "text", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // pairs: (a,b)x3, (b,a), (b,c) → only (a,b) reaches minCount=2
+    assert(got.length == 1)
+    val (w1, w2, n12, pmi) = got(0)
+    assert((w1, w2, n12) == (("a", "b", 3L)))
+    // T=7 tokens (a:3 b:3 c:1), B=5 pairs: PMI = ln((3/5)/((3/7)*(3/7)))
+    val expected = math.log((3.0 / 5) / ((3.0 / 7) * (3.0 / 7)))
+    assert(math.abs(pmi - expected) < 1e-6)
+  }
+
   test("portableRollingFp: order-sensitive, deterministic, empty → 0") {
     def fp(s: String): Long =
       one(s, TextAnalysis.portableRollingFp(TextAnalysis.tokens(col("text"))))
