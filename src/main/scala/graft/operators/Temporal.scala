@@ -7,6 +7,36 @@ import org.apache.spark.sql.functions._
 /** Temporal join operators Spark lacks natively. */
 object Temporal {
 
+  /** Time-series resampling with forward fill: a dense `bucketSec` grid per
+    * key spanning that key's observed range, each bucket carrying its event
+    * count (0 for gaps) and the most recent non-gap bucket max carried
+    * forward — the resample/ffill step feature pipelines run before
+    * training on sensor/metric streams. Shape: two keyed aggregates (bucket
+    * stats, per-key range), one `sequence` explode for the grid (rows ∝
+    * span/bucket, generated distributed — no driver loop), a left join on
+    * (key, bucket), and one fill window per key — every stage shuffles on
+    * the key only, never on the grid size.
+    */
+  def resampleFill(events: DataFrame, byCol: String, tsCol: String,
+      valCol: String, bucketSec: Long = 900L): DataFrame = {
+    val us = bucketSec * 1000000L
+    val e = events.selectExpr(s"$byCol AS k",
+      s"timestamp_micros((unix_micros($tsCol) div ${us}L) * ${us}L) AS bucket",
+      s"$valCol AS v")
+    val perBucket = e.groupBy(col("k"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"), max(col("v")).as("bucket_max"))
+    val grid = e.groupBy(col("k"))
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(col("k"),
+        explode(expr(s"sequence(b0, b1, interval $bucketSec second)")).as("bucket"))
+    val w = Window.partitionBy(col("k")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perBucket, Seq("k", "bucket"), "left")
+      .select(col("k").as(byCol), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("bucket_max"), ignoreNulls = true).over(w).as("filled_max"))
+  }
+
   /** As-of (point-in-time) left join: for every left row, attach `valueCols`
     * from the latest right row with the same `by` keys and
     * `right.timeCol <= left.timeCol`; null when no prior right row exists.

@@ -65,6 +65,15 @@ object StreamQueries {
           col("purchase_value"))
     }),
 
+    // time-series resample + forward fill: dense 15-min grid per user over
+    // their active span, gaps carry the last observed bucket max forward
+    // (a 1-in-20 user slice — the full-corpus grid is a 420k-row dump at
+    // sf0.01, far past what the gate's comparator needs to prove the op)
+    "q_stream_gapfill" -> ((s, d) =>
+      graft.operators.Temporal.resampleFill(
+        events(s, d).where(col("user_id") % 20 === 0),
+        "user_id", "ts", "value", bucketSec = 900L)),
+
     // as-of join: each click annotated with the user's latest prior purchase
     "q_asof_join" -> ((s, d) => {
       val ev = events(s, d)
@@ -181,6 +190,25 @@ object StreamQueries {
         |       make_timestamp((epoch_us(ts) // 900000000) * 900000000 + 900000000) AS win_end,
         |       event_type, count(*) AS n, min(value) AS mn, max(value) AS mx
         |FROM t GROUP BY 1, 2, 3""".stripMargin,
+
+    // grid = generate_series over each user's bucket range; fill = running
+    // last_value IGNORE NULLS — same semantics as Spark's last(_, true)
+    "q_stream_gapfill" ->
+      """WITH e AS (
+        |  SELECT user_id AS k,
+        |         make_timestamp((epoch_us(ts::TIMESTAMP) // 900000000) * 900000000) AS bucket,
+        |         value AS v
+        |  FROM events WHERE user_id % 20 = 0),
+        |pb AS (SELECT k, bucket, count(*) AS n_events, max(v) AS bucket_max
+        |       FROM e GROUP BY k, bucket),
+        |grid AS (
+        |  SELECT k, unnest(generate_series(b0, b1, INTERVAL 900 SECOND)) AS bucket
+        |  FROM (SELECT k, min(bucket) AS b0, max(bucket) AS b1 FROM e GROUP BY k))
+        |SELECT grid.k AS user_id, grid.bucket, coalesce(n_events, 0) AS n_events,
+        |       last_value(bucket_max IGNORE NULLS) OVER (
+        |         PARTITION BY grid.k ORDER BY grid.bucket
+        |         ROWS UNBOUNDED PRECEDING) AS filled_max
+        |FROM grid LEFT JOIN pb ON grid.k = pb.k AND grid.bucket = pb.bucket""".stripMargin,
 
     // element-wise window reduce = per-(window, position) sum
     "q_stream_reduce" ->

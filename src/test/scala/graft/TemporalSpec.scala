@@ -1,5 +1,6 @@
 package graft
 
+
 import graft.operators.Temporal
 import java.sql.Timestamp
 
@@ -76,6 +77,19 @@ class TemporalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Temporal.asofJoin(left, right, Seq("user_id"), "ts", Seq("pval"))
     }
+  }
+
+  test("resampleFill: dense grid, zero-count gaps, forward-filled values") {
+    // user 1: events at 10:00 (v=5) and 10:45 (v=8) → 15-min grid of 4
+    // buckets with two empty middle buckets carrying 5.0 forward
+    val ev = Seq((1L, ts(0), 5.0), (1L, ts(45), 8.0), (2L, ts(30), 1.0))
+      .toDF("user_id", "ts", "value")
+    val got = Temporal.resampleFill(ev, "user_id", "ts", "value", bucketSec = 900L)
+      .orderBy("user_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 5.0), (1L, 0L, 5.0), (1L, 0L, 5.0), (1L, 1L, 8.0),
+      (2L, 1L, 1.0)))
   }
 
   test("asofJoin keeps all left rows and adds only the suffixed column") {
