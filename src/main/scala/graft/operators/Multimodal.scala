@@ -126,6 +126,23 @@ object Multimodal {
   case class DecodedItemEx(item_id: Long, n_bytes: Long, width: Int,
       height: Int, channels: Int, format: String, real_decode: Boolean)
 
+  /** Typed boundary shared by the image entries: null binary cells (a
+    * nullable binary column) normalize to empty payloads, so every codec
+    * tier downstream sees bytes — the same total-function posture as the
+    * audio tier's in-loop guard.
+    */
+  private def binaryItems(df: DataFrame, idCol: String,
+      binCol: String): Dataset[BinaryItem] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("item_id"),
+      coalesce(col(binCol), typedLit(Array.emptyByteArray)).as("payload"))
+      .as[BinaryItem]
+  }
+
+  private def orEmpty(p: Array[Byte]): Array[Byte] =
+    if (p == null) Array.emptyByteArray else p
+
   /** Batch decode with codec autodetection: real ImageIO decode where a
     * reader claims the payload, [[StubCodec]] metadata otherwise — the
     * production shape (decode what you can, quarantine-flag what you
@@ -134,7 +151,8 @@ object Multimodal {
   def decodeItemsAuto(items: Dataset[BinaryItem]): Dataset[DecodedItemEx] = {
     implicit val enc = Encoders.product[DecodedItemEx]
     items.mapPartitions { it =>
-      it.map { item =>
+      it.map { item0 =>
+        val item = BinaryItem(item0.item_id, orEmpty(item0.payload))
         ImageIoCodec.decode(item.payload) match {
           case Some(m) => DecodedItemEx(item.item_id, item.payload.length.toLong,
             m.width, m.height, m.channels, m.format, real_decode = true)
@@ -148,13 +166,8 @@ object Multimodal {
   }
 
   /** DataFrame-level entry for [[decodeItemsAuto]]. */
-  def decodeAuto(df: DataFrame, idCol: String, binCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val typed = df.select(col(idCol).cast("long").as("item_id"),
-      col(binCol).as("payload")).as[BinaryItem]
-    decodeItemsAuto(typed).toDF()
-  }
+  def decodeAuto(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    decodeItemsAuto(binaryItems(df, idCol, binCol)).toDF()
 
   /** Per-item image features: RGB channel means + a 4×4 mean-luminance grid
     * (the classic cheap embedding for near-dup blocking / quality filters).
@@ -175,10 +188,7 @@ object Multimodal {
     * with zero allocation per pixel.
     */
   def imageFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val typed = df.select(col(idCol).cast("long").as("item_id"),
-      col(binCol).as("payload")).as[BinaryItem]
+    val typed = binaryItems(df, idCol, binCol)
     implicit val enc = Encoders.product[ImageFeatures]
     typed.mapPartitions { it =>
       it.map { item =>
@@ -263,7 +273,8 @@ object Multimodal {
   def decodeItems(items: Dataset[BinaryItem]): Dataset[DecodedItem] = {
     implicit val enc = Encoders.product[DecodedItem]
     items.mapPartitions { it =>
-      it.map { item =>
+      it.map { item0 =>
+        val item = BinaryItem(item0.item_id, orEmpty(item0.payload))
         val m = StubCodec.decode(item.payload)
         DecodedItem(item.item_id, item.payload.length.toLong,
           m.width, m.height, m.channels, m.format)
@@ -272,13 +283,8 @@ object Multimodal {
   }
 
   /** DataFrame-level entry: binary column + id → decoded metadata table. */
-  def decode(df: DataFrame, idCol: String, binCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val typed = df.select(col(idCol).cast("long").as("item_id"),
-      col(binCol).as("payload")).as[BinaryItem]
-    decodeItems(typed).toDF()
-  }
+  def decode(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    decodeItems(binaryItems(df, idCol, binCol)).toDF()
 
   /** Decode + resize in one partition pass: (item_id, resized byte count,
     * target dims, original dims) — the shape of a thumbnailing stage in a
@@ -288,8 +294,7 @@ object Multimodal {
       w: Int, h: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val typed = df.select(col(idCol).cast("long").as("item_id"),
-      col(binCol).as("payload")).as[BinaryItem]
+    val typed = binaryItems(df, idCol, binCol)
     typed.mapPartitions { it =>
       it.map { item =>
         val m = StubCodec.decode(item.payload)
@@ -308,8 +313,7 @@ object Multimodal {
       stride: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val typed = df.select(col(idCol).cast("long").as("item_id"),
-      col(binCol).as("payload")).as[BinaryItem]
+    val typed = binaryItems(df, idCol, binCol)
     typed.flatMap(item => StubCodec.frameOffsets(item.payload, stride)
         .map(off => (item.item_id, off)))
       .toDF("item_id", "frame_offset")

@@ -111,7 +111,9 @@ object Scale {
     val P = 2147483647L // graft.operators.Dedup.PortablePrime
     val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
       .cast("long") % P + 1L).cast("double") / lit((P + 1).toDouble)
-    df.select(col(keyCol), weight.as("w"))
+    df.where(col(keyCol).isNotNull) // null keys: no stable u, and the two
+      // engines order NULL priorities differently — excluded by contract
+      .select(col(keyCol), weight.as("w"))
       .select(col(keyCol), (-log(u) / col("w")).as("priority"))
       .orderBy(col("priority").asc, col(keyCol))
       .limit(k)
@@ -132,7 +134,8 @@ object Scale {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))
       .orderBy(col("priority").asc, col(keyCol))
-    df.select(col(stratumCol), col(keyCol), weight.as("w"))
+    df.where(col(keyCol).isNotNull)
+      .select(col(stratumCol), col(keyCol), weight.as("w"))
       .select(col(stratumCol), col(keyCol), (-log(u) / col("w")).as("priority"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)

@@ -100,6 +100,19 @@ class MultimodalSpec extends SparkSpec {
     assert(got(4L) == got(1L))
   }
 
+  test("null binary cells flow through the image tier as empty payloads") {
+    val df = Seq((1L, "bytes".getBytes), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    assert(Multimodal.decodeAuto(df, "id", "payload").count() == 2)
+    assert(Multimodal.imageFeatures(df, "id", "payload").count() == 2)
+    val ph = Multimodal.perceptualHash(df, "id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ph(2L) == 0L) // empty payload → all-zero grid → hash 0
+    assert(Multimodal.resize(df, "id", "payload", 8, 8).count() == 2)
+    // 5-byte payload → offsets 0,4; null/empty payload → no frames
+    assert(Multimodal.sampleFrames(df, "id", "payload", 4).count() == 2)
+  }
+
   test("imageFeatures: solid-color PNG yields exact channel means and flat grid") {
     val img = new java.awt.image.BufferedImage(20, 20,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
