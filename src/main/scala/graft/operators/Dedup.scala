@@ -57,8 +57,13 @@ object Dedup {
     */
   def incremental(incoming: DataFrame, id: Column, key: Column,
       seen: DataFrame): DataFrame = {
-    val seenKeys = seen.toDF("dup_key")
+    // null keys are excluded by contract on both sides: a null fingerprint
+    // identifies nothing, and engines disagree on null-key set semantics
+    // (anti-join keeps null probes, NOT IN drops everything) — excluding
+    // them makes the operator's answer well-defined everywhere
+    val seenKeys = seen.toDF("dup_key").where(col("dup_key").isNotNull)
     incoming.select(id.as("keep_id"), key.as("dup_key"))
+      .where(col("dup_key").isNotNull)
       .groupBy(col("dup_key")).agg(min(col("keep_id")).as("keep_id"))
       .join(seenKeys, Seq("dup_key"), "left_anti")
       .select(col("keep_id"), col("dup_key"))

@@ -151,14 +151,14 @@ object Multimodal {
   def decodeItemsAuto(items: Dataset[BinaryItem]): Dataset[DecodedItemEx] = {
     implicit val enc = Encoders.product[DecodedItemEx]
     items.mapPartitions { it =>
-      it.map { item0 =>
-        val item = BinaryItem(item0.item_id, orEmpty(item0.payload))
-        ImageIoCodec.decode(item.payload) match {
-          case Some(m) => DecodedItemEx(item.item_id, item.payload.length.toLong,
+      it.map { item =>
+        val p = orEmpty(item.payload)
+        ImageIoCodec.decode(p) match {
+          case Some(m) => DecodedItemEx(item.item_id, p.length.toLong,
             m.width, m.height, m.channels, m.format, real_decode = true)
           case None =>
-            val m = StubCodec.decode(item.payload)
-            DecodedItemEx(item.item_id, item.payload.length.toLong,
+            val m = StubCodec.decode(p)
+            DecodedItemEx(item.item_id, p.length.toLong,
               m.width, m.height, m.channels, m.format, real_decode = false)
         }
       }
@@ -273,10 +273,10 @@ object Multimodal {
   def decodeItems(items: Dataset[BinaryItem]): Dataset[DecodedItem] = {
     implicit val enc = Encoders.product[DecodedItem]
     items.mapPartitions { it =>
-      it.map { item0 =>
-        val item = BinaryItem(item0.item_id, orEmpty(item0.payload))
-        val m = StubCodec.decode(item.payload)
-        DecodedItem(item.item_id, item.payload.length.toLong,
+      it.map { item =>
+        val p = orEmpty(item.payload)
+        val m = StubCodec.decode(p)
+        DecodedItem(item.item_id, p.length.toLong,
           m.width, m.height, m.channels, m.format)
       }
     }

@@ -106,11 +106,18 @@ object Scale {
     * shuffle of the corpus; at 100 TB per-partition top-k partials merge on
     * the driver-side heap like any LIMIT+ORDER BY.
     */
+  /** Content-stable uniform in (0, 1] from the portable md5 hash of a key —
+    * the randomness source both samplers (and their DuckDB replays) share.
+    */
+  private def hashUniform(key: Column): Column = {
+    val P = Dedup.PortablePrime
+    (conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("long") % P + 1L).cast("double") / lit((P + 1).toDouble)
+  }
+
   def weightedSample(df: DataFrame, keyCol: String, weight: Column,
       k: Int): DataFrame = {
-    val P = 2147483647L // graft.operators.Dedup.PortablePrime
-    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
-      .cast("long") % P + 1L).cast("double") / lit((P + 1).toDouble)
+    val u = hashUniform(col(keyCol))
     df.where(col(keyCol).isNotNull) // null keys: no stable u, and the two
       // engines order NULL priorities differently — excluded by contract
       .select(col(keyCol), weight.as("w"))
@@ -128,9 +135,7 @@ object Scale {
     */
   def weightedSampleStratified(df: DataFrame, keyCol: String,
       stratumCol: String, weight: Column, k: Int): DataFrame = {
-    val P = 2147483647L
-    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
-      .cast("long") % P + 1L).cast("double") / lit((P + 1).toDouble)
+    val u = hashUniform(col(keyCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))
       .orderBy(col("priority").asc, col(keyCol))

@@ -594,8 +594,7 @@ object Similarity {
       m: Int = 8, dim: Int = 64, codes: Int = 16): DataFrame = {
     val subDim = dim / m
     val assigned = ivfAssign(df, idCol, vecCol, centroidEvery)
-    val q = df.where(col(idCol) === queryId)
-      .select(col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm"))
+    val q = df.where(col(idCol) === queryId).select(col(vecCol).as("qvec"))
     val cents = df.where(col(idCol) % centroidEvery === 0)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
     val probeCents = cents.join(broadcast(q))

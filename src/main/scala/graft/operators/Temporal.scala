@@ -20,8 +20,11 @@ object Temporal {
   def resampleFill(events: DataFrame, byCol: String, tsCol: String,
       valCol: String, bucketSec: Long = 900L): DataFrame = {
     val us = bucketSec * 1000000L
+    // floor alignment via pmod (NOT `div`, which truncates toward zero):
+    // pre-epoch timestamps must land in the bucket STARTING at-or-before
+    // them, matching Spark's own window() semantics
     val e = events.selectExpr(s"$byCol AS k",
-      s"timestamp_micros((unix_micros($tsCol) div ${us}L) * ${us}L) AS bucket",
+      s"timestamp_micros(unix_micros($tsCol) - pmod(unix_micros($tsCol), ${us}L)) AS bucket",
       s"$valCol AS v")
     val perBucket = e.groupBy(col("k"), col("bucket"))
       .agg(count(lit(1)).as("n_events"), max(col("v")).as("bucket_max"))

@@ -299,17 +299,20 @@ object TextAnalysis {
     */
   def collocations(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, minCount: Int = 5): org.apache.spark.sql.DataFrame = {
-    val toks = df.select(explode(tokens(col(textCol))).as("tok"))
-    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val totalToks = toks.agg(count(lit(1)).as("t"))
-    val pairs = df.select(tokens(col(textCol)).as("toks"))
+    // both totals are derived from the per-key aggregates (sum of counts),
+    // not fresh corpus scans — one tokenize pass per aggregate, two total
+    val uni = df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totalToks = uni.agg(sum(col("c")).as("t"))
+    val bigramCounts = df.select(tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= 2)
       .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
         i => struct(element_at(col("toks"), i).as("w1"),
           element_at(col("toks"), i + 1).as("w2")))).as("p"))
       .select(col("p.w1"), col("p.w2"))
-    val totalPairs = pairs.agg(count(lit(1)).as("b"))
-    pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    val totalPairs = bigramCounts.agg(sum(col("n12")).as("b"))
+    bigramCounts
       .where(col("n12") >= minCount)
       .join(uni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
       .join(uni.select(col("tok").as("w2"), col("c").as("c2")), "w2")

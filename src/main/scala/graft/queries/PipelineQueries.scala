@@ -618,8 +618,9 @@ object PipelineQueries {
         |         md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS dup_key
         |  FROM documents)
         |SELECT min(doc_id)::BIGINT AS keep_id, dup_key
-        |FROM fp WHERE doc_id % 2 = 1
-        |  AND dup_key NOT IN (SELECT dup_key FROM fp WHERE doc_id % 2 = 0)
+        |FROM fp WHERE doc_id % 2 = 1 AND dup_key IS NOT NULL
+        |  AND dup_key NOT IN (SELECT dup_key FROM fp
+        |                      WHERE doc_id % 2 = 0 AND dup_key IS NOT NULL)
         |GROUP BY dup_key""".stripMargin,
 
     // faithful DuckDB replication of TextAnalysis.langId: per-language

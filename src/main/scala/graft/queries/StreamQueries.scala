@@ -196,7 +196,8 @@ object StreamQueries {
     "q_stream_gapfill" ->
       """WITH e AS (
         |  SELECT user_id AS k,
-        |         make_timestamp((epoch_us(ts::TIMESTAMP) // 900000000) * 900000000) AS bucket,
+        |         make_timestamp(epoch_us(ts::TIMESTAMP)
+        |           - ((epoch_us(ts::TIMESTAMP) % 900000000 + 900000000) % 900000000)) AS bucket,
         |         value AS v
         |  FROM events WHERE user_id % 20 = 0),
         |pb AS (SELECT k, bucket, count(*) AS n_events, max(v) AS bucket_max

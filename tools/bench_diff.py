@@ -22,7 +22,12 @@ def main(old_path, new_path, threshold=1.5):
     moved = []
     for q in sorted(set(old) & set(new)):
         a, b = old[q], new[q]
-        if a > 0 and (b / a > threshold or a / b > threshold):
+        # 0.000s entries (sub-millisecond rounding) can't form a ratio —
+        # report any 0 <-> non-zero transition as moved
+        if a <= 0 or b <= 0:
+            if a != b:
+                moved.append((float("inf") if b > a else 0.0, q, a, b))
+        elif b / a > threshold or a / b > threshold:
             moved.append((b / a, q, a, b))
     for r, q, a, b in sorted(moved, reverse=True):
         tag = "SLOWER" if r > 1 else "FASTER"
