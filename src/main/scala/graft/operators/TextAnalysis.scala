@@ -286,6 +286,57 @@ object TextAnalysis {
        |GROUP BY doc_id, probe_id""".stripMargin
   }
 
+  /** Corpus-LM perplexity scoring — the CCNet-style quality filter (Wenzek
+    * et al. 2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    * Web Crawl Data"): score each document by the per-token cross-entropy of
+    * a unigram language model fitted on the corpus itself (Laplace
+    * smoothing: p(w) = (c(w)+1)/(T+V)). Outlier docs — boilerplate, spam,
+    * wrong-language — sit far from the corpus distribution and score high.
+    * Shape: one vocabulary aggregate, a token-keyed join of the exploded
+    * corpus against it (shuffle scales with distinct tokens), then a
+    * per-doc SORTED sequential fold of the log-probs (the [[tokenEntropy]]
+    * pattern) so the double sum is partition-order-proof and
+    * oracle-replayable. Emits (doc_id, n_tokens, cross_entropy) — nats per
+    * token, 6 dp — for docs with >= 1 token.
+    */
+  def unigramCrossEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+    toks.join(uni, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("c"))).as("cs"),
+        count(lit(1)).as("n_tokens"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_tokens"),
+        round(-aggregate(col("cs"), lit(0.0), (acc, c) =>
+          acc + log((c + 1).cast("double") / (col("t") + col("v")).cast("double")))
+          / col("n_tokens").cast("double"), 6).as("cross_entropy"))
+  }
+
+  /** DuckDB SQL replaying [[unigramCrossEntropy]] value-for-value (same
+    * sorted fold, same Laplace smoothing, same 6 dp rounding).
+    */
+  def crossEntropyOracleSql(table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text"): String =
+    s"""WITH toks AS (
+       |  SELECT $idCol AS doc_id,
+       |         unnest(CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
+       |                ELSE string_split_regex(trim(lower($textCol)), '\\s+') END) AS tok
+       |  FROM $table),
+       |uni AS (SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok),
+       |tot AS (SELECT sum(c)::BIGINT AS t, count(*)::BIGINT AS v FROM uni),
+       |per_doc AS (
+       |  SELECT doc_id, list_sort(list(c)) AS cs, count(*)::BIGINT AS n_tokens
+       |  FROM toks JOIN uni USING (tok) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens,
+       |       round(-list_sum(list_transform(cs,
+       |           c -> ln((c + 1)::DOUBLE / (t + v)::DOUBLE)))
+       |         / n_tokens::DOUBLE, 6) AS cross_entropy
+       |FROM per_doc, tot""".stripMargin
+
   /** Collocation extraction: adjacent token pairs scored by pointwise
     * mutual information, PMI = log(p(w1,w2) / (p(w1)·p(w2))) — the standard
     * corpus-analytics pass for multiword expressions ("new york"-style

@@ -74,6 +74,11 @@ object PipelineQueries {
         all.where(col("doc_id") % 20 === 0), "doc_id", "text", n = 4)
     }),
 
+    // --- CCNet-style LM quality filter: per-doc unigram cross-entropy
+    // against the corpus distribution (oracle-checked) ---
+    "q_text_perplexity" -> ((s, d) =>
+      TextAnalysis.unigramCrossEntropy(docs(s, d), "doc_id", "text")),
+
     // --- PMI collocations: multiword-expression extraction (oracle-checked)
     "q_text_collocations" -> ((s, d) =>
       TextAnalysis.collocations(docs(s, d), "doc_id", "text", minCount = 25)),
@@ -425,6 +430,7 @@ object PipelineQueries {
     "q_text_entropy" -> TextAnalysis.entropyOracleSql(),
     "q_text_repetition" -> TextAnalysis.repetitionOracleSql(n = 3),
     "q_text_collocations" -> TextAnalysis.collocationsOracleSql(minCount = 25),
+    "q_text_perplexity" -> TextAnalysis.crossEntropyOracleSql(),
     "q_pipeline_profile" -> graft.operators.Profile.exactOracleSql("lineitem",
       Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
 

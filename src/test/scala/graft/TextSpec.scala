@@ -138,6 +138,19 @@ class TextSpec extends SparkSpec {
     assert(got.size == 2)
   }
 
+  test("unigramCrossEntropy: hand-checked Laplace model, common text scores lower") {
+    val df = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    // corpus: c(a)=3, c(b)=1, T=4, V=2 → p(a)=(3+1)/6, p(b)=(1+1)/6
+    val got = TextAnalysis.unigramCrossEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val ha = -math.log(4.0 / 6)
+    val hb = -math.log(2.0 / 6)
+    assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - ha) < 1e-6)
+    assert(got(2L)._1 == 1L && math.abs(got(2L)._2 - hb) < 1e-6)
+    // the in-distribution doc is less surprising than the rare-token doc
+    assert(got(1L)._2 < got(2L)._2)
+  }
+
   test("collocations: exact counts, PMI matches hand computation") {
     val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
     val got = TextAnalysis.collocations(df, "doc_id", "text", minCount = 2)
