@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to sbt's stdout WITHOUT the "[info] "
+// logger prefix. The driver parses Bench's one-line {"metric":...} JSON
+// from the process output; with the default LoggedOutput strategy every
+// line arrives as "[info] {...}" and the parse fails (BENCH_r01/r02
+// recorded parsed:null with the full line visible in the tail).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

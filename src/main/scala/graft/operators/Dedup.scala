@@ -69,6 +69,42 @@ object Dedup {
       .select(col("keep_id"), col("dup_key"))
   }
 
+  /** Bloom-prefiltered incremental ingest dedup — [[incremental]]'s exact
+    * answer with a different scale shape. The seen-store's keys fold into a
+    * driver-built Bloom filter (`DataFrameStatFunctions.bloomFilter`, one
+    * distributed aggregation; ~1.1 GB for 1e9 keys at 1% fpp), which ships
+    * to executors inside the probe UDF's closure. The incoming batch then
+    * splits on the probe:
+    *  - probe-NEGATIVE rows are definitely new (Bloom filters have no false
+    *    negatives) → kept with no join at all. For a mostly-novel batch this
+    *    is the bulk of the data, and it never shuffles against the store;
+    *  - probe-POSITIVE rows (true dups + ~fpp false positives) go through
+    *    [[incremental]]'s exact anti-join — but only this thin candidate
+    *    slice pays the shuffle.
+    * The union is exactly [[incremental]]'s output (the Bloom filter only
+    * routes rows, it never decides membership), which is what the DuckDB
+    * oracle asserts. Prefer this when the batch is large relative to its
+    * true-dup rate; prefer plain [[incremental]] when the store is small
+    * enough that one shuffled anti-join is cheap anyway.
+    */
+  def incrementalBloom(incoming: DataFrame, id: Column, key: Column,
+      seen: DataFrame, fpp: Double = 0.01): DataFrame = {
+    val seenKeys = seen.toDF("dup_key").where(col("dup_key").isNotNull)
+    // the store size is normally known (it's a maintained table); counting
+    // here keeps the operator self-contained at gate scale
+    val nSeen = math.max(1L, seenKeys.count())
+    val bloom = seenKeys.stat.bloomFilter("dup_key", nSeen, fpp)
+    val mightContain = udf((k: String) => bloom.mightContain(k))
+    val batch = incoming.select(id.as("keep_id"), key.as("dup_key"))
+      .where(col("dup_key").isNotNull)
+      .groupBy(col("dup_key")).agg(min(col("keep_id")).as("keep_id"))
+    val definitelyNew = batch.where(!mightContain(col("dup_key")))
+    val candidates = batch.where(mightContain(col("dup_key")))
+      .join(seenKeys, Seq("dup_key"), "left_anti")
+    definitelyNew.unionByName(candidates)
+      .select(col("keep_id"), col("dup_key"))
+  }
+
   /** Hash each shingle through `numHashes` independent 64-bit families and
     * keep the per-family minimum: the classic MinHash signature
     * (Broder 1997, "On the resemblance and containment of documents").

@@ -209,6 +209,18 @@ object PipelineQueries {
           .select(TextAnalysis.fingerprint(col("text"))))
     }),
 
+    // --- the same ingest, bloom-prefiltered: probe-negative rows skip the
+    // anti-join entirely; answer must be bit-identical to q_dedup_incremental
+    // (same oracle) since the bloom only routes rows ---
+    "q_dedup_bloom" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.incrementalBloom(
+        all.where(col("doc_id") % 2 === 1), col("doc_id"),
+        TextAnalysis.fingerprint(col("text")),
+        all.where(col("doc_id") % 2 === 0)
+          .select(TextAnalysis.fingerprint(col("text"))))
+    }),
+
     // --- exact 2-gram Jaccard over id-window-blocked pairs (oracle-checked)
     "q_dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(
       docs(s, d), "doc_id", "text", ngram = 2,
@@ -619,6 +631,18 @@ object PipelineQueries {
         |FROM documents""".stripMargin,
 
     "q_dedup_incremental" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |         md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS dup_key
+        |  FROM documents)
+        |SELECT min(doc_id)::BIGINT AS keep_id, dup_key
+        |FROM fp WHERE doc_id % 2 = 1 AND dup_key IS NOT NULL
+        |  AND dup_key NOT IN (SELECT dup_key FROM fp
+        |                      WHERE doc_id % 2 = 0 AND dup_key IS NOT NULL)
+        |GROUP BY dup_key""".stripMargin,
+
+    // bloom routing is answer-invariant → same oracle as q_dedup_incremental
+    "q_dedup_bloom" ->
       """WITH fp AS (
         |  SELECT doc_id,
         |         md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS dup_key

@@ -54,11 +54,33 @@ object SourceQueries {
         sum(col("o_custkey")).as("cust_sum"))
   }
 
+  /** Hive-style partitioned layout + partition-pruned read: documents land
+    * as `lang=XX/` directories, the reader filters one language, and the
+    * scan prunes to that directory from the file listing alone —
+    * `PartitionFilters` in the plan, zero rows read from the other
+    * partitions (asserted in SourcesSpec). At 100 TB this is the first and
+    * cheapest form of data skipping: the layout, not the engine, eliminates
+    * (n-1)/n of the corpus before any parquet page is opened.
+    */
+  private def partitionedPrune(s: SparkSession, d: String): DataFrame = {
+    Tables.load(s, d)
+    val dir = "/tmp/graft_partitioned"
+    s.table("documents")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    s.read.parquet(dir).where(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("char_sum"),
+        min(col("doc_id")).as("min_doc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_csv_roundtrip" -> ((s, d) => roundtrip(s, d, "csv")),
     "q_source_json_roundtrip" -> ((s, d) => roundtrip(s, d, "json")),
     "q_source_orc_roundtrip" -> ((s, d) => roundtrip(s, d, "orc")),
     "q_source_evolution" -> ((s, d) => evolution(s, d)),
+    "q_source_partitioned" -> ((s, d) => partitionedPrune(s, d)),
   )
 
   private val oracle =
@@ -77,5 +99,10 @@ object SourceQueries {
         |       count(*) FILTER (o_orderkey % 2 = 1)::BIGINT AS n_priced,
         |       sum(o_custkey)::BIGINT AS cust_sum
         |FROM orders GROUP BY 1""".stripMargin,
+    // pruned partitioned read == plain filtered aggregate over the source
+    "q_source_partitioned" ->
+      """SELECT source, count(*) AS n, sum(n_chars)::BIGINT AS char_sum,
+        |       min(doc_id) AS min_doc
+        |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
   )
 }

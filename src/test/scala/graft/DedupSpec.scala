@@ -30,6 +30,35 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq(11L, 13L))
   }
 
+  test("incrementalBloom: exact same answer as incremental (bloom only routes)") {
+    val incoming = Seq((11L, "a b c"), (12L, "a b c"), (13L, "x y z"),
+      (14L, "seen before"), (15L, "also new")).toDF("id", "text")
+    val seen = Seq("seen before", "other old doc").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text")))
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getLong(0)).sorted.toSeq
+    val plain = ids(Dedup.incremental(incoming, col("id"),
+      TextAnalysis.fingerprint(col("text")), seen))
+    val bloomed = ids(Dedup.incrementalBloom(incoming, col("id"),
+      TextAnalysis.fingerprint(col("text")), seen))
+    assert(bloomed == plain)
+    assert(plain == Seq(11L, 13L, 15L))
+  }
+
+  test("incrementalBloom matches incremental on the real corpus") {
+    val incoming = docs.where(col("doc_id") % 2 === 1)
+    val seen = docs.where(col("doc_id") % 2 === 0)
+      .select(TextAnalysis.fingerprint(col("text")))
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val plain = keyset(Dedup.incremental(incoming, col("doc_id"),
+      TextAnalysis.fingerprint(col("text")), seen))
+    // tight fpp and a loose one: the answer may never depend on the rate
+    for (fpp <- Seq(0.5, 0.01))
+      assert(keyset(Dedup.incrementalBloom(incoming, col("doc_id"),
+        TextAnalysis.fingerprint(col("text")), seen, fpp = fpp)) == plain)
+  }
+
   test("minhashPairs finds planted near-duplicates") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val near = (1 to 38).map(i => s"w$i").mkString(" ") + " zz1 zz2" // ~0.88 2-gram J

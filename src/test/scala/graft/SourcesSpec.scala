@@ -44,6 +44,26 @@ class SourcesSpec extends SparkSpec {
     assert(rows(1).getDouble(rows(1).fieldIndex("extra")) == 9.5)
   }
 
+  test("partitionBy layout prunes to the filtered partition at plan time") {
+    import spark.implicits._
+    val dir = s"$tmp/parted"
+    Seq((1L, "en", 10L), (2L, "en", 20L), (3L, "de", 30L), (4L, "fr", 40L))
+      .toDF("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val pruned = spark.read.parquet(dir).where(col("lang") === "en")
+    // the partition filter must reach the scan (directory-level skipping,
+    // not a post-read row filter) ...
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(plan.contains("lang"), plan)
+    // ... and the scan must select only the one matching directory
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.selectedPartitions.partitionCount == 1)
+    assert(pruned.agg(sum("n_chars")).collect()(0).getLong(0) == 30L)
+  }
+
   test("array_reduce gives identical results over parquet, csv, and json sources") {
     def reduceOver(df: org.apache.spark.sql.DataFrame): Seq[Seq[Int]] = {
       df.select(array(col("l_linenumber"),
