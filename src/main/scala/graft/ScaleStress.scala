@@ -106,6 +106,14 @@ object ScaleStress {
     time("knn ivfpq 10x (sized centroidEvery=sqrt(n))")(
       Similarity.knnIvfPq(e10, "vec_id", "embedding", 0L, 10,
         centroidEvery = Similarity.sizeCentroidEvery(50000L), nprobe = 9).count())
+    def bloomIngest(d: org.apache.spark.sql.DataFrame): Long =
+      Dedup.incrementalBloom(
+        d.where(col("doc_id") % 2 === 1), col("doc_id"),
+        TextAnalysis.fingerprint(col("text")),
+        d.where(col("doc_id") % 2 === 0)
+          .select(TextAnalysis.fingerprint(col("text")))).count()
+    time("bloom-ingest 1x")(bloomIngest(d1))
+    time("bloom-ingest 10x")(bloomIngest(d10))
     time("e2e pipeline 1x")(
       graft.SparkEntry.queries("q_pipeline_e2e")(spark, "/root/testdata/sf0.1").count())
     spark.stop()
