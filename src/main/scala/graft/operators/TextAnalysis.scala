@@ -437,6 +437,56 @@ object TextAnalysis {
     */
   val PortableFpBase: Long = 1000003L
 
+  /** PII redaction patterns shared by the Spark operator and the DuckDB
+    * oracle: plain ASCII character classes and bounded quantifiers only, so
+    * Java regex (Spark) and RE2 (DuckDB) match identically.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII redaction — the scrubbing step of a training-data pipeline: mask
+    * emails, North-American phone numbers, and IPv4 addresses with typed
+    * placeholders, and report per-document match counts (the audit trail a
+    * compliance pass needs). Pure codegen'd `regexp_replace`/`regexp_count`
+    * projection: one scan, no shuffle, no UDF — scale cost is the regex
+    * engine on each row, nothing else. Counts are taken on the ORIGINAL
+    * text; replacements apply email → ip → phone, in that order (the
+    * patterns are mutually exclusive on any one span, so order only matters
+    * for the placeholder text itself).
+    */
+  def redactPii(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        EmailRe, "[EMAIL]"), Ipv4Re, "[IP]"), PhoneRe, "[PHONE]")
+        .as("redacted"),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ips"))
+  }
+
+  /** DuckDB replay of [[redactPii]] (RE2 needs the 'g' flag for global
+    * replace; `regexp_extract_all` + len replays `regexp_count`). `expr`
+    * is the text expression to scrub.
+    */
+  def redactOracleSql(expr: String, table: String = "documents",
+      idCol: String = "doc_id"): String = {
+    // single-quoted DuckDB literals pass backslashes through untouched, so
+    // the shared pattern strings embed verbatim
+    val (em, ph, ip) = (EmailRe, PhoneRe, Ipv4Re)
+    s"""WITH t AS (SELECT $idCol, $expr AS txt FROM $table)
+       |SELECT $idCol,
+       |       regexp_replace(regexp_replace(regexp_replace(txt,
+       |         '$em', '[EMAIL]', 'g'), '$ip', '[IP]', 'g'),
+       |         '$ph', '[PHONE]', 'g') AS redacted,
+       |       len(regexp_extract_all(txt, '$em'))::BIGINT AS n_emails,
+       |       len(regexp_extract_all(txt, '$ph'))::BIGINT AS n_phones,
+       |       len(regexp_extract_all(txt, '$ip'))::BIGINT AS n_ips
+       |FROM t""".stripMargin
+  }
+
   /** Order-sensitive Rabin–Karp fingerprint over a token array, portable
     * variant of [[graft.functions.SimHash.rollingHash64]]: token hashes are
     * md5-derived and the fold is mod 2^31-1, so any engine with md5()

@@ -39,6 +39,19 @@ object PipelineQueries {
       col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    // --- PII redaction (oracle-checked): the corpus carries no PII, so a
+    // deterministic email/phone/IP derived from doc_id is appended on BOTH
+    // engines, then scrubbed — placeholders and counts must hash-match ---
+    "q_text_redact" -> ((s, d) => {
+      val withPii = docs(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or call 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-0199 from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7")).as("text"))
+      TextAnalysis.redactPii(withPii, "doc_id", "text")
+    }),
+
     // --- rolling-hash fingerprint (order-sensitive Rabin-Karp over tokens;
     // custom codegen expression — rows-only, no 64-bit wrapping-arithmetic
     // equivalent in the oracle engine) ---
@@ -629,6 +642,11 @@ object PipelineQueries {
       """SELECT doc_id,
         |       md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+
+    "q_text_redact" -> TextAnalysis.redactOracleSql(
+      "text || ' contact user' || doc_id || '@example.com or call 555-' || " +
+        "lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-0199 from 10.0.' || " +
+        "(doc_id % 256)::VARCHAR || '.7'"),
 
     "q_dedup_incremental" ->
       """WITH fp AS (

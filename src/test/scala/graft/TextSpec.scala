@@ -173,4 +173,20 @@ class TextSpec extends SparkSpec {
     assert(fp("") == 0L)
     assert(fp("a b c") >= 0L && fp("a b c") < 2147483647L) // in [0, P)
   }
+
+  test("redactPii: masks emails/phones/IPs with counts; clean text untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.smith+x@sub.example.org and b@c.io, dial 555-867-5309, host 192.168.0.1"),
+      (2L, "no pii here, just words and 12345 numbers"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getString(1) ==
+      "mail [EMAIL] and [EMAIL], dial [PHONE], host [IP]")
+    assert((got(0).getLong(2), got(0).getLong(3), got(0).getLong(4)) == ((2L, 1L, 1L)))
+    assert(got(1).getString(1) == "no pii here, just words and 12345 numbers")
+    assert((got(1).getLong(2), got(1).getLong(3), got(1).getLong(4)) == ((0L, 0L, 0L)))
+    assert(got(2).getString(1) == "")
+  }
 }
