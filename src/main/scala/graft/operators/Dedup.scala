@@ -56,18 +56,29 @@ object Dedup {
     * re-reading of previously ingested *content*, only its fingerprints.
     */
   def incremental(incoming: DataFrame, id: Column, key: Column,
-      seen: DataFrame): DataFrame = {
-    // null keys are excluded by contract on both sides: a null fingerprint
-    // identifies nothing, and engines disagree on null-key set semantics
-    // (anti-join keeps null probes, NOT IN drops everything) — excluding
-    // them makes the operator's answer well-defined everywhere
-    val seenKeys = seen.toDF("dup_key").where(col("dup_key").isNotNull)
+      seen: DataFrame): DataFrame =
+    batchKeyed(incoming, id, key)
+      .join(seenKeySet(seen), Seq("dup_key"), "left_anti")
+      .select(col("keep_id"), col("dup_key"))
+
+  /** The seen store as a normalized (dup_key) frame. Null keys are excluded
+    * by contract on both sides of the ingest: a null fingerprint identifies
+    * nothing, and engines disagree on null-key set semantics (anti-join
+    * keeps null probes, NOT IN drops everything) — excluding them makes the
+    * operator's answer well-defined everywhere. Shared by [[incremental]]
+    * and [[incrementalBloom]] so the two stay answer-identical by
+    * construction.
+    */
+  private def seenKeySet(seen: DataFrame): DataFrame =
+    seen.toDF("dup_key").where(col("dup_key").isNotNull)
+
+  /** Batch-internal dedup of the incoming rows: min-id representative per
+    * non-null key — the shared first stage of both ingest variants. */
+  private def batchKeyed(incoming: DataFrame, id: Column,
+      key: Column): DataFrame =
     incoming.select(id.as("keep_id"), key.as("dup_key"))
       .where(col("dup_key").isNotNull)
       .groupBy(col("dup_key")).agg(min(col("keep_id")).as("keep_id"))
-      .join(seenKeys, Seq("dup_key"), "left_anti")
-      .select(col("keep_id"), col("dup_key"))
-  }
 
   /** Bloom-prefiltered incremental ingest dedup — [[incremental]]'s exact
     * answer with a different scale shape. The seen-store's keys fold into a
@@ -86,18 +97,21 @@ object Dedup {
     * oracle asserts. Prefer this when the batch is large relative to its
     * true-dup rate; prefer plain [[incremental]] when the store is small
     * enough that one shuffled anti-join is cheap anyway.
+    *
+    * `expectedItems` sizes the filter; a maintained store knows its key
+    * count, and passing it saves a full counting scan of the store per
+    * batch. Left at the -1 default, the operator counts the store itself.
     */
   def incrementalBloom(incoming: DataFrame, id: Column, key: Column,
-      seen: DataFrame, fpp: Double = 0.01): DataFrame = {
-    val seenKeys = seen.toDF("dup_key").where(col("dup_key").isNotNull)
-    // the store size is normally known (it's a maintained table); counting
-    // here keeps the operator self-contained at gate scale
-    val nSeen = math.max(1L, seenKeys.count())
+      seen: DataFrame, fpp: Double = 0.01,
+      expectedItems: Long = -1L): DataFrame = {
+    val seenKeys = seenKeySet(seen)
+    val nSeen =
+      if (expectedItems > 0) expectedItems
+      else math.max(1L, seenKeys.count())
     val bloom = seenKeys.stat.bloomFilter("dup_key", nSeen, fpp)
     val mightContain = udf((k: String) => bloom.mightContain(k))
-    val batch = incoming.select(id.as("keep_id"), key.as("dup_key"))
-      .where(col("dup_key").isNotNull)
-      .groupBy(col("dup_key")).agg(min(col("keep_id")).as("keep_id"))
+    val batch = batchKeyed(incoming, id, key)
     val definitelyNew = batch.where(!mightContain(col("dup_key")))
     val candidates = batch.where(mightContain(col("dup_key")))
       .join(seenKeys, Seq("dup_key"), "left_anti")

@@ -438,33 +438,40 @@ object TextAnalysis {
   val PortableFpBase: Long = 1000003L
 
   /** PII redaction patterns shared by the Spark operator and the DuckDB
-    * oracle: plain ASCII character classes and bounded quantifiers only, so
-    * Java regex (Spark) and RE2 (DuckDB) match identically.
+    * oracle: plain ASCII character classes, bounded quantifiers, and
+    * alternation only (no lookarounds), so Java regex (Spark) and RE2
+    * (DuckDB) match identically. Phone = dash/dot-separated NANP plus the
+    * `(ddd) ddd-dddd` form — formats outside these pass through.
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val PhoneRe =
+    "(\\([0-9]{3}\\) ?|\\b[0-9]{3}[-.])[0-9]{3}[-.][0-9]{4}\\b"
   val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   /** PII redaction — the scrubbing step of a training-data pipeline: mask
-    * emails, North-American phone numbers, and IPv4 addresses with typed
+    * emails, NANP-style phone numbers, and IPv4 addresses with typed
     * placeholders, and report per-document match counts (the audit trail a
     * compliance pass needs). Pure codegen'd `regexp_replace`/`regexp_count`
     * projection: one scan, no shuffle, no UDF — scale cost is the regex
-    * engine on each row, nothing else. Counts are taken on the ORIGINAL
-    * text; replacements apply email → ip → phone, in that order (the
-    * patterns are mutually exclusive on any one span, so order only matters
-    * for the placeholder text itself).
+    * engine on each row, nothing else.
+    *
+    * Replacement and counting both apply email → ip → phone, each stage
+    * counting on the PREVIOUS stage's output, so every count equals the
+    * number of placeholders of that type actually emitted — a phone- or
+    * IP-shaped span consumed by an email match (e.g. `555-123-4567@x.com`)
+    * is counted once, as an email. Placeholder text contains no digits, so
+    * a replacement can never create a later-stage match out of its own
+    * output.
     */
   def redactPii(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val t = col(textCol)
+    val noEmail = regexp_replace(col(textCol), EmailRe, "[EMAIL]")
+    val noIp = regexp_replace(noEmail, Ipv4Re, "[IP]")
     df.select(col(idCol),
-      regexp_replace(regexp_replace(regexp_replace(t,
-        EmailRe, "[EMAIL]"), Ipv4Re, "[IP]"), PhoneRe, "[PHONE]")
-        .as("redacted"),
-      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
-      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
-      regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ips"))
+      regexp_replace(noIp, PhoneRe, "[PHONE]").as("redacted"),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(noIp, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(noEmail, lit(Ipv4Re)).cast("long").as("n_ips"))
   }
 
   /** DuckDB replay of [[redactPii]] (RE2 needs the 'g' flag for global
@@ -474,17 +481,22 @@ object TextAnalysis {
   def redactOracleSql(expr: String, table: String = "documents",
       idCol: String = "doc_id"): String = {
     // single-quoted DuckDB literals pass backslashes through untouched, so
-    // the shared pattern strings embed verbatim
+    // the shared pattern strings embed verbatim; staged counts replay the
+    // counts-equal-placeholders contract
     val (em, ph, ip) = (EmailRe, PhoneRe, Ipv4Re)
-    s"""WITH t AS (SELECT $idCol, $expr AS txt FROM $table)
+    s"""WITH t AS (SELECT $idCol, $expr AS txt FROM $table),
+       |s AS (SELECT $idCol, txt,
+       |             regexp_replace(txt, '$em', '[EMAIL]', 'g') AS no_email
+       |      FROM t),
+       |u AS (SELECT $idCol, txt, no_email,
+       |             regexp_replace(no_email, '$ip', '[IP]', 'g') AS no_ip
+       |      FROM s)
        |SELECT $idCol,
-       |       regexp_replace(regexp_replace(regexp_replace(txt,
-       |         '$em', '[EMAIL]', 'g'), '$ip', '[IP]', 'g'),
-       |         '$ph', '[PHONE]', 'g') AS redacted,
+       |       regexp_replace(no_ip, '$ph', '[PHONE]', 'g') AS redacted,
        |       len(regexp_extract_all(txt, '$em'))::BIGINT AS n_emails,
-       |       len(regexp_extract_all(txt, '$ph'))::BIGINT AS n_phones,
-       |       len(regexp_extract_all(txt, '$ip'))::BIGINT AS n_ips
-       |FROM t""".stripMargin
+       |       len(regexp_extract_all(no_ip, '$ph'))::BIGINT AS n_phones,
+       |       len(regexp_extract_all(no_email, '$ip'))::BIGINT AS n_ips
+       |FROM u""".stripMargin
   }
 
   /** Order-sensitive Rabin–Karp fingerprint over a token array, portable

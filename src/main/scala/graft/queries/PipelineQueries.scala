@@ -449,6 +449,20 @@ object PipelineQueries {
     }),
   )
 
+  /** Shared by q_dedup_incremental and q_dedup_bloom: the bloom variant's
+    * whole contract is producing the plain anti-join ingest's exact answer.
+    */
+  private val incrementalIngestOracle: String =
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |         md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS dup_key
+      |  FROM documents)
+      |SELECT min(doc_id)::BIGINT AS keep_id, dup_key
+      |FROM fp WHERE doc_id % 2 = 1 AND dup_key IS NOT NULL
+      |  AND dup_key NOT IN (SELECT dup_key FROM fp
+      |                      WHERE doc_id % 2 = 0 AND dup_key IS NOT NULL)
+      |GROUP BY dup_key""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_dedup_minhash_md5" -> Dedup.minhashOracleSql(),
     "q_dedup_fuzzy" -> Dedup.fuzzyOracleSql(),
@@ -648,28 +662,11 @@ object PipelineQueries {
         "lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-0199 from 10.0.' || " +
         "(doc_id % 256)::VARCHAR || '.7'"),
 
-    "q_dedup_incremental" ->
-      """WITH fp AS (
-        |  SELECT doc_id,
-        |         md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS dup_key
-        |  FROM documents)
-        |SELECT min(doc_id)::BIGINT AS keep_id, dup_key
-        |FROM fp WHERE doc_id % 2 = 1 AND dup_key IS NOT NULL
-        |  AND dup_key NOT IN (SELECT dup_key FROM fp
-        |                      WHERE doc_id % 2 = 0 AND dup_key IS NOT NULL)
-        |GROUP BY dup_key""".stripMargin,
+    "q_dedup_incremental" -> incrementalIngestOracle,
 
-    // bloom routing is answer-invariant → same oracle as q_dedup_incremental
-    "q_dedup_bloom" ->
-      """WITH fp AS (
-        |  SELECT doc_id,
-        |         md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS dup_key
-        |  FROM documents)
-        |SELECT min(doc_id)::BIGINT AS keep_id, dup_key
-        |FROM fp WHERE doc_id % 2 = 1 AND dup_key IS NOT NULL
-        |  AND dup_key NOT IN (SELECT dup_key FROM fp
-        |                      WHERE doc_id % 2 = 0 AND dup_key IS NOT NULL)
-        |GROUP BY dup_key""".stripMargin,
+    // bloom routing is answer-invariant → the SAME oracle string: the two
+    // entries can never drift apart
+    "q_dedup_bloom" -> incrementalIngestOracle,
 
     // faithful DuckDB replication of TextAnalysis.langId: per-language
     // marker-word hit counts, argmax with ties toward the later code

@@ -64,7 +64,9 @@ object SourceQueries {
     */
   private def partitionedPrune(s: SparkSession, d: String): DataFrame = {
     Tables.load(s, d)
-    val dir = "/tmp/graft_partitioned"
+    // dataset-scoped dir: two processes driving different sf dirs must not
+    // overwrite each other's live layout mid-read
+    val dir = s"/tmp/graft_partitioned_${d.replaceAll("[^A-Za-z0-9]", "_")}"
     s.table("documents")
       .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
       .write.mode("overwrite").partitionBy("lang").parquet(dir)

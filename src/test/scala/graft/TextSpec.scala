@@ -179,7 +179,8 @@ class TextSpec extends SparkSpec {
     val df = Seq(
       (1L, "mail a.smith+x@sub.example.org and b@c.io, dial 555-867-5309, host 192.168.0.1"),
       (2L, "no pii here, just words and 12345 numbers"),
-      (3L, "")).toDF("doc_id", "text")
+      (3L, ""),
+      (4L, "call (555) 867-5309 or 555.867.5309 today")).toDF("doc_id", "text")
     val got = TextAnalysis.redactPii(df, "doc_id", "text")
       .orderBy("doc_id").collect()
     assert(got(0).getString(1) ==
@@ -188,5 +189,19 @@ class TextSpec extends SparkSpec {
     assert(got(1).getString(1) == "no pii here, just words and 12345 numbers")
     assert((got(1).getLong(2), got(1).getLong(3), got(1).getLong(4)) == ((0L, 0L, 0L)))
     assert(got(2).getString(1) == "")
+    // paren and dot NANP forms are phone-shaped too
+    assert(got(3).getString(1) == "call [PHONE] or [PHONE] today")
+    assert(got(3).getLong(3) == 2L)
+  }
+
+  test("redactPii: counts equal emitted placeholders when spans overlap") {
+    import spark.implicits._
+    // phone- and IP-shaped spans consumed by an email match are counted as
+    // the email, not double-reported as phantom phone/IP hits
+    val df = Seq((1L, "reach 555-123-4567@relay.example.com now"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(df, "doc_id", "text").collect()(0)
+    assert(r.getString(1) == "reach [EMAIL] now")
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((1L, 0L, 0L)))
   }
 }
