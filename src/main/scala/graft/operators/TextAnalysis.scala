@@ -437,6 +437,57 @@ object TextAnalysis {
     */
   val PortableFpBase: Long = 1000003L
 
+  /** BPE merge-pair statistics — the inner aggregation of byte-pair-encoding
+    * tokenizer training (Sennrich et al. 2016, "Neural Machine Translation
+    * of Rare Words with Subword Units"): count adjacent symbol pairs across
+    * the corpus, weighted by word frequency, and rank the merge candidates.
+    * This is one training iteration's candidate table over the initial
+    * character vocabulary; a full trainer loops it, applying the top merge
+    * and re-deriving symbol sequences.
+    *
+    * Scale shape: the corpus collapses to the DISTINCT-WORD frequency table
+    * first (the standard trick — pair counting is per distinct word, not per
+    * occurrence), so the pair explosion is bounded by vocabulary size, not
+    * corpus size; both aggregations are plain hash groupBys and the ranking
+    * is a TakeOrderedAndProject top-k, no global sort.
+    *
+    * Returns (sym1, sym2, pair_count) for the `topK` most frequent adjacent
+    * character pairs; ties break on the pair itself for determinism.
+    */
+  def bpePairStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, topK: Int = 50): org.apache.spark.sql.DataFrame = {
+    val words = df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    words
+      .select(col("freq"), posexplode(
+        transform(sequence(lit(1), length(col("w")) - 1),
+          i => struct(col("w").substr(i, lit(1)).as("sym1"),
+            col("w").substr(i + 1, lit(1)).as("sym2")))))
+      .select(col("freq"), col("col.sym1"), col("col.sym2"))
+      .groupBy(col("sym1"), col("sym2"))
+      .agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("sym1"), col("sym2"))
+      .limit(topK)
+  }
+
+  /** DuckDB replay of [[bpePairStats]] value-for-value. */
+  def bpeOracleSql(topK: Int = 50, table: String = "documents",
+      textCol: String = "text"): String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS w
+       |  FROM $table WHERE trim($textCol) <> ''),
+       |words AS (
+       |  SELECT w, count(*) AS freq FROM toks
+       |  WHERE length(w) >= 2 GROUP BY w),
+       |pairs AS (
+       |  SELECT substr(w, i, 1) AS sym1, substr(w, i + 1, 1) AS sym2, freq
+       |  FROM words, unnest(range(1, length(w)::INTEGER)) AS t(i))
+       |SELECT sym1, sym2, sum(freq)::BIGINT AS pair_count
+       |FROM pairs GROUP BY sym1, sym2
+       |ORDER BY pair_count DESC, sym1, sym2 LIMIT $topK""".stripMargin
+
   /** PII redaction patterns shared by the Spark operator and the DuckDB
     * oracle: plain ASCII character classes, bounded quantifiers, and
     * alternation only (no lookarounds), so Java regex (Spark) and RE2

@@ -39,6 +39,11 @@ object PipelineQueries {
       col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    // --- BPE merge-pair candidates (oracle-checked): one tokenizer-training
+    // iteration's weighted adjacent-pair counts over the distinct-word table ---
+    "q_text_bpe_pairs" -> ((s, d) =>
+      TextAnalysis.bpePairStats(docs(s, d), "doc_id", "text", topK = 50)),
+
     // --- PII redaction (oracle-checked): the corpus carries no PII, so a
     // deterministic email/phone/IP derived from doc_id is appended on BOTH
     // engines, then scrubbed — placeholders and counts must hash-match ---
@@ -656,6 +661,8 @@ object PipelineQueries {
       """SELECT doc_id,
         |       md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+
+    "q_text_bpe_pairs" -> TextAnalysis.bpeOracleSql(topK = 50),
 
     "q_text_redact" -> TextAnalysis.redactOracleSql(
       "text || ' contact user' || doc_id || '@example.com or call 555-' || " +

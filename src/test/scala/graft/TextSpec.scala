@@ -194,6 +194,16 @@ class TextSpec extends SparkSpec {
     assert(got(3).getLong(3) == 2L)
   }
 
+  test("bpePairStats: hand-checked weighted pair counts, deterministic order") {
+    import spark.implicits._
+    // words: "aab" x3, "ab" x2, "x" (dropped, length 1)
+    val df = Seq((1L, "aab ab aab"), (2L, "aab ab x")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairStats(df, "doc_id", "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // pairs: aab → (a,a),(a,b) each freq 3; ab → (a,b) freq 2
+    assert(got == Seq(("a", "b", 5L), ("a", "a", 3L)))
+  }
+
   test("redactPii: counts equal emitted placeholders when spans overlap") {
     import spark.implicits._
     // phone- and IP-shaped spans consumed by an email match are counted as
