@@ -472,6 +472,87 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Apply ONE learned BPE merge (s1, s2) → s1+s2 to a symbol array, greedy
+    * left-to-right over non-overlapping occurrences (the standard BPE apply
+    * step): a sequential `aggregate` fold that either fuses the current
+    * symbol into the accumulator's last element or appends it. "aaaa" under
+    * merge (a,a) → [aa, aa], never the overlapping [aa, aa, a-leftover]
+    * shapes.
+    */
+  private def applyMerge(syms: Column, s1: String, s2: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, cur) =>
+      // try_element_at: the first fold step sees an empty accumulator, where
+      // ANSI element_at(-1) errors; NULL === s1 is null → falls to otherwise
+      when(try_element_at(acc, lit(-1)) === lit(s1) && cur === lit(s2),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(s1 + s2))))
+        .otherwise(concat(acc, array(cur))))
+
+  /** BPE tokenizer training — the full merge loop over [[bpePairStats]]'s
+    * candidate aggregation: `numMerges` rounds of (count weighted adjacent
+    * pairs over the distinct-word table) → (collect the single top pair to
+    * the driver) → (fuse it into every word's symbol sequence). Returns the
+    * ordered merge table (rank, sym1, sym2).
+    *
+    * Scale shape: all heavy work is per DISTINCT word (two hash aggregates
+    * + an expression-only rewrite per round); only one (pair, count) row
+    * crosses to the driver per round — the merge table IS driver-sized by
+    * definition (a vocab is ~10⁴-10⁵ entries). Each round's rewritten word
+    * table is eagerly localCheckpoint'ed, so plan size stays constant in
+    * round count (same lineage-truncation reasoning as
+    * [[Dedup.connectedComponents]]).
+    */
+  def bpeTrain(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, numMerges: Int = 10): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = df.select(explode(tokens(col(textCol))).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), split(col("w"), "").as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    var done = false
+    for (r <- 1 to numMerges if !done) {
+      // fully-merged words (one symbol) contribute no pairs; without the
+      // guard sequence(1, 0) DESCENDS and element_at(_, 0) errors (ANSI)
+      val top = words
+        .where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("sym1"),
+              element_at(col("syms"), i + 1).as("sym2")))).as("p"))
+        .select(col("freq"), col("p.sym1").as("sym1"), col("p.sym2").as("sym2"))
+        .groupBy(col("sym1"), col("sym2"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("sym1"), col("sym2"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (s1, s2) = (top(0).getString(0), top(0).getString(1))
+        merges += ((r, s1, s2))
+        words = words
+          .select(col("freq"), applyMerge(col("syms"), s1, s2).as("syms"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("rank", "sym1", "sym2")
+  }
+
+  /** Encode a word with a learned merge table: character split, then each
+    * merge applied in rank order. Driver-side (plain Scala) — the encode
+    * step of a deployed tokenizer runs per row with the merge table
+    * broadcast; this is the reference implementation the spec checks
+    * [[applyMerge]]'s distributed fold against.
+    */
+  def bpeEncodeWord(word: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(word.split("").toSeq) { case (syms, (s1, s2)) =>
+      syms.foldLeft(Vector.empty[String]) { (acc, cur) =>
+        if (acc.nonEmpty && acc.last == s1 && cur == s2)
+          acc.init :+ (s1 + s2)
+        else acc :+ cur
+      }
+    }
+
   /** DuckDB replay of [[bpePairStats]] value-for-value. */
   def bpeOracleSql(topK: Int = 50, table: String = "documents",
       textCol: String = "text"): String =

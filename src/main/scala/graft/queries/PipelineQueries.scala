@@ -44,6 +44,12 @@ object PipelineQueries {
     "q_text_bpe_pairs" -> ((s, d) =>
       TextAnalysis.bpePairStats(docs(s, d), "doc_id", "text", topK = 50)),
 
+    // --- full BPE trainer (rows-only: the merge loop is iterative, not
+    // SQL-replayable; determinism comes from the total tiebreak order and
+    // is pinned by the gate's double-run diff + TextSpec) ---
+    "q_text_bpe_merges" -> ((s, d) =>
+      TextAnalysis.bpeTrain(docs(s, d), "doc_id", "text", numMerges = 10)),
+
     // --- PII redaction (oracle-checked): the corpus carries no PII, so a
     // deterministic email/phone/IP derived from doc_id is appended on BOTH
     // engines, then scrubbed — placeholders and counts must hash-match ---

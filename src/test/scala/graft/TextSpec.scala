@@ -204,6 +204,40 @@ class TextSpec extends SparkSpec {
     assert(got == Seq(("a", "b", 5L), ("a", "a", 3L)))
   }
 
+  test("bpeTrain: learns the classic merges on a hand-checked corpus") {
+    import spark.implicits._
+    // "abab" x4, "abc" x2: round 1 top pair (a,b) freq 4*2+2 = 10;
+    // round 2 pairs over merged syms: (ab,ab) 4, (ab,c) 2 → (ab,ab)
+    val df = Seq((1L, "abab abab abc"), (2L, "abab abab abc")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(df, "doc_id", "text", numMerges = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq((1, "a", "b"), (2, "ab", "ab")))
+  }
+
+  test("bpeTrain stops early when nothing is left to merge") {
+    import spark.implicits._
+    val df = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // "ab" merges once into a single symbol; later rounds find no pairs
+    val got = TextAnalysis.bpeTrain(df, "doc_id", "text", numMerges = 5)
+    assert(got.count() == 1)
+  }
+
+  test("bpeEncodeWord agrees with the distributed applyMerge fold") {
+    import spark.implicits._
+    val corpus = Seq((1L, "lower lower newest newest newest wider low"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(corpus, "doc_id", "text", numMerges = 4)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.length == 4)
+    // greedy non-overlapping application, reference implementation
+    val enc = TextAnalysis.bpeEncodeWord("newest", merges)
+    assert(enc.mkString("") == "newest") // lossless
+    assert(enc.length < 6) // at least one merge applied to a corpus word
+    assert(TextAnalysis.bpeEncodeWord("aaaa", Seq(("a", "a")))
+      == Seq("aa", "aa")) // non-overlapping greedy
+  }
+
   test("redactPii: counts equal emitted placeholders when spans overlap") {
     import spark.implicits._
     // phone- and IP-shaped spans consumed by an email match are counted as
