@@ -27,7 +27,20 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine score from a precomputed dot product and norm product. The
+    * zero-norm case (undefined cosine — an all-zero embedding from a failed
+    * encode or a padding row) scores -infinity instead of 0/0 = NaN: Spark
+    * orders NaN ABOVE every real double, so a NaN score would rank the
+    * garbage vector FIRST in every descending top-k; -infinity ranks it
+    * deterministically last. Finite scores are bit-identical to the plain
+    * division.
+    */
+  def cosineScore(dp: Column, nrmProduct: Column): Column =
+    when(nrmProduct === lit(0.0), lit(Double.NegativeInfinity))
+      .otherwise(dp / nrmProduct)
+
+  def cosine(a: Column, b: Column): Column =
+    cosineScore(dot(a, b), norm(a) * norm(b))
 
   /** Exact top-k by cosine against the vector with id `queryId` (excluded
     * from results). Tie-broken by id for determinism.
@@ -46,7 +59,7 @@ object Similarity {
       .join(broadcast(q))
       .where(col(idCol) =!= queryId)
       .select(col(idCol),
-        (dot(col(vecCol), col("qvec")) / (col("nrm") * col("qnrm"))).as("score"))
+        cosineScore(dot(col(vecCol), col("qvec")), col("nrm") * col("qnrm")).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -67,7 +80,7 @@ object Similarity {
       .join(broadcast(q))
       .where(col(idCol) =!= col("qid"))
       .select(col("qid"), col(idCol),
-        (dot(col(vecCol), col("qvec")) / (col("nrm") * col("qnrm"))).as("score"))
+        cosineScore(dot(col(vecCol), col("qvec")), col("nrm") * col("qnrm")).as("score"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -86,9 +99,11 @@ object Similarity {
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
       chunkSize: Int = 10000): DataFrame = {
     // cast to long before collecting (the caller's id column may be INT),
-    // and short-circuit an empty query set to an empty knnBatch-shaped
-    // frame instead of crashing reduce on zero chunks (ADVICE r02)
-    val qids = queries.select(col(qidCol).cast("long")).distinct()
+    // drop null qids (they can never match; Row.getLong would NPE), and
+    // short-circuit an empty query set to an empty knnBatch-shaped frame
+    // instead of crashing reduce on zero chunks (ADVICE r02)
+    val qids = queries.select(col(qidCol).cast("long").as("__qid"))
+      .where(col("__qid").isNotNull).distinct()
       .collect().map(_.getLong(0)).sorted
     if (qids.isEmpty)
       knnBatch(df, idCol, vecCol, queries.limit(0), qidCol, qvecCol, k)
@@ -134,7 +149,7 @@ object Similarity {
     bucketed.join(broadcast(probes), "bucket")
       .where(col(idCol) =!= queryId)
       .select(col(idCol),
-        (dot(col(vecCol), col("qvec")) / (col("nrm") * col("qnrm"))).as("score"))
+        cosineScore(dot(col(vecCol), col("qvec")), col("nrm") * col("qnrm")).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -146,21 +161,11 @@ object Similarity {
     * deployment would write back partitioned by centroid.
     */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
-      centroidEvery: Long): DataFrame = {
-    val cents = df.where(col(idCol) % centroidEvery === 0)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"),
-        norm(col(vecCol)).as("cnrm"))
-    val scored = df
-      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
-      .join(broadcast(cents))
-      .select(col(idCol), col("centroid_id"),
-        (dot(col(vecCol), col("cvec")) / (col("nrm") * col("cnrm"))).as("cscore"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("cscore").desc, col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col(idCol), col("centroid_id"))
-  }
+      centroidEvery: Long): DataFrame =
+    // delegate to the general form: one argmax pipeline, one place to fix
+    assignToCentroids(df, idCol, vecCol,
+      df.where(col(idCol) % centroidEvery === 0)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec")))
 
   /** Nearest-centroid assignment against an explicit codebook
     * (centroid_id, cvec): broadcast join + window argmax. The general form
@@ -174,7 +179,8 @@ object Similarity {
       .select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
       .join(broadcast(cents))
       .select(col(idCol), col("centroid_id"),
-        (dot(col(vecCol), col("cvec")) / (col("nrm") * col("cnrm"))).as("cscore"))
+        cosineScore(dot(col(vecCol), col("cvec")),
+          col("nrm") * col("cnrm")).as("cscore"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("cscore").desc, col("centroid_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -213,11 +219,18 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cvec"))
       // collect the tiny (k × dim) model and rebuild a literal DataFrame so
-      // the lineage doesn't grow by one full corpus scan per iteration
+      // the lineage doesn't grow by one full corpus scan per iteration.
+      // Centroids that won ZERO assignments this round are absent from the
+      // aggregate — carry them over unchanged instead of silently shrinking
+      // the codebook below k (callers size nprobe against k)
       val rows = updated.collect()
       import spark.implicits._
-      centroids = rows.map(r => (r.getLong(0),
-        r.getSeq[Double](1))).toSeq.toDF("centroid_id", "cvec")
+      val newMeans = rows.map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val prev = centroids.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      centroids = prev.map { case (id, v) =>
+        (id, newMeans.getOrElse(id, v))
+      }.toSeq.toDF("centroid_id", "cvec")
     }
     vecsAsDouble.unpersist()
     centroids
@@ -242,7 +255,7 @@ object Similarity {
       .join(broadcast(q))
       .where(col(idCol) =!= queryId)
       .select(col(idCol),
-        (dot(col(vecCol), col("qvec")) / (col("nrm") * col("qnrm"))).as("score"))
+        cosineScore(dot(col(vecCol), col("qvec")), col("nrm") * col("qnrm")).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -267,7 +280,7 @@ object Similarity {
       .join(broadcast(q))
       .where(col(idCol) =!= queryId)
       .select(col(idCol),
-        (dot(col(vecCol), col("qvec")) / (col("nrm") * col("qnrm"))).as("score"))
+        cosineScore(dot(col(vecCol), col("qvec")), col("nrm") * col("qnrm")).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -349,7 +362,7 @@ object Similarity {
     bucketed.join(broadcast(probes), "bucket")
       .where(col(idCol) =!= queryId)
       .select(col(idCol),
-        (dot(col(vecCol), col("qvec")) / (col("nrm") * col("qnrm"))).as("score"))
+        cosineScore(dot(col(vecCol), col("qvec")), col("nrm") * col("qnrm")).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -432,9 +445,9 @@ object Similarity {
     scored.join(broadcast(q))
       .where(col(idCol) =!= queryId)
       .select(col(idCol),
-        (aggregate(zip_with(col("qvec"), col("qv"),
-          (x, y) => (x * y).cast("double")), lit(0.0), (acc, v) => acc + v)
-          / (col("nrm") * col("qnrm"))).as("score"))
+        cosineScore(aggregate(zip_with(col("qvec"), col("qv"),
+          (x, y) => (x * y).cast("double")), lit(0.0), (acc, v) => acc + v),
+          col("nrm") * col("qnrm")).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
@@ -720,6 +733,14 @@ object Similarity {
   /** Embedding near-duplicate pairs: LSH-bucketed candidate generation,
     * exact cosine verification at `threshold`. Same shape as
     * [[Dedup.minhashPairs]] but over vectors.
+    *
+    * Cache lifecycle: the bucketed table is persisted because the returned
+    * plan reads it twice (both sides of the self-join) — the cache entry
+    * lives until the caller is done with the RESULT, so the operator cannot
+    * unpersist it itself. A long-lived driver calling this per corpus
+    * should `spark.catalog.clearCache()` (or unpersist via the plan) between
+    * corpora; in the gate/bench session the shared entry is reused, which is
+    * the desired behavior.
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 8, maxBucket: Int = 10000): DataFrame = {

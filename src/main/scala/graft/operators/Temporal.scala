@@ -55,6 +55,14 @@ object Temporal {
     *
     * Right rows should be unique per (by, timeCol) — pre-aggregate
     * otherwise, or ties resolve by sort order of `valueCols`.
+    *
+    * The fill carries ONE struct holding all of the right row's values, not
+    * per-column fills: independent `last(_, ignoreNulls)` per column would
+    * tear rows apart when right values contain nulls (a null field would
+    * fall through to an OLDER right row's value, producing a combined row
+    * that never existed — and, through [[asofJoinTolerance]], letting a
+    * stale value pass the tolerance gate). A null field inside the latest
+    * right row stays null, as in pandas `merge_asof`.
     */
   def asofJoin(left: DataFrame, right: DataFrame, by: Seq[String],
       timeCol: String, valueCols: Seq[String], suffix: String = "_asof"): DataFrame = {
@@ -65,21 +73,21 @@ object Temporal {
     val outCols = valueCols.map(_ + suffix)
     outCols.foreach(c => require(!left.columns.contains(c),
       s"left side already has a column named '$c' — pick a different suffix"))
+    require(!left.columns.contains("__rv"), "column __rv reserved")
     val l = left.withColumn("__side", lit(1))
     val r = right
-      .select((by.map(col) :+ col(timeCol)) ++
-        valueCols.map(c => col(c).as(c + suffix)): _*)
+      .select((by.map(col) :+ col(timeCol)) :+
+        struct(valueCols.map(c => col(c).as(c + suffix)): _*).as("__rv"): _*)
       .withColumn("__side", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window
       .partitionBy(by.map(col): _*)
-      .orderBy(col(timeCol), col("__side"), struct(outCols.map(col): _*))
+      .orderBy(col(timeCol), col("__side"), col("__rv"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = outCols.foldLeft(u) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.where(col("__side") === 1)
-      .drop("__side")
+    u.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        outCols.map(c => col(s"__rv.$c").as(c)): _*)
   }
 
   /** [[asofJoin]] with a match-window bound (pandas `merge_asof
@@ -117,20 +125,20 @@ object Temporal {
     val outCols = valueCols.map(_ + suffix)
     outCols.foreach(c => require(!left.columns.contains(c),
       s"left side already has a column named '$c' — pick a different suffix"))
+    require(!left.columns.contains("__rv"), "column __rv reserved")
     val l = left.withColumn("__side", lit(0))
     val r = right
-      .select((by.map(col) :+ col(timeCol)) ++
-        valueCols.map(c => col(c).as(c + suffix)): _*)
+      .select((by.map(col) :+ col(timeCol)) :+
+        struct(valueCols.map(c => col(c).as(c + suffix)): _*).as("__rv"): _*)
       .withColumn("__side", lit(1))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window
       .partitionBy(by.map(col): _*)
-      .orderBy(col(timeCol), col("__side"), struct(outCols.map(col): _*))
+      .orderBy(col(timeCol), col("__side"), col("__rv"))
       .rowsBetween(0, Window.unboundedFollowing)
-    val filled = outCols.foldLeft(u) { (df, c) =>
-      df.withColumn(c, first(col(c), ignoreNulls = true).over(w))
-    }
-    filled.where(col("__side") === 0)
-      .drop("__side")
+    u.withColumn("__rv", first(col("__rv"), ignoreNulls = true).over(w))
+      .where(col("__side") === 0)
+      .select(left.columns.map(col) ++
+        outCols.map(c => col(s"__rv.$c").as(c)): _*)
   }
 }

@@ -102,13 +102,18 @@ object EventStreams {
   def streamingMinhashDedup(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, watermark: String, numHashes: Int = 16,
       bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val cs = graft.operators.Dedup.portableCoefficients(numHashes)
     val P = graft.operators.Dedup.PortablePrime
     val toks = graft.operators.TextAnalysis.tokens(col(textCol))
-    val withSh = docs
+    val base = docs
       .select(col(idCol).as("doc_id"), col(tsCol).as("ts"), toks.as("toks"))
-      .where(size(col("toks")) >= 2)
+    // size() of a null token array is NULL — coalesce so BOTH branches see
+    // short/null-text docs, or they'd pass neither filter and vanish
+    val nToks = coalesce(size(col("toks")), lit(0))
+    val withSh = base
+      .where(nToks >= 2)
       .select(col("doc_id"), col("ts"),
         array_distinct(graft.operators.TextAnalysis.wordNgrams(col("toks"), 2)).as("sh"))
       .select(col("doc_id"), col("ts"), transform(col("sh"),
@@ -118,11 +123,21 @@ object EventStreams {
     val sig = withSh.select(col("doc_id"), col("ts"),
       array(cs.map { case (a, b) =>
         array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % P)) }: _*).as("sig"))
-    sig
+    val bandClaims = sig
       .select(col("doc_id"), col("ts"), posexplode(array((0 until bands).map(bd =>
         concat_ws(",", slice(col("sig"), bd * r + 1, r))): _*)))
       .select(col("doc_id"), col("ts"), col("pos").as("band"),
         col("col").as("bucket"))
+    // docs too short to shingle (< 2 tokens, incl. empty/null text) get an
+    // exact-text claim on the reserved band -1: unique short docs SURVIVE
+    // (they were silently dropped before — a claimless doc looked like a
+    // duplicate), exact-duplicate short docs still dedup within the horizon
+    val shortClaims = base
+      .where(nToks < 2)
+      .select(col("doc_id"), col("ts"), lit(-1).as("band"),
+        md5(concat_ws(" ", coalesce(col("toks"),
+          array().cast("array<string>")))).as("bucket"))
+    bandClaims.unionByName(shortClaims)
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("band", "bucket"))
   }
@@ -197,6 +212,14 @@ object EventStreams {
 
     def fn(userId: Long, it: Iterator[Event],
         state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        // timeout invocation (streaming only, no new rows): the pending
+        // session has been silent past the gap — flush it
+        val out = state.getOption
+          .map(s => SessionOut(userId, s.start, s.last, s.n))
+        state.remove()
+        return out.iterator
+      }
       val sorted = it.toSeq.sortBy(_.ts.getTime)
       var cur = state.getOption
       val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
@@ -212,12 +235,24 @@ object EventStreams {
             cur = Some(SessionState(t, t, 1))
         }
       }
-      // batch mode: flush the trailing session; a streaming deployment
-      // would keep it in state and flush on timeout instead
-      cur.foreach { s =>
-        if (!state.hasTimedOut) out += SessionOut(userId, s.start, s.last, s.n)
+      if (timeout == GroupStateTimeout.NoTimeout) {
+        // batch mode (the gate path): no timeout will ever fire, so the
+        // trailing session flushes now — state dies with the batch anyway
+        cur.foreach(s => out += SessionOut(userId, s.start, s.last, s.n))
+        state.remove()
+      } else {
+        // streaming: the open session CARRIES ACROSS microbatches (removing
+        // it here would split every session at batch boundaries) and
+        // flushes via the timeout once the gap elapses with no new events
+        cur match {
+          case Some(s) =>
+            state.update(s)
+            if (timeout == GroupStateTimeout.EventTimeTimeout)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            else state.setTimeoutDuration(gapMs)
+          case None => state.remove()
+        }
       }
-      state.remove()
       out.iterator
     }
 

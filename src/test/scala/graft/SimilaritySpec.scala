@@ -19,6 +19,22 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(2) + 1.0) < 1e-12)
   }
 
+  test("zero-norm vectors rank LAST, never first via NaN") {
+    // an all-zero embedding (failed encode / padding row) has undefined
+    // cosine; 0/0 = NaN would sort ABOVE every real score in Spark and put
+    // the garbage row at rank 1 of every top-k
+    val withZero = emb.select("vec_id", "embedding")
+      .union(Seq((999999L, Seq.fill(64)(0.0f))).toDF("vec_id", "embedding"))
+    val top = Similarity.knnBrute(withZero, "vec_id", "embedding", 0L, 10)
+      .collect()
+    assert(!top.map(_.getLong(0)).contains(999999L))
+    assert(top.forall(r => !r.getDouble(1).isNaN))
+    // a zero-norm QUERY scores everything -inf deterministically (no NaN)
+    val qz = Similarity.knnBrute(withZero, "vec_id", "embedding", 999999L, 3)
+      .collect()
+    assert(qz.forall(r => r.getDouble(1) == Double.NegativeInfinity))
+  }
+
   test("knnBrute: self excluded, scores descending, k respected") {
     val res = Similarity.knnBrute(emb, "vec_id", "embedding", 0L, 10).collect()
     assert(res.length == 10)

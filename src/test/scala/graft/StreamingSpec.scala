@@ -232,6 +232,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingMinhashDedup: short docs survive via exact-text claims") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val stream = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStreams.streamingMinhashDedup(
+      stream, "doc_id", "text", "ts", watermark = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mh_dedup_short").start()
+    try {
+      // one-word and empty docs can't shingle: before the band -1 exact
+      // tier they emitted no claims and were silently dropped as if dups
+      mem.addData((1L, ts(0), "hello"), (2L, ts(1), ""),
+        (3L, ts(2), "hello"), (4L, ts(3), "world"))
+      q.processAllAvailable()
+      val survivors = spark.table("mh_dedup_short").select("doc_id")
+        .distinct().collect().map(_.getLong(0)).sorted.toSeq
+      // doc 3 is an exact dup of doc 1 → dropped; unique 1, 2, 4 survive
+      assert(survivors == Seq(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("dedupedParquetSink: appended batches keep only never-seen keys") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sink_").toFile

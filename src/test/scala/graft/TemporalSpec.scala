@@ -62,6 +62,47 @@ class TemporalSpec extends SparkSpec {
       (4L, None)))      // user 200's purchase was earlier
   }
 
+  test("asofJoin: null right values do NOT tear rows (no fill-through to older rows)") {
+    // right rows: (ts=5, a=1.0, b=null), (ts=10, a=null, b=2.0) — the match
+    // at ts=12 is the ts=10 ROW: a_asof must be null (that row's value),
+    // never 1.0 borrowed from the older row
+    val left = Seq((1L, 100L, ts(12))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, ts(5), Some(1.0), Option.empty[Double]),
+      (100L, ts(10), Option.empty[Double], Some(2.0)))
+      .toDF("user_id", "ts", "a", "b")
+    val r = Temporal.asofJoin(left, right, Seq("user_id"), "ts", Seq("a", "b"))
+      .collect()(0)
+    assert(r.isNullAt(r.fieldIndex("a_asof")))
+    assert(r.getDouble(r.fieldIndex("b_asof")) == 2.0)
+  }
+
+  test("asofJoinTolerance: a stale value cannot ride a fresher row's timestamp") {
+    // latest right row (ts=10) has a NULL value; the older (ts=0) row's
+    // value must NOT pass the tolerance gate via the fresh row's timestamp
+    val left = Seq((1L, 100L, ts(11))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, ts(0), Some(5.0)),
+      (100L, ts(10), Option.empty[Double]))
+      .toDF("user_id", "ts", "pval")
+    val r = Temporal.asofJoinTolerance(left, right, Seq("user_id"), "ts",
+      Seq("pval"), tolerance = "5 MINUTE").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("pval_asof")))
+  }
+
+  test("asofJoinForward: null right values do not tear rows either") {
+    val left = Seq((1L, 100L, ts(1))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, ts(5), Option.empty[Double], Some(7.0)),
+      (100L, ts(10), Some(3.0), Option.empty[Double]))
+      .toDF("user_id", "ts", "a", "b")
+    val r = Temporal.asofJoinForward(left, right, Seq("user_id"), "ts",
+      Seq("a", "b")).collect()(0)
+    // earliest later row is ts=5: a null there stays null
+    assert(r.isNullAt(r.fieldIndex("a_next")))
+    assert(r.getDouble(r.fieldIndex("b_next")) == 7.0)
+  }
+
   test("asofJoin preserves a left column that shares a valueCol's name") {
     val left = Seq((1L, 100L, ts(10), 111.0)).toDF("event_id", "user_id", "ts", "pval")
     val right = Seq((100L, ts(5), 2.5)).toDF("user_id", "ts", "pval")
