@@ -213,6 +213,21 @@ case class ArrayReduceAgg(
 
   override def dataType: DataType = ArrayType(elemType, containsNull = false)
   override def nullable: Boolean = false
+
+  // reject unsupported input types at ANALYSIS time on the driver — without
+  // this the lazy `integral` throws from update() inside every executor
+  // task (job fails mid-run with retries instead of an AnalysisException)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(ByteType | ShortType | IntegerType | LongType |
+          FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<numeric> " +
+            s"(byte/short/int/long/float/double elements), got ${t.sql}")
+    }
   override def children: Seq[Expression] = Seq(child)
   override def prettyName: String = s"array_reduce_${opName}_native"
 

@@ -512,6 +512,15 @@ object Dedup {
     */
   val PortablePrime: Long = 2147483647L
 
+  /** THE portable md5 → int64 recipe every cross-engine tier shares: the
+    * first 15 hex digits of md5 as a long — replayed in DuckDB as
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`. One definition so the
+    * Spark side can never drift from the oracles' inlined SQL form (15
+    * digits keeps the value < 2^60, inside exact int64 on both engines).
+    */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Deterministic affine-family coefficients (a_j, b_j) from a fixed
     * MINSTD generator, so the Spark pipeline and the generated oracle SQL
     * share the exact same hash family.
@@ -532,7 +541,7 @@ object Dedup {
       textCol: String, ngram: Int): DataFrame =
     shingleTable(df, idCol, textCol, ngram)
       .select(col("id"), array_distinct(transform(col("sh"),
-        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+        s => portableHash(s)
           % PortablePrime)).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -678,7 +687,7 @@ object Dedup {
     val tok = df
       .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("t"))
       .select(col("id"),
-        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+        portableHash(col("t")).as("h"))
     val voteCols = (0 until bits).map(b =>
       sum(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
         .as(s"c$b"))

@@ -67,10 +67,14 @@ object Multimodal {
     }
 
     /** Stub frame sampling for "video" payloads: returns byte offsets of
-      * every `stride`-th fake frame boundary.
+      * every `stride`-th fake frame boundary. stride must be positive
+      * (checked at the [[Multimodal.sampleFrames]] API boundary so a bad
+      * value fails on the driver, and again here for direct callers).
       */
-    def frameOffsets(payload: Array[Byte], stride: Int): Seq[Long] =
+    def frameOffsets(payload: Array[Byte], stride: Int): Seq[Long] = {
+      require(stride > 0, s"stride must be positive, got $stride")
       (0L until payload.length.toLong by stride.toLong).toSeq
+    }
   }
 
   /** Real image decoder over the JDK's ImageIO — PNG/JPEG/BMP/GIF readers
@@ -237,7 +241,13 @@ object Multimodal {
             sr = sliceMean(0, n / 3); sg = sliceMean(n / 3, 2 * n / 3)
             sb = sliceMean(2 * n / 3, n)
             var i = 0
-            while (i < 16) { g(i) = sliceMean(n * i / 16, n * (i + 1) / 16); i += 1 }
+            // long boundary math: n * 15 overflows Int past ~143 MB payloads
+            // and would silently zero the upper grid cells
+            while (i < 16) {
+              g(i) = sliceMean((n.toLong * i / 16).toInt,
+                (n.toLong * (i + 1) / 16).toInt)
+              i += 1
+            }
         }
         ImageFeatures(item.item_id, real, sr, sg, sb,
           g(0), g(1), g(2), g(3), g(4), g(5), g(6), g(7),
@@ -311,6 +321,7 @@ object Multimodal {
     */
   def sampleFrames(df: DataFrame, idCol: String, binCol: String,
       stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
     val spark = df.sparkSession
     import spark.implicits._
     val typed = binaryItems(df, idCol, binCol)
@@ -352,21 +363,25 @@ object Multimodal {
       val bits = u16(34)
       if (audioFormat != 1 || channels <= 0 || bits % 8 != 0 || bits == 0)
         return None
-      // chunk scan to 'data' (fmt may be followed by LIST/fact/etc.)
-      var off = 20 + fmtSize
-      var found = -1
+      // chunk scan to 'data' (fmt may be followed by LIST/fact/etc.).
+      // Offsets advance in Long and corrupt sizes (a size field that would
+      // step backwards or past the payload) abort to None — a malformed
+      // chunk header must degrade like every other malformed input, not
+      // throw AIOOBE out of the executor task
+      var off = 20L + fmtSize
+      var found = -1L
       var guard = 0
-      while (found < 0 && off + 8 <= p.length && guard < 64) {
-        val sz = u32(off + 4)
-        if (tag(off, "data")) found = off
-        else off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      while (found < 0 && off >= 0 && off + 8 <= p.length && guard < 64) {
+        val sz = u32(off.toInt + 4)
+        if (tag(off.toInt, "data")) found = off
+        else off += 8L + sz + (sz & 1L) // chunks are word-aligned
         guard += 1
       }
       if (found < 0) return None
-      val dataLen = math.min(u32(found + 4), (p.length - found - 8).toLong).toInt
+      val dataLen = math.min(u32(found.toInt + 4), p.length - found - 8).toInt
       val frame = channels * (bits / 8)
       Some((AudioMeta(rate.toInt, channels, bits, dataLen.toLong / frame,
-        "wav/pcm"), found + 8, dataLen))
+        "wav/pcm"), found.toInt + 8, dataLen))
     }
   }
 
@@ -377,11 +392,10 @@ object Multimodal {
   def decodeAudio(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val typed = df.select(col(idCol).cast("long").as("item_id"),
-      col(binCol).as("payload")).as[BinaryItem]
+    val typed = binaryItems(df, idCol, binCol)
     typed.mapPartitions { it =>
       it.map { item =>
-        val p = if (item.payload == null) Array.emptyByteArray else item.payload
+        val p = orEmpty(item.payload)
         WavCodec.parse(p) match {
           case Some((m, _, _)) => (item.item_id, p.length.toLong,
             m.sample_rate, m.channels, m.bits, m.n_frames, true)
@@ -407,25 +421,24 @@ object Multimodal {
   def audioFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val typed = df.select(col(idCol).cast("long").as("item_id"),
-      col(binCol).as("payload")).as[BinaryItem]
+    val typed = binaryItems(df, idCol, binCol)
     implicit val enc = Encoders.product[AudioFeatures]
     typed.mapPartitions { it =>
       it.flatMap { item =>
-        // null payloads (null binary column) emit no row, like empty ones
-        val (off, len) =
-          if (item.payload == null) (0, 0)
-          else WavCodec.parse(item.payload)
-            .map { case (_, o, l) => (o, l) }
-            .getOrElse((0, item.payload.length))
+        // null payloads normalize to empty at the typed boundary and emit
+        // no row, like empty ones
+        val p = orEmpty(item.payload)
+        val (off, len) = WavCodec.parse(p)
+          .map { case (_, o, l) => (o, l) }
+          .getOrElse((0, p.length))
         val n = len / 2
         if (n == 0) None
         else {
           val xs = new Array[Int](n)
           var i = 0; var sum = 0L; var ss = 0L
           while (i < n) {
-            val lo = item.payload(off + 2 * i) & 0xff
-            val hi = item.payload(off + 2 * i + 1)
+            val lo = p(off + 2 * i) & 0xff
+            val hi = p(off + 2 * i + 1)
             val x = (lo | (hi << 8)).toShort.toInt
             xs(i) = x; sum += x; ss += x.toLong * x
             i += 1

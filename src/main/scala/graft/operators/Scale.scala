@@ -44,10 +44,13 @@ object Scale {
   def skewProofCountDistinct(df: DataFrame, key: Column, value: Column,
       resultName: String = "n_distinct"): DataFrame =
     df.select(key.as("__k"), value.as("__v"))
-      .where(col("__v").isNotNull) // count(DISTINCT v) ignores nulls — match it
       .distinct()
       .groupBy(col("__k"))
-      .agg(count(lit(1)).as(resultName))
+      // count(__v) skips the null rows — count(DISTINCT v) semantics — but
+      // the (k, null) row kept by distinct() means a key whose values are
+      // ALL null still emits (k, 0), exactly as count(DISTINCT v) does (a
+      // pre-filter on __v IS NOT NULL would drop the key entirely)
+      .agg(count(col("__v")).as(resultName))
       .withColumnRenamed("__k", "key")
 
   /** Write `df` bucketed+sorted by `key` into the session catalog: two
@@ -89,8 +92,8 @@ object Scale {
     // shard NULL — still lossless, but a sharded training set wants every
     // row addressable, so pin them to shard 0 explicitly
     val sharded = df.withColumn("shard",
-      coalesce((conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
-        .cast("long") % n).cast("int"), lit(0)))
+      coalesce((Dedup.portableHash(col(keyCol).cast("string")) % n)
+        .cast("int"), lit(0)))
     sharded.repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
     df.sparkSession.read.parquet(path)
@@ -111,8 +114,8 @@ object Scale {
     */
   private def hashUniform(key: Column): Column = {
     val P = Dedup.PortablePrime
-    (conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
-      .cast("long") % P + 1L).cast("double") / lit((P + 1).toDouble)
+    (Dedup.portableHash(key.cast("string")) % P + 1L)
+      .cast("double") / lit((P + 1).toDouble)
   }
 
   def weightedSample(df: DataFrame, keyCol: String, weight: Column,
@@ -121,6 +124,11 @@ object Scale {
     df.where(col(keyCol).isNotNull) // null keys: no stable u, and the two
       // engines order NULL priorities differently — excluded by contract
       .select(col(keyCol), weight.as("w"))
+      // ES requires w > 0: a NULL weight's NULL priority sorts FIRST in
+      // Spark's ascending order (guaranteed top-k slot) and a negative
+      // weight's negative priority beats every valid row — both excluded
+      // (w <= 0 means "never sample" in every weighted-sampling convention)
+      .where(col("w") > 0)
       .select(col(keyCol), (-log(u) / col("w")).as("priority"))
       .orderBy(col("priority").asc, col(keyCol))
       .limit(k)
@@ -141,6 +149,7 @@ object Scale {
       .orderBy(col("priority").asc, col(keyCol))
     df.where(col(keyCol).isNotNull)
       .select(col(stratumCol), col(keyCol), weight.as("w"))
+      .where(col("w") > 0) // same w > 0 contract as weightedSample
       .select(col(stratumCol), col(keyCol), (-log(u) / col("w")).as("priority"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)

@@ -640,7 +640,7 @@ object TextAnalysis {
   def portableRollingFp(toks: Column): Column = {
     val P = Dedup.PortablePrime
     val hs = transform(toks,
-      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long") % P)
+      t => Dedup.portableHash(t) % P)
     aggregate(hs, lit(0L), (acc, h) => (acc * PortableFpBase + h) % P)
   }
 

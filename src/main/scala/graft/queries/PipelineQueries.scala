@@ -364,8 +364,7 @@ object PipelineQueries {
     // alternative to seeded random sampling; oracle replays the same hash ---
     "q_pipeline_split" -> ((s, d) => docs(s, d)
       .select(col("doc_id"), col("lang"),
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-          .cast("long") % 100L).as("bucket"))
+        (Dedup.portableHash(col("doc_id").cast("string")) % 100L).as("bucket"))
       .select(col("doc_id"), col("lang"),
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")
@@ -379,8 +378,7 @@ object PipelineQueries {
     // and any rerun selects the identical subset) ---
     "q_pipeline_sample" -> ((s, d) => docs(s, d)
       .select(col("doc_id"), col("lang"),
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-          .cast("long") % 1000L).as("h"))
+        (Dedup.portableHash(col("doc_id").cast("string")) % 1000L).as("h"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
           .orderBy(col("h"), col("doc_id"))).cast("long"))
@@ -433,8 +431,7 @@ object PipelineQueries {
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("dup_key")).orderBy(col("doc_id"))))
         .where(col("rn") === 1)
-      val h = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % 1000L)
+      val h = Dedup.portableHash(col("doc_id").cast("string")) % 1000L
       deduped
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))).cast("long"))

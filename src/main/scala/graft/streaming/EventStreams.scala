@@ -117,7 +117,7 @@ object EventStreams {
       .select(col("doc_id"), col("ts"),
         array_distinct(graft.operators.TextAnalysis.wordNgrams(col("toks"), 2)).as("sh"))
       .select(col("doc_id"), col("ts"), transform(col("sh"),
-        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % P).as("hs"))
+        s => graft.operators.Dedup.portableHash(s) % P).as("hs"))
     // per-row signature (HOF fold: streaming sources can't take the
     // explode+groupBy shortcut without an extra shuffled agg per microbatch)
     val sig = withSh.select(col("doc_id"), col("ts"),

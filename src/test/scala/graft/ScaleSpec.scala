@@ -25,15 +25,29 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   }
 
   test("skewProofCountDistinct equals count(DISTINCT), incl. null handling") {
+    // key 4 has ONLY null values: count(DISTINCT) still emits (4, 0) — the
+    // rewrite must not drop the key
     val df = Seq((1L, "a"), (1L, "b"), (1L, "a"), (1L, null), (2L, "a"),
-      (3L, "x"), (3L, "y"), (3L, "z")).toDF("k", "v")
+      (3L, "x"), (3L, "y"), (3L, "z"), (4L, null)).toDF("k", "v")
     val got = Scale.skewProofCountDistinct(df, col("k"), col("v"))
       .orderBy("key").collect().map(r => (r.getLong(0), r.getLong(1)))
     // count(DISTINCT v) ignores nulls: key 1 has 2, not 3
     val expected = df.groupBy("k").agg(countDistinct(col("v")).as("n"))
       .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == expected.toSeq)
-    assert(got.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 3L)))
+    assert(got.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 3L), (4L, 0L)))
+  }
+
+  test("weightedSample: null or non-positive weights never win a slot") {
+    val df = Seq((1L, 1.0), (2L, 1.0), (3L, Double.NaN), (4L, -5.0),
+      (5L, 0.0)).toDF("key", "w")
+      .union(Seq((6L, 1.0)).toDF("key", "w"))
+      .withColumn("w", when(col("key") === 3L, lit(null)).otherwise(col("w")))
+    val picked = Scale.weightedSample(df, "key", col("w"), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    // null (3), negative (4), and zero (5) weights are excluded by the
+    // w > 0 contract — without it null sorts FIRST and negative beats all
+    assert(picked == Set(1L, 2L, 6L))
   }
 
   test("writeShards: lossless, deterministic, balanced-ish layout") {
