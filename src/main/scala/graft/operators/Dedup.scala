@@ -641,7 +641,7 @@ object Dedup {
     s"""WITH toks AS (
        |  SELECT $idCol AS id,
        |         CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
-       |              ELSE string_split_regex(trim(lower($textCol)), '\\s+') END AS toks
+       |              ELSE list_filter(string_split_regex(lower($textCol), '\\s+'), t -> t <> '') END AS toks
        |  FROM $table),
        |strsh AS (
        |  SELECT id, list_distinct(list_transform(range(1, len(toks)),
@@ -743,7 +743,7 @@ object Dedup {
     s"""WITH toks AS (
        |  SELECT $idCol AS id,
        |         CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
-       |              ELSE string_split_regex(trim(lower($textCol)), '\\s+') END AS toks
+       |              ELSE list_filter(string_split_regex(lower($textCol), '\\s+'), t -> t <> '') END AS toks
        |  FROM $table),
        |h AS (
        |  SELECT id, ('0x' || substr(md5(unnest(toks)), 1, 15))::BIGINT AS h
@@ -788,7 +788,7 @@ object Dedup {
     s"""WITH toks AS (
        |  SELECT $idCol AS id,
        |         CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
-       |              ELSE string_split_regex(trim(lower($textCol)), '\\s+') END AS toks
+       |              ELSE list_filter(string_split_regex(lower($textCol), '\\s+'), t -> t <> '') END AS toks
        |  FROM $table),
        |strsh AS (
        |  SELECT id, list_distinct(list_transform(range(1, len(toks)),

@@ -16,11 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens of lowercased text; empty array for blank text. */
-  def tokens(text: Column): Column = {
-    val t = split(trim(lower(text)), "\\s+")
-    when(trim(text) === "", array().cast("array<string>")).otherwise(t)
-  }
+  /** Whitespace tokens of lowercased text; empty array for blank text.
+    * Empty segments are filtered AFTER the split rather than trimmed before
+    * it: Spark's `trim` strips only space characters, so text bounded by
+    * tabs/newlines (docs ending in "\n" are the common real-corpus case)
+    * would otherwise emit phantom "" tokens into every downstream consumer
+    * (token counts, tf-idf vocabulary, n-grams, BPE). The DuckDB oracles
+    * apply the same `list_filter(..., t -> t <> '')`.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
 
   /** Word n-grams ("shingles") as space-joined strings; empty when fewer
     * than n tokens. Guarded so `sequence` never sees a negative bound.
@@ -75,11 +80,18 @@ object TextAnalysis {
   /** Heuristic quality score in [0,1]: rewards mid-length docs, light
     * punctuation, and a moderate stopword rate. All-rational arithmetic →
     * bit-identical across engines for oracle checking.
+    *
+    * Null text scores like empty text (0.3, the punctuation-penalty floor),
+    * NOT 0.7: without the coalesce each null sub-expression vanishes inside
+    * `least(null, 1.0)` (least skips nulls), silently awarding null docs the
+    * MAXIMAL length and stopword sub-scores — a corpus with null text cells
+    * would rank its empty docs above most real ones in quality filtering.
     */
   def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
-    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
-    val punctPenalty = lit(1.0) - least(punctRatio(text) * 4, lit(1.0))
+    val t = coalesce(text, lit(""))
+    val toks = tokens(t)
+    val lenScore = least(length(t).cast("double") / lit(500.0), lit(1.0))
+    val punctPenalty = lit(1.0) - least(punctRatio(t) * 4, lit(1.0))
     val swScore = least(stopwordRatio(toks) * 5, lit(1.0))
     (lenScore * 0.4) + (punctPenalty * 0.3) + (swScore * 0.3)
   }
@@ -173,7 +185,7 @@ object TextAnalysis {
     s"""WITH toks AS (
        |  SELECT $idCol AS doc_id,
        |         unnest(CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
-       |                ELSE string_split_regex(trim(lower($textCol)), '\\s+') END) AS tok
+       |                ELSE list_filter(string_split_regex(lower($textCol), '\\s+'), t -> t <> '') END) AS tok
        |  FROM $table),
        |counts AS (
        |  SELECT doc_id, tok, count(*)::BIGINT AS c FROM toks GROUP BY doc_id, tok),
@@ -221,7 +233,7 @@ object TextAnalysis {
     s"""WITH toks AS (
        |  SELECT $idCol AS doc_id,
        |         CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
-       |              ELSE string_split_regex(trim(lower($textCol)), '\\s+') END AS toks
+       |              ELSE list_filter(string_split_regex(lower($textCol), '\\s+'), t -> t <> '') END AS toks
        |  FROM $table),
        |grams AS (
        |  SELECT doc_id,
@@ -273,7 +285,7 @@ object TextAnalysis {
     s"""WITH toks AS (
        |  SELECT $idCol AS id,
        |         CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
-       |              ELSE string_split_regex(trim(lower($textCol)), '\\s+') END AS toks
+       |              ELSE list_filter(string_split_regex(lower($textCol), '\\s+'), t -> t <> '') END AS toks
        |  FROM $table),
        |grams AS (
        |  SELECT id, unnest(list_distinct(
@@ -324,7 +336,7 @@ object TextAnalysis {
     s"""WITH toks AS (
        |  SELECT $idCol AS doc_id,
        |         unnest(CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
-       |                ELSE string_split_regex(trim(lower($textCol)), '\\s+') END) AS tok
+       |                ELSE list_filter(string_split_regex(lower($textCol), '\\s+'), t -> t <> '') END) AS tok
        |  FROM $table),
        |uni AS (SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok),
        |tot AS (SELECT sum(c)::BIGINT AS t, count(*)::BIGINT AS v FROM uni),
@@ -380,7 +392,7 @@ object TextAnalysis {
       textCol: String = "text"): String =
     s"""WITH toks AS (
        |  SELECT CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
-       |              ELSE string_split_regex(trim(lower($textCol)), '\\s+') END AS toks
+       |              ELSE list_filter(string_split_regex(lower($textCol), '\\s+'), t -> t <> '') END AS toks
        |  FROM $table),
        |uni AS (
        |  SELECT tok, count(*)::BIGINT AS c FROM (SELECT unnest(toks) AS tok FROM toks)
@@ -557,7 +569,7 @@ object TextAnalysis {
   def bpeOracleSql(topK: Int = 50, table: String = "documents",
       textCol: String = "text"): String =
     s"""WITH toks AS (
-       |  SELECT unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS w
+       |  SELECT unnest(list_filter(string_split_regex(lower($textCol), '\\s+'), t -> t <> '')) AS w
        |  FROM $table WHERE trim($textCol) <> ''),
        |words AS (
        |  SELECT w, count(*) AS freq FROM toks
@@ -654,7 +666,7 @@ object TextAnalysis {
     s"""WITH toks AS (
        |  SELECT $idCol AS id,
        |         CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
-       |              ELSE string_split_regex(trim(lower($textCol)), '\\s+') END AS toks
+       |              ELSE list_filter(string_split_regex(lower($textCol), '\\s+'), t -> t <> '') END AS toks
        |  FROM $table),
        |hs AS (
        |  SELECT id, list_transform(toks,

@@ -485,7 +485,7 @@ object PipelineQueries {
       """WITH t AS (
         |  SELECT doc_id, lang, text,
         |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |              ELSE list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') END AS toks
         |  FROM documents),
         |w AS (
         |  SELECT doc_id, lang,
@@ -509,7 +509,7 @@ object PipelineQueries {
       """WITH t AS (
         |  SELECT doc_id, text,
         |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |              ELSE list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') END AS toks
         |  FROM documents),
         |w AS (
         |  SELECT doc_id,
@@ -530,7 +530,7 @@ object PipelineQueries {
       """WITH t AS (
         |  SELECT source, lang,
         |         len(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |             ELSE string_split_regex(trim(lower(text)), '\s+') END)::BIGINT AS n_tokens
+        |             ELSE list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') END)::BIGINT AS n_tokens
         |  FROM documents),
         |g AS (
         |  SELECT source, lang, count(*) AS n_docs, sum(n_tokens)::BIGINT AS tokens
@@ -543,7 +543,7 @@ object PipelineQueries {
       """WITH t AS (
         |  SELECT doc_id, source, text,
         |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |              ELSE list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') END AS toks
         |  FROM documents),
         |scored AS (
         |  SELECT doc_id, source,
@@ -593,7 +593,7 @@ object PipelineQueries {
         |FROM (
         |  SELECT token, count(*) AS n FROM (
         |    SELECT unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |             ELSE string_split_regex(trim(lower(text)), '\s+') END) AS token
+        |             ELSE list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') END) AS token
         |    FROM documents)
         |  GROUP BY token)
         |WHERE n >= 25""".stripMargin,
@@ -645,7 +645,7 @@ object PipelineQueries {
       """WITH t AS (
         |  SELECT doc_id, lang, text,
         |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |              ELSE list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') END AS toks
         |  FROM documents)
         |SELECT doc_id, lang,
         |       len(toks)::BIGINT AS n_tokens,
@@ -686,7 +686,7 @@ object PipelineQueries {
       """WITH t AS (
         |  SELECT lang, text,
         |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |              ELSE list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') END AS toks
         |  FROM documents),
         |s AS (
         |  SELECT lang, text,
@@ -709,7 +709,7 @@ object PipelineQueries {
       """WITH t AS (
         |  SELECT doc_id AS doc,
         |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |              ELSE list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') END AS toks
         |  FROM documents),
         |c AS (
         |  SELECT doc, toks,
@@ -725,7 +725,7 @@ object PipelineQueries {
       """WITH terms AS (
         |  SELECT doc_id AS doc, unnest(
         |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |         ELSE string_split_regex(trim(lower(text)), '\s+') END) AS term
+        |         ELSE list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') END) AS term
         |  FROM documents),
         |tf AS (SELECT doc, term, count(*) AS tf FROM terms GROUP BY 1, 2),
         |dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
@@ -753,7 +753,7 @@ object PipelineQueries {
         |           ELSE list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]) END) AS sh
         |  FROM (SELECT doc_id,
         |          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |               ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |               ELSE list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') END AS toks
         |        FROM documents))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       len(list_intersect(a.sh, b.sh))::DOUBLE /
@@ -767,7 +767,7 @@ object PipelineQueries {
       """WITH t AS (
         |  SELECT doc_id, lang, text,
         |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |              ELSE list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') END AS toks
         |  FROM documents),
         |scored AS (
         |  SELECT doc_id, lang,
@@ -784,7 +784,7 @@ object PipelineQueries {
       """WITH t AS (
         |  SELECT doc_id, lang, text,
         |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |              ELSE list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') END AS toks
         |  FROM documents),
         |scored AS (
         |  SELECT doc_id, lang, len(toks)::BIGINT AS n_tokens,

@@ -194,6 +194,28 @@ class TextSpec extends SparkSpec {
     assert(got(3).getLong(3) == 2L)
   }
 
+  test("tokens: tabs/newlines produce no phantom empty tokens") {
+    import spark.implicits._
+    val df = Seq((1L, "hello world\n"), (2L, "\n"), (3L, "\ta  b\t\n"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n"))
+      .orderBy("doc_id").collect().map(_.getInt(1)).toSeq
+    // trailing \n used to yield a trailing "" token (count 3, 2, ...)
+    assert(got == Seq(2, 0, 2, 0))
+  }
+
+  test("qualityScore: null text scores like empty text, not 0.7") {
+    import spark.implicits._
+    val df = Seq((1L, null: String), (2L, "")).toDF("doc_id", "text")
+    val got = df.select(TextAnalysis.qualityScore(col("text")))
+      .collect().map(_.getDouble(0))
+    // least() skips nulls, so un-coalesced null text scored 0.7 — above
+    // most real documents
+    assert(got(0) == got(1))
+    assert(got(0) == 0.3)
+  }
+
   test("bpePairStats: hand-checked weighted pair counts, deterministic order") {
     import spark.implicits._
     // words: "aab" x3, "ab" x2, "x" (dropped, length 1)
