@@ -109,11 +109,22 @@ object Dedup {
     val nSeen =
       if (expectedItems > 0) expectedItems
       else math.max(1L, seenKeys.count())
-    val bloom = seenKeys.stat.bloomFilter("dup_key", nSeen, fpp)
+    // build AND probe on the key's STRING form: stat.bloomFilter on a long
+    // column inserts via putLong while a string-typed probe UDF dispatches
+    // to mightContainString — bit positions would never match and every
+    // true duplicate would silently route to definitely-new. One explicit
+    // cast on both sides makes the pair type-proof for any key column.
+    val bloom = seenKeys.select(col("dup_key").cast("string").as("dup_key"))
+      .stat.bloomFilter("dup_key", nSeen, fpp)
     val mightContain = udf((k: String) => bloom.mightContain(k))
+    // the probe column is materialized once and the routed batch persisted:
+    // both branches read it, and without the persist the batch's full
+    // scan + min-id shuffle would run twice per ingest
     val batch = batchKeyed(incoming, id, key)
-    val definitelyNew = batch.where(!mightContain(col("dup_key")))
-    val candidates = batch.where(mightContain(col("dup_key")))
+      .withColumn("__hit", mightContain(col("dup_key").cast("string")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val definitelyNew = batch.where(!col("__hit"))
+    val candidates = batch.where(col("__hit"))
       .join(seenKeys, Seq("dup_key"), "left_anti")
     definitelyNew.unionByName(candidates)
       .select(col("keep_id"), col("dup_key"))
@@ -169,6 +180,11 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       ngram: Int = 2, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    // same guard as the portable twin: r = 0 buckets everything together
+    // (then the skew cap drops it all → zero pairs, silently) and a
+    // non-dividing count silently ignores trailing signature hashes
+    require(numHashes % bands == 0 && numHashes / bands > 0,
+      "bands must divide numHashes")
     // shingles are carried as 64-bit hashes from here on: the signature only
     // needs hash values, and Jaccard over hashed sets equals Jaccard over
     // the sets (collisions are ~n²/2⁶⁴) — long arrays shuffle ~10x smaller
@@ -240,6 +256,28 @@ object Dedup {
     * BroadcastNestedLoopJoin over all O(n²) pairs, which is exactly the
     * quadratic scan this operator exists to avoid.
     */
+  /** The id-window → equi-block-join rewrite shared by every windowed
+    * *Pairs tier: all (id_a < id_b, id_b - id_a <= idWindow) row pairs of
+    * `table` (which must carry an `id` column; every other column is
+    * payload, suffixed _a/_b in the output), WITHOUT a range predicate —
+    * block = id div idWindow, the left side explodes into its own and the
+    * next block, which covers every in-window pair. A plain range predicate
+    * would plan as an O(n²) BroadcastNestedLoopJoin (PlanSpec pins its
+    * absence). Integer (not FP) block math: ids may exceed 2^53 in a real
+    * corpus.
+    */
+  private def blockedPairs(table: DataFrame, idWindow: Long): DataFrame = {
+    val payload = table.columns.filter(_ != "id").toSeq
+    val blk = expr(s"id div ${idWindow}L")
+    val a = table.select(col("id").as("id_a") +:
+      explode(array(blk, blk + 1)).as("blk") +:
+      payload.map(c => col(c).as(c + "_a")): _*)
+    val b = table.select(col("id").as("id_b") +: blk.as("blk") +:
+      payload.map(c => col(c).as(c + "_b")): _*)
+    a.join(b, Seq("blk"))
+      .where(col("id_a") < col("id_b") && col("id_b") - col("id_a") <= idWindow)
+  }
+
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, ngram: Int,
       idWindow: Long, threshold: Double): DataFrame = {
     // empty shingle sets would make the Jaccard denominator 0 (an error
@@ -252,16 +290,7 @@ object Dedup {
       .select(col("id"),
         array_distinct(transform(col("sh"), s => xxhash64(s))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // integer (not FP) block math: ids may exceed 2^53 in a real corpus
-    val blk = expr(s"id div ${idWindow}L")
-    val a = nonEmpty.select(col("id").as("id_a"), col("sh").as("sh_a"),
-      explode(array(blk, blk + 1)).as("blk"))
-    val b = nonEmpty.select(col("id").as("id_b"), col("sh").as("sh_b"),
-      blk.as("blk"))
-    jaccardFilter(
-      a.join(b, Seq("blk"))
-        .where(col("id_a") < col("id_b") && col("id_b") - col("id_a") <= idWindow),
-      threshold)
+    jaccardFilter(blockedPairs(nonEmpty, idWindow), threshold)
   }
 
   /** Exact character-n-gram Jaccard within an id window: byte-level dedup
@@ -292,15 +321,7 @@ object Dedup {
           i => (0 until n).map(j => element_at(col("codes"), i + j))
             .reduce((acc, c) => acc * 131L + c))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val blk = expr(s"id div ${idWindow}L")
-    val a = nonEmpty.select(col("id").as("id_a"), col("sh").as("sh_a"),
-      explode(array(blk, blk + 1)).as("blk"))
-    val b = nonEmpty.select(col("id").as("id_b"), col("sh").as("sh_b"),
-      blk.as("blk"))
-    jaccardFilter(
-      a.join(b, Seq("blk"))
-        .where(col("id_a") < col("id_b") && col("id_b") - col("id_a") <= idWindow),
-      threshold)
+    jaccardFilter(blockedPairs(nonEmpty, idWindow), threshold)
   }
 
   /** Edit-distance (Levenshtein) near-dup pairs within an id window — the
@@ -318,13 +339,7 @@ object Dedup {
       idWindow: Long = 25L, maxDist: Int = 12, prefixLen: Int = 48): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"),
       substring(lower(col(textCol)), 1, prefixLen).as("t"))
-    val blk = expr(s"id div ${idWindow}L")
-    val a = base.select(col("id").as("id_a"), col("t").as("t_a"),
-      explode(array(blk, blk + 1)).as("blk"))
-    val b = base.select(col("id").as("id_b"), col("t").as("t_b"),
-      blk.as("blk"))
-    a.join(b, Seq("blk"))
-      .where(col("id_a") < col("id_b") && col("id_b") - col("id_a") <= idWindow)
+    blockedPairs(base, idWindow)
       .withColumn("dist", levenshtein(col("t_a"), col("t_b")).cast("long"))
       .where(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
@@ -429,9 +444,15 @@ object Dedup {
         .localCheckpoint()
     }
     // coalesce: sum(label) is NULL on an empty label set (zero near-dup
-    // pairs in the corpus) — without it the fixpoint loop NPEs (ADVICE r02)
-    def checksum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
+    // pairs in the corpus) — without it the fixpoint loop NPEs (ADVICE r02).
+    // DECIMAL(38,0) carrier: raw int64 label sums overflow Long for large
+    // hashed/snowflake ids (ANSI mode raises, killing the job mid-loop);
+    // 38 digits holds sum(2^63-scale ids) up to ~10^19 rows. Compared as a
+    // string so no precision is lost on the driver.
+    def checksum(df: DataFrame): String =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO)).cast("string"))
+        .collect()(0).getString(0)
     var prev = checksum(labels)
     var i = 0
     var converged = false

@@ -32,13 +32,26 @@ object GraftSession {
     // by whatever file layout the input happens to have
     .config("spark.sql.files.maxPartitionBytes", 128L * 1024 * 1024)
 
-  /** Local session with everything registered (tables + UDAF families). */
+  /** Local session with everything registered (tables + UDAF families).
+    *
+    * getOrCreate CAVEAT: if the JVM already has an active SparkSession,
+    * that session is returned and the master / static configs requested
+    * here are silently ignored (Spark only logs a warning) — `cores` then
+    * has no effect. The mismatch is surfaced with a loud warning below;
+    * callers needing a guaranteed core count must stop the prior session
+    * first.
+    */
   def local(cores: Int, sfDir: String): SparkSession = {
     val spark = configure(SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
+    val actual = spark.sparkContext.master
+    if (actual != s"local[$cores]")
+      System.err.println(
+        s"[GraftSession] WARNING: local($cores) reused an existing session " +
+          s"with master=$actual — the requested core count was NOT applied")
     Tables.load(spark, sfDir)
     spark
   }

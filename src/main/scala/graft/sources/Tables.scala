@@ -37,8 +37,12 @@ object Tables {
 
   /** Register all tables as temp views + the UDAF family in this session.
     * Idempotent while the dir is unchanged; call freely per query.
+    * Synchronized: two threads loading DIFFERENT dirs into one session
+    * would otherwise interleave createOrReplaceTempView calls and leave the
+    * session with views mixing scale factors (while activeDir records only
+    * the last writer — the mixed state would never self-repair).
     */
-  def load(spark: SparkSession, dir: String): Unit = {
+  def load(spark: SparkSession, dir: String): Unit = synchronized {
     if (activeDir.get(spark) != dir) {
       configure(spark)
       graft.functions.ArrayReduce.registerAll(spark)
