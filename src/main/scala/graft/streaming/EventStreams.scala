@@ -203,6 +203,14 @@ object EventStreams {
     * the event-time gap exceeds `gapMs`. Demonstrates arbitrary per-key
     * state (the escape hatch when built-in windows can't express the
     * semantics); state size is O(1) per active user.
+    *
+    * Timeout choice for streaming: prefer `EventTimeTimeout` (+ a watermark
+    * on the input) — timers advance with the data. `ProcessingTimeTimeout`
+    * also works but makes the engine run no-data microbatches to poll
+    * wall-clock timers; at the default 0-interval trigger that is a
+    * continuous spin — pair it with a real trigger interval. The default
+    * `NoTimeout` is the BATCH mode: every invocation flushes its trailing
+    * session (state cannot outlive a batch job anyway).
     */
   def statefulSessions(events: Dataset[Event], gapMs: Long,
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)

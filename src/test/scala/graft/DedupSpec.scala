@@ -45,6 +45,18 @@ class DedupSpec extends SparkSpec {
     assert(plain == Seq(11L, 13L, 15L))
   }
 
+  test("incrementalBloom: numeric keys route correctly (build/probe type parity)") {
+    // a LongType key: the bloom must be built and probed on the same
+    // representation — a putLong build probed via mightContainString never
+    // matches, silently emitting every true duplicate
+    val incoming = Seq((11L, 100L), (12L, 200L), (13L, 300L))
+      .toDF("id", "fp")
+    val seen = Seq(200L, 300L).toDF("fp")
+    val got = Dedup.incrementalBloom(incoming, col("id"), col("fp"), seen)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(11L)) // 12 and 13 are already in the store
+  }
+
   test("incrementalBloom matches incremental on the real corpus") {
     val incoming = docs.where(col("doc_id") % 2 === 1)
     val seen = docs.where(col("doc_id") % 2 === 0)

@@ -85,6 +85,37 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 1), (1L, 2), (2L, 1), (2L, 1)))
   }
 
+  test("statefulSessions streaming: one session spans microbatches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    // EventTimeTimeout (watermark-driven timers): ProcessingTimeTimeout at
+    // the default 0-interval trigger spins continuous no-data microbatches
+    // to poll wall-clock timers — livelock in a processAllAvailable test
+    val ds = mem.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "0 seconds")
+      .as[EventStreams.Event]
+    val q = EventStreams.statefulSessions(ds, gapMs = 10 * 60 * 1000,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_stream").start()
+    try {
+      mem.addData((1L, ts(0), 1.0), (1L, ts(2), 2.0))
+      q.processAllAvailable()
+      mem.addData((1L, ts(5), 3.0)) // batch 2: still inside the 10-min gap
+      q.processAllAvailable()
+      // the open session must NOT have been emitted per batch (the old
+      // state.remove()-every-invocation behavior split it at the boundary)
+      assert(spark.table("sess_stream").count() == 0)
+      // a far-future event for the same user closes the session by gap
+      mem.addData((1L, ts(40), 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_stream")
+        .collect().map(r => (r.getLong(0), r.getInt(3)))
+      // ONE session with all 3 events — not three per-batch fragments
+      assert(rows.toSeq == Seq((1L, 3)))
+    } finally q.stop()
+  }
+
   test("streamingDedup drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String, Double)]
