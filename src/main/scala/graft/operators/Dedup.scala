@@ -101,6 +101,13 @@ object Dedup {
     * `expectedItems` sizes the filter; a maintained store knows its key
     * count, and passing it saves a full counting scan of the store per
     * batch. Left at the -1 default, the operator counts the store itself.
+    *
+    * Cache lifecycle: the routed batch is persisted (both output branches
+    * read it) and, as with [[graft.operators.Similarity.nearDupPairs]],
+    * lives until the caller is done with the result — a long-lived driver
+    * ingesting many batches should `spark.catalog.clearCache()` between
+    * them (each call's bloom closure differs, so entries never canonicalize
+    * equal and would otherwise accumulate).
     */
   def incrementalBloom(incoming: DataFrame, id: Column, key: Column,
       seen: DataFrame, fpp: Double = 0.01,

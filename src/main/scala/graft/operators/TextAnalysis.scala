@@ -96,6 +96,24 @@ object TextAnalysis {
     (lenScore * 0.4) + (punctPenalty * 0.3) + (swScore * 0.3)
   }
 
+  /** DuckDB expression replaying [[qualityScore]]`(textCol)` value-for-value
+    * — ONE generator for the oracle SQL instead of hand-inlined copies (a
+    * missed copy on a formula change surfaces only as a gate-time hash
+    * mismatch). Includes the null-text coalesce, which the inlined copies
+    * historically omitted: DuckDB's `least` also skips NULLs, so a null
+    * text cell would silently score 0.7 instead of Spark's 0.3.
+    */
+  def qualitySql(textCol: String): String = {
+    val t = s"coalesce($textCol, '')"
+    val toks = s"list_filter(string_split_regex(lower($t), '\\s+'), t -> t <> '')"
+    val sw = stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"(least(length($t)::DOUBLE / 500.0, 1.0) * 0.4)" +
+      s" + ((1.0 - least((CASE WHEN length($t) = 0 THEN 0.0" +
+      s" ELSE length(regexp_replace($t, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE / length($t)::DOUBLE END) * 4, 1.0)) * 0.3)" +
+      s" + (least((CASE WHEN len($toks) = 0 THEN 0.0" +
+      s" ELSE len(list_filter($toks, x -> list_contains($sw, x)))::DOUBLE / len($toks)::DOUBLE END) * 5, 1.0) * 0.3)"
+  }
+
   /** Canonical document fingerprint: md5 of lowercased text with
     * non-alphanumerics stripped and whitespace collapsed. Two docs that
     * differ only in case/punctuation/spacing collide — the exact-dedup key.

@@ -482,16 +482,14 @@ object PipelineQueries {
       Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
 
     "q_pipeline_weighted_strat" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, lang, text,
         |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |              ELSE list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') END AS toks
+        |              ELSE list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') END AS toks
         |  FROM documents),
         |w AS (
         |  SELECT doc_id, lang,
-        |    (least(length(text)::DOUBLE / 500.0, 1.0) * 0.4)
-        |    + ((1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE / length(text)::DOUBLE END) * 4, 1.0)) * 0.3)
-        |    + (least((CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for'], x)))::DOUBLE / len(toks)::DOUBLE END) * 5, 1.0) * 0.3)
+        |    ${TextAnalysis.qualitySql("text")}
         |    + 0.01 AS w
         |  FROM t),
         |p AS (
@@ -506,16 +504,14 @@ object PipelineQueries {
         |WHERE rank <= 5""".stripMargin,
 
     "q_pipeline_weighted_sample" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, text,
         |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |              ELSE list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') END AS toks
+        |              ELSE list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') END AS toks
         |  FROM documents),
         |w AS (
         |  SELECT doc_id,
-        |    (least(length(text)::DOUBLE / 500.0, 1.0) * 0.4)
-        |    + ((1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE / length(text)::DOUBLE END) * 4, 1.0)) * 0.3)
-        |    + (least((CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for'], x)))::DOUBLE / len(toks)::DOUBLE END) * 5, 1.0) * 0.3)
+        |    ${TextAnalysis.qualitySql("text")}
         |    + 0.01 AS w
         |  FROM t),
         |p AS (
@@ -540,16 +536,14 @@ object PipelineQueries {
         |FROM g""".stripMargin,
 
     "q_pipeline_topk_quality" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, source, text,
         |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |              ELSE list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') END AS toks
+        |              ELSE list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') END AS toks
         |  FROM documents),
         |scored AS (
         |  SELECT doc_id, source,
-        |    (least(length(text)::DOUBLE / 500.0, 1.0) * 0.4)
-        |    + ((1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE / length(text)::DOUBLE END) * 4, 1.0)) * 0.3)
-        |    + (least((CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for'], x)))::DOUBLE / len(toks)::DOUBLE END) * 5, 1.0) * 0.3) AS q
+        |    ${TextAnalysis.qualitySql("text")} AS q
         |  FROM t)
         |SELECT source, rank, doc_id, round(q, 6) AS quality FROM (
         |  SELECT source, doc_id, q,
@@ -642,22 +636,20 @@ object PipelineQueries {
         |ORDER BY score DESC, id LIMIT 10""".stripMargin,
 
     "q_text_stats" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, lang, text,
         |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |              ELSE list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') END AS toks
+        |              ELSE list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') END AS toks
         |  FROM documents)
         |SELECT doc_id, lang,
         |       len(toks)::BIGINT AS n_tokens,
-        |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_subwords,
+        |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_subwords,
         |       length(text)::BIGINT AS n_chars_real,
         |       CASE WHEN length(text) = 0 THEN 0.0
-        |            ELSE length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE / length(text)::DOUBLE END AS punct_ratio,
+        |            ELSE length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE / length(text)::DOUBLE END AS punct_ratio,
         |       CASE WHEN len(toks) = 0 THEN 0.0
         |            ELSE len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for'], x)))::DOUBLE / len(toks)::DOUBLE END AS stopword_ratio,
-        |       (least(length(text)::DOUBLE / 500.0, 1.0) * 0.4)
-        |       + ((1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE / length(text)::DOUBLE END) * 4, 1.0)) * 0.3)
-        |       + (least((CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for'], x)))::DOUBLE / len(toks)::DOUBLE END) * 5, 1.0) * 0.3) AS quality
+        |       ${TextAnalysis.qualitySql("text")} AS quality
         |FROM t""".stripMargin,
 
     "q_text_fingerprint" ->
@@ -764,16 +756,14 @@ object PipelineQueries {
         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.5""".stripMargin,
 
     "q_pipeline_clean" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, lang, text,
         |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |              ELSE list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') END AS toks
+        |              ELSE list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') END AS toks
         |  FROM documents),
         |scored AS (
         |  SELECT doc_id, lang,
-        |    (least(length(text)::DOUBLE / 500.0, 1.0) * 0.4)
-        |    + ((1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE / length(text)::DOUBLE END) * 4, 1.0)) * 0.3)
-        |    + (least((CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for'], x)))::DOUBLE / len(toks)::DOUBLE END) * 5, 1.0) * 0.3) AS quality,
+        |    ${TextAnalysis.qualitySql("text")} AS quality,
         |    array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ') AS dup_key
         |  FROM t)
         |SELECT min(doc_id) AS keep_id, count(*) AS family_size
@@ -781,16 +771,14 @@ object PipelineQueries {
         |GROUP BY dup_key""".stripMargin,
 
     "q_pipeline_e2e" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, lang, text,
         |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |              ELSE list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') END AS toks
+        |              ELSE list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') END AS toks
         |  FROM documents),
         |scored AS (
         |  SELECT doc_id, lang, len(toks)::BIGINT AS n_tokens,
-        |    (least(length(text)::DOUBLE / 500.0, 1.0) * 0.4)
-        |    + ((1.0 - least((CASE WHEN length(text) = 0 THEN 0.0 ELSE length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::DOUBLE / length(text)::DOUBLE END) * 4, 1.0)) * 0.3)
-        |    + (least((CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for'], x)))::DOUBLE / len(toks)::DOUBLE END) * 5, 1.0) * 0.3) AS quality,
+        |    ${TextAnalysis.qualitySql("text")} AS quality,
         |    array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ') AS dup_key
         |  FROM t),
         |filtered AS (
