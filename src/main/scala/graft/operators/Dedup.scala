@@ -668,8 +668,7 @@ object Dedup {
     }.mkString("\n  UNION ALL ")
     s"""WITH toks AS (
        |  SELECT $idCol AS id,
-       |         CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
-       |              ELSE list_filter(string_split_regex(lower($textCol), '\\s+'), t -> t <> '') END AS toks
+       |         ${TextAnalysis.toksSql(textCol)} AS toks
        |  FROM $table),
        |strsh AS (
        |  SELECT id, list_distinct(list_transform(range(1, len(toks)),
@@ -770,8 +769,7 @@ object Dedup {
     }.mkString("\n  UNION ALL ")
     s"""WITH toks AS (
        |  SELECT $idCol AS id,
-       |         CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
-       |              ELSE list_filter(string_split_regex(lower($textCol), '\\s+'), t -> t <> '') END AS toks
+       |         ${TextAnalysis.toksSql(textCol)} AS toks
        |  FROM $table),
        |h AS (
        |  SELECT id, ('0x' || substr(md5(unnest(toks)), 1, 15))::BIGINT AS h
@@ -815,8 +813,7 @@ object Dedup {
     }.mkString("\n  UNION ALL ")
     s"""WITH toks AS (
        |  SELECT $idCol AS id,
-       |         CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
-       |              ELSE list_filter(string_split_regex(lower($textCol), '\\s+'), t -> t <> '') END AS toks
+       |         ${TextAnalysis.toksSql(textCol)} AS toks
        |  FROM $table),
        |strsh AS (
        |  SELECT id, list_distinct(list_transform(range(1, len(toks)),

@@ -96,6 +96,15 @@ object TextAnalysis {
     (lenScore * 0.4) + (punctPenalty * 0.3) + (swScore * 0.3)
   }
 
+  /** DuckDB expression replaying [[tokens]]`(textCol)` — THE shared
+    * tokenizer replay (lowercase, whitespace split, phantom-empty filter,
+    * blank text → []). Every oracle that tokenizes goes through this one
+    * definition, so the Spark tokenizer and its replay cannot drift apart.
+    */
+  def toksSql(textCol: String): String =
+    s"CASE WHEN trim($textCol) = '' THEN []::VARCHAR[] " +
+      s"ELSE list_filter(string_split_regex(lower($textCol), '\\s+'), t -> t <> '') END"
+
   /** DuckDB expression replaying [[qualityScore]]`(textCol)` value-for-value
     * — ONE generator for the oracle SQL instead of hand-inlined copies (a
     * missed copy on a formula change surfaces only as a gate-time hash
@@ -202,8 +211,7 @@ object TextAnalysis {
       textCol: String = "text"): String =
     s"""WITH toks AS (
        |  SELECT $idCol AS doc_id,
-       |         unnest(CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
-       |                ELSE list_filter(string_split_regex(lower($textCol), '\\s+'), t -> t <> '') END) AS tok
+       |         unnest(${toksSql(textCol)}) AS tok
        |  FROM $table),
        |counts AS (
        |  SELECT doc_id, tok, count(*)::BIGINT AS c FROM toks GROUP BY doc_id, tok),
@@ -250,8 +258,7 @@ object TextAnalysis {
     val gram = (1 to n).map(j => s"toks[i + ${j - 1}]").mkString(" || ' ' || ")
     s"""WITH toks AS (
        |  SELECT $idCol AS doc_id,
-       |         CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
-       |              ELSE list_filter(string_split_regex(lower($textCol), '\\s+'), t -> t <> '') END AS toks
+       |         ${toksSql(textCol)} AS toks
        |  FROM $table),
        |grams AS (
        |  SELECT doc_id,
@@ -302,8 +309,7 @@ object TextAnalysis {
     val gram = (1 to n).map(j => s"toks[i + ${j - 1}]").mkString(" || ' ' || ")
     s"""WITH toks AS (
        |  SELECT $idCol AS id,
-       |         CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
-       |              ELSE list_filter(string_split_regex(lower($textCol), '\\s+'), t -> t <> '') END AS toks
+       |         ${toksSql(textCol)} AS toks
        |  FROM $table),
        |grams AS (
        |  SELECT id, unnest(list_distinct(
@@ -353,8 +359,7 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): String =
     s"""WITH toks AS (
        |  SELECT $idCol AS doc_id,
-       |         unnest(CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
-       |                ELSE list_filter(string_split_regex(lower($textCol), '\\s+'), t -> t <> '') END) AS tok
+       |         unnest(${toksSql(textCol)}) AS tok
        |  FROM $table),
        |uni AS (SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok),
        |tot AS (SELECT sum(c)::BIGINT AS t, count(*)::BIGINT AS v FROM uni),
@@ -409,8 +414,7 @@ object TextAnalysis {
   def collocationsOracleSql(minCount: Int = 5, table: String = "documents",
       textCol: String = "text"): String =
     s"""WITH toks AS (
-       |  SELECT CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
-       |              ELSE list_filter(string_split_regex(lower($textCol), '\\s+'), t -> t <> '') END AS toks
+       |  SELECT ${toksSql(textCol)} AS toks
        |  FROM $table),
        |uni AS (
        |  SELECT tok, count(*)::BIGINT AS c FROM (SELECT unnest(toks) AS tok FROM toks)
@@ -587,7 +591,7 @@ object TextAnalysis {
   def bpeOracleSql(topK: Int = 50, table: String = "documents",
       textCol: String = "text"): String =
     s"""WITH toks AS (
-       |  SELECT unnest(list_filter(string_split_regex(lower($textCol), '\\s+'), t -> t <> '')) AS w
+       |  SELECT unnest(${toksSql(textCol)}) AS w
        |  FROM $table WHERE trim($textCol) <> ''),
        |words AS (
        |  SELECT w, count(*) AS freq FROM toks
@@ -683,8 +687,7 @@ object TextAnalysis {
     val P = Dedup.PortablePrime
     s"""WITH toks AS (
        |  SELECT $idCol AS id,
-       |         CASE WHEN trim($textCol) = '' THEN []::VARCHAR[]
-       |              ELSE list_filter(string_split_regex(lower($textCol), '\\s+'), t -> t <> '') END AS toks
+       |         ${toksSql(textCol)} AS toks
        |  FROM $table),
        |hs AS (
        |  SELECT id, list_transform(toks,

@@ -484,8 +484,7 @@ object PipelineQueries {
     "q_pipeline_weighted_strat" ->
       s"""WITH t AS (
         |  SELECT doc_id, lang, text,
-        |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |              ELSE list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') END AS toks
+        |         ${TextAnalysis.toksSql("text")} AS toks
         |  FROM documents),
         |w AS (
         |  SELECT doc_id, lang,
@@ -506,8 +505,7 @@ object PipelineQueries {
     "q_pipeline_weighted_sample" ->
       s"""WITH t AS (
         |  SELECT doc_id, text,
-        |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |              ELSE list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') END AS toks
+        |         ${TextAnalysis.toksSql("text")} AS toks
         |  FROM documents),
         |w AS (
         |  SELECT doc_id,
@@ -523,10 +521,9 @@ object PipelineQueries {
         |FROM p ORDER BY -ln(u) / w, doc_id LIMIT 50""".stripMargin,
 
     "q_pipeline_mixture" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT source, lang,
-        |         len(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |             ELSE list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') END)::BIGINT AS n_tokens
+        |         len(${TextAnalysis.toksSql("text")})::BIGINT AS n_tokens
         |  FROM documents),
         |g AS (
         |  SELECT source, lang, count(*) AS n_docs, sum(n_tokens)::BIGINT AS tokens
@@ -538,8 +535,7 @@ object PipelineQueries {
     "q_pipeline_topk_quality" ->
       s"""WITH t AS (
         |  SELECT doc_id, source, text,
-        |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |              ELSE list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') END AS toks
+        |         ${TextAnalysis.toksSql("text")} AS toks
         |  FROM documents),
         |scored AS (
         |  SELECT doc_id, source,
@@ -583,11 +579,10 @@ object PipelineQueries {
         |WHERE rk <= 20""".stripMargin,
 
     "q_text_vocab" ->
-      """SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
+      s"""SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
         |FROM (
         |  SELECT token, count(*) AS n FROM (
-        |    SELECT unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |             ELSE list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') END) AS token
+        |    SELECT unnest(${TextAnalysis.toksSql("text")}) AS token
         |    FROM documents)
         |  GROUP BY token)
         |WHERE n >= 25""".stripMargin,
@@ -638,8 +633,7 @@ object PipelineQueries {
     "q_text_stats" ->
       s"""WITH t AS (
         |  SELECT doc_id, lang, text,
-        |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |              ELSE list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') END AS toks
+        |         ${TextAnalysis.toksSql("text")} AS toks
         |  FROM documents)
         |SELECT doc_id, lang,
         |       len(toks)::BIGINT AS n_tokens,
@@ -675,10 +669,9 @@ object PipelineQueries {
     // (matching Spark's struct(score, code) array_max ordering), CJK
     // short-circuit, 'und' when nothing scores
     "q_text_langid" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT lang, text,
-        |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |              ELSE list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') END AS toks
+        |         ${TextAnalysis.toksSql("text")} AS toks
         |  FROM documents),
         |s AS (
         |  SELECT lang, text,
@@ -688,7 +681,7 @@ object PipelineQueries {
         |    len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','une','dans','que','pour'], x))) AS s_fr
         |  FROM t)
         |SELECT lang,
-        |       CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |       CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
         |            WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
         |            WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
         |            WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
@@ -698,10 +691,9 @@ object PipelineQueries {
         |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q_text_chunk" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id AS doc,
-        |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |              ELSE list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') END AS toks
+        |         ${TextAnalysis.toksSql("text")} AS toks
         |  FROM documents),
         |c AS (
         |  SELECT doc, toks,
@@ -714,10 +706,9 @@ object PipelineQueries {
         |FROM c, unnest(generate_series(0, n_chunks - 1)) AS u(i)""".stripMargin,
 
     "q_text_tfidf" ->
-      """WITH terms AS (
+      s"""WITH terms AS (
         |  SELECT doc_id AS doc, unnest(
-        |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |         ELSE list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') END) AS term
+        |    ${TextAnalysis.toksSql("text")}) AS term
         |  FROM documents),
         |tf AS (SELECT doc, term, count(*) AS tf FROM terms GROUP BY 1, 2),
         |dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
@@ -739,13 +730,12 @@ object PipelineQueries {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q_dedup_jaccard" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id,
         |         list_distinct(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
         |           ELSE list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]) END) AS sh
         |  FROM (SELECT doc_id,
-        |          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |               ELSE list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') END AS toks
+        |          ${TextAnalysis.toksSql("text")} AS toks
         |        FROM documents))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       len(list_intersect(a.sh, b.sh))::DOUBLE /
@@ -758,8 +748,7 @@ object PipelineQueries {
     "q_pipeline_clean" ->
       s"""WITH t AS (
         |  SELECT doc_id, lang, text,
-        |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |              ELSE list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') END AS toks
+        |         ${TextAnalysis.toksSql("text")} AS toks
         |  FROM documents),
         |scored AS (
         |  SELECT doc_id, lang,
@@ -773,8 +762,7 @@ object PipelineQueries {
     "q_pipeline_e2e" ->
       s"""WITH t AS (
         |  SELECT doc_id, lang, text,
-        |         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-        |              ELSE list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') END AS toks
+        |         ${TextAnalysis.toksSql("text")} AS toks
         |  FROM documents),
         |scored AS (
         |  SELECT doc_id, lang, len(toks)::BIGINT AS n_tokens,
