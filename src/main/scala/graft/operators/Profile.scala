@@ -63,4 +63,50 @@ object Profile {
          |       min($c)::VARCHAR AS min_val, max($c)::VARCHAR AS max_val
          |FROM $table""".stripMargin
     }.mkString("\nUNION ALL\n")
+
+  /** Equi-width histogram of a numeric column over an EXPLICIT [lo, hi)
+    * range: bucket i covers [lo + i·w, lo + (i+1)·w) with w = (hi-lo)/bins;
+    * values at exactly `hi` land in the last bucket (closed upper edge, the
+    * standard histogram convention), values outside [lo, hi] are counted in
+    * the `n_below`/`n_above` guard rows (bucket -1 / `bins`), and NULLs are
+    * excluded. The range is a parameter, not a discovered min/max, so the
+    * whole histogram is ONE scan + one hash aggregate — the distribution
+    * drift check a pipeline runs per batch against fixed reference edges
+    * (a discovered range would both cost a second scan and make buckets
+    * incomparable across batches).
+    *
+    * Bucket math in double with a final floor-to-long: exact for the
+    * integral-valued columns the gate exercises, and engine-portable (the
+    * DuckDB replay uses the identical expression).
+    */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
+    val w = (hi - lo) / bins
+    val v = col(valueCol).cast("double")
+    val bucket = when(v < lo, lit(-1L))
+      .when(v > hi, lit(bins.toLong))
+      .when(v === hi, lit(bins.toLong - 1)) // closed upper edge
+      .otherwise(floor((v - lo) / w).cast("long"))
+    df.where(v.isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(v).as("bucket_min"), max(v).as("bucket_max"))
+  }
+
+  /** DuckDB SQL replaying [[histogram]] value-for-value. */
+  def histogramOracleSql(table: String, valueCol: String, lo: Double,
+      hi: Double, bins: Int): String = {
+    val w = (hi - lo) / bins
+    s"""WITH v AS (SELECT $valueCol::DOUBLE AS v FROM $table
+       |           WHERE $valueCol IS NOT NULL),
+       |b AS (SELECT v,
+       |             CASE WHEN v < $lo THEN -1
+       |                  WHEN v > $hi THEN $bins
+       |                  WHEN v = $hi THEN ${bins - 1}
+       |                  ELSE floor((v - $lo) / $w)::BIGINT END AS bucket
+       |      FROM v)
+       |SELECT bucket, count(*) AS n, min(v) AS bucket_min, max(v) AS bucket_max
+       |FROM b GROUP BY bucket""".stripMargin
+  }
 }

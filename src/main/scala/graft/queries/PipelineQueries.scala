@@ -50,6 +50,15 @@ object PipelineQueries {
     "q_text_bpe_merges" -> ((s, d) =>
       TextAnalysis.bpeTrain(docs(s, d), "doc_id", "text", numMerges = 10)),
 
+    // --- fixed-edge equi-width histogram (oracle-checked): the per-batch
+    // distribution drift check; range [0, 40] deliberately clips the top of
+    // l_quantity so the out-of-range guard bucket is exercised ---
+    "q_pipeline_histogram" -> ((s, d) => {
+      Tables.load(s, d)
+      graft.operators.Profile.histogram(
+        s.table("lineitem"), "l_quantity", lo = 0.0, hi = 40.0, bins = 8)
+    }),
+
     // --- PII redaction (oracle-checked): the corpus carries no PII, so a
     // deterministic email/phone/IP derived from doc_id is appended on BOTH
     // engines, then scrubbed — placeholders and counts must hash-match ---
@@ -480,6 +489,9 @@ object PipelineQueries {
     "q_text_perplexity" -> TextAnalysis.crossEntropyOracleSql(),
     "q_pipeline_profile" -> graft.operators.Profile.exactOracleSql("lineitem",
       Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
+
+    "q_pipeline_histogram" -> graft.operators.Profile.histogramOracleSql(
+      "lineitem", "l_quantity", lo = 0.0, hi = 40.0, bins = 8),
 
     "q_pipeline_weighted_strat" ->
       s"""WITH t AS (

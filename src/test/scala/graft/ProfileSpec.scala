@@ -35,4 +35,15 @@ class ProfileSpec extends SparkSpec {
     // a single aggregate tree — no unioned per-column subplans
     assert(!plan.contains("Union"))
   }
+
+  test("histogram: fixed edges, closed upper edge, out-of-range guards, null skip") {
+    import spark.implicits._
+    val data = Seq(Some(-1.0), Some(0.0), Some(2.5), Some(5.0), Some(7.5),
+      Some(10.0), Some(11.0), None).toDF("x")
+    val got = Profile.histogram(data, "x", lo = 0.0, hi = 10.0, bins = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // -1.0 → guard -1; 0.0, 2.5 → bucket 0; 5.0, 7.5 → bucket 1;
+    // 10.0 == hi → last bucket (closed); 11.0 → guard 2; null skipped
+    assert(got == Map(-1L -> 1L, 0L -> 2L, 1L -> 3L, 2L -> 1L))
+  }
 }
