@@ -82,9 +82,11 @@ object Dedup {
 
   /** Bloom-prefiltered incremental ingest dedup — [[incremental]]'s exact
     * answer with a different scale shape. The seen-store's keys fold into a
-    * driver-built Bloom filter (`DataFrameStatFunctions.bloomFilter`, one
-    * distributed aggregation; ~1.1 GB for 1e9 keys at 1% fpp), which ships
-    * to executors inside the probe UDF's closure. The incoming batch then
+    * Bloom filter via Spark's native `BloomFilterAggregate` (the expression
+    * behind runtime bloom-filter join pruning): executors build partial
+    * filters map-side and merge them through the standard two-phase
+    * aggregate, and the probe is the codegen'd `BloomFilterMightContain` —
+    * no Scala-UDF boxing anywhere in the plan. The incoming batch then
     * splits on the probe:
     *  - probe-NEGATIVE rows are definitely new (Bloom filters have no false
     *    negatives) → kept with no join at all. For a mostly-novel batch this
@@ -98,6 +100,16 @@ object Dedup {
     * true-dup rate; prefer plain [[incremental]] when the store is small
     * enough that one shuffled anti-join is cheap anyway.
     *
+    * Memory contract at 100 TB: the filter's size is bounded by `maxBits`
+    * (default 2^26 bits = 8 MB — Spark's own
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` default, which the
+    * aggregate additionally clamps to), NOT by the store's cardinality. A 1e11-key store
+    * therefore cannot OOM anything; past the optimal sizing the fpp
+    * degrades instead, routing more rows into the exact anti-join — a
+    * throughput knob, never a correctness one. (The driver-built
+    * `stat.bloomFilter` predecessor sized the filter by key count — ~1.1 GB
+    * at 1e9 keys — and shipped it in a UDF closure, an actual ceiling.)
+    *
     * `expectedItems` sizes the filter; a maintained store knows its key
     * count, and passing it saves a full counting scan of the store per
     * batch. Left at the -1 default, the operator counts the store itself.
@@ -106,29 +118,45 @@ object Dedup {
     * read it) and, as with [[graft.operators.Similarity.nearDupPairs]],
     * lives until the caller is done with the result — a long-lived driver
     * ingesting many batches should `spark.catalog.clearCache()` between
-    * them (each call's bloom closure differs, so entries never canonicalize
+    * them (each batch's bloom literal differs, so entries never canonicalize
     * equal and would otherwise accumulate).
     */
   def incrementalBloom(incoming: DataFrame, id: Column, key: Column,
       seen: DataFrame, fpp: Double = 0.01,
-      expectedItems: Long = -1L): DataFrame = {
+      expectedItems: Long = -1L, maxBits: Long = 1L << 26): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.GraftShim
+    import org.apache.spark.sql.types.BinaryType
     val seenKeys = seenKeySet(seen)
     val nSeen =
       if (expectedItems > 0) expectedItems
       else math.max(1L, seenKeys.count())
-    // build AND probe on the key's STRING form: stat.bloomFilter on a long
-    // column inserts via putLong while a string-typed probe UDF dispatches
-    // to mightContainString — bit positions would never match and every
-    // true duplicate would silently route to definitely-new. One explicit
-    // cast on both sides makes the pair type-proof for any key column.
-    val bloom = seenKeys.select(col("dup_key").cast("string").as("dup_key"))
-      .stat.bloomFilter("dup_key", nSeen, fpp)
-    val mightContain = udf((k: String) => bloom.mightContain(k))
+    // optimal bit count for (n, fpp), capped: -n ln p / (ln 2)^2
+    val optimalBits =
+      math.ceil(-nSeen * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val numBits = math.max(64L, math.min(optimalBits, maxBits))
+    // build AND probe on xxhash64 of the key's STRING form:
+    // BloomFilterMightContain only probes BIGINT, so both sides go through
+    // the same explicit hash — exactly how Spark's runtime-filter injection
+    // handles non-long join keys, and type-proof for any key column
+    def keyHash(k: Column): Column = xxhash64(k.cast("string"))
+    val bloomAgg = GraftShim.column(
+      new BloomFilterAggregate(
+        GraftShim.expression(keyHash(col("dup_key"))),
+        Literal(nSeen), Literal(numBits)).toAggregateExpression())
+    // the merged filter is one capped-size binary row (≤ maxBits/8 bytes);
+    // inlining it as a literal is exactly what Spark's runtime bloom join
+    // pruning does with its scalar-subquery result
+    val bloomBytes = seenKeys.select(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    def mightContain(k: Column): Column = GraftShim.column(
+      BloomFilterMightContain(Literal(bloomBytes, BinaryType),
+        GraftShim.expression(k)))
     // the probe column is materialized once and the routed batch persisted:
     // both branches read it, and without the persist the batch's full
     // scan + min-id shuffle would run twice per ingest
     val batch = batchKeyed(incoming, id, key)
-      .withColumn("__hit", mightContain(col("dup_key").cast("string")))
+      .withColumn("__hit", mightContain(keyHash(col("dup_key"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val definitelyNew = batch.where(!col("__hit"))
     val candidates = batch.where(col("__hit"))
@@ -137,16 +165,20 @@ object Dedup {
       .select(col("keep_id"), col("dup_key"))
   }
 
-  /** Hash each shingle through `numHashes` independent 64-bit families and
-    * keep the per-family minimum: the classic MinHash signature
-    * (Broder 1997, "On the resemblance and containment of documents").
-    * Implemented as nested `transform` over xxhash64(shingle, i) — the
-    * family index as an extra hash input gives independent families without
-    * precomputed coefficients.
+  /** Per-family min-hash aggregate columns for the classic MinHash signature
+    * (Broder 1997, "On the resemblance and containment of documents"): family
+    * j's hash of a shingle is xxhash64(shingle, j) — the family index as an
+    * extra hash input gives independent families without precomputed
+    * coefficients. Shaped as explode + `min` AGGREGATES (the caller groups by
+    * doc id) rather than a per-row `transform`/`array_min` fold: Spark's
+    * higher-order functions are CodegenFallback (interpreted), so numHashes
+    * nested-lambda passes per row are the slow path (measured 8× vs this
+    * form on the portable twin), while min() over the exploded shingles stays
+    * in whole-stage codegen with map-side partial aggregation — the shuffle
+    * carries numHashes longs per doc per partition, fine at any scale.
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(1), lit(numHashes)),
-      i => array_min(transform(shingles, s => xxhash64(s, i))))
+  private def minhashAggCols(h: Column, numHashes: Int): Seq[Column] =
+    (1 to numHashes).map(j => min(xxhash64(h, lit(j))).as(s"mh$j"))
 
   /** LSH banding: split the signature into `bands` bands of
     * `numHashes/bands` rows each and hash each band to a bucket key.
@@ -207,8 +239,13 @@ object Dedup {
         array_distinct(transform(col("sh"), s => xxhash64(s))).as("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val sig = shingled.select(col("id"),
-      minhashSignature(col("shingles"), numHashes).as("sig"))
+    val minCols = minhashAggCols(col("h"), numHashes)
+    val sig = shingled
+      .select(col("id"), explode(col("shingles")).as("h"))
+      .groupBy(col("id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"),
+        array((1 to numHashes).map(j => col(s"mh$j")): _*).as("sig"))
 
     val banded = sig
       .select(col("id"), explode(lshBands(col("sig"), numHashes, bands)).as("bb"))
@@ -315,18 +352,16 @@ object Dedup {
     */
   def jaccardPairsChar(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, idWindow: Long = 10L, threshold: Double = 0.6): DataFrame = {
-    // the char-code array is materialized ONCE per doc (L ascii calls), then
-    // every n-gram is n O(1) element_at reads + arithmetic — no per-gram
-    // substring allocation (30M short-lived strings at sf0.1 otherwise)
+    // gram building is one codegen'd expression (CharGrams: compiled
+    // primitive-long loop, no per-gram allocation) — the column-level
+    // formulation (split → transform(ascii) → n-wide element_at polynomial)
+    // is CodegenFallback end to end and was the single most expensive query
+    // of the sf0.1 bench (13 s) despite an identical join plan
     val nonEmpty = df
       .select(col(idCol).as("id"), lower(col(textCol)).as("t"))
       .where(length(col("t")) >= n)
       .select(col("id"),
-        transform(split(col("t"), ""), c => ascii(c).cast("long")).as("codes"))
-      .select(col("id"),
-        array_distinct(transform(sequence(lit(1), size(col("codes")) - (n - 1)),
-          i => (0 until n).map(j => element_at(col("codes"), i + j))
-            .reduce((acc, c) => acc * 131L + c))).as("sh"))
+        graft.functions.CharGrams.charGrams(col("t"), n).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccardFilter(blockedPairs(nonEmpty, idWindow), threshold)
   }
@@ -402,34 +437,40 @@ object Dedup {
     * standard large-graph CC shape, no driver-side graph state. Returns
     * (doc_id, family_id) for every endpoint of `pairs`.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
     // localCheckpoint (eager) rather than persist: it truncates LINEAGE, not
     // just recomputation. With persist, every round's logical plan still
     // embeds the full upstream pair-pipeline tree per reference, and each
     // (re)plan walks the session's CacheManager — in a session with ~80
     // cached plans that lookup dominated (17 s in-suite vs 2 s solo). A
     // checkpointed round is a flat LogicalRDD: planning cost is constant in
-    // both round count and cache-pool size. (On a multi-executor cluster,
-    // swap for reliable `checkpoint()` if executor loss mid-iteration must
-    // be survivable; the iteration shape is unchanged.)
+    // both round count and cache-pool size.
+    // Cluster mode: localCheckpoint stores blocks on executors only, so a
+    // lost executor mid-iteration kills the job (acceptable single-node,
+    // not on a 1000-executor cluster). Passing `checkpointDir` switches
+    // every round to a RELIABLE checkpoint (HDFS/object-store backed,
+    // survives executor loss); the iteration shape is unchanged.
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // persist (not checkpoint) the input pairs: they are referenced twice
     // below (forward + reversed), which would execute the upstream pair
     // pipeline twice in the edges job; a persisted plan also stays
     // canonicalized, so plan-identical pair queries elsewhere in the
     // session share the cache entry
     val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = p
+    val edges = truncate(p
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     // seed = min(self, neighbors): the first propagation round folded into
     // label init — one aggregate over edges instead of a distinct + a full
     // join round (edges are symmetrized, so every node appears as src)
-    var labels = edges.groupBy(col("src"))
+    var labels = truncate(edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("label"))
-      .select(col("src").as("node"), col("label"))
-      .localCheckpoint()
+      .select(col("src").as("node"), col("label")))
     // convergence witness: labels only ever decrease, so the label sum is
     // strictly monotone — equal sums mean a fixpoint (one tiny agg per
     // round instead of a join-and-compare). Each round MUST be materialized
@@ -446,9 +487,8 @@ object Dedup {
         .join(ls.select(col("node").as("label"), col("label").as("label2")),
           Seq("label"))
         .select(col("node"), col("label2").as("label"))
-      ls.unionByName(fromNeighbors).unionByName(viaPointer)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+      truncate(ls.unionByName(fromNeighbors).unionByName(viaPointer)
+        .groupBy(col("node")).agg(min(col("label")).as("label")))
     }
     // coalesce: sum(label) is NULL on an empty label set (zero near-dup
     // pairs in the corpus) — without it the fixpoint loop NPEs (ADVICE r02).

@@ -87,7 +87,9 @@ object Profile {
     val bucket = when(v < lo, lit(-1L))
       .when(v > hi, lit(bins.toLong))
       .when(v === hi, lit(bins.toLong - 1)) // closed upper edge
-      .otherwise(floor((v - lo) / w).cast("long"))
+      // least-clamp: (v - lo) / w can round UP to exactly `bins` for a value
+      // a ULP below hi, which would mislabel an in-range value as n_above
+      .otherwise(least(floor((v - lo) / w).cast("long"), lit(bins.toLong - 1)))
     df.where(v.isNotNull)
       .groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("n"),
@@ -104,7 +106,7 @@ object Profile {
        |             CASE WHEN v < $lo THEN -1
        |                  WHEN v > $hi THEN $bins
        |                  WHEN v = $hi THEN ${bins - 1}
-       |                  ELSE floor((v - $lo) / $w)::BIGINT END AS bucket
+       |                  ELSE least(floor((v - $lo) / $w)::BIGINT, ${bins - 1}) END AS bucket
        |      FROM v)
        |SELECT bucket, count(*) AS n, min(v) AS bucket_min, max(v) AS bucket_max
        |FROM b GROUP BY bucket""".stripMargin

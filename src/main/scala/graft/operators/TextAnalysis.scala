@@ -579,7 +579,13 @@ object TextAnalysis {
     * [[applyMerge]]'s distributed fold against.
     */
   def bpeEncodeWord(word: String, merges: Seq[(String, String)]): Seq[String] =
-    merges.foldLeft(word.split("").toSeq) { case (syms, (s1, s2)) =>
+    // split on CODE POINTS, not Java String.split("")'s UTF-16 code units:
+    // the distributed fold's Spark split(w, '') keeps surrogate pairs whole,
+    // and this reference implementation must agree on supplementary-plane
+    // input (emoji, rare CJK)
+    merges.foldLeft(
+      word.codePoints().toArray.toSeq.map(cp => Character.toString(cp))) {
+      case (syms, (s1, s2)) =>
       syms.foldLeft(Vector.empty[String]) { (acc, cur) =>
         if (acc.nonEmpty && acc.last == s1 && cur == s2)
           acc.init :+ (s1 + s2)
@@ -602,6 +608,55 @@ object TextAnalysis {
        |SELECT sym1, sym2, sum(freq)::BIGINT AS pair_count
        |FROM pairs GROUP BY sym1, sym2
        |ORDER BY pair_count DESC, sym1, sym2 LIMIT $topK""".stripMargin
+
+  /** DuckDB replay of the FULL [[bpeTrain]] merge loop, value-for-value —
+    * `numMerges` chained CTE rounds of (pair count → top pair → apply
+    * merge), the deterministic unrolling of the trainer's driver loop.
+    *
+    * Symbol sequences are carried as TAB-joined strings wrapped in double
+    * tabs (`TT s1 TT s2 TT … TT`): tokens come from a `\s+` split, so no
+    * symbol can ever contain a tab — the separator is collision-free by
+    * construction, not by assumption. One merge application is a plain
+    * left-to-right non-overlapping `replace` of `T s1 TT s2 T` with
+    * `T s1·s2 T`: the double-tab boundaries mean each match consumes only
+    * the INNER tab of each boundary, so adjacent occurrences ("aaaa" under
+    * merge (a,a)) still match back-to-back — exactly [[applyMerge]]'s
+    * greedy fold. A round whose word table has no pairs left yields an
+    * empty top-1 CTE, which empties every later round via the cross join —
+    * the same early-stop as the trainer's loop.
+    */
+  def bpeTrainOracleSql(numMerges: Int = 10, table: String = "documents",
+      textCol: String = "text"): String = {
+    val U = "chr(9)"
+    val UU = "(chr(9)||chr(9))"
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH w0 AS (
+         |  SELECT $UU || array_to_string(string_split(w, ''), $UU) || $UU AS syms,
+         |         count(*) AS freq
+         |  FROM (SELECT unnest(${toksSql(textCol)}) AS w
+         |        FROM $table WHERE trim($textCol) <> '')
+         |  WHERE length(w) >= 2 GROUP BY w)""".stripMargin
+    for (r <- 1 to numMerges) {
+      sb ++=
+        s""",
+           |p$r AS (
+           |  SELECT l[i] AS sym1, l[i + 1] AS sym2, freq
+           |  FROM (SELECT freq, string_split(syms, $UU) AS l FROM w${r - 1}),
+           |       unnest(range(2, len(l) - 1)) AS t(i)),
+           |m$r AS (
+           |  SELECT sym1, sym2 FROM p$r GROUP BY sym1, sym2
+           |  ORDER BY sum(freq) DESC, sym1, sym2 LIMIT 1),
+           |w$r AS (
+           |  SELECT replace(w.syms, $U || m.sym1 || $UU || m.sym2 || $U,
+           |                 $U || m.sym1 || m.sym2 || $U) AS syms, w.freq
+           |  FROM w${r - 1} w, m$r m)""".stripMargin
+    }
+    sb ++= (1 to numMerges)
+      .map(r => s"SELECT $r::INTEGER AS rank, sym1, sym2 FROM m$r")
+      .mkString("\n", "\nUNION ALL\n", "")
+    sb.toString
+  }
 
   /** PII redaction patterns shared by the Spark operator and the DuckDB
     * oracle: plain ASCII character classes, bounded quantifiers, and

@@ -44,9 +44,9 @@ object PipelineQueries {
     "q_text_bpe_pairs" -> ((s, d) =>
       TextAnalysis.bpePairStats(docs(s, d), "doc_id", "text", topK = 50)),
 
-    // --- full BPE trainer (rows-only: the merge loop is iterative, not
-    // SQL-replayable; determinism comes from the total tiebreak order and
-    // is pinned by the gate's double-run diff + TextSpec) ---
+    // --- full BPE trainer (oracle-checked: the k-round merge loop is
+    // deterministic — total tiebreak order — so the oracle unrolls it into
+    // a chained-CTE DuckDB replay, TextAnalysis.bpeTrainOracleSql) ---
     "q_text_bpe_merges" -> ((s, d) =>
       TextAnalysis.bpeTrain(docs(s, d), "doc_id", "text", numMerges = 10)),
 
@@ -664,6 +664,10 @@ object PipelineQueries {
         |FROM documents""".stripMargin,
 
     "q_text_bpe_pairs" -> TextAnalysis.bpeOracleSql(topK = 50),
+
+    // the FULL trainer loop, unrolled to a 10-round CTE chain — the last
+    // deterministic rows-only query gained an oracle (VERDICT r03 item 3)
+    "q_text_bpe_merges" -> TextAnalysis.bpeTrainOracleSql(numMerges = 10),
 
     "q_text_redact" -> TextAnalysis.redactOracleSql(
       "text || ' contact user' || doc_id || '@example.com or call 555-' || " +

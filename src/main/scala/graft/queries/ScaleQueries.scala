@@ -63,11 +63,12 @@ object ScaleQueries {
     // replays the md5 shard assignment, so the whole write→read lifecycle
     // must preserve every row exactly to hash-match.
     "q_scale_shards" -> ((s, d) => {
-      // dataset-scoped dir (like q_source_partitioned): concurrent runs on
-      // different sf dirs must not overwrite each other's live layout
+      // dataset- and process-scoped dir (like q_source_partitioned):
+      // concurrent drivers must not overwrite each other's live layout
       val back = Scale.writeShards(
         t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
-        s"/tmp/graft_shards_${d.replaceAll("[^A-Za-z0-9]", "_")}",
+        graft.sources.Tables.scratchDir(s,
+          s"shards_${d.replaceAll("[^A-Za-z0-9]", "_")}"),
         "o_orderkey", n = 8)
       back.groupBy(col("shard"))
         .agg(count(lit(1)).as("n"),

@@ -14,7 +14,7 @@ object SourceQueries {
 
   private def roundtrip(s: SparkSession, d: String, fmt: String): DataFrame = {
     Tables.load(s, d)
-    val dir = s"/tmp/graft_roundtrip_$fmt"
+    val dir = Tables.scratchDir(s, s"roundtrip_$fmt")
     val src = s.table("nation")
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     src.write.mode("overwrite").option("header", "true").format(fmt).save(dir)
@@ -35,7 +35,7 @@ object SourceQueries {
     */
   private def evolution(s: SparkSession, d: String): DataFrame = {
     Tables.load(s, d)
-    val dir = "/tmp/graft_evolution"
+    val dir = Tables.scratchDir(s, "evolution")
     // clear the dataset dir first: each write only overwrites its own batch
     // subdir, so a stale extra batch from an earlier run would double rows
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -64,9 +64,10 @@ object SourceQueries {
     */
   private def partitionedPrune(s: SparkSession, d: String): DataFrame = {
     Tables.load(s, d)
-    // dataset-scoped dir: two processes driving different sf dirs must not
-    // overwrite each other's live layout mid-read
-    val dir = s"/tmp/graft_partitioned_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    // dataset- AND process-scoped dir: concurrent drivers (even on the same
+    // sf dir) must not overwrite each other's live layout mid-read
+    val dir = Tables.scratchDir(s,
+      s"partitioned_${d.replaceAll("[^A-Za-z0-9]", "_")}")
     s.table("documents")
       .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
       .write.mode("overwrite").partitionBy("lang").parquet(dir)

@@ -30,6 +30,17 @@ object Tables {
   def configure(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** Process-scoped /tmp scratch dir for queries that write live layouts
+    * (roundtrips, partitioned/sharded exports): the Spark applicationId in
+    * the path means two concurrent drivers — even on the SAME dataset dir —
+    * can never overwrite each other's layout mid-read (ADVICE r03). Callers
+    * add their own dataset/format tag on top.
+    */
+  def scratchDir(spark: SparkSession, tag: String): String = {
+    val app = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    s"/tmp/graft_${app}_$tag"
+  }
+
   // cache the active dir per session: repeated schema inference (a parquet
   // footer read per table) and UDAF re-registration would otherwise run
   // once per query and dominate short benchmarks

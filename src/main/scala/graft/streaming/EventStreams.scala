@@ -256,7 +256,13 @@ object EventStreams {
           case Some(s) =>
             state.update(s)
             if (timeout == GroupStateTimeout.EventTimeTimeout)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // flatMapGroupsWithState does NOT pre-filter late rows: a
+              // late event can leave s.last + gapMs at/below the current
+              // watermark, where setTimeoutTimestamp throws and fails the
+              // whole query — clamp to strictly beyond the watermark (the
+              // stale session then flushes at the next timeout sweep)
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, s.last + gapMs))
             else state.setTimeoutDuration(gapMs)
           case None => state.remove()
         }

@@ -204,6 +204,27 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 1L)))
   }
 
+  test("connectedComponents: reliable-checkpoint mode matches localCheckpoint") {
+    // the cluster-safe path: a checkpointDir switches every round to an
+    // HDFS/object-store-backed checkpoint (survives executor loss); the
+    // answer must be identical and checkpoint files must actually land
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+        .toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L))
+      // the reliable path really wrote checkpoint data (not localCheckpoint)
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "expected reliable checkpoint files on disk")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("connectedComponents: empty pair set yields empty frame, no crash") {
     // sum(label) over zero rows is NULL — the fixpoint checksum must
     // coalesce it instead of NPE-ing (ADVICE r02)
