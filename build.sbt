@@ -34,3 +34,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
+
+// Dev/diagnostic mains (Scratch, ExplainAll) live under tools/, OUT of the
+// library source tree, but still compile on the Compile classpath so
+// `runMain graft.Scratch ...` keeps working for single-query iteration.
+Compile / unmanagedSourceDirectories += baseDirectory.value / "tools" / "scala"

@@ -76,6 +76,22 @@ object MonoidQueries {
       """SELECT label, array_reduce_sum_float(embedding) AS sm
         |FROM embeddings GROUP BY label""".stripMargin))),
 
+    // the float-sum's deterministic twin (VERDICT r03 item 7): the same
+    // per-label element-wise sum over embeddings, but the floats ride the
+    // q_embed_centroids FIXED-POINT carrier (×1e6, rounded to long) so the
+    // sum is exact and partition-order-proof → hash-checked against DuckDB.
+    // The rows-only q_array_sum_float above stays: it pins the float32
+    // carrier itself; this entry pins the VALUES the operator computes.
+    "q_array_sum_float_fx" -> ((s, d) => q(s, d,
+      """SELECT label, CAST(pos + 1 AS BIGINT) AS pos,
+        |       ROUND(elem / CAST(1000000 AS DOUBLE), 6) AS sm
+        |FROM (
+        |  SELECT label,
+        |         array_reduce_sum_long(transform(embedding,
+        |           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))) AS ssum
+        |  FROM embeddings GROUP BY label)
+        |LATERAL VIEW posexplode(ssum) AS pos, elem""".stripMargin)),
+
     // u64 emulation on the DecimalType carrier (the 10th reference element
     // type; reference src/monoid.rs:34-37) — exact unsigned-64 arithmetic.
     // Runs over customer (the smallest keyed table): the BigDecimal path is
@@ -146,6 +162,16 @@ object MonoidQueries {
         |  FROM embeddings)
         |SELECT label, pos::BIGINT AS pos,
         |       round(sum(v)::DOUBLE / (count(*)::DOUBLE * 1000000), 6) AS centroid
+        |FROM f GROUP BY label, pos""".stripMargin,
+
+    "q_array_sum_float_fx" ->
+      """WITH f AS (
+        |  SELECT label,
+        |         round(unnest(embedding::DOUBLE[]) * 1000000)::BIGINT AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings)
+        |SELECT label, pos::BIGINT AS pos,
+        |       round(sum(v)::DOUBLE / 1000000, 6) AS sm
         |FROM f GROUP BY label, pos""".stripMargin,
 
     "q_array_sum_u64" ->

@@ -144,6 +144,25 @@ object PipelineQueries {
           |FROM lineitem GROUP BY l_returnflag""".stripMargin)
     }),
 
+    // --- percentile_approx in its provably-EXACT regime (the q_approx_topk
+    // pattern applied to quantile sketches): Greenwald-Khanna summaries
+    // retain every sample until the compress threshold (= accuracy), so with
+    // per-group rows <= accuracy the "approx" quantile IS the exact
+    // order statistic — hash-checked against DuckDB's quantile_disc. The
+    // approximate regime keeps its error-bound spec in SketchSpec;
+    // approx_count_distinct has no such regime (HLL registers are lossy at
+    // any cardinality) and stays rows-only in q_approx_sketches ---
+    "q_approx_quantile_exact" -> ((s, d) => {
+      Tables.load(s, d)
+      s.sql(
+        """SELECT l_returnflag,
+          |       percentile_approx(CAST(l_quantity AS DOUBLE), 0.5, 10000) AS q50,
+          |       percentile_approx(CAST(l_quantity AS DOUBLE), 0.95, 10000) AS q95,
+          |       count(*) AS n
+          |FROM lineitem WHERE l_orderkey % 100 = 0
+          |GROUP BY l_returnflag""".stripMargin)
+    }),
+
     // --- Misra-Gries heavy hitters: k=5 >= 3 distinct values, so the
     // sketch is provably exact and the oracle checks it against plain
     // GROUP BY counts; the approximate regime is bound-tested in SketchSpec
@@ -580,6 +599,15 @@ object PipelineQueries {
       """SELECT row_number() OVER (ORDER BY cnt DESC, term) AS rank, term, cnt
         |FROM (SELECT l_returnflag AS term, count(*) AS cnt
         |      FROM lineitem GROUP BY 1)""".stripMargin,
+
+    // exact regime: rows-per-group <= GK accuracy → exact order statistics
+    "q_approx_quantile_exact" ->
+      """SELECT l_returnflag,
+        |       quantile_disc(l_quantity::DOUBLE, 0.5) AS q50,
+        |       quantile_disc(l_quantity::DOUBLE, 0.95) AS q95,
+        |       count(*) AS n
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |GROUP BY l_returnflag""".stripMargin,
 
     "q_pipeline_sample" ->
       """SELECT lang, doc_id, rk FROM (
