@@ -381,9 +381,15 @@ object Dedup {
       idWindow: Long = 25L, maxDist: Int = 12, prefixLen: Int = 48): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"),
       substring(lower(col(textCol)), 1, prefixLen).as("t"))
+    // thresholded levenshtein: banded DP, O(len·maxDist) per pair instead of
+    // O(len²), returning -1 above the bound — the exact distance is only
+    // computed for pairs that can pass, which is the standard trick when the
+    // verify predicate is `dist <= k` (the oracle's plain `<= maxDist`
+    // replays the identical row set and distances)
     blockedPairs(base, idWindow)
-      .withColumn("dist", levenshtein(col("t_a"), col("t_b")).cast("long"))
-      .where(col("dist") <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("t_a"), col("t_b"), maxDist).cast("long"))
+      .where(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 

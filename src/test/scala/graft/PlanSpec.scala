@@ -106,6 +106,24 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bnlj.size == 1, "the one-row total joins via broadcast")
   }
 
+  test("bloom ingest probes with the native expression, no Scala UDF") {
+    // incrementalBloom's probe must stay the codegen'd
+    // BloomFilterMightContain over an inlined capped-size filter — a Scala
+    // UDF here would reintroduce per-row boxing AND a driver-sized closure
+    // expression-level check on the analyzed plan (persist + aggregate
+    // result projections elide the probe from physical toString)
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q_dedup_bloom")(spark, sfDir)
+    val exprs = df.queryExecution.analyzed
+      .collect { case p => p.expressions }.flatten
+    assert(exprs.exists(_.collectFirst {
+      case _: org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain => ()
+    }.isDefined), "expected the native BloomFilterMightContain probe")
+    assert(!exprs.exists(_.collectFirst {
+      case _: org.apache.spark.sql.catalyst.expressions.ScalaUDF => ()
+    }.isDefined), "the bloom probe must not be a Scala UDF")
+  }
+
   test("runtime bloom-filter join pruning injects on a selective join") {
     // at 100 TB the fact-side scan of a selective join should be pre-filtered
     // by a bloom filter built from the dim side (Spark 3.3+ runtime row
