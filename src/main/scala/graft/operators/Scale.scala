@@ -17,6 +17,84 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Scale {
 
+  /** Token-budget sequence packing — the step that turns a cleaned corpus
+    * into fixed-context training sequences: documents are greedily packed,
+    * in id order, into sequences of at most `budget` tokens (a document
+    * that would overflow the open sequence starts a new one; a single
+    * document larger than the whole budget gets its own sequence — chunk
+    * long documents first with [[TextAnalysis.chunk]] if that matters).
+    * Returns (doc_id, shard, seq_id, tok_offset, n_tokens): `seq_id`
+    * numbers sequences within a shard, `tok_offset` is the document's
+    * token offset inside its sequence.
+    *
+    * Scale shape: packing is sequential BY DEFINITION (each placement
+    * depends on the running total), so the corpus is first split into
+    * `shards` independent streams (shard = id mod shards — deterministic,
+    * re-run-stable) and the greedy fold runs per shard. The fold itself is
+    * a `mapPartitions` over a `repartition(shard) + sortWithinPartitions`
+    * layout: one pass, O(1) state (current shard / sequence / fill), no
+    * per-group buffering — shard count is a parallelism knob, not a memory
+    * one. This mirrors how production packers shard by file and pack
+    * within file.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0, "need budget > 0 and shards > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(tokenCol).cast("long").as("ntok"),
+        pmod(col(idCol).cast("long"), lit(shards.toLong)).as("shard"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        // multiple shards can hash into one partition; the sort keys them
+        // contiguous, so a shard change just resets the fold state
+        var curShard = -1L
+        var seq = 0L
+        var fill = 0L
+        it.map { case (id, ntok, shard) =>
+          if (shard != curShard) { curShard = shard; seq = 0L; fill = 0L }
+          if (fill + ntok > budget && fill > 0L) { seq += 1L; fill = 0L }
+          val off = fill
+          fill += ntok
+          (id, shard, seq, off, ntok)
+        }
+      }
+      .toDF("doc_id", "shard", "seq_id", "tok_offset", "n_tokens")
+  }
+
+  /** DuckDB replay of [[packSequences]]: the same greedy fold, unrolled as
+    * a per-shard recursive CTE walking documents in row-number order (the
+    * chain depth is docs-per-shard — fine at oracle scale; the Spark side
+    * is the one built for big corpora). `tokenExpr` must compute the same
+    * per-document token count the Spark call was given.
+    */
+  def packOracleSql(tokenExpr: String, budget: Long, shards: Int,
+      table: String = "documents", idCol: String = "doc_id"): String =
+    s"""WITH RECURSIVE o AS (
+       |  SELECT $idCol AS id, ($tokenExpr)::BIGINT AS ntok,
+       |         $idCol % $shards AS shard,
+       |         row_number() OVER (PARTITION BY $idCol % $shards
+       |                            ORDER BY $idCol) AS rn
+       |  FROM $table),
+       |rec AS (
+       |  SELECT shard, rn, id, ntok,
+       |         0::BIGINT AS seq_id, 0::BIGINT AS tok_offset
+       |  FROM o WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.shard, o.rn, o.id, o.ntok,
+       |         CASE WHEN r.tok_offset + r.ntok + o.ntok > $budget
+       |                   AND r.tok_offset + r.ntok > 0
+       |              THEN r.seq_id + 1 ELSE r.seq_id END,
+       |         CASE WHEN r.tok_offset + r.ntok + o.ntok > $budget
+       |                   AND r.tok_offset + r.ntok > 0
+       |              THEN 0::BIGINT ELSE r.tok_offset + r.ntok END
+       |  FROM rec r JOIN o ON o.shard = r.shard AND o.rn = r.rn + 1)
+       |SELECT id AS doc_id, shard, seq_id, tok_offset, ntok AS n_tokens
+       |FROM rec""".stripMargin
+
   /** Join `big` (skew-keyed) with `small` when `small` is too large to
     * broadcast and AQE's skew splitting isn't available/enough: each big row
     * gets a deterministic salt in [0, salts); `small` is replicated `salts`

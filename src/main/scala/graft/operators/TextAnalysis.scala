@@ -572,6 +572,75 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "sym1", "sym2")
   }
 
+  /** Distributed BPE ENCODING of the whole corpus with a freshly trained
+    * merge table — the deploy half of the tokenizer lifecycle ([[bpeTrain]]
+    * is the training half): per document, the word count and the total
+    * subword count after applying all `numMerges` merges in rank order.
+    *
+    * Scale shape: merges apply to the DISTINCT-WORD vocabulary only (the
+    * same trick as training — encode cost ∝ vocabulary size), then per-doc
+    * counts come from joining each document's words to the encoded vocab: a
+    * plain shuffled equi-join ∝ corpus size. The merge table itself is
+    * vocab-sized by definition and rides in as literals. Documents with
+    * zero tokens produce no row (they have nothing to encode).
+    */
+  def bpeEncodeCorpus(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, numMerges: Int = 10): org.apache.spark.sql.DataFrame = {
+    val merges = bpeTrain(df, idCol, textCol, numMerges)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = df.select(explode(tokens(col(textCol))).as("w")).distinct()
+    val encoded = merges
+      .foldLeft(vocab.select(col("w"), split(col("w"), "").as("syms"))) {
+        case (acc, (s1, s2)) =>
+          acc.select(col("w"), applyMerge(col("syms"), s1, s2).as("syms"))
+      }
+      .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
+    df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
+      .join(encoded, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+  }
+
+  /** DuckDB replay of [[bpeEncodeCorpus]]: the shared trainer CTE chain
+    * (identical merge table by construction), then the same replace chain
+    * over the full distinct-word vocabulary — LEFT JOIN so a merge round
+    * the trainer never reached (early stop) applies as a no-op, exactly
+    * like the Spark fold over the collected (possibly shorter) merge list.
+    */
+  def bpeEncodeOracleSql(numMerges: Int = 10, table: String = "documents",
+      textCol: String = "text", idCol: String = "doc_id"): String = {
+    val (u, uu) = (BpeSepSql, BpeSep2Sql)
+    val sb = new StringBuilder
+    sb ++= s"WITH ${bpeTrainCtes(numMerges, table, textCol)},\n"
+    sb ++=
+      s"""v0 AS (
+         |  SELECT w, $uu || array_to_string(string_split(w, ''), $uu) || $uu AS syms
+         |  FROM (SELECT DISTINCT unnest(${toksSql(textCol)}) AS w
+         |        FROM $table WHERE trim($textCol) <> ''))""".stripMargin
+    for (r <- 1 to numMerges) {
+      sb ++=
+        s""",
+           |v$r AS (
+           |  SELECT v.w,
+           |         CASE WHEN m.sym1 IS NULL THEN v.syms
+           |              ELSE replace(v.syms, $u || m.sym1 || $uu || m.sym2 || $u,
+           |                           $u || m.sym1 || m.sym2 || $u) END AS syms
+           |  FROM v${r - 1} v LEFT JOIN m$r m ON TRUE)""".stripMargin
+    }
+    sb ++=
+      s"""
+         |, enc AS (
+         |  SELECT w, (len(string_split(syms, $uu)) - 2)::BIGINT AS n_sub
+         |  FROM v$numMerges),
+         |dw AS (
+         |  SELECT $idCol AS doc_id, unnest(${toksSql(textCol)}) AS w
+         |  FROM $table WHERE trim($textCol) <> '')
+         |SELECT doc_id, count(*) AS n_words, sum(n_sub)::BIGINT AS n_subwords
+         |FROM dw JOIN enc USING (w) GROUP BY doc_id""".stripMargin
+    sb.toString
+  }
+
   /** Encode a word with a learned merge table: character split, then each
     * merge applied in rank order. Driver-side (plain Scala) — the encode
     * step of a deployed tokenizer runs per row with the merge table
@@ -625,14 +694,20 @@ object TextAnalysis {
     * empty top-1 CTE, which empties every later round via the cross join —
     * the same early-stop as the trainer's loop.
     */
-  def bpeTrainOracleSql(numMerges: Int = 10, table: String = "documents",
-      textCol: String = "text"): String = {
-    val U = "chr(9)"
-    val UU = "(chr(9)||chr(9))"
+  private val BpeSepSql = "chr(9)"
+  private val BpeSep2Sql = "(chr(9)||chr(9))"
+
+  /** The trainer's CTE chain (`w0, p1, m1, w1, … m_k, w_k`), shared by the
+    * trainer and encoder oracles so the two can never train on different
+    * merge tables.
+    */
+  private def bpeTrainCtes(numMerges: Int, table: String,
+      textCol: String): String = {
+    val (u, uu) = (BpeSepSql, BpeSep2Sql)
     val sb = new StringBuilder
     sb ++=
-      s"""WITH w0 AS (
-         |  SELECT $UU || array_to_string(string_split(w, ''), $UU) || $UU AS syms,
+      s"""w0 AS (
+         |  SELECT $uu || array_to_string(string_split(w, ''), $uu) || $uu AS syms,
          |         count(*) AS freq
          |  FROM (SELECT unnest(${toksSql(textCol)}) AS w
          |        FROM $table WHERE trim($textCol) <> '')
@@ -642,21 +717,25 @@ object TextAnalysis {
         s""",
            |p$r AS (
            |  SELECT l[i] AS sym1, l[i + 1] AS sym2, freq
-           |  FROM (SELECT freq, string_split(syms, $UU) AS l FROM w${r - 1}),
+           |  FROM (SELECT freq, string_split(syms, $uu) AS l FROM w${r - 1}),
            |       unnest(range(2, len(l) - 1)) AS t(i)),
            |m$r AS (
            |  SELECT sym1, sym2 FROM p$r GROUP BY sym1, sym2
            |  ORDER BY sum(freq) DESC, sym1, sym2 LIMIT 1),
            |w$r AS (
-           |  SELECT replace(w.syms, $U || m.sym1 || $UU || m.sym2 || $U,
-           |                 $U || m.sym1 || m.sym2 || $U) AS syms, w.freq
+           |  SELECT replace(w.syms, $u || m.sym1 || $uu || m.sym2 || $u,
+           |                 $u || m.sym1 || m.sym2 || $u) AS syms, w.freq
            |  FROM w${r - 1} w, m$r m)""".stripMargin
     }
-    sb ++= (1 to numMerges)
-      .map(r => s"SELECT $r::INTEGER AS rank, sym1, sym2 FROM m$r")
-      .mkString("\n", "\nUNION ALL\n", "")
     sb.toString
   }
+
+  def bpeTrainOracleSql(numMerges: Int = 10, table: String = "documents",
+      textCol: String = "text"): String =
+    s"WITH ${bpeTrainCtes(numMerges, table, textCol)}" +
+      (1 to numMerges)
+        .map(r => s"SELECT $r::INTEGER AS rank, sym1, sym2 FROM m$r")
+        .mkString("\n", "\nUNION ALL\n", "")
 
   /** PII redaction patterns shared by the Spark operator and the DuckDB
     * oracle: plain ASCII character classes, bounded quantifiers, and

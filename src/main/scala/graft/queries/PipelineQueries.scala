@@ -50,6 +50,12 @@ object PipelineQueries {
     "q_text_bpe_merges" -> ((s, d) =>
       TextAnalysis.bpeTrain(docs(s, d), "doc_id", "text", numMerges = 10)),
 
+    // --- distributed BPE encode with the freshly trained merges: per-doc
+    // word + subword totals (oracle: shared trainer CTEs + vocab replace
+    // chain, so both engines train AND encode identically) ---
+    "q_text_bpe_encode" -> ((s, d) =>
+      TextAnalysis.bpeEncodeCorpus(docs(s, d), "doc_id", "text", numMerges = 10)),
+
     // --- fixed-edge equi-width histogram (oracle-checked): the per-batch
     // distribution drift check; range [0, 40] deliberately clips the top of
     // l_quantity so the out-of-range guard bucket is exercised ---
@@ -205,6 +211,14 @@ object PipelineQueries {
           round(col("tokens").cast("double") / col("total").cast("double"), 6)
             .as("token_share"))
     }),
+
+    // --- token-budget sequence packing: greedy fill of 512-token training
+    // sequences over 8 independent id-mod shards (oracle: the identical
+    // greedy fold as a per-shard recursive CTE) ---
+    "q_pipeline_pack" -> ((s, d) => graft.operators.Scale.packSequences(
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("ntok")),
+      "doc_id", "ntok", budget = 512L, shards = 8)),
 
     // --- per-source quality leaders: top-3 docs by quality score (ties to
     // the lower doc_id) — the human-review sample a curation pass pulls ---
@@ -600,6 +614,10 @@ object PipelineQueries {
         |FROM (SELECT l_returnflag AS term, count(*) AS cnt
         |      FROM lineitem GROUP BY 1)""".stripMargin,
 
+    "q_pipeline_pack" -> graft.operators.Scale.packOracleSql(
+      tokenExpr = s"len(${TextAnalysis.toksSql("text")})",
+      budget = 512L, shards = 8),
+
     // exact regime: rows-per-group <= GK accuracy → exact order statistics
     "q_approx_quantile_exact" ->
       """SELECT l_returnflag,
@@ -696,6 +714,7 @@ object PipelineQueries {
     // the FULL trainer loop, unrolled to a 10-round CTE chain — the last
     // deterministic rows-only query gained an oracle (VERDICT r03 item 3)
     "q_text_bpe_merges" -> TextAnalysis.bpeTrainOracleSql(numMerges = 10),
+    "q_text_bpe_encode" -> TextAnalysis.bpeEncodeOracleSql(numMerges = 10),
 
     "q_text_redact" -> TextAnalysis.redactOracleSql(
       "text || ' contact user' || doc_id || '@example.com or call 555-' || " +

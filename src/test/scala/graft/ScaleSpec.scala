@@ -134,6 +134,41 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(pruned.count() == expected)
   }
 
+  test("packSequences: greedy budget fill, deterministic, layout-invariant") {
+    import graft.operators.Scale
+    // ids 0..99 with varied token counts incl. one oversized doc (id 42)
+    val docs = (0L until 100L).map(i =>
+      (i, if (i == 42L) 900L else 1L + (i * 37L) % 200L))
+    val df = docs.toDF("doc_id", "ntok")
+    val got = Scale.packSequences(df, "doc_id", "ntok", budget = 512L, shards = 4)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // reference greedy fold per shard
+    val expect = docs.groupBy(_._1 % 4).flatMap { case (shard, ds) =>
+      var seq = 0L; var fill = 0L
+      ds.sortBy(_._1).map { case (id, ntok) =>
+        if (fill + ntok > 512L && fill > 0L) { seq += 1L; fill = 0L }
+        val off = fill; fill += ntok
+        id -> ((shard, seq, off, ntok))
+      }
+    }
+    assert(got == expect)
+    // every sequence respects the budget unless it is a single oversized doc
+    got.values.groupBy(v => (v._1, v._2)).foreach { case (_, members) =>
+      val tokens = members.map(_._4).sum
+      assert(tokens <= 512L || members.size == 1,
+        s"over-budget multi-doc sequence: $members")
+    }
+    // layout-invariance: a different input partitioning packs identically
+    val shuffled = Scale.packSequences(df.repartition(7), "doc_id", "ntok",
+      budget = 512L, shards = 4)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(shuffled == got)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_quantity")

@@ -260,6 +260,28 @@ class TextSpec extends SparkSpec {
       == Seq("aa", "aa")) // non-overlapping greedy
   }
 
+  test("bpeEncodeCorpus agrees with the driver-side word encoder") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "lower lower newest newest newest wider low"),
+      (2L, "newest low a"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(corpus, "doc_id", "text", numMerges = 4)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = TextAnalysis.bpeEncodeCorpus(corpus, "doc_id", "text", numMerges = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // reference: encode each word on the driver, sum per doc
+    val expect = Seq(
+      1L -> "lower lower newest newest newest wider low",
+      2L -> "newest low a")
+      .map { case (id, text) =>
+        val words = text.split("\\s+").toSeq
+        id -> ((words.size.toLong,
+          words.map(w => TextAnalysis.bpeEncodeWord(w, merges).size.toLong).sum))
+      }.toMap
+    assert(got == expect)
+  }
+
   test("redactPii: counts equal emitted placeholders when spans overlap") {
     import spark.implicits._
     // phone- and IP-shaped spans consumed by an email match are counted as
