@@ -522,6 +522,46 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("family_id"))
   }
 
+  /** Quality-aware dedup retention: [[connectedComponents]] families with
+    * the BEST-quality member as the keeper (ties to the lower doc id)
+    * instead of the min-id default — what a curation pass actually wants
+    * when near-duplicates differ in cleanliness. `quality` is (doc_id,
+    * score); returns every family member as (doc_id, family_id, keep_id,
+    * score). One window over families (tiny by construction — duplicate
+    * clusters, not the corpus), full-frame `first` so keeper and members
+    * come out of a single pass.
+    */
+  def keepBest(pairs: DataFrame, quality: DataFrame, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val fam = connectedComponents(pairs, maxIter, checkpointDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("family_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    fam.join(quality, "doc_id")
+      .select(col("doc_id"), col("family_id"),
+        first(col("doc_id")).over(w).as("keep_id"),
+        round(col("score"), 6).as("score"))
+  }
+
+  /** DuckDB replay of [[keepBest]] over `pairsSql`'s pair output.
+    * `scoreExpr` must compute the same per-document quality the Spark call
+    * was given.
+    */
+  def keepBestOracleSql(pairsSql: String, scoreExpr: String,
+      table: String = "documents", idCol: String = "doc_id"): String =
+    s"""WITH fam AS (${componentsOracleSql(pairsSql)}),
+       |q AS (SELECT $idCol AS doc_id, ($scoreExpr)::DOUBLE AS score
+       |      FROM $table)
+       |SELECT f.doc_id, f.family_id,
+       |       first_value(f.doc_id) OVER (
+       |         PARTITION BY f.family_id ORDER BY q.score DESC, f.doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |         AS keep_id,
+       |       round(q.score, 6) AS score
+       |FROM fam f JOIN q USING (doc_id)""".stripMargin
+
   /** DuckDB SQL: connected components of `pairsSql`'s (id_a, id_b) output
     * via a recursive transitive closure, label = min reachable node. Fine at
     * oracle scale (closure is per-component quadratic; duplicate families

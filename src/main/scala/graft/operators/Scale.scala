@@ -235,6 +235,54 @@ object Scale {
         round(col("priority"), 6).as("priority"))
   }
 
+  /** Mixture rebalancing by deterministic downsampling: every stratum
+    * (language, source, …) is Bernoulli-thinned to the SMALLEST stratum's
+    * total weight (tokens, usually), so the output mixture is balanced —
+    * the "cap every language at parity" curation step. The keep decision is
+    * `hashUniform(key) <= rate` with rate = min-stratum total / own total:
+    * content-stable (re-runs and engines agree), no shuffle of the corpus
+    * beyond one per-stratum aggregate, and the tiny rate table broadcasts.
+    * Returns (stratum, key, rate) for every kept row.
+    *
+    * Expected (not exact) stratum totals after thinning: exact-k per
+    * stratum is [[weightedSampleStratified]]'s job; rate-based thinning is
+    * the one that composes at 100 TB (no per-stratum ordering anywhere).
+    */
+  def downsampleBalanced(df: DataFrame, keyCol: String, stratumCol: String,
+      weight: Column): DataFrame = {
+    val base = df.where(col(keyCol).isNotNull)
+      .select(col(stratumCol).as("stratum"), col(keyCol),
+        weight.cast("double").as("w"))
+    val totals = base.groupBy(col("stratum")).agg(sum(col("w")).as("tot"))
+    val target = totals.agg(min(col("tot")).as("target"))
+    val rates = totals.crossJoin(broadcast(target))
+      .select(col("stratum"),
+        least(lit(1.0), col("target") / col("tot")).as("rate"))
+    base.join(broadcast(rates), "stratum")
+      .where(hashUniform(col(keyCol)) <= col("rate"))
+      .select(col("stratum"), col(keyCol), round(col("rate"), 6).as("rate"))
+  }
+
+  /** DuckDB replay of [[downsampleBalanced]] value-for-value: same md5
+    * uniform, same rate arithmetic. `weightExpr` must compute the same
+    * per-row weight the Spark call was given.
+    */
+  def downsampleOracleSql(weightExpr: String, table: String = "documents",
+      keyCol: String = "doc_id", stratumCol: String = "lang"): String = {
+    val p = Dedup.PortablePrime
+    s"""WITH b AS (
+       |  SELECT $stratumCol AS stratum, $keyCol,
+       |         ($weightExpr)::DOUBLE AS w
+       |  FROM $table WHERE $keyCol IS NOT NULL),
+       |t AS (SELECT stratum, sum(w) AS tot FROM b GROUP BY stratum),
+       |tar AS (SELECT min(tot) AS target FROM t),
+       |r AS (SELECT stratum, least(1.0, target / tot) AS rate FROM t, tar)
+       |SELECT b.stratum, b.$keyCol, round(r.rate, 6) AS rate
+       |FROM b JOIN r USING (stratum)
+       |WHERE ((('0x' || substr(md5(b.$keyCol::VARCHAR), 1, 15))::BIGINT % $p)
+       |       + 1)::DOUBLE / ${p + 1}.0 <= r.rate""".stripMargin
+  }
+
   /** Materialize an intermediate to parquet and rescan it — the lifecycle
     * step for intermediates too large for executor-storage `persist`
     * (shingle/signature tables of a 100 TB dedup run). Unlike persist it

@@ -212,6 +212,14 @@ object PipelineQueries {
             .as("token_share"))
     }),
 
+    // --- mixture rebalancing: every language Bernoulli-thinned to the
+    // smallest language's token total (deterministic md5-uniform keep
+    // decision, rate table broadcast — oracle replays rates + hash) ---
+    "q_pipeline_rebalance" -> ((s, d) => graft.operators.Scale.downsampleBalanced(
+      docs(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("ntok")),
+      "doc_id", "lang", col("ntok"))),
+
     // --- token-budget sequence packing: greedy fill of 512-token training
     // sequences over 8 independent id-mod shards (oracle: the identical
     // greedy fold as a per-shard recursive CTE) ---
@@ -316,6 +324,15 @@ object PipelineQueries {
     // transitive closure over the same pairs) ---
     "q_dedup_components" -> ((s, d) => Dedup.connectedComponents(
       Dedup.minhashPairsPortable(docs(s, d), "doc_id", "text"))),
+
+    // --- quality-aware dedup retention: the portable-minhash families with
+    // the best-quality member kept (ties to lower id) — what a curation
+    // pass does with near-dup families (oracle: recursive closure + the
+    // same quality window) ---
+    "q_dedup_keep_best" -> ((s, d) => Dedup.keepBest(
+      Dedup.minhashPairsPortable(docs(s, d), "doc_id", "text"),
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("score")))),
 
     // --- batch analogue of the streaming minhash-band dedup state: per
     // band bucket the winning doc + claim count (oracle-checked) ---
@@ -608,6 +625,11 @@ object PipelineQueries {
 
     "q_dedup_band_claims" -> Dedup.bandClaimsOracleSql(),
     "q_dedup_components" -> Dedup.componentsOracleSql(Dedup.minhashOracleSql()),
+    "q_dedup_keep_best" -> Dedup.keepBestOracleSql(
+      Dedup.minhashOracleSql(), TextAnalysis.qualitySql("text")),
+
+    "q_pipeline_rebalance" -> graft.operators.Scale.downsampleOracleSql(
+      weightExpr = s"len(${TextAnalysis.toksSql("text")})"),
 
     "q_approx_topk" ->
       """SELECT row_number() OVER (ORDER BY cnt DESC, term) AS rank, term, cnt

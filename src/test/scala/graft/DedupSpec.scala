@@ -225,6 +225,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("keepBest: best-quality member wins the family, ties to lower id") {
+    // family {1,2,3}: doc 2 has the best score; family {10,11}: tie → 10
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val quality = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5), (10L, 0.4), (11L, 0.4))
+      .toDF("doc_id", "score")
+    val got = Dedup.keepBest(pairs, quality)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((1L, 2L)), 2L -> ((1L, 2L)), 3L -> ((1L, 2L)),
+      10L -> ((10L, 10L)), 11L -> ((10L, 10L))))
+  }
+
   test("connectedComponents: empty pair set yields empty frame, no crash") {
     // sum(label) over zero rows is NULL — the fixpoint checksum must
     // coalesce it instead of NPE-ing (ADVICE r02)

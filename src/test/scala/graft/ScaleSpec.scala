@@ -134,6 +134,27 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(pruned.count() == expected)
   }
 
+  test("downsampleBalanced: min stratum intact, rates from stratum totals") {
+    import graft.operators.Scale
+    // strata: a has 1000 weight, b has 100 → a thinned at rate 0.1, b kept
+    val df = ((0L until 100L).map(i => (i, "a", 10L)) ++
+      (100L until 120L).map(i => (i, "b", 5L))).toDF("doc_id", "lang", "ntok")
+    val got = Scale.downsampleBalanced(df, "doc_id", "lang", col("ntok"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val (a, b) = got.partition(_._1 == "a")
+    // the smallest stratum's rate is exactly 1.0 → every member kept
+    assert(b.map(_._2).sorted.toSeq == (100L until 120L).toSeq)
+    assert(b.forall(_._3 == 1.0))
+    // the big stratum thins to ~rate (deterministic subset, rate recorded)
+    assert(a.forall(_._3 == 0.1))
+    assert(a.nonEmpty && a.size < 100,
+      s"expected a strict deterministic subset of stratum a, got ${a.size}")
+    // content-stable: identical on a different input layout
+    val again = Scale.downsampleBalanced(df.repartition(7), "doc_id", "lang",
+      col("ntok")).collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(again.sortBy(_._2).toSeq == got.sortBy(_._2).toSeq)
+  }
+
   test("packSequences: greedy budget fill, deterministic, layout-invariant") {
     import graft.operators.Scale
     // ids 0..99 with varied token counts incl. one oversized doc (id 42)
