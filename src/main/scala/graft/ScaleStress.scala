@@ -114,6 +114,25 @@ object ScaleStress {
           .select(TextAnalysis.fingerprint(col("text")))).count()
     time("bloom-ingest 1x")(bloomIngest(d1))
     time("bloom-ingest 10x")(bloomIngest(d10))
+    import graft.operators.Scale
+    def pack(d: org.apache.spark.sql.DataFrame): Long =
+      Scale.packSequences(
+        d.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ntok")),
+        "doc_id", "ntok", budget = 512L, shards = 8).count()
+    time("seq-packing 1x")(pack(d1))
+    time("seq-packing 10x")(pack(d10))
+    def rebalance(d: org.apache.spark.sql.DataFrame): Long =
+      Scale.downsampleBalanced(
+        d.select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ntok")),
+        "doc_id", "lang", col("ntok")).count()
+    time("rebalance 1x")(rebalance(d1))
+    time("rebalance 10x")(rebalance(d10))
+    def encode(d: org.apache.spark.sql.DataFrame): Long =
+      TextAnalysis.bpeEncodeCorpus(d, "doc_id", "text", numMerges = 10).count()
+    time("bpe-encode 1x")(encode(d1))
+    time("bpe-encode 10x")(encode(d10))
     time("e2e pipeline 1x")(
       graft.SparkEntry.queries("q_pipeline_e2e")(spark, "/root/testdata/sf0.1").count())
     spark.stop()
