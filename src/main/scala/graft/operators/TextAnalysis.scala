@@ -589,6 +589,17 @@ object TextAnalysis {
     val merges = bpeTrain(df, idCol, textCol, numMerges)
       .orderBy(col("rank"))
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeEncodeWithMerges(df, idCol, textCol, merges)
+  }
+
+  /** [[bpeEncodeCorpus]] with an already-trained merge table — the deployed
+    * tokenizer's shape: train once, encode every future batch against the
+    * FROZEN table (retraining per batch would silently shift the
+    * vocabulary between batches).
+    */
+  def bpeEncodeWithMerges(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
     val vocab = df.select(explode(tokens(col(textCol))).as("w")).distinct()
     val encoded = merges
       .foldLeft(vocab.select(col("w"), split(col("w"), "").as("syms"))) {

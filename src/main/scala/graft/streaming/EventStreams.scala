@@ -313,4 +313,49 @@ object EventStreams {
       .transformWithState(new RunningCountProcessor, TimeMode.None(),
         OutputMode.Append())
   }
+
+  case class PackAssign(doc_id: Long, shard: Long, seq_id: Long,
+      tok_offset: Long, n_tokens: Long)
+
+  /** Streaming face of [[graft.operators.Scale.packSequences]]: documents
+    * arriving on a (shard, doc_id, n_tokens) stream are greedily packed
+    * into `budget`-token training sequences, the open sequence's (seq_id,
+    * fill) carried across microbatches in per-shard ValueState — an
+    * always-on packer that assigns (seq_id, tok_offset) as the corpus
+    * lands instead of in a nightly batch. Rows inside a microbatch are
+    * folded in doc-id order, so ingesting the same per-shard stream in the
+    * same batch splits is deterministic; feeding the whole corpus in id
+    * order reproduces the batch operator's assignment exactly (pinned in
+    * StreamingSpec).
+    */
+  class PackingProcessor(budget: Long)
+      extends StatefulProcessor[Long, (Long, Long, Long), PackAssign] {
+    @transient private var open: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[(Long, Long)]("open",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[PackAssign] = {
+      var (seq, fill) = if (open.exists()) open.get() else (0L, 0L)
+      val out = rows.toSeq.sortBy(_._2).map { case (shard, id, ntok) =>
+        if (fill + ntok > budget && fill > 0L) { seq += 1L; fill = 0L }
+        val off = fill
+        fill += ntok
+        PackAssign(id, shard, seq, off, ntok)
+      }
+      open.update((seq, fill))
+      out.iterator
+    }
+  }
+
+  /** (shard, doc_id, n_tokens) stream → greedy sequence assignments;
+    * requires the RocksDB state store provider when run as a stream.
+    */
+  def streamingPack(docs: Dataset[(Long, Long, Long)],
+      budget: Long): Dataset[PackAssign] = {
+    implicit val enc = Encoders.product[PackAssign]
+    docs.groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new PackingProcessor(budget), TimeMode.None(),
+        OutputMode.Append())
+  }
 }

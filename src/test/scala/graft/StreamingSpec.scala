@@ -133,6 +133,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming packer: open sequences carry across microbatches, equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // 40 docs over 2 shards, varied token counts; fed in id order split
+    // across two microbatches mid-sequence
+    val docs = (0L until 40L).map(i => (i % 2, i, 1L + (i * 37L) % 200L))
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = EventStreams.streamingPack(mem.toDS(), budget = 256L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pack_out").start()
+    try {
+      mem.addData(docs.take(15): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(15): _*)
+      q.processAllAvailable()
+      val got = spark.table("pack_out")
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      // the batch packer on the same corpus (same shard fn: id % 2)
+      val expect = graft.operators.Scale.packSequences(
+        docs.map { case (_, id, n) => (id, n) }.toDF("doc_id", "ntok"),
+        "doc_id", "ntok", budget = 256L, shards = 2)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      assert(got == expect)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
+
   test("transformWithState running counts: state persists across microbatches") {
     implicit val sqlCtx = spark.sqlContext
     // transformWithState requires the RocksDB state store provider; scope
