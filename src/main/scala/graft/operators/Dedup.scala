@@ -932,4 +932,72 @@ object Dedup {
        |         inter::DOUBLE / (la + lb - inter)::DOUBLE AS jaccard FROM j)
        |WHERE jaccard >= $threshold""".stripMargin
   }
+
+  /** Cross-document duplicated-span detection — the exact-substring tier of
+    * corpus dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": verbatim long spans repeated across documents
+    * drive memorization, and document-level dedup misses them when the
+    * surrounding text differs). Every length-`spanLen` token window is
+    * fingerprinted with [[portableHash]] of the space-joined span, and a
+    * span occurring in at least `minDocs` DISTINCT documents marks every
+    * position where it appears. Emits (doc_id, pos, span_fp, n_docs) —
+    * pos is the 1-based token index — exactly the input a downstream
+    * strip/mask pass needs.
+    *
+    * Scale shape: positions are exploded FIRST and the md5 fingerprint
+    * computed per exploded row, so the hot path is whole-stage-codegen'd
+    * scalar hashing, not an interpreted higher-order fold (the
+    * minhashAggCols lesson). The occurrence table is O(total tokens) rows
+    * of three longs — the same order of work as tokenizing the corpus —
+    * followed by one fingerprint-keyed groupBy (two-phase count-distinct,
+    * map-side partials) and an equi self-join on span_fp that AQE
+    * broadcasts whenever the duplicated-span set is small (the usual
+    * case). No pair enumeration, no quadratic step anywhere; skew is
+    * bounded because a span fingerprint's fan-in is the number of its
+    * occurrences, already capped by the corpus itself.
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      spanLen: Int, minDocs: Long = 2L): DataFrame = {
+    require(spanLen >= 2, "spanLen must be at least 2")
+    val occ = df.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= spanLen)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.wordNgrams(col("toks"), spanLen)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        (portableHash(col("col")) % PortablePrime).as("span_fp"))
+    val dup = occ.groupBy(col("span_fp"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+    occ.join(dup, "span_fp")
+      .select(col("doc_id"), col("pos"), col("span_fp"), col("n_docs"))
+  }
+
+  /** DuckDB replay of [[dupSpans]] value-for-value (paired unnests zip
+    * positionally, replaying posexplode; same md5-mod-prime fingerprint).
+    */
+  def dupSpansOracleSql(spanLen: Int, minDocs: Long = 2L,
+      table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text"): String = {
+    val gram =
+      (1 to spanLen).map(j => s"toks[i + ${j - 1}]").mkString(" || ' ' || ")
+    val P = PortablePrime
+    s"""WITH toks AS (
+       |  SELECT $idCol AS doc_id,
+       |         ${TextAnalysis.toksSql(textCol)} AS toks
+       |  FROM $table),
+       |occ AS (
+       |  SELECT doc_id,
+       |         unnest(range(1, len(toks) - ${spanLen - 2}))::BIGINT AS pos,
+       |         unnest(list_transform(range(1, len(toks) - ${spanLen - 2}),
+       |           i -> ('0x' || substr(md5($gram), 1, 15))::BIGINT % $P))
+       |           AS span_fp
+       |  FROM toks WHERE len(toks) >= $spanLen),
+       |dup AS (
+       |  SELECT span_fp, count(DISTINCT doc_id)::BIGINT AS n_docs
+       |  FROM occ GROUP BY span_fp
+       |  HAVING count(DISTINCT doc_id) >= $minDocs)
+       |SELECT occ.doc_id, occ.pos, occ.span_fp, dup.n_docs
+       |FROM occ JOIN dup USING (span_fp)""".stripMargin
+  }
 }

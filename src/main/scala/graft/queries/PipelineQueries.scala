@@ -295,6 +295,11 @@ object PipelineQueries {
           .select(TextAnalysis.fingerprint(col("text"))))
     }),
 
+    // --- cross-doc duplicated 8-token spans, the exact-substring dedup
+    // tier (oracle-checked) ---
+    "q_dedup_spans" -> ((s, d) =>
+      Dedup.dupSpans(docs(s, d), "doc_id", "text", spanLen = 8)),
+
     // --- exact 2-gram Jaccard over id-window-blocked pairs (oracle-checked)
     "q_dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(
       docs(s, d), "doc_id", "text", ngram = 2,
@@ -813,6 +818,8 @@ object PipelineQueries {
       """SELECT array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ') AS dup_key,
         |       min(doc_id) AS keep_id, count(*) AS copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_spans" -> Dedup.dupSpansOracleSql(spanLen = 8),
 
     "q_dedup_jaccard" ->
       s"""WITH t AS (

@@ -274,4 +274,28 @@ class DedupSpec extends SparkSpec {
       idWindow = 1L << 40, threshold = 0.1).collect()
     assert(pairs.isEmpty) // single-token docs have empty shingle sets → J undefined → dropped
   }
+
+  test("dupSpans: shared span found at every position, unique text silent") {
+    // docs 1 and 2 share the same 4-token run at different offsets; doc 3
+    // repeats it twice in-doc but is the only OTHER doc, doc 4 is clean
+    val shared = "alpha beta gamma delta"
+    val df = Seq(
+      (1L, s"x $shared y z w"),
+      (2L, s"p q $shared r"),
+      (3L, s"$shared m $shared"),
+      (4L, "nothing here matches anything at all ok")).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(df, "doc_id", "text", spanLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .sortBy(identity).toSeq
+    // the shared span occurs in 3 distinct docs: pos 2 in doc 1, pos 3 in
+    // doc 2, pos 1 and 6 in doc 3; no other 4-span repeats across docs
+    assert(got == Seq((1L, 2L, 3L), (2L, 3L, 3L), (3L, 1L, 3L), (3L, 6L, 3L)))
+  }
+
+  test("dupSpans: minDocs raises the bar; in-doc repeats alone don't count") {
+    val df = Seq(
+      (1L, "a b c d e a b c d e"), // span "a b c d e" twice, same doc only
+      (2L, "f g h i j k")).toDF("doc_id", "text")
+    assert(Dedup.dupSpans(df, "doc_id", "text", spanLen = 5).collect().isEmpty)
+  }
 }
