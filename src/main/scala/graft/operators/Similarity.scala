@@ -796,4 +796,103 @@ object Similarity {
       maxBucket: Int = 10000): DataFrame =
     nearDupPairs(df, idCol, vecCol, threshold,
       bits = sizeBits(df.count(), targetBucket), maxBucket = maxBucket)
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): partition the embedding
+    * space into clusters, then inside each cluster drop every vector whose
+    * cosine similarity to a LOWER-id cluster member reaches `threshold` —
+    * the semantic near-duplicates (paraphrases, templated rewrites,
+    * translations) that textual dedup can't see. Keep rule: the min-id
+    * member of each near-dup neighborhood survives (the paper keeps an
+    * arbitrary member; min-id is the deterministic choice of it). Returns
+    * the KEPT rows as (id, centroid_id).
+    *
+    * Clustering is the paper's own scale trick: candidate pairs exist only
+    * within a cluster, so the pair space is O(Σ bucket²) instead of O(n²),
+    * with [[Dedup.capBuckets]] dropping pathological clusters from pairing
+    * (their members then all survive — a conservative, never-lossy guard).
+    * The drop step is one distinct + left_anti join; nothing driver-sized
+    * anywhere.
+    */
+  def semDedupAssigned(df: DataFrame, idCol: String, vecCol: String,
+      assigned: DataFrame, threshold: Double,
+      maxBucket: Int = 10000): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm"))
+      .join(assigned.select(col(idCol).as("id"), col("centroid_id")), "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the cap only excludes oversized clusters from PAIRING; their members
+    // still reach the kept output below (base, not clustered, is the
+    // left side of the anti-join)
+    val clustered = Dedup.capBuckets(base, Seq("centroid_id"), maxBucket)
+    val dropped = clustered.as("a").join(clustered.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.id") < col("b.id"))
+      .where(cosineScore(dot(col("a.v"), col("b.v")),
+        col("a.nrm") * col("b.nrm")) >= threshold)
+      .select(col("b.id").as("id")).distinct()
+    base.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("centroid_id"))
+  }
+
+  /** [[semDedupAssigned]] with a Lloyd-trained codebook ([[ivfTrain]]) —
+    * the paper's actual configuration. Trained centroids carry the per-dim
+    * `avg` partition-order caveat (see [[ivfTrain]]), so this tier is
+    * spec-tested (planted-duplicate recall), while [[semDedupFixed]] is the
+    * bit-exact gate tier.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      threshold: Double, iters: Int = 3, maxBucket: Int = 10000): DataFrame =
+    semDedupAssigned(df, idCol, vecCol,
+      assignToCentroids(df, idCol, vecCol, ivfTrain(df, idCol, vecCol, k, iters)),
+      threshold, maxBucket)
+
+  /** [[semDedupAssigned]] with the deterministic every-Nth-id codebook
+    * ([[ivfAssign]]): every arithmetic step is a sequential double fold, so
+    * the whole cluster → pair → drop pipeline replays bit-for-bit in DuckDB
+    * ([[semDedupOracleSql]]).
+    */
+  def semDedupFixed(df: DataFrame, idCol: String, vecCol: String,
+      centroidEvery: Long, threshold: Double,
+      maxBucket: Int = 10000): DataFrame =
+    semDedupAssigned(df, idCol, vecCol,
+      ivfAssign(df, idCol, vecCol, centroidEvery), threshold, maxBucket)
+
+  /** DuckDB replay of [[semDedupFixed]] value-for-value: same every-Nth
+    * codebook, same argmax tie-break (score DESC, centroid_id ASC), same
+    * zero-norm -infinity guard as [[cosineScore]], same min-id drop rule.
+    */
+  def semDedupOracleSql(centroidEvery: Long, threshold: Double,
+      maxBucket: Int = 10000, table: String = "embeddings",
+      idCol: String = "vec_id", vecCol: String = "embedding"): String = {
+    def cos(dp: String, np: String): String =
+      s"CASE WHEN $np = 0 THEN '-Infinity'::DOUBLE ELSE $dp / $np END"
+    s"""WITH vecs AS (
+       |  SELECT $idCol AS id, $vecCol::DOUBLE[] AS v,
+       |         sqrt(list_dot_product($vecCol::DOUBLE[], $vecCol::DOUBLE[])) AS nrm
+       |  FROM $table),
+       |cents AS (
+       |  SELECT id AS centroid_id, v AS cv, nrm AS cnrm FROM vecs
+       |  WHERE id % $centroidEvery = 0),
+       |assigned AS (
+       |  SELECT id, centroid_id FROM (
+       |    SELECT vecs.id, cents.centroid_id,
+       |           ${cos("list_dot_product(vecs.v, cents.cv)", "(vecs.nrm * cents.cnrm)")} AS cscore
+       |    FROM vecs, cents)
+       |  QUALIFY row_number() OVER (PARTITION BY id
+       |            ORDER BY cscore DESC, centroid_id) = 1),
+       |clustered AS (
+       |  SELECT vecs.id, vecs.v, vecs.nrm, assigned.centroid_id
+       |  FROM vecs JOIN assigned USING (id)
+       |  QUALIFY count(*) OVER (PARTITION BY centroid_id) <= $maxBucket),
+       |dropped AS (
+       |  SELECT DISTINCT b.id
+       |  FROM clustered a JOIN clustered b
+       |    ON a.centroid_id = b.centroid_id AND a.id < b.id
+       |  WHERE ${cos("list_dot_product(a.v, b.v)", "(a.nrm * b.nrm)")} >= $threshold)
+       |SELECT id, centroid_id FROM (
+       |  SELECT vecs.id, assigned.centroid_id
+       |  FROM vecs JOIN assigned USING (id))
+       |WHERE id NOT IN (SELECT id FROM dropped)""".stripMargin
+  }
 }

@@ -519,6 +519,15 @@ object PipelineQueries {
       Similarity.nearDupPairsPortable(s.table("embeddings"), "vec_id",
         "embedding", threshold = 0.4)
     }),
+
+    // --- SemDeDup semantic dedup, bit-exact tier: every-50th-id codebook,
+    // min-id survivor inside each cluster (oracle-checked; the Lloyd-trained
+    // tier is spec-tested) ---
+    "q_embed_semdedup" -> ((s, d) => {
+      Tables.load(s, d)
+      Similarity.semDedupFixed(s.table("embeddings"), "vec_id", "embedding",
+        centroidEvery = 50L, threshold = 0.4)
+    }),
   )
 
   /** Shared by q_dedup_incremental and q_dedup_bloom: the bloom variant's
@@ -622,6 +631,8 @@ object PipelineQueries {
     "q_text_rolling_fp_mod" -> TextAnalysis.rollingFpOracleSql(),
     "q_dedup_simhash_md5" -> Dedup.simhashOracleSql(),
     "q_embed_neardup_md5" -> Similarity.nearDupOracleSql(threshold = 0.4),
+    "q_embed_semdedup" ->
+      Similarity.semDedupOracleSql(centroidEvery = 50L, threshold = 0.4),
     "q_knn_lsh_md5" -> Similarity.knnLshOracleSql(queryId = 0L, k = 10),
     "q_knn_quantized" -> Similarity.knnQuantizedOracleSql(queryId = 0L, k = 10),
     "q_knn_pq" -> Similarity.knnPqOracleSql(queryId = 0L, k = 10),

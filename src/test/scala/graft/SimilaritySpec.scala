@@ -273,4 +273,42 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(pairs.exists(p => p._2 == p._1 + 100000L && p._3 > 0.999))
   }
+
+  test("semDedup (trained): planted exact duplicates dropped, originals kept") {
+    // clone the first 5 vectors under high ids: k-means puts a clone in its
+    // original's cluster (identical vector ⇒ identical assignment scores,
+    // min centroid_id tie-break), so all 5 clones must drop and every
+    // original survive
+    val planted = emb.limit(5)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val withDup = emb.select("vec_id", "embedding").union(planted)
+    val kept = Similarity.semDedup(withDup, "vec_id", "embedding",
+      k = 8, threshold = 0.999)
+      .collect().map(_.getLong(0)).toSet
+    assert((0L until 5L).forall(kept.contains))
+    assert((100000L until 100005L).forall(id => !kept.contains(id)))
+    // nothing else disappears at a ~identity threshold unless it has a
+    // genuine near-identical twin; sanity floor on survivor count
+    assert(kept.size >= emb.count() - 5)
+  }
+
+  test("semDedupFixed: min-id survivor rule, capped clusters never lossy") {
+    // 3 identical vectors in one cluster: 10 survives, 11/12 drop
+    val v = Seq.fill(4)(1.0f)
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), // centroid row (id % 2 == 0 picks 0, 2, ...)
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (10L, v), (11L, v), (12L, v),
+      (13L, Seq(-1.0f, 0.5f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedupFixed(df, "vec_id", "embedding",
+      centroidEvery = 2L, threshold = 0.999)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(10L) && !kept.contains(11L) && !kept.contains(12L))
+    // a maxBucket smaller than the dup cluster exempts it from PAIRING:
+    // its members all come back — conservative, never silently lossy
+    val keptCapped = Similarity.semDedupFixed(df, "vec_id", "embedding",
+      centroidEvery = 2L, threshold = 0.999, maxBucket = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(10L, 11L, 12L).subsetOf(keptCapped))
+  }
 }
