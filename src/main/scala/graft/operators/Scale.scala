@@ -283,6 +283,63 @@ object Scale {
        |       + 1)::DOUBLE / ${p + 1}.0 <= r.rate""".stripMargin
   }
 
+  /** Temperature-weighted mixture downsampling — the multilingual
+    * α-sampling rule (Devlin et al. 2019 mBERT; Conneau et al. 2020 XLM-R:
+    * sample stratum i with p_i ∝ share_i^α) realized by thinning only,
+    * never upsampling: target share q_i ∝ (t_i/T)^α, the total budget C is
+    * pushed as high as the data allows (C = min_j t_j/q_j, so the binding
+    * stratum keeps 100%), and every stratum keeps rate r_i = C·q_i/t_i of
+    * its weight via the content-stable md5 uniform. α=1 keeps everything
+    * (natural mixture); α=0 degenerates to [[downsampleBalanced]]'s parity
+    * mixture; in between is the standard low-resource upweighting curve.
+    * Same scale shape as downsampleBalanced: one stratum aggregate, a
+    * broadcast rate table, zero extra shuffles of the corpus. Returns
+    * (stratum, key, rate) for kept rows.
+    */
+  def downsampleTemperature(df: DataFrame, keyCol: String,
+      stratumCol: String, weight: Column, alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha in [0, 1]")
+    val base = df.where(col(keyCol).isNotNull)
+      .select(col(stratumCol).as("stratum"), col(keyCol),
+        weight.cast("double").as("w"))
+    val totals = base.groupBy(col("stratum")).agg(sum(col("w")).as("tot"))
+    // unnormalized q_i = (t_i/T)^α: the normalizer cancels in C·q_i/t_i
+    val shares = totals
+      .crossJoin(broadcast(totals.agg(sum(col("tot")).as("T"))))
+      .select(col("stratum"), col("tot"),
+        pow(col("tot") / col("T"), lit(alpha)).as("q"))
+    val cmin = shares.agg(min(col("tot") / col("q")).as("cmin"))
+    val rates = shares.crossJoin(broadcast(cmin))
+      .select(col("stratum"),
+        least(lit(1.0), col("cmin") * col("q") / col("tot")).as("rate"))
+    base.join(broadcast(rates), "stratum")
+      .where(hashUniform(col(keyCol)) <= col("rate"))
+      .select(col("stratum"), col(keyCol), round(col("rate"), 6).as("rate"))
+  }
+
+  /** DuckDB replay of [[downsampleTemperature]] value-for-value (same md5
+    * uniform, same α-power rate arithmetic).
+    */
+  def temperatureOracleSql(weightExpr: String, alpha: Double,
+      table: String = "documents", keyCol: String = "doc_id",
+      stratumCol: String = "lang"): String = {
+    val p = Dedup.PortablePrime
+    s"""WITH b AS (
+       |  SELECT $stratumCol AS stratum, $keyCol,
+       |         ($weightExpr)::DOUBLE AS w
+       |  FROM $table WHERE $keyCol IS NOT NULL),
+       |t AS (SELECT stratum, sum(w) AS tot FROM b GROUP BY stratum),
+       |s AS (SELECT stratum, tot,
+       |             pow(tot / (SELECT sum(tot) FROM t), $alpha) AS q
+       |      FROM t),
+       |c AS (SELECT min(tot / q) AS cmin FROM s),
+       |r AS (SELECT stratum, least(1.0, cmin * q / tot) AS rate FROM s, c)
+       |SELECT b.stratum, b.$keyCol, round(r.rate, 6) AS rate
+       |FROM b JOIN r USING (stratum)
+       |WHERE ((('0x' || substr(md5(b.$keyCol::VARCHAR), 1, 15))::BIGINT % $p)
+       |       + 1)::DOUBLE / ${p + 1}.0 <= r.rate""".stripMargin
+  }
+
   /** Materialize an intermediate to parquet and rescan it — the lifecycle
     * step for intermediates too large for executor-storage `persist`
     * (shingle/signature tables of a 100 TB dedup run). Unlike persist it

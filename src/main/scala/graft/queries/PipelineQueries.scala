@@ -220,6 +220,14 @@ object PipelineQueries {
         TextAnalysis.tokenCount(col("text")).cast("long").as("ntok")),
       "doc_id", "lang", col("ntok"))),
 
+    // --- temperature mixture: α=0.5 sampling curve between natural (α=1)
+    // and parity (α=0) mixtures, thinning only (oracle replays rates+hash)
+    "q_pipeline_temperature" -> ((s, d) =>
+      graft.operators.Scale.downsampleTemperature(
+        docs(s, d).select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ntok")),
+        "doc_id", "lang", col("ntok"), alpha = 0.5)),
+
     // --- token-budget sequence packing: greedy fill of 512-token training
     // sequences over 8 independent id-mod shards (oracle: the identical
     // greedy fold as a per-shard recursive CTE) ---
@@ -646,6 +654,9 @@ object PipelineQueries {
 
     "q_pipeline_rebalance" -> graft.operators.Scale.downsampleOracleSql(
       weightExpr = s"len(${TextAnalysis.toksSql("text")})"),
+
+    "q_pipeline_temperature" -> graft.operators.Scale.temperatureOracleSql(
+      weightExpr = s"len(${TextAnalysis.toksSql("text")})", alpha = 0.5),
 
     "q_approx_topk" ->
       """SELECT row_number() OVER (ORDER BY cnt DESC, term) AS rank, term, cnt

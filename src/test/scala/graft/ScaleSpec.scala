@@ -155,6 +155,29 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(again.sortBy(_._2).toSeq == got.sortBy(_._2).toSeq)
   }
 
+  test("downsampleTemperature: α=1 natural, α=0 parity, α=0.5 in between") {
+    import graft.operators.Scale
+    val df = ((0L until 100L).map(i => (i, "a", 10L)) ++
+      (100L until 120L).map(i => (i, "b", 5L))).toDF("doc_id", "lang", "ntok")
+    def rates(alpha: Double): Map[String, Double] =
+      Scale.downsampleTemperature(df, "doc_id", "lang", col("ntok"), alpha)
+        .select("stratum", "rate").distinct()
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // α=1: the natural mixture is already the target → nothing thinned
+    assert(rates(1.0) == Map("a" -> 1.0, "b" -> 1.0))
+    // α=0: parity — identical rates to downsampleBalanced (a: 0.1, b: 1)
+    assert(rates(0.0) == Map("a" -> 0.1, "b" -> 1.0))
+    // α=0.5: a's rate between parity and natural, binding stratum at 1.0
+    val mid = rates(0.5)
+    assert(mid("b") == 1.0 && mid("a") > 0.1 && mid("a") < 1.0)
+    // the kept set is the rate-threshold subset: content-stable re-run
+    val got = Scale.downsampleTemperature(df, "doc_id", "lang",
+      col("ntok"), 0.5).collect().map(_.getLong(1)).sorted.toSeq
+    val again = Scale.downsampleTemperature(df.repartition(7), "doc_id",
+      "lang", col("ntok"), 0.5).collect().map(_.getLong(1)).sorted.toSeq
+    assert(got == again && got.nonEmpty)
+  }
+
   test("packSequences: greedy budget fill, deterministic, layout-invariant") {
     import graft.operators.Scale
     // ids 0..99 with varied token counts incl. one oversized doc (id 42)
