@@ -78,7 +78,62 @@ object SourceQueries {
         min(col("doc_id")).as("min_doc"))
   }
 
+  /** Plain-text source round-trip (`spark.write.text` → `spark.read.text`):
+    * the one-line-per-record format raw corpus dumps arrive in. Lines are
+    * `doc_id<TAB>text` (the corpus vocabulary is whitespace-separated words,
+    * no embedded tabs/newlines); the reader re-parses the id off the first
+    * tab and aggregates token counts — proving the round-trip preserved
+    * every line byte-for-byte against the parquet-side oracle.
+    */
+  private def textRoundtrip(s: SparkSession, d: String): DataFrame = {
+    Tables.load(s, d)
+    val dir = Tables.scratchDir(s, "roundtrip_text")
+    s.table("documents")
+      .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+      .write.mode("overwrite").text(dir)
+    val back = s.read.text(dir)
+      .select(
+        substring_index(col("value"), "\t", 1).cast("long").as("doc_id"),
+        substring_index(col("value"), "\t", -1).as("text"))
+    back.groupBy((col("doc_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+          .as("tok_sum"),
+        sum(length(col("text")).cast("long")).as("char_sum"))
+  }
+
+  /** `binaryFile` source — the ingest path for image/audio/video corpora
+    * (one opaque blob per file + metadata columns, see Multimodal): a
+    * bounded set of docs is written out as raw .bin files, read back via
+    * `format("binaryFile")` with a `pathGlobFilter`, and fingerprinted.
+    * The md5-of-content check proves the bytes survived the filesystem
+    * round-trip; at 100 TB the same reader ships blobs into
+    * [[graft.operators.Multimodal]] partition-parallel (one task per file
+    * group, no driver involvement — the driver loop here only WRITES the
+    * 20-file fixture).
+    */
+  private def binaryRoundtrip(s: SparkSession, d: String): DataFrame = {
+    Tables.load(s, d)
+    val dir = Tables.scratchDir(s, "roundtrip_bin")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    val rows = s.table("documents").where(col("doc_id") < 20)
+      .select(col("doc_id"), col("text")).collect()
+    rows.foreach { r =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(p, s"doc_${r.getLong(0)}.bin"))
+      out.write(r.getString(1).getBytes("UTF-8"))
+      out.close()
+    }
+    s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(dir)
+      .select(element_at(split(col("path"), "/"), -1).as("fname"),
+        col("length"), md5(col("content")).as("content_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_text_roundtrip" -> ((s, d) => textRoundtrip(s, d)),
+    "q_source_binary" -> ((s, d) => binaryRoundtrip(s, d)),
     "q_source_csv_roundtrip" -> ((s, d) => roundtrip(s, d, "csv")),
     "q_source_json_roundtrip" -> ((s, d) => roundtrip(s, d, "json")),
     "q_source_orc_roundtrip" -> ((s, d) => roundtrip(s, d, "orc")),
@@ -107,5 +162,17 @@ object SourceQueries {
       """SELECT source, count(*) AS n, sum(n_chars)::BIGINT AS char_sum,
         |       min(doc_id) AS min_doc
         |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin,
+    // text round-trip == the same aggregate straight off the parquet table
+    "q_source_text_roundtrip" ->
+      s"""SELECT doc_id % 10 AS bucket, count(*) AS n,
+        |       sum(len(${graft.operators.TextAnalysis.toksSql("text")}))::BIGINT AS tok_sum,
+        |       sum(strlen(text))::BIGINT AS char_sum
+        |FROM documents GROUP BY 1""".stripMargin,
+    // binary files carry the docs' UTF-8 bytes verbatim: same length, same
+    // md5 (ASCII corpus, so strlen == byte length)
+    "q_source_binary" ->
+      """SELECT 'doc_' || doc_id || '.bin' AS fname,
+        |       strlen(text)::BIGINT AS length, md5(text) AS content_md5
+        |FROM documents WHERE doc_id < 20""".stripMargin,
   )
 }

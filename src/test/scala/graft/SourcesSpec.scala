@@ -81,4 +81,28 @@ class SourcesSpec extends SparkSpec {
     assert(fromParquet == fromCsv)
     assert(fromParquet == fromJson)
   }
+
+  test("binaryFile source: bytes verbatim, glob filter scopes the listing") {
+    val dir = new java.io.File(s"$tmp/bin_src")
+    dir.mkdirs()
+    val payload = Array[Byte](0, 1, -1, 127, -128, 42) // non-UTF8 bytes too
+    java.nio.file.Files.write(dir.toPath.resolve("a.bin"), payload)
+    java.nio.file.Files.write(dir.toPath.resolve("skip.dat"),
+      "ignored".getBytes("UTF-8"))
+    val got = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(dir.toString)
+      .select("path", "length", "content").collect()
+    assert(got.length == 1) // .dat filtered out by the glob
+    assert(got(0).getLong(1) == payload.length)
+    assert(got(0).getAs[Array[Byte]](2).toSeq == payload.toSeq)
+  }
+
+  test("text source: one row per line, round-trip preserves bytes") {
+    val dir = s"$tmp/text_src"
+    val lines = Seq("first line", "second\tkeeps tabs", "")
+    import spark.implicits._
+    lines.toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val back = spark.read.text(dir).collect().map(_.getString(0))
+    assert(back.sorted.toSeq == lines.sorted)
+  }
 }
