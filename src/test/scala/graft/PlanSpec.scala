@@ -156,4 +156,25 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("dupSpans: span fingerprints hash after explode, no nested-loop join") {
+    val (_, plan) = executed("q_dedup_spans")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty, "dup-span join-back must be an equi join on span_fp")
+    // the md5 fingerprint must sit ABOVE the generator (per exploded row,
+    // codegen), never inside an interpreted lambda under it
+    val gens = collectWithSubqueries(plan) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.nonEmpty, "expected the posexplode generator")
+    assert(!gens.exists(_.boundGenerator.toString.contains("md5")),
+      "fingerprinting must happen after the explode, not inside it")
+  }
+
+  test("semDedup: within-cluster pairing is an equi join, never nested-loop") {
+    val (_, plan) = executed("q_embed_semdedup")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty,
+      "cluster blocking must plan as an equi self-join on centroid_id")
+  }
 }
