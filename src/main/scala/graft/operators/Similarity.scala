@@ -797,6 +797,126 @@ object Similarity {
     nearDupPairs(df, idCol, vecCol, threshold,
       bits = sizeBits(df.count(), targetBucket), maxBucket = maxBucket)
 
+  /** Feature-hashed bag-of-words embedding (the "hashing trick", Weinberger
+    * et al. 2009, "Feature Hashing for Large Scale Multitask Learning"):
+    * token t contributes sign(h(t)) at index h(t) mod dim, summed per key —
+    * a fixed-dim lexical embedding with no vocabulary table, computable in
+    * one pass at any corpus size. Both index and sign come from the single
+    * [[Dedup.portableHash]] md5 (sign = the bit above the index bits), so
+    * the whole embedding replays bit-for-bit in DuckDB — integer-valued
+    * components, exact under any summation order. Returns `keyCols` + a
+    * dense `vec` array<double>. Rows whose text has no tokens are absent
+    * (no features → no row), mirroring the tokenizer-side filters.
+    */
+  def hashEmbed(df: DataFrame, keyCols: Seq[String], textCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val h = Dedup.portableHash(col("__tok"))
+    val feats = df.select(keyCols.map(col) :+
+        explode(graft.operators.TextAnalysis.tokens(col(textCol))).as("__tok"): _*)
+      .select(keyCols.map(col) :+ (h % dim).cast("int").as("__idx") :+
+        when(h % (2 * dim) < dim, lit(1.0)).otherwise(lit(-1.0)).as("__s"): _*)
+      .groupBy((keyCols :+ "__idx").map(col): _*)
+      .agg(sum(col("__s")).as("__v"))
+    feats.groupBy(keyCols.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("__idx"), col("__v"))))
+        .as("__m"))
+      .select(keyCols.map(col) :+
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("__m"), i.cast("int")), lit(0.0)))
+          .as("vec"): _*)
+  }
+
+  /** Retrieval over a chunked corpus — the RAG serving shape: embed every
+    * chunk and every probe with [[hashEmbed]], score all (probe, chunk)
+    * pairs by cosine with the probe table broadcast (probes ≪ corpus), and
+    * keep each probe's top `k` chunks outside its own source document.
+    * Deterministic ranking (score DESC, doc, chunk_id) and exact arithmetic
+    * (integer-valued vectors) make the full chunk → embed → retrieve
+    * pipeline DuckDB-replayable ([[retrieveOracleSql]]). One corpus pass,
+    * one per-probe window for the top-k; for probe sets too large to
+    * broadcast, the same pattern chunks the probe set
+    * ([[knnBatchChunked]]).
+    */
+  def retrieveChunks(chunks: DataFrame, docCol: String, chunkCol: String,
+      textCol: String, probes: DataFrame, probeIdCol: String,
+      probeTextCol: String, dim: Int, k: Int): DataFrame = {
+    val cvecs = hashEmbed(chunks, Seq(docCol, chunkCol), textCol, dim)
+      .select(col(docCol).as("doc"), col(chunkCol).as("chunk_id"),
+        col("vec"), norm(col("vec")).as("nrm"))
+    val pvecs = hashEmbed(probes, Seq(probeIdCol), probeTextCol, dim)
+      .select(col(probeIdCol).as("probe_id"), col("vec").as("qvec"),
+        norm(col("vec")).as("qnrm"))
+    val scored = cvecs.join(broadcast(pvecs))
+      .where(col("doc") =!= col("probe_id"))
+      .select(col("probe_id"), col("doc"), col("chunk_id"),
+        cosineScore(dot(col("vec"), col("qvec")),
+          col("nrm") * col("qnrm")).as("score"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("doc"), col("chunk_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** DuckDB replay of chunk → [[hashEmbed]] → [[retrieveChunks]] over
+    * `documents`, sparse form: the dot product joins the two feature tables
+    * on the hashed index (pairs sharing no index LEFT-join to dot 0 — they
+    * can still out-rank negative scores), norms/dots are integer-exact, and
+    * the zero-norm guard mirrors [[cosineScore]].
+    */
+  def retrieveOracleSql(window: Int, stride: Int, dim: Int, k: Int,
+      probePred: String, table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text"): String = {
+    val hash = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
+    s"""WITH t AS (
+       |  SELECT $idCol AS doc,
+       |         ${graft.operators.TextAnalysis.toksSql(textCol)} AS toks
+       |  FROM $table),
+       |c AS (
+       |  SELECT doc, toks,
+       |         CASE WHEN len(toks) <= $window THEN 1
+       |              ELSE (len(toks) - $window + $stride - 1) // $stride + 1 END AS n_chunks
+       |  FROM t WHERE len(toks) > 0),
+       |chunks AS (
+       |  SELECT doc, i AS chunk_id,
+       |         toks[i * $stride + 1 : i * $stride + $window] AS ctoks
+       |  FROM c, unnest(generate_series(0, n_chunks - 1)) AS u(i)),
+       |cfeat AS (
+       |  SELECT doc, chunk_id, idx, sum(s) AS v FROM (
+       |    SELECT doc, chunk_id, $hash % $dim AS idx,
+       |           CASE WHEN $hash % ${2 * dim} < $dim THEN 1.0 ELSE -1.0 END AS s
+       |    FROM (SELECT doc, chunk_id, unnest(ctoks) AS tok FROM chunks))
+       |  GROUP BY 1, 2, 3),
+       |pfeat AS (
+       |  SELECT probe_id, idx, sum(s) AS v FROM (
+       |    SELECT doc AS probe_id, $hash % $dim AS idx,
+       |           CASE WHEN $hash % ${2 * dim} < $dim THEN 1.0 ELSE -1.0 END AS s
+       |    FROM (SELECT doc, unnest(toks) AS tok FROM t WHERE $probePred))
+       |  GROUP BY 1, 2),
+       |cnrm AS (SELECT doc, chunk_id, sqrt(sum(v * v)) AS nrm
+       |         FROM cfeat GROUP BY 1, 2),
+       |pnrm AS (SELECT probe_id, sqrt(sum(v * v)) AS qnrm
+       |         FROM pfeat GROUP BY 1),
+       |dots AS (
+       |  SELECT p.probe_id, f.doc, f.chunk_id, sum(p.v * f.v) AS dp
+       |  FROM pfeat p JOIN cfeat f USING (idx)
+       |  GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT pnrm.probe_id, cnrm.doc, cnrm.chunk_id,
+       |         CASE WHEN cnrm.nrm * pnrm.qnrm = 0 THEN '-Infinity'::DOUBLE
+       |              ELSE coalesce(dots.dp, 0.0) / (cnrm.nrm * pnrm.qnrm)
+       |         END AS score
+       |  FROM cnrm CROSS JOIN pnrm
+       |  LEFT JOIN dots ON dots.probe_id = pnrm.probe_id
+       |    AND dots.doc = cnrm.doc AND dots.chunk_id = cnrm.chunk_id
+       |  WHERE cnrm.doc <> pnrm.probe_id)
+       |SELECT probe_id, doc, chunk_id, score, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |            ORDER BY score DESC, doc, chunk_id)::BIGINT AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): partition the embedding
     * space into clusters, then inside each cluster drop every vector whose

@@ -528,6 +528,19 @@ object PipelineQueries {
         "embedding", threshold = 0.4)
     }),
 
+    // --- RAG retrieval pipeline: chunk → feature-hash embed (Weinberger
+    // 2009 hashing trick, integer-exact) → per-probe top-5 cosine, the
+    // full chain DuckDB-replayed (oracle-checked) ---
+    "q_pipeline_rag" -> ((s, d) => {
+      val dd = docs(s, d)
+      Similarity.retrieveChunks(
+        TextAnalysis.chunk(dd, "doc_id", "text", window = 32, stride = 24),
+        "doc", "chunk_id", "chunk_text",
+        dd.where(col("doc_id") % 100 === 7)
+          .select(col("doc_id").as("probe_id"), col("text")),
+        "probe_id", "text", dim = 64, k = 5)
+    }),
+
     // --- SemDeDup semantic dedup, bit-exact tier: every-50th-id codebook,
     // min-id survivor inside each cluster (oracle-checked; the Lloyd-trained
     // tier is spec-tested) ---
@@ -641,6 +654,8 @@ object PipelineQueries {
     "q_embed_neardup_md5" -> Similarity.nearDupOracleSql(threshold = 0.4),
     "q_embed_semdedup" ->
       Similarity.semDedupOracleSql(centroidEvery = 50L, threshold = 0.4),
+    "q_pipeline_rag" -> Similarity.retrieveOracleSql(window = 32, stride = 24,
+      dim = 64, k = 5, probePred = "doc % 100 = 7"),
     "q_knn_lsh_md5" -> Similarity.knnLshOracleSql(queryId = 0L, k = 10),
     "q_knn_quantized" -> Similarity.knnQuantizedOracleSql(queryId = 0L, k = 10),
     "q_knn_pq" -> Similarity.knnPqOracleSql(queryId = 0L, k = 10),

@@ -274,6 +274,40 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.exists(p => p._2 == p._1 + 100000L && p._3 > 0.999))
   }
 
+  test("hashEmbed: deterministic, layout-invariant, sign-balanced") {
+    val df = Seq((1L, "alpha beta gamma alpha"), (2L, "alpha beta"),
+      (3L, "delta")).toDF("id", "text")
+    def vecs(d: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+      Similarity.hashEmbed(d, Seq("id"), "text", dim = 16)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val v = vecs(df)
+    assert(v(1).length == 16)
+    // integer-valued components; repeated token doubles its contribution
+    assert(v.values.flatten.forall(x => x == math.rint(x)))
+    assert(v(1).map(math.abs).sum == 4.0 || v(1).map(math.abs).sum == 2.0,
+      "alpha twice + beta + gamma: |sum| 4 unless colliding indexes cancel")
+    // same content → same vector regardless of partition layout
+    assert(vecs(df.repartition(5)) == v)
+  }
+
+  test("retrieveChunks: verbatim-copied chunk is its probe's rank-1 hit") {
+    // doc 100 copies doc 7's text; probing with doc 7 must retrieve the
+    // copy's chunk first, with cosine exactly 1.0
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((7L, base), (100L, base),
+      (101L, (50 to 90).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = graft.operators.TextAnalysis.chunk(
+      docs.where(col("doc_id") =!= 7L), "doc_id", "text",
+      window = 40, stride = 40)
+    val got = Similarity.retrieveChunks(chunks, "doc", "chunk_id",
+      "chunk_text", docs.where(col("doc_id") === 7L)
+        .select(col("doc_id").as("probe_id"), col("text")),
+      "probe_id", "text", dim = 32, k = 2)
+      .orderBy("rank").collect()
+    assert(got(0).getLong(1) == 100L && math.abs(got(0).getDouble(3) - 1.0) < 1e-12)
+    assert(got(1).getLong(1) == 101L && got(1).getDouble(3) < 0.9)
+  }
+
   test("semDedup (trained): planted exact duplicates dropped, originals kept") {
     // clone the first 5 vectors under high ids: k-means puts a clone in its
     // original's cluster (identical vector ⇒ identical assignment scores,
