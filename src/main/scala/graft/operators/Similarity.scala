@@ -797,6 +797,40 @@ object Similarity {
     nearDupPairs(df, idCol, vecCol, threshold,
       bits = sizeBits(df.count(), targetBucket), maxBucket = maxBucket)
 
+  /** Hard-negative mining for contrastive embedding-model training
+    * (Karpukhin et al. 2020 DPR; Xiong et al. 2021 ANCE): per query vector,
+    * the top-`k` most-similar corpus vectors that are neither the query
+    * itself nor one of its labeled positives — the near-miss negatives
+    * that actually move a contrastive loss, mined from the corpus the
+    * model will train on. Same scale shape as [[knnBatch]] (query set
+    * broadcast, ONE corpus pass) with the positive pairs removed by a
+    * (qid, id) anti-join BEFORE the ranking window, so every query still
+    * yields a full k negatives. `positives` is (qidCol, posIdCol) —
+    * typically the training pairs file, tiny next to the corpus, broadcast
+    * by AQE in the anti-join.
+    */
+  def mineHardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      positives: DataFrame, posQidCol: String, posIdCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec"),
+      norm(col(qvecCol)).as("qnrm"))
+    val scored = df
+      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+      .join(broadcast(q))
+      .where(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        cosineScore(dot(col(vecCol), col("qvec")),
+          col("nrm") * col("qnrm")).as("score"))
+    val pos = positives.select(col(posQidCol).as("qid"),
+      col(posIdCol).as(idCol))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col(idCol))
+    scored.join(pos, Seq("qid", idCol), "left_anti")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Feature-hashed bag-of-words embedding (the "hashing trick", Weinberger
     * et al. 2009, "Feature Hashing for Large Scale Multitask Learning"):
     * token t contributes sign(h(t)) at index h(t) mod dim, summed per key —

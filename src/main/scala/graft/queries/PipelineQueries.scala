@@ -528,6 +528,19 @@ object PipelineQueries {
         "embedding", threshold = 0.4)
     }),
 
+    // --- hard-negative mining: per query, top-5 most-similar vectors that
+    // are neither self nor a labeled positive (oracle-checked) ---
+    "q_embed_hard_negatives" -> ((s, d) => {
+      Tables.load(s, d)
+      val emb = s.table("embeddings")
+      val queries = emb.where(col("vec_id") % 50 === 3)
+      // synthetic positive labels for the gate: each query's next two ids
+      val positives = queries.select(col("vec_id").as("qid"),
+        explode(array(col("vec_id") + 1, col("vec_id") + 2)).as("pos_id"))
+      Similarity.mineHardNegatives(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", positives, "qid", "pos_id", k = 5)
+    }),
+
     // --- RAG retrieval pipeline: chunk → feature-hash embed (Weinberger
     // 2009 hashing trick, integer-exact) → per-probe top-5 cosine, the
     // full chain DuckDB-replayed (oracle-checked) ---
@@ -656,6 +669,23 @@ object PipelineQueries {
       Similarity.semDedupOracleSql(centroidEvery = 50L, threshold = 0.4),
     "q_pipeline_rag" -> Similarity.retrieveOracleSql(window = 32, stride = 24,
       dim = 64, k = 5, probePred = "doc % 100 = 7"),
+
+    "q_embed_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 3),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |         list_dot_product(e.embedding::DOUBLE[], q.qv) /
+        |           (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |            sqrt(list_dot_product(q.qv, q.qv))) AS score
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.qid
+        |    AND e.vec_id <> q.qid + 1 AND e.vec_id <> q.qid + 2),
+        |ranked AS (
+        |  SELECT qid, vec_id, score,
+        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)::BIGINT AS rank
+        |  FROM scored)
+        |SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin,
     "q_knn_lsh_md5" -> Similarity.knnLshOracleSql(queryId = 0L, k = 10),
     "q_knn_quantized" -> Similarity.knnQuantizedOracleSql(queryId = 0L, k = 10),
     "q_knn_pq" -> Similarity.knnPqOracleSql(queryId = 0L, k = 10),

@@ -157,6 +157,34 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("parquet aggregate pushdown: MIN/MAX/COUNT answered from footers") {
+    // a whole-table MIN/MAX/COUNT over 100 TB of parquet should read file
+    // FOOTER STATISTICS, not data pages — Spark 3.3+ pushes the aggregate
+    // into the scan when enabled and no filter/partial column blocks it
+    // needs the v2 parquet reader (v1, the default, has no aggregate
+    // pushdown path) — both configs scoped to this test
+    val conf = spark.conf
+    val keys = Seq("spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "")
+    val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.{col, count, lit, max, min}
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val df = li.agg(count(lit(1)), min(col("l_orderkey")), max(col("l_orderkey")))
+      val scan = df.queryExecution.executedPlan.toString()
+      assert(scan.contains("PushedAggregation: [COUNT"),
+        s"expected the aggregate pushed to the parquet scan, plan:\n$scan")
+      val n = df.collect()(0).getLong(0)
+      conf.set("spark.sql.parquet.aggregatePushdown", "false")
+      assert(spark.read.parquet(s"$sfDir/lineitem.parquet").count() == n,
+        "footer-answered count must equal the scan-answered count")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("dupSpans: span fingerprints hash after explode, no nested-loop join") {
     val (_, plan) = executed("q_dedup_spans")
     val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }

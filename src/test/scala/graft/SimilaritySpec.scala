@@ -274,6 +274,22 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.exists(p => p._2 == p._1 + 100000L && p._3 > 0.999))
   }
 
+  test("mineHardNegatives: positives and self excluded, still k results") {
+    val queries = emb.where(col("vec_id") === 3L)
+    // label this query's two nearest neighbors as positives: the mined
+    // negatives must be the brute top-k AFTER skipping exactly those two
+    val brute = Similarity.knnBrute(emb, "vec_id", "embedding", 3L, 7)
+      .collect().map(_.getLong(0))
+    val positives = Seq((3L, brute(0)), (3L, brute(1))).toDF("qid", "pos_id")
+    val mined = Similarity.mineHardNegatives(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", positives, "qid", "pos_id", k = 5)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(mined.length == 5)
+    assert(mined.toSeq == brute.drop(2).take(5).toSeq,
+      "negatives must be the next-best candidates after the positives")
+    assert(!mined.contains(3L) && !mined.contains(brute(0)) && !mined.contains(brute(1)))
+  }
+
   test("hashEmbed: deterministic, layout-invariant, sign-balanced") {
     val df = Seq((1L, "alpha beta gamma alpha"), (2L, "alpha beta"),
       (3L, "delta")).toDF("id", "text")
