@@ -135,6 +135,33 @@ object ScaleStress {
     time("bpe-encode 10x")(encode(d10))
     time("e2e pipeline 1x")(
       graft.SparkEntry.queries("q_pipeline_e2e")(spark, "/root/testdata/sf0.1").count())
+    // duplicated spans: work is O(total token positions) — 10x corpus must
+    // cost ~10x, never the quadratic a pair-join formulation would show
+    time("dup-spans 1x")(
+      Dedup.dupSpans(d1, "doc_id", "text", spanLen = 8).count())
+    time("dup-spans 10x")(
+      Dedup.dupSpans(d10, "doc_id", "text", spanLen = 8).count())
+    // semdedup: pair work is bounded by cluster sizes; with centroidEvery
+    // re-sized sqrt-style the 10x corpus stays near-linear
+    time("semdedup 1x")(
+      Similarity.semDedupFixed(e1, "vec_id", "embedding", 50L, 0.4).count())
+    // fixed centroidEvery at 10x means 10x centroids × 10x vectors = 100x
+    // assignment work (measured 55 s) — the sqrt sizing rule keeps the
+    // centroid count ~sqrt(n) and the assignment n^1.5, same as IVF
+    time("semdedup 10x (sized centroidEvery=sqrt(n))")(
+      Similarity.semDedupFixed(e10, "vec_id", "embedding",
+        Similarity.sizeCentroidEvery(50000L), 0.4).count())
+    // sparse retrieval: probe set FIXED (base replica only), corpus 10x →
+    // one 10x corpus pass + the same tiny broadcast probe table
+    def rag(d: org.apache.spark.sql.DataFrame): Long =
+      Similarity.retrieveChunks(
+        TextAnalysis.chunk(d, "doc_id", "text", window = 32, stride = 24),
+        "doc", "chunk_id", "chunk_text",
+        d.where(col("doc_id") % 1000 === 7 && col("doc_id") < 1000000L)
+          .select(col("doc_id").as("probe_id"), col("text")),
+        "probe_id", "text", dim = 64, k = 5).count()
+    time("sparse-retrieval 1x")(rag(d1))
+    time("sparse-retrieval 10x")(rag(d10))
     spark.stop()
   }
 }

@@ -20,7 +20,14 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Similarity {
 
-  /** Sequential left-fold dot product in double precision. */
+  /** Sequential left-fold dot product in double precision.
+    *
+    * Measured (Spark 4.1, 64-dim, sf0.1): this HOF fold beats an unrolled
+    * `get(a,0)*get(b,0) + ... + get(a,63)*get(b,63)` chain ~2× on every
+    * pair-scoring join (semdedup 1.6 s vs 3.4 s; neardup 0.95 s vs 1.83 s)
+    * — the specialized array-lambda evaluator outruns the 250-node
+    * expression tree. Don't "optimize" this into element_at/get chains.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
