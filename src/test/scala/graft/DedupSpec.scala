@@ -298,4 +298,33 @@ class DedupSpec extends SparkSpec {
       (2L, "f g h i j k")).toDF("doc_id", "text")
     assert(Dedup.dupSpans(df, "doc_id", "text", spanLen = 5).collect().isEmpty)
   }
+
+  test("dupSpans: randomized corpora match a brute-force reference") {
+    // tiny vocabulary forces genuine cross-doc span repeats; fixed seed
+    // keeps the corpus deterministic across runs
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d")
+    val L = 3
+    (1 to 6).foreach { _ =>
+      val docs = (0L until 6L).map { id =>
+        val n = 2 + rnd.nextInt(10) // some docs too short to span
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      def reference: Set[(Long, Long, Long)] = {
+        val occ = docs.flatMap { case (id, text) =>
+          val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          (0 to toks.length - L)
+            .map(i => (id, i.toLong + 1, toks.slice(i, i + L).mkString(" ")))
+        }
+        val nDocs = occ.groupBy(_._3).map { case (g, os) =>
+          g -> os.map(_._1).distinct.size.toLong }
+        occ.collect { case (id, pos, g) if nDocs(g) >= 2 =>
+          (id, pos, nDocs(g)) }.toSet
+      }
+      val got = Dedup.dupSpans(docs.toDF("doc_id", "text"), "doc_id", "text",
+          spanLen = L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(got == reference, s"corpus: $docs")
+    }
+  }
 }

@@ -306,6 +306,28 @@ class SimilaritySpec extends SparkSpec {
     assert(vecs(df.repartition(5)) == v)
   }
 
+  test("hashEmbed: randomized docs match the md5 reference exactly") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val dim = 8
+    val docs = (0L until 12L).map { id =>
+      (id, Seq.fill(1 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def refVec(text: String): Seq[Double] = {
+      val v = Array.fill(dim)(0.0)
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { t =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        v((h % dim).toInt) += (if (h % (2 * dim) < dim) 1.0 else -1.0)
+      }
+      v.toSeq
+    }
+    val got = Similarity.hashEmbed(docs.toDF("id", "text"), Seq("id"), "text", dim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    docs.foreach { case (id, text) => assert(got(id) == refVec(text), s"doc $id") }
+  }
+
   test("retrieveChunks: verbatim-copied chunk is its probe's rank-1 hit") {
     // doc 100 copies doc 7's text; probing with doc 7 must retrieve the
     // copy's chunk first, with cosine exactly 1.0
