@@ -372,6 +372,74 @@ object TextAnalysis {
        |         / n_tokens::DOUBLE, 6) AS cross_entropy
        |FROM per_doc, tot""".stripMargin
 
+  /** Bigram-LM cross-entropy scoring — the conditional upgrade of
+    * [[unigramCrossEntropy]], one step closer to CCNet's actual KenLM
+    * filter: each document scores the per-bigram mean of
+    * −ln p(w2|w1) under the corpus' own Laplace-smoothed bigram model,
+    * p(w2|w1) = (c(w1 w2)+1) / (c(w1·)+V). Word-order scrambles that a
+    * unigram model cannot see (bag-of-words spam, shuffled boilerplate)
+    * surface here. Distributed shape: one bigram aggregate and one
+    * left-context aggregate (both vocabulary-sized shuffles), the (T, V)
+    * one-row broadcast, then the per-doc SORTED fold of log terms
+    * ([[tokenEntropy]] pattern) so the double sum is partition-order-proof
+    * and replayable. Emits (doc_id, n_bigrams, cross_entropy) — nats per
+    * bigram, 6 dp — for docs with >= 2 tokens.
+    */
+  def bigramCrossEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val bi = base.where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(wordNgrams(col("toks"), 2)).as("bg"))
+    val biCounts = bi.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val ctx = bi.select(substring_index(col("bg"), " ", 1).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // smoothing vocabulary = distinct unigram tokens of the whole corpus
+    val vocab = base.select(explode(col("toks")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    bi.join(biCounts, "bg")
+      .select(col("doc_id"), substring_index(col("bg"), " ", 1).as("w1"),
+        col("c12"))
+      .join(ctx, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        log((col("c12") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("term"))).as("ts"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-aggregate(col("ts"), lit(0.0), (acc, t) => acc + t)
+          / col("n_bigrams").cast("double"), 6).as("cross_entropy"))
+  }
+
+  /** DuckDB SQL replaying [[bigramCrossEntropy]] value-for-value (same
+    * smoothing, same sorted fold, same 6 dp rounding).
+    */
+  def bigramCrossEntropyOracleSql(table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text"): String =
+    s"""WITH t AS (
+       |  SELECT $idCol AS doc_id, ${toksSql(textCol)} AS toks
+       |  FROM $table),
+       |bi AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(toks)),
+       |           i -> toks[i] || ' ' || toks[i + 1])) AS bg
+       |  FROM t WHERE len(toks) >= 2),
+       |bc AS (SELECT bg, count(*)::BIGINT AS c12 FROM bi GROUP BY bg),
+       |ctx AS (SELECT string_split(bg, ' ')[1] AS w1, count(*)::BIGINT AS c1
+       |        FROM bi GROUP BY 1),
+       |voc AS (SELECT count(DISTINCT tok)::BIGINT AS v
+       |        FROM (SELECT unnest(toks) AS tok FROM t)),
+       |terms AS (
+       |  SELECT doc_id,
+       |         ln((c12 + 1)::DOUBLE / (c1 + v)::DOUBLE) AS term
+       |  FROM bi JOIN bc USING (bg)
+       |  JOIN ctx ON string_split(bi.bg, ' ')[1] = ctx.w1, voc)
+       |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |       round(-list_sum(list_sort(list(term))) / count(*)::DOUBLE, 6)
+       |         AS cross_entropy
+       |FROM terms GROUP BY doc_id""".stripMargin
+
   /** Collocation extraction: adjacent token pairs scored by pointwise
     * mutual information, PMI = log(p(w1,w2) / (p(w1)·p(w2))) — the standard
     * corpus-analytics pass for multiword expressions ("new york"-style

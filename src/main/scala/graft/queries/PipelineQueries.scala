@@ -118,6 +118,11 @@ object PipelineQueries {
     "q_text_perplexity" -> ((s, d) =>
       TextAnalysis.unigramCrossEntropy(docs(s, d), "doc_id", "text")),
 
+    // --- bigram-LM cross-entropy: the conditional upgrade of the CCNet
+    // filter — word-order scrambles surface here (oracle-checked) ---
+    "q_text_bigram_lm" -> ((s, d) =>
+      TextAnalysis.bigramCrossEntropy(docs(s, d), "doc_id", "text")),
+
     // --- PMI collocations: multiword-expression extraction (oracle-checked)
     "q_text_collocations" -> ((s, d) =>
       TextAnalysis.collocations(docs(s, d), "doc_id", "text", minCount = 25)),
@@ -585,6 +590,7 @@ object PipelineQueries {
     "q_text_repetition" -> TextAnalysis.repetitionOracleSql(n = 3),
     "q_text_collocations" -> TextAnalysis.collocationsOracleSql(minCount = 25),
     "q_text_perplexity" -> TextAnalysis.crossEntropyOracleSql(),
+    "q_text_bigram_lm" -> TextAnalysis.bigramCrossEntropyOracleSql(),
     "q_pipeline_profile" -> graft.operators.Profile.exactOracleSql("lineitem",
       Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
 

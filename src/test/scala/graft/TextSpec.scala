@@ -151,6 +151,28 @@ class TextSpec extends SparkSpec {
     assert(got(1L)._2 < got(2L)._2)
   }
 
+  test("bigramCrossEntropy: hand-checked model, scrambles score higher") {
+    // corpus bigrams: doc1 "a b a b" → (a b)x2, (b a); doc2 "b b a" →
+    // (b b), (b a). c12: ab=2, ba=2, bb=1; c1(a)=2, c1(b)=3; V=2
+    val df = Seq((1L, "a b a b"), (2L, "b b a")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramCrossEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def lp(c12: Long, c1: Long) = math.log((c12 + 1.0) / (c1 + 2.0))
+    val h1 = -(lp(2, 2) + lp(2, 2) + lp(2, 3)) / 3.0
+    val h2 = -(lp(1, 3) + lp(2, 3)) / 2.0
+    assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - h1) < 1e-6)
+    assert(got(2L)._1 == 2L && math.abs(got(2L)._2 - h2) < 1e-6)
+    // a doc whose bigrams are common scores lower than a scramble with the
+    // same unigram bag — the signal a unigram model cannot see
+    val corpus = (0L until 20L).map(i => (i, "the quick brown fox jumps")) :+
+      (100L, "the quick brown fox jumps") :+ (101L, "fox the jumps quick brown")
+    val ce = TextAnalysis.bigramCrossEntropy(corpus.toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ce(100L) < ce(101L),
+      s"natural order ${ce(100L)} must beat scramble ${ce(101L)}")
+  }
+
   test("collocations: exact counts, PMI matches hand computation") {
     val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
     val got = TextAnalysis.collocations(df, "doc_id", "text", minCount = 2)
