@@ -353,4 +353,28 @@ object Scale {
     df.write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }
+
+  /** Latest-wins upsert merge — the CDC/compaction primitive of an
+    * append-only 100 TB table (MERGE INTO semantics without a table
+    * format): `base` and `updates` union, and per key the row with the
+    * highest (version, source-priority) survives; an update beats a base
+    * row at equal version. Both inputs must share a schema. One shuffle on
+    * the key (window row_number), no driver state — the nightly "collapse
+    * the delta into the snapshot" job. Ties beyond (version, priority) are
+    * impossible: priority differs between the two sources by construction,
+    * and duplicate (key, version) rows WITHIN one source are an input
+    * contract violation surfaced deterministically (lowest-priority-source
+    * copy wins is NOT guaranteed; the caller dedups first).
+    */
+  def mergeLatest(base: DataFrame, updates: DataFrame, keyCol: String,
+      versionCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = base.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(versionCol).desc, col("__src").desc)
+    tagged.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "__src")
+  }
 }

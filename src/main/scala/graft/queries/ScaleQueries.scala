@@ -76,6 +76,18 @@ object ScaleQueries {
           min(col("o_orderkey")).as("key_min"),
           max(col("o_orderkey")).as("key_max"))
     }),
+
+    // latest-wins upsert merge (CDC/compaction): every %3 key takes the
+    // updated price at version 1, everything else keeps the base row
+    "q_scale_merge" -> ((s, d) => {
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), lit(0L).as("version"))
+      val updates = t(s, d, "orders").where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + lit(1000.0)).as("o_totalprice"),
+          lit(1L).as("version"))
+      Scale.mergeLatest(base, updates, "o_orderkey", "version")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -103,5 +115,12 @@ object ScaleQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_orderkey % 4 = 0
         |GROUP BY l_returnflag""".stripMargin,
+
+    "q_scale_merge" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+        |            ELSE o_totalprice END AS o_totalprice,
+        |       CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END::BIGINT AS version
+        |FROM orders""".stripMargin,
   )
 }

@@ -155,6 +155,20 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(again.sortBy(_._2).toSeq == got.sortBy(_._2).toSeq)
   }
 
+  test("mergeLatest: update beats base at equal version, higher version wins") {
+    import graft.operators.Scale
+    val base = Seq((1L, "a", 0L), (2L, "b", 5L), (3L, "c", 0L))
+      .toDF("k", "payload", "version")
+    val updates = Seq((1L, "a2", 1L), (2L, "b-stale", 3L), (3L, "c2", 0L))
+      .toDF("k", "payload", "version")
+    val got = Scale.mergeLatest(base, updates, "k", "version")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L) == (("a2", 1L)))      // newer version wins
+    assert(got(2L) == (("b", 5L)))       // stale update loses to newer base
+    assert(got(3L) == (("c2", 0L)))      // equal version: the update wins
+    assert(got.size == 3)                // exactly one survivor per key
+  }
+
   test("downsampleTemperature: α=1 natural, α=0 parity, α=0.5 in between") {
     import graft.operators.Scale
     val df = ((0L until 100L).map(i => (i, "a", 10L)) ++

@@ -172,6 +172,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static join: every microbatch enriches against the dim table") {
+    implicit val sqlCtx = spark.sqlContext
+    val dims = Seq((0L, "bronze"), (1L, "silver"), (2L, "gold"))
+      .toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDS().toDF("event_id", "user_id")
+      .join(dims, Seq("user_id"), "left") // static side re-read per batch
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    try {
+      mem.addData((10L, 1L), (11L, 2L))
+      q.processAllAvailable()
+      mem.addData((12L, 9L)) // unknown user → null tier, row still emitted
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .collect().map(r => (r.getLong(1), Option(r.getString(2)))).toSet
+      assert(got == Set((10L, Some("silver")), (11L, Some("gold")),
+        (12L, None)))
+    } finally q.stop()
+  }
+
   test("transformWithState running counts: state persists across microbatches") {
     implicit val sqlCtx = spark.sqlContext
     // transformWithState requires the RocksDB state store provider; scope
