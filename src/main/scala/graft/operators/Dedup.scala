@@ -973,6 +973,65 @@ object Dedup {
       .select(col("doc_id"), col("pos"), col("span_fp"), col("n_docs"))
   }
 
+  /** The strip step completing [[dupSpans]]'s detect step (Lee et al. 2022
+    * remove the repeated substrings, keep the unique remainder): every
+    * token covered by any flagged span in `flagged` (doc_id, pos — a
+    * [[dupSpans]] output, possibly filtered by policy first) is deleted
+    * and the survivors are rejoined in order. Docs with no flagged spans
+    * pass through untouched; docs flagged wall-to-wall come back with
+    * empty text (the caller's quality floor drops them). Shape: flagged
+    * positions explode to covered token indexes (L rows per span — span
+    * count ≪ token count after the ≥minDocs filter), one distinct, one
+    * left_anti against the posexploded corpus, one per-doc sorted
+    * reassembly — all key-partitioned, nothing driver-sized. Returns
+    * (doc_id, text).
+    */
+  def stripSpans(df: DataFrame, idCol: String, textCol: String,
+      flagged: DataFrame, spanLen: Int): DataFrame = {
+    val covered = flagged
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (spanLen - 1))).as("idx"))
+      .distinct()
+    val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("idx"),
+        col("col").as("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("tok")))),
+        s => s.getField("tok")), " ").as("text"))
+    // docs whose every token was flagged vanish from `kept` — restore them
+    // with empty text so the output stays row-aligned with the input
+    df.select(col(idCol).as("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+  }
+
+  /** DuckDB replay of [[dupSpans]] → [[stripSpans]] chained end-to-end. */
+  def stripSpansOracleSql(spanLen: Int, minDocs: Long = 2L,
+      table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text"): String =
+    s"""WITH flagged AS (${dupSpansOracleSql(spanLen, minDocs, table, idCol, textCol)}),
+       |covered AS (
+       |  SELECT DISTINCT doc_id, pos + i AS idx
+       |  FROM flagged, unnest(generate_series(0, ${spanLen - 1})) AS u(i)),
+       |toks AS (
+       |  SELECT $idCol AS doc_id,
+       |         unnest(${TextAnalysis.toksSql(textCol)}) AS tok,
+       |         unnest(generate_series(1,
+       |           len(${TextAnalysis.toksSql(textCol)}))) AS idx
+       |  FROM $table),
+       |kept AS (
+       |  SELECT t.doc_id,
+       |         string_agg(t.tok, ' ' ORDER BY t.idx) AS text
+       |  FROM toks t LEFT JOIN covered c
+       |    ON c.doc_id = t.doc_id AND c.idx = t.idx
+       |  WHERE c.doc_id IS NULL
+       |  GROUP BY t.doc_id)
+       |SELECT d.$idCol AS doc_id, coalesce(kept.text, '') AS text
+       |FROM $table d LEFT JOIN kept ON kept.doc_id = d.$idCol""".stripMargin
+
   /** DuckDB replay of [[dupSpans]] value-for-value (paired unnests zip
     * positionally, replaying posexplode; same md5-mod-prime fingerprint).
     */

@@ -313,6 +313,14 @@ object PipelineQueries {
     "q_dedup_spans" -> ((s, d) =>
       Dedup.dupSpans(docs(s, d), "doc_id", "text", spanLen = 8)),
 
+    // --- the strip step completing q_dedup_spans: flagged spans removed,
+    // survivors rejoined in token order (oracle replays detect+strip) ---
+    "q_dedup_strip" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.stripSpans(dd, "doc_id", "text",
+        Dedup.dupSpans(dd, "doc_id", "text", spanLen = 8), spanLen = 8)
+    }),
+
     // --- exact 2-gram Jaccard over id-window-blocked pairs (oracle-checked)
     "q_dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(
       docs(s, d), "doc_id", "text", ngram = 2,
@@ -893,6 +901,7 @@ object PipelineQueries {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q_dedup_spans" -> Dedup.dupSpansOracleSql(spanLen = 8),
+    "q_dedup_strip" -> Dedup.stripSpansOracleSql(spanLen = 8),
 
     "q_dedup_jaccard" ->
       s"""WITH t AS (

@@ -299,6 +299,20 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dupSpans(df, "doc_id", "text", spanLen = 5).collect().isEmpty)
   }
 
+  test("stripSpans: flagged tokens removed, clean docs untouched, full flag → empty") {
+    val shared = "alpha beta gamma delta"
+    val df = Seq(
+      (1L, s"x $shared y"),
+      (2L, s"$shared"),          // nothing but the span → strips to empty
+      (3L, "totally unrelated words here")).toDF("doc_id", "text")
+    val got = Dedup.stripSpans(df, "doc_id", "text",
+        Dedup.dupSpans(df, "doc_id", "text", spanLen = 4), spanLen = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "x y")
+    assert(got(2L) == "")
+    assert(got(3L) == "totally unrelated words here")
+  }
+
   test("dupSpans: randomized corpora match a brute-force reference") {
     // tiny vocabulary forces genuine cross-doc span repeats; fixed seed
     // keeps the corpus deterministic across runs
