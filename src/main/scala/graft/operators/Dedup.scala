@@ -973,6 +973,73 @@ object Dedup {
       .select(col("doc_id"), col("pos"), col("span_fp"), col("n_docs"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+    * algorithm): hash every k-token gram, slide a w-hash window, keep each
+    * window's minimum — the selected set is a position-robust document
+    * sketch with the guarantee that any shared run of ≥ w+k-1 tokens
+    * shares at least one fingerprint. The density-vs-guarantee dial
+    * ([[dupSpans]] keeps every gram; winnowing keeps ~2/(w+1) of them) for
+    * corpora where storing all-gram fingerprints is too much index.
+    *
+    * Shape: grams posexplode to (doc, i, h) rows, the window minimum is a
+    * codegen'd `min() OVER (ROWS CURRENT..w-1 FOLLOWING)` — NOT a nested
+    * `transform(slice)` lambda (interpreted, O(n·w) per doc) — then
+    * distinct per doc. One per-doc sort (the window), one distinct
+    * aggregate; linear in token count. Docs with at least one gram but
+    * fewer than w of them contribute their global-min gram (the standard
+    * short-doc degeneration). Returns distinct (doc_id, fp) rows.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val grams = df.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.wordNgrams(col("toks"), k)))
+      .select(col("doc_id"), col("pos").cast("long").as("i"),
+        (portableHash(col("col")) % PortablePrime).as("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val part = Window.partitionBy(col("doc_id"))
+    grams.select(col("doc_id"), col("i"),
+        min(col("h")).over(win).as("fp"),
+        count(lit(1)).over(part).as("n"))
+      // windows that would run past the last gram select a suffix minimum
+      // already covered by the last FULL window — drop them, except the
+      // degenerate short doc (n < w) which keeps its single global min
+      .where(col("i") <= greatest(col("n") - w, lit(0L)))
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  /** DuckDB replay of [[winnowFingerprints]] value-for-value (same window
+    * frame, same md5-mod-prime gram hash).
+    */
+  def winnowOracleSql(k: Int = 3, w: Int = 4, table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text"): String = {
+    val gram = (1 to k).map(j => s"toks[i + ${j - 1}]").mkString(" || ' ' || ")
+    val P = PortablePrime
+    s"""WITH toks AS (
+       |  SELECT $idCol AS doc_id, ${TextAnalysis.toksSql(textCol)} AS toks
+       |  FROM $table),
+       |grams AS (
+       |  SELECT doc_id,
+       |         unnest(range(1, len(toks) - ${k - 2}))::BIGINT - 1 AS i,
+       |         unnest(list_transform(range(1, len(toks) - ${k - 2}),
+       |           i -> ('0x' || substr(md5($gram), 1, 15))::BIGINT % $P)) AS h
+       |  FROM toks WHERE len(toks) >= $k),
+       |mins AS (
+       |  SELECT doc_id, i,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |           ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp,
+       |         count(*) OVER (PARTITION BY doc_id) AS n
+       |  FROM grams)
+       |SELECT DISTINCT doc_id, fp FROM mins
+       |WHERE i <= greatest(n - $w, 0)""".stripMargin
+  }
+
   /** The strip step completing [[dupSpans]]'s detect step (Lee et al. 2022
     * remove the repeated substrings, keep the unique remainder): every
     * token covered by any flagged span in `flagged` (doc_id, pos — a

@@ -313,6 +313,11 @@ object PipelineQueries {
     "q_dedup_spans" -> ((s, d) =>
       Dedup.dupSpans(docs(s, d), "doc_id", "text", spanLen = 8)),
 
+    // --- winnowing (MOSS) fingerprint selection: ~2/(w+1)-density sketch
+    // with the w+k-1 shared-run guarantee (oracle-checked) ---
+    "q_dedup_winnow" -> ((s, d) =>
+      Dedup.winnowFingerprints(docs(s, d), "doc_id", "text", k = 3, w = 4)),
+
     // --- the strip step completing q_dedup_spans: flagged spans removed,
     // survivors rejoined in token order (oracle replays detect+strip) ---
     "q_dedup_strip" -> ((s, d) => {
@@ -902,6 +907,7 @@ object PipelineQueries {
 
     "q_dedup_spans" -> Dedup.dupSpansOracleSql(spanLen = 8),
     "q_dedup_strip" -> Dedup.stripSpansOracleSql(spanLen = 8),
+    "q_dedup_winnow" -> Dedup.winnowOracleSql(k = 3, w = 4),
 
     "q_dedup_jaccard" ->
       s"""WITH t AS (

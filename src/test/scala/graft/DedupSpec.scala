@@ -299,6 +299,30 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dupSpans(df, "doc_id", "text", spanLen = 5).collect().isEmpty)
   }
 
+  test("winnowFingerprints: shared-run guarantee, density below all-grams") {
+    val k = 3; val w = 4
+    // docs 1 and 2 share a run of w+k-1 = 6 tokens at different offsets →
+    // the guarantee says they MUST share at least one fingerprint
+    val run = "q w e r t y"
+    val df = Seq(
+      (1L, s"a b c d $run x z"),
+      (2L, s"$run m n o p"),
+      (3L, "totally different words with nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(df, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty, "guaranteed shared fingerprint")
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+    // density: selected set is a strict subset of the all-grams set
+    val allGrams1 = 12 - k + 1
+    assert(fps(1L).size < allGrams1)
+    // short doc (fewer than w grams): still fingerprinted via its global min
+    val short = Seq((9L, "only three words")).toDF("doc_id", "text")
+    assert(Dedup.winnowFingerprints(short, "doc_id", "text", k, w)
+      .count() == 1L)
+  }
+
   test("stripSpans: flagged tokens removed, clean docs untouched, full flag → empty") {
     val shared = "alpha beta gamma delta"
     val df = Seq(
