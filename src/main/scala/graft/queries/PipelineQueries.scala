@@ -508,6 +508,30 @@ object PipelineQueries {
     // operator oracled individually above, and the DuckDB oracle replays
     // the whole chain value-for-value. Per-stage plan shape: one scan,
     // two window shuffles (dedup key, language), no collects ---
+    // --- curation chain v2, composing the round-4 operators end-to-end:
+    // duplicated-span STRIP → token floor → exact dedup on the stripped
+    // text → temperature (α=0.5) mixture sampling. The whole chain replays
+    // in DuckDB as chained CTEs — integration coverage on top of the
+    // per-operator oracles ---
+    "q_pipeline_e2e2" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dd = docs(s, d)
+      val stripped = Dedup.stripSpans(dd, "doc_id", "text",
+        Dedup.dupSpans(dd, "doc_id", "text", spanLen = 8), spanLen = 8)
+      val floored = stripped
+        .join(dd.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ntok"))
+        .where(col("ntok") >= 10)
+      val deduped = floored
+        .withColumn("keep", min(col("doc_id")).over(
+          Window.partitionBy(col("text"))))
+        .where(col("doc_id") === col("keep"))
+      graft.operators.Scale.downsampleTemperature(
+          deduped, "doc_id", "lang", col("ntok"), alpha = 0.5)
+        .select(col("stratum").as("lang"), col("doc_id"), col("rate"))
+    }),
+
     "q_pipeline_e2e" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val scored = docs(s, d).select(
@@ -908,6 +932,30 @@ object PipelineQueries {
     "q_dedup_spans" -> Dedup.dupSpansOracleSql(spanLen = 8),
     "q_dedup_strip" -> Dedup.stripSpansOracleSql(spanLen = 8),
     "q_dedup_winnow" -> Dedup.winnowOracleSql(k = 3, w = 4),
+
+    "q_pipeline_e2e2" -> {
+      val p = Dedup.PortablePrime
+      s"""WITH strip AS (${Dedup.stripSpansOracleSql(spanLen = 8)}),
+        |tt AS (
+        |  SELECT strip.doc_id, d.lang, strip.text,
+        |         len(${TextAnalysis.toksSql("strip.text")})::BIGINT AS ntok
+        |  FROM strip JOIN documents d ON d.doc_id = strip.doc_id),
+        |fl AS (SELECT * FROM tt WHERE ntok >= 10),
+        |dd AS (
+        |  SELECT doc_id, lang, ntok FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY text) AS keep FROM fl)
+        |  WHERE doc_id = keep),
+        |tot AS (SELECT lang, sum(ntok::DOUBLE) AS tot FROM dd GROUP BY lang),
+        |sh AS (SELECT lang, tot,
+        |              pow(tot / (SELECT sum(tot) FROM tot), 0.5) AS q
+        |       FROM tot),
+        |cm AS (SELECT min(tot / q) AS cmin FROM sh),
+        |r AS (SELECT lang, least(1.0, cmin * q / tot) AS rate FROM sh, cm)
+        |SELECT dd.lang, dd.doc_id, round(r.rate, 6) AS rate
+        |FROM dd JOIN r USING (lang)
+        |WHERE ((('0x' || substr(md5(dd.doc_id::VARCHAR), 1, 15))::BIGINT % $p)
+        |       + 1)::DOUBLE / ${p + 1}.0 <= r.rate""".stripMargin
+    },
 
     "q_dedup_jaccard" ->
       s"""WITH t AS (
