@@ -959,6 +959,10 @@ object Dedup {
   def dupSpans(df: DataFrame, idCol: String, textCol: String,
       spanLen: Int, minDocs: Long = 2L): DataFrame = {
     require(spanLen >= 2, "spanLen must be at least 2")
+    // persisted: consumed twice (the dup aggregate and the join-back), and
+    // compositions like stripSpans read the result again — without this
+    // the tokenize + shingle + md5 pass re-executes per consumer. Same
+    // cache-manager canonicalization note as minhashPairs' shingle table.
     val occ = df.select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= spanLen)
@@ -966,6 +970,7 @@ object Dedup {
         posexplode(TextAnalysis.wordNgrams(col("toks"), spanLen)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         (portableHash(col("col")) % PortablePrime).as("span_fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = occ.groupBy(col("span_fp"))
       .agg(count_distinct(col("doc_id")).as("n_docs"))
       .where(col("n_docs") >= minDocs)
