@@ -456,4 +456,35 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  /** Image–text PAIR FILTERING — the LAION-style curation step (Schuhmann
+    * et al. 2021: keep an (image, caption) pair only when the two encoders'
+    * embeddings align above a cosine threshold). The plumbing — per-pair
+    * dual embedding, cosine, threshold verdict — is the real pipeline; the
+    * ENCODERS are this container's deterministic stand-ins (the image tower
+    * is [[imageFeatures]]' 19 pixel/byte statistics, the text tower is the
+    * feature-hashing embedding, both swappable for CLIP towers behind the
+    * same (id → vector) shape). Emits every pair with its score and
+    * verdict rather than silently dropping — the downstream filter (and
+    * threshold sweeps) read the score column. One pass per side, one
+    * equi join on the pair id; scales like any keyed join.
+    */
+  def pairAlignment(df: DataFrame, idCol: String, binCol: String,
+      captionCol: String, threshold: Double): DataFrame = {
+    import graft.operators.Similarity
+    val featCols = Seq("mean_r", "mean_g", "mean_b") ++
+      (for { i <- 0 to 3; j <- 0 to 3 } yield s"g$i$j")
+    val ivec = imageFeatures(df.select(col(idCol), col(binCol)), idCol, binCol)
+      .select(col("item_id"), array(featCols.map(col): _*).as("ivec"))
+    val tvec = Similarity.hashEmbed(df.select(col(idCol), col(captionCol)),
+        Seq(idCol), captionCol, dim = featCols.size)
+      .select(col(idCol).as("item_id"), col("vec").as("tvec"))
+    ivec.join(tvec, "item_id")
+      .select(col("item_id"),
+        Similarity.cosineScore(Similarity.dot(col("ivec"), col("tvec")),
+          Similarity.norm(col("ivec")) * Similarity.norm(col("tvec")))
+          .as("score"))
+      .select(col("item_id"), col("score"),
+        (col("score") >= threshold).as("kept"))
+  }
 }

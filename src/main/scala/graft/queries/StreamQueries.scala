@@ -173,6 +173,21 @@ object StreamQueries {
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       Multimodal.audioFeatures(docsBin, "doc_id", "payload")
     }),
+
+    // --- LAION-style image-text pair filtering: every 5th caption is
+    // swapped for its reverse (a planted mismatch), both towers embed, the
+    // cosine + verdict per pair is the curation signal (oracle-checked:
+    // stub towers are byte-slice means + the md5 hashing-trick embedding,
+    // both engine-portable) ---
+    "q_multimodal_pairfilter" -> ((s, d) => {
+      Tables.load(s, d)
+      val pairs = s.table("documents").select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        when(col("doc_id") % 5 === 0, reverse(col("text")))
+          .otherwise(col("text")).as("caption"))
+      Multimodal.pairAlignment(pairs, "doc_id", "payload", "caption",
+        threshold = 0.0)
+    }),
   )
 
   /** DuckDB mean of byte codes over the 0-based half-open slice [lo, hi) of
@@ -385,6 +400,50 @@ object StreamQueries {
         |          != ((xs[i-1]::BIGINT * n - pcm_sum) >= 0)))::BIGINT AS zero_crossings,
         |       sqrt(sum_sq::DOUBLE / n::DOUBLE) AS rms
         |FROM agg""".stripMargin,
+
+    "q_multimodal_pairfilter" -> {
+      val grid = (0 to 3).flatMap(i => (0 to 3).map(j =>
+        s"${byteSliceMeanSql(s"n * ${i * 4 + j} // 16", s"n * ${i * 4 + j + 1} // 16")}"))
+      val ivec = (Seq(
+        byteSliceMeanSql("0", "n // 3"),
+        byteSliceMeanSql("n // 3", "2 * n // 3"),
+        byteSliceMeanSql("2 * n // 3", "n")) ++ grid)
+        .mkString("[", ",\n         ", "]::DOUBLE[]")
+      s"""WITH t AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |         CASE WHEN doc_id % 5 = 0 THEN reverse(text) ELSE text END AS caption
+        |  FROM documents),
+        |iv AS (
+        |  SELECT doc_id, $ivec AS ivec
+        |  FROM t),
+        |toksc AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(lower(caption), '\\s+'),
+        |           x -> x <> '')) AS tok
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id,
+        |         (('0x' || substr(md5(tok), 1, 15))::BIGINT % 19)::INTEGER AS idx,
+        |         CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT % 38 < 19
+        |              THEN 1.0 ELSE -1.0 END AS s
+        |  FROM toksc),
+        |sp AS (SELECT doc_id, idx, sum(s)::DOUBLE AS v FROM f GROUP BY 1, 2),
+        |tm AS (SELECT doc_id, map_from_entries(list({k: idx, v: v})) AS m
+        |       FROM sp GROUP BY doc_id),
+        |tv AS (SELECT doc_id, list_transform(generate_series(0, 18),
+        |                i -> coalesce(element_at(m, i)[1], 0.0)) AS tvec
+        |       FROM tm),
+        |scored AS (
+        |  SELECT iv.doc_id AS item_id,
+        |         CASE WHEN sqrt(list_dot_product(ivec, ivec))
+        |                   * sqrt(list_dot_product(tvec, tvec)) = 0
+        |              THEN '-Infinity'::DOUBLE
+        |              ELSE list_dot_product(ivec, tvec) /
+        |                   (sqrt(list_dot_product(ivec, ivec))
+        |                    * sqrt(list_dot_product(tvec, tvec))) END AS score
+        |  FROM iv JOIN tv ON tv.doc_id = iv.doc_id)
+        |SELECT item_id, score, score >= 0.0 AS kept FROM scored""".stripMargin
+    },
 
     "q_multimodal_resize" ->
       """SELECT doc_id AS item_id,

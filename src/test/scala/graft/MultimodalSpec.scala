@@ -199,4 +199,21 @@ class MultimodalSpec extends SparkSpec {
     assert(got(0) == got(1))
     assert(got(0) == ((4L, 0L, 4000000L, 3L, 1000.0)))
   }
+
+  test("pairAlignment: one verdict per pair, real-PNG tower path, layout-stable") {
+    val df = Seq(
+      (1L, pngBytes(24, 24), "a real image with a real caption"),
+      (2L, "not an image at all".getBytes("UTF-8"), "stub tower fallback pair"),
+      (3L, pngBytes(8, 8), "short caption")).toDF("id", "payload", "caption")
+    val got = Multimodal.pairAlignment(df, "id", "payload", "caption",
+      threshold = 0.0).orderBy("item_id").collect()
+    assert(got.length == 3) // every pair gets a row, kept or not
+    got.foreach { r =>
+      val (score, kept) = (r.getDouble(1), r.getBoolean(2))
+      assert(!score.isNaN && kept == (score >= 0.0))
+    }
+    val again = Multimodal.pairAlignment(df.repartition(5), "id", "payload",
+      "caption", threshold = 0.0).orderBy("item_id").collect()
+    assert(got.map(_.getDouble(1)).toSeq == again.map(_.getDouble(1)).toSeq)
+  }
 }
