@@ -190,10 +190,16 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
     assert(bnlj.isEmpty, "dup-span join-back must be an equi join on span_fp")
     // the md5 fingerprint must sit ABOVE the generator (per exploded row,
-    // codegen), never inside an interpreted lambda under it
-    val gens = collectWithSubqueries(plan) {
-      case g: org.apache.spark.sql.execution.GenerateExec => g
+    // codegen), never inside an interpreted lambda under it. The occurrence
+    // table is persisted, so the generator lives inside the cached plan —
+    // walk through InMemoryTableScan to reach it
+    val cached = collectWithSubqueries(plan) {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s.relation.cachedPlan
     }
+    val gens = (plan +: cached).flatMap(p => collectWithSubqueries(p) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    })
     assert(gens.nonEmpty, "expected the posexplode generator")
     assert(!gens.exists(_.boundGenerator.toString.contains("md5")),
       "fingerprinting must happen after the explode, not inside it")
