@@ -940,7 +940,9 @@ object Dedup {
     * surrounding text differs). Every length-`spanLen` token window is
     * fingerprinted with [[portableHash]] of the space-joined span, and a
     * span occurring in at least `minDocs` DISTINCT documents marks every
-    * position where it appears. Emits (doc_id, pos, span_fp, n_docs) —
+    * position where it appears. Fingerprints keep [[portableHash]]'s full
+    * 60-bit space — a mod-2^31 narrowing would collide unrelated spans
+    * corpus-wide at 1e12-span scale. Emits (doc_id, pos, span_fp, n_docs) —
     * pos is the 1-based token index — exactly the input a downstream
     * strip/mask pass needs.
     *
@@ -969,7 +971,7 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(TextAnalysis.wordNgrams(col("toks"), spanLen)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        (portableHash(col("col")) % PortablePrime).as("span_fp"))
+        portableHash(col("col")).as("span_fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = occ.groupBy(col("span_fp"))
       .agg(count_distinct(col("doc_id")).as("n_docs"))
@@ -1005,7 +1007,7 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(TextAnalysis.wordNgrams(col("toks"), k)))
       .select(col("doc_id"), col("pos").cast("long").as("i"),
-        (portableHash(col("col")) % PortablePrime).as("h"))
+        portableHash(col("col")).as("h"))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
       .rowsBetween(Window.currentRow, w - 1)
     val part = Window.partitionBy(col("doc_id"))
@@ -1020,12 +1022,11 @@ object Dedup {
   }
 
   /** DuckDB replay of [[winnowFingerprints]] value-for-value (same window
-    * frame, same md5-mod-prime gram hash).
+    * frame, same full-width md5 gram hash).
     */
   def winnowOracleSql(k: Int = 3, w: Int = 4, table: String = "documents",
       idCol: String = "doc_id", textCol: String = "text"): String = {
     val gram = (1 to k).map(j => s"toks[i + ${j - 1}]").mkString(" || ' ' || ")
-    val P = PortablePrime
     s"""WITH toks AS (
        |  SELECT $idCol AS doc_id, ${TextAnalysis.toksSql(textCol)} AS toks
        |  FROM $table),
@@ -1033,7 +1034,7 @@ object Dedup {
        |  SELECT doc_id,
        |         unnest(range(1, len(toks) - ${k - 2}))::BIGINT - 1 AS i,
        |         unnest(list_transform(range(1, len(toks) - ${k - 2}),
-       |           i -> ('0x' || substr(md5($gram), 1, 15))::BIGINT % $P)) AS h
+       |           i -> ('0x' || substr(md5($gram), 1, 15))::BIGINT)) AS h
        |  FROM toks WHERE len(toks) >= $k),
        |mins AS (
        |  SELECT doc_id, i,
@@ -1049,8 +1050,10 @@ object Dedup {
     * remove the repeated substrings, keep the unique remainder): every
     * token covered by any flagged span in `flagged` (doc_id, pos — a
     * [[dupSpans]] output, possibly filtered by policy first) is deleted
-    * and the survivors are rejoined in order. Docs with no flagged spans
-    * pass through untouched; docs flagged wall-to-wall come back with
+    * and the survivors are rejoined in order, ORIGINAL CASE preserved
+    * (the rejoin normalizes whitespace runs to single spaces — the one
+    * canonicalization this token-level strip imposes). Docs flagged
+    * wall-to-wall come back with
     * empty text (the caller's quality floor drops them). Shape: flagged
     * positions explode to covered token indexes (L rows per span — span
     * count ≪ token count after the ≥minDocs filter), one distinct, one
@@ -1064,8 +1067,12 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (spanLen - 1))).as("idx"))
       .distinct()
+    // reassembly splits the ORIGINAL text (same \s+ split as the
+    // fingerprint tokenizer, so positions align 1:1 with dupSpans' flags)
+    // but WITHOUT lower(): surviving tokens keep their case — only
+    // whitespace is normalized by the rejoin
     val toks = df.select(col(idCol).as("doc_id"),
-        posexplode(TextAnalysis.tokens(col(textCol))))
+        posexplode(filter(split(col(textCol), "\\s+"), t => t =!= "")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("idx"),
         col("col").as("tok"))
     val kept = toks.join(covered, Seq("doc_id", "idx"), "left_anti")
@@ -1081,6 +1088,13 @@ object Dedup {
   }
 
   /** DuckDB replay of [[dupSpans]] → [[stripSpans]] chained end-to-end. */
+  /** Original-case \s+ token split (the strip-side tokenizer — same
+    * positions as [[TextAnalysis.toksSql]], no lower()).
+    */
+  private def rawToksSql(textCol: String): String =
+    s"CASE WHEN trim($textCol) = '' THEN []::VARCHAR[] " +
+      s"ELSE list_filter(string_split_regex($textCol, '\\s+'), t -> t <> '') END"
+
   def stripSpansOracleSql(spanLen: Int, minDocs: Long = 2L,
       table: String = "documents", idCol: String = "doc_id",
       textCol: String = "text"): String =
@@ -1090,9 +1104,9 @@ object Dedup {
        |  FROM flagged, unnest(generate_series(0, ${spanLen - 1})) AS u(i)),
        |toks AS (
        |  SELECT $idCol AS doc_id,
-       |         unnest(${TextAnalysis.toksSql(textCol)}) AS tok,
+       |         unnest(${rawToksSql(textCol)}) AS tok,
        |         unnest(generate_series(1,
-       |           len(${TextAnalysis.toksSql(textCol)}))) AS idx
+       |           len(${rawToksSql(textCol)}))) AS idx
        |  FROM $table),
        |kept AS (
        |  SELECT t.doc_id,
@@ -1112,7 +1126,6 @@ object Dedup {
       textCol: String = "text"): String = {
     val gram =
       (1 to spanLen).map(j => s"toks[i + ${j - 1}]").mkString(" || ' ' || ")
-    val P = PortablePrime
     s"""WITH toks AS (
        |  SELECT $idCol AS doc_id,
        |         ${TextAnalysis.toksSql(textCol)} AS toks
@@ -1121,7 +1134,7 @@ object Dedup {
        |  SELECT doc_id,
        |         unnest(range(1, len(toks) - ${spanLen - 2}))::BIGINT AS pos,
        |         unnest(list_transform(range(1, len(toks) - ${spanLen - 2}),
-       |           i -> ('0x' || substr(md5($gram), 1, 15))::BIGINT % $P))
+       |           i -> ('0x' || substr(md5($gram), 1, 15))::BIGINT))
        |           AS span_fp
        |  FROM toks WHERE len(toks) >= $spanLen),
        |dup AS (

@@ -466,7 +466,8 @@ object Multimodal {
     * feature-hashing embedding, both swappable for CLIP towers behind the
     * same (id → vector) shape). Emits every pair with its score and
     * verdict rather than silently dropping — the downstream filter (and
-    * threshold sweeps) read the score column. One pass per side, one
+    * threshold sweeps) read the score column; token-less captions score
+    * -Infinity with kept=false. One pass per side, one
     * equi join on the pair id; scales like any keyed join.
     */
   def pairAlignment(df: DataFrame, idCol: String, binCol: String,
@@ -479,10 +480,15 @@ object Multimodal {
     val tvec = Similarity.hashEmbed(df.select(col(idCol), col(captionCol)),
         Seq(idCol), captionCol, dim = featCols.size)
       .select(col(idCol).as("item_id"), col("vec").as("tvec"))
-    ivec.join(tvec, "item_id")
+    // LEFT join: a pair whose caption has no tokens (empty/whitespace/NULL
+    // — exactly the broken pairs this filter exists to reject) must still
+    // get a row, scored -Infinity and kept=false, not silently vanish
+    ivec.join(tvec, Seq("item_id"), "left")
       .select(col("item_id"),
-        Similarity.cosineScore(Similarity.dot(col("ivec"), col("tvec")),
-          Similarity.norm(col("ivec")) * Similarity.norm(col("tvec")))
+        when(col("tvec").isNull, lit(Double.NegativeInfinity))
+          .otherwise(Similarity.cosineScore(
+            Similarity.dot(col("ivec"), col("tvec")),
+            Similarity.norm(col("ivec")) * Similarity.norm(col("tvec"))))
           .as("score"))
       .select(col("item_id"), col("score"),
         (col("score") >= threshold).as("kept"))

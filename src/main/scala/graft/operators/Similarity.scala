@@ -852,15 +852,11 @@ object Similarity {
   def hashEmbed(df: DataFrame, keyCols: Seq[String], textCol: String,
       dim: Int): DataFrame = {
     require(dim > 0, "dim must be positive")
-    val h = Dedup.portableHash(col("__tok"))
-    val feats = df.select(keyCols.map(col) :+
-        explode(graft.operators.TextAnalysis.tokens(col(textCol))).as("__tok"): _*)
-      .select(keyCols.map(col) :+ (h % dim).cast("int").as("__idx") :+
-        when(h % (2 * dim) < dim, lit(1.0)).otherwise(lit(-1.0)).as("__s"): _*)
-      .groupBy((keyCols :+ "__idx").map(col): _*)
-      .agg(sum(col("__s")).as("__v"))
-    feats.groupBy(keyCols.map(col): _*)
-      .agg(map_from_entries(collect_list(struct(col("__idx"), col("__v"))))
+    // densify sparseFeatures' rows — ONE definition of the hashing recipe,
+    // so the dense and sparse (retrieveChunks) consumers cannot drift
+    sparseFeatures(df, keyCols.map(k => k -> k), textCol, dim)
+      .groupBy(keyCols.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("v"))))
         .as("__m"))
       .select(keyCols.map(col) :+
         transform(sequence(lit(0), lit(dim - 1)),

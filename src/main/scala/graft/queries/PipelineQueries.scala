@@ -723,9 +723,12 @@ object PipelineQueries {
         |           FROM embeddings WHERE vec_id % 50 = 3),
         |scored AS (
         |  SELECT q.qid, e.vec_id,
-        |         list_dot_product(e.embedding::DOUBLE[], q.qv) /
+        |         CASE WHEN sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |                   * sqrt(list_dot_product(q.qv, q.qv)) = 0
+        |              THEN '-Infinity'::DOUBLE
+        |              ELSE list_dot_product(e.embedding::DOUBLE[], q.qv) /
         |           (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
-        |            sqrt(list_dot_product(q.qv, q.qv))) AS score
+        |            sqrt(list_dot_product(q.qv, q.qv))) END AS score
         |  FROM embeddings e CROSS JOIN q
         |  WHERE e.vec_id <> q.qid
         |    AND e.vec_id <> q.qid + 1 AND e.vec_id <> q.qid + 2),

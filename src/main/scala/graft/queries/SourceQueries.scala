@@ -88,8 +88,11 @@ object SourceQueries {
   private def textRoundtrip(s: SparkSession, d: String): DataFrame = {
     Tables.load(s, d)
     val dir = Tables.scratchDir(s, "roundtrip_text")
+    // coalesce: concat_ws SKIPS null args (no tab written), and the
+    // read-back parse would then resurrect the doc_id as the text
     s.table("documents")
-      .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+      .select(concat_ws("\t", col("doc_id"), coalesce(col("text"), lit("")))
+        .as("value"))
       .write.mode("overwrite").text(dir)
     val back = s.read.text(dir)
       .select(
@@ -165,8 +168,8 @@ object SourceQueries {
     // text round-trip == the same aggregate straight off the parquet table
     "q_source_text_roundtrip" ->
       s"""SELECT doc_id % 10 AS bucket, count(*) AS n,
-        |       sum(len(${graft.operators.TextAnalysis.toksSql("text")}))::BIGINT AS tok_sum,
-        |       sum(strlen(text))::BIGINT AS char_sum
+        |       sum(len(${graft.operators.TextAnalysis.toksSql("coalesce(text, '')")}))::BIGINT AS tok_sum,
+        |       sum(strlen(coalesce(text, '')))::BIGINT AS char_sum
         |FROM documents GROUP BY 1""".stripMargin,
     // binary files carry the docs' UTF-8 bytes verbatim: same length, same
     // md5 (ASCII corpus, so strlen == byte length)

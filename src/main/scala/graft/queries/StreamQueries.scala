@@ -435,13 +435,14 @@ object StreamQueries {
         |       FROM tm),
         |scored AS (
         |  SELECT iv.doc_id AS item_id,
-        |         CASE WHEN sqrt(list_dot_product(ivec, ivec))
-        |                   * sqrt(list_dot_product(tvec, tvec)) = 0
+        |         CASE WHEN tvec IS NULL
+        |                   OR sqrt(list_dot_product(ivec, ivec))
+        |                      * sqrt(list_dot_product(tvec, tvec)) = 0
         |              THEN '-Infinity'::DOUBLE
         |              ELSE list_dot_product(ivec, tvec) /
         |                   (sqrt(list_dot_product(ivec, ivec))
         |                    * sqrt(list_dot_product(tvec, tvec))) END AS score
-        |  FROM iv JOIN tv ON tv.doc_id = iv.doc_id)
+        |  FROM iv LEFT JOIN tv ON tv.doc_id = iv.doc_id)
         |SELECT item_id, score, score >= 0.0 AS kept FROM scored""".stripMargin
     },
 

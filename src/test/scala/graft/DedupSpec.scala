@@ -335,6 +335,14 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) == "x y")
     assert(got(2L) == "")
     assert(got(3L) == "totally unrelated words here")
+    // survivors keep their ORIGINAL case (fingerprinting lowercases, the
+    // rejoin must not) even when flags land case-insensitively
+    val cased = Seq((1L, s"Keep Me ${shared.toUpperCase} Z"),
+      (2L, shared)).toDF("doc_id", "text")
+    val gotCased = Dedup.stripSpans(cased, "doc_id", "text",
+        Dedup.dupSpans(cased, "doc_id", "text", spanLen = 4), spanLen = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotCased(1L) == "Keep Me Z")
   }
 
   test("dupSpans: randomized corpora match a brute-force reference") {

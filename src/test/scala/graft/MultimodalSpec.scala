@@ -204,14 +204,17 @@ class MultimodalSpec extends SparkSpec {
     val df = Seq(
       (1L, pngBytes(24, 24), "a real image with a real caption"),
       (2L, "not an image at all".getBytes("UTF-8"), "stub tower fallback pair"),
-      (3L, pngBytes(8, 8), "short caption")).toDF("id", "payload", "caption")
+      (3L, pngBytes(8, 8), "short caption"),
+      (4L, pngBytes(8, 8), "   ")).toDF("id", "payload", "caption")
     val got = Multimodal.pairAlignment(df, "id", "payload", "caption",
       threshold = 0.0).orderBy("item_id").collect()
-    assert(got.length == 3) // every pair gets a row, kept or not
+    assert(got.length == 4) // every pair gets a row, kept or not
     got.foreach { r =>
       val (score, kept) = (r.getDouble(1), r.getBoolean(2))
       assert(!score.isNaN && kept == (score >= 0.0))
     }
+    // token-less caption: still a row, scored -inf, rejected — not dropped
+    assert(got(3).getDouble(1) == Double.NegativeInfinity && !got(3).getBoolean(2))
     val again = Multimodal.pairAlignment(df.repartition(5), "id", "payload",
       "caption", threshold = 0.0).orderBy("item_id").collect()
     assert(got.map(_.getDouble(1)).toSeq == again.map(_.getDouble(1)).toSeq)
