@@ -1046,6 +1046,43 @@ object Dedup {
        |WHERE i <= greatest(n - $w, 0)""".stripMargin
   }
 
+  /** The match step over [[winnowFingerprints]] — MOSS's pair report: doc
+    * pairs sharing at least `minShared` selected fingerprints, with the
+    * shared count as the similarity signal. Same blocking shape as every
+    * dedup tier here: an equi self-join on the fingerprint (never a pair
+    * scan), with [[capBuckets]] dropping stop-gram-like fingerprints whose
+    * fan-in would explode the join (a fingerprint shared by thousands of
+    * docs identifies boilerplate, not a pair — the cap IS the right
+    * semantics, and the count survives in `n_shared` for the pairs kept).
+    * Returns (id_a, id_b, n_shared) with id_a < id_b.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, minShared: Long = 2L,
+      maxBucket: Int = 1000): DataFrame = {
+    val fps = capBuckets(winnowFingerprints(df, idCol, textCol, k, w),
+      Seq("fp"), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** DuckDB replay of [[winnowPairs]] value-for-value. */
+  def winnowPairsOracleSql(k: Int = 3, w: Int = 4, minShared: Long = 2L,
+      maxBucket: Int = 1000, table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text"): String =
+    s"""WITH fps AS (${winnowOracleSql(k, w, table, idCol, textCol)}),
+       |capped AS (
+       |  SELECT doc_id, fp FROM fps
+       |  QUALIFY count(*) OVER (PARTITION BY fp) <= $maxBucket)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       count(*)::BIGINT AS n_shared
+       |FROM capped a JOIN capped b
+       |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared""".stripMargin
+
   /** The strip step completing [[dupSpans]]'s detect step (Lee et al. 2022
     * remove the repeated substrings, keep the unique remainder): every
     * token covered by any flagged span in `flagged` (doc_id, pos — a

@@ -318,6 +318,12 @@ object PipelineQueries {
     "q_dedup_winnow" -> ((s, d) =>
       Dedup.winnowFingerprints(docs(s, d), "doc_id", "text", k = 3, w = 4)),
 
+    // --- MOSS match step: doc pairs sharing >= 3 winnowed fingerprints,
+    // stop-gram fingerprints capped out of the join (oracle-checked) ---
+    "q_dedup_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowPairs(docs(s, d), "doc_id", "text", k = 3, w = 4,
+        minShared = 3L)),
+
     // --- the strip step completing q_dedup_spans: flagged spans removed,
     // survivors rejoined in token order (oracle replays detect+strip) ---
     "q_dedup_strip" -> ((s, d) => {
@@ -940,6 +946,8 @@ object PipelineQueries {
     "q_dedup_spans" -> Dedup.dupSpansOracleSql(spanLen = 8),
     "q_dedup_strip" -> Dedup.stripSpansOracleSql(spanLen = 8),
     "q_dedup_winnow" -> Dedup.winnowOracleSql(k = 3, w = 4),
+    "q_dedup_winnow_pairs" ->
+      Dedup.winnowPairsOracleSql(k = 3, w = 4, minShared = 3L),
 
     "q_pipeline_e2e2" -> {
       val p = Dedup.PortablePrime

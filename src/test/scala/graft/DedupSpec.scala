@@ -323,6 +323,17 @@ class DedupSpec extends SparkSpec {
       .count() == 1L)
   }
 
+  test("winnowPairs: near-dup docs pair up, unrelated docs don't") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok15", "CHANGED") // one token differs
+    val df = Seq((1L, base), (2L, nearDup),
+      (3L, (100 to 130).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(df, "doc_id", "text", minShared = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.length == 1 && pairs(0)._1 == 1L && pairs(0)._2 == 2L)
+    assert(pairs(0)._3 >= 3L)
+  }
+
   test("stripSpans: flagged tokens removed, clean docs untouched, full flag → empty") {
     val shared = "alpha beta gamma delta"
     val df = Seq(
