@@ -354,6 +354,54 @@ object Scale {
     df.sparkSession.read.parquet(path)
   }
 
+  /** Morton (Z-order) interleave of two non-negative column values at
+    * `bits` bits each — the multi-dimensional clustering key behind
+    * Delta/Iceberg OPTIMIZE ZORDER: sorting by the interleaved value keeps
+    * rows close in BOTH dimensions close on disk, so parquet row-group
+    * min/max stats prune 2-D range filters that a single-column sort can
+    * only prune on one axis. Pure bit arithmetic (shift/mask/or as a flat
+    * codegen'd expression; same operators exist in DuckDB, so the value is
+    * oracle-replayable). Callers pre-normalize values into [0, 2^bits).
+    */
+  def zorderValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits in [1, 31]")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)),
+            2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** DuckDB replay of [[zorderValue]] (same shift/mask/or chain). */
+  def zorderSql(xExpr: String, yExpr: String, bits: Int = 16): String =
+    (0 until bits).map { i =>
+      s"(((($xExpr)::BIGINT >> $i) & 1) << ${2 * i}) | " +
+        s"(((($yExpr)::BIGINT >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", ") | (", ")")
+
+  /** Write `df` clustered on the Z-curve of (xCol, yCol): range-partition +
+    * sort by the interleaved key, so every output file/row-group covers a
+    * compact 2-D tile and min/max footer stats prune BOTH dimensions of a
+    * range scan (spec-measured: the scan emits a fraction of the rows the
+    * same filter reads from an unclustered layout). The layout is written
+    * once; every subsequent 2-D-selective query skips — the multi-column
+    * analogue of [[writeBucketed]]'s join-shuffle elimination.
+    */
+  def writeZordered(df: DataFrame, path: String, xCol: String, yCol: String,
+      bits: Int = 16, files: Int = 8,
+      maxRecordsPerFile: Long = 0L): DataFrame = {
+    val z = df.withColumn("__z", zorderValue(col(xCol), col(yCol), bits))
+    val writer = z.repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite")
+    (if (maxRecordsPerFile > 0)
+       writer.option("maxRecordsPerFile", maxRecordsPerFile)
+     else writer).parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   /** Latest-wins upsert merge — the CDC/compaction primitive of an
     * append-only 100 TB table (MERGE INTO semantics without a table
     * format): `base` and `updates` union, and per key the row with the

@@ -77,6 +77,23 @@ object ScaleQueries {
           max(col("o_orderkey")).as("key_max"))
     }),
 
+    // Z-order clustered layout: orders written sorted on the Morton
+    // interleave of (custkey, orderkey) mod 1024, read back with the
+    // z-value recomputed per row — the write→read lifecycle must preserve
+    // every row and the bit math must match the oracle's replay exactly
+    // (the SKIPPING benefit of the layout is measured in ScaleSpec)
+    "q_scale_zorder" -> ((s, d) => {
+      val back = Scale.writeZordered(
+        t(s, d, "orders").select(col("o_orderkey"),
+          (col("o_custkey") % 1024).as("xd"),
+          (col("o_orderkey") % 1024).as("yd")),
+        graft.sources.Tables.scratchDir(s,
+          s"zorder_${d.replaceAll("[^A-Za-z0-9]", "_")}"),
+        "xd", "yd", bits = 10)
+      back.select(col("o_orderkey"), col("xd"), col("yd"),
+        Scale.zorderValue(col("xd"), col("yd"), bits = 10).as("zval"))
+    }),
+
     // latest-wins upsert merge (CDC/compaction): every %3 key takes the
     // updated price at version 1, everything else keeps the base row
     "q_scale_merge" -> ((s, d) => {
@@ -115,6 +132,14 @@ object ScaleQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_orderkey % 4 = 0
         |GROUP BY l_returnflag""".stripMargin,
+
+    "q_scale_zorder" -> {
+      val z = Scale.zorderSql("o_custkey % 1024", "o_orderkey % 1024",
+        bits = 10)
+      s"""SELECT o_orderkey, o_custkey % 1024 AS xd, o_orderkey % 1024 AS yd,
+        |       ($z)::BIGINT AS zval
+        |FROM orders""".stripMargin
+    },
 
     "q_scale_merge" ->
       """SELECT o_orderkey,

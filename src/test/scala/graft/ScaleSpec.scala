@@ -155,6 +155,38 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(again.sortBy(_._2).toSeq == got.sortBy(_._2).toSeq)
   }
 
+  test("z-ordered layout prunes a 2-D box filter the random layout cannot") {
+    import graft.operators.Scale
+    // 100k points uniform over [0,1024)²; the 2-D box selects ~1%
+    val n = 100000
+    val df = spark.range(n).select(col("id"),
+      (col("id") * 2654435761L % 1024).as("x"),
+      (col("id") * 40503L % 1024).as("y"))
+    val tmpDir = s"/tmp/graft_zorder_spec_${spark.sparkContext.applicationId}"
+    val zordered = Scale.writeZordered(df, s"$tmpDir/z", "x", "y",
+      bits = 10, files = 16)
+    df.orderBy(col("id")) // insertion order = random in (x, y)
+      .write.mode("overwrite").parquet(s"$tmpDir/plain")
+    val plain = spark.read.parquet(s"$tmpDir/plain")
+    def scanned(d: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val q = d.where(col("x").between(100, 199) && col("y").between(300, 399))
+      // collect through q's OWN plan: a count() would build and execute a
+      // different physical plan, leaving this one's metrics at zero
+      val kept = q.collect().length.toLong
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+      (kept, scan.metrics("numOutputRows").value)
+    }
+    val (keptZ, scannedZ) = scanned(zordered)
+    val (keptP, scannedP) = scanned(plain)
+    assert(keptZ == keptP, "both layouts must return identical results")
+    // the z-curve tiles let parquet row-group/page stats skip most of the
+    // file; the random layout's stats span everything and skip nothing
+    assert(scannedZ * 2 < scannedP,
+      s"z-ordered scan emitted $scannedZ rows vs $scannedP unclustered")
+  }
+
   test("mergeLatest: update beats base at equal version, higher version wins") {
     import graft.operators.Scale
     val base = Seq((1L, "a", 0L), (2L, "b", 5L), (3L, "c", 0L))
