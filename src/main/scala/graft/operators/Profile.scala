@@ -96,6 +96,87 @@ object Profile {
         min(v).as("bucket_min"), max(v).as("bucket_max"))
   }
 
+  /** Population-stability-index drift between two snapshots of a value
+    * column — the per-batch distribution health check every long-running
+    * ingest needs (PSI = Σ (p_i − q_i)·ln(p_i/q_i); rule of thumb: < 0.1
+    * stable, > 0.25 investigate). Both sides bucket on the SAME fixed
+    * [lo, hi] edges as [[histogram]] (the −1/bins out-of-range guard
+    * buckets participate — drift INTO out-of-range is the loudest alarm),
+    * with add-half Laplace smoothing so empty buckets stay finite and the
+    * arithmetic is engine-portable. Per-bucket rows carry the counts and
+    * the contribution; `psi` repeats the total (computed as a
+    * bucket-sorted fold — partition-order-proof, oracle-replayable).
+    * Scale: two histogram aggregates + a (bins+2)-row join; the corpora
+    * are each scanned once.
+    */
+  def psiDrift(base: DataFrame, cur: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    val hb = histogram(base, valueCol, lo, hi, bins)
+      .select(col("bucket"), col("n").as("n_base"))
+    val hc = histogram(cur, valueCol, lo, hi, bins)
+      .select(col("bucket"), col("n").as("n_cur"))
+    val joined = hb.join(hc, Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum(col("n_base")).as("tb"),
+      sum(col("n_cur")).as("tc"), count(lit(1)).as("nb"))
+    val scored = joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        ((col("n_base") + 0.5) / (col("tb") + lit(0.5) * col("nb"))).as("p"),
+        ((col("n_cur") + 0.5) / (col("tc") + lit(0.5) * col("nb"))).as("q"))
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        ((col("p") - col("q")) * log(col("p") / col("q"))).as("contrib"))
+    val total = scored
+      .agg(sort_array(collect_list(struct(col("bucket"), col("contrib"))))
+        .as("cs"))
+      .select(round(aggregate(col("cs"), lit(0.0),
+        (acc, s) => acc + s.getField("contrib")), 6).as("psi"))
+    scored.select(col("bucket"), col("n_base"), col("n_cur"),
+        round(col("contrib"), 6).as("contrib"))
+      .crossJoin(broadcast(total))
+  }
+
+  /** DuckDB replay of [[psiDrift]] value-for-value (same smoothing, same
+    * bucket-sorted fold). `basePred`/`curPred` select the two snapshots
+    * from `table`; `valueExprB`/`valueExprC` compute each side's value.
+    */
+  def psiOracleSql(table: String, basePred: String, valueExprB: String,
+      curPred: String, valueExprC: String, lo: Double, hi: Double,
+      bins: Int): String = {
+    def bucketed(pred: String, vexpr: String, nCol: String): String = {
+      val w = (hi - lo) / bins
+      s"""SELECT CASE WHEN v < $lo THEN -1
+         |            WHEN v > $hi THEN $bins
+         |            WHEN v = $hi THEN ${bins - 1}
+         |            ELSE least(floor((v - $lo) / $w)::BIGINT, ${bins - 1}) END AS bucket,
+         |       count(*)::BIGINT AS $nCol
+         |FROM (SELECT ($vexpr)::DOUBLE AS v FROM $table WHERE ($pred)
+         |      AND ($vexpr) IS NOT NULL)
+         |GROUP BY 1""".stripMargin
+    }
+    s"""WITH hb AS (${bucketed(basePred, valueExprB, "n_base")}),
+       |hc AS (${bucketed(curPred, valueExprC, "n_cur")}),
+       |j AS (
+       |  SELECT coalesce(hb.bucket, hc.bucket) AS bucket,
+       |         coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+       |  FROM hb FULL OUTER JOIN hc ON hb.bucket = hc.bucket),
+       |t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc, count(*) AS nb FROM j),
+       |s AS (
+       |  SELECT bucket, n_base, n_cur,
+       |         ((n_base + 0.5) / (tb + 0.5 * nb)
+       |          - (n_cur + 0.5) / (tc + 0.5 * nb))
+       |         * ln(((n_base + 0.5) / (tb + 0.5 * nb))
+       |              / ((n_cur + 0.5) / (tc + 0.5 * nb))) AS contrib
+       |  FROM j, t),
+       |tot AS (
+       |  SELECT round(list_sum(list_transform(
+       |           list_sort(list({b: bucket, c: contrib})),
+       |           x -> x.c)), 6) AS psi
+       |  FROM s)
+       |SELECT bucket, n_base, n_cur, round(contrib, 6) AS contrib, psi
+       |FROM s, tot""".stripMargin
+  }
+
   /** DuckDB SQL replaying [[histogram]] value-for-value. */
   def histogramOracleSql(table: String, valueCol: String, lo: Double,
       hi: Double, bins: Int): String = {

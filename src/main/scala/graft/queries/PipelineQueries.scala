@@ -65,6 +65,19 @@ object PipelineQueries {
         s.table("lineitem"), "l_quantity", lo = 0.0, hi = 40.0, bins = 8)
     }),
 
+    // --- PSI distribution drift between two snapshots (even-key orders =
+    // baseline quantities, odd-key orders shifted +3): the per-batch
+    // ingest health check (oracle-checked incl. the bucket-sorted fold) ---
+    "q_pipeline_drift" -> ((s, d) => {
+      Tables.load(s, d)
+      val li = s.table("lineitem")
+      graft.operators.Profile.psiDrift(
+        li.where(col("l_orderkey") % 2 === 0).select(col("l_quantity")),
+        li.where(col("l_orderkey") % 2 === 1)
+          .select((col("l_quantity") + 3.0).as("l_quantity")),
+        "l_quantity", lo = 0.0, hi = 40.0, bins = 8)
+    }),
+
     // --- PII redaction (oracle-checked): the corpus carries no PII, so a
     // deterministic email/phone/IP derived from doc_id is appended on BOTH
     // engines, then scrubbed — placeholders and counts must hash-match ---
@@ -644,6 +657,11 @@ object PipelineQueries {
 
     "q_pipeline_histogram" -> graft.operators.Profile.histogramOracleSql(
       "lineitem", "l_quantity", lo = 0.0, hi = 40.0, bins = 8),
+
+    "q_pipeline_drift" -> graft.operators.Profile.psiOracleSql(
+      "lineitem", basePred = "l_orderkey % 2 = 0", valueExprB = "l_quantity",
+      curPred = "l_orderkey % 2 = 1", valueExprC = "l_quantity + 3.0",
+      lo = 0.0, hi = 40.0, bins = 8),
 
     "q_pipeline_weighted_strat" ->
       s"""WITH t AS (

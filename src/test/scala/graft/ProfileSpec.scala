@@ -46,4 +46,24 @@ class ProfileSpec extends SparkSpec {
     // 10.0 == hi → last bucket (closed); 11.0 → guard 2; null skipped
     assert(got == Map(-1L -> 1L, 0L -> 2L, 1L -> 3L, 2L -> 1L))
   }
+
+  test("psiDrift: identical snapshots ≈ 0, shifted snapshot alarms, symmetric") {
+    import spark.implicits._
+    val a = (1 to 1000).map(i => (i % 10).toDouble).toDF("x")
+    val b = (1 to 1000).map(i => ((i % 10) + 4).toDouble).toDF("x")
+    def psi(l: org.apache.spark.sql.DataFrame,
+        r: org.apache.spark.sql.DataFrame): Double =
+      Profile.psiDrift(l, r, "x", lo = 0.0, hi = 10.0, bins = 5)
+        .select("psi").head().getDouble(0)
+    assert(psi(a, a) == 0.0)             // identical distribution
+    val drifted = psi(a, b)
+    assert(drifted > 0.25, s"a 4-bucket shift must alarm, got $drifted")
+    // PSI is symmetric by construction
+    assert(math.abs(psi(a, b) - psi(b, a)) < 1e-9)
+    // the out-of-range guard bucket carries the shifted mass: bucket 5
+    // (above hi) must show cur-side counts
+    val rows = Profile.psiDrift(a, b, "x", 0.0, 10.0, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows(5L) > 0)
+  }
 }
