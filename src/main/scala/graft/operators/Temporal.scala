@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -140,5 +140,39 @@ object Temporal {
       .where(col("__side") === 0)
       .select(left.columns.map(col) ++
         outCols.map(c => col(s"__rv.$c").as(c)): _*)
+  }
+
+  /** Nearest-direction as-of join (pandas `merge_asof
+    * direction='nearest'`): each left row takes whichever right row —
+    * latest-at-or-before or earliest-at-or-after — is temporally closer,
+    * ties to the backward match (pandas' rule). Composed from ONE backward
+    * and ONE forward pass (each a single keyed-window shuffle), both
+    * carrying the matched right timestamp so the pick is a plain
+    * projection. Completes the backward / forward / tolerance / nearest
+    * direction family.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, by: Seq[String],
+      timeCol: String, valueCols: Seq[String],
+      suffix: String = "_near"): DataFrame = {
+    require(!right.columns.contains("__rts"), "column __rts reserved")
+    val withTs = right.withColumn("__rts", col(timeCol))
+    val back = asofJoin(left, withTs, by, timeCol,
+      valueCols :+ "__rts", "_b")
+    val both = asofJoinForward(back, withTs, by, timeCol,
+      valueCols :+ "__rts", "_f")
+    // distance compare in integer MICROS for timestamps (a micros/1e6
+    // double is inexact and could flip a near-tie differently than the
+    // oracle's integer epoch arithmetic), plain double for numeric axes
+    val isTs = both.schema(timeCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.TimestampType]
+    def num(c: Column): Column =
+      if (isTs) unix_micros(c) else c.cast("double")
+    val lts = num(col(timeCol))
+    val (tb, tf) = (num(col("__rts_b")), num(col("__rts_f")))
+    val pickBack = col("__rts_f").isNull ||
+      (col("__rts_b").isNotNull && (lts - tb) <= (tf - lts))
+    both.select(left.columns.map(col) ++ valueCols.map(c =>
+      when(pickBack, col(c + "_b")).otherwise(col(c + "_f"))
+        .as(c + suffix)): _*)
   }
 }

@@ -100,6 +100,20 @@ object StreamQueries {
         valueCols = Seq("pval"))
     }),
 
+    // --- nearest-direction as-of: whichever purchase (before or after)
+    // is temporally closer, ties backward (pandas direction='nearest') ---
+    "q_asof_join_near" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pval"))
+      graft.operators.Temporal.asofJoinNearest(
+        clicks, purchases, by = Seq("user_id"), timeCol = "ts",
+        valueCols = Seq("pval"))
+    }),
+
     // --- as-of with a staleness bound: matches older than 30 minutes are
     // nulled (pandas merge_asof tolerance; oracle post-filters DuckDB's
     // ASOF JOIN on the matched right timestamp) ---
@@ -306,6 +320,25 @@ object StreamQueries {
         |SELECT l.event_id, l.user_id, l.ts, r.pval AS pval_next
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
+
+    "q_asof_join_near" ->
+      """WITH l AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts::TIMESTAMP AS ts, max(value) AS pval FROM events
+        |      WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |b AS (SELECT l.event_id, l.user_id, l.ts, r.ts AS bts, r.pval AS bval
+        |      FROM l ASOF LEFT JOIN r
+        |        ON l.user_id = r.user_id AND l.ts >= r.ts),
+        |f AS (SELECT l.event_id, r.ts AS fts, r.pval AS fval
+        |      FROM l ASOF LEFT JOIN r
+        |        ON l.user_id = r.user_id AND l.ts <= r.ts)
+        |SELECT b.event_id, b.user_id, b.ts,
+        |       CASE WHEN fts IS NULL THEN bval
+        |            WHEN bts IS NOT NULL
+        |                 AND epoch_us(b.ts) - epoch_us(bts)
+        |                     <= epoch_us(fts) - epoch_us(b.ts) THEN bval
+        |            ELSE fval END AS pval_near
+        |FROM b JOIN f USING (event_id)""".stripMargin,
 
     "q_asof_join_tol" ->
       """WITH l AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events

@@ -133,6 +133,23 @@ class TemporalSpec extends SparkSpec {
       (2L, 1L, 1.0)))
   }
 
+  test("asofJoinNearest: closer side wins, ties backward, one-sided fallback") {
+    val left = Seq((1L, 100L, ts(6)), (2L, 100L, ts(9)), (3L, 100L, ts(7)),
+      (4L, 100L, ts(1)), (5L, 200L, ts(30))).toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, ts(5), 1.0), (100L, ts(10), 2.0),
+      (200L, ts(20), 9.0)).toDF("user_id", "ts", "pval")
+    val got = Temporal.asofJoinNearest(left, right, Seq("user_id"), "ts",
+        Seq("pval"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(r.fieldIndex("pval_near")))))
+    assert(got.toSeq == Seq(
+      (1L, Some(1.0)), // 10:06: back 1 min vs fwd 4 min → backward
+      (2L, Some(2.0)), // 10:09: back 4 min vs fwd 1 min → forward
+      (3L, Some(1.0)), // 10:07: 2 min either way — tie goes backward
+      (4L, Some(1.0)), // before any purchase → only the forward match
+      (5L, Some(9.0)))) // after the last purchase → only the backward match
+  }
+
   test("asofJoin keeps all left rows and adds only the suffixed column") {
     val left = Seq((1L, 7L, ts(1))).toDF("event_id", "user_id", "ts")
     val right = Seq((7L, ts(0), 42.0)).toDF("user_id", "ts", "pval")
