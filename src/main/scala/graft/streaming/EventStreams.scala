@@ -163,6 +163,28 @@ object EventStreams {
       .drop("p_user")
   }
 
+  /** [[intervalJoin]] as a stream-stream LEFT OUTER join: clicks with no
+    * in-window purchase still emit — with null purchase columns — once the
+    * watermark passes their join window and Spark can prove no match will
+    * arrive (the state-expiry semantics that make outer results correct
+    * rather than premature). Same bounded state as the inner form.
+    */
+  def intervalJoinLeftOuter(clicks: DataFrame, purchases: DataFrame,
+      watermark: String, lookback: String): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") <= col("click_ts") &&
+        col("purchase_ts") > col("click_ts") - expr(s"INTERVAL $lookback"),
+      "left_outer")
+      .drop("p_user")
+  }
+
   /** `foreachBatch` sink: append each micro-batch to parquet, keeping only
     * keys never seen in prior batches (left-anti join against what's on
     * disk) — upsert-style dedup for sinks Spark has no native merge for.

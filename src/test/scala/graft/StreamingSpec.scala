@@ -225,6 +225,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream LEFT OUTER interval join: null rows only after expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val clickMem = MemoryStream[(Long, Timestamp, Long)]
+    val purchMem = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventStreams.intervalJoinLeftOuter(
+        clickMem.toDF().toDF("event_id", "ts", "user_id"),
+        purchMem.toDF().toDF("user_id", "ts", "value"),
+        "10 minutes", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("loj_out").start()
+    try {
+      // click 1 matches; click 3 has NO purchase in its window
+      clickMem.addData((1L, ts(10), 100L), (3L, ts(10), 200L))
+      purchMem.addData((100L, ts(5), 9.0))
+      q.processAllAvailable()
+      val early = spark.table("loj_out").collect()
+      // the unmatched click must NOT emit yet — a later purchase could
+      // still arrive while its window is within the watermark
+      assert(early.map(_.getLong(0)).toSet == Set(1L))
+      // advancing both watermarks past click 3's window releases the
+      // null-joined row
+      clickMem.addData((9L, ts(50), 100L))
+      purchMem.addData((100L, ts(50), 1.0))
+      q.processAllAvailable()
+      val late = spark.table("loj_out")
+        .collect().map(r => (r.getLong(0), r.isNullAt(3))).toMap
+      assert(late.contains(3L) && late(3L),
+        "expired unmatched click emits with null purchase columns")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     implicit val sqlCtx = spark.sqlContext
     val clickMem = MemoryStream[(Long, Timestamp, Long)]
