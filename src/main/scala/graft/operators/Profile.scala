@@ -115,11 +115,18 @@ object Profile {
       .select(col("bucket"), col("n").as("n_base"))
     val hc = histogram(cur, valueCol, lo, hi, bins)
       .select(col("bucket"), col("n").as("n_cur"))
-    val joined = hb.join(hc, Seq("bucket"), "full_outer")
+    // the FULL fixed bucket grid (-1 .. bins), not just occupied buckets:
+    // the smoothing denominator must be the constant bins+2 support or PSI
+    // values drift with occupancy footprint across batches, and the
+    // output stays bins+2 rows (psi = 0) even for empty snapshots
+    val grid = base.sparkSession.range(-1L, bins + 1L)
+      .select(col("id").as("bucket"))
+    val joined = grid.join(hb, Seq("bucket"), "left")
+      .join(hc, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
     val totals = joined.agg(sum(col("n_base")).as("tb"),
-      sum(col("n_cur")).as("tc"), count(lit(1)).as("nb"))
+      sum(col("n_cur")).as("tc"), lit(bins.toLong + 2).as("nb"))
     val scored = joined.crossJoin(broadcast(totals))
       .select(col("bucket"), col("n_base"), col("n_cur"),
         ((col("n_base") + 0.5) / (col("tb") + lit(0.5) * col("nb"))).as("p"),
@@ -156,11 +163,14 @@ object Profile {
     }
     s"""WITH hb AS (${bucketed(basePred, valueExprB, "n_base")}),
        |hc AS (${bucketed(curPred, valueExprC, "n_cur")}),
+       |g AS (SELECT unnest(generate_series(-1, $bins))::BIGINT AS bucket),
        |j AS (
-       |  SELECT coalesce(hb.bucket, hc.bucket) AS bucket,
+       |  SELECT g.bucket,
        |         coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
-       |  FROM hb FULL OUTER JOIN hc ON hb.bucket = hc.bucket),
-       |t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc, count(*) AS nb FROM j),
+       |  FROM g LEFT JOIN hb ON hb.bucket = g.bucket
+       |         LEFT JOIN hc ON hc.bucket = g.bucket),
+       |t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc,
+       |             ${bins + 2}::BIGINT AS nb FROM j),
        |s AS (
        |  SELECT bucket, n_base, n_cur,
        |         ((n_base + 0.5) / (tb + 0.5 * nb)

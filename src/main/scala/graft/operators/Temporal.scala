@@ -154,6 +154,8 @@ object Temporal {
   def asofJoinNearest(left: DataFrame, right: DataFrame, by: Seq[String],
       timeCol: String, valueCols: Seq[String],
       suffix: String = "_near"): DataFrame = {
+    valueCols.map(_ + suffix).foreach(c => require(!left.columns.contains(c),
+      s"left side already has a column named '$c' — pick a different suffix"))
     require(!right.columns.contains("__rts"), "column __rts reserved")
     val withTs = right.withColumn("__rts", col(timeCol))
     val back = asofJoin(left, withTs, by, timeCol,

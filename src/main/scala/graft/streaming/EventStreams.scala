@@ -149,19 +149,8 @@ object EventStreams {
     * expressed as Structured Streaming's watermarked interval join.
     */
   def intervalJoin(clicks: DataFrame, purchases: DataFrame, watermark: String,
-      lookback: String): DataFrame = {
-    val c = clicks.withWatermark("ts", watermark)
-      .select(col("event_id").as("click_id"), col("user_id"),
-        col("ts").as("click_ts"))
-    val p = purchases.withWatermark("ts", watermark)
-      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
-        col("value").as("purchase_value"))
-    c.join(p,
-      col("user_id") === col("p_user") &&
-        col("purchase_ts") <= col("click_ts") &&
-        col("purchase_ts") > col("click_ts") - expr(s"INTERVAL $lookback"))
-      .drop("p_user")
-  }
+      lookback: String): DataFrame =
+    intervalJoinTyped(clicks, purchases, watermark, lookback, "inner")
 
   /** [[intervalJoin]] as a stream-stream LEFT OUTER join: clicks with no
     * in-window purchase still emit — with null purchase columns — once the
@@ -170,7 +159,11 @@ object EventStreams {
     * rather than premature). Same bounded state as the inner form.
     */
   def intervalJoinLeftOuter(clicks: DataFrame, purchases: DataFrame,
-      watermark: String, lookback: String): DataFrame = {
+      watermark: String, lookback: String): DataFrame =
+    intervalJoinTyped(clicks, purchases, watermark, lookback, "left_outer")
+
+  private def intervalJoinTyped(clicks: DataFrame, purchases: DataFrame,
+      watermark: String, lookback: String, joinType: String): DataFrame = {
     val c = clicks.withWatermark("ts", watermark)
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -181,7 +174,7 @@ object EventStreams {
       col("user_id") === col("p_user") &&
         col("purchase_ts") <= col("click_ts") &&
         col("purchase_ts") > col("click_ts") - expr(s"INTERVAL $lookback"),
-      "left_outer")
+      joinType)
       .drop("p_user")
   }
 

@@ -65,5 +65,12 @@ class ProfileSpec extends SparkSpec {
     val rows = Profile.psiDrift(a, b, "x", 0.0, 10.0, 5)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(rows(5L) > 0)
+    // the output is ALWAYS the full bins+2 fixed grid — even for empty
+    // snapshots the monitoring path reads a stable psi = 0, never 0 rows
+    assert(rows.keySet == (-1L to 5L).toSet)
+    val empty = a.limit(0)
+    val deg = Profile.psiDrift(empty, empty, "x", 0.0, 10.0, 5)
+      .select("psi").distinct().collect()
+    assert(deg.length == 1 && deg(0).getDouble(0) == 0.0)
   }
 }

@@ -157,11 +157,14 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   test("z-ordered layout prunes a 2-D box filter the random layout cannot") {
     import graft.operators.Scale
-    // 100k points uniform over [0,1024)²; the 2-D box selects ~1%
+    // 100k points over [0,1024)²: x linear in id, y DECORRELATED via a
+    // murmur hash (two linear-in-id dims would form a 1-D lattice of only
+    // 1024 distinct points — a degenerate, trivially-clusterable input
+    // that would overstate the skipping)
     val n = 100000
     val df = spark.range(n).select(col("id"),
       (col("id") * 2654435761L % 1024).as("x"),
-      (col("id") * 40503L % 1024).as("y"))
+      pmod(hash(col("id")), lit(1024)).cast("long").as("y"))
     val tmpDir = s"/tmp/graft_zorder_spec_${spark.sparkContext.applicationId}"
     val zordered = Scale.writeZordered(df, s"$tmpDir/z", "x", "y",
       bits = 10, files = 16)
@@ -181,6 +184,7 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val (keptZ, scannedZ) = scanned(zordered)
     val (keptP, scannedP) = scanned(plain)
     assert(keptZ == keptP, "both layouts must return identical results")
+    assert(keptZ > 0, "the box must select rows or the test is vacuous")
     // the z-curve tiles let parquet row-group/page stats skip most of the
     // file; the random layout's stats span everything and skip nothing
     assert(scannedZ * 2 < scannedP,
