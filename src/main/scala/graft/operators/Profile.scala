@@ -143,6 +143,62 @@ object Profile {
       .crossJoin(broadcast(total))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic between two snapshots
+    * of a value column — [[psiDrift]]'s bin-free complement (no edges to
+    * choose; sensitive to any distributional difference, not just binned
+    * mass): D = max over observed values of |ECDF_base − ECDF_cur|.
+    * Shape: each side collapses to its DISTINCT-VALUE counts first (two
+    * hash aggregates over the corpora — the only corpus-sized work), and
+    * the cumulative/max pass runs over the distinct-value table, which is
+    * what flows through the one global-order window (bounded by value
+    * cardinality, like a histogram's bins — not corpus rows; for
+    * continuous ultra-high-cardinality columns, quantize first or use
+    * [[psiDrift]]). Returns one row (n_base, n_cur, d_stat).
+    */
+  def ksDrift(base: DataFrame, cur: DataFrame,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("double")
+    val cb = base.where(v.isNotNull).groupBy(v.as("v"))
+      .agg(count(lit(1)).as("cb"))
+    val cc = cur.where(v.isNotNull).groupBy(v.as("v"))
+      .agg(count(lit(1)).as("cc"))
+    val joined = cb.join(cc, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("cb"), lit(0L)).as("cb"),
+        coalesce(col("cc"), lit(0L)).as("cc"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined
+      .select(sum(col("cb")).over(w).as("rb"), sum(col("cc")).over(w).as("rc"))
+      .crossJoin(broadcast(joined.agg(sum(col("cb")).as("nb"),
+        sum(col("cc")).as("nc"))))
+      .agg(max(col("nb")).as("n_base"), max(col("nc")).as("n_cur"),
+        round(max(abs(col("rb").cast("double") / col("nb")
+          - col("rc").cast("double") / col("nc"))), 6).as("d_stat"))
+  }
+
+  /** DuckDB replay of [[ksDrift]] value-for-value. */
+  def ksOracleSql(table: String, basePred: String, valueExprB: String,
+      curPred: String, valueExprC: String): String = {
+    def side(pred: String, vexpr: String, nCol: String): String =
+      s"""SELECT ($vexpr)::DOUBLE AS v, count(*)::BIGINT AS $nCol
+         |FROM $table WHERE ($pred) AND ($vexpr) IS NOT NULL GROUP BY 1""".stripMargin
+    s"""WITH cb AS (${side(basePred, valueExprB, "cb")}),
+       |cc AS (${side(curPred, valueExprC, "cc")}),
+       |j AS (
+       |  SELECT coalesce(cb.v, cc.v) AS v,
+       |         coalesce(cb, 0) AS cb, coalesce(cc, 0) AS cc
+       |  FROM cb FULL OUTER JOIN cc ON cb.v = cc.v),
+       |r AS (
+       |  SELECT sum(cb) OVER (ORDER BY v) AS rb,
+       |         sum(cc) OVER (ORDER BY v) AS rc
+       |  FROM j),
+       |t AS (SELECT sum(cb)::BIGINT AS nb, sum(cc)::BIGINT AS nc FROM j)
+       |SELECT nb AS n_base, nc AS n_cur,
+       |       round(max(abs(rb::DOUBLE / nb - rc::DOUBLE / nc)), 6) AS d_stat
+       |FROM r, t GROUP BY nb, nc""".stripMargin
+  }
+
   /** DuckDB replay of [[psiDrift]] value-for-value (same smoothing, same
     * bucket-sorted fold). `basePred`/`curPred` select the two snapshots
     * from `table`; `valueExprB`/`valueExprC` compute each side's value.

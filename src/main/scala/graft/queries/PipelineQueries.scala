@@ -78,6 +78,18 @@ object PipelineQueries {
         "l_quantity", lo = 0.0, hi = 40.0, bins = 8)
     }),
 
+    // --- exact two-sample KS drift statistic, psiDrift's bin-free
+    // complement (oracle-checked) ---
+    "q_pipeline_ks" -> ((s, d) => {
+      Tables.load(s, d)
+      val li = s.table("lineitem")
+      graft.operators.Profile.ksDrift(
+        li.where(col("l_orderkey") % 2 === 0).select(col("l_quantity")),
+        li.where(col("l_orderkey") % 2 === 1)
+          .select((col("l_quantity") + 3.0).as("l_quantity")),
+        "l_quantity")
+    }),
+
     // --- PII redaction (oracle-checked): the corpus carries no PII, so a
     // deterministic email/phone/IP derived from doc_id is appended on BOTH
     // engines, then scrubbed — placeholders and counts must hash-match ---
@@ -657,6 +669,10 @@ object PipelineQueries {
 
     "q_pipeline_histogram" -> graft.operators.Profile.histogramOracleSql(
       "lineitem", "l_quantity", lo = 0.0, hi = 40.0, bins = 8),
+
+    "q_pipeline_ks" -> graft.operators.Profile.ksOracleSql(
+      "lineitem", basePred = "l_orderkey % 2 = 0", valueExprB = "l_quantity",
+      curPred = "l_orderkey % 2 = 1", valueExprC = "l_quantity + 3.0"),
 
     "q_pipeline_drift" -> graft.operators.Profile.psiOracleSql(
       "lineitem", basePred = "l_orderkey % 2 = 0", valueExprB = "l_quantity",

@@ -73,4 +73,16 @@ class ProfileSpec extends SparkSpec {
       .select("psi").distinct().collect()
     assert(deg.length == 1 && deg(0).getDouble(0) == 0.0)
   }
+
+  test("ksDrift: identical → 0, disjoint → 1, hand-checked shift") {
+    import spark.implicits._
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    assert(Profile.ksDrift(a, a, "x").head().getDouble(2) == 0.0)
+    val disjoint = Seq(10.0, 11.0).toDF("x")
+    assert(Profile.ksDrift(a, disjoint, "x").head().getDouble(2) == 1.0)
+    // a = {1..4}, b = {3..6}: at v=2 ECDFs are 2/4 vs 0/4 → D = 0.5
+    val b = Seq(3.0, 4.0, 5.0, 6.0).toDF("x")
+    val r = Profile.ksDrift(a, b, "x").head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((4L, 4L, 0.5)))
+  }
 }
