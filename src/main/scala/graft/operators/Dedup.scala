@@ -149,15 +149,24 @@ object Dedup {
     // inlining it as a literal is exactly what Spark's runtime bloom join
     // pruning does with its scalar-subquery result
     val bloomBytes = seenKeys.select(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
-    def mightContain(k: Column): Column = GraftShim.column(
+    // an EMPTY store aggregates to a NULL filter (BloomFilterAggregate has no
+    // zero-cardinality serialization) — and a NULL probe would route every row
+    // to NEITHER branch (both `where`s drop NULL). Nothing is seen yet, so the
+    // answer is exactly [[incremental]]'s batch-internal dedup, no probe at all
+    if (bloomBytes == null)
+      return batchKeyed(incoming, id, key).select(col("keep_id"), col("dup_key"))
+    // coalesce(…, false) guards the same NULL-eats-both-branches hazard for
+    // any other path to a NULL probe result: a missed row must surface as
+    // "definitely new" (checked exactly), never vanish
+    def mightContain(k: Column): Column = coalesce(GraftShim.column(
       BloomFilterMightContain(Literal(bloomBytes, BinaryType),
-        GraftShim.expression(k)))
+        GraftShim.expression(k))), lit(false))
     // the probe column is materialized once and the routed batch persisted:
     // both branches read it, and without the persist the batch's full
     // scan + min-id shuffle would run twice per ingest
     val batch = batchKeyed(incoming, id, key)
       .withColumn("__hit", mightContain(keyHash(col("dup_key"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.persist)
     val definitelyNew = batch.where(!col("__hit"))
     val candidates = batch.where(col("__hit"))
       .join(seenKeys, Seq("dup_key"), "left_anti")
@@ -237,7 +246,7 @@ object Dedup {
     val shingled = shingleTable(df, idCol, textCol, ngram)
       .select(col("id"),
         array_distinct(transform(col("sh"), s => xxhash64(s))).as("shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.persist)
 
     val minCols = minhashAggCols(col("h"), numHashes)
     val sig = shingled
@@ -255,7 +264,7 @@ object Dedup {
     // Persisted because the self-join consumes it twice — otherwise the
     // whole signature pipeline runs twice.
     val bucketed = capBuckets(banded, Seq("band", "bucket"), maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.persist)
 
     val candidates = bucketed.as("a")
       .join(bucketed.as("b"),
@@ -322,6 +331,57 @@ object Dedup {
       .where(col("id_a") < col("id_b") && col("id_b") - col("id_a") <= idWindow)
   }
 
+  /** Prefix-filtered in-window candidate pairs — [[blockedPairs]] with the
+    * AllPairs/PPJoin prefix-filtering principle layered on top, LOSSLESSLY
+    * cutting the pairs that reach the exact `array_intersect` verify (the
+    * bench's top cost pre-r5). For Jaccard ≥ t, |A∩B| ≥ t·|A∪B| ≥
+    * t·max(|A|,|B|), so taking each set's first ℓ_X = |X| − ⌈t·|X|⌉ + 1
+    * elements in a global total order (numeric order of the 64-bit gram
+    * codes), the SMALLEST common element x₁ must sit inside BOTH prefixes:
+    * were rank_A(x₁) > ℓ_A, all |A∩B| common elements would fit in A's last
+    * ⌈t·|A|⌉ − 1 slots < t·|A| ≤ |A∩B| — a contradiction (same argument on
+    * B). A qualifying pair therefore always shares a prefix element, and
+    * dropping pairs that share none cannot change the exact tier's answer —
+    * a theorem, not a heuristic, so the DuckDB oracle replays unchanged.
+    *
+    * Shape: prefixes explode to (gram, block) keyed rows and candidates come
+    * from an equi-join on (pe, blk) — never a nested loop, and per join key
+    * both sides are bounded by the block width (≤ idWindow rows), so a
+    * corpus-wide common gram cannot recreate the quadratic bucket (the key
+    * includes blk). The exploded rows are (long, long, id, size) — a far
+    * smaller shuffle than the full gram arrays the old shape carried for
+    * every in-window pair; full arrays are fetched only for the surviving
+    * candidates. The exact size bound (min ≥ t·max, same predicate
+    * [[jaccardFilter]] re-applies) prunes at the candidate join already.
+    * `plen` floors with a +1e-6 guard: FP rounding may only ever LENGTHEN
+    * the prefix (safe), never shorten it below ℓ_X.
+    */
+  private def prefixFilteredPairs(table: DataFrame, idWindow: Long,
+      threshold: Double, sorted: Boolean): DataFrame = {
+    val blk = expr(s"id div ${idWindow}L")
+    val sortedSh = if (sorted) col("sh") else array_sort(col("sh"))
+    val plen = (floor(lit(1.0 - threshold) * size(col("sh")).cast("double")
+      + lit(1e-6)) + 1).cast("int")
+    def side(idName: String, szName: String): DataFrame =
+      table.select(col("id"), size(col("sh")).as(szName), blk.as("blk"),
+          explode(slice(sortedSh, lit(1), plen)).as("pe"))
+        .withColumnRenamed("id", idName)
+    val a = side("id_a", "sz_a")
+      .select(col("id_a"), col("sz_a"), col("pe"),
+        explode(array(col("blk"), col("blk") + 1)).as("blk"))
+    val b = side("id_b", "sz_b")
+    val cand = a.join(b, Seq("blk", "pe"))
+      .where(col("id_a") < col("id_b") &&
+        col("id_b") - col("id_a") <= idWindow &&
+        least(col("sz_a"), col("sz_b")).cast("double")
+          >= lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(table.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(table.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+  }
+
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, ngram: Int,
       idWindow: Long, threshold: Double): DataFrame = {
     // empty shingle sets would make the Jaccard denominator 0 (an error
@@ -333,8 +393,10 @@ object Dedup {
     val nonEmpty = shingleTable(df, idCol, textCol, ngram)
       .select(col("id"),
         array_distinct(transform(col("sh"), s => xxhash64(s))).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    jaccardFilter(blockedPairs(nonEmpty, idWindow), threshold)
+      .transform(Caching.persist)
+    jaccardFilter(
+      prefixFilteredPairs(nonEmpty, idWindow, threshold, sorted = false),
+      threshold)
   }
 
   /** Exact character-n-gram Jaccard within an id window: byte-level dedup
@@ -362,8 +424,12 @@ object Dedup {
       .where(length(col("t")) >= n)
       .select(col("id"),
         graft.functions.CharGrams.charGrams(col("t"), n).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    jaccardFilter(blockedPairs(nonEmpty, idWindow), threshold)
+      .transform(Caching.persist)
+    // CharGrams emits sorted-distinct grams, so the prefix filter slices
+    // directly (sorted = true), no per-row re-sort
+    jaccardFilter(
+      prefixFilteredPairs(nonEmpty, idWindow, threshold, sorted = true),
+      threshold)
   }
 
   /** Edit-distance (Levenshtein) near-dup pairs within an id window — the
@@ -466,7 +532,7 @@ object Dedup {
     // pipeline twice in the edges job; a persisted plan also stays
     // canonicalized, so plan-identical pair queries elsewhere in the
     // session share the cache entry
-    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = pairs.transform(Caching.persist)
     val edges = truncate(p
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -530,6 +596,13 @@ object Dedup {
     * score). One window over families (tiny by construction — duplicate
     * clusters, not the corpus), full-frame `first` so keeper and members
     * come out of a single pass.
+    *
+    * "Every family member" is honored even when the quality frame misses
+    * some of them: members without a quality row are LEFT-joined in with a
+    * −Inf default score (never the keeper unless the whole family is
+    * unscored, ties still to the lower doc id) instead of silently vanishing
+    * — an inner join here would both drop rows and, worse, silently change
+    * the keeper when the missing member would have won.
     */
   def keepBest(pairs: DataFrame, quality: DataFrame, maxIter: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
@@ -539,7 +612,8 @@ object Dedup {
       .orderBy(col("score").desc, col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    fam.join(quality, "doc_id")
+    fam.join(quality, Seq("doc_id"), "left")
+      .withColumn("score", coalesce(col("score"), lit(Double.NegativeInfinity)))
       .select(col("doc_id"), col("family_id"),
         first(col("doc_id")).over(w).as("keep_id"),
         round(col("score"), 6).as("score"))
@@ -599,7 +673,7 @@ object Dedup {
     // persisted: the self-join reads it twice (otherwise the simhash
     // signature scan runs twice)
     val bucketed = capBuckets(banded, Seq("band", "key"), maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.persist)
 
     bucketed.as("a")
       .join(bucketed.as("b"),
@@ -657,7 +731,7 @@ object Dedup {
       .select(col("id"), array_distinct(transform(col("sh"),
         s => portableHash(s)
           % PortablePrime)).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.persist)
 
   /** MinHash+LSH near-dup pairs, portable-hash variant of [[minhashPairs]]:
     * shingle → md5 hash set → affine minhash signature → band equi-join
@@ -695,7 +769,7 @@ object Dedup {
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
 
     val bucketed = capBuckets(banded, Seq("band", "bucket"), maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.persist)
 
     val candidates = bucketed.as("a")
       .join(bucketed.as("b"),
@@ -822,7 +896,7 @@ object Dedup {
     // md5 + 60-column vote aggregate — without this the signature pipeline
     // executes twice
     val bucketed = capBuckets(banded, Seq("band", "key"), maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.persist)
 
     bucketed.as("a")
       .join(bucketed.as("b"),
@@ -972,7 +1046,7 @@ object Dedup {
         posexplode(TextAnalysis.wordNgrams(col("toks"), spanLen)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         portableHash(col("col")).as("span_fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.persist)
     val dup = occ.groupBy(col("span_fp"))
       .agg(count_distinct(col("doc_id")).as("n_docs"))
       .where(col("n_docs") >= minDocs)
@@ -1061,7 +1135,7 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val fps = capBuckets(winnowFingerprints(df, idCol, textCol, k, w),
       Seq("fp"), maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.persist)
     fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

@@ -82,18 +82,26 @@ object Profile {
   def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
       bins: Int): DataFrame = {
     require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
-    val w = (hi - lo) / bins
     val v = col(valueCol).cast("double")
-    val bucket = when(v < lo, lit(-1L))
+    df.where(v.isNotNull)
+      .groupBy(bucketOf(v, lo, hi, bins).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(v).as("bucket_min"), max(v).as("bucket_max"))
+  }
+
+  /** The fixed-edge bucket id shared by [[histogram]], [[psiDrift]] (via
+    * histogram) and [[ksDriftQuantized]]: −1 below `lo`, `bins` above `hi`,
+    * closed upper edge, floor-clamped in between.
+    */
+  private def bucketOf(v: org.apache.spark.sql.Column, lo: Double,
+      hi: Double, bins: Int): org.apache.spark.sql.Column = {
+    val w = (hi - lo) / bins
+    when(v < lo, lit(-1L))
       .when(v > hi, lit(bins.toLong))
       .when(v === hi, lit(bins.toLong - 1)) // closed upper edge
       // least-clamp: (v - lo) / w can round UP to exactly `bins` for a value
       // a ULP below hi, which would mislabel an in-range value as n_above
       .otherwise(least(floor((v - lo) / w).cast("long"), lit(bins.toLong - 1)))
-    df.where(v.isNotNull)
-      .groupBy(bucket.as("bucket"))
-      .agg(count(lit(1)).as("n"),
-        min(v).as("bucket_min"), max(v).as("bucket_max"))
   }
 
   /** Population-stability-index drift between two snapshots of a value
@@ -175,6 +183,28 @@ object Profile {
       .agg(max(col("nb")).as("n_base"), max(col("nc")).as("n_cur"),
         round(max(abs(col("rb").cast("double") / col("nb")
           - col("rc").cast("double") / col("nc"))), 6).as("d_stat"))
+  }
+
+  /** [[ksDrift]] after fixed-edge quantization — the 100 TB tier for
+    * CONTINUOUS columns. [[ksDrift]]'s cumulative pass is bounded by value
+    * cardinality: exact and cheap for discrete columns, but a continuous
+    * ultra-high-cardinality column would funnel its whole distinct-value
+    * table through the one global-order window. This tier buckets both
+    * sides on the same fixed [lo, hi] edges as [[histogram]] first (the
+    * −1/bins out-of-range guard buckets participate), so the window runs
+    * over at most bins+2 rows no matter the corpus — the corpus-sized work
+    * is two hash aggregates, same shape as [[psiDrift]]. The statistic is
+    * the exact KS distance of the QUANTIZED distributions, a lower bound on
+    * the true D that tightens as `bins` grows (binned-KS standard).
+    */
+  def ksDriftQuantized(base: DataFrame, cur: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
+    def quantize(df: DataFrame): DataFrame = {
+      val v = col(valueCol).cast("double")
+      df.where(v.isNotNull).select(bucketOf(v, lo, hi, bins).as("__qv"))
+    }
+    ksDrift(quantize(base), quantize(cur), "__qv")
   }
 
   /** DuckDB replay of [[ksDrift]] value-for-value. */

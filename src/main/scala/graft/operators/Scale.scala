@@ -413,12 +413,35 @@ object Scale {
     * and duplicate (key, version) rows WITHIN one source are an input
     * contract violation surfaced deterministically (lowest-priority-source
     * copy wins is NOT guaranteed; the caller dedups first).
+    *
+    * `validate = true` turns that contract into a check: the call FAILS
+    * eagerly (IllegalArgumentException carrying the offending group count)
+    * if any (key, version) appears more than once within one source,
+    * instead of silently emitting a nondeterministic winner. The check is
+    * one extra aggregate over the union — same key shuffle shape — so it
+    * prices like a second pass of the window stage; leave it off on trusted
+    * nightly inputs, turn it on when ingesting a new upstream.
     */
   def mergeLatest(base: DataFrame, updates: DataFrame, keyCol: String,
-      versionCol: String): DataFrame = {
+      versionCol: String, validate: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tagged = base.withColumn("__src", lit(0))
       .unionByName(updates.withColumn("__src", lit(1)))
+    if (validate) {
+      // distributed assert, no driver collect of data: count duplicate
+      // (source, key, version) groups; raise with the count if any exist.
+      // Runs eagerly (tiny 1-row agg job) so the violation surfaces at call
+      // time, not wherever the lazy result happens to be consumed.
+      val dups = tagged.groupBy(col("__src"), col(keyCol), col(versionCol))
+        .agg(count(lit(1)).as("__copies"))
+        .where(col("__copies") > 1)
+        .agg(count(lit(1)).as("__groups"))
+        .head().getLong(0)
+      require(dups == 0L,
+        s"mergeLatest(validate=true): $dups (key, version) group(s) appear " +
+          "more than once within a single source — the winner would be " +
+          "nondeterministic; dedup the input first")
+    }
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(versionCol).desc, col("__src").desc)
     tagged.withColumn("__rn", row_number().over(w))

@@ -213,7 +213,7 @@ object Similarity {
     val spark = df.sparkSession
     val vecsAsDouble = df.select(col(idCol),
       transform(col(vecCol), x => x.cast("double")).as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.persist)
     var centroids = vecsAsDouble.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long").as("centroid_id"), col("v").as("cvec"))
     for (_ <- 1 to iters) {
@@ -321,7 +321,7 @@ object Similarity {
         norm(col(vecCol)).as("nrm"),
         portableBucketExpr(col(vecCol), signs).as("bucket")),
       Seq("bucket"), maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.persist)
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -759,7 +759,7 @@ object Similarity {
         norm(col(vecCol)).as("nrm"),
         hyperplaneBucket(col(vecCol), bits).as("bucket")),
       Seq("bucket"), maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.persist)
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -888,7 +888,7 @@ object Similarity {
     // any order).
     val cf = sparseFeatures(chunks,
       Seq(docCol -> "doc", chunkCol -> "chunk_id"), textCol, dim)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.persist)
     val pf = sparseFeatures(probes, Seq(probeIdCol -> "probe_id"),
       probeTextCol, dim)
     val cnrm = cf.groupBy(col("doc"), col("chunk_id"))
@@ -1009,7 +1009,7 @@ object Similarity {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"))
       .join(assigned.select(col(idCol).as("id"), col("centroid_id")), "id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Caching.persist)
     // the cap only excludes oversized clusters from PAIRING; their members
     // still reach the kept output below (base, not clustered, is the
     // left side of the anti-join)

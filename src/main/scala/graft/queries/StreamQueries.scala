@@ -65,6 +65,21 @@ object StreamQueries {
           col("purchase_value"))
     }),
 
+    // the LEFT OUTER stream-stream interval join on the batch tables: same
+    // equi+range join, but clicks with no in-window purchase survive with
+    // null purchase columns — the batch replay of the state-expiry outer
+    // semantics StreamingSpec exercises with watermarks (deterministic, so
+    // it goes through the DuckDB gate like the inner form)
+    "q_stream_interval_outer" -> ((s, d) => {
+      val ev = events(s, d)
+      EventStreams.intervalJoinLeftOuter(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "purchase"),
+        watermark = "1 hour", lookback = "10 minutes")
+        .select(col("click_id"), col("user_id"), col("purchase_ts"),
+          col("purchase_value"))
+    }),
+
     // time-series resample + forward fill: dense 15-min grid per user over
     // their active span, gaps carry the last observed bucket max forward
     // (a 1-in-20 user slice — the full-corpus grid is a 420k-row dump at
@@ -300,6 +315,16 @@ object StreamQueries {
         |      FROM events WHERE event_type = 'purchase')
         |SELECT c.click_id, c.user_id, p.purchase_ts, p.purchase_value
         |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.purchase_ts <= c.click_ts
+        |  AND p.purchase_ts > c.click_ts - INTERVAL 10 MINUTE""".stripMargin,
+
+    "q_stream_interval_outer" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts::TIMESTAMP AS click_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts::TIMESTAMP AS purchase_ts, value AS purchase_value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, c.user_id, p.purchase_ts, p.purchase_value
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
         |  AND p.purchase_ts <= c.click_ts
         |  AND p.purchase_ts > c.click_ts - INTERVAL 10 MINUTE""".stripMargin,
 

@@ -35,10 +35,32 @@ object Tables {
     * the path means two concurrent drivers — even on the SAME dataset dir —
     * can never overwrite each other's layout mid-read (ADVICE r03). Callers
     * add their own dataset/format tag on top.
+    *
+    * Every dir is registered for JVM-exit deletion: per-application paths
+    * that merely self-overwrote under the old fixed naming would otherwise
+    * accumulate one set of layouts per driver run, growing /tmp without
+    * bound across repeated bench/gate invocations (ADVICE r04).
     */
   def scratchDir(spark: SparkSession, tag: String): String = {
     val app = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    s"/tmp/graft_${app}_$tag"
+    val dir = s"/tmp/graft_${app}_$tag"
+    cleanupOnExit(dir)
+    dir
+  }
+
+  // one shutdown hook for all scratch dirs (File.deleteOnExit can't remove
+  // non-empty directories); idempotent registration per path
+  private val scratchPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val cleanupHook: Unit =
+    sys.addShutdownHook {
+      scratchPaths.forEach { p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      }
+    }
+  private def cleanupOnExit(dir: String): Unit = {
+    cleanupHook
+    scratchPaths.add(dir)
   }
 
   // cache the active dir per session: repeated schema inference (a parquet

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.{Caching, Dedup}
+import org.apache.spark.sql.functions._
+
+class CachingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "alpha beta gamma delta epsilon"),
+    (2L, "alpha beta gamma delta zeta"),
+    (3L, "one two three four five six")).toDF("doc_id", "text")
+
+  test("scoped: operator persists are released at scope exit") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val n = Caching.scoped {
+      // jaccardPairs persists its shingle table internally; count()
+      // materializes it inside the scope
+      Dedup.jaccardPairs(docs, "doc_id", "text", ngram = 2,
+        idWindow = 25L, threshold = 0.5).count()
+    }
+    assert(n == 1L) // docs 1-2 share 3 of 5 bigrams → J = 3/5
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "scope exit must unpersist what the operator persisted")
+  }
+
+  test("unscoped: pre-existing behavior — persists survive the call") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val df = Dedup.jaccardPairs(docs, "doc_id", "text", ngram = 2,
+      idWindow = 25L, threshold = 0.5)
+    assert(df.count() == 1L)
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "outside a scope the operator's persist must stay (lazy callers)")
+    spark.catalog.clearCache() // leave the suite session clean
+  }
+
+  test("scoped: nesting releases only the inner scope's entries") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Caching.scoped {
+      val outer = Dedup.jaccardPairs(docs, "doc_id", "text", ngram = 2,
+        idWindow = 25L, threshold = 0.5)
+      outer.count()
+      val afterOuter = spark.sparkContext.getPersistentRDDs.size
+      Caching.scoped {
+        Dedup.jaccardPairsChar(docs, "doc_id", "text",
+          n = 5, idWindow = 25L, threshold = 0.6).count()
+      }
+      // the inner scope's char-gram persist is gone, the outer's remains
+      assert(spark.sparkContext.getPersistentRDDs.size == afterOuter)
+      // outer result still cached → consumable again without rebuild
+      assert(outer.count() == 1L)
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+}

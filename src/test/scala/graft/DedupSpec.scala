@@ -45,6 +45,32 @@ class DedupSpec extends SparkSpec {
     assert(plain == Seq(11L, 13L, 15L))
   }
 
+  test("incrementalBloom: empty seen store keeps the whole batch (bootstrap)") {
+    // the first-ever ingest: BloomFilterAggregate over zero rows evaluates to
+    // a NULL filter, and an un-guarded NULL probe drops EVERY row from BOTH
+    // where branches — the answer must instead be incremental()'s, i.e. the
+    // batch-internal dedup with nothing filtered out
+    val incoming = Seq((11L, "a b c"), (12L, "a b c"), (13L, "x y z"))
+      .toDF("id", "text")
+    def ids(seen: org.apache.spark.sql.DataFrame): (Seq[Long], Seq[Long]) = {
+      def run(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.getLong(0)).sorted.toSeq
+      (run(Dedup.incremental(incoming, col("id"),
+        TextAnalysis.fingerprint(col("text")), seen)),
+        run(Dedup.incrementalBloom(incoming, col("id"),
+          TextAnalysis.fingerprint(col("text")), seen)))
+    }
+    // zero-row store, and a store of only null keys (same thing after the
+    // null-key exclusion contract)
+    val empty = Seq.empty[String].toDF("text")
+    val allNull = Seq(null.asInstanceOf[String]).toDF("text")
+    for (seen <- Seq(empty, allNull)) {
+      val (plain, bloomed) = ids(seen)
+      assert(plain == Seq(11L, 13L))
+      assert(bloomed == plain)
+    }
+  }
+
   test("incrementalBloom: numeric keys route correctly (build/probe type parity)") {
     // a LongType key: the bloom must be built and probed on the same
     // representation — a putLong build probed via mightContainString never
@@ -235,6 +261,21 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(
       1L -> ((1L, 2L)), 2L -> ((1L, 2L)), 3L -> ((1L, 2L)),
       10L -> ((10L, 10L)), 11L -> ((10L, 10L))))
+  }
+
+  test("keepBest: member missing from the quality frame stays in the family") {
+    // doc 3 has no quality row: it must still come out (score -Inf, never
+    // the keeper) instead of being inner-joined away; doc 12's whole family
+    // is unscored → keeper falls back to the lower id
+    val pairs = Seq((1L, 2L), (2L, 3L), (11L, 12L)).toDF("id_a", "id_b")
+    val quality = Seq((1L, 0.2), (2L, 0.9)).toDF("doc_id", "score")
+    val rows = Dedup.keepBest(pairs, quality).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 11L, 12L))
+    assert(rows(3L) == ((2L, Double.NegativeInfinity)))
+    assert(rows(2L) == ((2L, 0.9)))
+    assert(rows(11L) == ((11L, Double.NegativeInfinity)))
+    assert(rows(12L) == ((11L, Double.NegativeInfinity)))
   }
 
   test("connectedComponents: empty pair set yields empty frame, no crash") {

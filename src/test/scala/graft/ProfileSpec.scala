@@ -85,4 +85,27 @@ class ProfileSpec extends SparkSpec {
     val r = Profile.ksDrift(a, b, "x").head()
     assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((4L, 4L, 0.5)))
   }
+
+  test("ksDriftQuantized: bounded window over a continuous high-card column") {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    // every value distinct (the exact tier's worst case): uniform [0,1)
+    // vs uniform [0.5,1.5) via deterministic hash-derived fractions
+    val n = 20000
+    val base = spark.range(n)
+      .select((pmod(hash(col("id")), lit(10000)).cast("double") / 10000.0
+        + col("id").cast("double") / 1e12).as("x"))
+    val curr = base.select((col("x") + 0.5).as("x"))
+    val r = Profile.ksDriftQuantized(base, curr, "x", 0.0, 2.0, 40).head()
+    assert((r.getLong(0), r.getLong(1)) == ((n.toLong, n.toLong)))
+    // true D = 0.5 for a half-width shift of uniforms; the quantized stat
+    // is a lower bound that is tight here (edges align with the shift)
+    assert(math.abs(r.getDouble(2) - 0.5) < 0.02)
+    // identical snapshots → exactly 0 through the quantized path too
+    assert(Profile.ksDriftQuantized(base, base, "x", 0.0, 2.0, 40)
+      .head().getDouble(2) == 0.0)
+    // the cumulative window's input is the bucket table: ≤ bins+2 rows
+    // regardless of corpus cardinality — lower-bound property vs exact tier
+    val exact = Profile.ksDrift(base, curr, "x").head().getDouble(2)
+    assert(r.getDouble(2) <= exact + 1e-9)
+  }
 }

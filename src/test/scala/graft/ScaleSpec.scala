@@ -205,6 +205,25 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got.size == 3)                // exactly one survivor per key
   }
 
+  test("mergeLatest: validate flag rejects in-source (key, version) dups") {
+    import graft.operators.Scale
+    val base = Seq((1L, "a", 0L), (1L, "a-twin", 0L), (2L, "b", 0L))
+      .toDF("k", "payload", "version")
+    val updates = Seq((2L, "b2", 1L)).toDF("k", "payload", "version")
+    // silent default: still answers (documented nondeterministic winner)
+    assert(Scale.mergeLatest(base, updates, "k", "version").count() == 2)
+    // validate mode surfaces the contract violation eagerly
+    val e = intercept[IllegalArgumentException] {
+      Scale.mergeLatest(base, updates, "k", "version", validate = true)
+    }
+    assert(e.getMessage.contains("1 (key, version) group"))
+    // clean inputs pass validation with the identical answer
+    val clean = Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("k", "payload", "version")
+    val got = Scale.mergeLatest(clean, updates, "k", "version", validate = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b2"))
+  }
+
   test("downsampleTemperature: α=1 natural, α=0 parity, α=0.5 in between") {
     import graft.operators.Scale
     val df = ((0L until 100L).map(i => (i, "a", 10L)) ++
