@@ -619,6 +619,57 @@ object Dedup {
         round(col("score"), 6).as("score"))
   }
 
+  /** Leakage-safe train/val/test split: hash-bucket assignment keyed by the
+    * near-duplicate FAMILY representative instead of the document id, so a
+    * family can never straddle the train/eval boundary — the split-time
+    * guard against near-duplicate leakage (a training doc's near-copy in
+    * the validation set silently inflates eval scores; family-keying is how
+    * production corpora close it). Documents in no family key by their own
+    * id, reproducing the plain content-stable split for them; percentages
+    * are cut points on the same md5 bucket in [0, 100). Returns `df`'s
+    * rows + (family_id — null when unpaired, split). One [[connectedComponents]]
+    * run + a broadcast-sized left join of the family table (families are
+    * duplicate clusters, not the corpus); no extra corpus shuffle beyond it.
+    */
+  def leakSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "need 0 < trainPct, 0 <= valPct, trainPct + valPct < 100")
+    val fam = connectedComponents(pairs, maxIter, checkpointDir)
+      .select(col("doc_id").as("__fid_doc"), col("family_id"))
+    val keyed = df.join(fam, col(idCol) === col("__fid_doc"), "left")
+      .drop("__fid_doc")
+      .withColumn("__skey",
+        coalesce(col("family_id"), col(idCol)).cast("string"))
+    keyed
+      .withColumn("__b", portableHash(col("__skey")) % 100L)
+      .withColumn("split",
+        when(col("__b") < trainPct, "train")
+          .when(col("__b") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .drop("__skey", "__b")
+  }
+
+  /** DuckDB replay of [[leakSafeSplit]] over `pairsSql`'s pairs: the same
+    * recursive-closure families, the same family-keyed md5 bucket.
+    */
+  def leakSafeSplitOracleSql(pairsSql: String, trainPct: Int = 80,
+      valPct: Int = 10, table: String = "documents",
+      idCol: String = "doc_id"): String =
+    s"""WITH fam AS (${componentsOracleSql(pairsSql)}),
+       |k AS (
+       |  SELECT t.*, fam.family_id,
+       |         coalesce(fam.family_id, t.$idCol)::VARCHAR AS skey
+       |  FROM $table t LEFT JOIN fam ON fam.doc_id = t.$idCol),
+       |b AS (SELECT k.*, ('0x' || substr(md5(skey), 1, 15))::BIGINT % 100 AS bk
+       |      FROM k)
+       |SELECT * EXCLUDE (skey, bk),
+       |       CASE WHEN bk < $trainPct THEN 'train'
+       |            WHEN bk < ${trainPct + valPct} THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM b""".stripMargin
+
   /** DuckDB replay of [[keepBest]] over `pairsSql`'s pair output.
     * `scoreExpr` must compute the same per-document quality the Spark call
     * was given.

@@ -448,4 +448,209 @@ object Scale {
       .where(col("__rn") === 1)
       .drop("__rn", "__src")
   }
+
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual Pretraining"):
+    * split a total training-token `budget` across strata (languages,
+    * sources) as uniformly as possible subject to a per-stratum repeat cap —
+    * no stratum may be scheduled past `maxEpochs` passes over its own
+    * tokens. The answer is the classic waterfill: strata whose capacity
+    * cap_i = maxEpochs·tokens_i sits below the fair share are allocated
+    * their whole capacity, and the remaining budget spreads evenly over the
+    * rest. Closed form over the capacity-ascending order (k = rank,
+    * S_k = running capacity sum, m = stratum count): stratum k is capped
+    * iff S_k + cap_k·(m−k) ≤ B, K = the largest such k, and every uncapped
+    * stratum gets u = (B−S_K)/(m−K). When even the largest capacity
+    * satisfies the test (K = m) the budget exceeds total capacity and every
+    * stratum just gets its cap (the leftover is unusable at this epoch
+    * limit). Returns one row per stratum: (stratum, n_tokens, cap, alloc,
+    * epochs = alloc/tokens).
+    *
+    * Scale shape: the corpus reduces to per-stratum token totals in one
+    * distributed hash aggregate; the waterfill itself runs on the m-row
+    * stratum table (a windowed prefix sum over cardinality-of-strata rows —
+    * the [[graft.operators.Profile.histogram]]-bins regime, nothing
+    * corpus-sized sorts globally). Deterministic ordering (capacity, then
+    * stratum) makes the allocation engine-replayable.
+    */
+  def unimaxAllocate(df: DataFrame, stratumCol: String, tokenCol: Column,
+      budget: Double, maxEpochs: Double): DataFrame = {
+    require(budget > 0 && maxEpochs > 0, "need budget > 0 and maxEpochs > 0")
+    import org.apache.spark.sql.expressions.Window
+    val strata = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(sum(tokenCol).cast("double").as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * maxEpochs)
+    val ord = Window.orderBy(col("cap"), col("stratum"))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = strata
+      .withColumn("__k", row_number().over(ord))
+      .withColumn("__s", sum(col("cap")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__m", count(lit(1)).over(all))
+      .withColumn("__capped",
+        col("__s") + col("cap") * (col("__m") - col("__k")) <= budget)
+    // "__kmax", not "__K": withColumn resolves case-INsensitively, so a
+    // name differing from "__k" only by case would silently REPLACE the
+    // rank column and turn the k ≤ K test into K ≤ K (always capped)
+    val filled = ranked
+      .withColumn("__kmax", max(when(col("__capped"), col("__k"))
+        .otherwise(lit(0))).over(all))
+      .withColumn("__smax", coalesce(max(when(col("__capped"), col("__s")))
+        .over(all), lit(0.0)))
+      .withColumn("__u",
+        when(col("__kmax") < col("__m"),
+          (lit(budget) - col("__smax")) / (col("__m") - col("__kmax")))
+          .otherwise(lit(0.0)))
+      .withColumn("alloc",
+        when(col("__k") <= col("__kmax"), col("cap")).otherwise(col("__u")))
+    filled.select(col("stratum"), col("n_tokens").cast("long").as("n_tokens"),
+      col("cap").cast("long").as("cap"), round(col("alloc"), 6).as("alloc"),
+      round(col("alloc") / col("n_tokens"), 6).as("epochs"))
+  }
+
+  /** DuckDB replay of [[unimaxAllocate]]: same capacity order, prefix test,
+    * and waterfill arithmetic. `tokenExpr` computes each row's token count.
+    */
+  def unimaxOracleSql(tokenExpr: String, budget: Double, maxEpochs: Double,
+      table: String = "documents", stratumCol: String = "lang"): String =
+    s"""WITH s AS (
+       |  SELECT $stratumCol AS stratum, sum($tokenExpr)::DOUBLE AS n_tokens,
+       |         sum($tokenExpr)::DOUBLE * $maxEpochs AS cap
+       |  FROM $table GROUP BY 1),
+       |r AS (
+       |  SELECT *, row_number() OVER (ORDER BY cap, stratum) AS k,
+       |         sum(cap) OVER (ORDER BY cap, stratum
+       |           ROWS UNBOUNDED PRECEDING) AS sk,
+       |         count(*) OVER () AS m
+       |  FROM s),
+       |f AS (SELECT *, sk + cap * (m - k) <= $budget AS capped FROM r),
+       |agg AS (
+       |  SELECT coalesce(max(k) FILTER (capped), 0) AS kk,
+       |         coalesce(max(sk) FILTER (capped), 0.0) AS skk
+       |  FROM f)
+       |SELECT stratum, n_tokens::BIGINT AS n_tokens, cap::BIGINT AS cap,
+       |       round(CASE WHEN k <= kk THEN cap
+       |                  ELSE ($budget - skk) / (m - kk) END, 6) AS alloc,
+       |       round((CASE WHEN k <= kk THEN cap
+       |                   ELSE ($budget - skk) / (m - kk) END) / n_tokens, 6)
+       |         AS epochs
+       |FROM f, agg""".stripMargin
+
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score every `raw` document by how
+    * target-like its hashed n-gram distribution is, and keep the top `n`.
+    * Features are unigrams + word bigrams hashed into `buckets` bins (the
+    * paper's hashed n-gram generative model); both corpora reduce to
+    * bucket-count histograms, the per-bucket log-likelihood ratio
+    * llr(b) = ln p̂_target(b) − ln p̂_raw(b) (add-½ Laplace smoothing on the
+    * FULL bucket grid, [[Profile.psiDrift]]'s convention, so empty buckets
+    * stay finite and the support is occupancy-independent), and a document's
+    * importance weight is Σ over its feature occurrences of llr(bucket).
+    * Selection is deterministic top-n (logw DESC, id ASC) — the paper's
+    * Gumbel-resampling variant reduces to this at temperature → 0, and
+    * determinism is what makes the operator gate-checkable.
+    *
+    * Scale shape: each corpus is scanned once — the raw side's (id, bucket)
+    * counts roll up into its global histogram rather than re-scanning.
+    * Histograms are `buckets` rows (a broadcast-sized model no matter the
+    * corpus — the hashing trick's point), scoring is a broadcast join on the
+    * bucket id + one per-doc aggregate, and the top-n is a
+    * TakeOrderedAndProject, never a single-partition window. Per-doc sums
+    * fold in bucket order over the collected (bucket, contribution) pairs —
+    * partition-order-proof, so the double is bit-identical to the oracle's
+    * (raw FP totals; `logw` is rounded for output only, ordering uses the
+    * exact value). Docs with zero tokens have no features and are absent,
+    * mirroring [[Similarity.hashEmbed]]'s contract.
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int, n: Int): DataFrame = {
+    require(buckets > 0 && n > 0, "need buckets > 0 and n > 0")
+    val spark = raw.sparkSession
+    def feats(df: DataFrame): DataFrame =
+      // tokens materialize in their own projection BEFORE the bigram lambda
+      // (the Dedup.shingleTable rule): inlining the tokenization expression
+      // into wordNgrams' per-element lambda re-runs the regex split once
+      // per token — O(tokens²) per document, measured as 6.9 s of this
+      // operator's original 9.6 s at sf0.1
+      df.select(col(idCol).cast("long").as("id"),
+          graft.operators.TextAnalysis.tokens(col(textCol)).as("__toks"))
+        .select(col("id"), explode(concat(col("__toks"),
+          graft.operators.TextAnalysis.wordNgrams(col("__toks"), 2))).as("__f"))
+        .select(col("id"),
+          (Dedup.portableHash(col("__f")) % buckets).cast("long").as("b"))
+    // raw per-doc bucket counts; the raw histogram is their rollup (one scan)
+    val rawIdB = feats(raw).groupBy(col("id"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .transform(Caching.persist)
+    val rawHist = rawIdB.groupBy(col("b")).agg(sum(col("cnt")).as("cr"))
+    val tgtHist = feats(target).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    // full fixed grid (cf. psiDrift): smoothing support must be all buckets
+    val grid = spark.range(0L, buckets.toLong).select(col("id").as("b"))
+      .join(tgtHist, Seq("b"), "left").join(rawHist, Seq("b"), "left")
+      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val totals = grid.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"),
+      lit(buckets.toLong).as("nb"))
+    val llr = grid.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("ct") + 0.5) / (col("tt") + lit(0.5) * col("nb")))
+          - log((col("cr") + 0.5) / (col("tr") + lit(0.5) * col("nb"))))
+          .as("llr"))
+    val scored = rawIdB.join(broadcast(llr), Seq("b"))
+      .groupBy(col("id"))
+      .agg(sum(col("cnt")).as("n_feats"),
+        sort_array(collect_list(struct(col("b"),
+          (col("cnt") * col("llr")).as("c")))).as("cs"))
+      .select(col("id"), col("n_feats"),
+        aggregate(col("cs"), lit(0.0), (acc, s) => acc + s.getField("c"))
+          .as("__logw"))
+    scored.orderBy(col("__logw").desc, col("id"))
+      .limit(n)
+      .select(col("id"), col("n_feats"), round(col("__logw"), 6).as("logw"))
+  }
+
+  /** DuckDB replay of [[dsirSelect]] value-for-value: same hash, same
+    * smoothing grid, same bucket-sorted per-doc fold, same ordering.
+    * `rawPred`/`targetPred` select the two corpora from `table`.
+    */
+  def dsirOracleSql(rawPred: String, targetPred: String, buckets: Int,
+      n: Int, table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text"): String = {
+    val toks = graft.operators.TextAnalysis.toksSql(textCol)
+    val hash = "('0x' || substr(md5(f), 1, 15))::BIGINT"
+    def featCte(pred: String): String =
+      s"""SELECT $idCol AS id, $hash % $buckets AS b
+         |FROM (
+         |  SELECT $idCol, unnest(list_concat(toks,
+         |    CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+         |         ELSE list_transform(generate_series(1, len(toks) - 1),
+         |                i -> toks[i] || ' ' || toks[i+1]) END)) AS f
+         |  FROM (SELECT $idCol, $toks AS toks FROM $table WHERE ($pred)))""".stripMargin
+    s"""WITH rawf AS (${featCte(rawPred)}),
+       |tgtf AS (${featCte(targetPred)}),
+       |ridb AS (SELECT id, b, count(*)::BIGINT AS cnt FROM rawf GROUP BY 1, 2),
+       |rhist AS (SELECT b, sum(cnt)::BIGINT AS cr FROM ridb GROUP BY 1),
+       |thist AS (SELECT b, count(*)::BIGINT AS ct FROM tgtf GROUP BY 1),
+       |grid AS (
+       |  SELECT g.b, coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+       |  FROM (SELECT unnest(generate_series(0, ${buckets - 1}))::BIGINT AS b) g
+       |  LEFT JOIN thist ON thist.b = g.b
+       |  LEFT JOIN rhist ON rhist.b = g.b),
+       |t AS (SELECT sum(ct) AS tt, sum(cr) AS tr,
+       |             ${buckets}::BIGINT AS nb FROM grid),
+       |llr AS (
+       |  SELECT b, ln((ct + 0.5) / (tt + 0.5 * nb))
+       |           - ln((cr + 0.5) / (tr + 0.5 * nb)) AS llr
+       |  FROM grid, t),
+       |scored AS (
+       |  SELECT id, sum(cnt)::BIGINT AS n_feats,
+       |         list_sum(list_transform(
+       |           list_sort(list({b: ridb.b, c: cnt * llr})),
+       |           x -> x.c)) AS logw
+       |  FROM ridb JOIN llr ON llr.b = ridb.b
+       |  GROUP BY id)
+       |SELECT id, n_feats, round(logw, 6) AS logw
+       |FROM (SELECT * FROM scored ORDER BY logw DESC, id LIMIT $n)""".stripMargin
+  }
 }

@@ -886,8 +886,21 @@ object Similarity {
     // the inverted index of classical sparse retrieval; scores are
     // identical to the dense [[hashEmbed]] cosine (integer-exact sums in
     // any order).
+    // repartition the chunk features by (doc, chunk_id) BEFORE the probe
+    // join: the join itself is broadcast (probes ≪ corpus, no shuffle), and
+    // hash-partitioning on a PREFIX of every downstream group key —
+    // (probe, doc, chunk) dots, (doc, chunk) norms — satisfies their
+    // clustered distribution, so both aggregates run shuffle-free in place.
+    // Without it the features sit hash(doc, chunk, idx)-spread, every
+    // partition touches nearly every (probe, doc, chunk) group, and the
+    // partial-aggregate output (≈ groups × partitions rows — measured as
+    // the query's dominant cost at dim=64, where the "sparse" join is
+    // effectively dense) gets shuffled; with it the map-side aggregate IS
+    // the final one. One narrow-row shuffle of the feature table replaces
+    // a groups×partitions-row shuffle of the join output.
     val cf = sparseFeatures(chunks,
       Seq(docCol -> "doc", chunkCol -> "chunk_id"), textCol, dim)
+      .repartition(col("doc"), col("chunk_id"))
       .transform(Caching.persist)
     val pf = sparseFeatures(probes, Seq(probeIdCol -> "probe_id"),
       probeTextCol, dim)

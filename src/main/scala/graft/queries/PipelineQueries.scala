@@ -258,6 +258,28 @@ object PipelineQueries {
           TextAnalysis.tokenCount(col("text")).cast("long").as("ntok")),
         "doc_id", "lang", col("ntok"), alpha = 0.5)),
 
+    // --- UniMax budget allocation: per-language token budgets under a
+    // 2-epoch repeat cap, closed-form waterfill over the capacity order
+    // (at sf0.01 the 36k budget caps the smallest language and spreads the
+    // rest — both waterfill regimes exercised across the gate SFs) ---
+    "q_pipeline_unimax" -> ((s, d) =>
+      graft.operators.Scale.unimaxAllocate(
+        docs(s, d).select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ntok")),
+        "lang", col("ntok"), budget = 36000.0, maxEpochs = 2.0)),
+
+    // --- DSIR importance selection: raw docs (source != src0) ranked by
+    // hashed unigram+bigram log-likelihood ratio against the src0 target
+    // distribution, deterministic top-100 (oracle replays hash, smoothing
+    // grid, bucket-sorted fold, and the exact-order cut) ---
+    "q_pipeline_dsir" -> ((s, d) => {
+      val dd = docs(s, d)
+      graft.operators.Scale.dsirSelect(
+        dd.where(col("source") =!= "src0"),
+        dd.where(col("source") === "src0"),
+        "doc_id", "text", buckets = 512, n = 100)
+    }),
+
     // --- token-budget sequence packing: greedy fill of 512-token training
     // sequences over 8 independent id-mod shards (oracle: the identical
     // greedy fold as a per-shard recursive CTE) ---
@@ -395,6 +417,14 @@ object PipelineQueries {
       Dedup.minhashPairsPortable(docs(s, d), "doc_id", "text"),
       docs(s, d).select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("score")))),
+
+    // --- leakage-safe split: near-dup families (portable-minhash pairs →
+    // connected components) share one split bucket, unpaired docs fall back
+    // to the plain content-stable split (oracle: recursive closure + the
+    // same family-keyed md5 bucket) ---
+    "q_pipeline_leak_split" -> ((s, d) => Dedup.leakSafeSplit(
+      docs(s, d).select(col("doc_id")), "doc_id",
+      Dedup.minhashPairsPortable(docs(s, d), "doc_id", "text"))),
 
     // --- batch analogue of the streaming minhash-band dedup state: per
     // band bucket the winning doc + claim count (oracle-checked) ---
@@ -785,11 +815,21 @@ object PipelineQueries {
 
     "q_dedup_band_claims" -> Dedup.bandClaimsOracleSql(),
     "q_dedup_components" -> Dedup.componentsOracleSql(Dedup.minhashOracleSql()),
+    "q_pipeline_leak_split" -> Dedup.leakSafeSplitOracleSql(
+      Dedup.minhashOracleSql(), table = "(SELECT doc_id FROM documents)"),
     "q_dedup_keep_best" -> Dedup.keepBestOracleSql(
       Dedup.minhashOracleSql(), TextAnalysis.qualitySql("text")),
 
     "q_pipeline_rebalance" -> graft.operators.Scale.downsampleOracleSql(
       weightExpr = s"len(${TextAnalysis.toksSql("text")})"),
+
+    "q_pipeline_unimax" -> graft.operators.Scale.unimaxOracleSql(
+      tokenExpr = s"len(${TextAnalysis.toksSql("text")})",
+      budget = 36000.0, maxEpochs = 2.0),
+
+    "q_pipeline_dsir" -> graft.operators.Scale.dsirOracleSql(
+      rawPred = "source <> 'src0'", targetPred = "source = 'src0'",
+      buckets = 512, n = 100),
 
     "q_pipeline_temperature" -> graft.operators.Scale.temperatureOracleSql(
       weightExpr = s"len(${TextAnalysis.toksSql("text")})", alpha = 0.5),

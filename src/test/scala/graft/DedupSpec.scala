@@ -278,6 +278,26 @@ class DedupSpec extends SparkSpec {
     assert(rows(12L) == ((11L, Double.NegativeInfinity)))
   }
 
+  test("leakSafeSplit: a near-dup family never straddles the split") {
+    val df = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.leakSafeSplit(df, "doc_id", pairs).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), r.getString(2)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // the whole {1,2,3} family carries one family id and ONE split
+    assert(Seq(1L, 2L, 3L).map(got(_)._1).distinct == Seq(Some(1L)))
+    assert(Seq(1L, 2L, 3L).map(got(_)._2).distinct.size == 1)
+    // unpaired docs have no family and use their own id's bucket —
+    // identical to the plain split's assignment for them
+    assert(got(4L)._1.isEmpty && got(5L)._1.isEmpty)
+    val plain = df.select(col("doc_id"),
+        (Dedup.portableHash(col("doc_id").cast("string")) % 100L).as("b"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.getLong(1) < 80) "train" else if (r.getLong(1) < 90) "val"
+         else "test")).toMap
+    assert(got(4L)._2 == plain(4L) && got(5L)._2 == plain(5L))
+  }
+
   test("connectedComponents: empty pair set yields empty frame, no crash") {
     // sum(label) over zero rows is NULL — the fixpoint checksum must
     // coalesce it instead of NPE-ing (ADVICE r02)

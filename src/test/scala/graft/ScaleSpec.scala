@@ -205,6 +205,56 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got.size == 3)                // exactly one survivor per key
   }
 
+  test("unimaxAllocate: hand-checked waterfill across all three regimes") {
+    import graft.operators.Scale
+    // strata token totals: a=100, b=300, c=1000; caps at 2 epochs:
+    // 200, 600, 2000
+    val df = Seq(("a", 100L), ("b", 300L), ("c", 1000L)).toDF("lang", "ntok")
+    def alloc(budget: Double): Map[String, Double] =
+      Scale.unimaxAllocate(df, "lang", col("ntok"), budget, maxEpochs = 2.0)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // mixed: B=1500 → a capped (200+2·600=1400 ≤ 1500), b not
+    // (800+600=1400... S2+cap2·1=1400 ≤ 1500 → b capped too!), then
+    // c gets 1500−800=700: a=200, b=600, c=700
+    assert(alloc(1500.0) == Map("a" -> 200.0, "b" -> 600.0, "c" -> 700.0))
+    // uniform: B=450 → even the smallest cap 200 > 450/3·... the capped
+    // test fails for a (200+2·200=600 > 450) → all get 150
+    assert(alloc(450.0) == Map("a" -> 150.0, "b" -> 150.0, "c" -> 150.0))
+    // saturated: B=5000 ≥ total capacity 2800 → everyone at cap
+    assert(alloc(5000.0) == Map("a" -> 200.0, "b" -> 600.0, "c" -> 2000.0))
+    // epochs column = alloc/tokens
+    val ep = Scale.unimaxAllocate(df, "lang", col("ntok"), 1500.0, 2.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(ep("a") == 2.0 && ep("b") == 2.0 && ep("c") == 0.7)
+  }
+
+  test("dsirSelect: target-like raw docs outrank off-distribution ones") {
+    import graft.operators.Scale
+    // target distribution: feline vocabulary; raw corpus mixes two
+    // target-like docs (1, 3) with two off-distribution ones (2, 4)
+    val target = Seq(
+      (100L, "cat kitten purr cat whisker kitten"),
+      (101L, "purr cat kitten cat cat whisker")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "cat kitten purr whisker cat"),
+      (2L, "tractor diesel harvest plow tractor"),
+      (3L, "kitten purr cat cat whisker"),
+      (4L, "invoice ledger audit balance ledger")).toDF("doc_id", "text")
+    val top2 = Scale.dsirSelect(raw, target, "doc_id", "text",
+      buckets = 256, n = 2).collect().map(_.getLong(0)).toSet
+    assert(top2 == Set(1L, 3L))
+    // full ranking: every target-like doc scores above every off-target one
+    val all = Scale.dsirSelect(raw, target, "doc_id", "text",
+      buckets = 256, n = 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.min(all(1L), all(3L)) > math.max(all(2L), all(4L)))
+    // zero-token raw docs are absent, not scored
+    val withEmpty = raw.union(Seq((5L, "   ")).toDF("doc_id", "text"))
+    assert(Scale.dsirSelect(withEmpty, target, "doc_id", "text",
+      buckets = 256, n = 10).collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L, 4L))
+  }
+
   test("mergeLatest: validate flag rejects in-source (key, version) dups") {
     import graft.operators.Scale
     val base = Seq((1L, "a", 0L), (1L, "a-twin", 0L), (2L, "b", 0L))
