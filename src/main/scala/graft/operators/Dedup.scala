@@ -399,6 +399,70 @@ object Dedup {
       threshold)
   }
 
+  /** Exact CONTAINMENT pairs within an id window — Broder's asymmetric
+    * companion to Jaccard: C(A→B) = |A∩B|/|A| ≥ t flags A as (near-)
+    * contained in B, the shape of quote-inclusion and page-within-crawl
+    * duplication that the symmetric Jaccard tiers systematically miss (a
+    * small doc inside a large one has high containment but low Jaccard —
+    * the union swamps the intersection). Emits one row per directed
+    * containment with both directions' scores computable from the same
+    * intersection; pairs where BOTH directions pass are exact-duplicate
+    * candidates, one-direction pairs are subset dups. Same equi-block join
+    * as [[jaccardPairs]] (never a nested loop); the prefix filter does NOT
+    * apply (containment bounds only the contained side's set size), so the
+    * tier relies on the window bound — appropriate, since containment
+    * candidates are exactly the pairs the size-ratio prune would discard.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      ngram: Int, idWindow: Long, threshold: Double): DataFrame = {
+    val nonEmpty = shingleTable(df, idCol, textCol, ngram)
+      .select(col("id"),
+        array_distinct(transform(col("sh"), s => xxhash64(s))).as("sh"))
+      .transform(Caching.persist)
+    blockedPairs(nonEmpty, idWindow)
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("cont_ab",
+        col("inter").cast("double") / size(col("sh_a")).cast("double"))
+      .withColumn("cont_ba",
+        col("inter").cast("double") / size(col("sh_b")).cast("double"))
+      .where(col("cont_ab") >= threshold || col("cont_ba") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("cont_ab"), 6).as("cont_ab"),
+        round(col("cont_ba"), 6).as("cont_ba"))
+  }
+
+  /** DuckDB replay of [[containmentPairs]] value-for-value (string
+    * shingles — hashing only changes collision odds, identical at oracle
+    * scale).
+    */
+  def containmentOracleSql(ngram: Int = 2, idWindow: Long = 25L,
+      threshold: Double = 0.8, table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text"): String =
+    s"""WITH t AS (
+       |  SELECT $idCol AS id,
+       |         ${graft.operators.TextAnalysis.toksSql(textCol)} AS toks
+       |  FROM $table),
+       |sh AS (
+       |  SELECT id, list_distinct(CASE WHEN len(toks) < $ngram THEN []::VARCHAR[]
+       |    ELSE list_transform(generate_series(1, len(toks) - ${ngram - 1}),
+       |      i -> ${(0 until ngram).map(o => s"toks[i+$o]").mkString(" || ' ' || ")}) END) AS sh
+       |  FROM t),
+       |ne AS (SELECT id, sh FROM sh WHERE len(sh) > 0),
+       |a AS (SELECT id AS id_a, sh AS sh_a,
+       |             unnest([id // $idWindow, id // $idWindow + 1]) AS blk FROM ne),
+       |b AS (SELECT id AS id_b, sh AS sh_b, id // $idWindow AS blk FROM ne),
+       |p AS (
+       |  SELECT id_a, id_b, len(list_intersect(sh_a, sh_b)) AS inter,
+       |         len(sh_a) AS la, len(sh_b) AS lb
+       |  FROM a JOIN b USING (blk)
+       |  WHERE id_a < id_b AND id_b - id_a <= $idWindow)
+       |SELECT id_a, id_b,
+       |       round(inter::DOUBLE / la::DOUBLE, 6) AS cont_ab,
+       |       round(inter::DOUBLE / lb::DOUBLE, 6) AS cont_ba
+       |FROM p
+       |WHERE inter::DOUBLE / la::DOUBLE >= $threshold
+       |   OR inter::DOUBLE / lb::DOUBLE >= $threshold""".stripMargin
+
   /** Exact character-n-gram Jaccard within an id window: byte-level dedup
     * robustness (catches token-boundary edits word shingles miss — see
     * [[TextAnalysis.charNgrams]]). Same equi-block join as [[jaccardPairs]].

@@ -292,6 +292,59 @@ object Similarity {
       .limit(k)
   }
 
+  /** Materialize the IVF index as a centroid-PARTITIONED parquet layout —
+    * the serving-side half of the IVF lifecycle: [[ivfAssign]] labels every
+    * vector with its inverted list, and `partitionBy(centroid_id)` turns
+    * each list into its own partition directory. A probe then touches only
+    * its `nprobe` directories (see [[knnIvfIndexed]]) — at 100 TB the index
+    * is written once and every query's scan is bounded by the probed lists,
+    * not the corpus, exactly like [[graft.operators.Scale.writeZordered]]
+    * bounds range scans. Returns the re-read frame (partition column comes
+    * back as its own column; cast to long for schema stability).
+    */
+  def writeIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+      path: String, centroidEvery: Long = 50): DataFrame = {
+    val assigned = ivfAssign(df, idCol, vecCol, centroidEvery)
+    df.join(assigned, idCol)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    df.sparkSession.read.parquet(path)
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+  }
+
+  /** [[knnIvf]] served from a [[writeIvfIndex]] layout: identical answer
+    * (same probe selection, same exact re-rank), but the inverted lists
+    * live in a table PARTITIONED on `centroid_id` and the probe set is
+    * pushed as a STATIC `isin` partition filter — the scan plans against
+    * the `nprobe` probed directories only (PartitionFilters in the scan
+    * node; measured in `SimilaritySpec`), never touching the other lists'
+    * files. The probe ids come off a driver collect of `nprobe` rows —
+    * bounded by the probe count, not data (the serving pattern: the probe
+    * list IS the query plan). `centroidEvery` must match the value the
+    * index was written with (the every-Nth-id centroid recipe is
+    * re-derivable from ids alone, so the index needs no side metadata).
+    */
+  def knnIvfIndexed(index: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, centroidEvery: Long = 50,
+      nprobe: Int = 3): DataFrame = {
+    val q = index.where(col(idCol) === queryId)
+      .select(col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm"))
+    val cents = index.where(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
+    val probeIds = cents.join(broadcast(q))
+      .select(col("centroid_id"), cosine(col("cvec"), col("qvec")).as("cs"))
+      .orderBy(col("cs").desc, col("centroid_id")).limit(nprobe)
+      .select("centroid_id").collect().map(_.getLong(0)).toSeq
+    index.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"),
+        col("centroid_id"))
+      .where(col("centroid_id").isin(probeIds: _*))
+      .join(broadcast(q))
+      .where(col(idCol) =!= queryId)
+      .select(col(idCol),
+        cosineScore(dot(col(vecCol), col("qvec")), col("nrm") * col("qnrm")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** ±1 hyperplane sign table derived from md5 (computed once on the JVM,
     * inlined as literals on both engines) — the portable analogue of
     * [[hyperplaneBucket]]'s xxhash planes.

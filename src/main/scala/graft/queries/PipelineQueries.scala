@@ -384,6 +384,13 @@ object PipelineQueries {
       docs(s, d), "doc_id", "text", ngram = 2,
       idWindow = 25L, threshold = 0.5)),
 
+    // --- directed containment pairs: subset-duplication (doc inside doc)
+    // the symmetric Jaccard tiers miss; both directions' scores reported
+    // (oracle replays the same blocked join + intersection) ---
+    "q_dedup_containment" -> ((s, d) => Dedup.containmentPairs(
+      docs(s, d), "doc_id", "text", ngram = 2,
+      idWindow = 25L, threshold = 0.8)),
+
     // --- MinHash+LSH near-dup pairs (rows-only; recall-tested in DedupSpec
     // at its own parameters). 16 hashes / 4 bands keeps the same rows-per-
     // band selectivity (r = 4) as 32/8 at half the signature cost — the
@@ -507,6 +514,19 @@ object PipelineQueries {
     "q_knn_ivf" -> ((s, d) => {
       Tables.load(s, d)
       Similarity.knnIvf(s.table("embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)
+    }),
+
+    // --- IVF served from the centroid-partitioned parquet layout: write
+    // the inverted lists as partition dirs, probe through dynamic partition
+    // pruning — answer identical to q_knn_ivf (same oracle), the layout's
+    // scan bound is pinned in SimilaritySpec ---
+    "q_knn_ivf_layout" -> ((s, d) => {
+      Tables.load(s, d)
+      val index = Similarity.writeIvfIndex(s.table("embeddings"), "vec_id",
+        "embedding",
+        Tables.scratchDir(s, s"ivf_${d.replaceAll("[^A-Za-z0-9]", "_")}"))
+      Similarity.knnIvfIndexed(index, "vec_id", "embedding",
         queryId = 0L, k = 10)
     }),
 
@@ -686,6 +706,40 @@ object PipelineQueries {
       |                      WHERE doc_id % 2 = 0 AND dup_key IS NOT NULL)
       |GROUP BY dup_key""".stripMargin
 
+  /** Shared DuckDB replay of the IVF top-k (assignment argmax, probe
+    * selection, exact re-rank; queryId=0, k=10, centroidEvery=50, nprobe=3)
+    * — `q_knn_ivf` and the layout-served `q_knn_ivf_layout` are
+    * answer-identical by construction, so both gate entries use it.
+    */
+  private val ivfOracleSql: String =
+    """WITH vecs AS (
+      |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings),
+      |cents AS (
+      |  SELECT id AS centroid_id, v AS cvec, nrm AS cnrm FROM vecs
+      |  WHERE id % 50 = 0),
+      |assigned AS (
+      |  SELECT id, centroid_id FROM (
+      |    SELECT a.id, c.centroid_id,
+      |           row_number() OVER (PARTITION BY a.id
+      |             ORDER BY list_dot_product(a.v, c.cvec) / (a.nrm * c.cnrm) DESC,
+      |                      c.centroid_id) AS rn
+      |    FROM vecs a CROSS JOIN cents c)
+      |  WHERE rn = 1),
+      |q AS (SELECT v AS qvec, nrm AS qnrm FROM vecs WHERE id = 0),
+      |probe AS (
+      |  SELECT centroid_id FROM cents, q
+      |  ORDER BY list_dot_product(cvec, qvec) / (cnrm * qnrm) DESC, centroid_id
+      |  LIMIT 3)
+      |SELECT id AS vec_id, score FROM (
+      |  SELECT a.id, list_dot_product(a.v, q.qvec) / (a.nrm * q.qnrm) AS score
+      |  FROM vecs a
+      |  JOIN assigned USING (id)
+      |  JOIN probe USING (centroid_id), q
+      |  WHERE a.id <> 0)
+      |ORDER BY score DESC, id LIMIT 10""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_dedup_minhash_md5" -> Dedup.minhashOracleSql(),
     "q_dedup_fuzzy" -> Dedup.fuzzyOracleSql(),
@@ -812,6 +866,7 @@ object PipelineQueries {
     "q_knn_pq" -> Similarity.knnPqOracleSql(queryId = 0L, k = 10),
     "q_knn_ivfpq" -> Similarity.knnIvfPqOracleSql(queryId = 0L, k = 10),
     "q_dedup_jaccard_char" -> Dedup.jaccardCharOracleSql(),
+    "q_dedup_containment" -> Dedup.containmentOracleSql(),
 
     "q_dedup_band_claims" -> Dedup.bandClaimsOracleSql(),
     "q_dedup_components" -> Dedup.componentsOracleSql(Dedup.minhashOracleSql()),
@@ -883,35 +938,12 @@ object PipelineQueries {
     // q_knn_ivf is deterministic end to end (every-Nth-id centroids, double
     // folds, unique tiebreakers) → full DuckDB replay: assignment argmax,
     // probe selection, exact re-rank. Constants mirror the queries entry
-    // (queryId=0, k=10, centroidEvery=50, nprobe=3).
-    "q_knn_ivf" ->
-      """WITH vecs AS (
-        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
-        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-        |  FROM embeddings),
-        |cents AS (
-        |  SELECT id AS centroid_id, v AS cvec, nrm AS cnrm FROM vecs
-        |  WHERE id % 50 = 0),
-        |assigned AS (
-        |  SELECT id, centroid_id FROM (
-        |    SELECT a.id, c.centroid_id,
-        |           row_number() OVER (PARTITION BY a.id
-        |             ORDER BY list_dot_product(a.v, c.cvec) / (a.nrm * c.cnrm) DESC,
-        |                      c.centroid_id) AS rn
-        |    FROM vecs a CROSS JOIN cents c)
-        |  WHERE rn = 1),
-        |q AS (SELECT v AS qvec, nrm AS qnrm FROM vecs WHERE id = 0),
-        |probe AS (
-        |  SELECT centroid_id FROM cents, q
-        |  ORDER BY list_dot_product(cvec, qvec) / (cnrm * qnrm) DESC, centroid_id
-        |  LIMIT 3)
-        |SELECT id AS vec_id, score FROM (
-        |  SELECT a.id, list_dot_product(a.v, q.qvec) / (a.nrm * q.qnrm) AS score
-        |  FROM vecs a
-        |  JOIN assigned USING (id)
-        |  JOIN probe USING (centroid_id), q
-        |  WHERE a.id <> 0)
-        |ORDER BY score DESC, id LIMIT 10""".stripMargin,
+    // (queryId=0, k=10, centroidEvery=50, nprobe=3). The layout-served
+    // variant is answer-identical by construction (same assignment, same
+    // probes, same re-rank — only the storage layout differs), so both
+    // gate entries replay the one oracle.
+    "q_knn_ivf" -> ivfOracleSql,
+    "q_knn_ivf_layout" -> ivfOracleSql,
 
     "q_text_stats" ->
       s"""WITH t AS (

@@ -417,6 +417,56 @@ class DedupSpec extends SparkSpec {
     assert(gotCased(1L) == "Keep Me Z")
   }
 
+  test("containmentPairs: subset dup flagged one-way, Jaccard misses it") {
+    // doc 2's bigrams are a strict subset of doc 1's (contained quote);
+    // the union is large so Jaccard stays low while containment is 1.0
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")
+    val quote = (10 to 15).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, big), (2L, quote), (3L, "x1 x2 x3 x4 x5"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", ngram = 2,
+      idWindow = 25L, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 5.0 / 39.0, 1.0)).map(t =>
+      (t._1, t._2, math.rint(t._3 * 1e6) / 1e6, t._4)))
+    // the symmetric tier at the same bar sees nothing
+    assert(Dedup.jaccardPairs(df, "doc_id", "text", ngram = 2,
+      idWindow = 25L, threshold = 0.9).collect().isEmpty)
+  }
+
+  test("jaccardPairs prefix filter is lossless on randomized corpora") {
+    // the r5 candidate generation drops pairs sharing no prefix element —
+    // provably safe (PPJoin prefix lemma), but the proof rests on exact
+    // prefix-length arithmetic (FP floor guard) and the sorted-distinct
+    // contract, so pin it against a brute-force reference over corpora
+    // with heavy shingle overlap and varying set sizes
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    for (t <- Seq(0.3, 0.5, 0.8); trial <- 1 to 4) {
+      val docs = (0L until 10L).map { id =>
+        val n = 3 + rnd.nextInt(12)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      def shingles(text: String): Set[String] = {
+        val toks = text.split(" ")
+        (0 until toks.length - 1).map(i => s"${toks(i)} ${toks(i + 1)}").toSet
+      }
+      val window = 4L
+      val reference = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs
+        if ia < ib && ib - ia <= window
+        sa = shingles(ta); sb = shingles(tb)
+        if sa.nonEmpty && sb.nonEmpty
+        j = (sa & sb).size.toDouble / (sa | sb).size
+        if j >= t
+      } yield (ia, ib)).toSet
+      val got = Dedup.jaccardPairs(docs.toDF("doc_id", "text"), "doc_id",
+          "text", ngram = 2, idWindow = window, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == reference, s"t=$t corpus: $docs")
+    }
+  }
+
   test("dupSpans: randomized corpora match a brute-force reference") {
     // tiny vocabulary forces genuine cross-doc span repeats; fixed seed
     // keeps the corpus deterministic across runs

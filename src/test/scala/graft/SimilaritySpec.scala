@@ -3,7 +3,8 @@ package graft
 import graft.operators.Similarity
 import org.apache.spark.sql.functions._
 
-class SimilaritySpec extends SparkSpec {
+class SimilaritySpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
   import spark.implicits._
 
   private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
@@ -382,5 +383,35 @@ class SimilaritySpec extends SparkSpec {
       centroidEvery = 2L, threshold = 0.999, maxBucket = 2)
       .collect().map(_.getLong(0)).toSet
     assert(Set(10L, 11L, 12L).subsetOf(keptCapped))
+  }
+
+  test("knnIvfIndexed: layout-served answer matches knnIvf, scan is pruned") {
+    val dir = s"/tmp/graft_ivf_spec_${spark.sparkContext.applicationId}"
+    val index = Similarity.writeIvfIndex(emb, "vec_id", "embedding", dir)
+    val total = index.count()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = rows(Similarity.knnIvf(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10))
+    val served = Similarity.knnIvfIndexed(index, "vec_id", "embedding",
+      queryId = 0L, k = 10)
+    assert(rows(served) == direct)
+    // the inverted-list scan must be partition-pruned to the probed lists:
+    // its FileSourceScanExec reads strictly fewer rows than the corpus
+    // (3 probed lists of ~centroidEvery vectors each, not all of them).
+    // Materialize first so AQE finalizes, then walk THROUGH the adaptive
+    // wrapper (collectLeaves stops at AdaptiveSparkPlanExec)
+    served.collect() // populate metrics through THIS plan
+    val scans = collectWithSubqueries(served.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    // the list scan is the one carrying a partition filter on centroid_id
+    val pruned = scans.filter(_.partitionFilters.nonEmpty)
+    assert(pruned.nonEmpty,
+      s"expected a partition-filtered scan, got: ${scans.map(_.partitionFilters)}")
+    val scannedRows = pruned.map(_.metrics("numOutputRows").value).max
+    assert(scannedRows > 0 && scannedRows * 2 < total,
+      s"probed scan read $scannedRows of $total rows — not pruned")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 }
