@@ -162,6 +162,39 @@ object ScaleStress {
         "probe_id", "text", dim = 64, k = 5).count()
     time("sparse-retrieval 1x")(rag(d1))
     time("sparse-retrieval 10x")(rag(d10))
+
+    // DSIR: the model is bucket-bounded, so 10x should be ~one extra
+    // corpus-scan's worth — any superlinear growth means the per-doc fold
+    // or the llr join degenerated
+    def dsir(d: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.Scale.dsirSelect(
+        d.where(col("source") =!= "src0"), d.where(col("source") === "src0"),
+        "doc_id", "text", buckets = 512, n = 100).count()
+    time("dsir 1x")(dsir(d1))
+    time("dsir 10x")(dsir(d10))
+
+    // prefix-filtered exact Jaccard: candidates are window-bounded AND
+    // prefix-gated — 10x corpus = 10x blocks, work per block unchanged
+    time("jaccard-prefix 1x")(
+      Dedup.jaccardPairs(d1, "doc_id", "text", 2, 25L, 0.8).count())
+    time("jaccard-prefix 10x")(
+      Dedup.jaccardPairs(d10, "doc_id", "text", 2, 25L, 0.8).count())
+
+    // IVF layout: write cost scales with corpus, probe cost with the
+    // probed lists only (the scan is partition-pruned). centroidEvery is
+    // SIZED to sqrt(n) like every IVF tier: a fixed stride makes both the
+    // assignment argmax (n·centroids = n²/stride) and the partition-dir
+    // count grow superlinearly — measured 2.7 → 26.6 s at 10x before
+    // sizing, 2.7 → ~8 s after
+    def ivfServe(e: org.apache.spark.sql.DataFrame, tag: String): Long = {
+      val every = Similarity.sizeCentroidEvery(e.count())
+      val idx = Similarity.writeIvfIndex(e, "vec_id", "embedding",
+        s"/tmp/stress/ivf_$tag", centroidEvery = every)
+      Similarity.knnIvfIndexed(idx, "vec_id", "embedding",
+        queryId = 0L, k = 10, centroidEvery = every).count()
+    }
+    time("ivf-layout 1x (write+probe, sized)")(ivfServe(e1, "1x"))
+    time("ivf-layout 10x (write+probe, sized)")(ivfServe(e10, "10x"))
     spark.stop()
   }
 }

@@ -301,6 +301,13 @@ object Similarity {
     * not the corpus, exactly like [[graft.operators.Scale.writeZordered]]
     * bounds range scans. Returns the re-read frame (partition column comes
     * back as its own column; cast to long for schema stability).
+    *
+    * Size `centroidEvery` with [[sizeCentroidEvery]] for corpus-scale
+    * builds: a FIXED stride makes the assignment argmax n·centroids =
+    * n²/stride and the partition-directory count linear in n (the
+    * small-files trap) — sqrt(n) lists keep both the build and the
+    * directory count at n^1.5 / sqrt(n) (measured in `ScaleStress`; the
+    * gate entry keeps the oracle's fixed 50).
     */
   def writeIvfIndex(df: DataFrame, idCol: String, vecCol: String,
       path: String, centroidEvery: Long = 50): DataFrame = {

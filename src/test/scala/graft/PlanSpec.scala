@@ -46,6 +46,37 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "range blocking must plan as an equi-join on block keys, not BNLJ")
   }
 
+  test("containment pairs join on equi-keys, never nested-loop") {
+    val (_, plan) = executed("q_dedup_containment")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty,
+      "id-window blocking must plan as an equi-join on block keys, not BNLJ")
+  }
+
+  test("dsir scores through a broadcast model, never nested-loop") {
+    // the bucket-llr model must be broadcast-sized (the hashing trick's
+    // point) and the scoring join an equi join on the bucket id
+    val (_, plan) = executed("q_pipeline_dsir")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.size == 1,
+      "exactly the ONE-ROW totals cross join may nest-loop (psiDrift's " +
+        s"pinned pattern); got ${bnlj.size}")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "the llr model must join via broadcast hash")
+  }
+
+  test("ivf layout scan carries a static partition filter") {
+    // the serving read must prune at PLAN time to the probed inverted
+    // lists — a filter-after-scan would read every list's files
+    val (_, plan) = executed("q_knn_ivf_layout")
+    val pruned = collectWithSubqueries(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.partitionFilters.nonEmpty => f
+    }
+    assert(pruned.nonEmpty,
+      "expected PartitionFilters on the inverted-list scan")
+  }
+
   test("fuzzy (levenshtein) dedup joins on equi-keys, never nested-loop") {
     val (_, plan) = executed("q_dedup_fuzzy")
     val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
