@@ -49,7 +49,29 @@ object Bench {
     // sorted order: hash-map iteration reshuffles whenever a query is added,
     // which silently moves queries across the persist-accumulation/GC
     // profile of the run and makes per-round numbers incomparable
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only subset hook: regex over query names (unset under the driver,
+    // so recorded runs always time the full registry)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    // Machine-load calibration: a fixed CPU-bound probe timed before and
+    // after the query sweep. The recorded wall-clock totals have twice been
+    // contaminated by concurrent load on the recording box (r4: uniform
+    // ~26% inflation on unchanged SQL; r5: the dedup family recorded 113.6 s
+    // where the identical commit measures 10.7-18.6 s quiet — host/stream
+    // families normal, so a transient CPU-contention window, not code).
+    // cal_pre/cal_post give any reader of BENCH_r{N}.json a load signal
+    // measured IN the same JVM at the run's endpoints: quiet box ≈ a stable
+    // sub-second value; a contended run shows it inflated by the same
+    // factor as the queries. Costs <1 s, changes no query timing.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(100000000L).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // untimed: the probe's own plan/codegen warm-up
+    val calPre = calibrate()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
@@ -73,7 +95,8 @@ object Bench {
     val fam = results.groupBy(_._1.split("_")(1)).toSeq.sortBy(_._1)
       .map { case (f, rs) => s"\"" + f + "\":" + f"${rs.map(_._2).sum}%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":$fam,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    val calPost = calibrate()
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":$fam,"cal_pre":${f"$calPre%.3f"},"cal_post":${f"$calPost%.3f"},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

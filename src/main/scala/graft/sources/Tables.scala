@@ -17,13 +17,23 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     configure(spark) // nanos timestamps need the session conf before the read
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
-    // for; with nanosAsLong it arrives as Long ns-since-epoch → truncate to
-    // micros (integer div — ns epoch values exceed 2^53, so no doubles).
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-    else df
+    // events.ts arrives differently depending on how the driver generated
+    // the parquet: TIMESTAMP(NANOS) (no native Spark type — nanosAsLong
+    // makes it a Long of ns-since-epoch, truncated here to micros with
+    // integer div because ns epoch values exceed 2^53), or TIMESTAMP(MICROS)
+    // without UTC adjustment (arrives as TIMESTAMP_NTZ). Both normalize to
+    // the same session-UTC TimestampType so every downstream query and
+    // oracle sees one shape regardless of the file's physical encoding.
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr}
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
+    } else df
   }
 
   /** Session configs needed to read the driver's parquet (nanos timestamps). */
