@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over entity co-occurrence — the link-quality tier of a
+  * web-scale training-data pipeline (PageRank over the link/citation graph
+  * is the classical document-authority prior; Common Crawl curation ranks
+  * hosts exactly this way). North-star addition (SURVEY.md §2c) — the
+  * reference has no graph operators.
+  *
+  * Everything is DataFrame joins/aggregates: edges are rows, one iteration
+  * of rank propagation is one (src-keyed join + dst-keyed aggregate), so a
+  * k-iteration PageRank is k bounded shuffles of the edge table — the same
+  * plan GraphX's Pregel would stage, without leaving Catalyst. Ranks are
+  * carried as BIGINT micro-units (1e12 = total mass 1.0) with floor
+  * division everywhere, so every iteration is exact integer arithmetic:
+  * associative, partition-order-proof, and replayable value-for-value by
+  * any engine with 64-bit integers ([[pageRankOracleSql]] chains one CTE
+  * per iteration — the BPE-trainer oracle pattern).
+  */
+object Graph {
+
+  /** Total rank mass in integer micro-units (1e12 ≙ probability 1.0).
+    * Large enough that floor-division loss over tens of iterations stays
+    * below 1e-9 per node; small enough that SCALE · damping numerators
+    * stay far from Long overflow for any node count.
+    */
+  val RankScale: Long = 1000000000000L
+
+  /** Undirected co-occurrence edges: items sharing a group (parts sharing
+    * an order, docs sharing a near-dup family, hosts sharing a page) become
+    * edge pairs, emitted in BOTH directions and deduplicated across groups
+    * (simple graph). `maxGroupSize` is the standard skew guard — a group
+    * of g items contributes g·(g−1)/2 pairs, so one pathological group
+    * (the "viral order") would otherwise dominate the edge build the same
+    * way an uncapped LSH bucket dominates pair generation; capped groups
+    * are DROPPED from pairing (not sampled) so the result stays
+    * deterministic and oracle-replayable.
+    *
+    * Shape: one self-equi-join of the (group, item) table on the group key
+    * — work is Σ group², bounded by `maxGroupSize`², never corpus².
+    */
+  def coEdges(df: DataFrame, groupCol: String, itemCol: String,
+      maxGroupSize: Int = 64): DataFrame = {
+    val g = df.select(col(groupCol).as("g"), col(itemCol).as("item")).distinct()
+    val sized = g.join(
+      g.groupBy("g").agg(count(lit(1)).as("__n")).where(col("__n") <= maxGroupSize),
+      "g")
+    val l = sized.select(col("g"), col("item").as("src"))
+    val r = sized.select(col("g"), col("item").as("dst"))
+    val pairs = l.join(r, "g").where(col("src") < col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    pairs.unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Degree per node of an (src, dst) edge table (counts each directed
+    * row; over [[coEdges]] output this is the undirected degree).
+    */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+
+  /** PageRank by fixed-iteration power method over an (src, dst) edge
+    * table, damping = `dampNum`/100 (default 85). Returns
+    * (node, rank_u) — rank in [[RankScale]] micro-units after `iters`
+    * rounds from the uniform start.
+    *
+    * Integer semantics (both engines replay bit-for-bit):
+    *   base      = (100−dampNum) · (SCALE // N) // 100
+    *   contrib(s)= rank(s) // degree(s)
+    *   rank'(d)  = base + dampNum · Σ_{s→d} contrib(s) // 100
+    * Dangling mass (nodes without out-edges — absent from [[coEdges]]
+    * output by construction since edges are bidirectional) and floor
+    * remainders leak a bounded ~1e-9 of mass per round; the deterministic
+    * leak is part of the pinned semantics, not redistributed.
+    *
+    * Scale shape: the degree table joins once (src-keyed), each iteration
+    * is one src-keyed join of the current rank against the persisted edge
+    * table plus one dst-keyed aggregate — k iterations = k·2 bounded
+    * shuffles, no driver-side state (the loop only composes lazy plans;
+    * nothing is collected). For deep iteration counts on a real cluster,
+    * checkpoint every few rounds exactly like
+    * [[Dedup.connectedComponents]]'s `checkpointDir` mode — at the gate's
+    * fixed k the composed plan stays well under Catalyst limits.
+    */
+  def pageRank(edges: DataFrame, iters: Int, dampNum: Int = 85): DataFrame = {
+    require(iters >= 0 && dampNum >= 0 && dampNum <= 100)
+    val deg = degrees(edges)
+    val e = edges.join(deg.withColumnRenamed("node", "src"), "src")
+      .select(col("src"), col("dst"), col("degree"))
+      .transform(Caching.persist)
+    val n = deg.count() // one scalar: the node count (not a data collect)
+    val base = (100L - dampNum) * (RankScale / math.max(n, 1L)) / 100L
+    var ranks = deg.select(col("node"),
+      lit(RankScale / math.max(n, 1L)).as("rank_u"))
+    for (_ <- 1 to iters) {
+      // `div`, not `/`: Spark's `/` on BIGINTs is DOUBLE division, whose
+      // rounding can cross an integer boundary before the floor (rank_u
+      // ~1e12 → abs error ~1e-5) — the whole point of integer carriers is
+      // that no double ever appears
+      val contribs = e.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("rank_u div degree").as("c"))
+      ranks = contribs.groupBy(col("dst").as("node"))
+        .agg((lit(base) + expr(s"($dampNum * sum(c)) div 100"))
+          .cast("long").as("rank_u"))
+    }
+    ranks
+  }
+
+  /** DuckDB SQL replaying [[coEdges]] (same cap, same dedup) over a
+    * (group, item) projection of `table`.
+    */
+  def coEdgesSql(groupExpr: String, itemExpr: String, table: String,
+      maxGroupSize: Int = 64): String =
+    s"""gi AS (
+       |  SELECT DISTINCT $groupExpr AS g, $itemExpr AS item FROM $table),
+       |gok AS (
+       |  SELECT g FROM gi GROUP BY g HAVING count(*) <= $maxGroupSize),
+       |half AS (
+       |  SELECT DISTINCT a.item AS src, b.item AS dst
+       |  FROM gi a JOIN gok USING (g) JOIN gi b USING (g)
+       |  WHERE a.item < b.item),
+       |edges AS (
+       |  SELECT src, dst FROM half
+       |  UNION ALL SELECT dst AS src, src AS dst FROM half)""".stripMargin
+
+  /** DuckDB SQL replaying [[pageRank]] over [[coEdges]] value-for-value:
+    * one chained CTE per iteration (the BPE-trainer oracle pattern), floor
+    * integer division via `//` on BIGINTs matching Spark's
+    * `(a / b).cast("long")` on non-negative operands.
+    */
+  def pageRankOracleSql(groupExpr: String, itemExpr: String, table: String,
+      iters: Int, dampNum: Int = 85, maxGroupSize: Int = 64): String = {
+    val S = RankScale
+    val iterCtes = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |         (SELECT base FROM params)
+         |           + $dampNum * sum(p.rank_u // e.degree) // 100 AS rank_u
+         |  FROM de e JOIN $prev p ON p.node = e.src
+         |  GROUP BY e.dst)"""
+    }.mkString(",\n")
+    s"""WITH ${coEdgesSql(groupExpr, itemExpr, table, maxGroupSize)},
+       |deg AS (SELECT src AS node, count(*)::BIGINT AS degree
+       |        FROM edges GROUP BY src),
+       |params AS (
+       |  SELECT (100 - $dampNum) * ($S // count(*)) // 100 AS base,
+       |         $S // count(*) AS r_init
+       |  FROM deg),
+       |de AS (SELECT e.src, e.dst, d.degree FROM edges e
+       |       JOIN deg d ON d.node = e.src),
+       |r0 AS (SELECT node, (SELECT r_init FROM params) AS rank_u FROM deg),
+       |$iterCtes
+       |SELECT node, rank_u::BIGINT AS rank_u FROM r$iters""".stripMargin
+  }
+
+  /** DuckDB SQL replaying [[degrees]] ∘ [[coEdges]]. */
+  def degreesOracleSql(groupExpr: String, itemExpr: String, table: String,
+      maxGroupSize: Int = 64): String =
+    s"""WITH ${coEdgesSql(groupExpr, itemExpr, table, maxGroupSize)}
+       |SELECT src AS node, count(*)::BIGINT AS degree
+       |FROM edges GROUP BY src""".stripMargin
+}

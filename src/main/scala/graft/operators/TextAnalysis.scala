@@ -911,4 +911,310 @@ object TextAnalysis {
        |         (acc, h) -> (acc * $PortableFpBase + h) % $P) AS fp_mod
        |FROM hs""".stripMargin
   }
+
+  /** The Gopher rule-based document-quality battery (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from Training
+    * Gopher", Appendix A1.1) — the standard pre-filter every web-scale
+    * training corpus runs before the model-based filters: per-document
+    * word-count bounds, mean word length bounds, symbol-to-word ratio
+    * (hash marks + ellipses), bullet-started and ellipsis-ended line
+    * fractions, the alphabetic-word fraction, and presence of common
+    * English stop words. Emits every signal (so downstream consumers can
+    * re-threshold without re-scanning) plus the composite `pass` verdict
+    * under the paper's published thresholds.
+    *
+    * Distributed shape: a single projection over the corpus — token/line
+    * HOFs fold entirely in-row (integer counts, exact under any execution
+    * order), no joins, no shuffles, no state; at 100 TB this is a pure
+    * map over the scan, the cheapest possible plan. Fractions are integer
+    * ratios rounded to 6 dp ([[tokenEntropy]]'s cross-engine tolerance).
+    */
+  def gopherQuality(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2): org.apache.spark.sql.DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val toks = tokens(t)
+    val nw = size(toks).cast("long")
+    // lines: trailing-whitespace-trimmed; blank lines kept in the
+    // denominator (the paper counts raw lines)
+    val lines = split(t, "\n")
+    val nl = size(lines).cast("long")
+    val bulletLines = size(filter(lines,
+      l => ltrim(l).rlike("^[-*•‣◦]"))).cast("long")
+    val ellipsisLines = size(filter(lines,
+      l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("long")
+    val alphaWords = size(filter(toks, w => w.rlike("[a-z]"))).cast("long")
+    val symbols = (regexp_count(t, lit("#")) +
+      regexp_count(t, lit("\\.\\.\\.")) + regexp_count(t, lit("…")))
+      .cast("long")
+    val charSum = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
+    val swHits = size(filter(array(GopherStopwords.map(lit): _*),
+      s => array_contains(toks, s))).cast("long")
+    val meanLen = when(nw > 0, round(charSum.cast("double") / nw, 6))
+    val symbolRatio = when(nw > 0, round(symbols.cast("double") / nw, 6))
+    val bulletFrac = when(nl > 0, round(bulletLines.cast("double") / nl, 6))
+    val ellipsisFrac = when(nl > 0, round(ellipsisLines.cast("double") / nl, 6))
+    val alphaFrac = when(nw > 0, round(alphaWords.cast("double") / nw, 6))
+    df.select(col(idCol).as("doc_id"), nw.as("n_words"),
+        meanLen.as("mean_word_len"), symbolRatio.as("symbol_ratio"),
+        bulletFrac.as("bullet_frac"), ellipsisFrac.as("ellipsis_frac"),
+        alphaFrac.as("alpha_frac"), swHits.as("stopword_hits"))
+      .withColumn("pass",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("bullet_frac") <= maxBulletFrac &&
+          col("ellipsis_frac") <= maxEllipsisFrac &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("stopword_hits") >= minStopwords)
+  }
+
+  /** The Gopher battery's stop-word list (Rae et al. 2021 A1.1: "contains
+    * at least 2 of the following English words"). Distinct from the
+    * language-ID [[stopwords]] — the paper pins this exact set.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** DuckDB SQL replaying [[gopherQuality]] value-for-value. */
+  def gopherOracleSql(minWords: Int = 50, maxWords: Int = 100000,
+      table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text"): String = {
+    val sw = GopherStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH t AS (
+       |  SELECT $idCol AS doc_id, coalesce($textCol, '') AS txt,
+       |         ${toksSql(s"coalesce($textCol, '')")} AS toks,
+       |         string_split(coalesce($textCol, ''), chr(10)) AS lines
+       |  FROM $table),
+       |sig AS (
+       |  SELECT doc_id,
+       |         len(toks)::BIGINT AS n_words,
+       |         len(lines)::BIGINT AS n_lines,
+       |         len(list_filter(lines,
+       |           l -> regexp_matches(ltrim(l), '^[-*•‣◦]')))::BIGINT AS bullet_lines,
+       |         len(list_filter(lines,
+       |           l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$')))::BIGINT AS ellipsis_lines,
+       |         len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))::BIGINT AS alpha_words,
+       |         (len(regexp_extract_all(txt, '#'))
+       |          + len(regexp_extract_all(txt, '\\.\\.\\.'))
+       |          + len(regexp_extract_all(txt, '…')))::BIGINT AS symbols,
+       |         list_sum([0] || list_transform(toks, w -> length(w)))::BIGINT AS char_sum,
+       |         len(list_filter($sw, s -> list_contains(toks, s)))::BIGINT AS sw_hits
+       |  FROM t),
+       |r AS (
+       |  SELECT doc_id, n_words,
+       |         CASE WHEN n_words > 0 THEN round(char_sum::DOUBLE / n_words, 6) END AS mean_word_len,
+       |         CASE WHEN n_words > 0 THEN round(symbols::DOUBLE / n_words, 6) END AS symbol_ratio,
+       |         CASE WHEN n_lines > 0 THEN round(bullet_lines::DOUBLE / n_lines, 6) END AS bullet_frac,
+       |         CASE WHEN n_lines > 0 THEN round(ellipsis_lines::DOUBLE / n_lines, 6) END AS ellipsis_frac,
+       |         CASE WHEN n_words > 0 THEN round(alpha_words::DOUBLE / n_words, 6) END AS alpha_frac,
+       |         sw_hits AS stopword_hits
+       |  FROM sig)
+       |SELECT *,
+       |       (n_words BETWEEN $minWords AND $maxWords
+       |        AND mean_word_len BETWEEN 3.0 AND 10.0
+       |        AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+       |        AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+       |        AND stopword_hits >= 2) AS pass
+       |FROM r""".stripMargin
+  }
+
+  /** Multinomial Naive Bayes text classifier, trained and applied as one
+    * DataFrame program — the classical fastText-class quality/language
+    * classifier tier of a training-data pipeline (score every document
+    * against per-label token distributions; the model IS two small
+    * aggregate tables, no driver-side learning loop). Laplace-smoothed:
+    * p(w|l) = (c(w,l)+1)/(T_l+V), prior p(l) = docs_l/docs. Every document
+    * scores against every label (the label set is small — languages,
+    * quality tiers) and the argmax wins with a deterministic (score desc,
+    * label) tiebreak.
+    *
+    * Distributed shape: training = two hash aggregates over the exploded
+    * corpus (per-(label, token) counts, per-label doc counts) — the same
+    * shuffle as any token count; scoring = the exploded corpus left-joined
+    * to the count table on (token, label) after a small-dimension label
+    * broadcast, then a per-(doc, label) SORTED fold of log terms (the
+    * [[tokenEntropy]] pattern) so the double sum is partition-order-proof
+    * and DuckDB-replayable. Unseen (token, label) pairs coalesce to count
+    * 0 — the ln(1/(T_l+V)) smoothing floor — rather than dropping.
+    * Emits (doc_id, label, score, pred) for every (doc, label) with
+    * >= 1 token; `pred` marks the winning row, so consumers get both the
+    * decision and the full per-label score vector from one pass.
+    */
+  def naiveBayes(train: org.apache.spark.sql.DataFrame, labelCol: String,
+      score: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val trainToks = train.select(col(labelCol).as("label"),
+      explode(tokens(col(textCol))).as("tok"))
+    val counts = trainToks.groupBy(col("label"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val labelTotals = counts.groupBy(col("label"))
+      .agg(sum(col("c")).as("t_l"))
+    val vocab = counts.agg(count_distinct(col("tok")).as("v"))
+    val priors = train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("docs_l"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("docs"))))
+      .select(col("label"),
+        log(col("docs_l").cast("double") / col("docs").cast("double"))
+          .as("prior"))
+    val docToks = score.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    // labels × corpus tokens: the label table is tiny (languages/tiers) —
+    // broadcast it, then one (tok, label)-keyed join against the count
+    // table (vocabulary-sized shuffle, not corpus²)
+    val labels = labelTotals.join(priors, "label")
+    val terms = docToks.crossJoin(broadcast(labels))
+      .join(counts, Seq("tok", "label"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("label"), col("prior"),
+        log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("t_l") + col("v")).cast("double")).as("term"))
+    val scored = terms
+      .groupBy(col("doc_id"), col("label"), col("prior"))
+      .agg(sort_array(collect_list(col("term"))).as("ts"))
+      .select(col("doc_id"), col("label"),
+        round(col("prior") + aggregate(col("ts"), lit(0.0),
+          (acc, t) => acc + t), 6).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("label"))
+    scored.withColumn("pred", row_number().over(w) === 1)
+  }
+
+  /** DuckDB SQL replaying [[naiveBayes]] trained and scored on the same
+    * table value-for-value (same smoothing, same sorted fold, same 6 dp
+    * rounding, same tiebreak).
+    */
+  def naiveBayesOracleSql(labelCol: String = "lang", table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text"): String =
+    s"""WITH toks AS (
+       |  SELECT $idCol AS doc_id, $labelCol AS label,
+       |         unnest(${toksSql(textCol)}) AS tok
+       |  FROM $table),
+       |counts AS (
+       |  SELECT label, tok, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+       |lt AS (SELECT label, sum(c)::BIGINT AS t_l FROM counts GROUP BY 1),
+       |voc AS (SELECT count(DISTINCT tok)::BIGINT AS v FROM counts),
+       |pri AS (
+       |  SELECT $labelCol AS label,
+       |         ln(count(*)::DOUBLE /
+       |            (SELECT count(*) FROM $table)::DOUBLE) AS prior
+       |  FROM $table GROUP BY 1),
+       |dt AS (SELECT doc_id, tok FROM toks),
+       |terms AS (
+       |  SELECT dt.doc_id, l.label, pri.prior,
+       |         ln((coalesce(c.c, 0) + 1)::DOUBLE / (l.t_l + voc.v)::DOUBLE)
+       |           AS term
+       |  FROM dt CROSS JOIN lt l
+       |  JOIN pri ON pri.label = l.label
+       |  LEFT JOIN counts c ON c.tok = dt.tok AND c.label = l.label, voc),
+       |scored AS (
+       |  SELECT doc_id, label,
+       |         round(any_value(prior)
+       |           + list_sum(list_sort(list(term))), 6) AS score
+       |  FROM terms GROUP BY doc_id, label)
+       |SELECT doc_id, label, score,
+       |       row_number() OVER (PARTITION BY doc_id
+       |                          ORDER BY score DESC, label) = 1 AS pred
+       |FROM scored""".stripMargin
+
+  /** BM25 lexical retrieval (Robertson–Spärck Jones; the Lucene-parameter
+    * form with k1 = 1.2, b = 0.75) — the sparse half of a RAG serving
+    * stack next to [[graft.operators.Similarity.retrieveChunks]]'s hashed
+    * dense tier: probes query the corpus through an inverted-index
+    * equi-join on the shared term, never a pairwise scan. idf uses the
+    * +1-inside-the-log form, ln(1 + (N−df+0.5)/(df+0.5)) = ln((2N+2)/(2df+1))
+    * — a log of one integer ratio, identical in any engine.
+    *
+    * Cross-engine exactness: the length-normalized denominator
+    * tf + k1·(1−b+b·dl/avgdl) is algebraically cleared of fractions —
+    * with k1 = 6/5, b = 3/4 and avgdl = totlen/N, multiplying through by
+    * 20·totlen gives contribution =
+    * idf · 44·tf·totlen / (20·tf·totlen + 6·totlen + 18·dl·N), an
+    * all-BIGINT numerator/denominator, so each term's double is computed
+    * from identical integers in Spark and DuckDB; the per-(probe, doc) sum
+    * is a SORTED fold ([[tokenEntropy]] pattern), rounded to 6 dp.
+    *
+    * Distributed shape: one corpus tokenize/aggregate pass (tf per
+    * (doc, term), df + dl/totlen from it), probes' DISTINCT terms
+    * broadcast onto the posting lists (probe set ≪ corpus), per-pair
+    * fold, per-probe top-k window with a (score desc, doc) tiebreak —
+    * work is Σ posting-list hits of the probes' terms, never N_docs ×
+    * N_probes.
+    */
+  def bm25Retrieve(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, probes: org.apache.spark.sql.DataFrame,
+      probeIdCol: String, probeTextCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docToks = corpus.select(col(idCol).as("doc"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = docToks.groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("tf")).transform(Caching.persist)
+    val dl = tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("totlen"))
+    val df_t = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = probes
+      .select(col(probeIdCol).as("probe_id"),
+        explode(tokens(col(probeTextCol))).as("term"))
+      .distinct()
+    val terms = tf.join(broadcast(qterms), "term")
+      .join(df_t, "term").join(dl, "doc")
+      .crossJoin(broadcast(stats))
+      .select(col("probe_id"), col("doc"),
+        (log((col("n") * 2 + 2).cast("double") / (col("df") * 2 + 1).cast("double"))
+          * (lit(44L) * col("tf") * col("totlen")).cast("double")
+          / (lit(20L) * col("tf") * col("totlen") + lit(6L) * col("totlen")
+             + lit(18L) * col("dl") * col("n")).cast("double")).as("term_score"))
+    val scored = terms.groupBy(col("probe_id"), col("doc"))
+      .agg(sort_array(collect_list(col("term_score"))).as("ts"),
+        count(lit(1)).as("n_terms"))
+      .select(col("probe_id"), col("doc"), col("n_terms"),
+        round(aggregate(col("ts"), lit(0.0), (acc, t) => acc + t), 6)
+          .as("score"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("doc"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** DuckDB SQL replaying probe-pred-split [[bm25Retrieve]] over one table
+    * value-for-value (same integer-cleared denominator, same sorted fold,
+    * same 6 dp rounding, same tiebreak). `probePred` over the bound `id`
+    * splits probes from corpus — the [[contaminationOracleSql]] pattern.
+    */
+  def bm25OracleSql(k: Int, probePred: String = "id % 20 = 0",
+      table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text"): String =
+    s"""WITH toks AS (
+       |  SELECT $idCol AS id, unnest(${toksSql(textCol)}) AS term
+       |  FROM $table),
+       |tf AS (
+       |  SELECT id AS doc, term, count(*)::BIGINT AS tf
+       |  FROM toks WHERE NOT ($probePred) GROUP BY 1, 2),
+       |dl AS (SELECT doc, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS totlen FROM dl),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |qt AS (
+       |  SELECT DISTINCT id AS probe_id, term FROM toks WHERE $probePred),
+       |terms AS (
+       |  SELECT qt.probe_id, tf.doc,
+       |         ln((2 * n + 2)::DOUBLE / (2 * df + 1)::DOUBLE)
+       |           * (44 * tf * totlen)::DOUBLE
+       |           / (20 * tf * totlen + 6 * totlen + 18 * dl.dl * n)::DOUBLE
+       |           AS term_score
+       |  FROM tf JOIN qt USING (term) JOIN dft USING (term)
+       |  JOIN dl ON dl.doc = tf.doc, stats),
+       |scored AS (
+       |  SELECT probe_id, doc, count(*)::BIGINT AS n_terms,
+       |         round(list_sum(list_sort(list(term_score))), 6) AS score
+       |  FROM terms GROUP BY 1, 2)
+       |SELECT probe_id, doc, n_terms, score,
+       |       rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |                               ORDER BY score DESC, doc)::BIGINT AS rank
+       |  FROM scored) WHERE rank <= $k""".stripMargin
 }

@@ -165,6 +165,28 @@ object PipelineQueries {
     "q_text_tfidf" -> ((s, d) =>
       TextAnalysis.tfIdf(docs(s, d), "doc_id", "text", topK = 3)),
 
+    // --- Gopher rule battery (Rae et al. 2021 A1.1): every signal + the
+    // composite verdict, one map-only pass (oracle-checked) ---
+    "q_text_gopher" -> ((s, d) =>
+      TextAnalysis.gopherQuality(docs(s, d), "doc_id", "text", minWords = 20)),
+
+    // --- multinomial Naive Bayes language classifier, trained AND applied
+    // on the corpus as one DataFrame program (oracle-checked) ---
+    "q_text_nbayes" -> ((s, d) =>
+      TextAnalysis.naiveBayes(docs(s, d), "lang", docs(s, d), "doc_id", "text")),
+
+    // --- BM25 lexical retrieval: every-20th doc probes the rest through an
+    // inverted-index join, integer-cleared length normalization
+    // (oracle-checked) ---
+    "q_pipeline_bm25" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextAnalysis.bm25Retrieve(
+        dd.where(!(col("doc_id") % 20 === 0)), "doc_id", "text",
+        dd.where(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("probe_id"), col("text")),
+        "probe_id", "text", k = 5)
+    }),
+
     // --- approximate sketches (HLL distinct, quantiles): rows-only —
     // implementation-specific estimates have no cross-engine oracle; error
     // bounds vs exact values are asserted in SketchSpec. Quantiles are
@@ -748,6 +770,10 @@ object PipelineQueries {
     "q_text_collocations" -> TextAnalysis.collocationsOracleSql(minCount = 25),
     "q_text_perplexity" -> TextAnalysis.crossEntropyOracleSql(),
     "q_text_bigram_lm" -> TextAnalysis.bigramCrossEntropyOracleSql(),
+    "q_text_gopher" -> TextAnalysis.gopherOracleSql(minWords = 20),
+    "q_text_nbayes" -> TextAnalysis.naiveBayesOracleSql(),
+    "q_pipeline_bm25" -> TextAnalysis.bm25OracleSql(k = 5,
+      probePred = "id % 20 = 0"),
     "q_pipeline_profile" -> graft.operators.Profile.exactOracleSql("lineitem",
       Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
 

@@ -105,9 +105,26 @@ object ScaleQueries {
           lit(1L).as("version"))
       Scale.mergeLatest(base, updates, "o_orderkey", "version")
     }),
+
+    // --- co-purchase graph: parts sharing an order become undirected
+    // edges (capped group fan-out, simple graph) — degree distribution ---
+    "q_graph_degree" -> ((s, d) =>
+      graft.operators.Graph.degrees(graft.operators.Graph.coEdges(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey"))),
+
+    // --- PageRank over the co-purchase graph, 5 power iterations in exact
+    // BIGINT micro-units — the chained-CTE oracle replays every round ---
+    "q_graph_pagerank" -> ((s, d) =>
+      graft.operators.Graph.pageRank(graft.operators.Graph.coEdges(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey"), iters = 5)),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_graph_degree" -> graft.operators.Graph.degreesOracleSql(
+      "l_orderkey", "l_partkey", "lineitem"),
+    "q_graph_pagerank" -> graft.operators.Graph.pageRankOracleSql(
+      "l_orderkey", "l_partkey", "lineitem", iters = 5),
+
     "q_scale_salted_join" ->
       """SELECT l_returnflag, count(*) AS n,
         |       sum(l_quantity) AS sum_qty,

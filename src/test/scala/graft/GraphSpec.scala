@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edgesOf(pairs: (Long, Long)*) = {
+    val half = pairs.toSeq.toDF("src", "dst")
+    half.unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  test("coEdges: symmetric, deduplicated across groups, self-edge-free") {
+    val df = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L), // (1,2) repeats in group 20 → one edge
+      (30L, 4L)             // singleton group → no edges
+    ).toDF("g", "item")
+    val e = Graph.coEdges(df, "g", "item").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e == Set((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L), (3L, 2L)))
+  }
+
+  test("coEdges: oversized groups are dropped entirely, not sampled") {
+    val big = (1L to 5L).map(i => (99L, i))
+    val df = (big :+ ((10L, 1L)) :+ ((10L, 2L))).toDF("g", "item")
+    val e = Graph.coEdges(df, "g", "item", maxGroupSize = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e == Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("pageRank: uniform start sums to ~total mass, bounded floor leak") {
+    // triangle + pendant: 4 nodes, mass should stay near RankScale with
+    // only integer-floor leakage (< iters * n ulps of the micro-unit)
+    val e = edgesOf((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val iters = 10
+    val total = Graph.pageRank(e, iters).agg(sum("rank_u")).head().getLong(0)
+    val leakBound = iters.toLong * 4 * 100 // floor losses per div, per round
+    assert(total <= Graph.RankScale)
+    assert(total >= Graph.RankScale - leakBound)
+  }
+
+  test("pageRank: symmetric graph keeps the uniform distribution") {
+    // a cycle is degree-regular and vertex-transitive: every node must hold
+    // exactly the same rank after any number of rounds
+    val e = edgesOf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val ranks = Graph.pageRank(e, 7).select("rank_u").distinct().collect()
+    assert(ranks.length == 1)
+  }
+
+  test("pageRank: the hub of a star out-ranks the leaves") {
+    val e = edgesOf((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L))
+    val ranks = Graph.pageRank(e, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val leaves = (1L to 5L).map(ranks)
+    assert(leaves.toSet.size == 1) // leaves tie exactly
+    assert(ranks(0L) > leaves.head * 3) // hub dominates
+  }
+
+  test("degrees counts undirected degree over coEdges output") {
+    val df = Seq((10L, 1L), (10L, 2L), (10L, 3L)).toDF("g", "item")
+    val d = Graph.degrees(Graph.coEdges(df, "g", "item")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+}

@@ -314,4 +314,55 @@ class TextSpec extends SparkSpec {
     assert(r.getString(1) == "reach [EMAIL] now")
     assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((1L, 0L, 0L)))
   }
+
+  test("gopherQuality: clean prose passes, bullet/symbol spam fails") {
+    import spark.implicits._
+    val clean = ("the quick brown fox jumps over the lazy dog and that " +
+      "dog will have to be happy with the outcome of this fine day ") * 3
+    val bullets = (1 to 10).map(i => s"- item $i").mkString("\n")
+    val hashy = "the of and that have with to be " + ("#tag " * 40)
+    val df = Seq((1L, clean), (2L, bullets), (3L, hashy), (4L, ""))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherQuality(df, "doc_id", "text", minWords = 20)
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(8)) null else x.getBoolean(8))).toMap
+    assert(r(1L) == true)
+    assert(r(2L) == false) // all lines bullets (and too few words)
+    assert(r(3L) == false) // symbol ratio ~0.83 >> 0.1
+    // empty text: ratio signals are null, but the word-count bound already
+    // fails → three-valued AND collapses to a definite false
+    assert(r(4L) == false)
+  }
+
+  test("naiveBayes: recovers the training labels on separable vocab") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog ate the food"),
+      (3L, "fr", "le chat est sur le tapis"),
+      (4L, "fr", "le chien mange le repas")).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.naiveBayes(docs, "lang", docs, "doc_id", "text")
+    val pred = out.where(col("pred")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred == Map(1L -> "en", 2L -> "en", 3L -> "fr", 4L -> "fr"))
+    // every doc scores against every label
+    assert(out.count() == 8)
+  }
+
+  test("bm25Retrieve: rare-term probe ranks its source-vocab doc first") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "zyzzyva colony biology zyzzyva behavior"),
+      (2L, "common words appear in this document about words"),
+      (3L, "another common document with words and more words"))
+      .toDF("doc_id", "text")
+    val probes = Seq((100L, "zyzzyva biology")).toDF("probe_id", "text")
+    val got = TextAnalysis.bm25Retrieve(corpus, "doc_id", "text",
+      probes, "probe_id", "text", k = 3).collect()
+    val top = got.find(_.getLong(4) == 1L).get
+    assert(top.getLong(1) == 1L) // the zyzzyva doc wins
+    assert(top.getDouble(3) > 0.0)
+    // docs sharing no probe term never appear
+    assert(!got.exists(_.getLong(1) == 2L) && !got.exists(_.getLong(1) == 3L))
+  }
 }
