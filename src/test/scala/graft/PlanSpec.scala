@@ -53,6 +53,27 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "id-window blocking must plan as an equi-join on block keys, not BNLJ")
   }
 
+  test("coEdges/pageRank: group self-join and rank propagation are equi-joins") {
+    // the co-occurrence pair build must key on the group column and every
+    // rank iteration on src/dst — a BNLJ anywhere here is corpus² at scale
+    val (_, plan) = executed("q_graph_pagerank")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty,
+      "edge build and rank propagation must plan as equi-joins, not BNLJ")
+  }
+
+  test("bm25: probe terms broadcast onto the posting lists") {
+    // work must be bounded by the probes' posting-list hits: the query-term
+    // side joins as a broadcast hash join, and nothing nest-loops except
+    // the pinned one-row corpus-stats cross join
+    val (_, plan) = executed("q_pipeline_bm25")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.size <= 1,
+      s"only the ONE-ROW corpus-stats cross join may nest-loop; got ${bnlj.size}")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "the probe-term join must be a broadcast hash join")
+  }
+
   test("dsir scores through a broadcast model, never nested-loop") {
     // the bucket-llr model must be broadcast-sized (the hashing trick's
     // point) and the scoring join an equi join on the bucket id
