@@ -274,6 +274,60 @@ object Profile {
   }
 
   /** DuckDB SQL replaying [[histogram]] value-for-value. */
+  /** Robust per-group outlier detection by median/MAD (the Hampel filter —
+    * the rule-of-thumb robust z-score every data-QA pass uses where mean/
+    * stddev would be dragged by the outliers themselves): a row is an
+    * outlier when |v − median| > k · MAD. Both statistics are
+    * `percentile_disc` order statistics — actual data values, no
+    * interpolation arithmetic — so the whole test replays value-for-value
+    * in any engine with discrete quantiles ([[outliersOracleSql]]).
+    *
+    * Emits per-group (n, n_outliers, med, mad). Distributed shape: two
+    * grouped percentile aggregates (sort-based, keyed on the group — the
+    * shuffle any grouped quantile costs) bridged by a group-keyed join of
+    * the source; no global sort, no driver state. A group's values must
+    * fit one task's sort — at 100 TB group by bounded-cardinality keys
+    * (source, shard, day), not free text; for unbounded groups use the
+    * sketch tier (`percentile_approx`) and accept approximate cutoffs.
+    * MAD = 0 (over half the group identical) flags nothing — only rows
+    * strictly outside the scaled band trip.
+    */
+  def outliersMad(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val base = df.select(col(groupCol).as("grp"), v.as("v"))
+    val med = base.groupBy("grp")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").as("med"))
+    val withMed = base.join(med, "grp")
+    val mad = withMed.groupBy("grp")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(v - med))")
+        .as("mad"))
+    withMed.join(mad, "grp")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        count(when(abs(col("v") - col("med")) > lit(k) * col("mad"), lit(1)))
+          .as("n_outliers"),
+        first(col("med")).as("med"), first(col("mad")).as("mad"))
+  }
+
+  /** DuckDB SQL replaying [[outliersMad]] value-for-value (quantile_disc
+    * is the same order statistic as percentile_disc).
+    */
+  def outliersOracleSql(table: String, groupExpr: String, valueExpr: String,
+      k: Double = 3.0): String =
+    s"""WITH base AS (
+       |  SELECT $groupExpr AS grp, ($valueExpr)::DOUBLE AS v FROM $table),
+       |med AS (SELECT grp, quantile_disc(v, 0.5) AS med FROM base GROUP BY grp),
+       |wm AS (SELECT base.grp, v, med FROM base JOIN med USING (grp)),
+       |mad AS (SELECT grp, quantile_disc(abs(v - med), 0.5) AS mad
+       |        FROM wm GROUP BY grp)
+       |SELECT wm.grp, count(*)::BIGINT AS n,
+       |       count(CASE WHEN abs(v - med) > $k * mad.mad THEN 1 END)::BIGINT
+       |         AS n_outliers,
+       |       any_value(med) AS med, any_value(mad.mad) AS mad
+       |FROM wm JOIN mad USING (grp)
+       |GROUP BY wm.grp""".stripMargin
+
   def histogramOracleSql(table: String, valueCol: String, lo: Double,
       hi: Double, bins: Int): String = {
     val w = (hi - lo) / bins

@@ -106,6 +106,12 @@ object ScaleQueries {
       Scale.mergeLatest(base, updates, "o_orderkey", "version")
     }),
 
+    // --- Hampel median/MAD outlier filter per priority class: robust
+    // order-statistic cutoffs, no interpolation (oracle-checked) ---
+    "q_pipeline_outliers" -> ((s, d) =>
+      graft.operators.Profile.outliersMad(
+        t(s, d, "orders"), "o_orderpriority", "o_totalprice")),
+
     // --- co-purchase graph: parts sharing an order become undirected
     // edges (capped group fan-out, simple graph) — degree distribution ---
     "q_graph_degree" -> ((s, d) =>
@@ -120,6 +126,8 @@ object ScaleQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_pipeline_outliers" -> graft.operators.Profile.outliersOracleSql(
+      "orders", "o_orderpriority", "o_totalprice"),
     "q_graph_degree" -> graft.operators.Graph.degreesOracleSql(
       "l_orderkey", "l_partkey", "lineitem"),
     "q_graph_pagerank" -> graft.operators.Graph.pageRankOracleSql(

@@ -108,4 +108,18 @@ class ProfileSpec extends SparkSpec {
     val exact = Profile.ksDrift(base, curr, "x").head().getDouble(2)
     assert(r.getDouble(2) <= exact + 1e-9)
   }
+
+  test("outliersMad: Hampel filter flags spikes, ignores robust spread") {
+    import spark.implicits._
+    // group a: tight cluster at 10 ± 1 plus one spike at 1000 —
+    // med = 10, MAD = 1, |1000-10| > 3·1 → exactly one outlier.
+    // group b: all-identical values → MAD = 0, nothing flagged.
+    val df = (Seq(("a", 9.0), ("a", 9.0), ("a", 10.0), ("a", 11.0),
+      ("a", 11.0), ("a", 1000.0)) ++ Seq.fill(4)(("b", 7.0))).toDF("g", "v")
+    val r = Profile.outliersMad(df, "g", "v").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getDouble(4)))).toMap
+    assert(r("a") == ((6L, 1L, 10.0, 1.0)))
+    assert(r("b") == ((4L, 0L, 7.0, 0.0)))
+  }
 }
