@@ -688,7 +688,18 @@ object TextAnalysis {
     * like the Spark fold over the collected (possibly shorter) merge list.
     */
   def bpeEncodeOracleSql(numMerges: Int = 10, table: String = "documents",
-      textCol: String = "text", idCol: String = "doc_id"): String = {
+      textCol: String = "text", idCol: String = "doc_id"): String =
+    s"""${bpeEncodeChainSql(numMerges, table, textCol, idCol)}
+       |SELECT doc_id, count(*) AS n_words, sum(n_sub)::BIGINT AS n_subwords
+       |FROM dw JOIN enc USING (w) GROUP BY doc_id""".stripMargin
+
+  /** The shared WITH-chain behind [[bpeEncodeOracleSql]] and
+    * [[fertilityOracleSql]]: trainer CTEs, the vocab replace chain, `enc`
+    * (distinct word → subword count) and `dw` (doc → word occurrences).
+    * ONE generator so the two consumers' replay chains cannot drift.
+    */
+  private def bpeEncodeChainSql(numMerges: Int, table: String,
+      textCol: String, idCol: String): String = {
     val (u, uu) = (BpeSepSql, BpeSep2Sql)
     val sb = new StringBuilder
     sb ++= s"WITH ${bpeTrainCtes(numMerges, table, textCol)},\n"
@@ -714,11 +725,54 @@ object TextAnalysis {
          |  FROM v$numMerges),
          |dw AS (
          |  SELECT $idCol AS doc_id, unnest(${toksSql(textCol)}) AS w
-         |  FROM $table WHERE trim($textCol) <> '')
-         |SELECT doc_id, count(*) AS n_words, sum(n_sub)::BIGINT AS n_subwords
-         |FROM dw JOIN enc USING (w) GROUP BY doc_id""".stripMargin
+         |  FROM $table WHERE trim($textCol) <> '')""".stripMargin
     sb.toString
   }
+
+  /** Per-stratum tokenizer FERTILITY (subwords emitted per word) of a
+    * freshly trained BPE table — the standard multilingual tokenizer-equity
+    * diagnostic (NLLB, Chung et al. 2023: languages the merge table
+    * under-serves pay more subwords per word, i.e. more compute and
+    * context per sentence, than the languages that dominated training).
+    * One number per stratum (language/source) makes the inequity visible
+    * before a token-budget allocator ([[graft.operators.Scale.unimaxAllocate]])
+    * consumes it.
+    *
+    * Same scale shape as [[bpeEncodeCorpus]] (vocab-sized merge
+    * application, corpus-sized count join) plus one broadcast-sized join
+    * of the per-doc stratum label; the final aggregate is
+    * stratum-cardinality rows. Fertility is a BIGINT ratio rounded to
+    * 6 dp — deterministic in both engines.
+    */
+  def tokenizerFertility(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, stratumCol: String,
+      numMerges: Int = 10): org.apache.spark.sql.DataFrame =
+    bpeEncodeCorpus(df, idCol, textCol, numMerges)
+      .join(df.select(col(idCol).as("doc_id"), col(stratumCol).as("stratum")),
+        "doc_id")
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"))
+      .withColumn("fertility",
+        round(col("n_subwords").cast("double") / col("n_words").cast("double"), 6))
+
+  /** DuckDB replay of [[tokenizerFertility]] — the [[bpeEncodeOracleSql]]
+    * chain with the per-doc totals rolled up per stratum.
+    */
+  def fertilityOracleSql(stratumCol: String, numMerges: Int = 10,
+      table: String = "documents", textCol: String = "text",
+      idCol: String = "doc_id"): String =
+    s"""${bpeEncodeChainSql(numMerges, table, textCol, idCol)},
+       |per_doc AS (
+       |  SELECT doc_id, count(*) AS n_words, sum(n_sub)::BIGINT AS n_subwords
+       |  FROM dw JOIN enc USING (w) GROUP BY doc_id)
+       |SELECT d.$stratumCol AS stratum, count(*)::BIGINT AS n_docs,
+       |       sum(p.n_words)::BIGINT AS n_words,
+       |       sum(p.n_subwords)::BIGINT AS n_subwords,
+       |       round(sum(p.n_subwords)::DOUBLE / sum(p.n_words)::DOUBLE, 6)
+       |         AS fertility
+       |FROM per_doc p JOIN $table d ON d.$idCol = p.doc_id
+       |GROUP BY 1""".stripMargin
 
   /** Encode a word with a learned merge table: character split, then each
     * merge applied in rank order. Driver-side (plain Scala) — the encode

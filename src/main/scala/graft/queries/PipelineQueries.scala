@@ -56,6 +56,12 @@ object PipelineQueries {
     "q_text_bpe_encode" -> ((s, d) =>
       TextAnalysis.bpeEncodeCorpus(docs(s, d), "doc_id", "text", numMerges = 10)),
 
+    // --- per-language tokenizer fertility of the trained merge table: the
+    // multilingual tokenizer-equity diagnostic (oracle-checked) ---
+    "q_text_fertility" -> ((s, d) =>
+      TextAnalysis.tokenizerFertility(docs(s, d), "doc_id", "text", "lang",
+        numMerges = 10)),
+
     // --- fixed-edge equi-width histogram (oracle-checked): the per-batch
     // distribution drift check; range [0, 40] deliberately clips the top of
     // l_quantity so the out-of-range guard bucket is exercised ---
@@ -998,6 +1004,8 @@ object PipelineQueries {
     // deterministic rows-only query gained an oracle (VERDICT r03 item 3)
     "q_text_bpe_merges" -> TextAnalysis.bpeTrainOracleSql(numMerges = 10),
     "q_text_bpe_encode" -> TextAnalysis.bpeEncodeOracleSql(numMerges = 10),
+    "q_text_fertility" -> TextAnalysis.fertilityOracleSql("lang",
+      numMerges = 10),
 
     "q_text_redact" -> TextAnalysis.redactOracleSql(
       "text || ' contact user' || doc_id || '@example.com or call 555-' || " +
