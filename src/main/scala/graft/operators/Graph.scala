@@ -51,7 +51,12 @@ object Graph {
     val r = sized.select(col("g"), col("item").as("dst"))
     val pairs = l.join(r, "g").where(col("src") < col("dst"))
       .select(col("src"), col("dst")).distinct()
-    pairs.unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    // persisted: [[degrees]] and [[pageRank]] both consume the edge table,
+    // and the cache-manager's plan canonicalization shares this one entry
+    // across separate queries over the same source (the dedup-family
+    // pattern) — the group self-join runs once per corpus, not per consumer
+    Caching.persist(
+      pairs.unionAll(pairs.select(col("dst").as("src"), col("src").as("dst"))))
   }
 
   /** Degree per node of an (src, dst) edge table (counts each directed
@@ -86,8 +91,15 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int, dampNum: Int = 85): DataFrame = {
     require(iters >= 0 && dampNum >= 0 && dampNum <= 100)
     val deg = degrees(edges)
+    // hash-partition the (edge, degree) table on src ONCE and persist: the
+    // InMemoryTableScan keeps that outputPartitioning, so each iteration's
+    // src-keyed join shuffles only the NODE-sized rank table against an
+    // in-place edge side — k rounds move k·|nodes| rows, not k·|edges|.
+    // (Broadcasting ranks would also work at gate scale but dies at web
+    // scale where nodes are billions; this shape survives both.)
     val e = edges.join(deg.withColumnRenamed("node", "src"), "src")
       .select(col("src"), col("dst"), col("degree"))
+      .repartition(col("src"))
       .transform(Caching.persist)
     val n = deg.count() // one scalar: the node count (not a data collect)
     val base = (100L - dampNum) * (RankScale / math.max(n, 1L)) / 100L

@@ -328,6 +328,46 @@ object Profile {
        |FROM wm JOIN mad USING (grp)
        |GROUP BY wm.grp""".stripMargin
 
+  /** Per-group score CALIBRATION by empirical CDF (percent_rank): maps any
+    * raw quality score to its within-group quantile, so one global
+    * threshold means the same thing in every stratum — the FineWeb-style
+    * per-dump calibration step before cross-source filtering (a 0.9 from a
+    * lenient scorer and a 0.9 from a strict one both become "top 10% of
+    * their source"). Ties share a rank (pure function of the values —
+    * partition-order-proof); percent_rank is an integer ratio
+    * (rank−1)/(n−1), rounded to 6 dp.
+    *
+    * Scale shape: one window partitioned by the group — per-group sort,
+    * bounded by group size, no global ordering anywhere. Groups are
+    * corpus strata (source, dump, language): bounded cardinality, each
+    * stratum sortable within its tasks; single-member groups calibrate
+    * to 0.0 (the SQL-standard percent_rank convention).
+    */
+  def calibrateScores(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the raw score is consumed by the ranking but NOT emitted: percent_rank
+    // values are integer ratios (safe to round cross-engine — a seventh
+    // decimal digit of exactly 5 only arises from power-of-two denominators,
+    // where the binary double is exact and both engines round identically),
+    // whereas an arbitrary raw double can land on a binary-vs-decimal
+    // rounding boundary where engines' round() legitimately disagree
+    df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+        col(scoreCol).as("score"))
+      .withColumn("calibrated",
+        round(percent_rank().over(
+          Window.partitionBy(col("grp")).orderBy(col("score"))), 6))
+      .drop("score")
+  }
+
+  /** DuckDB SQL replaying [[calibrateScores]] value-for-value. */
+  def calibrateOracleSql(table: String, groupExpr: String, idExpr: String,
+      scoreExpr: String): String =
+    s"""SELECT $groupExpr AS grp, $idExpr AS id,
+       |       round(percent_rank() OVER (PARTITION BY $groupExpr
+       |                                  ORDER BY $scoreExpr), 6) AS calibrated
+       |FROM $table""".stripMargin
+
   def histogramOracleSql(table: String, valueCol: String, lo: Double,
       hi: Double, bins: Int): String = {
     val w = (hi - lo) / bins

@@ -774,6 +774,65 @@ object TextAnalysis {
        |FROM per_doc p JOIN $table d ON d.$idCol = p.doc_id
        |GROUP BY 1""".stripMargin
 
+  /** Unicode SCRIPT profile per document: code-point counts and ratios for
+    * the major script blocks (Latin, digits, CJK ideographs, Cyrillic,
+    * Arabic) — the script-mix signal that complements [[langId]] (a doc
+    * claiming `en` with 40% CJK code points is mislabeled or bilingual;
+    * script ratios catch it without any model). Block membership uses
+    * explicit code-point RANGES, not named Unicode properties — property
+    * tables drift between regex engines, code-point ranges cannot.
+    *
+    * Map-only: five codegen'd regexp counts per row, zero shuffles —
+    * like [[gopherQuality]], a pure map over the scan at any scale.
+    * Ratios are integer ratios over the non-whitespace code-point count,
+    * rounded to 6 dp.
+    */
+  def scriptProfile(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val total = regexp_count(t, lit("\\S"))
+    def ratio(c: org.apache.spark.sql.Column) =
+      when(total > 0, round(c.cast("double") / total.cast("double"), 6))
+    val latin = regexp_count(t, lit("[A-Za-z]"))
+    val digit = regexp_count(t, lit("[0-9]"))
+    val cjk = regexp_count(t, lit("[\\u4e00-\\u9fff]"))
+    val cyr = regexp_count(t, lit("[\\u0400-\\u04ff]"))
+    val arab = regexp_count(t, lit("[\\u0600-\\u06ff]"))
+    df.select(col(idCol).as("doc_id"),
+      total.cast("long").as("n_chars"),
+      latin.cast("long").as("n_latin"), digit.cast("long").as("n_digit"),
+      cjk.cast("long").as("n_cjk"), cyr.cast("long").as("n_cyrillic"),
+      arab.cast("long").as("n_arabic"),
+      ratio(latin).as("latin_ratio"), ratio(cjk).as("cjk_ratio"))
+  }
+
+  /** DuckDB SQL replaying [[scriptProfile]] value-for-value (same
+    * code-point ranges in RE2's `\\x{...}` spelling).
+    */
+  def scriptProfileOracleSql(table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text"): String = {
+    def cnt(cls: String) =
+      s"len(regexp_extract_all(txt, '$cls'))::BIGINT"
+    val (latin, digit) = (cnt("[A-Za-z]"), cnt("[0-9]"))
+    val cjk = cnt("[\\x{4e00}-\\x{9fff}]")
+    val cyr = cnt("[\\x{0400}-\\x{04ff}]")
+    val arab = cnt("[\\x{0600}-\\x{06ff}]")
+    val total = cnt("""\S""")
+    s"""WITH t AS (SELECT $idCol AS doc_id, coalesce($textCol, '') AS txt
+       |           FROM $table),
+       |c AS (
+       |  SELECT doc_id, $total AS n_chars, $latin AS n_latin,
+       |         $digit AS n_digit, $cjk AS n_cjk, $cyr AS n_cyrillic,
+       |         $arab AS n_arabic
+       |  FROM t)
+       |SELECT doc_id, n_chars, n_latin, n_digit, n_cjk, n_cyrillic, n_arabic,
+       |       CASE WHEN n_chars > 0
+       |            THEN round(n_latin::DOUBLE / n_chars, 6) END AS latin_ratio,
+       |       CASE WHEN n_chars > 0
+       |            THEN round(n_cjk::DOUBLE / n_chars, 6) END AS cjk_ratio
+       |FROM c""".stripMargin
+  }
+
   /** Encode a word with a learned merge table: character split, then each
     * merge applied in rank order. Driver-side (plain Scala) — the encode
     * step of a deployed tokenizer runs per row with the merge table
@@ -1189,8 +1248,10 @@ object TextAnalysis {
     * 20·totlen gives contribution =
     * idf · 44·tf·totlen / (20·tf·totlen + 6·totlen + 18·dl·N), an
     * all-BIGINT numerator/denominator, so each term's double is computed
-    * from identical integers in Spark and DuckDB; the per-(probe, doc) sum
-    * is a SORTED fold ([[tokenEntropy]] pattern), rounded to 6 dp.
+    * from identical integers in Spark and DuckDB; per-term scores are then
+    * rounded to nano precision and summed as BIGINTs (associative under
+    * any partition order — no sorted-fold materialization), final score
+    * rounded to 6 dp.
     *
     * Distributed shape: one corpus tokenize/aggregate pass (tf per
     * (doc, term), df + dl/totlen from it), probes' DISTINCT terms
@@ -1206,29 +1267,41 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val docToks = corpus.select(col(idCol).as("doc"),
       explode(tokens(col(textCol))).as("term"))
+    // the posting list carries the document length (the classic inverted-
+    // index layout): ONE corpus-keyed join at build time, so the per-probe
+    // serving path below is exclusively broadcast hash joins — no
+    // corpus-sized shuffle happens per query batch
     val tf = docToks.groupBy(col("doc"), col("term"))
-      .agg(count(lit(1)).as("tf")).transform(Caching.persist)
-    val dl = tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = docToks.groupBy(col("doc")).agg(count(lit(1)).as("dl"))
+    val postings = tf.join(dl, "doc").transform(Caching.persist)
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("totlen"))
-    val df_t = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val df_t = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val qterms = probes
       .select(col(probeIdCol).as("probe_id"),
         explode(tokens(col(probeTextCol))).as("term"))
       .distinct()
-    val terms = tf.join(broadcast(qterms), "term")
-      .join(df_t, "term").join(dl, "doc")
+    // enrich the (small) probe-term side with df BEFORE touching the
+    // posting lists: the vocabulary-sized df join runs once against the
+    // probe vocabulary, not against every posting hit
+    val qstats = qterms.join(df_t, "term")
+    val terms = postings.join(broadcast(qstats), "term")
       .crossJoin(broadcast(stats))
       .select(col("probe_id"), col("doc"),
         (log((col("n") * 2 + 2).cast("double") / (col("df") * 2 + 1).cast("double"))
           * (lit(44L) * col("tf") * col("totlen")).cast("double")
           / (lit(20L) * col("tf") * col("totlen") + lit(6L) * col("totlen")
              + lit(18L) * col("dl") * col("n")).cast("double")).as("term_score"))
+    // per-term scores are rounded to NANO precision and summed as BIGINTs:
+    // associative (any partition order), codegen'd hash aggregation — the
+    // sorted-fold pattern would materialize a list per (probe, doc) pair,
+    // and BM25 pairs are dense (stop words connect every probe to nearly
+    // every doc), which made the fold the query's dominant cost
     val scored = terms.groupBy(col("probe_id"), col("doc"))
-      .agg(sort_array(collect_list(col("term_score"))).as("ts"),
+      .agg(sum(round(col("term_score") * lit(1e9), 0).cast("long")).as("su"),
         count(lit(1)).as("n_terms"))
       .select(col("probe_id"), col("doc"), col("n_terms"),
-        round(aggregate(col("ts"), lit(0.0), (acc, t) => acc + t), 6)
-          .as("score"))
+        round(col("su").cast("double") / lit(1e9), 6).as("score"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("score").desc, col("doc"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -1264,7 +1337,8 @@ object TextAnalysis {
        |  JOIN dl ON dl.doc = tf.doc, stats),
        |scored AS (
        |  SELECT probe_id, doc, count(*)::BIGINT AS n_terms,
-       |         round(list_sum(list_sort(list(term_score))), 6) AS score
+       |         round(sum(round(term_score * 1e9)::BIGINT)::DOUBLE / 1e9, 6)
+       |           AS score
        |  FROM terms GROUP BY 1, 2)
        |SELECT probe_id, doc, n_terms, score,
        |       rank FROM (

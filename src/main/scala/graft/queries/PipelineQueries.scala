@@ -62,6 +62,19 @@ object PipelineQueries {
       TextAnalysis.tokenizerFertility(docs(s, d), "doc_id", "text", "lang",
         numMerges = 10)),
 
+    // --- Unicode script-mix profile: code-point range counts + ratios,
+    // the model-free mislabeled-language signal (oracle-checked) ---
+    "q_text_scripts" -> ((s, d) =>
+      TextAnalysis.scriptProfile(docs(s, d), "doc_id", "text")),
+
+    // --- per-source empirical-CDF calibration of the quality score: one
+    // global threshold means "same quantile" in every source
+    // (oracle-checked) ---
+    "q_pipeline_calibrate" -> ((s, d) =>
+      graft.operators.Profile.calibrateScores(
+        docs(s, d).withColumn("q", TextAnalysis.qualityScore(col("text"))),
+        "source", "doc_id", "q")),
+
     // --- fixed-edge equi-width histogram (oracle-checked): the per-batch
     // distribution drift check; range [0, 40] deliberately clips the top of
     // l_quantity so the out-of-range guard bucket is exercised ---
@@ -1006,6 +1019,9 @@ object PipelineQueries {
     "q_text_bpe_encode" -> TextAnalysis.bpeEncodeOracleSql(numMerges = 10),
     "q_text_fertility" -> TextAnalysis.fertilityOracleSql("lang",
       numMerges = 10),
+    "q_text_scripts" -> TextAnalysis.scriptProfileOracleSql(),
+    "q_pipeline_calibrate" -> graft.operators.Profile.calibrateOracleSql(
+      "documents", "source", "doc_id", s"(${TextAnalysis.qualitySql("text")})"),
 
     "q_text_redact" -> TextAnalysis.redactOracleSql(
       "text || ' contact user' || doc_id || '@example.com or call 555-' || " +

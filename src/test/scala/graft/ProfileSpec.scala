@@ -122,4 +122,17 @@ class ProfileSpec extends SparkSpec {
     assert(r("a") == ((6L, 1L, 10.0, 1.0)))
     assert(r("b") == ((4L, 0L, 7.0, 0.0)))
   }
+
+  test("calibrateScores: per-group empirical CDF, ties share a rank") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 0.2), ("a", 2L, 0.4), ("a", 3L, 0.4),
+      ("a", 4L, 0.9), ("b", 5L, 100.0)).toDF("src", "id", "q")
+    val r = Profile.calibrateScores(df, "src", "id", "q").collect()
+      .map(x => x.getLong(1) -> x.getDouble(2)).toMap
+    // group a: ranks 1,2,2,4 over n=4 → (rank-1)/(n-1) = 0, 1/3, 1/3, 1
+    assert(r(1L) == 0.0 && r(4L) == 1.0)
+    assert(r(2L) == r(3L) && math.abs(r(2L) - 1.0 / 3) < 1e-6)
+    // singleton group: percent_rank = 0 regardless of magnitude
+    assert(r(5L) == 0.0)
+  }
 }

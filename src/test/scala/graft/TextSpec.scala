@@ -365,4 +365,18 @@ class TextSpec extends SparkSpec {
     // docs sharing no probe term never appear
     assert(!got.exists(_.getLong(1) == 2L) && !got.exists(_.getLong(1) == 3L))
   }
+
+  test("scriptProfile: counts code points per script block") {
+    import spark.implicits._
+    val df = Seq((1L, "abc 12 中文 Ж"), (2L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.scriptProfile(df, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val a = r(1L)
+    // 3 latin, 2 digits, 2 CJK, 1 cyrillic, 0 arabic over 8 non-ws chars
+    assert((a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4),
+      a.getLong(5), a.getLong(6)) == ((8L, 3L, 2L, 2L, 1L, 0L)))
+    assert(a.getDouble(7) == 0.375 && a.getDouble(8) == 0.25)
+    // empty text: zero counts, null ratios
+    assert(r(2L).getLong(1) == 0L && r(2L).isNullAt(7))
+  }
 }
