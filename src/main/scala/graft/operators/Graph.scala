@@ -119,6 +119,95 @@ object Graph {
     ranks
   }
 
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004, "Combating Web
+    * Spam with TrustRank") — personalized PageRank whose teleport mass
+    * lands ONLY on a trusted seed set: trust flows outward from seeds
+    * through links, so unreachable/spam-farm regions score ~0 however
+    * densely they interlink. The standard corpus-curation companion to
+    * [[pageRank]]: rank says "authoritative", trust says "reachable from
+    * vetted ground truth"; a high rank/low trust gap is the spam-mass
+    * signal.
+    *
+    * Same BIGINT micro-unit carrier and iteration shape as [[pageRank]]
+    * (k·2 bounded shuffles against the src-partitioned persisted edge
+    * table), with two differences pinned into the integer semantics:
+    *   base(d) = (100−dampNum) · (SCALE // |seeds|) // 100  if d ∈ seeds,
+    *             0 otherwise
+    *   rank0(d) = SCALE // |seeds| if d ∈ seeds, 0 otherwise
+    * Nodes outside the seed-reachable region emit no row (their trust is
+    * exactly 0 and they never enter the propagation) — the sparse
+    * representation IS the semantics, and keeps k-hop state proportional
+    * to the reached frontier, not the graph.
+    *
+    * `seeds` is one column `node`; seed nodes absent from the edge table
+    * contribute teleport mass but propagate nothing (degree-less rows are
+    * dropped by the src join, matching the oracle).
+    */
+  def trustRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      dampNum: Int = 85): DataFrame = {
+    require(iters >= 0 && dampNum >= 0 && dampNum <= 100)
+    val deg = degrees(edges)
+    val e = edges.join(deg.withColumnRenamed("node", "src"), "src")
+      .select(col("src"), col("dst"), col("degree"))
+      .repartition(col("src"))
+      .transform(Caching.persist)
+    val sd = seeds.select(col("node")).distinct().transform(Caching.persist)
+    val nSeeds = sd.count()
+    val init = RankScale / math.max(nSeeds, 1L)
+    val base = (100L - dampNum) * init / 100L
+    var ranks = sd.select(col("node"), lit(init).as("rank_u"))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("rank_u div degree").as("c"))
+      val propagated = contribs.groupBy(col("dst").as("node"))
+        .agg(expr(s"($dampNum * sum(c)) div 100").as("p"))
+      // full outer: seeds keep their teleport base even with no in-links
+      // yet; non-seed nodes have base 0 and live purely on propagation
+      ranks = propagated.join(sd.withColumn("__seed", lit(1)),
+          Seq("node"), "full_outer")
+        .select(col("node"),
+          (coalesce(col("p"), lit(0L)) +
+            when(col("__seed").isNotNull, lit(base)).otherwise(lit(0L)))
+            .cast("long").as("rank_u"))
+    }
+    ranks
+  }
+
+  /** DuckDB SQL replaying [[trustRank]] over [[coEdges]] value-for-value;
+    * `seedPred` over the bound `item` id defines the trusted set.
+    */
+  def trustRankOracleSql(groupExpr: String, itemExpr: String, table: String,
+      seedPred: String, iters: Int, dampNum: Int = 85,
+      maxGroupSize: Int = 64): String = {
+    val S = RankScale
+    val iterCtes = (1 to iters).map { i =>
+      val prev = if (i == 1) "t0" else s"t${i - 1}"
+      s"""t$i AS (
+         |  SELECT coalesce(p.node, sd.node) AS node,
+         |         coalesce(p.p, 0)
+         |           + CASE WHEN sd.node IS NOT NULL
+         |                  THEN (SELECT base FROM params) ELSE 0 END AS rank_u
+         |  FROM (SELECT e.dst AS node,
+         |               $dampNum * sum(r.rank_u // e.degree) // 100 AS p
+         |        FROM de e JOIN $prev r ON r.node = e.src
+         |        GROUP BY e.dst) p
+         |  FULL OUTER JOIN sd ON sd.node = p.node)"""
+    }.mkString(",\n")
+    s"""WITH ${coEdgesSql(groupExpr, itemExpr, table, maxGroupSize)},
+       |deg AS (SELECT src AS node, count(*)::BIGINT AS degree
+       |        FROM edges GROUP BY src),
+       |sd AS (SELECT DISTINCT item AS node FROM gi WHERE $seedPred),
+       |params AS (
+       |  SELECT $S // count(*) AS r_init,
+       |         (100 - $dampNum) * ($S // count(*)) // 100 AS base
+       |  FROM sd),
+       |de AS (SELECT e.src, e.dst, d.degree FROM edges e
+       |       JOIN deg d ON d.node = e.src),
+       |t0 AS (SELECT node, (SELECT r_init FROM params) AS rank_u FROM sd),
+       |$iterCtes
+       |SELECT node, rank_u::BIGINT AS rank_u FROM t$iters""".stripMargin
+  }
+
   /** DuckDB SQL replaying [[coEdges]] (same cap, same dedup) over a
     * (group, item) projection of `table`.
     */

@@ -123,6 +123,17 @@ object ScaleQueries {
     "q_graph_pagerank" -> ((s, d) =>
       graft.operators.Graph.pageRank(graft.operators.Graph.coEdges(
         t(s, d, "lineitem"), "l_orderkey", "l_partkey"), iters = 5)),
+
+    // --- TrustRank: teleport mass restricted to a trusted seed set (every
+    // 50th part), trust flows outward through co-purchase links ---
+    "q_graph_trustrank" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      graft.operators.Graph.trustRank(
+        graft.operators.Graph.coEdges(li, "l_orderkey", "l_partkey"),
+        li.where(col("l_partkey") % 50 === 0)
+          .select(col("l_partkey").as("node")),
+        iters = 5)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -132,6 +143,9 @@ object ScaleQueries {
       "l_orderkey", "l_partkey", "lineitem"),
     "q_graph_pagerank" -> graft.operators.Graph.pageRankOracleSql(
       "l_orderkey", "l_partkey", "lineitem", iters = 5),
+    "q_graph_trustrank" -> graft.operators.Graph.trustRankOracleSql(
+      "l_orderkey", "l_partkey", "lineitem", seedPred = "item % 50 = 0",
+      iters = 5),
 
     "q_scale_salted_join" ->
       """SELECT l_returnflag, count(*) AS n,

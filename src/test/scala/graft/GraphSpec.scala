@@ -58,6 +58,22 @@ class GraphSpec extends SparkSpec {
     assert(ranks(0L) > leaves.head * 3) // hub dominates
   }
 
+  test("trustRank: unreachable components score zero, trust decays with hops") {
+    import spark.implicits._
+    // two components: path 1-2-3 (seeded at 1) and isolated pair 4-5
+    val e = edgesOf((1L, 2L), (2L, 3L), (4L, 5L))
+    val seeds = Seq(1L).toDF("node")
+    val r = Graph.trustRank(e, seeds, iters = 8).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // the spam component never appears: no teleport, no reachable trust
+    assert(!r.contains(4L) && !r.contains(5L))
+    // trust decays with distance from the seed among same-role nodes: the
+    // end of the path gets half of 2's outflow, strictly less than the
+    // seed-adjacent node, and the seed beats the far end; everything
+    // reachable is strictly positive
+    assert(r(2L) > r(3L) && r(1L) > r(3L) && r(3L) > 0L)
+  }
+
   test("degrees counts undirected degree over coEdges output") {
     val df = Seq((10L, 1L), (10L, 2L), (10L, 3L)).toDF("g", "item")
     val d = Graph.degrees(Graph.coEdges(df, "g", "item")).collect()
