@@ -208,6 +208,86 @@ object Graph {
        |SELECT node, rank_u::BIGINT AS rank_u FROM t$iters""".stripMargin
   }
 
+  /** Spam mass (Gyöngyi et al. 2004 §5): the share of a node's PageRank
+    * NOT backed by trust — mass = rank − trust, relative = mass/rank. A
+    * node can only acquire rank without trust through link structure the
+    * seed set cannot reach (link farms, circular boosting); high relative
+    * spam mass is the demotion/removal signal. Pure composition of
+    * [[pageRank]] and [[trustRank]] over one edge table (the persisted
+    * src-partitioned edge subtree is plan-identical in both, so the cache
+    * manager runs the edge build once); unreachable nodes coalesce to
+    * trust 0 → relative mass 1. Integer subtraction on the shared
+    * [[RankScale]] carrier (both propagations distribute the same total
+    * mass, so the units subtract directly); the ratio is rounded to 6 dp.
+    */
+  def spamMass(edges: DataFrame, seeds: DataFrame, iters: Int,
+      dampNum: Int = 85): DataFrame = {
+    val pr = pageRank(edges, iters, dampNum)
+    val tr = trustRank(edges, seeds, iters, dampNum)
+      .withColumnRenamed("rank_u", "trust_u")
+    pr.join(tr, Seq("node"), "left")
+      .select(col("node"), col("rank_u"),
+        coalesce(col("trust_u"), lit(0L)).as("trust_u"))
+      .withColumn("mass_u", col("rank_u") - col("trust_u"))
+      .withColumn("rel_mass",
+        round(col("mass_u").cast("double") / col("rank_u").cast("double"), 6))
+  }
+
+  /** DuckDB SQL replaying [[spamMass]] — both iteration pyramids in one
+    * WITH over the shared edge CTEs, then the subtraction join.
+    */
+  def spamMassOracleSql(groupExpr: String, itemExpr: String, table: String,
+      seedPred: String, iters: Int, dampNum: Int = 85,
+      maxGroupSize: Int = 64): String = {
+    val S = RankScale
+    val prCtes = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |         (SELECT base FROM pparams)
+         |           + $dampNum * sum(p.rank_u // e.degree) // 100 AS rank_u
+         |  FROM de e JOIN $prev p ON p.node = e.src
+         |  GROUP BY e.dst)"""
+    }.mkString(",\n")
+    val trCtes = (1 to iters).map { i =>
+      val prev = if (i == 1) "t0" else s"t${i - 1}"
+      s"""t$i AS (
+         |  SELECT coalesce(p.node, sd.node) AS node,
+         |         coalesce(p.p, 0)
+         |           + CASE WHEN sd.node IS NOT NULL
+         |                  THEN (SELECT base FROM tparams) ELSE 0 END AS rank_u
+         |  FROM (SELECT e.dst AS node,
+         |               $dampNum * sum(r.rank_u // e.degree) // 100 AS p
+         |        FROM de e JOIN $prev r ON r.node = e.src
+         |        GROUP BY e.dst) p
+         |  FULL OUTER JOIN sd ON sd.node = p.node)"""
+    }.mkString(",\n")
+    s"""WITH ${coEdgesSql(groupExpr, itemExpr, table, maxGroupSize)},
+       |deg AS (SELECT src AS node, count(*)::BIGINT AS degree
+       |        FROM edges GROUP BY src),
+       |de AS (SELECT e.src, e.dst, d.degree FROM edges e
+       |       JOIN deg d ON d.node = e.src),
+       |pparams AS (
+       |  SELECT (100 - $dampNum) * ($S // count(*)) // 100 AS base,
+       |         $S // count(*) AS r_init
+       |  FROM deg),
+       |r0 AS (SELECT node, (SELECT r_init FROM pparams) AS rank_u FROM deg),
+       |sd AS (SELECT DISTINCT item AS node FROM gi WHERE $seedPred),
+       |tparams AS (
+       |  SELECT $S // count(*) AS r_init,
+       |         (100 - $dampNum) * ($S // count(*)) // 100 AS base
+       |  FROM sd),
+       |t0 AS (SELECT node, (SELECT r_init FROM tparams) AS rank_u FROM sd),
+       |$prCtes,
+       |$trCtes
+       |SELECT pr.node, pr.rank_u::BIGINT AS rank_u,
+       |       coalesce(tr.rank_u, 0)::BIGINT AS trust_u,
+       |       (pr.rank_u - coalesce(tr.rank_u, 0))::BIGINT AS mass_u,
+       |       round((pr.rank_u - coalesce(tr.rank_u, 0))::DOUBLE
+       |             / pr.rank_u::DOUBLE, 6) AS rel_mass
+       |FROM r$iters pr LEFT JOIN t$iters tr ON tr.node = pr.node""".stripMargin
+  }
+
   /** DuckDB SQL replaying [[coEdges]] (same cap, same dedup) over a
     * (group, item) projection of `table`.
     */

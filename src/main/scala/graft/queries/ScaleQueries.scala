@@ -134,6 +134,17 @@ object ScaleQueries {
           .select(col("l_partkey").as("node")),
         iters = 5)
     }),
+
+    // --- spam mass: rank not backed by trust — the composed PR/TrustRank
+    // demotion signal (both pyramids share the persisted edge build) ---
+    "q_graph_spam_mass" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      graft.operators.Graph.spamMass(
+        graft.operators.Graph.coEdges(li, "l_orderkey", "l_partkey"),
+        li.where(col("l_partkey") % 50 === 0)
+          .select(col("l_partkey").as("node")),
+        iters = 5)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -144,6 +155,9 @@ object ScaleQueries {
     "q_graph_pagerank" -> graft.operators.Graph.pageRankOracleSql(
       "l_orderkey", "l_partkey", "lineitem", iters = 5),
     "q_graph_trustrank" -> graft.operators.Graph.trustRankOracleSql(
+      "l_orderkey", "l_partkey", "lineitem", seedPred = "item % 50 = 0",
+      iters = 5),
+    "q_graph_spam_mass" -> graft.operators.Graph.spamMassOracleSql(
       "l_orderkey", "l_partkey", "lineitem", seedPred = "item % 50 = 0",
       iters = 5),
 

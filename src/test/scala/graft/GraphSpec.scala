@@ -74,6 +74,23 @@ class GraphSpec extends SparkSpec {
     assert(r(2L) > r(3L) && r(1L) > r(3L) && r(3L) > 0L)
   }
 
+  test("spamMass: link farms carry full relative mass, seeds carry little") {
+    import spark.implicits._
+    // seeded triangle 1-2-3 + unreachable "link farm" clique 7-8-9
+    val e = edgesOf((1L, 2L), (2L, 3L), (3L, 1L),
+      (7L, 8L), (8L, 9L), (9L, 7L))
+    val r = Graph.spamMass(e, Seq(1L).toDF("node"), iters = 8).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // the farm ranks (symmetric graph — same as the trusted triangle's
+    // nodes) but has zero trust → relative spam mass exactly 1
+    assert(r(7L).getLong(2) == 0L && r(7L).getDouble(4) == 1.0)
+    // the seed's trust exceeds its rank share (teleport concentrates on
+    // it) → negative mass, i.e. provably-backed rank
+    assert(r(1L).getDouble(4) < 0.0)
+    // every node of the graph appears exactly once
+    assert(r.size == 6)
+  }
+
   test("degrees counts undirected degree over coEdges output") {
     val df = Seq((10L, 1L), (10L, 2L), (10L, 3L)).toDF("g", "item")
     val d = Graph.degrees(Graph.coEdges(df, "g", "item")).collect()
