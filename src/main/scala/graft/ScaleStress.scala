@@ -195,6 +195,22 @@ object ScaleStress {
     }
     time("ivf-layout 1x (write+probe, sized)")(ivfServe(e1, "1x"))
     time("ivf-layout 10x (write+probe, sized)")(ivfServe(e10, "10x"))
+
+    // co-occurrence PageRank: 10x orders = 10x groups of the SAME bounded
+    // size → edges grow linearly (Σ group² with the per-group cap), and
+    // each power round is one node-sized shuffle against the in-place
+    // src-partitioned edge table — total work must scale ~linearly
+    val li1 = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    val li10 = (0 until 10).map(i => li1
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L))
+        .withColumn("l_partkey", col("l_partkey") + lit((i % 3).toLong * 10000000L)))
+      .reduce(_ union _)
+    import graft.operators.Graph
+    def pr(li: org.apache.spark.sql.DataFrame): Long =
+      Graph.pageRank(Graph.coEdges(li, "l_orderkey", "l_partkey"), iters = 5)
+        .count()
+    time("pagerank 1x (150k orders)")(pr(li1))
+    time("pagerank 10x (1.5M orders)")(pr(li10))
     spark.stop()
   }
 }
