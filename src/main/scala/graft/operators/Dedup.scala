@@ -652,6 +652,56 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("family_id"))
   }
 
+  /** Corpus DUPLICATION PROFILE — the family-size histogram every dedup
+    * paper reports (how much of the corpus is duplicated, and in how large
+    * clusters): near-dup families from [[connectedComponents]] plus every
+    * unpaired document as a singleton family, rolled up to one row per
+    * family size: (family_size, n_families, n_docs). Duplicate fraction,
+    * shrink-after-dedup, and the long-tail "one doc repeated 10k times"
+    * pathology all read directly off this table.
+    *
+    * Shape: the CC rounds dominate; the profile itself is two bounded
+    * aggregates (family-keyed, then size-keyed — output rows = distinct
+    * family sizes) and one anti-join for the singleton count. No new
+    * scale surface beyond the components it consumes.
+    */
+  def duplicationProfile(df: DataFrame, pairs: DataFrame, idCol: String,
+      maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+    val fam = connectedComponents(pairs, maxIter, checkpointDir)
+      .transform(Caching.persist)
+    val famSizes = fam.groupBy(col("family_id"))
+      .agg(count(lit(1)).as("family_size"))
+      .groupBy(col("family_size"))
+      .agg(count(lit(1)).as("n_families"))
+    val nSingles = df.select(col(idCol).as("doc_id"))
+      .join(fam.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_families"))
+      .select(lit(1L).as("family_size"), col("n_families"))
+      .where(col("n_families") > 0)
+    famSizes.unionByName(nSingles)
+      .groupBy(col("family_size"))
+      .agg(sum(col("n_families")).as("n_families"))
+      .select(col("family_size"), col("n_families"),
+        (col("family_size") * col("n_families")).as("n_docs"))
+  }
+
+  /** DuckDB replay of [[duplicationProfile]] over `pairsSql`'s pairs. */
+  def duplicationProfileOracleSql(pairsSql: String,
+      table: String = "documents", idCol: String = "doc_id"): String =
+    s"""WITH fam AS (${componentsOracleSql(pairsSql)}),
+       |fs AS (SELECT family_id, count(*)::BIGINT AS family_size
+       |       FROM fam GROUP BY family_id),
+       |hist AS (
+       |  SELECT family_size, count(*)::BIGINT AS n_families
+       |  FROM fs GROUP BY family_size
+       |  UNION ALL
+       |  SELECT 1::BIGINT, count(*)::BIGINT FROM $table t
+       |  WHERE NOT EXISTS (SELECT 1 FROM fam WHERE fam.doc_id = t.$idCol)
+       |  HAVING count(*) > 0)
+       |SELECT family_size, sum(n_families)::BIGINT AS n_families,
+       |       (family_size * sum(n_families))::BIGINT AS n_docs
+       |FROM hist GROUP BY family_size""".stripMargin
+
   /** Quality-aware dedup retention: [[connectedComponents]] families with
     * the BEST-quality member as the keeper (ties to the lower doc id)
     * instead of the min-id default — what a curation pass actually wants

@@ -457,6 +457,11 @@ object PipelineQueries {
     "q_dedup_components" -> ((s, d) => Dedup.connectedComponents(
       Dedup.minhashPairsPortable(docs(s, d), "doc_id", "text"))),
 
+    // --- corpus duplication profile: family-size histogram over the same
+    // portable-minhash families + singleton fallback (oracle-checked) ---
+    "q_dedup_profile" -> ((s, d) => Dedup.duplicationProfile(docs(s, d),
+      Dedup.minhashPairsPortable(docs(s, d), "doc_id", "text"), "doc_id")),
+
     // --- quality-aware dedup retention: the portable-minhash families with
     // the best-quality member kept (ties to lower id) — what a curation
     // pass does with near-dup families (oracle: recursive closure + the
@@ -915,6 +920,8 @@ object PipelineQueries {
 
     "q_dedup_band_claims" -> Dedup.bandClaimsOracleSql(),
     "q_dedup_components" -> Dedup.componentsOracleSql(Dedup.minhashOracleSql()),
+    "q_dedup_profile" -> Dedup.duplicationProfileOracleSql(
+      Dedup.minhashOracleSql()),
     "q_pipeline_leak_split" -> Dedup.leakSafeSplitOracleSql(
       Dedup.minhashOracleSql(), table = "(SELECT doc_id FROM documents)"),
     "q_dedup_keep_best" -> Dedup.keepBestOracleSql(

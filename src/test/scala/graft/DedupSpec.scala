@@ -6,6 +6,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 
 class DedupSpec extends SparkSpec {
+
+  test("duplicationProfile: family histogram plus singleton fallback") {
+    import spark.implicits._
+    // docs 1-2-3 one family (chained pairs), 4-5 another, 6 and 7 unpaired
+    val docs = (1L to 7L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val r = graft.operators.Dedup.duplicationProfile(docs, pairs, "doc_id")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r == Map(3L -> ((1L, 3L)), 2L -> ((1L, 2L)), 1L -> ((2L, 2L))))
+  }
   import spark.implicits._
 
   private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
