@@ -89,6 +89,13 @@ object StreamQueries {
         events(s, d).where(col("user_id") % 20 === 0),
         "user_id", "ts", "value", bucketSec = 900L)),
 
+    // --- ordered-sequence funnel: per-user greedy signup→click→purchase
+    // subsequence match within 24h of the matched signup, per-step user
+    // reach (oracle: the same staged SQL) ---
+    "q_stream_funnel" -> ((s, d) =>
+      graft.streaming.EventStreams.funnel(events(s, d),
+        Seq("signup", "click", "purchase"), maxSpan = Some("24 hours"))),
+
     // as-of join: each click annotated with the user's latest prior purchase
     "q_asof_join" -> ((s, d) => {
       val ev = events(s, d)
@@ -234,6 +241,9 @@ object StreamQueries {
         |       make_timestamp((epoch_us(ts) // 900000000) * 900000000 + 900000000) AS win_end,
         |       event_type, count(*) AS n, min(value) AS mn, max(value) AS mx
         |FROM t GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_stream_funnel" -> graft.streaming.EventStreams.funnelOracleSql(
+      Seq("signup", "click", "purchase"), maxSpan = Some("24 hours")),
 
     // grid = generate_series over each user's bucket range; fill = running
     // last_value IGNORE NULLS — same semantics as Spark's last(_, true)

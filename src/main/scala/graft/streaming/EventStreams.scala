@@ -185,6 +185,101 @@ object EventStreams {
     * at scale the sink table is partitioned and the join prunes to the
     * touched partitions.
     */
+  /** Ordered-sequence FUNNEL analysis — the MATCH_RECOGNIZE-shaped pattern
+    * query Spark has no native operator for: per user, greedily match the
+    * `steps` event types as an in-order subsequence of their event stream
+    * (earliest-first matching, which is optimal for subsequence reach and
+    * therefore deterministic), and report per step how many users got that
+    * far. The per-user-journey building block of conversion/retention
+    * analytics.
+    *
+    * Shape: one stage per step — stage i filters the events of type i and
+    * joins the per-user frontier from stage i−1 (user-keyed equi-joins,
+    * the same shuffle as any grouped aggregate), keeping the EARLIEST
+    * qualifying (ts, event_id) as the new frontier. Event-time order is
+    * made total by the unique event_id tiebreak, so the greedy match —
+    * and the whole funnel — replays exactly in any engine
+    * ([[funnelOracleSql]] is the same staged SQL). k steps = k bounded
+    * joins; no per-user state materializes beyond one frontier row.
+    *
+    * `maxSpan` (e.g. "2 hours") optionally bounds the whole journey
+    * relative to the matched first-step event.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+      maxSpan: Option[String] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"),
+      col("event_id"))
+    // stage 1: earliest occurrence of the first step per user
+    var frontier = ev.where(col("event_type") === steps.head)
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+      .select(col("user_id"), col("f.ts").as("ts"),
+        col("f.event_id").as("event_id"), col("f.ts").as("t0"))
+    val counts = Seq.newBuilder[(Int, String, DataFrame)]
+    counts += ((1, steps.head, frontier))
+    for ((st, i) <- steps.tail.zipWithIndex) {
+      val prev = frontier.select(col("user_id"), col("ts").as("pts"),
+        col("event_id").as("pid"), col("t0"))
+      val after = col("ts") > col("pts") ||
+        (col("ts") === col("pts") && col("event_id") > col("pid"))
+      val spanOk = maxSpan.map(s =>
+        col("ts") <= col("t0") + expr(s"INTERVAL $s")).getOrElse(lit(true))
+      frontier = ev.where(col("event_type") === st)
+        .join(prev, "user_id")
+        .where(after && spanOk)
+        .groupBy(col("user_id"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("f"),
+          first(col("t0")).as("t0"))
+        .select(col("user_id"), col("f.ts").as("ts"),
+          col("f.event_id").as("event_id"), col("t0"))
+      counts += ((i + 2, st, frontier))
+    }
+    counts.result()
+      .map { case (i, st, df) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i.toLong).as("step"), lit(st).as("event_type"),
+            col("n_users"))
+      }
+      .reduce(_ unionByName _)
+  }
+
+  /** DuckDB SQL replaying [[funnel]] over the `events` table
+    * value-for-value (same staged greedy match, same tiebreak).
+    */
+  def funnelOracleSql(steps: Seq[String], maxSpan: Option[String] = None,
+      table: String = "events"): String = {
+    val spanPred = maxSpan.map(s => s"AND e.ts <= p.t0 + INTERVAL $s")
+      .getOrElse("")
+    val stages = new StringBuilder
+    stages ++=
+      s"""s1 AS (
+         |  SELECT user_id,
+         |         min(struct_pack(ts := ts, event_id := event_id)) AS f,
+         |         min(ts) AS t0
+         |  FROM $table WHERE event_type = '${steps.head}' GROUP BY user_id)"""
+    for ((st, i) <- steps.tail.zipWithIndex) {
+      val (cur, prev) = (i + 2, i + 1)
+      stages ++=
+        s""",
+           |s$cur AS (
+           |  SELECT e.user_id,
+           |         min(struct_pack(ts := e.ts, event_id := e.event_id)) AS f,
+           |         any_value(p.t0) AS t0
+           |  FROM $table e JOIN s$prev p ON p.user_id = e.user_id
+           |  WHERE e.event_type = '$st'
+           |    AND (e.ts > (p.f).ts OR (e.ts = (p.f).ts
+           |         AND e.event_id > (p.f).event_id)) $spanPred
+           |  GROUP BY e.user_id)"""
+    }
+    val finals = steps.zipWithIndex.map { case (st, i) =>
+      s"SELECT ${i + 1}::BIGINT AS step, '$st' AS event_type, " +
+        s"count(*)::BIGINT AS n_users FROM s${i + 1}"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${stages.result()}
+       |$finals""".stripMargin
+  }
+
   def dedupedParquetSink(stream: DataFrame, keyCol: String, outDir: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream

@@ -393,4 +393,20 @@ class StreamingSpec extends SparkSpec {
       assert(ids == Seq(1L, 2L, 3L)) // each key exactly once across batches
     } finally q.stop()
   }
+
+  test("funnel: greedy in-order matching, span bound, out-of-order excluded") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1 completes A→B in order; user 2 has B before A (no reach past
+    // A); user 3's B lands outside the 30-minute span of their A
+    val ev = Seq(
+      (1L, "A", t(0), 10L), (1L, "B", t(5), 11L),
+      (2L, "B", t(0), 20L), (2L, "A", t(5), 21L),
+      (3L, "A", t(0), 30L), (3L, "B", t(40), 31L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val r = graft.streaming.EventStreams
+      .funnel(ev, Seq("A", "B"), maxSpan = Some("30 minutes"))
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r == Map(1L -> 3L, 2L -> 1L)) // 3 users reach A, only user 1 reaches B
+  }
 }
