@@ -328,6 +328,59 @@ object Profile {
        |FROM wm JOIN mad USING (grp)
        |GROUP BY wm.grp""".stripMargin
 
+  /** Per-group WINSORIZATION — the repair action paired with
+    * [[outliersMad]]'s detection: clip each value into its group's
+    * [pLo, pHi] `percentile_disc` band. Order-statistic bounds (actual
+    * data values, no interpolation) make the clip — and the clipped sum,
+    * carried as DECIMAL — replay value-for-value. Returns per-group
+    * (n, n_lo, n_hi, lo, hi, sum_clipped): the shape a feature-store QA
+    * pass persists per batch.
+    *
+    * Same scale contract as [[outliersMad]]: one grouped sort-based
+    * percentile aggregate + a group-keyed join; group cardinality bounds
+    * every sort.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val base = df.select(col(groupCol).as("grp"),
+      col(valueCol).cast("decimal(18,2)").as("v"))
+    // Spark's percentile_disc returns DOUBLE even over DECIMAL input; cast
+    // straight back (the order statistic IS a 2-decimal data value, so the
+    // round-trip is exact) — otherwise the clip promotes to double and the
+    // clipped sum becomes order-dependent FP accumulation
+    val bounds = base.groupBy("grp")
+      .agg(expr(s"percentile_disc($pLo) WITHIN GROUP (ORDER BY v)")
+        .cast("decimal(18,2)").as("lo"),
+        expr(s"percentile_disc($pHi) WITHIN GROUP (ORDER BY v)")
+          .cast("decimal(18,2)").as("hi"))
+    base.join(bounds, "grp")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("v") < col("lo"), lit(1))).as("n_lo"),
+        count(when(col("v") > col("hi"), lit(1))).as("n_hi"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        sum(greatest(col("lo"), least(col("hi"), col("v"))))
+          .cast("decimal(38,2)").as("sum_clipped"))
+  }
+
+  /** DuckDB SQL replaying [[winsorize]] value-for-value. */
+  def winsorizeOracleSql(table: String, groupExpr: String, valueExpr: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): String =
+    s"""WITH base AS (
+       |  SELECT $groupExpr AS grp, ($valueExpr)::DECIMAL(18,2) AS v
+       |  FROM $table),
+       |b AS (SELECT grp, quantile_disc(v, $pLo) AS lo,
+       |             quantile_disc(v, $pHi) AS hi
+       |      FROM base GROUP BY grp)
+       |SELECT base.grp, count(*)::BIGINT AS n,
+       |       count(CASE WHEN v < lo THEN 1 END)::BIGINT AS n_lo,
+       |       count(CASE WHEN v > hi THEN 1 END)::BIGINT AS n_hi,
+       |       any_value(lo) AS lo, any_value(hi) AS hi,
+       |       sum(greatest(lo, least(hi, v)))::DECIMAL(38,2) AS sum_clipped
+       |FROM base JOIN b USING (grp)
+       |GROUP BY base.grp""".stripMargin
+
   /** Per-group score CALIBRATION by empirical CDF (percent_rank): maps any
     * raw quality score to its within-group quantile, so one global
     * threshold means the same thing in every stratum — the FineWeb-style

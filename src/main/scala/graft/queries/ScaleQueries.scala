@@ -112,6 +112,12 @@ object ScaleQueries {
       graft.operators.Profile.outliersMad(
         t(s, d, "orders"), "o_orderpriority", "o_totalprice")),
 
+    // --- per-group winsorization: percentile_disc clip band + clipped
+    // DECIMAL sum, the outlier-repair companion (oracle-checked) ---
+    "q_pipeline_winsorize" -> ((s, d) =>
+      graft.operators.Profile.winsorize(
+        t(s, d, "orders"), "o_orderpriority", "o_totalprice")),
+
     // --- co-purchase graph: parts sharing an order become undirected
     // edges (capped group fan-out, simple graph) — degree distribution ---
     "q_graph_degree" -> ((s, d) =>
@@ -149,6 +155,8 @@ object ScaleQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_pipeline_outliers" -> graft.operators.Profile.outliersOracleSql(
+      "orders", "o_orderpriority", "o_totalprice"),
+    "q_pipeline_winsorize" -> graft.operators.Profile.winsorizeOracleSql(
       "orders", "o_orderpriority", "o_totalprice"),
     "q_graph_degree" -> graft.operators.Graph.degreesOracleSql(
       "l_orderkey", "l_partkey", "lineitem"),

@@ -135,4 +135,18 @@ class ProfileSpec extends SparkSpec {
     // singleton group: percent_rank = 0 regardless of magnitude
     assert(r(5L) == 0.0)
   }
+
+  test("winsorize: clips to order-statistic bounds, exact DECIMAL sum") {
+    import spark.implicits._
+    // 1..10 in one group: p10/p90 disc bounds are data values; the two
+    // tails clip onto them
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val r = Profile.winsorize(df, "grp", "v", pLo = 0.2, pHi = 0.8).head()
+    assert(r.getLong(1) == 10L)            // n
+    assert(r.getLong(2) == 1L && r.getLong(3) == 2L) // 1 below lo=2, 9+10 above hi=8
+    assert(r.getDecimal(4).doubleValue() == 2.0)
+    assert(r.getDecimal(5).doubleValue() == 8.0)
+    // clipped sum: 2 + 2..8 + 8 + 8 = 2+35+16 = 53
+    assert(r.getDecimal(6).doubleValue() == 53.0)
+  }
 }
