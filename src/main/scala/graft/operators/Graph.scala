@@ -155,20 +155,25 @@ object Graph {
     val nSeeds = sd.count()
     val init = RankScale / math.max(nSeeds, 1L)
     val base = (100L - dampNum) * init / 100L
+    // Teleport injection WITHOUT a per-iteration join: each seed
+    // contributes a zero-valued marker row to the aggregate, so (a) a
+    // seed's (dst) group always exists even with no in-trust this round
+    // and (b) the damped sum is untouched (c = 0); the teleport base is
+    // then added per-group via the marker flag. One edge join + one
+    // aggregate per round — no full-outer seed join in the loop.
+    val sdC = sd.select(col("node").as("dst"), lit(0L).as("c"),
+      lit(1).as("tel"))
     var ranks = sd.select(col("node"), lit(init).as("rank_u"))
     for (_ <- 1 to iters) {
       val contribs = e.join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst"), expr("rank_u div degree").as("c"))
-      val propagated = contribs.groupBy(col("dst").as("node"))
-        .agg(expr(s"($dampNum * sum(c)) div 100").as("p"))
-      // full outer: seeds keep their teleport base even with no in-links
-      // yet; non-seed nodes have base 0 and live purely on propagation
-      ranks = propagated.join(sd.withColumn("__seed", lit(1)),
-          Seq("node"), "full_outer")
+        .select(col("dst"), expr("rank_u div degree").as("c"),
+          lit(0).as("tel"))
+        .unionAll(sdC)
+      ranks = contribs.groupBy(col("dst").as("node"))
+        .agg(expr(s"($dampNum * sum(c)) div 100").as("p"),
+          max(col("tel")).as("__tel"))
         .select(col("node"),
-          (coalesce(col("p"), lit(0L)) +
-            when(col("__seed").isNotNull, lit(base)).otherwise(lit(0L)))
-            .cast("long").as("rank_u"))
+          (col("p") + col("__tel") * lit(base)).cast("long").as("rank_u"))
     }
     ranks
   }
@@ -212,20 +217,68 @@ object Graph {
     * NOT backed by trust — mass = rank − trust, relative = mass/rank. A
     * node can only acquire rank without trust through link structure the
     * seed set cannot reach (link farms, circular boosting); high relative
-    * spam mass is the demotion/removal signal. Pure composition of
-    * [[pageRank]] and [[trustRank]] over one edge table (the persisted
-    * src-partitioned edge subtree is plan-identical in both, so the cache
-    * manager runs the edge build once); unreachable nodes coalesce to
-    * trust 0 → relative mass 1. Integer subtraction on the shared
+    * spam mass is the demotion/removal signal. Unreachable nodes coalesce
+    * to trust 0 → relative mass 1. Integer subtraction on the shared
     * [[RankScale]] carrier (both propagations distribute the same total
     * mass, so the units subtract directly); the ratio is rounded to 6 dp.
+    *
+    * Execution shape: NOT a naive [[pageRank]]+[[trustRank]] composition.
+    * Both propagations divide by the same degree and walk the same edges,
+    * so their states ride ONE tagged rank table (kind 0 = rank, 1 = trust)
+    * through ONE src-keyed edge join + (dst, kind) aggregate per round —
+    * the edge table (the big side at web scale) is scanned and joined once
+    * per iteration instead of twice, and k propagations over the same
+    * graph would cost the same single pass. Per-kind arithmetic is
+    * byte-identical to the standalone operators (verified in GraphSpec),
+    * so [[spamMassOracleSql]]'s two separate CTE pyramids still replay the
+    * result value-for-value.
     */
   def spamMass(edges: DataFrame, seeds: DataFrame, iters: Int,
       dampNum: Int = 85): DataFrame = {
-    val pr = pageRank(edges, iters, dampNum)
-    val tr = trustRank(edges, seeds, iters, dampNum)
-      .withColumnRenamed("rank_u", "trust_u")
-    pr.join(tr, Seq("node"), "left")
+    require(iters >= 0 && dampNum >= 0 && dampNum <= 100)
+    val deg = degrees(edges)
+    // plan-identical to pageRank/trustRank's edge prep → one shared cache
+    // entry when operators are mixed in a session
+    val e = edges.join(deg.withColumnRenamed("node", "src"), "src")
+      .select(col("src"), col("dst"), col("degree"))
+      .repartition(col("src"))
+      .transform(Caching.persist)
+    val sd = seeds.select(col("node")).distinct().transform(Caching.persist)
+    val n = deg.count()
+    val nSeeds = sd.count()
+    val initP = RankScale / math.max(n, 1L)
+    val baseP = (100L - dampNum) * initP / 100L
+    val initT = RankScale / math.max(nSeeds, 1L)
+    val baseT = (100L - dampNum) * initT / 100L
+    // seed marker rows (kind 1, zero contribution): [[trustRank]]'s
+    // join-free teleport injection, so each round is exactly one edge
+    // join + one (dst, kind) aggregate for BOTH propagations
+    val sdC = sd.select(col("node").as("dst"), lit(1).as("kind"),
+      lit(0L).as("c"), lit(1).as("tel"))
+    var ranks = deg.select(col("node"), lit(0).as("kind"),
+        lit(initP).as("rank_u"))
+      .unionAll(sd.select(col("node"), lit(1).as("kind"),
+        lit(initT).as("rank_u")))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), col("kind"), expr("rank_u div degree").as("c"),
+          lit(0).as("tel"))
+        .unionAll(sdC)
+      ranks = contribs.groupBy(col("dst").as("node"), col("kind"))
+        .agg(expr(s"($dampNum * sum(c)) div 100").as("p"),
+          max(col("tel")).as("__tel"))
+        .select(col("node"), col("kind"),
+          (col("p") + when(col("kind") === 0, lit(baseP))
+            .otherwise(col("__tel") * lit(baseT)))
+            .cast("long").as("rank_u"))
+    }
+    // un-tag: one row per node had kind 0 (rank) and optionally kind 1
+    // (trust); PageRank-side rows define the output node set (left join
+    // semantics of the standalone composition)
+    ranks.groupBy("node")
+      .agg(max(when(col("kind") === 0, col("rank_u"))).as("rank_u"),
+        max(when(col("kind") === 1, col("rank_u"))).as("trust_u"))
+      .where(col("rank_u").isNotNull)
       .select(col("node"), col("rank_u"),
         coalesce(col("trust_u"), lit(0L)).as("trust_u"))
       .withColumn("mass_u", col("rank_u") - col("trust_u"))

@@ -340,6 +340,85 @@ object Scale {
        |       + 1)::DOUBLE / ${p + 1}.0 <= r.rate""".stripMargin
   }
 
+  /** Per-domain token-budget cap — the RefinedWeb/C4-style curation rule
+    * "no single site may contribute more than B tokens": within each
+    * domain, documents are taken in content-stable md5-hash order (re-runs
+    * and engines agree; hash order avoids the crawl-position bias id order
+    * would bake in) until the running token total crosses `budget`. The
+    * cap is soft on the crossing document ([[packSequences]]' greedy
+    * convention): a doc is kept iff the total BEFORE it is under budget,
+    * so every non-empty domain keeps at least one doc. Returns kept rows
+    * as (domain, key, n_tok, cum_tok) where cum_tok is the running total
+    * including the row.
+    *
+    * Scale shape — the naive version is one `Window.partitionBy(domain)`,
+    * which funnels a mega-domain's every doc into ONE task (the classic
+    * window-skew killer at 100 TB). Instead the cumulative sum is split
+    * two-level by the hash's first byte: per-(domain, bucket) token totals
+    * (a plain aggregate), a 256-row-per-domain window over bucket totals,
+    * then the exact intra-bucket window runs with (domain, bucket) as the
+    * partition key — the widest window partition is ~1/256 of the domain,
+    * and ordering by (bucket, hash) equals ordering by hash because the
+    * bucket IS the hash prefix. Answer-identical to the naive window,
+    * pinned in ScaleSpec.
+    */
+  def domainTokenCap(df: DataFrame, keyCol: String, domainCol: String,
+      weight: Column, budget: Long): DataFrame = {
+    require(budget > 0)
+    val base = df.where(col(keyCol).isNotNull)
+      .select(col(domainCol).as("domain"), col(keyCol),
+        weight.cast("long").as("n_tok"),
+        md5(col(keyCol).cast("string")).as("__h"))
+      .withColumn("__bkt", substring(col("__h"), 1, 2))
+    val bktTot = base.groupBy(col("domain"), col("__bkt"))
+      .agg(sum(col("n_tok")).as("__bt"))
+    val wBkt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(col("__bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bktCum = bktTot.withColumn("__cb",
+      coalesce(sum(col("__bt")).over(wBkt), lit(0L)))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"), col("__bkt"))
+      .orderBy(col("__h"), col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    base.join(bktCum.select(col("domain"), col("__bkt"), col("__cb")),
+        Seq("domain", "__bkt"))
+      .withColumn("__before",
+        col("__cb") + coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+      .where(col("__before") < budget)
+      .select(col("domain"), col(keyCol), col("n_tok"),
+        (col("__before") + col("n_tok")).as("cum_tok"))
+  }
+
+  /** DuckDB replay of [[domainTokenCap]] value-for-value: same md5 order,
+    * same two-level cumulative arithmetic (all BIGINT), same soft-cap
+    * predicate. `weightExpr` must match the Spark call's weight.
+    */
+  def domainCapOracleSql(weightExpr: String, budget: Long,
+      table: String = "documents", keyCol: String = "doc_id",
+      domainCol: String = "source"): String =
+    s"""WITH b AS (
+       |  SELECT $domainCol AS domain, $keyCol,
+       |         ($weightExpr)::BIGINT AS n_tok,
+       |         md5($keyCol::VARCHAR) AS h,
+       |         substr(md5($keyCol::VARCHAR), 1, 2) AS bkt
+       |  FROM $table WHERE $keyCol IS NOT NULL),
+       |bt AS (SELECT domain, bkt, sum(n_tok)::BIGINT AS t
+       |       FROM b GROUP BY domain, bkt),
+       |bc AS (SELECT domain, bkt,
+       |              coalesce(sum(t) OVER (PARTITION BY domain ORDER BY bkt
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |                0)::BIGINT AS cb
+       |       FROM bt),
+       |x AS (SELECT b.domain, b.$keyCol, b.n_tok,
+       |             bc.cb + coalesce(sum(b.n_tok) OVER (
+       |               PARTITION BY b.domain, b.bkt ORDER BY b.h, b.$keyCol
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |               0)::BIGINT AS before
+       |      FROM b JOIN bc ON bc.domain = b.domain AND bc.bkt = b.bkt)
+       |SELECT domain, $keyCol, n_tok, (before + n_tok)::BIGINT AS cum_tok
+       |FROM x WHERE before < $budget""".stripMargin
+
   /** Materialize an intermediate to parquet and rescan it — the lifecycle
     * step for intermediates too large for executor-storage `persist`
     * (shingle/signature tables of a 100 TB dedup run). Unlike persist it

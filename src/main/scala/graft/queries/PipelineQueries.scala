@@ -299,6 +299,15 @@ object PipelineQueries {
           TextAnalysis.tokenCount(col("text")).cast("long").as("ntok")),
         "doc_id", "lang", col("ntok"), alpha = 0.5)),
 
+    // --- per-domain token cap: each source contributes at most ~600
+    // tokens, docs taken in content-stable md5 order (two-level skew-safe
+    // cumulative sum; oracle replays hash order + BIGINT arithmetic) ---
+    "q_pipeline_domain_cap" -> ((s, d) =>
+      graft.operators.Scale.domainTokenCap(
+        docs(s, d).select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ntok")),
+        "doc_id", "source", col("ntok"), budget = 600L)),
+
     // --- UniMax budget allocation: per-language token budgets under a
     // 2-epoch repeat cap, closed-form waterfill over the capacity order
     // (at sf0.01 the 36k budget caps the smallest language and spreads the
@@ -929,6 +938,9 @@ object PipelineQueries {
 
     "q_pipeline_rebalance" -> graft.operators.Scale.downsampleOracleSql(
       weightExpr = s"len(${TextAnalysis.toksSql("text")})"),
+
+    "q_pipeline_domain_cap" -> graft.operators.Scale.domainCapOracleSql(
+      weightExpr = s"len(${TextAnalysis.toksSql("text")})", budget = 600L),
 
     "q_pipeline_unimax" -> graft.operators.Scale.unimaxOracleSql(
       tokenExpr = s"len(${TextAnalysis.toksSql("text")})",

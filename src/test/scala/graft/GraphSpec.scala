@@ -91,6 +91,24 @@ class GraphSpec extends SparkSpec {
     assert(r.size == 6)
   }
 
+  test("spamMass single-pass pyramid equals the standalone composition") {
+    // the tagged-union iteration must reproduce pageRank + trustRank
+    // byte-for-byte — asymmetric degrees + a seed outside the edge set +
+    // a seed in a leaf position exercise every branch of the tagged join
+    val e = edgesOf((1L, 2L), (1L, 3L), (3L, 4L), (7L, 8L))
+    val seeds = Seq(3L, 99L).toDF("node")
+    val fused = Graph.spamMass(e, seeds, iters = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pr = Graph.pageRank(e, iters = 6)
+    val tr = Graph.trustRank(e, seeds, iters = 6)
+      .withColumnRenamed("rank_u", "trust_u")
+    val composed = pr.join(tr, Seq("node"), "left")
+      .select(col("node"), col("rank_u"),
+        coalesce(col("trust_u"), lit(0L)).as("trust_u"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fused == composed)
+  }
+
   test("degrees counts undirected degree over coEdges output") {
     val df = Seq((10L, 1L), (10L, 2L), (10L, 3L)).toDF("g", "item")
     val d = Graph.degrees(Graph.coEdges(df, "g", "item")).collect()

@@ -297,6 +297,31 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got == again && got.nonEmpty)
   }
 
+  test("domainTokenCap: equals the naive per-domain window, soft cap kept") {
+    // 3 domains, enough docs that hash-prefix buckets actually split; one
+    // domain whose first doc alone exceeds the budget (soft-cap branch)
+    val docs = ((1 to 60).map(i => (i.toLong, "a", 40L)) ++
+      (61 to 90).map(i => (i.toLong, "b", 25L)) :+ ((91L, "c", 9999L)))
+      .toDF("id", "dom", "ntok")
+    val got = Scale.domainTokenCap(docs, "id", "dom", col("ntok"), budget = 300L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    // naive single-window reference: cum-before < budget in (md5, id) order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dom")).orderBy(md5(col("id").cast("string")), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val naive = docs
+      .withColumn("before", coalesce(sum(col("ntok")).over(w), lit(0L)))
+      .where(col("before") < 300L)
+      .select(col("dom"), col("id"), (col("before") + col("ntok")).as("cum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == naive)
+    // soft cap: the oversized singleton domain keeps its one doc
+    assert(got.count(_._1 == "c") == 1)
+    // budgets bind: domain a keeps ~300/40 docs, not all 60
+    val aKept = got.count(_._1 == "a")
+    assert(aKept >= 7 && aKept <= 8)
+  }
+
   test("packSequences: greedy budget fill, deterministic, layout-invariant") {
     import graft.operators.Scale
     // ids 0..99 with varied token counts incl. one oversized doc (id 42)
