@@ -1308,6 +1308,74 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Cross-stratum content-overlap matrix — "how much does source A share
+    * with source B?", the corpus-health diagnostic behind dataset-mixing
+    * decisions (two crawls of the same sites should be merged, not
+    * double-weighted) and cross-source contamination audits. Each stratum
+    * is reduced to its DISTINCT winnow fingerprints ([[winnowFingerprints]]
+    * — the same index the pair tiers share), fingerprints present in more
+    * than `maxStrata` strata are dropped as boilerplate (the stop-gram
+    * rule: a shingle in every source identifies a template, not shared
+    * content — and it is also the Σ strata² join-fan-in guard), then one
+    * equi self-join on the fingerprint counts shared fingerprints per
+    * stratum pair. Returns (src_a, src_b, shared, n_a, n_b, jaccard) with
+    * src_a < src_b; totals are post-cap so the Jaccard is over the same
+    * fingerprint universe on both axes; pairs sharing nothing are absent
+    * (the matrix is sparse by construction).
+    *
+    * Scale: work is Σ_fp (#strata with fp)² ≤ maxStrata² · #fps — never
+    * corpus², never #strata² · corpus; the per-stratum reduction is one
+    * distinct over the fingerprint table.
+    */
+  def sourceOverlap(df: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, k: Int = 3, w: Int = 4,
+      maxStrata: Int = 100): DataFrame = {
+    val sfp = winnowFingerprints(df, idCol, textCol, k, w)
+      .join(df.select(col(idCol).as("doc_id"),
+        col(stratumCol).as("stratum")), "doc_id")
+      .select(col("stratum"), col("fp")).distinct()
+    val capped = capBuckets(sfp, Seq("fp"), maxStrata)
+      .transform(Caching.persist)
+    val tot = capped.groupBy(col("stratum")).agg(count(lit(1)).as("n"))
+    capped.as("a").join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.stratum") < col("b.stratum"))
+      .groupBy(col("a.stratum").as("src_a"), col("b.stratum").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(tot.select(col("stratum").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(tot.select(col("stratum").as("src_b"), col("n").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared"), col("n_a"), col("n_b"),
+        round(col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  /** DuckDB replay of [[sourceOverlap]] value-for-value (same winnow
+    * index, same stop-fingerprint cap, same post-cap totals).
+    */
+  def sourceOverlapOracleSql(k: Int = 3, w: Int = 4, maxStrata: Int = 100,
+      table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text", stratumCol: String = "source"): String =
+    s"""WITH fps AS (${winnowOracleSql(k, w, table, idCol, textCol)}),
+       |sfp AS (
+       |  SELECT DISTINCT d.$stratumCol AS stratum, f.fp
+       |  FROM fps f JOIN $table d ON d.$idCol = f.doc_id),
+       |capped AS (
+       |  SELECT stratum, fp FROM sfp
+       |  QUALIFY count(*) OVER (PARTITION BY fp) <= $maxStrata),
+       |tot AS (SELECT stratum, count(*)::BIGINT AS n
+       |        FROM capped GROUP BY stratum),
+       |sh AS (
+       |  SELECT a.stratum AS src_a, b.stratum AS src_b,
+       |         count(*)::BIGINT AS shared
+       |  FROM capped a JOIN capped b
+       |    ON a.fp = b.fp AND a.stratum < b.stratum
+       |  GROUP BY 1, 2)
+       |SELECT sh.src_a, sh.src_b, sh.shared, ta.n AS n_a, tb.n AS n_b,
+       |       round(sh.shared::DOUBLE
+       |             / (ta.n + tb.n - sh.shared)::DOUBLE, 6) AS jaccard
+       |FROM sh JOIN tot ta ON ta.stratum = sh.src_a
+       |        JOIN tot tb ON tb.stratum = sh.src_b""".stripMargin
+
   /** DuckDB replay of [[winnowPairs]] value-for-value. */
   def winnowPairsOracleSql(k: Int = 3, w: Int = 4, minShared: Long = 2L,
       maxBucket: Int = 1000, table: String = "documents",

@@ -340,6 +340,71 @@ object Scale {
        |       + 1)::DOUBLE / ${p + 1}.0 <= r.rate""".stripMargin
   }
 
+  /** Fractional-epoch mixture replication — the "source i is seen e_i
+    * epochs per training run" recipe step (LLaMA/GPT-style data mixes
+    * state weights this way; [[unimaxAllocate]] PRODUCES such epochs):
+    * every doc of a stratum with epochs = 2.5 is emitted twice, plus a
+    * third copy for the content-stable half of the stratum
+    * (hashUniform(key) ≤ 0.5). Epochs < 1 degenerate to plain Bernoulli
+    * downsampling, so one operator realizes the whole mixture vector,
+    * up and down. Returns the replicated manifest (stratum, key, epoch)
+    * with epoch = 0-based copy index; strata with epochs ≤ 0 (or absent
+    * from `epochs`) emit nothing.
+    *
+    * The per-doc decision depends only on the doc key, so every epoch a
+    * doc earns is fully materialized before any doc gets a fractional
+    * copy twice — matching how training actually consumes epochs.
+    * Scale shape: ZERO shuffles — a broadcast join against the tiny
+    * (stratum, epochs) table + a generator; the corpus is scanned once.
+    */
+  def epochMix(df: DataFrame, keyCol: String, stratumCol: String,
+      epochs: DataFrame): DataFrame = {
+    // epochs > 0 BEFORE the generator: Spark's sequence(a, b) walks
+    // BACKWARDS when a > b, so an empty stratum must never reach it
+    val ep = epochs.select(col("stratum"), col("epochs").cast("double"))
+      .where(col("epochs") > 0)
+    df.where(col(keyCol).isNotNull)
+      .select(col(stratumCol).as("stratum"), col(keyCol))
+      .join(broadcast(ep), "stratum")
+      .select(col("stratum"), col(keyCol), col("epochs"),
+        explode(expr("sequence(0, cast(ceil(epochs) AS int) - 1)"))
+          .as("epoch"))
+      .where(col("epoch") < floor(col("epochs")) ||
+        hashUniform(col(keyCol)) <= col("epochs") - floor(col("epochs")))
+      .select(col("stratum"), col(keyCol), col("epoch").cast("long").as("epoch"))
+  }
+
+  /** DuckDB replay of [[epochMix]] value-for-value. `epochValues` are the
+    * (stratum, epochs) pairs the Spark call's `epochs` frame carried.
+    */
+  def epochMixOracleSql(epochValues: Seq[(String, Double)],
+      table: String = "documents", keyCol: String = "doc_id",
+      stratumCol: String = "lang"): String = {
+    val p = Dedup.PortablePrime
+    val vals = epochValues.map { case (s, e) => s"('$s', ${e}::DOUBLE)" }
+      .mkString(", ")
+    // epoch indexes come from a tiny series table joined on
+    // epoch < ceil(epochs), NOT from unnest-in-CTE: DuckDB 1.0 fails to
+    // bind an unnest alias referenced through a CTE boundary
+    s"""WITH ep AS (
+       |  SELECT * FROM (VALUES $vals) AS t(stratum, epochs)
+       |  WHERE epochs > 0),
+       |idx AS (
+       |  SELECT unnest(range(0,
+       |    (SELECT max(ceil(epochs)::INT) FROM ep))) AS epoch),
+       |b AS (SELECT $stratumCol AS stratum, $keyCol
+       |      FROM $table WHERE $keyCol IS NOT NULL),
+       |x AS (
+       |  SELECT b.stratum, b.$keyCol, ep.epochs, idx.epoch
+       |  FROM b JOIN ep USING (stratum)
+       |  JOIN idx ON idx.epoch < ceil(ep.epochs)::INT)
+       |SELECT stratum, $keyCol, epoch::BIGINT AS epoch
+       |FROM x
+       |WHERE epoch < floor(epochs)
+       |   OR ((('0x' || substr(md5($keyCol::VARCHAR), 1, 15))::BIGINT % $p)
+       |       + 1)::DOUBLE / ${p + 1}.0 <= epochs - floor(epochs)""".stripMargin
+  }
+
   /** Per-domain token-budget cap — the RefinedWeb/C4-style curation rule
     * "no single site may contribute more than B tokens": within each
     * domain, documents are taken in content-stable md5-hash order (re-runs

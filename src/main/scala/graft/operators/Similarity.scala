@@ -1120,6 +1120,63 @@ object Similarity {
     semDedupAssigned(df, idCol, vecCol,
       ivfAssign(df, idCol, vecCol, centroidEvery), threshold, maxBucket)
 
+  /** Cluster-balanced diversity sampling — the "cluster, then take evenly
+    * per cluster" coreset recipe (the prototype-sampling step of DataComp/
+    * SSL curation): embeddings are assigned to the deterministic every-Nth
+    * codebook ([[ivfAssign]], the bit-exact tier), then each cluster
+    * contributes at most `perCluster` members chosen in content-stable
+    * md5-hash order. Unlike a global top-k (which concentrates wherever
+    * the corpus is densest), every populated region of embedding space is
+    * represented — the sample preserves coverage, not density. Returns
+    * (centroid_id, id, rank) with rank 1..perCluster inside each cluster.
+    *
+    * Scale shape: assignment is one broadcast join + per-id argmax; the
+    * quota is a rank-limited window, which Spark's WindowGroupLimit
+    * physical rule executes as per-partition PARTIAL top-k before the
+    * cluster shuffle (pinned in SimilaritySpec) — a mega-cluster ships at
+    * most perCluster rows per input partition, never its full population.
+    */
+  def diversitySample(df: DataFrame, idCol: String, vecCol: String,
+      centroidEvery: Long, perCluster: Int): DataFrame = {
+    require(perCluster > 0)
+    val assigned = ivfAssign(df, idCol, vecCol, centroidEvery)
+    val w = Window.partitionBy(col("centroid_id"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    assigned.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= perCluster)
+      .select(col("centroid_id"), col(idCol), col("rank"))
+  }
+
+  /** DuckDB replay of [[diversitySample]] value-for-value: same codebook
+    * + argmax as [[semDedupOracleSql]], same md5 quota order.
+    */
+  def diversityOracleSql(centroidEvery: Long, perCluster: Int,
+      table: String = "embeddings", idCol: String = "vec_id",
+      vecCol: String = "embedding"): String = {
+    def cos(dp: String, np: String): String =
+      s"CASE WHEN $np = 0 THEN '-Infinity'::DOUBLE ELSE $dp / $np END"
+    s"""WITH vecs AS (
+       |  SELECT $idCol AS id, $vecCol::DOUBLE[] AS v,
+       |         sqrt(list_dot_product($vecCol::DOUBLE[], $vecCol::DOUBLE[])) AS nrm
+       |  FROM $table),
+       |cents AS (
+       |  SELECT id AS centroid_id, v AS cv, nrm AS cnrm FROM vecs
+       |  WHERE id % $centroidEvery = 0),
+       |assigned AS (
+       |  SELECT id, centroid_id FROM (
+       |    SELECT vecs.id, cents.centroid_id,
+       |           ${cos("list_dot_product(vecs.v, cents.cv)", "(vecs.nrm * cents.cnrm)")} AS cscore
+       |    FROM vecs, cents)
+       |  QUALIFY row_number() OVER (PARTITION BY id
+       |            ORDER BY cscore DESC, centroid_id) = 1)
+       |SELECT centroid_id, id AS $idCol, rank FROM (
+       |  SELECT centroid_id, id,
+       |         row_number() OVER (PARTITION BY centroid_id
+       |           ORDER BY md5(id::VARCHAR), id)::BIGINT AS rank
+       |  FROM assigned)
+       |WHERE rank <= $perCluster""".stripMargin
+  }
+
   /** DuckDB replay of [[semDedupFixed]] value-for-value: same every-Nth
     * codebook, same argmax tie-break (score DESC, centroid_id ASC), same
     * zero-norm -infinity guard as [[cosineScore]], same min-id drop rule.

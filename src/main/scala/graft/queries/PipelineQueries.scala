@@ -299,6 +299,19 @@ object PipelineQueries {
           TextAnalysis.tokenCount(col("text")).cast("long").as("ntok")),
         "doc_id", "lang", col("ntok"), alpha = 0.5)),
 
+    // --- fractional-epoch replication: the per-language mixture vector
+    // (0.5..2.5 epochs) materialized as a copy manifest — full copies for
+    // everyone, the fractional copy for the md5-stable slice (oracle-
+    // checked) ---
+    "q_pipeline_epochs" -> ((s, d) => {
+      import s.implicits._
+      graft.operators.Scale.epochMix(
+        docs(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", "lang",
+        Seq(("en", 0.5), ("es", 1.0), ("de", 2.0), ("fr", 2.5),
+          ("zh", 1.25)).toDF("stratum", "epochs"))
+    }),
+
     // --- per-domain token cap: each source contributes at most ~600
     // tokens, docs taken in content-stable md5 order (two-level skew-safe
     // cumulative sum; oracle replays hash order + BIGINT arithmetic) ---
@@ -420,6 +433,13 @@ object PipelineQueries {
     "q_dedup_winnow_pairs" -> ((s, d) =>
       Dedup.winnowPairs(docs(s, d), "doc_id", "text", k = 3, w = 4,
         minShared = 3L)),
+
+    // --- cross-source overlap matrix: shared winnow fingerprints per
+    // source pair, boilerplate fingerprints capped out, post-cap Jaccard
+    // (oracle-checked) ---
+    "q_dedup_overlap" -> ((s, d) =>
+      Dedup.sourceOverlap(docs(s, d), "doc_id", "text", "source",
+        k = 3, w = 4, maxStrata = 10)),
 
     // --- the strip step completing q_dedup_spans: flagged spans removed,
     // survivors rejoined in token order (oracle replays detect+strip) ---
@@ -745,6 +765,15 @@ object PipelineQueries {
       Similarity.semDedupFixed(s.table("embeddings"), "vec_id", "embedding",
         centroidEvery = 50L, threshold = 0.4)
     }),
+
+    // --- cluster-balanced diversity sample: ≤5 vectors per fixed-codebook
+    // cluster in content-stable md5 order — coverage-preserving coreset,
+    // rank-limit executed as partial top-k (oracle-checked) ---
+    "q_embed_diversity" -> ((s, d) => {
+      Tables.load(s, d)
+      Similarity.diversitySample(s.table("embeddings"), "vec_id", "embedding",
+        centroidEvery = 50L, perCluster = 5)
+    }),
   )
 
   /** Shared by q_dedup_incremental and q_dedup_bloom: the bloom variant's
@@ -898,6 +927,8 @@ object PipelineQueries {
     "q_embed_neardup_md5" -> Similarity.nearDupOracleSql(threshold = 0.4),
     "q_embed_semdedup" ->
       Similarity.semDedupOracleSql(centroidEvery = 50L, threshold = 0.4),
+    "q_embed_diversity" ->
+      Similarity.diversityOracleSql(centroidEvery = 50L, perCluster = 5),
     "q_pipeline_rag" -> Similarity.retrieveOracleSql(window = 32, stride = 24,
       dim = 64, k = 5, probePred = "doc % 100 = 7"),
 
@@ -941,6 +972,9 @@ object PipelineQueries {
 
     "q_pipeline_domain_cap" -> graft.operators.Scale.domainCapOracleSql(
       weightExpr = s"len(${TextAnalysis.toksSql("text")})", budget = 600L),
+
+    "q_pipeline_epochs" -> graft.operators.Scale.epochMixOracleSql(
+      Seq(("en", 0.5), ("es", 1.0), ("de", 2.0), ("fr", 2.5), ("zh", 1.25))),
 
     "q_pipeline_unimax" -> graft.operators.Scale.unimaxOracleSql(
       tokenExpr = s"len(${TextAnalysis.toksSql("text")})",
@@ -1123,6 +1157,8 @@ object PipelineQueries {
     "q_dedup_winnow" -> Dedup.winnowOracleSql(k = 3, w = 4),
     "q_dedup_winnow_pairs" ->
       Dedup.winnowPairsOracleSql(k = 3, w = 4, minShared = 3L),
+    "q_dedup_overlap" ->
+      Dedup.sourceOverlapOracleSql(k = 3, w = 4, maxStrata = 10),
 
     "q_pipeline_e2e2" -> {
       val p = Dedup.PortablePrime

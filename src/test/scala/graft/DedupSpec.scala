@@ -405,6 +405,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs(0)._3 >= 3L)
   }
 
+  test("sourceOverlap: sharing sources pair up, boilerplate fp capped out") {
+    val shared = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val boiler = (100 to 130).map(i => s"b$i").mkString(" ")
+    // A and B share `shared`; the boilerplate block appears in ALL three
+    // sources (→ capped out with maxStrata = 2); C is otherwise disjoint
+    val df = Seq(
+      (1L, s"$shared $boiler", "A"),
+      (2L, s"$shared $boiler", "B"),
+      (3L, s"$boiler " + (200 to 230).map(i => s"c$i").mkString(" "), "C"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(df, "doc_id", "text", "source",
+        maxStrata = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(5)))).toMap
+    // only (A, B) overlaps; boilerplate never creates a C pair
+    assert(got.keySet == Set(("A", "B")))
+    val (sharedFp, jac) = got(("A", "B"))
+    assert(sharedFp > 0 && jac > 0.0 && jac <= 1.0)
+    // with the cap wide open the boilerplate links every pair
+    val uncapped = Dedup.sourceOverlap(df, "doc_id", "text", "source",
+        maxStrata = 100)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(uncapped == Set(("A", "B"), ("A", "C"), ("B", "C")))
+  }
+
   test("stripSpans: flagged tokens removed, clean docs untouched, full flag → empty") {
     val shared = "alpha beta gamma delta"
     val df = Seq(

@@ -297,6 +297,31 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got == again && got.nonEmpty)
   }
 
+  test("epochMix: full copies for all, fractional copy for the stable slice") {
+    val docs = (1L to 200L).map(i =>
+      (i, if (i <= 100) "hi" else "lo")).toDF("id", "s")
+    val ep = Seq(("hi", 2.5), ("lo", 0.4), ("zero", 0.0)).toDF("stratum", "epochs")
+    val got = Scale.epochMix(docs, "id", "s", ep)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val hi = got.filter(_._1 == "hi")
+    val lo = got.filter(_._1 == "lo")
+    // every hi doc appears at epochs 0 and 1; epoch 2 only for a subset
+    assert(hi.count(_._3 == 0L) == 100 && hi.count(_._3 == 1L) == 100)
+    val hi2 = hi.count(_._3 == 2L)
+    assert(hi2 > 20 && hi2 < 80) // ~50 expected, content-hash distributed
+    // a doc's fractional copy implies it has ALL its full copies
+    assert(hi.filter(_._3 == 2L).map(_._2).toSet
+      .subsetOf(hi.filter(_._3 == 0L).map(_._2).toSet))
+    // epochs < 1 = plain downsampling at that rate, epoch index 0
+    assert(lo.nonEmpty && lo.forall(_._3 == 0L))
+    assert(lo.length > 15 && lo.length < 70) // ~40 expected
+    // epochs = 0 strata emit nothing; determinism across runs
+    assert(!got.exists(_._1 == "zero"))
+    val again = Scale.epochMix(docs, "id", "s", ep)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet == again.toSet)
+  }
+
   test("domainTokenCap: equals the naive per-domain window, soft cap kept") {
     // 3 domains, enough docs that hash-prefix buckets actually split; one
     // domain whose first doc alone exceeds the budget (soft-cap branch)

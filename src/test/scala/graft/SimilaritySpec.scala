@@ -265,6 +265,26 @@ class SimilaritySpec extends SparkSpec
     assert(assigned.groupBy("vec_id").count().where(col("count") > 1).count() == 0)
   }
 
+  test("diversitySample: quota per cluster, full coverage, partial top-k plan") {
+    val ds = Similarity.diversitySample(emb, "vec_id", "embedding",
+      centroidEvery = 50L, perCluster = 3)
+    val rows = ds.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // quota respected inside every cluster, ranks are 1..n
+    val byCluster = rows.groupBy(_._1)
+    assert(byCluster.values.forall(_.length <= 3))
+    assert(byCluster.values.forall(g =>
+      g.map(_._3).sorted.toSeq == (1L to g.length).toSeq))
+    // coverage: every populated cluster is represented (the property a
+    // global top-k sample does NOT have)
+    val populated = Similarity.ivfAssign(emb, "vec_id", "embedding", 50L)
+      .select("centroid_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(byCluster.keySet == populated)
+    // scale pin: the rank-limit window runs as per-partition PARTIAL
+    // top-k (WindowGroupLimit) before the cluster shuffle
+    val plan = ds.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
   test("nearDupPairs: planted duplicate vector is found with score ~1") {
     val planted = emb.limit(1)
       .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
