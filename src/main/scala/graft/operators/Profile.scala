@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling — the QA pass a training-data pipeline runs before and
@@ -420,6 +420,100 @@ object Profile {
        |       round(percent_rank() OVER (PARTITION BY $groupExpr
        |                                  ORDER BY $scoreExpr), 6) AS calibrated
        |FROM $table""".stripMargin
+
+  /** Context-length truncation report — "what does a context window of L
+    * tokens cost per stratum?": docs over L lose their tail at training
+    * time ([[graft.operators.Scale.packSequences]] truncates oversized
+    * docs the same way), so the pre-flight QA pass wants, per stratum,
+    * how many docs truncate and what token fraction is lost. One plain
+    * aggregate over the corpus (integer token arithmetic, exact); the
+    * loss percentage is rounded to 6 dp. Returns per stratum:
+    * (stratum, n_docs, n_truncated, tot_tokens, kept_tokens, lost_tokens,
+    * pct_lost).
+    */
+  def truncationReport(df: DataFrame, stratumCol: String, tokens: Column,
+      contextLen: Long): DataFrame = {
+    require(contextLen > 0)
+    df.select(col(stratumCol).as("stratum"), tokens.cast("long").as("ntok"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("ntok") > contextLen, lit(1))).as("n_truncated"),
+        sum(col("ntok")).as("tot_tokens"),
+        sum(least(col("ntok"), lit(contextLen))).as("kept_tokens"),
+        sum(greatest(col("ntok") - lit(contextLen), lit(0L))).as("lost_tokens"))
+      .withColumn("pct_lost",
+        when(col("tot_tokens") > 0,
+          round(col("lost_tokens").cast("double") /
+            col("tot_tokens").cast("double") * 100d, 6))
+          .otherwise(lit(0d)))
+  }
+
+  /** DuckDB SQL replaying [[truncationReport]] value-for-value. */
+  def truncationOracleSql(table: String, stratumExpr: String,
+      tokenExpr: String, contextLen: Long): String =
+    s"""WITH b AS (
+       |  SELECT $stratumExpr AS stratum, ($tokenExpr)::BIGINT AS ntok
+       |  FROM $table),
+       |a AS (
+       |  SELECT stratum, count(*)::BIGINT AS n_docs,
+       |         count(CASE WHEN ntok > $contextLen THEN 1 END)::BIGINT
+       |           AS n_truncated,
+       |         sum(ntok)::BIGINT AS tot_tokens,
+       |         sum(least(ntok, $contextLen))::BIGINT AS kept_tokens,
+       |         sum(greatest(ntok - $contextLen, 0))::BIGINT AS lost_tokens
+       |  FROM b GROUP BY stratum)
+       |SELECT *, CASE WHEN tot_tokens > 0
+       |               THEN round(lost_tokens::DOUBLE / tot_tokens::DOUBLE
+       |                          * 100, 6)
+       |               ELSE 0 END AS pct_lost
+       |FROM a""".stripMargin
+
+  /** Curriculum difficulty binning — docs assigned to `nBuckets` global
+    * score quantile buckets (easy → hard), the ordering step of
+    * curriculum-learning data schedules. NOT `ntile()`: a global ntile
+    * window funnels the entire corpus through one task. Instead the n−1
+    * `percentile_disc` cutpoints are computed in one aggregate (actual
+    * data values, no interpolation — replayable), broadcast as a single
+    * row, and every doc buckets itself map-only: bucket = 1 + #cutpoints
+    * strictly below its score. Ties share a bucket (unlike ntile's
+    * arbitrary equal-size split), which is the semantics a curriculum
+    * wants — equal difficulty, equal treatment. Returns (id, score,
+    * bucket 1..nBuckets).
+    *
+    * 100 TB note: `percentile_disc` buffers values per partition during
+    * the cutpoint aggregate; for unbounded continuous scores compute
+    * cutpoints on the quantized tier ([[ksDriftQuantized]]'s pattern) or
+    * a deterministic sample — the bucketing pass itself stays map-only.
+    */
+  def curriculumBuckets(df: DataFrame, idCol: String, scoreCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2)
+    val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val cuts = df.select(col(scoreCol).cast("double").as("v"))
+      .agg(array(qs.map(q =>
+        expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY v)")): _*)
+        .as("cuts"))
+    df.select(col(idCol), col(scoreCol).cast("double").as("score"))
+      .crossJoin(broadcast(cuts))
+      .select(col(idCol), col("score"),
+        (lit(1) + size(filter(col("cuts"), c => col("score") > c)))
+          .cast("long").as("bucket"))
+  }
+
+  /** DuckDB SQL replaying [[curriculumBuckets]] value-for-value
+    * (quantile_disc list = the same order statistics).
+    */
+  def curriculumOracleSql(table: String, idExpr: String, scoreExpr: String,
+      nBuckets: Int): String = {
+    val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+      .mkString("[", ", ", "]")
+    s"""WITH cuts AS (
+       |  SELECT quantile_disc(($scoreExpr)::DOUBLE, $qs) AS cs FROM $table)
+       |SELECT $idExpr, ($scoreExpr)::DOUBLE AS score,
+       |       (1 + len(list_filter(cs, c -> ($scoreExpr)::DOUBLE > c)))::BIGINT
+       |         AS bucket
+       |FROM $table, cuts""".stripMargin
+  }
 
   def histogramOracleSql(table: String, valueCol: String, lo: Double,
       hi: Double, bins: Int): String = {

@@ -566,6 +566,45 @@ object Scale {
     * prices like a second pass of the window stage; leave it off on trusted
     * nightly inputs, turn it on when ingesting a new upstream.
     */
+  /** Corpus-version diff — "what changed between crawl N−1 and crawl N?",
+    * the CDC report that drives incremental reprocessing (only `added` +
+    * `changed` docs re-enter the dedup/quality pipeline; `removed` feeds
+    * tombstones). Both sides reduce to (key, content fingerprint) and one
+    * full-outer key join classifies every key: added (absent before),
+    * removed (absent now), changed (fingerprint differs), unchanged.
+    * Returns (key, status).
+    *
+    * Scale shape: the only corpus-sized operation is the single key
+    * shuffle of the full-outer join ([[mergeLatest]]'s contract); text
+    * never shuffles — the md5 fingerprint is computed below the exchange,
+    * so join rows are (key, 32-byte hash) however large the docs are.
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(keyCol).as("k"), md5(col(textCol)).as("__oh"))
+    val n = newDf.select(col(keyCol).as("k"), md5(col(textCol)).as("__nh"))
+    o.join(n, Seq("k"), "full_outer")
+      .select(col("k").as(keyCol),
+        when(col("__oh").isNull, lit("added"))
+          .when(col("__nh").isNull, lit("removed"))
+          .when(col("__oh") =!= col("__nh"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
+  /** DuckDB replay of [[corpusDiff]]: `oldSql`/`newSql` are subqueries
+    * producing ($keyCol, $textCol) for each side.
+    */
+  def corpusDiffOracleSql(oldSql: String, newSql: String,
+      keyCol: String = "doc_id", textCol: String = "text"): String =
+    s"""WITH o AS (SELECT $keyCol AS k, md5($textCol) AS oh FROM ($oldSql)),
+       |n AS (SELECT $keyCol AS k, md5($textCol) AS nh FROM ($newSql))
+       |SELECT coalesce(o.k, n.k) AS $keyCol,
+       |       CASE WHEN o.k IS NULL THEN 'added'
+       |            WHEN n.k IS NULL THEN 'removed'
+       |            WHEN oh <> nh THEN 'changed'
+       |            ELSE 'unchanged' END AS status
+       |FROM o FULL OUTER JOIN n ON n.k = o.k""".stripMargin
+
   def mergeLatest(base: DataFrame, updates: DataFrame, keyCol: String,
       versionCol: String, validate: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -299,6 +299,37 @@ object PipelineQueries {
           TextAnalysis.tokenCount(col("text")).cast("long").as("ntok")),
         "doc_id", "lang", col("ntok"), alpha = 0.5)),
 
+    // --- context-length truncation report: per-language docs/tokens lost
+    // to a 50-token training window (exact integer arithmetic) ---
+    "q_pipeline_truncation" -> ((s, d) =>
+      graft.operators.Profile.truncationReport(
+        docs(s, d).select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ntok")),
+        "lang", col("ntok"), contextLen = 50L)),
+
+    // --- curriculum difficulty binning: 4 global quality-quantile buckets
+    // via broadcast percentile_disc cutpoints, map-only assignment (no
+    // global ntile window) ---
+    "q_pipeline_curriculum" -> ((s, d) =>
+      graft.operators.Profile.curriculumBuckets(
+        docs(s, d).select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("q")),
+        "doc_id", "q", nBuckets = 4)),
+
+    // --- corpus-version diff: crawl N vs N-1 CDC report (removals by
+    // mod-11, edits by mod-7, additions by mod-13) — only the key and a
+    // content fingerprint ever shuffle ---
+    "q_scale_diff" -> ((s, d) => {
+      val dd = docs(s, d).select(col("doc_id"), col("text"))
+      val newVer = dd.where(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(dd.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      graft.operators.Scale.corpusDiff(dd, newVer, "doc_id", "text")
+    }),
+
     // --- fractional-epoch replication: the per-language mixture vector
     // (0.5..2.5 epochs) materialized as a copy manifest — full copies for
     // everyone, the fractional copy for the md5-stable slice (oracle-
@@ -975,6 +1006,23 @@ object PipelineQueries {
 
     "q_pipeline_epochs" -> graft.operators.Scale.epochMixOracleSql(
       Seq(("en", 0.5), ("es", 1.0), ("de", 2.0), ("fr", 2.5), ("zh", 1.25))),
+
+    "q_pipeline_truncation" -> graft.operators.Profile.truncationOracleSql(
+      "documents", "lang", s"len(${TextAnalysis.toksSql("text")})",
+      contextLen = 50L),
+
+    "q_pipeline_curriculum" -> graft.operators.Profile.curriculumOracleSql(
+      "documents", "doc_id", TextAnalysis.qualitySql("text"), nBuckets = 4),
+
+    "q_scale_diff" -> graft.operators.Scale.corpusDiffOracleSql(
+      oldSql = "SELECT doc_id, text FROM documents",
+      newSql = """SELECT doc_id,
+                 |       CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                 |            ELSE text END AS text
+                 |FROM documents WHERE doc_id % 11 <> 0
+                 |UNION ALL
+                 |SELECT doc_id + 1000000 AS doc_id, text
+                 |FROM documents WHERE doc_id % 13 = 0""".stripMargin),
 
     "q_pipeline_unimax" -> graft.operators.Scale.unimaxOracleSql(
       tokenExpr = s"len(${TextAnalysis.toksSql("text")})",

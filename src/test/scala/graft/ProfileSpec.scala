@@ -136,6 +136,40 @@ class ProfileSpec extends SparkSpec {
     assert(r(5L) == 0.0)
   }
 
+  test("truncationReport: exact token accounting per stratum") {
+    import spark.implicits._
+    val d = Seq(("a", 30L), ("a", 80L), ("a", 50L), ("b", 120L))
+      .toDF("s", "ntok")
+    val r = Profile.truncationReport(d, "s", org.apache.spark.sql.functions.col("ntok"), 50L)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5),
+          x.getDouble(6))).toMap
+    // a: 3 docs, one over (80 → 50, loses 30); 160 total, 130 kept
+    assert(r("a") == ((3L, 1L, 160L, 130L, 30L, 18.75)))
+    // b: one doc fully over: 120 total, 50 kept, 70 lost
+    assert(r("b") == ((1L, 1L, 120L, 50L, 70L, 58.333333)))
+  }
+
+  test("curriculumBuckets: quantile buckets, ties share, no global window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // scores 1..8 twice → quartile cutpoints are data values; ties (both
+    // copies of each score) must land in the same bucket
+    val d = ((1 to 8) ++ (1 to 8)).zipWithIndex
+      .map { case (s, i) => (i.toLong, s.toDouble) }.toDF("id", "sc")
+    val got = Profile.curriculumBuckets(d, "id", "sc", nBuckets = 4)
+      .collect().map(r => (r.getDouble(1), r.getLong(2)))
+    // buckets are monotone in score and cover 1..4
+    val byScore = got.groupBy(_._1).map { case (s, g) => s -> g.map(_._2).toSet }
+    assert(byScore.values.forall(_.size == 1)) // ties share a bucket
+    val ordered = byScore.toSeq.sortBy(_._1).map(_._2.head)
+    assert(ordered == ordered.sorted && ordered.toSet == Set(1L, 2L, 3L, 4L))
+    // scale shape: no single-partition global window in the plan
+    val plan = Profile.curriculumBuckets(d, "id", "sc", 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+  }
+
   test("winsorize: clips to order-statistic bounds, exact DECIMAL sum") {
     import spark.implicits._
     // 1..10 in one group: p10/p90 disc bounds are data values; the two

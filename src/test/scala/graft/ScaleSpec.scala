@@ -297,6 +297,15 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got == again && got.nonEmpty)
   }
 
+  test("corpusDiff: added/removed/changed/unchanged classified exactly") {
+    val oldV = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("k", "t")
+    val newV = Seq((2L, "beta"), (3L, "gamma EDITED"), (4L, "delta")).toDF("k", "t")
+    val got = Scale.corpusDiff(oldV, newV, "k", "t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("epochMix: full copies for all, fractional copy for the stable slice") {
     val docs = (1L to 200L).map(i =>
       (i, if (i <= 100) "hi" else "lo")).toDF("id", "s")
