@@ -1120,6 +1120,65 @@ object Similarity {
     semDedupAssigned(df, idCol, vecCol,
       ivfAssign(df, idCol, vecCol, centroidEvery), threshold, maxBucket)
 
+  /** Per-dimension z-score standardization of an embedding column — the
+    * preprocessing step before distance-based anything (ANN, k-means,
+    * SemDeDup): dimensions with large raw variance otherwise dominate
+    * every cosine/L2. Exactness design: raw floats enter the ×1e6
+    * fixed-point BIGINT carrier (the [[graft.queries.MonoidQueries]]
+    * `q_embed_centroids` pattern), per-dim moments are EXACT integer sums
+    * (sum-of-squares on a DECIMAL(38,0) carrier — BIGINT would overflow at
+    * ~1e11 rows × 1e14 squares), and the z-score is computed as
+    * z = (v·n − s) / sqrt(n·ss − s²) — numerator and radicand are exact
+    * integers (the fx scale cancels algebraically), so both engines
+    * convert the same integers to double, take the same IEEE sqrt, and
+    * round identically. Constant dimensions (radicand 0) standardize to 0
+    * instead of NaN. Returns (id, pos, z) exploded — one row per
+    * (vector, dimension), z rounded to 6 dp.
+    *
+    * Scale shape: one explode + one dims-sized aggregate, moments
+    * broadcast back onto the exploded table — the corpus shuffles once
+    * (the per-pos aggregate's partial rows), never the vectors.
+    */
+  def standardizeEmbeddings(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val f = df.select(col(idCol), posexplode(col(vecCol)))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        expr("CAST(ROUND(CAST(col AS DOUBLE) * 1000000, 0) AS BIGINT)")
+          .as("v"))
+      .transform(Caching.persist) // consumed by moments AND the join
+    val m = f.groupBy("pos").agg(
+      count(lit(1)).as("n"),
+      sum(col("v")).cast("decimal(38,0)").as("s"),
+      sum(col("v").cast("decimal(38,0)") * col("v")).as("ss"))
+    val num = (col("v").cast("decimal(38,0)") * col("n") - col("s"))
+      .cast("double")
+    val rad = (col("n") * col("ss") - col("s") * col("s")).cast("double")
+    f.join(broadcast(m), "pos")
+      .select(col(idCol), col("pos"),
+        when(rad === 0d, lit(0d))
+          .otherwise(round(num / sqrt(rad), 6)).as("z"))
+  }
+
+  /** DuckDB replay of [[standardizeEmbeddings]] value-for-value (HUGEINT
+    * carries the exact moments; the same integer algebra feeds the same
+    * IEEE sqrt).
+    */
+  def standardizeOracleSql(table: String = "embeddings",
+      idCol: String = "vec_id", vecCol: String = "embedding"): String =
+    s"""WITH f AS (
+       |  SELECT $idCol, generate_subscripts($vecCol, 1)::BIGINT AS pos,
+       |         round(unnest($vecCol::DOUBLE[]) * 1000000)::BIGINT AS v
+       |  FROM $table),
+       |m AS (
+       |  SELECT pos, count(*)::BIGINT AS n, sum(v)::HUGEINT AS s,
+       |         sum(v::HUGEINT * v)::HUGEINT AS ss
+       |  FROM f GROUP BY pos)
+       |SELECT f.$idCol, f.pos,
+       |       CASE WHEN n * ss - s * s = 0 THEN 0
+       |            ELSE round((v::HUGEINT * n - s)::DOUBLE
+       |                       / sqrt((n * ss - s * s)::DOUBLE), 6) END AS z
+       |FROM f JOIN m USING (pos)""".stripMargin
+
   /** Cluster-balanced diversity sampling — the "cluster, then take evenly
     * per cluster" coreset recipe (the prototype-sampling step of DataComp/
     * SSL curation): embeddings are assigned to the deterministic every-Nth

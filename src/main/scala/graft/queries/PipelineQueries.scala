@@ -797,6 +797,15 @@ object PipelineQueries {
         centroidEvery = 50L, threshold = 0.4)
     }),
 
+    // --- per-dim z-score standardization: exact fx-carrier moments, the
+    // scale cancels in z = (v·n−s)/√(n·ss−s²) so both engines compute
+    // identical doubles (oracle-checked) ---
+    "q_embed_standardize" -> ((s, d) => {
+      Tables.load(s, d)
+      Similarity.standardizeEmbeddings(s.table("embeddings"), "vec_id",
+        "embedding")
+    }),
+
     // --- cluster-balanced diversity sample: ≤5 vectors per fixed-codebook
     // cluster in content-stable md5 order — coverage-preserving coreset,
     // rank-limit executed as partial top-k (oracle-checked) ---
@@ -960,6 +969,7 @@ object PipelineQueries {
       Similarity.semDedupOracleSql(centroidEvery = 50L, threshold = 0.4),
     "q_embed_diversity" ->
       Similarity.diversityOracleSql(centroidEvery = 50L, perCluster = 5),
+    "q_embed_standardize" -> Similarity.standardizeOracleSql(),
     "q_pipeline_rag" -> Similarity.retrieveOracleSql(window = 32, stride = 24,
       dim = 64, k = 5, probePred = "doc % 100 = 7"),
 

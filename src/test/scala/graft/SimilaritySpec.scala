@@ -265,6 +265,25 @@ class SimilaritySpec extends SparkSpec
     assert(assigned.groupBy("vec_id").count().where(col("count") > 1).count() == 0)
   }
 
+  test("standardizeEmbeddings: per-dim mean 0 / unit variance, constant dim → 0") {
+    val df = Seq(
+      (1L, Seq(1.0f, 5.0f, 7.0f)),
+      (2L, Seq(3.0f, 5.0f, 1.0f)),
+      (3L, Seq(5.0f, 5.0f, 4.0f))).toDF("vec_id", "embedding")
+    val z = Similarity.standardizeEmbeddings(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // dim 1: values 1,3,5 → mean 3, population std sqrt(8/3)
+    val s1 = math.sqrt(8.0 / 3.0)
+    assert(math.abs(z((1L, 1L)) - (-2.0 / s1)) < 1e-6)
+    assert(math.abs(z((2L, 1L)) - 0.0) < 1e-6)
+    assert(math.abs(z((3L, 1L)) - (2.0 / s1)) < 1e-6)
+    // constant dim 2 → all zeros, not NaN
+    assert(Seq(1L, 2L, 3L).forall(i => z((i, 2L)) == 0.0))
+    // every dim's z-values sum to ~0 (mean removed)
+    val byDim = z.groupBy(_._1._2).view.mapValues(_.values.sum)
+    assert(byDim.values.forall(s => math.abs(s) < 1e-5))
+  }
+
   test("diversitySample: quota per cluster, full coverage, partial top-k plan") {
     val ds = Similarity.diversitySample(emb, "vec_id", "embedding",
       centroidEvery = 50L, perCluster = 3)
