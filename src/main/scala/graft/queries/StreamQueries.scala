@@ -96,6 +96,11 @@ object StreamQueries {
       graft.streaming.EventStreams.funnel(events(s, d),
         Seq("signup", "click", "purchase"), maxSpan = Some("24 hours"))),
 
+    // --- weekly cohort retention: signup-week cohorts × activity-week
+    // offsets, Monday-aligned in both engines (oracle-checked) ---
+    "q_stream_cohorts" -> ((s, d) =>
+      graft.streaming.EventStreams.cohortRetention(events(s, d), "signup")),
+
     // as-of join: each click annotated with the user's latest prior purchase
     "q_asof_join" -> ((s, d) => {
       val ev = events(s, d)
@@ -244,6 +249,8 @@ object StreamQueries {
 
     "q_stream_funnel" -> graft.streaming.EventStreams.funnelOracleSql(
       Seq("signup", "click", "purchase"), maxSpan = Some("24 hours")),
+
+    "q_stream_cohorts" -> graft.streaming.EventStreams.cohortOracleSql("signup"),
 
     // grid = generate_series over each user's bucket range; fill = running
     // last_value IGNORE NULLS — same semantics as Spark's last(_, true)

@@ -205,6 +205,65 @@ object EventStreams {
     * `maxSpan` (e.g. "2 hours") optionally bounds the whole journey
     * relative to the matched first-step event.
     */
+  /** Weekly cohort-retention matrix — the classic "of users who signed up
+    * in week W, how many were still active k weeks later" engagement
+    * table. Cohort = the week (`date_trunc('week')`, Monday-aligned in
+    * both engines) of a user's FIRST `cohortType` event; activity = any
+    * event in a week at or after the cohort week (a user's cohort event
+    * makes them active at offset 0, so the offset-0 row IS the cohort
+    * size). Week offsets are exact: both weeks are Monday-truncated, the
+    * day difference is a multiple of 7, and the division is integer.
+    * Returns (cohort_week, week_offset, n_users, cohort_size, retention)
+    * with retention = n_users/cohort_size rounded to 6 dp.
+    *
+    * Scale shape: one user-keyed aggregate (first cohort event), one
+    * (user, week) distinct, one user-keyed join, one small aggregate —
+    * all bounded shuffles; no windows, no per-user state beyond a row.
+    */
+  def cohortRetention(events: DataFrame, cohortType: String): DataFrame = {
+    val cohorts = events.where(col("event_type") === cohortType)
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cw"))
+      .transform(graft.operators.Caching.persist) // joined + sized below
+    val activity = events.select(col("user_id"),
+        date_trunc("week", col("ts")).as("aw")).distinct()
+    val sizes = cohorts.groupBy(col("cw")).agg(count(lit(1)).as("cohort_size"))
+    cohorts.join(activity, "user_id")
+      .where(col("aw") >= col("cw"))
+      .select(col("cw"),
+        expr("datediff(CAST(aw AS date), CAST(cw AS date)) div 7")
+          .cast("long").as("week_offset"))
+      .groupBy(col("cw"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .join(sizes, "cw")
+      .select(col("cw").cast("date").as("cohort_week"), col("week_offset"),
+        col("n_users"), col("cohort_size"),
+        round(col("n_users").cast("double") /
+          col("cohort_size").cast("double"), 6).as("retention"))
+  }
+
+  /** DuckDB replay of [[cohortRetention]] value-for-value. */
+  def cohortOracleSql(cohortType: String,
+      table: String = "events"): String =
+    s"""WITH c AS (
+       |  SELECT user_id, date_trunc('week', min(ts::TIMESTAMP)) AS cw
+       |  FROM $table WHERE event_type = '$cohortType' GROUP BY user_id),
+       |a AS (
+       |  SELECT DISTINCT user_id, date_trunc('week', ts::TIMESTAMP) AS aw
+       |  FROM $table),
+       |j AS (
+       |  SELECT c.cw,
+       |         date_diff('day', c.cw::DATE, a.aw::DATE) // 7 AS week_offset
+       |  FROM c JOIN a USING (user_id) WHERE a.aw >= c.cw),
+       |r AS (
+       |  SELECT cw, week_offset, count(*)::BIGINT AS n_users
+       |  FROM j GROUP BY cw, week_offset),
+       |s AS (SELECT cw, count(*)::BIGINT AS cohort_size FROM c GROUP BY cw)
+       |SELECT r.cw::DATE AS cohort_week, r.week_offset::BIGINT AS week_offset,
+       |       r.n_users, s.cohort_size,
+       |       round(r.n_users::DOUBLE / s.cohort_size::DOUBLE, 6) AS retention
+       |FROM r JOIN s USING (cw)""".stripMargin
+
   def funnel(events: DataFrame, steps: Seq[String],
       maxSpan: Option[String] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")

@@ -394,6 +394,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cohortRetention: hand-checked weekly matrix, pre-cohort weeks excluded") {
+    import spark.implicits._
+    def t(d: String) = java.sql.Timestamp.valueOf(s"$d 12:00:00")
+    // weeks: 2024-01-01 (Mon) and 2024-01-08. u1 signs up wk0, active wk0+wk1;
+    // u2 signs up wk0, active wk0 only; u3 signs up wk1; u4 never signs up
+    // (excluded); u1 also has PRE-cohort activity that must not count
+    val ev = Seq(
+      (1L, "view", t("2023-12-25"), 1L), // pre-cohort activity
+      (1L, "signup", t("2024-01-01"), 2L),
+      (1L, "click", t("2024-01-10"), 3L),
+      (2L, "signup", t("2024-01-02"), 4L),
+      (3L, "signup", t("2024-01-08"), 5L),
+      (4L, "view", t("2024-01-03"), 6L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val r = graft.streaming.EventStreams.cohortRetention(ev, "signup")
+      .collect().map(x => (x.getDate(0).toString, x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(r == Map(
+      ("2024-01-01", 0L) -> ((2L, 2L, 1.0)),  // u1+u2 signup week
+      ("2024-01-01", 1L) -> ((1L, 2L, 0.5)),  // only u1 retained
+      ("2024-01-08", 0L) -> ((1L, 1L, 1.0)))) // u3's cohort
+  }
+
   test("funnel: greedy in-order matching, span bound, out-of-order excluded") {
     import spark.implicits._
     def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
