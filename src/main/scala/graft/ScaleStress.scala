@@ -211,6 +211,39 @@ object ScaleStress {
         .count()
     time("pagerank 1x (150k orders)")(pr(li1))
     time("pagerank 10x (1.5M orders)")(pr(li10))
+
+    // domain token cap: the two-level bucket-prefix cumulative sum keeps
+    // every window partition ≤ domain/256 — 10x docs in the SAME 20
+    // domains (the worst case: domains grow 10x) must stay ~linear
+    def cap(d: org.apache.spark.sql.DataFrame): Long =
+      Scale.domainTokenCap(
+        d.select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ntok")),
+        "doc_id", "source", col("ntok"), budget = 60000L).count()
+    time("domain-cap 1x")(cap(d1))
+    time("domain-cap 10x (10x-deeper domains)")(cap(d10))
+
+    // source overlap: fingerprint self-join fan-in bounded by maxStrata² —
+    // 10x docs = 10x fingerprints, per-fp work unchanged
+    def overlap(d: org.apache.spark.sql.DataFrame): Long =
+      Dedup.sourceOverlap(d, "doc_id", "text", "source", maxStrata = 10).count()
+    time("source-overlap 1x")(overlap(d1))
+    time("source-overlap 10x")(overlap(d10))
+
+    // diversity sample: assignment n·centroids (sized sqrt → n^1.5), quota
+    // via WindowGroupLimit partial top-k — never a full-cluster sort
+    time("diversity 1x")(
+      Similarity.diversitySample(e1, "vec_id", "embedding", 50L, 5).count())
+    time("diversity 10x (sized centroidEvery=sqrt(n))")(
+      Similarity.diversitySample(e10, "vec_id", "embedding",
+        Similarity.sizeCentroidEvery(50000L), 5).count())
+
+    // standardization: one explode + dims-sized broadcast aggregate —
+    // pure linear scan shape
+    time("standardize 1x")(
+      Similarity.standardizeEmbeddings(e1, "vec_id", "embedding").count())
+    time("standardize 10x")(
+      Similarity.standardizeEmbeddings(e10, "vec_id", "embedding").count())
     spark.stop()
   }
 }
