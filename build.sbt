@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suites share ONE SparkContext (TestSpark singleton), and its cache
+// manager is global JVM state: PlanSpec/CachingSpec call clearCache and
+// assert on getPersistentRDDs, so two suites interleaving can unpersist
+// each other's entries mid-assertion (observed as a rare CachingSpec
+// flake under machine load). Suite-serial execution makes the cache
+// state deterministic; tests within a suite were already sequential.
+Test / parallelExecution := false
 // Forked run output goes straight to sbt's stdout WITHOUT the "[info] "
 // logger prefix. The driver parses Bench's one-line {"metric":...} JSON
 // from the process output; with the default LoggedOutput strategy every

@@ -192,6 +192,101 @@ object TextAnalysis {
     * result is rounded to 6 dp, the same tolerance the tf-idf logs use
     * against the DuckDB replay ([[entropyOracleSql]]).
     */
+  /** Zipf rank-frequency fit — the corpus-health sanity check every
+    * tokenizer/corpus paper plots: natural language's term frequencies
+    * follow freq ∝ rank^s with s ≈ −1, and a corpus whose fitted slope
+    * sits far from −1 (or fits badly, low r²) is template spam, OCR
+    * noise, or a broken tokenizer upstream. OLS over (ln rank, ln freq)
+    * of the `topN` terms (ties broken by term so the ranking is total).
+    * Returns ONE row: (n_terms, slope, intercept, r2), 6 dp.
+    *
+    * Determinism: ranks and counts are exact integers; the five OLS sums
+    * fold SEQUENTIALLY over rank-sorted arrays (the [[naiveBayes]]
+    * sorted-fold idiom), so both engines add the same doubles in the same
+    * order — no partition-order float drift. Scale shape: term counting
+    * is the one corpus-sized aggregate; the top-N cut is a distributed
+    * sort-limit (TakeOrderedAndProject), and the fit itself touches only
+    * topN rows.
+    */
+  def zipfFit(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, topN: Int = 100): org.apache.spark.sql.DataFrame = {
+    require(topN >= 2)
+    val tf = df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(topN)
+    val ranked = tf.withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("tok"))).cast("long"))
+      .select(col("r"), log(col("r").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    val pts = ranked.agg(
+      count(lit(1)).cast("double").as("n"),
+      sort_array(collect_list(struct(col("r"), col("x")))).as("xs"),
+      sort_array(collect_list(struct(col("r"), col("y")))).as("ys"))
+    def fold(arr: Column, f: Column => Column): Column =
+      aggregate(arr, lit(0.0), (acc, p) => acc + f(p.getField("x")))
+    def fold2(xs: Column, ys: Column): Column = {
+      // zip by position (both sorted by rank) for the cross term
+      aggregate(zip_with(xs, ys, (a, b) =>
+        a.getField("x") * b.getField("x")), lit(0.0), (acc, v) => acc + v)
+    }
+    pts.select(col("n"),
+        fold(col("xs"), identity).as("sx"),
+        fold(col("ys").cast("array<struct<r:bigint,x:double>>"), identity).as("sy"),
+        fold2(col("xs"), col("ys").cast("array<struct<r:bigint,x:double>>")).as("sxy"),
+        fold(col("xs"), v => v * v).as("sxx"),
+        fold(col("ys").cast("array<struct<r:bigint,x:double>>"), v => v * v).as("syy"))
+      .select(col("n").cast("long").as("n_terms"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("m"),
+        col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"))
+      .select(col("n_terms"),
+        round(col("m"), 6).as("slope"),
+        round((col("sy") - col("m") * col("sx")) / col("n"), 6).as("intercept"),
+        round(
+          ((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
+  /** DuckDB SQL replaying [[zipfFit]] value-for-value: same total
+    * ranking, same rank-ordered sequential list sums, same OLS algebra.
+    */
+  def zipfOracleSql(topN: Int = 100, table: String = "documents",
+      textCol: String = "text"): String =
+    s"""WITH tf AS (
+       |  SELECT tok, count(*)::BIGINT AS c FROM (
+       |    SELECT unnest(${toksSql(textCol)}) AS tok FROM $table)
+       |  GROUP BY tok),
+       |top AS (
+       |  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+       |  FROM tf QUALIFY r <= $topN),
+       |pts AS (
+       |  SELECT count(*)::DOUBLE AS n,
+       |         list(ln(r::DOUBLE) ORDER BY r) AS xs,
+       |         list(ln(c::DOUBLE) ORDER BY r) AS ys,
+       |         list(ln(r::DOUBLE) * ln(c::DOUBLE) ORDER BY r) AS xys,
+       |         list(ln(r::DOUBLE) * ln(r::DOUBLE) ORDER BY r) AS xxs,
+       |         list(ln(c::DOUBLE) * ln(c::DOUBLE) ORDER BY r) AS yys
+       |  FROM top),
+       |s AS (
+       |  SELECT n, list_aggregate(xs, 'sum') AS sx,
+       |         list_aggregate(ys, 'sum') AS sy,
+       |         list_aggregate(xys, 'sum') AS sxy,
+       |         list_aggregate(xxs, 'sum') AS sxx,
+       |         list_aggregate(yys, 'sum') AS syy
+       |  FROM pts),
+       |m AS (
+       |  SELECT n, sx, sy, sxy, sxx, syy,
+       |         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+       |  FROM s)
+       |SELECT n::BIGINT AS n_terms, round(slope, 6) AS slope,
+       |       round((sy - slope * sx) / n, 6) AS intercept,
+       |       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+       |             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+       |FROM m""".stripMargin
+
   def tokenEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame =
     df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))

@@ -674,6 +674,12 @@ object PipelineQueries {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("n").desc, col("token"))).cast("long"))),
 
+    // --- Zipf rank-frequency fit: OLS slope/r² over the top-100 terms'
+    // log-log curve — rank-sorted sequential fold, deterministic doubles
+    // (oracle-checked) ---
+    "q_text_zipf" -> ((s, d) =>
+      TextAnalysis.zipfFit(docs(s, d), "doc_id", "text", topN = 100)),
+
     // --- capstone: the full cleaning pipeline composed — quality filter →
     // language filter → canonical-key dedup (keep lowest doc_id) ---
     "q_pipeline_clean" -> ((s, d) => {
@@ -1080,6 +1086,8 @@ object PipelineQueries {
         |    FROM documents)
         |  GROUP BY token)
         |WHERE n >= 25""".stripMargin,
+
+    "q_text_zipf" -> TextAnalysis.zipfOracleSql(topN = 100),
 
     "q_pipeline_split" ->
       """SELECT lang, split, count(*) AS n, min(doc_id) AS min_id FROM (

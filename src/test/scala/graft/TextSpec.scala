@@ -366,6 +366,23 @@ class TextSpec extends SparkSpec {
     assert(!got.exists(_.getLong(1) == 2L) && !got.exists(_.getLong(1) == 3L))
   }
 
+  test("zipfFit: planted power law recovers slope ≈ -1 with high r²") {
+    // corpus where term w_r appears round(1000/r) times → freq ∝ rank^-1
+    val words = (1 to 50).flatMap(r =>
+      Seq.fill(math.round(1000.0 / r).toInt)(f"w$r%03d"))
+    val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val row = TextAnalysis.zipfFit(df, "doc_id", "text", topN = 50).head()
+    assert(row.getLong(0) == 50L)
+    assert(math.abs(row.getDouble(1) - (-1.0)) < 0.02) // slope ≈ -1
+    assert(row.getDouble(3) > 0.999)                   // near-perfect fit
+    // a flat (non-Zipfian) corpus fits slope ≈ 0
+    val flat = (1 to 50).flatMap(r => Seq.fill(20)(f"w$r%03d"))
+    val row2 = TextAnalysis.zipfFit(
+      Seq((1L, flat.mkString(" "))).toDF("doc_id", "text"), "doc_id", "text",
+      topN = 50).head()
+    assert(math.abs(row2.getDouble(1)) < 1e-9)
+  }
+
   test("scriptProfile: counts code points per script block") {
     import spark.implicits._
     val df = Seq((1L, "abc 12 中文 Ж"), (2L, "")).toDF("doc_id", "text")
