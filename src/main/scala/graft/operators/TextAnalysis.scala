@@ -1190,7 +1190,7 @@ object TextAnalysis {
   /** DuckDB SQL replaying [[gopherQuality]] value-for-value. */
   def gopherOracleSql(minWords: Int = 50, maxWords: Int = 100000,
       table: String = "documents", idCol: String = "doc_id",
-      textCol: String = "text"): String = {
+      textCol: String = "text", minStopwords: Int = 2): String = {
     val sw = GopherStopwords.map(w => s"'$w'").mkString("[", ",", "]")
     s"""WITH t AS (
        |  SELECT $idCol AS doc_id, coalesce($textCol, '') AS txt,
@@ -1226,7 +1226,7 @@ object TextAnalysis {
        |        AND mean_word_len BETWEEN 3.0 AND 10.0
        |        AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
        |        AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
-       |        AND stopword_hits >= 2) AS pass
+       |        AND stopword_hits >= $minStopwords) AS pass
        |FROM r""".stripMargin
   }
 

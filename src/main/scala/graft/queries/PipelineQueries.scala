@@ -706,6 +706,34 @@ object PipelineQueries {
     // text → temperature (α=0.5) mixture sampling. The whole chain replays
     // in DuckDB as chained CTEs — integration coverage on top of the
     // per-operator oracles ---
+    // --- capstone v3, the round-6 operator chain: Gopher rule battery →
+    // per-domain token cap → fractional-epoch manifest. Quality gates the
+    // corpus, the cap kills domain dominance, the mixture vector is
+    // materialized as training copies — the whole chain DuckDB-replayed
+    // through the same three oracle generators the standalone gates use.
+    "q_pipeline_e2e3" -> ((s, d) => {
+      val dd = docs(s, d)
+      // minStopwords relaxed to 1: the synthetic corpus never carries two
+      // DISTINCT Gopher stopwords, and a capstone that filters the corpus
+      // to zero rows demonstrates nothing (q_text_gopher keeps the
+      // paper's 2 — it reports signals for every doc, pass or fail)
+      val passed = TextAnalysis.gopherQuality(dd, "doc_id", "text",
+          minWords = 20, minStopwords = 1)
+        .where(col("pass")).select(col("doc_id"))
+      val clean = dd.join(passed, "doc_id")
+      val capped = graft.operators.Scale.domainTokenCap(
+        clean.select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ntok")),
+        "doc_id", "source", col("ntok"), budget = 400L)
+      import s.implicits._
+      graft.operators.Scale.epochMix(
+        capped.select(col("doc_id"))
+          .join(dd.select(col("doc_id"), col("lang")), "doc_id"),
+        "doc_id", "lang",
+        Seq(("en", 1.0), ("es", 2.0), ("de", 1.5), ("fr", 2.5),
+          ("zh", 0.75)).toDF("stratum", "epochs"))
+    }),
+
     "q_pipeline_e2e2" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val dd = docs(s, d)
@@ -1225,6 +1253,22 @@ object PipelineQueries {
       Dedup.winnowPairsOracleSql(k = 3, w = 4, minShared = 3L),
     "q_dedup_overlap" ->
       Dedup.sourceOverlapOracleSql(k = 3, w = 4, maxStrata = 10),
+
+    "q_pipeline_e2e3" -> {
+      val cleanTable =
+        s"""(SELECT d.* FROM documents d
+           | JOIN (SELECT doc_id FROM (${TextAnalysis.gopherOracleSql(minWords = 20, minStopwords = 1)})
+           |       WHERE pass) g USING (doc_id))""".stripMargin
+      val capSql = graft.operators.Scale.domainCapOracleSql(
+        weightExpr = s"len(${TextAnalysis.toksSql("text")})", budget = 400L,
+        table = cleanTable)
+      val cappedLangs =
+        s"""(SELECT d.doc_id, d.lang FROM documents d
+           | JOIN (SELECT doc_id FROM ($capSql)) c USING (doc_id))""".stripMargin
+      graft.operators.Scale.epochMixOracleSql(
+        Seq(("en", 1.0), ("es", 2.0), ("de", 1.5), ("fr", 2.5), ("zh", 0.75)),
+        table = cappedLangs, keyCol = "doc_id", stratumCol = "lang")
+    },
 
     "q_pipeline_e2e2" -> {
       val p = Dedup.PortablePrime
