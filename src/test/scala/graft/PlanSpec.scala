@@ -263,4 +263,18 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bnlj.isEmpty,
       "cluster blocking must plan as an equi self-join on centroid_id")
   }
+
+  test("sourceOverlap: fingerprint pairing is an equi join, never nested-loop") {
+    val (_, plan) = executed("q_dedup_overlap")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty,
+      "the stratum-pair matrix must come from an equi self-join on fp")
+  }
+
+  test("spamMass: the fused pyramid stays equi-join-only") {
+    val (_, plan) = executed("q_graph_spam_mass")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty,
+      "tagged-union propagation must not introduce a nested-loop join")
+  }
 }
