@@ -339,12 +339,20 @@ object Profile {
     * Same scale contract as [[outliersMad]]: one grouped sort-based
     * percentile aggregate + a group-keyed join; group cardinality bounds
     * every sort.
+    *
+    * Contract: NULL values are excluded up front (Spark's least/greatest
+    * skip NULLs, so a NULL row would otherwise clip to the hi bound and
+    * silently inflate sum_clipped); values must fit DECIMAL(18,2) — out
+    * of that range Spark's non-ANSI cast nulls while DuckDB's raises, so
+    * the carrier is deliberately sized to the feature domain, not
+    * adjusted per batch.
     */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
       pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
     val base = df.select(col(groupCol).as("grp"),
       col(valueCol).cast("decimal(18,2)").as("v"))
+      .where(col("v").isNotNull)
     // Spark's percentile_disc returns DOUBLE even over DECIMAL input; cast
     // straight back (the order statistic IS a 2-decimal data value, so the
     // round-trip is exact) — otherwise the clip promotes to double and the
@@ -369,7 +377,8 @@ object Profile {
       pLo: Double = 0.05, pHi: Double = 0.95): String =
     s"""WITH base AS (
        |  SELECT $groupExpr AS grp, ($valueExpr)::DECIMAL(18,2) AS v
-       |  FROM $table),
+       |  FROM $table
+       |  WHERE ($valueExpr) IS NOT NULL),
        |b AS (SELECT grp, quantile_disc(v, $pLo) AS lo,
        |             quantile_disc(v, $pHi) AS hi
        |      FROM base GROUP BY grp)

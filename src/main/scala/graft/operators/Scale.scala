@@ -581,13 +581,19 @@ object Scale {
     */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
       textCol: String): DataFrame = {
-    val o = oldDf.select(col(keyCol).as("k"), md5(col(textCol)).as("__oh"))
-    val n = newDf.select(col(keyCol).as("k"), md5(col(textCol)).as("__nh"))
+    // presence is tracked by explicit side markers, NOT by fingerprint
+    // nullity: a NULL-text doc has a NULL md5, and hash-nullity presence
+    // would misreport it as added/removed. The change test is null-safe
+    // (<=>), so NULL→'x' is changed and NULL→NULL is unchanged.
+    val o = oldDf.select(col(keyCol).as("k"), md5(col(textCol)).as("__oh"),
+      lit(1).as("__in_old"))
+    val n = newDf.select(col(keyCol).as("k"), md5(col(textCol)).as("__nh"),
+      lit(1).as("__in_new"))
     o.join(n, Seq("k"), "full_outer")
       .select(col("k").as(keyCol),
-        when(col("__oh").isNull, lit("added"))
-          .when(col("__nh").isNull, lit("removed"))
-          .when(col("__oh") =!= col("__nh"), lit("changed"))
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(!(col("__oh") <=> col("__nh")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
   }
 
@@ -596,12 +602,14 @@ object Scale {
     */
   def corpusDiffOracleSql(oldSql: String, newSql: String,
       keyCol: String = "doc_id", textCol: String = "text"): String =
-    s"""WITH o AS (SELECT $keyCol AS k, md5($textCol) AS oh FROM ($oldSql)),
-       |n AS (SELECT $keyCol AS k, md5($textCol) AS nh FROM ($newSql))
+    s"""WITH o AS (SELECT $keyCol AS k, md5($textCol) AS oh, 1 AS in_old
+       |           FROM ($oldSql)),
+       |n AS (SELECT $keyCol AS k, md5($textCol) AS nh, 1 AS in_new
+       |      FROM ($newSql))
        |SELECT coalesce(o.k, n.k) AS $keyCol,
-       |       CASE WHEN o.k IS NULL THEN 'added'
-       |            WHEN n.k IS NULL THEN 'removed'
-       |            WHEN oh <> nh THEN 'changed'
+       |       CASE WHEN in_old IS NULL THEN 'added'
+       |            WHEN in_new IS NULL THEN 'removed'
+       |            WHEN oh IS DISTINCT FROM nh THEN 'changed'
        |            ELSE 'unchanged' END AS status
        |FROM o FULL OUTER JOIN n ON n.k = o.k""".stripMargin
 

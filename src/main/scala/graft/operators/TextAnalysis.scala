@@ -208,8 +208,8 @@ object TextAnalysis {
     * sort-limit (TakeOrderedAndProject), and the fit itself touches only
     * topN rows.
     */
-  def zipfFit(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, topN: Int = 100): org.apache.spark.sql.DataFrame = {
+  def zipfFit(df: org.apache.spark.sql.DataFrame, textCol: String,
+      topN: Int = 100): org.apache.spark.sql.DataFrame = {
     require(topN >= 2)
     val tf = df.select(explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
@@ -230,12 +230,15 @@ object TextAnalysis {
       aggregate(zip_with(xs, ys, (a, b) =>
         a.getField("x") * b.getField("x")), lit(0.0), (acc, v) => acc + v)
     }
+    // positional cast renames the (r, y) struct field to x so one fold
+    // helper serves both series
+    val ys = col("ys").cast("array<struct<r:bigint,x:double>>")
     pts.select(col("n"),
         fold(col("xs"), identity).as("sx"),
-        fold(col("ys").cast("array<struct<r:bigint,x:double>>"), identity).as("sy"),
-        fold2(col("xs"), col("ys").cast("array<struct<r:bigint,x:double>>")).as("sxy"),
+        fold(ys, identity).as("sy"),
+        fold2(col("xs"), ys).as("sxy"),
         fold(col("xs"), v => v * v).as("sxx"),
-        fold(col("ys").cast("array<struct<r:bigint,x:double>>"), v => v * v).as("syy"))
+        fold(ys, v => v * v).as("syy"))
       .select(col("n").cast("long").as("n_terms"),
         ((col("n") * col("sxy") - col("sx") * col("sy")) /
           (col("n") * col("sxx") - col("sx") * col("sx"))).as("m"),
@@ -885,7 +888,11 @@ object TextAnalysis {
   def scriptProfile(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     val t = coalesce(col(textCol), lit(""))
-    val total = regexp_count(t, lit("\\S"))
+    // explicit whitespace class, NOT \S: Java and RE2 disagree on \s
+    // membership (e.g. \x0B is whitespace to Java but not to RE2), and
+    // this operator's whole design is that both engines count the same
+    // explicit code-point sets
+    val total = regexp_count(t, lit("[^ \\t\\n\\x0B\\f\\r]"))
     def ratio(c: org.apache.spark.sql.Column) =
       when(total > 0, round(c.cast("double") / total.cast("double"), 6))
     val latin = regexp_count(t, lit("[A-Za-z]"))
@@ -912,7 +919,7 @@ object TextAnalysis {
     val cjk = cnt("[\\x{4e00}-\\x{9fff}]")
     val cyr = cnt("[\\x{0400}-\\x{04ff}]")
     val arab = cnt("[\\x{0600}-\\x{06ff}]")
-    val total = cnt("""\S""")
+    val total = cnt("[^ \\t\\n\\x{0B}\\f\\r]")
     s"""WITH t AS (SELECT $idCol AS doc_id, coalesce($textCol, '') AS txt
        |           FROM $table),
        |c AS (
@@ -1187,10 +1194,17 @@ object TextAnalysis {
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  /** DuckDB SQL replaying [[gopherQuality]] value-for-value. */
+  /** DuckDB SQL replaying [[gopherQuality]] value-for-value. Every
+    * threshold [[gopherQuality]] exposes is a parameter here too (same
+    * defaults), so a non-default Spark call cannot silently drift from
+    * its oracle.
+    */
   def gopherOracleSql(minWords: Int = 50, maxWords: Int = 100000,
       table: String = "documents", idCol: String = "doc_id",
-      textCol: String = "text", minStopwords: Int = 2): String = {
+      textCol: String = "text", minStopwords: Int = 2,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8): String = {
     val sw = GopherStopwords.map(w => s"'$w'").mkString("[", ",", "]")
     s"""WITH t AS (
        |  SELECT $idCol AS doc_id, coalesce($textCol, '') AS txt,
@@ -1223,9 +1237,11 @@ object TextAnalysis {
        |  FROM sig)
        |SELECT *,
        |       (n_words BETWEEN $minWords AND $maxWords
-       |        AND mean_word_len BETWEEN 3.0 AND 10.0
-       |        AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
-       |        AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+       |        AND mean_word_len BETWEEN $minMeanLen AND $maxMeanLen
+       |        AND symbol_ratio <= $maxSymbolRatio
+       |        AND bullet_frac <= $maxBulletFrac
+       |        AND ellipsis_frac <= $maxEllipsisFrac
+       |        AND alpha_frac >= $minAlphaFrac
        |        AND stopword_hits >= $minStopwords) AS pass
        |FROM r""".stripMargin
   }

@@ -678,7 +678,7 @@ object PipelineQueries {
     // log-log curve — rank-sorted sequential fold, deterministic doubles
     // (oracle-checked) ---
     "q_text_zipf" -> ((s, d) =>
-      TextAnalysis.zipfFit(docs(s, d), "doc_id", "text", topN = 100)),
+      TextAnalysis.zipfFit(docs(s, d), "text", topN = 100)),
 
     // --- capstone: the full cleaning pipeline composed — quality filter →
     // language filter → canonical-key dedup (keep lowest doc_id) ---

@@ -178,33 +178,6 @@ object EventStreams {
       .drop("p_user")
   }
 
-  /** `foreachBatch` sink: append each micro-batch to parquet, keeping only
-    * keys never seen in prior batches (left-anti join against what's on
-    * disk) — upsert-style dedup for sinks Spark has no native merge for.
-    * The anti-join is per-batch against the sink's own compacted key set;
-    * at scale the sink table is partitioned and the join prunes to the
-    * touched partitions.
-    */
-  /** Ordered-sequence FUNNEL analysis — the MATCH_RECOGNIZE-shaped pattern
-    * query Spark has no native operator for: per user, greedily match the
-    * `steps` event types as an in-order subsequence of their event stream
-    * (earliest-first matching, which is optimal for subsequence reach and
-    * therefore deterministic), and report per step how many users got that
-    * far. The per-user-journey building block of conversion/retention
-    * analytics.
-    *
-    * Shape: one stage per step — stage i filters the events of type i and
-    * joins the per-user frontier from stage i−1 (user-keyed equi-joins,
-    * the same shuffle as any grouped aggregate), keeping the EARLIEST
-    * qualifying (ts, event_id) as the new frontier. Event-time order is
-    * made total by the unique event_id tiebreak, so the greedy match —
-    * and the whole funnel — replays exactly in any engine
-    * ([[funnelOracleSql]] is the same staged SQL). k steps = k bounded
-    * joins; no per-user state materializes beyond one frontier row.
-    *
-    * `maxSpan` (e.g. "2 hours") optionally bounds the whole journey
-    * relative to the matched first-step event.
-    */
   /** Weekly cohort-retention matrix — the classic "of users who signed up
     * in week W, how many were still active k weeks later" engagement
     * table. Cohort = the week (`date_trunc('week')`, Monday-aligned in
@@ -264,6 +237,34 @@ object EventStreams {
        |       round(r.n_users::DOUBLE / s.cohort_size::DOUBLE, 6) AS retention
        |FROM r JOIN s USING (cw)""".stripMargin
 
+  /** Ordered-sequence FUNNEL analysis — the MATCH_RECOGNIZE-shaped pattern
+    * query Spark has no native operator for: per user, greedily match the
+    * `steps` event types as an in-order subsequence of their event stream
+    * (earliest-first matching — optimal for UNBOUNDED subsequence reach,
+    * and deterministic), and report per step how many users got that far.
+    * The per-user-journey building block of conversion/retention
+    * analytics.
+    *
+    * With `maxSpan` set, the journey is anchored at the user's EARLIEST
+    * first-step event (the standard anchored-window semantics): a user
+    * whose earliest anchor expires is not re-tried from a later
+    * first-step event, so span-bounded reach is a lower bound on
+    * "any-window" reach. Re-anchoring per candidate window is a
+    * different (quadratic-per-user) query; this operator deliberately
+    * pins the anchored one, and [[funnelOracleSql]] replays exactly it.
+    *
+    * Shape: one stage per step — stage i filters the events of type i and
+    * joins the per-user frontier from stage i−1 (user-keyed equi-joins,
+    * the same shuffle as any grouped aggregate), keeping the EARLIEST
+    * qualifying (ts, event_id) as the new frontier. Event-time order is
+    * made total by the unique event_id tiebreak, so the greedy match —
+    * and the whole funnel — replays exactly in any engine
+    * ([[funnelOracleSql]] is the same staged SQL). k steps = k bounded
+    * joins; no per-user state materializes beyond one frontier row.
+    *
+    * `maxSpan` (e.g. "2 hours") optionally bounds the whole journey
+    * relative to the matched first-step event.
+    */
   def funnel(events: DataFrame, steps: Seq[String],
       maxSpan: Option[String] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
@@ -339,6 +340,13 @@ object EventStreams {
        |$finals""".stripMargin
   }
 
+  /** `foreachBatch` sink: append each micro-batch to parquet, keeping only
+    * keys never seen in prior batches (left-anti join against what's on
+    * disk) — upsert-style dedup for sinks Spark has no native merge for.
+    * The anti-join is per-batch against the sink's own compacted key set;
+    * at scale the sink table is partitioned and the join prunes to the
+    * touched partitions.
+    */
   def dedupedParquetSink(stream: DataFrame, keyCol: String, outDir: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream

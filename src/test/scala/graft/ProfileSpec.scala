@@ -174,8 +174,11 @@ class ProfileSpec extends SparkSpec {
     import spark.implicits._
     // 1..10 in one group: p10/p90 disc bounds are data values; the two
     // tails clip onto them
-    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val df = ((1 to 10).map(i => ("g", Some(i.toDouble))) :+ (("g", None)))
+      .toDF("grp", "v")
     val r = Profile.winsorize(df, "grp", "v", pLo = 0.2, pHi = 0.8).head()
+    // the NULL row is excluded entirely — n stays 10 and sum_clipped is
+    // NOT inflated by a phantom hi-clip
     assert(r.getLong(1) == 10L)            // n
     assert(r.getLong(2) == 1L && r.getLong(3) == 2L) // 1 below lo=2, 9+10 above hi=8
     assert(r.getDecimal(4).doubleValue() == 2.0)

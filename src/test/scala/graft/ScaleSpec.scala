@@ -306,6 +306,20 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       3L -> "changed", 4L -> "added"))
   }
 
+  test("corpusDiff: NULL text is presence, not absence") {
+    // a NULL-text doc must be classified by side presence (markers), never
+    // by its NULL fingerprint: removed stays removed, NULL→text is
+    // changed, NULL→NULL is unchanged
+    val oldV = Seq((1L, null), (2L, null), (3L, null), (4L, "x"))
+      .toDF("k", "t")
+    val newV = Seq((2L, "x"), (3L, null: String), (4L, null: String))
+      .toDF("k", "t")
+    val got = Scale.corpusDiff(oldV, newV, "k", "t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "changed",
+      3L -> "unchanged", 4L -> "changed"))
+  }
+
   test("epochMix: full copies for all, fractional copy for the stable slice") {
     val docs = (1L to 200L).map(i =>
       (i, if (i <= 100) "hi" else "lo")).toDF("id", "s")

@@ -371,14 +371,14 @@ class TextSpec extends SparkSpec {
     val words = (1 to 50).flatMap(r =>
       Seq.fill(math.round(1000.0 / r).toInt)(f"w$r%03d"))
     val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
-    val row = TextAnalysis.zipfFit(df, "doc_id", "text", topN = 50).head()
+    val row = TextAnalysis.zipfFit(df, "text", topN = 50).head()
     assert(row.getLong(0) == 50L)
     assert(math.abs(row.getDouble(1) - (-1.0)) < 0.02) // slope ≈ -1
     assert(row.getDouble(3) > 0.999)                   // near-perfect fit
     // a flat (non-Zipfian) corpus fits slope ≈ 0
     val flat = (1 to 50).flatMap(r => Seq.fill(20)(f"w$r%03d"))
     val row2 = TextAnalysis.zipfFit(
-      Seq((1L, flat.mkString(" "))).toDF("doc_id", "text"), "doc_id", "text",
+      Seq((1L, flat.mkString(" "))).toDF("doc_id", "text"), "text",
       topN = 50).head()
     assert(math.abs(row2.getDouble(1)) < 1e-9)
   }
