@@ -395,4 +395,145 @@ object Graph {
     s"""WITH ${coEdgesSql(groupExpr, itemExpr, table, maxGroupSize)}
        |SELECT src AS node, count(*)::BIGINT AS degree
        |FROM edges GROUP BY src""".stripMargin
+
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection over an (src, dst) edge table. Every node starts labeled
+    * with its own id; each round every node adopts the label most frequent
+    * among its neighbors, ties broken by the SMALLEST label — fully
+    * deterministic, so the whole k-round run is oracle-replayable (no
+    * random visit order, no async sweep). Communities are coarser than
+    * [[Dedup.connectedComponents]]'s: CC merges anything connected, LPA
+    * splits a component along its density structure — the standard cheap
+    * community pass for "which doc clusters form one topic/site
+    * neighborhood" before mixture decisions.
+    *
+    * Per round: one src-keyed join of the label table against the
+    * persisted edge table, a (dst, label) count, and a per-dst argmax —
+    * the argmax is `max(struct(count, −label))` (lexicographic max ⇒
+    * highest count, then lowest label), an ordinary two-phase aggregate,
+    * NOT a row_number window: partial aggregation runs map-side and no
+    * single-task global sort exists. k rounds = k·(join + 2 aggregates)
+    * bounded shuffles; label state is one row per node.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0)
+    val e = edges.repartition(col("src")).transform(Caching.persist)
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").cast("long").as("label"))
+    for (_ <- 1 to iters) {
+      val counts = e.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+      labels = counts
+        .groupBy(col("dst").as("node"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+    }
+    labels
+  }
+
+  /** DuckDB SQL replaying [[labelPropagation]] ∘ [[coEdges]] — one CTE per
+    * round; the argmax is expressed as `max_by`-free lexicographic
+    * `max((c, -label))` to match the Spark struct-max exactly.
+    */
+  def labelPropagationOracleSql(groupExpr: String, itemExpr: String,
+      table: String, iters: Int, maxGroupSize: Int = 64): String = {
+    val iterCtes = (1 to iters).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""l$i AS (
+         |  SELECT dst AS node,
+         |         (-((max({'c': c, 'nl': nl})).nl))::BIGINT AS label FROM (
+         |    SELECT e.dst, l.label, count(*)::BIGINT AS c,
+         |           -l.label AS nl
+         |    FROM edges e JOIN $prev l ON l.node = e.src
+         |    GROUP BY e.dst, l.label) t
+         |  GROUP BY dst)"""
+    }.mkString(",\n")
+    s"""WITH ${coEdgesSql(groupExpr, itemExpr, table, maxGroupSize)},
+       |l0 AS (SELECT DISTINCT src AS node, src::BIGINT AS label FROM edges),
+       |$iterCtes
+       |SELECT node, label FROM l$iters""".stripMargin
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999, "Authoritative Sources in a
+    * Hyperlinked Environment") over a DIRECTED (src, dst) edge table —
+    * the bipartite companion to [[pageRank]]: on a buyer→item (or
+    * page→cited-host) graph, authority scores rank the items good hubs
+    * point at, hub scores rank the pointers that find good items. The
+    * classical curation use is seed-list expansion: high-authority nodes
+    * from a small crawl frontier are the pages worth fetching next.
+    *
+    * Deterministic integer variant: scores are L1-normalized to
+    * [[RankScale]] micro-units every half-step —
+    *   auth_raw(d) = Σ_{s→d} hub(s);  auth(d) = auth_raw·S ÷ Σ auth_raw
+    * (and symmetrically for hubs) — with the product carried in
+    * DECIMAL(38,0) so `raw · 1e12` cannot overflow a BIGINT before the
+    * floor division (raw ≤ S·deg_max ~ 1e16; ·1e12 = 1e28 ≪ 1e38). Both
+    * engines floor-divide the same integers, so every half-step replays
+    * value-for-value ([[hitsOracleSql]] chains two CTEs per round).
+    *
+    * Shape per round: two bounded equi-joins of the node-sized score
+    * tables against the persisted edge table (one per direction) + two
+    * aggregates + two 1-row total aggregates broadcast back (a cross join
+    * of a single-row plan — never a data-sized collect). No driver state;
+    * the loop composes lazy plans at a fixed iteration count.
+    */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val S = RankScale
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .transform(Caching.persist)
+    def normalize(raw: DataFrame): DataFrame = {
+      val tot = raw.agg(sum(col("raw")).as("tot"))
+      raw.crossJoin(tot).select(col("node"),
+        expr(s"cast(raw as decimal(38,0)) * $S div tot").as("score_u"))
+    }
+    var hubs = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(S).as("score_u"))
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = e.join(hubs.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("score_u")).as("raw"))
+      auths = normalize(araw)
+      val hraw = e.join(auths.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("score_u")).as("raw"))
+      hubs = normalize(hraw)
+    }
+    auths.select(lit("auth").as("side"), col("node"), col("score_u"))
+      .unionAll(hubs.select(lit("hub").as("side"), col("node"),
+        col("score_u")))
+  }
+
+  /** DuckDB SQL replaying [[hits]]; `edgesCte` must define
+    * `edges AS (SELECT ... src, ... dst ...)` (directed, duplicates OK —
+    * the operator distincts).
+    */
+  def hitsOracleSql(edgesCte: String, iters: Int): String = {
+    val S = RankScale
+    val iterCtes = (1 to iters).map { i =>
+      val prevH = if (i == 1) "h0" else s"hn${i - 1}"
+      s"""a$i AS (
+         |  SELECT e.dst AS node, sum(h.score_u)::BIGINT AS raw
+         |  FROM e JOIN $prevH h ON h.node = e.src GROUP BY e.dst),
+         |an$i AS (
+         |  SELECT node,
+         |         ((raw::HUGEINT * $S) // (SELECT sum(raw) FROM a$i))::BIGINT
+         |           AS score_u
+         |  FROM a$i),
+         |hr$i AS (
+         |  SELECT e.src AS node, sum(a.score_u)::BIGINT AS raw
+         |  FROM e JOIN an$i a ON a.node = e.dst GROUP BY e.src),
+         |hn$i AS (
+         |  SELECT node,
+         |         ((raw::HUGEINT * $S) // (SELECT sum(raw) FROM hr$i))::BIGINT
+         |           AS score_u
+         |  FROM hr$i)"""
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |e AS (SELECT DISTINCT src, dst FROM edges),
+       |h0 AS (SELECT DISTINCT src AS node, $S::BIGINT AS score_u FROM e),
+       |$iterCtes
+       |SELECT 'auth' AS side, node, score_u FROM an$iters
+       |UNION ALL
+       |SELECT 'hub' AS side, node, score_u FROM hn$iters""".stripMargin
+  }
 }

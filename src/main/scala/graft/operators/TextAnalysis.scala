@@ -935,6 +935,84 @@ object TextAnalysis {
        |FROM c""".stripMargin
   }
 
+  /** Readability battery — Flesch reading ease, Flesch-Kincaid grade and
+    * type-token ratio per document, the classic curriculum/quality axes a
+    * difficulty-aware training mix sorts on (simple-english filtering,
+    * difficulty binning via [[Profile.curriculumBuckets]] over
+    * `flesch_milli`).
+    *
+    * Everything is FIXED-POINT integer arithmetic so both engines replay
+    * the exact values (the PageRank carrier pattern — multiply by the
+    * milli/ppm scale first, floor-divide second):
+    *   flesch_milli   = 206835 − (1015·W)//S − (84600·Y)//max(W,1)
+    *   fk_grade_milli = (390·W)//S + (11800·Y)//max(W,1) − 15590
+    *   ttr_ppm        = (D·1e6)//max(W,1)
+    * with W = whitespace tokens ([[tokens]]), S = sentence-terminator runs
+    * `[.!?]+` floored at 1, Y = syllable heuristic (vowel-group runs
+    * `[aeiouy]+` over the lowercased text, floored at W — at least one
+    * syllable per word), D = distinct tokens. Syllables-by-vowel-groups is
+    * the standard corpus-scale stand-in for dictionary syllabification;
+    * the constants are the published Flesch/Kincaid coefficients ×1000.
+    *
+    * Map-only: two regexp counts + an `array_distinct` size per row, no
+    * explode, no shuffle — a pure map over the scan at any corpus size
+    * (D is per-document, so the distinct runs inside the row, never as a
+    * grouping).
+    */
+  def readability(df: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    df.select(col(idCol).as("doc_id"), t.as("txt"),
+        tokens(t).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        greatest(regexp_count(col("txt"), lit("[.!?]+")), lit(1))
+          .cast("long").as("n_sentences"),
+        greatest(regexp_count(lower(col("txt")), lit("[aeiouy]+")),
+          size(col("toks"))).cast("long").as("n_syll"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syll"),
+        (lit(206835L) - expr("(1015 * n_words) div n_sentences")
+          - expr("(84600 * n_syll) div greatest(n_words, 1L)"))
+          .cast("long").as("flesch_milli"),
+        (expr("(390 * n_words) div n_sentences")
+          + expr("(11800 * n_syll) div greatest(n_words, 1L)")
+          - lit(15590L)).cast("long").as("fk_grade_milli"),
+        expr("(n_distinct * 1000000) div greatest(n_words, 1L)")
+          .cast("long").as("ttr_ppm"))
+  }
+
+  /** DuckDB SQL replaying [[readability]] value-for-value — shares
+    * [[toksSql]] so the tokenizer cannot drift, floor-divides the same
+    * scaled integers.
+    */
+  def readabilityOracleSql(table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text"): String =
+    s"""WITH d AS (SELECT $idCol AS doc_id, coalesce($textCol, '') AS txt
+       |           FROM $table),
+       |t AS (SELECT doc_id, txt, ${toksSql("txt")} AS toks FROM d),
+       |m AS (
+       |  SELECT doc_id,
+       |         len(toks)::BIGINT AS n_words,
+       |         greatest(len(regexp_extract_all(txt, '[.!?]+')), 1)::BIGINT
+       |           AS n_sentences,
+       |         greatest(len(regexp_extract_all(lower(txt), '[aeiouy]+')),
+       |                  len(toks))::BIGINT AS n_syll,
+       |         len(list_distinct(toks))::BIGINT AS n_distinct
+       |  FROM t)
+       |SELECT doc_id, n_words, n_sentences, n_syll,
+       |       (206835 - (1015 * n_words) // n_sentences
+       |         - (84600 * n_syll) // greatest(n_words, 1))::BIGINT
+       |         AS flesch_milli,
+       |       ((390 * n_words) // n_sentences
+       |         + (11800 * n_syll) // greatest(n_words, 1)
+       |         - 15590)::BIGINT AS fk_grade_milli,
+       |       ((n_distinct * 1000000) // greatest(n_words, 1))::BIGINT
+       |         AS ttr_ppm
+       |FROM m""".stripMargin
+
   /** Encode a word with a learned merge table: character split, then each
     * merge applied in rank order. Driver-side (plain Scala) — the encode
     * step of a deployed tokenizer runs per row with the merge table

@@ -67,6 +67,11 @@ object PipelineQueries {
     "q_text_scripts" -> ((s, d) =>
       TextAnalysis.scriptProfile(docs(s, d), "doc_id", "text")),
 
+    // --- readability battery: fixed-point Flesch / FK-grade / TTR, the
+    // curriculum-difficulty axes as one map-only pass (oracle-checked) ---
+    "q_text_readability" -> ((s, d) =>
+      TextAnalysis.readability(docs(s, d), "doc_id", "text")),
+
     // --- per-source empirical-CDF calibration of the quality score: one
     // global threshold means "same quantile" in every source
     // (oracle-checked) ---
@@ -907,6 +912,7 @@ object PipelineQueries {
     "q_text_perplexity" -> TextAnalysis.crossEntropyOracleSql(),
     "q_text_bigram_lm" -> TextAnalysis.bigramCrossEntropyOracleSql(),
     "q_text_gopher" -> TextAnalysis.gopherOracleSql(minWords = 20),
+    "q_text_readability" -> TextAnalysis.readabilityOracleSql(),
     "q_text_nbayes" -> TextAnalysis.naiveBayesOracleSql(),
     "q_pipeline_bm25" -> TextAnalysis.bm25OracleSql(k = 5,
       probePred = "id % 20 = 0"),

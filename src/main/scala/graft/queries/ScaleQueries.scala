@@ -151,6 +151,24 @@ object ScaleQueries {
           .select(col("l_partkey").as("node")),
         iters = 5)
     }),
+
+    // --- label-propagation communities over the co-purchase graph:
+    // deterministic synchronous LPA, argmax-count / min-label tie-break,
+    // every round an ordinary two-phase aggregate (oracle-checked) ---
+    "q_graph_lpa" -> ((s, d) =>
+      graft.operators.Graph.labelPropagation(graft.operators.Graph.coEdges(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey"), iters = 4)),
+
+    // --- HITS hubs/authorities on the directed buyer→part graph: L1
+    // micro-unit normalization each half-step on a DECIMAL(38,0) carrier,
+    // both engines floor-divide the same integers (oracle-checked) ---
+    "q_graph_hits" -> ((s, d) => {
+      val e = t(s, d, "orders")
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+      graft.operators.Graph.hits(e, iters = 3)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -168,6 +186,13 @@ object ScaleQueries {
     "q_graph_spam_mass" -> graft.operators.Graph.spamMassOracleSql(
       "l_orderkey", "l_partkey", "lineitem", seedPred = "item % 50 = 0",
       iters = 5),
+    "q_graph_lpa" -> graft.operators.Graph.labelPropagationOracleSql(
+      "l_orderkey", "l_partkey", "lineitem", iters = 4),
+    "q_graph_hits" -> graft.operators.Graph.hitsOracleSql(
+      """edges AS (SELECT o_custkey AS src, l_partkey AS dst
+        |          FROM orders JOIN lineitem ON o_orderkey = l_orderkey)"""
+        .stripMargin,
+      iters = 3),
 
     "q_scale_salted_join" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -115,4 +115,76 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(d == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
+
+  test("labelPropagation: two cliques joined by a bridge split into two " +
+      "communities") {
+    // clique {1,2,3} — bridge 3-4 — clique {4,5,6}: LPA must converge to
+    // exactly two labels, one per clique, with the bridge endpoints keeping
+    // their own clique's label (each has 2 in-clique neighbors vs 1 across)
+    val e = edgesOf((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L))
+    val l = Graph.labelPropagation(e, iters = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(l(1L), l(2L), l(3L)).size == 1)
+    assert(Set(l(4L), l(5L), l(6L)).size == 1)
+    assert(l(1L) != l(4L))
+  }
+
+  test("labelPropagation: tie between neighbor labels resolves to the " +
+      "smallest label") {
+    // path 1-2-3 after round 1: node 2 sees labels {1, 3} once each →
+    // must adopt label 1 (min), deterministically
+    val e = edgesOf((1L, 2L), (2L, 3L))
+    val l = Graph.labelPropagation(e, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l(2L) == 1L)
+    // the endpoints see only node 2's label
+    assert(l(1L) == 2L && l(3L) == 2L)
+  }
+
+  test("labelPropagation: frequency beats label order when not tied") {
+    // star 1-{5,6}. Round 1: node 1 sees {5, 6} → min 5; leaves see {1}.
+    // Round 2: node 1's neighbors BOTH carry label 1 (frequency 2) while
+    // no label-5 neighbor remains → 1 wins on count, not on order.
+    val e = edgesOf((1L, 5L), (1L, 6L))
+    val l = Graph.labelPropagation(e, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 1's neighbors both carry label 1 after round 1 → frequency 2
+    assert(l(1L) == 1L)
+  }
+
+  test("hits: star buyer graph — shared authority dominates, hubs tie") {
+    // buyers 1,2,3 each buy item 100; buyer 1 also buys item 200.
+    // Authority: item 100 (3 hub endorsements) must out-score 200 (1).
+    // Hubs 2 and 3 (identical link sets) must tie exactly.
+    val e = Seq((1L, 100L), (2L, 100L), (3L, 100L), (1L, 200L))
+      .toDF("src", "dst")
+    val r = Graph.hits(e, iters = 3).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r(("auth", 100L)) > r(("auth", 200L)) * 2)
+    assert(r(("hub", 2L)) == r(("hub", 3L)))
+    assert(r(("hub", 1L)) > r(("hub", 2L))) // 1 reaches both authorities
+  }
+
+  test("hits: L1 normalization holds every round (scores sum to ~S)") {
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 12L), (3L, 10L))
+      .toDF("src", "dst")
+    val r = Graph.hits(e, iters = 4)
+    val sums = r.groupBy("side").agg(sum("score_u").as("s")).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    // floor division loses < n micro-units per side
+    assert(sums("auth") <= Graph.RankScale
+      && sums("auth") > Graph.RankScale - 10)
+    assert(sums("hub") <= Graph.RankScale
+      && sums("hub") > Graph.RankScale - 10)
+  }
+
+  test("hits: duplicate input edges do not double-count endorsements") {
+    val e = Seq((1L, 100L), (1L, 100L), (2L, 200L)).toDF("src", "dst")
+    val r = Graph.hits(e, iters = 2).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap
+    // both buyer→item links are unique after distinct → symmetric graph,
+    // authorities tie exactly
+    assert(r(("auth", 100L)) == r(("auth", 200L)))
+  }
 }

@@ -396,4 +396,31 @@ class TextSpec extends SparkSpec {
     // empty text: zero counts, null ratios
     assert(r(2L).getLong(1) == 0L && r(2L).isNullAt(7))
   }
+
+  test("readability: fixed-point Flesch/FK/TTR match hand computation") {
+    import spark.implicits._
+    // "the cat sat. the cat ran." → W=6, S=2, vowel groups: e,a,a,e,a,a =
+    // 6 → Y=max(6,6)=6, D=4 (the, cat, sat., ran. — tokens keep punct;
+    // "sat." and "ran." distinct from each other and "the"/"cat")
+    val df = Seq((1L, "the cat sat. the cat ran."), (2L, ""),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = TextAnalysis.readability(df, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    val a = r(1L)
+    assert((a.getLong(1), a.getLong(2), a.getLong(3)) == ((6L, 2L, 6L)))
+    // flesch_milli = 206835 - (1015*6)//2 - (84600*6)//6
+    //              = 206835 - 3045 - 84600 = 119190  (≈ 119.19 — easy text)
+    assert(a.getLong(4) == 119190L)
+    // fk_milli = (390*6)//2 + (11800*6)//6 - 15590 = 1170+11800-15590
+    assert(a.getLong(5) == -2620L)
+    // D=4 distinct of 6 → ttr_ppm = 4e6//6 = 666666
+    assert(a.getLong(6) == 666666L)
+    // empty and null text: zero words, sentence floor 1, zero scores where
+    // guarded (flesch collapses to the constant)
+    for (id <- Seq(2L, 3L)) {
+      val e = r(id)
+      assert(e.getLong(1) == 0L && e.getLong(2) == 1L && e.getLong(3) == 0L)
+      assert(e.getLong(4) == 206835L && e.getLong(6) == 0L)
+    }
+  }
 }
