@@ -601,6 +601,132 @@ object TextAnalysis {
        |JOIN uni c2 ON big.w2 = c2.tok, tb, tt
        |WHERE n12 >= $minCount""".stripMargin
 
+  /** Skip-gram training-pair counts — the (center, context) co-occurrence
+    * statistics word2vec SGNS trains on and GloVe aggregates: every token
+    * pair within `window` positions of each other, counted in BOTH
+    * directions over the corpus. This is the embedding-training
+    * data-generation pass of a pipeline (the downstream trainer consumes
+    * exactly this table); `minCount` floors the output the way word2vec's
+    * min-count prunes the long tail.
+    *
+    * Map-only pair generation: a nested `transform(sequence)` inside the
+    * token array emits the ≤`window` offsets per position in codegen (the
+    * [[collocations]] bigram pattern generalized) — O(tokens · window)
+    * rows, zero joins, then one (center, context) aggregate. No per-doc
+    * token² blowup anywhere, so the pass is linear in corpus size.
+    */
+  def skipGrams(df: org.apache.spark.sql.DataFrame, textCol: String,
+      window: Int = 3, minCount: Int = 5): org.apache.spark.sql.DataFrame = {
+    val ordered = df.select(tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("toks")) - 1), i =>
+          transform(
+            sequence(lit(1), least(lit(window), size(col("toks")) - i)),
+            k => struct(element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + k).as("w2")))))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    ordered.select(col("w1").as("center"), col("w2").as("context"))
+      .unionAll(ordered.select(col("w2").as("center"), col("w1").as("context")))
+      .groupBy("center", "context").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+  }
+
+  /** DuckDB SQL replaying [[skipGrams]] value-for-value (`range` is
+    * end-exclusive where Spark's `sequence` is inclusive — bounds shifted
+    * accordingly).
+    */
+  def skipGramsOracleSql(window: Int = 3, minCount: Int = 5,
+      table: String = "documents", textCol: String = "text"): String =
+    s"""WITH t AS (SELECT ${toksSql(textCol)} AS toks FROM $table),
+       |pairs AS (
+       |  SELECT toks[i] AS w1, toks[i + k] AS w2
+       |  FROM t,
+       |       LATERAL unnest(range(1, len(toks))) AS r(i),
+       |       LATERAL unnest(range(1, least($window, len(toks) - i) + 1))
+       |         AS r2(k)
+       |  WHERE len(toks) >= 2),
+       |sg AS (SELECT w1 AS center, w2 AS context FROM pairs
+       |       UNION ALL
+       |       SELECT w2 AS center, w1 AS context FROM pairs)
+       |SELECT center, context, count(*)::BIGINT AS n
+       |FROM sg GROUP BY center, context
+       |HAVING count(*) >= $minCount""".stripMargin
+
+  /** χ² feature selection (Yang & Pedersen 1997's CHI, the scikit-learn
+    * `chi2`/Manning-IR §13.5 statistic) — scores each (token, label) by
+    * the 2×2 document-presence contingency:
+    *   A = docs with token in label,  B = with token outside label,
+    *   C = label docs without token,  D = the rest;
+    *   χ² = N·(AD−BC)² / ((A+B)(C+D)(A+C)(B+D))
+    * The vocabulary-pruning companion to [[naiveBayes]]: train the
+    * classifier on the top-χ² tokens instead of the full vocabulary.
+    *
+    * Exact fixed-point: χ²_micro = N·(AD−BC)²·1e6 // denom, every product
+    * on a DECIMAL(38,0) carrier (N·(AD−BC)²·1e6 ≤ N⁵·1e6 — safe in 38
+    * digits to N ~ 2·10⁶ docs per run; DuckDB's HUGEINT has the same
+    * headroom), so both engines floor-divide identical integers. Only
+    * observed (token, label) cells are emitted (A ≥ 1) and `minDf` floors
+    * the token document frequency — χ² is unstable below a handful of
+    * observations, and the pruned tail is exactly what the consumer drops.
+    *
+    * Shape: one exploded distinct (doc, token) pass feeds both the
+    * (token, label) and token aggregates (vocabulary-sized shuffles);
+    * label totals and N broadcast as one-row/label-count tables.
+    */
+  def chi2Features(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, labelCol: String, minDf: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    val docTok = df.select(col(idCol).as("id"), col(labelCol).as("label"),
+        explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val tokLabel = docTok.groupBy("tok", "label")
+      .agg(count(lit(1)).as("a"))
+    val tokDf = tokLabel.groupBy("tok").agg(sum(col("a")).as("df_t"))
+      .where(col("df_t") >= minDf)
+    val labelN = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_l"))
+    val total = df.agg(count(lit(1)).as("n"))
+    tokLabel.join(tokDf, "tok")
+      .join(broadcast(labelN), "label")
+      .crossJoin(broadcast(total))
+      // χ² is undefined (zero denominator) for a token present in every
+      // doc or a label covering the whole corpus — both carry zero
+      // selection information; excluded in BOTH engines
+      .where(col("df_t") < col("n") && col("n_l") < col("n"))
+      .select(col("label"), col("tok"), col("a"), col("df_t"), col("n_l"),
+        expr("""cast(n as decimal(38,0))
+               | * (a * (n - df_t - (n_l - a)) - (df_t - a) * (n_l - a))
+               | * (a * (n - df_t - (n_l - a)) - (df_t - a) * (n_l - a))
+               | * 1000000
+               | div (cast(df_t as decimal(38,0))
+               |      * (n - df_t) * n_l * (n - n_l))"""
+          .stripMargin.replace("\n", " ")).as("chi2_micro"))
+  }
+
+  /** DuckDB SQL replaying [[chi2Features]] on the HUGEINT carrier. */
+  def chi2OracleSql(labelCol: String = "lang", minDf: Int = 10,
+      table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text"): String =
+    s"""WITH d AS (SELECT $idCol AS id, $labelCol AS label,
+       |                  ${toksSql(textCol)} AS toks FROM $table),
+       |dt AS (SELECT DISTINCT id, label, unnest(toks) AS tok FROM d),
+       |tl AS (SELECT tok, label, count(*)::BIGINT AS a
+       |       FROM dt GROUP BY tok, label),
+       |tf AS (SELECT tok, sum(a)::BIGINT AS df_t FROM tl GROUP BY tok
+       |       HAVING sum(a) >= $minDf),
+       |ln AS (SELECT $labelCol AS label, count(*)::BIGINT AS n_l
+       |       FROM $table GROUP BY 1),
+       |tot AS (SELECT count(*)::BIGINT AS n FROM $table)
+       |SELECT tl.label, tl.tok, a, df_t, n_l,
+       |       ((n::HUGEINT
+       |          * (a * (n - df_t - (n_l - a)) - (df_t - a) * (n_l - a))
+       |          * (a * (n - df_t - (n_l - a)) - (df_t - a) * (n_l - a))
+       |          * 1000000)
+       |        // (df_t::HUGEINT * (n - df_t) * n_l * (n - n_l)))::BIGINT
+       |         AS chi2_micro
+       |FROM tl JOIN tf USING (tok) JOIN ln ON ln.label = tl.label, tot
+       |WHERE df_t < n AND n_l < n""".stripMargin
+
   /** Per-language marker-word profiles for the language-ID heuristic.
     * Tiny on purpose: broadcast as literal arrays into codegen.
     */

@@ -72,6 +72,19 @@ object PipelineQueries {
     "q_text_readability" -> ((s, d) =>
       TextAnalysis.readability(docs(s, d), "doc_id", "text")),
 
+    // --- skip-gram (center, context) pair counts: the word2vec/GloVe
+    // training-data generation pass, map-only offsets (oracle-checked) ---
+    "q_text_skipgrams" -> ((s, d) =>
+      TextAnalysis.skipGrams(docs(s, d), "text", window = 3,
+        minCount = 25)),
+
+    // --- χ² feature selection per (token, language): the vocabulary
+    // pruner for the NB classifier tier, exact fixed-point contingency
+    // arithmetic on the DECIMAL carrier (oracle-checked) ---
+    "q_text_chi2" -> ((s, d) =>
+      TextAnalysis.chi2Features(docs(s, d), "doc_id", "text", "lang",
+        minDf = 10)),
+
     // --- per-source empirical-CDF calibration of the quality score: one
     // global threshold means "same quantile" in every source
     // (oracle-checked) ---
@@ -913,6 +926,9 @@ object PipelineQueries {
     "q_text_bigram_lm" -> TextAnalysis.bigramCrossEntropyOracleSql(),
     "q_text_gopher" -> TextAnalysis.gopherOracleSql(minWords = 20),
     "q_text_readability" -> TextAnalysis.readabilityOracleSql(),
+    "q_text_skipgrams" -> TextAnalysis.skipGramsOracleSql(window = 3,
+      minCount = 25),
+    "q_text_chi2" -> TextAnalysis.chi2OracleSql(minDf = 10),
     "q_text_nbayes" -> TextAnalysis.naiveBayesOracleSql(),
     "q_pipeline_bm25" -> TextAnalysis.bm25OracleSql(k = 5,
       probePred = "id % 20 = 0"),

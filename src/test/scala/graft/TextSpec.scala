@@ -397,6 +397,48 @@ class TextSpec extends SparkSpec {
     assert(r(2L).getLong(1) == 0L && r(2L).isNullAt(7))
   }
 
+  test("skipGrams: window-bounded pair counts, both directions, symmetric") {
+    import spark.implicits._
+    // "a b c d" window 2 → ordered pairs: (a,b),(a,c),(b,c),(b,d),(c,d)
+    // → 10 directional pairs; symmetric counts
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val r = TextAnalysis.skipGrams(df, "text", window = 2, minCount = 1)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2))
+      .toMap
+    assert(r.values.sum == 10L)
+    assert(r(("a", "b")) == 1L && r(("b", "a")) == 1L)
+    assert(r(("a", "c")) == 1L)          // offset-2 pair inside the window
+    assert(!r.contains(("a", "d")))      // offset 3 > window
+    // repeated co-occurrence accumulates: "x y x" window 1 → (x,y) twice
+    val df2 = Seq((1L, "x y x")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.skipGrams(df2, "text", window = 1, minCount = 1)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2))
+      .toMap
+    assert(r2(("x", "y")) == 2L && r2(("y", "x")) == 2L)
+  }
+
+  test("chi2Features: independence scores ~0, perfect association scores " +
+      "high, zero-denominator cells excluded") {
+    import spark.implicits._
+    // 4 docs, 2 labels; "only" appears exactly in label A's docs (perfect
+    // association), "both" appears in one doc of each label
+    // (near-independence), "every" appears in all docs (undefined χ² —
+    // must be excluded)
+    val df = Seq(
+      (1L, "only both every", "A"), (2L, "only every", "A"),
+      (3L, "both every", "B"), (4L, "every filler", "B")
+    ).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.chi2Features(df, "doc_id", "text", "lang",
+      minDf = 1).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(5)).toMap
+    // perfect association: A=2,B=0,C=0,D=2 → χ² = N = 4 → 4_000_000 micro
+    assert(r(("A", "only")) == 4000000L)
+    // "both": A=1,B=1,C=1,D=1 → χ² = 0 exactly
+    assert(r(("A", "both")) == 0L && r(("B", "both")) == 0L)
+    // df_t = n → excluded entirely
+    assert(!r.keys.exists(_._2 == "every"))
+  }
+
   test("readability: fixed-point Flesch/FK/TTR match hand computation") {
     import spark.implicits._
     // "the cat sat. the cat ran." → W=6, S=2, vowel groups: e,a,a,e,a,a =
