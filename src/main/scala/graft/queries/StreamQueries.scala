@@ -101,6 +101,13 @@ object StreamQueries {
     "q_stream_cohorts" -> ((s, d) =>
       graft.streaming.EventStreams.cohortRetention(events(s, d), "signup")),
 
+    // --- ingest-rate anomaly: hourly per-type counts vs their trailing
+    // 12-bucket mean in exact micro-units; full-baseline warm-up before
+    // any flag fires (oracle-checked) ---
+    "q_stream_anomaly" -> ((s, d) =>
+      graft.streaming.EventStreams.rateAnomaly(events(s, d),
+        bucketSec = 3600L, trail = 12, thresholdMicro = 2000000L)),
+
     // as-of join: each click annotated with the user's latest prior purchase
     "q_asof_join" -> ((s, d) => {
       val ev = events(s, d)
@@ -251,6 +258,9 @@ object StreamQueries {
       Seq("signup", "click", "purchase"), maxSpan = Some("24 hours")),
 
     "q_stream_cohorts" -> graft.streaming.EventStreams.cohortOracleSql("signup"),
+
+    "q_stream_anomaly" -> graft.streaming.EventStreams.rateAnomalyOracleSql(
+      bucketSec = 3600L, trail = 12, thresholdMicro = 2000000L),
 
     // grid = generate_series over each user's bucket range; fill = running
     // last_value IGNORE NULLS — same semantics as Spark's last(_, true)

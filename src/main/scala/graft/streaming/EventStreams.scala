@@ -237,6 +237,82 @@ object EventStreams {
        |       round(r.n_users::DOUBLE / s.cohort_size::DOUBLE, 6) AS retention
        |FROM r JOIN s USING (cw)""".stripMargin
 
+  /** Event-rate anomaly detection — per (event_type, bucket) counts scored
+    * against their own trailing baseline: a bucket whose count exceeds
+    * `thresholdMicro`/1e6 × the trailing-`trail`-bucket mean is flagged.
+    * The monitoring pass a pipeline runs over its ingest telemetry (bot
+    * bursts, replayed logs, broken producers) before the data reaches
+    * curation.
+    *
+    * Exact integer scoring: with S = Σ and C = count of the trailing
+    * observed buckets (ROWS BETWEEN `trail` PRECEDING AND 1 PRECEDING),
+    *   ratio_micro = n·C·1e6 // S
+    * — the count-to-mean ratio in micro-units, floor-divided identically
+    * by both engines; `is_anomaly` additionally requires a FULL baseline
+    * (C = `trail`), so early buckets warm up instead of false-firing.
+    * Baseline is over OBSERVED buckets (an all-zero hour contributes no
+    * row) — the variant that needs no dense grid; compose with
+    * [[graft.operators.Temporal.resampleFill]] first when silent-gap
+    * sensitivity matters.
+    *
+    * Shape: one (type, bucket) pre-aggregate shrinks the window input to
+    * #types × #buckets rows (a year of hours is <9k rows per type), THEN
+    * the per-type ordered window runs over that tiny table — the
+    * [[graft.operators.Profile.ksDriftQuantized]] posture: never a
+    * global-order window over raw events.
+    */
+  def rateAnomaly(events: DataFrame, bucketSec: Long = 3600L,
+      trail: Int = 24, thresholdMicro: Long = 3000000L): DataFrame = {
+    val counts = events
+      .select(col("event_type"),
+        expr(s"unix_timestamp(ts) div $bucketSec * $bucketSec")
+          .as("bucket_s"))
+      .groupBy("event_type", "bucket_s").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("bucket_s")
+      .rowsBetween(-trail, -1)
+    counts
+      .withColumn("base_sum", sum(col("n")).over(w))
+      .withColumn("base_cnt", count(col("n")).over(w))
+      .select(col("event_type"), col("bucket_s"), col("n"),
+        coalesce(col("base_sum"), lit(0L)).as("base_sum"),
+        coalesce(col("base_cnt"), lit(0L)).as("base_cnt"),
+        when(col("base_sum") > 0,
+          expr("(n * base_cnt * 1000000) div base_sum")).as("ratio_micro"))
+      .withColumn("is_anomaly",
+        coalesce(col("base_cnt") === trail
+          && col("ratio_micro") > thresholdMicro, lit(false)))
+  }
+
+  /** DuckDB replay of [[rateAnomaly]] value-for-value (same ROWS frame,
+    * same floor arithmetic).
+    */
+  def rateAnomalyOracleSql(bucketSec: Long = 3600L, trail: Int = 24,
+      thresholdMicro: Long = 3000000L, table: String = "events"): String =
+    s"""WITH c AS (
+       |  SELECT event_type,
+       |         (epoch_us(ts::TIMESTAMP) // 1000000) // $bucketSec
+       |           * $bucketSec AS bucket_s,
+       |         count(*)::BIGINT AS n
+       |  FROM $table GROUP BY 1, 2),
+       |b AS (
+       |  SELECT event_type, bucket_s, n,
+       |         (coalesce(sum(n) OVER w, 0))::BIGINT AS base_sum,
+       |         (count(n) OVER w)::BIGINT AS base_cnt
+       |  FROM c
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_s
+       |               ROWS BETWEEN $trail PRECEDING AND 1 PRECEDING)),
+       |r AS (
+       |  SELECT event_type, bucket_s, n, base_sum, base_cnt,
+       |         CASE WHEN base_sum > 0
+       |              THEN (n * base_cnt * 1000000) // base_sum END
+       |           AS ratio_micro
+       |  FROM b)
+       |SELECT event_type, bucket_s, n, base_sum, base_cnt, ratio_micro,
+       |       coalesce(base_cnt = $trail
+       |         AND ratio_micro > $thresholdMicro, false) AS is_anomaly
+       |FROM r""".stripMargin
+
   /** Ordered-sequence FUNNEL analysis — the MATCH_RECOGNIZE-shaped pattern
     * query Spark has no native operator for: per user, greedily match the
     * `steps` event types as an in-order subsequence of their event stream

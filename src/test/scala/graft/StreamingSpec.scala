@@ -432,4 +432,30 @@ class StreamingSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
     assert(r == Map(1L -> 3L, 2L -> 1L)) // 3 users reach A, only user 1 reaches B
   }
+
+  test("rateAnomaly: trailing-mean ratio in micro-units, full-baseline " +
+      "warm-up gates the flag") {
+    import spark.implicits._
+    def t(h: Int, n: Int) = (0 until n).map(i =>
+      ("click", java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:${i % 60}%02d")))
+    // hours 0..3 at 2 events/hour, hour 4 bursts to 10 (5x the mean)
+    val ev = (t(0, 2) ++ t(1, 2) ++ t(2, 2) ++ t(3, 2) ++ t(4, 10))
+      .toDF("event_type", "ts")
+    val r = graft.streaming.EventStreams
+      .rateAnomaly(ev, bucketSec = 3600L, trail = 3, thresholdMicro = 3000000L)
+      .collect().map(x => x.getLong(1) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4),
+          if (x.isNullAt(5)) -1L else x.getLong(5), x.getBoolean(6))).toMap
+    // Timestamp.valueOf is JVM-tz-dependent — anchor on the observed
+    // first bucket instead of a hardcoded UTC epoch
+    val h0 = r.keys.min
+    // hour 0: no baseline → null ratio, no flag
+    assert(r(h0) == ((2L, 0L, 0L, -1L, false)))
+    // hour 2: baseline = hours 0..1 (2 of 3 buckets) → ratio = 2*2e6/4 =
+    // 1e6, but base_cnt < trail → never flags even if ratio were high
+    assert(r(h0 + 7200) == ((2L, 4L, 2L, 1000000L, false)))
+    // hour 4: full 3-bucket baseline (hours 1..3, sum 6) → ratio =
+    // 10*3*1e6/6 = 5e6 > 3e6 → flagged
+    assert(r(h0 + 14400) == ((10L, 6L, 3L, 5000000L, true)))
+  }
 }
