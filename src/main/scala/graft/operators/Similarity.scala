@@ -1179,6 +1179,99 @@ object Similarity {
        |                       / sqrt((n * ss - s * s)::DOUBLE), 6) END AS z
        |FROM f JOIN m USING (pos)""".stripMargin
 
+  /** Dimension-correlation matrix of an embedding column — Pearson corr
+    * for every dimension pair (i ≤ j), the redundancy/collapse diagnostic
+    * run before PCA/whitening decisions: blocks of |corr| ≈ 1 mean the
+    * encoder wastes capacity, an identity-like matrix means the space is
+    * already decorrelated. ([[standardizeEmbeddings]]'s exact-moment
+    * recipe generalized from per-dimension to pairwise.)
+    *
+    * Exactness: values quantize to 1e-6 fixed-point BIGINTs, all five
+    * moments (n, Σx, Σy, Σxy, Σxx, Σyy) accumulate EXACTLY on
+    * DECIMAL(38,0)/HUGEINT carriers, and
+    *   corr = (n·Σxy − Σx·Σy) / √((n·Σxx − Σx²)·(n·Σyy − Σy²))
+    * is one identical IEEE divide/sqrt on both engines, rounded to 6 dp.
+    * Zero-variance dimensions pin corr = 0.
+    *
+    * Shape: the d(d+1)/2 pair products are generated INSIDE each row by a
+    * nested `transform(sequence)` in codegen (no posexplode self-join —
+    * the join would shuffle d copies of the corpus), then one two-phase
+    * aggregate reduces them: map-side combine collapses every partition
+    * to ≤ d² rows, so the shuffle moves partials, not pair rows. Linear
+    * sums ride a second d-row aggregate, broadcast twice. At 100 TB this
+    * is one corpus scan + two tiny shuffles.
+    */
+  def correlationMatrix(df: DataFrame, vecCol: String): DataFrame = {
+    val q2 = df.select(transform(col(vecCol),
+      x => round(x.cast("double") * 1000000, 0).cast("long")).as("q"))
+    val pairs = q2.select(explode(flatten(transform(
+        sequence(lit(1), size(col("q"))), i => transform(
+          sequence(i, size(col("q"))), j => struct(
+            i.cast("long").as("i"), j.cast("long").as("j"),
+            (element_at(col("q"), i) * element_at(col("q"), j)).as("p"))))))
+        .as("e"))
+      .select(col("e.i"), col("e.j"), col("e.p"))
+    val gram = pairs.groupBy("i", "j").agg(count(lit(1)).as("n"),
+      sum(col("p").cast("decimal(38,0)")).as("sxy"))
+      .transform(graft.operators.Caching.persist) // feeds diag AND output
+    val mom = q2.select(posexplode(col("q")))
+      .select((col("pos") + 1).cast("long").as("pos"),
+        col("col").cast("decimal(38,0)").as("v"))
+      .groupBy("pos").agg(sum(col("v")).as("s"))
+    val diag = gram.where(col("i") === col("j"))
+      .select(col("i").as("pos"), col("sxy").as("sxx"))
+    val mi = broadcast(mom.join(diag, "pos")
+      .select(col("pos").as("i"), col("s").as("si"), col("sxx").as("sxxi")))
+    val mj = broadcast(mom.join(diag, "pos")
+      .select(col("pos").as("j"), col("s").as("sj"), col("sxx").as("sxxj")))
+    gram.join(mi, "i").join(mj, "j")
+      .select(col("i"), col("j"), col("n"),
+        (col("n") * col("sxy") - col("si") * col("sj")).cast("double")
+          .as("num"),
+        (col("n") * col("sxxi") - col("si") * col("si")).cast("double")
+          .as("radi"),
+        (col("n") * col("sxxj") - col("sj") * col("sj")).cast("double")
+          .as("radj"))
+      .select(col("i"), col("j"), col("n"),
+        when(col("radi") === 0d || col("radj") === 0d, lit(0d))
+          .otherwise(round(col("num") / sqrt(col("radi") * col("radj")), 6))
+          .as("corr"))
+  }
+
+  /** DuckDB replay of [[correlationMatrix]] value-for-value (HUGEINT
+    * moments, identical IEEE tail).
+    */
+  def correlationMatrixOracleSql(table: String = "embeddings",
+      vecCol: String = "embedding"): String =
+    s"""WITH q AS (
+       |  SELECT list_transform($vecCol::DOUBLE[],
+       |           x -> round(x * 1000000)::BIGINT) AS q
+       |  FROM $table),
+       |pairs AS (
+       |  SELECT i::BIGINT AS i, j::BIGINT AS j, q[i] * q[j] AS p
+       |  FROM q,
+       |       LATERAL unnest(range(1, len(q) + 1)) AS r(i),
+       |       LATERAL unnest(range(i, len(q) + 1)) AS r2(j)),
+       |g AS (
+       |  SELECT i, j, count(*)::BIGINT AS n, sum(p)::HUGEINT AS sxy
+       |  FROM pairs GROUP BY i, j),
+       |f AS (SELECT generate_subscripts(q, 1)::BIGINT AS pos,
+       |             unnest(q) AS v FROM q),
+       |m AS (SELECT pos, sum(v)::HUGEINT AS s FROM f GROUP BY pos),
+       |d AS (SELECT i AS pos, sxy AS sxx FROM g WHERE i = j),
+       |x AS (
+       |  SELECT g.i, g.j, g.n,
+       |         (g.n * g.sxy - mi.s * mj.s)::DOUBLE AS num,
+       |         (g.n * di.sxx - mi.s * mi.s)::DOUBLE AS radi,
+       |         (g.n * dj.sxx - mj.s * mj.s)::DOUBLE AS radj
+       |  FROM g
+       |  JOIN m mi ON mi.pos = g.i JOIN m mj ON mj.pos = g.j
+       |  JOIN d di ON di.pos = g.i JOIN d dj ON dj.pos = g.j)
+       |SELECT i, j, n,
+       |       CASE WHEN radi = 0 OR radj = 0 THEN 0
+       |            ELSE round(num / sqrt(radi * radj), 6) END AS corr
+       |FROM x""".stripMargin
+
   /** Cluster-balanced diversity sampling — the "cluster, then take evenly
     * per cluster" coreset recipe (the prototype-sampling step of DataComp/
     * SSL curation): embeddings are assigned to the deterministic every-Nth

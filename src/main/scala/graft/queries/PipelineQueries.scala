@@ -866,6 +866,14 @@ object PipelineQueries {
       Similarity.diversitySample(s.table("embeddings"), "vec_id", "embedding",
         centroidEvery = 50L, perCluster = 5)
     }),
+
+    // --- dimension-correlation matrix: pairwise Pearson corr on exact
+    // integer moments, pair products generated in codegen inside each row
+    // — the PCA/whitening redundancy diagnostic (oracle-checked) ---
+    "q_embed_corr" -> ((s, d) => {
+      Tables.load(s, d)
+      Similarity.correlationMatrix(s.table("embeddings"), "embedding")
+    }),
   )
 
   /** Shared by q_dedup_incremental and q_dedup_bloom: the bloom variant's
@@ -1026,6 +1034,7 @@ object PipelineQueries {
     "q_embed_diversity" ->
       Similarity.diversityOracleSql(centroidEvery = 50L, perCluster = 5),
     "q_embed_standardize" -> Similarity.standardizeOracleSql(),
+    "q_embed_corr" -> Similarity.correlationMatrixOracleSql(),
     "q_pipeline_rag" -> Similarity.retrieveOracleSql(window = 32, stride = 24,
       dim = 64, k = 5, probePred = "doc % 100 = 7"),
 

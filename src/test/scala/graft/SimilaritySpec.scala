@@ -453,4 +453,26 @@ class SimilaritySpec extends SparkSpec
       s"probed scan read $scannedRows of $total rows — not pruned")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("correlationMatrix: perfect/anti/zero correlation and constant-dim " +
+      "guard, upper triangle only") {
+    import spark.implicits._
+    // dim1 = x, dim2 = -x (corr -1), dim3 = const (corr 0 by guard),
+    // dim4 chosen orthogonal-ish to x
+    val df = Seq(
+      (1L, Seq(1.0f, -1.0f, 5.0f, 1.0f)),
+      (2L, Seq(2.0f, -2.0f, 5.0f, -1.0f)),
+      (3L, Seq(3.0f, -3.0f, 5.0f, 1.0f)),
+      (4L, Seq(4.0f, -4.0f, 5.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.correlationMatrix(df, "embedding").collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(3)).toMap
+    assert(r((1L, 1L)) == 1.0)   // self-correlation exact
+    assert(r((1L, 2L)) == -1.0)  // perfect anti-correlation
+    assert(r((1L, 3L)) == 0.0 && r((3L, 3L)) == 0.0) // zero variance guard
+    assert(math.abs(r((1L, 4L))) < 0.5) // weakly correlated
+    // upper triangle only: no (2,1)
+    assert(!r.contains((2L, 1L)))
+    assert(r.size == 10) // 4*5/2 pairs
+  }
 }
