@@ -727,6 +727,89 @@ object TextAnalysis {
        |FROM tl JOIN tf USING (tok) JOIN ln ON ln.label = tl.label, tot
        |WHERE df_t < n AND n_l < n""".stripMargin
 
+  /** Keyword/topic tagging against a broadcast dictionary — the
+    * FlashText-style "which of my curated topic lexicons does this doc
+    * hit" pass used for topic-targeted subsetting (pull all finance docs,
+    * drop all adult-lexicon hits) without a trained classifier. Emits one
+    * row per (doc, topic) with ≥1 hit: the hit count and whether that
+    * topic is the doc's DOMINANT topic (argmax hits, ties to the
+    * lexicographically smallest topic name — deterministic).
+    *
+    * Shape: exploded tokens equi-join the (topic, word) dictionary — a
+    * few-hundred-row table Spark broadcasts, so the join is map-side at
+    * any corpus size — then one (doc, topic) count and one per-doc
+    * struct-max argmax (two-phase aggregates; the
+    * [[graft.operators.Graph.labelPropagation]] tie-break pattern, no
+    * window).
+    */
+  def keywordTag(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, topics: Map[String, Seq[String]])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    val spark = df.sparkSession
+    val dict = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        topics.toSeq.flatMap { case (t, ws) => ws.map(w => Row(t, w)) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("topic",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("tok",
+          org.apache.spark.sql.types.StringType))))
+    val hits = df
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .join(broadcast(dict), "tok")
+      .groupBy("doc_id", "topic").agg(count(lit(1)).as("n_hits"))
+    val dominant = hits.groupBy("doc_id")
+      .agg(max(struct(col("n_hits"),
+        // lexicographic struct-max picks the HIGHEST topic string on a
+        // hit-count tie; invert by comparing on a "negated" key is not
+        // possible for strings, so rank topics by their sorted index
+        // instead — the dictionary is tiny and fixed
+        (-array_position(
+          array(topics.keys.toSeq.sorted.map(lit): _*), col("topic")))
+          .as("nt"))).as("m"))
+      .select(col("doc_id"),
+        element_at(array(topics.keys.toSeq.sorted.map(lit): _*),
+          (-col("m.nt")).cast("int")).as("dom_topic"))
+    hits.join(dominant, "doc_id")
+      .select(col("doc_id"), col("topic"), col("n_hits"),
+        (col("topic") === col("dom_topic")).as("is_dominant"))
+  }
+
+  /** DuckDB SQL replaying [[keywordTag]]; the dictionary is inlined as
+    * VALUES rows, the dominant-topic tie-break replays through the same
+    * sorted-index struct max.
+    */
+  def keywordTagOracleSql(topics: Map[String, Seq[String]],
+      table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text"): String = {
+    val rows = topics.toSeq.sortBy(_._1)
+      .flatMap { case (t, ws) => ws.map(w => s"('$t', '$w')") }
+      .mkString(", ")
+    val names = topics.keys.toSeq.sorted
+    val idxCase = names.zipWithIndex
+      .map { case (t, i) => s"WHEN '$t' THEN ${i + 1}" }
+      .mkString("CASE topic ", " ", " END")
+    val nameCase = names.zipWithIndex
+      .map { case (t, i) => s"WHEN ${i + 1} THEN '$t'" }
+      .mkString("CASE (-((max({'n': n_hits, 'nt': nt})).nt)) ",
+        " ", " END")
+    s"""WITH dict(topic, tok) AS (VALUES $rows),
+       |t AS (SELECT $idCol AS doc_id, unnest(${toksSql(textCol)}) AS tok
+       |      FROM $table),
+       |h AS (
+       |  SELECT doc_id, topic, count(*)::BIGINT AS n_hits
+       |  FROM t JOIN dict USING (tok) GROUP BY doc_id, topic),
+       |dom AS (
+       |  SELECT doc_id, $nameCase AS dom_topic
+       |  FROM (SELECT doc_id, n_hits, topic, -($idxCase) AS nt FROM h) x
+       |  GROUP BY doc_id)
+       |SELECT h.doc_id, h.topic, h.n_hits,
+       |       h.topic = dom.dom_topic AS is_dominant
+       |FROM h JOIN dom ON dom.doc_id = h.doc_id""".stripMargin
+  }
+
   /** Per-language marker-word profiles for the language-ID heuristic.
     * Tiny on purpose: broadcast as literal arrays into codegen.
     */

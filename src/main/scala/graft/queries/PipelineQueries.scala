@@ -22,6 +22,15 @@ object PipelineQueries {
     s.table("documents")
   }
 
+  /** Topic lexicons for the keyword-tagging gate — drawn from the synthetic
+    * corpus vocabulary so every topic actually fires at gate scale.
+    */
+  val KeywordTopics: Map[String, Seq[String]] = Map(
+    "execution" -> Seq("scan", "join", "agg", "sort", "filter", "hash",
+      "merge"),
+    "storage" -> Seq("table", "row", "column", "batch"),
+    "perf" -> Seq("fast", "slow", "big", "small"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- text analysis: per-doc stats (oracle-checked) ---
     "q_text_stats" -> ((s, d) => docs(s, d).select(
@@ -71,6 +80,11 @@ object PipelineQueries {
     // curriculum-difficulty axes as one map-only pass (oracle-checked) ---
     "q_text_readability" -> ((s, d) =>
       TextAnalysis.readability(docs(s, d), "doc_id", "text")),
+
+    // --- keyword/topic tagging against a broadcast dictionary: per-doc
+    // topic hit counts + deterministic dominant topic (oracle-checked) ---
+    "q_text_keywords" -> ((s, d) =>
+      TextAnalysis.keywordTag(docs(s, d), "doc_id", "text", KeywordTopics)),
 
     // --- skip-gram (center, context) pair counts: the word2vec/GloVe
     // training-data generation pass, map-only offsets (oracle-checked) ---
@@ -934,6 +948,7 @@ object PipelineQueries {
     "q_text_bigram_lm" -> TextAnalysis.bigramCrossEntropyOracleSql(),
     "q_text_gopher" -> TextAnalysis.gopherOracleSql(minWords = 20),
     "q_text_readability" -> TextAnalysis.readabilityOracleSql(),
+    "q_text_keywords" -> TextAnalysis.keywordTagOracleSql(KeywordTopics),
     "q_text_skipgrams" -> TextAnalysis.skipGramsOracleSql(window = 3,
       minCount = 25),
     "q_text_chi2" -> TextAnalysis.chi2OracleSql(minDf = 10),

@@ -108,6 +108,25 @@ object StreamQueries {
       graft.streaming.EventStreams.rateAnomaly(events(s, d),
         bucketSec = 3600L, trail = 12, thresholdMicro = 2000000L)),
 
+    // --- 6-hour trending leaderboard: top-3 event types per window,
+    // deterministic tie-break, rank filter runs as WindowGroupLimit
+    // partial top-k (oracle-checked) ---
+    "q_stream_trending" -> ((s, d) =>
+      graft.streaming.EventStreams.trendingTopK(events(s, d),
+        bucketSec = 21600L, k = 3)),
+
+    // --- peak concurrency per user: the ±1 interval sweep over 30-min
+    // event holds — the parallel-session abuse signal (oracle-checked) ---
+    "q_stream_concurrency" -> ((s, d) =>
+      graft.streaming.EventStreams.peakConcurrency(events(s, d),
+        holdSec = 1800L)),
+
+    // --- bot regularity: per-user inter-event-gap CV from exact integer
+    // moments; metronomic traces flag below 0.3 (oracle-checked) ---
+    "q_stream_bots" -> ((s, d) =>
+      graft.streaming.EventStreams.botRegularity(events(s, d),
+        minGaps = 20, cvThresholdMicro = 300000L)),
+
     // as-of join: each click annotated with the user's latest prior purchase
     "q_asof_join" -> ((s, d) => {
       val ev = events(s, d)
@@ -261,6 +280,15 @@ object StreamQueries {
 
     "q_stream_anomaly" -> graft.streaming.EventStreams.rateAnomalyOracleSql(
       bucketSec = 3600L, trail = 12, thresholdMicro = 2000000L),
+
+    "q_stream_trending" -> graft.streaming.EventStreams
+      .trendingTopKOracleSql(bucketSec = 21600L, k = 3),
+
+    "q_stream_concurrency" -> graft.streaming.EventStreams
+      .peakConcurrencyOracleSql(holdSec = 1800L),
+
+    "q_stream_bots" -> graft.streaming.EventStreams
+      .botRegularityOracleSql(minGaps = 20, cvThresholdMicro = 300000L),
 
     // grid = generate_series over each user's bucket range; fill = running
     // last_value IGNORE NULLS — same semantics as Spark's last(_, true)

@@ -313,6 +313,173 @@ object EventStreams {
        |         AND ratio_micro > $thresholdMicro, false) AS is_anomaly
        |FROM r""".stripMargin
 
+  /** Windowed trending top-k — per tumbling window, the `k` most frequent
+    * event types ranked with a deterministic (count DESC, type ASC)
+    * tie-break. The "what's hot right now" leaderboard over ingest
+    * telemetry, and the exact-regime companion to the mergeable
+    * [[graft.functions.TopK]] sketch (which answers the same question
+    * without the per-window shuffle when k-exactness can be relaxed).
+    *
+    * Shape: the (window, type) pre-aggregate collapses the corpus to
+    * #windows × #types rows BEFORE any ranking; the rank window then
+    * partitions by window over that tiny table and Spark executes the
+    * rank ≤ k filter as a WindowGroupLimit partial top-k (per-partition
+    * truncation before the shuffle).
+    */
+  def trendingTopK(events: DataFrame, bucketSec: Long = 21600L,
+      k: Int = 3): DataFrame = {
+    val counts = events
+      .select(col("event_type"),
+        expr(s"unix_timestamp(ts) div $bucketSec * $bucketSec")
+          .as("win_s"))
+      .groupBy("win_s", "event_type").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("win_s").orderBy(col("n").desc, col("event_type").asc)
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
+  /** DuckDB replay of [[trendingTopK]] (same frame, same tie-break). */
+  def trendingTopKOracleSql(bucketSec: Long = 21600L, k: Int = 3,
+      table: String = "events"): String =
+    s"""WITH c AS (
+       |  SELECT (epoch_us(ts::TIMESTAMP) // 1000000) // $bucketSec
+       |           * $bucketSec AS win_s,
+       |         event_type, count(*)::BIGINT AS n
+       |  FROM $table GROUP BY 1, 2)
+       |SELECT win_s, event_type, n,
+       |       row_number() OVER (PARTITION BY win_s
+       |                          ORDER BY n DESC, event_type ASC)::BIGINT
+       |         AS rnk
+       |FROM c QUALIFY rnk <= $k""".stripMargin
+
+  /** Peak concurrency per user — the classic ±1 sweep: each event opens a
+    * `holdSec`-second interval, interval starts are +1 and ends are −1,
+    * and the per-user running sum's maximum is the largest number of
+    * simultaneously-open intervals. The "how many parallel sessions/
+    * devices does this account drive" abuse signal (a human rarely
+    * sustains >2; credential-stuffed accounts burst far higher).
+    *
+    * Determinism at equal timestamps: the sweep orders by (t, delta) with
+    * ends (−1) before starts (+1) — intervals are end-exclusive, so an
+    * interval ending exactly when another starts never overlaps it — and
+    * within a (t, delta) tie group every row carries the same delta, so
+    * the running sum at the GROUP's end (where the max can only land) is
+    * order-independent: the reported max needs no further tiebreak.
+    *
+    * Shape: 2 rows per event, one per-user ordered window over them, one
+    * per-user max aggregate — all user-keyed bounded shuffles.
+    */
+  def peakConcurrency(events: DataFrame, holdSec: Long = 1800L)
+      : DataFrame = {
+    val pts = events.select(col("user_id"),
+        expr("unix_timestamp(ts)").as("t0"))
+      .select(col("user_id"),
+        explode(array(
+          struct(col("t0").as("t"), lit(1L).as("delta")),
+          struct((col("t0") + holdSec).as("t"), lit(-1L).as("delta"))))
+          .as("p"))
+      .select(col("user_id"), col("p.t"), col("p.delta"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("t").asc, col("delta").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    pts.withColumn("c", sum(col("delta")).over(w))
+      .groupBy("user_id")
+      .agg(max(col("c")).as("peak_concurrency"),
+        (count(lit(1)) / 2).cast("long").as("n_events"))
+  }
+
+  /** DuckDB replay of [[peakConcurrency]] (same sweep, same frame). */
+  def peakConcurrencyOracleSql(holdSec: Long = 1800L,
+      table: String = "events"): String =
+    s"""WITH e AS (SELECT user_id,
+       |                  epoch_us(ts::TIMESTAMP) // 1000000 AS t0
+       |           FROM $table),
+       |pts AS (
+       |  SELECT user_id, t0 AS t, 1::BIGINT AS delta FROM e
+       |  UNION ALL
+       |  SELECT user_id, t0 + $holdSec AS t, -1::BIGINT AS delta FROM e),
+       |sw AS (
+       |  SELECT user_id,
+       |         sum(delta) OVER (PARTITION BY user_id
+       |                          ORDER BY t ASC, delta ASC
+       |                          ROWS UNBOUNDED PRECEDING) AS c
+       |  FROM pts)
+       |SELECT user_id, max(c)::BIGINT AS peak_concurrency,
+       |       (count(*) // 2)::BIGINT AS n_events
+       |FROM sw GROUP BY user_id""".stripMargin
+
+  /** Bot detection by inter-event regularity — per user, the coefficient
+    * of variation of inter-event gaps: humans are bursty (CV ≈ 1 for
+    * Poisson-ish arrivals, usually higher), timers and scripts are
+    * metronomic (CV → 0). A user with ≥ `minGaps` gaps and CV below
+    * `cvThreshold` is flagged. The behavioral companion to
+    * [[rateAnomaly]] (volume) and [[peakConcurrency]] (parallelism) in a
+    * bot-filtering battery.
+    *
+    * Exactness: gaps are integer seconds off a per-user total order
+    * (ts, then event_id — simultaneous events gap 0); with S = Σgap and
+    * Q = Σgap², CV = √(n·Q − S²)/S is computed from EXACT integer
+    * moments (DECIMAL(38,0)/HUGEINT carriers) through one identical
+    * IEEE sqrt/divide, rounded to 6 dp. S = 0 (all events in the same
+    * second) pins CV = 0 — the most metronomic possible trace.
+    *
+    * Shape: one per-user lag window + one per-user moment aggregate,
+    * both user-keyed bounded shuffles; no state beyond the frontier row.
+    */
+  def botRegularity(events: DataFrame, minGaps: Int = 20,
+      cvThresholdMicro: Long = 300000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("t").asc, col("event_id").asc)
+    val gaps = events
+      .select(col("user_id"), col("event_id"),
+        expr("unix_timestamp(ts)").as("t"))
+      .withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+      .where(col("gap").isNotNull)
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap").cast("decimal(38,0)")).as("s"),
+        sum(col("gap").cast("decimal(38,0)") * col("gap")).as("q"))
+      .where(col("n_gaps") >= minGaps)
+      .select(col("user_id"), col("n_gaps"),
+        col("s").cast("long").as("gap_sum"),
+        when(col("s") === 0, lit(0d))
+          .otherwise(round(
+            sqrt((col("n_gaps") * col("q") - col("s") * col("s"))
+              .cast("double")) / col("s").cast("double"), 6)).as("cv"))
+      .withColumn("is_bot",
+        col("cv") * 1000000 < cvThresholdMicro.toDouble)
+  }
+
+  /** DuckDB replay of [[botRegularity]] (same total order, same exact
+    * moments, same IEEE tail).
+    */
+  def botRegularityOracleSql(minGaps: Int = 20,
+      cvThresholdMicro: Long = 300000L, table: String = "events"): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id,
+       |         epoch_us(ts::TIMESTAMP) // 1000000 AS t
+       |  FROM $table),
+       |g AS (
+       |  SELECT user_id,
+       |         t - lag(t) OVER (PARTITION BY user_id
+       |                          ORDER BY t ASC, event_id ASC) AS gap
+       |  FROM e),
+       |m AS (
+       |  SELECT user_id, count(*)::BIGINT AS n_gaps,
+       |         sum(gap)::HUGEINT AS s, sum(gap::HUGEINT * gap) AS q
+       |  FROM g WHERE gap IS NOT NULL
+       |  GROUP BY user_id HAVING count(*) >= $minGaps),
+       |x AS (
+       |  SELECT user_id, n_gaps, s::BIGINT AS gap_sum,
+       |         CASE WHEN s = 0 THEN 0
+       |              ELSE round(sqrt((n_gaps * q - s * s)::DOUBLE)
+       |                         / s::DOUBLE, 6) END AS cv
+       |  FROM m)
+       |SELECT user_id, n_gaps, gap_sum, cv,
+       |       cv * 1000000 < $cvThresholdMicro AS is_bot
+       |FROM x""".stripMargin
+
   /** Ordered-sequence FUNNEL analysis — the MATCH_RECOGNIZE-shaped pattern
     * query Spark has no native operator for: per user, greedily match the
     * `steps` event types as an in-order subsequence of their event stream

@@ -458,4 +458,55 @@ class StreamingSpec extends SparkSpec {
     // 10*3*1e6/6 = 5e6 > 3e6 → flagged
     assert(r(h0 + 14400) == ((10L, 6L, 3L, 5000000L, true)))
   }
+
+  test("trendingTopK: per-window ranking, count-then-type tie-break, " +
+      "k cutoff") {
+    import spark.implicits._
+    def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val ev = (Seq.fill(3)("c") ++ Seq.fill(2)("a") ++ Seq.fill(2)("b")
+      ++ Seq.fill(1)("d")).zipWithIndex
+      .map { case (ty, i) => (ty, t(i)) }.toDF("event_type", "ts")
+    val r = graft.streaming.EventStreams
+      .trendingTopK(ev, bucketSec = 86400L, k = 3).collect()
+      .map(x => x.getString(1) -> x.getLong(3)).toMap
+    // c(3) first; a and b tie at 2 → type ASC: a then b; d cut at k=3
+    assert(r == Map("c" -> 1L, "a" -> 2L, "b" -> 3L))
+  }
+
+  test("peakConcurrency: overlapping holds count, end-exclusive touch " +
+      "does not") {
+    import spark.implicits._
+    def t(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val ev = Seq(
+      // user 1: events at 0s, 10s, 20s with 30s hold → all 3 overlap
+      (1L, t(0)), (1L, t(10)), (1L, t(20)),
+      // user 2: events at 0s and exactly 30s — end-exclusive → never 2
+      (2L, t(0)), (2L, t(30))
+    ).toDF("user_id", "ts")
+    val r = graft.streaming.EventStreams.peakConcurrency(ev, holdSec = 30L)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2)))
+      .toMap
+    assert(r == Map(1L -> ((3L, 3L)), 2L -> ((1L, 2L))))
+  }
+
+  test("botRegularity: metronomic trace flags, bursty trace does not, " +
+      "same-second trace pins CV 0") {
+    import spark.implicits._
+    def t(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val bot = (0 until 6).map(i => (1L, i.toLong, t(i * 60)))      // exact 60s
+    val human = Seq(0, 5, 65, 70, 200, 1000).zipWithIndex
+      .map { case (s, i) => (2L, 100L + i, t(s)) }                 // bursty
+    val frozen = (0 until 6).map(i => (3L, 200L + i, t(0)))        // same sec
+    val few = Seq((4L, 300L, t(0)), (4L, 301L, t(60)))             // 1 gap
+    val ev = (bot ++ human ++ frozen ++ few)
+      .toDF("user_id", "event_id", "ts")
+    val r = graft.streaming.EventStreams
+      .botRegularity(ev, minGaps = 5, cvThresholdMicro = 300000L)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getDouble(3), x.getBoolean(4))).toMap
+    assert(r(1L) == ((5L, 0.0, true)))   // constant gaps → CV exactly 0
+    assert(r(3L) == ((5L, 0.0, true)))   // S = 0 guard → CV pinned 0
+    assert(r(2L)._3 == false && r(2L)._2 > 0.3) // bursty: high CV, no flag
+    assert(!r.contains(4L))              // below minGaps → no verdict row
+  }
 }

@@ -397,6 +397,30 @@ class TextSpec extends SparkSpec {
     assert(r(2L).getLong(1) == 0L && r(2L).isNullAt(7))
   }
 
+  test("keywordTag: per-topic hit counts, dominant tie-break to smallest " +
+      "topic name, no-hit docs absent") {
+    import spark.implicits._
+    val topics = Map("alpha" -> Seq("x", "y"), "beta" -> Seq("z"),
+      "gamma" -> Seq("q"))
+    val df = Seq(
+      (1L, "x y z"),    // alpha 2, beta 1 → dominant alpha
+      (2L, "x z"),      // alpha 1, beta 1 → tie → alpha (smallest name)
+      (3L, "plain"),    // no hits → absent
+      (4L, "z z q")     // beta 2, gamma 1 → dominant beta
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis
+      .keywordTag(df, "doc_id", "text", topics).collect()
+      .map(x => (x.getLong(0), x.getString(1)) ->
+        (x.getLong(2), x.getBoolean(3))).toMap
+    assert(r((1L, "alpha")) == ((2L, true)))
+    assert(r((1L, "beta")) == ((1L, false)))
+    assert(r((2L, "alpha")) == ((1L, true)))  // tie → lexicographic min
+    assert(r((2L, "beta")) == ((1L, false)))
+    assert(r((4L, "beta")) == ((2L, true)))
+    assert(r((4L, "gamma")) == ((1L, false)))
+    assert(!r.keys.exists(_._1 == 3L))
+  }
+
   test("skipGrams: window-bounded pair counts, both directions, symmetric") {
     import spark.implicits._
     // "a b c d" window 2 → ordered pairs: (a,b),(a,c),(b,c),(b,d),(c,d)
