@@ -1488,4 +1488,132 @@ object Dedup {
        |SELECT occ.doc_id, occ.pos, occ.span_fp, dup.n_docs
        |FROM occ JOIN dup USING (span_fp)""".stripMargin
   }
+
+  /** Global first-occurrence SEGMENT dedup — the paragraph/line-level
+    * dedup pass of Dolma/RefinedWeb-style curation, sitting between
+    * document-level exact dedup (misses shared boilerplate inside
+    * otherwise-distinct docs) and [[dupSpans]] (flags every repeat; this
+    * pass KEEPS one canonical copy). Each doc is cut into consecutive
+    * non-overlapping `segLen`-token segments; a segment whose normalized
+    * fingerprint has been seen before (globally, in (doc, seg) order)
+    * is dropped; the corpus-wide FIRST occurrence survives. Docs are then
+    * reassembled from their surviving segments.
+    *
+    * The fingerprint tokenizer is the shared lowercase `\s+` split
+    * ([[TextAnalysis.tokens]]) so case/spacing variants of a boilerplate
+    * block collide; reassembly re-slices the ORIGINAL text (same split,
+    * no lower()) so surviving segments keep their case — only whitespace
+    * is normalized by the rejoin, exactly [[stripSpans]]' contract.
+    *
+    * Emits (doc_id, total_segs, kept_segs, text) for every input doc
+    * (fully-duplicate docs keep 0 segments and an empty string — the
+    * row stays, so the pass composes with downstream length filters).
+    *
+    * Scale shape: segmentation is a generator (no shuffle); the
+    * first-occurrence winner is one fingerprint-keyed `min(struct)`
+    * aggregate — no window over the corpus, no pair join anywhere; the
+    * rebuild is one doc-keyed aggregate. O(total tokens) end to end,
+    * the same budget as a tokenizing scan.
+    */
+  def dedupSegments(df: DataFrame, idCol: String, textCol: String,
+      segLen: Int): DataFrame = {
+    require(segLen >= 1)
+    // lowercase fingerprint segments (positions align 1:1 with the raw
+    // slices below because both tokenizers split on the same \s+ rule)
+    val segs = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L),
+          expr(s"(size(toks) - 1) div $segLen"))).as("seg"),
+        col("toks"))
+      .select(col("doc_id"), col("seg"),
+        md5(array_join(
+          slice(col("toks"), (col("seg") * segLen + 1).cast("int"),
+            lit(segLen)), " ")).as("fp"))
+      .transform(Caching.persist)
+    val first = segs.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("seg"))).as("w"))
+      .select(col("fp"), col("w.doc_id").as("doc_id"),
+        col("w.seg").as("seg"))
+    val keptKeys = segs.join(first, Seq("fp", "doc_id", "seg"))
+      .select(col("doc_id"), col("seg"))
+    // raw-case segment text for reassembly
+    val raw = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        filter(split(col(textCol), "\\s+"), t => t =!= "").as("rtoks"))
+      .where(size(col("rtoks")) >= 1)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L),
+          expr(s"(size(rtoks) - 1) div $segLen"))).as("seg"),
+        col("rtoks"))
+      .select(col("doc_id"), col("seg"),
+        array_join(slice(col("rtoks"), (col("seg") * segLen + 1).cast("int"),
+          lit(segLen)), " ").as("seg_text"))
+    val rebuilt = keptKeys.join(raw, Seq("doc_id", "seg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_segs"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg"), col("seg_text")))),
+          s => s.getField("seg_text")), " ").as("text"))
+    val totals = segs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("total_segs"))
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("total_segs"), lit(0L)).as("total_segs"),
+        coalesce(col("kept_segs"), lit(0L)).as("kept_segs"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
+
+  /** DuckDB replay of [[dedupSegments]] value-for-value (same md5
+    * segment fingerprints, same (doc, seg)-ordered first-occurrence
+    * winner via row_number, same raw-case reassembly).
+    */
+  def dedupSegmentsOracleSql(segLen: Int, table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text"): String = {
+    val rawToks =
+      s"CASE WHEN trim($textCol) = '' THEN []::VARCHAR[] " +
+        s"ELSE list_filter(string_split_regex($textCol, '\\s+'), t -> t <> '') END"
+    s"""WITH toks AS (
+       |  SELECT $idCol::BIGINT AS doc_id,
+       |         ${TextAnalysis.toksSql(textCol)} AS toks,
+       |         $rawToks AS rtoks
+       |  FROM $table),
+       |segs AS (
+       |  SELECT doc_id,
+       |         unnest(range(0, ((len(toks) - 1) // $segLen) + 1))::BIGINT
+       |           AS seg,
+       |         toks, rtoks
+       |  FROM toks WHERE len(toks) >= 1),
+       |fp AS (
+       |  SELECT doc_id, seg,
+       |         md5(array_to_string(
+       |           toks[seg * $segLen + 1 : seg * $segLen + $segLen], ' '))
+       |           AS fp,
+       |         array_to_string(
+       |           rtoks[seg * $segLen + 1 : seg * $segLen + $segLen], ' ')
+       |           AS seg_text
+       |  FROM segs),
+       |kept AS (
+       |  SELECT doc_id, seg, seg_text FROM fp
+       |  QUALIFY row_number() OVER (PARTITION BY fp
+       |                             ORDER BY doc_id, seg) = 1),
+       |rebuilt AS (
+       |  SELECT doc_id, count(*)::BIGINT AS kept_segs,
+       |         string_agg(seg_text, ' ' ORDER BY seg) AS text
+       |  FROM kept GROUP BY doc_id),
+       |totals AS (
+       |  SELECT doc_id, count(*)::BIGINT AS total_segs
+       |  FROM fp GROUP BY doc_id)
+       |SELECT d.$idCol::BIGINT AS doc_id,
+       |       coalesce(totals.total_segs, 0)::BIGINT AS total_segs,
+       |       coalesce(rebuilt.kept_segs, 0)::BIGINT AS kept_segs,
+       |       coalesce(rebuilt.text, '') AS text
+       |FROM $table d
+       |LEFT JOIN totals ON totals.doc_id = d.$idCol
+       |LEFT JOIN rebuilt ON rebuilt.doc_id = d.$idCol""".stripMargin
+  }
 }

@@ -219,38 +219,7 @@ object TextAnalysis {
           .orderBy(col("c").desc, col("tok"))).cast("long"))
       .select(col("r"), log(col("r").cast("double")).as("x"),
         log(col("c").cast("double")).as("y"))
-    val pts = ranked.agg(
-      count(lit(1)).cast("double").as("n"),
-      sort_array(collect_list(struct(col("r"), col("x")))).as("xs"),
-      sort_array(collect_list(struct(col("r"), col("y")))).as("ys"))
-    def fold(arr: Column, f: Column => Column): Column =
-      aggregate(arr, lit(0.0), (acc, p) => acc + f(p.getField("x")))
-    def fold2(xs: Column, ys: Column): Column = {
-      // zip by position (both sorted by rank) for the cross term
-      aggregate(zip_with(xs, ys, (a, b) =>
-        a.getField("x") * b.getField("x")), lit(0.0), (acc, v) => acc + v)
-    }
-    // positional cast renames the (r, y) struct field to x so one fold
-    // helper serves both series
-    val ys = col("ys").cast("array<struct<r:bigint,x:double>>")
-    pts.select(col("n"),
-        fold(col("xs"), identity).as("sx"),
-        fold(ys, identity).as("sy"),
-        fold2(col("xs"), ys).as("sxy"),
-        fold(col("xs"), v => v * v).as("sxx"),
-        fold(ys, v => v * v).as("syy"))
-      .select(col("n").cast("long").as("n_terms"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx"))).as("m"),
-        col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"))
-      .select(col("n_terms"),
-        round(col("m"), 6).as("slope"),
-        round((col("sy") - col("m") * col("sx")) / col("n"), 6).as("intercept"),
-        round(
-          ((col("n") * col("sxy") - col("sx") * col("sy")) *
-            (col("n") * col("sxy") - col("sx") * col("sy"))) /
-          ((col("n") * col("sxx") - col("sx") * col("sx")) *
-            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+    olsFit(ranked).withColumnRenamed("n_points", "n_terms")
   }
 
   /** DuckDB SQL replaying [[zipfFit]] value-for-value: same total
@@ -1743,4 +1712,253 @@ object TextAnalysis {
        |  SELECT *, row_number() OVER (PARTITION BY probe_id
        |                               ORDER BY score DESC, doc)::BIGINT AS rank
        |  FROM scored) WHERE rank <= $k""".stripMargin
+
+  /** Good-Turing frequency-of-frequencies table — the smoothing statistic
+    * of classical LM estimation (Good 1953; Katz 1987) and a corpus-health
+    * diagnostic in its own right: N_r = number of word types occurring
+    * exactly r times. The adjusted count r* = (r+1)·N_{r+1}/N_r feeds
+    * Katz back-off and Kneser-Ney discounting; N_1/N (the unseen-mass
+    * estimate) says how much probability a LM should hold back for
+    * vocabulary it has never seen — a direct measure of how "open" the
+    * corpus vocabulary still is at this size.
+    *
+    * Exactness: everything is an integer count; r* is reported as an
+    * exact RATIONAL (numerator (r+1)·N_{r+1}, denominator N_r) instead of
+    * a double quotient, so both engines emit identical BIGINTs.
+    *
+    * Scale shape: one corpus-sized term-count aggregate (the same one
+    * tf-idf/Zipf run), then a second aggregate over the VOCABULARY-sized
+    * count table to the ≤maxR-row result; the r→r+1 lookup is a self-join
+    * on that tiny table.
+    */
+  def goodTuring(df: org.apache.spark.sql.DataFrame, textCol: String,
+      maxR: Int = 10, ngram: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(maxR >= 1 && ngram >= 1)
+    val tf = df
+      .select(tokens(col(textCol)).as("toks"))
+      .select(explode(if (ngram == 1) col("toks")
+        else wordNgrams(col("toks"), ngram)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("r"))
+    val nr = tf.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+      .where(col("r") <= maxR + 1)
+    nr.as("a")
+      .join(nr.as("b"), col("a.r") + 1 === col("b.r"), "left")
+      .where(col("a.r") <= maxR)
+      .select(col("a.r").as("r"), col("a.n_r").as("n_r"),
+        coalesce(col("b.n_r"), lit(0L)).as("n_r_next"),
+        ((col("a.r") + 1) * coalesce(col("b.n_r"), lit(0L))).as("rstar_num"),
+        col("a.n_r").as("rstar_den"))
+  }
+
+  /** DuckDB replay of [[goodTuring]] (same tokenizer, same exact-rational
+    * adjusted counts).
+    */
+  def goodTuringOracleSql(maxR: Int = 10, ngram: Int = 1,
+      table: String = "documents", textCol: String = "text"): String = {
+    val gramList = if (ngram == 1) "toks"
+      else {
+        val joined = (1 to ngram).map(j => s"toks[i + ${j - 1}]")
+          .mkString(" || ' ' || ")
+        s"list_transform(range(1, len(toks) - ${ngram - 2}), i -> $joined)"
+      }
+    s"""WITH toks AS (
+       |  SELECT ${toksSql(textCol)} AS toks FROM $table),
+       |tf AS (
+       |  SELECT tok, count(*)::BIGINT AS r FROM (
+       |    SELECT unnest($gramList) AS tok FROM toks
+       |    WHERE len(toks) >= $ngram)
+       |  GROUP BY tok),
+       |nr AS (
+       |  SELECT r, count(*)::BIGINT AS n_r FROM tf
+       |  WHERE r <= ${maxR + 1} GROUP BY r)
+       |SELECT a.r, a.n_r,
+       |       coalesce(b.n_r, 0)::BIGINT AS n_r_next,
+       |       ((a.r + 1) * coalesce(b.n_r, 0))::BIGINT AS rstar_num,
+       |       a.n_r AS rstar_den
+       |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+       |WHERE a.r <= $maxR""".stripMargin
+  }
+
+  /** Heaps'-law vocabulary-growth fit — the companion sanity plot to
+    * [[zipfFit]]: distinct vocabulary V grows with corpus size n as
+    * V ≈ K·n^β (β ≈ 0.7–0.8 for natural language). A β near 1 means the
+    * corpus never stops minting new types (OCR noise, random ids, broken
+    * tokenization); a β near 0 means template spam re-using a closed
+    * vocabulary. Fitting it answers the practical curation question "will
+    * doubling this corpus still buy new vocabulary?".
+    *
+    * The growth curve is computed over the doc-id order (the corpus's
+    * canonical ingest order): per doc, its token count and the number of
+    * word types whose globally FIRST occurrence is this doc; cumulative
+    * sums give (n tokens seen, vocab seen) after each doc; every
+    * `sampleEvery`-th doc becomes a fit point; OLS over (ln n, ln V) with
+    * the [[zipfFit]] sequential-fold idiom returns (n_points, beta = the
+    * Heaps exponent, intercept = ln K, r2), 6 dp.
+    *
+    * Scale shape: first-occurrence is one vocabulary-sized `min(doc)`
+    * aggregate; the prefix sums are TWO-LEVEL (per-bucket totals, a
+    * window over the bucket table of n_docs/bucketSize rows, then the
+    * intra-bucket window partitioned by bucket) — the same
+    * mega-partition-proof cumsum [[Scale.domainTokenCap]] uses, so no
+    * window ever sees more than max(bucketSize, n_docs/bucketSize) rows.
+    */
+  def heapsFit(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, sampleEvery: Long = 8L,
+      bucketSize: Long = 1024L): org.apache.spark.sql.DataFrame = {
+    require(sampleEvery >= 1 && bucketSize >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val toksDf = df.select(col(idCol).cast("long").as("doc"),
+      tokens(col(textCol)).as("toks"))
+    val perDoc = toksDf.select(col("doc"),
+      size(col("toks")).cast("long").as("n_tok"))
+    val newWords = toksDf
+      .select(col("doc"), explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc")).as("doc"))
+      .groupBy(col("doc")).agg(count(lit(1)).as("nw"))
+    val d = perDoc.join(newWords, Seq("doc"), "left")
+      .select(col("doc"), col("n_tok"),
+        coalesce(col("nw"), lit(0L)).as("nw"))
+      .withColumn("b", expr(s"doc div $bucketSize"))
+    val wB = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bPre = d.groupBy(col("b"))
+      .agg(sum(col("n_tok")).as("bt"), sum(col("nw")).as("bw"))
+      .select(col("b"),
+        coalesce(sum(col("bt")).over(wB), lit(0L)).as("pre_t"),
+        coalesce(sum(col("bw")).over(wB), lit(0L)).as("pre_w"))
+    val wIn = Window.partitionBy(col("b")).orderBy(col("doc"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pts = d.join(bPre, "b")
+      .select(col("doc"),
+        (col("pre_t") + sum(col("n_tok")).over(wIn)).as("cum_tok"),
+        (col("pre_w") + sum(col("nw")).over(wIn)).as("cum_vocab"))
+      .where(col("doc") % sampleEvery === 0 &&
+        col("cum_tok") >= 1 && col("cum_vocab") >= 1)
+      .select(col("doc").as("r"),
+        log(col("cum_tok").cast("double")).as("x"),
+        log(col("cum_vocab").cast("double")).as("y"))
+    olsFit(pts).withColumnRenamed("slope", "beta")
+  }
+
+  /** One-row OLS over (x, y) points keyed by `r` — the shared tail of
+    * [[zipfFit]] and [[heapsFit]]: sums fold SEQUENTIALLY over r-sorted
+    * arrays so both engines add the same doubles in the same order.
+    * Input: (r BIGINT, x DOUBLE, y DOUBLE); output
+    * (n_points, slope, intercept, r2), 6 dp.
+    */
+  private[graft] def olsFit(
+      pts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val agg = pts.agg(
+      count(lit(1)).cast("double").as("n"),
+      sort_array(collect_list(struct(col("r"), col("x")))).as("xs"),
+      sort_array(collect_list(struct(col("r"), col("y")))).as("ys"))
+    def fold(arr: Column, f: Column => Column): Column =
+      aggregate(arr, lit(0.0), (acc, p) => acc + f(p.getField("x")))
+    def fold2(xs: Column, ys: Column): Column =
+      aggregate(zip_with(xs, ys, (a, b) =>
+        a.getField("x") * b.getField("x")), lit(0.0), (acc, v) => acc + v)
+    val ys = col("ys").cast("array<struct<r:bigint,x:double>>")
+    agg.select(col("n"),
+        fold(col("xs"), identity).as("sx"),
+        fold(ys, identity).as("sy"),
+        fold2(col("xs"), ys).as("sxy"),
+        fold(col("xs"), v => v * v).as("sxx"),
+        fold(ys, v => v * v).as("syy"))
+      .select(col("n").cast("long").as("n_points"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("m"),
+        col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"))
+      .select(col("n_points"),
+        round(col("m"), 6).as("slope"),
+        round((col("sy") - col("m") * col("sx")) / col("n"), 6)
+          .as("intercept"),
+        round(
+          ((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
+  /** DuckDB replay of [[heapsFit]] (same first-occurrence counting, same
+    * sampled points, same rank-ordered sequential OLS sums; the oracle's
+    * single cumulative window equals the two-level Spark prefix sum).
+    */
+  def heapsOracleSql(sampleEvery: Long = 8L, table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text"): String =
+    s"""WITH toks AS (
+       |  SELECT $idCol::BIGINT AS doc, ${toksSql(textCol)} AS toks
+       |  FROM $table),
+       |perdoc AS (
+       |  SELECT doc, len(toks)::BIGINT AS n_tok FROM toks),
+       |firstocc AS (
+       |  SELECT tok, min(doc) AS doc FROM (
+       |    SELECT doc, unnest(toks) AS tok FROM toks)
+       |  GROUP BY tok),
+       |nw AS (
+       |  SELECT doc, count(*)::BIGINT AS nw FROM firstocc GROUP BY doc),
+       |d AS (
+       |  SELECT p.doc, p.n_tok, coalesce(nw.nw, 0)::BIGINT AS nw
+       |  FROM perdoc p LEFT JOIN nw USING (doc)),
+       |c AS (
+       |  SELECT doc,
+       |         sum(n_tok) OVER (ORDER BY doc)::BIGINT AS cum_tok,
+       |         sum(nw) OVER (ORDER BY doc)::BIGINT AS cum_vocab
+       |  FROM d),
+       |pts AS (
+       |  SELECT doc AS r, ln(cum_tok::DOUBLE) AS x, ln(cum_vocab::DOUBLE) AS y
+       |  FROM c WHERE doc % $sampleEvery = 0
+       |    AND cum_tok >= 1 AND cum_vocab >= 1),
+       |l AS (
+       |  SELECT count(*)::DOUBLE AS n,
+       |         list(x ORDER BY r) AS xs, list(y ORDER BY r) AS ys,
+       |         list(x * y ORDER BY r) AS xys,
+       |         list(x * x ORDER BY r) AS xxs,
+       |         list(y * y ORDER BY r) AS yys
+       |  FROM pts),
+       |s AS (
+       |  SELECT n, list_aggregate(xs, 'sum') AS sx,
+       |         list_aggregate(ys, 'sum') AS sy,
+       |         list_aggregate(xys, 'sum') AS sxy,
+       |         list_aggregate(xxs, 'sum') AS sxx,
+       |         list_aggregate(yys, 'sum') AS syy
+       |  FROM l),
+       |m AS (
+       |  SELECT n, sx, sy, sxy, sxx, syy,
+       |         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+       |  FROM s)
+       |SELECT n::BIGINT AS n_points, round(slope, 6) AS beta,
+       |       round((sy - slope * sx) / n, 6) AS intercept,
+       |       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+       |             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+       |FROM m""".stripMargin
+
+  /** Luhn (mod-10) checksum validity of a digit string — the checksum
+    * every payment-card number satisfies, the standard precision filter
+    * on top of a "run of 13–19 digits" PII regex: a random digit run
+    * passes only 10% of the time, so Luhn-gating a card-number detector
+    * cuts false positives 10× before redaction. Implemented as a codegen
+    * higher-order fold (right-to-left positional doubling, subtract 9 on
+    * overflow); empty/non-digit-bearing strings are the caller's job to
+    * pre-filter (the fold treats any non-digit char as its `cast(int)`
+    * null → whole result null → `false` after the outer coalesce).
+    */
+  def luhnValid(digits: Column): Column = {
+    val L = length(digits)
+    val total = aggregate(sequence(lit(1), L), lit(0), (acc, i) => {
+      val d = digits.substr(L - i + 1, lit(1)).cast("int")
+      val dd = when(i % 2 === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      acc + dd
+    })
+    coalesce(L >= 1 && total % 10 === 0, lit(false))
+  }
+
+  /** DuckDB boolean expression replaying [[luhnValid]]`(digitsExpr)`. */
+  def luhnSql(digitsExpr: String): String = {
+    val L = s"length($digitsExpr)"
+    val d = s"substr($digitsExpr, $L - i + 1, 1)::INT"
+    s"coalesce($L >= 1 AND list_aggregate(list_transform(range(1, $L + 1), " +
+      s"i -> CASE WHEN i % 2 = 0 THEN CASE WHEN $d * 2 > 9 " +
+      s"THEN $d * 2 - 9 ELSE $d * 2 END ELSE $d END), 'sum') % 10 = 0, false)"
+  }
 }

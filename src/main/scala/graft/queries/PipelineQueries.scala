@@ -512,6 +512,12 @@ object PipelineQueries {
         Dedup.dupSpans(dd, "doc_id", "text", spanLen = 8), spanLen = 8)
     }),
 
+    // --- paragraph/line-level global dedup: consecutive 10-token segments,
+    // corpus-wide first occurrence survives, docs reassembled from kept
+    // segments (oracle replays fingerprint → winner → rebuild) ---
+    "q_dedup_segments" -> ((s, d) =>
+      Dedup.dedupSegments(docs(s, d), "doc_id", "text", segLen = 10)),
+
     // --- exact 2-gram Jaccard over id-window-blocked pairs (oracle-checked)
     "q_dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(
       docs(s, d), "doc_id", "text", ngram = 2,
@@ -711,6 +717,31 @@ object PipelineQueries {
     // (oracle-checked) ---
     "q_text_zipf" -> ((s, d) =>
       TextAnalysis.zipfFit(docs(s, d), "text", topN = 100)),
+
+    // --- Heaps'-law vocabulary-growth fit: β exponent of V ≈ K·n^β over
+    // doc-order prefix points, two-level mega-partition-proof cumsum
+    // (oracle-checked) ---
+    "q_text_heaps" -> ((s, d) =>
+      TextAnalysis.heapsFit(docs(s, d), "doc_id", "text",
+        sampleEvery = 8L, bucketSize = 64L)),
+
+    // --- Good-Turing frequency-of-frequencies: N_r table + exact-rational
+    // adjusted counts r* = (r+1)·N_{r+1}/N_r (oracle-checked) ---
+    "q_text_goodturing" -> ((s, d) =>
+      TextAnalysis.goodTuring(docs(s, d), "text", maxR = 10, ngram = 3)),
+
+    // --- Luhn mod-10 checksum battery: the payment-card precision gate of
+    // a PII detector, run over synthetic variable-length digit runs
+    // (13–16) derived from order keys (oracle-checked) ---
+    "q_text_luhn" -> ((s, d) => {
+      Tables.load(s, d)
+      s.table("orders")
+        .select(col("o_orderkey"),
+          expr("lpad(cast(o_orderkey as string), " +
+            "cast(13 + o_orderkey % 4 as int), '0')").as("pan"))
+        .select(col("o_orderkey"), col("pan"),
+          TextAnalysis.luhnValid(col("pan")).as("luhn_ok"))
+    }),
 
     // --- capstone: the full cleaning pipeline composed — quality filter →
     // language filter → canonical-key dedup (keep lowest doc_id) ---
@@ -1162,6 +1193,19 @@ object PipelineQueries {
         |WHERE n >= 25""".stripMargin,
 
     "q_text_zipf" -> TextAnalysis.zipfOracleSql(topN = 100),
+
+    "q_text_heaps" -> TextAnalysis.heapsOracleSql(sampleEvery = 8L),
+
+    "q_text_goodturing" ->
+      TextAnalysis.goodTuringOracleSql(maxR = 10, ngram = 3),
+
+    "q_text_luhn" -> {
+      val pan = "lpad(o_orderkey::VARCHAR, (13 + o_orderkey % 4)::INT, '0')"
+      s"""SELECT o_orderkey, pan, ${TextAnalysis.luhnSql("pan")} AS luhn_ok
+         |FROM (SELECT o_orderkey, $pan AS pan FROM orders)""".stripMargin
+    },
+
+    "q_dedup_segments" -> Dedup.dedupSegmentsOracleSql(segLen = 10),
 
     "q_pipeline_split" ->
       """SELECT lang, split, count(*) AS n, min(doc_id) AS min_id FROM (

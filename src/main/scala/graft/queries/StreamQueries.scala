@@ -101,6 +101,12 @@ object StreamQueries {
     "q_stream_cohorts" -> ((s, d) =>
       graft.streaming.EventStreams.cohortRetention(events(s, d), "signup")),
 
+    // --- first-order Markov transition matrix over per-user journeys:
+    // (from, to) counts + row-normalized probability in exact integer
+    // micro-units (oracle-checked) ---
+    "q_stream_transitions" -> ((s, d) =>
+      graft.streaming.EventStreams.transitions(events(s, d))),
+
     // --- ingest-rate anomaly: hourly per-type counts vs their trailing
     // 12-bucket mean in exact micro-units; full-baseline warm-up before
     // any flag fires (oracle-checked) ---
@@ -277,6 +283,9 @@ object StreamQueries {
       Seq("signup", "click", "purchase"), maxSpan = Some("24 hours")),
 
     "q_stream_cohorts" -> graft.streaming.EventStreams.cohortOracleSql("signup"),
+
+    "q_stream_transitions" ->
+      graft.streaming.EventStreams.transitionsOracleSql(),
 
     "q_stream_anomaly" -> graft.streaming.EventStreams.rateAnomalyOracleSql(
       bucketSec = 3600L, trail = 12, thresholdMicro = 2000000L),

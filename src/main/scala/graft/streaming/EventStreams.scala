@@ -778,4 +778,62 @@ object EventStreams {
       .transformWithState(new PackingProcessor(budget), TimeMode.None(),
         OutputMode.Append())
   }
+
+  /** First-order Markov transition matrix over per-user event journeys —
+    * the "what do users do next" model behind next-action prediction,
+    * journey visualization (Sankey), and synthetic-trace generation for
+    * load testing. Per user, events are put in the same anchored total
+    * order every analysis here uses (ts, then event_id, so simultaneous
+    * events replay identically), consecutive pairs become (from, to)
+    * transitions, and the matrix reports per-pair counts plus the
+    * row-normalized transition probability.
+    *
+    * Exactness: counts are integers; the probability is reported in
+    * integer MICRO-units via floor division (`n * 1e6 div row_total`) so
+    * both engines emit identical BIGINTs — no double division anywhere.
+    *
+    * Scale shape: one per-user lag window (user-keyed bounded shuffle —
+    * the same partitioning sessionize/funnel/botRegularity already use,
+    * so a real pipeline shares the exchange) + one aggregate to the
+    * |types|² matrix; the row-total window runs on that matrix table
+    * (|types|² rows, trivially bounded), never on the events.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy("from_type")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum(col("n")).over(wTot))
+      .select(col("from_type"), col("to_type"), col("n"), col("row_total"),
+        expr("n * 1000000 div row_total").as("p_micro"))
+  }
+
+  /** DuckDB replay of [[transitions]] (same anchored order, same floor
+    * division on the micro-unit carrier).
+    */
+  def transitionsOracleSql(table: String = "events"): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type
+       |  FROM $table),
+       |pairs AS (
+       |  SELECT event_type AS from_type,
+       |         lead(event_type) OVER (PARTITION BY user_id
+       |                                ORDER BY ts ASC, event_id ASC)
+       |           AS to_type
+       |  FROM e),
+       |m AS (
+       |  SELECT from_type, to_type, count(*)::BIGINT AS n
+       |  FROM pairs WHERE to_type IS NOT NULL
+       |  GROUP BY from_type, to_type)
+       |SELECT from_type, to_type, n,
+       |       sum(n) OVER (PARTITION BY from_type)::BIGINT AS row_total,
+       |       ((n * 1000000) // sum(n) OVER (PARTITION BY from_type))::BIGINT
+       |         AS p_micro
+       |FROM m""".stripMargin
 }

@@ -530,4 +530,25 @@ class DedupSpec extends SparkSpec {
       assert(got == reference, s"corpus: $docs")
     }
   }
+
+  test("dedupSegments: corpus-wide first occurrence survives, docs rebuilt") {
+    import graft.operators.Dedup
+    // segLen=2: doc0 = [A B][C D], doc1 = [C D][E F] (C D repeats → doc1
+    // keeps only E F), doc2 duplicates doc0 entirely → empty text
+    val docs = Seq(
+      (0L, "A b c D"),
+      (1L, "c d e F"),
+      (2L, "a B C d")).toDF("doc_id", "text")
+    val r = Dedup.dedupSegments(docs, "doc_id", "text", segLen = 2)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getString(3))).toMap
+    assert(r(0L) == ((2L, 2L, "A b c D")))  // raw case preserved
+    assert(r(1L) == ((2L, 1L, "e F")))
+    assert(r(2L) == ((2L, 0L, "")))
+    // short tail segments fingerprint on their own length
+    val tail = Seq((0L, "x y z"), (1L, "z")).toDF("doc_id", "text")
+    val t = Dedup.dedupSegments(tail, "doc_id", "text", segLen = 2)
+      .collect().map(x => x.getLong(0) -> x.getString(3)).toMap
+    assert(t(0L) == "x y z" && t(1L) == "") // tail [z] duplicates doc0's
+  }
 }

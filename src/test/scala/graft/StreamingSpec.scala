@@ -509,4 +509,21 @@ class StreamingSpec extends SparkSpec {
     assert(r(2L)._3 == false && r(2L)._2 > 0.3) // bursty: high CV, no flag
     assert(!r.contains(4L))              // below minGaps → no verdict row
   }
+
+  test("transitions: per-user consecutive pairs, exact micro-unit rows") {
+    import graft.streaming.EventStreams
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    // user 1: a→b→a ; user 2: a→b ; simultaneous pair ordered by event_id
+    val ev = Seq(
+      (1L, t(0), 10L, "a"), (1L, t(1), 11L, "b"), (1L, t(2), 12L, "a"),
+      (2L, t(0), 20L, "a"), (2L, t(0), 21L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val r = EventStreams.transitions(ev).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r(("a", "b")) == ((2L, 2L, 1000000L))) // row a: 2/2 → 1.0
+    assert(r(("b", "a")) == ((1L, 1L, 1000000L)))
+    assert(r.size == 2)
+  }
 }

@@ -489,4 +489,60 @@ class TextSpec extends SparkSpec {
       assert(e.getLong(4) == 206835L && e.getLong(6) == 0L)
     }
   }
+
+  test("luhnValid: known valid/invalid card numbers, empty guard") {
+    import graft.operators.TextAnalysis
+    val cases = Seq(
+      ("79927398713", true),       // the canonical Luhn example
+      ("79927398714", false),
+      ("4539578763621486", true),  // 16-digit Visa test number
+      ("4539578763621487", false),
+      ("0", true),                 // single check digit 0
+      ("", false))                 // empty → false, not null
+    val got = cases.map(_._1).toDF("pan")
+      .select(col("pan"), TextAnalysis.luhnValid(col("pan")).as("ok"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (pan, want) => assert(got(pan) == want, pan) }
+  }
+
+  test("goodTuring: N_r table and exact-rational r* on a tiny corpus") {
+    import graft.operators.TextAnalysis
+    // counts: a=3, b=2, c=2, d=1, e=1, f=1 → N_1=3, N_2=2, N_3=1
+    val df = Seq("a b c d", "a b c e", "a f").toDF("text")
+    val r = TextAnalysis.goodTuring(df, "text", maxR = 3)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r(1L) == ((3L, 2L, 4L, 3L)))  // r*=2*N_2/N_1 = 4/3
+    assert(r(2L) == ((2L, 1L, 3L, 2L)))  // r*=3*N_3/N_2 = 3/2
+    assert(r(3L) == ((1L, 0L, 0L, 1L)))  // no N_4 → numerator 0
+  }
+
+  test("heapsFit: growing vocabulary fits beta in (0,1], flat corpus beta 0") {
+    import graft.operators.TextAnalysis
+    // every doc adds one new word on a shared base → sub-linear growth
+    val grow = (0L until 64L).map(i =>
+      (i, s"base0 base1 base2 base3 w$i")).toDF("doc_id", "text")
+    val fit = TextAnalysis.heapsFit(grow, "doc_id", "text",
+      sampleEvery = 4L, bucketSize = 8L).collect()(0)
+    assert(fit.getLong(0) == 16L) // 64 docs, every 4th sampled
+    val beta = fit.getDouble(1)
+    assert(beta > 0.0 && beta <= 1.0, s"beta=$beta")
+    // closed vocabulary: no new words after doc 0 → beta near 0
+    val flat = (0L until 64L).map(i => (i, "x y z")).toDF("doc_id", "text")
+    val b0 = TextAnalysis.heapsFit(flat, "doc_id", "text",
+      sampleEvery = 4L, bucketSize = 8L).collect()(0).getDouble(1)
+    assert(math.abs(b0) < 0.05, s"flat beta=$b0")
+  }
+
+  test("heapsFit: two-level cumsum equals the naive single-window prefix") {
+    import graft.operators.TextAnalysis
+    val docs = (0L until 40L).map(i =>
+      (i, (0L to i % 7).map(j => s"t${(i * 3 + j) % 11}").mkString(" ")))
+      .toDF("doc_id", "text")
+    // tiny buckets force multi-bucket two-level paths; a single huge bucket
+    // is the naive window — the fit must be identical
+    val a = TextAnalysis.heapsFit(docs, "doc_id", "text", 2L, 4L).collect()(0)
+    val b = TextAnalysis.heapsFit(docs, "doc_id", "text", 2L, 1000000L).collect()(0)
+    assert(a == b)
+  }
 }
