@@ -1514,9 +1514,18 @@ object Dedup {
     * aggregate — no window over the corpus, no pair join anywhere; the
     * rebuild is one doc-keyed aggregate. O(total tokens) end to end,
     * the same budget as a tokenizing scan.
+    *
+    * `perDoc = true` narrows the winner scope to WITHIN each document
+    * (key = (doc, fingerprint) instead of fingerprint): repeated
+    * paragraphs inside one doc collapse to their first occurrence while
+    * cross-doc repeats survive — the Gopher-repetition REPAIR step
+    * (detecting is [[TextAnalysis.repetitionStats]]'s job; this removes).
+    * The doc-keyed winner aggregate makes the per-doc tier shuffle on
+    * (doc, fp) — even boilerplate fingerprints shared by millions of
+    * docs cannot hot-spot one reducer.
     */
   def dedupSegments(df: DataFrame, idCol: String, textCol: String,
-      segLen: Int): DataFrame = {
+      segLen: Int, perDoc: Boolean = false): DataFrame = {
     require(segLen >= 1)
     // lowercase fingerprint segments (positions align 1:1 with the raw
     // slices below because both tokenizers split on the same \s+ rule)
@@ -1533,10 +1542,16 @@ object Dedup {
           slice(col("toks"), (col("seg") * segLen + 1).cast("int"),
             lit(segLen)), " ")).as("fp"))
       .transform(Caching.persist)
-    val first = segs.groupBy(col("fp"))
-      .agg(min(struct(col("doc_id"), col("seg"))).as("w"))
-      .select(col("fp"), col("w.doc_id").as("doc_id"),
-        col("w.seg").as("seg"))
+    val first =
+      if (perDoc)
+        segs.groupBy(col("doc_id"), col("fp"))
+          .agg(min(col("seg")).as("seg"))
+          .select(col("fp"), col("doc_id"), col("seg"))
+      else
+        segs.groupBy(col("fp"))
+          .agg(min(struct(col("doc_id"), col("seg"))).as("w"))
+          .select(col("fp"), col("w.doc_id").as("doc_id"),
+            col("w.seg").as("seg"))
     val keptKeys = segs.join(first, Seq("fp", "doc_id", "seg"))
       .select(col("doc_id"), col("seg"))
     // raw-case segment text for reassembly
@@ -1573,7 +1588,9 @@ object Dedup {
     * winner via row_number, same raw-case reassembly).
     */
   def dedupSegmentsOracleSql(segLen: Int, table: String = "documents",
-      idCol: String = "doc_id", textCol: String = "text"): String = {
+      idCol: String = "doc_id", textCol: String = "text",
+      perDoc: Boolean = false): String = {
+    val winnerPartition = if (perDoc) "doc_id, fp" else "fp"
     val rawToks =
       s"CASE WHEN trim($textCol) = '' THEN []::VARCHAR[] " +
         s"ELSE list_filter(string_split_regex($textCol, '\\s+'), t -> t <> '') END"
@@ -1599,7 +1616,7 @@ object Dedup {
        |  FROM segs),
        |kept AS (
        |  SELECT doc_id, seg, seg_text FROM fp
-       |  QUALIFY row_number() OVER (PARTITION BY fp
+       |  QUALIFY row_number() OVER (PARTITION BY $winnerPartition
        |                             ORDER BY doc_id, seg) = 1),
        |rebuilt AS (
        |  SELECT doc_id, count(*)::BIGINT AS kept_segs,

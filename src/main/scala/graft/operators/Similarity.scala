@@ -1366,4 +1366,70 @@ object Similarity {
        |  FROM vecs JOIN assigned USING (id))
        |WHERE id NOT IN (SELECT id FROM dropped)""".stripMargin
   }
+
+  /** Johnson–Lindenstrauss random-sign projection of an embedding column
+    * to `outDim` dimensions — the standard cheap dimensionality reduction
+    * in front of ANN indexing / clustering (Achlioptas 2003: a ±1 sign
+    * matrix preserves pairwise distances w.h.p. as well as a Gaussian
+    * one). The sign matrix is DERIVED, not stored: sign(i, j) = parity of
+    * the shared portable md5 hash of "jl:i:j", so any engine — and any
+    * re-run — regenerates the identical projection without shipping
+    * matrix state.
+    *
+    * Exactness: inputs are fixed-pointed to micro-units first
+    * (`round(v·1e6)::BIGINT`, the [[q_embed_centroids]] carrier), so the
+    * projected coordinates are exact BIGINT sums in any partition order.
+    * Output is (id, j, out_fx) exploded rows — out_fx/1e6 is the
+    * projected coordinate.
+    *
+    * Scale shape: one generator explode to (id, i, v) rows, one
+    * BROADCAST join against the d·outDim sign matrix (a few thousand
+    * rows however large the corpus), one (id, j)-keyed aggregate —
+    * the dense matmul cost, linear in corpus × outDim, no corpus-sized
+    * shuffle beyond the aggregate.
+    */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int): DataFrame = {
+    require(outDim >= 1)
+    val spark = df.sparkSession
+    val d = df.select(size(col(vecCol)).as("d")).limit(1)
+      .collect()(0).getInt(0) // one-row schema probe, not a data collect
+    val signs = spark.range(d.toLong).select(col("id").cast("int").as("i"))
+      .crossJoin(spark.range(outDim.toLong)
+        .select(col("id").cast("int").as("j")))
+      .select(col("i"), col("j"),
+        (when(Dedup.portableHash(
+          concat(lit("jl:"), col("i"), lit(":"), col("j"))) % 2 === 0,
+          1L).otherwise(-1L)).as("sign"))
+    val flat = df.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("i", "v")))
+      .select(col("id"), col("i"),
+        expr("CAST(ROUND(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)")
+          .as("v_fx"))
+    flat.join(broadcast(signs), "i")
+      .groupBy(col("id"), col("j"))
+      .agg(sum(col("sign") * col("v_fx")).as("out_fx"))
+      .select(col("id"), col("j").cast("long").as("j"), col("out_fx"))
+  }
+
+  /** DuckDB replay of [[jlProject]] over the embeddings table (same
+    * derived sign matrix, same fixed-point carrier).
+    */
+  def jlProjectOracleSql(dim: Int, outDim: Int,
+      table: String = "embeddings", idCol: String = "vec_id",
+      vecCol: String = "embedding"): String =
+    s"""WITH signs AS (
+       |  SELECT i.range::INT AS i, j.range::INT AS j,
+       |         CASE WHEN ('0x' || substr(md5('jl:' || i.range || ':' || j.range), 1, 15))::BIGINT % 2 = 0
+       |              THEN 1 ELSE -1 END AS sign
+       |  FROM range($dim) i, range($outDim) j),
+       |flat AS (
+       |  SELECT $idCol AS id,
+       |         unnest(generate_series(0, len($vecCol) - 1))::INT AS i,
+       |         round(unnest($vecCol::DOUBLE[]) * 1000000)::BIGINT AS v_fx
+       |  FROM $table)
+       |SELECT flat.id, signs.j::BIGINT AS j,
+       |       sum(signs.sign * flat.v_fx)::BIGINT AS out_fx
+       |FROM flat JOIN signs ON signs.i = flat.i
+       |GROUP BY flat.id, signs.j""".stripMargin
 }

@@ -1953,6 +1953,88 @@ object TextAnalysis {
     coalesce(L >= 1 && total % 10 === 0, lit(false))
   }
 
+  /** Per-document n-gram NOVELTY against a reference corpus — the
+    * curation dual of [[contamination]]: contamination asks "does this
+    * training doc leak benchmark n-grams?", novelty asks "does this new
+    * batch add anything the corpus doesn't already have?". Per probe doc:
+    * its distinct word n-grams, how many are absent from the reference
+    * corpus's n-gram vocabulary, and the novelty ratio in exact integer
+    * micro-units (`unseen · 1e6 div total`). Incremental-ingest batches
+    * scoring near 0 are redundant re-crawls; near 1e6 are genuinely new
+    * material (or junk — route high-novelty docs through the quality
+    * battery before keeping them).
+    *
+    * Scale shape: both sides reduce to distinct-gram tables (corpus-sized
+    * aggregate, the same budget as vocabulary building); membership is
+    * one gram-keyed LEFT join (no broadcast assumption — the reference
+    * vocabulary at web scale exceeds driver memory) + one probe-keyed
+    * aggregate. Probes with fewer than n tokens emit (0, 0, −1).
+    */
+  def ngramNovelty(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, probes: org.apache.spark.sql.DataFrame,
+      probeIdCol: String, probeTextCol: String,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1)
+    def grams(df: org.apache.spark.sql.DataFrame, id: String,
+        text: String): org.apache.spark.sql.DataFrame =
+      df.select(col(id).as("id"), tokens(col(text)).as("toks"))
+        .select(col("id"),
+          explode(if (n == 1) col("toks") else wordNgrams(col("toks"), n))
+            .as("gram"))
+        .distinct()
+    val corpusGrams = grams(corpus, idCol, textCol)
+      .select(col("gram")).distinct().withColumn("seen", lit(1))
+    val probeGrams = grams(probes, probeIdCol, probeTextCol)
+    val scored = probeGrams.join(corpusGrams, Seq("gram"), "left")
+      .groupBy(col("id").as("probe_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_unseen"))
+      .withColumn("novelty_micro",
+        expr("n_unseen * 1000000 div n_grams"))
+    probes.select(col(probeIdCol).as("probe_id"))
+      .join(scored, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        coalesce(col("novelty_micro"), lit(-1L)).as("novelty_micro"))
+  }
+
+  /** DuckDB replay of probe-pred-split [[ngramNovelty]] over one table
+    * (same gram builder, same floor-division micro-units; `probePred`
+    * over the bound `id` splits probes from corpus — the
+    * [[bm25OracleSql]] pattern).
+    */
+  def ngramNoveltyOracleSql(n: Int, probePred: String = "id % 20 = 0",
+      table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text"): String = {
+    val gramList = if (n == 1) "toks"
+      else {
+        val joined = (1 to n).map(j => s"toks[i + ${j - 1}]")
+          .mkString(" || ' ' || ")
+        s"list_transform(range(1, len(toks) - ${n - 2}), i -> $joined)"
+      }
+    s"""WITH toks AS (
+       |  SELECT $idCol AS id, ${toksSql(textCol)} AS toks FROM $table),
+       |grams AS (
+       |  SELECT DISTINCT id, unnest($gramList) AS gram
+       |  FROM toks WHERE len(toks) >= $n),
+       |corpus AS (
+       |  SELECT DISTINCT gram FROM grams WHERE NOT ($probePred)),
+       |scored AS (
+       |  SELECT g.id AS probe_id, count(*)::BIGINT AS n_grams,
+       |         sum(CASE WHEN c.gram IS NULL THEN 1 ELSE 0 END)::BIGINT
+       |           AS n_unseen
+       |  FROM grams g LEFT JOIN corpus c ON c.gram = g.gram
+       |  WHERE $probePred GROUP BY g.id)
+       |SELECT p.id AS probe_id,
+       |       coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+       |       coalesce(s.n_unseen, 0)::BIGINT AS n_unseen,
+       |       coalesce((s.n_unseen * 1000000) // s.n_grams, -1)::BIGINT
+       |         AS novelty_micro
+       |FROM (SELECT $idCol AS id FROM $table WHERE $probePred) p
+       |LEFT JOIN scored s ON s.probe_id = p.id""".stripMargin
+  }
+
   /** DuckDB boolean expression replaying [[luhnValid]]`(digitsExpr)`. */
   def luhnSql(digitsExpr: String): String = {
     val L = s"length($digitsExpr)"

@@ -518,6 +518,23 @@ object PipelineQueries {
     "q_dedup_segments" -> ((s, d) =>
       Dedup.dedupSegments(docs(s, d), "doc_id", "text", segLen = 10)),
 
+    // --- intra-doc repeated-segment strip (the Gopher-repetition repair
+    // step): winner scope narrowed to (doc, fingerprint) so cross-doc
+    // repeats survive (oracle-checked) ---
+    "q_dedup_segments_doc" -> ((s, d) =>
+      Dedup.dedupSegments(docs(s, d), "doc_id", "text", segLen = 5,
+        perDoc = true)),
+
+    // --- per-doc 3-gram novelty of the doc_id % 20 probe batch vs the
+    // rest of the corpus: unseen-gram ratio in exact micro-units
+    // (oracle-checked) ---
+    "q_text_novelty" -> ((s, d) => {
+      val all = docs(s, d)
+      TextAnalysis.ngramNovelty(
+        all.where(col("doc_id") % 20 =!= 0), "doc_id", "text",
+        all.where(col("doc_id") % 20 === 0), "doc_id", "text", n = 3)
+    }),
+
     // --- exact 2-gram Jaccard over id-window-blocked pairs (oracle-checked)
     "q_dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(
       docs(s, d), "doc_id", "text", ngram = 2,
@@ -885,6 +902,15 @@ object PipelineQueries {
         "probe_id", "text", dim = 64, k = 5)
     }),
 
+    // --- Johnson–Lindenstrauss random-sign projection 64 → 16 dims:
+    // derived md5 sign matrix, exact BIGINT fixed-point sums
+    // (oracle-checked) ---
+    "q_embed_jl" -> ((s, d) => {
+      Tables.load(s, d)
+      Similarity.jlProject(s.table("embeddings"), "vec_id", "embedding",
+        outDim = 16)
+    }),
+
     // --- SemDeDup semantic dedup, bit-exact tier: every-50th-id codebook,
     // min-id survivor inside each cluster (oracle-checked; the Lloyd-trained
     // tier is spec-tested) ---
@@ -1206,6 +1232,14 @@ object PipelineQueries {
     },
 
     "q_dedup_segments" -> Dedup.dedupSegmentsOracleSql(segLen = 10),
+
+    "q_dedup_segments_doc" ->
+      Dedup.dedupSegmentsOracleSql(segLen = 5, perDoc = true),
+
+    "q_text_novelty" ->
+      TextAnalysis.ngramNoveltyOracleSql(n = 3, probePred = "id % 20 = 0"),
+
+    "q_embed_jl" -> Similarity.jlProjectOracleSql(dim = 64, outDim = 16),
 
     "q_pipeline_split" ->
       """SELECT lang, split, count(*) AS n, min(doc_id) AS min_id FROM (

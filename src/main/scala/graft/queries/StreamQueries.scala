@@ -107,6 +107,14 @@ object StreamQueries {
     "q_stream_transitions" -> ((s, d) =>
       graft.streaming.EventStreams.transitions(events(s, d))),
 
+    // --- last-touch conversion attribution: each purchase credited to
+    // the user's nearest click/view within 6h, else 'direct'
+    // (oracle-checked) ---
+    "q_stream_attribution" -> ((s, d) =>
+      graft.streaming.EventStreams.attribution(events(s, d),
+        convType = "purchase", touchTypes = Seq("click", "view"),
+        lookbackSec = 6L * 3600)),
+
     // --- ingest-rate anomaly: hourly per-type counts vs their trailing
     // 12-bucket mean in exact micro-units; full-baseline warm-up before
     // any flag fires (oracle-checked) ---
@@ -286,6 +294,11 @@ object StreamQueries {
 
     "q_stream_transitions" ->
       graft.streaming.EventStreams.transitionsOracleSql(),
+
+    "q_stream_attribution" ->
+      graft.streaming.EventStreams.attributionOracleSql(
+        convType = "purchase", touchTypes = Seq("click", "view"),
+        lookbackSec = 6L * 3600),
 
     "q_stream_anomaly" -> graft.streaming.EventStreams.rateAnomalyOracleSql(
       bucketSec = 3600L, trail = 12, thresholdMicro = 2000000L),

@@ -814,6 +814,89 @@ object EventStreams {
         expr("n * 1000000 div row_total").as("p_micro"))
   }
 
+  /** First/last-touch conversion attribution — the marketing-analytics
+    * shape of "which channel gets credit for this conversion": each
+    * `convType` event is attributed to the user's nearest (`lastTouch =
+    * true`, the default) or earliest (`false`) preceding `touchTypes`
+    * event within a `lookbackSec` window; conversions with no in-window
+    * touch are credited to the synthetic 'direct' channel, so every
+    * conversion appears exactly once and per-channel counts sum to the
+    * conversion total.
+    *
+    * Determinism: time is integer epoch-micros; the winning touch is an
+    * argmax/argmin over `struct(ts, event_id)` — the same unique-id
+    * tiebreak every journey analysis here uses — so simultaneous touches
+    * replay identically. Emits one row per conversion:
+    * (conv_id, user_id, channel, touch_id, gap_us), gap_us = conversion
+    * time − touch time (−1 for direct).
+    *
+    * Scale shape: one user-keyed equi-join of conversions against
+    * touches (per-user fan-out, bounded by per-user activity — the
+    * funnel/sessionize partitioning, shareable in a real pipeline) + one
+    * per-conversion aggregate. No window over the event table.
+    */
+  def attribution(events: DataFrame, convType: String,
+      touchTypes: Seq[String], lookbackSec: Long,
+      lastTouch: Boolean = true): DataFrame = {
+    require(touchTypes.nonEmpty && lookbackSec >= 0)
+    val conv = events.where(col("event_type") === convType)
+      .select(col("user_id").as("cu"), col("event_id").as("conv_id"),
+        expr("unix_micros(ts)").as("ct"))
+    val touch = events.where(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id").as("tu"), col("event_id").as("touch_id"),
+        col("event_type").as("channel"), expr("unix_micros(ts)").as("tt"))
+    // the lookback window is part of the JOIN condition, not a post-join
+    // filter: a conversion whose touches are all out-of-window must keep
+    // its null row (→ 'direct'), not vanish
+    val joined = conv.join(touch,
+      col("cu") === col("tu") && col("tt") <= col("ct") &&
+        col("tt") >= col("ct") - lookbackSec * 1000000L, "left")
+    val winner = struct(col("tt"), col("touch_id"), col("channel"))
+    val picked = joined
+      .groupBy(col("conv_id"), col("cu").as("user_id"), col("ct"))
+      .agg((if (lastTouch) max(winner) else min(winner)).as("w"))
+    picked.select(col("conv_id"), col("user_id"),
+      coalesce(col("w.channel"), lit("direct")).as("channel"),
+      coalesce(col("w.touch_id"), lit(-1L)).as("touch_id"),
+      coalesce(col("ct") - col("w.tt"), lit(-1L)).as("gap_us"))
+  }
+
+  /** DuckDB replay of [[attribution]] (same micro-second window, same
+    * struct-ordered winner).
+    */
+  def attributionOracleSql(convType: String, touchTypes: Seq[String],
+      lookbackSec: Long, lastTouch: Boolean = true,
+      table: String = "events"): String = {
+    val touches = touchTypes.map(t => s"'$t'").mkString(", ")
+    val pick = if (lastTouch) "max" else "min"
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type,
+       |         epoch_us(ts::TIMESTAMP) AS t
+       |  FROM $table),
+       |conv AS (
+       |  SELECT user_id, event_id AS conv_id, t AS ct FROM e
+       |  WHERE event_type = '$convType'),
+       |touch AS (
+       |  SELECT user_id, event_id AS touch_id, event_type AS channel,
+       |         t AS tt
+       |  FROM e WHERE event_type IN ($touches)),
+       |joined AS (
+       |  SELECT c.conv_id, c.user_id, c.ct, tc.tt, tc.touch_id, tc.channel
+       |  FROM conv c LEFT JOIN touch tc
+       |    ON tc.user_id = c.user_id
+       |   AND tc.tt <= c.ct AND tc.tt >= c.ct - ${lookbackSec}000000),
+       |picked AS (
+       |  SELECT conv_id, user_id, ct,
+       |         $pick({'tt': tt, 'touch_id': touch_id, 'channel': channel})
+       |           AS w
+       |  FROM joined GROUP BY conv_id, user_id, ct)
+       |SELECT conv_id, user_id,
+       |       coalesce(w.channel, 'direct') AS channel,
+       |       coalesce(w.touch_id, -1)::BIGINT AS touch_id,
+       |       coalesce(ct - w.tt, -1)::BIGINT AS gap_us
+       |FROM picked""".stripMargin
+  }
+
   /** DuckDB replay of [[transitions]] (same anchored order, same floor
     * division on the micro-unit carrier).
     */

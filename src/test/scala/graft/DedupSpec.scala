@@ -551,4 +551,17 @@ class DedupSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getString(3)).toMap
     assert(t(0L) == "x y z" && t(1L) == "") // tail [z] duplicates doc0's
   }
+
+  test("dedupSegments perDoc: intra-doc repeats collapse, cross-doc survive") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (0L, "a b a b c d"),   // [a b][a b][c d] → intra-doc repeat dropped
+      (1L, "a b x y")).toDF("doc_id", "text") // cross-doc [a b] SURVIVES
+    val r = Dedup.dedupSegments(docs, "doc_id", "text", segLen = 2,
+        perDoc = true)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getString(3))).toMap
+    assert(r(0L) == ((3L, 2L, "a b c d")))
+    assert(r(1L) == ((2L, 2L, "a b x y")))
+  }
 }

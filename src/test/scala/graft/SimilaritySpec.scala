@@ -475,4 +475,22 @@ class SimilaritySpec extends SparkSpec
     assert(!r.contains((2L, 1L)))
     assert(r.size == 10) // 4*5/2 pairs
   }
+
+  test("jlProject: linearity, partition invariance, derived sign matrix") {
+    import graft.operators.Similarity
+    val a = Seq((0L, Seq(1.0f, 2.0f, -3.0f, 0.5f)),
+                (1L, Seq(0.0f, -1.0f, 4.0f, 2.5f)))
+    // row 2 = row0 + row1 elementwise → projection must be the exact sum
+    val both = a :+ (2L, a(0)._2.zip(a(1)._2).map { case (x, y) => x + y })
+    val df = both.toDF("vec_id", "embedding")
+    val p = Similarity.jlProject(df, "vec_id", "embedding", outDim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(p.size == 24)
+    for (j <- 0L until 8L)
+      assert(p((2L, j)) == p((0L, j)) + p((1L, j)), s"j=$j")
+    // shuffling the input across partitions cannot change exact sums
+    val p2 = Similarity.jlProject(df.repartition(7), "vec_id", "embedding", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(p2 == p)
+  }
 }

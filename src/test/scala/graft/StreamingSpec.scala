@@ -526,4 +526,25 @@ class StreamingSpec extends SparkSpec {
     assert(r(("b", "a")) == ((1L, 1L, 1000000L)))
     assert(r.size == 2)
   }
+
+  test("attribution: last/first touch, lookback window, direct fallback") {
+    import graft.streaming.EventStreams
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 12:00:00")
+    def t(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val ev = Seq(
+      (1L, t(0), 10L, "click"), (1L, t(5), 11L, "view"),
+      (1L, t(10), 12L, "purchase"),               // last=view, first=click
+      (2L, t(-600), 20L, "click"), (2L, t(0), 21L, "purchase"), // out of 1h window
+      (3L, t(0), 30L, "purchase"))                // no touches at all
+      .toDF("user_id", "ts", "event_id", "event_type")
+    def run(last: Boolean) = EventStreams.attribution(ev, "purchase",
+        Seq("click", "view"), lookbackSec = 3600L, lastTouch = last)
+      .collect().map(x => x.getLong(0) -> (x.getString(2), x.getLong(3))).toMap
+    val lastT = run(true)
+    assert(lastT(12L) == (("view", 11L)))
+    assert(lastT(21L) == (("direct", -1L))) // touch exists but outside window
+    assert(lastT(30L) == (("direct", -1L)))
+    val firstT = run(false)
+    assert(firstT(12L) == (("click", 10L)))
+  }
 }

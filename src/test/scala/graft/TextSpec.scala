@@ -545,4 +545,20 @@ class TextSpec extends SparkSpec {
     val b = TextAnalysis.heapsFit(docs, "doc_id", "text", 2L, 1000000L).collect()(0)
     assert(a == b)
   }
+
+  test("ngramNovelty: unseen-gram ratio in exact micro-units") {
+    import graft.operators.TextAnalysis
+    val corpus = Seq((0L, "a b c d")).toDF("doc_id", "text") // grams: ab bc cd
+    val probes = Seq(
+      (1L, "a b c x"),  // grams ab bc cx → 1 unseen of 3
+      (2L, "z"),        // too short for 2-grams → (0, 0, -1)
+      (3L, "a b")).toDF("doc_id", "text") // ab seen → 0 of 1
+    val r = TextAnalysis.ngramNovelty(corpus, "doc_id", "text",
+        probes, "doc_id", "text", n = 2)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) == ((3L, 1L, 333333L)))
+    assert(r(2L) == ((0L, 0L, -1L)))
+    assert(r(3L) == ((1L, 0L, 0L)))
+  }
 }
