@@ -244,6 +244,37 @@ object ScaleStress {
       Similarity.standardizeEmbeddings(e1, "vec_id", "embedding").count())
     time("standardize 10x")(
       Similarity.standardizeEmbeddings(e10, "vec_id", "embedding").count())
+
+    // segment dedup: generator + fp-keyed winner aggregate + doc-keyed
+    // rebuild — O(total tokens), no pair step; must scale linearly
+    def segs(d: org.apache.spark.sql.DataFrame): Long =
+      Dedup.dedupSegments(d, "doc_id", "text", segLen = 10).count()
+    time("segment-dedup 1x")(segs(d1))
+    time("segment-dedup 10x")(segs(d10))
+
+    // n-gram novelty: distinct-gram tables + one gram-keyed left join;
+    // 10x docs = 10x gram rows, per-gram work unchanged
+    def novelty(d: org.apache.spark.sql.DataFrame): Long =
+      TextAnalysis.ngramNovelty(
+        d.where(col("doc_id") % 20 =!= 0), "doc_id", "text",
+        d.where(col("doc_id") % 20 === 0), "doc_id", "text", n = 3).count()
+    time("novelty 1x")(novelty(d1))
+    time("novelty 10x")(novelty(d10))
+
+    // JL projection: corpus x outDim matmul against a broadcast constant
+    // sign matrix — strictly linear in corpus size
+    time("jl-project 1x")(
+      Similarity.jlProject(e1, "vec_id", "embedding", outDim = 16).count())
+    time("jl-project 10x")(
+      Similarity.jlProject(e10, "vec_id", "embedding", outDim = 16).count())
+
+    // HITS: per half-step lineage is checkpoint-truncated — 10x edges must
+    // scale the per-round joins linearly, not re-analyze a 4^iters plan
+    def hitsRun(li: org.apache.spark.sql.DataFrame): Long =
+      Graph.hits(li.select(col("l_orderkey").as("src"),
+        col("l_partkey").as("dst")), iters = 3).count()
+    time("hits 1x")(hitsRun(li1))
+    time("hits 10x")(hitsRun(li10))
     spark.stop()
   }
 }

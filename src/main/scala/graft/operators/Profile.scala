@@ -509,6 +509,52 @@ object Profile {
           .cast("long").as("bucket"))
   }
 
+  /** Per-STRATUM quantile bucketing — the CCNet head/middle/tail split
+    * (Wenzek et al. 2020): perplexity terciles are computed WITHIN each
+    * language, because a single global threshold would call every
+    * low-resource language "tail" (their LM perplexities are uniformly
+    * higher). Same percentile_disc order-statistic cutpoints as
+    * [[curriculumBuckets]], but per stratum: one grouped aggregate to a
+    * strata-sized cutpoint table, broadcast back, map-only assignment.
+    * Ties share a bucket; the cutpoints are data values, so both engines
+    * replay value-for-value.
+    */
+  def curriculumBucketsBy(df: DataFrame, idCol: String, strataCol: String,
+      scoreCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2)
+    val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val cuts = df
+      .select(col(strataCol).as("stratum"), col(scoreCol).cast("double").as("v"))
+      .groupBy(col("stratum"))
+      .agg(array(qs.map(q =>
+        expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY v)")): _*)
+        .as("cuts"))
+    df.select(col(idCol), col(strataCol).as("stratum"),
+        col(scoreCol).cast("double").as("score"))
+      .join(broadcast(cuts), Seq("stratum"))
+      .select(col(idCol), col("stratum"), col("score"),
+        (lit(1) + size(filter(col("cuts"), c => col("score") > c)))
+          .cast("long").as("bucket"))
+  }
+
+  /** DuckDB SQL replaying [[curriculumBucketsBy]] (same per-stratum
+    * order-statistic cutpoints).
+    */
+  def curriculumByOracleSql(table: String, idExpr: String,
+      strataExpr: String, scoreExpr: String, nBuckets: Int): String = {
+    val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+      .mkString("[", ", ", "]")
+    s"""WITH cuts AS (
+       |  SELECT $strataExpr AS stratum,
+       |         quantile_disc(($scoreExpr)::DOUBLE, $qs) AS cs
+       |  FROM $table GROUP BY 1)
+       |SELECT $idExpr, t.$strataExpr AS stratum,
+       |       ($scoreExpr)::DOUBLE AS score,
+       |       (1 + len(list_filter(cs, c -> ($scoreExpr)::DOUBLE > c)))::BIGINT
+       |         AS bucket
+       |FROM $table t JOIN cuts ON cuts.stratum = t.$strataExpr""".stripMargin
+  }
+
   /** DuckDB SQL replaying [[curriculumBuckets]] value-for-value
     * (quantile_disc list = the same order statistics).
     */

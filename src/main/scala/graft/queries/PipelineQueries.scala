@@ -348,6 +348,15 @@ object PipelineQueries {
           TextAnalysis.qualityScore(col("text")).as("q")),
         "doc_id", "q", nBuckets = 4)),
 
+    // --- CCNet head/middle/tail: per-LANGUAGE quality terciles (a global
+    // cut would call every low-resource language "tail") — per-stratum
+    // percentile_disc cutpoints, map-only assignment (oracle-checked) ---
+    "q_pipeline_curriculum_lang" -> ((s, d) =>
+      graft.operators.Profile.curriculumBucketsBy(
+        docs(s, d).select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("q")),
+        "doc_id", "lang", "q", nBuckets = 3)),
+
     // --- corpus-version diff: crawl N vs N-1 CDC report (removals by
     // mod-11, edits by mod-7, additions by mod-13) — only the key and a
     // content fingerprint ever shuffle ---
@@ -1157,6 +1166,12 @@ object PipelineQueries {
     "q_pipeline_truncation" -> graft.operators.Profile.truncationOracleSql(
       "documents", "lang", s"len(${TextAnalysis.toksSql("text")})",
       contextLen = 50L),
+
+    "q_pipeline_curriculum_lang" ->
+      graft.operators.Profile.curriculumByOracleSql(
+        "(SELECT doc_id, lang, " +
+          s"${TextAnalysis.qualitySql("text")} AS q FROM documents)",
+        "doc_id", "lang", "q", nBuckets = 3),
 
     "q_pipeline_curriculum" -> graft.operators.Profile.curriculumOracleSql(
       "documents", "doc_id", TextAnalysis.qualitySql("text"), nBuckets = 4),

@@ -277,4 +277,59 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bnlj.isEmpty,
       "tagged-union propagation must not introduce a nested-loop join")
   }
+
+  test("dedupSegments: winner via aggregate, no nested-loop, no corpus window") {
+    val (_, plan) = executed("q_dedup_segments")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty, "segment winner/rebuild must join on equi keys")
+    // first-occurrence must be a fingerprint-keyed aggregate, never a
+    // row_number window over the corpus-sized segment table
+    val wins = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.isEmpty,
+      "global first-occurrence must plan as min(struct) aggregation, not a window")
+  }
+
+  test("heapsFit: every cumulative window is bucket-partitioned or bucket-sized") {
+    val (_, plan) = executed("q_text_heaps")
+    // the intra-bucket window must carry the bucket key in its partition
+    // spec; the only unpartitioned window runs over the bucket-total table
+    // (n_docs/bucketSize rows), never over the doc table — asserted by its
+    // child being the bucket aggregate, not a doc-level projection
+    val wins = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected the two-level prefix-sum windows")
+    val unpartitioned = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.forall(w =>
+      collectWithSubqueries(w.child) {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+        case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec => s
+      }.nonEmpty),
+      "the only global window may run over the per-bucket aggregate table")
+  }
+
+  test("jlProject: sign matrix broadcasts, corpus never nested-loops") {
+    val (_, plan) = executed("q_embed_jl")
+    // the ONLY tolerable cross join is the constant d-by-k sign-matrix
+    // build (both inputs are Range, corpus-independent); any nested-loop
+    // touching real data is the scale hazard this pin guards against
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    val overData = bnlj.filterNot(j => collectWithSubqueries(j) {
+      case s if s.nodeName.contains("Scan") || s.nodeName.contains("Range") => s
+    }.forall(_.nodeName.contains("Range")))
+    assert(overData.isEmpty,
+      "only the constant Range-by-Range sign-matrix cross join may nest")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "the d-by-k sign matrix must broadcast onto the corpus")
+  }
+
+  test("attribution: conversions join touches on user equi-key") {
+    val (_, plan) = executed("q_stream_attribution")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty,
+      "the lookback range predicate must ride an equi join on user_id")
+  }
 }

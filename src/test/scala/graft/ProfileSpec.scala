@@ -186,4 +186,20 @@ class ProfileSpec extends SparkSpec {
     // clipped sum: 2 + 2..8 + 8 + 8 = 2+35+16 = 53
     assert(r.getDecimal(6).doubleValue() == 53.0)
   }
+
+  test("curriculumBucketsBy: per-stratum terciles, global cut would differ") {
+    import graft.operators.Profile
+    // stratum a scores 1-6, stratum b scores 101-106: per-stratum terciles
+    // split each language internally; a global cut would put ALL of b in
+    // the top bucket
+    val df = ((1 to 6).map(i => (i.toLong, "a", i.toDouble)) ++
+      (1 to 6).map(i => (100L + i, "b", 100.0 + i)))
+      .toDF("id", "lang", "score")
+    val r = Profile.curriculumBucketsBy(df, "id", "lang", "score", 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(r(1L) == 1L && r(2L) == 1L)   // a: {1,2}→1, {3,4}→2, {5,6}→3
+    assert(r(3L) == 2L && r(4L) == 2L)
+    assert(r(5L) == 3L && r(6L) == 3L)
+    assert(r(101L) == 1L && r(106L) == 3L) // b buckets internally too
+  }
 }
