@@ -584,4 +584,89 @@ object Profile {
        |SELECT bucket, count(*) AS n, min(v) AS bucket_min, max(v) AS bucket_max
        |FROM b GROUP BY bucket""".stripMargin
   }
+
+  /** One-table DATASET CARD — the "datasheet for datasets" summary
+    * (Gebru et al. 2021) every corpus release ships: global counts,
+    * per-language and per-source composition, exact-duplicate volume,
+    * quality mean, and the median document length, as one tall
+    * (metric, value) BIGINT table ready for a release README or a
+    * regression diff between corpus versions (two cards anti-join to a
+    * drift report).
+    *
+    * Exactness: every value is an integer — counts, exact-fingerprint
+    * dup volume, micro-rounded quality summed as BIGINTs then floor-
+    * divided, and percentile_disc (an order statistic, no
+    * interpolation) for the median. Scale shape: ONE tokenizing scan
+    * builds the persisted per-doc base; every section is a bounded
+    * aggregate over it (the per-lang/per-source sections output one row
+    * per stratum).
+    */
+  def datasetCard(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, sourceCol: String): DataFrame = {
+    val base = Caching.persist(df.select(
+      col(idCol).as("id"), col(langCol).as("lang"),
+      col(sourceCol).as("source"),
+      graft.operators.TextAnalysis.tokenCount(col(textCol))
+        .cast("long").as("ntok"),
+      length(col(textCol)).cast("long").as("nchars"),
+      round(graft.operators.TextAnalysis.qualityScore(col(textCol))
+        * 1000000d, 0).cast("long").as("q_micro"),
+      graft.operators.TextAnalysis.fingerprint(col(textCol)).as("fp")))
+    val totals = base.agg(
+        count(lit(1)).as("n"), sum(col("ntok")).as("st"),
+        sum(col("nchars")).as("sc"), sum(col("q_micro")).as("sq"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ntok)").as("p50"),
+        countDistinct(col("fp")).as("nfp"))
+      .select(explode(map(
+        lit("n_docs"), col("n"),
+        lit("n_tokens"), col("st"),
+        lit("n_chars"), col("sc"),
+        lit("quality_mean_micro"), expr("sq div n"),
+        lit("tokens_p50"), col("p50").cast("long"),
+        lit("exact_dup_docs"), col("n") - col("nfp"))))
+      .select(col("key").as("metric"), col("value"))
+    val byLang = base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("value"))
+      .select(concat(lit("docs:lang="), col("lang")).as("metric"),
+        col("value"))
+    val bySource = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("value"))
+      .select(concat(lit("docs:source="), col("source")).as("metric"),
+        col("value"))
+    totals.unionAll(byLang).unionAll(bySource)
+  }
+
+  /** DuckDB replay of [[datasetCard]] (same tokenizer/quality/fingerprint
+    * generators, same integer carriers).
+    */
+  def datasetCardOracleSql(table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang", sourceCol: String = "source"): String = {
+    val toks = graft.operators.TextAnalysis.toksSql(textCol)
+    val quality = graft.operators.TextAnalysis.qualitySql(textCol)
+    s"""WITH base AS (
+       |  SELECT $idCol AS id, $langCol AS lang, $sourceCol AS source,
+       |         len($toks)::BIGINT AS ntok,
+       |         length($textCol)::BIGINT AS nchars,
+       |         round(($quality) * 1000000)::BIGINT AS q_micro,
+       |         md5(regexp_replace(regexp_replace(lower($textCol),
+       |           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
+       |  FROM $table),
+       |totals AS (
+       |  SELECT count(*)::BIGINT AS n, sum(ntok)::BIGINT AS st,
+       |         sum(nchars)::BIGINT AS sc, sum(q_micro)::BIGINT AS sq,
+       |         quantile_disc(ntok, 0.5)::BIGINT AS p50,
+       |         count(DISTINCT fp)::BIGINT AS nfp
+       |  FROM base)
+       |SELECT 'n_docs' AS metric, n AS value FROM totals
+       |UNION ALL SELECT 'n_tokens', st FROM totals
+       |UNION ALL SELECT 'n_chars', sc FROM totals
+       |UNION ALL SELECT 'quality_mean_micro', sq // n FROM totals
+       |UNION ALL SELECT 'tokens_p50', p50 FROM totals
+       |UNION ALL SELECT 'exact_dup_docs', n - nfp FROM totals
+       |UNION ALL SELECT 'docs:lang=' || lang, count(*)::BIGINT
+       |  FROM base GROUP BY lang
+       |UNION ALL SELECT 'docs:source=' || source, count(*)::BIGINT
+       |  FROM base GROUP BY source""".stripMargin
+  }
 }

@@ -1432,4 +1432,88 @@ object Similarity {
        |       sum(signs.sign * flat.v_fx)::BIGINT AS out_fx
        |FROM flat JOIN signs ON signs.i = flat.i
        |GROUP BY flat.id, signs.j""".stripMargin
+
+  /** Corpus ANISOTROPY report — the embedding-health diagnostic of
+    * Ethayarajh 2019 ("How Contextual are Contextualized Word
+    * Representations?"): in a well-spread embedding space the expected
+    * cosine between UNRELATED vectors is near 0; collapsed/anisotropic
+    * spaces (every vector crammed into a narrow cone) show a high
+    * baseline cosine, which silently inflates every downstream
+    * similarity threshold (SemDeDup, near-dup, retrieval). This reports
+    * (n_pairs, mean/min/max cosine) over a deterministic random pairing.
+    *
+    * Pairing without a global shuffle-sort: vectors land in one of
+    * `buckets` md5-hash buckets and pair with their id-order neighbor
+    * INSIDE the bucket — bounded windows of ~n/buckets rows, and the
+    * hash makes neighbors content-unrelated (id-adjacency would bias
+    * toward crawl-order near-dups).
+    *
+    * Exactness: dot and norms fold the fixed-point BIGINT carriers
+    * (products ≤1e12·dims ≪ 2^53, exact in both engines); cosine goes
+    * double only at the final sqrt/divide, is micro-rounded per pair,
+    * and the corpus mean aggregates those BIGINTs — no
+    * partition-order float drift anywhere.
+    */
+  def anisotropy(df: DataFrame, idCol: String, vecCol: String,
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 1)
+    val w = Window.partitionBy(col("b")).orderBy(col("id"))
+    val prepared = df.select(col(idCol).as("id"),
+        transform(col(vecCol),
+          x => round(x.cast("double") * 1000000d, 0).cast("long")).as("fx"))
+      .withColumn("nrm", aggregate(col("fx"), lit(0L), (a, v) => a + v * v))
+      .withColumn("b", Dedup.portableHash(col("id").cast("string")) % buckets)
+    val paired = prepared
+      .withColumn("pfx", lag(col("fx"), 1).over(w))
+      .withColumn("pnrm", lag(col("nrm"), 1).over(w))
+      .where(col("pfx").isNotNull)
+      .withColumn("dot",
+        aggregate(zip_with(col("fx"), col("pfx"), (a, c) => a * c),
+          lit(0L), (a, v) => a + v))
+      .withColumn("cos_micro",
+        round(col("dot").cast("double") /
+          (sqrt(col("nrm").cast("double")) * sqrt(col("pnrm").cast("double")))
+          * 1000000d, 0).cast("long"))
+    paired.agg(count(lit(1)).as("n_pairs"),
+        sum(col("cos_micro")).as("s"),
+        min(col("cos_micro")).as("min_cos_micro"),
+        max(col("cos_micro")).as("max_cos_micro"))
+      .select(col("n_pairs"),
+        expr("s div n_pairs").as("mean_cos_micro"),
+        col("min_cos_micro"), col("max_cos_micro"))
+  }
+
+  /** DuckDB replay of [[anisotropy]] (same hash buckets, same in-bucket
+    * neighbor pairing, same exact-integer folds and micro rounding).
+    */
+  def anisotropyOracleSql(buckets: Int = 64, table: String = "embeddings",
+      idCol: String = "vec_id", vecCol: String = "embedding"): String =
+    s"""WITH v AS (
+       |  SELECT $idCol AS id,
+       |         list_transform($vecCol::DOUBLE[],
+       |                        x -> round(x * 1000000)::BIGINT) AS fx,
+       |         ('0x' || substr(md5($idCol::VARCHAR), 1, 15))::BIGINT
+       |           % $buckets AS b
+       |  FROM $table),
+       |n AS (
+       |  SELECT id, fx, b,
+       |         list_aggregate(list_transform(fx, x -> x * x), 'sum') AS nrm
+       |  FROM v),
+       |p AS (
+       |  SELECT id, fx, nrm,
+       |         lag(fx) OVER (PARTITION BY b ORDER BY id) AS pfx,
+       |         lag(nrm) OVER (PARTITION BY b ORDER BY id) AS pnrm
+       |  FROM n),
+       |c AS (
+       |  SELECT round(
+       |           list_aggregate(list_transform(range(1, len(fx) + 1),
+       |             i -> fx[i] * pfx[i]), 'sum')::DOUBLE
+       |           / (sqrt(nrm::DOUBLE) * sqrt(pnrm::DOUBLE)) * 1000000
+       |         )::BIGINT AS cos_micro
+       |  FROM p WHERE pfx IS NOT NULL)
+       |SELECT count(*)::BIGINT AS n_pairs,
+       |       (sum(cos_micro) // count(*))::BIGINT AS mean_cos_micro,
+       |       min(cos_micro)::BIGINT AS min_cos_micro,
+       |       max(cos_micro)::BIGINT AS max_cos_micro
+       |FROM c""".stripMargin
 }

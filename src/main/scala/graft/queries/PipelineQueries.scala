@@ -911,6 +911,22 @@ object PipelineQueries {
         "probe_id", "text", dim = 64, k = 5)
     }),
 
+    // --- corpus anisotropy: mean/min/max cosine over hash-bucketed
+    // neighbor pairs — the Ethayarajh embedding-collapse diagnostic;
+    // exact integer folds, micro-rounded per pair (oracle-checked) ---
+    "q_embed_anisotropy" -> ((s, d) => {
+      Tables.load(s, d)
+      Similarity.anisotropy(s.table("embeddings"), "vec_id", "embedding",
+        buckets = 64)
+    }),
+
+    // --- dataset card: the release datasheet as one (metric, value)
+    // BIGINT table — counts, composition, dup volume, quality mean,
+    // median length (oracle-checked) ---
+    "q_pipeline_card" -> ((s, d) =>
+      graft.operators.Profile.datasetCard(docs(s, d), "doc_id", "text",
+        "lang", "source")),
+
     // --- Johnson–Lindenstrauss random-sign projection 64 → 16 dims:
     // derived md5 sign matrix, exact BIGINT fixed-point sums
     // (oracle-checked) ---
@@ -1255,6 +1271,10 @@ object PipelineQueries {
       TextAnalysis.ngramNoveltyOracleSql(n = 3, probePred = "id % 20 = 0"),
 
     "q_embed_jl" -> Similarity.jlProjectOracleSql(dim = 64, outDim = 16),
+
+    "q_embed_anisotropy" -> Similarity.anisotropyOracleSql(buckets = 64),
+
+    "q_pipeline_card" -> graft.operators.Profile.datasetCardOracleSql(),
 
     "q_pipeline_split" ->
       """SELECT lang, split, count(*) AS n, min(doc_id) AS min_id FROM (

@@ -202,4 +202,23 @@ class ProfileSpec extends SparkSpec {
     assert(r(5L) == 3L && r(6L) == 3L)
     assert(r(101L) == 1L && r(106L) == 3L) // b buckets internally too
   }
+
+  test("datasetCard: integer metrics on a tiny corpus") {
+    import graft.operators.Profile
+    val docs = Seq(
+      (0L, "the cat sat", "en", "web"),
+      (1L, "the cat sat", "en", "web"),   // exact dup of doc 0
+      (2L, "une phrase ici quatre", "fr", "books"))
+      .toDF("doc_id", "text", "lang", "source")
+    val card = Profile.datasetCard(docs, "doc_id", "text", "lang", "source")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(card("n_docs") == 3L)
+    assert(card("n_tokens") == 10L)
+    assert(card("exact_dup_docs") == 1L)
+    assert(card("docs:lang=en") == 2L)
+    assert(card("docs:lang=fr") == 1L)
+    assert(card("docs:source=books") == 1L)
+    assert(card("tokens_p50") == 3L)
+  }
+
 }

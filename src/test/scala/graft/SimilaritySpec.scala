@@ -493,4 +493,20 @@ class SimilaritySpec extends SparkSpec
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(p2 == p)
   }
+
+  test("anisotropy: known cosines over in-bucket neighbor pairs") {
+    import graft.operators.Similarity
+    // buckets=1 → pairs are consecutive ids: (1,2) parallel → 1e6,
+    // (2,3) orthogonal → 0
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)), (3L, Seq(0.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.anisotropy(vecs, "vec_id", "embedding", buckets = 1)
+      .collect()(0)
+    assert(r.getLong(0) == 2L)        // n_pairs
+    assert(r.getLong(1) == 500000L)   // mean
+    assert(r.getLong(2) == 0L)        // min
+    assert(r.getLong(3) == 1000000L)  // max
+  }
+
 }
