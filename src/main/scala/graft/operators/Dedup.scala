@@ -1633,4 +1633,77 @@ object Dedup {
        |LEFT JOIN totals ON totals.doc_id = d.$idCol
        |LEFT JOIN rebuilt ON rebuilt.doc_id = d.$idCol""".stripMargin
   }
+
+  /** MinHash candidate-recall evaluation against the exact blocked-Jaccard
+    * truth — "measure, don't guess" for the LSH tier: within the same id
+    * window the exact tier scores, how many truth pairs (J ≥ threshold)
+    * does banded MinHash surface, and at what precision? The number that
+    * justifies (or indicts) the banding parameters before a 100 TB run;
+    * run it per corpus snapshot because recall is data-dependent (shingle
+    * overlap distributions shift with corpus mix).
+    *
+    * One row: (n_truth, n_cand, n_hit, recall_micro, precision_micro) in
+    * exact integer micro-units (−1 when a denominator is 0). Candidates
+    * are restricted to the truth tier's id window for apples-to-apples
+    * sets. Cost = the two existing pipelines + one pair-keyed join.
+    */
+  def minhashRecall(df: DataFrame, idCol: String, textCol: String,
+      idWindow: Long, threshold: Double): DataFrame = {
+    val truth = jaccardPairs(df, idCol, textCol, ngram = 2, idWindow,
+        threshold)
+      .select(col("id_a"), col("id_b"))
+    val cand = minhashPairsPortable(df, idCol, textCol,
+        threshold = threshold)
+      .select(col("id_a"), col("id_b"))
+      .where(col("id_b") - col("id_a") <= idWindow)
+    val hit = truth.join(cand, Seq("id_a", "id_b"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        when(col("n_truth") === 0, lit(-1L))
+          .otherwise(expr("n_hit * 1000000 div n_truth")).as("recall_micro"),
+        when(col("n_cand") === 0, lit(-1L))
+          .otherwise(expr("n_hit * 1000000 div n_cand"))
+          .as("precision_micro"))
+  }
+
+  /** DuckDB replay of [[minhashRecall]]: the exact-Jaccard truth CTE and
+    * the full [[minhashOracleSql]] candidate pipeline composed, same
+    * micro-unit ratios.
+    */
+  def minhashRecallOracleSql(idWindow: Long, threshold: Double,
+      table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text"): String =
+    s"""WITH t AS (
+       |  SELECT $idCol AS id,
+       |         list_distinct(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+       |           ELSE list_transform(generate_series(1, len(toks) - 1),
+       |                  i -> toks[i] || ' ' || toks[i+1]) END) AS sh
+       |  FROM (SELECT $idCol, ${graft.operators.TextAnalysis.toksSql(textCol)} AS toks
+       |        FROM $table)),
+       |truth AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM t a JOIN t b
+       |    ON a.id < b.id AND b.id - a.id <= $idWindow
+       |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
+       |        >= $threshold),
+       |cand AS (
+       |  SELECT id_a, id_b FROM (
+       |    ${minhashOracleSql(table, idCol, textCol, threshold = threshold)
+             .replace("\n", "\n    ")})
+       |  WHERE id_b - id_a <= $idWindow),
+       |hit AS (SELECT * FROM truth INTERSECT SELECT * FROM cand)
+       |SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+       |       (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+       |       (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+       |       CASE WHEN (SELECT count(*) FROM truth) = 0 THEN -1
+       |            ELSE ((SELECT count(*) FROM hit) * 1000000)
+       |                 // (SELECT count(*) FROM truth) END::BIGINT
+       |         AS recall_micro,
+       |       CASE WHEN (SELECT count(*) FROM cand) = 0 THEN -1
+       |            ELSE ((SELECT count(*) FROM hit) * 1000000)
+       |                 // (SELECT count(*) FROM cand) END::BIGINT
+       |         AS precision_micro""".stripMargin
 }

@@ -2043,4 +2043,43 @@ object TextAnalysis {
       s"i -> CASE WHEN i % 2 = 0 THEN CASE WHEN $d * 2 > 9 " +
       s"THEN $d * 2 - 9 ELSE $d * 2 END ELSE $d END), 'sum') % 10 = 0, false)"
   }
+
+  /** Label-noise CONFUSION report — confident-learning's first step
+    * (Northcutt et al. 2021): cross-predict every doc's label with the
+    * corpus-trained [[naiveBayes]] classifier and tabulate (true label,
+    * predicted label) counts. The off-diagonal mass estimates the label
+    * error rate of the metadata (mislabeled language/source tags are
+    * endemic in crawled corpora and silently poison per-language
+    * sampling, tokenizer fertility and curriculum splits); each cell
+    * carries its min doc id as a deterministic audit sample.
+    *
+    * Scale: the classifier pass (one vocabulary-sized join) + one
+    * |labels|²-bounded aggregate.
+    */
+  def labelNoise(df: org.apache.spark.sql.DataFrame, labelCol: String,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val pred = naiveBayes(df, labelCol, df, idCol, textCol)
+      .where(col("pred"))
+      .select(col("doc_id"), col("label").as("pred_label"))
+    df.select(col(idCol).as("doc_id"), col(labelCol).as("true_label"))
+      .join(pred, Seq("doc_id"))
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("sample_id"))
+  }
+
+  /** DuckDB replay of [[labelNoise]] (the full [[naiveBayesOracleSql]]
+    * chain as a subquery, same argmax rows, same confusion cells).
+    */
+  def labelNoiseOracleSql(labelCol: String = "lang",
+      table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text"): String =
+    s"""WITH nb AS (
+       |  SELECT * FROM (
+       |    ${naiveBayesOracleSql(labelCol, table, idCol, textCol)
+             .replace("\n", "\n    ")})
+       |  WHERE pred)
+       |SELECT d.$labelCol AS true_label, nb.label AS pred_label,
+       |       count(*)::BIGINT AS n, min(d.$idCol)::BIGINT AS sample_id
+       |FROM $table d JOIN nb ON nb.doc_id = d.$idCol
+       |GROUP BY 1, 2""".stripMargin
 }

@@ -544,6 +544,19 @@ object PipelineQueries {
         all.where(col("doc_id") % 20 === 0), "doc_id", "text", n = 3)
     }),
 
+    // --- LSH quality evaluation: banded-MinHash recall/precision vs the
+    // exact blocked-Jaccard truth in the same id window — measures the
+    // banding parameters on THIS corpus (oracle replays both pipelines) ---
+    "q_dedup_minhash_recall" -> ((s, d) =>
+      Dedup.minhashRecall(docs(s, d), "doc_id", "text",
+        idWindow = 25L, threshold = 0.5)),
+
+    // --- label-noise confusion: corpus-trained Naive Bayes cross-predicts
+    // every doc's lang; off-diagonal cells = metadata error estimate
+    // (oracle-checked) ---
+    "q_text_label_noise" -> ((s, d) =>
+      TextAnalysis.labelNoise(docs(s, d), "lang", "doc_id", "text")),
+
     // --- exact 2-gram Jaccard over id-window-blocked pairs (oracle-checked)
     "q_dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(
       docs(s, d), "doc_id", "text", ngram = 2,
@@ -1263,6 +1276,11 @@ object PipelineQueries {
     },
 
     "q_dedup_segments" -> Dedup.dedupSegmentsOracleSql(segLen = 10),
+
+    "q_dedup_minhash_recall" ->
+      Dedup.minhashRecallOracleSql(idWindow = 25L, threshold = 0.5),
+
+    "q_text_label_noise" -> TextAnalysis.labelNoiseOracleSql(),
 
     "q_dedup_segments_doc" ->
       Dedup.dedupSegmentsOracleSql(segLen = 5, perDoc = true),

@@ -564,4 +564,21 @@ class DedupSpec extends SparkSpec {
     assert(r(0L) == ((3L, 2L, "a b c d")))
     assert(r(1L) == ((2L, 2L, "a b x y")))
   }
+
+  test("minhashRecall: planted near-dups give perfect recall, clean precision") {
+    import graft.operators.Dedup
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (0L, base), (1L, base + " extra"),             // J >= 0.5 pair
+      (10L, "one two three four five six seven"),
+      (11L, "one two three four five six seven"),    // exact dup pair
+      (50L, "totally different words here entirely"))
+      .toDF("doc_id", "text")
+    val r = Dedup.minhashRecall(docs, "doc_id", "text",
+      idWindow = 25L, threshold = 0.5).collect()(0)
+    assert(r.getLong(0) >= 2L)               // truth: both planted pairs
+    assert(r.getLong(3) == 1000000L, "recall") // minhash finds them all
+    assert(r.getLong(4) >= 500000L, "precision floor")
+  }
+
 }

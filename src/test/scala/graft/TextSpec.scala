@@ -561,4 +561,18 @@ class TextSpec extends SparkSpec {
     assert(r(2L) == ((0L, 0L, -1L)))
     assert(r(3L) == ((1L, 0L, 0L)))
   }
+
+  test("labelNoise: separable labels stay on the diagonal") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (0L, "aa bb cc aa bb", "x"), (1L, "bb aa cc cc aa", "x"),
+      (2L, "zz yy ww zz yy", "y"), (3L, "ww zz yy yy ww", "y"))
+      .toDF("doc_id", "text", "lang")
+    val m = TextAnalysis.labelNoise(docs, "lang", "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(m(("x", "x")) == 2L && m(("y", "y")) == 2L)
+    assert(m.size == 2, s"off-diagonal cells: $m")
+  }
+
 }
