@@ -550,4 +550,81 @@ object Graph {
        |UNION ALL
        |SELECT 'hub' AS side, node, score_u FROM hn$iters""".stripMargin
   }
+
+  /** Per-node TRIANGLE count + local clustering coefficient over an
+    * undirected edge table ([[coEdges]] output shape: both directions
+    * present) — the link-farm fingerprint of web-graph curation: spam
+    * clusters interlink densely (clustering coefficient → 1) while
+    * organic co-occurrence neighborhoods stay sparse, and the metric
+    * feeds the same demotion stack as [[spamMass]]. C(v) =
+    * 2·T(v) / (deg(v)·(deg(v)−1)), reported in exact integer micro-units
+    * via floor division.
+    *
+    * Algorithm: the classic ordered-orientation wedge join (each
+    * triangle a<b<c found exactly once as (a→b, b→c, a→c)); work is
+    * Σ_b d⁻(b)·d⁺(b) over the ordered orientation, quadratic in degree
+    * — so `maxDegree` (the standard hub guard) deterministically DROPS
+    * nodes above the cap from the graph before counting (not sampled:
+    * same verdict every run, oracle-replayable). At web scale pair the
+    * cap with vertex sampling (Doulion-style) on the caller's side —
+    * the gate query demonstrates exactly that.
+    */
+  def triangles(edges: DataFrame, maxDegree: Long = 10000L): DataFrame = {
+    val ordered = edges.where(col("src") < col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val deg = degrees(edges)
+      .where(col("degree") <= maxDegree)
+      .transform(Caching.persist)
+    val e = ordered
+      .join(deg.select(col("node").as("src")), "src")
+      .join(deg.select(col("node").as("dst")), "dst")
+      .select(col("src"), col("dst"))
+      .transform(Caching.persist)
+    val wedges = e.select(col("src").as("a"), col("dst").as("b"))
+      .join(e.select(col("src").as("b"), col("dst").as("c")), "b")
+    val tri = wedges
+      .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering_micro",
+        when(col("degree") < 2, lit(0L)).otherwise(
+          expr("2 * triangles * 1000000 div (degree * (degree - 1))")))
+  }
+
+  /** DuckDB replay of [[triangles]] over a [[coEdgesSql]]-shaped edge CTE
+    * (`edgesCte` must define `edges(src, dst)`, both directions).
+    */
+  def trianglesOracleSql(edgesCte: String, maxDegree: Long = 10000L): String =
+    s"""WITH $edgesCte,
+       |deg AS (
+       |  SELECT src AS node, count(*)::BIGINT AS degree FROM edges
+       |  GROUP BY src HAVING count(*) <= $maxDegree),
+       |e AS (
+       |  SELECT DISTINCT src, dst FROM edges
+       |  WHERE src < dst
+       |    AND src IN (SELECT node FROM deg)
+       |    AND dst IN (SELECT node FROM deg)),
+       |tri AS (
+       |  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+       |  FROM e ab
+       |  JOIN e bc ON bc.src = ab.dst
+       |  JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst),
+       |pernode AS (
+       |  SELECT node, count(*)::BIGINT AS triangles FROM (
+       |    SELECT a AS node FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri)
+       |  GROUP BY node)
+       |SELECT deg.node, deg.degree,
+       |       coalesce(pernode.triangles, 0)::BIGINT AS triangles,
+       |       CASE WHEN deg.degree < 2 THEN 0
+       |            ELSE (2 * coalesce(pernode.triangles, 0) * 1000000)
+       |                 // (deg.degree * (deg.degree - 1)) END::BIGINT
+       |         AS clustering_micro
+       |FROM deg LEFT JOIN pernode ON pernode.node = deg.node""".stripMargin
 }

@@ -152,6 +152,14 @@ object ScaleQueries {
         iters = 5)
     }),
 
+    // --- per-node triangles + clustering coefficient on a deterministic
+    // vertex sample (Doulion-style: parts % 3) of the co-purchase graph —
+    // the link-farm density fingerprint (oracle-checked) ---
+    "q_graph_triangles" -> ((s, d) =>
+      graft.operators.Graph.triangles(graft.operators.Graph.coEdges(
+        t(s, d, "lineitem").where(col("l_partkey") % 3 === 0),
+        "l_orderkey", "l_partkey"))),
+
     // --- label-propagation communities over the co-purchase graph:
     // deterministic synchronous LPA, argmax-count / min-label tie-break,
     // every round an ordinary two-phase aggregate (oracle-checked) ---
@@ -186,6 +194,10 @@ object ScaleQueries {
     "q_graph_spam_mass" -> graft.operators.Graph.spamMassOracleSql(
       "l_orderkey", "l_partkey", "lineitem", seedPred = "item % 50 = 0",
       iters = 5),
+    "q_graph_triangles" -> graft.operators.Graph.trianglesOracleSql(
+      graft.operators.Graph.coEdgesSql("l_orderkey", "l_partkey",
+        "(SELECT * FROM lineitem WHERE l_partkey % 3 = 0)")),
+
     "q_graph_lpa" -> graft.operators.Graph.labelPropagationOracleSql(
       "l_orderkey", "l_partkey", "lineitem", iters = 4),
     "q_graph_hits" -> graft.operators.Graph.hitsOracleSql(

@@ -187,4 +187,24 @@ class GraphSpec extends SparkSpec {
     // authorities tie exactly
     assert(r(("auth", 100L)) == r(("auth", 200L)))
   }
+
+  test("triangles: known counts, clustering coefficient, hub cap") {
+    import graft.operators.Graph
+    val half = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val r = Graph.triangles(edges)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) == ((2L, 1L, 1000000L)))
+    assert(r(2L) == ((2L, 1L, 1000000L)))
+    assert(r(3L) == ((3L, 1L, 333333L)))  // 2*1/(3*2) in micro-units
+    assert(r(4L) == ((1L, 0L, 0L)))       // degree < 2 pins 0
+    // hub guard: capping degree at 2 drops node 3 and with it every
+    // triangle — deterministic, not sampled
+    val capped = Graph.triangles(edges, maxDegree = 2L)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(!capped.contains(3L))
+    assert(capped.values.forall(_ == 0L))
+  }
+
 }
