@@ -619,10 +619,13 @@ object Profile {
         countDistinct(col("fp")).as("nfp"))
       .select(explode(map(
         lit("n_docs"), col("n"),
-        lit("n_tokens"), col("st"),
-        lit("n_chars"), col("sc"),
-        lit("quality_mean_micro"), expr("sq div n"),
-        lit("tokens_p50"), col("p50").cast("long"),
+        lit("n_tokens"), coalesce(col("st"), lit(0L)),
+        lit("n_chars"), coalesce(col("sc"), lit(0L)),
+        // empty corpus: sums are null and n = 0 — 0-valued card rows, not
+        // an ANSI div-by-zero
+        lit("quality_mean_micro"),
+        when(col("n") === 0, lit(0L)).otherwise(expr("sq div n")),
+        lit("tokens_p50"), coalesce(col("p50").cast("long"), lit(0L)),
         lit("exact_dup_docs"), col("n") - col("nfp"))))
       .select(col("key").as("metric"), col("value"))
     val byLang = base.groupBy(col("lang"))

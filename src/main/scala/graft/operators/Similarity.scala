@@ -1392,8 +1392,10 @@ object Similarity {
       outDim: Int): DataFrame = {
     require(outDim >= 1)
     val spark = df.sparkSession
-    val d = df.select(size(col(vecCol)).as("d")).limit(1)
-      .collect()(0).getInt(0) // one-row schema probe, not a data collect
+    // one-row schema probe, not a data collect; empty input → d = 0 →
+    // empty signs/flat → empty result, no crash
+    val d = df.select(size(col(vecCol)).as("d")).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
     val signs = spark.range(d.toLong).select(col("id").cast("int").as("i"))
       .crossJoin(spark.range(outDim.toLong)
         .select(col("id").cast("int").as("j")))
@@ -1479,7 +1481,9 @@ object Similarity {
         min(col("cos_micro")).as("min_cos_micro"),
         max(col("cos_micro")).as("max_cos_micro"))
       .select(col("n_pairs"),
-        expr("s div n_pairs").as("mean_cos_micro"),
+        // n_pairs = 0 (singleton/empty corpus) must not hit ANSI div-by-0
+        when(col("n_pairs") === 0, lit(0L))
+          .otherwise(expr("s div n_pairs")).as("mean_cos_micro"),
         col("min_cos_micro"), col("max_cos_micro"))
   }
 

@@ -221,4 +221,15 @@ class ProfileSpec extends SparkSpec {
     assert(card("tokens_p50") == 3L)
   }
 
+
+  test("datasetCard: empty corpus emits zero-valued totals, no error") {
+    import graft.operators.Profile
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    val card = Profile.datasetCard(empty, "doc_id", "text", "lang", "source")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(card("n_docs") == 0L && card("quality_mean_micro") == 0L)
+    assert(card("n_tokens") == 0L && card("tokens_p50") == 0L)
+  }
+
 }

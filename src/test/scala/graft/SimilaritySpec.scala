@@ -509,4 +509,14 @@ class SimilaritySpec extends SparkSpec
     assert(r.getLong(3) == 1000000L)  // max
   }
 
+
+  test("jlProject and anisotropy: empty and singleton inputs are safe") {
+    import graft.operators.Similarity
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.jlProject(empty, "vec_id", "embedding", 4).count() == 0)
+    val one = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.anisotropy(one, "vec_id", "embedding", 1).collect()(0)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L) // no pairs, mean 0
+  }
+
 }
