@@ -264,9 +264,9 @@ object ScaleStress {
     // JL projection: corpus x outDim matmul against a broadcast constant
     // sign matrix — strictly linear in corpus size
     time("jl-project 1x")(
-      Similarity.jlProject(e1, "vec_id", "embedding", outDim = 16).count())
+      Similarity.jlProject(e1, "vec_id", "embedding", dim = 64, outDim = 16).count())
     time("jl-project 10x")(
-      Similarity.jlProject(e10, "vec_id", "embedding", outDim = 16).count())
+      Similarity.jlProject(e10, "vec_id", "embedding", dim = 64, outDim = 16).count())
 
     // HITS: per half-step lineage is checkpoint-truncated — 10x edges must
     // scale the per-round joins linearly, not re-analyze a 4^iters plan

@@ -1527,11 +1527,18 @@ object Dedup {
   def dedupSegments(df: DataFrame, idCol: String, textCol: String,
       segLen: Int, perDoc: Boolean = false): DataFrame = {
     require(segLen >= 1)
+    // ONE persisted tokenizing scan carries both token layouts (its own
+    // oracle does the same): the fingerprint branch, the raw-case
+    // reassembly branch and the doc-id spine would otherwise each
+    // re-scan and re-split the corpus text
+    val base = Caching.persist(df.select(
+      col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"),
+      filter(split(col(textCol), "\\s+"), t => t =!= "").as("rtoks")))
     // lowercase fingerprint segments (positions align 1:1 with the raw
     // slices below because both tokenizers split on the same \s+ rule)
-    val segs = df
-      .select(col(idCol).cast("long").as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("toks"))
+    val segs = base
+      .select(col("doc_id"), col("toks"))
       .where(size(col("toks")) >= 1)
       .select(col("doc_id"),
         explode(sequence(lit(0L),
@@ -1555,9 +1562,8 @@ object Dedup {
     val keptKeys = segs.join(first, Seq("fp", "doc_id", "seg"))
       .select(col("doc_id"), col("seg"))
     // raw-case segment text for reassembly
-    val raw = df
-      .select(col(idCol).cast("long").as("doc_id"),
-        filter(split(col(textCol), "\\s+"), t => t =!= "").as("rtoks"))
+    val raw = base
+      .select(col("doc_id"), col("rtoks"))
       .where(size(col("rtoks")) >= 1)
       .select(col("doc_id"),
         explode(sequence(lit(0L),
@@ -1574,7 +1580,7 @@ object Dedup {
           s => s.getField("seg_text")), " ").as("text"))
     val totals = segs.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("total_segs"))
-    df.select(col(idCol).cast("long").as("doc_id"))
+    base.select(col("doc_id"))
       .join(totals, Seq("doc_id"), "left")
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),

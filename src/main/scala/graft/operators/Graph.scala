@@ -572,14 +572,23 @@ object Graph {
   def triangles(edges: DataFrame, maxDegree: Long = 10000L): DataFrame = {
     val ordered = edges.where(col("src") < col("dst"))
       .select(col("src"), col("dst")).distinct()
-    val deg = degrees(edges)
+    val kept = degrees(edges)
       .where(col("degree") <= maxDegree)
-      .transform(Caching.persist)
+      .select(col("node"))
     val e = ordered
-      .join(deg.select(col("node").as("src")), "src")
-      .join(deg.select(col("node").as("dst")), "dst")
+      .join(kept.select(col("node").as("src")), "src")
+      .join(kept.select(col("node").as("dst")), "dst")
       .select(col("src"), col("dst"))
       .transform(Caching.persist)
+    // degree is RECOMPUTED on the capped graph: triangles are counted
+    // there, so mixing in the full-graph degree would make the
+    // coefficient neither graph's true value (a node whose only triangle
+    // ran through a dropped hub would read as sparse against its old
+    // denominator). Output rows are the capped graph's non-isolated
+    // nodes — "dropped from the graph" means dropped consistently.
+    val cappedDeg = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
     val wedges = e.select(col("src").as("a"), col("dst").as("b"))
       .join(e.select(col("src").as("b"), col("dst").as("c")), "b")
     val tri = wedges
@@ -588,7 +597,7 @@ object Graph {
     val perNode = tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
-    deg.join(perNode, Seq("node"), "left")
+    cappedDeg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
       .withColumn("clustering_micro",
@@ -601,14 +610,18 @@ object Graph {
     */
   def trianglesOracleSql(edgesCte: String, maxDegree: Long = 10000L): String =
     s"""WITH $edgesCte,
-       |deg AS (
-       |  SELECT src AS node, count(*)::BIGINT AS degree FROM edges
+       |keptn AS (
+       |  SELECT src AS node FROM edges
        |  GROUP BY src HAVING count(*) <= $maxDegree),
        |e AS (
        |  SELECT DISTINCT src, dst FROM edges
        |  WHERE src < dst
-       |    AND src IN (SELECT node FROM deg)
-       |    AND dst IN (SELECT node FROM deg)),
+       |    AND src IN (SELECT node FROM keptn)
+       |    AND dst IN (SELECT node FROM keptn)),
+       |deg AS (
+       |  SELECT node, count(*)::BIGINT AS degree FROM (
+       |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+       |  GROUP BY node),
        |tri AS (
        |  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
        |  FROM e ab

@@ -656,15 +656,18 @@ object Profile {
        |           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
        |  FROM $table),
        |totals AS (
-       |  SELECT count(*)::BIGINT AS n, sum(ntok)::BIGINT AS st,
-       |         sum(nchars)::BIGINT AS sc, sum(q_micro)::BIGINT AS sq,
-       |         quantile_disc(ntok, 0.5)::BIGINT AS p50,
+       |  SELECT count(*)::BIGINT AS n,
+       |         coalesce(sum(ntok), 0)::BIGINT AS st,
+       |         coalesce(sum(nchars), 0)::BIGINT AS sc,
+       |         coalesce(sum(q_micro), 0)::BIGINT AS sq,
+       |         coalesce(quantile_disc(ntok, 0.5), 0)::BIGINT AS p50,
        |         count(DISTINCT fp)::BIGINT AS nfp
        |  FROM base)
        |SELECT 'n_docs' AS metric, n AS value FROM totals
        |UNION ALL SELECT 'n_tokens', st FROM totals
        |UNION ALL SELECT 'n_chars', sc FROM totals
-       |UNION ALL SELECT 'quality_mean_micro', sq // n FROM totals
+       |UNION ALL SELECT 'quality_mean_micro',
+       |  CASE WHEN n = 0 THEN 0 ELSE sq // n END FROM totals
        |UNION ALL SELECT 'tokens_p50', p50 FROM totals
        |UNION ALL SELECT 'exact_dup_docs', n - nfp FROM totals
        |UNION ALL SELECT 'docs:lang=' || lang, count(*)::BIGINT

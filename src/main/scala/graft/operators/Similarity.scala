@@ -1389,14 +1389,15 @@ object Similarity {
     * shuffle beyond the aggregate.
     */
   def jlProject(df: DataFrame, idCol: String, vecCol: String,
-      outDim: Int): DataFrame = {
-    require(outDim >= 1)
+      dim: Int, outDim: Int): DataFrame = {
+    require(dim >= 1 && outDim >= 1)
+    // `dim` is an explicit parameter (like the oracle's): probing it from
+    // an arbitrary first row NPEs on a null vector, silently truncates
+    // ragged corpora, and runs an eager job at plan-construction time.
+    // Positions >= dim of longer vectors don't join the sign matrix and
+    // are deliberately ignored; shorter vectors contribute their length.
     val spark = df.sparkSession
-    // one-row schema probe, not a data collect; empty input → d = 0 →
-    // empty signs/flat → empty result, no crash
-    val d = df.select(size(col(vecCol)).as("d")).head(1)
-      .headOption.map(_.getInt(0)).getOrElse(0)
-    val signs = spark.range(d.toLong).select(col("id").cast("int").as("i"))
+    val signs = spark.range(dim.toLong).select(col("id").cast("int").as("i"))
       .crossJoin(spark.range(outDim.toLong)
         .select(col("id").cast("int").as("j")))
       .select(col("i"), col("j"),
@@ -1473,9 +1474,12 @@ object Similarity {
         aggregate(zip_with(col("fx"), col("pfx"), (a, c) => a * c),
           lit(0L), (a, v) => a + v))
       .withColumn("cos_micro",
-        round(col("dot").cast("double") /
-          (sqrt(col("nrm").cast("double")) * sqrt(col("pnrm").cast("double")))
-          * 1000000d, 0).cast("long"))
+        // a zero-norm (dead/padded) vector would make 0.0/0.0 = NaN and
+        // the BIGINT cast throw under ANSI — define cos(0⃗, ·) = 0
+        when(col("nrm") === 0 || col("pnrm") === 0, lit(0L)).otherwise(
+          round(col("dot").cast("double") /
+            (sqrt(col("nrm").cast("double")) * sqrt(col("pnrm").cast("double")))
+            * 1000000d, 0).cast("long")))
     paired.agg(count(lit(1)).as("n_pairs"),
         sum(col("cos_micro")).as("s"),
         min(col("cos_micro")).as("min_cos_micro"),
@@ -1509,11 +1513,12 @@ object Similarity {
        |         lag(nrm) OVER (PARTITION BY b ORDER BY id) AS pnrm
        |  FROM n),
        |c AS (
-       |  SELECT round(
+       |  SELECT CASE WHEN nrm = 0 OR pnrm = 0 THEN 0
+       |         ELSE round(
        |           list_aggregate(list_transform(range(1, len(fx) + 1),
        |             i -> fx[i] * pfx[i]), 'sum')::DOUBLE
        |           / (sqrt(nrm::DOUBLE) * sqrt(pnrm::DOUBLE)) * 1000000
-       |         )::BIGINT AS cos_micro
+       |         )::BIGINT END AS cos_micro
        |  FROM p WHERE pfx IS NOT NULL)
        |SELECT count(*)::BIGINT AS n_pairs,
        |       (sum(cos_micro) // count(*))::BIGINT AS mean_cos_micro,

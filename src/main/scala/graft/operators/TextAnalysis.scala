@@ -1807,18 +1807,24 @@ object TextAnalysis {
       bucketSize: Long = 1024L): org.apache.spark.sql.DataFrame = {
     require(sampleEvery >= 1 && bucketSize >= 1)
     import org.apache.spark.sql.expressions.Window
-    val toksDf = df.select(col(idCol).cast("long").as("doc"),
-      tokens(col(textCol)).as("toks"))
+    // persisted: perDoc (map) and newWords (explode) are sibling branches
+    // of the same tokenize with no exchange above it, so without the cache
+    // ReuseExchange cannot deduplicate them and the corpus is tokenized
+    // twice; `d` likewise feeds both the bucket totals and the point join
+    val toksDf = graft.operators.Caching.persist(
+      df.select(col(idCol).cast("long").as("doc"),
+        tokens(col(textCol)).as("toks")))
     val perDoc = toksDf.select(col("doc"),
       size(col("toks")).cast("long").as("n_tok"))
     val newWords = toksDf
       .select(col("doc"), explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(min(col("doc")).as("doc"))
       .groupBy(col("doc")).agg(count(lit(1)).as("nw"))
-    val d = perDoc.join(newWords, Seq("doc"), "left")
-      .select(col("doc"), col("n_tok"),
-        coalesce(col("nw"), lit(0L)).as("nw"))
-      .withColumn("b", expr(s"doc div $bucketSize"))
+    val d = graft.operators.Caching.persist(
+      perDoc.join(newWords, Seq("doc"), "left")
+        .select(col("doc"), col("n_tok"),
+          coalesce(col("nw"), lit(0L)).as("nw"))
+        .withColumn("b", expr(s"doc div $bucketSize")))
     val wB = Window.orderBy(col("b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val bPre = d.groupBy(col("b"))
@@ -1938,9 +1944,12 @@ object TextAnalysis {
     * passes only 10% of the time, so Luhn-gating a card-number detector
     * cuts false positives 10× before redaction. Implemented as a codegen
     * higher-order fold (right-to-left positional doubling, subtract 9 on
-    * overflow); empty/non-digit-bearing strings are the caller's job to
-    * pre-filter (the fold treats any non-digit char as its `cast(int)`
-    * null → whole result null → `false` after the outer coalesce).
+    * overflow); behind an all-digits guard: any input
+    * containing a non-digit (separators, letters, empty) is `false`
+    * outright — the guard is load-bearing under Spark 4's default ANSI
+    * mode, where an unguarded `cast('-' as int)` would THROW, not null
+    * out. Callers strip separators first if "4111-1111-…" should
+    * validate.
     */
   def luhnValid(digits: Column): Column = {
     val L = length(digits)
@@ -1950,7 +1959,7 @@ object TextAnalysis {
         when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
       acc + dd
     })
-    coalesce(L >= 1 && total % 10 === 0, lit(false))
+    when(digits.rlike("^[0-9]+$"), total % 10 === 0).otherwise(lit(false))
   }
 
   /** Per-document n-gram NOVELTY against a reference corpus — the
@@ -2039,9 +2048,11 @@ object TextAnalysis {
   def luhnSql(digitsExpr: String): String = {
     val L = s"length($digitsExpr)"
     val d = s"substr($digitsExpr, $L - i + 1, 1)::INT"
-    s"coalesce($L >= 1 AND list_aggregate(list_transform(range(1, $L + 1), " +
+    "CASE WHEN regexp_matches(" + digitsExpr + ", '^[0-9]+$') " +
+      s"THEN list_aggregate(list_transform(range(1, $L + 1), " +
       s"i -> CASE WHEN i % 2 = 0 THEN CASE WHEN $d * 2 > 9 " +
-      s"THEN $d * 2 - 9 ELSE $d * 2 END ELSE $d END), 'sum') % 10 = 0, false)"
+      s"THEN $d * 2 - 9 ELSE $d * 2 END ELSE $d END), 'sum') % 10 = 0 " +
+      "ELSE false END"
   }
 
   /** Label-noise CONFUSION report — confident-learning's first step

@@ -946,7 +946,7 @@ object PipelineQueries {
     "q_embed_jl" -> ((s, d) => {
       Tables.load(s, d)
       Similarity.jlProject(s.table("embeddings"), "vec_id", "embedding",
-        outDim = 16)
+        dim = 64, outDim = 16)
     }),
 
     // --- SemDeDup semantic dedup, bit-exact tier: every-50th-id codebook,

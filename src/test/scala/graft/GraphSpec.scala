@@ -200,11 +200,12 @@ class GraphSpec extends SparkSpec {
     assert(r(3L) == ((3L, 1L, 333333L)))  // 2*1/(3*2) in micro-units
     assert(r(4L) == ((1L, 0L, 0L)))       // degree < 2 pins 0
     // hub guard: capping degree at 2 drops node 3 and with it every
-    // triangle — deterministic, not sampled
+    // triangle; degrees are RECOMPUTED on the capped graph (1-2 is the
+    // only surviving edge) and node 4, isolated after the cap, drops out
     val capped = Graph.triangles(edges, maxDegree = 2L)
-      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
-    assert(!capped.contains(3L))
-    assert(capped.values.forall(_ == 0L))
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2))).toMap
+    assert(capped == Map(1L -> ((1L, 0L)), 2L -> ((1L, 0L))))
   }
 
 }

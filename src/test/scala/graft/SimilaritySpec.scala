@@ -483,13 +483,13 @@ class SimilaritySpec extends SparkSpec
     // row 2 = row0 + row1 elementwise → projection must be the exact sum
     val both = a :+ (2L, a(0)._2.zip(a(1)._2).map { case (x, y) => x + y })
     val df = both.toDF("vec_id", "embedding")
-    val p = Similarity.jlProject(df, "vec_id", "embedding", outDim = 8)
+    val p = Similarity.jlProject(df, "vec_id", "embedding", dim = 4, outDim = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(p.size == 24)
     for (j <- 0L until 8L)
       assert(p((2L, j)) == p((0L, j)) + p((1L, j)), s"j=$j")
     // shuffling the input across partitions cannot change exact sums
-    val p2 = Similarity.jlProject(df.repartition(7), "vec_id", "embedding", 8)
+    val p2 = Similarity.jlProject(df.repartition(7), "vec_id", "embedding", 4, 8)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(p2 == p)
   }
@@ -513,10 +513,16 @@ class SimilaritySpec extends SparkSpec
   test("jlProject and anisotropy: empty and singleton inputs are safe") {
     import graft.operators.Similarity
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
-    assert(Similarity.jlProject(empty, "vec_id", "embedding", 4).count() == 0)
+    assert(Similarity.jlProject(empty, "vec_id", "embedding", 4, 4).count() == 0)
     val one = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
     val r = Similarity.anisotropy(one, "vec_id", "embedding", 1).collect()(0)
     assert(r.getLong(0) == 0L && r.getLong(1) == 0L) // no pairs, mean 0
+    // a zero-norm (dead) vector pins cos = 0 instead of NaN-crashing
+    val withZero = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val z = Similarity.anisotropy(withZero, "vec_id", "embedding", 1)
+      .collect()(0)
+    assert(z.getLong(0) == 1L && z.getLong(1) == 0L)
   }
 
 }

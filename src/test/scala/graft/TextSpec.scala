@@ -498,7 +498,9 @@ class TextSpec extends SparkSpec {
       ("4539578763621486", true),  // 16-digit Visa test number
       ("4539578763621487", false),
       ("0", true),                 // single check digit 0
-      ("", false))                 // empty → false, not null
+      ("", false),                 // empty → false, not null
+      ("4111-1111-1111-1111", false), // separators → guard, not ANSI crash
+      ("4111a111", false))         // letters likewise
     val got = cases.map(_._1).toDF("pan")
       .select(col("pan"), TextAnalysis.luhnValid(col("pan")).as("ok"))
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
