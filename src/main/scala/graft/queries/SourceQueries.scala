@@ -140,9 +140,35 @@ object SourceQueries {
     "q_source_csv_roundtrip" -> ((s, d) => roundtrip(s, d, "csv")),
     "q_source_json_roundtrip" -> ((s, d) => roundtrip(s, d, "json")),
     "q_source_orc_roundtrip" -> ((s, d) => roundtrip(s, d, "orc")),
+    "q_source_codecs" -> ((s, d) => codecs(s, d)),
     "q_source_evolution" -> ((s, d) => evolution(s, d)),
     "q_source_partitioned" -> ((s, d) => partitionedPrune(s, d)),
   )
+
+  /** Parquet compression-codec round-trip: the same slice written with
+    * zstd, gzip and snappy (the three codecs a 100 TB lake actually
+    * chooses between — zstd for cold storage ratio, snappy for hot-path
+    * speed), each read back and aggregated; all three codec rows must
+    * reproduce the source aggregate exactly. Exercises the zstd-jni /
+    * codec configuration path end to end, not just the default codec.
+    */
+  private def codecs(s: SparkSession, d: String): DataFrame = {
+    Tables.load(s, d)
+    val dir = Tables.scratchDir(s, "codecs")
+    val src = s.table("orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    val names = Seq("zstd", "gzip", "snappy")
+    names.foreach(c => src.write.mode("overwrite")
+      .option("compression", c).parquet(s"$dir/$c"))
+    names.map(c => s.read.parquet(s"$dir/$c").withColumn("codec", lit(c)))
+      .reduce(_ unionAll _)
+      .groupBy(col("codec"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_custkey")).as("cust_sum"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        count_distinct(col("o_orderpriority")).as("n_prio"))
+  }
 
   private val oracle =
     """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name,
@@ -153,6 +179,16 @@ object SourceQueries {
     "q_source_csv_roundtrip" -> oracle,
     "q_source_json_roundtrip" -> oracle,
     "q_source_orc_roundtrip" -> oracle,
+    // three codec rows, each the plain source aggregate
+    "q_source_codecs" ->
+      """SELECT c.codec, count(*) AS n,
+        |       sum(o_custkey)::BIGINT AS cust_sum,
+        |       min(o_orderkey)::BIGINT AS min_key,
+        |       max(o_orderkey)::BIGINT AS max_key,
+        |       count(DISTINCT o_orderpriority)::BIGINT AS n_prio
+        |FROM orders CROSS JOIN (VALUES ('zstd'), ('gzip'), ('snappy'))
+        |  AS c(codec)
+        |GROUP BY c.codec""".stripMargin,
     // merged read == union of the two batches with the old batch's missing
     // column NULL: n_priced counts only odd keys
     "q_source_evolution" ->

@@ -105,4 +105,27 @@ class SourcesSpec extends SparkSpec {
     val back = spark.read.text(dir).collect().map(_.getString(0))
     assert(back.sorted.toSeq == lines.sorted)
   }
+
+  test("parquet codec round-trip writes distinct codecs and reads back equal") {
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables.load(spark, sfDir)
+    val dir = graft.sources.Tables.scratchDir(spark, "codecs_spec")
+    val src = spark.table("nation").select(col("n_nationkey"), col("n_name"))
+    for (c <- Seq("zstd", "gzip", "snappy")) {
+      src.write.mode("overwrite").option("compression", c)
+        .parquet(s"$dir/$c")
+      // the codec must actually be applied, not silently defaulted: parquet
+      // part files carry the codec in their name
+      val suffix = if (c == "gzip") ".gz.parquet" else s".$c.parquet"
+      val files = new java.io.File(s"$dir/$c")
+        .listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+      assert(files.nonEmpty && files.forall(_.endsWith(suffix)),
+        s"$c: ${files.toSeq}")
+      val back = spark.read.parquet(s"$dir/$c")
+      assert(back.count() == src.count())
+      assert(back.agg(sum(col("n_nationkey"))).collect()(0).getLong(0) ==
+        src.agg(sum(col("n_nationkey"))).collect()(0).getLong(0))
+    }
+  }
+
 }
