@@ -52,6 +52,11 @@ object Bench {
     // dev-only subset hook: regex over query names (unset under the driver,
     // so recorded runs always time the full registry)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    // dev-only A/B hook: "family" clears accumulated operator persists at
+    // family boundaries (intra-family plan-identical sharing preserved,
+    // cross-family storage pressure released); unset = never clear (the
+    // recorded default — see the NOTE above)
+    val clearMode = sys.env.get("SPARK_GRAFT_CLEAR")
     // Machine-load calibration: a fixed CPU-bound probe timed before and
     // after the query sweep. The recorded wall-clock totals have twice been
     // contaminated by concurrent load on the recording box (r4: uniform
@@ -69,9 +74,18 @@ object Bench {
     }
     calibrate() // untimed: the probe's own plan/codegen warm-up
     val calPre = calibrate()
+    var lastFamily = ""
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
       .map { case (name, fn) =>
+      val family = name.split("_")(1)
+      if (clearMode.contains("family") && family != lastFamily) {
+        // release operator persists from previous families; re-cache the
+        // base table views (their decode cost was billed to the first run)
+        spark.catalog.clearCache()
+        graft.sources.Tables.names.foreach(n => spark.table(n).cache())
+      }
+      lastFamily = family
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
