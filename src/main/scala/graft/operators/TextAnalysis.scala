@@ -2093,4 +2093,127 @@ object TextAnalysis {
        |       count(*)::BIGINT AS n, min(d.$idCol)::BIGINT AS sample_id
        |FROM $table d JOIN nb ON nb.doc_id = d.$idCol
        |GROUP BY 1, 2""".stripMargin
+
+  /** CONTENT-DEFINED chunking — rolling-hash boundaries instead of fixed
+    * windows (the Rabin/FastCDC idea, applied at the token level): a
+    * chunk ends wherever the w-token rolling fingerprint ≡ 0 mod
+    * `divisor`, so boundaries are a pure function of local CONTENT.
+    * Insert a sentence at the top of a doc and every [[chunk]] window
+    * shifts (zero shared chunk fingerprints with the original); CDC
+    * boundaries re-synchronize after ~w tokens, so all but the edited
+    * chunk dedup away — the property incremental corpus dedup and
+    * dedup-friendly storage both build on. Mean chunk length ≈ `divisor`
+    * tokens (boundary probability 1/divisor per position).
+    *
+    * Emits (doc_id, chunk_id, n_tokens, chunk_text, chunk_fp) — chunk_fp
+    * is the md5 of the chunk's lowercase tokens, the ready-made exact-
+    * dedup key; chunk_text keeps original case ([[Dedup.dedupSegments]]'
+    * contract: both tokenizers split on the same rule, positions align).
+    *
+    * Exactness: the boundary hash is the shared [[portableRollingFp]]
+    * arithmetic over the last w md5 token hashes, assembled from w
+    * codegen'd lag() terms (no per-position HOF refold); everything is
+    * integer mod [[Dedup.PortablePrime]], so DuckDB replays boundaries
+    * bit-for-bit. Scale shape: posexplode → per-doc lag/prefix windows
+    * (bounded by document length, the funnel/sessionize hazard class,
+    * not a corpus window) → one (doc, chunk) aggregate. O(total tokens).
+    */
+  def chunkCdc(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, w: Int = 4, divisor: Long = 16L):
+      org.apache.spark.sql.DataFrame = {
+    require(w >= 1 && divisor >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val P = Dedup.PortablePrime
+    val base = graft.operators.Caching.persist(df.select(
+      col(idCol).cast("long").as("doc_id"),
+      tokens(col(textCol)).as("toks"),
+      filter(split(col(textCol), "\\s+"), t => t =!= "").as("rtoks")))
+    val pos = base.where(size(col("toks")) >= 1)
+      .select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("tok"))
+      .join(base.select(col("doc_id"),
+        posexplode(col("rtoks")).as(Seq("rp", "rtok")))
+        .select(col("doc_id"), (col("rp") + 1).cast("long").as("pos"),
+          col("rtok")), Seq("doc_id", "pos"))
+      .withColumn("h", Dedup.portableHash(col("tok")) % P)
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // fp(pos) = sum_{j=0..w-1} h(pos-j) * B^(w-1-j)  mod P — the same
+    // polynomial portableRollingFp folds, spelled as w lag terms
+    val terms = (0 until w).map { j =>
+      // token lag(j) sits j-from-the-END of the window fold acc*B+h, so
+      // its accumulated multiplier is B^j — matching portableRollingFp
+      // over the same w tokens exactly
+      val pw = (0 until j).foldLeft(1L)((a, _) =>
+        (a * PortableFpBase) % P)
+      (coalesce(lag(col("h"), j).over(wOrd), lit(0L)) * pw) % P
+    }
+    val withFp = pos.withColumn("fp",
+        terms.reduce((a, b) => (a + b) % P))
+      .withColumn("bnd",
+        when(col("pos") >= w && col("fp") % divisor === 0, 1L)
+          .otherwise(0L))
+    val wPre = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunked = withFp.withColumn("chunk_id",
+      coalesce(sum(col("bnd")).over(wPre), lit(0L)))
+    chunked.groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("rtok")))),
+          x => x.getField("rtok")), " ").as("chunk_text"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ")).as("chunk_fp"))
+  }
+
+  /** DuckDB replay of [[chunkCdc]] (same md5 token hashes, same lag-term
+    * polynomial, same boundary rule and prefix-sum chunk ids).
+    */
+  def chunkCdcOracleSql(w: Int = 4, divisor: Long = 16L,
+      table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text"): String = {
+    val P = Dedup.PortablePrime
+    val rawToks =
+      s"CASE WHEN trim($textCol) = '' THEN []::VARCHAR[] " +
+        s"ELSE list_filter(string_split_regex($textCol, '\\s+'), t -> t <> '') END"
+    val terms = (0 until w).map { j =>
+      val pw = (0 until j).foldLeft(1L)((a, _) =>
+        (a * PortableFpBase) % P)
+      s"(coalesce(lag(h, $j) OVER wo, 0) * $pw) % $P"
+    }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT $idCol::BIGINT AS doc_id, ${toksSql(textCol)} AS toks,
+       |         $rawToks AS rtoks
+       |  FROM $table),
+       |pos AS (
+       |  SELECT doc_id,
+       |         unnest(generate_series(1, len(toks)))::BIGINT AS pos,
+       |         unnest(toks) AS tok, unnest(rtoks) AS rtok
+       |  FROM base WHERE len(toks) >= 1),
+       |h AS (
+       |  SELECT doc_id, pos, tok, rtok,
+       |         ('0x' || substr(md5(tok), 1, 15))::BIGINT % $P AS h
+       |  FROM pos),
+       |fp AS (
+       |  SELECT doc_id, pos, tok, rtok,
+       |         ($terms) % $P AS fp
+       |  FROM h WINDOW wo AS (PARTITION BY doc_id ORDER BY pos)),
+       |bnd AS (
+       |  SELECT doc_id, pos, tok, rtok,
+       |         CASE WHEN pos >= $w AND fp % $divisor = 0 THEN 1
+       |              ELSE 0 END AS bnd
+       |  FROM fp),
+       |chunked AS (
+       |  SELECT doc_id, pos, tok, rtok,
+       |         coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS chunk_id
+       |  FROM bnd)
+       |SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+       |       count(*)::BIGINT AS n_tokens,
+       |       string_agg(rtok, ' ' ORDER BY pos) AS chunk_text,
+       |       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+       |FROM chunked GROUP BY doc_id, chunk_id""".stripMargin
+  }
 }

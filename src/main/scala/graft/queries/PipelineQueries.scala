@@ -757,6 +757,13 @@ object PipelineQueries {
     "q_text_zipf" -> ((s, d) =>
       TextAnalysis.zipfFit(docs(s, d), "text", topN = 100)),
 
+    // --- content-defined chunking: rolling-hash boundaries (mean ~12
+    // tokens), insertion-robust chunk fingerprints for incremental dedup
+    // (oracle-checked) ---
+    "q_text_chunk_cdc" -> ((s, d) =>
+      TextAnalysis.chunkCdc(docs(s, d), "doc_id", "text",
+        w = 4, divisor = 12L)),
+
     // --- Heaps'-law vocabulary-growth fit: β exponent of V ≈ K·n^β over
     // doc-order prefix points, two-level mega-partition-proof cumsum
     // (oracle-checked) ---
@@ -1265,6 +1272,9 @@ object PipelineQueries {
     "q_text_zipf" -> TextAnalysis.zipfOracleSql(topN = 100),
 
     "q_text_heaps" -> TextAnalysis.heapsOracleSql(sampleEvery = 8L),
+
+    "q_text_chunk_cdc" ->
+      TextAnalysis.chunkCdcOracleSql(w = 4, divisor = 12L),
 
     "q_text_goodturing" ->
       TextAnalysis.goodTuringOracleSql(maxR = 10, ngram = 3),

@@ -577,4 +577,40 @@ class TextSpec extends SparkSpec {
     assert(m.size == 2, s"off-diagonal cells: $m")
   }
 
+
+  test("chunkCdc: boundaries re-synchronize after a prefix insertion") {
+    import graft.operators.TextAnalysis
+    val words = (1 to 120).map(i => s"w${i % 37}x${(i * 7) % 23}").mkString(" ")
+    val docs = Seq((1L, words), (2L, "inserted preamble here " + words))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkCdc(docs, "doc_id", "text",
+        w = 4, divisor = 8L)
+      .collect().map(r => (r.getLong(0), r.getString(4))).toSeq
+    val a = chunks.filter(_._1 == 1L).map(_._2).toSet
+    val b = chunks.filter(_._1 == 2L).map(_._2).toSet
+    // content-defined boundaries depend only on the local window, so all
+    // but the first (edited) chunk dedup across the two docs
+    val shared = a.intersect(b).size
+    assert(shared >= a.size - 2,
+      s"expected near-total chunk reuse, got $shared of ${a.size}")
+    // fixed-window chunking shares NOTHING under the same 3-token shift
+    val fixed = TextAnalysis.chunk(docs, "doc_id", "text",
+        window = 8, stride = 8)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    val fa = fixed.filter(_._1 == 1L).map(_._2).toSet
+    val fb = fixed.filter(_._1 == 2L).map(_._2).toSet
+    assert(fa.intersect(fb).isEmpty)
+  }
+
+  test("chunkCdc: chunks partition the doc, mean length tracks divisor") {
+    import graft.operators.TextAnalysis
+    val words = (1 to 400).map(i => s"t${(i * 13) % 101}").mkString(" ")
+    val df = Seq((1L, words)).toDF("doc_id", "text")
+    val r = TextAnalysis.chunkCdc(df, "doc_id", "text", w = 4, divisor = 10L)
+      .collect()
+    assert(r.map(_.getLong(2)).sum == 400L) // every token in exactly one chunk
+    val mean = 400.0 / r.length
+    assert(mean > 3 && mean < 40, s"mean chunk len $mean")
+  }
+
 }
