@@ -2216,4 +2216,138 @@ object TextAnalysis {
        |       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
        |FROM chunked GROUP BY doc_id, chunk_id""".stripMargin
   }
+
+  /** T5-style SPAN CORRUPTION training-pair generation (Raffel et al.
+    * 2020): mask contiguous token spans, emit the corrupted text as
+    * `input_text` (each span replaced by its `<extra_id_k>` sentinel) and
+    * the dropped content as `target_text` (sentinel + span tokens, in
+    * order) — the denoising-objective data prep of T5/UL2 pretraining,
+    * as a corpus operator instead of a dataloader transform.
+    *
+    * Deterministic span rule (both engines replay it bit-for-bit):
+    * position p starts a span iff md5-hash(doc:p) ≡ 0 mod `everyK` AND
+    * the previous CANDIDATE start in the doc is ≥ `spanLen` back (one
+    * lag() check — chains of near candidates thin to the first of each
+    * run, a deliberately non-recursive simplification of greedy
+    * selection; expected mask density ≈ spanLen/everyK). Spans cover
+    * [p, p+spanLen) clipped at doc end.
+    *
+    * Scale shape: posexplode → per-doc lag window → span explode
+    * (spanLen rows per span) → anti/semi joins on (doc, pos) → one
+    * doc-keyed rebuild each for input and target. O(total tokens), the
+    * per-doc windows are the bounded sessionize class.
+    */
+  def spanCorrupt(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, spanLen: Int = 3, everyK: Long = 20L):
+      org.apache.spark.sql.DataFrame = {
+    require(spanLen >= 1 && everyK >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("tok"))
+      .transform(graft.operators.Caching.persist)
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cand = toks.withColumn("is_cand",
+        Dedup.portableHash(concat(col("doc_id"), lit(":"), col("pos")))
+          % everyK === 0)
+      .where(col("is_cand"))
+      .withColumn("prev", lag(col("pos"), 1).over(wOrd))
+      .where(col("prev").isNull || col("pos") - col("prev") >= spanLen)
+      .withColumn("k", (row_number().over(wOrd) - 1).cast("long"))
+      .select(col("doc_id"), col("pos").as("start"), col("k"))
+      .transform(graft.operators.Caching.persist)
+    val covered = cand.select(col("doc_id"), col("k"),
+        explode(sequence(col("start"), col("start") + (spanLen - 1)))
+          .as("pos"))
+    // input: uncovered tokens + one sentinel row at each span start
+    // (the start position itself is covered, so no ordering collision)
+    val inputRows = toks.join(covered.select(col("doc_id"), col("pos")),
+        Seq("doc_id", "pos"), "left_anti")
+      .select(col("doc_id"), col("pos"), col("tok").as("txt"))
+      .unionAll(cand.select(col("doc_id"), col("start").as("pos"),
+        concat(lit("<extra_id_"), col("k"), lit(">")).as("txt")))
+    val input = inputRows.groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("txt")))),
+        x => x.getField("txt")), " ").as("input_text"))
+    // target: per span the sentinel then its tokens — the secondary sort
+    // key orders the sentinel (ord 0) before the start token (ord 1)
+    val targetRows = cand.select(col("doc_id"),
+        col("start").as("pos"), lit(0L).as("ord"),
+        concat(lit("<extra_id_"), col("k"), lit(">")).as("txt"))
+      .unionAll(covered.join(toks, Seq("doc_id", "pos"))
+        .select(col("doc_id"), col("pos"), lit(1L).as("ord"),
+          col("tok").as("txt")))
+    val target = targetRows.groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("ord"), col("txt")))),
+        x => x.getField("txt")), " ").as("target_text"),
+        sum(col("ord")).as("n_masked")) // ord=1 rows ARE the masked tokens
+    input.join(target, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("input_text"),
+        coalesce(col("target_text"), lit("")).as("target_text"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"))
+  }
+
+  /** DuckDB replay of [[spanCorrupt]] (same hash rule, same lag thinning,
+    * same sentinel numbering and two-key rebuild order).
+    */
+  def spanCorruptOracleSql(spanLen: Int = 3, everyK: Long = 20L,
+      table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text"): String =
+    s"""WITH toks AS (
+       |  SELECT $idCol::BIGINT AS doc_id,
+       |         unnest(generate_series(1, len(${toksSql(textCol)})))::BIGINT
+       |           AS pos,
+       |         unnest(${toksSql(textCol)}) AS tok
+       |  FROM $table WHERE len(${toksSql(textCol)}) >= 1),
+       |cand0 AS (
+       |  SELECT doc_id, pos FROM toks
+       |  WHERE ('0x' || substr(md5(doc_id || ':' || pos), 1, 15))::BIGINT
+       |        % $everyK = 0),
+       |cand AS (
+       |  SELECT doc_id, pos AS start,
+       |         (row_number() OVER w2 - 1)::BIGINT AS k
+       |  FROM (
+       |    SELECT doc_id, pos,
+       |           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |    FROM cand0)
+       |  WHERE prev IS NULL OR pos - prev >= $spanLen
+       |  WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)),
+       |covered AS (
+       |  SELECT doc_id, k,
+       |         unnest(generate_series(start, start + ${spanLen - 1}))::BIGINT
+       |           AS pos
+       |  FROM cand),
+       |inrows AS (
+       |  SELECT t.doc_id, t.pos, t.tok AS txt
+       |  FROM toks t LEFT JOIN covered c
+       |    ON c.doc_id = t.doc_id AND c.pos = t.pos
+       |  WHERE c.doc_id IS NULL
+       |  UNION ALL
+       |  SELECT doc_id, start AS pos, '<extra_id_' || k || '>' FROM cand),
+       |input AS (
+       |  SELECT doc_id, string_agg(txt, ' ' ORDER BY pos) AS input_text
+       |  FROM inrows GROUP BY doc_id),
+       |trows AS (
+       |  SELECT doc_id, start AS pos, 0::BIGINT AS ord,
+       |         '<extra_id_' || k || '>' AS txt
+       |  FROM cand
+       |  UNION ALL
+       |  SELECT c.doc_id, c.pos, 1::BIGINT, t.tok
+       |  FROM covered c JOIN toks t
+       |    ON t.doc_id = c.doc_id AND t.pos = c.pos),
+       |target AS (
+       |  SELECT doc_id, string_agg(txt, ' ' ORDER BY pos, ord)
+       |           AS target_text,
+       |         sum(ord)::BIGINT AS n_masked
+       |  FROM trows GROUP BY doc_id)
+       |SELECT input.doc_id, input.input_text,
+       |       coalesce(target.target_text, '') AS target_text,
+       |       coalesce(target.n_masked, 0)::BIGINT AS n_masked
+       |FROM input LEFT JOIN target ON target.doc_id = input.doc_id""".stripMargin
 }

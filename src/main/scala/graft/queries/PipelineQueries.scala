@@ -757,6 +757,13 @@ object PipelineQueries {
     "q_text_zipf" -> ((s, d) =>
       TextAnalysis.zipfFit(docs(s, d), "text", topN = 100)),
 
+    // --- T5 span corruption: deterministic hash-selected token spans
+    // masked to sentinels, (input, target) training pairs
+    // (oracle-checked) ---
+    "q_text_span_corrupt" -> ((s, d) =>
+      TextAnalysis.spanCorrupt(docs(s, d), "doc_id", "text",
+        spanLen = 3, everyK = 12L)),
+
     // --- content-defined chunking: rolling-hash boundaries (mean ~12
     // tokens), insertion-robust chunk fingerprints for incremental dedup
     // (oracle-checked) ---
@@ -1275,6 +1282,9 @@ object PipelineQueries {
 
     "q_text_chunk_cdc" ->
       TextAnalysis.chunkCdcOracleSql(w = 4, divisor = 12L),
+
+    "q_text_span_corrupt" ->
+      TextAnalysis.spanCorruptOracleSql(spanLen = 3, everyK = 12L),
 
     "q_text_goodturing" ->
       TextAnalysis.goodTuringOracleSql(maxR = 10, ngram = 3),

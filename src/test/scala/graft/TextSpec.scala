@@ -613,4 +613,34 @@ class TextSpec extends SparkSpec {
     assert(mean > 3 && mean < 40, s"mean chunk len $mean")
   }
 
+
+  test("spanCorrupt: sentinel-splice reconstruction reproduces the text") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, (1 to 80).map(i => s"tok${(i * 11) % 29}").mkString(" ")),
+      (2L, "tiny doc"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.spanCorrupt(docs, "doc_id", "text",
+        spanLen = 3, everyK = 6L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    assert(!out.contains(3L)) // empty doc emits no pair
+    val sentinel = "<extra_id_(\\d+)>".r
+    for ((id, (input, target, nMasked)) <- out) {
+      // splice every target span back over its input sentinel
+      val spans = sentinel.split(target).map(_.trim).drop(1) // span texts
+      val ks = sentinel.findAllMatchIn(target).map(_.group(1).toInt).toSeq
+      assert(ks == ks.indices.toSeq, s"doc $id sentinels not sequential")
+      var rebuilt = input
+      for ((k, span) <- ks.zip(spans))
+        rebuilt = rebuilt.replace(s"<extra_id_$k>", span)
+      val orig = docs.where(col("doc_id") === id)
+        .select(lower(col("text"))).collect()(0).getString(0)
+        .trim.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt == orig, s"doc $id reconstruction")
+      assert(spans.map(_.split(" ").length).sum == nMasked)
+    }
+    assert(out(1L)._3 > 0, "the 80-token doc should mask something")
+  }
+
 }
