@@ -2350,4 +2350,84 @@ object TextAnalysis {
        |       coalesce(target.target_text, '') AS target_text,
        |       coalesce(target.n_masked, 0)::BIGINT AS n_masked
        |FROM input LEFT JOIN target ON target.doc_id = input.doc_id""".stripMargin
+
+  /** FILL-IN-THE-MIDDLE transformation (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle") — the code-LM
+    * data prep that teaches infilling "for free": split each doc into
+    * (prefix, middle, suffix) at two deterministic points and emit the
+    * PSM re-ordering `<fim_pre> prefix <fim_suf> suffix <fim_mid>
+    * middle`, plus the three token counts for mixture accounting. Docs
+    * hash-selected out of the `fimRate` fraction pass through verbatim
+    * with fim = false (the paper's 50/50 regime at rate 50).
+    *
+    * Determinism: the apply decision and both cut points derive from the
+    * shared portable md5 of (doc, salt) — cut1 ∈ [1, n−1], cut2 ∈
+    * [cut1, n−1] via modular arithmetic on exact integers; a map-only
+    * projection, no shuffle, the cheapest possible 100 TB plan.
+    */
+  def fimTransform(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, fimRatePct: Long = 50L):
+      org.apache.spark.sql.DataFrame = {
+    require(fimRatePct >= 0 && fimRatePct <= 100)
+    val base = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("apply_fim",
+        Dedup.portableHash(concat(col("doc_id"), lit(":fim")))
+          % 100 < fimRatePct)
+      .withColumn("c1",
+        Dedup.portableHash(concat(col("doc_id"), lit(":c1")))
+          % (col("n") - 1) + 1)
+      .withColumn("c2",
+        col("c1") + Dedup.portableHash(concat(col("doc_id"), lit(":c2")))
+          % (col("n") - col("c1")))
+    base.select(col("doc_id"), col("apply_fim").as("fim"),
+      when(col("apply_fim"),
+        concat(lit("<fim_pre> "),
+          array_join(slice(col("toks"), lit(1), col("c1").cast("int")), " "),
+          lit(" <fim_suf> "),
+          array_join(expr("slice(toks, c2 + 1, cast(n - c2 as int))"), " "),
+          lit(" <fim_mid> "),
+          array_join(expr("slice(toks, c1 + 1, cast(c2 - c1 as int))"), " ")))
+        .otherwise(array_join(col("toks"), " ")).as("text_out"),
+      when(col("apply_fim"), col("c1")).otherwise(col("n")).as("n_prefix"),
+      when(col("apply_fim"), col("c2") - col("c1")).otherwise(lit(0L))
+        .as("n_middle"),
+      when(col("apply_fim"), col("n") - col("c2")).otherwise(lit(0L))
+        .as("n_suffix"))
+  }
+
+  /** DuckDB replay of [[fimTransform]] (same hash decisions and cuts,
+    * same PSM assembly; empty middle/suffix slices agg to '').
+    */
+  def fimOracleSql(fimRatePct: Long = 50L, table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text"): String = {
+    def h(salt: String) =
+      s"('0x' || substr(md5(doc_id || ':$salt'), 1, 15))::BIGINT"
+    s"""WITH base AS (
+       |  SELECT $idCol::BIGINT AS doc_id, ${toksSql(textCol)} AS toks,
+       |         len(${toksSql(textCol)})::BIGINT AS n
+       |  FROM $table WHERE len(${toksSql(textCol)}) >= 2),
+       |cuts AS (
+       |  SELECT doc_id, toks, n,
+       |         ${h("fim")} % 100 < $fimRatePct AS apply_fim,
+       |         ${h("c1")} % (n - 1) + 1 AS c1
+       |  FROM base),
+       |cuts2 AS (
+       |  SELECT *, c1 + ${h("c2")} % (n - c1) AS c2 FROM cuts)
+       |SELECT doc_id, apply_fim AS fim,
+       |       CASE WHEN apply_fim THEN
+       |         '<fim_pre> ' || coalesce(array_to_string(toks[1:c1], ' '), '')
+       |         || ' <fim_suf> '
+       |         || coalesce(array_to_string(toks[c2+1:n], ' '), '')
+       |         || ' <fim_mid> '
+       |         || coalesce(array_to_string(toks[c1+1:c2], ' '), '')
+       |       ELSE array_to_string(toks, ' ') END AS text_out,
+       |       CASE WHEN apply_fim THEN c1 ELSE n END AS n_prefix,
+       |       CASE WHEN apply_fim THEN c2 - c1 ELSE 0 END AS n_middle,
+       |       CASE WHEN apply_fim THEN n - c2 ELSE 0 END AS n_suffix
+       |FROM cuts2""".stripMargin
+  }
 }

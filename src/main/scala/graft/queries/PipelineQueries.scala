@@ -757,6 +757,12 @@ object PipelineQueries {
     "q_text_zipf" -> ((s, d) =>
       TextAnalysis.zipfFit(docs(s, d), "text", topN = 100)),
 
+    // --- fill-in-the-middle: PSM reordering at deterministic hash cuts,
+    // 50% apply rate, verbatim passthrough otherwise (oracle-checked) ---
+    "q_text_fim" -> ((s, d) =>
+      TextAnalysis.fimTransform(docs(s, d), "doc_id", "text",
+        fimRatePct = 50L)),
+
     // --- T5 span corruption: deterministic hash-selected token spans
     // masked to sentinels, (input, target) training pairs
     // (oracle-checked) ---
@@ -1285,6 +1291,8 @@ object PipelineQueries {
 
     "q_text_span_corrupt" ->
       TextAnalysis.spanCorruptOracleSql(spanLen = 3, everyK = 12L),
+
+    "q_text_fim" -> TextAnalysis.fimOracleSql(fimRatePct = 50L),
 
     "q_text_goodturing" ->
       TextAnalysis.goodTuringOracleSql(maxR = 10, ngram = 3),

@@ -643,4 +643,32 @@ class TextSpec extends SparkSpec {
     assert(out(1L)._3 > 0, "the 80-token doc should mask something")
   }
 
+
+  test("fimTransform: PSM reassembly reproduces the text, counts add up") {
+    import graft.operators.TextAnalysis
+    val docs = (1L to 40L).map(i =>
+      (i, (1 to 30).map(j => s"w${(i * 31 + j * 7) % 53}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.fimTransform(docs, "doc_id", "text", 50L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.length == 40)
+    val fimmed = out.filter(_._2)
+    assert(fimmed.nonEmpty && fimmed.length < 40) // rate ~50%, not 0/100
+    for ((id, _, txt, np, nm, ns) <- fimmed) {
+      assert(np + nm + ns == 30, s"doc $id counts")
+      // <fim_pre> P <fim_suf> S <fim_mid> M  →  P M S == original
+      val m = "<fim_pre> (.*) <fim_suf> (.*) <fim_mid>(.*)".r
+      val m(p, sfx, mid) = txt
+      val orig = docs.where(col("doc_id") === id)
+        .select(lower(col("text"))).collect()(0).getString(0)
+      assert((p + " " + mid.trim + " " + sfx).replaceAll(" +", " ").trim
+        == orig, s"doc $id reassembly")
+    }
+    for ((_, _, txt, np, nm, ns) <- out.filterNot(_._2)) {
+      assert(np == 30 && nm == 0 && ns == 0)
+      assert(!txt.contains("<fim_"))
+    }
+  }
+
 }
