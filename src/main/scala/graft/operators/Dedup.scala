@@ -1712,4 +1712,39 @@ object Dedup {
        |            ELSE ((SELECT count(*) FROM hit) * 1000000)
        |                 // (SELECT count(*) FROM cand) END::BIGINT
        |         AS precision_micro""".stripMargin
+
+  /** SOFT dedup weighting — downweight duplicates instead of dropping
+    * them (the SoftDeDup idea: hard removal throws away the signal that
+    * popular content IS popular; weighting each copy by 1/family_size
+    * keeps the corpus intact while the expected gradient matches the
+    * deduplicated one). Families are the canonical-fingerprint exact
+    * groups; every doc gets (family_key, family_size, weight_micro =
+    * 1e6 div size), ready to multiply into a loss-weight or sampling-
+    * probability column. One fingerprint aggregate + one join — the
+    * cheapest dedup-adjacent pass there is.
+    */
+  def softWeights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.select(col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val fams = keyed.groupBy(col("fp"))
+      .agg(count(lit(1)).as("family_size"))
+    keyed.join(fams, "fp")
+      .select(col("doc_id"), col("fp").as("family_key"),
+        col("family_size"),
+        expr("1000000 div family_size").as("weight_micro"))
+  }
+
+  /** DuckDB replay of [[softWeights]]. */
+  def softWeightsOracleSql(table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text"): String =
+    s"""WITH keyed AS (
+       |  SELECT $idCol::BIGINT AS doc_id,
+       |         md5(regexp_replace(regexp_replace(lower($textCol),
+       |           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
+       |  FROM $table),
+       |fams AS (
+       |  SELECT fp, count(*)::BIGINT AS family_size FROM keyed GROUP BY fp)
+       |SELECT k.doc_id, k.fp AS family_key, f.family_size,
+       |       (1000000 // f.family_size)::BIGINT AS weight_micro
+       |FROM keyed k JOIN fams f ON f.fp = k.fp""".stripMargin
 }

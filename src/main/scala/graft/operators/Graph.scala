@@ -640,4 +640,66 @@ object Graph {
        |                 // (deg.degree * (deg.degree - 1)) END::BIGINT
        |         AS clustering_micro
        |FROM deg LEFT JOIN pernode ON pernode.node = deg.node""".stripMargin
+
+  /** K-CORE membership by fixed-round peeling — the density skeleton of
+    * graph curation: the k-core is the maximal subgraph where every node
+    * keeps ≥ k neighbors, and dense spam clusters/link farms survive to
+    * far higher cores than organic neighborhoods (the companion signal
+    * to [[triangles]]' clustering coefficient). Each round drops nodes
+    * whose CURRENT degree (within the surviving set) fell below k; after
+    * enough rounds the set is the exact k-core. `rounds` is pinned (the
+    * [[pageRank]] fixed-iteration posture) so both engines replay the
+    * same prefix of the peeling; at the gate's round count the corpus
+    * converges (spec-checked: one extra round changes nothing). Returns
+    * (node, degree) of the surviving subgraph.
+    *
+    * Scale shape: per round, two node-set joins against the edge table +
+    * one degree aggregate — bounded shuffles; the surviving-set lineage
+    * is truncated per round with a lazy localCheckpoint (the node set is
+    * referenced by BOTH endpoint joins, so the composed tree would
+    * otherwise double per round — the [[hits]] hazard; swap for
+    * reliable checkpoint() against a checkpointDir on a cluster).
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 0)
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .transform(Caching.persist)
+    var nodes = degrees(e).where(col("degree") >= k)
+      .select(col("node")).localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val sub = e
+        .join(nodes.withColumnRenamed("node", "src"), "src")
+        .join(nodes.withColumnRenamed("node", "dst"), "dst")
+      nodes = sub.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("d"))
+        .where(col("d") >= k)
+        .select(col("node")).localCheckpoint(false)
+    }
+    e.join(nodes.withColumnRenamed("node", "src"), "src")
+      .join(nodes.withColumnRenamed("node", "dst"), "dst")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
+  /** DuckDB replay of [[kCore]] (one CTE per peeling round — the
+    * chained-CTE oracle pattern).
+    */
+  def kCoreOracleSql(edgesCte: String, k: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      val prev = s"n${i - 1}"
+      s"""n$i AS (
+         |  SELECT e.src AS node FROM e
+         |  JOIN $prev a ON a.node = e.src
+         |  JOIN $prev b ON b.node = e.dst
+         |  GROUP BY e.src HAVING count(*) >= $k)"""
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |e AS (SELECT DISTINCT src, dst FROM edges),
+       |n0 AS (
+       |  SELECT src AS node FROM e GROUP BY src HAVING count(*) >= $k),
+       |$roundCtes
+       |SELECT e.src AS node, count(*)::BIGINT AS degree FROM e
+       |JOIN n$rounds a ON a.node = e.src
+       |JOIN n$rounds b ON b.node = e.dst
+       |GROUP BY e.src""".stripMargin
+  }
 }

@@ -544,6 +544,12 @@ object PipelineQueries {
         all.where(col("doc_id") % 20 === 0), "doc_id", "text", n = 3)
     }),
 
+    // --- soft dedup: 1/family_size loss weights instead of hard drops —
+    // corpus stays intact, expected gradient matches the deduped one
+    // (oracle-checked) ---
+    "q_dedup_soft" -> ((s, d) =>
+      Dedup.softWeights(docs(s, d), "doc_id", "text")),
+
     // --- LSH quality evaluation: banded-MinHash recall/precision vs the
     // exact blocked-Jaccard truth in the same id window — measures the
     // banding parameters on THIS corpus (oracle replays both pipelines) ---
@@ -1307,6 +1313,8 @@ object PipelineQueries {
 
     "q_dedup_minhash_recall" ->
       Dedup.minhashRecallOracleSql(idWindow = 25L, threshold = 0.5),
+
+    "q_dedup_soft" -> Dedup.softWeightsOracleSql(),
 
     "q_text_label_noise" -> TextAnalysis.labelNoiseOracleSql(),
 

@@ -160,6 +160,14 @@ object ScaleQueries {
         t(s, d, "lineitem").where(col("l_partkey") % 3 === 0),
         "l_orderkey", "l_partkey"))),
 
+    // --- k-core membership by fixed-round peeling on the same vertex
+    // sample: the density skeleton next to triangles' clustering
+    // coefficient (oracle: one chained CTE per round) ---
+    "q_graph_kcore" -> ((s, d) =>
+      graft.operators.Graph.kCore(graft.operators.Graph.coEdges(
+        t(s, d, "lineitem").where(col("l_partkey") % 3 === 0),
+        "l_orderkey", "l_partkey"), k = 25, rounds = 3)),
+
     // --- label-propagation communities over the co-purchase graph:
     // deterministic synchronous LPA, argmax-count / min-label tie-break,
     // every round an ordinary two-phase aggregate (oracle-checked) ---
@@ -197,6 +205,11 @@ object ScaleQueries {
     "q_graph_triangles" -> graft.operators.Graph.trianglesOracleSql(
       graft.operators.Graph.coEdgesSql("l_orderkey", "l_partkey",
         "(SELECT * FROM lineitem WHERE l_partkey % 3 = 0)")),
+
+    "q_graph_kcore" -> graft.operators.Graph.kCoreOracleSql(
+      graft.operators.Graph.coEdgesSql("l_orderkey", "l_partkey",
+        "(SELECT * FROM lineitem WHERE l_partkey % 3 = 0)"),
+      k = 25, rounds = 3),
 
     "q_graph_lpa" -> graft.operators.Graph.labelPropagationOracleSql(
       "l_orderkey", "l_partkey", "lineitem", iters = 4),

@@ -107,6 +107,12 @@ object StreamQueries {
     "q_stream_transitions" -> ((s, d) =>
       graft.streaming.EventStreams.transitions(events(s, d))),
 
+    // --- RFM behavioral segmentation: per-user recency/frequency/
+    // monetary with global quintile scores on exact integer carriers
+    // (oracle-checked) ---
+    "q_stream_rfm" -> ((s, d) =>
+      graft.streaming.EventStreams.rfmScores(events(s, d), nTiles = 5)),
+
     // --- last-touch conversion attribution: each purchase credited to
     // the user's nearest click/view within 6h, else 'direct'
     // (oracle-checked) ---
@@ -299,6 +305,8 @@ object StreamQueries {
       graft.streaming.EventStreams.attributionOracleSql(
         convType = "purchase", touchTypes = Seq("click", "view"),
         lookbackSec = 6L * 3600),
+
+    "q_stream_rfm" -> graft.streaming.EventStreams.rfmOracleSql(nTiles = 5),
 
     "q_stream_anomaly" -> graft.streaming.EventStreams.rateAnomalyOracleSql(
       bucketSec = 3600L, trail = 12, thresholdMicro = 2000000L),

@@ -919,4 +919,86 @@ object EventStreams {
        |       ((n * 1000000) // sum(n) OVER (PARTITION BY from_type))::BIGINT
        |         AS p_micro
        |FROM m""".stripMargin
+
+  /** RFM (recency / frequency / monetary) user scoring — the classical
+    * behavioral segmentation: per user, days since last event (relative
+    * to the corpus's own max timestamp, so the score is a pure function
+    * of the data), event count, and total value; each dimension then
+    * bucketed 1..`nTiles` by global quantile cutpoints (percentile_disc
+    * order statistics — exact, engine-portable). Recency scores INVERT
+    * (recent = high), the marketing convention.
+    *
+    * Exactness: days are integer epoch-day arithmetic; monetary sums
+    * micro-rounded BIGINTs per event (a raw double sum would be
+    * partition-order-dependent); the cutpoint rule is the shared
+    * [[graft.operators.Profile.curriculumBuckets]] "1 + #cuts strictly
+    * below" convention. Shape: one user-keyed aggregate + a broadcast
+    * 1-row cutpoint table + a map-only score projection.
+    */
+  def rfmScores(events: DataFrame, nTiles: Int = 5): DataFrame = {
+    require(nTiles >= 2)
+    val qs = (1 until nTiles).map(i => i.toDouble / nTiles)
+    val perUser = events.select(col("user_id"),
+        expr("unix_timestamp(ts) div 86400").as("day"),
+        expr("CAST(ROUND(value * 1000000, 0) AS BIGINT)").as("v_micro"))
+      .groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("frequency"),
+        sum(col("v_micro")).as("monetary_micro"))
+    val withRec = perUser
+      .crossJoin(broadcast(perUser.agg(max(col("last_day")).as("as_of"))))
+      .select(col("user_id"),
+        (col("as_of") - col("last_day")).as("recency_days"),
+        col("frequency"), col("monetary_micro"))
+    def cutsOf(c: String) = array(qs.map(q =>
+      expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY $c)")): _*)
+    val cuts = withRec.agg(
+      cutsOf("recency_days").as("rc"),
+      cutsOf("frequency").as("fc"),
+      cutsOf("monetary_micro").as("mc"))
+    def score(v: Column, cutArr: Column) =
+      (lit(1) + size(filter(cutArr, c => v > c))).cast("long")
+    withRec.crossJoin(broadcast(cuts))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_micro"),
+        (lit(nTiles + 1L) - score(col("recency_days"), col("rc")))
+          .as("r_score"),
+        score(col("frequency"), col("fc")).as("f_score"),
+        score(col("monetary_micro"), col("mc")).as("m_score"))
+  }
+
+  /** DuckDB replay of [[rfmScores]] (same integer day/micro carriers,
+    * same quantile_disc cutpoints and strictly-below bucket rule).
+    */
+  def rfmOracleSql(nTiles: Int = 5, table: String = "events"): String = {
+    val qs = (1 until nTiles).map(i => i.toDouble / nTiles)
+      .mkString("[", ", ", "]")
+    s"""WITH peruser AS (
+       |  SELECT user_id,
+       |         max(epoch_us(ts::TIMESTAMP) // 1000000 // 86400)
+       |           AS last_day,
+       |         count(*)::BIGINT AS frequency,
+       |         sum(round(value * 1000000)::BIGINT)::BIGINT
+       |           AS monetary_micro
+       |  FROM $table GROUP BY user_id),
+       |rec AS (
+       |  SELECT user_id,
+       |         ((SELECT max(last_day) FROM peruser) - last_day)::BIGINT
+       |           AS recency_days,
+       |         frequency, monetary_micro
+       |  FROM peruser),
+       |cuts AS (
+       |  SELECT quantile_disc(recency_days, $qs) AS rc,
+       |         quantile_disc(frequency, $qs) AS fc,
+       |         quantile_disc(monetary_micro, $qs) AS mc
+       |  FROM rec)
+       |SELECT user_id, recency_days, frequency, monetary_micro,
+       |       ($nTiles + 1 -
+       |        (1 + len(list_filter(rc, c -> recency_days > c))))::BIGINT
+       |         AS r_score,
+       |       (1 + len(list_filter(fc, c -> frequency > c)))::BIGINT
+       |         AS f_score,
+       |       (1 + len(list_filter(mc, c -> monetary_micro > c)))::BIGINT
+       |         AS m_score
+       |FROM rec, cuts""".stripMargin
+  }
 }

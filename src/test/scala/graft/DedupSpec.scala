@@ -581,4 +581,17 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(4) >= 500000L, "precision floor")
   }
 
+
+  test("softWeights: 1/family_size, case/punct variants share a family") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "Hello, World!"), (2L, "hello world"), (3L, "HELLO  world."),
+      (4L, "unique text here")).toDF("doc_id", "text")
+    val w = Dedup.softWeights(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(w(1L) == ((3L, 333333L)))
+    assert(w(2L) == ((3L, 333333L)) && w(3L) == ((3L, 333333L)))
+    assert(w(4L) == ((1L, 1000000L)))
+  }
+
 }

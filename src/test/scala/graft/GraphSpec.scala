@@ -208,4 +208,24 @@ class GraphSpec extends SparkSpec {
     assert(capped == Map(1L -> ((1L, 0L)), 2L -> ((1L, 0L))))
   }
 
+
+  test("kCore: peels the pendant chain, keeps the clique, converges") {
+    import graft.operators.Graph
+    // 4-clique {1,2,3,4} plus a chain 4-5-6: 2-core = the clique after
+    // two peeling rounds (6 drops, then 5, then 4's degree is still 3)
+    val half = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (4L,5L),(5L,6L))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val core = Graph.kCore(edges, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.keySet == Set(1L, 2L, 3L, 4L))
+    assert(core.values.forall(_ == 3L)) // clique degrees within the core
+    // converged: one more round changes nothing
+    val core4 = Graph.kCore(edges, k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core4 == core)
+    // k above the max degree empties the graph
+    assert(Graph.kCore(edges, k = 5, rounds = 2).count() == 0)
+  }
+
 }

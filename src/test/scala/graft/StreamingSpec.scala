@@ -547,4 +547,22 @@ class StreamingSpec extends SparkSpec {
     val firstT = run(false)
     assert(firstT(12L) == (("click", 10L)))
   }
+
+  test("rfmScores: exact carriers, quintile direction, recency inversion") {
+    import graft.streaming.EventStreams
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def t(d: Int) = new java.sql.Timestamp(t0.getTime + d * 86400000L)
+    // user 1: recent + busy + big; user 2: stale + sparse + small
+    val ev = (
+      (1 to 10).map(i => (1L, t(i), i.toLong * 10, "click", 5.5)) ++
+      Seq((2L, t(0), 900L, "click", 0.25))
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val r = EventStreams.rfmScores(ev, nTiles = 2)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3),
+         x.getLong(4), x.getLong(5), x.getLong(6))).toMap
+    assert(r(1L) == ((0L, 10L, 55000000L, 2L, 2L, 2L))) // recent -> HIGH r
+    assert(r(2L) == ((10L, 1L, 250000L, 1L, 1L, 1L)))
+  }
+
 }
