@@ -81,9 +81,14 @@ object Bench {
       val family = name.split("_")(1)
       if (clearMode.contains("family") && family != lastFamily) {
         // release operator persists from previous families; re-cache the
-        // base table views (their decode cost was billed to the first run)
+        // base table views EAGERLY (a lazy .cache() would bill each
+        // family's first query the full parquet re-decode, conflating
+        // re-decode cost with the persist-release effect under test) —
+        // the count() runs before this query's t0, outside any timing
         spark.catalog.clearCache()
-        graft.sources.Tables.names.foreach(n => spark.table(n).cache())
+        graft.sources.Tables.names.foreach { n =>
+          spark.table(n).cache(); spark.table(n).count()
+        }
       }
       lastFamily = family
       val t0 = System.nanoTime()

@@ -1724,8 +1724,11 @@ object Dedup {
     * cheapest dedup-adjacent pass there is.
     */
   def softWeights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keyed = df.select(col(idCol).cast("long").as("doc_id"),
-      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    // persisted: keyed feeds both the family aggregate and the join probe
+    // — unpersisted, the md5 projection would scan the corpus twice
+    val keyed = Caching.persist(
+      df.select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp")))
     val fams = keyed.groupBy(col("fp"))
       .agg(count(lit(1)).as("family_size"))
     keyed.join(fams, "fp")

@@ -684,19 +684,20 @@ object Graph {
     * chained-CTE oracle pattern).
     */
   def kCoreOracleSql(edgesCte: String, k: Int, rounds: Int): String = {
+    // rounds = 0 must not leave a dangling comma before the final SELECT
     val roundCtes = (1 to rounds).map { i =>
       val prev = s"n${i - 1}"
-      s"""n$i AS (
+      s""",
+         |n$i AS (
          |  SELECT e.src AS node FROM e
          |  JOIN $prev a ON a.node = e.src
          |  JOIN $prev b ON b.node = e.dst
-         |  GROUP BY e.src HAVING count(*) >= $k)"""
-    }.mkString(",\n")
+         |  GROUP BY e.src HAVING count(*) >= $k)""".stripMargin
+    }.mkString
     s"""WITH $edgesCte,
        |e AS (SELECT DISTINCT src, dst FROM edges),
        |n0 AS (
-       |  SELECT src AS node FROM e GROUP BY src HAVING count(*) >= $k),
-       |$roundCtes
+       |  SELECT src AS node FROM e GROUP BY src HAVING count(*) >= $k)$roundCtes
        |SELECT e.src AS node, count(*)::BIGINT AS degree FROM e
        |JOIN n$rounds a ON a.node = e.src
        |JOIN n$rounds b ON b.node = e.dst

@@ -2128,14 +2128,15 @@ object TextAnalysis {
       col(idCol).cast("long").as("doc_id"),
       tokens(col(textCol)).as("toks"),
       filter(split(col(textCol), "\\s+"), t => t =!= "").as("rtoks")))
+    // ONE posexplode of the zipped token layouts: a (doc, pos) self-join
+    // of two explodes would re-shuffle every token AND cross-match rows
+    // if an id ever repeated; the zip is map-only and structurally
+    // cannot (both arrays come from the same \s+ split, so they align)
     val pos = base.where(size(col("toks")) >= 1)
-      .select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("toks"), col("rtoks"))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        col("col").as("tok"))
-      .join(base.select(col("doc_id"),
-        posexplode(col("rtoks")).as(Seq("rp", "rtok")))
-        .select(col("doc_id"), (col("rp") + 1).cast("long").as("pos"),
-          col("rtok")), Seq("doc_id", "pos"))
+        col("col.toks").as("tok"), col("col.rtoks").as("rtok"))
       .withColumn("h", Dedup.portableHash(col("tok")) % P)
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     // fp(pos) = sum_{j=0..w-1} h(pos-j) * B^(w-1-j)  mod P — the same
@@ -2357,8 +2358,12 @@ object TextAnalysis {
     * (prefix, middle, suffix) at two deterministic points and emit the
     * PSM re-ordering `<fim_pre> prefix <fim_suf> suffix <fim_mid>
     * middle`, plus the three token counts for mixture accounting. Docs
-    * hash-selected out of the `fimRate` fraction pass through verbatim
-    * with fim = false (the paper's 50/50 regime at rate 50).
+    * hash-selected out of the `fimRate` fraction — and docs too short to
+    * cut (fewer than 2 tokens, including empty) — pass through with
+    * fim = false as the canonical token re-join (lowercased,
+    * whitespace-normalized: the SAME token stream the FIM branch
+    * re-orders, so the two populations mix cleanly), the paper's 50/50
+    * regime at rate 50. Every input doc emits exactly one row.
     *
     * Determinism: the apply decision and both cut points derive from the
     * shared portable md5 of (doc, salt) — cut1 ∈ [1, n−1], cut2 ∈
@@ -2372,17 +2377,21 @@ object TextAnalysis {
     val base = df
       .select(col(idCol).cast("long").as("doc_id"),
         tokens(col(textCol)).as("toks"))
-      .where(size(col("toks")) >= 2)
       .withColumn("n", size(col("toks")).cast("long"))
       .withColumn("apply_fim",
-        Dedup.portableHash(concat(col("doc_id"), lit(":fim")))
-          % 100 < fimRatePct)
+        col("n") >= 2 &&
+          Dedup.portableHash(concat(col("doc_id"), lit(":fim")))
+            % 100 < fimRatePct)
+      // the cut moduli are guarded by apply_fim (n >= 2): n - 1 = 0 for a
+      // 1-token doc would be an ANSI modulo-by-zero in the taken branch
       .withColumn("c1",
-        Dedup.portableHash(concat(col("doc_id"), lit(":c1")))
-          % (col("n") - 1) + 1)
+        when(col("apply_fim"),
+          Dedup.portableHash(concat(col("doc_id"), lit(":c1")))
+            % (col("n") - 1) + 1).otherwise(lit(1L)))
       .withColumn("c2",
-        col("c1") + Dedup.portableHash(concat(col("doc_id"), lit(":c2")))
-          % (col("n") - col("c1")))
+        when(col("apply_fim"),
+          col("c1") + Dedup.portableHash(concat(col("doc_id"), lit(":c2")))
+            % (col("n") - col("c1"))).otherwise(lit(1L)))
     base.select(col("doc_id"), col("apply_fim").as("fim"),
       when(col("apply_fim"),
         concat(lit("<fim_pre> "),
@@ -2409,14 +2418,17 @@ object TextAnalysis {
     s"""WITH base AS (
        |  SELECT $idCol::BIGINT AS doc_id, ${toksSql(textCol)} AS toks,
        |         len(${toksSql(textCol)})::BIGINT AS n
-       |  FROM $table WHERE len(${toksSql(textCol)}) >= 2),
+       |  FROM $table),
        |cuts AS (
        |  SELECT doc_id, toks, n,
-       |         ${h("fim")} % 100 < $fimRatePct AS apply_fim,
-       |         ${h("c1")} % (n - 1) + 1 AS c1
+       |         n >= 2 AND ${h("fim")} % 100 < $fimRatePct AS apply_fim,
+       |         CASE WHEN n >= 2 AND ${h("fim")} % 100 < $fimRatePct
+       |              THEN ${h("c1")} % (n - 1) + 1 ELSE 1 END AS c1
        |  FROM base),
        |cuts2 AS (
-       |  SELECT *, c1 + ${h("c2")} % (n - c1) AS c2 FROM cuts)
+       |  SELECT *, CASE WHEN apply_fim
+       |            THEN c1 + ${h("c2")} % (n - c1) ELSE 1 END AS c2
+       |  FROM cuts)
        |SELECT doc_id, apply_fim AS fim,
        |       CASE WHEN apply_fim THEN
        |         '<fim_pre> ' || coalesce(array_to_string(toks[1:c1], ' '), '')
@@ -2424,7 +2436,7 @@ object TextAnalysis {
        |         || coalesce(array_to_string(toks[c2+1:n], ' '), '')
        |         || ' <fim_mid> '
        |         || coalesce(array_to_string(toks[c1+1:c2], ' '), '')
-       |       ELSE array_to_string(toks, ' ') END AS text_out,
+       |       ELSE coalesce(array_to_string(toks, ' '), '') END AS text_out,
        |       CASE WHEN apply_fim THEN c1 ELSE n END AS n_prefix,
        |       CASE WHEN apply_fim THEN c2 - c1 ELSE 0 END AS n_middle,
        |       CASE WHEN apply_fim THEN n - c2 ELSE 0 END AS n_suffix

@@ -938,19 +938,26 @@ object EventStreams {
   def rfmScores(events: DataFrame, nTiles: Int = 5): DataFrame = {
     require(nTiles >= 2)
     val qs = (1 until nTiles).map(i => i.toDouble / nTiles)
-    val perUser = events.select(col("user_id"),
-        expr("unix_timestamp(ts) div 86400").as("day"),
-        expr("CAST(ROUND(value * 1000000, 0) AS BIGINT)").as("v_micro"))
-      .groupBy(col("user_id"))
-      .agg(max(col("day")).as("last_day"), count(lit(1)).as("frequency"),
-        sum(col("v_micro")).as("monetary_micro"))
+    // persisted: the user table feeds the as-of max, the cutpoint
+    // aggregate AND the output projection — unpersisted, one action would
+    // re-aggregate the events ~4x
+    val perUser = graft.operators.Caching.persist(
+      events.select(col("user_id"),
+          expr("unix_timestamp(ts) div 86400").as("day"),
+          expr("CAST(ROUND(value * 1000000, 0) AS BIGINT)").as("v_micro"))
+        .groupBy(col("user_id"))
+        .agg(max(col("day")).as("last_day"), count(lit(1)).as("frequency"),
+          sum(col("v_micro")).as("monetary_micro")))
     val withRec = perUser
       .crossJoin(broadcast(perUser.agg(max(col("last_day")).as("as_of"))))
       .select(col("user_id"),
         (col("as_of") - col("last_day")).as("recency_days"),
         col("frequency"), col("monetary_micro"))
+    // cutpoints cast back to BIGINT: Spark's percentile_disc returns
+    // DOUBLE even over BIGINT input, and a long-vs-double compare
+    // diverges from the oracle's BIGINT quantile_disc beyond 2^53
     def cutsOf(c: String) = array(qs.map(q =>
-      expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY $c)")): _*)
+      expr(s"CAST(percentile_disc($q) WITHIN GROUP (ORDER BY $c) AS BIGINT)")): _*)
     val cuts = withRec.agg(
       cutsOf("recency_days").as("rc"),
       cutsOf("frequency").as("fc"),

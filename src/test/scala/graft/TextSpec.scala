@@ -646,13 +646,15 @@ class TextSpec extends SparkSpec {
 
   test("fimTransform: PSM reassembly reproduces the text, counts add up") {
     import graft.operators.TextAnalysis
-    val docs = (1L to 40L).map(i =>
+    val docs = ((1L to 40L).map(i =>
       (i, (1 to 30).map(j => s"w${(i * 31 + j * 7) % 53}").mkString(" ")))
-      .toDF("doc_id", "text")
+      :+ (98L, "solo") :+ (99L, "")).toDF("doc_id", "text")
     val out = TextAnalysis.fimTransform(docs, "doc_id", "text", 50L)
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
         r.getLong(3), r.getLong(4), r.getLong(5)))
-    assert(out.length == 40)
+    assert(out.length == 42) // short and empty docs still emit a row
+    assert(out.find(_._1 == 98L).get == ((98L, false, "solo", 1L, 0L, 0L)))
+    assert(out.find(_._1 == 99L).get == ((99L, false, "", 0L, 0L, 0L)))
     val fimmed = out.filter(_._2)
     assert(fimmed.nonEmpty && fimmed.length < 40) // rate ~50%, not 0/100
     for ((id, _, txt, np, nm, ns) <- fimmed) {
@@ -665,7 +667,7 @@ class TextSpec extends SparkSpec {
       assert((p + " " + mid.trim + " " + sfx).replaceAll(" +", " ").trim
         == orig, s"doc $id reassembly")
     }
-    for ((_, _, txt, np, nm, ns) <- out.filterNot(_._2)) {
+    for ((id, _, txt, np, nm, ns) <- out.filterNot(_._2) if id < 90L) {
       assert(np == 30 && nm == 0 && ns == 0)
       assert(!txt.contains("<fim_"))
     }
