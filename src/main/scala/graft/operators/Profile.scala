@@ -675,4 +675,114 @@ object Profile {
        |UNION ALL SELECT 'docs:source=' || source, count(*)::BIGINT
        |  FROM base GROUP BY source""".stripMargin
   }
+
+  /** Cohen's kappa (Cohen 1960) between two label columns — the
+    * inter-annotator / classifier-vs-metadata agreement statistic every
+    * labeled-data QA pass reports (chance-corrected, unlike raw accuracy:
+    * a majority-class rater scores near 0, not near the majority share).
+    *
+    * Exact rational form over N rows with confusion counts n_ij, row
+    * marginals r_k, column marginals c_k:
+    *   kappa = (N·Σ_k n_kk − Σ_k r_k·c_k) / (N² − Σ_k r_k·c_k)
+    * Both numerator and denominator are exact BIGINTs, so the oracle
+    * replays them bit-for-bit; `kappa_micro` truncates toward zero via the
+    * sign·(abs·1e6 div abs) construction (kappa can be negative, and Spark's
+    * `div` truncates while DuckDB's `//` floors — the abs form makes both
+    * engines agree). Degenerate den = 0 (one label on both sides) reports
+    * the perfect-agreement convention 1e6.
+    *
+    * Scale shape: one confusion-matrix aggregate (bounded by label-space²,
+    * never corpus-sized), two marginal re-aggregates of that tiny table, a
+    * label-keyed join of the marginals, and 1-row cross joins — the corpus
+    * is touched exactly once. N² caps the carrier at ~3e9 rows per call;
+    * beyond that (a 100 TB corpus scored whole) run per-stratum and pool,
+    * or swap the three products onto DECIMAL(38,0).
+    */
+  def agreementKappa(df: DataFrame, goldCol: String,
+      predCol: String): DataFrame = {
+    val conf = Caching.persist(
+      df.groupBy(col(goldCol).as("gold"), col(predCol).as("pred"))
+        .agg(count(lit(1)).as("n")))
+    val tot = conf.agg(coalesce(sum(col("n")), lit(0L)).as("n_rows"))
+    val agree = conf.where(col("gold") === col("pred"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("agree"))
+    val rows = conf.groupBy(col("gold").as("lab")).agg(sum(col("n")).as("rn"))
+    val cols = conf.groupBy(col("pred").as("lab")).agg(sum(col("n")).as("cn"))
+    val pe = rows.join(cols, "lab")
+      .agg(coalesce(sum(col("rn") * col("cn")), lit(0L)).as("pe_w"))
+    tot.crossJoin(agree).crossJoin(pe)
+      .select(col("n_rows"), col("agree"), col("pe_w"),
+        (col("n_rows") * col("agree") - col("pe_w")).as("kappa_num"),
+        (col("n_rows") * col("n_rows") - col("pe_w")).as("kappa_den"))
+      .withColumn("kappa_micro",
+        when(col("kappa_den") === 0, lit(1000000L)).otherwise(
+          signum(col("kappa_num")).cast("long") *
+            expr("(abs(kappa_num) * 1000000) div abs(kappa_den)")))
+  }
+
+  /** DuckDB replay of [[agreementKappa]]. `predCtes` is a WITH-fragment
+    * (without the `WITH` keyword) whose final CTE must be
+    * `p(gold, pred)` — one row per rated item.
+    */
+  def kappaOracleSql(predCtes: String): String =
+    s"""WITH $predCtes,
+       |conf AS (SELECT gold, pred, count(*)::BIGINT AS n FROM p GROUP BY 1, 2),
+       |tot AS (SELECT coalesce(sum(n), 0)::BIGINT AS n_rows FROM conf),
+       |agr AS (SELECT coalesce(sum(n), 0)::BIGINT AS agree FROM conf
+       |        WHERE gold = pred),
+       |marg AS (
+       |  SELECT coalesce(sum(rn * cn), 0)::BIGINT AS pe_w
+       |  FROM (SELECT gold AS lab, sum(n)::BIGINT AS rn FROM conf GROUP BY 1)
+       |  JOIN (SELECT pred AS lab, sum(n)::BIGINT AS cn FROM conf GROUP BY 1)
+       |  USING (lab))
+       |SELECT n_rows, agree, pe_w,
+       |       n_rows * agree - pe_w AS kappa_num,
+       |       n_rows * n_rows - pe_w AS kappa_den,
+       |       CASE WHEN n_rows * n_rows - pe_w = 0 THEN 1000000
+       |            ELSE (CASE WHEN n_rows * agree - pe_w < 0 THEN -1 ELSE 1 END)
+       |                 * (abs(n_rows * agree - pe_w) * 1000000
+       |                    // abs(n_rows * n_rows - pe_w)) END AS kappa_micro
+       |FROM tot, agr, marg""".stripMargin
+
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et al.
+    * 2007) — the privacy QA gate before a corpus with user-derived metadata
+    * ships: every quasi-identifier combination (the columns an attacker can
+    * link on) must cover ≥ k individuals, and the sensitive attribute must
+    * take ≥ l distinct values inside each group or the group's members are
+    * re-identifiable / attribute-disclosable.
+    *
+    * Returns one row per quasi-identifier group: the group's quasi values,
+    * its population `n`, `l_distinct` sensitive values, and the two
+    * violation flags. Suppression/generalisation (the repair) is a caller
+    * policy — the audit reports, it does not mutate.
+    *
+    * Scale shape: ONE hash aggregate over the corpus (count + exact
+    * count-distinct via the two-level (quasi, sensitive) pre-aggregate —
+    * never a corpus-wide distinct shuffle of raw rows); output cardinality
+    * is the quasi-combination count, which a sane quasi set keeps bounded.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      k: Long, l: Long = 2L): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1 && l >= 1)
+    val q = quasiCols.map(col)
+    df.groupBy(q :+ col(sensitiveCol).as("__s"): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(q: _*)
+      .agg(sum(col("__n")).as("n"), count(lit(1)).as("l_distinct"))
+      .select(q ++ Seq(col("n"), col("l_distinct"),
+        (col("n") < k).as("violates_k"),
+        (col("l_distinct") < l).as("violates_l")): _*)
+  }
+
+  /** DuckDB replay of [[kAnonymity]]. */
+  def kAnonymityOracleSql(table: String, quasiCols: Seq[String],
+      sensitiveExpr: String, k: Long, l: Long = 2L): String = {
+    val qs = quasiCols.mkString(", ")
+    s"""WITH cells AS (
+       |  SELECT $qs, $sensitiveExpr AS s, count(*)::BIGINT AS n
+       |  FROM $table GROUP BY ${(1 to quasiCols.size + 1).mkString(", ")})
+       |SELECT $qs, sum(n)::BIGINT AS n, count(*)::BIGINT AS l_distinct,
+       |       sum(n) < $k AS violates_k, count(*) < $l AS violates_l
+       |FROM cells GROUP BY ${(1 to quasiCols.size).mkString(", ")}""".stripMargin
+  }
 }

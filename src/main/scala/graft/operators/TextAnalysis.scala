@@ -123,6 +123,44 @@ object TextAnalysis {
       s" ELSE len(list_filter($toks, x -> list_contains($sw, x)))::DOUBLE / len($toks)::DOUBLE END) * 5, 1.0) * 0.3)"
   }
 
+  /** WITH-fragment (no `WITH` keyword) replaying gold = `langCol`,
+    * pred = [[langId]]`(textCol)` per document; the final CTE is
+    * `p(gold, pred)`. Score lists and the tie-break CASE are GENERATED
+    * from [[langProfiles]] (ties toward the later code, matching Spark's
+    * `array_max` over struct(score, code)) so the Spark heuristic and its
+    * replay cannot drift. Shared by the `q_text_langid` confusion oracle
+    * and the Cohen's-kappa agreement oracle.
+    */
+  def langIdPredCtes(table: String = "documents", langCol: String = "lang",
+      textCol: String = "text"): String = {
+    val codes = langProfiles.keys.toSeq.sorted
+    val scoreDefs = codes.map { c =>
+      val lst = langProfiles(c).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, x -> list_contains([$lst], x))) AS s_$c"
+    }.mkString(",\n    ")
+    val greatest = codes.map(c => s"s_$c").mkString(", ")
+    val cases = codes.reverse.init.map { c =>
+      val others = codes.filter(_ < c).map(o => s"s_$c >= s_$o")
+        .mkString(" AND ")
+      s"WHEN $others THEN '$c'"
+    }.mkString("\n            ")
+    s"""t AS (
+       |  SELECT $langCol AS gold, $textCol AS text,
+       |         ${toksSql(textCol)} AS toks
+       |  FROM $table),
+       |s AS (
+       |  SELECT gold, text,
+       |    $scoreDefs
+       |  FROM t),
+       |p AS (
+       |  SELECT gold,
+       |       CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |            WHEN greatest($greatest) = 0 THEN 'und'
+       |            $cases
+       |            ELSE '${codes.head}' END AS pred
+       |  FROM s)""".stripMargin
+  }
+
   /** Canonical document fingerprint: md5 of lowercased text with
     * non-alphanumerics stripped and whitespace collapsed. Two docs that
     * differ only in case/punctuation/spacing collide — the exact-dedup key.

@@ -208,6 +208,15 @@ object PipelineQueries {
       .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
       .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))),
 
+    // --- Cohen's kappa: chance-corrected agreement between the langId
+    // prediction and the gold lang label — the labeled-data QA statistic,
+    // exact BIGINT num/den (oracle-checked) ---
+    "q_pipeline_kappa" -> ((s, d) =>
+      graft.operators.Profile.agreementKappa(
+        docs(s, d).select(col("lang").as("gold"),
+          TextAnalysis.langId(col("text")).as("pred")),
+        "gold", "pred")),
+
     // --- sliding-window chunking for training pipelines (oracle-checked) ---
     "q_text_chunk" -> ((s, d) =>
       TextAnalysis.chunk(docs(s, d), "doc_id", "text", window = 32, stride = 24)),
@@ -1394,31 +1403,20 @@ object PipelineQueries {
     // entries can never drift apart
     "q_dedup_bloom" -> incrementalIngestOracle,
 
-    // faithful DuckDB replication of TextAnalysis.langId: per-language
-    // marker-word hit counts, argmax with ties toward the later code
-    // (matching Spark's struct(score, code) array_max ordering), CJK
-    // short-circuit, 'und' when nothing scores
+    // faithful DuckDB replication of TextAnalysis.langId: the shared
+    // langIdPredCtes fragment (score lists + tie-break CASE generated from
+    // langProfiles — ties toward the later code, matching Spark's
+    // struct(score, code) array_max ordering; CJK short-circuit, 'und'
+    // when nothing scores)
     "q_text_langid" ->
-      s"""WITH t AS (
-        |  SELECT lang, text,
-        |         ${TextAnalysis.toksSql("text")} AS toks
-        |  FROM documents),
-        |s AS (
-        |  SELECT lang, text,
-        |    len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','ein','mit','zu','den'], x))) AS s_de,
-        |    len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','it','that','was','for'], x))) AS s_en,
-        |    len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','los','se','por'], x))) AS s_es,
-        |    len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','une','dans','que','pour'], x))) AS s_fr
-        |  FROM t)
-        |SELECT lang,
-        |       CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-        |            WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-        |            WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
-        |            WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
-        |            WHEN s_en >= s_de THEN 'en'
-        |            ELSE 'de' END AS predicted,
-        |       count(*) AS n
-        |FROM s GROUP BY 1, 2""".stripMargin,
+      s"""WITH ${TextAnalysis.langIdPredCtes()}
+        |SELECT gold AS lang, pred AS predicted, count(*) AS n
+        |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // Cohen's kappa over the same prediction fragment — confusion-matrix
+    // marginals in exact BIGINTs, sign-safe micro truncation
+    "q_pipeline_kappa" -> graft.operators.Profile.kappaOracleSql(
+      TextAnalysis.langIdPredCtes()),
 
     "q_text_chunk" ->
       s"""WITH t AS (

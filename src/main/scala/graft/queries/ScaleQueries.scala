@@ -118,6 +118,15 @@ object ScaleQueries {
       graft.operators.Profile.winsorize(
         t(s, d, "orders"), "o_orderpriority", "o_totalprice")),
 
+    // --- k-anonymity / l-diversity audit: every (nation, segment)
+    // quasi-identifier group must cover >= 10 customers and >= 3 distinct
+    // balance bands, or its members are re-identifiable (oracle-checked) ---
+    "q_pipeline_kanon" -> ((s, d) =>
+      graft.operators.Profile.kAnonymity(
+        t(s, d, "customer").select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 100).cast("long").as("bal_band")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", k = 10, l = 3)),
+
     // --- co-purchase graph: parts sharing an order become undirected
     // edges (capped group fan-out, simple graph) — degree distribution ---
     "q_graph_degree" -> ((s, d) =>
@@ -192,6 +201,9 @@ object ScaleQueries {
       "orders", "o_orderpriority", "o_totalprice"),
     "q_pipeline_winsorize" -> graft.operators.Profile.winsorizeOracleSql(
       "orders", "o_orderpriority", "o_totalprice"),
+    "q_pipeline_kanon" -> graft.operators.Profile.kAnonymityOracleSql(
+      "customer", Seq("c_nationkey", "c_mktsegment"),
+      "floor(c_acctbal / 100)::BIGINT", k = 10, l = 3),
     "q_graph_degree" -> graft.operators.Graph.degreesOracleSql(
       "l_orderkey", "l_partkey", "lineitem"),
     "q_graph_pagerank" -> graft.operators.Graph.pageRankOracleSql(

@@ -232,4 +232,45 @@ class ProfileSpec extends SparkSpec {
     assert(card("n_tokens") == 0L && card("tokens_p50") == 0L)
   }
 
+  test("agreementKappa: hand-computed confusion, perfect, and degenerate") {
+    import graft.operators.Profile
+    // 2x2 confusion: gold a,a,a,b  pred a,a,b,b
+    // N=4, agree=3, rows a=3 b=1, cols a=2 b=2, pe_w=3*2+1*2=8
+    // num = 4*3-8 = 4, den = 16-8 = 8 → kappa = 0.5
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"))
+      .toDF("gold", "pred")
+    val r = Profile.agreementKappa(df, "gold", "pred").collect()(0)
+    assert(r.getAs[Long]("n_rows") == 4L && r.getAs[Long]("agree") == 3L)
+    assert(r.getAs[Long]("kappa_num") == 4L &&
+      r.getAs[Long]("kappa_den") == 8L)
+    assert(r.getAs[Long]("kappa_micro") == 500000L)
+
+    // systematic disagreement → negative kappa, trunc-toward-zero micro:
+    // gold a,b  pred b,a: N=2 agree=0 pe_w=1+1=2, num=-2 den=2 → -1
+    val neg = Seq(("a", "b"), ("b", "a")).toDF("gold", "pred")
+    val rn = Profile.agreementKappa(neg, "gold", "pred").collect()(0)
+    assert(rn.getAs[Long]("kappa_micro") == -1000000L)
+
+    // degenerate: single label both sides → den = 0 → convention 1e6
+    val one = Seq(("x", "x"), ("x", "x")).toDF("gold", "pred")
+    val ro = Profile.agreementKappa(one, "gold", "pred").collect()(0)
+    assert(ro.getAs[Long]("kappa_den") == 0L &&
+      ro.getAs[Long]("kappa_micro") == 1000000L)
+  }
+
+  test("kAnonymity: group sizes, l-diversity, violation flags") {
+    import graft.operators.Profile
+    val rows = Seq(
+      // (nation, segment, sensitive): group (1,"A") has 3 rows, 2 distinct
+      (1, "A", 10L), (1, "A", 10L), (1, "A", 20L),
+      // group (2,"B") has 1 row, 1 distinct → violates both k=2 and l=2
+      (2, "B", 30L))
+      .toDF("nat", "seg", "s")
+    val got = Profile.kAnonymity(rows, Seq("nat", "seg"), "s", k = 2L, l = 2L)
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(got((1, "A")) == ((3L, 2L, false, false)))
+    assert(got((2, "B")) == ((1L, 1L, true, true)))
+  }
+
 }
