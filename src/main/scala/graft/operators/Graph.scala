@@ -703,4 +703,80 @@ object Graph {
        |JOIN n$rounds b ON b.node = e.dst
        |GROUP BY e.src""".stripMargin
   }
+
+  /** Link prediction by the Resource-Allocation index (Zhou, Lü & Zhang
+    * 2009) — for every non-adjacent pair (u, w) sharing at least one
+    * neighbor, score = Σ_{z ∈ N(u)∩N(w)} 1/deg(z). RA is the
+    * degree-penalized upgrade of common-neighbor counting (a shared hub
+    * says almost nothing; a shared degree-2 node says a lot) and, unlike
+    * Adamic-Adar's 1/log deg, is EXACT in integer micro-units
+    * (1e6 div deg) — so the whole ranking replays bit-for-bit in any
+    * engine. In a curation pipeline this is the "these two docs/hosts are
+    * probably the same community even though no edge was observed" signal
+    * — the recall companion to the observed-edge dedup/community tiers.
+    *
+    * Scale shape: candidate pairs come from one 2-hop self-join THROUGH
+    * the intermediate node z, so work is Σ_z deg(z)² — the classic hub
+    * blow-up. `hubCap` is the principled guard: a z with deg > hubCap
+    * contributes < 1/hubCap per pair (negligible mass) yet deg² pair
+    * fan-out, so capped intermediates are DROPPED deterministically (same
+    * posture as [[coEdges]]' maxGroupSize: exempt-by-rule, replayable,
+    * never sampled). Observed edges leave via one anti-join; the top-N cut
+    * is a TakeOrderedAndProject (distributed partial top-k, no global
+    * sort).
+    */
+  def linkPrediction(edges: DataFrame, hubCap: Int = 64,
+      topN: Int = 100): DataFrame = {
+    require(hubCap >= 1 && topN >= 1)
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .transform(Caching.persist)
+    val deg = degrees(e)
+    val mids = deg.where(col("degree") <= hubCap)
+    // in-edges to z, annotated with z's degree once
+    val in = e.join(
+      mids.select(col("node").as("dst"), col("degree").as("zdeg")), "dst")
+    val out = e.select(col("src").as("z"), col("dst").as("w"))
+    val paths = in.select(col("src").as("u"), col("dst").as("z"),
+        col("zdeg"))
+      .join(out, "z")
+      .where(col("u") < col("w"))
+    val scored = paths.groupBy(col("u"), col("w"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(expr("1000000 div zdeg")).as("ra_micro"))
+    val half = e.where(col("src") < col("dst"))
+    scored.join(half,
+        scored("u") === half("src") && scored("w") === half("dst"),
+        "left_anti")
+      .select(col("u").as("src"), col("w").as("dst"),
+        col("common_neighbors"), col("ra_micro"))
+      .orderBy(col("ra_micro").desc, col("src"), col("dst"))
+      .limit(topN)
+  }
+
+  /** DuckDB replay of [[linkPrediction]] over a [[coEdgesSql]]-shaped
+    * `edges(src, dst)` CTE (both directions).
+    */
+  def linkPredictionOracleSql(edgesCte: String, hubCap: Int = 64,
+      topN: Int = 100): String =
+    s"""WITH $edgesCte,
+       |e AS (SELECT DISTINCT src, dst FROM edges),
+       |deg AS (SELECT src AS node, count(*)::BIGINT AS degree
+       |        FROM e GROUP BY src),
+       |mids AS (SELECT node, degree FROM deg WHERE degree <= $hubCap),
+       |paths AS (
+       |  SELECT a.src AS u, a.dst AS z, m.degree AS zdeg, b.dst AS w
+       |  FROM e a
+       |  JOIN mids m ON m.node = a.dst
+       |  JOIN e b ON b.src = a.dst
+       |  WHERE a.src < b.dst),
+       |scored AS (
+       |  SELECT u, w, count(*)::BIGINT AS common_neighbors,
+       |         sum(1000000 // zdeg)::BIGINT AS ra_micro
+       |  FROM paths GROUP BY u, w)
+       |SELECT u AS src, w AS dst, common_neighbors, ra_micro
+       |FROM scored
+       |WHERE NOT EXISTS (SELECT 1 FROM e
+       |                  WHERE e.src = scored.u AND e.dst = scored.w)
+       |ORDER BY ra_micro DESC, src, dst
+       |LIMIT $topN""".stripMargin
 }

@@ -177,6 +177,14 @@ object ScaleQueries {
         t(s, d, "lineitem").where(col("l_partkey") % 3 === 0),
         "l_orderkey", "l_partkey"), k = 25, rounds = 3)),
 
+    // --- Resource-Allocation link prediction on the same vertex sample:
+    // top unobserved pairs by hub-penalized shared neighbors — exact
+    // integer micro-units, hub-capped 2-hop join (oracle-checked) ---
+    "q_graph_linkpred" -> ((s, d) =>
+      graft.operators.Graph.linkPrediction(graft.operators.Graph.coEdges(
+        t(s, d, "lineitem").where(col("l_partkey") % 3 === 0),
+        "l_orderkey", "l_partkey"), hubCap = 40, topN = 200)),
+
     // --- label-propagation communities over the co-purchase graph:
     // deterministic synchronous LPA, argmax-count / min-label tie-break,
     // every round an ordinary two-phase aggregate (oracle-checked) ---
@@ -222,6 +230,11 @@ object ScaleQueries {
       graft.operators.Graph.coEdgesSql("l_orderkey", "l_partkey",
         "(SELECT * FROM lineitem WHERE l_partkey % 3 = 0)"),
       k = 25, rounds = 3),
+
+    "q_graph_linkpred" -> graft.operators.Graph.linkPredictionOracleSql(
+      graft.operators.Graph.coEdgesSql("l_orderkey", "l_partkey",
+        "(SELECT * FROM lineitem WHERE l_partkey % 3 = 0)"),
+      hubCap = 40, topN = 200),
 
     "q_graph_lpa" -> graft.operators.Graph.labelPropagationOracleSql(
       "l_orderkey", "l_partkey", "lineitem", iters = 4),

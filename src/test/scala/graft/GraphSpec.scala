@@ -228,4 +228,25 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(edges, k = 5, rounds = 2).count() == 0)
   }
 
+  test("linkPrediction: RA scores, observed-edge anti-join, hub cap") {
+    // path graph 1-2-3 plus 3-4: candidates through z=2 are (1,3) — but
+    // (1,3)? 1-2-3: pair (1,3) via z=2 (deg 2 → RA 500000); pair (2,4)
+    // via z=3 (deg 2 → RA 500000); pair (1,4)? needs a shared neighbor —
+    // none (2 and 3 are not shared). No observed pair may appear.
+    val e = edgesOf((1L, 2L), (2L, 3L), (3L, 4L))
+    val got = Graph.linkPrediction(e, hubCap = 64, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map((1L, 3L) -> ((1L, 500000L)), (2L, 4L) -> ((1L, 500000L))))
+
+    // star: center 9 connects 5,6,7 → every leaf pair shares z=9 (deg 3,
+    // RA 333333); with hubCap below 3 the hub is excluded → no candidates
+    val star = edgesOf((9L, 5L), (9L, 6L), (9L, 7L))
+    val viaHub = Graph.linkPrediction(star, hubCap = 64, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(viaHub == Set((5L, 6L, 333333L), (5L, 7L, 333333L),
+      (6L, 7L, 333333L)))
+    assert(Graph.linkPrediction(star, hubCap = 2, topN = 10).count() == 0)
+  }
+
 }

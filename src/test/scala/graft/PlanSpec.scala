@@ -62,6 +62,16 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "edge build and rank propagation must plan as equi-joins, not BNLJ")
   }
 
+  test("linkPrediction: 2-hop candidate build and anti-join are equi-joins") {
+    // candidate pairs must route THROUGH the shared-neighbor equi-key (z)
+    // and observed edges must leave via an equi-keyed anti join — a BNLJ
+    // anywhere is the all-pairs blow-up the hub cap exists to prevent
+    val (_, plan) = executed("q_graph_linkpred")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty,
+      "link-prediction candidates must plan as equi-joins, not BNLJ")
+  }
+
   test("bm25: probe terms broadcast onto the posting lists") {
     // work must be bounded by the probes' posting-list hits: the query-term
     // side joins as a broadcast hash join, and nothing nest-loops except
