@@ -364,7 +364,18 @@ object Graph {
     * `(a / b).cast("long")` on non-negative operands.
     */
   def pageRankOracleSql(groupExpr: String, itemExpr: String, table: String,
-      iters: Int, dampNum: Int = 85, maxGroupSize: Int = 64): String = {
+      iters: Int, dampNum: Int = 85, maxGroupSize: Int = 64): String =
+    pageRankOverEdgesSql(coEdgesSql(groupExpr, itemExpr, table, maxGroupSize),
+      iters, dampNum)
+
+  /** [[pageRank]]'s chained-CTE replay over an ARBITRARY `edges(src, dst)`
+    * CTE fragment — the reusable half of [[pageRankOracleSql]] (TextRank
+    * runs the same iteration over a word-adjacency edge table).
+    * `finalSelect` overrides the closing SELECT (default: all nodes'
+    * final rank from `r<iters>`).
+    */
+  def pageRankOverEdgesSql(edgesCte: String, iters: Int, dampNum: Int = 85,
+      finalSelect: String = ""): String = {
     val S = RankScale
     val iterCtes = (1 to iters).map { i =>
       val prev = if (i == 1) "r0" else s"r${i - 1}"
@@ -375,7 +386,9 @@ object Graph {
          |  FROM de e JOIN $prev p ON p.node = e.src
          |  GROUP BY e.dst)"""
     }.mkString(",\n")
-    s"""WITH ${coEdgesSql(groupExpr, itemExpr, table, maxGroupSize)},
+    val fin = if (finalSelect.nonEmpty) finalSelect
+    else s"SELECT node, rank_u::BIGINT AS rank_u FROM r$iters"
+    s"""WITH $edgesCte,
        |deg AS (SELECT src AS node, count(*)::BIGINT AS degree
        |        FROM edges GROUP BY src),
        |params AS (
@@ -386,7 +399,7 @@ object Graph {
        |       JOIN deg d ON d.node = e.src),
        |r0 AS (SELECT node, (SELECT r_init FROM params) AS rank_u FROM deg),
        |$iterCtes
-       |SELECT node, rank_u::BIGINT AS rank_u FROM r$iters""".stripMargin
+       |$fin""".stripMargin
   }
 
   /** DuckDB SQL replaying [[degrees]] ∘ [[coEdges]]. */

@@ -161,6 +161,79 @@ object TextAnalysis {
        |  FROM s)""".stripMargin
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) — corpus-level
+    * keywords as the stationary distribution of a random walk over the
+    * word-adjacency graph: content words (lowercase alphabetic, ≥ 3 chars,
+    * non-stopword) that ever appear ADJACENT after filtering become an
+    * undirected edge; [[graft.operators.Graph.pageRank]] runs its exact
+    * BIGINT micro-unit iteration over that graph; the top-K words by rank
+    * are the keywords. Unlike tf-idf (frequency against the corpus) this
+    * scores CENTRALITY — a word co-occurring with many well-connected
+    * words ranks high even at modest frequency, the classic
+    * keyword-extraction complement.
+    *
+    * Scale shape: one generator pass emits adjacent pairs (no self-join —
+    * the pair array is built per row and exploded), one distinct bounds
+    * the edge table by VOCABULARY adjacency (not corpus size), and the
+    * rank iteration inherits pageRank's k-bounded-shuffles-over-the-
+    * persisted-edge-table shape; the final cut is a distributed partial
+    * top-k. The whole run is replayed by the chained-CTE oracle
+    * ([[textRankOracleSql]]).
+    */
+  def textRank(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, iters: Int = 5,
+      topK: Int = 50): org.apache.spark.sql.DataFrame = {
+    val sw = array(stopwords.map(lit): _*)
+    val kept = filter(tokens(col(textCol)),
+      t => t.rlike("^[a-z]{3,}$") && !array_contains(sw, t))
+    val pairs = df.select(kept.as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .where(col("w1") =!= col("w2"))
+    val half = pairs
+      .select(least(col("w1"), col("w2")).as("src"),
+        greatest(col("w1"), col("w2")).as("dst"))
+      .distinct()
+    val edges = half.unionAll(
+      half.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.Graph.pageRank(edges, iters)
+      .select(col("node").as("word"), col("rank_u"))
+      .orderBy(col("rank_u").desc, col("word"))
+      .limit(topK)
+  }
+
+  /** DuckDB replay of [[textRank]]: the adjacency edge build composed
+    * with [[graft.operators.Graph.pageRankOverEdgesSql]]'s iteration CTEs.
+    */
+  def textRankOracleSql(iters: Int = 5, topK: Int = 50,
+      table: String = "documents", textCol: String = "text"): String = {
+    val sw = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val edgesCte =
+      s"""tr_toks AS (
+         |  SELECT list_filter(${toksSql(textCol)},
+         |           t -> regexp_matches(t, '^[a-z]{3,}${"$"}')
+         |                AND NOT list_contains($sw, t)) AS toks
+         |  FROM $table),
+         |tr_pairs AS (
+         |  SELECT unnest(list_transform(range(1, len(toks)),
+         |           i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS p
+         |  FROM tr_toks WHERE len(toks) >= 2),
+         |tr_half AS (
+         |  SELECT DISTINCT least(p.w1, p.w2) AS src,
+         |         greatest(p.w1, p.w2) AS dst
+         |  FROM tr_pairs WHERE p.w1 <> p.w2),
+         |edges AS (
+         |  SELECT src, dst FROM tr_half
+         |  UNION ALL SELECT dst AS src, src AS dst FROM tr_half)""".stripMargin
+    graft.operators.Graph.pageRankOverEdgesSql(edgesCte, iters,
+      finalSelect = s"""SELECT node AS word, rank_u::BIGINT AS rank_u
+         |FROM r$iters
+         |ORDER BY rank_u DESC, word LIMIT $topK""".stripMargin)
+  }
+
   /** Canonical document fingerprint: md5 of lowercased text with
     * non-alphanumerics stripped and whitespace collapsed. Two docs that
     * differ only in case/punctuation/spacing collide — the exact-dedup key.

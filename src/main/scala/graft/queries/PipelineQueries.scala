@@ -208,6 +208,12 @@ object PipelineQueries {
       .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
       .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))),
 
+    // --- TextRank keywords: PageRank centrality over the content-word
+    // adjacency graph, exact micro-unit iteration (oracle-checked) ---
+    "q_text_textrank" -> ((s, d) =>
+      TextAnalysis.textRank(docs(s, d), "doc_id", "text",
+        iters = 5, topK = 50)),
+
     // --- Cohen's kappa: chance-corrected agreement between the langId
     // prediction and the gold lang label — the labeled-data QA statistic,
     // exact BIGINT num/den (oracle-checked) ---
@@ -1412,6 +1418,10 @@ object PipelineQueries {
       s"""WITH ${TextAnalysis.langIdPredCtes()}
         |SELECT gold AS lang, pred AS predicted, count(*) AS n
         |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // TextRank: word-adjacency edge build + the shared PageRank
+    // chained-CTE iteration, top-k by (rank desc, word)
+    "q_text_textrank" -> TextAnalysis.textRankOracleSql(iters = 5, topK = 50),
 
     // Cohen's kappa over the same prediction fragment — confusion-matrix
     // marginals in exact BIGINTs, sign-safe micro truncation

@@ -673,4 +673,24 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("textRank: hub word ranks first; stopwords and short tokens excluded") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "hub aaa hub bbb hub ccc"),
+      (2L, "the of ab hub ddd"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.textRank(docs, "doc_id", "text",
+      iters = 5, topK = 10).collect()
+    // star graph centered on "hub" (+ ddd spoke from doc 2): the center
+    // accumulates every spoke's contribution
+    assert(got.head.getString(0) == "hub")
+    val words = got.map(_.getString(0)).toSet
+    assert(words == Set("hub", "aaa", "bbb", "ccc", "ddd"))
+    // spokes are symmetric except ddd (same degree-1 shape) -- aaa/bbb/ccc
+    // tie exactly and order alphabetically
+    val spokes = got.filter(r => Set("aaa", "bbb", "ccc")(r.getString(0)))
+    assert(spokes.map(_.getLong(1)).distinct.length == 1)
+    assert(spokes.map(_.getString(0)).toSeq == Seq("aaa", "bbb", "ccc"))
+  }
+
 }
