@@ -1272,6 +1272,146 @@ object Similarity {
        |            ELSE round(num / sqrt(radi * radj), 6) END AS corr
        |FROM x""".stripMargin
 
+  /** Top principal component by fixed-iteration POWER METHOD on the exact
+    * integer scatter matrix — the PCA companion to [[correlationMatrix]]
+    * (which diagnoses redundancy; this EXTRACTS the dominant direction,
+    * the vector whitening/anisotropy-correction recipes remove first —
+    * Mu & Viswanath 2018 strip exactly this component before retrieval).
+    *
+    * Exact arithmetic end-to-end: inputs quantize to 1e-6 fixed point,
+    * the scatter S[i,j] = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ accumulates on
+    * DECIMAL(38,0)/HUGEINT, and each power round w = S·v renormalizes by
+    * the L∞ norm with INTEGER division (micro units, sign·abs form so
+    * Spark's truncating `div` and DuckDB's flooring `//` agree) — no
+    * sqrt, no doubles, so a fixed iteration count from the fixed uniform
+    * start replays bit-for-bit in any engine. Output: the direction in
+    * micro units plus the Rayleigh quotient of the LAST iterate as an
+    * exact num/den pair (λ ≈ ray_num/ray_den of the scatter matrix;
+    * callers divide by n·1e12 for the covariance eigenvalue).
+    *
+    * Scale shape: the corpus is touched ONCE (the d²-bounded pair-product
+    * aggregate — map-side combine ships partials, the
+    * [[correlationMatrix]] shape); every power round then runs on the
+    * d²-row matrix table — join + aggregate costs independent of corpus
+    * size, lineage truncated per round (the kCore/HITS guard). At 100 TB
+    * the scatter build is one scan + one tiny shuffle; iterations are
+    * driver-side trivia.
+    */
+  def pcaPower(df: DataFrame, vecCol: String, iters: Int = 6): DataFrame = {
+    require(iters >= 1)
+    val q2 = df.select(transform(col(vecCol),
+      x => round(x.cast("double") * 1000000, 0).cast("long")).as("q"))
+    val pairs = q2.select(explode(flatten(transform(
+        sequence(lit(1), size(col("q"))), i => transform(
+          sequence(i, size(col("q"))), j => struct(
+            i.cast("long").as("i"), j.cast("long").as("j"),
+            (element_at(col("q"), i) * element_at(col("q"), j)).as("p"))))))
+        .as("e"))
+      .select(col("e.i"), col("e.j"), col("e.p"))
+    val gram = pairs.groupBy("i", "j").agg(count(lit(1)).as("n"),
+      sum(col("p").cast("decimal(38,0)")).as("sxy"))
+    val mom = q2.select(posexplode(col("q")))
+      .select((col("pos") + 1).cast("long").as("pos"),
+        col("col").cast("decimal(38,0)").as("v"))
+      .groupBy("pos").agg(sum(col("v")).as("s"))
+    val mi = broadcast(mom.select(col("pos").as("i"), col("s").as("si")))
+    val mj = broadcast(mom.select(col("pos").as("j"), col("s").as("sj")))
+    val upper = gram.join(mi, "i").join(mj, "j")
+      .select(col("i"), col("j"),
+        (col("n") * col("sxy") - col("si") * col("sj"))
+          .cast("decimal(38,0)").as("sv"))
+    val smat = Caching.persist(upper.unionAll(
+      upper.where(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("sv"))))
+    var v = smat.select(col("i").as("pos")).distinct()
+      .select(col("pos"), lit(1000000L).as("vm")).localCheckpoint(false)
+    var wLast = v // placeholder; overwritten in round 1
+    for (r <- 1 to iters) {
+      val prev = v
+      val w = smat.join(prev.withColumnRenamed("pos", "j")
+          .withColumnRenamed("vm", "pv"), "j")
+        .groupBy(col("i").as("pos"))
+        .agg(sum(col("sv") * col("pv")).cast("decimal(38,0)").as("w"))
+        .localCheckpoint(false)
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      v = w.crossJoin(broadcast(mx))
+        .select(col("pos"),
+          when(col("mx") === 0, lit(0L)).otherwise(
+            when(col("w") < 0, lit(-1L)).otherwise(lit(1L)) *
+              expr("(abs(w) * 1000000) div mx")).as("vm"))
+        .localCheckpoint(false)
+      if (r == iters) {
+        // Rayleigh at the LAST iterate's input: num = v_{k-1}ᵀ·S·v_{k-1}
+        // = Σ w·v_{k-1}, den = Σ v_{k-1}² — exact DECIMAL carriers
+        wLast = w.join(prev, "pos")
+          .agg(sum(col("w") * col("vm")).cast("decimal(38,0)").as("ray_num"),
+            sum(col("vm").cast("decimal(38,0)") * col("vm"))
+              .cast("decimal(38,0)").as("ray_den"))
+      }
+    }
+    v.crossJoin(broadcast(wLast))
+      .select(col("pos"), col("vm").as("v_micro"),
+        col("ray_num"), col("ray_den"))
+  }
+
+  /** DuckDB replay of [[pcaPower]] (chained CTE per power round, HUGEINT
+    * carriers, the same sign·abs integer renormalization). Multiply-
+    * referenced CTEs are MATERIALIZED: DuckDB INLINES plain CTEs, and each
+    * round references its `w` three times (normalizer twice + the
+    * renormalize itself), so without materialization the pair-generation
+    * subtree re-expands 3^iters times — the SQL twin of the HITS
+    * exponential-plan hazard.
+    */
+  def pcaPowerOracleSql(iters: Int = 6, table: String = "embeddings",
+      vecCol: String = "embedding"): String = {
+    val roundCtes = (1 to iters).map { r =>
+      val prev = if (r == 1) "v0" else s"v${r - 1}"
+      s"""w$r AS MATERIALIZED (
+         |  SELECT s.i AS pos, sum(s.sv * p.vm)::HUGEINT AS w
+         |  FROM smat s JOIN $prev p ON p.pos = s.j
+         |  GROUP BY s.i),
+         |n$r AS (SELECT max(abs(w)) AS mx FROM w$r),
+         |v$r AS MATERIALIZED (
+         |  SELECT pos,
+         |         CASE WHEN (SELECT mx FROM n$r) = 0 THEN 0
+         |              ELSE (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+         |                   * ((abs(w) * 1000000) // (SELECT mx FROM n$r))
+         |         END AS vm
+         |  FROM w$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT list_transform($vecCol::DOUBLE[],
+       |           x -> round(x * 1000000)::BIGINT) AS q
+       |  FROM $table),
+       |pairs AS (
+       |  SELECT i::BIGINT AS i, j::BIGINT AS j, q[i] * q[j] AS p
+       |  FROM q,
+       |       LATERAL unnest(range(1, len(q) + 1)) AS r(i),
+       |       LATERAL unnest(range(i, len(q) + 1)) AS r2(j)),
+       |g AS MATERIALIZED (
+       |  SELECT i, j, count(*)::BIGINT AS n, sum(p)::HUGEINT AS sxy
+       |  FROM pairs GROUP BY i, j),
+       |f AS (SELECT generate_subscripts(q, 1)::BIGINT AS pos,
+       |             unnest(q) AS v FROM q),
+       |m AS MATERIALIZED (SELECT pos, sum(v)::HUGEINT AS s FROM f GROUP BY pos),
+       |up AS (
+       |  SELECT g.i, g.j, (g.n * g.sxy - mi.s * mj.s)::HUGEINT AS sv
+       |  FROM g JOIN m mi ON mi.pos = g.i JOIN m mj ON mj.pos = g.j),
+       |smat AS MATERIALIZED (
+       |  SELECT i, j, sv FROM up
+       |  UNION ALL SELECT j AS i, i AS j, sv FROM up WHERE i <> j),
+       |v0 AS (SELECT DISTINCT i AS pos, 1000000::HUGEINT AS vm FROM smat),
+       |$roundCtes,
+       |ray AS (
+       |  SELECT sum(w.w * p.vm)::HUGEINT AS ray_num,
+       |         sum(p.vm * p.vm)::HUGEINT AS ray_den
+       |  FROM w$iters w JOIN v${iters - 1} p USING (pos))
+       |SELECT pos, vm::BIGINT AS v_micro,
+       |       ray_num::DECIMAL(38,0) AS ray_num,
+       |       ray_den::DECIMAL(38,0) AS ray_den
+       |FROM v$iters, ray""".stripMargin
+  }
+
   /** Cluster-balanced diversity sampling — the "cluster, then take evenly
     * per cluster" coreset recipe (the prototype-sampling step of DataComp/
     * SSL curation): embeddings are assigned to the deterministic every-Nth

@@ -1024,6 +1024,14 @@ object PipelineQueries {
       Tables.load(s, d)
       Similarity.correlationMatrix(s.table("embeddings"), "embedding")
     }),
+
+    // --- top principal component: power method on the exact integer
+    // scatter matrix, L-infinity micro renormalization — the dominant
+    // direction anisotropy correction strips (oracle-checked) ---
+    "q_embed_pca" -> ((s, d) => {
+      Tables.load(s, d)
+      Similarity.pcaPower(s.table("embeddings"), "embedding", iters = 6)
+    }),
   )
 
   /** Shared by q_dedup_incremental and q_dedup_bloom: the bloom variant's
@@ -1186,6 +1194,7 @@ object PipelineQueries {
       Similarity.diversityOracleSql(centroidEvery = 50L, perCluster = 5),
     "q_embed_standardize" -> Similarity.standardizeOracleSql(),
     "q_embed_corr" -> Similarity.correlationMatrixOracleSql(),
+    "q_embed_pca" -> Similarity.pcaPowerOracleSql(iters = 6),
     "q_pipeline_rag" -> Similarity.retrieveOracleSql(window = 32, stride = 24,
       dim = 64, k = 5, probePred = "doc % 100 = 7"),
 

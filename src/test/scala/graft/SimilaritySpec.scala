@@ -525,4 +525,27 @@ class SimilaritySpec extends SparkSpec
     assert(z.getLong(0) == 1L && z.getLong(1) == 0L)
   }
 
+  test("pcaPower: recovers the planted dominant direction") {
+    // variance concentrated on dim 1 (±1.0), slight correlated dim-2
+    // noise, dim 3 near-constant → the top component is ≈ ±e1 and the
+    // L∞-normalized output pins |v_micro(1)| = 1e6
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.1f, 0.01f)),
+      (2L, Seq(-1.0f, -0.1f, 0.01f)),
+      (3L, Seq(0.9f, 0.05f, 0.0f)),
+      (4L, Seq(-0.9f, -0.05f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pcaPower(vecs, "embedding", iters = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDecimal(2), r.getDecimal(3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(math.abs(got(1L)._1) == 1000000L)
+    // dim 2 loads at ~0.08 of dim 1, dim 3 at ~0
+    assert(math.abs(got(2L)._1) < 200000L && math.abs(got(3L)._1) < 50000L)
+    // the two big components agree in sign with the planted correlation
+    assert(got(1L)._1.signum == got(2L)._1.signum)
+    // Rayleigh quotient of the scatter is strictly positive
+    assert(got(1L)._2.signum > 0 && got(1L)._3.signum > 0)
+  }
+
 }
