@@ -774,6 +774,110 @@ object Profile {
         (col("l_distinct") < l).as("violates_l")): _*)
   }
 
+  /** Closed-form least-squares fit y ≈ b0 + b1·x1 + b2·x2 by the normal
+    * equations with EXACT arithmetic — the "learned quality model" tier a
+    * curation pipeline fits over integer document features (tokens,
+    * digits, symbol counts → length/quality targets). No gradient descent,
+    * no floats: the 3×3 Gram matrix XᵀX and moment vector Xᵀy accumulate
+    * exactly in ONE corpus aggregate, and each coefficient is Cramer's
+    * rule bᵢ = det(Aᵢ)/det(A) on arbitrary-precision integers — the
+    * numerators and determinant are returned as exact decimal STRINGS
+    * (engine-neutral at any magnitude) plus a convenience micro ratio in
+    * sign·abs form (truncation toward zero on both engines). A singular
+    * system (det = 0 — collinear features) reports micro = 0 with the
+    * exact zeros visible, never a crash.
+    *
+    * Scale shape: one map + one 9-sum hash aggregate over the corpus (the
+    * cheapest possible pass), then CONSTANT-size driver math (a 1-row
+    * collect of the moments — the k×dim-centroid posture, not a data
+    * collect). Moment sums ride DECIMAL(38,0); with x ~ 1e4, y ~ 1e5 the
+    * carrier holds past 1e25 rows.
+    */
+  def linearFit(df: DataFrame, y: Column, x1: Column,
+      x2: Column): DataFrame = {
+    val m = df.select(y.cast("decimal(38,0)").as("y"),
+        x1.cast("decimal(38,0)").as("x1"), x2.cast("decimal(38,0)").as("x2"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        coalesce(sum(col("x1")), lit(0)).cast("decimal(38,0)").as("s1"),
+        coalesce(sum(col("x2")), lit(0)).cast("decimal(38,0)").as("s2"),
+        coalesce(sum(col("x1") * col("x1")), lit(0)).cast("decimal(38,0)").as("s11"),
+        coalesce(sum(col("x1") * col("x2")), lit(0)).cast("decimal(38,0)").as("s12"),
+        coalesce(sum(col("x2") * col("x2")), lit(0)).cast("decimal(38,0)").as("s22"),
+        coalesce(sum(col("y")), lit(0)).cast("decimal(38,0)").as("sy"),
+        coalesce(sum(col("x1") * col("y")), lit(0)).cast("decimal(38,0)").as("s1y"),
+        coalesce(sum(col("x2") * col("y")), lit(0)).cast("decimal(38,0)").as("s2y"))
+      .collect()(0)
+    def big(name: String): BigInt =
+      BigInt(m.getAs[java.math.BigDecimal](name).toBigInteger)
+    val (n, s1, s2) = (big("n"), big("s1"), big("s2"))
+    val (s11, s12, s22) = (big("s11"), big("s12"), big("s22"))
+    val (sy, s1y, s2y) = (big("sy"), big("s1y"), big("s2y"))
+    // det [[a b c] [d e f] [g h i]]
+    def det3(a: BigInt, b: BigInt, c: BigInt, d: BigInt, e: BigInt,
+        f: BigInt, g: BigInt, h: BigInt, i: BigInt): BigInt =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    val det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    val nums = Seq(
+      "b0" -> det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22),
+      "b1" -> det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22),
+      "b2" -> det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y))
+    val rows = nums.map { case (name, num) =>
+      val micro = if (det == 0) 0L
+      else (num.signum * det.signum).toLong *
+        ((num.abs * 1000000) / det.abs).toLong
+      (name, num.toString, det.toString, micro)
+    }
+    df.sparkSession.createDataFrame(rows)
+      .toDF("coef", "num", "den", "coef_micro")
+  }
+
+  /** SQL cofactor expansion of a 3×3 determinant — shared by the
+    * [[linearFitOracleSql]] numerators and determinant so the formula
+    * exists once.
+    */
+  private def det3Sql(a: String, b: String, c: String, d: String, e: String,
+      f: String, g: String, h: String, i: String): String =
+    s"($a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g)" +
+      s" + $c * ($d * $h - $e * $g))"
+
+  /** DuckDB replay of [[linearFit]] (HUGEINT moments, the same Cramer
+    * cofactors, VARCHAR exact output).
+    */
+  def linearFitOracleSql(table: String, yExpr: String, x1Expr: String,
+      x2Expr: String): String = {
+    val det = det3Sql("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")
+    val num0 = det3Sql("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22")
+    val num1 = det3Sql("n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22")
+    val num2 = det3Sql("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")
+    def row(name: String, num: String): String =
+      s"""SELECT '$name' AS coef, ($num)::VARCHAR AS num, d::VARCHAR AS den,
+         |  CASE WHEN d = 0 THEN 0
+         |       -- sign compare, never num*d: the product overflows HUGEINT
+         |       ELSE (CASE WHEN (($num) < 0) <> (d < 0) THEN -1 ELSE 1 END)
+         |            * (abs($num) * 1000000 // abs(d)) END::BIGINT
+         |    AS coef_micro
+         |FROM mo""".stripMargin
+    s"""WITH f AS (
+       |  SELECT ($yExpr)::HUGEINT AS y, ($x1Expr)::HUGEINT AS x1,
+       |         ($x2Expr)::HUGEINT AS x2
+       |  FROM $table),
+       |mo AS MATERIALIZED (
+       |  SELECT count(*)::HUGEINT AS n,
+       |         coalesce(sum(x1), 0)::HUGEINT AS s1,
+       |         coalesce(sum(x2), 0)::HUGEINT AS s2,
+       |         coalesce(sum(x1 * x1), 0)::HUGEINT AS s11,
+       |         coalesce(sum(x1 * x2), 0)::HUGEINT AS s12,
+       |         coalesce(sum(x2 * x2), 0)::HUGEINT AS s22,
+       |         coalesce(sum(y), 0)::HUGEINT AS sy,
+       |         coalesce(sum(x1 * y), 0)::HUGEINT AS s1y,
+       |         coalesce(sum(x2 * y), 0)::HUGEINT AS s2y,
+       |         $det AS d
+       |  FROM f)
+       |${row("b0", num0)}
+       |UNION ALL ${row("b1", num1)}
+       |UNION ALL ${row("b2", num2)}""".stripMargin
+  }
+
   /** DuckDB replay of [[kAnonymity]]. */
   def kAnonymityOracleSql(table: String, quasiCols: Seq[String],
       sensitiveExpr: String, k: Long, l: Long = 2L): String = {

@@ -214,6 +214,15 @@ object PipelineQueries {
       TextAnalysis.textRank(docs(s, d), "doc_id", "text",
         iters = 5, topK = 50)),
 
+    // --- closed-form least squares: chars ~ b0 + b1*tokens + b2*digits
+    // by exact Cramer determinants on the normal equations — the learned
+    // length/quality model tier (oracle-checked) ---
+    "q_pipeline_linreg" -> ((s, d) =>
+      graft.operators.Profile.linearFit(docs(s, d),
+        y = length(col("text")),
+        x1 = TextAnalysis.tokenCount(col("text")),
+        x2 = length(regexp_replace(col("text"), "[^0-9]", "")))),
+
     // --- Cohen's kappa: chance-corrected agreement between the langId
     // prediction and the gold lang label — the labeled-data QA statistic,
     // exact BIGINT num/den (oracle-checked) ---
@@ -1427,6 +1436,13 @@ object PipelineQueries {
       s"""WITH ${TextAnalysis.langIdPredCtes()}
         |SELECT gold AS lang, pred AS predicted, count(*) AS n
         |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // exact normal-equation fit: HUGEINT moments + the same Cramer
+    // cofactors, VARCHAR exact numerators/determinant
+    "q_pipeline_linreg" -> graft.operators.Profile.linearFitOracleSql(
+      "documents", yExpr = "length(text)",
+      x1Expr = s"len(${TextAnalysis.toksSql("text")})",
+      x2Expr = "length(regexp_replace(text, '[^0-9]', '', 'g'))"),
 
     // TextRank: word-adjacency edge build + the shared PageRank
     // chained-CTE iteration, top-k by (rank desc, word)

@@ -258,6 +258,26 @@ class ProfileSpec extends SparkSpec {
       ro.getAs[Long]("kappa_micro") == 1000000L)
   }
 
+  test("linearFit: exact recovery of an integer-planted plane; singular→0") {
+    import graft.operators.Profile
+    import org.apache.spark.sql.functions.col
+    // y = 2 + 3*x1 + 5*x2 exactly → Cramer recovers integers exactly
+    val pts = Seq((1L, 0L), (0L, 1L), (1L, 1L), (2L, 1L))
+      .map { case (a, b) => (a, b, 2L + 3L * a + 5L * b) }
+      .toDF("x1", "x2", "y")
+    val got = Profile.linearFit(pts, col("y"), col("x1"), col("x2"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got == Map("b0" -> 2000000L, "b1" -> 3000000L, "b2" -> 5000000L))
+
+    // collinear features → singular normal equations → micro 0, den "0"
+    val bad = Seq((1L, 2L, 5L), (2L, 4L, 8L), (3L, 6L, 11L))
+      .toDF("x1", "x2", "y")
+    val sing = Profile.linearFit(bad, col("y"), col("x1"), col("x2"))
+      .collect()
+    assert(sing.forall(_.getLong(3) == 0L))
+    assert(sing.forall(_.getString(2) == "0"))
+  }
+
   test("kAnonymity: group sizes, l-diversity, violation flags") {
     import graft.operators.Profile
     val rows = Seq(
