@@ -1576,6 +1576,159 @@ object Similarity {
        |FROM flat JOIN signs ON signs.i = flat.i
        |GROUP BY flat.id, signs.j""".stripMargin
 
+  /** Grid-blocked exact DBSCAN (Ester et al. 1996) over the 2-D
+    * [[jlProject]] sketch of an embedding column — DENSITY clustering
+    * next to the centroid family ([[ivfTrain]]/k-means finds convex
+    * cells; DBSCAN finds arbitrarily-shaped dense regions and, crucially
+    * for curation, labels sparse points NOISE instead of forcing them
+    * into a cluster — the outlier-vs-mode split a diversity/pruning pass
+    * wants). Distances are Chebyshev (L∞) balls on the exact BIGINT
+    * projected coordinates, so every step — neighbor test, core test,
+    * cluster merge — is integer-exact and replays bit-for-bit.
+    *
+    * Semantics (classic DBSCAN, deterministic tie-handling):
+    *   - neighbor: |Δx| ≤ epsFx AND |Δy| ≤ epsFx (L∞ ball, self included
+    *     in the count — the standard minPts convention)
+    *   - core: ≥ minPts neighbors; clusters = connected components of
+    *     the core-core neighbor graph (min-id family label via
+    *     [[Dedup.connectedComponents]]; an edge-less core is its own
+    *     cluster)
+    *   - border: non-core adjacent to ≥ 1 core — joins the SMALLEST
+    *     adjacent core cluster (border assignment is order-dependent in
+    *     the original algorithm; min-label pins it)
+    *   - noise: cluster −1
+    *
+    * Scale shape: the JL sketch is one broadcast matmul; the neighbor
+    * join is GRID-BLOCKED — each point joins only its 3×3 cell
+    * neighborhood (cell = floor(coord/eps) via pmod, exact for negatives)
+    * so work is Σ cell-occupancy², never corpus², and a uniform eps grid
+    * admits no hub cells (density caps occupancy ≈ eps²·max-density);
+    * components run the checkpointed min-label iteration. All shuffles
+    * are keyed; no BNLJ (PlanSpec).
+    */
+  def dbscanGrid(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      epsFx: Long, minPts: Int): DataFrame = {
+    require(epsFx >= 1 && minPts >= 1)
+    val proj = jlProject(df, idCol, vecCol, dim, outDim = 2)
+    val pts = Caching.persist(proj.groupBy(col("id"))
+      .agg(max(when(col("j") === 0, col("out_fx"))).as("x"),
+        max(when(col("j") === 1, col("out_fx"))).as("y"))
+      .select(col("id"), col("x"), col("y"),
+        expr(s"(x - pmod(x, ${epsFx}L)) div ${epsFx}L").as("cx"),
+        expr(s"(y - pmod(y, ${epsFx}L)) div ${epsFx}L").as("cy")))
+    val offsets = Seq(-1L, 0L, 1L)
+    val probes = pts.select(col("id"), col("x"), col("y"),
+      explode(array(offsets.flatMap(dx => offsets.map(dy =>
+        struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy")))): _*))
+        .as("c"))
+      .select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+        col("c.cx"), col("c.cy"))
+    val nbrs = Caching.persist(probes.join(
+        pts.select(col("id").as("id_b"), col("x").as("xb"),
+          col("y").as("yb"), col("cx"), col("cy")),
+        Seq("cx", "cy"))
+      .where(col("id_a") =!= col("id_b") &&
+        abs(col("xa") - col("xb")) <= epsFx &&
+        abs(col("ya") - col("yb")) <= epsFx)
+      .select(col("id_a"), col("id_b")))
+    // +1: the point itself counts toward minPts (standard convention)
+    val cores = Caching.persist(nbrs.groupBy(col("id_a").as("id"))
+      .agg((count(lit(1)) + 1).as("n_nbrs"))
+      .where(col("n_nbrs") >= minPts).select(col("id")))
+    val coreEdges = nbrs
+      .join(cores.withColumnRenamed("id", "id_a"), "id_a")
+      .join(cores.withColumnRenamed("id", "id_b"), "id_b")
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val fams = Dedup.connectedComponents(coreEdges)
+      .select(col("doc_id").as("id"), col("family_id"))
+    val coreOut = cores.join(fams, Seq("id"), "left")
+      .select(col("id"), coalesce(col("family_id"), col("id")).as("cluster"),
+        lit("core").as("role"))
+    val borderOut = nbrs
+      .join(cores.withColumnRenamed("id", "id_b"), "id_b") // b must be core
+      .join(cores.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_anti")
+      .join(coreOut.select(col("id").as("id_b"),
+        col("cluster").as("bcluster")), "id_b")
+      .groupBy(col("id_a").as("id"))
+      .agg(min(col("bcluster")).as("cluster"))
+      .select(col("id"), col("cluster"), lit("border").as("role"))
+    val assigned = coreOut.unionByName(borderOut)
+    val noiseOut = pts.select(col("id"))
+      .join(assigned.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), lit(-1L).as("cluster"), lit("noise").as("role"))
+    assigned.unionByName(noiseOut)
+  }
+
+  /** DuckDB replay of [[dbscanGrid]] (the JL CTEs + grid neighbor join +
+    * recursive-closure components — per-component quadratic, fine at
+    * oracle scale; the Spark side is the one built for big corpora).
+    */
+  def dbscanGridOracleSql(dim: Int, epsFx: Long, minPts: Int,
+      table: String = "embeddings", idCol: String = "vec_id",
+      vecCol: String = "embedding"): String =
+    s"""WITH RECURSIVE signs AS (
+       |  SELECT i.range::INT AS i, j.range::INT AS j,
+       |         CASE WHEN ('0x' || substr(md5('jl:' || i.range || ':' || j.range), 1, 15))::BIGINT % 2 = 0
+       |              THEN 1 ELSE -1 END AS sign
+       |  FROM range($dim) i, range(2) j),
+       |flat AS (
+       |  SELECT $idCol AS id,
+       |         unnest(generate_series(0, len($vecCol) - 1))::INT AS i,
+       |         round(unnest($vecCol::DOUBLE[]) * 1000000)::BIGINT AS v_fx
+       |  FROM $table),
+       |proj AS (
+       |  SELECT flat.id, signs.j,
+       |         sum(signs.sign * flat.v_fx)::BIGINT AS out_fx
+       |  FROM flat JOIN signs ON signs.i = flat.i
+       |  GROUP BY flat.id, signs.j),
+       |pts AS MATERIALIZED (
+       |  SELECT id, x, y,
+       |         (x - ((x % $epsFx + $epsFx) % $epsFx)) // $epsFx AS cx,
+       |         (y - ((y % $epsFx + $epsFx) % $epsFx)) // $epsFx AS cy
+       |  FROM (SELECT id,
+       |          max(CASE WHEN j = 0 THEN out_fx END) AS x,
+       |          max(CASE WHEN j = 1 THEN out_fx END) AS y
+       |        FROM proj GROUP BY id)),
+       |nbrs AS MATERIALIZED (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM pts a JOIN pts b
+       |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+       |   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+       |   AND a.id <> b.id
+       |  WHERE abs(a.x - b.x) <= $epsFx AND abs(a.y - b.y) <= $epsFx),
+       |cores AS MATERIALIZED (
+       |  SELECT id_a AS id FROM nbrs
+       |  GROUP BY id_a HAVING count(*) + 1 >= $minPts),
+       |ce AS MATERIALIZED (
+       |  SELECT id_a AS src, id_b AS dst FROM nbrs
+       |  WHERE id_a IN (SELECT id FROM cores)
+       |    AND id_b IN (SELECT id FROM cores)),
+       |reach(a, b) AS (
+       |  SELECT src, dst FROM ce
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN ce e ON r.b = e.src),
+       |fams AS MATERIALIZED (
+       |  SELECT a AS id, least(a, min(b)) AS family_id
+       |  FROM reach GROUP BY a),
+       |core_out AS MATERIALIZED (
+       |  SELECT c.id, coalesce(f.family_id, c.id) AS cluster,
+       |         'core' AS role
+       |  FROM cores c LEFT JOIN fams f USING (id)),
+       |border_out AS (
+       |  SELECT n.id_a AS id, min(co.cluster) AS cluster,
+       |         'border' AS role
+       |  FROM nbrs n
+       |  JOIN core_out co ON co.id = n.id_b
+       |  WHERE n.id_a NOT IN (SELECT id FROM cores)
+       |  GROUP BY n.id_a),
+       |assigned AS MATERIALIZED (
+       |  SELECT * FROM core_out UNION ALL SELECT * FROM border_out)
+       |SELECT id, cluster, role FROM assigned
+       |UNION ALL
+       |SELECT id, -1::BIGINT AS cluster, 'noise' AS role
+       |FROM pts WHERE id NOT IN (SELECT id FROM assigned)""".stripMargin
+
   /** Corpus ANISOTROPY report — the embedding-health diagnostic of
     * Ethayarajh 2019 ("How Contextual are Contextualized Word
     * Representations?"): in a well-spread embedding space the expected

@@ -1041,6 +1041,15 @@ object PipelineQueries {
       Tables.load(s, d)
       Similarity.pcaPower(s.table("embeddings"), "embedding", iters = 6)
     }),
+
+    // --- grid-blocked exact DBSCAN on the 2-D JL sketch: density
+    // clusters + border/noise labeling, Chebyshev balls on exact BIGINT
+    // coordinates (oracle-checked) ---
+    "q_embed_dbscan" -> ((s, d) => {
+      Tables.load(s, d)
+      Similarity.dbscanGrid(s.table("embeddings"), "vec_id", "embedding",
+        dim = 64, epsFx = 200000L, minPts = 6)
+    }),
   )
 
   /** Shared by q_dedup_incremental and q_dedup_bloom: the bloom variant's
@@ -1204,6 +1213,8 @@ object PipelineQueries {
     "q_embed_standardize" -> Similarity.standardizeOracleSql(),
     "q_embed_corr" -> Similarity.correlationMatrixOracleSql(),
     "q_embed_pca" -> Similarity.pcaPowerOracleSql(iters = 6),
+    "q_embed_dbscan" -> Similarity.dbscanGridOracleSql(
+      dim = 64, epsFx = 200000L, minPts = 6),
     "q_pipeline_rag" -> Similarity.retrieveOracleSql(window = 32, stride = 24,
       dim = 64, k = 5, probePred = "doc % 100 = 7"),
 

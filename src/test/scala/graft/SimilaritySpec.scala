@@ -525,6 +525,26 @@ class SimilaritySpec extends SparkSpec
     assert(z.getLong(0) == 1L && z.getLong(1) == 0L)
   }
 
+  test("dbscanGrid: cores, border, noise on a planted 1-D layout") {
+    // vectors (t, 0): the JL sign matrix maps them to (±t_fx, ±t_fx), so
+    // projected L∞ distance == |Δt|·1e6 exactly — geometry is controlled.
+    // 8 points at t=0, one at 0.9 (within eps=1.0 of the pile), one at
+    // 1.8 (within eps of 0.9 only), one far singleton.
+    val pts = ((1L to 8L).map(i => (i, Seq(0.0f, 0.0f))) ++ Seq(
+      (20L, Seq(0.9f, 0.0f)), (30L, Seq(1.8f, 0.0f)),
+      (99L, Seq(50.0f, 0.0f)))).toDF("vec_id", "embedding")
+    val got = Similarity.dbscanGrid(pts, "vec_id", "embedding", dim = 2,
+      epsFx = 1000000L, minPts = 9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    // pile + 0.9 are cores (9 and 10 neighbors incl. self), one cluster
+    // labeled by the min id; 1.8 is border via core 20; 99 is noise
+    for (i <- 1L to 8L) assert(got(i) == ((1L, "core")), s"pt $i")
+    assert(got(20L) == ((1L, "core")))
+    assert(got(30L) == ((1L, "border")))
+    assert(got(99L) == ((-1L, "noise")))
+  }
+
   test("pcaPower: recovers the planted dominant direction") {
     // variance concentrated on dim 1 (±1.0), slight correlated dim-2
     // noise, dim 3 near-constant → the top component is ≈ ±e1 and the
