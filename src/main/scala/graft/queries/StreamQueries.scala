@@ -128,6 +128,14 @@ object StreamQueries {
       graft.streaming.EventStreams.rateAnomaly(events(s, d),
         bucketSec = 3600L, trail = 12, thresholdMicro = 2000000L)),
 
+    // --- EWMA-forecast anomaly: the drift-adapting companion — each
+    // hourly count scored against the exponential baseline of all prior
+    // buckets, sequential fold in exact micro-units (oracle-checked) ---
+    "q_stream_ewma" -> ((s, d) =>
+      graft.streaming.EventStreams.ewmaAnomaly(events(s, d),
+        bucketSec = 3600L, halfK = 3, warm = 24,
+        thresholdMicro = 2500000L)),
+
     // --- 6-hour trending leaderboard: top-3 event types per window,
     // deterministic tie-break, rank filter runs as WindowGroupLimit
     // partial top-k (oracle-checked) ---
@@ -310,6 +318,9 @@ object StreamQueries {
 
     "q_stream_anomaly" -> graft.streaming.EventStreams.rateAnomalyOracleSql(
       bucketSec = 3600L, trail = 12, thresholdMicro = 2000000L),
+
+    "q_stream_ewma" -> graft.streaming.EventStreams.ewmaAnomalyOracleSql(
+      bucketSec = 3600L, halfK = 3, warm = 24, thresholdMicro = 2500000L),
 
     "q_stream_trending" -> graft.streaming.EventStreams
       .trendingTopKOracleSql(bucketSec = 21600L, k = 3),

@@ -313,6 +313,110 @@ object EventStreams {
        |         AND ratio_micro > $thresholdMicro, false) AS is_anomaly
        |FROM r""".stripMargin
 
+  /** EWMA-forecast anomaly scoring — the exponentially-weighted companion
+    * to [[rateAnomaly]]'s trailing-mean: each (event_type, bucket) count
+    * is scored against the EWMA of all PRIOR buckets, so the baseline
+    * adapts to drift (a slowly growing service stops alarming) while a
+    * sharp burst still fires. α = 1/2^`halfK` and everything stays in
+    * integer micro-units:
+    *   s_1 = n_1·1e6;  s_t = s_{t-1} + sign(Δ)·(|Δ| div 2^halfK),
+    *     Δ = n_t·1e6 − s_{t-1}
+    *   ratio_micro = n_t·1e12 div s_{t-1}   (vs the forecast, not s_t)
+    * The sign·abs form makes Spark's truncating `div` and DuckDB's
+    * flooring `//` agree on negative deltas; a fixed warm-up suppresses
+    * flags for the first `warm` buckets of each type.
+    *
+    * Shape: the (type, bucket) pre-aggregate shrinks the corpus to
+    * #types × #buckets rows; the inherently-sequential EWMA then runs as
+    * ONE sorted `aggregate` HOF fold per type over that bounded array
+    * (the BM25/naive-Bayes fold posture — never a corpus-sized window;
+    * a year of hourly buckets is 8.8k elements). The oracle replays the
+    * fold with a recursive CTE over the same ordering.
+    */
+  def ewmaAnomaly(events: DataFrame, bucketSec: Long = 3600L,
+      halfK: Int = 3, warm: Int = 24,
+      thresholdMicro: Long = 2500000L): DataFrame = {
+    require(halfK >= 0 && warm >= 0)
+    val pow2 = 1L << halfK
+    val counts = events
+      .select(col("event_type"),
+        expr(s"unix_timestamp(ts) div $bucketSec * $bucketSec")
+          .as("bucket_s"))
+      .groupBy("event_type", "bucket_s").agg(count(lit(1)).as("n"))
+    counts
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("bucket_s"), col("n"))))
+        .as("seq"))
+      .select(col("event_type"), expr(
+        s"""aggregate(
+           |  seq,
+           |  struct(CAST(-1 AS BIGINT) AS s,
+           |         CAST(array() AS ARRAY<STRUCT<bucket_s: BIGINT,
+           |           n: BIGINT, ewma_micro: BIGINT,
+           |           ratio_micro: BIGINT>>) AS out),
+           |  (acc, x) -> struct(
+           |    CASE WHEN acc.s < 0 THEN x.n * 1000000
+           |         ELSE acc.s
+           |           + (CASE WHEN x.n * 1000000 < acc.s THEN -1 ELSE 1 END)
+           |             * (abs(x.n * 1000000 - acc.s) div $pow2) END,
+           |    array_append(acc.out, struct(
+           |      x.bucket_s AS bucket_s, CAST(x.n AS BIGINT) AS n,
+           |      CAST(CASE WHEN acc.s < 0 THEN x.n * 1000000
+           |           ELSE acc.s
+           |             + (CASE WHEN x.n * 1000000 < acc.s THEN -1 ELSE 1 END)
+           |               * (abs(x.n * 1000000 - acc.s) div $pow2) END
+           |        AS BIGINT) AS ewma_micro,
+           |      CAST(CASE WHEN acc.s > 0
+           |           THEN (x.n * 1000000000000) div acc.s END
+           |        AS BIGINT) AS ratio_micro))),
+           |  acc -> acc.out)""".stripMargin).as("out"))
+      .select(col("event_type"), posexplode(col("out")))
+      .select(col("event_type"), col("col.bucket_s"), col("col.n"),
+        col("col.ewma_micro"), col("col.ratio_micro"),
+        (col("pos") >= warm &&
+          coalesce(col("col.ratio_micro") > thresholdMicro, lit(false)))
+          .as("is_spike"))
+  }
+
+  /** DuckDB replay of [[ewmaAnomaly]] — the per-type sequential fold as a
+    * recursive CTE over the row_number order (bounded by buckets, not
+    * corpus rows).
+    */
+  def ewmaAnomalyOracleSql(bucketSec: Long = 3600L, halfK: Int = 3,
+      warm: Int = 24, thresholdMicro: Long = 2500000L,
+      table: String = "events"): String = {
+    val pow2 = 1L << halfK
+    s"""WITH RECURSIVE c AS (
+       |  SELECT event_type,
+       |         (epoch_us(ts::TIMESTAMP) // 1000000) // $bucketSec
+       |           * $bucketSec AS bucket_s,
+       |         count(*)::BIGINT AS n
+       |  FROM $table GROUP BY 1, 2),
+       |seq AS MATERIALIZED (
+       |  SELECT event_type, bucket_s, n,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY bucket_s) AS rn
+       |  FROM c),
+       |rec(event_type, rn, s_prev, ewma) AS (
+       |  SELECT event_type, rn, NULL::BIGINT, n * 1000000
+       |  FROM seq WHERE rn = 1
+       |  UNION ALL
+       |  SELECT x.event_type, x.rn, r.ewma,
+       |         r.ewma + (CASE WHEN x.n * 1000000 < r.ewma THEN -1 ELSE 1 END)
+       |                  * (abs(x.n * 1000000 - r.ewma) // $pow2)
+       |  FROM rec r JOIN seq x
+       |    ON x.event_type = r.event_type AND x.rn = r.rn + 1)
+       |SELECT s.event_type, s.bucket_s, s.n,
+       |       r.ewma AS ewma_micro,
+       |       CASE WHEN r.s_prev > 0
+       |            THEN (s.n * 1000000000000) // r.s_prev END AS ratio_micro,
+       |       coalesce(s.rn > $warm
+       |         AND (s.n * 1000000000000) // r.s_prev > $thresholdMicro,
+       |         false) AS is_spike
+       |FROM seq s JOIN rec r
+       |  ON r.event_type = s.event_type AND r.rn = s.rn""".stripMargin
+  }
+
   /** Windowed trending top-k — per tumbling window, the `k` most frequent
     * event types ranked with a deterministic (count DESC, type ASC)
     * tie-break. The "what's hot right now" leaderboard over ingest

@@ -459,6 +459,31 @@ class StreamingSpec extends SparkSpec {
     assert(r(h0 + 14400) == ((10L, 6L, 3L, 5000000L, true)))
   }
 
+  test("ewmaAnomaly: hand-folded sequence, warm-up gate, burst flags") {
+    import spark.implicits._
+    def t(h: Int, n: Int) = (0 until n).map(i =>
+      ("click", java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:${i % 60}%02d")))
+    // hours 0..2 at 8/hour, hour 3 bursts to 80; halfK=3 → α=1/8, warm=2
+    val ev = (t(0, 8) ++ t(1, 8) ++ t(2, 8) ++ t(3, 80))
+      .toDF("event_type", "ts")
+    val r = graft.streaming.EventStreams
+      .ewmaAnomaly(ev, bucketSec = 3600L, halfK = 3, warm = 2,
+        thresholdMicro = 2500000L)
+      .collect().map(x => x.getLong(1) ->
+        (x.getLong(2), x.getLong(3),
+          if (x.isNullAt(4)) -1L else x.getLong(4), x.getBoolean(5))).toMap
+    val h0 = r.keys.min
+    // hour 0: seed s=8e6, no prior → null ratio, warm-up anyway
+    assert(r(h0) == ((8L, 8000000L, -1L, false)))
+    // hour 1: Δ=0, s stays 8e6; ratio = 8e12 div 8e6 = 1e6; pos 1 < warm
+    assert(r(h0 + 3600) == ((8L, 8000000L, 1000000L, false)))
+    // hour 2: same ratio, past warm-up but 1e6 < 2.5e6 → no flag
+    assert(r(h0 + 7200) == ((8L, 8000000L, 1000000L, false)))
+    // hour 3: ratio = 80e12 div 8e6 = 1e7 > 2.5e6 → spike;
+    // s = 8e6 + (72e6 div 8) = 17e6
+    assert(r(h0 + 10800) == ((80L, 17000000L, 10000000L, true)))
+  }
+
   test("trendingTopK: per-window ranking, count-then-type tie-break, " +
       "k cutoff") {
     import spark.implicits._
