@@ -234,6 +234,161 @@ object TextAnalysis {
          |ORDER BY rank_u DESC, word LIMIT $topK""".stripMargin)
   }
 
+  /** Logistic-regression quality/language classifier trained by batch
+    * gradient descent ENTIRELY inside the engine, in exact integer
+    * arithmetic — the learned upgrade of [[naiveBayes]] (discriminative
+    * rather than generative, the fastText-classifier shape) with zero
+    * float nondeterminism: the activation is the HARD SIGMOID
+    * σ(z) = clamp(z/4 + 1/2, 0, 1) (the piecewise-linear form quantized
+    * training uses), so every forward pass, gradient, and weight update
+    * is integer micro-unit arithmetic with sign-safe division — a fixed
+    * round count from the zero start replays bit-for-bit in any engine.
+    *
+    * Model: P(label = `posLabel`) ≈ σ((w·x) / 1e6) over three micro
+    * features — intercept, the positive class's marker-word hit ratio,
+    * and the combined other-language marker ratio (the [[langProfiles]]
+    * lists, the same signals [[langId]] votes on).
+    *
+    * Per round (batch GD, learning rate `lrMicro`/1e6):
+    *   z_i = sdiv(Σ_j w_j·x_ij, 1e6);  s_i = clamp(sdiv(z_i, 4) + 5e5, 0, 1e6)
+    *   g_j = sdiv(Σ_i (s_i − y_i·1e6)·x_ij, n)
+    *   w_j ← w_j − sdiv(lrMicro·g_j, 1e12)
+    * where sdiv(a, b) = sign(a)·(|a| div b) — truncation toward zero on
+    * both engines.
+    *
+    * Scale shape: features materialize ONCE (one tokenize pass, persisted);
+    * each round is ONE corpus aggregate producing three gradient numbers
+    * (map-side combine, a 1-row driver collect — the BPE-trainer loop
+    * posture, bounded state, never a data collect). k rounds = k scans of
+    * the persisted feature table. Returns (metric, value): the trained
+    * micro weights plus training-set accuracy counts.
+    */
+  def logisticTrain(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, labelCol: String, posLabel: String = "en",
+      iters: Int = 8,
+      lrMicro: Long = 2000000L): org.apache.spark.sql.DataFrame = {
+    require(iters >= 0 && lrMicro >= 0)
+    val pos = langProfiles.getOrElse(posLabel,
+      sys.error(s"no marker profile for $posLabel"))
+    val others = langProfiles.filter(_._1 != posLabel).values.flatten.toSeq
+      .distinct.sorted
+    def ratio(words: Seq[String]): Column = {
+      val t = toksExprSql(textCol)
+      val lst = words.map(w => s"'$w'").mkString(",")
+      // zero-guard INSIDE the CASE: ANSI-safe, branches are per-row lazy
+      expr(s"CASE WHEN size($t) = 0 THEN 0L ELSE " +
+        s"CAST(size(filter($t, t -> array_contains(array($lst), t))) " +
+        s"AS BIGINT) * 1000000 div size($t) END")
+    }
+    val feats = Caching.persist(df.select(
+      when(col(labelCol) === posLabel, 1L).otherwise(0L).as("y"),
+      lit(1000000L).as("x0"),
+      ratio(pos).as("x1"),
+      ratio(others).as("x2")))
+    def sdivL(a: Long, b: Long): Long = a.sign * (math.abs(a) / b)
+    var w = Array(0L, 0L, 0L)
+    for (_ <- 1 to iters) {
+      // forward + gradient in ONE aggregate with the weights inlined as
+      // literals (no per-round join): z, s, err are per-row expressions
+      val dot = s"(${w(0)}L * x0 + ${w(1)}L * x1 + ${w(2)}L * x2)"
+      val z = s"(CASE WHEN $dot < 0 THEN -1 ELSE 1 END * (abs($dot) div 1000000))"
+      val zq = s"(CASE WHEN $z < 0 THEN -1 ELSE 1 END * (abs($z) div 4))"
+      val sig = s"greatest(0L, least(1000000L, $zq + 500000))"
+      val err = s"($sig - y * 1000000)"
+      val g = feats.agg(
+        expr(s"sum($err * x0)").as("g0"),
+        expr(s"sum($err * x1)").as("g1"),
+        expr(s"sum($err * x2)").as("g2"),
+        count(lit(1)).as("n")).collect()(0)
+      val n = math.max(g.getAs[Long]("n"), 1L)
+      val gs = Array(g.getAs[Long]("g0"), g.getAs[Long]("g1"),
+        g.getAs[Long]("g2")).map(sdivL(_, n))
+      w = w.zip(gs).map { case (wj, gj) =>
+        wj - sdivL(lrMicro * gj, 1000000000000L) }
+    }
+    val dot = s"(${w(0)}L * x0 + ${w(1)}L * x1 + ${w(2)}L * x2)"
+    val z = s"(CASE WHEN $dot < 0 THEN -1 ELSE 1 END * (abs($dot) div 1000000))"
+    val zq = s"(CASE WHEN $z < 0 THEN -1 ELSE 1 END * (abs($z) div 4))"
+    val sig = s"greatest(0L, least(1000000L, $zq + 500000))"
+    val acc = feats.agg(
+      expr(s"sum(CASE WHEN ($sig >= 500000) = (y = 1) THEN 1 ELSE 0 END)")
+        .cast("long").as("n_correct"),
+      count(lit(1)).as("n_rows")).collect()(0)
+    val rows = Seq(
+      ("w0_micro", w(0)), ("w1_micro", w(1)), ("w2_micro", w(2)),
+      ("n_correct", acc.getAs[Long]("n_correct")),
+      ("n_rows", acc.getAs[Long]("n_rows")))
+    df.sparkSession.createDataFrame(rows).toDF("metric", "value")
+  }
+
+  /** Spark SQL string for [[tokens]]`(textCol)` — used where a feature
+    * expression must be assembled textually (the logistic trainer's
+    * inlined per-round forward pass).
+    */
+  private def toksExprSql(textCol: String): String =
+    s"filter(split(lower($textCol), '\\\\s+'), t -> t != '')"
+
+  /** DuckDB replay of [[logisticTrain]] — one CTE pair (gradient, weights)
+    * per GD round over the materialized feature table; identical sdiv
+    * arithmetic.
+    */
+  def logisticTrainOracleSql(labelCol: String = "lang",
+      posLabel: String = "en", iters: Int = 8, lrMicro: Long = 2000000L,
+      table: String = "documents", textCol: String = "text"): String = {
+    val pos = langProfiles(posLabel)
+    val others = langProfiles.filter(_._1 != posLabel).values.flatten.toSeq
+      .distinct.sorted
+    def ratioSql(words: Seq[String]): String = {
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      val toks = toksSql(textCol)
+      s"CASE WHEN len($toks) = 0 THEN 0 ELSE " +
+        s"len(list_filter($toks, t -> list_contains([$lst], t)))::BIGINT " +
+        s"* 1000000 // len($toks) END"
+    }
+    def sdiv(a: String, b: String): String =
+      s"(CASE WHEN ($a) < 0 THEN -1 ELSE 1 END) * (abs($a) // ($b))"
+    def forward(wRef: String): (String, String) = {
+      val dot = s"($wRef.w0 * f.x0 + $wRef.w1 * f.x1 + $wRef.w2 * f.x2)"
+      val z = sdiv(dot, "1000000")
+      val zq = sdiv(s"($z)", "4")
+      val sig = s"greatest(0, least(1000000, ($zq) + 500000))"
+      (sig, s"(($sig) - f.y * 1000000)")
+    }
+    val roundCtes = (1 to iters).map { r =>
+      val prev = s"w${r - 1}"
+      val (_, err) = forward(prev)
+      s"""g$r AS MATERIALIZED (
+         |  SELECT ${sdiv(s"sum(($err) * f.x0)", "greatest(count(*), 1)")} AS g0,
+         |         ${sdiv(s"sum(($err) * f.x1)", "greatest(count(*), 1)")} AS g1,
+         |         ${sdiv(s"sum(($err) * f.x2)", "greatest(count(*), 1)")} AS g2
+         |  FROM feats f, $prev),
+         |w$r AS MATERIALIZED (
+         |  SELECT p.w0 - ${sdiv(s"$lrMicro * g.g0", "1000000000000")} AS w0,
+         |         p.w1 - ${sdiv(s"$lrMicro * g.g1", "1000000000000")} AS w1,
+         |         p.w2 - ${sdiv(s"$lrMicro * g.g2", "1000000000000")} AS w2
+         |  FROM $prev p, g$r g)""".stripMargin
+    }.mkString(",\n")
+    val (sigF, _) = forward(s"w$iters")
+    s"""WITH feats AS MATERIALIZED (
+       |  SELECT CASE WHEN $labelCol = '$posLabel' THEN 1 ELSE 0 END::BIGINT AS y,
+       |         1000000::BIGINT AS x0,
+       |         (${ratioSql(pos)})::BIGINT AS x1,
+       |         (${ratioSql(others)})::BIGINT AS x2
+       |  FROM $table),
+       |w0 AS (SELECT 0::BIGINT AS w0, 0::BIGINT AS w1, 0::BIGINT AS w2),
+       |$roundCtes,
+       |acc AS (
+       |  SELECT sum(CASE WHEN (($sigF) >= 500000) = (f.y = 1)
+       |                  THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+       |         count(*)::BIGINT AS n_rows
+       |  FROM feats f, w$iters)
+       |SELECT 'w0_micro' AS metric, w0::BIGINT AS value FROM w$iters
+       |UNION ALL SELECT 'w1_micro', w1::BIGINT FROM w$iters
+       |UNION ALL SELECT 'w2_micro', w2::BIGINT FROM w$iters
+       |UNION ALL SELECT 'n_correct', n_correct::BIGINT FROM acc
+       |UNION ALL SELECT 'n_rows', n_rows::BIGINT FROM acc""".stripMargin
+  }
+
   /** Canonical document fingerprint: md5 of lowercased text with
     * non-alphanumerics stripped and whitespace collapsed. Two docs that
     * differ only in case/punctuation/spacing collide — the exact-dedup key.

@@ -208,6 +208,13 @@ object PipelineQueries {
       .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
       .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))),
 
+    // --- logistic-regression language classifier trained by batch GD
+    // inside the engine: hard-sigmoid forward, exact micro-unit weights,
+    // one aggregate per round (oracle replays every round) ---
+    "q_text_logreg" -> ((s, d) =>
+      TextAnalysis.logisticTrain(docs(s, d), "doc_id", "text", "lang",
+        posLabel = "en", iters = 8, lrMicro = 2000000L)),
+
     // --- TextRank keywords: PageRank centrality over the content-word
     // adjacency graph, exact micro-unit iteration (oracle-checked) ---
     "q_text_textrank" -> ((s, d) =>
@@ -1458,6 +1465,11 @@ object PipelineQueries {
     // TextRank: word-adjacency edge build + the shared PageRank
     // chained-CTE iteration, top-k by (rank desc, word)
     "q_text_textrank" -> TextAnalysis.textRankOracleSql(iters = 5, topK = 50),
+
+    // logistic GD trainer: one (gradient, weights) CTE pair per round,
+    // identical sign-safe integer division
+    "q_text_logreg" -> TextAnalysis.logisticTrainOracleSql(
+      "lang", posLabel = "en", iters = 8, lrMicro = 2000000L),
 
     // Cohen's kappa over the same prediction fragment — confusion-matrix
     // marginals in exact BIGINTs, sign-safe micro truncation

@@ -693,4 +693,26 @@ class TextSpec extends SparkSpec {
     assert(spokes.map(_.getString(0)).toSeq == Seq("aaa", "bbb", "ccc"))
   }
 
+  test("logisticTrain: learns a separable planted corpus to 100%; exact weights") {
+    import graft.operators.TextAnalysis
+    // positive docs are pure en-marker text (x1 = 1e6), negatives share no
+    // marker (x1 = 0) -> hard-sigmoid GD must separate them perfectly
+    val docs = ((1L to 10L).map(i => (i, "the and of to is in", "en")) ++
+      (11L to 20L).map(i => (i, "zzz qqq xxx yyy www vvv", "de")))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.logisticTrain(docs, "doc_id", "text", "lang",
+      posLabel = "en", iters = 8, lrMicro = 2000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("n_rows") == 20L && got("n_correct") == 20L)
+    // the en-marker weight dominates positive, the bias settles negative
+    // (the negative class has only the intercept feature active)
+    assert(got("w1_micro") > 0L && got("w0_micro") < got("w1_micro"))
+    // zero rounds -> zero weights, majority-by-sigmoid(0) >= 0.5 predicts
+    // everything positive
+    val w0 = TextAnalysis.logisticTrain(docs, "doc_id", "text", "lang",
+      posLabel = "en", iters = 0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w0("w0_micro") == 0L && w0("n_correct") == 10L)
+  }
+
 }
