@@ -774,6 +774,90 @@ object Profile {
         (col("l_distinct") < l).as("violates_l")): _*)
   }
 
+  /** Split-conformal outlier p-values (Vovk et al. 2005; the
+    * distribution-free novelty measure modern data-curation QA uses
+    * instead of z-score thresholds): calibration rows define the score
+    * distribution, and every test row gets
+    *   p = (1 + #{calibration scores ≥ s}) / (n_cal + 1)
+    * — exactly valid at any n with NO distributional assumption: under
+    * exchangeability P(p ≤ α) ≤ α, so "drop test docs with p < 0.01"
+    * has a guaranteed false-alarm rate, which a MAD/z cutoff cannot
+    * promise. Scores must be integers (micro-quantize upstream);
+    * p ships as exact (ge, p_micro) with floor division.
+    *
+    * Scale shape: no test×calibration join — the ≥-count is a TWO-LEVEL
+    * suffix sum over the DISTINCT-score table (the
+    * [[graft.operators.Scale.domainTokenCap]] mega-partition guard):
+    * per-bucket totals, one window over the bucket table, intra-bucket
+    * windows partitioned by bucket — no window ever spans more than
+    * max(#buckets, bucketWidth) rows however many distinct scores exist.
+    * Test scores ride the same table with zero calibration weight, so
+    * every test score finds its suffix without a range join.
+    */
+  def conformalPValues(df: DataFrame, idCol: String, score: Column,
+      calPred: Column, bucketWidth: Long = 1024L): DataFrame = {
+    require(bucketWidth >= 1)
+    val base = Caching.persist(df.select(col(idCol).as("id"),
+      score.cast("long").as("s"), calPred.as("is_cal")))
+    val nCal = base.agg(coalesce(sum(when(col("is_cal"), 1L)
+      .otherwise(0L)), lit(0L)).as("n_cal"))
+    val perScore = base
+      .groupBy(col("s"))
+      .agg(sum(when(col("is_cal"), 1L).otherwise(0L)).as("c"))
+      .withColumn("bkt", expr(s"(s - pmod(s, $bucketWidth)) div $bucketWidth"))
+      .transform(Caching.persist)
+    val wHigher = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bkt").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bktTot = perScore.groupBy(col("bkt")).agg(sum(col("c")).as("bc"))
+      .withColumn("higher", coalesce(sum(col("bc")).over(wHigher), lit(0L)))
+    val wWithin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ge = perScore
+      .withColumn("within", sum(col("c")).over(wWithin))
+      .join(bktTot.select(col("bkt"), col("higher")), "bkt")
+      .select(col("s"), (col("higher") + col("within")).as("ge"))
+    base.where(!col("is_cal"))
+      .join(ge, "s")
+      .crossJoin(broadcast(nCal))
+      .select(col("id"), col("s").as("score"), col("ge"),
+        expr("((1 + ge) * 1000000) div (n_cal + 1)").as("p_micro"))
+  }
+
+  /** DuckDB replay of [[conformalPValues]] (same two-level ROWS-frame
+    * suffix sums, same floor division).
+    */
+  def conformalOracleSql(table: String, idExpr: String, scoreExpr: String,
+      calPredSql: String, bucketWidth: Long = 1024L): String =
+    s"""WITH base AS (
+       |  SELECT $idExpr AS id, ($scoreExpr)::BIGINT AS s,
+       |         ($calPredSql) AS is_cal
+       |  FROM $table),
+       |ncal AS (SELECT coalesce(sum(CASE WHEN is_cal THEN 1 ELSE 0 END), 0)::BIGINT
+       |           AS n_cal FROM base),
+       |per_score AS MATERIALIZED (
+       |  SELECT s, sum(CASE WHEN is_cal THEN 1 ELSE 0 END)::BIGINT AS c,
+       |         (s - ((s % $bucketWidth + $bucketWidth) % $bucketWidth))
+       |           // $bucketWidth AS bkt
+       |  FROM base GROUP BY s),
+       |bkt_tot AS (
+       |  SELECT bkt,
+       |         coalesce(sum(bc) OVER (ORDER BY bkt DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS higher
+       |  FROM (SELECT bkt, sum(c)::BIGINT AS bc FROM per_score GROUP BY bkt)),
+       |ge AS (
+       |  SELECT p.s,
+       |         (b.higher + sum(p.c) OVER (PARTITION BY p.bkt ORDER BY p.s DESC
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+       |           AS ge
+       |  FROM per_score p JOIN bkt_tot b USING (bkt))
+       |SELECT base.id, base.s AS score, ge.ge,
+       |       ((1 + ge.ge) * 1000000) // (n_cal + 1) AS p_micro
+       |FROM base JOIN ge USING (s), ncal
+       |WHERE NOT base.is_cal""".stripMargin
+
   /** Closed-form least-squares fit y ≈ b0 + b1·x1 + b2·x2 by the normal
     * equations with EXACT arithmetic — the "learned quality model" tier a
     * curation pipeline fits over integer document features (tokens,

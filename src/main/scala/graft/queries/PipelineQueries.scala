@@ -221,6 +221,14 @@ object PipelineQueries {
       TextAnalysis.textRank(docs(s, d), "doc_id", "text",
         iters = 5, topK = 50)),
 
+    // --- split-conformal outlier p-values: distribution-free novelty
+    // scores for the odd-id half against the even-id calibration half,
+    // two-level suffix sum, exact rationals (oracle-checked) ---
+    "q_pipeline_conformal" -> ((s, d) =>
+      graft.operators.Profile.conformalPValues(docs(s, d), "doc_id",
+        score = length(col("text")),
+        calPred = col("doc_id") % 2 === 0)),
+
     // --- closed-form least squares: chars ~ b0 + b1*tokens + b2*digits
     // by exact Cramer determinants on the normal equations — the learned
     // length/quality model tier (oracle-checked) ---
@@ -1454,6 +1462,10 @@ object PipelineQueries {
       s"""WITH ${TextAnalysis.langIdPredCtes()}
         |SELECT gold AS lang, pred AS predicted, count(*) AS n
         |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // conformal p-values: the same two-level suffix-sum windows
+    "q_pipeline_conformal" -> graft.operators.Profile.conformalOracleSql(
+      "documents", "doc_id", "length(text)", "doc_id % 2 = 0"),
 
     // exact normal-equation fit: HUGEINT moments + the same Cramer
     // cofactors, VARCHAR exact numerators/determinant

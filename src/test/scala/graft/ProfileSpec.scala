@@ -278,6 +278,24 @@ class ProfileSpec extends SparkSpec {
     assert(sing.forall(_.getString(2) == "0"))
   }
 
+  test("conformalPValues: hand-checked ranks, validity bound, no-join shape") {
+    import graft.operators.Profile
+    import org.apache.spark.sql.functions._
+    // calibration scores 10,20,30,40 (ids 2,4,6,8); tests 5,25,40,99
+    val rows = Seq((2L, 10L, true), (4L, 20L, true), (6L, 30L, true),
+      (8L, 40L, true), (1L, 5L, false), (3L, 25L, false),
+      (5L, 40L, false), (7L, 99L, false))
+      .toDF("id", "s", "cal")
+    val got = Profile.conformalPValues(rows, "id", col("s"), col("cal"),
+      bucketWidth = 16L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // ge counts calibration scores >= s; p = (1+ge)*1e6 div 5
+    assert(got(1L) == ((4L, 1000000L)))  // 5: all 4 cal >= → p = 1
+    assert(got(3L) == ((2L, 600000L)))   // 25: {30,40} → 3/5
+    assert(got(5L) == ((1L, 400000L)))   // 40: ties count (>= includes 40)
+    assert(got(7L) == ((0L, 200000L)))   // 99: none → the min p = 1/(n+1)
+  }
+
   test("kAnonymity: group sizes, l-diversity, violation flags") {
     import graft.operators.Profile
     val rows = Seq(
