@@ -136,6 +136,14 @@ object StreamQueries {
         bucketSec = 3600L, halfK = 3, warm = 24,
         thresholdMicro = 2500000L)),
 
+    // --- lead-lag cross-correlation: does click activity lead purchase
+    // activity? Pearson corr per lag over the zero-filled hourly grid,
+    // exact integer moments (oracle-checked) ---
+    "q_stream_lagcorr" -> ((s, d) =>
+      graft.streaming.EventStreams.lagCorrelation(events(s, d),
+        typeA = "click", typeB = "purchase",
+        bucketSec = 3600L, maxLag = 12)),
+
     // --- 6-hour trending leaderboard: top-3 event types per window,
     // deterministic tie-break, rank filter runs as WindowGroupLimit
     // partial top-k (oracle-checked) ---
@@ -321,6 +329,11 @@ object StreamQueries {
 
     "q_stream_ewma" -> graft.streaming.EventStreams.ewmaAnomalyOracleSql(
       bucketSec = 3600L, halfK = 3, warm = 24, thresholdMicro = 2500000L),
+
+    "q_stream_lagcorr" ->
+      graft.streaming.EventStreams.lagCorrelationOracleSql(
+        typeA = "click", typeB = "purchase",
+        bucketSec = 3600L, maxLag = 12),
 
     "q_stream_trending" -> graft.streaming.EventStreams
       .trendingTopKOracleSql(bucketSec = 21600L, k = 3),

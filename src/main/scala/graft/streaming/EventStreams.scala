@@ -417,6 +417,110 @@ object EventStreams {
        |  ON r.event_type = s.event_type AND r.rn = s.rn""".stripMargin
   }
 
+  /** Lagged cross-correlation between two event-type rate series — "does
+    * `typeA` activity LEAD `typeB` activity, and by how many buckets?"
+    * (the classic lead-lag diagnostic: clicks→purchases, deploys→errors).
+    * Both series are densified to the full [min, max] bucket grid with
+    * zero-fill (correlation over observed-only buckets silently ignores
+    * silence, which IS signal here), then Pearson corr(A_t, B_{t+L}) is
+    * computed for every lag |L| ≤ `maxLag` over the overlapping range.
+    *
+    * Exactness: counts are integers, so all five moments are exact
+    * BIGINTs; corr is one identical IEEE divide/sqrt rounded to 6 dp
+    * (the [[graft.operators.Similarity.correlationMatrix]] tail);
+    * zero-variance series pin corr = 0.
+    *
+    * Shape: the corpus collapses to per-(type, bucket) counts first; the
+    * dense grid is one generator off a 1-row min/max aggregate; each lag
+    * is an equi-join on the SHIFTED bucket key (the 2·maxLag+1 lag table
+    * broadcasts onto the grid — no range join, no window); one final
+    * lag-keyed aggregate. Work ∝ buckets × lags, independent of event
+    * count.
+    */
+  def lagCorrelation(events: DataFrame, typeA: String, typeB: String,
+      bucketSec: Long = 3600L, maxLag: Int = 12): DataFrame = {
+    require(maxLag >= 0)
+    val counts = events
+      .where(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"),
+        expr(s"unix_timestamp(ts) div $bucketSec * $bucketSec")
+          .as("bucket_s"))
+      .groupBy("event_type", "bucket_s").agg(count(lit(1)).as("n"))
+      .transform(graft.operators.Caching.persist)
+    val grid = counts.agg(min(col("bucket_s")).as("lo"),
+        max(col("bucket_s")).as("hi"))
+      .select(explode(expr(s"sequence(lo, hi, $bucketSec)")).as("bucket_s"))
+      .transform(graft.operators.Caching.persist)
+    def series(t: String, as: String): DataFrame = grid
+      .join(counts.where(col("event_type") === t)
+        .select(col("bucket_s"), col("n")), Seq("bucket_s"), "left")
+      .select(col("bucket_s"), coalesce(col("n"), lit(0L)).as(as))
+    val a = series(typeA, "a")
+    val b = series(typeB, "b")
+    val lags = events.sparkSession.range(-maxLag.toLong, maxLag + 1L)
+      .select(col("id").as("lag"))
+    val joined = a.crossJoin(broadcast(lags))
+      .join(b.withColumnRenamed("bucket_s", "b_bucket"),
+        col("b_bucket") === col("bucket_s") + col("lag") * bucketSec)
+    joined.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"), sum(col("a")).as("sa"),
+        sum(col("b")).as("sb"), sum(col("a") * col("b")).as("sab"),
+        sum(col("a") * col("a")).as("saa"),
+        sum(col("b") * col("b")).as("sbb"))
+      .select(col("lag"), col("n"),
+        when(col("n") * col("saa") - col("sa") * col("sa") === 0 ||
+            col("n") * col("sbb") - col("sb") * col("sb") === 0, lit(0d))
+          .otherwise(round(
+            (col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
+              sqrt(((col("n") * col("saa") - col("sa") * col("sa")) *
+                (col("n") * col("sbb") - col("sb") * col("sb")))
+                .cast("double")), 6)).as("corr"))
+  }
+
+  /** DuckDB replay of [[lagCorrelation]] (same dense grid, same integer
+    * moments, same IEEE tail).
+    */
+  def lagCorrelationOracleSql(typeA: String, typeB: String,
+      bucketSec: Long = 3600L, maxLag: Int = 12,
+      table: String = "events"): String =
+    s"""WITH c AS MATERIALIZED (
+       |  SELECT event_type,
+       |         (epoch_us(ts::TIMESTAMP) // 1000000) // $bucketSec
+       |           * $bucketSec AS bucket_s,
+       |         count(*)::BIGINT AS n
+       |  FROM $table WHERE event_type IN ('$typeA', '$typeB')
+       |  GROUP BY 1, 2),
+       |grid AS MATERIALIZED (
+       |  SELECT unnest(generate_series((SELECT min(bucket_s) FROM c),
+       |                                (SELECT max(bucket_s) FROM c),
+       |                                $bucketSec)) AS bucket_s),
+       |a AS MATERIALIZED (
+       |  SELECT g.bucket_s, coalesce(c.n, 0)::BIGINT AS a
+       |  FROM grid g LEFT JOIN c
+       |    ON c.bucket_s = g.bucket_s AND c.event_type = '$typeA'),
+       |b AS MATERIALIZED (
+       |  SELECT g.bucket_s, coalesce(c.n, 0)::BIGINT AS b
+       |  FROM grid g LEFT JOIN c
+       |    ON c.bucket_s = g.bucket_s AND c.event_type = '$typeB'),
+       |m AS (
+       |  SELECT l.range AS lag, count(*)::BIGINT AS n,
+       |         sum(a.a)::BIGINT AS sa, sum(b.b)::BIGINT AS sb,
+       |         sum(a.a * b.b)::BIGINT AS sab,
+       |         sum(a.a * a.a)::BIGINT AS saa,
+       |         sum(b.b * b.b)::BIGINT AS sbb
+       |  FROM range(-$maxLag, ${maxLag + 1}) l
+       |  JOIN a ON true
+       |  JOIN b ON b.bucket_s = a.bucket_s + l.range * $bucketSec
+       |  GROUP BY 1)
+       |SELECT lag, n,
+       |       CASE WHEN n * saa - sa * sa = 0 OR n * sbb - sb * sb = 0
+       |            THEN 0
+       |            ELSE round((n * sab - sa * sb)::DOUBLE
+       |              / sqrt(((n * saa - sa * sa)
+       |                      * (n * sbb - sb * sb))::DOUBLE), 6)
+       |       END AS corr
+       |FROM m""".stripMargin
+
   /** Windowed trending top-k — per tumbling window, the `k` most frequent
     * event types ranked with a deterministic (count DESC, type ASC)
     * tie-break. The "what's hot right now" leaderboard over ingest

@@ -484,6 +484,26 @@ class StreamingSpec extends SparkSpec {
     assert(r(h0 + 10800) == ((80L, 17000000L, 10000000L, true)))
   }
 
+  test("lagCorrelation: planted 2-hour lead is recovered at corr = 1") {
+    import spark.implicits._
+    val c = Seq(1, 2, 4, 8, 3, 7, 5, 2, 6, 9)
+    def burst(tp: String, h: Int, n: Int) = (0 until n).map(i =>
+      (tp, java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:${i % 60}%02d")))
+    // purchases replay clicks exactly two hours later (aperiodic counts)
+    val ev = (c.indices.flatMap(h => burst("click", h, c(h))) ++
+      c.indices.flatMap(h => burst("purchase", h + 2, c(h))))
+      .toDF("event_type", "ts")
+    val r = graft.streaming.EventStreams
+      .lagCorrelation(ev, "click", "purchase", bucketSec = 3600L, maxLag = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2)))
+      .toMap
+    assert(r.keySet == (-3L to 3L).toSet)
+    // at lag +2 the overlapping series are identical → corr exactly 1
+    assert(r(2L)._2 == 1.0 && r(2L)._1 == 10L)
+    // elsewhere strictly below 1
+    for (l <- r.keys if l != 2L) assert(r(l)._2 < 1.0, s"lag $l")
+  }
+
   test("trendingTopK: per-window ranking, count-then-type tie-break, " +
       "k cutoff") {
     import spark.implicits._
