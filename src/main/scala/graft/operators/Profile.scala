@@ -774,6 +774,80 @@ object Profile {
         (col("l_distinct") < l).as("violates_l")): _*)
   }
 
+  /** Poisson(1) inverse-CDF thresholds in micro units — P(X ≤ k)·1e6 for
+    * k = 0..6 (e^{-1}·Σ 1/i!, rounded); mass beyond 7 copies is ~1e-7 and
+    * truncates to 7. Shared constants so the Spark operator and the
+    * DuckDB replay draw identical weights from identical hash uniforms.
+    */
+  val PoissonCdfMicro: Seq[Long] =
+    Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L, 999917L)
+
+  /** Poisson-bootstrap replicates of a corpus mean (Chamandy et al. 2012,
+    * "Estimating Uncertainty for Massive Data Streams" — the bootstrap
+    * that works in one distributed pass): replicate r reweights every row
+    * by an independent-ish Poisson(1) draw DERIVED from the portable md5
+    * of (id, r), so no per-replicate resampling pass, no stored
+    * randomness, and any engine regenerates the identical replicate
+    * table. The spread of the R replicate means IS the sampling
+    * distribution of the corpus mean — the error bar every dataset-card
+    * metric should carry.
+    *
+    * Exactness: weights are integers from fixed CDF thresholds
+    * ([[PoissonCdfMicro]]); each replicate mean is the exact rational
+    * Σw·x / Σw floored to micro. Returns (rep, n_eff, sum_wx, mean_micro).
+    *
+    * Scale shape: ONE pass — the R-row replicate table broadcasts onto
+    * the corpus (generator explode, no shuffle of data rows) and a
+    * (rep)-keyed aggregate reduces R·corpus weighted rows to R rows;
+    * map-side combine ships R partials per partition.
+    */
+  def bootstrapMean(df: DataFrame, idCol: String, value: Column,
+      reps: Int = 32): DataFrame = {
+    require(reps >= 1)
+    val thresholds = PoissonCdfMicro.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN ${k}L" }
+      .mkString(" ")
+    val base = df.select(col(idCol).cast("string").as("id"),
+      value.cast("long").as("x"))
+    base
+      .crossJoin(broadcast(df.sparkSession.range(reps.toLong)
+        .select(col("id").as("rep"))))
+      .select(col("rep"), col("x"),
+        (graft.operators.Dedup.portableHash(
+          concat(col("id"), lit(":boot:"), col("rep"))) % 1000000L).as("u"))
+      .select(col("rep"), col("x"),
+        expr(s"CASE $thresholds ELSE 7L END").as("w"))
+      .groupBy(col("rep"))
+      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("x")).as("sum_wx"))
+      .select(col("rep"), col("n_eff"), col("sum_wx"),
+        when(col("n_eff") === 0, lit(0L))
+          .otherwise(when(col("sum_wx") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr("(abs(sum_wx) * 1000000) div n_eff")).as("mean_micro"))
+  }
+
+  /** DuckDB replay of [[bootstrapMean]] (same md5 uniforms, same CDF
+    * thresholds, same floor mean).
+    */
+  def bootstrapOracleSql(table: String, idExpr: String, valueExpr: String,
+      reps: Int = 32): String = {
+    val thresholds = PoissonCdfMicro.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString(" ")
+    s"""WITH w AS (
+       |  SELECT r.range AS rep, ($valueExpr)::BIGINT AS x,
+       |         CASE $thresholds ELSE 7 END AS w
+       |  FROM $table, range($reps) r,
+       |       LATERAL (SELECT ('0x' || substr(md5(($idExpr)::VARCHAR
+       |         || ':boot:' || r.range), 1, 15))::BIGINT % 1000000 AS u))
+       |SELECT rep, sum(w)::BIGINT AS n_eff,
+       |       sum(w * x)::BIGINT AS sum_wx,
+       |       (CASE WHEN sum(w) = 0 THEN 0
+       |            ELSE (CASE WHEN sum(w * x) < 0 THEN -1 ELSE 1 END)
+       |                 * (abs(sum(w * x)) * 1000000) // sum(w) END)::BIGINT
+       |         AS mean_micro
+       |FROM w GROUP BY rep""".stripMargin
+  }
+
   /** Split-conformal outlier p-values (Vovk et al. 2005; the
     * distribution-free novelty measure modern data-curation QA uses
     * instead of z-score thresholds): calibration rows define the score

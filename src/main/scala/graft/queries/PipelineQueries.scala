@@ -221,6 +221,13 @@ object PipelineQueries {
       TextAnalysis.textRank(docs(s, d), "doc_id", "text",
         iters = 5, topK = 50)),
 
+    // --- Poisson-bootstrap replicates of the mean doc length: one-pass
+    // hash-derived Poisson(1) reweighting, exact rational replicate
+    // means — the dataset-card error bar (oracle-checked) ---
+    "q_pipeline_bootstrap" -> ((s, d) =>
+      graft.operators.Profile.bootstrapMean(docs(s, d), "doc_id",
+        value = length(col("text")), reps = 32)),
+
     // --- split-conformal outlier p-values: distribution-free novelty
     // scores for the odd-id half against the even-id calibration half,
     // two-level suffix sum, exact rationals (oracle-checked) ---
@@ -1462,6 +1469,10 @@ object PipelineQueries {
       s"""WITH ${TextAnalysis.langIdPredCtes()}
         |SELECT gold AS lang, pred AS predicted, count(*) AS n
         |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // Poisson bootstrap: same md5 uniforms + CDF thresholds
+    "q_pipeline_bootstrap" -> graft.operators.Profile.bootstrapOracleSql(
+      "documents", "doc_id", "length(text)", reps = 32),
 
     // conformal p-values: the same two-level suffix-sum windows
     "q_pipeline_conformal" -> graft.operators.Profile.conformalOracleSql(

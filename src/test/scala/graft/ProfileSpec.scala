@@ -278,6 +278,30 @@ class ProfileSpec extends SparkSpec {
     assert(sing.forall(_.getString(2) == "0"))
   }
 
+  test("bootstrapMean: constant corpus pins every replicate; weights ~ Poisson(1)") {
+    import graft.operators.Profile
+    import org.apache.spark.sql.functions._
+    val const = spark.range(1000).select(col("id"), lit(7L).as("v"))
+    val reps = Profile.bootstrapMean(const, "id", col("v"), reps = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(reps.length == 16)
+    // constant value → every replicate mean is exactly 7e6
+    assert(reps.forall(_._3 == 7000000L))
+    // Poisson(1) total weight concentrates near n (±20% at n=1000)
+    assert(reps.forall(r => r._2 > 800L && r._2 < 1200L))
+    // the hash-derived draws actually differ across replicates
+    assert(reps.map(_._2).distinct.length > 8)
+
+    // a 0/1000 half-split corpus: replicate means scatter around 5e8
+    // with genuine spread (the error bar is nonzero)
+    val half = spark.range(1000).select(col("id"),
+      (col("id") % 2 * 1000).as("v"))
+    val means = Profile.bootstrapMean(half, "id", col("v"), reps = 16)
+      .collect().map(_.getLong(3))
+    assert(means.distinct.length > 8)
+    assert(means.forall(m => m > 450000000L && m < 550000000L))
+  }
+
   test("conformalPValues: hand-checked ranks, validity bound, no-join shape") {
     import graft.operators.Profile
     import org.apache.spark.sql.functions._
