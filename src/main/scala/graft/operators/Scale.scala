@@ -844,4 +844,83 @@ object Scale {
        |SELECT id, n_feats, round(logw, 6) AS logw
        |FROM (SELECT * FROM scored ORDER BY logw DESC, id LIMIT $n)""".stripMargin
   }
+  /** Key-skew audit — the "will this key explode my shuffle" report run
+    * BEFORE a big join/aggregate ships: per-key population summary plus
+    * the exact GINI COEFFICIENT of the key distribution (0 = perfectly
+    * uniform keys, →1 = one key owns the corpus; the single number that
+    * tells you whether [[saltedJoin]]/AQE skew handling is needed).
+    *
+    * Exact integer Gini without a corpus-sized sort: with keys sorted by
+    * count ascending, G = Σᵢ (2i − n − 1)·cᵢ / (n·Σc). Keys sharing a
+    * count form a rank RUN, so the sum collapses onto the COUNT-OF-COUNTS
+    * histogram: a run of f keys at count c starting at rank r₀
+    * contributes c·(2·(f·r₀ + f·(f−1)/2) − f·(n+1)). One per-key
+    * aggregate (corpus-sized shuffle — the audit's only big step), one
+    * histogram aggregate (rows = distinct count VALUES, tiny), one
+    * ordered window over that histogram (the ksDrift posture: never over
+    * keys, only over distinct counts), one final fold. Carrier: BIGINT
+    * holds n·Σc to ~10¹⁸ — per-stratum audits beyond that, or swap the
+    * two products to DECIMAL(38,0).
+    *
+    * Returns one row: (n_keys, total_rows, max_count, p50_count,
+    * top1_share_micro, gini_micro).
+    */
+  def skewAudit(df: DataFrame, keyCol: String): DataFrame = {
+    val perKey = Caching.persist(df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("c")))
+    val hist = perKey.groupBy(col("c")).agg(count(lit(1)).as("f"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("c"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("before", coalesce(sum(col("f")).over(w), lit(0L)))
+    val tot = perKey.agg(count(lit(1)).as("n"), sum(col("c")).as("total"),
+      max(col("c")).as("max_count"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)")
+        .cast("long").as("p50_count"))
+    val num = ranked.crossJoin(broadcast(tot))
+      .select((col("c") * (lit(2) * (col("f") * (col("before") + 1)
+        + expr("f * (f - 1) div 2")) - col("f") * (col("n") + 1)))
+        .as("contrib"))
+      .agg(coalesce(sum(col("contrib")), lit(0L)).as("num"))
+    tot.crossJoin(broadcast(num))
+      .select(col("n").as("n_keys"), col("total").as("total_rows"),
+        col("max_count"), col("p50_count"),
+        when(col("total") === 0, lit(0L))
+          .otherwise(expr("(max_count * 1000000) div total"))
+          .as("top1_share_micro"),
+        when(col("n") * col("total") === 0, lit(0L))
+          .otherwise(expr("(num * 1000000) div (n * total)"))
+          .as("gini_micro"))
+  }
+
+  /** DuckDB replay of [[skewAudit]]. */
+  def skewAuditOracleSql(table: String, keyExpr: String): String =
+    s"""WITH per_key AS MATERIALIZED (
+       |  SELECT $keyExpr AS k, count(*)::BIGINT AS c
+       |  FROM $table GROUP BY 1),
+       |hist AS MATERIALIZED (
+       |  SELECT c, count(*)::BIGINT AS f FROM per_key GROUP BY c),
+       |ranked AS (
+       |  SELECT c, f,
+       |         coalesce(sum(f) OVER (ORDER BY c
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS before
+       |  FROM hist),
+       |tot AS MATERIALIZED (
+       |  SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS total,
+       |         max(c)::BIGINT AS max_count,
+       |         quantile_disc(c, 0.5)::BIGINT AS p50_count
+       |  FROM per_key),
+       |num AS (
+       |  SELECT coalesce(sum(c * (2 * (f * (before + 1) + f * (f - 1) // 2)
+       |           - f * (n + 1))), 0)::BIGINT AS num
+       |  FROM ranked, tot)
+       |SELECT n AS n_keys, total AS total_rows, max_count, p50_count,
+       |       (CASE WHEN total = 0 THEN 0
+       |             ELSE (max_count * 1000000) // total END)::BIGINT
+       |         AS top1_share_micro,
+       |       (CASE WHEN n * total = 0 THEN 0
+       |             ELSE (num * 1000000) // (n * total) END)::BIGINT
+       |         AS gini_micro
+       |FROM tot, num""".stripMargin
 }

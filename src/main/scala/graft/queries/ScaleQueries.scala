@@ -94,6 +94,11 @@ object ScaleQueries {
         Scale.zorderValue(col("xd"), col("yd"), bits = 10).as("zval"))
     }),
 
+    // key-skew audit: per-key population Gini + top-1 share over the
+    // customer key of orders — the pre-join skew report (oracle-checked)
+    "q_scale_skew" -> ((s, d) =>
+      Scale.skewAudit(t(s, d, "orders"), "o_custkey")),
+
     // latest-wins upsert merge (CDC/compaction): every %3 key takes the
     // updated price at version 1, everything else keeps the base row
     "q_scale_merge" -> ((s, d) => {
@@ -209,6 +214,7 @@ object ScaleQueries {
       "orders", "o_orderpriority", "o_totalprice"),
     "q_pipeline_winsorize" -> graft.operators.Profile.winsorizeOracleSql(
       "orders", "o_orderpriority", "o_totalprice"),
+    "q_scale_skew" -> Scale.skewAuditOracleSql("orders", "o_custkey"),
     "q_pipeline_kanon" -> graft.operators.Profile.kAnonymityOracleSql(
       "customer", Seq("c_nationkey", "c_mktsegment"),
       "floor(c_acctbal / 100)::BIGINT", k = 10, l = 3),

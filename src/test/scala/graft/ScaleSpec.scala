@@ -445,4 +445,26 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v))
     }
   }
+  test("skewAudit: hand-computed Gini, uniform -> 0, monopoly -> max") {
+    import graft.operators.Scale
+    import org.apache.spark.sql.functions._
+    // keys a,a,a,a,b,b,c,d: counts (4,2,1,1) sorted asc (1,1,2,4)
+    // n=4 total=8; num = sum (2i-5)*c_i = (-3)(1)+(-1)(1)+(1)(2)+(3)(4) = 10
+    // gini = 10/(4*8) = 0.3125
+    val df = Seq("a","a","a","a","b","b","c","d").toDF("k")
+    val r = Scale.skewAudit(df, "k").collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 8L)   // n_keys, total
+    assert(r.getLong(2) == 4L && r.getLong(3) == 1L)   // max, p50 (disc)
+    assert(r.getLong(4) == 500000L)                     // top1 = 4/8
+    assert(r.getLong(5) == 312500L)                     // gini
+    // uniform keys -> gini 0
+    val uni = Seq("a","b","c","d").toDF("k")
+    assert(Scale.skewAudit(uni, "k").collect()(0).getLong(5) == 0L)
+    // one key owns everything -> gini = (n-1)/n with n=1 keys... a single
+    // key IS uniform over keys; use 1 dominant + 3 singletons instead:
+    // counts (1,1,1,97): num = (-3)+(-1)+(1)+3*97 = 288; 288/(4*100)=0.72
+    val mono = (Seq.fill(97)("z") ++ Seq("a","b","c")).toDF("k")
+    assert(Scale.skewAudit(mono, "k").collect()(0).getLong(5) == 720000L)
+  }
+
 }
