@@ -42,11 +42,18 @@ object Caching {
 
   /** `df.persist(MEMORY_AND_DISK)`, registered with the innermost active
     * [[scoped]] block of this thread (no-op registration when none).
+    *
+    * Already-cached plans are NOT registered: CacheManager shares entries
+    * by canonicalized plan, so when an operator's persist lands on a plan
+    * some earlier caller already cached, this call didn't create storage —
+    * and scope exit must not release an entry other consumers rely on
+    * (the shared-entry unpersist footgun).
     */
   private[graft] def persist(df: DataFrame): DataFrame = {
+    val preExisting = org.apache.spark.sql.graftshim.GraftShim.isCached(df)
     df.persist(StorageLevel.MEMORY_AND_DISK)
     val s = stack.get()
-    if (s.nonEmpty) s.last += df
+    if (s.nonEmpty && !preExisting) s.last += df
     df
   }
 

@@ -25,4 +25,13 @@ object GraftShim {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** True when the DataFrame's plan already has a CacheManager entry
+    * (plan-canonicalized — the same sharing `persist` itself would hit).
+    */
+  def isCached(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    classic.sparkSession.sharedState.cacheManager
+      .lookupCachedData(classic).isDefined
+  }
 }

@@ -12,7 +12,11 @@ class CachingSpec extends SparkSpec {
     (3L, "one two three four five six")).toDF("doc_id", "text")
 
   test("scoped: operator persists are released at scope exit") {
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // compare KEY SETS, not sizes: the async ContextCleaner can collect
+    // earlier suites' localCheckpoint RDDs mid-test, so absolute counts
+    // are flaky in a shared long-lived session — the contract is "nothing
+    // NEW survives the scope", not "the global count is frozen"
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val n = Caching.scoped {
       // jaccardPairs persists its shingle table internally; count()
       // materializes it inside the scope
@@ -20,8 +24,9 @@ class CachingSpec extends SparkSpec {
         idWindow = 25L, threshold = 0.5).count()
     }
     assert(n == 1L) // docs 1-2 share 3 of 5 bigrams → J = 3/5
-    assert(spark.sparkContext.getPersistentRDDs.size == before,
-      "scope exit must unpersist what the operator persisted")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"scope exit must unpersist what the operator persisted; leaked $leaked")
   }
 
   test("unscoped: pre-existing behavior — persists survive the call") {
@@ -34,22 +39,37 @@ class CachingSpec extends SparkSpec {
     spark.catalog.clearCache() // leave the suite session clean
   }
 
+  test("scoped: a pre-cached identical plan survives scope exit") {
+    // CacheManager shares entries by canonicalized plan — when the scoped
+    // operator's persist lands on a plan someone else already cached, the
+    // scope must NOT release that shared entry on exit
+    val base = docs.select(col("doc_id"), col("text"))
+    base.persist(); base.count()
+    try {
+      Caching.scoped {
+        Caching.persist(docs.select(col("doc_id"), col("text"))).count()
+      }
+      assert(org.apache.spark.sql.graftshim.GraftShim.isCached(base),
+        "scope exit must not unpersist an entry it did not create")
+    } finally base.unpersist(blocking = true)
+  }
+
   test("scoped: nesting releases only the inner scope's entries") {
-    val before = spark.sparkContext.getPersistentRDDs.size
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     Caching.scoped {
       val outer = Dedup.jaccardPairs(docs, "doc_id", "text", ngram = 2,
         idWindow = 25L, threshold = 0.5)
       outer.count()
-      val afterOuter = spark.sparkContext.getPersistentRDDs.size
+      val afterOuter = spark.sparkContext.getPersistentRDDs.keySet
       Caching.scoped {
         Dedup.jaccardPairsChar(docs, "doc_id", "text",
           n = 5, idWindow = 25L, threshold = 0.6).count()
       }
       // the inner scope's char-gram persist is gone, the outer's remains
-      assert(spark.sparkContext.getPersistentRDDs.size == afterOuter)
+      assert((spark.sparkContext.getPersistentRDDs.keySet -- afterOuter).isEmpty)
       // outer result still cached → consumable again without rebuild
       assert(outer.count() == 1L)
     }
-    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
 }
