@@ -774,6 +774,100 @@ object Profile {
         (col("l_distinct") < l).as("violates_l")): _*)
   }
 
+  /** Benford first-digit probabilities log₁₀(1 + 1/d)·1e6, d = 1..9 —
+    * fixed micro constants shared by operator and oracle.
+    */
+  val BenfordMicro: Seq[Long] = Seq(301030L, 176091L, 124939L, 96910L,
+    79181L, 66947L, 57992L, 51153L, 45757L)
+
+  /** Benford's-law first-digit audit (Newcomb 1881; Benford 1938) — the
+    * fabricated-numbers detector: naturally-occurring magnitudes follow
+    * P(d) = log₁₀(1 + 1/d), while synthetic/tampered values drift toward
+    * uniform digits. Run over monetary/count columns as a data-provenance
+    * QA gate (the auditor's test, equally useful against LLM-generated
+    * numeric fields).
+    *
+    * First digit is extracted from the STRING of the integer part (rows
+    * with |value| ≥ 1 — string-of-BIGINT is bit-identical across engines,
+    * unlike log10/pow whose libm rounding may differ), counted per digit,
+    * compared against [[BenfordMicro]]: per-digit expected counts in
+    * micro units plus the χ² statistic (exact integer O and E·1e6; the
+    * final ratio is the shared 6-dp IEEE tail) repeated per row, computed
+    * as a digit-sorted fold (partition-order-proof).
+    *
+    * Shape: one map + one 9-row hash aggregate; everything after runs on
+    * ≤ 9 rows.
+    */
+  def benfordAudit(df: DataFrame, value: Column): DataFrame = {
+    val digits = df
+      .select(abs(value.cast("double")).as("v"))
+      .where(col("v") >= 1.0)
+      .select(substring(floor(col("v")).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val grid = df.sparkSession.range(1L, 10L).select(col("id").as("digit"))
+      .join(broadcast(
+        df.sparkSession.createDataFrame(
+          BenfordMicro.zipWithIndex.map { case (p, i) => (i + 1L, p) })
+          .toDF("digit", "p_micro")), "digit")
+    val full = grid.join(digits, Seq("digit"), "left")
+      .select(col("digit"), col("p_micro"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .transform(Caching.persist)
+    val tot = full.agg(coalesce(sum(col("n")), lit(0L)).as("total"))
+    val scored = full.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("(total * p_micro) div 1000000").as("expected"),
+        // χ² term (O−E)²/E in doubles off exact integers, 6 dp
+        when(col("total") === 0, lit(0d)).otherwise(
+          // (O−E) squared by explicit multiply, NOT pow(x, 2): libm pow
+          // rounding is not guaranteed identical to x*x across engines
+          ((col("n") * 1000000L - col("total") * col("p_micro"))
+            .cast("double") *
+            (col("n") * 1000000L - col("total") * col("p_micro"))
+              .cast("double")) /
+            (col("total") * col("p_micro")).cast("double") / 1000000d)
+          .as("term"))
+    val chi2 = scored
+      .agg(sort_array(collect_list(struct(col("digit"), col("term"))))
+        .as("ts"))
+      .select(round(aggregate(col("ts"), lit(0d),
+        (acc, s) => acc + s.getField("term")), 6).as("chi2"))
+    scored.select(col("digit"), col("n"), col("expected"))
+      .crossJoin(broadcast(chi2))
+  }
+
+  /** DuckDB replay of [[benfordAudit]]. */
+  def benfordOracleSql(table: String, valueExpr: String): String = {
+    val probs = BenfordMicro.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT substr(floor(abs(($valueExpr)::DOUBLE))::BIGINT::VARCHAR,
+       |           1, 1)::BIGINT AS digit,
+       |         count(*)::BIGINT AS n
+       |  FROM $table WHERE abs(($valueExpr)::DOUBLE) >= 1
+       |  GROUP BY 1),
+       |p(digit, p_micro) AS (VALUES $probs),
+       |full_ AS MATERIALIZED (
+       |  SELECT p.digit::BIGINT AS digit, p.p_micro::BIGINT AS p_micro,
+       |         coalesce(d.n, 0)::BIGINT AS n
+       |  FROM p LEFT JOIN d ON d.digit = p.digit),
+       |tot AS (SELECT coalesce(sum(n), 0)::BIGINT AS total FROM full_),
+       |scored AS MATERIALIZED (
+       |  SELECT digit, n,
+       |         ((total * p_micro) // 1000000)::BIGINT AS expected,
+       |         CASE WHEN total = 0 THEN 0.0
+       |              ELSE ((n * 1000000 - total * p_micro)::DOUBLE
+       |                    * (n * 1000000 - total * p_micro)::DOUBLE)
+       |                   / (total * p_micro)::DOUBLE / 1000000.0 END
+       |           AS term
+       |  FROM full_, tot),
+       |chi AS (
+       |  SELECT round(list_sum(list(term ORDER BY digit)), 6) AS chi2
+       |  FROM scored)
+       |SELECT digit, n, expected, chi2 FROM scored, chi""".stripMargin
+  }
+
   /** Poisson(1) inverse-CDF thresholds in micro units — P(X ≤ k)·1e6 for
     * k = 0..6 (e^{-1}·Σ 1/i!, rounded); mass beyond 7 copies is ~1e-7 and
     * truncates to 7. Shared constants so the Spark operator and the

@@ -525,6 +525,71 @@ object TextAnalysis {
        |             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
        |FROM m""".stripMargin
 
+  /** Hill tail-index estimator (Hill 1975) over the token-frequency
+    * distribution — the heavy-tail exponent companion to [[zipfFit]]'s
+    * OLS slope: α̂ = k / Σᵢ₌₁..k ln(cᵢ / c₍k₊₁₎) over the top-k counts.
+    * The OLS fit is dominated by the head; Hill measures the TAIL decay
+    * directly and is the standard check that a tokenizer/corpus keeps the
+    * expected power law (α ≈ 1/slope). Uses the actual top-(k+1) cut from
+    * the total (count desc, token) order; if fewer terms exist the last
+    * rank is the reference. Degenerate all-equal counts report α = 0.
+    *
+    * Shape: corpus-sized term count, a TakeOrderedAndProject top-(k+1)
+    * cut, then a (k+1)-row rank-ordered sequential fold (the zipf
+    * posture — the only window ranks k+1 rows, never the corpus).
+    */
+  def hillTailIndex(df: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int = 100): org.apache.spark.sql.DataFrame = {
+    require(k >= 1)
+    val tf = df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(k + 1)
+    val ranked = tf.withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("tok"))).cast("long"))
+    val ref = ranked.agg(max(col("r")).as("rmax"))
+      .join(ranked.select(col("r").as("rmax"), col("c").as("cref")), "rmax")
+    val s = ranked.crossJoin(broadcast(ref))
+      .where(col("r") < col("rmax"))
+      .agg(count(lit(1)).as("k_eff"),
+        sort_array(collect_list(struct(col("r"),
+          log(col("c").cast("double") / col("cref").cast("double"))
+            .as("t")))).as("ts"))
+      .select(col("k_eff"),
+        aggregate(col("ts"), lit(0d), (acc, x) => acc + x.getField("t"))
+          .as("slog"))
+    s.select(col("k_eff"),
+      when(col("slog") === 0d, lit(0d))
+        .otherwise(round(col("k_eff").cast("double") / col("slog"), 6))
+        .as("alpha"))
+  }
+
+  /** DuckDB replay of [[hillTailIndex]] (same cut, same rank-ordered
+    * sequential sum, same IEEE tail).
+    */
+  def hillOracleSql(k: Int = 100, table: String = "documents",
+      textCol: String = "text"): String =
+    s"""WITH tf AS (
+       |  SELECT tok, count(*)::BIGINT AS c FROM (
+       |    SELECT unnest(${toksSql(textCol)}) AS tok FROM $table)
+       |  GROUP BY tok),
+       |top AS MATERIALIZED (
+       |  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+       |  FROM tf QUALIFY r <= ${k + 1}),
+       |ref AS (
+       |  SELECT t.c AS cref FROM top t
+       |  WHERE t.r = (SELECT max(r) FROM top)),
+       |s AS (
+       |  SELECT count(*)::BIGINT AS k_eff,
+       |         list_aggregate(list(ln(t.c::DOUBLE / ref.cref::DOUBLE)
+       |           ORDER BY t.r), 'sum') AS slog
+       |  FROM top t, ref
+       |  WHERE t.r < (SELECT max(r) FROM top))
+       |SELECT k_eff,
+       |       CASE WHEN slog = 0 THEN 0
+       |            ELSE round(k_eff::DOUBLE / slog, 6) END AS alpha
+       |FROM s""".stripMargin
+
   def tokenEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame =
     df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))

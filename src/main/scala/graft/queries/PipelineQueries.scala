@@ -208,6 +208,11 @@ object PipelineQueries {
       .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
       .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))),
 
+    // --- Hill tail-index of the token-frequency distribution: the
+    // heavy-tail exponent next to zipf's OLS slope (oracle-checked) ---
+    "q_text_hill" -> ((s, d) =>
+      TextAnalysis.hillTailIndex(docs(s, d), "text", k = 100)),
+
     // --- logistic-regression language classifier trained by batch GD
     // inside the engine: hard-sigmoid forward, exact micro-unit weights,
     // one aggregate per round (oracle replays every round) ---
@@ -1355,6 +1360,7 @@ object PipelineQueries {
         |WHERE n >= 25""".stripMargin,
 
     "q_text_zipf" -> TextAnalysis.zipfOracleSql(topN = 100),
+    "q_text_hill" -> TextAnalysis.hillOracleSql(k = 100),
 
     "q_text_heaps" -> TextAnalysis.heapsOracleSql(sampleEvery = 8L),
 

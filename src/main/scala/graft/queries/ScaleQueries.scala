@@ -99,6 +99,13 @@ object ScaleQueries {
     "q_scale_skew" -> ((s, d) =>
       Scale.skewAudit(t(s, d, "orders"), "o_custkey")),
 
+    // Benford first-digit audit over order prices: per-digit observed vs
+    // log10(1+1/d) expectation + chi-square — the fabricated-numbers
+    // provenance gate (oracle-checked)
+    "q_pipeline_benford" -> ((s, d) =>
+      graft.operators.Profile.benfordAudit(
+        t(s, d, "orders"), col("o_totalprice"))),
+
     // latest-wins upsert merge (CDC/compaction): every %3 key takes the
     // updated price at version 1, everything else keeps the base row
     "q_scale_merge" -> ((s, d) => {
@@ -215,6 +222,8 @@ object ScaleQueries {
     "q_pipeline_winsorize" -> graft.operators.Profile.winsorizeOracleSql(
       "orders", "o_orderpriority", "o_totalprice"),
     "q_scale_skew" -> Scale.skewAuditOracleSql("orders", "o_custkey"),
+    "q_pipeline_benford" -> graft.operators.Profile.benfordOracleSql(
+      "orders", "o_totalprice"),
     "q_pipeline_kanon" -> graft.operators.Profile.kAnonymityOracleSql(
       "customer", Seq("c_nationkey", "c_mktsegment"),
       "floor(c_acctbal / 100)::BIGINT", k = 10, l = 3),

@@ -278,6 +278,29 @@ class ProfileSpec extends SparkSpec {
     assert(sing.forall(_.getString(2) == "0"))
   }
 
+  test("benfordAudit: conforming sample scores low, uniform digits high") {
+    import graft.operators.Profile
+    import org.apache.spark.sql.functions._
+    val conforming = Seq(301, 176, 125, 97, 79, 67, 58, 51, 46).zipWithIndex
+      .flatMap { case (c, i) => Seq.fill(c)((i + 1).toDouble * 10) }
+      .toDF("v")
+    val cf = Profile.benfordAudit(conforming, col("v")).collect()
+    assert(cf.length == 9)
+    val chiConf = cf.head.getDouble(3)
+    // sub-1 values are excluded from the digit extraction
+    val withSmall = (Seq(0.5, 0.01) ++ Seq.fill(10)(23.0)).toDF("v")
+    val ws = Profile.benfordAudit(withSmall, col("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ws(2L) == 10L && ws.values.sum == 10L)
+    // uniform digits: a strong Benford violation
+    val uniform = (1 to 9).flatMap(d => Seq.fill(111)(d.toDouble))
+      .toDF("v")
+    val chiUni = Profile.benfordAudit(uniform, col("v"))
+      .collect().head.getDouble(3)
+    assert(chiConf < 1.0, s"conforming chi2 $chiConf")
+    assert(chiUni > 50.0 && chiUni > 20 * chiConf, s"uniform chi2 $chiUni")
+  }
+
   test("bootstrapMean: constant corpus pins every replicate; weights ~ Poisson(1)") {
     import graft.operators.Profile
     import org.apache.spark.sql.functions._

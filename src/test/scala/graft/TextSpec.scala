@@ -715,4 +715,21 @@ class TextSpec extends SparkSpec {
     assert(w0("w0_micro") == 0L && w0("n_correct") == 10L)
   }
 
+  test("hillTailIndex: hand-computed alpha, degenerate uniform -> 0") {
+    import graft.operators.TextAnalysis
+    // counts: w1 x8, w2 x4, w3 x2, w4 x1 -> with k=3 the reference is
+    // c4=1: alpha = 3 / (ln 8 + ln 4 + ln 2) = 3 / (6 ln 2)
+    val docs = Seq((1L,
+      (Seq.fill(8)("w1") ++ Seq.fill(4)("w2") ++ Seq.fill(2)("w3")
+        ++ Seq("w4")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.hillTailIndex(docs, "text", k = 3).collect()(0)
+    assert(r.getLong(0) == 3L)
+    assert(math.abs(r.getDouble(1) - 3.0 / (6 * math.log(2.0))) < 1e-6)
+    // all counts equal -> sum of logs 0 -> pinned alpha 0
+    val uni = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    assert(TextAnalysis.hillTailIndex(uni, "text", k = 2)
+      .collect()(0).getDouble(1) == 0.0)
+  }
+
 }
