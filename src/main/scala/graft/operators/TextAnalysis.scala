@@ -590,6 +590,76 @@ object TextAnalysis {
        |            ELSE round(k_eff::DOUBLE / slog, 6) END AS alpha
        |FROM s""".stripMargin
 
+  /** Kneser–Ney smoothed bigram probabilities (Kneser & Ney 1995) — THE
+    * n-gram smoothing (the one Katz/Good-Turing pipelines graduated to,
+    * and the `q_text_goodturing` companion): absolute discount D = 3/4
+    * on the bigram count, with the stolen mass backed off to the
+    * CONTINUATION unigram — how many distinct contexts a word completes,
+    * not how often it occurs ("Francisco" is frequent but only ever
+    * follows "San"; KN is the statistic that knows that).
+    *
+    *   p_KN(w2|w1) = max(c12−D, 0)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/T
+    *
+    * With D = 3/4 everything clears to one exact integer rational:
+    *   num = (4·c12 − 3)·T + 3·N1+(w1·)·N1+(·w2),  den = 4·c1·T
+    * (observed bigrams have c12 ≥ 1, so the max() never binds), shipped
+    * as p_micro = num·1e6 div den for the `topN` bigrams by count.
+    *
+    * Shape: one bigram-count aggregate (the corpus-sized step), three
+    * VOCABULARY-sized re-aggregates of that table (left totals, left
+    * types, right continuation types), a 1-row type total broadcast, two
+    * vocab-keyed joins, a TakeOrdered top-N cut. Carrier: BIGINT holds
+    * c12·T to ~10¹⁸ — beyond that swap the two products to DECIMAL.
+    */
+  def kneserNey(df: org.apache.spark.sql.DataFrame, textCol: String,
+      topN: Int = 100): org.apache.spark.sql.DataFrame = {
+    val bi = Caching.persist(df.select(tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
+    val left = bi.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_left"))
+    val cont = bi.groupBy(col("w2")).agg(count(lit(1)).as("cont_right"))
+    val types = bi.agg(count(lit(1)).as("t"))
+    bi.join(left, "w1").join(cont, "w2")
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c12"),
+        ((lit(4L) * col("c12") - 3L) * col("t")
+          + lit(3L) * col("n1p_left") * col("cont_right")).as("num"),
+        (lit(4L) * col("c1") * col("t")).as("den"))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("(num * 1000000) div den").as("p_micro"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
+  /** DuckDB replay of [[kneserNey]] (same cleared rational, same cut). */
+  def kneserNeyOracleSql(topN: Int = 100, table: String = "documents",
+      textCol: String = "text"): String =
+    s"""WITH t0 AS (
+       |  SELECT ${toksSql(textCol)} AS toks FROM $table),
+       |bi AS MATERIALIZED (
+       |  SELECT p.w1, p.w2, count(*)::BIGINT AS c12 FROM (
+       |    SELECT unnest(list_transform(range(1, len(toks)),
+       |             i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS p
+       |    FROM t0 WHERE len(toks) >= 2)
+       |  GROUP BY p.w1, p.w2),
+       |lft AS (
+       |  SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1p_left
+       |  FROM bi GROUP BY w1),
+       |cont AS (
+       |  SELECT w2, count(*)::BIGINT AS cont_right FROM bi GROUP BY w2),
+       |ty AS (SELECT count(*)::BIGINT AS t FROM bi)
+       |SELECT bi.w1, bi.w2, bi.c12,
+       |       (((4 * bi.c12 - 3) * t + 3 * n1p_left * cont_right)
+       |        * 1000000 // (4 * c1 * t))::BIGINT AS p_micro
+       |FROM bi JOIN lft USING (w1) JOIN cont USING (w2), ty
+       |ORDER BY bi.c12 DESC, bi.w1, bi.w2
+       |LIMIT $topN""".stripMargin
+
   def tokenEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame =
     df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))

@@ -208,6 +208,11 @@ object PipelineQueries {
       .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
       .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))),
 
+    // --- Kneser-Ney smoothed bigram LM: absolute discount + continuation
+    // back-off as one exact integer rational (oracle-checked) ---
+    "q_text_kneser" -> ((s, d) =>
+      TextAnalysis.kneserNey(docs(s, d), "text", topN = 100)),
+
     // --- Hill tail-index of the token-frequency distribution: the
     // heavy-tail exponent next to zipf's OLS slope (oracle-checked) ---
     "q_text_hill" -> ((s, d) =>
@@ -1361,6 +1366,7 @@ object PipelineQueries {
 
     "q_text_zipf" -> TextAnalysis.zipfOracleSql(topN = 100),
     "q_text_hill" -> TextAnalysis.hillOracleSql(k = 100),
+    "q_text_kneser" -> TextAnalysis.kneserNeyOracleSql(topN = 100),
 
     "q_text_heaps" -> TextAnalysis.heapsOracleSql(sampleEvery = 8L),
 

@@ -136,6 +136,13 @@ object StreamQueries {
         bucketSec = 3600L, halfK = 3, warm = 24,
         thresholdMicro = 2500000L)),
 
+    // --- CUSUM level-shift detection: sustained deviation from the
+    // 48-bucket warm-up mean accumulates in two one-sided sums, slack
+    // and threshold scaled to the baseline (oracle-checked) ---
+    "q_stream_cusum" -> ((s, d) =>
+      graft.streaming.EventStreams.cusumShift(events(s, d),
+        bucketSec = 3600L, warm = 48, kPct = 10L, hPct = 100L)),
+
     // --- lead-lag cross-correlation: does click activity lead purchase
     // activity? Pearson corr per lag over the zero-filled hourly grid,
     // exact integer moments (oracle-checked) ---
@@ -334,6 +341,9 @@ object StreamQueries {
       graft.streaming.EventStreams.lagCorrelationOracleSql(
         typeA = "click", typeB = "purchase",
         bucketSec = 3600L, maxLag = 12),
+
+    "q_stream_cusum" -> graft.streaming.EventStreams.cusumOracleSql(
+      bucketSec = 3600L, warm = 48, kPct = 10L, hPct = 100L),
 
     "q_stream_trending" -> graft.streaming.EventStreams
       .trendingTopKOracleSql(bucketSec = 21600L, k = 3),

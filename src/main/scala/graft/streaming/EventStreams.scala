@@ -521,6 +521,120 @@ object EventStreams {
        |       END AS corr
        |FROM m""".stripMargin
 
+  /** CUSUM changepoint detection (Page 1954) over per-type event rates —
+    * the LEVEL-SHIFT detector next to [[rateAnomaly]] (single-bucket
+    * spikes) and [[ewmaAnomaly]] (drift-adapting forecast): the two
+    * one-sided cumulative sums
+    *   S⁺ = max(0, S⁺ + (x−μ) − k),  S⁻ = max(0, S⁻ − (x−μ) − k)
+    * accumulate SUSTAINED deviation from the warm-up baseline mean μ and
+    * fire when either crosses h — a 20% rate shift that never spikes any
+    * single bucket (invisible to both companions) trips CUSUM within a
+    * few buckets. Slack `kPct` and threshold `hPct` are percentages OF μ
+    * so one setting works across types with different base rates.
+    *
+    * All integer micro-units: μ = warm-sum·1e6 div warm, the recursions
+    * are add/subtract/max only (no signed division anywhere), flags are
+    * strict comparisons. Same sequential-fold shape as [[ewmaAnomaly]]:
+    * one bounded sorted `aggregate` HOF per type, recursive-CTE oracle.
+    */
+  def cusumShift(events: DataFrame, bucketSec: Long = 3600L,
+      warm: Int = 48, kPct: Long = 10L, hPct: Long = 100L): DataFrame = {
+    require(warm >= 1 && kPct >= 0 && hPct >= 0)
+    val counts = events
+      .select(col("event_type"),
+        expr(s"unix_timestamp(ts) div $bucketSec * $bucketSec")
+          .as("bucket_s"))
+      .groupBy("event_type", "bucket_s").agg(count(lit(1)).as("n"))
+    val step =
+      s"""(acc, x) -> named_struct(
+         |  'i', acc.i + 1L,
+         |  'wsum', CASE WHEN acc.i < $warm THEN acc.wsum + x.n
+         |               ELSE acc.wsum END,
+         |  'mu', CASE WHEN acc.i + 1L = $warm
+         |             THEN ((acc.wsum + x.n) * 1000000) div $warm
+         |             ELSE acc.mu END,
+         |  'sp', CASE WHEN acc.i < $warm THEN 0L
+         |             ELSE greatest(0L, acc.sp + (x.n * 1000000 - acc.mu)
+         |                  - ($kPct * acc.mu) div 100) END,
+         |  'sn', CASE WHEN acc.i < $warm THEN 0L
+         |             ELSE greatest(0L, acc.sn - (x.n * 1000000 - acc.mu)
+         |                  - ($kPct * acc.mu) div 100) END,
+         |  'out', array_append(acc.out, named_struct(
+         |    'bucket_s', x.bucket_s, 'n', CAST(x.n AS BIGINT),
+         |    'sp', CAST(CASE WHEN acc.i < $warm THEN 0L
+         |          ELSE greatest(0L, acc.sp + (x.n * 1000000 - acc.mu)
+         |               - ($kPct * acc.mu) div 100) END AS BIGINT),
+         |    'sn', CAST(CASE WHEN acc.i < $warm THEN 0L
+         |          ELSE greatest(0L, acc.sn - (x.n * 1000000 - acc.mu)
+         |               - ($kPct * acc.mu) div 100) END AS BIGINT),
+         |    'shifted', CAST(acc.i >= $warm AND (
+         |      greatest(0L, acc.sp + (x.n * 1000000 - acc.mu)
+         |        - ($kPct * acc.mu) div 100) > ($hPct * acc.mu) div 100 OR
+         |      greatest(0L, acc.sn - (x.n * 1000000 - acc.mu)
+         |        - ($kPct * acc.mu) div 100) > ($hPct * acc.mu) div 100)
+         |      AS BOOLEAN))))""".stripMargin
+    counts
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("bucket_s"), col("n"))))
+        .as("seq"))
+      .select(col("event_type"), expr(
+        s"""aggregate(
+           |  seq,
+           |  named_struct('i', 0L, 'wsum', 0L, 'mu', -1L, 'sp', 0L,
+           |    'sn', 0L, 'out', CAST(array() AS ARRAY<STRUCT<
+           |      bucket_s: BIGINT, n: BIGINT, sp: BIGINT, sn: BIGINT,
+           |      shifted: BOOLEAN>>)),
+           |  $step,
+           |  acc -> acc.out)""".stripMargin).as("out"))
+      .select(col("event_type"), explode(col("out")).as("o"))
+      .select(col("event_type"), col("o.bucket_s"), col("o.n"),
+        col("o.sp"), col("o.sn"), col("o.shifted"))
+  }
+
+  /** DuckDB replay of [[cusumShift]] — the same recursion as a recursive
+    * CTE over the per-type row_number order.
+    */
+  def cusumOracleSql(bucketSec: Long = 3600L, warm: Int = 48,
+      kPct: Long = 10L, hPct: Long = 100L,
+      table: String = "events"): String =
+    s"""WITH RECURSIVE c AS (
+       |  SELECT event_type,
+       |         (epoch_us(ts::TIMESTAMP) // 1000000) // $bucketSec
+       |           * $bucketSec AS bucket_s,
+       |         count(*)::BIGINT AS n
+       |  FROM $table GROUP BY 1, 2),
+       |seq AS MATERIALIZED (
+       |  SELECT event_type, bucket_s, n,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY bucket_s) AS rn
+       |  FROM c),
+       |rec(event_type, rn, wsum, mu, sp, sn) AS (
+       |  SELECT event_type, 1::BIGINT, n,
+       |         CASE WHEN 1 = $warm THEN (n * 1000000) // $warm
+       |              ELSE -1 END,
+       |         0::BIGINT, 0::BIGINT
+       |  FROM seq WHERE rn = 1
+       |  UNION ALL
+       |  SELECT x.event_type, x.rn,
+       |         CASE WHEN r.rn < $warm THEN r.wsum + x.n ELSE r.wsum END,
+       |         CASE WHEN r.rn + 1 = $warm
+       |              THEN ((r.wsum + x.n) * 1000000) // $warm
+       |              ELSE r.mu END,
+       |         CASE WHEN r.rn < $warm THEN 0
+       |              ELSE greatest(0, r.sp + (x.n * 1000000 - r.mu)
+       |                   - ($kPct * r.mu) // 100) END,
+       |         CASE WHEN r.rn < $warm THEN 0
+       |              ELSE greatest(0, r.sn - (x.n * 1000000 - r.mu)
+       |                   - ($kPct * r.mu) // 100) END
+       |  FROM rec r JOIN seq x
+       |    ON x.event_type = r.event_type AND x.rn = r.rn + 1)
+       |SELECT s.event_type, s.bucket_s, s.n,
+       |       r.sp::BIGINT AS sp, r.sn::BIGINT AS sn,
+       |       (s.rn > $warm AND (r.sp > ($hPct * r.mu) // 100
+       |          OR r.sn > ($hPct * r.mu) // 100)) AS shifted
+       |FROM seq s JOIN rec r
+       |  ON r.event_type = s.event_type AND r.rn = s.rn""".stripMargin
+
   /** Windowed trending top-k — per tumbling window, the `k` most frequent
     * event types ranked with a deterministic (count DESC, type ASC)
     * tie-break. The "what's hot right now" leaderboard over ingest

@@ -484,6 +484,28 @@ class StreamingSpec extends SparkSpec {
     assert(r(h0 + 10800) == ((80L, 17000000L, 10000000L, true)))
   }
 
+  test("cusumShift: sustained 30% level shift accumulates to a flag") {
+    import spark.implicits._
+    def t(h: Int, n: Int) = (0 until n).map(i =>
+      ("click", java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:${i % 60}%02d")))
+    // warm hours 0..3 at 10/hour (mu = 10e6), then a sustained shift to
+    // 13/hour — each bucket is only 1.3x (no spike), but CUSUM piles up
+    // (d - k) = 2e6 per bucket and crosses h = 5e6 on the third bucket
+    val ev = ((0 to 3).flatMap(t(_, 10)) ++ (4 to 7).flatMap(t(_, 13)))
+      .toDF("event_type", "ts")
+    val r = graft.streaming.EventStreams
+      .cusumShift(ev, bucketSec = 3600L, warm = 4, kPct = 10L, hPct = 50L)
+      .collect().map(x => x.getLong(1) ->
+        (x.getLong(2), x.getLong(3), x.getBoolean(5))).toMap
+    val h0 = r.keys.min
+    for (h <- 0 to 3)
+      assert(r(h0 + h * 3600) == ((10L, 0L, false)), s"warm hour $h")
+    assert(r(h0 + 4 * 3600) == ((13L, 2000000L, false)))
+    assert(r(h0 + 5 * 3600) == ((13L, 4000000L, false)))
+    assert(r(h0 + 6 * 3600) == ((13L, 6000000L, true)))
+    assert(r(h0 + 7 * 3600) == ((13L, 8000000L, true)))
+  }
+
   test("lagCorrelation: planted 2-hour lead is recovered at corr = 1") {
     import spark.implicits._
     val c = Seq(1, 2, 4, 8, 3, 7, 5, 2, 6, 9)

@@ -732,4 +732,23 @@ class TextSpec extends SparkSpec {
       .collect()(0).getDouble(1) == 0.0)
   }
 
+  test("kneserNey: hand-computed smoothed bigram probabilities") {
+    import graft.operators.TextAnalysis
+    // corpus "a b a b a c": bigrams ab:2 ba:2 ac:1; T=3
+    // left(a): c1=3 types=2; left(b): c1=2 types=1
+    // cont: a:1 b:1 c:1
+    // p(b|a) = ((4*2-3)*3 + 3*2*1) / (4*3*3) = 21/36
+    // p(a|b) = (5*3 + 3*1*1) / (4*2*3)       = 18/24
+    // p(c|a) = (1*3 + 3*2*1) / 36            =  9/36
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNey(docs, "text", topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got(("a", "b")) == ((2L, 583333L)))
+    assert(got(("b", "a")) == ((2L, 750000L)))
+    assert(got(("a", "c")) == ((1L, 250000L)))
+    // discount reserves mass: observed continuations of "a" sum below 1
+    assert(583333L + 250000L < 1000000L)
+  }
+
 }
