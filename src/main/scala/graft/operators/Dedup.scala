@@ -1713,6 +1713,160 @@ object Dedup {
        |                 // (SELECT count(*) FROM cand) END::BIGINT
        |         AS precision_micro""".stripMargin
 
+  /** Banding-parameter SWEEP — [[minhashRecall]] at every (bands, rows)
+    * partition of ONE shared signature: the S-curve threshold of banded
+    * LSH is t ≈ (1/b)^(1/r), so the right banding depends on the dedup
+    * threshold AND the corpus's similarity distribution; this measures
+    * recall/precision for each config in one pass instead of re-running
+    * the pipeline per guess — the parameter-selection table you consult
+    * BEFORE committing a 100 TB run to one banding.
+    *
+    * Cost: the signature aggregate runs ONCE (the corpus-sized step);
+    * each config adds only its band-key explode + bucket self-join, and
+    * the truth tier is the one exact blocked-Jaccard run shared by all
+    * rows. Output: one row per config, exact micro ratios (−1 when a
+    * denominator is 0).
+    */
+  def bandSweep(df: DataFrame, idCol: String, textCol: String,
+      idWindow: Long, threshold: Double, numHashes: Int = 16,
+      bandConfigs: Seq[Int] = Seq(16, 8, 4, 2),
+      maxBucket: Int = 1000): DataFrame = {
+    require(bandConfigs.nonEmpty && bandConfigs.forall(b =>
+      b >= 1 && numHashes % b == 0))
+    val spark = df.sparkSession
+    val truth = Caching.persist(
+      jaccardPairs(df, idCol, textCol, ngram = 2, idWindow, threshold)
+        .select(col("id_a"), col("id_b")))
+    val cs = portableCoefficients(numHashes)
+    val minCols = cs.zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("h") + lit(b)) % PortablePrime).as(s"mh$j")
+    }
+    val sig = portableShingleHashes(df, idCol, textCol, ngram = 2)
+      .select(col("id"), explode(col("hs")).as("h"))
+      .groupBy(col("id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(j => col(s"mh$j")): _*).as("sig"))
+    val keyStructs = bandConfigs.flatMap { b =>
+      val r = numHashes / b
+      (0 until b).map(band => struct(lit(b).as("bands"),
+        lit(band).as("band"),
+        concat_ws(",", transform(slice(col("sig"), band * r + 1, r),
+          x => x.cast("string"))).as("key")))
+    }
+    val banded = Caching.persist(capBuckets(
+      sig.select(col("id"), explode(array(keyStructs: _*)).as("bb"))
+        .select(col("id"), col("bb.bands"), col("bb.band"), col("bb.key")),
+      Seq("bands", "band", "key"), maxBucket))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.bands") === col("b.bands") && col("a.band") === col("b.band")
+          && col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .where(col("b.id") - col("a.id") <= idWindow)
+      .select(col("a.bands").as("bands"), col("a.id").as("id_a"),
+        col("b.id").as("id_b"))
+      .distinct()
+      .transform(Caching.persist)
+    val hits = cand.join(truth, Seq("id_a", "id_b"))
+      .groupBy(col("bands")).agg(count(lit(1)).as("n_hit"))
+    val cands = cand.groupBy(col("bands")).agg(count(lit(1)).as("n_cand"))
+    val grid = spark.createDataFrame(
+      bandConfigs.map(b => (b.toLong, (numHashes / b).toLong)))
+      .toDF("bands", "rows_per_band")
+    grid
+      .join(cands, Seq("bands"), "left")
+      .join(hits, Seq("bands"), "left")
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .select(col("bands"), col("rows_per_band"), col("n_truth"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .select(col("bands"), col("rows_per_band"), col("n_truth"),
+        col("n_cand"), col("n_hit"),
+        when(col("n_truth") === 0, lit(-1L))
+          .otherwise(expr("n_hit * 1000000 div n_truth")).as("recall_micro"),
+        when(col("n_cand") === 0, lit(-1L))
+          .otherwise(expr("n_hit * 1000000 div n_cand"))
+          .as("precision_micro"))
+  }
+
+  /** DuckDB replay of [[bandSweep]] (same shared signature constants,
+    * same per-config bucket keys, same truth tier and micro ratios).
+    */
+  def bandSweepOracleSql(idWindow: Long, threshold: Double,
+      numHashes: Int = 16, bandConfigs: Seq[Int] = Seq(16, 8, 4, 2),
+      table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text", maxBucketParam: Int = 1000): String = {
+    val cs = portableCoefficients(numHashes)
+    val mins = cs.zipWithIndex.map { case ((a, b), j) =>
+      s"min(($a * h + $b) % $PortablePrime) AS mh$j" }.mkString(",\n    ")
+    val sigArr = (0 until numHashes).map(j => s"mh$j").mkString(", ")
+    val bandRows = bandConfigs.flatMap { b =>
+      val r = numHashes / b
+      (0 until b).map { band =>
+        val ks = (0 until r).map(i => s"sig[${band * r + 1 + i}]::VARCHAR")
+          .mkString(" || ',' || ")
+        s"SELECT $b AS bands, $band AS band, $ks AS key, id FROM sig"
+      }
+    }.mkString("\n  UNION ALL ")
+    val gridRows = bandConfigs
+      .map(b => s"($b, ${numHashes / b})").mkString(", ")
+    s"""WITH t0 AS (
+       |  SELECT $idCol AS id,
+       |         list_distinct(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+       |           ELSE list_transform(generate_series(1, len(toks) - 1),
+       |                  i -> toks[i] || ' ' || toks[i+1]) END) AS sh
+       |  FROM (SELECT $idCol, ${TextAnalysis.toksSql(textCol)} AS toks
+       |        FROM $table)),
+       |truth AS MATERIALIZED (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM t0 a JOIN t0 b
+       |    ON a.id < b.id AND b.id - a.id <= $idWindow
+       |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+       |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
+       |        >= $threshold),
+       |hs AS (
+       |  SELECT id, ('0x' || substr(md5(s), 1, 15))::BIGINT % $PortablePrime AS h
+       |  FROM (SELECT id, unnest(sh) AS s FROM t0)),
+       |sig AS MATERIALIZED (
+       |  SELECT id, [$sigArr] AS sig FROM (
+       |    SELECT id,
+       |    $mins
+       |    FROM hs GROUP BY id)),
+       |banded AS MATERIALIZED (
+       |  $bandRows),
+       |bucketed AS MATERIALIZED (
+       |  SELECT bands, band, key, id FROM banded
+       |  QUALIFY count(*) OVER (PARTITION BY bands, band, key)
+       |          <= $maxBucketParam),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.bands, a.id AS id_a, b.id AS id_b
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.bands = b.bands AND a.band = b.band AND a.key = b.key
+       |   AND a.id < b.id
+       |  WHERE b.id - a.id <= $idWindow),
+       |agg AS (
+       |  SELECT c.bands, count(*)::BIGINT AS n_cand,
+       |         coalesce(sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END),
+       |           0)::BIGINT AS n_hit
+       |  FROM cand c LEFT JOIN truth t
+       |    ON t.id_a = c.id_a AND t.id_b = c.id_b
+       |  GROUP BY c.bands),
+       |grid(bands, rows_per_band) AS (VALUES $gridRows),
+       |nt AS (SELECT count(*)::BIGINT AS n_truth FROM truth)
+       |SELECT g.bands::BIGINT AS bands,
+       |       g.rows_per_band::BIGINT AS rows_per_band,
+       |       nt.n_truth,
+       |       coalesce(a.n_cand, 0)::BIGINT AS n_cand,
+       |       coalesce(a.n_hit, 0)::BIGINT AS n_hit,
+       |       (CASE WHEN nt.n_truth = 0 THEN -1
+       |             ELSE coalesce(a.n_hit, 0) * 1000000 // nt.n_truth
+       |        END)::BIGINT AS recall_micro,
+       |       (CASE WHEN coalesce(a.n_cand, 0) = 0 THEN -1
+       |             ELSE coalesce(a.n_hit, 0) * 1000000 // a.n_cand
+       |        END)::BIGINT AS precision_micro
+       |FROM grid g LEFT JOIN agg a ON a.bands = g.bands, nt""".stripMargin
+  }
+
   /** SOFT dedup weighting — downweight duplicates instead of dropping
     * them (the SoftDeDup idea: hard removal throws away the signal that
     * popular content IS popular; weighting each copy by 1/family_size

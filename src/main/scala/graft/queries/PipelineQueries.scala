@@ -208,6 +208,13 @@ object PipelineQueries {
       .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
       .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))),
 
+    // --- LSH banding sweep: recall/precision of every (bands, rows)
+    // partition of one shared MinHash signature vs the exact truth — the
+    // parameter-selection table before a 100 TB run (oracle-checked) ---
+    "q_dedup_band_sweep" -> ((s, d) =>
+      Dedup.bandSweep(docs(s, d), "doc_id", "text",
+        idWindow = 25L, threshold = 0.5)),
+
     // --- Kneser-Ney smoothed bigram LM: absolute discount + continuation
     // back-off as one exact integer rational (oracle-checked) ---
     "q_text_kneser" -> ((s, d) =>
@@ -1367,6 +1374,8 @@ object PipelineQueries {
     "q_text_zipf" -> TextAnalysis.zipfOracleSql(topN = 100),
     "q_text_hill" -> TextAnalysis.hillOracleSql(k = 100),
     "q_text_kneser" -> TextAnalysis.kneserNeyOracleSql(topN = 100),
+    "q_dedup_band_sweep" -> Dedup.bandSweepOracleSql(
+      idWindow = 25L, threshold = 0.5),
 
     "q_text_heaps" -> TextAnalysis.heapsOracleSql(sampleEvery = 8L),
 

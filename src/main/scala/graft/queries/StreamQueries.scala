@@ -136,6 +136,13 @@ object StreamQueries {
         bucketSec = 3600L, halfK = 3, warm = 24,
         thresholdMicro = 2500000L)),
 
+    // --- Kaplan-Meier survival over user lifetimes: censoring-correct
+    // churn curve, exact at-risk counts, sequential factor product
+    // (oracle-checked) ---
+    "q_stream_survival" -> ((s, d) =>
+      graft.streaming.EventStreams.kaplanMeier(events(s, d),
+        bucketSec = 86400L, censorSec = 3L * 86400L)),
+
     // --- CUSUM level-shift detection: sustained deviation from the
     // 48-bucket warm-up mean accumulates in two one-sided sums, slack
     // and threshold scaled to the baseline (oracle-checked) ---
@@ -344,6 +351,10 @@ object StreamQueries {
 
     "q_stream_cusum" -> graft.streaming.EventStreams.cusumOracleSql(
       bucketSec = 3600L, warm = 48, kPct = 10L, hPct = 100L),
+
+    "q_stream_survival" ->
+      graft.streaming.EventStreams.kaplanMeierOracleSql(
+        bucketSec = 86400L, censorSec = 3L * 86400L),
 
     "q_stream_trending" -> graft.streaming.EventStreams
       .trendingTopKOracleSql(bucketSec = 21600L, k = 3),

@@ -635,6 +635,95 @@ object EventStreams {
        |FROM seq s JOIN rec r
        |  ON r.event_type = s.event_type AND r.rn = s.rn""".stripMargin
 
+  /** Kaplan–Meier survival curve (Kaplan & Meier 1958) over user
+    * lifetimes — the churn/retention estimator that handles CENSORING
+    * correctly: users still active near the corpus edge haven't churned,
+    * they're right-censored, and naive "lifetime CDF" curves that count
+    * them as dead bias survival down exactly where the business reads
+    * the number. S(t) = Π_{u ≤ t} (1 − d_u/n_u) with d_u deaths and n_u
+    * at-risk at lifetime bucket u; a user is censored when their last
+    * event falls within `censorSec` of the corpus max timestamp.
+    *
+    * Determinism: d/c/n are exact integers; each bucket's S is the
+    * SEQUENTIAL product of the ordered per-bucket factors recomputed
+    * from the first bucket (both engines multiply the same doubles in
+    * the same order; buckets with d = 0 contribute exactly 1.0), rounded
+    * to 6 dp.
+    *
+    * Shape: one user-keyed aggregate (the corpus shuffle), a bucket
+    * aggregate bounded by LIFETIME BUCKETS (a year of days = 365 rows),
+    * one suffix-sum window and one fold over that tiny table.
+    */
+  def kaplanMeier(events: DataFrame, bucketSec: Long = 86400L,
+      censorSec: Long = 3L * 86400L): DataFrame = {
+    require(bucketSec >= 1 && censorSec >= 0)
+    val perUser = events.groupBy(col("user_id"))
+      .agg(min(expr("unix_timestamp(ts)")).as("first_s"),
+        max(expr("unix_timestamp(ts)")).as("last_s"))
+    val maxTs = events.agg(max(expr("unix_timestamp(ts)")).as("max_s"))
+    val marked = perUser.crossJoin(broadcast(maxTs))
+      .select(expr(s"(last_s - first_s) div $bucketSec").as("b"),
+        (col("last_s") > col("max_s") - censorSec).as("censored"))
+    val perBucket = marked.groupBy(col("b"))
+      .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("c"))
+    val wSuffix = org.apache.spark.sql.expressions.Window
+      .orderBy(col("b").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val km = perBucket
+      .withColumn("n_risk", sum(col("d") + col("c")).over(wSuffix))
+      .select(col("b"), col("n_risk"), col("d"), col("c"),
+        ((col("n_risk") - col("d")).cast("double") /
+          col("n_risk").cast("double")).as("factor"))
+    km.agg(sort_array(collect_list(struct(col("b"), col("n_risk"),
+        col("d"), col("c"), col("factor")))).as("lst"))
+      .select(col("lst"), posexplode(col("lst")).as(Seq("pos", "x")))
+      .select(col("x.b"), col("x.n_risk"), col("x.d"), col("x.c"),
+        // prefix product recomputed sequentially from bucket 0 per row:
+        // both engines multiply identical doubles in identical order
+        round(expr("aggregate(slice(lst, 1, pos + 1), CAST(1.0 AS DOUBLE), " +
+          "(a, e) -> a * e.factor)"), 6).as("s"))
+  }
+
+  /** DuckDB replay of [[kaplanMeier]] (same suffix sums, same sequential
+    * prefix product via list_reduce over the ordered factor list).
+    */
+  def kaplanMeierOracleSql(bucketSec: Long = 86400L,
+      censorSec: Long = 3L * 86400L, table: String = "events"): String =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |         min(epoch_us(ts::TIMESTAMP) // 1000000) AS first_s,
+       |         max(epoch_us(ts::TIMESTAMP) // 1000000) AS last_s
+       |  FROM $table GROUP BY user_id),
+       |mx AS (SELECT max(epoch_us(ts::TIMESTAMP) // 1000000) AS max_s
+       |       FROM $table),
+       |marked AS (
+       |  SELECT (last_s - first_s) // $bucketSec AS b,
+       |         last_s > max_s - $censorSec AS censored
+       |  FROM pu, mx),
+       |pb AS (
+       |  SELECT b, sum(CASE WHEN NOT censored THEN 1 ELSE 0 END)::BIGINT AS d,
+       |         sum(CASE WHEN censored THEN 1 ELSE 0 END)::BIGINT AS c
+       |  FROM marked GROUP BY b),
+       |km AS MATERIALIZED (
+       |  SELECT b, d, c,
+       |         (sum(d + c) OVER (ORDER BY b DESC
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+       |           AS n_risk
+       |  FROM pb),
+       |lst AS (
+       |  SELECT list(((n_risk - d)::DOUBLE / n_risk::DOUBLE) ORDER BY b)
+       |           AS fl
+       |  FROM km),
+       |rk AS (
+       |  SELECT b, n_risk, d, c,
+       |         row_number() OVER (ORDER BY b) AS rn
+       |  FROM km)
+       |SELECT rk.b, rk.n_risk, rk.d, rk.c,
+       |       round(list_reduce(list_prepend(1.0::DOUBLE, fl[1:rk.rn]),
+       |             (a, x) -> a * x), 6) AS s
+       |FROM rk, lst""".stripMargin
+
   /** Windowed trending top-k — per tumbling window, the `k` most frequent
     * event types ranked with a deterministic (count DESC, type ASC)
     * tie-break. The "what's hot right now" leaderboard over ingest

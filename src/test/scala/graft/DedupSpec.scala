@@ -594,4 +594,28 @@ class DedupSpec extends SparkSpec {
     assert(w(4L) == ((1L, 1000000L)))
   }
 
+  test("bandSweep: shared signature, monotone candidate counts, S-curve") {
+    import graft.operators.Dedup
+    // docs 1-2 are near-dups (J >= 0.5); 3-4 unrelated
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "one two three four five six"),
+      (4L, "seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.bandSweep(docs, "doc_id", "text",
+      idWindow = 25L, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    assert(rows.keySet == Set(16L, 8L, 4L, 2L))
+    // truth is identical for every config (shared tier)
+    assert(rows.values.map(_._1).toSet.size == 1 && rows(16L)._1 >= 1L)
+    // r=1 banding (b=16) must catch every truth pair: single shared
+    // minhash value suffices -> recall 1e6
+    assert(rows(16L)._3 == 1000000L)
+    // more rows per band = stricter buckets: candidates monotone down
+    assert(rows(16L)._2 >= rows(8L)._2 && rows(8L)._2 >= rows(4L)._2
+      && rows(4L)._2 >= rows(2L)._2)
+  }
+
 }

@@ -484,6 +484,27 @@ class StreamingSpec extends SparkSpec {
     assert(r(h0 + 10800) == ((80L, 17000000L, 10000000L, true)))
   }
 
+  test("kaplanMeier: hand-computed curve, censored users hold survival up") {
+    import spark.implicits._
+    def e(u: Long, day: Int) = (u,
+      java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00"), "click")
+    // corpus max = day 10; censorSec = 2 days → censored iff last > day 8
+    // u1 dies at life 0, u2 at life 2; u3 (life 9) and u4 (life 10) are
+    // censored → S steps only at deaths: 3/4 then 3/4·2/3 = 1/2
+    val ev = Seq(e(1, 0), e(2, 0), e(2, 2), e(3, 0), e(3, 9), e(4, 0),
+      e(4, 10)).toDF("user_id", "ts", "event_type")
+    val r = graft.streaming.EventStreams
+      .kaplanMeier(ev, bucketSec = 86400L, censorSec = 2L * 86400L)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(r(0L) == ((4L, 1L, 0L, 0.75)))
+    assert(r(2L) == ((3L, 1L, 0L, 0.5)))
+    assert(r(9L) == ((2L, 0L, 1L, 0.5)))
+    assert(r(10L) == ((1L, 0L, 1L, 0.5)))
+    // the naive no-censoring CDF would read S(10) = 0 — censoring is the
+    // whole point; the curve must hold at 0.5
+  }
+
   test("cusumShift: sustained 30% level shift accumulates to a flag") {
     import spark.implicits._
     def t(h: Int, n: Int) = (0 until n).map(i =>
