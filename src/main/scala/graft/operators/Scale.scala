@@ -923,4 +923,103 @@ object Scale {
        |             ELSE (num * 1000000) // (n * total) END)::BIGINT
        |         AS gini_micro
        |FROM tot, num""".stripMargin
+  /** Small-file COMPACTION PLAN — first-fit-decreasing bin packing of a
+    * file-inventory table into target-size compaction groups: the
+    * maintenance pass every parquet lake runs (thousands of small files
+    * from streaming ingest → read amplification; rewriting into
+    * ~target-size groups fixes it), planned deterministically so the
+    * rewrite job and its audit trail replay bit-for-bit. FFD is the
+    * classic ≤ (11/9·OPT + 1) heuristic; ties break on file id. Files
+    * larger than `targetBytes` get their own (oversize) bin.
+    *
+    * Scale shape: the plan runs over file METADATA (one row per file —
+    * thousands of rows for a multi-TB table, never data rows), as ONE
+    * sequential fold over the (size desc, id) order: inherently serial
+    * (each placement depends on all previous), bounded input by design —
+    * the listing aggregate upstream is where the corpus-sized work was.
+    * Returns (file_id, size_bytes, bin, oversize).
+    */
+  def compactionPlan(files: DataFrame, idCol: String, sizeCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1)
+    val step =
+      s"""(acc, f) -> named_struct(
+         |  'rem', CASE
+         |    WHEN f.size > ${targetBytes}L THEN
+         |      array_append(acc.rem, ${targetBytes}L - f.size)
+         |    WHEN array_position(transform(acc.rem, r -> r >= f.size),
+         |                        true) > 0 THEN
+         |      transform(acc.rem, (r, i) ->
+         |        CASE WHEN i + 1 = array_position(
+         |               transform(acc.rem, r2 -> r2 >= f.size), true)
+         |             THEN r - f.size ELSE r END)
+         |    ELSE array_append(acc.rem, ${targetBytes}L - f.size) END,
+         |  'out', array_append(acc.out, named_struct(
+         |    'id', f.id, 'size', f.size,
+         |    'bin', CAST(CASE
+         |      WHEN f.size > ${targetBytes}L THEN size(acc.rem) + 1
+         |      WHEN array_position(transform(acc.rem, r -> r >= f.size),
+         |                          true) > 0 THEN
+         |        array_position(transform(acc.rem, r -> r >= f.size), true)
+         |      ELSE size(acc.rem) + 1 END AS BIGINT),
+         |    'oversize', f.size > ${targetBytes}L)))""".stripMargin
+    files
+      .select(col(idCol).cast("string").as("id"),
+        col(sizeCol).cast("long").as("size"))
+      .agg(expr("sort_array(collect_list(struct(-size AS negsize, " +
+        "id, size)))").as("lst"))
+      .select(expr(
+        s"""aggregate(
+           |  lst,
+           |  named_struct(
+           |    'rem', CAST(array() AS ARRAY<BIGINT>),
+           |    'out', CAST(array() AS ARRAY<STRUCT<id: STRING,
+           |      size: BIGINT, bin: BIGINT, oversize: BOOLEAN>>)),
+           |  $step,
+           |  acc -> acc.out)""".stripMargin).as("out"))
+      .select(explode(col("out")).as("o"))
+      .select(col("o.id").as("file_id"), col("o.size").as("size_bytes"),
+        col("o.bin"), col("o.oversize"))
+  }
+
+  /** DuckDB replay of [[compactionPlan]] — the FFD fold as a recursive
+    * CTE over the (size desc, id) rank carrying the remaining-capacity
+    * list.
+    */
+  def compactionOracleSql(filesCte: String, targetBytes: Long): String =
+    s"""WITH RECURSIVE $filesCte,
+       |ranked AS MATERIALIZED (
+       |  SELECT id, size,
+       |         row_number() OVER (ORDER BY size DESC, id) AS rn
+       |  FROM files),
+       |nf AS (SELECT count(*) AS n FROM ranked),
+       |rec(rn, rem, bin) AS (
+       |  SELECT 1::BIGINT,
+       |         [$targetBytes - size]::BIGINT[],
+       |         1::BIGINT
+       |  FROM ranked WHERE rn = 1
+       |  UNION ALL
+       |  SELECT x.rn,
+       |         CASE
+       |           WHEN x.size > $targetBytes THEN
+       |             list_append(r.rem, $targetBytes - x.size)
+       |           WHEN list_position(list_transform(r.rem,
+       |                  rr -> rr >= x.size), true) > 0 THEN
+       |             list_transform(r.rem, (rr, i) ->
+       |               CASE WHEN i = list_position(
+       |                      list_transform(r.rem, r2 -> r2 >= x.size), true)
+       |                    THEN rr - x.size ELSE rr END)
+       |           ELSE list_append(r.rem, $targetBytes - x.size) END,
+       |         CASE
+       |           WHEN x.size > $targetBytes THEN len(r.rem) + 1
+       |           WHEN list_position(list_transform(r.rem,
+       |                  rr -> rr >= x.size), true) > 0 THEN
+       |             list_position(list_transform(r.rem,
+       |               rr -> rr >= x.size), true)
+       |           ELSE len(r.rem) + 1 END
+       |  FROM rec r JOIN ranked x ON x.rn = r.rn + 1)
+       |SELECT k.id AS file_id, k.size AS size_bytes,
+       |       rec.bin::BIGINT AS bin,
+       |       k.size > $targetBytes AS oversize
+       |FROM rec JOIN ranked k ON k.rn = rec.rn""".stripMargin
 }

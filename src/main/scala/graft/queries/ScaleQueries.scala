@@ -99,6 +99,15 @@ object ScaleQueries {
     "q_scale_skew" -> ((s, d) =>
       Scale.skewAudit(t(s, d, "orders"), "o_custkey")),
 
+    // FFD compaction plan: synthetic per-customer-band "file" sizes
+    // packed into 4000-row bins — the deterministic small-file
+    // maintenance planner (oracle-checked)
+    "q_scale_compaction" -> ((s, d) =>
+      Scale.compactionPlan(
+        t(s, d, "orders").groupBy((col("o_custkey") % 200).as("fid"))
+          .agg(count(lit(1)).as("rows")),
+        "fid", "rows", targetBytes = 4000L)),
+
     // Benford first-digit audit over order prices: per-digit observed vs
     // log10(1+1/d) expectation + chi-square — the fabricated-numbers
     // provenance gate (oracle-checked)
@@ -224,6 +233,11 @@ object ScaleQueries {
     "q_scale_skew" -> Scale.skewAuditOracleSql("orders", "o_custkey"),
     "q_pipeline_benford" -> graft.operators.Profile.benfordOracleSql(
       "orders", "o_totalprice"),
+    "q_scale_compaction" -> Scale.compactionOracleSql(
+      """files AS (
+        |  SELECT (o_custkey % 200)::VARCHAR AS id, count(*)::BIGINT AS size
+        |  FROM orders GROUP BY 1)""".stripMargin,
+      targetBytes = 4000L),
     "q_pipeline_kanon" -> graft.operators.Profile.kAnonymityOracleSql(
       "customer", Seq("c_nationkey", "c_mktsegment"),
       "floor(c_acctbal / 100)::BIGINT", k = 10, l = 3),

@@ -136,6 +136,12 @@ object StreamQueries {
         bucketSec = 3600L, halfK = 3, warm = 24,
         thresholdMicro = 2500000L)),
 
+    // --- seasonality matrix: day-of-week x hour-of-day load cells with
+    // exact uniform-relative indices — the capacity/baseline heatmap
+    // (oracle-checked) ---
+    "q_stream_seasonality" -> ((s, d) =>
+      graft.streaming.EventStreams.seasonality(events(s, d))),
+
     // --- Kaplan-Meier survival over user lifetimes: censoring-correct
     // churn curve, exact at-risk counts, sequential factor product
     // (oracle-checked) ---
@@ -355,6 +361,9 @@ object StreamQueries {
     "q_stream_survival" ->
       graft.streaming.EventStreams.kaplanMeierOracleSql(
         bucketSec = 86400L, censorSec = 3L * 86400L),
+
+    "q_stream_seasonality" ->
+      graft.streaming.EventStreams.seasonalityOracleSql(),
 
     "q_stream_trending" -> graft.streaming.EventStreams
       .trendingTopKOracleSql(bucketSec = 21600L, k = 3),

@@ -724,6 +724,46 @@ object EventStreams {
        |             (a, x) -> a * x), 6) AS s
        |FROM rk, lst""".stripMargin
 
+  /** Seasonality profile — the (day-of-week × hour-of-day) load matrix
+    * every capacity plan and anomaly baseline starts from: per-cell event
+    * counts plus a seasonal INDEX in micro units (cell count ÷ the count
+    * a uniform spread would put there, so 1e6 = flat, 2e6 = double the
+    * average load). Exact integers: index = n_cell·168·1e6 div n_total.
+    * One aggregate over a map-only bucket projection; output is ≤ 168
+    * rows. Day-of-week is ISO (1 = Monday) in BOTH engines via
+    * anchored-epoch arithmetic, not locale-dependent date functions.
+    */
+  def seasonality(events: DataFrame): DataFrame = {
+    // 1970-01-01 was a Thursday: ISO dow = ((days + 3) % 7) + 1
+    val cells = events
+      .select(expr("unix_timestamp(ts)").as("s"))
+      .select(expr("(((s div 86400) + 3) % 7) + 1").as("dow"),
+        expr("(s % 86400) div 3600").as("hod"))
+      .groupBy(col("dow"), col("hod")).agg(count(lit(1)).as("n"))
+    val tot = cells.agg(coalesce(sum(col("n")), lit(0L)).as("total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hod"), col("n"),
+        when(col("total") === 0, lit(0L))
+          .otherwise(expr("(n * 168 * 1000000) div total"))
+          .as("index_micro"))
+  }
+
+  /** DuckDB replay of [[seasonality]]. */
+  def seasonalityOracleSql(table: String = "events"): String =
+    s"""WITH c AS (
+       |  SELECT ((((epoch_us(ts::TIMESTAMP) // 1000000) // 86400) + 3) % 7)
+       |           + 1 AS dow,
+       |         ((epoch_us(ts::TIMESTAMP) // 1000000) % 86400) // 3600
+       |           AS hod,
+       |         count(*)::BIGINT AS n
+       |  FROM $table GROUP BY 1, 2),
+       |t AS (SELECT coalesce(sum(n), 0)::BIGINT AS total FROM c)
+       |SELECT dow::BIGINT AS dow, hod::BIGINT AS hod, n,
+       |       (CASE WHEN total = 0 THEN 0
+       |             ELSE (n * 168 * 1000000) // total END)::BIGINT
+       |         AS index_micro
+       |FROM c, t""".stripMargin
+
   /** Windowed trending top-k — per tumbling window, the `k` most frequent
     * event types ranked with a deterministic (count DESC, type ASC)
     * tie-break. The "what's hot right now" leaderboard over ingest

@@ -467,4 +467,20 @@ class ScaleSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(Scale.skewAudit(mono, "k").collect()(0).getLong(5) == 720000L)
   }
 
+  test("compactionPlan: hand-checked FFD packing, oversize isolation") {
+    import graft.operators.Scale
+    // FFD order 15, 9, 5, 4, 3, 2 with target 10:
+    // 15 oversize -> own bin 1; 9 -> bin 2 (rem 1); 5 -> bin 3 (rem 5);
+    // 4 -> bin 3 (rem 1); 3 -> bin 4 (rem 7); 2 -> bin 4 (rem 5)
+    val files = Seq(("a", 9L), ("b", 5L), ("c", 4L), ("d", 3L),
+      ("e", 2L), ("big", 15L)).toDF("fid", "size")
+    val got = Scale.compactionPlan(files, "fid", "size", targetBytes = 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got("big") == ((1L, true)))
+    assert(got("a") == ((2L, false)))
+    assert(got("b") == ((3L, false)) && got("c") == ((3L, false)))
+    assert(got("d") == ((4L, false)) && got("e") == ((4L, false)))
+  }
+
 }

@@ -484,6 +484,25 @@ class StreamingSpec extends SparkSpec {
     assert(r(h0 + 10800) == ((80L, 17000000L, 10000000L, true)))
   }
 
+  test("seasonality: ISO day-of-week anchoring and uniform index") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday; plant 3 events Mon 09h, 1 event Tue 14h
+    val ev = Seq(
+      ("click", java.sql.Timestamp.valueOf("2024-01-01 09:00:01")),
+      ("click", java.sql.Timestamp.valueOf("2024-01-01 09:10:02")),
+      ("click", java.sql.Timestamp.valueOf("2024-01-01 09:20:03")),
+      ("click", java.sql.Timestamp.valueOf("2024-01-02 14:00:04")))
+      .toDF("event_type", "ts")
+    val r = graft.streaming.EventStreams.seasonality(ev)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3))).toMap
+    // Timestamp.valueOf is JVM-tz local; with UTC sessions the dow/hod
+    // are exact — Monday 9h has 3 of 4 events: index = 3*168/4 = 126x
+    assert(r((1L, 9L)) == ((3L, 126000000L)))
+    assert(r((2L, 14L)) == ((1L, 42000000L)))
+    assert(r.size == 2)
+  }
+
   test("kaplanMeier: hand-computed curve, censored users hold survival up") {
     import spark.implicits._
     def e(u: Long, day: Int) = (u,
