@@ -276,6 +276,30 @@ object Multimodal {
         col("real_decode"))
   }
 
+  /** Difference hash (dHash) over the same 4×4 luminance grid — the
+    * gradient companion to [[perceptualHash]]'s aHash: each bit compares
+    * ADJACENT cells (12 horizontal + 12 vertical = 24 bits) instead of
+    * comparing to the global mean, so uniform brightness/contrast shifts
+    * — which flip many aHash bits at once — leave dHash unchanged
+    * (gradients are shift-invariant). Running both and intersecting
+    * groups is the standard high-precision image-dedup recipe. Same
+    * fixed-order codegen'd expression tree, oracle-replayable,
+    * `real_decode` provenance rides along.
+    */
+  def differenceHash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val hbits = (for { i <- 0 to 3; j <- 0 to 2 } yield (i, j)).zipWithIndex
+      .map { case ((i, j), k) =>
+        when(col(s"g$i${j + 1}") > col(s"g$i$j"), lit(1L << k))
+          .otherwise(lit(0L)) }
+    val vbits = (for { i <- 0 to 2; j <- 0 to 3 } yield (i, j)).zipWithIndex
+      .map { case ((i, j), k) =>
+        when(col(s"g${i + 1}$j") > col(s"g$i$j"), lit(1L << (12 + k)))
+          .otherwise(lit(0L)) }
+    imageFeatures(df, idCol, binCol)
+      .select(col("item_id"), (hbits ++ vbits).reduce(_ + _).as("dhash"),
+        col("real_decode"))
+  }
+
   /** Batch decode: one pass per partition, typed output. The inner loop is
     * an iterator transform — constant memory per partition regardless of
     * corpus size.

@@ -284,6 +284,18 @@ object StreamQueries {
         .agg(min(col("item_id")).as("keep_id"), count(lit(1)).as("copies"))
     }),
 
+    // difference-hash (dHash) dedup groups: adjacent-cell gradient bits —
+    // shift-invariant where aHash is not; intersecting both groupings is
+    // the high-precision image dedup recipe
+    "q_multimodal_dhash" -> ((s, d) => {
+      Tables.load(s, d)
+      val docsBin = s.table("documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.differenceHash(docsBin, "doc_id", "payload")
+        .groupBy(col("dhash"))
+        .agg(min(col("item_id")).as("keep_id"), count(lit(1)).as("copies"))
+    }),
+
     // --- audio tier: none of the synthetic payloads carry a RIFF header,
     // so every row takes the headerless raw-PCM16LE interpretation — which
     // the oracle replays sample-for-sample (int16 LE pairs from ASCII byte
@@ -558,6 +570,28 @@ object StreamQueries {
          |SELECT phash, min(doc_id)::BIGINT AS keep_id, count(*) AS copies
          |FROM (SELECT doc_id, ($bitsum)::BIGINT AS phash FROM h)
          |GROUP BY phash""".stripMargin
+    },
+
+    // dHash replay: same grid means, adjacent-cell strict compares,
+    // horizontal bits 0-11 then vertical bits 12-23
+    "q_multimodal_dhash" -> {
+      val grid = (0 to 3).flatMap(i => (0 to 3).map(j =>
+        s"${byteSliceMeanSql(s"n * ${i * 4 + j} // 16", s"n * ${i * 4 + j + 1} // 16")} AS g$i$j"))
+        .mkString(",\n         ")
+      val hbits = (for { i <- 0 to 3; j <- 0 to 2 } yield (i, j)).zipWithIndex
+        .map { case ((i, j), k) =>
+          s"(CASE WHEN g$i${j + 1} > g$i$j THEN ${1L << k} ELSE 0 END)" }
+      val vbits = (for { i <- 0 to 2; j <- 0 to 3 } yield (i, j)).zipWithIndex
+        .map { case ((i, j), k) =>
+          s"(CASE WHEN g${i + 1}$j > g$i$j THEN ${1L << (12 + k)} ELSE 0 END)" }
+      val bitsum = (hbits ++ vbits).mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |g AS (SELECT doc_id,
+         |         $grid
+         |      FROM t)
+         |SELECT dhash, min(doc_id)::BIGINT AS keep_id, count(*) AS copies
+         |FROM (SELECT doc_id, ($bitsum)::BIGINT AS dhash FROM g)
+         |GROUP BY dhash""".stripMargin
     },
 
     "q_multimodal_features" -> {

@@ -100,6 +100,38 @@ class MultimodalSpec extends SparkSpec {
     assert(got(4L) == got(1L))
   }
 
+  test("differenceHash: gradient bits, brightness-shift invariance") {
+    // vertical split: left dark, right bright → only the horizontal
+    // boundary transitions (j=1→2 within each row... columns 0-1 dark,
+    // 2-3 bright: bit set where g[i][j+1] > g[i][j], i.e. j=1 for every
+    // row) plus NO vertical bits (rows identical)
+    def vsplitPng(dark: Int, bright: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 16).foreach(x => (0 until 16).foreach(y =>
+        img.setRGB(x, y, if (x < 8) dark else bright)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val df = Seq(
+      (1L, vsplitPng(0x000000, 0xFFFFFF)),
+      // uniform +0x20 brightness shift on every channel: every aHash-style
+      // global-mean compare can move, but the GRADIENTS are identical
+      (2L, vsplitPng(0x202020, 0xFFFFFF)),
+      (3L, vsplitPng(0xFFFFFF, 0x000000))) // reversed gradient
+      .toDF("id", "payload").repartition(2)
+    val got = Multimodal.differenceHash(df, "id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // horizontal bits: (i, j=1) for i = 0..3 → k = i*3 + 1 → bits 1,4,7,10
+    assert(got(1L) == ((1L << 1) | (1L << 4) | (1L << 7) | (1L << 10)))
+    // brightness-shifted image keeps the identical dHash
+    assert(got(2L) == got(1L))
+    // reversed gradient has only DECREASING transitions → no bits set:
+    // dHash encodes direction, so mirror images land in different groups
+    assert(got(3L) == 0L && got(3L) != got(1L))
+  }
+
   test("null binary cells flow through the image tier as empty payloads") {
     val df = Seq((1L, "bytes".getBytes), (2L, null.asInstanceOf[Array[Byte]]))
       .toDF("id", "payload")
