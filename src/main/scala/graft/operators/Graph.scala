@@ -717,6 +717,87 @@ object Graph {
        |GROUP BY e.src""".stripMargin
   }
 
+  /** Association rules (Agrawal & Srikant 1994, the Apriori statistics) —
+    * market-basket pair mining over (basket, item) rows: for every item
+    * pair co-occurring in ≥ `minSup` baskets, the three canonical
+    * measures in exact micro units:
+    *   support    = n_ij / N          (how common the pair is)
+    *   confidence = n_ij / n_i        (i → j rule strength, directed —
+    *                                   both directions are emitted)
+    *   lift       = n_ij·N / (n_i·n_j) (dependence vs independence;
+    *                                   1e6 = independent)
+    * The data-curation reading: items = tags/domains/topics per document
+    * batch, rules = systematic co-occurrence worth stratifying on.
+    *
+    * Scale shape: pair counts come from ONE group-capped self-join
+    * (Σ group² under `maxGroupSize`, the [[coEdges]] guard — but COUNTED
+    * per basket rather than deduplicated to a simple graph), item counts
+    * from one aggregate; the minSup floor bounds the rule table and the
+    * final cut is a TakeOrderedAndProject.
+    */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minSup: Long = 5L, topN: Int = 100,
+      maxGroupSize: Int = 64): DataFrame = {
+    require(minSup >= 1 && topN >= 1)
+    val bi = df.select(col(basketCol).as("b"), col(itemCol).as("item"))
+      .distinct().transform(Caching.persist)
+    val sized = bi.join(
+      bi.groupBy("b").agg(count(lit(1)).as("__n"))
+        .where(col("__n") <= maxGroupSize), "b")
+    val n = bi.select(col("b")).distinct().count() // one scalar
+    val items = bi.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val pairs = sized.select(col("b"), col("item").as("i"))
+      .join(sized.select(col("b"), col("item").as("j")), "b")
+      .where(col("i") < col("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n_ij"))
+      .where(col("n_ij") >= minSup)
+    val directed = pairs.unionAll(
+      pairs.select(col("j").as("i"), col("i").as("j"), col("n_ij")))
+    directed
+      .join(items.select(col("item").as("i"), col("n_item").as("n_i")), "i")
+      .join(items.select(col("item").as("j"), col("n_item").as("n_j")), "j")
+      .select(col("i").as("antecedent"), col("j").as("consequent"),
+        col("n_ij"),
+        expr(s"(n_ij * 1000000) div ${math.max(n, 1L)}L").as("support_micro"),
+        expr("(n_ij * 1000000) div n_i").as("confidence_micro"),
+        expr(s"(n_ij * ${math.max(n, 1L)}L * 1000000) div (n_i * n_j)")
+          .as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("antecedent"), col("consequent"))
+      .limit(topN)
+  }
+
+  /** DuckDB replay of [[associationRules]]. */
+  def associationRulesOracleSql(basketExpr: String, itemExpr: String,
+      table: String, minSup: Long = 5L, topN: Int = 100,
+      maxGroupSize: Int = 64): String =
+    s"""WITH bi AS MATERIALIZED (
+       |  SELECT DISTINCT $basketExpr AS b, $itemExpr AS item FROM $table),
+       |gok AS (SELECT b FROM bi GROUP BY b
+       |        HAVING count(*) <= $maxGroupSize),
+       |nb AS (SELECT count(DISTINCT b)::BIGINT AS n FROM bi),
+       |items AS (SELECT item, count(*)::BIGINT AS n_item
+       |          FROM bi GROUP BY item),
+       |pairs AS (
+       |  SELECT a.item AS i, c.item AS j, count(*)::BIGINT AS n_ij
+       |  FROM bi a JOIN gok USING (b) JOIN bi c USING (b)
+       |  WHERE a.item < c.item
+       |  GROUP BY 1, 2 HAVING count(*) >= $minSup),
+       |directed AS (
+       |  SELECT i, j, n_ij FROM pairs
+       |  UNION ALL SELECT j, i, n_ij FROM pairs)
+       |SELECT d.i AS antecedent, d.j AS consequent, d.n_ij,
+       |       ((d.n_ij * 1000000) // greatest(nb.n, 1))::BIGINT
+       |         AS support_micro,
+       |       ((d.n_ij * 1000000) // ii.n_item)::BIGINT
+       |         AS confidence_micro,
+       |       ((d.n_ij * greatest(nb.n, 1) * 1000000)
+       |        // (ii.n_item * jj.n_item))::BIGINT AS lift_micro
+       |FROM directed d
+       |JOIN items ii ON ii.item = d.i
+       |JOIN items jj ON jj.item = d.j, nb
+       |ORDER BY lift_micro DESC, antecedent, consequent
+       |LIMIT $topN""".stripMargin
+
   /** Link prediction by the Resource-Allocation index (Zhou, Lü & Zhang
     * 2009) — for every non-adjacent pair (u, w) sharing at least one
     * neighbor, score = Σ_{z ∈ N(u)∩N(w)} 1/deg(z). RA is the

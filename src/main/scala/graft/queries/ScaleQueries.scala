@@ -198,6 +198,14 @@ object ScaleQueries {
         t(s, d, "lineitem").where(col("l_partkey") % 3 === 0),
         "l_orderkey", "l_partkey"), k = 25, rounds = 3)),
 
+    // --- association rules over order baskets: support/confidence/lift
+    // for co-purchased part pairs in exact micro units — the Apriori
+    // statistics (oracle-checked) ---
+    "q_graph_rules" -> ((s, d) =>
+      graft.operators.Graph.associationRules(
+        t(s, d, "lineitem").where(col("l_partkey") % 3 === 0),
+        "l_orderkey", "l_partkey", minSup = 3L, topN = 100)),
+
     // --- Resource-Allocation link prediction on the same vertex sample:
     // top unobserved pairs by hub-penalized shared neighbors — exact
     // integer micro-units, hub-capped 2-hop join (oracle-checked) ---
@@ -260,6 +268,10 @@ object ScaleQueries {
         "(SELECT * FROM lineitem WHERE l_partkey % 3 = 0)"),
       k = 25, rounds = 3),
 
+    "q_graph_rules" -> graft.operators.Graph.associationRulesOracleSql(
+      "l_orderkey", "l_partkey",
+      "(SELECT * FROM lineitem WHERE l_partkey % 3 = 0)",
+      minSup = 3L, topN = 100),
     "q_graph_linkpred" -> graft.operators.Graph.linkPredictionOracleSql(
       graft.operators.Graph.coEdgesSql("l_orderkey", "l_partkey",
         "(SELECT * FROM lineitem WHERE l_partkey % 3 = 0)"),

@@ -136,6 +136,12 @@ object StreamQueries {
         bucketSec = 3600L, halfK = 3, warm = 24,
         thresholdMicro = 2500000L)),
 
+    // --- 2x2 chi-square A/B test: user-parity cohorts, purchase
+    // conversion, exact cells + the shared IEEE tail (oracle-checked) ---
+    "q_stream_abtest" -> ((s, d) =>
+      graft.streaming.EventStreams.abTest(events(s, d),
+        convType = "purchase")),
+
     // --- seasonality matrix: day-of-week x hour-of-day load cells with
     // exact uniform-relative indices — the capacity/baseline heatmap
     // (oracle-checked) ---
@@ -376,6 +382,9 @@ object StreamQueries {
 
     "q_stream_seasonality" ->
       graft.streaming.EventStreams.seasonalityOracleSql(),
+
+    "q_stream_abtest" ->
+      graft.streaming.EventStreams.abTestOracleSql(convType = "purchase"),
 
     "q_stream_trending" -> graft.streaming.EventStreams
       .trendingTopKOracleSql(bucketSec = 21600L, k = 3),

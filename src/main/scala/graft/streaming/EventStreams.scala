@@ -724,6 +724,85 @@ object EventStreams {
        |             (a, x) -> a * x), 6) AS s
        |FROM rk, lst""".stripMargin
 
+  /** Two-proportion chi-square A/B test over user conversion — THE
+    * experiment-analysis primitive: cohorts by the deterministic user-id
+    * parity (stand-in for an assignment column), conversion = the user
+    * ever fired `convType`, and the 2×2 chi-square
+    *   χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+    * against the 95% critical value 3.841. Counts are exact integers;
+    * (ad − bc) is computed exactly in BIGINT BEFORE squaring in double,
+    * and the denominator multiplies two exact ≤2⁶³ pair products as
+    * doubles (the full product overflows BIGINT) — the same expression
+    * order in both engines, rounded to 6 dp.
+    *
+    * Shape: one user-keyed aggregate (the corpus shuffle) + one 4-cell
+    * aggregate; everything else is a 1-row projection.
+    */
+  def abTest(events: DataFrame, convType: String): DataFrame = {
+    val perUser = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === convType, 1L).otherwise(0L))
+        .as("conv"))
+      .select((col("user_id") % 2 === 0).as("cohort_a"), col("conv"))
+    val cells = perUser.agg(
+      sum(when(col("cohort_a") && col("conv") === 1, 1L).otherwise(0L)).as("a"),
+      sum(when(col("cohort_a") && col("conv") === 0, 1L).otherwise(0L)).as("b"),
+      sum(when(!col("cohort_a") && col("conv") === 1, 1L).otherwise(0L)).as("c"),
+      sum(when(!col("cohort_a") && col("conv") === 0, 1L).otherwise(0L)).as("d"))
+    cells.select(col("a"), col("b"), col("c"), col("d"),
+        when(col("a") + col("b") === 0, lit(0L))
+          .otherwise(expr("(a * 1000000) div (a + b)")).as("rate_a_micro"),
+        when(col("c") + col("d") === 0, lit(0L))
+          .otherwise(expr("(c * 1000000) div (c + d)")).as("rate_b_micro"),
+        (col("a") + col("b") + col("c") + col("d")).as("n"),
+        (col("a") * col("d") - col("b") * col("c")).as("det"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        col("rate_a_micro"), col("rate_b_micro"),
+        when(((col("a") + col("b")) * (col("c") + col("d"))) === 0 ||
+            ((col("a") + col("c")) * (col("b") + col("d"))) === 0, lit(0d))
+          .otherwise(round(
+            col("n").cast("double") * col("det").cast("double")
+              * col("det").cast("double") /
+              ((col("a") + col("b")) * (col("c") + col("d"))).cast("double") /
+              ((col("a") + col("c")) * (col("b") + col("d"))).cast("double"),
+            6)).as("chi2"))
+      .withColumn("significant", col("chi2") > 3.841)
+  }
+
+  /** DuckDB replay of [[abTest]] (same cells, same expression order). */
+  def abTestOracleSql(convType: String, table: String = "events"): String =
+    s"""WITH pu AS (
+       |  SELECT user_id % 2 = 0 AS cohort_a,
+       |         max(CASE WHEN event_type = '$convType' THEN 1 ELSE 0 END)
+       |           AS conv
+       |  FROM $table GROUP BY user_id),
+       |cells AS (
+       |  SELECT sum(CASE WHEN cohort_a AND conv = 1 THEN 1 ELSE 0 END)::BIGINT AS a,
+       |         sum(CASE WHEN cohort_a AND conv = 0 THEN 1 ELSE 0 END)::BIGINT AS b,
+       |         sum(CASE WHEN NOT cohort_a AND conv = 1 THEN 1 ELSE 0 END)::BIGINT AS c,
+       |         sum(CASE WHEN NOT cohort_a AND conv = 0 THEN 1 ELSE 0 END)::BIGINT AS d
+       |  FROM pu),
+       |x AS (
+       |  SELECT a, b, c, d, (a + b + c + d)::BIGINT AS n,
+       |         (a * d - b * c)::BIGINT AS det
+       |  FROM cells)
+       |SELECT a, b, c, d,
+       |       (CASE WHEN a + b = 0 THEN 0
+       |             ELSE (a * 1000000) // (a + b) END)::BIGINT AS rate_a_micro,
+       |       (CASE WHEN c + d = 0 THEN 0
+       |             ELSE (c * 1000000) // (c + d) END)::BIGINT AS rate_b_micro,
+       |       CASE WHEN (a + b) * (c + d) = 0 OR (a + c) * (b + d) = 0
+       |            THEN 0.0
+       |            ELSE round(n::DOUBLE * det::DOUBLE * det::DOUBLE
+       |                 / ((a + b) * (c + d))::DOUBLE
+       |                 / ((a + c) * (b + d))::DOUBLE, 6) END AS chi2,
+       |       CASE WHEN (a + b) * (c + d) = 0 OR (a + c) * (b + d) = 0
+       |            THEN false
+       |            ELSE round(n::DOUBLE * det::DOUBLE * det::DOUBLE
+       |                 / ((a + b) * (c + d))::DOUBLE
+       |                 / ((a + c) * (b + d))::DOUBLE, 6) > 3.841 END
+       |         AS significant
+       |FROM x""".stripMargin
+
   /** Seasonality profile — the (day-of-week × hour-of-day) load matrix
     * every capacity plan and anomaly baseline starts from: per-cell event
     * counts plus a seasonal INDEX in micro units (cell count ÷ the count

@@ -249,4 +249,21 @@ class GraphSpec extends SparkSpec {
     assert(Graph.linkPrediction(star, hubCap = 2, topN = 10).count() == 0)
   }
 
+  test("associationRules: hand-computed support/confidence/lift, minSup floor") {
+    val li = Seq(
+      (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "y"), (4L, "x"), (4L, "z"))
+      .toDF("basket", "item")
+    val got = Graph.associationRules(li, "basket", "item",
+      minSup = 2L, topN = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // n=4 baskets, n_x=4, n_y=3; pair (x,y) in 3 baskets
+    // support 3/4; conf x->y = 3/4, y->x = 1; lift = 3*4/(4*3) = 1
+    assert(got(("x", "y")) == ((3L, 750000L, 750000L, 1000000L)))
+    assert(got(("y", "x")) == ((3L, 750000L, 1000000L, 1000000L)))
+    // (x,z) co-occurs once < minSup -> no rule in either direction
+    assert(!got.contains(("x", "z")) && !got.contains(("z", "x")))
+  }
+
 }

@@ -672,4 +672,27 @@ class StreamingSpec extends SparkSpec {
     assert(r(2L) == ((10L, 1L, 250000L, 1L, 1L, 1L)))
   }
 
+  test("abTest: hand-computed 2x2 chi-square, significance threshold") {
+    import spark.implicits._
+    def u(id: Long, tp: String) = (id, tp,
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    // cohort A (even ids): users 2,4 convert, 6,8 do not
+    // cohort B (odd ids): user 1 converts, 3,5,7 do not
+    // a=2 b=2 c=1 d=3: chi2 = 8*(6-2)^2/(4*4*3*5) = 128/240 = 0.533333
+    val ev = (Seq(u(2, "purchase"), u(4, "purchase"), u(1, "purchase")) ++
+      Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L).map(u(_, "click")))
+      .toDF("user_id", "event_type", "ts")
+    val r = graft.streaming.EventStreams.abTest(ev, "purchase").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((2L, 2L, 1L, 3L)))
+    assert(r.getLong(4) == 500000L && r.getLong(5) == 250000L)
+    assert(r.getDouble(6) == 0.533333 && !r.getBoolean(7))
+    // a decisive split: all of A converts, none of B -> chi2 = N
+    val ev2 = (Seq(2L, 4L, 6L, 8L).map(u(_, "purchase")) ++
+      Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L).map(u(_, "click")))
+      .toDF("user_id", "event_type", "ts")
+    val r2 = graft.streaming.EventStreams.abTest(ev2, "purchase").collect()(0)
+    assert(r2.getDouble(6) == 8.0 && r2.getBoolean(7))
+  }
+
 }
