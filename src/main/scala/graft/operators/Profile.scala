@@ -774,6 +774,75 @@ object Profile {
         (col("l_distinct") < l).as("violates_l")): _*)
   }
 
+  /** Data-contract EXPECTATIONS report (the Great-Expectations-style
+    * validation pass a pipeline runs on every ingest batch before the
+    * data may flow downstream): a declarative constraint list evaluated
+    * in ONE corpus aggregate — each constraint contributes one counting
+    * expression, so 50 checks cost the same scan as one. Supported
+    * kinds: `not_null`, `unique` (violations = rows − distinct, exact),
+    * `min_at_least` / `max_at_most` (numeric bound as the param),
+    * `accepted_values` (comma-separated), `matches_regex`. Returns one
+    * row per constraint: (constraint_id, kind, column, n_violations,
+    * passed) — violations are exact counts, so the report doubles as the
+    * quarantine-sizing estimate.
+    */
+  def expectations(df: DataFrame,
+      constraints: Seq[(String, String, String)]): DataFrame = {
+    require(constraints.nonEmpty)
+    val aggs = constraints.zipWithIndex.map { case ((kind, c, param), i) =>
+      val viol: Column = kind match {
+        case "not_null" => count(when(col(c).isNull, lit(1)))
+        case "unique" => count(col(c)) - count_distinct(col(c))
+        case "min_at_least" =>
+          count(when(col(c) < lit(param.toDouble), lit(1)))
+        case "max_at_most" =>
+          count(when(col(c) > lit(param.toDouble), lit(1)))
+        case "accepted_values" =>
+          val vals = param.split(",").map(_.trim)
+          count(when(col(c).isNotNull &&
+            !col(c).cast("string").isin(vals: _*), lit(1)))
+        case "matches_regex" =>
+          count(when(col(c).isNotNull &&
+            !col(c).cast("string").rlike(param), lit(1)))
+        case other => sys.error(s"unknown expectation kind: $other")
+      }
+      viol.cast("long").as(s"__v$i")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(constraints.zipWithIndex.map {
+        case ((kind, c, _), i) => struct(
+          lit(i.toLong).as("constraint_id"), lit(kind).as("kind"),
+          lit(c).as("column"), col(s"__v$i").as("n_violations"),
+          (col(s"__v$i") === 0).as("passed"))
+      }: _*)).as("s"))
+      .select(col("s.*"))
+  }
+
+  /** DuckDB replay of [[expectations]] (one scalar-aggregate branch per
+    * constraint — re-scans are fine at oracle scale).
+    */
+  def expectationsOracleSql(table: String,
+      constraints: Seq[(String, String, String)]): String =
+    constraints.zipWithIndex.map { case ((kind, c, param), i) =>
+      val viol = kind match {
+        case "not_null" => s"count(*) FILTER ($c IS NULL)"
+        case "unique" => s"count($c) - count(DISTINCT $c)"
+        case "min_at_least" => s"count(*) FILTER ($c < $param)"
+        case "max_at_most" => s"count(*) FILTER ($c > $param)"
+        case "accepted_values" =>
+          val lst = param.split(",").map(v => s"'${v.trim}'").mkString(", ")
+          s"count(*) FILTER ($c IS NOT NULL AND $c::VARCHAR NOT IN ($lst))"
+        case "matches_regex" =>
+          s"count(*) FILTER ($c IS NOT NULL AND " +
+            s"NOT regexp_matches($c::VARCHAR, '$param'))"
+        case other => sys.error(s"unknown expectation kind: $other")
+      }
+      s"""SELECT $i::BIGINT AS constraint_id, '$kind' AS kind,
+         |       '$c' AS column, ($viol)::BIGINT AS n_violations,
+         |       ($viol) = 0 AS passed
+         |FROM $table""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   /** Benford first-digit probabilities log₁₀(1 + 1/d)·1e6, d = 1..9 —
     * fixed micro constants shared by operator and oracle.
     */

@@ -238,6 +238,18 @@ object PipelineQueries {
       TextAnalysis.textRank(docs(s, d), "doc_id", "text",
         iters = 5, topK = 50)),
 
+    // --- data-contract expectations: a declarative constraint battery
+    // evaluated in one corpus aggregate — exact violation counts per
+    // check (oracle-checked) ---
+    "q_pipeline_expectations" -> ((s, d) =>
+      graft.operators.Profile.expectations(docs(s, d), Seq(
+        ("not_null", "text", ""),
+        ("unique", "doc_id", ""),
+        ("min_at_least", "n_chars", "1"),
+        ("max_at_most", "n_chars", "100000"),
+        ("accepted_values", "lang", "en,de,es,fr,zh"),
+        ("matches_regex", "source", "^src[0-9]+$")))),
+
     // --- Poisson-bootstrap replicates of the mean doc length: one-pass
     // hash-derived Poisson(1) reweighting, exact rational replicate
     // means — the dataset-card error bar (oracle-checked) ---
@@ -1490,6 +1502,16 @@ object PipelineQueries {
       s"""WITH ${TextAnalysis.langIdPredCtes()}
         |SELECT gold AS lang, pred AS predicted, count(*) AS n
         |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // expectations battery: one scalar-aggregate branch per constraint
+    "q_pipeline_expectations" ->
+      graft.operators.Profile.expectationsOracleSql("documents", Seq(
+        ("not_null", "text", ""),
+        ("unique", "doc_id", ""),
+        ("min_at_least", "n_chars", "1"),
+        ("max_at_most", "n_chars", "100000"),
+        ("accepted_values", "lang", "en,de,es,fr,zh"),
+        ("matches_regex", "source", "^src[0-9]+$"))),
 
     // Poisson bootstrap: same md5 uniforms + CDF thresholds
     "q_pipeline_bootstrap" -> graft.operators.Profile.bootstrapOracleSql(

@@ -142,6 +142,12 @@ object StreamQueries {
       graft.streaming.EventStreams.abTest(events(s, d),
         convType = "purchase")),
 
+    // --- Simpson's-paradox audit: per-stratum vs pooled conversion sign
+    // flip across cohorts — the mix-shift trap (oracle-checked) ---
+    "q_stream_simpson" -> ((s, d) =>
+      graft.streaming.EventStreams.simpsonAudit(events(s, d),
+        convType = "purchase", heavyMin = 67L)),
+
     // --- seasonality matrix: day-of-week x hour-of-day load cells with
     // exact uniform-relative indices — the capacity/baseline heatmap
     // (oracle-checked) ---
@@ -385,6 +391,9 @@ object StreamQueries {
 
     "q_stream_abtest" ->
       graft.streaming.EventStreams.abTestOracleSql(convType = "purchase"),
+
+    "q_stream_simpson" -> graft.streaming.EventStreams.simpsonOracleSql(
+      convType = "purchase", heavyMin = 67L),
 
     "q_stream_trending" -> graft.streaming.EventStreams
       .trendingTopKOracleSql(bucketSec = 21600L, k = 3),

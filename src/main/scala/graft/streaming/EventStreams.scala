@@ -724,6 +724,110 @@ object EventStreams {
        |             (a, x) -> a * x), 6) AS s
        |FROM rk, lst""".stripMargin
 
+  /** Simpson's-paradox audit for the A/B comparison — the mix-shift trap
+    * detector: per activity stratum (light/heavy users at the fixed
+    * `heavyMin` event threshold) conversion can favor one cohort in
+    * EVERY stratum while the pooled rate favors the other, because the
+    * cohorts' stratum mixes differ. Emits one row per stratum plus the
+    * '__all' pooled row, each with both cohorts' exact counts and micro
+    * rates, and a repeated `simpson_flip` flag: true iff every stratum's
+    * rate difference has one sign and the pooled difference has the
+    * opposite sign (all strict — zero differences never flag).
+    *
+    * Shape: one user-keyed aggregate, one (stratum, cohort) aggregate
+    * (≤ 4 rows), a 1-row flag fold broadcast back.
+    */
+  def simpsonAudit(events: DataFrame, convType: String,
+      heavyMin: Long = 20L): DataFrame = {
+    val perUser = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === convType, 1L).otherwise(0L))
+        .as("conv"), count(lit(1)).as("n_ev"))
+      .select((col("user_id") % 2 === 0).as("cohort_a"), col("conv"),
+        when(col("n_ev") >= heavyMin, lit("heavy")).otherwise(lit("light"))
+          .as("stratum"))
+      .transform(graft.operators.Caching.persist)
+    def cells(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+      g.agg(sum(when(col("cohort_a"), 1L).otherwise(0L)).as("users_a"),
+        sum(when(col("cohort_a"), col("conv")).otherwise(0L)).as("conv_a"),
+        sum(when(!col("cohort_a"), 1L).otherwise(0L)).as("users_b"),
+        sum(when(!col("cohort_a"), col("conv")).otherwise(0L)).as("conv_b"))
+    val byStratum = cells(perUser.groupBy(col("stratum")))
+    val pooled = cells(perUser.groupBy())
+      .select(lit("__all").as("stratum"), col("users_a"), col("conv_a"),
+        col("users_b"), col("conv_b"))
+    val rated = byStratum.unionByName(pooled)
+      .select(col("stratum"), col("users_a"), col("conv_a"),
+        col("users_b"), col("conv_b"),
+        when(col("users_a") === 0, lit(0L))
+          .otherwise(expr("(conv_a * 1000000) div users_a"))
+          .as("rate_a_micro"),
+        when(col("users_b") === 0, lit(0L))
+          .otherwise(expr("(conv_b * 1000000) div users_b"))
+          .as("rate_b_micro"))
+      .transform(graft.operators.Caching.persist)
+    // flip: every stratum diff strictly one sign, pooled strictly the other
+    val flag = rated
+      .select(col("stratum"),
+        (col("rate_a_micro") - col("rate_b_micro")).as("diff"))
+      .agg(
+        min(when(col("stratum") =!= "__all", signum(col("diff"))))
+          .as("smin"),
+        max(when(col("stratum") =!= "__all", signum(col("diff"))))
+          .as("smax"),
+        max(when(col("stratum") === "__all", signum(col("diff"))))
+          .as("pooled"))
+      .select((col("smin") === col("smax") && col("smin") =!= 0d &&
+        col("pooled") === -col("smin")).as("simpson_flip"))
+    rated.crossJoin(broadcast(flag))
+  }
+
+  /** DuckDB replay of [[simpsonAudit]]. */
+  def simpsonOracleSql(convType: String, heavyMin: Long = 20L,
+      table: String = "events"): String =
+    s"""WITH pu AS (
+       |  SELECT user_id % 2 = 0 AS cohort_a,
+       |         max(CASE WHEN event_type = '$convType' THEN 1 ELSE 0 END)
+       |           AS conv,
+       |         CASE WHEN count(*) >= $heavyMin THEN 'heavy'
+       |              ELSE 'light' END AS stratum
+       |  FROM $table GROUP BY user_id),
+       |cells AS MATERIALIZED (
+       |  SELECT stratum,
+       |         sum(CASE WHEN cohort_a THEN 1 ELSE 0 END)::BIGINT AS users_a,
+       |         sum(CASE WHEN cohort_a THEN conv ELSE 0 END)::BIGINT AS conv_a,
+       |         sum(CASE WHEN NOT cohort_a THEN 1 ELSE 0 END)::BIGINT AS users_b,
+       |         sum(CASE WHEN NOT cohort_a THEN conv ELSE 0 END)::BIGINT AS conv_b
+       |  FROM pu GROUP BY stratum
+       |  UNION ALL
+       |  SELECT '__all',
+       |         sum(CASE WHEN cohort_a THEN 1 ELSE 0 END)::BIGINT,
+       |         sum(CASE WHEN cohort_a THEN conv ELSE 0 END)::BIGINT,
+       |         sum(CASE WHEN NOT cohort_a THEN 1 ELSE 0 END)::BIGINT,
+       |         sum(CASE WHEN NOT cohort_a THEN conv ELSE 0 END)::BIGINT
+       |  FROM pu),
+       |rated AS MATERIALIZED (
+       |  SELECT stratum, users_a, conv_a, users_b, conv_b,
+       |         (CASE WHEN users_a = 0 THEN 0
+       |               ELSE (conv_a * 1000000) // users_a END)::BIGINT
+       |           AS rate_a_micro,
+       |         (CASE WHEN users_b = 0 THEN 0
+       |               ELSE (conv_b * 1000000) // users_b END)::BIGINT
+       |           AS rate_b_micro
+       |  FROM cells),
+       |fl AS (
+       |  SELECT min(CASE WHEN stratum <> '__all'
+       |               THEN sign(rate_a_micro - rate_b_micro) END) AS smin,
+       |         max(CASE WHEN stratum <> '__all'
+       |               THEN sign(rate_a_micro - rate_b_micro) END) AS smax,
+       |         max(CASE WHEN stratum = '__all'
+       |               THEN sign(rate_a_micro - rate_b_micro) END) AS pooled
+       |  FROM rated)
+       |SELECT r.stratum, r.users_a, r.conv_a, r.users_b, r.conv_b,
+       |       r.rate_a_micro, r.rate_b_micro,
+       |       (fl.smin = fl.smax AND fl.smin <> 0
+       |        AND fl.pooled = -fl.smin) AS simpson_flip
+       |FROM rated r, fl""".stripMargin
+
   /** Two-proportion chi-square A/B test over user conversion — THE
     * experiment-analysis primitive: cohorts by the deterministic user-id
     * parity (stand-in for an assignment column), conversion = the user

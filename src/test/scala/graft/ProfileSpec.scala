@@ -278,6 +278,32 @@ class ProfileSpec extends SparkSpec {
     assert(sing.forall(_.getString(2) == "0"))
   }
 
+  test("expectations: exact violation counts per kind, one-pass") {
+    import graft.operators.Profile
+    val df = Seq(
+      (1L, Some("a"), 5.0), (2L, Some("b"), -1.0), (2L, None, 50.0),
+      (4L, Some("zz"), 200.0))
+      .toDF("id", "s", "v")
+    val got = Profile.expectations(df, Seq(
+      ("not_null", "s", ""),           // 1 null
+      ("unique", "id", ""),            // id 2 twice → 1 violation
+      ("min_at_least", "v", "0"),      // -1.0 → 1
+      ("max_at_most", "v", "100"),     // 200.0 → 1
+      ("accepted_values", "s", "a,b"), // "zz" → 1 (null not counted)
+      ("matches_regex", "s", "^[ab]$") // "zz" → 1
+    )).collect().map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(got(0L) == ((1L, false)) && got(1L) == ((1L, false)))
+    assert(got(2L) == ((1L, false)) && got(3L) == ((1L, false)))
+    assert(got(4L) == ((1L, false)) && got(5L) == ((1L, false)))
+    // a clean corpus passes everything
+    val clean = Profile.expectations(
+      Seq((1L, "a", 5.0)).toDF("id", "s", "v"),
+      Seq(("not_null", "s", ""), ("unique", "id", ""),
+        ("min_at_least", "v", "0"))).collect()
+    assert(clean.forall(_.getBoolean(4)))
+  }
+
   test("benfordAudit: conforming sample scores low, uniform digits high") {
     import graft.operators.Profile
     import org.apache.spark.sql.functions._

@@ -695,4 +695,34 @@ class StreamingSpec extends SparkSpec {
     assert(r2.getDouble(6) == 8.0 && r2.getBoolean(7))
   }
 
+  test("simpsonAudit: planted sign flip between strata and pooled") {
+    import spark.implicits._
+    // Classic construction. heavy stratum: A 40/50 (80%) vs B 9/10 (90%);
+    // light: A 1/10 (10%) vs B 10/50 (20%) — B wins BOTH strata, but
+    // pooled A = 41/60 (68%) vs B = 19/60 (31%) — A wins pooled → flip.
+    // heavyMin=5: heavy users get 5 filler events, light get 1.
+    def user(id: Long, heavy: Boolean, conv: Boolean) = {
+      val fill = (0 until (if (heavy) 5 else 1)).map(k => (id, "click",
+        java.sql.Timestamp.valueOf(f"2024-01-01 10:00:${k % 60}%02d")))
+      if (conv) fill :+ ((id, "purchase",
+        java.sql.Timestamp.valueOf("2024-01-01 11:00:00")))
+      else fill
+    }
+    // ids: even = cohort A, odd = B
+    val users =
+      (1L to 50L).map(i => user(i * 2, heavy = true, conv = i <= 40)) ++
+      (1L to 10L).map(i => user(100 + i * 2, heavy = false, conv = i <= 1)) ++
+      (1L to 10L).map(i => user(i * 2 + 1, heavy = true, conv = i <= 9)) ++
+      (1L to 50L).map(i => user(100 + i * 2 + 1, heavy = false, conv = i <= 10))
+    val ev = users.flatten.toDF("user_id", "event_type", "ts")
+    val r = graft.streaming.EventStreams
+      .simpsonAudit(ev, "purchase", heavyMin = 5L)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(5), x.getLong(6), x.getBoolean(7))).toMap
+    assert(r("heavy")._1 == 800000L && r("heavy")._2 == 900000L)
+    assert(r("light")._1 == 100000L && r("light")._2 == 200000L)
+    assert(r("__all")._1 == 683333L && r("__all")._2 == 316666L)
+    assert(r.values.forall(_._3), "the flip must flag on every row")
+  }
+
 }
