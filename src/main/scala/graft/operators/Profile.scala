@@ -688,8 +688,10 @@ object Profile {
     * replays them bit-for-bit; `kappa_micro` truncates toward zero via the
     * sign·(abs·1e6 div abs) construction (kappa can be negative, and Spark's
     * `div` truncates while DuckDB's `//` floors — the abs form makes both
-    * engines agree). Degenerate den = 0 (one label on both sides) reports
-    * the perfect-agreement convention 1e6.
+    * engines agree); the ·1e6 product rides DECIMAL(38,0)/HUGEINT so the
+    * micro ratio is safe wherever num/den themselves fit. Degenerate
+    * den = 0 (one label on both sides) reports the perfect-agreement
+    * convention 1e6.
     *
     * Scale shape: one confusion-matrix aggregate (bounded by label-space²,
     * never corpus-sized), two marginal re-aggregates of that tiny table, a
@@ -717,7 +719,11 @@ object Profile {
       .withColumn("kappa_micro",
         when(col("kappa_den") === 0, lit(1000000L)).otherwise(
           signum(col("kappa_num")).cast("long") *
-            expr("(abs(kappa_num) * 1000000) div abs(kappa_den)")))
+            // DECIMAL carrier for the 1e6 product: abs(num) ~ N² already,
+            // so a BIGINT multiply would overflow at ~3e6 rows — three
+            // orders below the N ≤ ~3e9 the num/den carriers support
+            expr("(CAST(abs(kappa_num) AS DECIMAL(38,0)) * 1000000) " +
+              "div abs(kappa_den)")))
   }
 
   /** DuckDB replay of [[agreementKappa]]. `predCtes` is a WITH-fragment
@@ -740,8 +746,9 @@ object Profile {
        |       n_rows * n_rows - pe_w AS kappa_den,
        |       CASE WHEN n_rows * n_rows - pe_w = 0 THEN 1000000
        |            ELSE (CASE WHEN n_rows * agree - pe_w < 0 THEN -1 ELSE 1 END)
-       |                 * (abs(n_rows * agree - pe_w) * 1000000
-       |                    // abs(n_rows * n_rows - pe_w)) END AS kappa_micro
+       |                 * (abs(n_rows * agree - pe_w)::HUGEINT * 1000000
+       |                    // abs(n_rows * n_rows - pe_w))::BIGINT
+       |       END AS kappa_micro
        |FROM tot, agr, marg""".stripMargin
 
   /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et al.
@@ -768,7 +775,12 @@ object Profile {
     df.groupBy(q :+ col(sensitiveCol).as("__s"): _*)
       .agg(count(lit(1)).as("__n"))
       .groupBy(q: _*)
-      .agg(sum(col("__n")).as("n"), count(lit(1)).as("l_distinct"))
+      // l-diversity counts WELL-REPRESENTED actual values: a NULL
+      // sensitive cell is missingness, not a protecting value — counting
+      // it would pass a group whose one real value is fully determined
+      // for every non-null member
+      .agg(sum(col("__n")).as("n"),
+        count(when(col("__s").isNotNull, lit(1))).as("l_distinct"))
       .select(q ++ Seq(col("n"), col("l_distinct"),
         (col("n") < k).as("violates_k"),
         (col("l_distinct") < l).as("violates_l")): _*)
@@ -1206,8 +1218,10 @@ object Profile {
     s"""WITH cells AS (
        |  SELECT $qs, $sensitiveExpr AS s, count(*)::BIGINT AS n
        |  FROM $table GROUP BY ${(1 to quasiCols.size + 1).mkString(", ")})
-       |SELECT $qs, sum(n)::BIGINT AS n, count(*)::BIGINT AS l_distinct,
-       |       sum(n) < $k AS violates_k, count(*) < $l AS violates_l
+       |SELECT $qs, sum(n)::BIGINT AS n,
+       |       count(*) FILTER (s IS NOT NULL)::BIGINT AS l_distinct,
+       |       sum(n) < $k AS violates_k,
+       |       count(*) FILTER (s IS NOT NULL) < $l AS violates_l
        |FROM cells GROUP BY ${(1 to quasiCols.size).mkString(", ")}""".stripMargin
   }
 }

@@ -886,10 +886,14 @@ object Scale {
       .select(col("n").as("n_keys"), col("total").as("total_rows"),
         col("max_count"), col("p50_count"),
         when(col("total") === 0, lit(0L))
-          .otherwise(expr("(max_count * 1000000) div total"))
+          .otherwise(expr("(CAST(max_count AS DECIMAL(38,0)) * 1000000) " +
+            "div total"))
           .as("top1_share_micro"),
-        when(col("n") * col("total") === 0, lit(0L))
-          .otherwise(expr("(num * 1000000) div (n * total)"))
+        // DECIMAL carriers: num ~ n·total already, so num·1e6 (and even
+        // n·total at ~1e13 keys·rows) must not multiply in BIGINT
+        when(col("n") === 0 || col("total") === 0, lit(0L))
+          .otherwise(expr("(CAST(num AS DECIMAL(38,0)) * 1000000) " +
+            "div (CAST(n AS DECIMAL(38,0)) * total)"))
           .as("gini_micro"))
   }
 
@@ -917,10 +921,11 @@ object Scale {
        |  FROM ranked, tot)
        |SELECT n AS n_keys, total AS total_rows, max_count, p50_count,
        |       (CASE WHEN total = 0 THEN 0
-       |             ELSE (max_count * 1000000) // total END)::BIGINT
+       |             ELSE (max_count::HUGEINT * 1000000) // total END)::BIGINT
        |         AS top1_share_micro,
-       |       (CASE WHEN n * total = 0 THEN 0
-       |             ELSE (num * 1000000) // (n * total) END)::BIGINT
+       |       (CASE WHEN n = 0 OR total = 0 THEN 0
+       |             ELSE (num::HUGEINT * 1000000)
+       |                  // (n::HUGEINT * total) END)::BIGINT
        |         AS gini_micro
        |FROM tot, num""".stripMargin
   /** Small-file COMPACTION PLAN — first-fit-decreasing bin packing of a

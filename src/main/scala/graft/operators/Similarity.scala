@@ -1631,10 +1631,16 @@ object Similarity {
         abs(col("xa") - col("xb")) <= epsFx &&
         abs(col("ya") - col("yb")) <= epsFx)
       .select(col("id_a"), col("id_b")))
-    // +1: the point itself counts toward minPts (standard convention)
-    val cores = Caching.persist(nbrs.groupBy(col("id_a").as("id"))
-      .agg((count(lit(1)) + 1).as("n_nbrs"))
-      .where(col("n_nbrs") >= minPts).select(col("id")))
+    // +1: the point itself counts toward minPts (standard convention).
+    // LEFT join from pts, not a groupBy over nbrs: a point with ZERO
+    // neighbors has no nbrs row at all, yet at minPts = 1 its self-count
+    // alone makes it a (singleton) core — the groupBy form silently
+    // demoted such points to noise
+    val cores = Caching.persist(pts.select(col("id"))
+      .join(nbrs.groupBy(col("id_a").as("id"))
+        .agg(count(lit(1)).as("nn")), Seq("id"), "left")
+      .where(coalesce(col("nn"), lit(0L)) + 1 >= minPts)
+      .select(col("id")))
     val coreEdges = nbrs
       .join(cores.withColumnRenamed("id", "id_a"), "id_a")
       .join(cores.withColumnRenamed("id", "id_b"), "id_b")
@@ -1698,8 +1704,10 @@ object Similarity {
        |   AND a.id <> b.id
        |  WHERE abs(a.x - b.x) <= $epsFx AND abs(a.y - b.y) <= $epsFx),
        |cores AS MATERIALIZED (
-       |  SELECT id_a AS id FROM nbrs
-       |  GROUP BY id_a HAVING count(*) + 1 >= $minPts),
+       |  SELECT p.id FROM pts p
+       |  LEFT JOIN (SELECT id_a AS id, count(*)::BIGINT AS nn
+       |             FROM nbrs GROUP BY id_a) c USING (id)
+       |  WHERE coalesce(c.nn, 0) + 1 >= $minPts),
        |ce AS MATERIALIZED (
        |  SELECT id_a AS src, id_b AS dst FROM nbrs
        |  WHERE id_a IN (SELECT id FROM cores)

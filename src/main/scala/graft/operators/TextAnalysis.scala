@@ -272,39 +272,51 @@ object TextAnalysis {
       sys.error(s"no marker profile for $posLabel"))
     val others = langProfiles.filter(_._1 != posLabel).values.flatten.toSeq
       .distinct.sorted
-    def ratio(words: Seq[String]): Column = {
-      val t = toksExprSql(textCol)
-      val lst = words.map(w => s"'$w'").mkString(",")
-      // zero-guard INSIDE the CASE: ANSI-safe, branches are per-row lazy
-      expr(s"CASE WHEN size($t) = 0 THEN 0L ELSE " +
-        s"CAST(size(filter($t, t -> array_contains(array($lst), t))) " +
-        s"AS BIGINT) * 1000000 div size($t) END")
+    // features via the CANONICAL tokens() Column (no textual second
+    // tokenizer definition to drift — the langIdPredCtes lesson); only
+    // the plain integer arithmetic over the projected columns is textual
+    def ratio(words: Seq[String], hitsName: String): Seq[Column] = {
+      val toks = tokens(col(textCol))
+      val profile = array(words.map(lit): _*)
+      Seq(size(filter(toks, t => array_contains(profile, t)))
+        .cast("long").as(hitsName))
     }
-    val feats = Caching.persist(df.select(
+    val projected = df.select(Seq(
       when(col(labelCol) === posLabel, 1L).otherwise(0L).as("y"),
       lit(1000000L).as("x0"),
-      ratio(pos).as("x1"),
-      ratio(others).as("x2")))
-    def sdivL(a: Long, b: Long): Long = a.sign * (math.abs(a) / b)
+      size(tokens(col(textCol))).cast("long").as("ntok")) ++
+      ratio(pos, "h1") ++ ratio(others, "h2"): _*)
+    val feats = Caching.persist(projected.select(col("y"), col("x0"),
+      expr("CASE WHEN ntok = 0 THEN 0L ELSE h1 * 1000000 div ntok END")
+        .as("x1"),
+      expr("CASE WHEN ntok = 0 THEN 0L ELSE h2 * 1000000 div ntok END")
+        .as("x2")))
+    def sdivB(a: BigInt, b: BigInt): BigInt = a.signum * (a.abs / b)
     var w = Array(0L, 0L, 0L)
     for (_ <- 1 to iters) {
       // forward + gradient in ONE aggregate with the weights inlined as
-      // literals (no per-round join): z, s, err are per-row expressions
+      // literals (no per-round join): z, s, err are per-row expressions.
+      // Gradient sums ride DECIMAL(38,0): err·x is ~1e12 per row, so a
+      // BIGINT sum overflows near 9e6 documents — far inside the
+      // operator's target scale (driver math is BigInt, so the collected
+      // decimals lose nothing)
       val dot = s"(${w(0)}L * x0 + ${w(1)}L * x1 + ${w(2)}L * x2)"
       val z = s"(CASE WHEN $dot < 0 THEN -1 ELSE 1 END * (abs($dot) div 1000000))"
       val zq = s"(CASE WHEN $z < 0 THEN -1 ELSE 1 END * (abs($z) div 4))"
       val sig = s"greatest(0L, least(1000000L, $zq + 500000))"
       val err = s"($sig - y * 1000000)"
       val g = feats.agg(
-        expr(s"sum($err * x0)").as("g0"),
-        expr(s"sum($err * x1)").as("g1"),
-        expr(s"sum($err * x2)").as("g2"),
+        expr(s"CAST(sum(CAST($err AS DECIMAL(38,0)) * x0) AS DECIMAL(38,0))").as("g0"),
+        expr(s"CAST(sum(CAST($err AS DECIMAL(38,0)) * x1) AS DECIMAL(38,0))").as("g1"),
+        expr(s"CAST(sum(CAST($err AS DECIMAL(38,0)) * x2) AS DECIMAL(38,0))").as("g2"),
         count(lit(1)).as("n")).collect()(0)
-      val n = math.max(g.getAs[Long]("n"), 1L)
-      val gs = Array(g.getAs[Long]("g0"), g.getAs[Long]("g1"),
-        g.getAs[Long]("g2")).map(sdivL(_, n))
+      val n = BigInt(math.max(g.getAs[Long]("n"), 1L))
+      def big(name: String): BigInt =
+        Option(g.getAs[java.math.BigDecimal](name))
+          .map(d => BigInt(d.toBigInteger)).getOrElse(BigInt(0))
+      val gs = Array(big("g0"), big("g1"), big("g2")).map(sdivB(_, n))
       w = w.zip(gs).map { case (wj, gj) =>
-        wj - sdivL(lrMicro * gj, 1000000000000L) }
+        wj - sdivB(BigInt(lrMicro) * gj, BigInt(1000000000000L)).toLong }
     }
     val dot = s"(${w(0)}L * x0 + ${w(1)}L * x1 + ${w(2)}L * x2)"
     val z = s"(CASE WHEN $dot < 0 THEN -1 ELSE 1 END * (abs($dot) div 1000000))"
@@ -320,13 +332,6 @@ object TextAnalysis {
       ("n_rows", acc.getAs[Long]("n_rows")))
     df.sparkSession.createDataFrame(rows).toDF("metric", "value")
   }
-
-  /** Spark SQL string for [[tokens]]`(textCol)` — used where a feature
-    * expression must be assembled textually (the logistic trainer's
-    * inlined per-round forward pass).
-    */
-  private def toksExprSql(textCol: String): String =
-    s"filter(split(lower($textCol), '\\\\s+'), t -> t != '')"
 
   /** DuckDB replay of [[logisticTrain]] — one CTE pair (gradient, weights)
     * per GD round over the materialized feature table; identical sdiv

@@ -67,7 +67,14 @@ class CachingSpec extends SparkSpec {
       }
       // the inner scope's char-gram persist is gone, the outer's remains
       assert((spark.sparkContext.getPersistentRDDs.keySet -- afterOuter).isEmpty)
-      // outer result still cached → consumable again without rebuild
+      // "the outer's remains" asserted directly (not via count, which
+      // would pass by recompute): every RDD the outer scope created must
+      // still be registered — these are live cached entries, so the
+      // async ContextCleaner cannot collect them mid-test
+      val outerCreated = afterOuter -- before
+      assert(outerCreated.subsetOf(
+        spark.sparkContext.getPersistentRDDs.keySet),
+        "inner scope exit must not release the outer scope's entries")
       assert(outer.count() == 1L)
     }
     assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)

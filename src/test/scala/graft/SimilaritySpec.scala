@@ -543,6 +543,15 @@ class SimilaritySpec extends SparkSpec
     assert(got(20L) == ((1L, "core")))
     assert(got(30L) == ((1L, "border")))
     assert(got(99L) == ((-1L, "noise")))
+
+    // minPts = 1: the self-count alone cores every point — the isolated
+    // far point becomes its own singleton cluster, never noise
+    val solo = Similarity.dbscanGrid(pts, "vec_id", "embedding", dim = 2,
+      epsFx = 1000000L, minPts = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(solo(99L)._2 == "core" && solo(99L)._1 == 99L)
+    assert(solo.values.forall(_._2 == "core"))
   }
 
   test("pcaPower: recovers the planted dominant direction") {
