@@ -161,6 +161,14 @@ object StreamQueries {
       graft.streaming.EventStreams.kaplanMeier(events(s, d),
         bucketSec = 86400L, censorSec = 3L * 86400L)),
 
+    // --- Holt level+trend smoothing: the ramp detector of the
+    // forecasting trio — sustained nonzero trend flags immediately
+    // (oracle-checked) ---
+    "q_stream_holt" -> ((s, d) =>
+      graft.streaming.EventStreams.holtTrend(events(s, d),
+        bucketSec = 3600L, ka = 3, kb = 3, warm = 24,
+        thresholdMicro = 500000L)),
+
     // --- CUSUM level-shift detection: sustained deviation from the
     // 48-bucket warm-up mean accumulates in two one-sided sums, slack
     // and threshold scaled to the baseline (oracle-checked) ---
@@ -381,6 +389,10 @@ object StreamQueries {
 
     "q_stream_cusum" -> graft.streaming.EventStreams.cusumOracleSql(
       bucketSec = 3600L, warm = 48, kPct = 10L, hPct = 100L),
+
+    "q_stream_holt" -> graft.streaming.EventStreams.holtOracleSql(
+      bucketSec = 3600L, ka = 3, kb = 3, warm = 24,
+      thresholdMicro = 500000L),
 
     "q_stream_survival" ->
       graft.streaming.EventStreams.kaplanMeierOracleSql(

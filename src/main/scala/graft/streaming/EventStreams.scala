@@ -521,6 +521,111 @@ object EventStreams {
        |       END AS corr
        |FROM m""".stripMargin
 
+  /** Holt double-exponential smoothing (Holt 1957) — the TREND-aware
+    * member of the forecasting trio ([[ewmaAnomaly]] adapts level,
+    * [[cusumShift]] catches level shifts; Holt additionally carries a
+    * trend term, so a steady RAMP — which EWMA lags forever and CUSUM
+    * only flags once it has drifted far — is visible immediately as a
+    * sustained nonzero trend):
+    *   l_t = (l+b) + sdiv(x·1e6 − (l+b), 2^ka)       (level)
+    *   b_t = b + sdiv(l_t − l_{t-1} − b, 2^kb)       (trend)
+    *   resid = x·1e6 − (l_{t-1}+b_{t-1})             (one-step forecast error)
+    * Init l_1 = x_1·1e6, b_1 = 0; all integer micro arithmetic with the
+    * sign-safe division; `trend_alert` fires past the warm-up when
+    * |b_t| > thresholdMicro. Same bounded sorted-fold shape and
+    * recursive-CTE oracle as the EWMA tier.
+    */
+  def holtTrend(events: DataFrame, bucketSec: Long = 3600L, ka: Int = 3,
+      kb: Int = 3, warm: Int = 24,
+      thresholdMicro: Long = 500000L): DataFrame = {
+    require(ka >= 0 && kb >= 0 && warm >= 0)
+    val (pa, pb) = (1L << ka, 1L << kb)
+    val counts = events
+      .select(col("event_type"),
+        expr(s"unix_timestamp(ts) div $bucketSec * $bucketSec")
+          .as("bucket_s"))
+      .groupBy("event_type", "bucket_s").agg(count(lit(1)).as("n"))
+    def sdiv(a: String, b: Long): String =
+      s"(CASE WHEN ($a) < 0 THEN -1 ELSE 1 END) * (abs($a) div $b)"
+    val fc = "(acc.l + acc.b)"
+    // first-row test on the element COUNTER, not a state sentinel: a
+    // legitimate (l, b) could in principle hit any sentinel pair
+    val lNew = s"CASE WHEN acc.i = 0L THEN x.n * 1000000 " +
+      s"ELSE $fc + ${sdiv(s"x.n * 1000000 - $fc", pa)} END"
+    val bNew = s"CASE WHEN acc.i = 0L THEN 0L " +
+      s"ELSE acc.b + ${sdiv(s"($lNew) - acc.l - acc.b", pb)} END"
+    val resid = s"CASE WHEN acc.i = 0L " +
+      s"THEN CAST(NULL AS BIGINT) ELSE x.n * 1000000 - $fc END"
+    counts
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("bucket_s"), col("n"))))
+        .as("seq"))
+      .select(col("event_type"), expr(
+        s"""aggregate(
+           |  seq,
+           |  named_struct('i', 0L, 'l', -1L, 'b', -1L,
+           |    'out', CAST(array() AS ARRAY<STRUCT<bucket_s: BIGINT,
+           |      n: BIGINT, level_micro: BIGINT, trend_micro: BIGINT,
+           |      resid_micro: BIGINT, trend_alert: BOOLEAN>>)),
+           |  (acc, x) -> named_struct(
+           |    'i', acc.i + 1L,
+           |    'l', CAST($lNew AS BIGINT),
+           |    'b', CAST($bNew AS BIGINT),
+           |    'out', array_append(acc.out, named_struct(
+           |      'bucket_s', x.bucket_s, 'n', CAST(x.n AS BIGINT),
+           |      'level_micro', CAST($lNew AS BIGINT),
+           |      'trend_micro', CAST($bNew AS BIGINT),
+           |      'resid_micro', CAST($resid AS BIGINT),
+           |      'trend_alert', CAST(acc.i >= $warm
+           |        AND abs(CAST($bNew AS BIGINT)) > $thresholdMicro
+           |        AS BOOLEAN)))),
+           |  acc -> acc.out)""".stripMargin).as("out"))
+      .select(col("event_type"), explode(col("out")).as("o"))
+      .select(col("event_type"), col("o.bucket_s"), col("o.n"),
+        col("o.level_micro"), col("o.trend_micro"), col("o.resid_micro"),
+        col("o.trend_alert"))
+  }
+
+  /** DuckDB replay of [[holtTrend]]. */
+  def holtOracleSql(bucketSec: Long = 3600L, ka: Int = 3, kb: Int = 3,
+      warm: Int = 24, thresholdMicro: Long = 500000L,
+      table: String = "events"): String = {
+    val (pa, pb) = (1L << ka, 1L << kb)
+    def sdiv(a: String, b: Long): String =
+      s"(CASE WHEN ($a) < 0 THEN -1 ELSE 1 END) * (abs($a) // $b)"
+    val fc = "(r.l + r.b)"
+    val lNew = s"$fc + ${sdiv(s"x.n * 1000000 - $fc", pa)}"
+    s"""WITH RECURSIVE c AS (
+       |  SELECT event_type,
+       |         (epoch_us(ts::TIMESTAMP) // 1000000) // $bucketSec
+       |           * $bucketSec AS bucket_s,
+       |         count(*)::BIGINT AS n
+       |  FROM $table GROUP BY 1, 2),
+       |seq AS MATERIALIZED (
+       |  SELECT event_type, bucket_s, n,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY bucket_s) AS rn
+       |  FROM c),
+       |rec(event_type, rn, l_prev, b_prev, l, b, resid) AS (
+       |  SELECT event_type, 1::BIGINT, NULL::BIGINT, NULL::BIGINT,
+       |         n * 1000000, 0::BIGINT, NULL::BIGINT
+       |  FROM seq WHERE rn = 1
+       |  UNION ALL
+       |  SELECT x.event_type, x.rn, r.l, r.b,
+       |         $lNew,
+       |         r.b + ${sdiv(s"($lNew) - r.l - r.b", pb)},
+       |         x.n * 1000000 - $fc
+       |  FROM rec r JOIN seq x
+       |    ON x.event_type = r.event_type AND x.rn = r.rn + 1)
+       |SELECT s.event_type, s.bucket_s, s.n,
+       |       r.l::BIGINT AS level_micro, r.b::BIGINT AS trend_micro,
+       |       r.resid::BIGINT AS resid_micro,
+       |       coalesce(s.rn > $warm AND abs(r.b) > $thresholdMicro, false)
+       |         AS trend_alert
+       |FROM seq s JOIN rec r
+       |  ON r.event_type = s.event_type AND r.rn = s.rn""".stripMargin
+  }
+
   /** CUSUM changepoint detection (Page 1954) over per-type event rates —
     * the LEVEL-SHIFT detector next to [[rateAnomaly]] (single-bucket
     * spikes) and [[ewmaAnomaly]] (drift-adapting forecast): the two

@@ -725,4 +725,27 @@ class StreamingSpec extends SparkSpec {
     assert(r.values.forall(_._3), "the flip must flag on every row")
   }
 
+  test("holtTrend: hand-folded ramp, trend alert past warm-up") {
+    import spark.implicits._
+    def t(h: Int, n: Int) = (0 until n).map(i =>
+      ("click", java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:${i % 60}%02d")))
+    // flat 8,8 then a +2/hour ramp; ka=kb=1 (alpha=beta=1/2), warm=2
+    val ev = (t(0, 8) ++ t(1, 8) ++ t(2, 10) ++ t(3, 12) ++ t(4, 14))
+      .toDF("event_type", "ts")
+    val r = graft.streaming.EventStreams
+      .holtTrend(ev, bucketSec = 3600L, ka = 1, kb = 1, warm = 2,
+        thresholdMicro = 500000L)
+      .collect().map(x => x.getLong(1) ->
+        (x.getLong(3), x.getLong(4),
+          if (x.isNullAt(5)) Long.MinValue else x.getLong(5),
+          x.getBoolean(6))).toMap
+    val h0 = r.keys.min
+    assert(r(h0) == ((8000000L, 0L, Long.MinValue, false)))  // seed
+    assert(r(h0 + 3600) == ((8000000L, 0L, 0L, false)))
+    // ramp starts: level chases, trend builds, |b| = 5e5 NOT > 5e5 yet
+    assert(r(h0 + 7200) == ((9000000L, 500000L, 2000000L, false)))
+    assert(r(h0 + 10800) == ((10750000L, 1125000L, 2500000L, true)))
+    assert(r(h0 + 14400) == ((12937500L, 1656250L, 2125000L, true)))
+  }
+
 }
