@@ -786,6 +786,73 @@ object Profile {
         (col("l_distinct") < l).as("violates_l")): _*)
   }
 
+  /** Functional-dependency check — "does `detCol` determine `depCol`?"
+    * (the schema-discovery / normalization audit: order→customer should
+    * hold, order→shipmode should not). Returns one row:
+    * (n_determinants, n_violating, violation flag) where a violating
+    * determinant maps to ≥ 2 distinct dependent values. Exact: one
+    * two-level aggregate (the [[kAnonymity]] shape — no raw-row distinct
+    * shuffle), output independent of corpus size. NULL dependents count
+    * as a value of their own (a determinant mapping to {x, NULL} is NOT
+    * functional).
+    */
+  def functionalDependency(df: DataFrame, detCol: String,
+      depCol: String): DataFrame =
+    df.select(col(detCol).as("__det"), col(depCol).as("__dep"))
+      .groupBy(col("__det"), col("__dep")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("__det")).agg(count(lit(1)).as("nd"))
+      .agg(count(lit(1)).as("n_determinants"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"))
+      .select(col("n_determinants"),
+        coalesce(col("n_violating"), lit(0L)).as("n_violating"),
+        (coalesce(col("n_violating"), lit(0L)) > 0).as("violated"))
+
+  /** Inclusion-dependency (foreign-key) check — every value of
+    * `childCol` must exist in `parentCol`; returns (n_child_values,
+    * n_orphans, violated). Distinct-value anti-join: work bounded by
+    * DISTINCT child keys, never child rows. NULL child values are
+    * ignored (SQL FK semantics).
+    */
+  def inclusionDependency(child: DataFrame, childCol: String,
+      parent: DataFrame, parentCol: String): DataFrame = {
+    val c = Caching.persist(child.select(col(childCol).as("__k"))
+      .where(col("__k").isNotNull).distinct())
+    val orphans = c.join(
+      parent.select(col(parentCol).as("__k")).distinct(),
+      Seq("__k"), "left_anti")
+    c.agg(count(lit(1)).as("n_child_values"))
+      .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
+      .select(col("n_child_values"), col("n_orphans"),
+        (col("n_orphans") > 0).as("violated"))
+  }
+
+  /** DuckDB replay of [[functionalDependency]]. */
+  def fdOracleSql(table: String, detExpr: String, depExpr: String): String =
+    s"""WITH g AS (
+       |  SELECT $detExpr AS det, count(DISTINCT $depExpr) +
+       |         (count(*) FILTER ($depExpr IS NULL) > 0)::INT AS nd
+       |  FROM $table GROUP BY 1)
+       |SELECT count(*)::BIGINT AS n_determinants,
+       |       coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0)::BIGINT
+       |         AS n_violating,
+       |       coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) > 0
+       |         AS violated
+       |FROM g""".stripMargin
+
+  /** DuckDB replay of [[inclusionDependency]]. */
+  def inclusionOracleSql(childTable: String, childExpr: String,
+      parentTable: String, parentExpr: String): String =
+    s"""WITH c AS (
+       |  SELECT DISTINCT $childExpr AS k FROM $childTable
+       |  WHERE $childExpr IS NOT NULL),
+       |o AS (
+       |  SELECT count(*)::BIGINT AS n_orphans FROM c
+       |  WHERE k NOT IN (SELECT DISTINCT $parentExpr FROM $parentTable
+       |                  WHERE $parentExpr IS NOT NULL))
+       |SELECT (SELECT count(*) FROM c)::BIGINT AS n_child_values,
+       |       o.n_orphans, o.n_orphans > 0 AS violated
+       |FROM o""".stripMargin
+
   /** Data-contract EXPECTATIONS report (the Great-Expectations-style
     * validation pass a pipeline runs on every ingest batch before the
     * data may flow downstream): a declarative constraint list evaluated

@@ -108,6 +108,29 @@ object ScaleQueries {
           .agg(count(lit(1)).as("rows")),
         "fid", "rows", targetBytes = 4000L)),
 
+    // relational-integrity audit: functional dependencies (one that
+    // holds, one that breaks) + the lineitem->orders foreign key, exact
+    // violation counts (oracle-checked)
+    "q_pipeline_integrity" -> ((s, d) => {
+      import graft.operators.Profile
+      val fd1 = Profile.functionalDependency(
+        t(s, d, "orders"), "o_orderkey", "o_custkey")
+        .select(lit("fd_orderkey_custkey").as("check"),
+          col("n_determinants").as("n_keys"),
+          col("n_violating").as("n_bad"), col("violated"))
+      val fd2 = Profile.functionalDependency(
+        t(s, d, "lineitem"), "l_orderkey", "l_returnflag")
+        .select(lit("fd_orderkey_returnflag").as("check"),
+          col("n_determinants").as("n_keys"),
+          col("n_violating").as("n_bad"), col("violated"))
+      val fk = Profile.inclusionDependency(
+        t(s, d, "lineitem"), "l_orderkey", t(s, d, "orders"), "o_orderkey")
+        .select(lit("fk_lineitem_orders").as("check"),
+          col("n_child_values").as("n_keys"),
+          col("n_orphans").as("n_bad"), col("violated"))
+      fd1.unionByName(fd2).unionByName(fk)
+    }),
+
     // Benford first-digit audit over order prices: per-digit observed vs
     // log10(1+1/d) expectation + chi-square — the fabricated-numbers
     // provenance gate (oracle-checked)
@@ -241,6 +264,24 @@ object ScaleQueries {
     "q_scale_skew" -> Scale.skewAuditOracleSql("orders", "o_custkey"),
     "q_pipeline_benford" -> graft.operators.Profile.benfordOracleSql(
       "orders", "o_totalprice"),
+    "q_pipeline_integrity" -> {
+      def re(check: String, keys: String, bad: String,
+          inner: String): String =
+        s"""SELECT '$check' AS check, n.$keys AS n_keys,
+           |       n.$bad AS n_bad, n.violated
+           |FROM ($inner) n""".stripMargin
+      Seq(
+        re("fd_orderkey_custkey", "n_determinants", "n_violating",
+          graft.operators.Profile.fdOracleSql(
+            "orders", "o_orderkey", "o_custkey")),
+        re("fd_orderkey_returnflag", "n_determinants", "n_violating",
+          graft.operators.Profile.fdOracleSql(
+            "lineitem", "l_orderkey", "l_returnflag")),
+        re("fk_lineitem_orders", "n_child_values", "n_orphans",
+          graft.operators.Profile.inclusionOracleSql(
+            "lineitem", "l_orderkey", "orders", "o_orderkey")))
+        .mkString("\nUNION ALL\n")
+    },
     "q_scale_compaction" -> Scale.compactionOracleSql(
       """files AS (
         |  SELECT (o_custkey % 200)::VARCHAR AS id, count(*)::BIGINT AS size

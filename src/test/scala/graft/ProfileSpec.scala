@@ -278,6 +278,30 @@ class ProfileSpec extends SparkSpec {
     assert(sing.forall(_.getString(2) == "0"))
   }
 
+  test("functionalDependency / inclusionDependency: hand cases incl. nulls") {
+    import graft.operators.Profile
+    // a->b: det 1 maps to {x}, det 2 to {x, y} (violates), det 3 to
+    // {x, NULL} — NULL is a value of its own, so 3 violates too
+    val fd = Seq((1L, Some("x")), (1L, Some("x")), (2L, Some("x")),
+      (2L, Some("y")), (3L, Some("x")), (3L, None))
+      .toDF("a", "b")
+    val r = Profile.functionalDependency(fd, "a", "b").collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L && r.getBoolean(2))
+    // a determined column passes
+    val ok = Profile.functionalDependency(
+      Seq((1L, "x"), (2L, "y"), (1L, "x")).toDF("a", "b"), "a", "b")
+      .collect()(0)
+    assert(ok.getLong(1) == 0L && !ok.getBoolean(2))
+
+    // FK: child {1,2,9}, parent {1,2,3} → one orphan; NULL child ignored
+    val child = Seq(Some(1L), Some(2L), Some(9L), Some(2L), None)
+      .toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("p")
+    val fk = Profile.inclusionDependency(child, "k", parent, "p")
+      .collect()(0)
+    assert(fk.getLong(0) == 3L && fk.getLong(1) == 1L && fk.getBoolean(2))
+  }
+
   test("expectations: exact violation counts per kind, one-pass") {
     import graft.operators.Profile
     val df = Seq(
