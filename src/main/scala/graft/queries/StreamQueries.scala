@@ -161,6 +161,12 @@ object StreamQueries {
       graft.streaming.EventStreams.kaplanMeier(events(s, d),
         bucketSec = 86400L, censorSec = 3L * 86400L)),
 
+    // --- OHLC candlestick bars: per-type hourly open/high/low/close on
+    // the total (ts, event_id) order + exact cent volume (oracle-checked)
+    "q_stream_ohlc" -> ((s, d) =>
+      graft.streaming.EventStreams.ohlcBars(events(s, d),
+        bucketSec = 3600L)),
+
     // --- Holt level+trend smoothing: the ramp detector of the
     // forecasting trio — sustained nonzero trend flags immediately
     // (oracle-checked) ---
@@ -393,6 +399,9 @@ object StreamQueries {
     "q_stream_holt" -> graft.streaming.EventStreams.holtOracleSql(
       bucketSec = 3600L, ka = 3, kb = 3, warm = 24,
       thresholdMicro = 500000L),
+
+    "q_stream_ohlc" ->
+      graft.streaming.EventStreams.ohlcOracleSql(bucketSec = 3600L),
 
     "q_stream_survival" ->
       graft.streaming.EventStreams.kaplanMeierOracleSql(

@@ -521,6 +521,47 @@ object EventStreams {
        |       END AS corr
        |FROM m""".stripMargin
 
+  /** OHLC bars — the canonical time-series downsample (open/high/low/
+    * close + volume per bucket, the candlestick aggregation): one hash
+    * aggregate, with open/close selected by struct-argmin/argmax over
+    * the total (ts, event_id) order so ties inside a microsecond are
+    * deterministic. High/low/open/close are SELECTED doubles (no float
+    * arithmetic — hash-stable); volume is an exact cent-carrier sum.
+    */
+  def ohlcBars(events: DataFrame, bucketSec: Long = 3600L): DataFrame =
+    events
+      .select(col("event_type"),
+        expr(s"unix_timestamp(ts) div $bucketSec * $bucketSec")
+          .as("bucket_s"),
+        expr("unix_micros(ts)").as("us"), col("event_id"), col("value"))
+      .groupBy(col("event_type"), col("bucket_s"))
+      .agg(
+        min(struct(col("us"), col("event_id"), col("value")))
+          .getField("value").as("open_v"),
+        max(col("value")).as("high_v"),
+        min(col("value")).as("low_v"),
+        max(struct(col("us"), col("event_id"), col("value")))
+          .getField("value").as("close_v"),
+        count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100, 0) AS BIGINT)")).as("vol_cents"))
+
+  /** DuckDB replay of [[ohlcBars]] (same total order, same cent sums). */
+  def ohlcOracleSql(bucketSec: Long = 3600L,
+      table: String = "events"): String =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |         (epoch_us(ts::TIMESTAMP) // 1000000) // $bucketSec
+       |           * $bucketSec AS bucket_s,
+       |         epoch_us(ts::TIMESTAMP) AS us, event_id, value
+       |  FROM $table)
+       |SELECT event_type, bucket_s,
+       |       first(value ORDER BY us, event_id) AS open_v,
+       |       max(value) AS high_v, min(value) AS low_v,
+       |       last(value ORDER BY us, event_id) AS close_v,
+       |       count(*)::BIGINT AS n,
+       |       sum(round(value * 100)::BIGINT)::BIGINT AS vol_cents
+       |FROM e GROUP BY 1, 2""".stripMargin
+
   /** Holt double-exponential smoothing (Holt 1957) — the TREND-aware
     * member of the forecasting trio ([[ewmaAnomaly]] adapts level,
     * [[cusumShift]] catches level shifts; Holt additionally carries a

@@ -748,4 +748,22 @@ class StreamingSpec extends SparkSpec {
     assert(r(h0 + 14400) == ((12937500L, 1656250L, 2125000L, true)))
   }
 
+  test("ohlcBars: open/close by total event order, exact cent volume") {
+    import spark.implicits._
+    def e(id: Long, sec: Int, v: Double) = (id, "trade", v,
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$sec%02d"))
+    // one bar: open = first by (ts, id), close = last; same-ts tie at
+    // sec 30 breaks on event_id (id 5 < 6 -> 6's value closes... no:
+    // close is the MAX (ts, id) -> id 6)
+    val ev = Seq(e(1, 0, 5.0), e(2, 10, 9.0), e(3, 20, 1.0),
+      e(5, 30, 7.0), e(6, 30, 4.0)).toDF("event_id", "event_type",
+      "value", "ts")
+    val r = graft.streaming.EventStreams.ohlcBars(ev, bucketSec = 3600L)
+      .collect()(0)
+    assert(r.getDouble(2) == 5.0)  // open
+    assert(r.getDouble(3) == 9.0 && r.getDouble(4) == 1.0) // high/low
+    assert(r.getDouble(5) == 4.0)  // close: ts tie broken by event_id
+    assert(r.getLong(6) == 5L && r.getLong(7) == 2600L) // n, cents
+  }
+
 }
