@@ -780,7 +780,7 @@ object Profile {
       // it would pass a group whose one real value is fully determined
       // for every non-null member
       .agg(sum(col("__n")).as("n"),
-        count(when(col("__s").isNotNull, lit(1))).as("l_distinct"))
+        count(col("__s")).as("l_distinct"))
       .select(q ++ Seq(col("n"), col("l_distinct"),
         (col("n") < k).as("violates_k"),
         (col("l_distinct") < l).as("violates_l")): _*)
@@ -802,10 +802,9 @@ object Profile {
       .groupBy(col("__det"), col("__dep")).agg(count(lit(1)).as("__n"))
       .groupBy(col("__det")).agg(count(lit(1)).as("nd"))
       .agg(count(lit(1)).as("n_determinants"),
-        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"))
-      .select(col("n_determinants"),
-        coalesce(col("n_violating"), lit(0L)).as("n_violating"),
-        (coalesce(col("n_violating"), lit(0L)) > 0).as("violated"))
+        count(when(col("nd") > 1, lit(1))).as("n_violating"))
+      .select(col("n_determinants"), col("n_violating"),
+        (col("n_violating") > 0).as("violated"))
 
   /** Inclusion-dependency (foreign-key) check — every value of
     * `childCol` must exist in `parentCol`; returns (n_child_values,

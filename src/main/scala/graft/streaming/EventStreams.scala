@@ -555,9 +555,9 @@ object EventStreams {
        |         epoch_us(ts::TIMESTAMP) AS us, event_id, value
        |  FROM $table)
        |SELECT event_type, bucket_s,
-       |       first(value ORDER BY us, event_id) AS open_v,
+       |       first(value ORDER BY us, event_id, value) AS open_v,
        |       max(value) AS high_v, min(value) AS low_v,
-       |       last(value ORDER BY us, event_id) AS close_v,
+       |       last(value ORDER BY us, event_id, value) AS close_v,
        |       count(*)::BIGINT AS n,
        |       sum(round(value * 100)::BIGINT)::BIGINT AS vol_cents
        |FROM e GROUP BY 1, 2""".stripMargin
@@ -647,12 +647,12 @@ object EventStreams {
        |         row_number() OVER (PARTITION BY event_type
        |                            ORDER BY bucket_s) AS rn
        |  FROM c),
-       |rec(event_type, rn, l_prev, b_prev, l, b, resid) AS (
-       |  SELECT event_type, 1::BIGINT, NULL::BIGINT, NULL::BIGINT,
+       |rec(event_type, rn, l, b, resid) AS (
+       |  SELECT event_type, 1::BIGINT,
        |         n * 1000000, 0::BIGINT, NULL::BIGINT
        |  FROM seq WHERE rn = 1
        |  UNION ALL
-       |  SELECT x.event_type, x.rn, r.l, r.b,
+       |  SELECT x.event_type, x.rn,
        |         $lNew,
        |         r.b + ${sdiv(s"($lNew) - r.l - r.b", pb)},
        |         x.n * 1000000 - $fc

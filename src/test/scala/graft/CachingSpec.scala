@@ -30,11 +30,14 @@ class CachingSpec extends SparkSpec {
   }
 
   test("unscoped: pre-existing behavior — persists survive the call") {
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // key-set delta, not size: the async ContextCleaner can collect old
+    // suites' RDDs mid-test (it removes keys, never adds), so NEW keys
+    // are reliably the operator's own persist
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val df = Dedup.jaccardPairs(docs, "doc_id", "text", ngram = 2,
       idWindow = 25L, threshold = 0.5)
     assert(df.count() == 1L)
-    assert(spark.sparkContext.getPersistentRDDs.size > before,
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty,
       "outside a scope the operator's persist must stay (lazy callers)")
     spark.catalog.clearCache() // leave the suite session clean
   }
