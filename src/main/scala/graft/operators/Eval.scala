@@ -1,0 +1,450 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model / retrieval EVALUATION operators — the measurement half of a
+  * training-data pipeline: once filters, rankers, and retrieval indexes are
+  * built, the pipeline has to score them (is the quality signal actually
+  * predictive? did the hybrid ranker beat either input? does the RAG index
+  * find the document a query came from?). The reference inherits nothing
+  * like this; these are north-star pipeline operators (SURVEY.md §2c).
+  *
+  * House rules shared with Profile/Similarity: exact integer micro-unit
+  * carriers wherever the math is rational (AUC, MRR, RRF, Gini-impurity),
+  * IEEE-deterministic doubles only at a final rounded projection (Spearman's
+  * sqrt), and NO global-order windows — rank/prefix computations ride the
+  * same two-level bucketed suffix-sum pattern as
+  * [[Profile.conformalPValues]], so no window ever spans more than
+  * max(#buckets, bucketWidth) rows however many distinct values exist.
+  */
+object Eval {
+
+  /** Two-level bucketed "sum of `cols` strictly below this value" over a
+    * per-distinct-value table: per-bucket totals, one ASC window over the
+    * bucket table, intra-bucket ASC windows partitioned by bucket — the
+    * [[Profile.conformalPValues]] mega-partition guard, ascending flavor.
+    * Adds `below_<c>` for each aggregate column `c`.
+    */
+  private def cumBelow(perValue: DataFrame, valueCol: String,
+      sumCols: Seq[String], bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1)
+    val v = col(valueCol)
+    val bucketed = perValue.withColumn("__bkt",
+      expr(s"($valueCol - pmod($valueCol, $bucketWidth)) div $bucketWidth"))
+    val wLower = Window.orderBy(col("__bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktAggs = sumCols.map(c => sum(col(c)).as(s"__bc_$c"))
+    val bktTot = bucketed.groupBy(col("__bkt"))
+      .agg(bktAggs.head, bktAggs.tail: _*)
+      .select(col("__bkt") +: sumCols.map(c =>
+        coalesce(sum(col(s"__bc_$c")).over(wLower), lit(0L))
+          .as(s"__lower_$c")): _*)
+    val wWithin = Window.partitionBy(col("__bkt")).orderBy(v.asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .select((bucketed.columns.map(col).toSeq ++ sumCols.map(c =>
+        coalesce(sum(col(c)).over(wWithin), lit(0L)).as(s"__within_$c"))): _*)
+      .join(bktTot, "__bkt")
+      .select((perValue.columns.map(col).toSeq ++ sumCols.map(c =>
+        (col(s"__lower_$c") + col(s"__within_$c")).as(s"below_$c"))): _*)
+  }
+
+  /** The same two-level below-sums as a DuckDB WITH-fragment: emits CTEs
+    * `<out>` with columns of `perValueCte` plus `below_<c>` per sum column.
+    */
+  private def cumBelowSql(perValueCte: String, valueCol: String,
+      sumCols: Seq[String], bucketWidth: Long, out: String): String = {
+    val bsums = sumCols.map(c => s"sum($c)::BIGINT AS __bc_$c").mkString(", ")
+    val lowers = sumCols.map(c =>
+      s"""coalesce(sum(__bc_$c) OVER (ORDER BY __bkt ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS __lower_$c""".stripMargin)
+      .mkString(",\n    ")
+    val withins = sumCols.map(c =>
+      s"""coalesce(sum($c) OVER (PARTITION BY __bkt ORDER BY $valueCol ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS __within_$c""".stripMargin)
+      .mkString(",\n    ")
+    val belows = sumCols.map(c =>
+      s"(__lower_$c + __within_$c)::BIGINT AS below_$c").mkString(", ")
+    s"""${out}_b AS (
+       |  SELECT *, ($valueCol - (($valueCol % $bucketWidth + $bucketWidth)
+       |    % $bucketWidth)) // $bucketWidth AS __bkt
+       |  FROM $perValueCte),
+       |${out}_t AS (
+       |  SELECT __bkt,
+       |    $lowers
+       |  FROM (SELECT __bkt, $bsums FROM ${out}_b GROUP BY __bkt)),
+       |$out AS (
+       |  SELECT b.* EXCLUDE (__bkt), $belows
+       |  FROM (SELECT *,
+       |    $withins
+       |    FROM ${out}_b) b
+       |  JOIN ${out}_t t USING (__bkt))""".stripMargin
+  }
+
+  /** Exact tie-aware ROC-AUC / Mann-Whitney U — "is this score actually
+    * predictive of this label?", the first question asked of every quality
+    * signal, classifier, or heuristic filter before it gates data. AUC is
+    * the probability a random positive outscores a random negative (ties
+    * count ½) — exactly the rank-sum statistic, so it needs no thresholds,
+    * no calibration, and no distributional assumption.
+    *
+    * All-integer: with per-distinct-score counts pos(s)/neg(s) and the
+    * below-cumulative negBelow(s),
+    *   2·U = Σ_s pos(s) · (2·negBelow(s) + neg(s))
+    * (the `+neg(s)` term IS the half-credit for ties, kept doubled so no
+    * fraction ever appears), and
+    *   auc_micro = 1e6·2U div (2·n_pos·n_neg)  (floor),
+    *   gini_micro = 2·auc_micro − 1e6.
+    * Degenerate inputs (no positives or no negatives) report auc_micro = 0
+    * with the class counts visible rather than dividing by zero.
+    *
+    * Scale shape: one hash aggregate to the distinct-score table, the
+    * two-level bucketed below-sum (no global window), one final 1-row
+    * aggregate. Products ride DECIMAL(38,0): pos·negBelow ~ n² needs the
+    * wide carrier past ~3e9 rows; the carrier holds to n ~ 1e19.
+    */
+  def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val per = df.select(score.cast("long").as("s"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+    cumBelow(per, "s", Seq("neg"), bucketWidth = 1024L)
+      .agg(
+        coalesce(sum(col("pos")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("neg")), lit(0L)).as("n_neg"),
+        coalesce(sum(expr(
+          "CAST(pos AS DECIMAL(38,0)) * (2 * below_neg + neg)")),
+          lit(0L).cast("decimal(38,0)")).as("__u2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(0L))
+          .otherwise(expr(
+            "(__u2 * 1000000) div (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)"))
+          .as("auc_micro"))
+      .withColumn("gini_micro",
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(0L))
+          .otherwise(lit(2L) * col("auc_micro") - lit(1000000L)))
+  }
+
+  /** DuckDB replay of [[rocAuc]] (same bucketed below-sums, same floor
+    * division). `scoreExpr` must already be the integer score.
+    */
+  def rocAucOracleSql(table: String, scoreExpr: String,
+      labelPredSql: String): String =
+    s"""WITH per AS (
+       |  SELECT s, sum(y)::BIGINT AS pos, sum(1 - y)::BIGINT AS neg FROM (
+       |    SELECT ($scoreExpr)::BIGINT AS s,
+       |           CASE WHEN $labelPredSql THEN 1 ELSE 0 END AS y
+       |    FROM $table)
+       |  GROUP BY s),
+       |${cumBelowSql("per", "s", Seq("neg"), 1024L, "cum")},
+       |agg AS (
+       |  SELECT coalesce(sum(pos), 0)::BIGINT AS n_pos,
+       |         coalesce(sum(neg), 0)::BIGINT AS n_neg,
+       |         coalesce(sum(pos::HUGEINT * (2 * below_neg + neg)), 0)::HUGEINT
+       |           AS u2
+       |  FROM cum)
+       |SELECT n_pos, n_neg,
+       |       (CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+       |             ELSE (u2 * 1000000) // (2::HUGEINT * n_pos * n_neg)
+       |        END)::BIGINT AS auc_micro,
+       |       (CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+       |             ELSE 2 * ((u2 * 1000000) // (2::HUGEINT * n_pos * n_neg))
+       |                  - 1000000 END)::BIGINT AS gini_micro
+       |FROM agg""".stripMargin
+
+  /** Spearman rank correlation between two integer-valued columns — the
+    * monotonic-association check run between every pair of quality signals
+    * (are length and model-score measuring the same thing?) and between a
+    * heuristic and the metric it proxies. Rank-based, so it is outlier-proof
+    * where Pearson is not.
+    *
+    * Ties get average ranks, carried DOUBLED (r2 = 2·below + cnt + 1 — an
+    * integer even for .5 average ranks) so every moment sum is exact on
+    * DECIMAL(38,0); rho is Pearson over the rank carriers (scale-invariant,
+    * the ×2 cancels). The three exact moments
+    *   num = n·Σab − Σa·Σb,  d1 = n·Σa² − (Σa)²,  d2 = n·Σb² − (Σb)²
+    * stay integers to n ~ 2e9 rows (documented ceiling: num ~ 4n⁴ meets the
+    * 1e38 carrier there; shard-and-pool beyond); the ONLY doubles are the
+    * final correctly-rounded IEEE sqrt/divide, projected at 6 dp — the
+    * [[Graph.spamMass]] rel_mass precedent both engines replay bit-for-bit.
+    *
+    * Scale shape: two distinct-value rank tables via the bucketed below-sum
+    * (no global window), two equi-joins back to rows, one 1-row moment
+    * aggregate. Nothing is collected.
+    */
+  def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val base = Caching.persist(
+      df.select(x.cast("long").as("a"), y.cast("long").as("b")))
+    def rank2(c: String): DataFrame =
+      cumBelow(
+        base.groupBy(col(c)).agg(count(lit(1)).as("cnt")),
+        c, Seq("cnt"), bucketWidth = 1024L)
+        .select(col(c), (lit(2L) * col("below_cnt") + col("cnt") + 1L)
+          .as(s"r2_$c"))
+    val ranked = base.join(rank2("a"), "a").join(rank2("b"), "b")
+      .select(col("r2_a").cast("decimal(38,0)").as("ra"),
+        col("r2_b").cast("decimal(38,0)").as("rb"))
+    ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("ra")).as("sa"), sum(col("rb")).as("sb"),
+        sum(col("ra") * col("rb")).as("sab"),
+        sum(col("ra") * col("ra")).as("saa"),
+        sum(col("rb") * col("rb")).as("sbb"))
+      .select(col("n"),
+        (col("n") * col("sab") - col("sa") * col("sb")).as("num"),
+        (col("n") * col("saa") - col("sa") * col("sa")).as("d1"),
+        (col("n") * col("sbb") - col("sb") * col("sb")).as("d2"))
+      .select(col("n"),
+        when(col("d1") === 0 || col("d2") === 0, lit(0.0))
+          .otherwise(round(col("num").cast("double") /
+            (sqrt(col("d1").cast("double")) * sqrt(col("d2").cast("double"))),
+            6))
+          .as("rho6"))
+  }
+
+  /** DuckDB replay of [[spearman]] (same doubled ranks, same HUGEINT
+    * moments, same IEEE sqrt/divide rounded at 6 dp).
+    */
+  def spearmanOracleSql(table: String, xExpr: String, yExpr: String): String =
+    s"""WITH base AS (
+       |  SELECT ($xExpr)::BIGINT AS a, ($yExpr)::BIGINT AS b FROM $table),
+       |pa AS (SELECT a, count(*)::BIGINT AS cnt FROM base GROUP BY a),
+       |pb AS (SELECT b, count(*)::BIGINT AS cnt FROM base GROUP BY b),
+       |${cumBelowSql("pa", "a", Seq("cnt"), 1024L, "ca")},
+       |${cumBelowSql("pb", "b", Seq("cnt"), 1024L, "cb")},
+       |ranked AS (
+       |  SELECT (2 * ca.below_cnt + ca.cnt + 1)::HUGEINT AS ra,
+       |         (2 * cb.below_cnt + cb.cnt + 1)::HUGEINT AS rb
+       |  FROM base JOIN ca USING (a) JOIN cb USING (b)),
+       |m AS (
+       |  SELECT count(*)::HUGEINT AS n, sum(ra) AS sa, sum(rb) AS sb,
+       |         sum(ra * rb) AS sab, sum(ra * ra) AS saa,
+       |         sum(rb * rb) AS sbb
+       |  FROM ranked)
+       |SELECT n::BIGINT AS n,
+       |       CASE WHEN n * saa - sa * sa = 0 OR n * sbb - sb * sb = 0
+       |            THEN 0.0
+       |            ELSE round((n * sab - sa * sb)::DOUBLE /
+       |                 (sqrt((n * saa - sa * sa)::DOUBLE)
+       |                  * sqrt((n * sbb - sb * sb)::DOUBLE)), 6)
+       |       END AS rho6
+       |FROM m""".stripMargin
+
+  /** Single-feature decision stump — the strongest threshold rule
+    * "feature ≤ t → predict positive-rate-left" by exact weighted Gini
+    * impurity. The 1-D special case of a tree split is the standard probe
+    * for "does this feature carry label signal at ALL, and where is the
+    * cut?" (feature triage before any model training, leakage hunting when
+    * a split looks too good).
+    *
+    * For every candidate threshold t (= each distinct feature value, split
+    * x ≤ t | x > t):
+    *   giniw_micro(t) = (2e6·posL·negL div nL + 2e6·posR·negR div nR) div N
+    * in exact micro units on DECIMAL(38,0) (pos·neg ~ n² passes BIGINT at
+    * ~3e9 rows; the wide carrier holds to 1e16). The winner is the
+    * (giniw_micro, t) minimum — deterministic tie-break on the smaller
+    * threshold — via a top-1 TakeOrdered, not a global sort. Root impurity
+    * ships alongside so the gain is readable.
+    *
+    * Scale shape: one hash aggregate to the distinct-value table, bucketed
+    * below-sums (no global window), top-1. Degenerate right side (t = max
+    * value) is excluded; an empty or single-class input returns the root
+    * row with giniw = root gini and threshold = null semantics (no split
+    * beats the root, nothing crashes).
+    */
+  def decisionStump(df: DataFrame, feature: Column,
+      label: Column): DataFrame = {
+    val per = df.select(feature.cast("long").as("v"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val cum = cumBelow(per, "v", Seq("cnt", "pos"), bucketWidth = 1024L)
+      .select(col("v"), (col("below_cnt") + col("cnt")).as("nl"),
+        (col("below_pos") + col("pos")).as("pl"))
+      .transform(Caching.persist)
+    val tot = cum.agg(coalesce(max(col("nl")), lit(0L)).as("n"),
+      coalesce(max(col("pl")), lit(0L)).as("p"))
+    val scored = cum.crossJoin(broadcast(tot))
+      .where(col("nl") < col("n")) // degenerate all-left split excluded
+      .select(col("v"), col("nl"), col("pl"), col("n"), col("p"),
+        (col("n") - col("nl")).as("nr"), (col("p") - col("pl")).as("pr"))
+      .select(col("v"), col("nl"), col("pl"), col("nr"), col("pr"),
+        col("n"), col("p"),
+        expr("""((2000000 * CAST(pl AS DECIMAL(38,0)) * (nl - pl) div nl)
+               | + (2000000 * CAST(pr AS DECIMAL(38,0)) * (nr - pr) div nr))
+               | div n""".stripMargin).as("giniw_micro"))
+    scored.orderBy(col("giniw_micro").asc, col("v").asc).limit(1)
+      .select(col("v").as("threshold"), col("giniw_micro"),
+        col("nl"), col("pl"), col("nr"), col("pr"),
+        expr("(2000000 * CAST(p AS DECIMAL(38,0)) * (n - p) div n) div n")
+          .as("root_gini_micro"))
+  }
+
+  /** DuckDB replay of [[decisionStump]] (same bucketed cums, same floor
+    * micro arithmetic, same (giniw, v) top-1).
+    */
+  def decisionStumpOracleSql(table: String, featureExpr: String,
+      labelPredSql: String): String =
+    s"""WITH per AS (
+       |  SELECT v, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos FROM (
+       |    SELECT ($featureExpr)::BIGINT AS v,
+       |           CASE WHEN $labelPredSql THEN 1 ELSE 0 END AS y
+       |    FROM $table)
+       |  GROUP BY v),
+       |${cumBelowSql("per", "v", Seq("cnt", "pos"), 1024L, "cum")},
+       |cl AS (
+       |  SELECT v, (below_cnt + cnt)::BIGINT AS nl,
+       |         (below_pos + pos)::BIGINT AS pl
+       |  FROM cum),
+       |tot AS (SELECT coalesce(max(nl), 0)::BIGINT AS n,
+       |               coalesce(max(pl), 0)::BIGINT AS p FROM cl),
+       |scored AS (
+       |  SELECT v, nl, pl, n - nl AS nr, p - pl AS pr, n, p,
+       |         ((2000000 * pl::HUGEINT * (nl - pl) // nl)
+       |          + (2000000 * (p - pl)::HUGEINT * ((n - nl) - (p - pl))
+       |             // (n - nl))) // n AS giniw_micro
+       |  FROM cl, tot WHERE nl < n)
+       |SELECT v AS threshold, giniw_micro::BIGINT AS giniw_micro,
+       |       nl, pl, nr, pr,
+       |       ((2000000 * p::HUGEINT * (n - p) // n) // n)::BIGINT
+       |         AS root_gini_micro
+       |FROM scored ORDER BY giniw_micro ASC, v ASC LIMIT 1""".stripMargin
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
+    * standard hybrid-search combiner: two rankers score the same per-query
+    * candidate lists, each candidate's fused score is
+    *   rrf_micro = 1e6 div (k + rank_a) + 1e6 div (k + rank_b)
+    * and the fused ranking re-sorts on it. Rank-based, so a ranker with
+    * wild score scales (BM25 vs cosine) cannot drown the other — the reason
+    * RRF is the default fusion in production hybrid retrieval.
+    *
+    * Deterministic end to end: ranks are row_number over
+    * (score DESC, item ASC) and the fused order ties break on
+    * (rrf_micro DESC, item ASC); all arithmetic is integer floor division.
+    * Returns the top `topN` per query with both input ranks visible.
+    *
+    * Scale shape: every window is PARTITIONED BY the query — work per query
+    * is its candidate-list length (ranker output lists are top-N by
+    * construction; a query never sees the corpus), so the op distributes by
+    * query key with no global window anywhere.
+    */
+  def rrfFuse(df: DataFrame, queryCol: String, itemCol: String,
+      scoreA: Column, scoreB: Column, k: Int = 60,
+      topN: Int = 10): DataFrame = {
+    require(k >= 1 && topN >= 1)
+    val base = df.select(col(queryCol).as("q"), col(itemCol).as("item"),
+      scoreA.as("__sa"), scoreB.as("__sb"))
+    def rk(s: String, out: String) = row_number().over(
+      Window.partitionBy(col("q")).orderBy(col(s).desc, col("item").asc))
+      .cast("long").as(out)
+    val ranked = base.select(col("q"), col("item"),
+        rk("__sa", "rank_a"), rk("__sb", "rank_b"))
+      .withColumn("rrf_micro",
+        expr(s"1000000 div ($k + rank_a) + 1000000 div ($k + rank_b)"))
+    ranked
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy(col("q"))
+          .orderBy(col("rrf_micro").desc, col("item").asc)).cast("long"))
+      .where(col("fused_rank") <= topN)
+      .select(col("q"), col("item"), col("rank_a"), col("rank_b"),
+        col("rrf_micro"), col("fused_rank"))
+  }
+
+  /** DuckDB replay of [[rrfFuse]]: `srcSql` must produce
+    * (q, item, sa, sb) — one row per (query, candidate).
+    */
+  def rrfFuseOracleSql(srcSql: String, k: Int = 60, topN: Int = 10): String =
+    s"""WITH base AS ($srcSql),
+       |ranked AS (
+       |  SELECT q, item,
+       |         row_number() OVER (PARTITION BY q ORDER BY sa DESC, item ASC)
+       |           ::BIGINT AS rank_a,
+       |         row_number() OVER (PARTITION BY q ORDER BY sb DESC, item ASC)
+       |           ::BIGINT AS rank_b
+       |  FROM base),
+       |fused AS (
+       |  SELECT q, item, rank_a, rank_b,
+       |         (1000000 // ($k + rank_a) + 1000000 // ($k + rank_b))::BIGINT
+       |           AS rrf_micro
+       |  FROM ranked)
+       |SELECT q, item, rank_a, rank_b, rrf_micro, fused_rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q
+       |            ORDER BY rrf_micro DESC, item ASC)::BIGINT AS fused_rank
+       |  FROM fused)
+       |WHERE fused_rank <= $topN""".stripMargin
+
+  /** Needle-retrieval evaluation of the RAG index — the standard synthetic
+    * eval when no human relevance labels exist (the BEIR/pseudo-query
+    * recipe): take a `take`-token slice out of each probe document, issue it
+    * as the query, and check whether [[Similarity.retrieveChunks]] brings
+    * back a chunk of the document the needle came from. Probe ids ride an
+    * `idOffset` so the retriever's own-document exclusion (doc = probe_id)
+    * never fires — the source doc must WIN the ranking, not be exempted
+    * from it.
+    *
+    * Per probe: hits_in_topk (source-doc chunks in the top k), first_rank
+    * (best of them, 0 = miss), and mrr_micro = 1e6 div first_rank (0 on
+    * miss) — exact integers; corpus-level recall@k / MRR are one trivial
+    * rollup away and stay exact. Probes shorter than skip+take tokens are
+    * excluded on BOTH engines (no needle exists to cut).
+    *
+    * Scale shape: inherits [[Similarity.retrieveChunks]]'s inverted-index
+    * join (probes broadcast, corpus passed once) plus one per-probe
+    * aggregate over ≤ k retrieval rows each.
+    */
+  def needleEval(docs: DataFrame, idCol: String, textCol: String,
+      probePred: Column, skip: Int, take: Int, window: Int, stride: Int,
+      dim: Int, k: Int, idOffset: Long = 1000000L): DataFrame = {
+    require(skip >= 0 && take >= 1)
+    val toks = graft.operators.TextAnalysis.tokens(col(textCol))
+    val probes = docs
+      .where(probePred && size(toks) >= skip + take)
+      .select((col(idCol) + idOffset).as("probe_id"),
+        concat_ws(" ", slice(toks, skip + 1, take)).as("__needle"))
+    val ret = Similarity.retrieveChunks(
+      graft.operators.TextAnalysis.chunk(docs, idCol, textCol, window, stride),
+      "doc", "chunk_id", "chunk_text",
+      probes, "probe_id", "__needle", dim, k)
+    ret.groupBy(col("probe_id"))
+      .agg(
+        sum(when(col("doc") === col("probe_id") - idOffset, 1L)
+          .otherwise(0L)).as("hits_in_topk"),
+        coalesce(min(when(col("doc") === col("probe_id") - idOffset,
+          col("rank"))), lit(0L)).as("first_rank"))
+      .withColumn("mrr_micro",
+        when(col("first_rank") === 0, lit(0L))
+          .otherwise(expr("1000000 div first_rank")))
+  }
+
+  /** DuckDB replay of [[needleEval]]: wraps
+    * [[Similarity.retrieveOracleSql]] with the needle probe override and
+    * the per-probe metric rollup.
+    */
+  def needleEvalOracleSql(probePred: String, skip: Int, take: Int,
+      window: Int, stride: Int, dim: Int, k: Int,
+      idOffset: Long = 1000000L, table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text"): String = {
+    // ptoks directly as the token-list slice: the Spark side space-joins
+    // the needle and retrieveChunks re-tokenizes it, which round-trips to
+    // exactly this list (tokens are lowercase, non-empty, space-free)
+    val probesSql =
+      s"""SELECT doc + $idOffset AS probe_id,
+         |       toks[${skip + 1}:${skip + take}] AS ptoks
+         |  FROM t WHERE ($probePred) AND len(toks) >= ${skip + take}""".stripMargin
+    val retrieval = Similarity.retrieveOracleSql(window, stride, dim, k,
+      probePred, table, idCol, textCol, probesOverrideSql = probesSql)
+    s"""SELECT probe_id,
+       |       coalesce(sum(CASE WHEN doc = probe_id - $idOffset
+       |                         THEN 1 ELSE 0 END), 0)::BIGINT AS hits_in_topk,
+       |       coalesce(min(CASE WHEN doc = probe_id - $idOffset
+       |                         THEN rank END), 0)::BIGINT AS first_rank,
+       |       (CASE WHEN min(CASE WHEN doc = probe_id - $idOffset
+       |                           THEN rank END) IS NULL THEN 0
+       |             ELSE 1000000 // min(CASE WHEN doc = probe_id - $idOffset
+       |                                      THEN rank END) END)::BIGINT
+       |         AS mrr_micro
+       |FROM ($retrieval) GROUP BY probe_id""".stripMargin
+  }
+}

@@ -1008,8 +1008,15 @@ object Similarity {
     */
   def retrieveOracleSql(window: Int, stride: Int, dim: Int, k: Int,
       probePred: String, table: String = "documents",
-      idCol: String = "doc_id", textCol: String = "text"): String = {
+      idCol: String = "doc_id", textCol: String = "text",
+      probesOverrideSql: String = ""): String = {
     val hash = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
+    // probe set override ([[Eval.needleEvalOracleSql]]): any SELECT
+    // producing (probe_id, ptoks); default = whole probe docs, the
+    // original inline shape, value-identical to the pre-override SQL
+    val probesSql =
+      if (probesOverrideSql.nonEmpty) probesOverrideSql
+      else s"SELECT doc AS probe_id, toks AS ptoks FROM t WHERE $probePred"
     s"""WITH t AS (
        |  SELECT $idCol AS doc,
        |         ${graft.operators.TextAnalysis.toksSql(textCol)} AS toks
@@ -1029,11 +1036,12 @@ object Similarity {
        |           CASE WHEN $hash % ${2 * dim} < $dim THEN 1.0 ELSE -1.0 END AS s
        |    FROM (SELECT doc, chunk_id, unnest(ctoks) AS tok FROM chunks))
        |  GROUP BY 1, 2, 3),
+       |probes AS ($probesSql),
        |pfeat AS (
        |  SELECT probe_id, idx, sum(s) AS v FROM (
-       |    SELECT doc AS probe_id, $hash % $dim AS idx,
+       |    SELECT probe_id, $hash % $dim AS idx,
        |           CASE WHEN $hash % ${2 * dim} < $dim THEN 1.0 ELSE -1.0 END AS s
-       |    FROM (SELECT doc, unnest(toks) AS tok FROM t WHERE $probePred))
+       |    FROM (SELECT probe_id, unnest(ptoks) AS tok FROM probes))
        |  GROUP BY 1, 2),
        |cnrm AS (SELECT doc, chunk_id, sqrt(sum(v * v)) AS nrm
        |         FROM cfeat GROUP BY 1, 2),

@@ -1101,6 +1101,53 @@ object PipelineQueries {
       Similarity.dbscanGrid(s.table("embeddings"), "vec_id", "embedding",
         dim = 64, epsFx = 200000L, minPts = 6)
     }),
+
+    // --- exact tie-aware ROC-AUC: does event value predict a purchase?
+    // Rank-sum in integer micro units, no global window (oracle-checked) ---
+    "q_pipeline_auc" -> ((s, d) => {
+      Tables.load(s, d)
+      graft.operators.Eval.rocAuc(s.table("events"),
+        round(col("value") * 100, 0).cast("long"),
+        col("event_type") === "purchase")
+    }),
+
+    // --- Spearman rank correlation between quantity and price cents:
+    // doubled average ranks on exact DECIMAL moments, IEEE sqrt at the
+    // final 6-dp projection only (oracle-checked) ---
+    "q_pipeline_spearman" -> ((s, d) => {
+      Tables.load(s, d)
+      graft.operators.Eval.spearman(s.table("lineitem"),
+        col("l_quantity").cast("long"),
+        round(col("l_extendedprice") * 100, 0).cast("long"))
+    }),
+
+    // --- decision stump: strongest n_chars threshold for lang='en' by
+    // exact weighted Gini micro units — the single-feature signal probe
+    // (oracle-checked) ---
+    "q_pipeline_stump" -> ((s, d) =>
+      graft.operators.Eval.decisionStump(docs(s, d), col("n_chars"),
+        col("lang") === "en")),
+
+    // --- reciprocal-rank fusion of two per-source document rankers
+    // (token count vs raw chars): the hybrid-search combiner, integer
+    // micro units, per-query windows only (oracle-checked) ---
+    "q_pipeline_rrf" -> ((s, d) => {
+      val dd = docs(s, d)
+      graft.operators.Eval.rrfFuse(
+        dd.withColumn("__tc",
+          TextAnalysis.tokenCount(col("text")).cast("long")),
+        "source", "doc_id", col("__tc"), col("n_chars"),
+        k = 60, topN = 10)
+    }),
+
+    // --- needle-retrieval eval of the RAG index: a 24-token slice of each
+    // probe doc must retrieve its source — per-probe hits/first-rank/MRR,
+    // the synthetic-query eval over the same chunk index as
+    // q_pipeline_rag (oracle-checked) ---
+    "q_pipeline_needle" -> ((s, d) =>
+      graft.operators.Eval.needleEval(docs(s, d), "doc_id", "text",
+        col("doc_id") % 100 === 7, skip = 8, take = 24,
+        window = 32, stride = 24, dim = 64, k = 5)),
   )
 
   /** Shared by q_dedup_incremental and q_dedup_bloom: the bloom variant's
@@ -1707,5 +1754,24 @@ object PipelineQueries {
         |FROM embeddings, q
         |WHERE vec_id <> 0
         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_pipeline_auc" -> graft.operators.Eval.rocAucOracleSql(
+      "events", "round(value * 100)", "event_type = 'purchase'"),
+
+    "q_pipeline_spearman" -> graft.operators.Eval.spearmanOracleSql(
+      "lineitem", "l_quantity", "round(l_extendedprice * 100)"),
+
+    "q_pipeline_stump" -> graft.operators.Eval.decisionStumpOracleSql(
+      "documents", "n_chars", "lang = 'en'"),
+
+    "q_pipeline_rrf" -> graft.operators.Eval.rrfFuseOracleSql(
+      s"""SELECT source AS q, doc_id AS item,
+         |       len(${TextAnalysis.toksSql("text")})::BIGINT AS sa,
+         |       n_chars AS sb
+         |FROM documents""".stripMargin),
+
+    "q_pipeline_needle" -> graft.operators.Eval.needleEvalOracleSql(
+      "doc % 100 = 7", skip = 8, take = 24,
+      window = 32, stride = 24, dim = 64, k = 5),
   )
 }
