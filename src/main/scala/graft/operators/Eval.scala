@@ -27,7 +27,7 @@ object Eval {
     * [[Profile.conformalPValues]] mega-partition guard, ascending flavor.
     * Adds `below_<c>` for each aggregate column `c`.
     */
-  private def cumBelow(perValue: DataFrame, valueCol: String,
+  private[operators] def cumBelow(perValue: DataFrame, valueCol: String,
       sumCols: Seq[String], bucketWidth: Long): DataFrame = {
     require(bucketWidth >= 1)
     val v = col(valueCol)
@@ -54,7 +54,7 @@ object Eval {
   /** The same two-level below-sums as a DuckDB WITH-fragment: emits CTEs
     * `<out>` with columns of `perValueCte` plus `below_<c>` per sum column.
     */
-  private def cumBelowSql(perValueCte: String, valueCol: String,
+  private[operators] def cumBelowSql(perValueCte: String, valueCol: String,
       sumCols: Seq[String], bucketWidth: Long, out: String): String = {
     val bsums = sumCols.map(c => s"sum($c)::BIGINT AS __bc_$c").mkString(", ")
     val lowers = sumCols.map(c =>

@@ -1290,4 +1290,101 @@ object Profile {
        |       count(*) FILTER (s IS NOT NULL) < $l AS violates_l
        |FROM cells GROUP BY ${(1 to quasiCols.size).mkString(", ")}""".stripMargin
   }
+
+  /** Lorenz concentration shares — "what share of the corpus weight lives
+    * in the heaviest p% of items?" for a list of percent levels. The
+    * companion to [[Scale.skewAudit]]'s Gini: Gini is the one-number
+    * summary, the Lorenz points are the actionable curve (top-1% of docs
+    * holding 40% of bytes is a dedup/capping target a scalar can't show).
+    *
+    * Semantics pinned for determinism: items are taken in weight-DESC
+    * order in WHOLE distinct-weight groups (no intra-tie splitting), and
+    * each level p reports the smallest prefix whose item count reaches
+    * ≥ p% of items — docs_thru, its exact item fraction, and its exact
+    * weight share, all integer micro floors. Null weights are excluded on
+    * both engines.
+    *
+    * Scale shape: one hash aggregate to the distinct-weight table, a
+    * two-level bucketed suffix sum over it (descending flavor of the
+    * [[Profile.conformalPValues]] guard — no global window), then a
+    * broadcast of the percent list and a per-level struct-min argmin.
+    * Weight totals ride DECIMAL(38,0) (w·cnt ~ 1e12·1e12 needs the wide
+    * carrier long before any realistic corpus does).
+    */
+  def lorenzShares(df: DataFrame, weight: Column,
+      levels: Seq[Int] = Seq(1, 2, 5, 10, 25, 50)): DataFrame = {
+    require(levels.nonEmpty && levels.forall(p => p >= 1 && p <= 100))
+    val per = df.select(weight.cast("long").as("w")).where(col("w").isNotNull)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("w").cast("decimal(38,0)")).as("wsum"))
+    // descending suffix sums via the ascending helper on the negated value
+    val cum = Eval.cumBelow(per.withColumn("nw", -col("w")), "nw",
+        Seq("cnt", "wsum"), bucketWidth = 1024L)
+      .select(col("w"), (col("below_cnt") + col("cnt")).as("docs_thru"),
+        (col("below_wsum") + col("wsum")).as("w_thru"))
+      .transform(Caching.persist)
+    val tot = cum.agg(coalesce(max(col("docs_thru")), lit(0L)).as("n"),
+      coalesce(max(col("w_thru")), lit(0L).cast("decimal(38,0)"))
+        .as("wt"))
+    val lv = df.sparkSession.range(1)
+      .select(explode(array(levels.map(lit): _*)).as("p"))
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(lv))
+      .where(col("docs_thru") * 100 >= col("n") * col("p"))
+      .groupBy(col("p"))
+      .agg(min(struct(col("docs_thru"), col("w_thru"), col("n"), col("wt")))
+        .as("m"))
+      .select(col("p").cast("long").as("p"),
+        col("m.docs_thru").as("docs_thru"),
+        expr("(m.docs_thru * CAST(1000000 AS DECIMAL(38,0))) div m.n")
+          .as("docfrac_micro"),
+        expr("(m.w_thru * 1000000) div m.wt").as("share_micro"))
+  }
+
+  /** DuckDB replay of [[lorenzShares]] (same whole-group prefixes, same
+    * micro floors).
+    */
+  def lorenzOracleSql(table: String, weightExpr: String,
+      levels: Seq[Int] = Seq(1, 2, 5, 10, 25, 50)): String = {
+    val lvs = levels.mkString(", ")
+    s"""WITH per AS (
+       |  SELECT w, count(*)::BIGINT AS cnt, sum(w::HUGEINT) AS wsum FROM (
+       |    SELECT ($weightExpr)::BIGINT AS w FROM $table
+       |    WHERE ($weightExpr) IS NOT NULL)
+       |  GROUP BY w),
+       |nper AS (SELECT *, -w AS nw,
+       |  (-w - ((-w % 1024 + 1024) % 1024)) // 1024 AS bkt FROM per),
+       |btot AS (
+       |  SELECT bkt,
+       |    coalesce(sum(bc) OVER (ORDER BY bkt ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS lower_cnt,
+       |    coalesce(sum(bw) OVER (ORDER BY bkt ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS lower_wsum
+       |  FROM (SELECT bkt, sum(cnt)::HUGEINT AS bc, sum(wsum) AS bw
+       |        FROM nper GROUP BY bkt)),
+       |cum AS (
+       |  SELECT w,
+       |    (b.lower_cnt + coalesce(sum(cnt) OVER (PARTITION BY p.bkt
+       |       ORDER BY nw ASC ROWS BETWEEN UNBOUNDED PRECEDING
+       |       AND 1 PRECEDING), 0) + cnt)::HUGEINT AS docs_thru,
+       |    (b.lower_wsum + coalesce(sum(wsum) OVER (PARTITION BY p.bkt
+       |       ORDER BY nw ASC ROWS BETWEEN UNBOUNDED PRECEDING
+       |       AND 1 PRECEDING), 0) + wsum)::HUGEINT AS w_thru
+       |  FROM nper p JOIN btot b USING (bkt)),
+       |tot AS (SELECT coalesce(max(docs_thru), 0) AS n,
+       |               coalesce(max(w_thru), 0) AS wt FROM cum),
+       |lv AS (SELECT unnest([$lvs]) AS p)
+       |SELECT p::BIGINT AS p, docs_thru::BIGINT AS docs_thru,
+       |       ((docs_thru * 1000000) // n)::BIGINT AS docfrac_micro,
+       |       ((w_thru * 1000000) // wt)::BIGINT AS share_micro
+       |FROM (
+       |  SELECT p, docs_thru, w_thru, n, wt,
+       |         row_number() OVER (PARTITION BY p
+       |           ORDER BY docs_thru ASC, w_thru ASC) AS rn
+       |  FROM cum, tot, lv
+       |  WHERE docs_thru * 100 >= n * p)
+       |WHERE rn = 1""".stripMargin
+  }
 }

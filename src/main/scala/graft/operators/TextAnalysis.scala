@@ -1102,6 +1102,95 @@ object TextAnalysis {
        |FROM tl JOIN tf USING (tok) JOIN ln ON ln.label = tl.label, tot
        |WHERE df_t < n AND n_l < n""".stripMargin
 
+  /** Expected mutual information feature ranking (Manning-IR §13.5.1's MI,
+    * the other canonical selector next to [[chi2Features]]) — scores each
+    * (token, label) by the information the token's document presence
+    * carries about the label:
+    *   I = Σ_cells (cnt/N) · ln(cnt·N / (row·col))
+    * over the same 2×2 presence contingency as χ² (A/B/C/D from a, df_t,
+    * n_l, n). χ² ranks by deviation-from-independence significance; MI
+    * ranks by information mass — rare-but-perfectly-predictive tokens score
+    * high on χ², frequent-and-predictive ones on MI, which is why serious
+    * vocabulary pruning reads both.
+    *
+    * Determinism contract: every count product stays BIGINT-exact
+    * (cnt·N ≤ N² — safe to N ~ 3e9 docs), doubles appear only in the four
+    * ln/divide terms, composed in a FIXED order and rounded at 6 dp — the
+    * [[collocations]] PMI precedent both engines replay bit-for-bit.
+    * Zero cells contribute exactly 0 (the x·ln x → 0 limit), which also
+    * removes every division-by-zero case: a nonzero cell forces its row
+    * and column totals nonzero.
+    *
+    * Shape: identical to [[chi2Features]] — one exploded distinct
+    * (doc, token) pass, vocabulary-sized shuffles, broadcast label/total
+    * tables.
+    */
+  def mutualInfo(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, labelCol: String, minDf: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    val docTok = df.select(col(idCol).as("id"), col(labelCol).as("label"),
+        explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val tokLabel = docTok.groupBy("tok", "label")
+      .agg(count(lit(1)).as("a"))
+    val tokDf = tokLabel.groupBy("tok").agg(sum(col("a")).as("df_t"))
+      .where(col("df_t") >= minDf)
+    val labelN = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_l"))
+    val total = df.agg(count(lit(1)).as("n"))
+    // cell term (cnt/N)·ln(cnt·N/(row·col)); cnt = 0 → 0 exactly
+    def term(cnt: String, row: String, colT: String): String =
+      s"CASE WHEN $cnt = 0 THEN 0.0 ELSE " +
+        s"(CAST($cnt AS DOUBLE) / n) * ln(CAST($cnt AS DOUBLE) * n / " +
+        s"(CAST($row AS DOUBLE) * ($colT))) END"
+    tokLabel.join(tokDf, "tok")
+      .join(broadcast(labelN), "label")
+      .crossJoin(broadcast(total))
+      .select(col("label"), col("tok"), col("a"), col("df_t"), col("n_l"),
+        expr("df_t - a").as("b"), expr("n_l - a").as("c"),
+        expr("n - df_t - (n_l - a)").as("d2"), col("n"))
+      .select(col("label"), col("tok"), col("a"), col("df_t"), col("n_l"),
+        round(
+          expr(term("a", "df_t", "n_l")) +
+            expr(term("b", "df_t", "n - n_l")) +
+            expr(term("c", "n - df_t", "n_l")) +
+            expr(term("d2", "n - df_t", "n - n_l")), 6).as("mi6"))
+  }
+
+  /** DuckDB SQL replaying [[mutualInfo]] term-for-term (same fixed
+    * summation order, same 6-dp projection).
+    */
+  def mutualInfoOracleSql(labelCol: String = "lang", minDf: Int = 10,
+      table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text"): String = {
+    // (row)::DOUBLE, never row::DOUBLE: `::` binds tighter than `-`, so
+    // "n - df_t::DOUBLE * x" would compute n − df_t·x
+    def term(cnt: String, row: String, colT: String): String =
+      s"CASE WHEN $cnt = 0 THEN 0.0 ELSE " +
+        s"(($cnt)::DOUBLE / n) * ln(($cnt)::DOUBLE * n / " +
+        s"(($row)::DOUBLE * ($colT))) END"
+    s"""WITH d AS (SELECT $idCol AS id, $labelCol AS label,
+       |                  ${toksSql(textCol)} AS toks FROM $table),
+       |dt AS (SELECT DISTINCT id, label, unnest(toks) AS tok FROM d),
+       |tl AS (SELECT tok, label, count(*)::BIGINT AS a
+       |       FROM dt GROUP BY tok, label),
+       |tf AS (SELECT tok, sum(a)::BIGINT AS df_t FROM tl GROUP BY tok
+       |       HAVING sum(a) >= $minDf),
+       |ln0 AS (SELECT $labelCol AS label, count(*)::BIGINT AS n_l
+       |        FROM $table GROUP BY 1),
+       |tot AS (SELECT count(*)::BIGINT AS n FROM $table),
+       |cells AS (
+       |  SELECT tl.label, tl.tok, a, df_t, n_l,
+       |         df_t - a AS b, n_l - a AS c,
+       |         n - df_t - (n_l - a) AS d2, n
+       |  FROM tl JOIN tf USING (tok) JOIN ln0 ON ln0.label = tl.label, tot)
+       |SELECT label, tok, a, df_t, n_l,
+       |       round(${term("a", "df_t", "n_l")}
+       |             + ${term("b", "df_t", "n - n_l")}
+       |             + ${term("c", "n - df_t", "n_l")}
+       |             + ${term("d2", "n - df_t", "n - n_l")}, 6) AS mi6
+       |FROM cells""".stripMargin
+  }
+
   /** Keyword/topic tagging against a broadcast dictionary — the
     * FlashText-style "which of my curated topic lexicons does this doc
     * hit" pass used for topic-targeted subsetting (pull all finance docs,

@@ -1148,6 +1148,20 @@ object PipelineQueries {
       graft.operators.Eval.needleEval(docs(s, d), "doc_id", "text",
         col("doc_id") % 100 === 7, skip = 8, take = 24,
         window = 32, stride = 24, dim = 64, k = 5)),
+
+    // --- expected mutual information (token, language) feature ranking:
+    // the information-mass selector next to q_text_chi2's significance
+    // ranking — exact counts, fixed-order 6-dp log terms (oracle-checked) ---
+    "q_text_mi" -> ((s, d) =>
+      TextAnalysis.mutualInfo(docs(s, d), "doc_id", "text", "lang",
+        minDf = 10)),
+
+    // --- Lorenz concentration: share of corpus bytes held by the
+    // heaviest 1/2/5/10/25/50% of docs — whole-group prefixes, exact
+    // micro floors, the actionable curve next to q_scale_skew's Gini
+    // (oracle-checked) ---
+    "q_pipeline_lorenz" -> ((s, d) =>
+      graft.operators.Profile.lorenzShares(docs(s, d), col("n_chars"))),
   )
 
   /** Shared by q_dedup_incremental and q_dedup_bloom: the bloom variant's
@@ -1773,5 +1787,10 @@ object PipelineQueries {
     "q_pipeline_needle" -> graft.operators.Eval.needleEvalOracleSql(
       "doc % 100 = 7", skip = 8, take = 24,
       window = 32, stride = 24, dim = 64, k = 5),
+
+    "q_text_mi" -> TextAnalysis.mutualInfoOracleSql(),
+
+    "q_pipeline_lorenz" -> graft.operators.Profile.lorenzOracleSql(
+      "documents", "n_chars"),
   )
 }

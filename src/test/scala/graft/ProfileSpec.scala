@@ -408,4 +408,30 @@ class ProfileSpec extends SparkSpec {
     assert(got((2, "B")) == ((1L, 1L, true, true)))
   }
 
+  test("lorenzShares: whole-group prefixes, exact micro shares") {
+    import graft.operators.Profile
+    import org.apache.spark.sql.functions.col
+    // weights 100, 10, 10, 1 (n=4, total=121). Desc groups: {100}, {10,10},
+    // {1}. p=25 → first group (1 doc = 25%): share 100/121.
+    // p=50 → needs 2 docs → through the tied 10s = 3 docs, share 120/121.
+    val df = Seq(100L, 10L, 10L, 1L).toDF("w")
+    val got = Profile.lorenzShares(df, col("w"), levels = Seq(25, 50, 100))
+      .collect().map(r => r.getAs[Long]("p") ->
+        (r.getAs[Long]("docs_thru"), r.getAs[Long]("docfrac_micro"),
+          r.getAs[Long]("share_micro"))).toMap
+    assert(got(25L) == ((1L, 250000L, 826446L)))   // 100/121
+    assert(got(50L) == ((3L, 750000L, 991735L)))   // 120/121
+    assert(got(100L) == ((4L, 1000000L, 1000000L)))
+  }
+
+  test("lorenzShares: null weights are excluded, not zero-counted") {
+    import graft.operators.Profile
+    import org.apache.spark.sql.functions.col
+    val df = Seq(Some(10L), None, Some(30L)).toDF("w")
+    val got = Profile.lorenzShares(df, col("w"), levels = Seq(50))
+      .collect()(0)
+    assert(got.getAs[Long]("docs_thru") == 1L)      // of n=2, 1 doc = 50%
+    assert(got.getAs[Long]("share_micro") == 750000L) // 30/40
+  }
+
 }

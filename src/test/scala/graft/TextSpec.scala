@@ -751,4 +751,29 @@ class TextSpec extends SparkSpec {
     assert(583333L + 250000L < 1000000L)
   }
 
+  test("mutualInfo: perfectly predictive token carries the label entropy") {
+    import graft.operators.TextAnalysis
+    // 4 docs, 2 langs; "zz" appears in exactly the two "en" docs →
+    // cells A=2 B=0 C=0 D=2, every present cell term (2/4)·ln(2·4/(2·2))
+    // = 0.5·ln2 → MI = ln 2 ≈ 0.693147 (the full 1-bit label entropy)
+    val docs = Seq((1L, "zz x", "en"), (2L, "zz y", "en"),
+      (3L, "q x", "fr"), (4L, "q y", "fr")).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.mutualInfo(docs, "doc_id", "text", "lang",
+      minDf = 1).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(got(("en", "zz")) == 0.693147)
+    assert(got(("fr", "q")) == 0.693147)
+    // an uninformative token (x: one doc per lang) carries zero
+    assert(got(("en", "x")) == 0.0 && got(("fr", "x")) == 0.0)
+  }
+
+  test("mutualInfo: minDf floors the vocabulary") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "common rare", "en"), (2L, "common", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val toks = TextAnalysis.mutualInfo(docs, "doc_id", "text", "lang",
+      minDf = 2).collect().map(_.getString(1)).toSet
+    assert(toks == Set("common"))
+  }
+
 }
