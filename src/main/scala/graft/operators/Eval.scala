@@ -28,25 +28,31 @@ object Eval {
     * Adds `below_<c>` for each aggregate column `c`.
     */
   private[operators] def cumBelow(perValue: DataFrame, valueCol: String,
-      sumCols: Seq[String], bucketWidth: Long): DataFrame = {
+      sumCols: Seq[String], bucketWidth: Long,
+      partCols: Seq[String] = Seq.empty): DataFrame = {
     require(bucketWidth >= 1)
     val v = col(valueCol)
     val bucketed = perValue.withColumn("__bkt",
       expr(s"($valueCol - pmod($valueCol, $bucketWidth)) div $bucketWidth"))
-    val wLower = Window.orderBy(col("__bkt").asc)
+    // partCols scope every level to a group (the per-subgroup variants);
+    // empty = the original global-curve behavior. Window.partitionBy with
+    // zero columns IS the unpartitioned window.
+    val wLower = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col("__bkt").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val bktAggs = sumCols.map(c => sum(col(c)).as(s"__bc_$c"))
-    val bktTot = bucketed.groupBy(col("__bkt"))
+    val bktTot = bucketed.groupBy((partCols :+ "__bkt").map(col): _*)
       .agg(bktAggs.head, bktAggs.tail: _*)
-      .select(col("__bkt") +: sumCols.map(c =>
+      .select((partCols :+ "__bkt").map(col) ++ sumCols.map(c =>
         coalesce(sum(col(s"__bc_$c")).over(wLower), lit(0L))
           .as(s"__lower_$c")): _*)
-    val wWithin = Window.partitionBy(col("__bkt")).orderBy(v.asc)
+    val wWithin = Window.partitionBy((partCols :+ "__bkt").map(col): _*)
+      .orderBy(v.asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     bucketed
       .select((bucketed.columns.map(col).toSeq ++ sumCols.map(c =>
         coalesce(sum(col(c)).over(wWithin), lit(0L)).as(s"__within_$c"))): _*)
-      .join(bktTot, "__bkt")
+      .join(bktTot, partCols :+ "__bkt")
       .select((perValue.columns.map(col).toSeq ++ sumCols.map(c =>
         (col(s"__lower_$c") + col(s"__within_$c")).as(s"below_$c"))): _*)
   }
@@ -55,14 +61,19 @@ object Eval {
     * `<out>` with columns of `perValueCte` plus `below_<c>` per sum column.
     */
   private[operators] def cumBelowSql(perValueCte: String, valueCol: String,
-      sumCols: Seq[String], bucketWidth: Long, out: String): String = {
+      sumCols: Seq[String], bucketWidth: Long, out: String,
+      partCols: Seq[String] = Seq.empty): String = {
+    val pb = if (partCols.isEmpty) "" else partCols.mkString("PARTITION BY ", ", ", " ")
+    val pbB = if (partCols.isEmpty) "PARTITION BY __bkt"
+      else (partCols :+ "__bkt").mkString("PARTITION BY ", ", ", "")
+    val grp = (partCols :+ "__bkt").mkString(", ")
     val bsums = sumCols.map(c => s"sum($c)::BIGINT AS __bc_$c").mkString(", ")
     val lowers = sumCols.map(c =>
-      s"""coalesce(sum(__bc_$c) OVER (ORDER BY __bkt ASC
+      s"""coalesce(sum(__bc_$c) OVER ($pb ORDER BY __bkt ASC
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS __lower_$c""".stripMargin)
       .mkString(",\n    ")
     val withins = sumCols.map(c =>
-      s"""coalesce(sum($c) OVER (PARTITION BY __bkt ORDER BY $valueCol ASC
+      s"""coalesce(sum($c) OVER ($pbB ORDER BY $valueCol ASC
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS __within_$c""".stripMargin)
       .mkString(",\n    ")
     val belows = sumCols.map(c =>
@@ -72,15 +83,15 @@ object Eval {
        |    % $bucketWidth)) // $bucketWidth AS __bkt
        |  FROM $perValueCte),
        |${out}_t AS (
-       |  SELECT __bkt,
+       |  SELECT ${(partCols :+ "__bkt").mkString(", ")},
        |    $lowers
-       |  FROM (SELECT __bkt, $bsums FROM ${out}_b GROUP BY __bkt)),
+       |  FROM (SELECT $grp, $bsums FROM ${out}_b GROUP BY $grp)),
        |$out AS (
        |  SELECT b.* EXCLUDE (__bkt), $belows
        |  FROM (SELECT *,
        |    $withins
        |    FROM ${out}_b) b
-       |  JOIN ${out}_t t USING (__bkt))""".stripMargin
+       |  JOIN ${out}_t t USING ($grp))""".stripMargin
   }
 
   /** Exact tie-aware ROC-AUC / Mann-Whitney U — "is this score actually
@@ -153,6 +164,55 @@ object Eval {
        |             ELSE 2 * ((u2 * 1000000) // (2::HUGEINT * n_pos * n_neg))
        |                  - 1000000 END)::BIGINT AS gini_micro
        |FROM agg""".stripMargin
+
+  /** Per-subgroup [[rocAuc]] — the fairness/consistency audit: a quality
+    * signal that is predictive overall can be flat (or inverted) inside a
+    * subgroup, and a filter tuned on the pooled AUC then silently
+    * over-prunes that slice. One row per group with the same exact
+    * rank-sum arithmetic, every window and aggregate additionally keyed by
+    * the group — per-group work is bounded by the group's distinct-score
+    * count, and groups distribute freely across executors.
+    */
+  def rocAucBy(df: DataFrame, groupCol: String, score: Column,
+      label: Column): DataFrame = {
+    val per = df.select(col(groupCol).as("g"), score.cast("long").as("s"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .groupBy(col("g"), col("s"))
+      .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+    cumBelow(per, "s", Seq("neg"), bucketWidth = 1024L, partCols = Seq("g"))
+      .groupBy(col("g"))
+      .agg(
+        coalesce(sum(col("pos")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("neg")), lit(0L)).as("n_neg"),
+        coalesce(sum(expr(
+          "CAST(pos AS DECIMAL(38,0)) * (2 * below_neg + neg)")),
+          lit(0L).cast("decimal(38,0)")).as("__u2"))
+      .select(col("g"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(0L))
+          .otherwise(expr(
+            "(__u2 * 1000000) div (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)"))
+          .as("auc_micro"))
+  }
+
+  /** DuckDB replay of [[rocAucBy]]. */
+  def rocAucByOracleSql(table: String, groupExpr: String, scoreExpr: String,
+      labelPredSql: String): String =
+    s"""WITH per AS (
+       |  SELECT g, s, sum(y)::BIGINT AS pos, sum(1 - y)::BIGINT AS neg FROM (
+       |    SELECT ($groupExpr) AS g, ($scoreExpr)::BIGINT AS s,
+       |           CASE WHEN $labelPredSql THEN 1 ELSE 0 END AS y
+       |    FROM $table)
+       |  GROUP BY g, s),
+       |${cumBelowSql("per", "s", Seq("neg"), 1024L, "cum", Seq("g"))}
+       |SELECT g, coalesce(sum(pos), 0)::BIGINT AS n_pos,
+       |       coalesce(sum(neg), 0)::BIGINT AS n_neg,
+       |       (CASE WHEN coalesce(sum(pos), 0) = 0
+       |                  OR coalesce(sum(neg), 0) = 0 THEN 0
+       |             ELSE (coalesce(sum(pos::HUGEINT * (2 * below_neg + neg)),
+       |                            0) * 1000000)
+       |                  // (2::HUGEINT * sum(pos) * sum(neg))
+       |        END)::BIGINT AS auc_micro
+       |FROM cum GROUP BY g""".stripMargin
 
   /** Spearman rank correlation between two integer-valued columns — the
     * monotonic-association check run between every pair of quality signals

@@ -1162,6 +1162,13 @@ object PipelineQueries {
     // (oracle-checked) ---
     "q_pipeline_lorenz" -> ((s, d) =>
       graft.operators.Profile.lorenzShares(docs(s, d), col("n_chars"))),
+
+    // --- per-source AUC of the length signal for lang='en': the subgroup
+    // fairness audit next to q_pipeline_auc's pooled number — a filter
+    // tuned on pooled AUC can invert inside one source (oracle-checked) ---
+    "q_pipeline_auc_by" -> ((s, d) =>
+      graft.operators.Eval.rocAucBy(docs(s, d), "source", col("n_chars"),
+        col("lang") === "en")),
   )
 
   /** Shared by q_dedup_incremental and q_dedup_bloom: the bloom variant's
@@ -1792,5 +1799,8 @@ object PipelineQueries {
 
     "q_pipeline_lorenz" -> graft.operators.Profile.lorenzOracleSql(
       "documents", "n_chars"),
+
+    "q_pipeline_auc_by" -> graft.operators.Eval.rocAucByOracleSql(
+      "documents", "source", "n_chars", "lang = 'en'"),
   )
 }

@@ -134,6 +134,35 @@ object SourceQueries {
         col("length"), md5(col("content")).as("content_md5"))
   }
 
+  /** Dynamic partition overwrite — the backfill/compaction write path of a
+    * partitioned lake table: a rewrite job recomputes ONE partition and
+    * `partitionOverwriteMode=dynamic` replaces exactly the partitions the
+    * job produced, leaving every other partition's files untouched (static
+    * mode would truncate the whole table first — the classic
+    * lost-partitions accident this option exists to prevent). Here the
+    * full orders layout lands partitioned by priority, the 1-URGENT
+    * partition is rewritten with patched customer keys, and the read-back
+    * aggregate must show patched 1-URGENT + original everything-else —
+    * which is exactly what the oracle computes from the source table.
+    */
+  private def dynamicOverwrite(s: SparkSession, d: String): DataFrame = {
+    Tables.load(s, d)
+    val dir = Tables.scratchDir(s, "dyn_overwrite")
+    val src = s.table("orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    src.write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+    src.where(col("o_orderpriority") === "1-URGENT")
+      .withColumn("o_custkey", col("o_custkey") + 1000000L)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_orderpriority").parquet(dir)
+    s.read.parquet(dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_custkey")).as("cust_sum"),
+        min(col("o_orderkey")).as("min_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_text_roundtrip" -> ((s, d) => textRoundtrip(s, d)),
     "q_source_binary" -> ((s, d) => binaryRoundtrip(s, d)),
@@ -143,6 +172,7 @@ object SourceQueries {
     "q_source_codecs" -> ((s, d) => codecs(s, d)),
     "q_source_evolution" -> ((s, d) => evolution(s, d)),
     "q_source_partitioned" -> ((s, d) => partitionedPrune(s, d)),
+    "q_source_dyn_overwrite" -> ((s, d) => dynamicOverwrite(s, d)),
   )
 
   /** Parquet compression-codec round-trip: the same slice written with
@@ -213,5 +243,14 @@ object SourceQueries {
       """SELECT 'doc_' || doc_id || '.bin' AS fname,
         |       strlen(text)::BIGINT AS length, md5(text) AS content_md5
         |FROM documents WHERE doc_id < 20""".stripMargin,
+    // final layout = patched 1-URGENT partition + untouched others; a
+    // static overwrite would have dropped every non-1-URGENT row
+    "q_source_dyn_overwrite" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       sum(o_custkey + CASE WHEN o_orderpriority = '1-URGENT'
+        |                            THEN 1000000 ELSE 0 END)::BIGINT
+        |         AS cust_sum,
+        |       min(o_orderkey)::BIGINT AS min_key
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
   )
 }

@@ -51,6 +51,26 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Long]("auc_micro") == 1000000L) // perfectly separable
   }
 
+  test("rocAucBy: per-group AUC isolates an inverted subgroup") {
+    // group A: score predicts label perfectly; group B: perfectly inverted
+    val df = Seq(("A", 2L, true), ("A", 1L, false),
+      ("B", 1L, true), ("B", 2L, false)).toDF("g", "s", "y")
+    val got = Eval.rocAucBy(df, "g", col("s"), col("y")).collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Long]("auc_micro")).toMap
+    assert(got("A") == 1000000L && got("B") == 0L)
+    // pooled over the same rows: the inversion cancels to 0.5
+    assert(Eval.rocAuc(df, col("s"), col("y")).collect()(0)
+      .getAs[Long]("auc_micro") == 500000L)
+  }
+
+  test("rocAucBy: a single-class group reports 0, others unaffected") {
+    val df = Seq(("A", 2L, true), ("A", 1L, false), ("C", 5L, true))
+      .toDF("g", "s", "y")
+    val got = Eval.rocAucBy(df, "g", col("s"), col("y")).collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Long]("auc_micro")).toMap
+    assert(got("A") == 1000000L && got("C") == 0L)
+  }
+
   // ---- spearman --------------------------------------------------------
 
   test("spearman: exact monotone relation gives rho 1, reversed gives -1") {

@@ -128,4 +128,23 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition overwrite touches ONLY the rewritten partition") {
+    import spark.implicits._
+    val dir = graft.sources.Tables.scratchDir(spark, "dyn_overwrite_spec")
+    val src = Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b"),
+      (4L, 40L, "c")).toDF("k", "v", "p")
+    src.write.mode("overwrite").partitionBy("p").parquet(dir)
+    // rewrite partition b only, with patched values
+    Seq((3L, 999L, "b")).toDF("k", "v", "p")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("p").parquet(dir)
+    val back = spark.read.parquet(dir)
+      .collect().map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("v"), r.getAs[String]("p"))).toMap
+    // a and c partitions intact (static mode would have dropped them)
+    assert(back == Map(1L -> ((10L, "a")), 2L -> ((20L, "a")),
+      3L -> ((999L, "b")), 4L -> ((40L, "c"))))
+  }
+
 }
