@@ -1191,6 +1191,95 @@ object TextAnalysis {
        |FROM cells""".stripMargin
   }
 
+  /** Corpus-pair unigram KL divergence — the TEXT drift detector next to
+    * the numeric [[Profile.psiDrift]]/[[Profile.ksDrift]]: for each group
+    * g ≠ `base`, KL(P_g ‖ P_base) over the shared vocabulary with add-one
+    * smoothing,
+    *   KL = Σ_t p_g(t) · ln(p_g(t)/p_b(t)),
+    *   p_x(t) = (c_x(t)+1)/(n_x+V).
+    * A rising KL between an incoming batch and the trusted corpus is the
+    * "this crawl slice is not the distribution we trained the filters on"
+    * alarm that token-level quality scores cannot raise.
+    *
+    * Determinism contract for the Σ: a distributed double sum is
+    * partition-order-dependent, so each vocab term is projected to
+    * fixed-point FIRST — round(term·1e9) → BIGINT — and the sum is exact
+    * integer arithmetic in any order. Per-term doubles are composed from
+    * exact counts in a fixed shape (cast-then-multiply, one ln, one
+    * multiply), the same IEEE-determinism contract as [[collocations]].
+    *
+    * Scale shape: one token-count aggregate, a vocab×groups grid (groups
+    * broadcast — group count is small by construction; vocab distributes),
+    * two equi-joins, one final per-group sum. `minCount` floors the vocab
+    * (V changes with it, deliberately — the smoothing mass follows the
+    * kept vocabulary).
+    */
+  def corpusKl(df: org.apache.spark.sql.DataFrame, textCol: String,
+      groupCol: String, base: String, minCount: Long = 1L)
+      : org.apache.spark.sql.DataFrame = {
+    val cnt = Caching.persist(df
+      .select(col(groupCol).as("g"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("g"), col("tok")).agg(count(lit(1)).as("c")))
+    val vocab = Caching.persist(cnt.groupBy(col("tok"))
+      .agg(sum(col("c")).as("ct")).where(col("ct") >= minCount)
+      .select(col("tok")))
+    val vSize = vocab.agg(count(lit(1)).as("v"))
+    val nTot = cnt.join(vocab, "tok").groupBy(col("g"))
+      .agg(sum(col("c")).as("n_g"))
+    val baseCnt = cnt.where(col("g") === base).join(vocab, "tok")
+      .select(col("tok"), col("c").as("cb"))
+    val baseTot = nTot.where(col("g") === base)
+      .select(col("n_g").as("n_b"))
+    val grid = vocab.crossJoin(broadcast(nTot.where(col("g") =!= base)))
+    val term = expr(
+      """(CAST(c + 1 AS DOUBLE) / (n_g + v)) *
+        | ln((CAST(c + 1 AS DOUBLE) * (n_b + v)) /
+        |     (CAST(cb + 1 AS DOUBLE) * (n_g + v)))""".stripMargin
+        .replace("\n", " "))
+    grid
+      .join(cnt, Seq("g", "tok"), "left")
+      .join(baseCnt, Seq("tok"), "left")
+      .na.fill(0L, Seq("c", "cb"))
+      .crossJoin(broadcast(vSize)).crossJoin(broadcast(baseTot))
+      .groupBy(col("g"))
+      .agg(max(col("n_g")).as("n_g"), max(col("v")).as("v"),
+        sum(round(term * 1e9, 0).cast("long")).as("kl_nano"))
+  }
+
+  /** DuckDB replay of [[corpusKl]] (same smoothing, same per-term 1e9
+    * fixed-point projection, exact integer sum).
+    */
+  def corpusKlOracleSql(groupExpr: String, base: String,
+      minCount: Long = 1L, table: String = "documents",
+      textCol: String = "text"): String =
+    s"""WITH cnt AS (
+       |  SELECT g, tok, count(*)::BIGINT AS c FROM (
+       |    SELECT ($groupExpr) AS g, unnest(${toksSql(textCol)}) AS tok
+       |    FROM $table)
+       |  GROUP BY g, tok),
+       |vocab AS (SELECT tok FROM cnt GROUP BY tok
+       |          HAVING sum(c) >= $minCount),
+       |vs AS (SELECT count(*)::BIGINT AS v FROM vocab),
+       |ntot AS (SELECT g, sum(c)::BIGINT AS n_g
+       |         FROM cnt JOIN vocab USING (tok) GROUP BY g),
+       |bc AS (SELECT tok, c AS cb FROM cnt JOIN vocab USING (tok)
+       |       WHERE g = '$base'),
+       |bt AS (SELECT n_g AS n_b FROM ntot WHERE g = '$base'),
+       |grid AS (SELECT v2.tok, n.g, n.n_g FROM vocab v2
+       |         CROSS JOIN (SELECT * FROM ntot WHERE g <> '$base') n),
+       |terms AS (
+       |  SELECT grid.g, grid.n_g, vs.v,
+       |         round(((coalesce(cnt.c, 0) + 1)::DOUBLE / (grid.n_g + vs.v)) *
+       |               ln(((coalesce(cnt.c, 0) + 1)::DOUBLE * (bt.n_b + vs.v)) /
+       |                  ((coalesce(bc.cb, 0) + 1)::DOUBLE * (grid.n_g + vs.v)))
+       |               * 1e9)::BIGINT AS t_nano
+       |  FROM grid
+       |  LEFT JOIN cnt ON cnt.g = grid.g AND cnt.tok = grid.tok
+       |  LEFT JOIN bc ON bc.tok = grid.tok, vs, bt)
+       |SELECT g, max(n_g)::BIGINT AS n_g, max(v)::BIGINT AS v,
+       |       sum(t_nano)::BIGINT AS kl_nano
+       |FROM terms GROUP BY g""".stripMargin
+
   /** Keyword/topic tagging against a broadcast dictionary — the
     * FlashText-style "which of my curated topic lexicons does this doc
     * hit" pass used for topic-targeted subsetting (pull all finance docs,

@@ -1169,6 +1169,13 @@ object PipelineQueries {
     "q_pipeline_auc_by" -> ((s, d) =>
       graft.operators.Eval.rocAucBy(docs(s, d), "source", col("n_chars"),
         col("lang") === "en")),
+
+    // --- corpus-pair unigram KL divergence vs the 'en' slice: the TEXT
+    // drift detector next to the numeric PSI/KS — add-one smoothing,
+    // per-term 1e9 fixed-point so the sum is exact in any order
+    // (oracle-checked) ---
+    "q_text_kl" -> ((s, d) =>
+      TextAnalysis.corpusKl(docs(s, d), "text", "lang", base = "en")),
   )
 
   /** Shared by q_dedup_incremental and q_dedup_bloom: the bloom variant's
@@ -1802,5 +1809,7 @@ object PipelineQueries {
 
     "q_pipeline_auc_by" -> graft.operators.Eval.rocAucByOracleSql(
       "documents", "source", "n_chars", "lang = 'en'"),
+
+    "q_text_kl" -> TextAnalysis.corpusKlOracleSql("lang", base = "en"),
   )
 }

@@ -375,4 +375,24 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bnlj.isEmpty,
       "the lookback range predicate must ride an equi join on user_id")
   }
+
+  test("eval rank-sums: bucketed below-sums join on equi-keys, no BNLJ") {
+    // rocAuc/decisionStump/lorenz ride the two-level bucketed prefix sum:
+    // the bucket-total lookup must be an equi join on the bucket id —
+    // never a range join — and nothing nest-loops except the pinned
+    // one-row totals broadcasts (stump's tot, lorenz's tot+levels)
+    for ((q, allowed) <- Seq("q_pipeline_auc" -> 0, "q_pipeline_stump" -> 1,
+      "q_pipeline_lorenz" -> 2)) {
+      val (_, plan) = executed(q)
+      val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+      assert(bnlj.size <= allowed,
+        s"$q: only $allowed one-row broadcast(s) may nest-loop; got ${bnlj.size}")
+    }
+  }
+
+  test("rocAucBy: subgroup curves shuffle by group, never nested-loop") {
+    val (_, plan) = executed("q_pipeline_auc_by")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty, "grouped AUC must plan group-keyed equi joins only")
+  }
 }

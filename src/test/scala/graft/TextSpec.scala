@@ -767,6 +767,32 @@ class TextSpec extends SparkSpec {
     assert(got(("en", "x")) == 0.0 && got(("fr", "x")) == 0.0)
   }
 
+  test("corpusKl: identical distributions → 0, divergence is asymmetric-positive") {
+    import graft.operators.TextAnalysis
+    // "same" has the base's distribution exactly; "diff" is disjoint
+    val docs = Seq((1L, "a b a", "base"), (2L, "a b a", "same"),
+      (3L, "x y x", "diff")).toDF("doc_id", "text", "grp")
+    val got = TextAnalysis.corpusKl(docs, "text", "grp", base = "base")
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n_g"), r.getAs[Long]("v"),
+          r.getAs[Long]("kl_nano"))).toMap
+    assert(got.keySet == Set("same", "diff"))
+    assert(got("same")._3 == 0L)            // same smoothed distribution
+    assert(got("diff")._3 > 0L)             // disjoint vocab diverges
+    assert(got("same")._1 == 3L && got("same")._2 == 4L) // vocab a,b,x,y
+  }
+
+  test("corpusKl: minCount shrinks the vocabulary and smoothing mass") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "a a a rare", "base"), (2L, "a a b", "g2"))
+      .toDF("doc_id", "text", "grp")
+    // corpus counts: a=5, rare=1, b=1 → only "a" survives minCount=2
+    val row = TextAnalysis.corpusKl(docs, "text", "grp", base = "base",
+      minCount = 2L).collect()(0)
+    assert(row.getAs[Long]("v") == 1L)
+    assert(row.getAs[Long]("n_g") == 2L) // g2's tokens within kept vocab
+  }
+
   test("mutualInfo: minDf floors the vocabulary") {
     import graft.operators.TextAnalysis
     val docs = Seq((1L, "common rare", "en"), (2L, "common", "fr"))
