@@ -372,6 +372,131 @@ object Eval {
        |         AS root_gini_micro
        |FROM scored ORDER BY giniw_micro ASC, v ASC LIMIT 1""".stripMargin
 
+  /** Brier score with the Murphy (1973) decomposition — the standard
+    * probability-forecast audit: given per-row predicted probabilities (in
+    * micro units, 0..1e6) and binary outcomes,
+    *   BS = REL − RES + UNC
+    * where reliability (calibration error of the binned forecasts),
+    * resolution (how far the bins' outcome rates spread from the base
+    * rate), and uncertainty (base-rate variance) are computed over
+    * `bins` equal-width probability bins. The one-table answer to "is the
+    * quality model calibrated, and does it actually separate?" that a bare
+    * AUC cannot give ([[rocAuc]] is rank-only).
+    *
+    * All-integer contract: every term is exact rational on DECIMAL(38,0)
+    * with pinned two-step floors (per-bin floor, then the final micro
+    * floor) — documented ceiling N ~ 2e8 rows per call for the N⁴ products
+    * (shard-and-pool beyond; DuckDB's HUGEINT matches the carrier).
+    * Empty input returns n = 0 with zero components rather than dividing.
+    *
+    * Scale shape: one hash aggregate to ≤ bins+1 rows, then constant-size
+    * arithmetic — the cheapest possible pass.
+    */
+  def brierDecomposition(df: DataFrame, probMicro: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1)
+    val w = 1000000L / bins
+    val base = df.select(probMicro.cast("long").as("p"),
+      when(label, 1L).otherwise(0L).as("y"))
+    val perBin = base
+      .groupBy(expr(s"p div $w").as("bin"))
+      .agg(count(lit(1)).as("n_k"), sum(col("p")).as("sum_p"),
+        sum(col("y")).as("sum_y"))
+      .transform(Caching.persist)
+    val tot = perBin.agg(
+      coalesce(sum(col("n_k")), lit(0L)).as("n"),
+      coalesce(sum(col("sum_y")), lit(0L)).as("sy"))
+    val bs = base.crossJoin(broadcast(tot.select(col("n"))))
+      .agg(coalesce(sum(expr(
+        """CAST(p - 1000000 * y AS DECIMAL(38,0))
+          | * (p - 1000000 * y)""".stripMargin.replace("\n", " "))),
+        lit(0L).cast("decimal(38,0)")).as("__sq"),
+        max(col("n")).as("__n"))
+      .select(when(col("__n").isNull || col("__n") === 0, lit(0L))
+        .otherwise(expr("__sq div (CAST(__n AS DECIMAL(38,0)) * 1000000)"))
+        .as("brier_micro"))
+    val comps = perBin.crossJoin(broadcast(tot))
+      .agg(
+        max(col("n")).as("n"), max(col("sy")).as("sy"),
+        count(lit(1)).as("n_bins"),
+        // Σ_k (sum_p − 1e6·sum_y)² / n_k  — per-bin floor
+        coalesce(sum(expr(
+          """(CAST(sum_p - 1000000 * sum_y AS DECIMAL(38,0))
+            | * (sum_p - 1000000 * sum_y)) div n_k""".stripMargin
+            .replace("\n", " "))), lit(0L).cast("decimal(38,0)"))
+          .as("__rel_sum"),
+        // Σ_k (sum_y·N − Sy·n_k)² / n_k
+        coalesce(sum(expr(
+          """(CAST(sum_y * n - sy * n_k AS DECIMAL(38,0))
+            | * (sum_y * n - sy * n_k)) div n_k""".stripMargin
+            .replace("\n", " "))), lit(0L).cast("decimal(38,0)"))
+          .as("__res_sum"))
+      .select(col("n"), col("sy"), col("n_bins"),
+        when(col("n") === 0, lit(0L))
+          .otherwise(expr(
+            "__rel_sum div (CAST(n AS DECIMAL(38,0)) * 1000000)"))
+          .as("rel_micro"),
+        when(col("n") === 0, lit(0L))
+          .otherwise(expr(
+            """(__res_sum * 1000000)
+              | div (CAST(n AS DECIMAL(38,0)) * n * n)""".stripMargin
+              .replace("\n", " "))).as("res_micro"),
+        when(col("n") === 0, lit(0L))
+          .otherwise(expr(
+            """(CAST(sy AS DECIMAL(38,0)) * (n - sy) * 1000000)
+              | div (CAST(n AS DECIMAL(38,0)) * n)""".stripMargin
+              .replace("\n", " "))).as("unc_micro"))
+    comps.crossJoin(bs)
+      .select(col("n"), col("n_bins"), col("brier_micro"),
+        col("rel_micro"), col("res_micro"), col("unc_micro"))
+  }
+
+  /** DuckDB replay of [[brierDecomposition]] (same bins, same two-step
+    * floors on the HUGEINT carrier).
+    */
+  def brierOracleSql(table: String, probMicroExpr: String,
+      labelPredSql: String, bins: Int = 10): String = {
+    val w = 1000000L / bins
+    s"""WITH base AS (
+       |  SELECT ($probMicroExpr)::BIGINT AS p,
+       |         CASE WHEN $labelPredSql THEN 1 ELSE 0 END AS y
+       |  FROM $table),
+       |per_bin AS (
+       |  SELECT p // $w AS bin, count(*)::BIGINT AS n_k,
+       |         sum(p)::BIGINT AS sum_p, sum(y)::BIGINT AS sum_y
+       |  FROM base GROUP BY 1),
+       |tot AS (SELECT coalesce(sum(n_k), 0)::BIGINT AS n,
+       |               coalesce(sum(sum_y), 0)::BIGINT AS sy FROM per_bin),
+       |bs AS (
+       |  SELECT CASE WHEN n = 0 THEN 0
+       |              ELSE coalesce(sum((p - 1000000 * y)::HUGEINT
+       |                                * (p - 1000000 * y)), 0)
+       |                   // (n::HUGEINT * 1000000) END AS brier_micro
+       |  FROM base, tot GROUP BY n),
+       |comps AS (
+       |  SELECT max(n) AS n, max(sy) AS sy, count(*)::BIGINT AS n_bins,
+       |         coalesce(sum(((sum_p - 1000000 * sum_y)::HUGEINT
+       |                       * (sum_p - 1000000 * sum_y)) // n_k), 0)
+       |           AS rel_sum,
+       |         coalesce(sum(((sum_y * n - sy * n_k)::HUGEINT
+       |                       * (sum_y * n - sy * n_k)) // n_k), 0)
+       |           AS res_sum
+       |  FROM per_bin, tot)
+       |SELECT n::BIGINT AS n, n_bins,
+       |       coalesce((SELECT brier_micro FROM bs), 0)::BIGINT
+       |         AS brier_micro,
+       |       (CASE WHEN n = 0 THEN 0
+       |             ELSE rel_sum // (n::HUGEINT * 1000000) END)::BIGINT
+       |         AS rel_micro,
+       |       (CASE WHEN n = 0 THEN 0
+       |             ELSE (res_sum * 1000000)
+       |                  // (n::HUGEINT * n * n) END)::BIGINT AS res_micro,
+       |       (CASE WHEN n = 0 THEN 0
+       |             ELSE (sy::HUGEINT * (n - sy) * 1000000)
+       |                  // (n::HUGEINT * n) END)::BIGINT AS unc_micro
+       |FROM comps""".stripMargin
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
     * standard hybrid-search combiner: two rankers score the same per-query
     * candidate lists, each candidate's fused score is

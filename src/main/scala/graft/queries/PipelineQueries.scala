@@ -1176,6 +1176,15 @@ object PipelineQueries {
     // (oracle-checked) ---
     "q_text_kl" -> ((s, d) =>
       TextAnalysis.corpusKl(docs(s, d), "text", "lang", base = "en")),
+
+    // --- Brier score + Murphy decomposition of the length pseudo-
+    // probability for lang='en': REL−RES+UNC in exact micro floors — the
+    // calibration/separation audit next to q_pipeline_auc's rank view
+    // (oracle-checked) ---
+    "q_pipeline_brier" -> ((s, d) =>
+      graft.operators.Eval.brierDecomposition(docs(s, d),
+        least(col("n_chars"), lit(1000L)) * 1000L,
+        col("lang") === "en")),
   )
 
   /** Shared by q_dedup_incremental and q_dedup_bloom: the bloom variant's
@@ -1811,5 +1820,8 @@ object PipelineQueries {
       "documents", "source", "n_chars", "lang = 'en'"),
 
     "q_text_kl" -> TextAnalysis.corpusKlOracleSql("lang", base = "en"),
+
+    "q_pipeline_brier" -> graft.operators.Eval.brierOracleSql(
+      "documents", "least(n_chars, 1000) * 1000", "lang = 'en'"),
   )
 }

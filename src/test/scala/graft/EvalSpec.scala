@@ -126,6 +126,44 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Long]("threshold") == 1L) // v=2 (nl=n) excluded
   }
 
+  // ---- brierDecomposition ---------------------------------------------
+
+  test("brier: perfect confident forecasts score 0 everywhere but UNC=RES") {
+    // p=1e6 for all positives, 0 for all negatives → BS=0, REL=0,
+    // RES=UNC=ō(1−ō)=0.25
+    val df = Seq((1000000L, true), (1000000L, true), (0L, false),
+      (0L, false)).toDF("p", "y")
+    val r = Eval.brierDecomposition(df, col("p"), col("y")).collect()(0)
+    assert(r.getAs[Long]("brier_micro") == 0L)
+    assert(r.getAs[Long]("rel_micro") == 0L)
+    assert(r.getAs[Long]("res_micro") == 250000L)
+    assert(r.getAs[Long]("unc_micro") == 250000L)
+  }
+
+  test("brier: base-rate forecast has zero resolution, REL by miscalibration") {
+    // constant p=0.5 on a 50% base rate: perfectly calibrated (REL=0),
+    // zero resolution, BS = UNC = 0.25
+    val df = Seq((500000L, true), (500000L, false)).toDF("p", "y")
+    val r = Eval.brierDecomposition(df, col("p"), col("y")).collect()(0)
+    assert(r.getAs[Long]("brier_micro") == 250000L)
+    assert(r.getAs[Long]("rel_micro") == 0L)
+    assert(r.getAs[Long]("res_micro") == 0L)
+    assert(r.getAs[Long]("unc_micro") == 250000L)
+    assert(r.getAs[Long]("n_bins") == 1L)
+  }
+
+  test("brier: miscalibrated constant forecast shows up in REL exactly") {
+    // p=0.9 everywhere, base rate 0.5: REL=(0.9−0.5)²=0.16,
+    // BS=(0.4²+0.9²)/2... per-row: pos (0.1)²=0.01, neg (0.9)²=0.81 →
+    // BS=0.41 = REL − RES + UNC = 160000 − 0 + 250000 = 410000
+    val df = Seq((900000L, true), (900000L, false)).toDF("p", "y")
+    val r = Eval.brierDecomposition(df, col("p"), col("y")).collect()(0)
+    assert(r.getAs[Long]("brier_micro") == 410000L)
+    assert(r.getAs[Long]("rel_micro") == 160000L)
+    assert(r.getAs[Long]("res_micro") == 0L)
+    assert(r.getAs[Long]("unc_micro") == 250000L)
+  }
+
   // ---- rrfFuse ---------------------------------------------------------
 
   test("rrfFuse: agreement keeps order; k damping and micro units exact") {
