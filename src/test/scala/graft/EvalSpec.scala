@@ -126,6 +126,33 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Long]("threshold") == 1L) // v=2 (nl=n) excluded
   }
 
+  test("rocAuc invariance: any strictly monotone score transform is a no-op") {
+    // AUC is rank-only — affine and nonlinear monotone rescalings must
+    // reproduce the SAME micro value (the property that makes rank metrics
+    // robust where Brier is not)
+    val df = spark.range(200).select(
+      ((col("id") * 37) % 101).as("s"),
+      ((col("id") % 3) === 0).as("y"))
+    val base = Eval.rocAuc(df, col("s"), col("y")).collect()(0)
+      .getAs[Long]("auc_micro")
+    assert(Eval.rocAuc(df, col("s") * 1000 + 7, col("y")).collect()(0)
+      .getAs[Long]("auc_micro") == base)
+    assert(Eval.rocAuc(df, col("s") * col("s") * 3, col("y")).collect()(0)
+      .getAs[Long]("auc_micro") == base) // s >= 0 → s² monotone
+  }
+
+  test("spearman invariance: monotone transforms preserve rho exactly") {
+    val df = spark.range(100).select(
+      ((col("id") * 13) % 97).as("x"),
+      ((col("id") * 29) % 89).as("y"))
+    val base = Eval.spearman(df, col("x"), col("y")).collect()(0)
+      .getAs[Double]("rho6")
+    assert(Eval.spearman(df, col("x") * 500 + 3, col("y")).collect()(0)
+      .getAs[Double]("rho6") == base)
+    assert(Eval.spearman(df, col("x"), col("y") * col("y")).collect()(0)
+      .getAs[Double]("rho6") == base)
+  }
+
   // ---- brierDecomposition ---------------------------------------------
 
   test("brier: perfect confident forecasts score 0 everywhere but UNC=RES") {
