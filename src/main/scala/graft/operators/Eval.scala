@@ -560,6 +560,67 @@ object Eval {
        |  FROM fused)
        |WHERE fused_rank <= $topN""".stripMargin
 
+  /** One-stop EVAL REPORT — the model-eval companion to
+    * [[Profile.datasetCard]]: the pooled AUC/Gini, the full Brier
+    * decomposition, the feature-target Spearman, and the best stump
+    * threshold of a (score, label) pair as ONE (metric, value_micro)
+    * BIGINT table. Each block reuses the standalone operator verbatim
+    * (plan-identical subtrees share session cache with the standalone
+    * gates); Spearman's 6-dp double is projected to micro by the same
+    * round both engines compute.
+    */
+  def evalReport(df: DataFrame, score: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    val auc = rocAuc(df, score, label)
+    val brier = brierDecomposition(df, score, label, bins)
+      .select(col("brier_micro"), col("rel_micro"), col("res_micro"),
+        col("unc_micro"))
+    val rho = spearman(df, score, when(label, 1L).otherwise(0L))
+      .select(round(col("rho6") * 1e6, 0).cast("long").as("rho_micro"))
+    val stump = decisionStump(df, score, label)
+      .select(col("threshold"), col("giniw_micro"))
+    def rows(src: DataFrame, cols: (String, String)*): DataFrame =
+      cols.map { case (m, c) =>
+        src.select(lit(m).as("metric"), col(c).cast("long").as("value"))
+      }.reduce(_ unionAll _)
+    rows(auc, "auc_micro" -> "auc_micro", "gini_micro" -> "gini_micro",
+      "n_pos" -> "n_pos", "n_neg" -> "n_neg")
+      .unionAll(rows(brier, "brier_micro" -> "brier_micro",
+        "rel_micro" -> "rel_micro", "res_micro" -> "res_micro",
+        "unc_micro" -> "unc_micro"))
+      .unionAll(rows(rho, "spearman_micro" -> "rho_micro"))
+      .unionAll(rows(stump, "stump_threshold" -> "threshold",
+        "stump_gini_micro" -> "giniw_micro"))
+  }
+
+  /** DuckDB replay of [[evalReport]] — the same four oracle generators
+    * union-wrapped to (metric, value).
+    */
+  def evalReportOracleSql(table: String, scoreExpr: String,
+      labelPredSql: String, bins: Int = 10): String = {
+    def wrap(metric: String, valueCol: String, inner: String): String =
+      s"""SELECT '$metric' AS metric, ($valueCol)::BIGINT AS value
+         |FROM ($inner)""".stripMargin
+    val auc = rocAucOracleSql(table, scoreExpr, labelPredSql)
+    val brier = brierOracleSql(table, scoreExpr, labelPredSql, bins)
+    val rho = spearmanOracleSql(table, scoreExpr,
+      s"CASE WHEN $labelPredSql THEN 1 ELSE 0 END")
+    val stump = decisionStumpOracleSql(table, scoreExpr, labelPredSql)
+    Seq(
+      wrap("auc_micro", "auc_micro", auc),
+      wrap("gini_micro", "gini_micro", auc),
+      wrap("n_pos", "n_pos", auc),
+      wrap("n_neg", "n_neg", auc),
+      wrap("brier_micro", "brier_micro", brier),
+      wrap("rel_micro", "rel_micro", brier),
+      wrap("res_micro", "res_micro", brier),
+      wrap("unc_micro", "unc_micro", brier),
+      wrap("spearman_micro", "round(rho6 * 1e6)", rho),
+      wrap("stump_threshold", "threshold", stump),
+      wrap("stump_gini_micro", "giniw_micro", stump),
+    ).mkString("\nUNION ALL\n")
+  }
+
   /** Needle-retrieval evaluation of the RAG index — the standard synthetic
     * eval when no human relevance labels exist (the BEIR/pseudo-query
     * recipe): take a `take`-token slice out of each probe document, issue it

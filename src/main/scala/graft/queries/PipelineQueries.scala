@@ -1185,6 +1185,15 @@ object PipelineQueries {
       graft.operators.Eval.brierDecomposition(docs(s, d),
         least(col("n_chars"), lit(1000L)) * 1000L,
         col("lang") === "en")),
+
+    // --- one-stop eval report: AUC/Gini + Brier decomposition +
+    // Spearman + stump threshold of the same (score, label) pair as one
+    // (metric, value_micro) datasheet — the datasetCard of model eval
+    // (oracle-checked) ---
+    "q_pipeline_evalsuite" -> ((s, d) =>
+      graft.operators.Eval.evalReport(docs(s, d),
+        least(col("n_chars"), lit(1000L)) * 1000L,
+        col("lang") === "en")),
   )
 
   /** Shared by q_dedup_incremental and q_dedup_bloom: the bloom variant's
@@ -1822,6 +1831,9 @@ object PipelineQueries {
     "q_text_kl" -> TextAnalysis.corpusKlOracleSql("lang", base = "en"),
 
     "q_pipeline_brier" -> graft.operators.Eval.brierOracleSql(
+      "documents", "least(n_chars, 1000) * 1000", "lang = 'en'"),
+
+    "q_pipeline_evalsuite" -> graft.operators.Eval.evalReportOracleSql(
       "documents", "least(n_chars, 1000) * 1000", "lang = 'en'"),
   )
 }
