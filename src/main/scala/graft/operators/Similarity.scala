@@ -1067,6 +1067,209 @@ object Similarity {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** Late-interaction MaxSim RE-RANKING (the ColBERT architecture, Khattab
+    * & Zaharia 2020) over the [[retrieveChunks]] first stage — the
+    * retrieve-then-rerank shape production retrieval actually ships: a
+    * cheap bag-of-words first pass pulls `firstK` candidates per probe,
+    * then each candidate is re-scored token-by-token:
+    *   score = Σ_{query tokens} max(0, max_{chunk tokens} cos(q_t, c_t))
+    * so a candidate wins by covering EVERY query token somewhere, not by
+    * aggregate bag overlap — word-order-free but token-coverage-aware,
+    * exactly what the single-vector stage cannot distinguish.
+    *
+    * Token vectors here are hashed CHAR-TRIGRAM features (one
+    * [[Dedup.portableHash]] per gram, ±1 signs — token cosine = trigram
+    * overlap, a real fuzzy-token similarity), which keeps the whole chain
+    * integer-exact and DuckDB-replayable; a trained token encoder drops in
+    * behind the same (keys, pos, idx, v) shape, the
+    * [[Multimodal.pairAlignment]] stub-tower convention.
+    *
+    * Determinism: per-(query-token) maxima are order-free; each token's
+    * contribution is floored at 0 and projected to micro BEFORE the sum
+    * (the [[graft.operators.TextAnalysis.corpusKl]] fixed-point rule), so
+    * the per-candidate Σ is exact integers in any order. Candidates whose
+    * tokens share no trigram bucket with the query drop out of the re-rank
+    * (score 0 — strictly below any matched candidate by construction).
+    *
+    * Scale shape: all work is bounded by the candidate set — token
+    * features join through (probe, doc, chunk) equi-keys then the hashed
+    * index, never corpus×corpus; the first stage bounds candidates at
+    * probes × firstK.
+    */
+  def rerankMaxSim(chunks: DataFrame, docCol: String, chunkCol: String,
+      textCol: String, probes: DataFrame, probeIdCol: String,
+      probeTextCol: String, dim: Int, firstK: Int, k: Int): DataFrame = {
+    require(firstK >= k && k >= 1)
+    val cand = retrieveChunks(chunks, docCol, chunkCol, textCol,
+        probes, probeIdCol, probeTextCol, dim, firstK)
+      .select(col("probe_id"), col("doc"), col("chunk_id"))
+      .transform(Caching.persist)
+    def tokFeats(df: DataFrame, keys: Seq[(String, String)], text: String,
+        posName: String): (DataFrame, DataFrame) = {
+      val outKeys = keys.map(_._2)
+      val toks = df.select(keys.map { case (s2, o) => col(s2).as(o) } :+
+        posexplode(graft.operators.TextAnalysis.tokens(col(text)))
+          .as(Seq(posName, "__tok")): _*)
+      val grams = toks.select(outKeys.map(col) :+ col(posName) :+
+        explode(graft.operators.TextAnalysis.charNgrams(col("__tok"), 3))
+          .as("__g"): _*)
+      val h = Dedup.portableHash(col("__g"))
+      val feats = grams
+        .select(outKeys.map(col) :+ col(posName) :+
+          (h % dim).cast("int").as("idx") :+
+          when(h % (2 * dim) < dim, lit(1.0)).otherwise(lit(-1.0))
+            .as("__s"): _*)
+        .groupBy((outKeys :+ posName :+ "idx").map(col): _*)
+        .agg(sum(col("__s")).as("v"))
+        // sign-cancelled buckets (v = 0) carry nothing and would make an
+        // all-cancelled token a 0/0 cosine — dropped in BOTH engines
+        .where(col("v") =!= 0.0)
+        .transform(Caching.persist)
+      val norms = feats.groupBy((outKeys :+ posName).map(col): _*)
+        .agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+      (feats, norms)
+    }
+    val (pf, pn) = tokFeats(probes, Seq(probeIdCol -> "probe_id"),
+      probeTextCol, "ppos")
+    // token features ONLY for candidate chunks — the first stage bounds
+    // the set at probes × firstK, so the gram explode must never run
+    // corpus-wide (it was the dominant cost when it did: 8 s → ~1 s at
+    // sf0.1). Value-neutral: the dot space below only touches candidates.
+    val candChunks = chunks
+      .select(col(docCol).as("doc"), col(chunkCol).as("chunk_id"),
+        col(textCol).as("__ctext"))
+      .join(cand.select(col("doc"), col("chunk_id")).distinct(),
+        Seq("doc", "chunk_id"), "left_semi")
+    val (cf, cn) = tokFeats(candChunks,
+      Seq("doc" -> "doc", "chunk_id" -> "chunk_id"), "__ctext", "cpos")
+    val dots = cand
+      .join(pf.withColumnRenamed("v", "vp"), "probe_id")
+      .join(cf.withColumnRenamed("v", "vc"), Seq("doc", "chunk_id", "idx"))
+      .groupBy(col("probe_id"), col("doc"), col("chunk_id"), col("ppos"),
+        col("cpos"))
+      .agg(sum(col("vp") * col("vc")).as("dp"))
+    val sims = dots
+      .join(pn, Seq("probe_id", "ppos"))
+      .join(cn.withColumnRenamed("nrm", "cnrm"),
+        Seq("doc", "chunk_id", "cpos"))
+      .select(col("probe_id"), col("doc"), col("chunk_id"), col("ppos"),
+        (col("dp") / (col("nrm") * col("cnrm"))).as("sim"))
+    val perTok = sims
+      .groupBy(col("probe_id"), col("doc"), col("chunk_id"), col("ppos"))
+      .agg(max(col("sim")).as("best"))
+      .select(col("probe_id"), col("doc"), col("chunk_id"),
+        round(greatest(col("best"), lit(0.0)) * 1e6, 0).cast("long")
+          .as("c_micro"))
+    val scored = perTok
+      .groupBy(col("probe_id"), col("doc"), col("chunk_id"))
+      .agg(sum(col("c_micro")).as("maxsim_micro"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("maxsim_micro").desc, col("doc"), col("chunk_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** DuckDB replay of [[rerankMaxSim]]: the [[retrieveOracleSql]] first
+    * stage (at `firstK`) as the candidate CTE, then the identical
+    * trigram-feature MaxSim chain.
+    */
+  def rerankOracleSql(window: Int, stride: Int, dim: Int, firstK: Int,
+      k: Int, probePred: String, table: String = "documents",
+      idCol: String = "doc_id", textCol: String = "text",
+      probeSkip: Int = 0, probeTake: Int = 0): String = {
+    val h = "('0x' || substr(md5(g), 1, 15))::BIGINT"
+    // probeTake > 0: probes are short mid-doc token slices (the realistic
+    // query length — and the work bound: the MaxSim group space is
+    // candidates × query tokens × chunk tokens)
+    val sliceHi = probeSkip + probeTake
+    val probesOverride =
+      if (probeTake > 0)
+        s"""SELECT doc + 0 AS probe_id, toks[${probeSkip + 1}:$sliceHi] AS ptoks
+           |  FROM t WHERE ($probePred) AND len(toks) >= $sliceHi""".stripMargin
+      else ""
+    val first = retrieveOracleSql(window, stride, dim, firstK, probePred,
+      table, idCol, textCol, probesOverrideSql = probesOverride)
+    val ptokSrc =
+      if (probeTake > 0)
+        s"""SELECT doc AS probe_id, ppos, sl[ppos] AS tok FROM (
+           |    SELECT doc, toks[${probeSkip + 1}:$sliceHi] AS sl FROM t2
+           |    WHERE ($probePred) AND len(toks) >= $sliceHi),
+           |       unnest(generate_series(1, len(sl))) AS p(ppos)""".stripMargin
+      else
+        s"""SELECT doc AS probe_id, ppos, toks[ppos] AS tok
+           |  FROM t2, unnest(generate_series(1, len(toks))) AS p(ppos)
+           |  WHERE $probePred""".stripMargin
+    s"""WITH cand AS (
+       |  SELECT probe_id, doc, chunk_id FROM ($first)),
+       |t2 AS (
+       |  SELECT $idCol AS doc,
+       |         ${graft.operators.TextAnalysis.toksSql(textCol)} AS toks
+       |  FROM $table),
+       |c2 AS (
+       |  SELECT doc, toks,
+       |         CASE WHEN len(toks) <= $window THEN 1
+       |              ELSE (len(toks) - $window + $stride - 1) // $stride + 1 END AS n_chunks
+       |  FROM t2 WHERE len(toks) > 0),
+       |chunks2 AS (
+       |  SELECT doc, i AS chunk_id,
+       |         toks[i * $stride + 1 : i * $stride + $window] AS ctoks
+       |  FROM c2, unnest(generate_series(0, n_chunks - 1)) AS u(i)),
+       |ctok AS (
+       |  SELECT doc, chunk_id, cpos, ctoks[cpos] AS tok FROM chunks2,
+       |       unnest(generate_series(1, len(ctoks))) AS p(cpos)),
+       |ptok AS (
+       |  $ptokSrc),
+       |cgram AS (
+       |  SELECT doc, chunk_id, cpos, substr(tok, i, 3) AS g FROM ctok,
+       |       unnest(generate_series(1, len(tok) - 2)) AS gi(i)
+       |  WHERE len(tok) >= 3),
+       |pgram AS (
+       |  SELECT probe_id, ppos, substr(tok, i, 3) AS g FROM ptok,
+       |       unnest(generate_series(1, len(tok) - 2)) AS gi(i)
+       |  WHERE len(tok) >= 3),
+       |cfeat2 AS (
+       |  SELECT doc, chunk_id, cpos, idx, sum(s) AS v FROM (
+       |    SELECT doc, chunk_id, cpos, $h % $dim AS idx,
+       |           CASE WHEN $h % ${2 * dim} < $dim THEN 1.0 ELSE -1.0 END AS s
+       |    FROM cgram)
+       |  GROUP BY 1, 2, 3, 4 HAVING sum(s) <> 0),
+       |pfeat2 AS (
+       |  SELECT probe_id, ppos, idx, sum(s) AS v FROM (
+       |    SELECT probe_id, ppos, $h % $dim AS idx,
+       |           CASE WHEN $h % ${2 * dim} < $dim THEN 1.0 ELSE -1.0 END AS s
+       |    FROM pgram)
+       |  GROUP BY 1, 2, 3 HAVING sum(s) <> 0),
+       |cn2 AS (SELECT doc, chunk_id, cpos, sqrt(sum(v * v)) AS cnrm
+       |        FROM cfeat2 GROUP BY 1, 2, 3),
+       |pn2 AS (SELECT probe_id, ppos, sqrt(sum(v * v)) AS nrm
+       |        FROM pfeat2 GROUP BY 1, 2),
+       |dots2 AS (
+       |  SELECT cand.probe_id, cand.doc, cand.chunk_id, p.ppos, f.cpos,
+       |         sum(p.v * f.v) AS dp
+       |  FROM cand
+       |  JOIN pfeat2 p ON p.probe_id = cand.probe_id
+       |  JOIN cfeat2 f ON f.doc = cand.doc AND f.chunk_id = cand.chunk_id
+       |    AND f.idx = p.idx
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |per_tok AS (
+       |  SELECT probe_id, doc, chunk_id,
+       |         round(greatest(max(dp / (pn2.nrm * cn2.cnrm)), 0.0)
+       |               * 1e6)::BIGINT AS c_micro
+       |  FROM dots2
+       |  JOIN pn2 USING (probe_id, ppos)
+       |  JOIN cn2 USING (doc, chunk_id, cpos)
+       |  GROUP BY probe_id, doc, chunk_id, ppos),
+       |scored2 AS (
+       |  SELECT probe_id, doc, chunk_id,
+       |         sum(c_micro)::BIGINT AS maxsim_micro
+       |  FROM per_tok GROUP BY 1, 2, 3)
+       |SELECT probe_id, doc, chunk_id, maxsim_micro, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |            ORDER BY maxsim_micro DESC, doc, chunk_id)::BIGINT AS rank
+       |  FROM scored2)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): partition the embedding
     * space into clusters, then inside each cluster drop every vector whose

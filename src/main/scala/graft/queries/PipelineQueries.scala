@@ -1194,6 +1194,24 @@ object PipelineQueries {
       graft.operators.Eval.evalReport(docs(s, d),
         least(col("n_chars"), lit(1000L)) * 1000L,
         col("lang") === "en")),
+
+    // --- ColBERT-style MaxSim re-rank of the top-10 first-stage
+    // candidates for 16-token probe needles: per-query-token trigram
+    // cosine maxima, floored and micro-projected before the exact sum —
+    // retrieve-then-rerank, the production retrieval shape; short queries
+    // bound the candidates × qtokens × ctokens group space
+    // (oracle-checked) ---
+    "q_pipeline_rerank" -> ((s, d) => {
+      val dd = docs(s, d)
+      val toks = TextAnalysis.tokens(col("text"))
+      Similarity.rerankMaxSim(
+        TextAnalysis.chunk(dd, "doc_id", "text", window = 32, stride = 24),
+        "doc", "chunk_id", "chunk_text",
+        dd.where(col("doc_id") % 200 === 7 && size(toks) >= 24)
+          .select(col("doc_id").as("probe_id"),
+            concat_ws(" ", slice(toks, 9, 16)).as("text")),
+        "probe_id", "text", dim = 64, firstK = 10, k = 5)
+    }),
   )
 
   /** Shared by q_dedup_incremental and q_dedup_bloom: the bloom variant's
@@ -1835,5 +1853,9 @@ object PipelineQueries {
 
     "q_pipeline_evalsuite" -> graft.operators.Eval.evalReportOracleSql(
       "documents", "least(n_chars, 1000) * 1000", "lang = 'en'"),
+
+    "q_pipeline_rerank" -> Similarity.rerankOracleSql(window = 32,
+      stride = 24, dim = 64, firstK = 10, k = 5,
+      probePred = "doc % 200 = 7", probeSkip = 8, probeTake = 16),
   )
 }

@@ -577,4 +577,37 @@ class SimilaritySpec extends SparkSpec
     assert(got(1L)._2.signum > 0 && got(1L)._3.signum > 0)
   }
 
+  test("rerankMaxSim: token coverage beats bag overlap at the re-rank") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // probe asks for "alpha bravo charlie …"; doc 10 repeats alpha (big
+    // bag-of-words overlap), doc 20 covers every query token once. The
+    // MaxSim re-rank must put the covering doc first regardless of the
+    // first-stage bag score.
+    val filler = (1 to 20).map(i => s"zz$i").mkString(" ")
+    val docsDf = Seq(
+      (1L, "alpha bravo charlie delta echo " + filler),
+      (10L, ("alpha " * 25).trim),
+      (20L, "alpha bravo charlie delta echo " +
+        (1 to 20).map(i => s"qq$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val chunks = graft.operators.TextAnalysis.chunk(
+      docsDf, "doc_id", "text", window = 32, stride = 24)
+    val probes = docsDf.where(col("doc_id") === 1)
+      .select(col("doc_id").as("probe_id"),
+        lit("alpha bravo charlie delta echo").as("text"))
+    val got = graft.operators.Similarity.rerankMaxSim(
+      chunks, "doc", "chunk_id", "chunk_text",
+      probes, "probe_id", "text", dim = 64, firstK = 10, k = 3)
+      .orderBy(col("rank")).collect()
+    assert(got(0).getAs[Long]("doc") == 20L,
+      s"covering doc must out-rank the repeat doc: ${got.toSeq}")
+    // every query token matches exactly somewhere in doc 20 → its MaxSim
+    // is the 5-token perfect score; doc 10 matches only 'alpha'
+    val byDoc = got.map(r => r.getAs[Long]("doc") ->
+      r.getAs[Long]("maxsim_micro")).toMap
+    assert(byDoc(20L) == 5000000L)
+    assert(byDoc(10L) < 2000000L)
+  }
+
 }
