@@ -136,6 +136,13 @@ object StreamQueries {
         bucketSec = 3600L, halfK = 3, warm = 24,
         thresholdMicro = 2500000L)),
 
+    // --- Mann-Kendall trend + Theil-Sen slope per type: nonparametric
+    // monotone-drift detection over the hourly rate series — exact pair
+    // counting, micro-floor tau, discrete-median slope (oracle-checked) ---
+    "q_stream_trend" -> ((s, d) =>
+      graft.streaming.EventStreams.trendTest(events(s, d),
+        bucketSec = 3600L)),
+
     // --- 2x2 chi-square A/B test: user-parity cohorts, purchase
     // conversion, exact cells + the shared IEEE tail (oracle-checked) ---
     "q_stream_abtest" -> ((s, d) =>
@@ -387,6 +394,9 @@ object StreamQueries {
 
     "q_stream_ewma" -> graft.streaming.EventStreams.ewmaAnomalyOracleSql(
       bucketSec = 3600L, halfK = 3, warm = 24, thresholdMicro = 2500000L),
+
+    "q_stream_trend" -> graft.streaming.EventStreams.trendTestOracleSql(
+      bucketSec = 3600L),
 
     "q_stream_lagcorr" ->
       graft.streaming.EventStreams.lagCorrelationOracleSql(

@@ -417,6 +417,109 @@ object EventStreams {
        |  ON r.event_type = s.event_type AND r.rn = s.rn""".stripMargin
   }
 
+  /** Mann–Kendall trend test + Theil–Sen slope per event-type rate series
+    * — the nonparametric "is this metric actually trending, and how fast?"
+    * pair (Mann 1945; Kendall 1975; Theil 1950; Sen 1968) that completes
+    * the monitoring family next to [[cusumShift]] (abrupt shifts) and
+    * [[ewmaAnomaly]] (point spikes): MK detects monotone DRIFT no single
+    * bucket betrays, with no normality or linearity assumption, and the
+    * Sen slope is the outlier-proof rate estimate (the median pairwise
+    * slope — one wild bucket moves OLS, not the median).
+    *
+    * Exact end to end: S = Σ sign(n_j − n_i) over all bucket pairs i<j is
+    * integer counting (concordant/discordant/tied visible), tau-a rides
+    * the micro floor S·1e6 div (m(m−1)/2), and each pairwise slope is the
+    * exact micro floor Δn·1e6 div Δsteps with the median as
+    * `percentile_disc` (an order statistic — no interpolation, the
+    * [[graft.operators.Profile.outliersMad]] parity convention).
+    *
+    * Scale shape: the corpus collapses to per-(type, bucket) counts
+    * first; the pair space is per-type buckets² — bounded by the TIME
+    * RANGE (a year of hourly buckets is 8.8k rows → 38M pairs per type,
+    * shuffled on the type equi-key), never by event volume. Types with a
+    * single bucket report S = 0, tau = 0, slope = 0.
+    */
+  def trendTest(events: DataFrame, bucketSec: Long = 3600L): DataFrame = {
+    val counts = events
+      .select(col("event_type"),
+        expr(s"unix_timestamp(ts) div $bucketSec * $bucketSec")
+          .as("bucket_s"))
+      .groupBy("event_type", "bucket_s").agg(count(lit(1)).as("n"))
+      .transform(graft.operators.Caching.persist)
+    val pairs = counts.as("a")
+      .join(counts.as("b"), col("a.event_type") === col("b.event_type")
+        && col("b.bucket_s") > col("a.bucket_s"))
+      .select(col("a.event_type").as("event_type"),
+        (col("b.n") - col("a.n")).as("dn"),
+        expr(s"(b.bucket_s - a.bucket_s) div $bucketSec").as("dsteps"))
+      .select(col("event_type"), col("dn"),
+        expr("(dn * 1000000) div dsteps").as("slope_micro"))
+    val agg = pairs.groupBy(col("event_type"))
+      .agg(
+        sum(signum(col("dn")).cast("long")).as("s"),
+        sum(when(col("dn") > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("dn") < 0, 1L).otherwise(0L)).as("discordant"),
+        sum(when(col("dn") === 0, 1L).otherwise(0L)).as("tied"),
+        // percentile_disc returns DOUBLE; the order statistic is one of
+        // the exact integer slopes, so the cast is lossless
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_micro)")
+          .cast("long").as("sen_slope_micro"))
+    val m = counts.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("m_buckets"))
+    m.join(agg, Seq("event_type"), "left")
+      .select(col("event_type"), col("m_buckets"),
+        coalesce(col("s"), lit(0L)).as("s"),
+        coalesce(col("concordant"), lit(0L)).as("concordant"),
+        coalesce(col("discordant"), lit(0L)).as("discordant"),
+        coalesce(col("tied"), lit(0L)).as("tied"),
+        when(col("m_buckets") < 2, lit(0L))
+          .otherwise(expr(
+            "(s * 1000000) div ((m_buckets * (m_buckets - 1)) div 2)"))
+          .as("tau_micro"),
+        coalesce(col("sen_slope_micro"), lit(0L)).as("sen_slope_micro"))
+  }
+
+  /** DuckDB replay of [[trendTest]] (same pair space, same micro floors,
+    * same discrete median).
+    */
+  def trendTestOracleSql(bucketSec: Long = 3600L,
+      table: String = "events"): String =
+    s"""WITH c AS (
+       |  SELECT event_type,
+       |         (epoch_us(ts::TIMESTAMP) // 1000000) // $bucketSec
+       |           * $bucketSec AS bucket_s,
+       |         count(*)::BIGINT AS n
+       |  FROM $table GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.event_type, (b.n - a.n)::BIGINT AS dn,
+       |         ((b.n - a.n) * 1000000)
+       |           // ((b.bucket_s - a.bucket_s) // $bucketSec)
+       |           AS slope_micro
+       |  FROM c a JOIN c b ON b.event_type = a.event_type
+       |    AND b.bucket_s > a.bucket_s),
+       |agg AS (
+       |  SELECT event_type,
+       |         coalesce(sum(CASE WHEN dn > 0 THEN 1 WHEN dn < 0 THEN -1
+       |                           ELSE 0 END), 0)::BIGINT AS s,
+       |         count(CASE WHEN dn > 0 THEN 1 END)::BIGINT AS concordant,
+       |         count(CASE WHEN dn < 0 THEN 1 END)::BIGINT AS discordant,
+       |         count(CASE WHEN dn = 0 THEN 1 END)::BIGINT AS tied,
+       |         quantile_disc(slope_micro, 0.5)::BIGINT AS sen_slope_micro
+       |  FROM pairs GROUP BY event_type),
+       |m AS (SELECT event_type, count(*)::BIGINT AS m_buckets
+       |      FROM c GROUP BY event_type)
+       |SELECT m.event_type, m_buckets,
+       |       coalesce(s, 0)::BIGINT AS s,
+       |       coalesce(concordant, 0)::BIGINT AS concordant,
+       |       coalesce(discordant, 0)::BIGINT AS discordant,
+       |       coalesce(tied, 0)::BIGINT AS tied,
+       |       (CASE WHEN m_buckets < 2 THEN 0
+       |             ELSE (coalesce(s, 0) * 1000000)
+       |                  // ((m_buckets * (m_buckets - 1)) // 2) END)::BIGINT
+       |         AS tau_micro,
+       |       coalesce(sen_slope_micro, 0)::BIGINT AS sen_slope_micro
+       |FROM m LEFT JOIN agg USING (event_type)""".stripMargin
+
   /** Lagged cross-correlation between two event-type rate series — "does
     * `typeA` activity LEAD `typeB` activity, and by how many buckets?"
     * (the classic lead-lag diagnostic: clicks→purchases, deploys→errors).

@@ -766,4 +766,41 @@ class StreamingSpec extends SparkSpec {
     assert(r.getLong(6) == 5L && r.getLong(7) == 2600L) // n, cents
   }
 
+  test("trendTest: planted monotone drift gives tau 1 and the exact slope") {
+    import spark.implicits._
+    def t(h: Int, n: Int) = (0 until n).map(i =>
+      ("click", java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:${i % 60}%02d")))
+    // 4 hourly buckets at 10, 13, 16, 19 events — strictly increasing:
+    // every pair concordant (6 of 6) → S = 6, tau = 1; every pairwise
+    // slope is exactly 3/step → Sen slope 3e6
+    val ev = Seq(10, 13, 16, 19).zipWithIndex
+      .flatMap { case (n, h) => t(h, n) }.toDF("event_type", "ts")
+    val r = graft.streaming.EventStreams.trendTest(ev, 3600L).collect()(0)
+    assert(r.getAs[Long]("m_buckets") == 4L)
+    assert(r.getAs[Long]("s") == 6L)
+    assert(r.getAs[Long]("concordant") == 6L)
+    assert(r.getAs[Long]("tau_micro") == 1000000L)
+    assert(r.getAs[Long]("sen_slope_micro") == 3000000L)
+  }
+
+  test("trendTest: a flat series is tied everywhere, tau 0, slope 0") {
+    import spark.implicits._
+    def t(h: Int, n: Int) = (0 until n).map(i =>
+      ("view", java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:${i % 60}%02d")))
+    val ev = (0 to 3).flatMap(t(_, 7)).toDF("event_type", "ts")
+    val r = graft.streaming.EventStreams.trendTest(ev, 3600L).collect()(0)
+    assert(r.getAs[Long]("s") == 0L && r.getAs[Long]("tied") == 6L)
+    assert(r.getAs[Long]("tau_micro") == 0L)
+    assert(r.getAs[Long]("sen_slope_micro") == 0L)
+  }
+
+  test("trendTest: a single-bucket type reports zeros, not a crash") {
+    import spark.implicits._
+    val ev = Seq(("err", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("event_type", "ts")
+    val r = graft.streaming.EventStreams.trendTest(ev, 3600L).collect()(0)
+    assert(r.getAs[Long]("m_buckets") == 1L)
+    assert(r.getAs[Long]("s") == 0L && r.getAs[Long]("tau_micro") == 0L)
+  }
+
 }
