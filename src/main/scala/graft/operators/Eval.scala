@@ -117,8 +117,12 @@ object Eval {
     * wide carrier past ~3e9 rows; the carrier holds to n ~ 1e19.
     */
   def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    // null scores are EXCLUDED on both engines (a null bucket would ride
+    // engine-specific null ordering through the windows); a null label
+    // counts as negative (CASE semantics, identical cross-engine)
     val per = df.select(score.cast("long").as("s"),
         when(label, 1L).otherwise(0L).as("y"))
+      .where(col("s").isNotNull)
       .groupBy(col("s"))
       .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
     cumBelow(per, "s", Seq("neg"), bucketWidth = 1024L)
@@ -147,7 +151,7 @@ object Eval {
        |  SELECT s, sum(y)::BIGINT AS pos, sum(1 - y)::BIGINT AS neg FROM (
        |    SELECT ($scoreExpr)::BIGINT AS s,
        |           CASE WHEN $labelPredSql THEN 1 ELSE 0 END AS y
-       |    FROM $table)
+       |    FROM $table WHERE ($scoreExpr) IS NOT NULL)
        |  GROUP BY s),
        |${cumBelowSql("per", "s", Seq("neg"), 1024L, "cum")},
        |agg AS (
@@ -177,6 +181,7 @@ object Eval {
       label: Column): DataFrame = {
     val per = df.select(col(groupCol).as("g"), score.cast("long").as("s"),
         when(label, 1L).otherwise(0L).as("y"))
+      .where(col("s").isNotNull)
       .groupBy(col("g"), col("s"))
       .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
     cumBelow(per, "s", Seq("neg"), bucketWidth = 1024L, partCols = Seq("g"))
@@ -201,7 +206,7 @@ object Eval {
        |  SELECT g, s, sum(y)::BIGINT AS pos, sum(1 - y)::BIGINT AS neg FROM (
        |    SELECT ($groupExpr) AS g, ($scoreExpr)::BIGINT AS s,
        |           CASE WHEN $labelPredSql THEN 1 ELSE 0 END AS y
-       |    FROM $table)
+       |    FROM $table WHERE ($scoreExpr) IS NOT NULL)
        |  GROUP BY g, s),
        |${cumBelowSql("per", "s", Seq("neg"), 1024L, "cum", Seq("g"))}
        |SELECT g, coalesce(sum(pos), 0)::BIGINT AS n_pos,
@@ -236,7 +241,8 @@ object Eval {
     */
   def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
     val base = Caching.persist(
-      df.select(x.cast("long").as("a"), y.cast("long").as("b")))
+      df.select(x.cast("long").as("a"), y.cast("long").as("b"))
+        .where(col("a").isNotNull && col("b").isNotNull))
     def rank2(c: String): DataFrame =
       cumBelow(
         base.groupBy(col(c)).agg(count(lit(1)).as("cnt")),
@@ -269,7 +275,8 @@ object Eval {
     */
   def spearmanOracleSql(table: String, xExpr: String, yExpr: String): String =
     s"""WITH base AS (
-       |  SELECT ($xExpr)::BIGINT AS a, ($yExpr)::BIGINT AS b FROM $table),
+       |  SELECT ($xExpr)::BIGINT AS a, ($yExpr)::BIGINT AS b FROM $table
+       |  WHERE ($xExpr) IS NOT NULL AND ($yExpr) IS NOT NULL),
        |pa AS (SELECT a, count(*)::BIGINT AS cnt FROM base GROUP BY a),
        |pb AS (SELECT b, count(*)::BIGINT AS cnt FROM base GROUP BY b),
        |${cumBelowSql("pa", "a", Seq("cnt"), 1024L, "ca")},
@@ -318,6 +325,7 @@ object Eval {
       label: Column): DataFrame = {
     val per = df.select(feature.cast("long").as("v"),
         when(label, 1L).otherwise(0L).as("y"))
+      .where(col("v").isNotNull)
       .groupBy(col("v"))
       .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
     val cum = cumBelow(per, "v", Seq("cnt", "pos"), bucketWidth = 1024L)
@@ -351,7 +359,7 @@ object Eval {
        |  SELECT v, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos FROM (
        |    SELECT ($featureExpr)::BIGINT AS v,
        |           CASE WHEN $labelPredSql THEN 1 ELSE 0 END AS y
-       |    FROM $table)
+       |    FROM $table WHERE ($featureExpr) IS NOT NULL)
        |  GROUP BY v),
        |${cumBelowSql("per", "v", Seq("cnt", "pos"), 1024L, "cum")},
        |cl AS (
@@ -397,7 +405,8 @@ object Eval {
     require(bins >= 1)
     val w = 1000000L / bins
     val base = df.select(probMicro.cast("long").as("p"),
-      when(label, 1L).otherwise(0L).as("y"))
+        when(label, 1L).otherwise(0L).as("y"))
+      .where(col("p").isNotNull)
     val perBin = base
       .groupBy(expr(s"p div $w").as("bin"))
       .agg(count(lit(1)).as("n_k"), sum(col("p")).as("sum_p"),
@@ -460,7 +469,7 @@ object Eval {
     s"""WITH base AS (
        |  SELECT ($probMicroExpr)::BIGINT AS p,
        |         CASE WHEN $labelPredSql THEN 1 ELSE 0 END AS y
-       |  FROM $table),
+       |  FROM $table WHERE ($probMicroExpr) IS NOT NULL),
        |per_bin AS (
        |  SELECT p // $w AS bin, count(*)::BIGINT AS n_k,
        |         sum(p)::BIGINT AS sum_p, sum(y)::BIGINT AS sum_y

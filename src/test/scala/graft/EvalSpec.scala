@@ -43,6 +43,18 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Long]("n_neg") == 0L && r.getAs[Long]("auc_micro") == 0L)
   }
 
+  test("rocAuc/spearman: null scores are excluded, null labels count negative") {
+    val df = Seq((Some(3L), true), (None, true), (Some(1L), false))
+      .toDF("s", "y")
+    val r = Eval.rocAuc(df, col("s"), col("y")).collect()(0)
+    assert(r.getAs[Long]("n_pos") == 1L && r.getAs[Long]("n_neg") == 1L)
+    assert(r.getAs[Long]("auc_micro") == 1000000L)
+    val sp = Seq((Some(1L), Some(10L)), (None, Some(20L)), (Some(3L), None),
+      (Some(2L), Some(20L))).toDF("x", "y")
+    assert(Eval.spearman(sp, col("x"), col("y")).collect()(0)
+      .getAs[Long]("n") == 2L)
+  }
+
   test("rocAuc: values spanning bucket boundaries match the flat formula") {
     // scores 0..4999 step 1 across many 1024-buckets; label = s >= 2500
     val df = spark.range(5000).select(col("id").as("s"),
