@@ -1291,6 +1291,80 @@ object Profile {
        |FROM cells GROUP BY ${(1 to quasiCols.size).mkString(", ")}""".stripMargin
   }
 
+  /** 2-D SKYLINE (Pareto front; Börzsönyi, Kossmann & Stocker 2001, "The
+    * Skyline Operator") — keep every row not DOMINATED in two maximize
+    * dimensions: row r is dominated iff some row has x ≥ x_r and y ≥ y_r
+    * with at least one strict. The multi-objective curation selector ("the
+    * quality/length-efficient frontier of the corpus") that single-score
+    * ranking flattens away; neither Spark nor DuckDB ships it natively.
+    *
+    * NOT the n² pair join the textbook definition suggests: on the
+    * distinct-x table, r survives iff
+    *   y_r = maxY(x_r)  (no same-x row strictly above)  AND
+    *   y_r > maxYabove(x_r)  (x'>x_r dominators need only y' ≥ y_r,
+    *                          since x'>x is already the strict edge)
+    * where maxYabove is a TWO-LEVEL bucketed suffix max (the
+    * [[conformalPValues]] mega-partition guard with max in place of sum)
+    * — one aggregate to distinct x, two bounded windows, one join back.
+    * Duplicate (x, y) points are mutually non-dominating and ALL survive
+    * (the standard skyline convention). Null coordinates are excluded on
+    * both engines. Exact integer comparisons end to end.
+    */
+  def skyline(df: DataFrame, idCol: String, xCol: Column,
+      yCol: Column): DataFrame = {
+    val base = Caching.persist(df.select(col(idCol).as("id"),
+        xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull))
+    val perX = base.groupBy(col("x")).agg(max(col("y")).as("ymax"))
+      .withColumn("__bkt", expr("(x - pmod(x, 1024)) div 1024"))
+    val wAbove = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__bkt").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bktTot = perX.groupBy(col("__bkt")).agg(max(col("ymax")).as("bm"))
+      .select(col("__bkt"), max(col("bm")).over(wAbove).as("__higher"))
+    val wWithin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bkt")).orderBy(col("x").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = perX
+      .withColumn("__within", max(col("ymax")).over(wWithin))
+      .join(bktTot, "__bkt")
+      .select(col("x"), col("ymax"),
+        greatest(coalesce(col("__higher"), lit(Long.MinValue)),
+          coalesce(col("__within"), lit(Long.MinValue))).as("max_y_above"))
+    base.join(cum, "x")
+      .where(col("y") === col("ymax") && col("y") > col("max_y_above"))
+      .select(col("id"), col("x"), col("y"))
+  }
+
+  /** DuckDB replay of [[skyline]] (same bucketed suffix max, same
+    * strictness edges).
+    */
+  def skylineOracleSql(table: String, idExpr: String, xExpr: String,
+      yExpr: String): String =
+    s"""WITH base AS (
+       |  SELECT $idExpr AS id, ($xExpr)::BIGINT AS x, ($yExpr)::BIGINT AS y
+       |  FROM $table
+       |  WHERE ($xExpr) IS NOT NULL AND ($yExpr) IS NOT NULL),
+       |perx AS (
+       |  SELECT x, max(y) AS ymax,
+       |         (x - ((x % 1024 + 1024) % 1024)) // 1024 AS bkt
+       |  FROM base GROUP BY x),
+       |btot AS (
+       |  SELECT bkt, max(bm) OVER (ORDER BY bkt DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS higher
+       |  FROM (SELECT bkt, max(ymax) AS bm FROM perx GROUP BY bkt)),
+       |cum AS (
+       |  SELECT x, ymax,
+       |         greatest(coalesce(b.higher, ${Long.MinValue}),
+       |                  coalesce(max(ymax) OVER (PARTITION BY p.bkt
+       |                    ORDER BY x DESC ROWS BETWEEN UNBOUNDED PRECEDING
+       |                    AND 1 PRECEDING), ${Long.MinValue}))
+       |           AS max_y_above
+       |  FROM perx p JOIN btot b USING (bkt))
+       |SELECT base.id, base.x, base.y
+       |FROM base JOIN cum USING (x)
+       |WHERE base.y = cum.ymax AND base.y > cum.max_y_above""".stripMargin
+
   /** Lorenz concentration shares — "what share of the corpus weight lives
     * in the heaviest p% of items?" for a list of percent levels. The
     * companion to [[Scale.skewAudit]]'s Gini: Gini is the one-number

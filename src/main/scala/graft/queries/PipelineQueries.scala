@@ -1170,6 +1170,16 @@ object PipelineQueries {
       graft.operators.Eval.rocAucBy(docs(s, d), "source", col("n_chars"),
         col("lang") === "en")),
 
+    // --- 2-D skyline: the Pareto-efficient (quality, length) frontier of
+    // the corpus — the multi-objective curation selector, computed via
+    // bucketed suffix-max (never the n² pair join) (oracle-checked) ---
+    "q_pipeline_skyline" -> ((s, d) =>
+      graft.operators.Profile.skyline(
+        docs(s, d).withColumn("q_micro",
+          round(TextAnalysis.qualityScore(col("text")) * 1e6, 0)
+            .cast("long")),
+        "doc_id", col("q_micro"), col("n_chars"))),
+
     // --- corpus-pair unigram KL divergence vs the 'en' slice: the TEXT
     // drift detector next to the numeric PSI/KS — add-one smoothing,
     // per-term 1e9 fixed-point so the sum is exact in any order
@@ -1847,6 +1857,10 @@ object PipelineQueries {
       "documents", "source", "n_chars", "lang = 'en'"),
 
     "q_text_kl" -> TextAnalysis.corpusKlOracleSql("lang", base = "en"),
+
+    "q_pipeline_skyline" -> graft.operators.Profile.skylineOracleSql(
+      "documents", "doc_id",
+      s"round((${TextAnalysis.qualitySql("text")}) * 1e6)", "n_chars"),
 
     "q_pipeline_brier" -> graft.operators.Eval.brierOracleSql(
       "documents", "least(n_chars, 1000) * 1000", "lang = 'en'"),

@@ -408,6 +408,31 @@ class ProfileSpec extends SparkSpec {
     assert(got((2, "B")) == ((1L, 1L, true, true)))
   }
 
+  test("skyline: exact Pareto front, duplicates kept, dominated dropped") {
+    import graft.operators.Profile
+    import org.apache.spark.sql.functions.col
+    // front: (1,9), (5,5), (9,1); dominated: (1,5) by (1,9)&(5,5),
+    // (4,4) by (5,5); duplicate frontier point (5,5) kept twice
+    val df = Seq((1L, 1L, 9L), (2L, 5L, 5L), (3L, 9L, 1L), (4L, 1L, 5L),
+      (5L, 4L, 4L), (6L, 5L, 5L)).toDF("id", "x", "y")
+    val got = Profile.skyline(df, "id", col("x"), col("y"))
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(got == Set(1L, 2L, 3L, 6L))
+  }
+
+  test("skyline: cross-bucket domination and null exclusion") {
+    import graft.operators.Profile
+    import org.apache.spark.sql.functions.col
+    // x values straddle the 1024 bucket edge: (2000, 3) dominates (10, 2)
+    // across buckets; a null coordinate row is excluded, not crashed on
+    val df = Seq((1L, Some(2000L), Some(3L)), (2L, Some(10L), Some(2L)),
+      (3L, Some(10L), None), (4L, Some(5L), Some(9L)))
+      .toDF("id", "x", "y")
+    val got = Profile.skyline(df, "id", col("x"), col("y"))
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(got == Set(1L, 4L))
+  }
+
   test("lorenzShares: whole-group prefixes, exact micro shares") {
     import graft.operators.Profile
     import org.apache.spark.sql.functions.col
