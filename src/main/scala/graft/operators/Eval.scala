@@ -78,6 +78,11 @@ object Eval {
       .mkString(",\n    ")
     val belows = sumCols.map(c =>
       s"(__lower_$c + __within_$c)::BIGINT AS below_$c").mkString(", ")
+    // the EXCLUDE list keeps the output CTE's shape = input columns +
+    // below_<c>, matching the Spark cumBelow projection (explicit column
+    // references in `belows` still resolve — EXCLUDE only affects the *)
+    val exclude = ("__bkt" +: sumCols.map(c => s"__within_$c"))
+      .mkString(", ")
     s"""${out}_b AS (
        |  SELECT *, ($valueCol - (($valueCol % $bucketWidth + $bucketWidth)
        |    % $bucketWidth)) // $bucketWidth AS __bkt
@@ -87,7 +92,7 @@ object Eval {
        |    $lowers
        |  FROM (SELECT $grp, $bsums FROM ${out}_b GROUP BY $grp)),
        |$out AS (
-       |  SELECT b.* EXCLUDE (__bkt), $belows
+       |  SELECT b.* EXCLUDE ($exclude), $belows
        |  FROM (SELECT *,
        |    $withins
        |    FROM ${out}_b) b
@@ -114,7 +119,10 @@ object Eval {
     * Scale shape: one hash aggregate to the distinct-score table, the
     * two-level bucketed below-sum (no global window), one final 1-row
     * aggregate. Products ride DECIMAL(38,0): pos·negBelow ~ n² needs the
-    * wide carrier past ~3e9 rows; the carrier holds to n ~ 1e19.
+    * wide carrier past ~3e9 rows; the binding term is the final
+    * 2U·1e6 ~ n²·1e6/2, which meets the 1e38 carrier at n ~ 1.4e16 —
+    * shard-and-pool beyond (Spark's non-ANSI decimal overflow NULLs
+    * silently, it does not error).
     */
   def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
     // null scores are EXCLUDED on both engines (a null bucket would ride
@@ -317,9 +325,10 @@ object Eval {
     *
     * Scale shape: one hash aggregate to the distinct-value table, bucketed
     * below-sums (no global window), top-1. Degenerate right side (t = max
-    * value) is excluded; an empty or single-class input returns the root
-    * row with giniw = root gini and threshold = null semantics (no split
-    * beats the root, nothing crashes).
+    * value) is excluded, so an empty input — or one with a single distinct
+    * feature value — yields an EMPTY result (no valid split exists),
+    * never a crash; [[evalReport]] consumers see the stump rows absent in
+    * that case.
     */
   def decisionStump(df: DataFrame, feature: Column,
       label: Column): DataFrame = {
@@ -407,27 +416,27 @@ object Eval {
     val base = df.select(probMicro.cast("long").as("p"),
         when(label, 1L).otherwise(0L).as("y"))
       .where(col("p").isNotNull)
+    // the raw squared error rides the SAME per-bin aggregate (Σ(p−1e6y)²
+    // is additive), so the corpus is scanned exactly once
     val perBin = base
       .groupBy(expr(s"p div $w").as("bin"))
       .agg(count(lit(1)).as("n_k"), sum(col("p")).as("sum_p"),
-        sum(col("y")).as("sum_y"))
+        sum(col("y")).as("sum_y"),
+        sum(expr("CAST(p - 1000000 * y AS DECIMAL(38,0)) " +
+          "* (p - 1000000 * y)")).as("sq_k"))
       .transform(Caching.persist)
     val tot = perBin.agg(
       coalesce(sum(col("n_k")), lit(0L)).as("n"),
       coalesce(sum(col("sum_y")), lit(0L)).as("sy"))
-    val bs = base.crossJoin(broadcast(tot.select(col("n"))))
-      .agg(coalesce(sum(expr(
-        """CAST(p - 1000000 * y AS DECIMAL(38,0))
-          | * (p - 1000000 * y)""".stripMargin.replace("\n", " "))),
-        lit(0L).cast("decimal(38,0)")).as("__sq"),
-        max(col("n")).as("__n"))
-      .select(when(col("__n").isNull || col("__n") === 0, lit(0L))
-        .otherwise(expr("__sq div (CAST(__n AS DECIMAL(38,0)) * 1000000)"))
-        .as("brier_micro"))
     val comps = perBin.crossJoin(broadcast(tot))
       .agg(
-        max(col("n")).as("n"), max(col("sy")).as("sy"),
+        // coalesce(0): zero bins (empty input) must report the documented
+        // zeros, not NULLs riding max-over-nothing through the divides
+        coalesce(max(col("n")), lit(0L)).as("n"),
+        coalesce(max(col("sy")), lit(0L)).as("sy"),
         count(lit(1)).as("n_bins"),
+        coalesce(sum(col("sq_k")), lit(0L).cast("decimal(38,0)"))
+          .as("__sq"),
         // Σ_k (sum_p − 1e6·sum_y)² / n_k  — per-bin floor
         coalesce(sum(expr(
           """(CAST(sum_p - 1000000 * sum_y AS DECIMAL(38,0))
@@ -440,7 +449,11 @@ object Eval {
             | * (sum_y * n - sy * n_k)) div n_k""".stripMargin
             .replace("\n", " "))), lit(0L).cast("decimal(38,0)"))
           .as("__res_sum"))
-      .select(col("n"), col("sy"), col("n_bins"),
+      .select(col("n"), col("n_bins"),
+        when(col("n") === 0, lit(0L))
+          .otherwise(expr(
+            "__sq div (CAST(n AS DECIMAL(38,0)) * 1000000)"))
+          .as("brier_micro"),
         when(col("n") === 0, lit(0L))
           .otherwise(expr(
             "__rel_sum div (CAST(n AS DECIMAL(38,0)) * 1000000)"))
@@ -455,9 +468,7 @@ object Eval {
             """(CAST(sy AS DECIMAL(38,0)) * (n - sy) * 1000000)
               | div (CAST(n AS DECIMAL(38,0)) * n)""".stripMargin
               .replace("\n", " "))).as("unc_micro"))
-    comps.crossJoin(bs)
-      .select(col("n"), col("n_bins"), col("brier_micro"),
-        col("rel_micro"), col("res_micro"), col("unc_micro"))
+    comps
   }
 
   /** DuckDB replay of [[brierDecomposition]] (same bins, same two-step
@@ -472,18 +483,15 @@ object Eval {
        |  FROM $table WHERE ($probMicroExpr) IS NOT NULL),
        |per_bin AS (
        |  SELECT p // $w AS bin, count(*)::BIGINT AS n_k,
-       |         sum(p)::BIGINT AS sum_p, sum(y)::BIGINT AS sum_y
+       |         sum(p)::BIGINT AS sum_p, sum(y)::BIGINT AS sum_y,
+       |         sum((p - 1000000 * y)::HUGEINT * (p - 1000000 * y)) AS sq_k
        |  FROM base GROUP BY 1),
        |tot AS (SELECT coalesce(sum(n_k), 0)::BIGINT AS n,
        |               coalesce(sum(sum_y), 0)::BIGINT AS sy FROM per_bin),
-       |bs AS (
-       |  SELECT CASE WHEN n = 0 THEN 0
-       |              ELSE coalesce(sum((p - 1000000 * y)::HUGEINT
-       |                                * (p - 1000000 * y)), 0)
-       |                   // (n::HUGEINT * 1000000) END AS brier_micro
-       |  FROM base, tot GROUP BY n),
        |comps AS (
-       |  SELECT max(n) AS n, max(sy) AS sy, count(*)::BIGINT AS n_bins,
+       |  SELECT coalesce(max(n), 0) AS n, coalesce(max(sy), 0) AS sy,
+       |         count(*)::BIGINT AS n_bins,
+       |         coalesce(sum(sq_k), 0) AS sq_sum,
        |         coalesce(sum(((sum_p - 1000000 * sum_y)::HUGEINT
        |                       * (sum_p - 1000000 * sum_y)) // n_k), 0)
        |           AS rel_sum,
@@ -492,7 +500,8 @@ object Eval {
        |           AS res_sum
        |  FROM per_bin, tot)
        |SELECT n::BIGINT AS n, n_bins,
-       |       coalesce((SELECT brier_micro FROM bs), 0)::BIGINT
+       |       (CASE WHEN n = 0 THEN 0
+       |             ELSE sq_sum // (n::HUGEINT * 1000000) END)::BIGINT
        |         AS brier_micro,
        |       (CASE WHEN n = 0 THEN 0
        |             ELSE rel_sum // (n::HUGEINT * 1000000) END)::BIGINT
@@ -644,6 +653,11 @@ object Eval {
     * miss) — exact integers; corpus-level recall@k / MRR are one trivial
     * rollup away and stay exact. Probes shorter than skip+take tokens are
     * excluded on BOTH engines (no needle exists to cut).
+    *
+    * Contract: `idOffset` must exceed the corpus's maximum doc id — a
+    * probe id colliding with a REAL doc id would wrongly exempt that doc
+    * from its ranking (the own-doc exclusion fires on equality). The
+    * default suits the gate corpora; size it to the id domain elsewhere.
     *
     * Scale shape: inherits [[Similarity.retrieveChunks]]'s inverted-index
     * join (probes broadcast, corpus passed once) plus one per-probe

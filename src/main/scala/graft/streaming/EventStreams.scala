@@ -453,7 +453,11 @@ object EventStreams {
         (col("b.n") - col("a.n")).as("dn"),
         expr(s"(b.bucket_s - a.bucket_s) div $bucketSec").as("dsteps"))
       .select(col("event_type"), col("dn"),
-        expr("(dn * 1000000) div dsteps").as("slope_micro"))
+        // sign·abs floor (the house sdiv convention): Spark's `div`
+        // truncates toward zero while DuckDB's `//` floors, so a bare
+        // negative-numerator division diverges by one micro unit
+        expr("CASE WHEN dn < 0 THEN -1 ELSE 1 END" +
+          " * ((abs(dn) * 1000000) div dsteps)").as("slope_micro"))
     val agg = pairs.groupBy(col("event_type"))
       .agg(
         sum(signum(col("dn")).cast("long")).as("s"),
@@ -473,8 +477,9 @@ object EventStreams {
         coalesce(col("discordant"), lit(0L)).as("discordant"),
         coalesce(col("tied"), lit(0L)).as("tied"),
         when(col("m_buckets") < 2, lit(0L))
-          .otherwise(expr(
-            "(s * 1000000) div ((m_buckets * (m_buckets - 1)) div 2)"))
+          .otherwise(expr("CASE WHEN s < 0 THEN -1 ELSE 1 END" +
+            " * ((abs(s) * 1000000)" +
+            " div ((m_buckets * (m_buckets - 1)) div 2))"))
           .as("tau_micro"),
         coalesce(col("sen_slope_micro"), lit(0L)).as("sen_slope_micro"))
   }
@@ -492,8 +497,9 @@ object EventStreams {
        |  FROM $table GROUP BY 1, 2),
        |pairs AS (
        |  SELECT a.event_type, (b.n - a.n)::BIGINT AS dn,
-       |         ((b.n - a.n) * 1000000)
-       |           // ((b.bucket_s - a.bucket_s) // $bucketSec)
+       |         (CASE WHEN b.n < a.n THEN -1 ELSE 1 END)
+       |           * ((abs(b.n - a.n) * 1000000)
+       |              // ((b.bucket_s - a.bucket_s) // $bucketSec))
        |           AS slope_micro
        |  FROM c a JOIN c b ON b.event_type = a.event_type
        |    AND b.bucket_s > a.bucket_s),
@@ -514,8 +520,10 @@ object EventStreams {
        |       coalesce(discordant, 0)::BIGINT AS discordant,
        |       coalesce(tied, 0)::BIGINT AS tied,
        |       (CASE WHEN m_buckets < 2 THEN 0
-       |             ELSE (coalesce(s, 0) * 1000000)
-       |                  // ((m_buckets * (m_buckets - 1)) // 2) END)::BIGINT
+       |             ELSE (CASE WHEN coalesce(s, 0) < 0 THEN -1 ELSE 1 END)
+       |                  * ((abs(coalesce(s, 0)) * 1000000)
+       |                     // ((m_buckets * (m_buckets - 1)) // 2))
+       |        END)::BIGINT
        |         AS tau_micro,
        |       coalesce(sen_slope_micro, 0)::BIGINT AS sen_slope_micro
        |FROM m LEFT JOIN agg USING (event_type)""".stripMargin

@@ -794,6 +794,23 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[Long]("sen_slope_micro") == 0L)
   }
 
+  test("trendTest: declining series — sign-safe truncation on both engines") {
+    import spark.implicits._
+    def t(h: Int, n: Int) = (0 until n).map(i =>
+      ("err", java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:${i % 60}%02d")))
+    // counts 8,6,5,4: all 6 pairs discordant → S = -6, tau = -1e6; the
+    // non-divisible pair (8→4 over 3 steps) must truncate toward zero
+    // (-1333333, the sdiv convention) — a bare floor would give -1333334
+    // and diverge from Spark. Slopes sorted: -2e6, -1.5e6, -1333333,
+    // -1e6 ×3 → discrete median = -1333333.
+    val ev = Seq(8, 6, 5, 4).zipWithIndex
+      .flatMap { case (n, h) => t(h, n) }.toDF("event_type", "ts")
+    val r = graft.streaming.EventStreams.trendTest(ev, 3600L).collect()(0)
+    assert(r.getAs[Long]("s") == -6L)
+    assert(r.getAs[Long]("tau_micro") == -1000000L)
+    assert(r.getAs[Long]("sen_slope_micro") == -1333333L)
+  }
+
   test("trendTest: a single-bucket type reports zeros, not a crash") {
     import spark.implicits._
     val ev = Seq(("err", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
