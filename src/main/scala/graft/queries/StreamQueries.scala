@@ -143,6 +143,13 @@ object StreamQueries {
       graft.streaming.EventStreams.trendTest(events(s, d),
         bucketSec = 3600L)),
 
+    // --- seasonal Mann-Kendall (Hirsch-Slack): pairs restricted to the
+    // same hour-of-day so the daily cycle cancels exactly — the correct
+    // drift test for cyclic rates (oracle-checked) ---
+    "q_stream_trend_seasonal" -> ((s, d) =>
+      graft.streaming.EventStreams.trendTestSeasonal(events(s, d),
+        bucketSec = 3600L, period = 24)),
+
     // --- 2x2 chi-square A/B test: user-parity cohorts, purchase
     // conversion, exact cells + the shared IEEE tail (oracle-checked) ---
     "q_stream_abtest" -> ((s, d) =>
@@ -397,6 +404,10 @@ object StreamQueries {
 
     "q_stream_trend" -> graft.streaming.EventStreams.trendTestOracleSql(
       bucketSec = 3600L),
+
+    "q_stream_trend_seasonal" ->
+      graft.streaming.EventStreams.trendTestSeasonalOracleSql(
+        bucketSec = 3600L, period = 24),
 
     "q_stream_lagcorr" ->
       graft.streaming.EventStreams.lagCorrelationOracleSql(

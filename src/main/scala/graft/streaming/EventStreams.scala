@@ -484,6 +484,118 @@ object EventStreams {
         coalesce(col("sen_slope_micro"), lit(0L)).as("sen_slope_micro"))
   }
 
+  /** SEASONAL Mann–Kendall (Hirsch & Slack 1984) — [[trendTest]] with the
+    * pair space restricted to SAME-SEASON buckets (season = bucket index
+    * mod `period`; 24 on hourly buckets = hour-of-day). The correct trend
+    * test for cyclic series: plain MK compares a 3 a.m. bucket against a
+    * peak-hour bucket and reads the daily cycle as trend (or drowns a
+    * real drift in cycle variance); the seasonal variant only ever
+    * compares Tuesday-3 a.m. with other 3 a.m. buckets, so the cycle
+    * cancels exactly.
+    *
+    * S = Σ_k S_k over seasons, tau = S / Σ_k m_k(m_k−1)/2 (sign-safe micro
+    * floor), Sen slope = the discrete median over ALL within-season
+    * pairwise slopes in per-bucket-step units (pinned; Δbuckets is a
+    * multiple of `period` here). Same exactness and scale shape as
+    * [[trendTest]] — the pair space is Σ_k m_k², strictly smaller than
+    * the unrestricted m².
+    */
+  def trendTestSeasonal(events: DataFrame, bucketSec: Long = 3600L,
+      period: Int = 24): DataFrame = {
+    require(period >= 1)
+    val counts = events
+      .select(col("event_type"),
+        expr(s"unix_timestamp(ts) div $bucketSec * $bucketSec")
+          .as("bucket_s"))
+      .groupBy("event_type", "bucket_s").agg(count(lit(1)).as("n"))
+      .withColumn("season",
+        expr(s"pmod(bucket_s div $bucketSec, $period)"))
+      .transform(graft.operators.Caching.persist)
+    val pairs = counts.as("a")
+      .join(counts.as("b"), col("a.event_type") === col("b.event_type")
+        && col("a.season") === col("b.season")
+        && col("b.bucket_s") > col("a.bucket_s"))
+      .select(col("a.event_type").as("event_type"),
+        (col("b.n") - col("a.n")).as("dn"),
+        expr(s"(b.bucket_s - a.bucket_s) div $bucketSec").as("dsteps"))
+      .select(col("event_type"), col("dn"),
+        expr("CASE WHEN dn < 0 THEN -1 ELSE 1 END" +
+          " * ((abs(dn) * 1000000) div dsteps)").as("slope_micro"))
+    val agg = pairs.groupBy(col("event_type"))
+      .agg(
+        sum(signum(col("dn")).cast("long")).as("s"),
+        sum(when(col("dn") > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("dn") < 0, 1L).otherwise(0L)).as("discordant"),
+        sum(when(col("dn") === 0, 1L).otherwise(0L)).as("tied"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_micro)")
+          .cast("long").as("sen_slope_micro"))
+    val m = counts.groupBy(col("event_type"), col("season"))
+      .agg(count(lit(1)).as("mk"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_seasons"), sum(col("mk")).as("m_buckets"),
+        sum(expr("(mk * (mk - 1)) div 2")).as("denom"))
+    m.join(agg, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_seasons"), col("m_buckets"),
+        coalesce(col("s"), lit(0L)).as("s"),
+        coalesce(col("concordant"), lit(0L)).as("concordant"),
+        coalesce(col("discordant"), lit(0L)).as("discordant"),
+        coalesce(col("tied"), lit(0L)).as("tied"),
+        when(col("denom") === 0, lit(0L))
+          .otherwise(expr("CASE WHEN s < 0 THEN -1 ELSE 1 END" +
+            " * ((abs(s) * 1000000) div denom)"))
+          .as("tau_micro"),
+        coalesce(col("sen_slope_micro"), lit(0L)).as("sen_slope_micro"))
+  }
+
+  /** DuckDB replay of [[trendTestSeasonal]]. */
+  def trendTestSeasonalOracleSql(bucketSec: Long = 3600L, period: Int = 24,
+      table: String = "events"): String =
+    s"""WITH c AS (
+       |  SELECT event_type, bucket_s,
+       |         ((bucket_s // $bucketSec) % $period + $period) % $period
+       |           AS season, n
+       |  FROM (
+       |    SELECT event_type,
+       |           (epoch_us(ts::TIMESTAMP) // 1000000) // $bucketSec
+       |             * $bucketSec AS bucket_s,
+       |           count(*)::BIGINT AS n
+       |    FROM $table GROUP BY 1, 2)),
+       |pairs AS (
+       |  SELECT a.event_type, (b.n - a.n)::BIGINT AS dn,
+       |         (CASE WHEN b.n < a.n THEN -1 ELSE 1 END)
+       |           * ((abs(b.n - a.n) * 1000000)
+       |              // ((b.bucket_s - a.bucket_s) // $bucketSec))
+       |           AS slope_micro
+       |  FROM c a JOIN c b ON b.event_type = a.event_type
+       |    AND b.season = a.season AND b.bucket_s > a.bucket_s),
+       |agg AS (
+       |  SELECT event_type,
+       |         coalesce(sum(CASE WHEN dn > 0 THEN 1 WHEN dn < 0 THEN -1
+       |                           ELSE 0 END), 0)::BIGINT AS s,
+       |         count(CASE WHEN dn > 0 THEN 1 END)::BIGINT AS concordant,
+       |         count(CASE WHEN dn < 0 THEN 1 END)::BIGINT AS discordant,
+       |         count(CASE WHEN dn = 0 THEN 1 END)::BIGINT AS tied,
+       |         quantile_disc(slope_micro, 0.5)::BIGINT AS sen_slope_micro
+       |  FROM pairs GROUP BY event_type),
+       |m AS (
+       |  SELECT event_type, count(*)::BIGINT AS n_seasons,
+       |         sum(mk)::BIGINT AS m_buckets,
+       |         sum((mk * (mk - 1)) // 2)::BIGINT AS denom
+       |  FROM (SELECT event_type, season, count(*)::BIGINT AS mk
+       |        FROM c GROUP BY 1, 2)
+       |  GROUP BY event_type)
+       |SELECT m.event_type, n_seasons, m_buckets,
+       |       coalesce(s, 0)::BIGINT AS s,
+       |       coalesce(concordant, 0)::BIGINT AS concordant,
+       |       coalesce(discordant, 0)::BIGINT AS discordant,
+       |       coalesce(tied, 0)::BIGINT AS tied,
+       |       (CASE WHEN denom = 0 THEN 0
+       |             ELSE (CASE WHEN coalesce(s, 0) < 0 THEN -1 ELSE 1 END)
+       |                  * ((abs(coalesce(s, 0)) * 1000000) // denom)
+       |        END)::BIGINT AS tau_micro,
+       |       coalesce(sen_slope_micro, 0)::BIGINT AS sen_slope_micro
+       |FROM m LEFT JOIN agg USING (event_type)""".stripMargin
+
   /** DuckDB replay of [[trendTest]] (same pair space, same micro floors,
     * same discrete median).
     */

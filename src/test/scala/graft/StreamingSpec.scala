@@ -811,6 +811,37 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[Long]("sen_slope_micro") == -1333333L)
   }
 
+  test("trendTestSeasonal: a pure daily cycle is NOT a trend; drift still is") {
+    import spark.implicits._
+    def t(day: Int, h: Int, n: Int) = (0 until n).map(i =>
+      ("click", java.sql.Timestamp.valueOf(
+        f"2024-01-${day + 1}%02d $h%02d:00:${i % 60}%02d")))
+    // two days, two hours each: hour 0 always 10, hour 12 always 20 — a
+    // pure cycle. Plain MK sees cross-hour pairs (10 vs 20) as trend
+    // signal; the seasonal test only pairs hour-0-with-hour-0 etc. and
+    // reports all ties, tau = 0.
+    val cyc = (0 to 1).flatMap(day => t(day, 0, 10) ++ t(day, 12, 20))
+      .toDF("event_type", "ts")
+    val rc = graft.streaming.EventStreams
+      .trendTestSeasonal(cyc, 3600L, 24).collect()(0)
+    assert(rc.getAs[Long]("n_seasons") == 2L)
+    assert(rc.getAs[Long]("s") == 0L && rc.getAs[Long]("tied") == 2L)
+    assert(rc.getAs[Long]("tau_micro") == 0L)
+    // plain MK on the same data is NOT zero — the cycle leaks into it
+    val rp = graft.streaming.EventStreams.trendTest(cyc, 3600L).collect()(0)
+    assert(rp.getAs[Long]("s") != 0L)
+    // genuine drift on top of the cycle: day 2 runs +3 at both hours →
+    // both seasonal pairs concordant, slope 3 per 24 steps = 125000 micro
+    val drift = (0 to 1).flatMap(day =>
+      t(day, 0, 10 + 3 * day) ++ t(day, 12, 20 + 3 * day))
+      .toDF("event_type", "ts")
+    val rd = graft.streaming.EventStreams
+      .trendTestSeasonal(drift, 3600L, 24).collect()(0)
+    assert(rd.getAs[Long]("s") == 2L)
+    assert(rd.getAs[Long]("tau_micro") == 1000000L)
+    assert(rd.getAs[Long]("sen_slope_micro") == 125000L)
+  }
+
   test("trendTest: a single-bucket type reports zeros, not a crash") {
     import spark.implicits._
     val ev = Seq(("err", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
