@@ -57,6 +57,37 @@ object Eval {
         (col(s"__lower_$c") + col(s"__within_$c")).as(s"below_$c"))): _*)
   }
 
+  /** Two-level bucketed "max of `maxCol` strictly ABOVE this value" over a
+    * per-distinct-value table — the suffix-MAX sibling of [[cumBelow]]
+    * (same mega-partition guard, descending, max in place of sum). Adds
+    * `above_max`; values with nothing above get Long.MinValue (a real max
+    * can never reach it, so strict comparisons stay correct).
+    * One shared implementation serves [[Profile.skyline]] and any future
+    * dominance-style consumer — two inline copies of the bucket pattern
+    * would drift apart.
+    */
+  private[operators] def cumAboveMax(perValue: DataFrame, valueCol: String,
+      maxCol: String, bucketWidth: Long = 1024L): DataFrame = {
+    require(bucketWidth >= 1)
+    val bucketed = perValue.withColumn("__bkt",
+      expr(s"($valueCol - pmod($valueCol, $bucketWidth)) div $bucketWidth"))
+    val wAbove = Window.orderBy(col("__bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktTot = bucketed.groupBy(col("__bkt"))
+      .agg(max(col(maxCol)).as("__bm"))
+      .select(col("__bkt"), max(col("__bm")).over(wAbove).as("__higher"))
+    val wWithin = Window.partitionBy(col("__bkt"))
+      .orderBy(col(valueCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn("__within", max(col(maxCol)).over(wWithin))
+      .join(bktTot, "__bkt")
+      .select(perValue.columns.map(col).toSeq :+
+        greatest(coalesce(col("__higher"), lit(Long.MinValue)),
+          coalesce(col("__within"), lit(Long.MinValue)))
+          .as("above_max"): _*)
+  }
+
   /** The same two-level below-sums as a DuckDB WITH-fragment: emits CTEs
     * `<out>` with columns of `perValueCte` plus `below_<c>` per sum column.
     */

@@ -1316,21 +1316,8 @@ object Profile {
         xCol.cast("long").as("x"), yCol.cast("long").as("y"))
       .where(col("x").isNotNull && col("y").isNotNull))
     val perX = base.groupBy(col("x")).agg(max(col("y")).as("ymax"))
-      .withColumn("__bkt", expr("(x - pmod(x, 1024)) div 1024"))
-    val wAbove = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__bkt").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val bktTot = perX.groupBy(col("__bkt")).agg(max(col("ymax")).as("bm"))
-      .select(col("__bkt"), max(col("bm")).over(wAbove).as("__higher"))
-    val wWithin = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__bkt")).orderBy(col("x").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val cum = perX
-      .withColumn("__within", max(col("ymax")).over(wWithin))
-      .join(bktTot, "__bkt")
-      .select(col("x"), col("ymax"),
-        greatest(coalesce(col("__higher"), lit(Long.MinValue)),
-          coalesce(col("__within"), lit(Long.MinValue))).as("max_y_above"))
+    val cum = Eval.cumAboveMax(perX, "x", "ymax")
+      .select(col("x"), col("ymax"), col("above_max").as("max_y_above"))
     base.join(cum, "x")
       .where(col("y") === col("ymax") && col("y") > col("max_y_above"))
       .select(col("id"), col("x"), col("y"))
