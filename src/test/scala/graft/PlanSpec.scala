@@ -395,4 +395,12 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
     assert(bnlj.isEmpty, "grouped AUC must plan group-keyed equi joins only")
   }
+
+  test("skyline: dominance rides the suffix-max equi-join, never the n² pair join") {
+    val (_, plan) = executed("q_pipeline_skyline")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty,
+      "skyline must join rows to the distinct-x suffix-max table on x — " +
+        "a BNLJ here is the textbook all-pairs dominance blow-up")
+  }
 }
