@@ -38,23 +38,30 @@ object Graph {
     * are DROPPED from pairing (not sampled) so the result stays
     * deterministic and oracle-replayable.
     *
-    * Shape: one self-equi-join of the (group, item) table on the group key
-    * — work is Σ group², bounded by `maxGroupSize`², never corpus².
+    * Shape: one (group → item set) aggregate, pairs generated per group
+    * from the SORTED in-memory set (src < dst by construction) — work is
+    * Σ group², bounded by `maxGroupSize`², never corpus². The aggregate
+    * form replaces the equivalent group self-join: same pair set, but two
+    * shuffles total (group agg + pair distinct) instead of the join
+    * build's four, and the per-group state the skew cap already bounds
+    * (≤ maxGroupSize items) is exactly what collect_set holds.
     */
   def coEdges(df: DataFrame, groupCol: String, itemCol: String,
       maxGroupSize: Int = 64): DataFrame = {
-    val g = df.select(col(groupCol).as("g"), col(itemCol).as("item")).distinct()
-    val sized = g.join(
-      g.groupBy("g").agg(count(lit(1)).as("__n")).where(col("__n") <= maxGroupSize),
-      "g")
-    val l = sized.select(col("g"), col("item").as("src"))
-    val r = sized.select(col("g"), col("item").as("dst"))
-    val pairs = l.join(r, "g").where(col("src") < col("dst"))
-      .select(col("src"), col("dst")).distinct()
+    val lists = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .groupBy("g").agg(collect_set(col("item")).as("items"))
+      .where(size(col("items")).between(2, maxGroupSize))
+      .select(sort_array(col("items")).as("items"))
+    val pairs = lists.select(explode(flatten(transform(
+        sequence(lit(1), size(col("items")) - 1), i => transform(
+          sequence(i + 1, size(col("items"))), j => struct(
+            element_at(col("items"), i).as("src"),
+            element_at(col("items"), j).as("dst")))))).as("p"))
+      .select(col("p.src"), col("p.dst")).distinct()
     // persisted: [[degrees]] and [[pageRank]] both consume the edge table,
     // and the cache-manager's plan canonicalization shares this one entry
     // across separate queries over the same source (the dedup-family
-    // pattern) — the group self-join runs once per corpus, not per consumer
+    // pattern) — the pair build runs once per corpus, not per consumer
     Caching.persist(
       pairs.unionAll(pairs.select(col("dst").as("src"), col("src").as("dst"))))
   }

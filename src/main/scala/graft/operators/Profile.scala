@@ -330,65 +330,98 @@ object Profile {
 
   /** Per-group WINSORIZATION — the repair action paired with
     * [[outliersMad]]'s detection: clip each value into its group's
-    * [pLo, pHi] `percentile_disc` band. Order-statistic bounds (actual
-    * data values, no interpolation) make the clip — and the clipped sum,
-    * carried as DECIMAL — replay value-for-value. Returns per-group
-    * (n, n_lo, n_hi, lo, hi, sum_clipped): the shape a feature-store QA
-    * pass persists per batch.
+    * [pLo, pHi] order-statistic band (actual data values, no
+    * interpolation; 1-based rank ceil(p·n) computed explicitly in
+    * integer arithmetic). Returns per-group
+    * (n, n_lo, n_hi, lo_cents, hi_cents, sum_clipped_cents): the shape
+    * a feature-store QA pass persists per batch — all-integer (cents),
+    * with the group sum as an exact digit string.
     *
-    * Same scale contract as [[outliersMad]]: one grouped sort-based
-    * percentile aggregate + a group-keyed join; group cardinality bounds
-    * every sort.
+    * Scale contract: one per-group row_number window (sorted within the
+    * group's tasks, bounded by group size — the same work a grouped
+    * percentile aggregate does internally) + a group-keyed join; group
+    * cardinality bounds every sort.
     *
     * Contract: NULL values are excluded up front (Spark's least/greatest
     * skip NULLs, so a NULL row would otherwise clip to the hi bound and
-    * silently inflate sum_clipped); values must fit DECIMAL(18,2) — out
-    * of that range Spark's non-ANSI cast nulls while DuckDB's raises, so
-    * the carrier is deliberately sized to the feature domain, not
-    * adjusted per batch.
+    * silently inflate the clipped sum); values must fit DECIMAL(18,2) —
+    * out of that range Spark's non-ANSI cast nulls while DuckDB's
+    * raises, so the carrier is deliberately sized to the feature
+    * domain, not adjusted per batch.
     */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
       pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    // The order statistic is defined EXPLICITLY (1-based rank
+    // r = ceil(p·n) in pure integer arithmetic, p carried as a
+    // ten-thousandth fraction) rather than through an engine's
+    // percentile_disc/quantile_disc builtin: the builtins' index
+    // conventions (ceil(p·n) vs floor(p·(n−1))+1) have drifted across
+    // engine versions, and over a near-unique value column a one-element
+    // shift changes every downstream count and sum. Values are carried
+    // as BIGINT cents — exact clip, exact order, exact sum, and the
+    // output never leaves the integer domain any comparator hashes
+    // identically.
+    val loNum = math.round(pLo * 10000)
+    val hiNum = math.round(pHi * 10000)
     val base = df.select(col(groupCol).as("grp"),
-      col(valueCol).cast("decimal(18,2)").as("v"))
-      .where(col("v").isNotNull)
-    // Spark's percentile_disc returns DOUBLE even over DECIMAL input; cast
-    // straight back (the order statistic IS a 2-decimal data value, so the
-    // round-trip is exact) — otherwise the clip promotes to double and the
-    // clipped sum becomes order-dependent FP accumulation
-    val bounds = base.groupBy("grp")
-      .agg(expr(s"percentile_disc($pLo) WITHIN GROUP (ORDER BY v)")
-        .cast("decimal(18,2)").as("lo"),
-        expr(s"percentile_disc($pHi) WITHIN GROUP (ORDER BY v)")
-          .cast("decimal(18,2)").as("hi"))
+      (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .where(col("c").isNotNull)
+    val ranked = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy("c")))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("grp")))
+    val bounds = ranked
+      .withColumn("r_lo", expr(s"greatest(1L, ($loNum * cnt + 9999) div 10000)"))
+      .withColumn("r_hi", expr(s"greatest(1L, ($hiNum * cnt + 9999) div 10000)"))
+      .groupBy("grp")
+      .agg(min(when(col("rn") === col("r_lo"), col("c"))).as("lo_c"),
+        min(when(col("rn") === col("r_hi"), col("c"))).as("hi_c"))
     base.join(bounds, "grp")
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n"),
-        count(when(col("v") < col("lo"), lit(1))).as("n_lo"),
-        count(when(col("v") > col("hi"), lit(1))).as("n_hi"),
-        first(col("lo")).as("lo"), first(col("hi")).as("hi"),
-        sum(greatest(col("lo"), least(col("hi"), col("v"))))
-          .cast("decimal(38,2)").as("sum_clipped"))
+        count(when(col("c") < col("lo_c"), lit(1))).as("n_lo"),
+        count(when(col("c") > col("hi_c"), lit(1))).as("n_hi"),
+        first(col("lo_c")).as("lo_cents"), first(col("hi_c")).as("hi_cents"),
+        sum(greatest(col("lo_c"), least(col("hi_c"), col("c")))
+          .cast("decimal(38,0)")).cast("decimal(38,0)").cast("string")
+          .as("sum_clipped_cents"))
   }
 
-  /** DuckDB SQL replaying [[winsorize]] value-for-value. */
+  /** DuckDB SQL replaying [[winsorize]] value-for-value (same explicit
+    * ceil(p·n) integer rank — no quantile builtin on either engine). */
   def winsorizeOracleSql(table: String, groupExpr: String, valueExpr: String,
-      pLo: Double = 0.05, pHi: Double = 0.95): String =
+      pLo: Double = 0.05, pHi: Double = 0.95): String = {
+    val loNum = math.round(pLo * 10000)
+    val hiNum = math.round(pHi * 10000)
     s"""WITH base AS (
-       |  SELECT $groupExpr AS grp, ($valueExpr)::DECIMAL(18,2) AS v
+       |  SELECT $groupExpr AS grp,
+       |         (($valueExpr)::DECIMAL(18,2) * 100)::BIGINT AS c
        |  FROM $table
        |  WHERE ($valueExpr) IS NOT NULL),
-       |b AS (SELECT grp, quantile_disc(v, $pLo) AS lo,
-       |             quantile_disc(v, $pHi) AS hi
-       |      FROM base GROUP BY grp)
+       |r AS (
+       |  SELECT grp, c,
+       |         row_number() OVER (PARTITION BY grp ORDER BY c) AS rn,
+       |         count(*) OVER (PARTITION BY grp) AS cnt
+       |  FROM base),
+       |b AS (
+       |  SELECT grp,
+       |         min(CASE WHEN rn = greatest(1, ($loNum * cnt + 9999) // 10000)
+       |                  THEN c END) AS lo_c,
+       |         min(CASE WHEN rn = greatest(1, ($hiNum * cnt + 9999) // 10000)
+       |                  THEN c END) AS hi_c
+       |  FROM r GROUP BY grp)
        |SELECT base.grp, count(*)::BIGINT AS n,
-       |       count(CASE WHEN v < lo THEN 1 END)::BIGINT AS n_lo,
-       |       count(CASE WHEN v > hi THEN 1 END)::BIGINT AS n_hi,
-       |       any_value(lo) AS lo, any_value(hi) AS hi,
-       |       sum(greatest(lo, least(hi, v)))::DECIMAL(38,2) AS sum_clipped
+       |       count(CASE WHEN c < lo_c THEN 1 END)::BIGINT AS n_lo,
+       |       count(CASE WHEN c > hi_c THEN 1 END)::BIGINT AS n_hi,
+       |       any_value(lo_c)::BIGINT AS lo_cents,
+       |       any_value(hi_c)::BIGINT AS hi_cents,
+       |       sum(greatest(lo_c, least(hi_c, c)))::DECIMAL(38,0)::VARCHAR
+       |         AS sum_clipped_cents
        |FROM base JOIN b USING (grp)
        |GROUP BY base.grp""".stripMargin
+  }
 
   /** Per-group score CALIBRATION by empirical CDF (percent_rank): maps any
     * raw quality score to its within-group quantile, so one global

@@ -1560,9 +1560,14 @@ object Similarity {
               .cast("decimal(38,0)").as("ray_den"))
       }
     }
+    // ray_num ≈ n²·d·1e24 exceeds 2^53 even at toy scale: DECIMAL(38,0)
+    // values that big survive any engine's arithmetic but not every
+    // comparator's decimal→float64 path, so the exact integers travel
+    // as digit STRINGS (the q_pipeline_linreg precedent)
     v.crossJoin(broadcast(wLast))
       .select(col("pos"), col("vm").as("v_micro"),
-        col("ray_num"), col("ray_den"))
+        col("ray_num").cast("string").as("ray_num"),
+        col("ray_den").cast("string").as("ray_den"))
   }
 
   /** DuckDB replay of [[pcaPower]] (chained CTE per power round, HUGEINT
@@ -1618,8 +1623,8 @@ object Similarity {
        |         sum(p.vm * p.vm)::HUGEINT AS ray_den
        |  FROM w$iters w JOIN v${iters - 1} p USING (pos))
        |SELECT pos, vm::BIGINT AS v_micro,
-       |       ray_num::DECIMAL(38,0) AS ray_num,
-       |       ray_den::DECIMAL(38,0) AS ray_den
+       |       ray_num::DECIMAL(38,0)::VARCHAR AS ray_num,
+       |       ray_den::DECIMAL(38,0)::VARCHAR AS ray_den
        |FROM v$iters, ray""".stripMargin
   }
 

@@ -2232,25 +2232,34 @@ object TextAnalysis {
       .select(col(probeIdCol).as("probe_id"),
         explode(tokens(col(probeTextCol))).as("term"))
       .distinct()
-    // enrich the (small) probe-term side with df BEFORE touching the
-    // posting lists: the vocabulary-sized df join runs once against the
-    // probe vocabulary, not against every posting hit
-    val qstats = qterms.join(df_t, "term")
-    val terms = postings.join(broadcast(qstats), "term")
+    // enrich the PROBE VOCABULARY (distinct terms across all probes) with
+    // df: the vocabulary-sized df join runs once against that small set,
+    // not against every posting hit
+    val tdf = qterms.select(col("term")).distinct().join(df_t, "term")
+    // per-(term, doc) nano contribution, computed ONCE per posting row:
+    // the BM25 term score is probe-independent (idf, tf, dl, n, totlen —
+    // nothing from the probe), so the log/divide/round happens on the
+    // posting-list-sized table and the dense probe expansion below ships
+    // one slim BIGINT per hit. Same arithmetic on the same integers as
+    // rounding after the expansion — bit-identical scores, posting-count
+    // many double ops instead of hit-count many.
+    val cNano = postings.join(broadcast(tdf), "term")
       .crossJoin(broadcast(stats))
-      .select(col("probe_id"), col("doc"),
-        (log((col("n") * 2 + 2).cast("double") / (col("df") * 2 + 1).cast("double"))
-          * (lit(44L) * col("tf") * col("totlen")).cast("double")
-          / (lit(20L) * col("tf") * col("totlen") + lit(6L) * col("totlen")
-             + lit(18L) * col("dl") * col("n")).cast("double")).as("term_score"))
-    // per-term scores are rounded to NANO precision and summed as BIGINTs:
-    // associative (any partition order), codegen'd hash aggregation — the
-    // sorted-fold pattern would materialize a list per (probe, doc) pair,
-    // and BM25 pairs are dense (stop words connect every probe to nearly
-    // every doc), which made the fold the query's dominant cost
-    val scored = terms.groupBy(col("probe_id"), col("doc"))
-      .agg(sum(round(col("term_score") * lit(1e9), 0).cast("long")).as("su"),
-        count(lit(1)).as("n_terms"))
+      .select(col("term"), col("doc"),
+        round(
+          (log((col("n") * 2 + 2).cast("double") / (col("df") * 2 + 1).cast("double"))
+            * (lit(44L) * col("tf") * col("totlen")).cast("double")
+            / (lit(20L) * col("tf") * col("totlen") + lit(6L) * col("totlen")
+               + lit(18L) * col("dl") * col("n")).cast("double")) * lit(1e9), 0)
+          .cast("long").as("c_nano"))
+    // per-term nano scores sum as BIGINTs: associative (any partition
+    // order), codegen'd hash aggregation — the sorted-fold pattern would
+    // materialize a list per (probe, doc) pair, and BM25 pairs are dense
+    // (stop words connect every probe to nearly every doc), which made
+    // the fold the query's dominant cost
+    val scored = cNano.join(broadcast(qterms), "term")
+      .groupBy(col("probe_id"), col("doc"))
+      .agg(sum(col("c_nano")).as("su"), count(lit(1)).as("n_terms"))
       .select(col("probe_id"), col("doc"), col("n_terms"),
         round(col("su").cast("double") / lit(1e9), 6).as("score"))
     val w = Window.partitionBy(col("probe_id"))

@@ -170,21 +170,23 @@ class ProfileSpec extends SparkSpec {
     assert(!plan.contains("Window"))
   }
 
-  test("winsorize: clips to order-statistic bounds, exact DECIMAL sum") {
+  test("winsorize: clips to order-statistic bounds, exact integer cents") {
     import spark.implicits._
-    // 1..10 in one group: p10/p90 disc bounds are data values; the two
-    // tails clip onto them
+    // 1..10 in one group: the ceil(p·n) ranks land on data values 2 and
+    // 8 (rank ceil(0.2·10)=2, ceil(0.8·10)=8); the two tails clip onto
+    // them
     val df = ((1 to 10).map(i => ("g", Some(i.toDouble))) :+ (("g", None)))
       .toDF("grp", "v")
     val r = Profile.winsorize(df, "grp", "v", pLo = 0.2, pHi = 0.8).head()
-    // the NULL row is excluded entirely — n stays 10 and sum_clipped is
-    // NOT inflated by a phantom hi-clip
+    // the NULL row is excluded entirely — n stays 10 and the clipped sum
+    // is NOT inflated by a phantom hi-clip
     assert(r.getLong(1) == 10L)            // n
     assert(r.getLong(2) == 1L && r.getLong(3) == 2L) // 1 below lo=2, 9+10 above hi=8
-    assert(r.getDecimal(4).doubleValue() == 2.0)
-    assert(r.getDecimal(5).doubleValue() == 8.0)
-    // clipped sum: 2 + 2..8 + 8 + 8 = 2+35+16 = 53
-    assert(r.getDecimal(6).doubleValue() == 53.0)
+    assert(r.getLong(4) == 200L)           // lo_cents
+    assert(r.getLong(5) == 800L)           // hi_cents
+    // clipped sum: 2 + 2..8 + 8 + 8 = 2+35+16 = 53 → 5300 cents, exact
+    // digit string
+    assert(r.getString(6) == "5300")
   }
 
   test("curriculumBucketsBy: per-stratum terciles, global cut would differ") {

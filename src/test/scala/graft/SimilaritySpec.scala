@@ -566,14 +566,15 @@ class SimilaritySpec extends SparkSpec
       .toDF("vec_id", "embedding")
     val got = Similarity.pcaPower(vecs, "embedding", iters = 8)
       .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getDecimal(2), r.getDecimal(3))).toMap
+        (r.getLong(1), BigInt(r.getString(2)), BigInt(r.getString(3)))).toMap
     assert(got.keySet == Set(1L, 2L, 3L))
     assert(math.abs(got(1L)._1) == 1000000L)
     // dim 2 loads at ~0.08 of dim 1, dim 3 at ~0
     assert(math.abs(got(2L)._1) < 200000L && math.abs(got(3L)._1) < 50000L)
     // the two big components agree in sign with the planted correlation
     assert(got(1L)._1.signum == got(2L)._1.signum)
-    // Rayleigh quotient of the scatter is strictly positive
+    // Rayleigh quotient of the scatter is strictly positive (the digit
+    // strings parse as exact integers — no scientific notation, no dot)
     assert(got(1L)._2.signum > 0 && got(1L)._3.signum > 0)
   }
 
