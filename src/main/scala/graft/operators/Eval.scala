@@ -747,4 +747,107 @@ object Eval {
        |         AS mrr_micro
        |FROM ($retrieval) GROUP BY probe_id""".stripMargin
   }
+
+  /** SPLIT-CONFORMAL calibration (Vovk; the Lei et al. 2018 split
+    * recipe) — distribution-free prediction intervals from a held-out
+    * calibration set, the statistically-honest way to attach "the true
+    * value lands within ±q̂ of the prediction with probability ≥ 1−α" to
+    * ANY point predictor. Pipeline use: per-stratum uncertainty bands on
+    * quality/score regressors before thresholding them into keep/drop
+    * decisions.
+    *
+    * Deterministic, integer-exact protocol per group:
+    *   - md5 split of rows into train (buckets 0-5), calibration (6-7),
+    *     test (8-9) — content-stable, replayable anywhere
+    *   - predictor: the train split's floor-mean in cents (pred = Σc div n
+    *     — an integer; any real model slots in here, the conformal
+    *     wrapper never looks inside it)
+    *   - nonconformity: |c − pred| in cents (BIGINT)
+    *   - q̂: the ceil((n_cal+1)(1−α))-th smallest calibration
+    *     nonconformity (the finite-sample-valid rank, clamped to n_cal),
+    *     located by explicit row_number — no quantile builtin
+    *   - coverage: test rows with |c − pred| ≤ q̂
+    * Returns per group: (grp, pred_cents, n_cal, qhat_cents, n_test,
+    * n_covered) — n_covered/n_test ≥ 1−α up to finite-sample slack.
+    *
+    * Scale shape: one pass to split+aggregate the train means (broadcast
+    * back — one row per group), one per-group calibration window bounded
+    * by group size, one counting aggregate over test. No global sort, no
+    * driver state.
+    */
+  def conformal(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, alphaPct: Int = 10): DataFrame = {
+    require(alphaPct > 0 && alphaPct < 100)
+    val base = df.select(col(groupCol).as("grp"),
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("c"),
+        pmod(Dedup.portableHash(concat(lit("cf:"),
+          col(idCol).cast("string"))), lit(10L)).as("b"))
+      .where(col("c").isNotNull)
+      .transform(Caching.persist)
+    // sign·abs form: Spark's div truncates toward zero, DuckDB's //
+    // floors — identical only for non-negative operands
+    val pred = base.where(col("b") <= 5).groupBy("grp")
+      .agg(expr("CASE WHEN sum(c) < 0 THEN -((-sum(c)) div count(1))" +
+        " ELSE sum(c) div count(1) END").as("pred_cents"))
+    val cal = base.where(col("b").between(6, 7)).join(broadcast(pred), "grp")
+      .select(col("grp"), abs(col("c") - col("pred_cents")).as("nc"))
+    val ranked = cal
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy("nc")))
+      .withColumn("n_cal", count(lit(1)).over(Window.partitionBy("grp")))
+    val qhat = ranked
+      .withColumn("r_q", least(col("n_cal"), expr(
+        s"((n_cal + 1) * ${100 - alphaPct} + 99) div 100")))
+      .groupBy("grp")
+      .agg(first(col("n_cal")).as("n_cal"),
+        min(when(col("rn") === col("r_q"), col("nc"))).as("qhat_cents"))
+    base.where(col("b") >= 8).join(broadcast(pred), "grp")
+      .join(broadcast(qhat), "grp")
+      .groupBy("grp")
+      .agg(first(col("pred_cents")).as("pred_cents"),
+        first(col("n_cal")).as("n_cal"),
+        first(col("qhat_cents")).as("qhat_cents"),
+        count(lit(1)).as("n_test"),
+        count(when(abs(col("c") - col("pred_cents")) <= col("qhat_cents"),
+          lit(1))).as("n_covered"))
+  }
+
+  /** DuckDB SQL replaying [[conformal]] value-for-value (same md5 split,
+    * same floor-mean predictor, same explicit conformal rank).
+    */
+  def conformalOracleSql(table: String, groupExpr: String, idExpr: String,
+      valueExpr: String, alphaPct: Int = 10): String =
+    s"""WITH base AS (
+       |  SELECT $groupExpr AS grp,
+       |         (($valueExpr)::DECIMAL(18,2) * 100)::BIGINT AS c,
+       |         ((('0x' || substr(md5('cf:' || ($idExpr)::VARCHAR), 1, 15))::BIGINT
+       |           % 10) + 10) % 10 AS b
+       |  FROM $table WHERE ($valueExpr) IS NOT NULL),
+       |pred AS (
+       |  SELECT grp, CASE WHEN sum(c) < 0 THEN -((-sum(c)) // count(*))
+       |                   ELSE sum(c) // count(*) END AS pred_cents
+       |  FROM base WHERE b <= 5 GROUP BY grp),
+       |cal AS (
+       |  SELECT base.grp, abs(c - pred_cents) AS nc
+       |  FROM base JOIN pred USING (grp) WHERE b BETWEEN 6 AND 7),
+       |ranked AS (
+       |  SELECT grp, nc,
+       |         row_number() OVER (PARTITION BY grp ORDER BY nc) AS rn,
+       |         count(*) OVER (PARTITION BY grp) AS n_cal
+       |  FROM cal),
+       |qhat AS (
+       |  SELECT grp, any_value(n_cal) AS n_cal,
+       |         min(CASE WHEN rn = least(n_cal,
+       |               ((n_cal + 1) * ${100 - alphaPct} + 99) // 100)
+       |             THEN nc END) AS qhat_cents
+       |  FROM ranked GROUP BY grp)
+       |SELECT base.grp, any_value(pred_cents)::BIGINT AS pred_cents,
+       |       any_value(n_cal)::BIGINT AS n_cal,
+       |       any_value(qhat_cents)::BIGINT AS qhat_cents,
+       |       count(*)::BIGINT AS n_test,
+       |       count(CASE WHEN abs(c - pred_cents) <= qhat_cents THEN 1 END)
+       |         ::BIGINT AS n_covered
+       |FROM base JOIN pred USING (grp) JOIN qhat USING (grp)
+       |WHERE b >= 8
+       |GROUP BY base.grp""".stripMargin
 }

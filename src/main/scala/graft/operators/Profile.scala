@@ -1481,4 +1481,136 @@ object Profile {
        |  WHERE docs_thru * 100 >= n * p)
        |WHERE rn = 1""".stripMargin
   }
+
+  /** KMV (k-minimum-values / bottom-k) DISTINCT-COUNT sketch — the
+    * PORTABLE cardinality estimator next to Spark's HLL
+    * (`q_approx_sketches` documents why HLL registers can never replay
+    * cross-engine; this sketch CAN, and does): hash every distinct key
+    * with the shared 60-bit md5 family ([[Dedup.portableHash]]), keep the
+    * k smallest hash values, estimate D ≈ (k−1)·2⁶⁰ / h₍ₖ₎ (Bar-Yossef
+    * et al. 2002). Every step — hashing, bottom-k, the floor-division
+    * estimate — is integer-exact and deterministic, so the ESTIMATE
+    * itself hash-matches in any engine, error bound and all. The sketch
+    * is a monoid: bottom-k of a union = bottom-k of the merged per-part
+    * bottom-k's (spec-tested), which is exactly the partial/final
+    * protocol the reference's accumulators implement for sums.
+    *
+    * Returns one row: (n_kept, h_k, est_distinct, n_exact) — the exact
+    * distinct count rides along so a QA reader sees the error without a
+    * second query. Fewer than k distinct keys → the sketch IS the exact
+    * count.
+    *
+    * Scale shape: one distinct-aggregate over the keys (map-side partial
+    * dedup), then a global bottom-k that plans as TakeOrderedAndProject —
+    * per-partition top-k heaps, k·partitions rows to the driver, never a
+    * global sort. The exact-count twin is one count-distinct aggregate.
+    * At 1e11 keys the sketch path moves k rows; the exact twin is the
+    * expensive one — drop `n_exact` (and its aggregate) in production.
+    */
+  def kmvDistinct(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2)
+    val keys = df.select(col(keyCol).cast("string").as("key"))
+      .where(col("key").isNotNull).distinct()
+      .transform(Caching.persist)
+    val hashes = keys
+      .select(Dedup.portableHash(concat(lit("kmv:"), col("key"))).as("h"))
+      .distinct()
+    val bottom = hashes.orderBy(col("h")).limit(k)
+    val sketch = bottom.agg(count(lit(1)).as("n_kept"), max(col("h")).as("h_k"))
+      .select(col("n_kept"), col("h_k"),
+        when(col("n_kept") < k, col("n_kept")).otherwise(
+          expr(s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976)" +
+            " div h_k AS BIGINT)")).as("est_distinct"))
+    sketch.crossJoin(broadcast(keys.agg(count(lit(1)).as("n_exact"))))
+  }
+
+  /** BUCKETED QUANTILE NORMALIZATION — align per-source value
+    * distributions onto one pooled reference (the cross-source score
+    * harmonization step quantile normalization performs in expression
+    * pipelines, bucketed so it distributes): each group's values are
+    * ranked, ranks map onto B equal-occupancy buckets (bucket =
+    * ceil(rank·B/n), pure integer), and every (group, bucket) cell is
+    * compared to the POOLED bucket mean across all groups — the target a
+    * normalizer would remap that cell onto. Returns per (grp, bucket):
+    * (cnt, sum_cents exact, mean, ref, shift = mean − ref, all rounded
+    * 6 dp from exact integer sums — single divisions, no FP
+    * accumulation).
+    *
+    * Scale shape: one per-group rank window (bounded by group size), one
+    * (grp, bucket) aggregate, one bucket-keyed join against the B-row
+    * pooled table — no global sort, no all-pairs.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("grp"),
+      (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .where(col("c").isNotNull)
+    val ranked = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy("c")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+      .withColumn("bucket", expr(s"(rn * $buckets + n - 1) div n"))
+    val cells = ranked.groupBy("grp", "bucket")
+      .agg(count(lit(1)).as("cnt"), sum(col("c")).as("sum_cents"))
+    val pooled = cells.groupBy("bucket")
+      .agg(sum(col("sum_cents")).as("psum"), sum(col("cnt")).as("pcnt"))
+    cells.join(broadcast(pooled), "bucket")
+      .select(col("grp"), col("bucket"), col("cnt"), col("sum_cents"),
+        round(col("sum_cents").cast("double") / col("cnt").cast("double"), 6)
+          .as("mean"),
+        round(col("psum").cast("double") / col("pcnt").cast("double"), 6)
+          .as("ref"))
+      .withColumn("shift", round(col("mean") - col("ref"), 6))
+  }
+
+  /** DuckDB SQL replaying [[quantileNormalize]] value-for-value (same
+    * integer bucket rule, same exact sums, same 6 dp single divisions).
+    */
+  def quantileNormalizeOracleSql(table: String, groupExpr: String,
+      valueExpr: String, buckets: Int): String =
+    s"""WITH base AS (
+       |  SELECT $groupExpr AS grp,
+       |         (($valueExpr)::DECIMAL(18,2) * 100)::BIGINT AS c
+       |  FROM $table WHERE ($valueExpr) IS NOT NULL),
+       |ranked AS (
+       |  SELECT grp, c,
+       |         row_number() OVER (PARTITION BY grp ORDER BY c) AS rn,
+       |         count(*) OVER (PARTITION BY grp) AS n
+       |  FROM base),
+       |cells AS (
+       |  SELECT grp, (rn * $buckets + n - 1) // n AS bucket,
+       |         count(*)::BIGINT AS cnt, sum(c)::BIGINT AS sum_cents
+       |  FROM ranked GROUP BY 1, 2),
+       |pooled AS (
+       |  SELECT bucket, sum(sum_cents)::BIGINT AS psum,
+       |         sum(cnt)::BIGINT AS pcnt
+       |  FROM cells GROUP BY bucket)
+       |SELECT grp, bucket, cnt, sum_cents,
+       |       round(sum_cents::DOUBLE / cnt::DOUBLE, 6) AS mean,
+       |       round(psum::DOUBLE / pcnt::DOUBLE, 6) AS ref,
+       |       round(round(sum_cents::DOUBLE / cnt::DOUBLE, 6)
+       |             - round(psum::DOUBLE / pcnt::DOUBLE, 6), 6) AS shift
+       |FROM cells JOIN pooled USING (bucket)""".stripMargin
+
+  /** DuckDB SQL replaying [[kmvDistinct]] value-for-value (same md5
+    * family, same bottom-k, same floor-division estimate).
+    */
+  def kmvOracleSql(table: String, keyExpr: String, k: Int): String =
+    s"""WITH keys AS (
+       |  SELECT DISTINCT ($keyExpr)::VARCHAR AS key FROM $table
+       |  WHERE ($keyExpr) IS NOT NULL),
+       |h AS (
+       |  SELECT DISTINCT
+       |         ('0x' || substr(md5('kmv:' || key), 1, 15))::BIGINT AS h
+       |  FROM keys),
+       |b AS (SELECT h FROM h ORDER BY h LIMIT $k),
+       |s AS (SELECT count(*)::BIGINT AS n_kept, max(h)::BIGINT AS h_k FROM b)
+       |SELECT n_kept, h_k,
+       |       CASE WHEN n_kept < $k THEN n_kept
+       |            ELSE ((($k - 1)::HUGEINT * 1152921504606846976) // h_k)::BIGINT
+       |       END AS est_distinct,
+       |       (SELECT count(*)::BIGINT FROM keys) AS n_exact
+       |FROM s""".stripMargin
 }

@@ -1027,4 +1027,128 @@ object Scale {
        |       rec.bin::BIGINT AS bin,
        |       k.size > $targetBytes AS oversize
        |FROM rec JOIN ranked k ON k.rn = rec.rn""".stripMargin
+
+  /** DETERMINISTIC EPOCH SHUFFLE + SHARD LAYOUT — the reproducible
+    * data-order plan a multi-epoch training run needs: every epoch must
+    * present the corpus in a fresh pseudo-random order, every rank/worker
+    * must know its shard without coordination, and a re-run (or a resumed
+    * job) must land every document in exactly the same (epoch, shard,
+    * position) slot. Keyed md5 gives all three: for epoch e, doc d gets
+    * key = h("ep:e:" + id); shard = key mod `shards`; position =
+    * rank of key within the shard. No RNG state, no seed files — the
+    * (epochs × corpus) layout is a pure function of ids.
+    *
+    * Returns (epoch, shard, pos, id): the manifest a writer turns into
+    * per-shard files (pair with [[writeShards]]). Position starts at 1
+    * per (epoch, shard).
+    *
+    * Scale shape: one explode to epochs × corpus rows, then ONE window
+    * partitioned by (epoch, shard) — each sort is corpus/shards rows,
+    * spread over epochs·shards independent partitions; nothing global.
+    * The hash-keyed order also decorrelates adjacent source documents
+    * (the within-shard shuffle quality a sequential reader needs).
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int,
+      shards: Int): DataFrame = {
+    require(epochs >= 1 && shards >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.select(col(idCol).as("id"))
+      .select(col("id"), explode(sequence(lit(1), lit(epochs))).as("epoch"))
+      .select(col("epoch").cast("long").as("epoch"), col("id"),
+        Dedup.portableHash(concat(lit("ep:"), col("epoch"), lit(":"),
+          col("id").cast("string"))).as("k"))
+      .withColumn("shard", pmod(col("k"), lit(shards.toLong)))
+    keyed
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("k"), col("id"))).cast("long"))
+      .select(col("epoch"), col("shard"), col("pos"), col("id"))
+  }
+
+  /** DoReMi-STYLE DOMAIN MIXTURE REWEIGHTING (Xie et al. 2023, in
+    * spirit) — multiplicative-weights update of per-domain sampling
+    * weights from per-domain excess-loss signals: domains where the
+    * proxy model underperforms get upweighted, iteratively, then the
+    * final weights drive the sampler ([[downsampleTemperature]]'s
+    * cousin with a learned, not power-law, target). The real algorithm's
+    * exp(η·ℓ) step is replaced by its first-order integer form
+    * w ← w·(1e6 + η_bp·ℓ // 10000) // 1e6 followed by exact
+    * renormalization to Σ = 1e6 — monotone in ℓ like the exponential,
+    * and every round is pure BIGINT arithmetic that replays
+    * value-for-value in any engine (the [[graft.operators.Graph]]
+    * micro-unit discipline).
+    *
+    * Input: (domain, loss_micro ≥ 0) one row per domain. Returns
+    * (domain, weight_micro) after `iters` rounds from the uniform start
+    * (floor renormalization leaks ≤ #domains micro-units — the
+    * deterministic leak is part of the pinned semantics).
+    *
+    * Scale shape: the domain table is tiny by construction (a mixture
+    * has tens of domains, never corpus-scale); k rounds = k aggregates
+    * + k broadcast joins over it, lineage cut per round. The
+    * corpus-sized work — computing loss_micro — happens upstream in
+    * whatever aggregate defines the loss proxy.
+    */
+  def mixtureReweight(domains: DataFrame, domainCol: String,
+      lossMicroCol: String, iters: Int, etaBp: Int = 1000): DataFrame = {
+    require(iters >= 0 && etaBp >= 0)
+    val d = domains.select(col(domainCol).as("domain"),
+      col(lossMicroCol).cast("long").as("l")).transform(Caching.persist)
+    val n = d.count()
+    var w = d.select(col("domain"), col("l"),
+      lit(1000000L / math.max(n, 1L)).as("w"))
+    for (_ <- 1 to iters) {
+      val up = w.select(col("domain"), col("l"),
+        expr(s"(w * (1000000 + ($etaBp * l) div 10000)) div 1000000")
+          .as("w"))
+      val tot = up.agg(sum(col("w")).as("tot"))
+      w = up.crossJoin(broadcast(tot))
+        .select(col("domain"), col("l"),
+          expr("(w * 1000000) div tot").as("w"))
+        .localCheckpoint(false)
+    }
+    w.select(col("domain"), col("w").as("weight_micro"))
+  }
+
+  /** DuckDB SQL replaying [[mixtureReweight]] over a `domains` CTE the
+    * caller supplies (must yield columns domain, l) — chained CTE per
+    * round, the [[graft.operators.Graph.pageRankOracleSql]] pattern.
+    */
+  def mixtureReweightOracleSql(domainsCte: String, iters: Int,
+      etaBp: Int = 1000): String = {
+    val rounds = (1 to iters).map { r =>
+      val prev = if (r == 1) "w0" else s"w${r - 1}"
+      s"""u$r AS (
+         |  SELECT domain, l,
+         |         (w * (1000000 + ($etaBp * l) // 10000)) // 1000000 AS w
+         |  FROM $prev),
+         |w$r AS (
+         |  SELECT domain, l, (w * 1000000) // (SELECT sum(w) FROM u$r) AS w
+         |  FROM u$r)""".stripMargin
+    }.mkString(",\n")
+    val last = if (iters == 0) "w0" else s"w$iters"
+    s"""WITH domains AS ($domainsCte),
+       |w0 AS (
+       |  SELECT domain, l,
+       |         1000000 // (SELECT count(*) FROM domains) AS w
+       |  FROM domains),
+       |$rounds
+       |SELECT domain, w::BIGINT AS weight_micro FROM $last""".stripMargin
+  }
+
+  /** DuckDB SQL replaying [[epochShuffle]] value-for-value (same md5
+    * keys, same shard mod, same (k, id) tiebreak).
+    */
+  def epochShuffleOracleSql(table: String, idExpr: String, epochs: Int,
+      shards: Int): String =
+    s"""WITH keyed AS (
+       |  SELECT e.range::BIGINT AS epoch, $idExpr AS id,
+       |         ('0x' || substr(md5('ep:' || e.range || ':' ||
+       |            ($idExpr)::VARCHAR), 1, 15))::BIGINT AS k
+       |  FROM $table, range(1, ${epochs + 1}) e)
+       |SELECT epoch, k % $shards AS shard,
+       |       row_number() OVER (PARTITION BY epoch, k % $shards
+       |                          ORDER BY k, id)::BIGINT AS pos,
+       |       id
+       |FROM keyed""".stripMargin
 }

@@ -2042,4 +2042,98 @@ object Similarity {
        |       min(cos_micro)::BIGINT AS min_cos_micro,
        |       max(cos_micro)::BIGINT AS max_cos_micro
        |FROM c""".stripMargin
+
+  /** K-CENTER CORESET by Gonzalez's greedy farthest-point traversal (2-
+    * approximation to the k-center cover) — the geometry-preserving
+    * counterpart to [[diversitySample]]'s quota sampling: each pick is
+    * the point FARTHEST from everything chosen so far, so k points cover
+    * the corpus with (provably) at most 2× the optimal radius. The
+    * coreset/active-learning selection step: k prototypes that span the
+    * embedding space's extremes, not its densest mode.
+    *
+    * Deterministic, integer-exact: coordinates quantize to 1e-6 fixed
+    * point (the [[pcaPower]] carrier), distances are exact BIGINT squared
+    * L2, the start is the minimum id, and every argmax breaks ties on
+    * minimum id. Returns (rank, center_id, best_sq) where best_sq is the
+    * pick's squared distance to the already-chosen set — i.e. the
+    * covering radius² of the first rank−1 centers (0 for rank 1). The
+    * whole trace replays value-for-value in any engine.
+    *
+    * Scale shape: k rounds, each ONE corpus pass — the newly-picked
+    * center (a single row) broadcasts into a per-row distance update
+    * (running min), and the argmax is a TakeOrdered(1), never a global
+    * sort. Driver state is k rows (the picked centers) — the same
+    * bounded 1-row-per-round collect as the BPE trainer. The per-round
+    * frontier rides a lazy local checkpoint so lineage stays flat.
+    */
+  def kCenterCoreset(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pts = Caching.persist(df.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol),
+        x => round(x.cast("double") * 1000000, 0).cast("long")).as("q")))
+    val c1 = pts.orderBy(col("id")).limit(1)
+      .select(col("id"), col("q")).head()
+    // exact squared L2 against the broadcast literal center in column `c`
+    val dist = expr(
+      "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L," +
+        " (acc, x) -> acc + x)")
+    var picks = List((1L, c1.getLong(0), 0L))
+    var centerQ = c1.getSeq[Long](1)
+    var best = pts
+      .withColumn("c", array(centerQ.map(lit): _*))
+      .withColumn("best", dist)
+      .select(col("id"), col("q"), col("best"))
+      .localCheckpoint(false)
+    for (r <- 2 to k) {
+      val next = best.orderBy(col("best").desc, col("id"))
+        .limit(1).head()
+      picks ::= (r.toLong, next.getLong(0), next.getLong(2))
+      centerQ = next.getSeq[Long](1)
+      best = best
+        .withColumn("c", array(centerQ.map(lit): _*))
+        .withColumn("best", least(col("best"), dist))
+        .select(col("id"), col("q"), col("best"))
+        .localCheckpoint(false)
+    }
+    picks.reverse.toDF("rank", "center_id", "best_sq")
+  }
+
+  /** DuckDB SQL replaying [[kCenterCoreset]] (chained CTE per greedy
+    * round: argmax by (best DESC, id), running-min distance update —
+    * the [[pcaPowerOracleSql]] pattern).
+    */
+  def kCenterOracleSql(k: Int, table: String = "embeddings",
+      idCol: String = "vec_id", vecCol: String = "embedding"): String = {
+    val dist = (c: String) =>
+      s"list_sum(list_transform(range(1, len(q) + 1)," +
+        s" i -> (q[i] - $c[i]) * (q[i] - $c[i])))"
+    val rounds = (2 to k).map { r =>
+      val prev = s"b${r - 1}"
+      s"""c$r AS MATERIALIZED (
+         |  SELECT id, q, best FROM $prev ORDER BY best DESC, id LIMIT 1),
+         |b$r AS MATERIALIZED (
+         |  SELECT p.id, p.q,
+         |         least(p.best, ${dist(s"(SELECT q FROM c$r)")}) AS best
+         |  FROM $prev p)""".stripMargin
+    }.mkString(",\n")
+    val outRows = (2 to k).map(r =>
+      s"SELECT $r::BIGINT AS rank, id::BIGINT AS center_id," +
+        s" best::BIGINT AS best_sq FROM c$r").mkString("\nUNION ALL ")
+    s"""WITH pts AS MATERIALIZED (
+       |  SELECT $idCol::BIGINT AS id,
+       |         list_transform($vecCol::DOUBLE[],
+       |           x -> round(x * 1000000)::BIGINT) AS q
+       |  FROM $table),
+       |c1 AS MATERIALIZED (SELECT id, q FROM pts ORDER BY id LIMIT 1),
+       |b1 AS MATERIALIZED (
+       |  SELECT p.id, p.q, ${dist("(SELECT q FROM c1)")} AS best
+       |  FROM pts p),
+       |$rounds
+       |SELECT 1::BIGINT AS rank, id::BIGINT AS center_id, 0::BIGINT AS best_sq
+       |FROM c1
+       |UNION ALL $outRows""".stripMargin
+  }
 }

@@ -358,6 +358,42 @@ object PipelineQueries {
           |LATERAL VIEW posexplode(tk) AS pos, t""".stripMargin)
     }),
 
+    // --- KMV bottom-k distinct sketch: the PORTABLE cardinality
+    // estimator — the md5 hash family, bottom-k, and floor-division
+    // estimate are all integer-exact, so unlike HLL the ESTIMATE itself
+    // is oracle-checked, error and all (exact count rides along) ---
+    "q_approx_kmv" -> ((s, d) => {
+      Tables.load(s, d)
+      graft.operators.Profile.kmvDistinct(
+        s.table("lineitem"), "l_orderkey", k = 256)
+    }),
+
+    // --- split-conformal calibration: md5 train/cal/test split, explicit
+    // finite-sample conformal rank, integer-cents coverage counts
+    // (oracle-checked) ---
+    "q_pipeline_conformal_band" -> ((s, d) => {
+      Tables.load(s, d)
+      graft.operators.Eval.conformal(
+        s.table("events"), "event_type", "event_id", "value", alphaPct = 10)
+    }),
+
+    // --- bucketed quantile normalization: per-source rank buckets vs the
+    // pooled reference distribution (oracle-checked) ---
+    "q_pipeline_qnorm" -> ((s, d) => {
+      Tables.load(s, d)
+      graft.operators.Profile.quantileNormalize(
+        s.table("orders"), "o_orderpriority", "o_totalprice", buckets = 8)
+    }),
+
+    // --- k-center coreset (Gonzalez greedy farthest-point): k diverse
+    // prototypes on exact fixed-point L2², full trace oracle-replayed
+    // round by round (oracle-checked) ---
+    "q_embed_coreset" -> ((s, d) => {
+      Tables.load(s, d)
+      Similarity.kCenterCoreset(s.table("embeddings"), "vec_id",
+        "embedding", k = 8)
+    }),
+
     // --- Count-Min sketch point estimates: 3 distinct keys over a 3x64
     // sketch — no key pair collides in every row (checkable, and the spec
     // pins the never-underestimate + merge guarantees), so the estimates
@@ -1472,6 +1508,17 @@ object PipelineQueries {
       """SELECT row_number() OVER (ORDER BY cnt DESC, term) AS rank, term, cnt
         |FROM (SELECT l_returnflag AS term, count(*) AS cnt
         |      FROM lineitem GROUP BY 1)""".stripMargin,
+
+    "q_approx_kmv" -> graft.operators.Profile.kmvOracleSql(
+      "lineitem", "l_orderkey", k = 256),
+
+    "q_pipeline_conformal_band" -> graft.operators.Eval.conformalOracleSql(
+      "events", "event_type", "event_id", "value", alphaPct = 10),
+
+    "q_pipeline_qnorm" -> graft.operators.Profile.quantileNormalizeOracleSql(
+      "orders", "o_orderpriority", "o_totalprice", buckets = 8),
+
+    "q_embed_coreset" -> Similarity.kCenterOracleSql(k = 8),
 
     "q_pipeline_pack" -> graft.operators.Scale.packOracleSql(
       tokenExpr = s"len(${TextAnalysis.toksSql("text")})",

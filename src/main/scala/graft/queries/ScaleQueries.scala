@@ -19,6 +19,24 @@ object ScaleQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- deterministic epoch shuffle + shard layout: the reproducible
+    // multi-epoch data-order manifest (oracle-checked) ---
+    "q_scale_epochs" -> ((s, d) =>
+      Scale.epochShuffle(t(s, d, "documents").select(col("doc_id")),
+        "doc_id", epochs = 3, shards = 8)),
+
+    // --- DoReMi-style mixture reweighting: multiplicative-weights update
+    // of per-lang sampling weights from the integer excess-length proxy,
+    // 5 rounds, chained-CTE oracle (oracle-checked) ---
+    "q_pipeline_doremi" -> ((s, d) => {
+      val dd = t(s, d, "documents")
+      val a = dd.groupBy(col("lang").as("domain"))
+        .agg(expr("sum(n_chars) div count(1)").as("av"))
+      val domains = a.crossJoin(broadcast(a.agg(max(col("av")).as("mx"))))
+        .select(col("domain"), expr("((mx - av) * 1000000) div mx").as("l"))
+      Scale.mixtureReweight(domains, "domain", "l", iters = 5, etaBp = 100)
+    }),
+
     // salted equi-join == plain equi-join (aggregated so the dump is small)
     "q_scale_salted_join" -> ((s, d) => {
       val big = t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"),
@@ -257,6 +275,16 @@ object ScaleQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_scale_epochs" -> Scale.epochShuffleOracleSql(
+      "documents", "doc_id", epochs = 3, shards = 8),
+    "q_pipeline_doremi" -> Scale.mixtureReweightOracleSql(
+      """SELECT domain, ((mx - av) * 1000000) // mx AS l
+        |FROM (SELECT lang AS domain, sum(n_chars) // count(*) AS av
+        |      FROM documents GROUP BY 1) a,
+        |     (SELECT max(av) AS mx
+        |      FROM (SELECT sum(n_chars) // count(*) AS av
+        |            FROM documents GROUP BY lang)) m""".stripMargin,
+      iters = 5, etaBp = 100),
     "q_pipeline_outliers" -> graft.operators.Profile.outliersOracleSql(
       "orders", "o_orderpriority", "o_totalprice"),
     "q_pipeline_winsorize" -> graft.operators.Profile.winsorizeOracleSql(
