@@ -105,6 +105,14 @@ object Bench {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       w.println(detail); w.close()
     } catch { case _: Throwable => }
+    // append-only history so like-for-like regression checks across rounds
+    // never depend on the driver's output-tail window or on BENCH_DETAIL
+    // being committed before the next run overwrites it
+    try {
+      val h = new java.io.FileWriter("BENCH_HISTORY.jsonl", true)
+      h.write(s"""{"ts_ms":${System.currentTimeMillis()},"sf":"$sfDir","total":${f"$total%.3f"},"n_queries":${results.size},"queries":$detail}""" + "\n")
+      h.close()
+    } catch { case _: Throwable => }
     // The driver keeps only the LAST ~2000 chars of output and parses the
     // {"metric":...} line out of that window; with 90+ queries a per-query
     // map overflows the window and the line start is cut off → parse fails

@@ -38,19 +38,24 @@ object Graph {
     * are DROPPED from pairing (not sampled) so the result stays
     * deterministic and oracle-replayable.
     *
-    * Shape: one (group → item set) aggregate, pairs generated per group
+    * Shape: distinct (group, item) pass, a per-group distinct count via
+    * a window (its buffer spills to disk, so a pathological group never
+    * pins memory), the size filter, THEN the set aggregate — so
+    * collect_set only ever sees groups already proven ≤ `maxGroupSize`
+    * distinct items; its per-group buffer is bounded by the cap, not by
+    * the skew. The window leaves the data hash-partitioned by group, so
+    * the aggregate adds no extra shuffle; pairs are generated per group
     * from the SORTED in-memory set (src < dst by construction) — work is
-    * Σ group², bounded by `maxGroupSize`², never corpus². The aggregate
-    * form replaces the equivalent group self-join: same pair set, but two
-    * shuffles total (group agg + pair distinct) instead of the join
-    * build's four, and the per-group state the skew cap already bounds
-    * (≤ maxGroupSize items) is exactly what collect_set holds.
+    * Σ group², bounded by `maxGroupSize`², never corpus².
     */
   def coEdges(df: DataFrame, groupCol: String, itemCol: String,
       maxGroupSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val lists = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .distinct()
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      .where(col("n").between(2, maxGroupSize))
       .groupBy("g").agg(collect_set(col("item")).as("items"))
-      .where(size(col("items")).between(2, maxGroupSize))
       .select(sort_array(col("items")).as("items"))
     val pairs = lists.select(explode(flatten(transform(
         sequence(lit(1), size(col("items")) - 1), i => transform(
@@ -753,8 +758,18 @@ object Graph {
         .where(col("__n") <= maxGroupSize), "b")
     val n = bi.select(col("b")).distinct().count() // one scalar
     val items = bi.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
-    val pairs = sized.select(col("b"), col("item").as("i"))
-      .join(sized.select(col("b"), col("item").as("j")), "b")
+      .transform(Caching.persist)
+    // Apriori prune (support is anti-monotone): an item in fewer than
+    // minSup baskets can never be in a pair with n_ij >= minSup, so it
+    // exits BEFORE the self-join — answer-identical, and at real basket
+    // skew (long-tail items dominate) it removes most of the join input.
+    // Runs after the group-size cap: the cap counts the basket's FULL
+    // item set, so pruning first would change which baskets are dropped.
+    val frequent = items.where(col("n_item") >= minSup)
+      .select(col("item"))
+    val pruned = sized.join(frequent, Seq("item"), "left_semi")
+    val pairs = pruned.select(col("b"), col("item").as("i"))
+      .join(pruned.select(col("b"), col("item").as("j")), "b")
       .where(col("i") < col("j"))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n_ij"))
       .where(col("n_ij") >= minSup)

@@ -1551,7 +1551,11 @@ object Profile {
       .withColumn("rn", row_number().over(
         Window.partitionBy("grp").orderBy("c")))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
-      .withColumn("bucket", expr(s"(rn * $buckets + n - 1) div n"))
+      // rn is IntegerType; widen before the multiply so groups larger
+      // than ~2^31/buckets rows don't overflow (DuckDB's row_number is
+      // already 64-bit, so the oracle would diverge otherwise)
+      .withColumn("bucket",
+        expr(s"(cast(rn AS BIGINT) * $buckets + n - 1) div n"))
     val cells = ranked.groupBy("grp", "bucket")
       .agg(count(lit(1)).as("cnt"), sum(col("c")).as("sum_cents"))
     val pooled = cells.groupBy("bucket")

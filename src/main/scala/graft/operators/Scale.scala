@@ -1127,12 +1127,13 @@ object Scale {
          |  FROM u$r)""".stripMargin
     }.mkString(",\n")
     val last = if (iters == 0) "w0" else s"w$iters"
+    // no trailing comma after w0 when iters == 0 (rounds is empty)
+    val roundsClause = if (iters == 0) "" else s",\n$rounds"
     s"""WITH domains AS ($domainsCte),
        |w0 AS (
        |  SELECT domain, l,
        |         1000000 // (SELECT count(*) FROM domains) AS w
-       |  FROM domains),
-       |$rounds
+       |  FROM domains)$roundsClause
        |SELECT domain, w::BIGINT AS weight_micro FROM $last""".stripMargin
   }
 

@@ -1816,8 +1816,11 @@ object Similarity {
     *
     * Scale shape: the JL sketch is one broadcast matmul; the neighbor
     * join is GRID-BLOCKED — each point joins only its 3×3 cell
-    * neighborhood (cell = floor(coord/eps) via pmod, exact for negatives)
-    * so work is Σ cell-occupancy², never corpus², and a uniform eps grid
+    * neighborhood (cell = floor(coord/eps) via pmod, exact for
+    * negatives), generated HALF-PLANE (4 forward offsets + same-cell
+    * id<, symmetrized by one union) so each unordered pair is tested
+    * once — work is Σ cell-occupancy²/2, never corpus², and a uniform
+    * eps grid
     * admits no hub cells (density caps occupancy ≈ eps²·max-density);
     * components run the checkpointed min-label iteration. All shuffles
     * are keyed; no BNLJ (PlanSpec).
@@ -1832,21 +1835,34 @@ object Similarity {
       .select(col("id"), col("x"), col("y"),
         expr(s"(x - pmod(x, ${epsFx}L)) div ${epsFx}L").as("cx"),
         expr(s"(y - pmod(y, ${epsFx}L)) div ${epsFx}L").as("cy")))
-    val offsets = Seq(-1L, 0L, 1L)
+    // HALF-PLANE probe: each unordered cell pair is generated exactly once
+    // — the 4 forward offsets cover all 8 neighbor directions when the
+    // result is symmetrized (O ∪ −O = the 8-neighborhood), and same-cell
+    // pairs use id_a < id_b. Probe explode is 5× instead of 9× and the
+    // distance filter runs on half the join output; the final union swap
+    // reconstructs the directed neighbor table bit-for-bit.
+    val fwd = Seq((0L, 1L), (1L, -1L), (1L, 0L), (1L, 1L))
     val probes = pts.select(col("id"), col("x"), col("y"),
-      explode(array(offsets.flatMap(dx => offsets.map(dy =>
-        struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy")))): _*))
+      explode(array(fwd.map { case (dx, dy) =>
+        struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy")) }: _*))
         .as("c"))
       .select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
         col("c.cx"), col("c.cy"))
-    val nbrs = Caching.persist(probes.join(
-        pts.select(col("id").as("id_b"), col("x").as("xb"),
-          col("y").as("yb"), col("cx"), col("cy")),
-        Seq("cx", "cy"))
-      .where(col("id_a") =!= col("id_b") &&
-        abs(col("xa") - col("xb")) <= epsFx &&
-        abs(col("ya") - col("yb")) <= epsFx)
-      .select(col("id_a"), col("id_b")))
+    val ptsB = pts.select(col("id").as("id_b"), col("x").as("xb"),
+      col("y").as("yb"), col("cx"), col("cy"))
+    val inBall = abs(col("xa") - col("xb")) <= epsFx &&
+      abs(col("ya") - col("yb")) <= epsFx
+    // distinct cells → distinct points, no id check needed
+    val cross = probes.join(ptsB, Seq("cx", "cy")).where(inBall)
+      .select(col("id_a"), col("id_b"))
+    val same = pts.select(col("id").as("id_a"), col("x").as("xa"),
+        col("y").as("ya"), col("cx"), col("cy"))
+      .join(ptsB, Seq("cx", "cy"))
+      .where(col("id_a") < col("id_b") && inBall)
+      .select(col("id_a"), col("id_b"))
+    val half = Caching.persist(cross.unionAll(same))
+    val nbrs = Caching.persist(half.unionAll(
+      half.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
     // +1: the point itself counts toward minPts (standard convention).
     // LEFT join from pts, not a groupBy over nbrs: a point with ZERO
     // neighbors has no nbrs row at all, yet at minPts = 1 its self-count
@@ -2071,11 +2087,27 @@ object Similarity {
     require(k >= 1)
     val spark = df.sparkSession
     import spark.implicits._
-    val pts = Caching.persist(df.select(col(idCol).cast("long").as("id"),
+    val ptsPlan = df.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol),
-        x => round(x.cast("double") * 1000000, 0).cast("long")).as("q")))
-    val c1 = pts.orderBy(col("id")).limit(1)
-      .select(col("id"), col("q")).head()
+        x => round(x.cast("double") * 1000000, 0).cast("long")).as("q"))
+    // the result below is a driver-local k-row trace, so — uniquely among
+    // the gate operators — every intermediate can be released before
+    // returning; only skip the pts entry if some earlier caller already
+    // cached the same canonicalized plan (shared-entry footgun)
+    val ptsShared = org.apache.spark.sql.graftshim.GraftShim.isCached(ptsPlan)
+    val pts = Caching.persist(ptsPlan)
+    val checkpoints = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val first = pts.orderBy(col("id")).limit(1)
+      .select(col("id"), col("q")).collect()
+    // empty corpus → empty trace (same shape the oracle's empty CTEs yield)
+    if (first.isEmpty)
+      return spark.emptyDataset[(Long, Long, Long)]
+        .toDF("rank", "center_id", "best_sq")
+    // Contract for k > |pts|: once every point is chosen all residuals are
+    // 0 and the (best DESC, id ASC) argmax re-picks the minimum id each
+    // remaining round — duplicate center_id rows with best_sq = 0. The
+    // oracle replays the same rule, so the trace stays value-identical.
+    val c1 = first.head
     // exact squared L2 against the broadcast literal center in column `c`
     val dist = expr(
       "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L," +
@@ -2087,6 +2119,7 @@ object Similarity {
       .withColumn("best", dist)
       .select(col("id"), col("q"), col("best"))
       .localCheckpoint(false)
+    checkpoints += best
     for (r <- 2 to k) {
       val next = best.orderBy(col("best").desc, col("id"))
         .limit(1).head()
@@ -2097,7 +2130,14 @@ object Similarity {
         .withColumn("best", least(col("best"), dist))
         .select(col("id"), col("q"), col("best"))
         .localCheckpoint(false)
+      checkpoints += best
     }
+    // all picks are on the driver; nothing reads the frontier chain or
+    // pts again — release the k checkpoint RDDs and (if this call created
+    // it) the pts cache so a long bench session doesn't carry them
+    checkpoints.foreach(
+      org.apache.spark.sql.graftshim.GraftShim.releaseLocalCheckpoint)
+    if (!ptsShared) pts.unpersist(blocking = false)
     picks.reverse.toDF("rank", "center_id", "best_sq")
   }
 
@@ -2107,17 +2147,19 @@ object Similarity {
     */
   def kCenterOracleSql(k: Int, table: String = "embeddings",
       idCol: String = "vec_id", vecCol: String = "embedding"): String = {
-    val dist = (c: String) =>
-      s"list_sum(list_transform(range(1, len(q) + 1)," +
-        s" i -> (q[i] - $c[i]) * (q[i] - $c[i])))"
+    // DuckDB rejects subqueries inside lambdas, so the 1-row center CTE
+    // is cross-joined into FROM and referenced as a plain column (the
+    // pcaPowerOracleSql pattern).
+    val dist =
+      "list_sum(list_transform(range(1, len(p.q) + 1)," +
+        " i -> (p.q[i] - c.q[i]) * (p.q[i] - c.q[i])))"
     val rounds = (2 to k).map { r =>
       val prev = s"b${r - 1}"
       s"""c$r AS MATERIALIZED (
          |  SELECT id, q, best FROM $prev ORDER BY best DESC, id LIMIT 1),
          |b$r AS MATERIALIZED (
-         |  SELECT p.id, p.q,
-         |         least(p.best, ${dist(s"(SELECT q FROM c$r)")}) AS best
-         |  FROM $prev p)""".stripMargin
+         |  SELECT p.id, p.q, least(p.best, $dist) AS best
+         |  FROM $prev p, c$r c)""".stripMargin
     }.mkString(",\n")
     val outRows = (2 to k).map(r =>
       s"SELECT $r::BIGINT AS rank, id::BIGINT AS center_id," +
@@ -2129,8 +2171,8 @@ object Similarity {
        |  FROM $table),
        |c1 AS MATERIALIZED (SELECT id, q FROM pts ORDER BY id LIMIT 1),
        |b1 AS MATERIALIZED (
-       |  SELECT p.id, p.q, ${dist("(SELECT q FROM c1)")} AS best
-       |  FROM pts p),
+       |  SELECT p.id, p.q, $dist AS best
+       |  FROM pts p, c1 c),
        |$rounds
        |SELECT 1::BIGINT AS rank, id::BIGINT AS center_id, 0::BIGINT AS best_sq
        |FROM c1

@@ -25,6 +25,13 @@ object StreamQueries {
     "q_stream_tumbling" -> ((s, d) =>
       EventStreams.tumblingStats(events(s, d), "15 minutes")),
 
+    // per-window KMV distinct-user sketch — the mergeable bottom-k
+    // aggregate (O(k) window state); exact below k, floor-division
+    // estimate above, both replayed by the oracle (oracle-checked)
+    "q_stream_kmv" -> ((s, d) =>
+      EventStreams.windowedKmv(events(s, d), "1 hour", col("user_id"),
+        k = 64)),
+
     "q_stream_sliding" -> ((s, d) =>
       EventStreams.slidingCounts(events(s, d), "30 minutes", "15 minutes")),
 
@@ -380,6 +387,9 @@ object StreamQueries {
         |       make_timestamp((epoch_us(ts) // 900000000) * 900000000 + 900000000) AS win_end,
         |       event_type, count(*) AS n, min(value) AS mn, max(value) AS mx
         |FROM t GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_stream_kmv" -> graft.streaming.EventStreams.windowedKmvOracleSql(
+      widthSec = 3600L, keyExpr = "user_id", k = 64),
 
     "q_stream_funnel" -> graft.streaming.EventStreams.funnelOracleSql(
       Seq("signup", "click", "purchase"), maxSpan = Some("24 hours")),

@@ -72,6 +72,69 @@ object EventStreams {
       reducer: String = "array_reduce_sum_long"): DataFrame =
     tumblingArrayReduce(stream.withWatermark("ts", watermark), width, arr, reducer)
 
+  /** KMV distinct-count sketch per tumbling window — cardinality telemetry
+    * (distinct users / sessions / keys per window) with O(k) state per
+    * window instead of a distinct-set: the [[graft.functions.KmvBottomK]]
+    * mergeable aggregate over [[graft.operators.Dedup.portableHash]]
+    * hashes, estimate = (k−1)·2⁶⁰ ⁄ h_k (exact when a window holds < k
+    * distinct keys). Same hash family and floor arithmetic as
+    * [[graft.operators.Profile.kmvDistinct]], so every output value —
+    * sketch or not — replays in the DuckDB oracle.
+    *
+    * Unified transform: batch GROUP BY here, watermarked window state via
+    * [[streamingWindowedKmv]] — the monoid merge path is identical, which
+    * is the point of a mergeable sketch.
+    */
+  def windowedKmv(events: DataFrame, width: String, key: Column,
+      k: Int): DataFrame = {
+    val sketch = udaf(new graft.functions.KmvBottomK(k))
+    events
+      .select(col("ts"), graft.operators.Dedup.portableHash(
+        concat(lit("kmv:"), key.cast("string"))).as("h"))
+      .where(col("h").isNotNull) // null keys don't count as a value
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(sketch(col("h")).as("s"))
+      .select(col("w.start").as("win_start"),
+        col("s._1").as("n_kept"), col("s._2").as("h_k"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept")).otherwise(
+          expr(s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) *" +
+            " 1152921504606846976) div h_k AS BIGINT)")))
+  }
+
+  /** Streaming variant of [[windowedKmv]]: watermark-bounded window state,
+    * same bottom-k merge path.
+    */
+  def streamingWindowedKmv(stream: DataFrame, width: String,
+      watermark: String, key: Column, k: Int): DataFrame =
+    windowedKmv(stream.withWatermark("ts", watermark), width, key, k)
+
+  /** DuckDB replay of [[windowedKmv]] over the events table (ns → µs cast,
+    * epoch-µs floor windows, per-window bottom-k via QUALIFY, identical
+    * md5 hash family and HUGEINT floor estimate).
+    */
+  def windowedKmvOracleSql(widthSec: Long, keyExpr: String, k: Int): String = {
+    val winUs = widthSec * 1000000L
+    s"""WITH t AS (
+       |  SELECT make_timestamp((epoch_us(ts::TIMESTAMP) // $winUs) * $winUs)
+       |           AS win_start,
+       |         ('0x' || substr(md5('kmv:' || ($keyExpr)::VARCHAR), 1, 15))::BIGINT
+       |           AS h
+       |  FROM events WHERE ($keyExpr) IS NOT NULL),
+       |d AS (SELECT DISTINCT win_start, h FROM t),
+       |b AS (
+       |  SELECT win_start, h FROM d
+       |  QUALIFY row_number() OVER (PARTITION BY win_start ORDER BY h) <= $k),
+       |s AS (
+       |  SELECT win_start, count(*)::BIGINT AS n_kept, max(h)::BIGINT AS h_k
+       |  FROM b GROUP BY win_start)
+       |SELECT win_start, n_kept, h_k,
+       |       CASE WHEN n_kept < $k THEN n_kept
+       |            ELSE ((($k - 1)::HUGEINT * 1152921504606846976) // h_k)::BIGINT
+       |       END AS est_distinct
+       |FROM s""".stripMargin
+  }
+
   /** Streaming exact dedup: drops events whose key was already seen, with
     * state bounded by the event-time watermark
     * (`dropDuplicatesWithinWatermark`) — the streaming face of

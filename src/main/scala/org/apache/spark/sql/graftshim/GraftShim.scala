@@ -26,6 +26,22 @@ object GraftShim {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** Release the block-manager storage behind a `localCheckpoint`'d
+    * DataFrame. Checkpoint storage bypasses CacheManager, so
+    * `df.unpersist()` cannot release it — the persisted RDD sits inside
+    * the plan's `LogicalRDD` leaf. No-op for plans without one. Only
+    * safe once nothing will read the DataFrame again (a later action
+    * would fail on the missing checkpoint blocks, not recompute).
+    */
+  def releaseLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    classic.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+  }
+
   /** True when the DataFrame's plan already has a CacheManager entry
     * (plan-canonicalized — the same sharing `persist` itself would hit).
     */

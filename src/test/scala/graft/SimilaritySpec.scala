@@ -611,4 +611,50 @@ class SimilaritySpec extends SparkSpec
     assert(byDoc(10L) < 2000000L)
   }
 
+  test("kCenterCoreset: planted blobs covered one pick each, then interior") {
+    // vectors (t, 0) quantize directly to (t_fx, 0) — L2² distances are
+    // exact: three well-separated blobs on a line — greedy farthest-point
+    // must land its first 3 picks one per blob, and every later pick adds
+    // strictly less covering radius than the one before (Gonzalez
+    // monotonicity: best_sq is non-increasing in rank)
+    val pts = Seq(
+      (1L, Seq(0.00f, 0.0f)), (2L, Seq(0.01f, 0.0f)), (3L, Seq(0.02f, 0.0f)),
+      (11L, Seq(5.00f, 0.0f)), (12L, Seq(5.01f, 0.0f)),
+      (21L, Seq(9.00f, 0.0f)), (22L, Seq(9.02f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterCoreset(pts, "vec_id", "embedding", k = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 5)
+    // start = min id (blob A); pick 2 = farthest point overall (9.02, blob
+    // C, ties broken toward min id are irrelevant here); pick 3 = blob B
+    assert(got(0) == ((1L, 1L, 0L)))
+    assert(got(1)._2 == 22L)
+    assert(Set(11L, 12L).contains(got(2)._2))
+    val blob = (id: Long) => id / 10L
+    assert(got.take(3).map(p => blob(p._2)).toSet.size == 3,
+      "first 3 picks must cover all 3 blobs")
+    // covering radius (best_sq of the NEXT pick) never increases
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"best_sq must be non-increasing: ${radii.toSeq}")
+    // rank-2 residual = exact fixed-point distance 9.02e6² to the start
+    assert(got(1)._3 == 9020000L * 9020000L)
+  }
+
+  test("kCenterCoreset: empty input and k > n contracts") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.kCenterCoreset(empty, "vec_id", "embedding", 3)
+      .collect().isEmpty)
+    // k > |pts|: once all points are picked, residuals are 0 and the
+    // (best DESC, id ASC) argmax re-picks min id — documented duplicates
+    val two = Seq((5L, Seq(0.0f, 0.0f)), (7L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterCoreset(two, "vec_id", "embedding", 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._2).toSeq == Seq(5L, 7L, 5L, 5L))
+    assert(got.drop(2).forall(_._3 == 0L))
+  }
+
 }

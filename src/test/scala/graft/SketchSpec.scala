@@ -122,4 +122,37 @@ class SketchSpec extends SparkSpec {
         s"SQL and JVM estimates diverge for $k")
     }
   }
+
+  test("KmvBottomK: exact when k >= distinct, bounded estimate when not, " +
+      "partition-layout invariant") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sketch = udaf(new graft.functions.KmvBottomK(64))
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .select(graft.operators.Dedup.portableHash(
+        concat(lit("kmv:"), col("key").cast("string"))).as("h"))
+      .agg(sketch(col("h")).as("s"))
+      .select(col("s._1").as("n_kept"), col("s._2").as("h_k"))
+      .collect().head
+    // exact regime: 40 distinct keys (with repeats) < k = 64
+    val small = (1 to 200).map(i => i % 40).toDF("key")
+    val ex = run(small)
+    assert(ex.getLong(0) == 40L, "kept set must be the exact distinct set")
+    // estimate regime: 5000 distinct keys through k = 64 — the standard
+    // KMV bound (relative error ~ 1/sqrt(k-2) ≈ 13%) with slack for a
+    // single fixed hash draw
+    val big = (1 to 5000).toDF("key")
+    val est = run(big)
+    assert(est.getLong(0) == 64L)
+    // BigInt: 63 * 2^60 overflows Long (production uses DECIMAL(38,0))
+    val estimate =
+      (BigInt(63) * BigInt(1152921504606846976L) / est.getLong(1)).toLong
+    assert(estimate > 3000 && estimate < 8000,
+      s"KMV estimate $estimate implausible for 5000 distinct")
+    // mergeable-monoid check: the sketch is independent of partitioning
+    val a = run(big.repartition(1))
+    val b = run(big.repartition(13))
+    assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1),
+      "bottom-k must be partition-layout invariant")
+  }
 }

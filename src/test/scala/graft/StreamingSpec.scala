@@ -70,6 +70,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedKmv over a real stream equals batch; exact regime is exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = EventStreams.streamingWindowedKmv(
+        stream, "15 minutes", "10 minutes", col("user_id"), k = 4)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("kmv_out").start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_out")
+        .orderBy("win_start").collect().map(_.toSeq)
+      val batch = EventStreams.windowedKmv(
+          sampleDF, "15 minutes", col("user_id"), k = 4)
+        .orderBy("win_start").collect().map(_.toSeq)
+      assert(streamed.toSeq == batch.toSeq)
+      assert(batch.nonEmpty)
+      // first window (10:00-10:15) holds users {1, 2} < k → exact:
+      // n_kept = 2 and est_distinct = 2
+      val w0 = batch.head
+      assert(w0(1) == 2L && w0(3) == 2L)
+    } finally q.stop()
+  }
+
   test("sessionize (session_window) in batch: gap semantics") {
     val got = EventStreams.sessionize(sampleDF, "10 minutes")
       .orderBy("user_id", "sess_start")
