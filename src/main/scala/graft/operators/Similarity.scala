@@ -2178,4 +2178,244 @@ object Similarity {
        |FROM c1
        |UNION ALL $outRows""".stripMargin
   }
+
+  /** SIMPLIFIED SILHOUETTE (Hruschka et al. 2004) per cluster of the fixed
+    * codebook — the clustering-quality audit for the centroid family: for
+    * each point, a = squared L2 to its OWN (nearest) centroid, b = squared
+    * L2 to the nearest OTHER centroid, s = (b − a)/max(a, b) ∈ [−1, 1].
+    * Unlike the classic silhouette (mean pairwise distance — corpus² work)
+    * the simplified form is one point×centroid pass, which is why it's the
+    * variant that exists at 100 TB. Distances stay exact BIGINT squared L2
+    * on 1e-6 fixed-point coordinates and s is a single integer division,
+    * so every row replays in any engine.
+    *
+    * Returns per cluster: (cluster, n, mean_sil_micro, min_sil_micro,
+    * max_sil_micro) — k rows, silhouette in micro units. A degenerate
+    * point equidistant-0 from two centroids defines s = 0.
+    *
+    * Scale shape: one broadcast codebook join (k × corpus scored rows),
+    * one per-point window argmin (bounded by k), one k-row aggregate — no
+    * pair join anywhere. Assignment tiebreak: (distance, centroid_id).
+    */
+  def simplifiedSilhouette(df: DataFrame, idCol: String, vecCol: String,
+      centroidEvery: Long): DataFrame = {
+    require(centroidEvery >= 1)
+    val pts = df.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol),
+        x => round(x.cast("double") * 1000000, 0).cast("long")).as("fx"))
+    val cents = pts.where(col("id") % centroidEvery === 0)
+      .select(col("id").as("cid"), col("fx").as("cfx"))
+    val scored = pts.join(broadcast(cents))
+      .select(col("id"), col("cid"),
+        expr("aggregate(zip_with(fx, cfx, (a, b) -> (a - b) * (a - b))," +
+          " 0L, (acc, x) -> acc + x)").as("d"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("d"), col("cid"))
+    val perPoint = scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("b", lead(col("d"), 1).over(w))
+      .where(col("rn") === 1 && col("b").isNotNull)
+      .select(col("id"), col("cid").as("cluster"), col("d").as("a"), col("b"))
+      .withColumn("s_micro",
+        when(greatest(col("a"), col("b")) === 0, lit(0L)).otherwise(
+          expr("((b - a) * 1000000) div greatest(a, b)")))
+    perPoint.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("s_micro")).as("ss"),
+        min(col("s_micro")).as("min_sil_micro"),
+        max(col("s_micro")).as("max_sil_micro"))
+      .select(col("cluster"), col("n"),
+        expr("ss div n").as("mean_sil_micro"),
+        col("min_sil_micro"), col("max_sil_micro"))
+  }
+
+  /** DuckDB replay of [[simplifiedSilhouette]] (same codebook, same BIGINT
+    * squared L2, same (d, cid) argmin tiebreak, same micro division).
+    */
+  def silhouetteOracleSql(centroidEvery: Long, table: String = "embeddings",
+      idCol: String = "vec_id", vecCol: String = "embedding"): String =
+    s"""WITH pts AS MATERIALIZED (
+       |  SELECT $idCol::BIGINT AS id,
+       |         list_transform($vecCol::DOUBLE[],
+       |           x -> round(x * 1000000)::BIGINT) AS fx
+       |  FROM $table),
+       |cents AS (SELECT id AS cid, fx AS cfx FROM pts
+       |          WHERE id % $centroidEvery = 0),
+       |scored AS (
+       |  SELECT p.id, c.cid,
+       |         list_sum(list_transform(range(1, len(p.fx) + 1),
+       |           i -> (p.fx[i] - c.cfx[i]) * (p.fx[i] - c.cfx[i]))) AS d
+       |  FROM pts p, cents c),
+       |pp AS (
+       |  SELECT id, cid AS cluster, d AS a,
+       |         lead(d) OVER (PARTITION BY id ORDER BY d, cid) AS b,
+       |         row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+       |  FROM scored
+       |  QUALIFY rn = 1 AND b IS NOT NULL),
+       |s AS (
+       |  SELECT cluster,
+       |         CASE WHEN greatest(a, b) = 0 THEN 0
+       |              ELSE ((b - a) * 1000000) // greatest(a, b) END AS s_micro
+       |  FROM pp)
+       |SELECT cluster, count(*)::BIGINT AS n,
+       |       (sum(s_micro) // count(*))::BIGINT AS mean_sil_micro,
+       |       min(s_micro)::BIGINT AS min_sil_micro,
+       |       max(s_micro)::BIGINT AS max_sil_micro
+       |FROM s GROUP BY cluster""".stripMargin
+
+  /** MARGIN-BASED BITEXT MINING (Artetxe & Schwenk 2019, the ratio
+    * margin) — the parallel-corpus mining step of a multilingual training
+    * pipeline: candidate (src, tgt) pairs are scored not by raw cosine
+    * (which hub vectors inflate) but by cosine NORMALIZED by the mean
+    * cosine of each side's k nearest candidates:
+    *   margin(x, y) = 2·cos(x, y) / (meanK(x) + meanK(y))
+    * so a pair only ranks high when it is similar *relative to what each
+    * side considers similar* — the hubness correction that made
+    * margin-mined bitext usable. Sides here are vec_id parity (even =
+    * src, odd = tgt), the established synthetic split.
+    *
+    * Deterministic and replayable: cosines are the [[anisotropy]]
+    * fixed-point micro carrier, kNN sets are pinned by (cos DESC, id)
+    * windows, means are floor divisions, and the ratio is one integer
+    * division; ties at the final cut break on (src, tgt).
+    *
+    * Scale shape: candidates are generated per fixed-codebook cluster
+    * (nearest centroid by exact squared L2 — one broadcast join + window
+    * argmin), so pair work is Σ cluster², never corpus²; clusters larger
+    * than `maxCluster` points are DROPPED whole (the LSH bucket-cap rule:
+    * deterministic, never sampled). Per-side kNN means are window top-k
+    * inside the candidate table — no second pair join. Pairs whose mean
+    * neighborhood cosine sum is ≤ 0 carry no usable margin signal and are
+    * filtered (documented, replayed).
+    */
+  def marginMining(df: DataFrame, idCol: String, vecCol: String,
+      centroidEvery: Long, kNn: Int = 4, topN: Int = 50,
+      maxCluster: Int = 1024): DataFrame = {
+    require(centroidEvery >= 1 && kNn >= 1 && topN >= 1)
+    val pts = Caching.persist(df.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol),
+        x => round(x.cast("double") * 1000000, 0).cast("long")).as("fx"))
+      .withColumn("nrm",
+        expr("aggregate(fx, 0L, (acc, x) -> acc + x * x)")))
+    val cents = pts.where(col("id") % centroidEvery === 0)
+      .select(col("id").as("cid"), col("fx").as("cfx"))
+    val wAssign = Window.partitionBy(col("id"))
+      .orderBy(col("d"), col("cid"))
+    val assigned = pts.join(broadcast(cents))
+      .select(col("id"), col("fx"), col("nrm"), col("cid"),
+        expr("aggregate(zip_with(fx, cfx, (a, b) -> (a - b) * (a - b))," +
+          " 0L, (acc, x) -> acc + x)").as("d"))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("id"), col("fx"), col("nrm"), col("cid").as("cluster"))
+    // bucket cap: whole oversize clusters are dropped, never sampled
+    val sized = assigned
+      .withColumn("cn",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .where(col("cn") <= maxCluster)
+    val src = sized.where(col("id") % 2 === 0)
+      .select(col("cluster"), col("id").as("src"), col("fx").as("sfx"),
+        col("nrm").as("snrm"))
+    val tgt = sized.where(col("id") % 2 === 1)
+      .select(col("cluster"), col("id").as("tgt"), col("fx").as("tfx"),
+        col("nrm").as("tnrm"))
+    val pairs = Caching.persist(src.join(tgt, "cluster")
+      .withColumn("dot",
+        expr("aggregate(zip_with(sfx, tfx, (a, b) -> a * b)," +
+          " 0L, (acc, x) -> acc + x)"))
+      .withColumn("cos_micro",
+        when(col("snrm") === 0 || col("tnrm") === 0, lit(0L)).otherwise(
+          round(col("dot").cast("double") /
+            (sqrt(col("snrm").cast("double")) *
+              sqrt(col("tnrm").cast("double"))) * 1000000d, 0)
+            .cast("long")))
+      .select(col("src"), col("tgt"), col("cos_micro")))
+    // sign·abs divisions throughout: Spark's div truncates toward zero,
+    // DuckDB's // floors — identical only for non-negative operands, and
+    // cosines (hence means and the margin numerator) can be negative
+    def sideMean(keyCol: String, other: String) = pairs
+      .withColumn("rn", row_number().over(Window.partitionBy(col(keyCol))
+        .orderBy(col("cos_micro").desc, col(other))))
+      .where(col("rn") <= kNn)
+      .groupBy(col(keyCol))
+      .agg(expr("CASE WHEN sum(cos_micro) < 0" +
+        " THEN -((-sum(cos_micro)) div count(1))" +
+        " ELSE sum(cos_micro) div count(1) END").as(s"mean_$keyCol"))
+    pairs
+      .join(sideMean("src", "tgt"), "src")
+      .join(sideMean("tgt", "src"), "tgt")
+      .withColumn("denom", col("mean_src") + col("mean_tgt"))
+      .where(col("denom") > 0)
+      .select(col("src"), col("tgt"), col("cos_micro"),
+        expr("CASE WHEN cos_micro < 0" +
+          " THEN -((2 * (-cos_micro) * 1000000) div denom)" +
+          " ELSE (2 * cos_micro * 1000000) div denom END")
+          .as("margin_micro"))
+      .orderBy(col("margin_micro").desc, col("src"), col("tgt"))
+      .limit(topN)
+  }
+
+  /** DuckDB replay of [[marginMining]] (same codebook argmin, cluster cap,
+    * parity split, micro cosines, window kNN means and floor ratio).
+    */
+  def marginMiningOracleSql(centroidEvery: Long, kNn: Int = 4,
+      topN: Int = 50, maxCluster: Int = 1024,
+      table: String = "embeddings", idCol: String = "vec_id",
+      vecCol: String = "embedding"): String =
+    s"""WITH pts AS MATERIALIZED (
+       |  SELECT $idCol::BIGINT AS id,
+       |         list_transform($vecCol::DOUBLE[],
+       |           x -> round(x * 1000000)::BIGINT) AS fx
+       |  FROM $table),
+       |n AS (SELECT id, fx,
+       |             list_sum(list_transform(fx, x -> x * x)) AS nrm
+       |      FROM pts),
+       |cents AS (SELECT id AS cid, fx AS cfx FROM pts
+       |          WHERE id % $centroidEvery = 0),
+       |assigned AS (
+       |  SELECT p.id, p.fx, p.nrm, c.cid AS cluster
+       |  FROM n p, cents c
+       |  QUALIFY row_number() OVER (PARTITION BY p.id ORDER BY
+       |    list_sum(list_transform(range(1, len(p.fx) + 1),
+       |      i -> (p.fx[i] - c.cfx[i]) * (p.fx[i] - c.cfx[i]))), c.cid) = 1),
+       |sized AS (
+       |  SELECT * FROM assigned
+       |  QUALIFY count(*) OVER (PARTITION BY cluster) <= $maxCluster),
+       |pairs AS MATERIALIZED (
+       |  SELECT s.id AS src, t.id AS tgt,
+       |         CASE WHEN s.nrm = 0 OR t.nrm = 0 THEN 0
+       |         ELSE round(
+       |           list_sum(list_transform(range(1, len(s.fx) + 1),
+       |             i -> s.fx[i] * t.fx[i]))::DOUBLE
+       |           / (sqrt(s.nrm::DOUBLE) * sqrt(t.nrm::DOUBLE)) * 1000000
+       |         )::BIGINT END AS cos_micro
+       |  FROM sized s JOIN sized t USING (cluster)
+       |  WHERE s.id % 2 = 0 AND t.id % 2 = 1),
+       |ms AS (
+       |  SELECT src,
+       |         (CASE WHEN sum(cos_micro) < 0
+       |               THEN -((-sum(cos_micro)) // count(*))
+       |               ELSE sum(cos_micro) // count(*) END)::BIGINT AS mean_src
+       |  FROM (
+       |    SELECT src, cos_micro FROM pairs
+       |    QUALIFY row_number() OVER (PARTITION BY src
+       |      ORDER BY cos_micro DESC, tgt) <= $kNn) GROUP BY src),
+       |mt AS (
+       |  SELECT tgt,
+       |         (CASE WHEN sum(cos_micro) < 0
+       |               THEN -((-sum(cos_micro)) // count(*))
+       |               ELSE sum(cos_micro) // count(*) END)::BIGINT AS mean_tgt
+       |  FROM (
+       |    SELECT tgt, cos_micro FROM pairs
+       |    QUALIFY row_number() OVER (PARTITION BY tgt
+       |      ORDER BY cos_micro DESC, src) <= $kNn) GROUP BY tgt)
+       |SELECT p.src, p.tgt, p.cos_micro,
+       |       (CASE WHEN p.cos_micro < 0
+       |             THEN -((2 * (-p.cos_micro) * 1000000)
+       |                    // (ms.mean_src + mt.mean_tgt))
+       |             ELSE (2 * p.cos_micro * 1000000)
+       |                  // (ms.mean_src + mt.mean_tgt) END)::BIGINT
+       |         AS margin_micro
+       |FROM pairs p JOIN ms USING (src) JOIN mt USING (tgt)
+       |WHERE ms.mean_src + mt.mean_tgt > 0
+       |ORDER BY margin_micro DESC, p.src, p.tgt LIMIT $topN""".stripMargin
 }

@@ -394,6 +394,24 @@ object PipelineQueries {
         "embedding", k = 8)
     }),
 
+    // --- simplified silhouette per fixed-codebook cluster: exact BIGINT
+    // squared-L2 a/b, one point×centroid pass, never pairwise
+    // (oracle-checked) ---
+    "q_embed_silhouette" -> ((s, d) => {
+      Tables.load(s, d)
+      Similarity.simplifiedSilhouette(s.table("embeddings"), "vec_id",
+        "embedding", centroidEvery = 50L)
+    }),
+
+    // --- margin-based bitext mining (ratio margin, Artetxe & Schwenk):
+    // cluster-bucketed candidates, per-side kNN-mean normalization, exact
+    // micro-integer scores (oracle-checked) ---
+    "q_embed_margin" -> ((s, d) => {
+      Tables.load(s, d)
+      Similarity.marginMining(s.table("embeddings"), "vec_id", "embedding",
+        centroidEvery = 50L, kNn = 4, topN = 50)
+    }),
+
     // --- Count-Min sketch point estimates: 3 distinct keys over a 3x64
     // sketch — no key pair collides in every row (checkable, and the spec
     // pins the never-underestimate + merge guarantees), so the estimates
@@ -1519,6 +1537,12 @@ object PipelineQueries {
       "orders", "o_orderpriority", "o_totalprice", buckets = 8),
 
     "q_embed_coreset" -> Similarity.kCenterOracleSql(k = 8),
+
+    "q_embed_silhouette" ->
+      Similarity.silhouetteOracleSql(centroidEvery = 50L),
+
+    "q_embed_margin" -> Similarity.marginMiningOracleSql(
+      centroidEvery = 50L, kNn = 4, topN = 50),
 
     "q_pipeline_pack" -> graft.operators.Scale.packOracleSql(
       tokenExpr = s"len(${TextAnalysis.toksSql("text")})",

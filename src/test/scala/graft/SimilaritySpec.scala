@@ -642,6 +642,62 @@ class SimilaritySpec extends SparkSpec
     assert(got(1)._3 == 9020000L * 9020000L)
   }
 
+  test("simplifiedSilhouette: tight planted blobs score near 1, " +
+      "single-centroid corpus yields no rows") {
+    // two tight blobs around the two codebook points (ids 0 and 10 with
+    // centroidEvery = 10): every member's own-centroid distance is tiny
+    // vs the cross-blob distance, so s ≈ 1e6 for all; exact n per cluster
+    val blobA = (0L to 4L).map(i => (i, Seq(1.0f + i * 0.001f, 0.0f)))
+    val blobB = (10L to 14L).map(i => (i, Seq(-1.0f - i * 0.001f, 0.0f)))
+    val pts = (blobA ++ blobB).toDF("vec_id", "embedding")
+    val got = Similarity.simplifiedSilhouette(pts, "vec_id", "embedding",
+        centroidEvery = 10L)
+      .orderBy("cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(g => (g._1, g._2)).toSeq == Seq((0L, 5L), (10L, 5L)))
+    assert(got.forall(_._3 > 900000L),
+      s"tight blobs must score near 1e6: ${got.toSeq}")
+    // one centroid → no second-nearest exists → empty result, not a crash
+    val solo = Similarity.simplifiedSilhouette(
+      blobA.toDF("vec_id", "embedding"), "vec_id", "embedding", 10L)
+    assert(solo.collect().isEmpty)
+  }
+
+  test("marginMining: margin re-ranks raw cosine by neighborhood density " +
+      "(the hubness correction)") {
+    // one cluster around centroid id 0 at (1, 0). Ids 2/3 (src/tgt) share
+    // the exact same vector — the raw-cosine winner (cos = 1e6) — but sit
+    // in a DENSE neighborhood (4, 5, 7 are all similar to them), while
+    // the (6, 5) pair is merely similar (cos ≈ 0.9e6) in a SPARSE
+    // neighborhood. The ratio margin must therefore rank (6, 5) ABOVE the
+    // identical pair: similarity relative to what each side considers
+    // similar, not absolute cosine — the correction that makes mined
+    // bitext usable.
+    val pts = Seq(
+      (0L, Seq(1.0f, 0.0f)), // centroid
+      (2L, Seq(0.9f, 0.4f)), (3L, Seq(0.9f, 0.4f)), // identical pair
+      (4L, Seq(1.0f, 0.1f)), (5L, Seq(1.0f, -0.1f)),
+      (6L, Seq(0.8f, -0.5f)), (7L, Seq(0.7f, 0.6f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.marginMining(pts, "vec_id", "embedding",
+        centroidEvery = 50L, kNn = 2, topN = 10)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // raw-cosine winner is the identical pair…
+    assert(got.maxBy(_._3)._3 == 1000000L)
+    assert((got.maxBy(_._3)._1, got.maxBy(_._3)._2) == ((2L, 3L)))
+    // …but margin rank 1 is the sparse-neighborhood pair
+    assert((got.head._1, got.head._2) == ((6L, 5L)),
+      s"margin must promote the sparse-neighborhood pair: ${got.toSeq}")
+    // the identical pair still clears 1e6 (better than its neighborhood)
+    val planted = got.find(g => g._1 == 2L && g._2 == 3L).get
+    assert(planted._4 > 1000000L, s"identical pair margin: $planted")
+    // output is sorted by margin desc and every denom was > 0
+    assert(got.map(_._4).toSeq == got.map(_._4).sortBy(-_).toSeq)
+    assert(got.forall(_._4 > 0))
+  }
+
   test("kCenterCoreset: empty input and k > n contracts") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assert(Similarity.kCenterCoreset(empty, "vec_id", "embedding", 3)
