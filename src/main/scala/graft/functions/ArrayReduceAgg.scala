@@ -242,6 +242,11 @@ case class ArrayReduceAgg(
 
 object ArrayReduceAgg {
 
+  /** The four reference ops (monoid.rs:85-221), shared by [[register]] and
+    * [[graft.GraftExtensions]].
+    */
+  val ops: Seq[String] = Seq("sum", "product", "max", "min")
+
   /** Column API: `ArrayReduceAgg.arrayReduce("sum", $"arrays")`. */
   def arrayReduce(op: String, c: Column): Column =
     GraftShim.column(
@@ -251,7 +256,7 @@ object ArrayReduceAgg {
     * inferred from the argument at analysis time.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq("sum", "product", "max", "min").foreach { op =>
+    ops.foreach { op =>
       GraftShim.registerFunction(spark, s"array_reduce_${op}_native",
         exprs => ArrayReduceAgg(exprs.head, op).toAggregateExpression())
     }

@@ -6,6 +6,11 @@ import org.apache.spark.sql.SparkSession
   * settings a cluster deployment should start from. The driver's
   * Verify/Bench mains use their own fixed config (driver contract); this
   * builder is the library-user entry point.
+  *
+  * SQL-only deployments additionally set
+  * `--conf spark.sql.extensions=graft.GraftExtensions` so the
+  * Catalyst-native `array_reduce_*_native` aggregates resolve with no
+  * driver-side registration call (see [[graft.GraftExtensions]]).
   */
 object GraftSession {
 

@@ -26,6 +26,22 @@ object GraftShim {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** The session's function registry (`sessionState` is `private[sql]`) —
+    * lets tests drive `SparkSessionExtensions.registerFunctions` the way
+    * session bootstrap does.
+    */
+  def functionRegistry(spark: SparkSession)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    spark.sessionState.functionRegistry
+
+  /** Apply an extensions object's injected functions to a registry — the
+    * `private[sql]` step session bootstrap performs for
+    * `spark.sql.extensions`; exposed so specs can exercise the seam.
+    */
+  def applyExtensionFunctions(ext: org.apache.spark.sql.SparkSessionExtensions,
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
+    ext.registerFunctions(registry)
+
   /** Release the block-manager storage behind a `localCheckpoint`'d
     * DataFrame. Checkpoint storage bypasses CacheManager, so
     * `df.unpersist()` cannot release it — the persisted RDD sits inside

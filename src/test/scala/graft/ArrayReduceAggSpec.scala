@@ -91,6 +91,32 @@ class ArrayReduceAggSpec extends SparkSpec {
       ex.getMessage.contains("array<numeric>"))
   }
 
+  test("GraftExtensions injects the native aggregates at the standard " +
+      "spark.sql.extensions seam") {
+    import org.apache.spark.sql.SparkSessionExtensions
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val ext = new SparkSessionExtensions
+    new GraftExtensions()(ext)
+    // what session bootstrap does with spark.sql.extensions: first against
+    // a clone (pure registration check, live session untouched)…
+    import org.apache.spark.sql.graftshim.GraftShim
+    val live = GraftShim.functionRegistry(spark)
+    val cloned = live.clone()
+    GraftShim.applyExtensionFunctions(ext, cloned)
+    ArrayReduceAgg.ops.foreach { op =>
+      assert(cloned.functionExists(
+        FunctionIdentifier(s"array_reduce_${op}_native")),
+        s"extension must register array_reduce_${op}_native")
+    }
+    // …then end-to-end through SQL on the live registry
+    GraftShim.applyExtensionFunctions(ext, live)
+    val got = spark.sql(
+      "SELECT array_reduce_sum_native(arr) AS r FROM VALUES" +
+        " (array(1, 2)), (array(3, 4)) AS t(arr)")
+      .collect().head.getSeq[Int](0)
+    assert(got == Seq(4, 6))
+  }
+
   test("native matches Aggregator on real embeddings (floats in double fold ≈)") {
     Tables.load(spark, sfDir)
     val native = spark.sql(
