@@ -825,18 +825,34 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
-    require(maxHamming <= 3, "4-band blocking only guarantees recall for hamming <= 3")
     val hashed = df.select(col(idCol).as("id"),
       SimHash.simhash64(TextAnalysis.tokens(col(textCol))).as("sh"))
+    hammingBandPairs(hashed, bands = 4, bandBits = 16, maxHamming, maxBucket)
+  }
 
+  /** Generic Hamming band-blocking over any (id, sh) 64-bit-or-narrower
+    * fingerprint table — the blocking step [[simhashPairs]],
+    * [[simhashPairsPortable]], and the image dHash near-dup share: a pair
+    * within Hamming distance < `bands` of a `bands`×`bandBits` key shares
+    * at least one band (pigeonhole), so candidates come from band-key
+    * equi-joins (never all-pairs), skewed band buckets are DROPPED whole
+    * by [[capBuckets]] (deterministic, never sampled), and the exact
+    * `bit_count(xor)` verify runs only on candidates. Emits verified
+    * (id_a, id_b, hamming) with id_a < id_b.
+    */
+  def hammingBandPairs(hashed: DataFrame, bands: Int, bandBits: Int,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
+    require(maxHamming < bands,
+      s"$bands-band blocking only guarantees recall for hamming < $bands")
     val banded = hashed.select(col("id"), col("sh"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bb"))
+          shiftrightunsigned(col("sh"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)).as("key"))): _*)).as("bb"))
       .select(col("id"), col("sh"), col("bb.band"), col("bb.key"))
 
-    // persisted: the self-join reads it twice (otherwise the simhash
-    // signature scan runs twice)
+    // persisted: the self-join reads it twice (otherwise the signature
+    // pipeline upstream executes twice)
     val bucketed = capBuckets(banded, Seq("band", "key"), maxBucket)
       .transform(Caching.persist)
 
@@ -847,7 +863,8 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
       .distinct()
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
@@ -1028,9 +1045,7 @@ object Dedup {
     */
   def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
-    require(maxHamming <= 3, "4-band blocking only guarantees recall for hamming <= 3")
     val bits = PortableSimhashBits
-    val bandWidth = bits / 4
     // explode + codegen'd hash-aggregate (±1 vote sum per bit) rather than a
     // per-row HOF fold: higher-order functions are CodegenFallback, while 60
     // sum() columns over the exploded tokens stay in whole-stage codegen
@@ -1049,31 +1064,8 @@ object Dedup {
         (0 until bits).map(b =>
           when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("sh"))
-
-    val banded = sig.select(col("id"), col("sh"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("sh"), b * bandWidth)
-            .bitwiseAND(lit((1L << bandWidth) - 1)).as("key"))): _*)).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band"), col("bb.key"))
-
-    // persisted: the self-join reads it twice, and upstream is the full
-    // md5 + 60-column vote aggregate — without this the signature pipeline
-    // executes twice
-    val bucketed = capBuckets(banded, Seq("band", "key"), maxBucket)
-      .transform(Caching.persist)
-
-    bucketed.as("a")
-      .join(bucketed.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
-      .where(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    hammingBandPairs(sig, bands = 4, bandBits = bits / 4, maxHamming,
+      maxBucket)
   }
 
   /** DuckDB SQL replaying [[simhashPairsPortable]] value-for-value: same

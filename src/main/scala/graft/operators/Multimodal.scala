@@ -300,6 +300,24 @@ object Multimodal {
         col("real_decode"))
   }
 
+  /** NEAR-duplicate image pairs via Hamming banding over the 24-bit
+    * [[differenceHash]] fingerprint — the image face of the SimHash
+    * near-dup recipe: where [[differenceHash]]'s exact-equality grouping
+    * only catches byte-level re-encodes, band blocking (4×6-bit bands,
+    * pigeonhole recall for Hamming ≤ 3) + exact `bit_count(xor)` verify
+    * catches the slightly-recompressed / slightly-cropped copies that
+    * dominate scraped image corpora. Shares
+    * [[graft.operators.Dedup.hammingBandPairs]] — same bucket caps, same
+    * equi-join-only shape, Σ bucket² work.
+    */
+  def nearDupImages(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame =
+    graft.operators.Dedup.hammingBandPairs(
+      differenceHash(df, idCol, binCol)
+        .select(col("item_id").as("id"), col("dhash").as("sh")),
+      bands = 4, bandBits = 6, maxHamming = maxHamming,
+      maxBucket = maxBucket)
+
   /** Batch decode: one pass per partition, typed output. The inner loop is
     * an iterator transform — constant memory per partition regardless of
     * corpus size.

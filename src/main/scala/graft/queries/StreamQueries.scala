@@ -343,6 +343,17 @@ object StreamQueries {
         .agg(min(col("item_id")).as("keep_id"), count(lit(1)).as("copies"))
     }),
 
+    // dHash NEAR-dup pairs: 4×6-bit Hamming banding + exact bit_count
+    // verify over the 24-bit gradient fingerprint — catches the
+    // near-recompressed copies exact-equality grouping misses
+    // (oracle-checked through the shared hammingBandPairs step)
+    "q_multimodal_neardup" -> ((s, d) => {
+      Tables.load(s, d)
+      val docsBin = s.table("documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.nearDupImages(docsBin, "doc_id", "payload")
+    }),
+
     // --- audio tier: none of the synthetic payloads carry a RIFF header,
     // so every row takes the headerless raw-PCM16LE interpretation — which
     // the oracle replays sample-for-sample (int16 LE pairs from ASCII byte
@@ -662,6 +673,43 @@ object StreamQueries {
          |SELECT dhash, min(doc_id)::BIGINT AS keep_id, count(*) AS copies
          |FROM (SELECT doc_id, ($bitsum)::BIGINT AS dhash FROM g)
          |GROUP BY dhash""".stripMargin
+    },
+
+    // same dhash CTE as q_multimodal_dhash, then the hammingBandPairs
+    // replay: 4×6-bit band keys, bucket cap via QUALIFY, distinct
+    // candidates, exact bit_count(xor) verify
+    "q_multimodal_neardup" -> {
+      val grid = (0 to 3).flatMap(i => (0 to 3).map(j =>
+        s"${byteSliceMeanSql(s"n * ${i * 4 + j} // 16", s"n * ${i * 4 + j + 1} // 16")} AS g$i$j"))
+        .mkString(",\n         ")
+      val hbits = (for { i <- 0 to 3; j <- 0 to 2 } yield (i, j)).zipWithIndex
+        .map { case ((i, j), k) =>
+          s"(CASE WHEN g$i${j + 1} > g$i$j THEN ${1L << k} ELSE 0 END)" }
+      val vbits = (for { i <- 0 to 2; j <- 0 to 3 } yield (i, j)).zipWithIndex
+        .map { case ((i, j), k) =>
+          s"(CASE WHEN g${i + 1}$j > g$i$j THEN ${1L << (12 + k)} ELSE 0 END)" }
+      val bitsum = (hbits ++ vbits).mkString(" + ")
+      val bandSelects = (0 until 4).map(b =>
+        s"SELECT id, sh, $b AS band, (sh >> ${b * 6}) & 63 AS key FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |g AS (SELECT doc_id,
+         |         $grid
+         |      FROM t),
+         |sig AS (SELECT doc_id AS id, ($bitsum)::BIGINT AS sh FROM g),
+         |banded AS (
+         |  $bandSelects),
+         |bucketed AS (
+         |  SELECT id, sh, band, key FROM banded
+         |  QUALIFY count(*) OVER (PARTITION BY band, key) <= 10000),
+         |pairs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+         |SELECT id_a, id_b, hamming FROM (
+         |  SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+         |  FROM pairs)
+         |WHERE hamming <= 3""".stripMargin
     },
 
     "q_multimodal_features" -> {

@@ -251,4 +251,31 @@ class MultimodalSpec extends SparkSpec {
       "caption", threshold = 0.0).orderBy("item_id").collect()
     assert(got.map(_.getDouble(1)).toSeq == again.map(_.getDouble(1)).toSeq)
   }
+
+  test("nearDupImages: brightness-shifted copy pairs at hamming 0, " +
+      "reversed gradient does not pair") {
+    // same vertical-split PNGs as the differenceHash spec: 1 and 2 differ
+    // only by a uniform brightness shift (identical gradients → identical
+    // dHash → hamming 0 pair); 3 is the reversed gradient (hamming 4 from
+    // the 4 horizontal boundary bits — outside maxHamming=3, and band
+    // recall is irrelevant because the verify would drop it anyway)
+    def vsplitPng(dark: Int, bright: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 16).foreach(x => (0 until 16).foreach(y =>
+        img.setRGB(x, y, if (x < 8) dark else bright)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val df = Seq(
+      (1L, vsplitPng(0x000000, 0xFFFFFF)),
+      (2L, vsplitPng(0x202020, 0xFFFFFF)),
+      (3L, vsplitPng(0xFFFFFF, 0x000000)))
+      .toDF("id", "payload").repartition(2)
+    val pairs = Multimodal.nearDupImages(df, "id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)),
+      s"only the brightness-shifted copy may pair: ${pairs.toSeq}")
+  }
 }
