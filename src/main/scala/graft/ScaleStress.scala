@@ -309,6 +309,33 @@ object ScaleStress {
       TextAnalysis.kneserNey(d1, "text", topN = 100).count())
     time("kneser 10x")(
       TextAnalysis.kneserNey(d10, "text", topN = 100).count())
+
+    // round-8 operators: silhouette is one point×centroid pass (k grows
+    // with the fixed-codebook corpus at centroidEvery=50, so work is
+    // n·k = n²/50 — use the sqrt sizing for the 10x run to hold n^1.5);
+    // margin mining and dbscan are bucket-blocked (Σ cluster²/cell²);
+    // image near-dup is band-bucketed (Σ bucket²)
+    time("silhouette 1x (2k vecs)")(
+      Similarity.simplifiedSilhouette(e1, "vec_id", "embedding", 50L).count())
+    time("silhouette 10x (sized centroidEvery=sqrt(n))")(
+      Similarity.simplifiedSilhouette(e10, "vec_id", "embedding",
+        Similarity.sizeCentroidEvery(20000L)).count())
+    time("margin-mining 1x")(
+      Similarity.marginMining(e1, "vec_id", "embedding", 50L).count())
+    time("margin-mining 10x (sized)")(
+      Similarity.marginMining(e10, "vec_id", "embedding",
+        Similarity.sizeCentroidEvery(20000L)).count())
+    time("dbscan 1x")(
+      Similarity.dbscanGrid(e1, "vec_id", "embedding", 64, 200000L, 6).count())
+    time("dbscan 10x")(
+      Similarity.dbscanGrid(e10, "vec_id", "embedding", 64, 200000L, 6).count())
+    def imgNearDup(d: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.Multimodal.nearDupImages(
+        d.select(col("doc_id"), org.apache.spark.sql.functions
+          .encode(col("text"), "UTF-8").as("payload")),
+        "doc_id", "payload").count()
+    time("image-neardup 1x")(imgNearDup(d1))
+    time("image-neardup 10x")(imgNearDup(d10))
     spark.stop()
   }
 }

@@ -50,10 +50,19 @@ object Caching {
     * (the shared-entry unpersist footgun).
     */
   private[graft] def persist(df: DataFrame): DataFrame = {
-    val preExisting = org.apache.spark.sql.graftshim.GraftShim.isCached(df)
-    df.persist(StorageLevel.MEMORY_AND_DISK)
     val s = stack.get()
-    if (s.nonEmpty && !preExisting) s.last += df
+    if (s.isEmpty) {
+      // no scope → the pre-existence answer would be unused, and
+      // lookupCachedData is a linear canonicalized-plan scan over every
+      // cached entry (CacheManager runs its own copy inside persist());
+      // skipping the redundant probe here halves the lookup tax a long
+      // gate session pays per operator persist
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+    } else {
+      val preExisting = org.apache.spark.sql.graftshim.GraftShim.isCached(df)
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      if (!preExisting) s.last += df
+    }
     df
   }
 
