@@ -546,6 +546,70 @@ object Eval {
        |FROM comps""".stripMargin
   }
 
+  /** CALIBRATION CURVE + ECE — the per-bin reliability table behind every
+    * "is the quality model calibrated?" plot, the bin-resolved companion
+    * to [[brierDecomposition]]'s single REL number: per equal-width
+    * probability bin, mean forecast vs observed outcome rate and the
+    * absolute gap; expected calibration error (Naeini et al. 2015) is the
+    * occupancy-weighted mean gap, carried on every row so one table holds
+    * curve and summary:
+    *   mean_p  = Σp div n_k          rate = (1e6·Σy) div n_k
+    *   gap     = |mean_p − rate|     ece  = Σ_k n_k·gap_k div n
+    * All terms are non-negative integer floors (truncate == floor, no
+    * sign-safe forms needed), so the table replays exactly.
+    *
+    * Scale shape: ONE hash aggregate to ≤ bins+1 rows, then constant-size
+    * arithmetic with the 1-row total broadcast — the same cheapest-pass
+    * shape as the Brier decomposition.
+    */
+  def calibrationCurve(df: DataFrame, probMicro: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1)
+    val w = 1000000L / bins
+    val perBin = df.select(probMicro.cast("long").as("p"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .where(col("p").isNotNull)
+      .groupBy(expr(s"p div $w").as("bin"))
+      .agg(count(lit(1)).as("n_k"), sum(col("p")).as("sum_p"),
+        sum(col("y")).as("sum_y"))
+      .select(col("bin"), col("n_k"),
+        expr("sum_p div n_k").as("mean_p_micro"),
+        expr("(1000000 * sum_y) div n_k").as("rate_micro"))
+      .withColumn("gap_micro", abs(col("mean_p_micro") - col("rate_micro")))
+      .transform(Caching.persist)
+    val ece = perBin.agg(
+      when(coalesce(sum(col("n_k")), lit(0L)) === 0, lit(0L)).otherwise(
+        expr("sum(n_k * gap_micro) div sum(n_k)")).as("ece_micro"))
+    perBin.crossJoin(broadcast(ece))
+  }
+
+  /** DuckDB replay of [[calibrationCurve]] (same bins, same integer
+    * floors, BIGINT casts so no HUGEINT leaks into the comparator).
+    */
+  def calibrationOracleSql(table: String, probMicroExpr: String,
+      labelPredSql: String, bins: Int = 10): String = {
+    val w = 1000000L / bins
+    s"""WITH base AS (
+       |  SELECT ($probMicroExpr)::BIGINT AS p,
+       |         CASE WHEN $labelPredSql THEN 1 ELSE 0 END AS y
+       |  FROM $table WHERE ($probMicroExpr) IS NOT NULL),
+       |per_bin AS (
+       |  SELECT p // $w AS bin, count(*)::BIGINT AS n_k,
+       |         (sum(p) // count(*))::BIGINT AS mean_p_micro,
+       |         ((1000000 * sum(y)) // count(*))::BIGINT AS rate_micro
+       |  FROM base GROUP BY 1),
+       |g AS (
+       |  SELECT bin, n_k, mean_p_micro, rate_micro,
+       |         abs(mean_p_micro - rate_micro) AS gap_micro
+       |  FROM per_bin),
+       |e AS (
+       |  SELECT CASE WHEN coalesce(sum(n_k), 0) = 0 THEN 0
+       |         ELSE (sum(n_k * gap_micro) // sum(n_k)) END::BIGINT
+       |           AS ece_micro
+       |  FROM g)
+       |SELECT g.*, e.ece_micro FROM g, e""".stripMargin
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
     * standard hybrid-search combiner: two rankers score the same per-query
     * candidate lists, each candidate's fused score is

@@ -1250,6 +1250,14 @@ object PipelineQueries {
         least(col("n_chars"), lit(1000L)) * 1000L,
         col("lang") === "en")),
 
+    // --- calibration curve + ECE on the same (score, label) pair as the
+    // Brier decomposition: the per-bin reliability table plus the
+    // occupancy-weighted summary on every row (oracle-checked) ---
+    "q_pipeline_ece" -> ((s, d) =>
+      graft.operators.Eval.calibrationCurve(docs(s, d),
+        least(col("n_chars"), lit(1000L)) * 1000L,
+        col("lang") === "en")),
+
     // --- one-stop eval report: AUC/Gini + Brier decomposition +
     // Spearman + stump threshold of the same (score, label) pair as one
     // (metric, value_micro) datasheet — the datasetCard of model eval
@@ -1934,6 +1942,9 @@ object PipelineQueries {
       s"round((${TextAnalysis.qualitySql("text")}) * 1e6)", "n_chars"),
 
     "q_pipeline_brier" -> graft.operators.Eval.brierOracleSql(
+      "documents", "least(n_chars, 1000) * 1000", "lang = 'en'"),
+
+    "q_pipeline_ece" -> graft.operators.Eval.calibrationOracleSql(
       "documents", "least(n_chars, 1000) * 1000", "lang = 'en'"),
 
     "q_pipeline_evalsuite" -> graft.operators.Eval.evalReportOracleSql(

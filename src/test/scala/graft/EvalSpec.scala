@@ -283,4 +283,32 @@ class EvalSpec extends SparkSpec {
     assert(got.getAs[Long]("first_rank") == 0L)
     assert(got.getAs[Long]("mrr_micro") == 0L)
   }
+
+  test("calibrationCurve: hand-computed bins, gaps, and weighted ECE") {
+    // bins = 2 (w = 500000):
+    //   bin 0: p ∈ {100000, 300000}, y ∈ {0, 1} → mean_p = 200000,
+    //          rate = 500000, gap = 300000
+    //   bin 1: p ∈ {800000, 900000, 900000}, y ∈ {1, 1, 0} →
+    //          mean_p = 2600000/3 = 866666, rate = 2000000/3 = 666666,
+    //          gap = 200000
+    //   ece = (2·300000 + 3·200000) div 5 = 240000
+    val df = Seq((100000L, false), (300000L, true), (800000L, true),
+      (900000L, true), (900000L, false)).toDF("p", "y")
+    val got = Eval.calibrationCurve(df, col("p"), col("y"), bins = 2)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 200000L, 500000L, 300000L, 240000L),
+      (1L, 3L, 866666L, 666666L, 200000L, 240000L)))
+    // a perfectly calibrated corpus has zero gaps and zero ECE
+    val perfect = Seq((0L, false), (1000000L, true)).toDF("p", "y")
+    val p = Eval.calibrationCurve(perfect, col("p"), col("y"), bins = 2)
+      .collect().map(r => (r.getLong(4), r.getLong(5)))
+    assert(p.forall(_ == ((0L, 0L))))
+    // empty input: no rows, no division crash
+    assert(Eval.calibrationCurve(
+      Seq.empty[(Long, Boolean)].toDF("p", "y"), col("p"), col("y"))
+      .collect().isEmpty)
+  }
 }
