@@ -32,6 +32,18 @@ object StreamQueries {
       EventStreams.windowedKmv(events(s, d), "1 hour", col("user_id"),
         k = 64)),
 
+    // per-window Misra-Gries heavy hitters — k=8 > the 5 event types, so
+    // the sketch is the exact per-window count table (oracle-checked; the
+    // approximate regime's bound is spec-tested)
+    "q_stream_topk" -> ((s, d) =>
+      EventStreams.windowedTopK(events(s, d), "1 hour", col("event_type"),
+        k = 8, topN = 3)),
+
+    // inter-arrival burstiness per type: periodic -1 / Poisson 0 / bursty
+    // +1 on exact integer gap moments (oracle-checked) ---
+    "q_stream_burstiness" -> ((s, d) =>
+      EventStreams.interArrivalBurstiness(events(s, d))),
+
     "q_stream_sliding" -> ((s, d) =>
       EventStreams.slidingCounts(events(s, d), "30 minutes", "15 minutes")),
 
@@ -401,6 +413,12 @@ object StreamQueries {
 
     "q_stream_kmv" -> graft.streaming.EventStreams.windowedKmvOracleSql(
       widthSec = 3600L, keyExpr = "user_id", k = 64),
+
+    "q_stream_topk" -> graft.streaming.EventStreams.windowedTopKOracleSql(
+      widthSec = 3600L, keyExpr = "event_type", topN = 3),
+
+    "q_stream_burstiness" ->
+      graft.streaming.EventStreams.burstinessOracleSql(),
 
     "q_stream_funnel" -> graft.streaming.EventStreams.funnelOracleSql(
       Seq("signup", "click", "purchase"), maxSpan = Some("24 hours")),

@@ -135,6 +135,136 @@ object EventStreams {
        |FROM s""".stripMargin
   }
 
+  /** Misra–Gries HEAVY HITTERS per tumbling window — "what dominated each
+    * window" with O(k) state: the mergeable
+    * [[graft.functions.ApproxTopK]] sketch as a window aggregate, top
+    * `topN` counters per window in (count DESC, term) order. With k ≥ the
+    * window's distinct keys the counters never decrement, so the sketch
+    * IS the exact per-window count table — the oracle-checkable regime
+    * (the approximate regime's error bound is spec-tested in SketchSpec).
+    * Batch GROUP BY here; [[streamingWindowedTopK]] runs the same merge
+    * path against watermarked window state.
+    */
+  def windowedTopK(events: DataFrame, width: String, key: Column,
+      k: Int, topN: Int): DataFrame = {
+    val sketch = udaf(new graft.functions.ApproxTopK(k))
+    events.select(window(col("ts"), width).as("w"),
+        key.cast("string").as("key"))
+      .where(col("key").isNotNull)
+      .groupBy(col("w"))
+      .agg(sketch(col("key")).as("s"))
+      .select(col("w.start").as("win_start"), posexplode(col("s")))
+      .where(col("pos") < topN)
+      .select(col("win_start"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._1").as("term"), col("col._2").as("cnt"))
+  }
+
+  /** Streaming variant of [[windowedTopK]]: watermark-bounded window
+    * state, same counter-merge path.
+    */
+  def streamingWindowedTopK(stream: DataFrame, width: String,
+      watermark: String, key: Column, k: Int, topN: Int): DataFrame =
+    windowedTopK(stream.withWatermark("ts", watermark), width, key, k, topN)
+
+  /** DuckDB replay of [[windowedTopK]]'s exact regime (k ≥ per-window
+    * distinct keys): per-window counts, (cnt DESC, term) rank, top `topN`.
+    */
+  def windowedTopKOracleSql(widthSec: Long, keyExpr: String,
+      topN: Int): String = {
+    val winUs = widthSec * 1000000L
+    s"""WITH t AS (
+       |  SELECT make_timestamp((epoch_us(ts::TIMESTAMP) // $winUs) * $winUs)
+       |           AS win_start,
+       |         ($keyExpr)::VARCHAR AS term
+       |  FROM events WHERE ($keyExpr) IS NOT NULL),
+       |c AS (
+       |  SELECT win_start, term, count(*)::BIGINT AS cnt
+       |  FROM t GROUP BY 1, 2)
+       |SELECT win_start,
+       |       row_number() OVER (PARTITION BY win_start
+       |                          ORDER BY cnt DESC, term)::BIGINT AS rank,
+       |       term, cnt
+       |FROM c
+       |QUALIFY rank <= $topN""".stripMargin
+  }
+
+  /** INTER-ARRIVAL BURSTINESS per event type (Goh & Barabási 2008):
+    * B = (σ − μ)/(σ + μ) over the inter-arrival gaps — −1 for a perfectly
+    * periodic stream, 0 for Poisson, → 1 for heavy bursts. The stream-
+    * health diagnostic that says whether a rate anomaly is a level shift
+    * or clumping.
+    *
+    * Determinism: gaps are exact integer seconds on the anchored
+    * (ts, event_id) total order; n/Σg/Σg² are exact BIGINT aggregates;
+    * μ and σ enter doubles only in one shared final expression (the
+    * lagcorr/abtest 6dp IEEE tail) with the variance numerator computed
+    * on DECIMAL(38,0) first. Types with < 2 events have no gaps and drop
+    * out; an all-zero-gap type (σ+μ = 0) defines B = 0.
+    *
+    * Scale shape: one type-keyed lag window (spills, bounded by type
+    * volume), one aggregate to #types rows.
+    */
+  def interArrivalBurstiness(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .select(col("event_type"), col("ts"), col("event_id"),
+        unix_timestamp(col("ts")).as("s"))
+      .withColumn("g", col("s") - lag(col("s"), 1).over(w))
+      .where(col("g").isNotNull)
+    gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("sum_g"),
+        sum(expr("CAST(g AS DECIMAL(38,0)) * g")).as("sum_g2"))
+      .select(col("event_type"), col("n_gaps"), col("sum_g"),
+        col("sum_g2").cast("long").as("sum_g2"),
+        expr(
+          """CASE WHEN sum_g = 0 AND sum_g2 = 0 THEN 0 ELSE
+            | CAST(round(
+            |  (sqrt(CAST(CAST(n_gaps AS DECIMAL(38,0)) * sum_g2
+            |             - CAST(sum_g AS DECIMAL(38,0)) * sum_g AS DOUBLE))
+            |   - CAST(sum_g AS DOUBLE))
+            |  / (sqrt(CAST(CAST(n_gaps AS DECIMAL(38,0)) * sum_g2
+            |               - CAST(sum_g AS DECIMAL(38,0)) * sum_g AS DOUBLE))
+            |     + CAST(sum_g AS DOUBLE)) * 1000000, 0) AS BIGINT)
+            |END""".stripMargin.replace("\n", " ")).as("burstiness_micro"))
+  }
+
+  /** DuckDB replay of [[interArrivalBurstiness]] (same anchored gap order,
+    * exact integer moments, same single-expression IEEE tail). Note both
+    * engines compute σ·n = sqrt(n·Σg² − (Σg)²) and μ·n = Σg, so the n
+    * factors cancel inside the ratio — the replay shares that exact form.
+    */
+  def burstinessOracleSql(): String =
+    // epoch_us // 1e6, NOT epoch()::BIGINT: DuckDB's double→int cast
+    // ROUNDS while Spark's unix_timestamp floors — sub-second timestamps
+    // near the half-boundary would land in different seconds
+    s"""WITH s AS (
+       |  SELECT event_type,
+       |         epoch_us(ts::TIMESTAMP) // 1000000 AS s, event_id
+       |  FROM events),
+       |g AS (
+       |  SELECT event_type,
+       |         s - lag(s) OVER (PARTITION BY event_type
+       |                          ORDER BY s, event_id) AS g
+       |  FROM s QUALIFY g IS NOT NULL),
+       |a AS (
+       |  SELECT event_type, count(*)::BIGINT AS n_gaps,
+       |         sum(g)::BIGINT AS sum_g,
+       |         sum(g::HUGEINT * g)::BIGINT AS sum_g2
+       |  FROM g GROUP BY event_type)
+       |SELECT event_type, n_gaps, sum_g, sum_g2,
+       |       CASE WHEN sum_g = 0 AND sum_g2 = 0 THEN 0 ELSE
+       |         round(
+       |           (sqrt((n_gaps::HUGEINT * sum_g2
+       |                  - sum_g::HUGEINT * sum_g)::DOUBLE)
+       |            - sum_g::DOUBLE)
+       |           / (sqrt((n_gaps::HUGEINT * sum_g2
+       |                    - sum_g::HUGEINT * sum_g)::DOUBLE)
+       |              + sum_g::DOUBLE) * 1000000)::BIGINT
+       |       END AS burstiness_micro
+       |FROM a""".stripMargin
+
   /** Streaming exact dedup: drops events whose key was already seen, with
     * state bounded by the event-time watermark
     * (`dropDuplicatesWithinWatermark`) — the streaming face of

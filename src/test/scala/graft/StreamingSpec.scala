@@ -95,6 +95,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedTopK over a real stream equals batch; exact regime counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = EventStreams.streamingWindowedTopK(
+        stream, "15 minutes", "10 minutes", col("event_type"), k = 4,
+        topN = 2)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("topk_out").start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("topk_out")
+        .orderBy("win_start", "rank").collect().map(_.toSeq)
+      val batch = EventStreams.windowedTopK(
+          sampleDF, "15 minutes", col("event_type"), k = 4, topN = 2)
+        .orderBy("win_start", "rank").collect().map(_.toSeq)
+      assert(streamed.toSeq == batch.toSeq)
+      // first window holds click×2, view×1 — exact counts, count-desc order
+      assert(batch.head(2) == "click" && batch.head(3) == 2L)
+      assert(batch(1)(2) == "view" && batch(1)(3) == 1L)
+    } finally q.stop()
+  }
+
+  test("interArrivalBurstiness: periodic stream pins -1e6, bursty positive") {
+    def ev(ts: Seq[Int], typ: String) = ts.zipWithIndex.map { case (m, i) =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-01 ${10 + m / 60}%02d:${m % 60}%02d:00"),
+        typ, 0.0)
+    }
+    // periodic: gaps all 300 s → σ = 0 → B = −μ/μ = −1e6 exactly;
+    // bursty: three events in one minute then a 100-minute silence and
+    // again — σ > μ → B > 0
+    val df = (ev(Seq(0, 5, 10, 15, 20), "tick") ++
+      ev(Seq(0, 1, 2, 100, 101, 102, 200), "burst"))
+      .toDF("event_id", "ts", "event_type", "value")
+    val got = EventStreams.interArrivalBurstiness(df)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(got("tick") == -1000000L, s"periodic must pin -1e6: $got")
+    assert(got("burst") > 0L, s"bursty must be positive: $got")
+  }
+
   test("sessionize (session_window) in batch: gap semantics") {
     val got = EventStreams.sessionize(sampleDF, "10 minutes")
       .orderBy("user_id", "sess_start")
