@@ -44,6 +44,13 @@ object StreamQueries {
     "q_stream_burstiness" -> ((s, d) =>
       EventStreams.interArrivalBurstiness(events(s, d))),
 
+    // per-window exact p50/p95/p99 of value on the explicit ceil(p·n)
+    // rank and cents carrier — the comparator-proof percentile convention
+    // (oracle-checked)
+    "q_stream_latency" -> ((s, d) =>
+      EventStreams.windowedPercentiles(events(s, d), "1 hour",
+        col("value"))),
+
     "q_stream_sliding" -> ((s, d) =>
       EventStreams.slidingCounts(events(s, d), "30 minutes", "15 minutes")),
 
@@ -419,6 +426,9 @@ object StreamQueries {
 
     "q_stream_burstiness" ->
       graft.streaming.EventStreams.burstinessOracleSql(),
+
+    "q_stream_latency" -> graft.streaming.EventStreams
+      .windowedPercentilesOracleSql(widthSec = 3600L, valueExpr = "value"),
 
     "q_stream_funnel" -> graft.streaming.EventStreams.funnelOracleSql(
       Seq("signup", "click", "purchase"), maxSpan = Some("24 hours")),

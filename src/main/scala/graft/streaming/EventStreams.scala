@@ -265,6 +265,62 @@ object EventStreams {
        |       END AS burstiness_micro
        |FROM a""".stripMargin
 
+  /** Per-window EXACT latency percentiles — the canonical service
+    * telemetry (p50/p95/p99 per time bucket), on the comparator-proof
+    * explicit-rank convention `r = max(1, ceil(p·n))` (the
+    * [[graft.operators.Profile.winsorize]] rule: engine percentile
+    * builtins' index conventions drift, a one-element shift changes
+    * every cell) with
+    * values carried as BIGINT cents. `ps` are ten-thousandth fractions
+    * (5000 = p50). Batch analytic of the events family — the rank window
+    * spills and is bounded by window volume.
+    */
+  def windowedPercentiles(events: DataFrame, width: String, value: Column,
+      ps: Seq[Int] = Seq(5000, 9500, 9900)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 10000))
+    val base = events
+      .select(window(col("ts"), width).as("w"),
+        (value.cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .where(col("c").isNotNull)
+      .select(col("w.start").as("win_start"), col("c"))
+    val ranked = base
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("win_start").orderBy("c")))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy("win_start")))
+    val aggs = ps.map(p =>
+      min(when(col("rn") ===
+        expr(s"greatest(1L, ($p * cnt + 9999) div 10000)"), col("c")))
+        .as(s"p${p / 100}_cents"))
+    ranked.groupBy(col("win_start"))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+  }
+
+  /** DuckDB replay of [[windowedPercentiles]] (same cents carrier, same
+    * explicit ceil(p·n) ranks).
+    */
+  def windowedPercentilesOracleSql(widthSec: Long, valueExpr: String,
+      ps: Seq[Int] = Seq(5000, 9500, 9900)): String = {
+    val winUs = widthSec * 1000000L
+    val cells = ps.map(p =>
+      s"min(CASE WHEN rn = greatest(1, ($p * cnt + 9999) // 10000)" +
+        s" THEN c END)::BIGINT AS p${p / 100}_cents").mkString(",\n       ")
+    s"""WITH base AS (
+       |  SELECT make_timestamp((epoch_us(ts::TIMESTAMP) // $winUs) * $winUs)
+       |           AS win_start,
+       |         (($valueExpr)::DECIMAL(18,2) * 100)::BIGINT AS c
+       |  FROM events WHERE ($valueExpr) IS NOT NULL),
+       |ranked AS (
+       |  SELECT win_start, c,
+       |         row_number() OVER (PARTITION BY win_start ORDER BY c) AS rn,
+       |         count(*) OVER (PARTITION BY win_start) AS cnt
+       |  FROM base)
+       |SELECT win_start, count(*)::BIGINT AS n,
+       |       $cells
+       |FROM ranked GROUP BY win_start""".stripMargin
+  }
+
   /** Streaming exact dedup: drops events whose key was already seen, with
     * state bounded by the event-time watermark
     * (`dropDuplicatesWithinWatermark`) — the streaming face of

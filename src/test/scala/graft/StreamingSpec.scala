@@ -136,6 +136,20 @@ class StreamingSpec extends SparkSpec {
     assert(got("burst") > 0L, s"bursty must be positive: $got")
   }
 
+  test("windowedPercentiles: hand-computed explicit ranks") {
+    // one 15-min window with values 1..4 → n = 4, p50 rank = ceil(2) = 2
+    // → 200 cents, p95/p99 ranks = 4 → 400 cents
+    val df = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, ts(i), "e", v)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val got = EventStreams.windowedPercentiles(df, "15 minutes",
+      col("value")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == 4L && r.getLong(2) == 200L &&
+      r.getLong(3) == 400L && r.getLong(4) == 400L)
+  }
+
   test("sessionize (session_window) in batch: gap semantics") {
     val got = EventStreams.sessionize(sampleDF, "10 minutes")
       .orderBy("user_id", "sess_start")
