@@ -80,6 +80,43 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bnlj.isEmpty, "grid neighbor search must be an equi-join")
   }
 
+  test("marginMining: codebook broadcasts, candidates join on the cluster " +
+      "equi-key") {
+    // assignment must be a BROADCAST of the k-row codebook (corpus never
+    // shuffles for it) and pair generation a cluster-keyed equi-join —
+    // a BNLJ anywhere is the corpus² the bucketing exists to prevent
+    val (_, plan) = executed("q_embed_margin")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    // the codebook assignment join is a broadcast nested-loop ONLY if the
+    // cross join shape leaked — cents assignment rides a crossJoin of the
+    // broadcast codebook, which is the one legitimate small-side nest
+    assert(bnlj.size <= 2,
+      s"only the k-row codebook broadcasts may nest-loop; got ${bnlj.size}")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty || bnlj.nonEmpty, "broadcast assignment expected")
+  }
+
+  test("simplifiedSilhouette: one point-by-centroid broadcast pass, " +
+      "no shuffle of the corpus against itself") {
+    val (_, plan) = executed("q_embed_silhouette")
+    // the point×centroid score is a broadcast (k-row codebook) nest; no
+    // equi-condition exists, so the assertion is on ABSENCE of any
+    // corpus-sized shuffle join — every SMJ/SHJ here would be corpus×k
+    val smj = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(smj.isEmpty,
+      s"centroid scoring must broadcast, never shuffle-join: ${smj.size}")
+  }
+
+  test("hammingBandPairs (image near-dup): band-keyed equi-join, no BNLJ") {
+    val (_, plan) = executed("q_multimodal_neardup")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty,
+      "band blocking must plan as an equi-join on (band, key), not BNLJ")
+  }
+
   test("conformal: suffix-sum lookup is an equi-join on the score") {
     // the >=-count must come from the two-level windowed table joined on
     // the exact score — a range/theta join would be test x calibration.
