@@ -1617,4 +1617,68 @@ object Profile {
        |       END AS est_distinct,
        |       (SELECT count(*)::BIGINT FROM keys) AS n_exact
        |FROM s""".stripMargin
+
+  /** SEEDED-LAPLACE DP COUNT RELEASE (Dwork et al. 2006, the Laplace
+    * mechanism on a disjoint-group histogram — parallel composition, so
+    * the whole table costs one ε): published count = n + Lap(1/ε), noise
+    * drawn by inverse-CDF from a uniform DERIVED from the group key
+    * (md5, 60 bits) —
+    *   u = (h + 0.5) / 2⁶⁰,  noise = −(1/ε)·sgn(u−½)·ln(1 − 2|u−½|).
+    * The seeded draw is what makes the mechanism TESTABLE: the release
+    * replays bit-for-bit in the oracle and across reruns, which is how DP
+    * plumbing is validated before the seed is swapped for real entropy in
+    * production (the seeded path is NOT private — it is the audit mode).
+    * Released counts are in micro units, floored at 0 (counts are
+    * non-negative post-processing, which DP permits); raw counts are NOT
+    * emitted.
+    *
+    * `epsMicro` is ε in micro units (1e6 = ε 1.0). The single ln/double
+    * step rides the shared IEEE tail (micro rounding swallows libm ulp
+    * skew, the corpusKl posture).
+    *
+    * Scale shape: one hash aggregate to #groups rows, then per-row
+    * constant arithmetic.
+    */
+  def dpNoisyCounts(df: DataFrame, groupCol: String, epsMicro: Long,
+      seed: String = "dp"): DataFrame = {
+    require(epsMicro >= 1)
+    val counts = df.select(col(groupCol).cast("string").as("grp"))
+      .where(col("grp").isNotNull)
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("u",
+        (graft.operators.Dedup.portableHash(
+          concat(lit(s"$seed:"), col("grp"))).cast("double") + 0.5d)
+          / 1.152921504606846976e18)
+      .withColumn("noise_micro", round(
+        (lit(-1e12) / epsMicro) * signum(col("u") - 0.5d)
+          * log(lit(1.0d) - lit(2.0d) * abs(col("u") - 0.5d)), 0)
+        .cast("long"))
+      .select(col("grp"), lit(epsMicro).as("eps_micro"),
+        greatest(lit(0L),
+          col("n") * 1000000L + col("noise_micro")).as("released_micro"))
+  }
+
+  /** DuckDB replay of [[dpNoisyCounts]] (same md5 uniform, same inverse
+    * CDF, same micro floor-at-zero post-processing).
+    */
+  def dpNoisyCountsOracleSql(table: String, groupExpr: String,
+      epsMicro: Long, seed: String = "dp"): String =
+    s"""WITH c AS (
+       |  SELECT ($groupExpr)::VARCHAR AS grp, count(*)::BIGINT AS n
+       |  FROM $table WHERE ($groupExpr) IS NOT NULL GROUP BY 1),
+       |u AS (
+       |  SELECT grp, n,
+       |         (('0x' || substr(md5('$seed:' || grp), 1, 15))::BIGINT::DOUBLE
+       |          + 0.5) / 1.152921504606846976e18 AS u
+       |  FROM c),
+       |z AS (
+       |  SELECT grp, n,
+       |         round((-1e12 / $epsMicro) * sign(u - 0.5)
+       |               * ln(1 - 2 * abs(u - 0.5)))::BIGINT AS noise_micro
+       |  FROM u)
+       |SELECT grp, $epsMicro::BIGINT AS eps_micro,
+       |       greatest(0, n * 1000000 + noise_micro)::BIGINT
+       |         AS released_micro
+       |FROM z""".stripMargin
 }

@@ -189,6 +189,15 @@ object ScaleQueries {
           floor(col("c_acctbal") / 100).cast("long").as("bal_band")),
         Seq("c_nationkey", "c_mktsegment"), "bal_band", k = 10, l = 3)),
 
+    // --- seeded-Laplace DP release of the (lang, source) histogram:
+    // the audit-mode mechanism (seeded uniform = replayable; production
+    // swaps real entropy behind the same shape) (oracle-checked) ---
+    "q_pipeline_dp" -> ((s, d) =>
+      graft.operators.Profile.dpNoisyCounts(
+        t(s, d, "documents") // concat (not concat_ws): null-propagating
+          .select(concat(col("lang"), lit(":"), col("source")).as("cell")),
+        "cell", epsMicro = 500000L)),
+
     // --- co-purchase graph: parts sharing an order become undirected
     // edges (capped group fan-out, simple graph) — degree distribution ---
     "q_graph_degree" -> ((s, d) =>
@@ -318,6 +327,8 @@ object ScaleQueries {
     "q_pipeline_kanon" -> graft.operators.Profile.kAnonymityOracleSql(
       "customer", Seq("c_nationkey", "c_mktsegment"),
       "floor(c_acctbal / 100)::BIGINT", k = 10, l = 3),
+    "q_pipeline_dp" -> graft.operators.Profile.dpNoisyCountsOracleSql(
+      "documents", "lang || ':' || source", epsMicro = 500000L),
     "q_graph_degree" -> graft.operators.Graph.degreesOracleSql(
       "l_orderkey", "l_partkey", "lineitem"),
     "q_graph_pagerank" -> graft.operators.Graph.pageRankOracleSql(

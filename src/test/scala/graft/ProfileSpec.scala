@@ -461,4 +461,29 @@ class ProfileSpec extends SparkSpec {
     assert(got.getAs[Long]("share_micro") == 750000L) // 30/40
   }
 
+  test("dpNoisyCounts: seeded noise is deterministic, scaled by 1/eps, " +
+      "floored at zero") {
+    import org.apache.spark.sql.functions.col
+    val df = (Seq.fill(100)("a") ++ Seq.fill(50)("b") ++ Seq("c"))
+      .toDF("g")
+    def run(eps: Long) = Profile.dpNoisyCounts(df, "g", eps)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val r1 = run(500000L)
+    // deterministic: same seed, same release
+    assert(run(500000L) == r1)
+    // noise actually moved the counts (Lap(2) at micro resolution is
+    // never exactly 0 on an md5 uniform)
+    assert(r1("a") != 100000000L && r1("b") != 50000000L)
+    // Lap(1/eps=2) noise: |noise| < 40 micro-units of 2e6 with
+    // overwhelming margin — sanity-band the release
+    assert(math.abs(r1("a") - 100000000L) < 40000000L, s"a: ${r1("a")}")
+    // floor at zero: a count of 1 with eps tiny (huge noise scale) can go
+    // negative pre-floor — the release must clamp, not publish < 0
+    val tiny = run(1L)
+    assert(tiny.values.forall(_ >= 0L))
+    // larger eps → smaller noise: eps=10 release is closer to exact
+    val sharp = run(10000000L)
+    assert(math.abs(sharp("a") - 100000000L)
+      < math.abs(r1("a") - 100000000L))
+  }
 }
