@@ -208,6 +208,91 @@ object Eval {
        |                  - 1000000 END)::BIGINT AS gini_micro
        |FROM agg""".stripMargin
 
+  /** EXACT AVERAGE PRECISION (area under the precision-recall curve by
+    * the step definition) — the rank metric that matters when positives
+    * are rare: AUC stays high under extreme imbalance while AP collapses,
+    * which is why retrieval/filter models report both.
+    *   AP = (1/P) · Σ_{positives i} precision@rank(i)
+    * on the TOTAL order (score DESC, id ASC) — the id tiebreak pins the
+    * within-tie order so AP (which, unlike AUC, is not tie-symmetric)
+    * replays exactly. Each precision term floors to micro units and the
+    * mean floors once more (pinned two-step floors, the
+    * [[brierDecomposition]] convention).
+    *
+    * Scale shape: ranks come from the distinct-score [[cumBelow]] table
+    * (two-level bucketed, no global window) plus a per-TIE-BLOCK window
+    * (partitioned by score — bounded by the tie multiplicity, never the
+    * corpus); one final 1-row aggregate. Degenerate inputs (no
+    * positives) report ap_micro = 0 with the counts visible.
+    */
+  def averagePrecision(df: DataFrame, idCol: String, score: Column,
+      label: Column): DataFrame = {
+    val rows = df.select(col(idCol).as("id"), score.cast("long").as("s"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .where(col("s").isNotNull)
+      .transform(Caching.persist)
+    val per = rows.groupBy(col("s"))
+      .agg(sum(col("y")).as("pos"), count(lit(1)).as("cnt"))
+    val cum = cumBelow(per, "s", Seq("pos", "cnt"), bucketWidth = 1024L)
+    val tot = rows.agg(sum(col("y")).as("n_pos"), count(lit(1)).as("n"))
+    val wBlock = Window.partitionBy(col("s")).orderBy(col("id"))
+    val ranked = rows
+      .join(cum.select(col("s"), col("pos"), col("cnt"),
+        col("below_pos"), col("below_cnt")), "s")
+      .crossJoin(broadcast(tot))
+      // above = total − below − whole tie block (score DESC order)
+      .withColumn("rows_above", col("n") - col("below_cnt") - col("cnt"))
+      .withColumn("pos_above", col("n_pos") - col("below_pos") - col("pos"))
+      .withColumn("ridx", row_number().over(wBlock))
+      .withColumn("pref_pos", sum(col("y")).over(wBlock)) // incl. current
+      .withColumn("rank", col("rows_above") + col("ridx"))
+      .withColumn("cum_pos", col("pos_above") + col("pref_pos"))
+    // one unconditional 1-row aggregate (a filter-then-agg pair would need
+    // a union for the no-positives case and a row-pick between the two)
+    ranked.agg(
+        coalesce(sum(when(col("y") === 1L,
+          expr("(1000000 * cum_pos) div rank"))), lit(0L)).as("__ts"),
+        coalesce(max(col("n_pos")), lit(0L)).as("n_pos"),
+        coalesce(max(col("n")), lit(0L)).as("n"))
+      .select(col("n_pos"), col("n"),
+        when(col("n_pos") === 0, lit(0L))
+          .otherwise(expr("__ts div n_pos")).as("ap_micro"))
+  }
+
+  /** DuckDB replay of [[averagePrecision]] (same bucketed below-sums,
+    * same tie-block windows, same two-step floors).
+    */
+  def averagePrecisionOracleSql(table: String, idExpr: String,
+      scoreExpr: String, labelPredSql: String): String =
+    s"""WITH rows_t AS (
+       |  SELECT ($idExpr) AS id, ($scoreExpr)::BIGINT AS s,
+       |         CASE WHEN $labelPredSql THEN 1 ELSE 0 END AS y
+       |  FROM $table WHERE ($scoreExpr) IS NOT NULL),
+       |per AS (
+       |  SELECT s, sum(y)::BIGINT AS pos, count(*)::BIGINT AS cnt
+       |  FROM rows_t GROUP BY s),
+       |${cumBelowSql("per", "s", Seq("pos", "cnt"), 1024L, "cum")},
+       |tot AS (SELECT coalesce(sum(y), 0)::BIGINT AS n_pos,
+       |               count(*)::BIGINT AS n FROM rows_t),
+       |ranked AS (
+       |  SELECT r.y,
+       |         t.n - c.below_cnt - c.cnt
+       |           + row_number() OVER (PARTITION BY r.s ORDER BY r.id)
+       |           AS rank,
+       |         t.n_pos - c.below_pos - c.pos
+       |           + sum(r.y) OVER (PARTITION BY r.s ORDER BY r.id
+       |                            ROWS UNBOUNDED PRECEDING)
+       |           AS cum_pos,
+       |         t.n_pos, t.n
+       |  FROM rows_t r JOIN cum c USING (s), tot t)
+       |SELECT coalesce(max(n_pos), 0)::BIGINT AS n_pos,
+       |       coalesce(max(n), 0)::BIGINT AS n,
+       |       (CASE WHEN coalesce(max(n_pos), 0) = 0 THEN 0
+       |             ELSE coalesce(sum(CASE WHEN y = 1
+       |                    THEN (1000000 * cum_pos) // rank END), 0)
+       |                  // max(n_pos) END)::BIGINT AS ap_micro
+       |FROM ranked""".stripMargin
+
   /** Per-subgroup [[rocAuc]] — the fairness/consistency audit: a quality
     * signal that is predictive overall can be flat (or inverted) inside a
     * subgroup, and a filter tuned on the pooled AUC then silently

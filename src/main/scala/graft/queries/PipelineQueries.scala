@@ -1165,6 +1165,16 @@ object PipelineQueries {
         col("event_type") === "purchase")
     }),
 
+    // --- exact average precision (PR-AUC step definition) on the same
+    // (score, label) pair as the AUC — the imbalance-honest rank metric,
+    // id-pinned tie order, two-level bucketed ranks (oracle-checked) ---
+    "q_pipeline_ap" -> ((s, d) => {
+      Tables.load(s, d)
+      graft.operators.Eval.averagePrecision(s.table("events"), "event_id",
+        round(col("value") * 100, 0).cast("long"),
+        col("event_type") === "purchase")
+    }),
+
     // --- Spearman rank correlation between quantity and price cents:
     // doubled average ranks on exact DECIMAL moments, IEEE sqrt at the
     // final 6-dp projection only (oracle-checked) ---
@@ -1910,6 +1920,10 @@ object PipelineQueries {
 
     "q_pipeline_auc" -> graft.operators.Eval.rocAucOracleSql(
       "events", "round(value * 100)", "event_type = 'purchase'"),
+
+    "q_pipeline_ap" -> graft.operators.Eval.averagePrecisionOracleSql(
+      "events", "event_id", "round(value * 100)",
+      "event_type = 'purchase'"),
 
     "q_pipeline_spearman" -> graft.operators.Eval.spearmanOracleSql(
       "lineitem", "l_quantity", "round(l_extendedprice * 100)"),

@@ -284,6 +284,35 @@ class EvalSpec extends SparkSpec {
     assert(got.getAs[Long]("mrr_micro") == 0L)
   }
 
+  test("averagePrecision: hand-computed ranks incl. tie block, " +
+      "degenerate contracts") {
+    // desc order (score, id asc): (90,y1) r1, (80,y0) r2, (70,id3,y1) r3,
+    // (70,id4,y0) r4, (60,y1) r5 → terms 1e6 + 666666 + 600000,
+    // ap = 2266666 div 3 = 755555
+    val df = Seq((1L, 90L, true), (2L, 80L, false), (3L, 70L, true),
+      (4L, 70L, false), (5L, 60L, true)).toDF("id", "s", "y")
+    val got = Eval.averagePrecision(df, "id", col("s"), col("y"))
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      ((3L, 5L, 755555L)))
+    // tie order matters for AP and is pinned by id: flip the tie block's
+    // labels and the positive lands at rank 4 → 2/4 term
+    val flipped = Seq((1L, 90L, true), (2L, 80L, false), (3L, 70L, false),
+      (4L, 70L, true), (5L, 60L, true)).toDF("id", "s", "y")
+    val g2 = Eval.averagePrecision(flipped, "id", col("s"), col("y"))
+      .collect().head
+    assert(g2.getLong(2) == (1000000L + 500000L + 600000L) / 3)
+    // no positives → ap 0 with counts visible; empty input → all zero
+    val nopos = Seq((1L, 10L, false)).toDF("id", "s", "y")
+    val g3 = Eval.averagePrecision(nopos, "id", col("s"), col("y"))
+      .collect().head
+    assert((g3.getLong(0), g3.getLong(1), g3.getLong(2)) == ((0L, 1L, 0L)))
+    val g4 = Eval.averagePrecision(
+      Seq.empty[(Long, Long, Boolean)].toDF("id", "s", "y"),
+      "id", col("s"), col("y")).collect().head
+    assert((g4.getLong(0), g4.getLong(1), g4.getLong(2)) == ((0L, 0L, 0L)))
+  }
+
   test("calibrationCurve: hand-computed bins, gaps, and weighted ECE") {
     // bins = 2 (w = 500000):
     //   bin 0: p ∈ {100000, 300000}, y ∈ {0, 1} → mean_p = 200000,
