@@ -74,7 +74,22 @@ object Bench {
     }
     calibrate() // untimed: the probe's own plan/codegen warm-up
     val calPre = calibrate()
+    // Interleaved probes: cal_pre/cal_post only bound the endpoints; r8's
+    // record was poisoned by a contention window that opened mid-run (post
+    // probe 2.1x the pre probe, whole families x3 with zero code change).
+    // Timing the same fixed probe every `calEvery` queries gives a load
+    // trace across the run, and lets us emit a contention-NORMALIZED total:
+    // each query's time is deflated by the load factor of its run segment
+    // (segment probe / min probe of the run). On a quiet box all probes are
+    // equal and value_norm == value; on a partly-contended box value_norm
+    // recovers the quiet-box number instead of leaving the truth to be
+    // reconstructed from BENCH_HISTORY.jsonl. Probe cost (~0.4 s each,
+    // ~20 probes) is untimed and excluded from both totals.
+    val calEvery = 15
+    val probes = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    probes += ((0, calPre))
     var lastFamily = ""
+    var qIdx = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
       .map { case (name, fn) =>
@@ -91,11 +106,27 @@ object Bench {
         }
       }
       lastFamily = family
+      qIdx += 1
+      if (qIdx % calEvery == 0) probes += ((qIdx, calibrate()))
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = results.map(_._2).sum
+    val calPost = calibrate()
+    probes += ((qIdx + 1, calPost))
+    // Normalization baseline = the quietest probe this run saw. Each query is
+    // assigned the load factor of the probe segment it ran in (the probe
+    // taken AFTER it, i.e. the first probe with index >= its position — the
+    // nearest measurement of the load it actually experienced). If the whole
+    // run was uniformly contended the min probe is contended too and
+    // value_norm stays honest (it can't invent a quiet box it never saw);
+    // the absolute cal values still expose that case.
+    val minProbe = probes.map(_._2).min
+    val normTotal = results.zipWithIndex.map { case ((_, sec), i) =>
+      val seg = probes.find(_._1 >= i + 1).getOrElse(probes.last)._2
+      sec / math.max(1.0, seg / minProbe)
+    }.sum
     // Full per-query detail: one line WITHOUT the {"metric" marker (so the
     // driver's tail-parser never grabs it) plus a file for post-hoc reads.
     val detail = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
@@ -108,9 +139,11 @@ object Bench {
     // append-only history so like-for-like regression checks across rounds
     // never depend on the driver's output-tail window or on BENCH_DETAIL
     // being committed before the next run overwrites it
+    val probesJson = probes.map { case (i, v) => f"[$i,$v%.3f]" }
+      .mkString("[", ",", "]")
     try {
       val h = new java.io.FileWriter("BENCH_HISTORY.jsonl", true)
-      h.write(s"""{"ts_ms":${System.currentTimeMillis()},"sf":"$sfDir","total":${f"$total%.3f"},"n_queries":${results.size},"queries":$detail}""" + "\n")
+      h.write(s"""{"ts_ms":${System.currentTimeMillis()},"sf":"$sfDir","total":${f"$total%.3f"},"total_norm":${f"$normTotal%.3f"},"n_queries":${results.size},"cal_probes":$probesJson,"queries":$detail}""" + "\n")
       h.close()
     } catch { case _: Throwable => }
     // The driver keeps only the LAST ~2000 chars of output and parses the
@@ -122,8 +155,7 @@ object Bench {
     val fam = results.groupBy(_._1.split("_")(1)).toSeq.sortBy(_._1)
       .map { case (f, rs) => s"\"" + f + "\":" + f"${rs.map(_._2).sum}%.3f" }
       .mkString("{", ",", "}")
-    val calPost = calibrate()
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":$fam,"cal_pre":${f"$calPre%.3f"},"cal_post":${f"$calPost%.3f"},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_norm":${f"$normTotal%.3f"},"n_queries":${results.size},"queries":$fam,"cal_pre":${f"$calPre%.3f"},"cal_post":${f"$calPost%.3f"},"cal_min":${f"$minProbe%.3f"},"cal_max":${f"${probes.map(_._2).max}%.3f"},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,7 +37,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[ArrayReduceAgg].getCanonicalName, name),
-        (exprs: Seq[Expression]) =>
-          ArrayReduceAgg(exprs.head, op).toAggregateExpression()))
+        (exprs: Seq[Expression]) => {
+          // builders run at analysis time — a clear arity message here
+          // surfaces as an analysis error instead of exprs.head throwing
+          // an opaque NoSuchElementException on `SELECT name()`
+          if (exprs.length != 1) throw new IllegalArgumentException(
+            s"$name expects exactly 1 argument (an array column), " +
+              s"got ${exprs.length}")
+          ArrayReduceAgg(exprs.head, op).toAggregateExpression()
+        }))
     }
 }

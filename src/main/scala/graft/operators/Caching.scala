@@ -66,6 +66,66 @@ object Caching {
     df
   }
 
+  /** Lineage-truncation seam for iterative operators (HITS, k-core, CC,
+    * BPE, logistic regression, coreset, mixture reweight): every per-round
+    * checkpoint routes through here so the single-JVM default
+    * (`localCheckpoint` — blocks live on executors, lost executor kills
+    * the job) can be swapped FLEET-WIDE for a reliable, storage-backed
+    * `checkpoint()` with one config instead of per-callsite edits:
+    *
+    *   spark.graft.reliableCheckpoints=true
+    *   spark.graft.checkpointDir=hdfs://... (or SparkContext.setCheckpointDir)
+    *
+    * Reliable mode is what a 1000-executor cluster job wants: a round's
+    * blocks survive executor loss, and lineage is truncated identically
+    * (a flat scan node), so plan-size behavior — the reason these sites
+    * checkpoint at all — is the same in both modes. Values are identical
+    * by construction (checkpointing replays the same deterministic plan);
+    * CachingSpec pins both modes equal at sf0.001.
+    *
+    * `eager = false` (the operators' default) keeps the round lazy so the
+    * materialization lands in the first job that needs it, matching the
+    * pre-seam localCheckpoint(false) behavior exactly.
+    */
+  private[graft] def checkpoint(df: DataFrame,
+      eager: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val reliable = spark.conf
+      .getOption("spark.graft.reliableCheckpoints").exists(_.toBoolean)
+    if (reliable) {
+      if (spark.sparkContext.getCheckpointDir.isEmpty) {
+        val dir = spark.conf.getOption("spark.graft.checkpointDir")
+          .getOrElse(throw new IllegalArgumentException(
+            "spark.graft.reliableCheckpoints=true needs " +
+              "spark.graft.checkpointDir (or SparkContext.setCheckpointDir)"))
+        spark.sparkContext.setCheckpointDir(dir)
+      }
+      df.checkpoint(eager)
+    } else df.localCheckpoint(eager)
+  }
+
+  /** Periodic lineage truncation for SMALL-branching iterative loops:
+    * [[checkpoint]] on every `every`-th round, plain [[persist]] between.
+    * Rationale (measured, Scratch6): a lazy checkpoint is not free — it
+    * runs the full optimizer + physical planner AT CALL TIME to build the
+    * checkpointed RDD, ~0.5-1 s per call in a session with accumulated
+    * cache entries, so checkpointing every round turns a 0.2 s-execution
+    * query into seconds of driver-side planning (q_graph_hits measured
+    * 3-9 s construction vs 0.2 s count). A round that references the
+    * previous frame k times grows the composed tree k× per round, so k^e
+    * leaves accumulate between truncations — bounded and cheap for the
+    * k ≤ 3, every ≤ 4 regime this helper is for (2^4 = 16 leaf copies,
+    * milliseconds to analyze), while planning runs once per `every`
+    * rounds instead of every round. The persist between truncations still
+    * dedups EXECUTION of the shared subtree. Use plain [[checkpoint]]
+    * directly for loops that branch wider or run deeper.
+    */
+  private[graft] def truncateEvery(df: DataFrame, round: Int,
+      every: Int = 4, eager: Boolean = false): DataFrame = {
+    require(every >= 1)
+    if (round % every == 0) checkpoint(df, eager) else persist(df)
+  }
+
   /** Run `f`, then unpersist every [[persist]] this thread's operators
     * registered while it ran. Blocking unpersist: storage is actually gone
     * when `scoped` returns, so back-to-back scopes can't transiently hold

@@ -590,7 +590,9 @@ object Dedup {
     val spark = pairs.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint()
+      else Caching.checkpoint(df, eager = true) // honors the session-wide
+    // spark.graft.reliableCheckpoints switch when no explicit dir was passed
     // persist (not checkpoint) the input pairs: they are referenced twice
     // below (forward + reversed), which would execute the upstream pair
     // pipeline twice in the edges job; a persisted plan also stays
@@ -827,7 +829,8 @@ object Dedup {
       maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
     val hashed = df.select(col(idCol).as("id"),
       SimHash.simhash64(TextAnalysis.tokens(col(textCol))).as("sh"))
-    hammingBandPairs(hashed, bands = 4, bandBits = 16, maxHamming, maxBucket)
+    hammingBandPairs(hashed, bands = 4, bandBits = 16, hashBits = 64,
+      maxHamming = maxHamming, maxBucket = maxBucket)
   }
 
   /** Generic Hamming band-blocking over any (id, sh) 64-bit-or-narrower
@@ -839,11 +842,23 @@ object Dedup {
     * by [[capBuckets]] (deterministic, never sampled), and the exact
     * `bit_count(xor)` verify runs only on candidates. Emits verified
     * (id_a, id_b, hamming) with id_a < id_b.
+    *
+    * `hashBits` is the caller's declared fingerprint width: the pigeonhole
+    * argument only holds when the bands COVER the fingerprint — banding
+    * just the low 32 bits of a 64-bit hash silently loses every pair whose
+    * differing bits all sit in the unbanded half, so under-coverage is a
+    * hard error rather than a recall leak.
     */
   def hammingBandPairs(hashed: DataFrame, bands: Int, bandBits: Int,
-      maxHamming: Int, maxBucket: Int): DataFrame = {
+      hashBits: Int, maxHamming: Int, maxBucket: Int): DataFrame = {
     require(maxHamming < bands,
       s"$bands-band blocking only guarantees recall for hamming < $bands")
+    require(bands * bandBits >= hashBits,
+      s"$bands bands x $bandBits bits cover ${bands * bandBits} bits < " +
+        s"the $hashBits-bit fingerprint; unbanded high bits break the " +
+        "pigeonhole recall guarantee")
+    require(hashBits >= 1 && hashBits <= 64 && bandBits >= 1 && bandBits <= 64,
+      "fingerprints ride a 64-bit carrier")
     val banded = hashed.select(col("id"), col("sh"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
@@ -1064,8 +1079,8 @@ object Dedup {
         (0 until bits).map(b =>
           when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("sh"))
-    hammingBandPairs(sig, bands = 4, bandBits = bits / 4, maxHamming,
-      maxBucket)
+    hammingBandPairs(sig, bands = 4, bandBits = bits / 4, hashBits = bits,
+      maxHamming = maxHamming, maxBucket = maxBucket)
   }
 
   /** DuckDB SQL replaying [[simhashPairsPortable]] value-for-value: same

@@ -527,7 +527,11 @@ object Eval {
     */
   def brierDecomposition(df: DataFrame, probMicro: Column, label: Column,
       bins: Int = 10): DataFrame = {
-    require(bins >= 1)
+    // upper bound matters: bins > 1e6 floors w to 0 and Spark's `div 0`
+    // yields silent nulls while the DuckDB oracle's `// 0` raises — a
+    // divergence the oracle contract excludes, so reject it at the door
+    require(bins >= 1 && bins <= 1000000,
+      s"bins must be in [1, 1000000] (micro-unit bin width >= 1), got $bins")
     val w = 1000000L / bins
     val base = df.select(probMicro.cast("long").as("p"),
         when(label, 1L).otherwise(0L).as("y"))
@@ -649,7 +653,11 @@ object Eval {
     */
   def calibrationCurve(df: DataFrame, probMicro: Column, label: Column,
       bins: Int = 10): DataFrame = {
-    require(bins >= 1)
+    // upper bound matters: bins > 1e6 floors w to 0 and Spark's `div 0`
+    // yields silent nulls while the DuckDB oracle's `// 0` raises — a
+    // divergence the oracle contract excludes, so reject it at the door
+    require(bins >= 1 && bins <= 1000000,
+      s"bins must be in [1, 1000000] (micro-unit bin width >= 1), got $bins")
     val w = 1000000L / bins
     val perBin = df.select(probMicro.cast("long").as("p"),
         when(label, 1L).otherwise(0L).as("y"))
@@ -999,4 +1007,95 @@ object Eval {
        |FROM base JOIN pred USING (grp) JOIN qhat USING (grp)
        |WHERE b >= 8
        |GROUP BY base.grp""".stripMargin
+
+  /** Micro-unit NDCG@k rank weights `round(1e6 / log2(i+1))` for ranks
+    * 1..k, computed ONCE on the JVM and inlined as integer literals into
+    * both the Spark plan and the oracle SQL — the [[Similarity
+    * .portablePlaneSigns]] trick applied to the one transcendental NDCG
+    * needs, so the whole metric stays integer-exact on both engines.
+    */
+  def ndcgWeights(k: Int): Seq[Long] =
+    (1 to k).map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** NDCG@k per group — THE graded-relevance ranking metric (Järvelin &
+    * Kekäläinen 2002) next to the binary-relevance [[rocAuc]]/
+    * [[averagePrecision]]: does the ranker put the HIGH-relevance items
+    * first, with position discounted by the pinned [[ndcgWeights]]?
+    *   dcg_micro  = Σ_{rank i ≤ k by (score desc, id)} rel_i · w_i
+    *   idcg_micro = the same sum under the ideal (rel desc, id) order
+    *   ndcg_micro = (dcg·1e6) div idcg   (0 when idcg = 0)
+    * `rel` must be a non-negative integer grade. Ties pin on ascending
+    * id in BOTH orders, so every value is a pure function of the data.
+    *
+    * Scale shape: one shuffle on the group key, two in-partition sorts
+    * (real rank + ideal rank ride the same exchange), one hash aggregate
+    * — no global window, no driver state; groups stream independently.
+    */
+  def ndcgAtK(df: DataFrame, groupCol: String, idCol: String,
+      rel: Column, score: Column, k: Int): DataFrame = {
+    require(k >= 1 && k <= 10000)
+    val w = ndcgWeights(k)
+    val base = df.select(col(groupCol).cast("string").as("grp"),
+        col(idCol).as("id"), rel.cast("long").as("rel"),
+        score.cast("long").as("score"))
+      .where(col("rel").isNotNull && col("score").isNotNull)
+    val byScore = Window.partitionBy(col("grp"))
+      .orderBy(col("score").desc, col("id"))
+    val byRel = Window.partitionBy(col("grp"))
+      .orderBy(col("rel").desc, col("id"))
+    val warr = array(w.map(lit): _*)
+    base.select(col("grp"), col("rel"),
+        row_number().over(byScore).as("rn"),
+        row_number().over(byRel).as("irn"))
+      .groupBy(col("grp"))
+      .agg(
+        sum(when(col("rn") <= k,
+          col("rel") * element_at(warr, col("rn"))).otherwise(0L))
+          .as("dcg_micro"),
+        sum(when(col("irn") <= k,
+          col("rel") * element_at(warr, col("irn"))).otherwise(0L))
+          .as("idcg_micro"))
+      .select(col("grp"), col("dcg_micro"), col("idcg_micro"),
+        when(col("idcg_micro") === 0, lit(0L)).otherwise(
+          expr("cast((cast(dcg_micro as decimal(38,0)) * 1000000)" +
+            " div idcg_micro as bigint)")).as("ndcg_micro"))
+  }
+
+  /** DuckDB replay of [[ndcgAtK]] — identical inlined weight literals
+    * (same JVM `ndcgWeights` call builds this string), same tie pins,
+    * same floor division.
+    */
+  def ndcgOracleSql(table: String, groupExpr: String, idExpr: String,
+      relExpr: String, scoreExpr: String, k: Int): String = {
+    val values = ndcgWeights(k).zipWithIndex
+      .map { case (wt, i) => s"(${i + 1}, ${wt})" }.mkString(", ")
+    s"""WITH base AS (
+       |  SELECT ($groupExpr)::VARCHAR AS grp, $idExpr AS id,
+       |         ($relExpr)::BIGINT AS rel, ($scoreExpr)::BIGINT AS score
+       |  FROM $table
+       |  WHERE ($relExpr) IS NOT NULL AND ($scoreExpr) IS NOT NULL),
+       |w(rn, wt) AS (VALUES $values),
+       |ranked AS (
+       |  SELECT grp, rel,
+       |         row_number() OVER (PARTITION BY grp
+       |                            ORDER BY score DESC, id) AS rn,
+       |         row_number() OVER (PARTITION BY grp
+       |                            ORDER BY rel DESC, id) AS irn
+       |  FROM base),
+       |agg AS (
+       |  SELECT grp,
+       |         sum(CASE WHEN r.rn <= $k THEN rel * w1.wt
+       |             ELSE 0 END)::BIGINT AS dcg_micro,
+       |         sum(CASE WHEN r.irn <= $k THEN rel * w2.wt
+       |             ELSE 0 END)::BIGINT AS idcg_micro
+       |  FROM ranked r
+       |  LEFT JOIN w w1 ON w1.rn = r.rn
+       |  LEFT JOIN w w2 ON w2.rn = r.irn
+       |  GROUP BY grp)
+       |SELECT grp, dcg_micro, idcg_micro,
+       |       CASE WHEN idcg_micro = 0 THEN 0
+       |            ELSE ((dcg_micro::HUGEINT * 1000000) // idcg_micro)::BIGINT
+       |       END AS ndcg_micro
+       |FROM agg""".stripMargin
+  }
 }

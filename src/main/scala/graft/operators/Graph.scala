@@ -497,45 +497,74 @@ object Graph {
     * value-for-value ([[hitsOracleSql]] chains two CTEs per round).
     *
     * Shape per round: two bounded equi-joins of the node-sized score
-    * tables against the persisted edge table (one per direction) + two
-    * aggregates + two 1-row total aggregates broadcast back (a cross join
-    * of a single-row plan — never a data-sized collect). No driver state;
-    * the loop composes lazy plans at a fixed iteration count.
+    * tables against the persisted edge table (one per direction — the
+    * minimum for exact alternating HITS, since hub_i depends on auth_i
+    * which depends on hub_{i-1}) + two aggregates. The normalization
+    * DENOMINATORS never touch the edge table: Σ_d araw(d) =
+    * Σ_{(s,d)∈E} hub(s) = Σ_s hub(s)·outdeg(s) — the same integer terms
+    * re-associated — so each 1-row total is a NODE-sized join against the
+    * once-computed degree tables instead of a second pass over the
+    * edge-join output. That removes the per-half-step persist+re-read of
+    * `raw` (r8's shape) and halves the jobs per round; values are
+    * bit-identical (integer addition is associative/commutative) and
+    * [[hitsOracleSql]] still replays via `sum(raw)`. No driver state; the
+    * loop composes lazy plans at a fixed iteration count.
     */
   def hits(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1)
     val S = RankScale
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .transform(Caching.persist)
-    // Two structural hazards in the normalize-every-half-step loop, both
-    // fixed here (measured 54 s → ~1 s at sf0.1, same values):
-    //  1. `normalize` references `raw` twice (rows + the 1-row total) and
-    //     each iteration references the previous scores twice (next join +
-    //     final output) — composed lazily that doubles the LOGICAL tree
-    //     per half-step, so Catalyst re-analyzes a 2^(2·iters)-node plan.
-    //     The lazy localCheckpoint truncates lineage at each normalized
-    //     node-sized score table, keeping the analyzed tree linear. (On a
-    //     long-lived cluster job, swap for reliable `checkpoint()` against
-    //     a checkpointDir exactly like Dedup.connectedComponents.)
-    //  2. the persist on `raw` dedups EXECUTION of the half-step join down
-    //     the two branches.
-    def normalize(rawDf: DataFrame): DataFrame = {
-      val raw = Caching.persist(rawDf)
-      val tot = raw.agg(sum(col("raw")).as("tot"))
-      raw.crossJoin(tot).select(col("node"),
-          expr(s"cast(raw as decimal(38,0)) * $S div tot").as("score_u"))
-        .localCheckpoint(false)
-    }
-    var hubs = e.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(S).as("score_u"))
+    // ONE checkpoint flattens the edge build: the materialized RDD serves
+    // every downstream consumer (a persist would be a redundant second
+    // planning pass — each cacheQuery/checkpoint call IS a full planning
+    // pass, the dominant cost Scratch6 exposed), and every round's plan
+    // thereafter is a few nodes over the flat LogicalRDD
+    val e = Caching.checkpoint(
+      edges.select(col("src"), col("dst")).distinct())
+    // plain, not persisted: re-computing a scan+agg of the checkpointed
+    // RDD per consumer is ~ms, cheaper than the persist's planning pass
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("odeg"))
+    val indeg = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("ideg"))
+    // Structural hazards handled (the original normalize-every-half-step
+    // loop measured 54 s before lineage truncation):
+    //  1. each round references the previous scores twice (edge join +
+    //     degree-side total) — hubs/auths are PERSISTED per round (one
+    //     execution of the shared subtree) and lineage is truncated only
+    //     every 4th round via [[Caching.truncateEvery]]: per-round lazy
+    //     checkpoints each cost a full optimizer+planner pass at call
+    //     time, which measured 3-9 s of pure driver construction for a
+    //     0.2 s-execution query; the 2-branching tree stays ≤ 2⁴ leaves
+    //     between truncations.
+    //  2. the totals ride the degree identity above, so no edge-sized
+    //     intermediate is ever read twice.
+    def scoreOf(raw: DataFrame, tot: DataFrame): DataFrame =
+      raw.crossJoin(broadcast(tot)).select(col("node"),
+        expr(s"cast(raw as decimal(38,0)) * $S div tot").as("score_u"))
+    // Per-round PERSIST, no per-round checkpoint: the persist dedups
+    // EXECUTION of each score table across its three consumers (the two
+    // totals' broadcast subtrees re-execute their whole upstream
+    // otherwise — measured 20-66 s un-persisted), while skipping the
+    // checkpoint avoids one extra full planning pass per round (each
+    // cacheQuery/checkpoint call plans eagerly — the Scratch6 finding).
+    // With the flat `e` base the composed logical tree between persists
+    // is a few nodes, so the persists' own planning passes stay cheap.
+    var hubs = outdeg.select(col("node"), lit(S).as("score_u"))
     var auths: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (r <- 1 to iters) {
+      val totA = hubs.join(outdeg, "node")
+        .agg(sum(col("score_u") * col("odeg")).as("tot"))
       val araw = e.join(hubs.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("score_u")).as("raw"))
-      auths = normalize(araw)
+      auths = Caching.checkpoint(scoreOf(araw, totA))
+      val totH = auths.join(indeg, "node")
+        .agg(sum(col("score_u") * col("ideg")).as("tot"))
       val hraw = e.join(auths.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("score_u")).as("raw"))
-      hubs = normalize(hraw)
+      // hubs stays PLAIN: its tree is a few nodes over the checkpointed
+      // auths, so next round's two references just re-run one cheap edge
+      // join — half the planning passes of checkpointing both sides
+      hubs = scoreOf(hraw, totH)
     }
     auths.select(lit("auth").as("side"), col("node"), col("score_u"))
       .unionAll(hubs.select(lit("hub").as("side"), col("node"),
@@ -679,26 +708,27 @@ object Graph {
     * (node, degree) of the surviving subgraph.
     *
     * Scale shape: per round, two node-set joins against the edge table +
-    * one degree aggregate — bounded shuffles; the surviving-set lineage
-    * is truncated per round with a lazy localCheckpoint (the node set is
-    * referenced by BOTH endpoint joins, so the composed tree would
-    * otherwise double per round — the [[hits]] hazard; swap for
-    * reliable checkpoint() against a checkpointDir on a cluster).
+    * one degree aggregate — bounded shuffles; the surviving set is
+    * persisted per round (it feeds BOTH endpoint joins) and its lineage
+    * truncated every 4th round via [[Caching.truncateEvery]] (the
+    * per-round-checkpoint planning hazard measured in Scratch6; set
+    * spark.graft.reliableCheckpoints on a cluster).
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 0)
     val e = edges.select(col("src"), col("dst")).distinct()
       .transform(Caching.persist)
     var nodes = degrees(e).where(col("degree") >= k)
-      .select(col("node")).localCheckpoint(false)
-    for (_ <- 1 to rounds) {
+      .select(col("node")).transform(Caching.persist)
+    for (r <- 1 to rounds) {
       val sub = e
         .join(nodes.withColumnRenamed("node", "src"), "src")
         .join(nodes.withColumnRenamed("node", "dst"), "dst")
       nodes = sub.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("d"))
         .where(col("d") >= k)
-        .select(col("node")).localCheckpoint(false)
+        .select(col("node"))
+        .transform(Caching.truncateEvery(_, r))
     }
     e.join(nodes.withColumnRenamed("node", "src"), "src")
       .join(nodes.withColumnRenamed("node", "dst"), "dst")
@@ -895,4 +925,65 @@ object Graph {
        |                  WHERE e.src = scored.u AND e.dst = scored.w)
        |ORDER BY ra_micro DESC, src, dst
        |LIMIT $topN""".stripMargin
+
+  /** Single-source BFS hop distances over a directed (src, dst) edge
+    * table, bounded at `maxHops` — the reachability/radius primitive
+    * (how far does influence propagate from a seed? is the graph one
+    * ball or many?) next to the rank family. Returns (node, dist) for
+    * every node reachable in ≤ maxHops hops, source included at 0; dist
+    * is the exact minimum hop count (level-synchronous BFS), so every
+    * value replays in a recursive-CTE oracle.
+    *
+    * Scale shape: per level, ONE frontier-keyed equi-join against the
+    * persisted edge table + one anti-join against the visited set —
+    * the standard Pregel expansion as DataFrame ops. The loop composes
+    * LAZY plans: the frontier is a filter over the visited set (dist =
+    * level−1), so ONE frame carries all loop state and
+    * [[Caching.truncateEvery]] bounds the whole composed tree (≤ 3⁴
+    * copies of a flat base between truncations; per-level lazy
+    * checkpoints each cost a full planner pass — the measured
+    * construction hazard). A level past the frontier's death costs one
+    * empty equi-join, so the fixed `maxHops` bound needs no per-level
+    * emptiness probe (no jobs during construction at all).
+    */
+  def bfsDistances(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .transform(Caching.persist)
+    var visited = Seq((source, 0L)).toDF("node", "dist")
+    for (level <- 1 to maxHops) {
+      // the frontier is DERIVED from the visited set (dist = level-1)
+      // instead of carried as its own chained frame: a separate frontier
+      // chain references the previous frontier AND visited each level —
+      // Fibonacci-style logical growth that no cadence of visited-only
+      // truncation bounds (found as an explainString OOM at maxHops=10)
+      val frontier = visited.where(col("dist") === (level - 1).toLong)
+        .select(col("node"))
+      val next = e.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+      visited = visited.unionAll(
+          next.select(col("node"), lit(level.toLong).as("dist")))
+        .transform(Caching.truncateEvery(_, level))
+    }
+    visited
+  }
+
+  /** DuckDB replay of [[bfsDistances]]: recursive CTE walking (node,
+    * dist) pairs — UNION dedup bounds the recursion at maxHops levels on
+    * any graph (cycles included), min(dist) collapses to the BFS level.
+    */
+  def bfsOracleSql(edgesCte: String, sourceSql: String,
+      maxHops: Int): String =
+    s"""WITH RECURSIVE $edgesCte,
+       |e AS (SELECT DISTINCT src, dst FROM edges),
+       |walk(node, dist) AS (
+       |  SELECT ($sourceSql)::BIGINT, 0::BIGINT
+       |  UNION
+       |  SELECT e.dst, w.dist + 1
+       |  FROM walk w JOIN e ON e.src = w.node
+       |  WHERE w.dist < $maxHops)
+       |SELECT node, min(dist)::BIGINT AS dist FROM walk GROUP BY node""".stripMargin
 }

@@ -315,7 +315,7 @@ object Multimodal {
     graft.operators.Dedup.hammingBandPairs(
       differenceHash(df, idCol, binCol)
         .select(col("item_id").as("id"), col("dhash").as("sh")),
-      bands = 4, bandBits = 6, maxHamming = maxHamming,
+      bands = 4, bandBits = 6, hashBits = 24, maxHamming = maxHamming,
       maxBucket = maxBucket)
 
   /** Batch decode: one pass per partition, typed output. The inner loop is

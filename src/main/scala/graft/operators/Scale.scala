@@ -1105,7 +1105,7 @@ object Scale {
       w = up.crossJoin(broadcast(tot))
         .select(col("domain"), col("l"),
           expr("(w * 1000000) div tot").as("w"))
-        .localCheckpoint(false)
+        .transform(Caching.checkpoint(_))
     }
     w.select(col("domain"), col("w").as("weight_micro"))
   }

@@ -94,31 +94,43 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** [[knnBatch]] for query sets too large to broadcast at once: the query
-    * ids (only the ids — a few bytes each) come to the driver, are split
-    * into `chunkSize` groups, and each group runs one broadcast + one corpus
-    * pass. Results are identical to a single [[knnBatch]] call (per-query
-    * top-k is independent across queries); wall-clock scales as
-    * ceil(|queries|/chunkSize) corpus passes — the standard batched-serving
-    * shape when the query set is itself large.
+  /** [[knnBatch]] for query sets too large to broadcast at once: queries
+    * are assigned to ceil(|distinct qids|/chunkSize) chunks ENGINE-SIDE via
+    * a salted hash of the qid (`xxhash64(qid) pmod nChunks` — a scan
+    * predicate, never a collected id list), and each chunk runs one
+    * broadcast + one corpus pass. The only driver traffic is the single
+    * distinct-count scalar that sizes the chunk grid, so the function
+    * stays a streaming shape even when someone points it at a corpus-sized
+    * query set (kNN-graph build). Results are identical to a single
+    * [[knnBatch]] call for ANY partition of the query set (per-query top-k
+    * is independent across queries); wall-clock scales as nChunks corpus
+    * passes — the standard batched-serving shape. Hash chunks are
+    * approximately (not exactly) chunkSize — balanced in expectation,
+    * which is what the broadcast-size bound cares about.
     */
   def knnBatchChunked(df: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
       chunkSize: Int = 10000): DataFrame = {
-    // cast to long before collecting (the caller's id column may be INT),
-    // drop null qids (they can never match; Row.getLong would NPE), and
-    // short-circuit an empty query set to an empty knnBatch-shaped frame
-    // instead of crashing reduce on zero chunks (ADVICE r02)
-    val qids = queries.select(col(qidCol).cast("long").as("__qid"))
-      .where(col("__qid").isNotNull).distinct()
-      .collect().map(_.getLong(0)).sorted
-    if (qids.isEmpty)
+    require(chunkSize >= 1)
+    // cast to long up front (the caller's id column may be INT) and drop
+    // null qids — they can never match a corpus row and would otherwise
+    // all hash into one chunk
+    val qid = col(qidCol).cast("long")
+    val nq = queries.where(qid.isNotNull)
+      .agg(count_distinct(qid).as("n")).head().getLong(0)
+    // empty query set → empty knnBatch-shaped frame instead of crashing
+    // reduce on zero chunks (ADVICE r02)
+    if (nq == 0L)
       knnBatch(df, idCol, vecCol, queries.limit(0), qidCol, qvecCol, k)
-    else qids.grouped(chunkSize).map { chunk =>
-      knnBatch(df, idCol, vecCol,
-        queries.where(col(qidCol).isInCollection(chunk.toSeq)),
-        qidCol, qvecCol, k)
-    }.reduce(_ unionByName _)
+    else {
+      val nChunks = ((nq + chunkSize - 1) / chunkSize).toInt
+      (0 until nChunks).map { i =>
+        knnBatch(df, idCol, vecCol,
+          queries.where(qid.isNotNull &&
+            pmod(xxhash64(qid), lit(nChunks.toLong)) === i.toLong),
+          qidCol, qvecCol, k)
+      }.reduce(_ unionByName _)
+    }
   }
 
   /** Random-hyperplane LSH signature (Charikar 2002): bit k is the sign of
@@ -351,6 +363,55 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** One micro-batch of IVF index maintenance: assign the batch's vectors
+    * to their nearest centroid and APPEND them to the [[writeIvfIndex]]
+    * partition layout — the index stays serveable by [[knnIvfIndexed]]
+    * throughout (readers see whole parquet files; an append never
+    * rewrites existing lists). The codebook is the layout's standard
+    * id-derived recipe (ids divisible by `centroidEvery`) over existing ∪
+    * incoming rows, so a batch that carries a NEW centroid-eligible id
+    * self-assigns and opens its own list immediately — [[knnIvfIndexed]],
+    * which re-derives centroids from ids, then probes it consistently.
+    *
+    * Scale shape: the codebook read filters the index scan to the
+    * centroid ids (pushed parquet filter), assignment is the
+    * [[assignToCentroids]] broadcast argmax over the batch only, and the
+    * write is a dynamic-partition append touching just the batch's
+    * centroid directories. A production deployment would keep the
+    * codebook in a side-car table instead of re-filtering the index per
+    * batch — same shape, one fewer scan.
+    */
+  def appendIvfBatch(batch: DataFrame, idCol: String, vecCol: String,
+      path: String, centroidEvery: Long = 50): Unit = {
+    val spark = batch.sparkSession
+    val existing = spark.read.parquet(path)
+    val codebook = existing.select(col(idCol), col(vecCol))
+      .unionByName(batch.select(col(idCol), col(vecCol)))
+      .where(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
+    val assigned = assignToCentroids(batch, idCol, vecCol, codebook)
+    batch.join(assigned, idCol)
+      .write.mode("append").partitionBy("centroid_id").parquet(path)
+  }
+
+  /** Streaming IVF refresh: keep a [[writeIvfIndex]] layout current as
+    * vectors arrive — `readStream` → [[appendIvfBatch]] per micro-batch
+    * via foreachBatch (the standard streaming-maintenance pattern for a
+    * partitioned serving layout: exactly-once per batch rides the stream
+    * checkpoint; the parquet append is idempotent per batch id on
+    * restart because foreachBatch replays whole batches). Queries keep
+    * hitting [[knnIvfIndexed]] on the same path and see each batch's
+    * vectors as soon as its append commits.
+    */
+  def streamingIvfRefresh(stream: DataFrame, idCol: String, vecCol: String,
+      path: String, centroidEvery: Long = 50)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendIvfBatch(batch, idCol, vecCol, path, centroidEvery)
+      }
+      .start()
 
   /** ±1 hyperplane sign table derived from md5 (computed once on the JVM,
     * inlined as literals on both engines) — the portable analogue of
@@ -1535,7 +1596,8 @@ object Similarity {
       upper.where(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("sv"))))
     var v = smat.select(col("i").as("pos")).distinct()
-      .select(col("pos"), lit(1000000L).as("vm")).localCheckpoint(false)
+      .select(col("pos"), lit(1000000L).as("vm"))
+      .transform(Caching.checkpoint(_))
     var wLast = v // placeholder; overwritten in round 1
     for (r <- 1 to iters) {
       val prev = v
@@ -1543,14 +1605,14 @@ object Similarity {
           .withColumnRenamed("vm", "pv"), "j")
         .groupBy(col("i").as("pos"))
         .agg(sum(col("sv") * col("pv")).cast("decimal(38,0)").as("w"))
-        .localCheckpoint(false)
+        .transform(Caching.checkpoint(_))
       val mx = w.agg(max(abs(col("w"))).as("mx"))
       v = w.crossJoin(broadcast(mx))
         .select(col("pos"),
           when(col("mx") === 0, lit(0L)).otherwise(
             when(col("w") < 0, lit(-1L)).otherwise(lit(1L)) *
               expr("(abs(w) * 1000000) div mx")).as("vm"))
-        .localCheckpoint(false)
+        .transform(Caching.checkpoint(_))
       if (r == iters) {
         // Rayleigh at the LAST iterate's input: num = v_{k-1}ᵀ·S·v_{k-1}
         // = Σ w·v_{k-1}, den = Σ v_{k-1}² — exact DECIMAL carriers
@@ -1842,12 +1904,28 @@ object Similarity {
     // distance filter runs on half the join output; the final union swap
     // reconstructs the directed neighbor table bit-for-bit.
     val fwd = Seq((0L, 1L), (1L, -1L), (1L, 0L), (1L, 1L))
-    val probes = pts.select(col("id"), col("x"), col("y"),
-      explode(array(fwd.map { case (dx, dy) =>
-        struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy")) }: _*))
-        .as("c"))
-      .select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
-        col("c.cx"), col("c.cy"))
+    // CELL-LEVEL pruning before the point-level explode: in a sparse grid
+    // most of a cell's 4 forward neighbors are EMPTY, and the naive shape
+    // pays a 4x point explode + shuffle to discover that in the join.
+    // Pre-aggregating the occupied-cell set (<= one row per non-empty
+    // cell — orders of magnitude smaller than pts) lets the forward-offset
+    // explode run over CELLS, semi-joined to keep only offsets landing in
+    // occupied cells; points then join the surviving (source -> target)
+    // cell pairs, so probe multiplicity becomes "occupied forward
+    // neighbors of my cell" (~1 in a sparse grid) instead of a flat 4.
+    // Values identical: the pruned probes are exactly the join's zero-
+    // output rows.
+    val cellKeys = Caching.persist(pts.select(col("cx"), col("cy")).distinct())
+    val nbrCells = cellKeys.select(col("cx").as("scx"), col("cy").as("scy"),
+        explode(array(fwd.map { case (dx, dy) =>
+          struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy")) }: _*))
+          .as("c"))
+      .select(col("scx"), col("scy"), col("c.cx"), col("c.cy"))
+      .join(cellKeys, Seq("cx", "cy"), "left_semi")
+    val probes = pts.select(col("id").as("id_a"), col("x").as("xa"),
+        col("y").as("ya"), col("cx").as("scx"), col("cy").as("scy"))
+      .join(nbrCells, Seq("scx", "scy"))
+      .select(col("id_a"), col("xa"), col("ya"), col("cx"), col("cy"))
     val ptsB = pts.select(col("id").as("id_b"), col("x").as("xb"),
       col("y").as("yb"), col("cx"), col("cy"))
     val inBall = abs(col("xa") - col("xb")) <= epsFx &&
@@ -2059,6 +2137,68 @@ object Similarity {
        |       max(cos_micro)::BIGINT AS max_cos_micro
        |FROM c""".stripMargin
 
+  /** Pairwise LINEAR-KERNEL MMD² between embedding groups — the
+    * distribution-shift detector of the embedding family (Gretton et al.
+    * 2012): with the linear kernel, MMD²(A,B) collapses to
+    * ||μ_A − μ_B||², the squared gap between group mean vectors, which a
+    * shifted data source / drifted encoder moves long before any scalar
+    * quality stat does. Emits every (group_a < group_b) pair with
+    *
+    *   mmd2_micro = floor(Σ_j (s_Aj·n_B − s_Bj·n_A)² · 1e6
+    *                      / (n_A·n_B)²)
+    *
+    * on the 1e-6 fixed-point carrier (s = per-dim coordinate sums) —
+    * exact integer arithmetic end to end, so every value replays in the
+    * HUGEINT oracle. Units: (fixed-point quanta)² × 1e6; comparisons
+    * across pairs — the use case — need no rescaling.
+    *
+    * Scale shape: one explode + hash aggregate to (group × dim) rows
+    * (vocabulary-sized: |groups|·dim, tiny), then the pair join runs on
+    * that aggregate, never on the corpus — adding a group costs one more
+    * slice of the same single corpus pass.
+    */
+  def mmdByGroup(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val flat = df.select(col(groupCol).cast("string").as("g"),
+        posexplode(transform(col(vecCol),
+          x => round(x.cast("double") * 1000000, 0).cast("long")))
+          .as(Seq("dim", "q")))
+    val sums = flat.groupBy(col("g"), col("dim"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+    sums.as("a").join(sums.as("b"),
+        col("a.dim") === col("b.dim") && col("a.g") < col("b.g"))
+      .select(col("a.g").as("group_a"), col("b.g").as("group_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        (col("a.s").cast("decimal(38,0)") * col("b.n") -
+          col("b.s").cast("decimal(38,0)") * col("a.n")).as("d"))
+      .groupBy(col("group_a"), col("group_b"), col("n_a"), col("n_b"))
+      .agg(sum(col("d") * col("d")).as("num"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        expr("cast((num * 1000000) div (cast(n_a as decimal(38,0)) * n_b" +
+          " * n_a * n_b) as bigint)").as("mmd2_micro"))
+  }
+
+  /** DuckDB replay of [[mmdByGroup]] (same fixed-point sums, HUGEINT
+    * products, floor division).
+    */
+  def mmdOracleSql(groupExpr: String, table: String = "embeddings",
+      vecCol: String = "embedding"): String =
+    s"""WITH flat AS (
+       |  SELECT ($groupExpr)::VARCHAR AS g,
+       |         unnest(generate_series(0, len($vecCol) - 1))::BIGINT AS dim,
+       |         round(unnest($vecCol::DOUBLE[]) * 1000000)::BIGINT AS q
+       |  FROM $table),
+       |sums AS (
+       |  SELECT g, dim, sum(q)::BIGINT AS s, count(*)::BIGINT AS n
+       |  FROM flat GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+       |         (a.s::HUGEINT * b.n - b.s::HUGEINT * a.n) AS d
+       |  FROM sums a JOIN sums b ON a.dim = b.dim AND a.g < b.g)
+       |SELECT group_a, group_b, n_a, n_b,
+       |       ((sum(d * d) * 1000000)
+       |        // (n_a::HUGEINT * n_b * n_a * n_b))::BIGINT AS mmd2_micro
+       |FROM pairs GROUP BY 1, 2, 3, 4""".stripMargin
+
   /** K-CENTER CORESET by Gonzalez's greedy farthest-point traversal (2-
     * approximation to the k-center cover) — the geometry-preserving
     * counterpart to [[diversitySample]]'s quota sampling: each pick is
@@ -2099,10 +2239,14 @@ object Similarity {
     val checkpoints = scala.collection.mutable.ListBuffer.empty[DataFrame]
     val first = pts.orderBy(col("id")).limit(1)
       .select(col("id"), col("q")).collect()
-    // empty corpus → empty trace (same shape the oracle's empty CTEs yield)
-    if (first.isEmpty)
+    // empty corpus → empty trace (same shape the oracle's empty CTEs
+    // yield); release the just-created pts cache on this path too — the
+    // normal-path release at the bottom is never reached from here
+    if (first.isEmpty) {
+      if (!ptsShared) pts.unpersist(blocking = false)
       return spark.emptyDataset[(Long, Long, Long)]
         .toDF("rank", "center_id", "best_sq")
+    }
     // Contract for k > |pts|: once every point is chosen all residuals are
     // 0 and the (best DESC, id ASC) argmax re-picks the minimum id each
     // remaining round — duplicate center_id rows with best_sq = 0. The
@@ -2118,7 +2262,7 @@ object Similarity {
       .withColumn("c", array(centerQ.map(lit): _*))
       .withColumn("best", dist)
       .select(col("id"), col("q"), col("best"))
-      .localCheckpoint(false)
+      .transform(Caching.checkpoint(_))
     checkpoints += best
     for (r <- 2 to k) {
       val next = best.orderBy(col("best").desc, col("id"))
@@ -2129,7 +2273,7 @@ object Similarity {
         .withColumn("c", array(centerQ.map(lit): _*))
         .withColumn("best", least(col("best"), dist))
         .select(col("id"), col("q"), col("best"))
-        .localCheckpoint(false)
+        .transform(Caching.checkpoint(_))
       checkpoints += best
     }
     // all picks are on the driver; nothing reads the frontier chain or

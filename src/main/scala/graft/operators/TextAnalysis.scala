@@ -1459,7 +1459,8 @@ object TextAnalysis {
     * + an expression-only rewrite per round); only one (pair, count) row
     * crosses to the driver per round — the merge table IS driver-sized by
     * definition (a vocab is ~10⁴-10⁵ entries). Each round's rewritten word
-    * table is eagerly localCheckpoint'ed, so plan size stays constant in
+    * table is eagerly checkpointed via [[Caching.checkpoint]], so plan
+    * size stays constant in
     * round count (same lineage-truncation reasoning as
     * [[Dedup.connectedComponents]]).
     */
@@ -1471,7 +1472,7 @@ object TextAnalysis {
       .where(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(col("freq"), split(col("w"), "").as("syms"))
-      .localCheckpoint()
+      .transform(Caching.checkpoint(_, eager = true))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
     var done = false
     for (r <- 1 to numMerges if !done) {
@@ -1494,7 +1495,7 @@ object TextAnalysis {
         merges += ((r, s1, s2))
         words = words
           .select(col("freq"), applyMerge(col("syms"), s1, s2).as("syms"))
-          .localCheckpoint()
+          .transform(Caching.checkpoint(_, eager = true))
       }
     }
     merges.toSeq.toDF("rank", "sym1", "sym2")

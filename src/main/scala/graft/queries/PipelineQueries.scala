@@ -412,6 +412,15 @@ object PipelineQueries {
         centroidEvery = 50L, kNn = 4, topN = 50)
     }),
 
+    // --- pairwise linear-kernel MMD² between label groups: the
+    // embedding distribution-shift detector — exact fixed-point group
+    // sums, one corpus pass, pair math on the tiny (group × dim)
+    // aggregate (oracle-checked) ---
+    "q_embed_mmd" -> ((s, d) => {
+      Tables.load(s, d)
+      Similarity.mmdByGroup(s.table("embeddings"), "label", "embedding")
+    }),
+
     // --- Count-Min sketch point estimates: 3 distinct keys over a 3x64
     // sketch — no key pair collides in every row (checkable, and the spec
     // pins the never-underestimate + merge guarantees), so the estimates
@@ -1204,6 +1213,16 @@ object PipelineQueries {
         k = 60, topN = 10)
     }),
 
+    // --- NDCG@10 of the value ranking against a graded relevance per
+    // event type: pinned micro-unit log2 rank weights inlined on both
+    // engines, id-pinned ties, exact integer floors (oracle-checked) ---
+    "q_pipeline_ndcg" -> ((s, d) => {
+      Tables.load(s, d)
+      graft.operators.Eval.ndcgAtK(s.table("events"), "event_type",
+        "event_id", pmod(col("user_id"), lit(4L)),
+        round(col("value") * 100, 0).cast("long"), k = 10)
+    }),
+
     // --- needle-retrieval eval of the RAG index: a 24-token slice of each
     // probe doc must retrieve its source — per-probe hits/first-rank/MRR,
     // the synthetic-query eval over the same chunk index as
@@ -1636,6 +1655,7 @@ object PipelineQueries {
     "q_embed_jl" -> Similarity.jlProjectOracleSql(dim = 64, outDim = 16),
 
     "q_embed_anisotropy" -> Similarity.anisotropyOracleSql(buckets = 64),
+    "q_embed_mmd" -> Similarity.mmdOracleSql("label"),
 
     "q_pipeline_card" -> graft.operators.Profile.datasetCardOracleSql(),
 
@@ -1936,6 +1956,10 @@ object PipelineQueries {
          |       len(${TextAnalysis.toksSql("text")})::BIGINT AS sa,
          |       n_chars AS sb
          |FROM documents""".stripMargin),
+
+    "q_pipeline_ndcg" -> graft.operators.Eval.ndcgOracleSql(
+      "events", "event_type", "event_id", "user_id % 4",
+      "round(value * 100)", k = 10),
 
     "q_pipeline_needle" -> graft.operators.Eval.needleEvalOracleSql(
       "doc % 100 = 7", skip = 8, take = 24,

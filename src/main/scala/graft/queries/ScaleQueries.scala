@@ -271,6 +271,19 @@ object ScaleQueries {
       graft.operators.Graph.labelPropagation(graft.operators.Graph.coEdges(
         t(s, d, "lineitem"), "l_orderkey", "l_partkey"), iters = 4)),
 
+    // --- single-source BFS hop distances from the minimum sampled part
+    // over the co-purchase graph: level-synchronous frontier expansion,
+    // recursive-CTE oracle (oracle-checked) ---
+    "q_graph_bfs" -> ((s, d) => {
+      val e = graft.operators.Graph.coEdges(
+        t(s, d, "lineitem").where(col("l_partkey") % 3 === 0),
+        "l_orderkey", "l_partkey")
+      // seed = min src: a 1-row aggregate collect (bounded, never data-
+      // sized) so the query needs no SF-specific node-id literal
+      val src = e.agg(min(col("src"))).head().getLong(0)
+      graft.operators.Graph.bfsDistances(e, src, maxHops = 4)
+    }),
+
     // --- HITS hubs/authorities on the directed buyer→part graph: L1
     // micro-unit normalization each half-step on a DECIMAL(38,0) carrier,
     // both engines floor-divide the same integers (oracle-checked) ---
@@ -359,6 +372,10 @@ object ScaleQueries {
 
     "q_graph_lpa" -> graft.operators.Graph.labelPropagationOracleSql(
       "l_orderkey", "l_partkey", "lineitem", iters = 4),
+    "q_graph_bfs" -> graft.operators.Graph.bfsOracleSql(
+      graft.operators.Graph.coEdgesSql("l_orderkey", "l_partkey",
+        "(SELECT * FROM lineitem WHERE l_partkey % 3 = 0)"),
+      sourceSql = "SELECT min(src) FROM e", maxHops = 4),
     "q_graph_hits" -> graft.operators.Graph.hitsOracleSql(
       """edges AS (SELECT o_custkey AS src, l_partkey AS dst
         |          FROM orders JOIN lineitem ON o_orderkey = l_orderkey)"""

@@ -55,6 +55,40 @@ class ArrayReduceSpec extends SparkSpec {
     assert(out == Seq(Seq(315, 321, 327)))
   }
 
+  // The reference's multi-batch test (src/monoid.rs:698-753) only covers
+  // sum; replay its 3x-batch shape for the OTHER three ops so the
+  // merge-path identity of each (product: 1, max: i32::MIN, min: i32::MAX)
+  // is pinned across a real 3-partition shuffle — a wrong merge identity
+  // is invisible in single-partition tests because the partial state never
+  // meets a fresh accumulator.
+  private val threeBatches = {
+    val batch = Seq(Seq[Integer](1, 2, 3), Seq[Integer](4, 5, 6),
+      Seq[Integer](100, 100, 100))
+    batch ++ batch ++ batch
+  }
+
+  test("product across batches/partitions: 3x batch, slot 2 saturates") {
+    val out = sqlOver(threeBatches,
+      "SELECT array_reduce_product(arrays) AS result FROM test",
+      partitions = 3)
+    // per slot: (1*4*100)^3 = 64e6, (2*5*100)^3 = 1e9, (3*6*100)^3 =
+    // 5.832e9 -> saturates at i32::MAX (products of positives are
+    // monotone, so saturation is order-independent across merges)
+    assert(out == Seq(Seq(64000000, 1000000000, Int.MaxValue)))
+  }
+
+  test("max across batches/partitions: 3x batch = [100,100,100]") {
+    val out = sqlOver(threeBatches,
+      "SELECT array_reduce_max(arrays) AS result FROM test", partitions = 3)
+    assert(out == Seq(Seq(100, 100, 100)))
+  }
+
+  test("min across batches/partitions: 3x batch = [1,2,3]") {
+    val out = sqlOver(threeBatches,
+      "SELECT array_reduce_min(arrays) AS result FROM test", partitions = 3)
+    assert(out == Seq(Seq(1, 2, 3)))
+  }
+
   // --- gap matrix beyond the reference's tests ---
 
   test("product / max / min over ints") {

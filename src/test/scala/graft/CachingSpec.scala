@@ -57,6 +57,50 @@ class CachingSpec extends SparkSpec {
     } finally base.unpersist(blocking = true)
   }
 
+  test("checkpoint seam: reliable mode equals localCheckpoint mode") {
+    // the one seam every iterative operator (hits, k-core, CC, BPE,
+    // logistic, coreset, mixture reweight) routes lineage truncation
+    // through — values must be identical in both modes because
+    // checkpointing replays the same deterministic plan
+    import graft.operators.Graph
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L),
+      (5L, 1L), (2L, 4L)).toDF("src", "dst")
+    def run() = Caching.scoped {
+      Graph.hits(edges, iters = 3)
+        .orderBy("side", "node").collect().map(_.toSeq).toSeq
+    }
+    val local = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set("spark.graft.reliableCheckpoints", "true")
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val reliable = run()
+      assert(reliable == local,
+        "reliable checkpoint mode must be value-identical to local mode")
+      assert(local.nonEmpty)
+      assert(spark.sparkContext.getCheckpointDir.isDefined,
+        "reliable mode must have installed the configured checkpoint dir")
+    } finally {
+      spark.conf.unset("spark.graft.reliableCheckpoints")
+      spark.conf.unset("spark.graft.checkpointDir")
+    }
+  }
+
+  test("checkpoint seam: reliable mode without a dir is a clear error") {
+    spark.conf.set("spark.graft.reliableCheckpoints", "true")
+    try {
+      // only hit the seam when no dir is installed (an earlier test may
+      // have set one on the shared context — then the contract is simply
+      // that the existing dir is reused, which the equality test covers)
+      if (spark.sparkContext.getCheckpointDir.isEmpty) {
+        val e = intercept[IllegalArgumentException] {
+          Caching.checkpoint(docs.select(col("doc_id")))
+        }
+        assert(e.getMessage.contains("spark.graft.checkpointDir"))
+      }
+    } finally spark.conf.unset("spark.graft.reliableCheckpoints")
+  }
+
   test("scoped: nesting releases only the inner scope's entries") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Caching.scoped {

@@ -618,4 +618,24 @@ class DedupSpec extends SparkSpec {
       && rows(4L)._2 >= rows(2L)._2)
   }
 
+  test("hammingBandPairs rejects bandings that under-cover the fingerprint") {
+    import spark.implicits._
+    val hashed = Seq((1L, 0x0123456789abcdefL)).toDF("id", "sh")
+    // 4 x 8 bits bands only the low 32 of a declared 64-bit hash — a pair
+    // differing only in the high half would be silently lost, so the
+    // pigeonhole guard must reject it up front
+    val e = intercept[IllegalArgumentException] {
+      Dedup.hammingBandPairs(hashed, bands = 4, bandBits = 8, hashBits = 64,
+        maxHamming = 3, maxBucket = 100)
+    }
+    assert(e.getMessage.contains("pigeonhole"))
+    // exact coverage passes the guard and still verifies pairs exactly
+    val ok = Dedup.hammingBandPairs(
+      Seq((1L, 5L), (2L, 5L)).toDF("id", "sh"),
+      bands = 4, bandBits = 16, hashBits = 64, maxHamming = 1,
+      maxBucket = 100)
+    assert(ok.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq((1L, 2L, 0L)))
+  }
+
 }

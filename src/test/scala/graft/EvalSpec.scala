@@ -340,4 +340,36 @@ class EvalSpec extends SparkSpec {
       Seq.empty[(Long, Boolean)].toDF("p", "y"), col("p"), col("y"))
       .collect().isEmpty)
   }
+
+  test("ndcgAtK: perfect ranking pins 1e6; inversion, beyond-k, zero idcg") {
+    val w = Eval.ndcgWeights(3)
+    assert(w == Seq(1000000L, 630930L, 500000L)) // 1e6 / log2(i+1), pinned
+    // group q ranks exactly ideal; group z has all-zero relevance
+    val df = Seq(("q", 1L, 3L, 30L), ("q", 2L, 2L, 20L), ("q", 3L, 1L, 10L),
+      ("z", 1L, 0L, 5L), ("z", 2L, 0L, 1L)).toDF("g0", "id", "r", "sc")
+    val out = Eval.ndcgAtK(df, "g0", "id", col("r"), col("sc"), k = 3)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val ideal = 3 * w(0) + 2 * w(1) + 1 * w(2)
+    assert(out("q") == ((ideal, ideal, 1000000L)))
+    assert(out("z") == ((0L, 0L, 0L)))
+    // inverted ranking: worst item first
+    val inv = Seq(("q", 1L, 3L, 10L), ("q", 2L, 2L, 20L), ("q", 3L, 1L, 30L))
+      .toDF("g0", "id", "r", "sc")
+    val got = Eval.ndcgAtK(inv, "g0", "id", col("r"), col("sc"), k = 3)
+      .collect()(0)
+    val dcg = 1 * w(0) + 2 * w(1) + 3 * w(2)
+    assert(got.getLong(1) == dcg)
+    assert(got.getLong(3) == dcg * 1000000L / ideal)
+    // beyond-k items contribute to NEITHER sum (rank 4 cut from both)
+    val four = Seq(("q", 1L, 3L, 40L), ("q", 2L, 2L, 30L), ("q", 3L, 1L, 20L),
+      ("q", 4L, 9L, 10L)).toDF("g0", "id", "r", "sc")
+    val g4 = Eval.ndcgAtK(four, "g0", "id", col("r"), col("sc"), k = 3)
+      .collect()(0)
+    // ideal order is rel desc: 9,3,2 -> idcg = 9w1+3w2+2w3; real order by
+    // score: 3,2,1 -> dcg = 3w1+2w2+1w3
+    assert(g4.getLong(1) == 3 * w(0) + 2 * w(1) + 1 * w(2))
+    assert(g4.getLong(2) == 9 * w(0) + 3 * w(1) + 2 * w(2))
+  }
 }

@@ -266,4 +266,25 @@ class GraphSpec extends SparkSpec {
     assert(!got.contains(("x", "z")) && !got.contains(("z", "x")))
   }
 
+  test("bfsDistances: hop levels, cycle safety, maxHops bound, unreachable") {
+    import spark.implicits._
+    // 1→2→3→4→5 chain with a 3→1 back-edge (cycle) and an island 9→10
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 1L),
+      (9L, 10L)).toDF("src", "dst")
+    val got = Graph.bfsDistances(e, source = 1L, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 5 is 4 hops out — beyond maxHops; the island never appears;
+    // the cycle must not re-label node 1
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // levels beyond the frontier's death change nothing (empty joins)
+    val deep = Graph.bfsDistances(e, source = 1L, maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deep == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // maxHops = 0 and a source with no edges: just the seed row
+    assert(Graph.bfsDistances(e, 1L, 0).collect().toSeq.map(_.toSeq)
+      == Seq(Seq(1L, 0L)))
+    assert(Graph.bfsDistances(e, 42L, 3).collect().toSeq.map(_.toSeq)
+      == Seq(Seq(42L, 0L)))
+  }
+
 }

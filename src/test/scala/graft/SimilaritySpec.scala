@@ -713,4 +713,24 @@ class SimilaritySpec extends SparkSpec
     assert(got.drop(2).forall(_._3 == 0L))
   }
 
+  test("mmdByGroup: orthogonal-mean hand value, identical groups at zero") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Seq(1.0f, 0.0f)), ("a", Seq(1.0f, 0.0f)),
+      ("b", Seq(0.0f, 1.0f)), ("b", Seq(0.0f, 1.0f)),
+      ("c", Seq(1.0f, 0.0f)), ("c", Seq(1.0f, 0.0f)))
+      .toDF("g0", "vec")
+    val out = Similarity.mmdByGroup(df, "g0", "vec")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // a vs b: s_A=(2e6,0), s_B=(0,2e6), n=2 each
+    // num = (2e6·2)² + (2e6·2)² = 3.2e13; ·1e6 / (2·2)² = 2e18
+    assert(out(("a", "b")) == ((2L, 2L, 2000000000000000000L)))
+    // identical distributions: exactly zero
+    assert(out(("a", "c")) == ((2L, 2L, 0L)))
+    assert(out(("b", "c"))._3 == out(("a", "b"))._3)
+    assert(out.size == 3) // each unordered pair exactly once
+  }
+
 }

@@ -409,6 +409,101 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late events from streamingWindowedKmv") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = EventStreams.streamingWindowedKmv(
+        stream, "15 minutes", "10 minutes", col("user_id"), k = 8)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("kmv_late_out").start()
+    try {
+      // batch 1: users {1, 2} in [10:00,10:15) + a 10:59 event that
+      // advances the watermark to 10:49, finalizing the first window
+      mem.addData((1L, ts(0), "click", 1.0), (2L, ts(4), "click", 1.0),
+        (9L, ts(59), "view", 2.0))
+      q.processAllAvailable()
+      // batch 2: a NEW user at 10:01 — behind the watermark → dropped;
+      // the finalized window's sketch must NOT grow to 3
+      mem.addData((3L, ts(1), "click", 99.0))
+      q.processAllAvailable()
+      mem.addData((4L, Timestamp.valueOf("2024-01-01 12:00:00"), "view", 0.0))
+      q.processAllAvailable()
+      val firstWin = spark.table("kmv_late_out")
+        .where(col("win_start") === Timestamp.valueOf("2024-01-01 10:00:00"))
+        .select("est_distinct").collect().map(_.getLong(0))
+      assert(firstWin.toSeq == Seq(2L),
+        s"late key must not grow the finalized sketch: ${firstWin.toSeq}")
+    } finally q.stop()
+  }
+
+  test("watermark drops late events from streamingWindowedTopK") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = EventStreams.streamingWindowedTopK(
+        stream, "15 minutes", "10 minutes", col("event_type"), k = 8,
+        topN = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("topk_late_out").start()
+    try {
+      // batch 1: click x2 in the first window, plus the watermark-advancer
+      mem.addData((1L, ts(0), "click", 1.0), (2L, ts(4), "click", 1.0),
+        (9L, ts(59), "view", 2.0))
+      q.processAllAvailable()
+      // batch 2: a late click at 10:01 → dropped; finalized counters
+      // must stay click=2 with no new terms
+      mem.addData((3L, ts(1), "click", 99.0))
+      q.processAllAvailable()
+      mem.addData((4L, Timestamp.valueOf("2024-01-01 12:00:00"), "view", 0.0))
+      q.processAllAvailable()
+      val firstWin = spark.table("topk_late_out")
+        .where(col("win_start") === Timestamp.valueOf("2024-01-01 10:00:00"))
+        .orderBy("rank")
+        .select("term", "cnt").collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(firstWin.toSeq == Seq(("click", 2L)),
+        s"late event must not bump the finalized counters: ${firstWin.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streamingIvfRefresh: appends stay serveable, new centroid opens list") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf-stream").toString + "/idx"
+    // initial corpus: ids 0 and 50 are the id-derived centroids
+    val init = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (50L, Seq(0.0f, 1.0f)), (51L, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeIvfIndex(init, "vec_id", "embedding", dir)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val q = Similarity.streamingIvfRefresh(stream, "vec_id", "embedding", dir)
+    try {
+      mem.addData((2L, Seq(0.95f, 0.05f)), (52L, Seq(0.05f, 0.95f)))
+      q.processAllAvailable()
+      // batch 2 carries a NEW centroid-eligible id — must self-assign and
+      // open its own inverted list in the same append
+      mem.addData((100L, Seq(0.7f, 0.7f)), (101L, Seq(0.71f, 0.69f)))
+      q.processAllAvailable()
+      val idx = spark.read.parquet(dir)
+        .withColumn("centroid_id", col("centroid_id").cast("long"))
+      assert(idx.count() == 8)
+      val byId = idx.collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id"))
+        .toMap
+      assert(byId(2L) == 0L && byId(52L) == 50L,
+        s"batch rows must join their nearest existing list: $byId")
+      assert(byId(100L) == 100L && byId(101L) == 100L,
+        s"new centroid must self-assign and capture its neighbors: $byId")
+      // the refreshed layout serves through the standard probe path
+      val knn = Similarity.knnIvfIndexed(idx, "vec_id", "embedding",
+        queryId = 101L, k = 1, nprobe = 2)
+      assert(knn.collect()(0).getLong(0) == 100L)
+    } finally q.stop()
+  }
+
   test("streamingMinhashDedup: signature-identical dup dropped, fresh docs pass") {
     implicit val sqlCtx = spark.sqlContext
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
