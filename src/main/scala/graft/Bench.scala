@@ -52,11 +52,19 @@ object Bench {
     // dev-only subset hook: regex over query names (unset under the driver,
     // so recorded runs always time the full registry)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
-    // dev-only A/B hook: "family" clears accumulated operator persists at
-    // family boundaries (intra-family plan-identical sharing preserved,
-    // cross-family storage pressure released); unset = never clear (the
-    // recorded default — see the NOTE above)
-    val clearMode = sys.env.get("SPARK_GRAFT_CLEAR")
+    // "family" (the DEFAULT since round 9) clears accumulated operator
+    // persists at family boundaries: intra-family plan-identical sharing
+    // is preserved, cross-family storage pressure released. Re-measured
+    // at the 278-query registry: family-clear 184.0 s normalized vs
+    // never-clear 257.2 s SAME CODE, and never-clear showed pathological
+    // per-query blowups from eviction/recompute storms late in the run
+    // (q_graph_spam_mass 38.9 s vs 7.1 s cleared). The earlier "clearing
+    // is 15-20% slower" measurement predates ~100 queries of growth in
+    // the registry; at this size the CacheManager's per-planning lookup
+    // over accumulated entries + storage eviction dominates whatever
+    // cross-family sharing saved. Override with SPARK_GRAFT_CLEAR=never
+    // to A/B the old behavior.
+    val clearMode = sys.env.get("SPARK_GRAFT_CLEAR").orElse(Some("family"))
     // Machine-load calibration: a fixed CPU-bound probe timed before and
     // after the query sweep. The recorded wall-clock totals have twice been
     // contaminated by concurrent load on the recording box (r4: uniform

@@ -1592,27 +1592,34 @@ object Similarity {
       .select(col("i"), col("j"),
         (col("n") * col("sxy") - col("si") * col("sj"))
           .cast("decimal(38,0)").as("sv"))
-    val smat = Caching.persist(upper.unionAll(
+    // ONE checkpoint flattens the corpus-pass pair pipeline: every round's
+    // planning otherwise re-optimizes the full explode+gram subtree, and
+    // every per-round lazy checkpoint is a planner pass + eager AQE stage
+    // materialization (the Scratch6 finding — this loop's 13 checkpoints
+    // measured 46 s of construction at sf0.1). smat is dim² rows (tiny).
+    val smat = Caching.checkpoint(upper.unionAll(
       upper.where(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("sv"))))
     var v = smat.select(col("i").as("pos")).distinct()
       .select(col("pos"), lit(1000000L).as("vm"))
-      .transform(Caching.checkpoint(_))
     var wLast = v // placeholder; overwritten in round 1
     for (r <- 1 to iters) {
       val prev = v
+      // persist (cheap, hint-free plan → cache-match dedups the 2-3
+      // consumers); the renormalized v carries a broadcast hint, so it
+      // truncates on the every-2 checkpoint cadence instead
       val w = smat.join(prev.withColumnRenamed("pos", "j")
           .withColumnRenamed("vm", "pv"), "j")
         .groupBy(col("i").as("pos"))
         .agg(sum(col("sv") * col("pv")).cast("decimal(38,0)").as("w"))
-        .transform(Caching.checkpoint(_))
+        .transform(Caching.persist)
       val mx = w.agg(max(abs(col("w"))).as("mx"))
       v = w.crossJoin(broadcast(mx))
         .select(col("pos"),
           when(col("mx") === 0, lit(0L)).otherwise(
             when(col("w") < 0, lit(-1L)).otherwise(lit(1L)) *
               expr("(abs(w) * 1000000) div mx")).as("vm"))
-        .transform(Caching.checkpoint(_))
+        .transform(Caching.truncateEvery(_, r, every = 2))
       if (r == iters) {
         // Rayleigh at the LAST iterate's input: num = v_{k-1}ᵀ·S·v_{k-1}
         // = Σ w·v_{k-1}, den = Σ v_{k-1}² — exact DECIMAL carriers
@@ -1951,6 +1958,13 @@ object Similarity {
         .agg(count(lit(1)).as("nn")), Seq("id"), "left")
       .where(coalesce(col("nn"), lit(0L)) + 1 >= minPts)
       .select(col("id")))
+    // NOTE (measured, round 9): a cell-clique contraction (same-cell
+    // cores are always mutual neighbors → contract each cell to its min
+    // core id before CC) preserves values exactly and removes the
+    // dense-ball quadratic from the CC input, but benched 30-60% SLOWER
+    // here — the extra rep joins serialize more stages than the tiny CC
+    // input saves at any SF the gate runs. Revisit only if a corpus with
+    // genuinely dense eps-balls makes coreEdges the bottleneck.
     val coreEdges = nbrs
       .join(cores.withColumnRenamed("id", "id_a"), "id_a")
       .join(cores.withColumnRenamed("id", "id_b"), "id_b")
