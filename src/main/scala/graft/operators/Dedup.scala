@@ -589,10 +589,15 @@ object Dedup {
     // survives executor loss); the iteration shape is unchanged.
     val spark = pairs.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // LAZY truncation (eager = false): every round's checksum action runs
+    // immediately after the truncate and materializes the checkpoint as a
+    // side effect — one job per round instead of an explicit materialize
+    // job PLUS the checksum job. Lineage truncation (the reason this
+    // exists) is identical; honors the session-wide
+    // spark.graft.reliableCheckpoints switch when no explicit dir passed.
     def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint()
-      else Caching.checkpoint(df, eager = true) // honors the session-wide
-    // spark.graft.reliableCheckpoints switch when no explicit dir was passed
+      if (checkpointDir.isDefined) df.checkpoint(false)
+      else Caching.checkpoint(df)
     // persist (not checkpoint) the input pairs: they are referenced twice
     // below (forward + reversed), which would execute the upstream pair
     // pipeline twice in the edges job; a persisted plan also stays

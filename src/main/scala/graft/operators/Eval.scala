@@ -1008,6 +1008,79 @@ object Eval {
        |WHERE b >= 8
        |GROUP BY base.grp""".stripMargin
 
+  /** Per-class PRECISION / RECALL / F1 from a (gold, pred) frame — the
+    * classifier datasheet next to [[graft.operators.Profile
+    * .agreementKappa]]'s single agreement score: which classes does the
+    * model actually get right, and where does the confusion go? One row
+    * per class (union of gold and pred label sets):
+    *
+    *   precision = tp·1e6 div n_pred      (0 when the class is never
+    *   recall    = tp·1e6 div n_gold       predicted / never gold)
+    *   f1        = 2e6·tp div (n_gold + n_pred)   — the EXACT count form
+    *               2tp/(2tp+fp+fn), no compounding of rounded p and r
+    *
+    * All integer floors on exact counts, so every value replays.
+    *
+    * Scale shape: one hash aggregate to the (gold, pred) confusion cells
+    * (≤ classes² rows — vocabulary-sized), then class-level arithmetic
+    * on that aggregate; the corpus is scanned once.
+    */
+  def classificationReport(df: DataFrame, goldCol: String,
+      predCol: String): DataFrame = {
+    val base = df.select(col(goldCol).cast("string").as("g"),
+        col(predCol).cast("string").as("p"))
+      .where(col("g").isNotNull && col("p").isNotNull)
+    val cells = Caching.persist(
+      base.groupBy(col("g"), col("p")).agg(count(lit(1)).as("n")))
+    val goldTot = cells.groupBy(col("g").as("cls"))
+      .agg(sum(col("n")).as("n_gold"))
+    val predTot = cells.groupBy(col("p").as("cls"))
+      .agg(sum(col("n")).as("n_pred"))
+    val tp = cells.where(col("g") === col("p"))
+      .select(col("g").as("cls"), col("n").as("tp"))
+    goldTot.join(predTot, Seq("cls"), "full")
+      .join(tp, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("n_gold"), lit(0L)).as("n_gold"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("cls"), col("n_gold"), col("n_pred"), col("tp"),
+        when(col("n_pred") === 0, lit(0L))
+          .otherwise(expr("(tp * 1000000) div n_pred"))
+          .as("precision_micro"),
+        when(col("n_gold") === 0, lit(0L))
+          .otherwise(expr("(tp * 1000000) div n_gold"))
+          .as("recall_micro"),
+        when(col("n_gold") + col("n_pred") === 0, lit(0L))
+          .otherwise(expr("(2000000 * tp) div (n_gold + n_pred)"))
+          .as("f1_micro"))
+  }
+
+  /** DuckDB replay of [[classificationReport]]; `predCtes` must define a
+    * CTE `p` with columns (gold, pred) — e.g. [[graft.operators
+    * .TextAnalysis.langIdPredCtes]].
+    */
+  def classificationReportOracleSql(predCtes: String): String =
+    s"""WITH $predCtes,
+       |base AS (SELECT gold::VARCHAR AS g, pred::VARCHAR AS pr FROM p
+       |         WHERE gold IS NOT NULL AND pred IS NOT NULL),
+       |cells AS (SELECT g, pr, count(*)::BIGINT AS n FROM base GROUP BY 1, 2),
+       |gt AS (SELECT g AS cls, sum(n)::BIGINT AS n_gold FROM cells GROUP BY 1),
+       |pt AS (SELECT pr AS cls, sum(n)::BIGINT AS n_pred FROM cells GROUP BY 1),
+       |tp AS (SELECT g AS cls, n AS tp FROM cells WHERE g = pr),
+       |j AS (
+       |  SELECT cls, coalesce(n_gold, 0) AS n_gold,
+       |         coalesce(n_pred, 0) AS n_pred, coalesce(tp, 0) AS tp
+       |  FROM gt FULL JOIN pt USING (cls) LEFT JOIN tp USING (cls))
+       |SELECT cls, n_gold, n_pred, tp,
+       |       CASE WHEN n_pred = 0 THEN 0
+       |            ELSE (tp * 1000000) // n_pred END AS precision_micro,
+       |       CASE WHEN n_gold = 0 THEN 0
+       |            ELSE (tp * 1000000) // n_gold END AS recall_micro,
+       |       CASE WHEN n_gold + n_pred = 0 THEN 0
+       |            ELSE (2000000 * tp) // (n_gold + n_pred) END AS f1_micro
+       |FROM j""".stripMargin
+
   /** Micro-unit NDCG@k rank weights `round(1e6 / log2(i+1))` for ranks
     * 1..k, computed ONCE on the JVM and inlined as integer literals into
     * both the Spark plan and the oracle SQL — the [[Similarity

@@ -1895,7 +1895,8 @@ object Similarity {
     * are keyed; no BNLJ (PlanSpec).
     */
   def dbscanGrid(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      epsFx: Long, minPts: Int): DataFrame = {
+      epsFx: Long, minPts: Int,
+      pruneEmptyCells: Boolean = false): DataFrame = {
     require(epsFx >= 1 && minPts >= 1)
     val proj = jlProject(df, idCol, vecCol, dim, outDim = 2)
     val pts = Caching.persist(proj.groupBy(col("id"))
@@ -1911,28 +1912,35 @@ object Similarity {
     // distance filter runs on half the join output; the final union swap
     // reconstructs the directed neighbor table bit-for-bit.
     val fwd = Seq((0L, 1L), (1L, -1L), (1L, 0L), (1L, 1L))
-    // CELL-LEVEL pruning before the point-level explode: in a sparse grid
-    // most of a cell's 4 forward neighbors are EMPTY, and the naive shape
-    // pays a 4x point explode + shuffle to discover that in the join.
-    // Pre-aggregating the occupied-cell set (<= one row per non-empty
-    // cell — orders of magnitude smaller than pts) lets the forward-offset
-    // explode run over CELLS, semi-joined to keep only offsets landing in
-    // occupied cells; points then join the surviving (source -> target)
-    // cell pairs, so probe multiplicity becomes "occupied forward
-    // neighbors of my cell" (~1 in a sparse grid) instead of a flat 4.
-    // Values identical: the pruned probes are exactly the join's zero-
-    // output rows.
-    val cellKeys = Caching.persist(pts.select(col("cx"), col("cy")).distinct())
-    val nbrCells = cellKeys.select(col("cx").as("scx"), col("cy").as("scy"),
-        explode(array(fwd.map { case (dx, dy) =>
-          struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy")) }: _*))
-          .as("c"))
-      .select(col("scx"), col("scy"), col("c.cx"), col("c.cy"))
-      .join(cellKeys, Seq("cx", "cy"), "left_semi")
-    val probes = pts.select(col("id").as("id_a"), col("x").as("xa"),
-        col("y").as("ya"), col("cx").as("scx"), col("cy").as("scy"))
-      .join(nbrCells, Seq("scx", "scy"))
-      .select(col("id_a"), col("xa"), col("ya"), col("cx"), col("cy"))
+    // `pruneEmptyCells` pre-aggregates the occupied-cell set and explodes
+    // the forward offsets over CELLS, semi-joined to drop offsets landing
+    // in empty cells, so points probe only occupied neighbors — the
+    // SPARSE-grid shape (corpus spread over many more cells than points
+    // have neighbors). MEASURED OFF by default: at gate SFs the grid is
+    // dense (~4 pts per occupied cell, most forward neighbors occupied),
+    // and the two extra cell joins + persist serialize more stages than
+    // the pruned probes save (16.7 s vs 13.7 s solo at sf0.1). Values
+    // are identical either way — pruned probes are exactly the join's
+    // zero-output rows — pinned by a spec.
+    val probes = if (pruneEmptyCells) {
+      val cellKeys = Caching.persist(
+        pts.select(col("cx"), col("cy")).distinct())
+      val nbrCells = cellKeys.select(col("cx").as("scx"), col("cy").as("scy"),
+          explode(array(fwd.map { case (dx, dy) =>
+            struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy")) }: _*))
+            .as("c"))
+        .select(col("scx"), col("scy"), col("c.cx"), col("c.cy"))
+        .join(cellKeys, Seq("cx", "cy"), "left_semi")
+      pts.select(col("id").as("id_a"), col("x").as("xa"),
+          col("y").as("ya"), col("cx").as("scx"), col("cy").as("scy"))
+        .join(nbrCells, Seq("scx", "scy"))
+        .select(col("id_a"), col("xa"), col("ya"), col("cx"), col("cy"))
+    } else pts.select(col("id"), col("x"), col("y"),
+      explode(array(fwd.map { case (dx, dy) =>
+        struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy")) }: _*))
+        .as("c"))
+      .select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+        col("c.cx"), col("c.cy"))
     val ptsB = pts.select(col("id").as("id_b"), col("x").as("xb"),
       col("y").as("yb"), col("cx"), col("cy"))
     val inBall = abs(col("xa") - col("xb")) <= epsFx &&

@@ -283,6 +283,15 @@ object PipelineQueries {
           TextAnalysis.langId(col("text")).as("pred")),
         "gold", "pred")),
 
+    // --- per-class precision/recall/F1 of the langId classifier against
+    // the gold lang column: exact count-form F1 (2tp/(2tp+fp+fn)), one
+    // confusion-cell aggregate then class-level floors (oracle-checked) ---
+    "q_pipeline_f1" -> ((s, d) =>
+      graft.operators.Eval.classificationReport(
+        docs(s, d).select(col("lang").as("gold"),
+          TextAnalysis.langId(col("text")).as("pred")),
+        "gold", "pred")),
+
     // --- sliding-window chunking for training pipelines (oracle-checked) ---
     "q_text_chunk" -> ((s, d) =>
       TextAnalysis.chunk(docs(s, d), "doc_id", "text", window = 32, stride = 24)),
@@ -1770,6 +1779,9 @@ object PipelineQueries {
     // Cohen's kappa over the same prediction fragment — confusion-matrix
     // marginals in exact BIGINTs, sign-safe micro truncation
     "q_pipeline_kappa" -> graft.operators.Profile.kappaOracleSql(
+      TextAnalysis.langIdPredCtes()),
+
+    "q_pipeline_f1" -> graft.operators.Eval.classificationReportOracleSql(
       TextAnalysis.langIdPredCtes()),
 
     "q_text_chunk" ->

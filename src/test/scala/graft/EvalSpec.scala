@@ -341,6 +341,25 @@ class EvalSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("classificationReport: hand-computed per-class P/R/F1, edge classes") {
+    // gold: a,a,a,b,b,c ; pred: a,a,b,b,c,d
+    // a: tp=2 n_gold=3 n_pred=2 -> p=1e6, r=666666, f1=2e6*2/5=800000
+    // b: tp=1 n_gold=2 n_pred=2 -> p=500000, r=500000, f1=500000
+    // c: tp=0 n_gold=1 n_pred=1 -> all 0
+    // d: pred-only -> n_gold=0, p=0 (tp=0), r=0, f1=0
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"),
+      ("b", "c"), ("c", "d")).toDF("gold", "pred")
+    val out = Eval.classificationReport(df, "gold", "pred")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(out("a") == ((3L, 2L, 2L, 1000000L, 666666L, 800000L)))
+    assert(out("b") == ((2L, 2L, 1L, 500000L, 500000L, 500000L)))
+    assert(out("c") == ((1L, 1L, 0L, 0L, 0L, 0L)))
+    assert(out("d") == ((0L, 1L, 0L, 0L, 0L, 0L)))
+    assert(out.size == 4)
+  }
+
   test("ndcgAtK: perfect ranking pins 1e6; inversion, beyond-k, zero idcg") {
     val w = Eval.ndcgWeights(3)
     assert(w == Seq(1000000L, 630930L, 500000L)) // 1e6 / log2(i+1), pinned

@@ -713,6 +713,17 @@ class SimilaritySpec extends SparkSpec
     assert(got.drop(2).forall(_._3 == 0L))
   }
 
+  test("dbscanGrid: pruneEmptyCells path is value-identical to direct probe") {
+    def run(prune: Boolean) = Similarity.dbscanGrid(emb, "vec_id",
+        "embedding", dim = 64, epsFx = 200000L, minPts = 3,
+        pruneEmptyCells = prune)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val direct = run(false)
+    val pruned = run(true)
+    assert(pruned == direct)
+    assert(direct.nonEmpty)
+  }
+
   test("mmdByGroup: orthogonal-mean hand value, identical groups at zero") {
     import spark.implicits._
     val df = Seq(
