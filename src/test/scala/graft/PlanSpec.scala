@@ -440,4 +440,39 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "skyline must join rows to the distinct-x suffix-max table on x — " +
         "a BNLJ here is the textbook all-pairs dominance blow-up")
   }
+
+  test("bfsDistances: frontier expansion and visited anti-join are equi-joins") {
+    // each BFS level joins the edge table on src and anti-joins the
+    // visited set on node — a BNLJ anywhere is a level-wise cross product
+    val (_, plan) = executed("q_graph_bfs")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty, "BFS levels must plan as keyed equi/anti joins")
+  }
+
+  test("mmdByGroup: pair math runs on the group-dim aggregate, not the corpus") {
+    // the (group_a, group_b) self-join must key on dim over the tiny
+    // aggregated sums table; the corpus is touched by exactly one
+    // explode+aggregate pass
+    val (_, plan) = executed("q_embed_mmd")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty, "group-pair join must be a dim-keyed equi-join")
+  }
+
+  test("ndcgAtK: both rank orders ride one group-keyed exchange, no BNLJ") {
+    // real rank and ideal rank are windows over the SAME partitioning —
+    // the plan must shuffle the events once on the group key
+    val (_, plan) = executed("q_pipeline_ndcg")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty, "NDCG must not nest-loop anywhere")
+    val shuffles = collectWithSubqueries(plan) { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 3,
+      s"one group-key exchange (+ final agg exchanges) expected; got ${shuffles.size}")
+  }
+
+  test("classificationReport: class-level joins on the confusion aggregate") {
+    val (_, plan) = executed("q_pipeline_f1")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty,
+      "per-class stats must equi-join gold/pred totals on the class key")
+  }
 }
