@@ -1280,6 +1280,94 @@ object TextAnalysis {
        |       sum(t_nano)::BIGINT AS kl_nano
        |FROM terms GROUP BY g""".stripMargin
 
+  /** Pairwise JENSEN-SHANNON divergence between per-group token
+    * distributions — the SYMMETRIC, bounded (<= ln 2) companion to
+    * [[corpusKl]]'s base-relative divergence: the standard "how far apart
+    * are these two corpus slices" number for mixture design and drift
+    * monitoring, where KL's asymmetry and unboundedness get in the way.
+    * Laplace add-1 smoothing over the shared `minCount` vocabulary (the
+    * corpusKl smoothing), per-(pair, token) term
+    *   t = 0.5 * (p*ln(2p/(p+q)) + q*ln(2q/(p+q)))
+    * computed in ONE double expression, nano-rounded per term and summed
+    * as exact BIGINTs — partition-order-proof like every log family here.
+    * Emits (g_a < g_b, n_a, n_b, v, jsd_nano).
+    *
+    * Scale shape: one token aggregate, vocabulary x group-PAIRS grid
+    * (pairs are a broadcast of the tiny per-group total table), two
+    * vocabulary-keyed count joins, one hash aggregate — adding a group
+    * re-reads nothing.
+    */
+  def corpusJsd(df: org.apache.spark.sql.DataFrame, textCol: String,
+      groupCol: String, minCount: Long = 1L)
+      : org.apache.spark.sql.DataFrame = {
+    val cnt = Caching.persist(df
+      .select(col(groupCol).as("g"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("g"), col("tok")).agg(count(lit(1)).as("c")))
+    val vocab = Caching.persist(cnt.groupBy(col("tok"))
+      .agg(sum(col("c")).as("ct")).where(col("ct") >= minCount)
+      .select(col("tok")))
+    val vSize = vocab.agg(count(lit(1)).as("v"))
+    val nTot = cnt.join(vocab, "tok").groupBy(col("g"))
+      .agg(sum(col("c")).as("n_g"))
+    val gp = nTot.as("a").crossJoin(nTot.as("b"))
+      .where(col("a.g") < col("b.g"))
+      .select(col("a.g").as("g_a"), col("a.n_g").as("n_a"),
+        col("b.g").as("g_b"), col("b.n_g").as("n_b"))
+    val term = expr(
+      """0.5 * ((CAST(ca + 1 AS DOUBLE) / (n_a + v)) *
+        |  ln(2.0 * (CAST(ca + 1 AS DOUBLE) / (n_a + v)) /
+        |     ((CAST(ca + 1 AS DOUBLE) / (n_a + v)) +
+        |      (CAST(cb + 1 AS DOUBLE) / (n_b + v)))) +
+        | (CAST(cb + 1 AS DOUBLE) / (n_b + v)) *
+        |  ln(2.0 * (CAST(cb + 1 AS DOUBLE) / (n_b + v)) /
+        |     ((CAST(ca + 1 AS DOUBLE) / (n_a + v)) +
+        |      (CAST(cb + 1 AS DOUBLE) / (n_b + v)))))""".stripMargin
+        .replace("\n", " "))
+    vocab.crossJoin(broadcast(gp))
+      .join(cnt.select(col("g").as("g_a"), col("tok"), col("c").as("ca")),
+        Seq("g_a", "tok"), "left")
+      .join(cnt.select(col("g").as("g_b"), col("tok"), col("c").as("cb")),
+        Seq("g_b", "tok"), "left")
+      .na.fill(0L, Seq("ca", "cb"))
+      .crossJoin(broadcast(vSize))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("v")).as("v"),
+        sum(round(term * 1e9, 0).cast("long")).as("jsd_nano"))
+  }
+
+  /** DuckDB replay of [[corpusJsd]] (same smoothing, same single-
+    * expression per-term doubles, same 1e9 projection and integer sum).
+    */
+  def corpusJsdOracleSql(groupExpr: String, minCount: Long = 1L,
+      table: String = "documents", textCol: String = "text"): String = {
+    val p = s"((coalesce(ca.c, 0) + 1)::DOUBLE / (gp.n_a + vs.v))"
+    val q = s"((coalesce(cb.c, 0) + 1)::DOUBLE / (gp.n_b + vs.v))"
+    s"""WITH cnt AS (
+       |  SELECT g, tok, count(*)::BIGINT AS c FROM (
+       |    SELECT ($groupExpr) AS g, unnest(${toksSql(textCol)}) AS tok
+       |    FROM $table)
+       |  GROUP BY g, tok),
+       |vocab AS (SELECT tok FROM cnt GROUP BY tok
+       |          HAVING sum(c) >= $minCount),
+       |vs AS (SELECT count(*)::BIGINT AS v FROM vocab),
+       |ntot AS (SELECT g, sum(c)::BIGINT AS n_g
+       |         FROM cnt JOIN vocab USING (tok) GROUP BY g),
+       |gp AS (SELECT a.g AS g_a, a.n_g AS n_a, b.g AS g_b, b.n_g AS n_b
+       |       FROM ntot a JOIN ntot b ON a.g < b.g),
+       |terms AS (
+       |  SELECT gp.g_a, gp.g_b, gp.n_a, gp.n_b, vs.v,
+       |         round(0.5 * ($p * ln(2.0 * $p / ($p + $q)) +
+       |                      $q * ln(2.0 * $q / ($p + $q))) * 1e9)::BIGINT
+       |           AS t_nano
+       |  FROM vocab v2 CROSS JOIN gp CROSS JOIN vs
+       |  LEFT JOIN cnt ca ON ca.g = gp.g_a AND ca.tok = v2.tok
+       |  LEFT JOIN cnt cb ON cb.g = gp.g_b AND cb.tok = v2.tok)
+       |SELECT g_a, g_b, max(n_a)::BIGINT AS n_a, max(n_b)::BIGINT AS n_b,
+       |       max(v)::BIGINT AS v, sum(t_nano)::BIGINT AS jsd_nano
+       |FROM terms GROUP BY g_a, g_b""".stripMargin
+  }
+
   /** Keyword/topic tagging against a broadcast dictionary — the
     * FlashText-style "which of my curated topic lexicons does this doc
     * hit" pass used for topic-targeted subsetting (pull all finance docs,

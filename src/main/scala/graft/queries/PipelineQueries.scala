@@ -1276,6 +1276,9 @@ object PipelineQueries {
     // drift detector next to the numeric PSI/KS — add-one smoothing,
     // per-term 1e9 fixed-point so the sum is exact in any order
     // (oracle-checked) ---
+    "q_text_jsd" -> ((s, d) =>
+      TextAnalysis.corpusJsd(docs(s, d), "text", "lang", minCount = 10)),
+
     "q_text_kl" -> ((s, d) =>
       TextAnalysis.corpusKl(docs(s, d), "text", "lang", base = "en")),
 
@@ -1986,6 +1989,7 @@ object PipelineQueries {
       "documents", "source", "n_chars", "lang = 'en'"),
 
     "q_text_kl" -> TextAnalysis.corpusKlOracleSql("lang", base = "en"),
+    "q_text_jsd" -> TextAnalysis.corpusJsdOracleSql("lang", minCount = 10),
 
     "q_pipeline_skyline" -> graft.operators.Profile.skylineOracleSql(
       "documents", "doc_id",

@@ -782,6 +782,24 @@ class TextSpec extends SparkSpec {
     assert(got("same")._1 == 3L && got("same")._2 == 4L) // vocab a,b,x,y
   }
 
+  test("corpusJsd: identical groups at 0, disjoint groups near ln 2, symmetric") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "a b a", "g1"), (2L, "a b a", "g2"),
+      (3L, "x y x", "g3")).toDF("doc_id", "text", "grp")
+    val got = TextAnalysis.corpusJsd(docs, "text", "grp")
+      .collect().map(r => (r.getAs[String]("g_a"), r.getAs[String]("g_b")) ->
+        r.getAs[Long]("jsd_nano")).toMap
+    // every unordered pair exactly once, g_a < g_b
+    assert(got.keySet == Set(("g1", "g2"), ("g1", "g3"), ("g2", "g3")))
+    assert(got(("g1", "g2")) == 0L)          // identical distributions
+    // disjoint-support JSD is positive and bounded by ln 2 ≈ 0.693e9 nano
+    // (add-1 smoothing over these 3-token docs keeps it well inside), and
+    // SYMMETRIC by construction: both disjoint pairs have the same token
+    // profile vs g3, so the same value
+    assert(got(("g1", "g3")) > 0L && got(("g1", "g3")) < 693147181L)
+    assert(got(("g1", "g3")) == got(("g2", "g3")))
+  }
+
   test("corpusKl: minCount shrinks the vocabulary and smoothing mass") {
     import graft.operators.TextAnalysis
     val docs = Seq((1L, "a a a rare", "base"), (2L, "a a b", "g2"))
