@@ -1008,6 +1008,76 @@ object Eval {
        |WHERE b >= 8
        |GROUP BY base.grp""".stripMargin
 
+  /** PRECISION-RECALL / ROC curve POINTS at every distinct score
+    * threshold — the curve behind [[rocAuc]]'s and [[averagePrecision]]'s
+    * single numbers: at threshold s ("positive if score ≥ s"),
+    *   tp = positives at ≥ s     fp = negatives at ≥ s
+    *   precision = tp·1e6 div (tp+fp)   recall = tp·1e6 div n_pos
+    *   fpr = fp·1e6 div n_neg
+    * All exact integer floors, so the whole table replays. One row per
+    * distinct score — the operating-point table a threshold-picking
+    * pipeline consumes directly.
+    *
+    * Scale shape: per-score counts (one hash aggregate), the TWO-LEVEL
+    * bucketed prefix sum ([[cumBelow]] — never a global window), the
+    * 1-row total broadcast. No per-row pass at all — strictly cheaper
+    * than AP.
+    */
+  def prCurve(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val rows = df.select(score.cast("long").as("s"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .where(col("s").isNotNull)
+      .transform(Caching.persist)
+    val per = rows.groupBy(col("s"))
+      .agg(sum(col("y")).as("pos"), count(lit(1)).as("cnt"))
+    val cum = cumBelow(per, "s", Seq("pos", "cnt"), bucketWidth = 1024L)
+    val tot = rows.agg(sum(col("y")).as("n_pos"), count(lit(1)).as("n"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("tp", col("n_pos") - col("below_pos"))
+      .withColumn("ge_cnt", col("n") - col("below_cnt"))
+      .withColumn("fp", col("ge_cnt") - col("tp"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+      .select(col("s").as("threshold"), col("tp"), col("fp"),
+        when(col("ge_cnt") === 0, lit(0L))
+          .otherwise(expr("(tp * 1000000) div ge_cnt"))
+          .as("precision_micro"),
+        when(col("n_pos") === 0, lit(0L))
+          .otherwise(expr("(tp * 1000000) div n_pos")).as("recall_micro"),
+        when(col("n_neg") === 0, lit(0L))
+          .otherwise(expr("(fp * 1000000) div n_neg")).as("fpr_micro"))
+  }
+
+  /** DuckDB replay of [[prCurve]] (same bucketed below-sums, same
+    * floors).
+    */
+  def prCurveOracleSql(table: String, scoreExpr: String,
+      labelPredSql: String): String =
+    s"""WITH rows_t AS (
+       |  SELECT ($scoreExpr)::BIGINT AS s,
+       |         CASE WHEN $labelPredSql THEN 1 ELSE 0 END AS y
+       |  FROM $table WHERE ($scoreExpr) IS NOT NULL),
+       |per AS (
+       |  SELECT s, sum(y)::BIGINT AS pos, count(*)::BIGINT AS cnt
+       |  FROM rows_t GROUP BY s),
+       |${cumBelowSql("per", "s", Seq("pos", "cnt"), 1024L, "cum")},
+       |tot AS (SELECT coalesce(sum(y), 0)::BIGINT AS n_pos,
+       |               count(*)::BIGINT AS n FROM rows_t),
+       |pts AS (
+       |  SELECT c.s AS threshold,
+       |         t.n_pos - c.below_pos AS tp,
+       |         (t.n - c.below_cnt) - (t.n_pos - c.below_pos) AS fp,
+       |         t.n - c.below_cnt AS ge_cnt,
+       |         t.n_pos AS n_pos, t.n - t.n_pos AS n_neg
+       |  FROM cum c CROSS JOIN tot t)
+       |SELECT threshold, tp, fp,
+       |       CASE WHEN ge_cnt = 0 THEN 0
+       |            ELSE (tp * 1000000) // ge_cnt END AS precision_micro,
+       |       CASE WHEN n_pos = 0 THEN 0
+       |            ELSE (tp * 1000000) // n_pos END AS recall_micro,
+       |       CASE WHEN n_neg = 0 THEN 0
+       |            ELSE (fp * 1000000) // n_neg END AS fpr_micro
+       |FROM pts""".stripMargin
+
   /** Per-class PRECISION / RECALL / F1 from a (gold, pred) frame — the
     * classifier datasheet next to [[graft.operators.Profile
     * .agreementKappa]]'s single agreement score: which classes does the

@@ -971,6 +971,89 @@ object Graph {
     visited
   }
 
+  /** COUNTED co-occurrence edges: like [[coEdges]] but keeps the
+    * co-occurrence count per pair instead of deduplicating to a simple
+    * graph — the tie-STRENGTH graph ([[ssspBounded]] turns it into
+    * distances via w = 1e6 div n_co: heavily co-occurring items are
+    * "close"). Same capped group self-join shape (Σ group² work under
+    * `maxGroupSize`, never corpus²); emits both directions.
+    */
+  def coEdgesWeighted(df: DataFrame, groupCol: String, itemCol: String,
+      maxGroupSize: Int = 64): DataFrame = {
+    val gi = df.select(col(groupCol).as("g"), col(itemCol).as("item"))
+      .distinct().transform(Caching.persist)
+    val sized = gi.join(
+      gi.groupBy("g").agg(count(lit(1)).as("__n"))
+        .where(col("__n").between(2, maxGroupSize)).select(col("g")), "g")
+    val pairs = sized.select(col("g"), col("item").as("src"))
+      .join(sized.select(col("g"), col("item").as("dst")), "g")
+      .where(col("src") < col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_co"))
+    Caching.persist(pairs.unionAll(
+      pairs.select(col("dst").as("src"), col("src").as("dst"),
+        col("n_co"))))
+  }
+
+  /** Hop-bounded single-source WEIGHTED shortest paths (min-plus
+    * Bellman-Ford over ≤ `maxHops` relaxation rounds) — [[bfsDistances]]
+    * with a cost column: dist(node) = min over ≤ maxHops-edge paths of
+    * Σ w. Exact BIGINT arithmetic; parallel edges collapse to their
+    * minimum weight first, so every value replays in a chained-CTE
+    * oracle. Returns (node, dist) for nodes reachable in ≤ maxHops hops
+    * (source at 0).
+    *
+    * Scale shape: per round ONE src-keyed equi-join of the node-sized
+    * distance table against the flat checkpointed edge table + one
+    * min-aggregate; the distance table is referenced twice per round
+    * (relax join + union) so [[Caching.truncateEvery]] bounds the
+    * composed tree. Negative weights are not validated (that would cost
+    * a scan): min-plus stays well-defined under the hop bound, but the
+    * result then depends on `maxHops` — callers wanting classic shortest
+    * paths should pass non-negative weights.
+    */
+  def ssspBounded(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
+    require(maxHops >= 0)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = Caching.checkpoint(edges
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w")))
+    var dist = Seq((source, 0L)).toDF("node", "dist")
+    for (r <- 1 to maxHops) {
+      val relax = e.join(dist.select(col("node").as("src"),
+          col("dist").as("d0")), "src")
+        .select(col("dst").as("node"), (col("d0") + col("w")).as("dist"))
+      dist = dist.unionAll(relax)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .transform(Caching.truncateEvery(_, r))
+    }
+    dist
+  }
+
+  /** DuckDB replay of [[ssspBounded]]: one chained CTE per relaxation
+    * round (the [[kCoreOracleSql]] pattern — a recursive CTE would
+    * enumerate paths, combinatorial on dense graphs). `edgesCte` must
+    * define `edges AS (... src, dst, w ...)`.
+    */
+  def ssspOracleSql(edgesCte: String, sourceSql: String,
+      maxHops: Int): String = {
+    val rounds = (1 to maxHops).map { r =>
+      val prev = s"d${r - 1}"
+      s""",
+         |d$r AS MATERIALIZED (
+         |  SELECT node, min(dist)::BIGINT AS dist FROM (
+         |    SELECT node, dist FROM $prev
+         |    UNION ALL
+         |    SELECT e.dst, p.dist + e.w FROM $prev p
+         |    JOIN e ON e.src = p.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString
+    s"""WITH $edgesCte,
+       |e AS (SELECT src, dst, min(w)::BIGINT AS w FROM edges GROUP BY 1, 2),
+       |d0 AS (SELECT ($sourceSql)::BIGINT AS node, 0::BIGINT AS dist)$rounds
+       |SELECT node, dist FROM d$maxHops""".stripMargin
+  }
+
   /** DuckDB replay of [[bfsDistances]]: recursive CTE walking (node,
     * dist) pairs — UNION dedup bounds the recursion at maxHops levels on
     * any graph (cycles included), min(dist) collapses to the BFS level.

@@ -1174,6 +1174,16 @@ object PipelineQueries {
         dim = 64, epsFx = 200000L, minPts = 6)
     }),
 
+    // --- precision/recall/FPR operating points at every distinct score
+    // threshold — the curve behind the AUC/AP single numbers, exact
+    // integer floors off the bucketed prefix sum (oracle-checked) ---
+    "q_pipeline_prcurve" -> ((s, d) => {
+      Tables.load(s, d)
+      graft.operators.Eval.prCurve(s.table("events"),
+        round(col("value") * 100, 0).cast("long"),
+        col("event_type") === "purchase")
+    }),
+
     // --- exact tie-aware ROC-AUC: does event value predict a purchase?
     // Rank-sum in integer micro units, no global window (oracle-checked) ---
     "q_pipeline_auc" -> ((s, d) => {
@@ -1954,6 +1964,9 @@ object PipelineQueries {
         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_pipeline_auc" -> graft.operators.Eval.rocAucOracleSql(
+      "events", "round(value * 100)", "event_type = 'purchase'"),
+
+    "q_pipeline_prcurve" -> graft.operators.Eval.prCurveOracleSql(
       "events", "round(value * 100)", "event_type = 'purchase'"),
 
     "q_pipeline_ap" -> graft.operators.Eval.averagePrecisionOracleSql(

@@ -284,6 +284,19 @@ object ScaleQueries {
       graft.operators.Graph.bfsDistances(e, src, maxHops = 4)
     }),
 
+    // --- hop-bounded weighted shortest paths over the tie-strength
+    // graph (w = 1e6 div co-purchase count: strong ties are short):
+    // min-plus Bellman-Ford rounds, chained-CTE oracle (oracle-checked) ---
+    "q_graph_sssp" -> ((s, d) => {
+      val e = graft.operators.Graph.coEdgesWeighted(
+        t(s, d, "lineitem").where(col("l_partkey") % 3 === 0),
+        "l_orderkey", "l_partkey")
+        .select(col("src"), col("dst"),
+          expr("1000000 div n_co").as("w"))
+      val src = e.agg(min(col("src"))).head().getLong(0)
+      graft.operators.Graph.ssspBounded(e, src, maxHops = 3)
+    }),
+
     // --- HITS hubs/authorities on the directed buyer→part graph: L1
     // micro-unit normalization each half-step on a DECIMAL(38,0) carrier,
     // both engines floor-divide the same integers (oracle-checked) ---
@@ -372,6 +385,23 @@ object ScaleQueries {
 
     "q_graph_lpa" -> graft.operators.Graph.labelPropagationOracleSql(
       "l_orderkey", "l_partkey", "lineitem", iters = 4),
+    "q_graph_sssp" -> graft.operators.Graph.ssspOracleSql(
+      """gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+        |       FROM lineitem WHERE l_partkey % 3 = 0),
+        |gok AS (SELECT g FROM gi GROUP BY g
+        |        HAVING count(*) BETWEEN 2 AND 64),
+        |cpairs AS (
+        |  SELECT a.item AS i, b.item AS j, count(*)::BIGINT AS n_co
+        |  FROM gi a JOIN gok USING (g) JOIN gi b USING (g)
+        |  WHERE a.item < b.item GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT i AS src, j AS dst, (1000000 // n_co)::BIGINT AS w
+        |  FROM cpairs
+        |  UNION ALL
+        |  SELECT j AS src, i AS dst, (1000000 // n_co)::BIGINT AS w
+        |  FROM cpairs)""".stripMargin,
+      sourceSql = "SELECT min(src) FROM e", maxHops = 3),
+
     "q_graph_bfs" -> graft.operators.Graph.bfsOracleSql(
       graft.operators.Graph.coEdgesSql("l_orderkey", "l_partkey",
         "(SELECT * FROM lineitem WHERE l_partkey % 3 = 0)"),

@@ -341,6 +341,27 @@ class EvalSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("prCurve: hand-computed operating points at every distinct score") {
+    val df = Seq((30L, true), (20L, false), (10L, true)).toDF("s", "y")
+    val got = Eval.prCurve(df, col("s"), col("y"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // threshold 30: tp=1 fp=0; 20: tp=1 fp=1; 10: tp=2 fp=1
+    assert(got(30L) == ((1L, 0L, 1000000L, 500000L, 0L)))
+    assert(got(20L) == ((1L, 1L, 500000L, 500000L, 1000000L)))
+    assert(got(10L) == ((2L, 1L, 666666L, 1000000L, 1000000L)))
+    assert(got.size == 3)
+    // degenerate corpora: all-positive has fpr pinned 0, all-negative
+    // has precision/recall pinned 0 — no division blows up
+    val allPos = Eval.prCurve(Seq((5L, true)).toDF("s", "y"),
+      col("s"), col("y")).collect()(0)
+    assert(allPos.getLong(3) == 1000000L && allPos.getLong(5) == 0L)
+    val allNeg = Eval.prCurve(Seq((5L, false)).toDF("s", "y"),
+      col("s"), col("y")).collect()(0)
+    assert(allNeg.getLong(3) == 0L && allNeg.getLong(4) == 0L)
+  }
+
   test("classificationReport: hand-computed per-class P/R/F1, edge classes") {
     // gold: a,a,a,b,b,c ; pred: a,a,b,b,c,d
     // a: tp=2 n_gold=3 n_pred=2 -> p=1e6, r=666666, f1=2e6*2/5=800000

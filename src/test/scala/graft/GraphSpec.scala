@@ -266,6 +266,39 @@ class GraphSpec extends SparkSpec {
     assert(!got.contains(("x", "z")) && !got.contains(("z", "x")))
   }
 
+  test("ssspBounded: weighted relaxation beats hop count, bound respected") {
+    import spark.implicits._
+    // 1→2 (w 10), 2→3 (w 10), 1→3 direct but expensive (w 25),
+    // 3→4 (w 1); parallel duplicate edge 1→2 (w 50) must collapse to 10
+    val e = Seq((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 25L), (3L, 4L, 1L),
+      (1L, 2L, 50L)).toDF("src", "dst", "w")
+    val got = Graph.ssspBounded(e, source = 1L, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 3 is cheaper via 2 hops (20) than direct (25); 4 = 20 + 1
+    assert(got == Map(1L -> 0L, 2L -> 10L, 3L -> 20L, 4L -> 21L))
+    // at 1 hop only the direct edges are reachable
+    val oneHop = Graph.ssspBounded(e, 1L, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oneHop == Map(1L -> 0L, 2L -> 10L, 3L -> 25L))
+    // maxHops = 0: just the seed
+    assert(Graph.ssspBounded(e, 1L, 0).collect().toSeq.map(_.toSeq)
+      == Seq(Seq(1L, 0L)))
+  }
+
+  test("coEdgesWeighted: co-occurrence counts, both directions, cap") {
+    import spark.implicits._
+    val li = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L),
+      (3L, 30L)).toDF("basket", "item")
+    val got = Graph.coEdgesWeighted(li, "basket", "item")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // (10,20) co-occur in baskets 1,2; (10,30) in basket 3
+    assert(got == Map((10L, 20L) -> 2L, (20L, 10L) -> 2L,
+      (10L, 30L) -> 1L, (30L, 10L) -> 1L))
+    // a basket above the cap contributes no pairs
+    val big = (1 to 70).map(i => (9L, i.toLong)).toDF("basket", "item")
+    assert(Graph.coEdgesWeighted(big, "basket", "item").count() == 0L)
+  }
+
   test("bfsDistances: hop levels, cycle safety, maxHops bound, unreachable") {
     import spark.implicits._
     // 1→2→3→4→5 chain with a 3→1 back-edge (cycle) and an island 9→10
