@@ -336,6 +336,20 @@ object ScaleStress {
         "doc_id", "payload").count()
     time("image-neardup 1x")(imgNearDup(d1))
     time("image-neardup 10x")(imgNearDup(d10))
+    // MMD is one corpus pass + pair math on the (group x dim) aggregate:
+    // 10x rows must scale ~linearly (the pair join input is unchanged)
+    time("mmd 1x (2k vecs)")(
+      Similarity.mmdByGroup(e1, "label", "embedding").count())
+    time("mmd 10x (20k vecs)")(
+      Similarity.mmdByGroup(e10, "label", "embedding").count())
+    // JSD: token aggregate + vocab x pair grid — 10x docs grow the token
+    // aggregate linearly; the grid only grows with vocabulary
+    time("jsd 1x (5k docs)")(
+      graft.operators.TextAnalysis.corpusJsd(d1, "text", "lang",
+        minCount = 10).count())
+    time("jsd 10x (50k docs)")(
+      graft.operators.TextAnalysis.corpusJsd(d10, "text", "lang",
+        minCount = 10).count())
     spark.stop()
   }
 }
