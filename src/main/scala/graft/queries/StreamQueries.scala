@@ -32,6 +32,13 @@ object StreamQueries {
       EventStreams.windowedKmv(events(s, d), "1 hour", col("user_id"),
         k = 64)),
 
+    // deterministic per-(event_type, hour) rate limiter: first 3 events
+    // by (ts, event_id) survive — the ingestion throttle with provenance
+    // (oracle-checked; arrival-order streaming twin spec-pinned)
+    "q_stream_ratelimit" -> ((s, d) =>
+      EventStreams.windowedRateLimit(events(s, d), "1 hour",
+        col("event_type"), n = 3)),
+
     // per-window Misra-Gries heavy hitters — k=8 > the 5 event types, so
     // the sketch is the exact per-window count table (oracle-checked; the
     // approximate regime's bound is spec-tested)
@@ -417,6 +424,10 @@ object StreamQueries {
         |       make_timestamp((epoch_us(ts) // 900000000) * 900000000 + 900000000) AS win_end,
         |       event_type, count(*) AS n, min(value) AS mn, max(value) AS mx
         |FROM t GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_stream_ratelimit" ->
+      graft.streaming.EventStreams.windowedRateLimitOracleSql(
+        widthSec = 3600L, keyExpr = "event_type", n = 3),
 
     "q_stream_kmv" -> graft.streaming.EventStreams.windowedKmvOracleSql(
       widthSec = 3600L, keyExpr = "user_id", k = 64),

@@ -1871,6 +1871,100 @@ object EventStreams {
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)
 
+  /** Per-(key, window) RATE LIMITER, batch twin: keep the FIRST `n`
+    * events of each tumbling window per key in (ts, event_id) order —
+    * the deterministic ingestion throttle (cap a runaway event type /
+    * crawler / producer at n per window while keeping provenance of
+    * what survived). Emits (win_start, key, event_id, ts, seq ≤ n).
+    * Fully deterministic: the id tiebreak pins tie timestamps, so the
+    * table replays in a QUALIFY oracle.
+    *
+    * Scale shape: one (window, key)-partitioned rank — Spark plans the
+    * `rank ≤ n` filter as WindowGroupLimit (partial per-partition top-n
+    * before the shuffle), so the exchange moves at most n rows per
+    * (window, key), not the firehose. Streaming twin:
+    * [[streamingWindowedRateLimit]] (arrival-order counts in per-group
+    * state — the semantics a real limiter wants; equal to this batch
+    * order when arrivals are in event order).
+    */
+  def windowedRateLimit(events: DataFrame, width: String, key: Column,
+      n: Int): DataFrame = {
+    require(n >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("__win"), col("__key"))
+      .orderBy(col("ts"), col("event_id"))
+    events.select(window(col("ts"), width).getField("start").as("__win"),
+        key.cast("string").as("__key"), col("event_id"), col("ts"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .where(col("seq") <= n)
+      .select(col("__win").as("win_start"), col("__key").as("key"),
+        col("event_id"), col("ts"), col("seq"))
+  }
+
+  /** DuckDB replay of [[windowedRateLimit]] over the events table. */
+  def windowedRateLimitOracleSql(widthSec: Long, keyExpr: String,
+      n: Int): String = {
+    val winUs = widthSec * 1000000L
+    s"""SELECT make_timestamp((epoch_us(ts::TIMESTAMP) // $winUs) * $winUs)
+       |         AS win_start,
+       |       ($keyExpr)::VARCHAR AS key, event_id, ts::TIMESTAMP AS ts,
+       |       row_number() OVER (
+       |         PARTITION BY (epoch_us(ts::TIMESTAMP) // $winUs), ($keyExpr)
+       |         ORDER BY ts, event_id)::BIGINT AS seq
+       |FROM events
+       |QUALIFY seq <= $n""".stripMargin
+  }
+
+  case class RateEvent(key: String, ts: java.sql.Timestamp, event_id: Long)
+  case class RateOut(win_start: java.sql.Timestamp, key: String,
+    event_id: Long, ts: java.sql.Timestamp, seq: Long)
+
+  /** Streaming rate limiter over `flatMapGroupsWithState`: per
+    * (key, window) admission counter in O(1) state, rows beyond `n`
+    * DROPPED as they arrive. Within a micro-batch rows are admitted in
+    * (ts, event_id) order (sorted — gives batch-equal output when
+    * arrivals respect event order); across micro-batches admission is
+    * arrival order, which is what a real limiter means. State times out
+    * one `widthMs` past the window close (event-time timers + the
+    * caller's watermark bound total state to active windows).
+    */
+  def streamingWindowedRateLimit(events: Dataset[RateEvent], widthMs: Long,
+      n: Int, timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+      : Dataset[RateOut] = {
+    require(n >= 1 && widthMs >= 1)
+    implicit val outEnc = Encoders.product[RateOut]
+    implicit val stEnc = Encoders.scalaLong
+
+    def fn(keyWin: (String, Long), it: Iterator[RateEvent],
+        state: GroupState[Long]): Iterator[RateOut] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val (key, winMs) = keyWin
+      var admitted = state.getOption.getOrElse(0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[RateOut]
+      it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        if (admitted < n) {
+          admitted += 1
+          out += RateOut(new java.sql.Timestamp(winMs), key, e.event_id,
+            e.ts, admitted)
+        }
+      }
+      if (timeout == GroupStateTimeout.NoTimeout) state.remove()
+      else {
+        state.update(admitted)
+        if (timeout == GroupStateTimeout.EventTimeTimeout)
+          state.setTimeoutTimestamp(math.max(
+            state.getCurrentWatermarkMs() + 1, winMs + 2 * widthMs))
+      }
+      out.iterator
+    }
+
+    events.groupByKey(e =>
+        (e.key, e.ts.getTime - math.floorMod(e.ts.getTime, widthMs)))(
+        Encoders.product[(String, Long)])
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(fn)
+  }
+
   /** Custom sessionizer over `flatMapGroupsWithState`: emits a session when
     * the event-time gap exceeds `gapMs`. Demonstrates arbitrary per-key
     * state (the escape hatch when built-in windows can't express the

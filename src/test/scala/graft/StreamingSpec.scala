@@ -196,6 +196,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedRateLimit batch: first n per (key, window), id-pinned ties") {
+    val df = Seq(
+      ("click", ts(0), 1L), ("click", ts(1), 2L), ("click", ts(2), 3L),
+      ("view", ts(3), 4L), ("click", ts(20), 5L))
+      .toDF("key", "ts", "event_id")
+    val got = EventStreams.windowedRateLimit(df, "15 minutes",
+        col("key"), n = 2)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(4)))
+      .toSet
+    // first window: click ids 1,2 kept (3 throttled), view id 4 kept;
+    // second window restarts the budget: click id 5 kept at seq 1
+    assert(got == Set(("click", 1L, 1L), ("click", 2L, 2L),
+      ("view", 4L, 1L), ("click", 5L, 1L)))
+  }
+
+  test("streamingWindowedRateLimit: batch-equal in order, cross-batch cap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Long)]
+    val ds = mem.toDF().toDF("key", "ts", "event_id")
+      .withWatermark("ts", "0 seconds")
+      .as[EventStreams.RateEvent]
+    val q = EventStreams.streamingWindowedRateLimit(ds,
+        widthMs = 15 * 60 * 1000L, n = 2,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout
+          .EventTimeTimeout())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rl_stream").start()
+    try {
+      mem.addData(("click", ts(0), 1L), ("click", ts(1), 2L),
+        ("click", ts(2), 3L), ("view", ts(3), 4L))
+      q.processAllAvailable()
+      // batch 2, SAME window: the per-(key, window) state must remember
+      // the budget is spent — id 5 dropped, not re-admitted
+      mem.addData(("click", ts(4), 5L))
+      q.processAllAvailable()
+      val got = spark.table("rl_stream")
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(4)))
+        .toSet
+      assert(got == Set(("click", 1L, 1L), ("click", 2L, 2L),
+        ("view", 4L, 1L)),
+        s"cross-batch budget must hold: $got")
+      // in-order single-batch output equals the batch twin
+      val batch = EventStreams.windowedRateLimit(
+          Seq(("click", ts(0), 1L), ("click", ts(1), 2L),
+            ("click", ts(2), 3L), ("view", ts(3), 4L))
+            .toDF("key", "ts", "event_id"), "15 minutes", col("key"), n = 2)
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(4)))
+        .toSet
+      assert(batch == Set(("click", 1L, 1L), ("click", 2L, 2L),
+        ("view", 4L, 1L)))
+    } finally q.stop()
+  }
+
   test("streamingDedup drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String, Double)]
