@@ -341,6 +341,18 @@ class EvalSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("new eval operators: empty inputs yield empty frames, no crashes") {
+    val empty = Seq.empty[(Long, Boolean)].toDF("s", "y")
+    assert(Eval.prCurve(empty, col("s"), col("y")).collect().isEmpty)
+    val emptyG = Seq.empty[(String, Long, Long, Long)]
+      .toDF("g0", "id", "r", "sc")
+    assert(Eval.ndcgAtK(emptyG, "g0", "id", col("r"), col("sc"), k = 3)
+      .collect().isEmpty)
+    val emptyC = Seq.empty[(String, String)].toDF("gold", "pred")
+    assert(Eval.classificationReport(emptyC, "gold", "pred")
+      .collect().isEmpty)
+  }
+
   test("prCurve: hand-computed operating points at every distinct score") {
     val df = Seq((30L, true), (20L, false), (10L, true)).toDF("s", "y")
     val got = Eval.prCurve(df, col("s"), col("y"))

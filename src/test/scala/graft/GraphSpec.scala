@@ -285,6 +285,13 @@ class GraphSpec extends SparkSpec {
       == Seq(Seq(1L, 0L)))
   }
 
+  test("ssspBounded: empty edge set leaves just the seed") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    assert(Graph.ssspBounded(none, 7L, 3).collect().toSeq.map(_.toSeq)
+      == Seq(Seq(7L, 0L)))
+  }
+
   test("coEdgesWeighted: co-occurrence counts, both directions, cap") {
     import spark.implicits._
     val li = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L),

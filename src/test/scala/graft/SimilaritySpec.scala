@@ -724,6 +724,14 @@ class SimilaritySpec extends SparkSpec
     assert(direct.nonEmpty)
   }
 
+  test("mmdByGroup: single group and empty input yield no pairs") {
+    import spark.implicits._
+    val one = Seq(("a", Seq(1.0f, 0.0f))).toDF("g0", "vec")
+    assert(Similarity.mmdByGroup(one, "g0", "vec").collect().isEmpty)
+    val none = Seq.empty[(String, Seq[Float])].toDF("g0", "vec")
+    assert(Similarity.mmdByGroup(none, "g0", "vec").collect().isEmpty)
+  }
+
   test("mmdByGroup: orthogonal-mean hand value, identical groups at zero") {
     import spark.implicits._
     val df = Seq(
