@@ -350,6 +350,26 @@ object ScaleStress {
     time("jsd 10x (50k docs)")(
       graft.operators.TextAnalysis.corpusJsd(d10, "text", "lang",
         minCount = 10).count())
+    // round-9 bucketed-prefix-sum eval family (VERDICT r9 item 7): AP and
+    // the PR/ROC curve ride cumBelow (per-score aggregate + bucketed
+    // prefix sums — never a global unpartitioned window), NDCG@k rides
+    // per-GROUP windows. 10x rows must scale ~linearly: superlinear
+    // growth here would mean a single-partition window snuck back in.
+    import graft.operators.Eval
+    def ap(d: org.apache.spark.sql.DataFrame): Long =
+      Eval.averagePrecision(d, "doc_id", col("doc_id") % 100000L,
+        col("doc_id") % 7 === 0).count()
+    time("eval-ap 1x (5k rows)")(ap(d1))
+    time("eval-ap 10x (50k rows)")(ap(d10))
+    def ndcg(d: org.apache.spark.sql.DataFrame): Long =
+      Eval.ndcgAtK(d, "lang", "doc_id", col("n_chars") % 5,
+        col("doc_id") % 1000L, k = 10).count()
+    time("eval-ndcg 1x")(ndcg(d1))
+    time("eval-ndcg 10x")(ndcg(d10))
+    def prc(d: org.apache.spark.sql.DataFrame): Long =
+      Eval.prCurve(d, col("doc_id") % 1000L, col("doc_id") % 7 === 0).count()
+    time("eval-prcurve 1x")(prc(d1))
+    time("eval-prcurve 10x")(prc(d10))
     spark.stop()
   }
 }

@@ -104,21 +104,24 @@ object Caching {
     } else df.localCheckpoint(eager)
   }
 
-  /** Periodic lineage truncation for SMALL-branching iterative loops:
-    * [[checkpoint]] on every `every`-th round, plain [[persist]] between.
-    * Rationale (measured, Scratch6): a lazy checkpoint is not free — it
-    * runs the full optimizer + physical planner AT CALL TIME to build the
-    * checkpointed RDD, ~0.5-1 s per call in a session with accumulated
-    * cache entries, so checkpointing every round turns a 0.2 s-execution
-    * query into seconds of driver-side planning (q_graph_hits measured
-    * 3-9 s construction vs 0.2 s count). A round that references the
-    * previous frame k times grows the composed tree k× per round, so k^e
-    * leaves accumulate between truncations — bounded and cheap for the
-    * k ≤ 3, every ≤ 4 regime this helper is for (2^4 = 16 leaf copies,
-    * milliseconds to analyze), while planning runs once per `every`
-    * rounds instead of every round. The persist between truncations still
-    * dedups EXECUTION of the shared subtree. Use plain [[checkpoint]]
-    * directly for loops that branch wider or run deeper.
+  /** Periodic lineage truncation for iterative loops: [[checkpoint]] on
+    * every `every`-th round, plain [[persist]] between.
+    *
+    * STATUS (round 10): no longer used by the shipped operators — kept as
+    * the documented middle rung of the truncation ladder for callers whose
+    * per-round frame is expensive to MATERIALIZE (where skipping rounds of
+    * checkpoint I/O genuinely saves jobs). For the node-sized loop frames
+    * the graph/PCA operators carry, the round-10 A/B (Scratch6
+    * construct+count at sf0.1/32) measured per-round [[checkpoint]]
+    * FASTER than this cadence at every call site it had: hits 0.9 vs
+    * 2.1-3.9 s, BFS 1.9 vs 5.0 s, SSSP 1.8 vs 2.8 s, kCore 2.1 vs 3.2 s,
+    * pcaPower ~6 vs ~8 s. The r9 rationale ("each checkpoint call is a
+    * full planner pass") compared per-round checkpoints against NO
+    * truncation; it missed that [[persist]] ALSO plans at call time
+    * (CacheManager.cacheQuery), and that between truncations each pass
+    * plans a k×-per-round-bigger tree while executors re-read
+    * InMemoryRelation scans instead of a flat LogicalRDD. Net: planner
+    * passes are per-round either way, and the flat base wins.
     */
   private[graft] def truncateEvery(df: DataFrame, round: Int,
       every: Int = 4, eager: Boolean = false): DataFrame = {

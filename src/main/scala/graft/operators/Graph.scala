@@ -529,26 +529,28 @@ object Graph {
     // Structural hazards handled (the original normalize-every-half-step
     // loop measured 54 s before lineage truncation):
     //  1. each round references the previous scores twice (edge join +
-    //     degree-side total) — hubs/auths are PERSISTED per round (one
-    //     execution of the shared subtree) and lineage is truncated only
-    //     every 4th round via [[Caching.truncateEvery]]: per-round lazy
-    //     checkpoints each cost a full optimizer+planner pass at call
-    //     time, which measured 3-9 s of pure driver construction for a
-    //     0.2 s-execution query; the 2-branching tree stays ≤ 2⁴ leaves
-    //     between truncations.
+    //     degree-side total) — auths is CHECKPOINTED and hubs PERSISTED
+    //     per round, so both run one execution of the shared subtree and
+    //     every round's plan is a few nodes over a flat base (see the
+    //     measured A/B below).
     //  2. the totals ride the degree identity above, so no edge-sized
     //     intermediate is ever read twice.
     def scoreOf(raw: DataFrame, tot: DataFrame): DataFrame =
       raw.crossJoin(broadcast(tot)).select(col("node"),
         expr(s"cast(raw as decimal(38,0)) * $S div tot").as("score_u"))
-    // Per-round PERSIST, no per-round checkpoint: the persist dedups
-    // EXECUTION of each score table across its three consumers (the two
-    // totals' broadcast subtrees re-execute their whole upstream
-    // otherwise — measured 20-66 s un-persisted), while skipping the
-    // checkpoint avoids one extra full planning pass per round (each
-    // cacheQuery/checkpoint call plans eagerly — the Scratch6 finding).
-    // With the flat `e` base the composed logical tree between persists
-    // is a few nodes, so the persists' own planning passes stay cheap.
+    // Per-round CHECKPOINT of auths, measured best (round-10 A/B at
+    // sf0.1/32, Scratch warm reps): this r9 shape runs 0.88-1.17 s;
+    // swapping it for truncateEvery(every=2) — fewer planner passes on
+    // paper — measured 2.1-3.9 s, 3-4x SLOWER, because between
+    // truncations the composed tree re-executes the broadcast total
+    // subtrees against InMemoryRelation scans instead of a flat
+    // LogicalRDD. The flat-base-per-round shape is also why the "fuse
+    // the two half-step edge joins like spamMass" idea can't apply:
+    // spamMass's two propagations are INDEPENDENT per round (one tagged
+    // union feeds one join), while HITS alternates — hraw_r consumes
+    // auths_r, which consumes araw_r — so every edge join's input is the
+    // previous join's output; two joins per round is the floor for exact
+    // alternating HITS (see PLANS.md round-10 notes).
     var hubs = outdeg.select(col("node"), lit(S).as("score_u"))
     var auths: DataFrame = null
     for (r <- 1 to iters) {
@@ -561,10 +563,15 @@ object Graph {
         .agg(sum(col("score_u") * col("ideg")).as("tot"))
       val hraw = e.join(auths.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("score_u")).as("raw"))
-      // hubs stays PLAIN: its tree is a few nodes over the checkpointed
-      // auths, so next round's two references just re-run one cheap edge
-      // join — half the planning passes of checkpointing both sides
-      hubs = scoreOf(hraw, totH)
+      // hubs is PERSISTED (not checkpointed): next round references it
+      // twice (totA's node join + araw's edge join), and the persist
+      // dedups that edge join's execution while costing only a cacheQuery
+      // pass on a few-node tree over the checkpointed auths. Round-10
+      // A/B (Scratch, sf0.1/32, warm): plain hubs 0.79-1.72 s across
+      // runs, persisted 0.86-0.91 s — same mean, far lower variance;
+      // kept for the stabler record. Values identical (persist never
+      // changes results).
+      hubs = Caching.persist(scoreOf(hraw, totH))
     }
     auths.select(lit("auth").as("side"), col("node"), col("score_u"))
       .unionAll(hubs.select(lit("hub").as("side"), col("node"),
@@ -709,10 +716,10 @@ object Graph {
     *
     * Scale shape: per round, two node-set joins against the edge table +
     * one degree aggregate — bounded shuffles; the surviving set is
-    * persisted per round (it feeds BOTH endpoint joins) and its lineage
-    * truncated every 4th round via [[Caching.truncateEvery]] (the
-    * per-round-checkpoint planning hazard measured in Scratch6; set
-    * spark.graft.reliableCheckpoints on a cluster).
+    * CHECKPOINTED per round (it feeds BOTH endpoint joins, and the flat
+    * base measured faster than the r9 truncateEvery cadence — round-10
+    * Scratch6 A/B: 2.1 vs 3.2 s warm; set spark.graft.reliableCheckpoints
+    * on a cluster).
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 0)
@@ -728,7 +735,7 @@ object Graph {
         .agg(count(lit(1)).as("d"))
         .where(col("d") >= k)
         .select(col("node"))
-        .transform(Caching.truncateEvery(_, r))
+        .transform(df => Caching.checkpoint(df))
     }
     e.join(nodes.withColumnRenamed("node", "src"), "src")
       .join(nodes.withColumnRenamed("node", "dst"), "dst")
@@ -936,15 +943,18 @@ object Graph {
     *
     * Scale shape: per level, ONE frontier-keyed equi-join against the
     * persisted edge table + one anti-join against the visited set —
-    * the standard Pregel expansion as DataFrame ops. The loop composes
-    * LAZY plans: the frontier is a filter over the visited set (dist =
-    * level−1), so ONE frame carries all loop state and
-    * [[Caching.truncateEvery]] bounds the whole composed tree (≤ 3⁴
-    * copies of a flat base between truncations; per-level lazy
-    * checkpoints each cost a full planner pass — the measured
-    * construction hazard). A level past the frontier's death costs one
-    * empty equi-join, so the fixed `maxHops` bound needs no per-level
-    * emptiness probe (no jobs during construction at all).
+    * the standard Pregel expansion as DataFrame ops. The frontier is a
+    * filter over the visited set (dist = level−1), so ONE frame carries
+    * all loop state, and that frame is CHECKPOINTED every level: the
+    * round-10 A/B (Scratch6 construct+count, sf0.1/32, warm) measured
+    * per-level checkpoint 1.8-2.0 s vs the r9 truncateEvery cadence
+    * 5.0-6.0 s — a growing tree makes each persist's own planner pass
+    * cost more than a checkpoint's flat-base pass, the same finding as
+    * [[hits]] (r9's "checkpoints are per-round planner passes" doctrine
+    * compared against NO truncation, not against cadenced persists whose
+    * passes plan 3×-per-level-bigger trees). A level past the frontier's
+    * death costs one empty equi-join, so the fixed `maxHops` bound needs
+    * no per-level emptiness probe.
     */
   def bfsDistances(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
     require(maxHops >= 0)
@@ -964,9 +974,8 @@ object Graph {
       val next = e.join(frontier.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "left_anti")
-      visited = visited.unionAll(
-          next.select(col("node"), lit(level.toLong).as("dist")))
-        .transform(Caching.truncateEvery(_, level))
+      visited = Caching.checkpoint(visited.unionAll(
+          next.select(col("node"), lit(level.toLong).as("dist"))))
     }
     visited
   }
@@ -1005,8 +1014,9 @@ object Graph {
     * Scale shape: per round ONE src-keyed equi-join of the node-sized
     * distance table against the flat checkpointed edge table + one
     * min-aggregate; the distance table is referenced twice per round
-    * (relax join + union) so [[Caching.truncateEvery]] bounds the
-    * composed tree. Negative weights are not validated (that would cost
+    * (relax join + union) and CHECKPOINTED each round — measured best
+    * (round-10 Scratch6 A/B warm: 1.8 s vs the truncateEvery cadence's
+    * 2.8 s; same finding as [[bfsDistances]]). Negative weights are not validated (that would cost
     * a scan): min-plus stays well-defined under the hop bound, but the
     * result then depends on `maxHops` — callers wanting classic shortest
     * paths should pass non-negative weights.
@@ -1023,9 +1033,8 @@ object Graph {
       val relax = e.join(dist.select(col("node").as("src"),
           col("dist").as("d0")), "src")
         .select(col("dst").as("node"), (col("d0") + col("w")).as("dist"))
-      dist = dist.unionAll(relax)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .transform(Caching.truncateEvery(_, r))
+      dist = Caching.checkpoint(dist.unionAll(relax)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist")))
     }
     dist
   }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Similarity search over embedding columns (`array<float>`): exact cosine
   * top-k as the correctness baseline, and two sublinear scale paths —
@@ -364,6 +364,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Sidecar location of the persisted codebook for an IVF layout at
+    * `path`. The `_` prefix keeps it INSIDE the index directory yet
+    * invisible to `spark.read.parquet(path)` (parquet discovery skips
+    * `_`/`.`-prefixed children), so serving reads are unchanged while
+    * maintenance gets an O(centroids) codebook read.
+    */
+  private def ivfCodebookPath(path: String): String =
+    path.stripSuffix("/") + "/_graft_codebook"
+
+  /** The codebook frame maintenance reads: the persisted sidecar when one
+    * exists, else ONE bootstrap derivation from the index's id recipe
+    * (ids divisible by `centroidEvery`) that is written to the sidecar so
+    * every later call reads |centroids| rows instead of scanning the
+    * index. `dropDuplicates(centroid_id)` makes the read idempotent under
+    * replayed sidecar appends (duplicate rows carry identical vectors, so
+    * the pick is value-deterministic).
+    */
+  private[graft] def ivfCodebook(spark: SparkSession, path: String,
+      idCol: String, vecCol: String, centroidEvery: Long): DataFrame = {
+    val cbPath = ivfCodebookPath(path)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(cbPath)
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) {
+      spark.read.parquet(path)
+        .where(col(idCol) % centroidEvery === 0)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
+        .write.mode("overwrite").parquet(cbPath)
+    }
+    spark.read.parquet(cbPath).dropDuplicates("centroid_id")
+  }
+
   /** One micro-batch of IVF index maintenance: assign the batch's vectors
     * to their nearest centroid and APPEND them to the [[writeIvfIndex]]
     * partition layout — the index stays serveable by [[knnIvfIndexed]]
@@ -374,44 +406,81 @@ object Similarity {
     * self-assigns and opens its own list immediately — [[knnIvfIndexed]],
     * which re-derives centroids from ids, then probes it consistently.
     *
-    * Scale shape: the codebook read filters the index scan to the
-    * centroid ids (pushed parquet filter), assignment is the
+    * Scale shape: the codebook comes from the [[ivfCodebook]] SIDECAR —
+    * |corpus|/centroidEvery rows, bootstrapped once and updated
+    * incrementally below — so per-batch input is O(batch + centroids),
+    * never O(index) (the pre-round-10 shape re-filtered the whole index
+    * every batch; at 100 TB that made maintenance cost scale with the
+    * index, spec-pinned bounded now in StreamingSpec). Assignment is the
     * [[assignToCentroids]] broadcast argmax over the batch only, and the
     * write is a dynamic-partition append touching just the batch's
-    * centroid directories. A production deployment would keep the
-    * codebook in a side-car table instead of re-filtering the index per
-    * batch — same shape, one fewer scan.
+    * centroid directories. New centroid-eligible ids in the batch are
+    * appended to the sidecar BEFORE the data append (a crash between the
+    * two leaves a centroid whose list is empty — harmless: serving
+    * re-derives centroids from index ids, and the sidecar read dedups).
     */
   def appendIvfBatch(batch: DataFrame, idCol: String, vecCol: String,
       path: String, centroidEvery: Long = 50): Unit = {
     val spark = batch.sparkSession
-    val existing = spark.read.parquet(path)
-    val codebook = existing.select(col(idCol), col(vecCol))
-      .unionByName(batch.select(col(idCol), col(vecCol)))
-      .where(col(idCol) % centroidEvery === 0)
+    val existingCb = ivfCodebook(spark, path, idCol, vecCol, centroidEvery)
+    val newCents = batch.where(col(idCol) % centroidEvery === 0)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
+      .transform(Caching.persist)
+    if (newCents.limit(1).count() > 0)
+      newCents.write.mode("append").parquet(ivfCodebookPath(path))
+    val codebook = existingCb.unionByName(newCents)
+      .dropDuplicates("centroid_id")
     val assigned = assignToCentroids(batch, idCol, vecCol, codebook)
     batch.join(assigned, idCol)
       .write.mode("append").partitionBy("centroid_id").parquet(path)
+    newCents.unpersist()
   }
+
+  /** Marker directory recording committed maintenance batch ids (same
+    * `_`-prefix trick as the codebook sidecar: lives inside the layout,
+    * invisible to serving reads).
+    */
+  private def ivfBatchMarker(path: String, batchId: Long)
+      : org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + s"/_graft_batches/$batchId")
 
   /** Streaming IVF refresh: keep a [[writeIvfIndex]] layout current as
     * vectors arrive — `readStream` → [[appendIvfBatch]] per micro-batch
-    * via foreachBatch (the standard streaming-maintenance pattern for a
-    * partitioned serving layout: exactly-once per batch rides the stream
-    * checkpoint; the parquet append is idempotent per batch id on
-    * restart because foreachBatch replays whole batches). Queries keep
-    * hitting [[knnIvfIndexed]] on the same path and see each batch's
-    * vectors as soon as its append commits.
+    * via foreachBatch. Queries keep hitting [[knnIvfIndexed]] on the same
+    * path and see each batch's vectors as soon as its append commits.
+    *
+    * Restart contract (spec-pinned in StreamingSpec): foreachBatch
+    * replays a batch id after an uncommitted failure, and a plain parquet
+    * append is NOT idempotent — so each committed batch writes a marker
+    * (`_graft_batches/<batchId>`) after its append, and a replayed id
+    * whose marker exists is SKIPPED. That makes kill-and-restart
+    * duplicate-free in the normal case; the residual window is a crash
+    * between the parquet commit and the marker write, where the replay
+    * appends that one batch twice (at-least-once for exactly that
+    * window — callers needing strict exactly-once dedupe on `idCol`
+    * downstream, or use the anti-join pattern of
+    * [[graft.streaming.EventStreams.dedupedParquetSink]]).
     */
   def streamingIvfRefresh(stream: DataFrame, idCol: String, vecCol: String,
-      path: String, centroidEvery: Long = 50)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        appendIvfBatch(batch, idCol, vecCol, path, centroidEvery)
+      path: String, centroidEvery: Long = 50,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
+    checkpointLocation.foreach(w.option("checkpointLocation", _))
+    w
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = ivfBatchMarker(path, batchId)
+        val fs = marker.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          appendIvfBatch(batch, idCol, vecCol, path, centroidEvery)
+          fs.mkdirs(marker)
+        }
+        ()
       }
       .start()
+  }
 
   /** ±1 hyperplane sign table derived from md5 (computed once on the JVM,
     * inlined as literals on both engines) — the portable analogue of
@@ -1606,8 +1675,10 @@ object Similarity {
     for (r <- 1 to iters) {
       val prev = v
       // persist (cheap, hint-free plan → cache-match dedups the 2-3
-      // consumers); the renormalized v carries a broadcast hint, so it
-      // truncates on the every-2 checkpoint cadence instead
+      // consumers); the renormalized v is CHECKPOINTED per round — the
+      // round-10 A/B vs the r9 every-2 cadence measured ~6 vs ~8 s warm
+      // (noisy box, direction consistent with hits/BFS/SSSP/kCore: a
+      // flat base per round beats persists over growing trees)
       val w = smat.join(prev.withColumnRenamed("pos", "j")
           .withColumnRenamed("vm", "pv"), "j")
         .groupBy(col("i").as("pos"))
@@ -1619,7 +1690,7 @@ object Similarity {
           when(col("mx") === 0, lit(0L)).otherwise(
             when(col("w") < 0, lit(-1L)).otherwise(lit(1L)) *
               expr("(abs(w) * 1000000) div mx")).as("vm"))
-        .transform(Caching.truncateEvery(_, r, every = 2))
+        .transform(df => Caching.checkpoint(df))
       if (r == iters) {
         // Rayleigh at the LAST iterate's input: num = v_{k-1}ᵀ·S·v_{k-1}
         // = Σ w·v_{k-1}, den = Σ v_{k-1}² — exact DECIMAL carriers

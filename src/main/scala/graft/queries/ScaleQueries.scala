@@ -279,9 +279,13 @@ object ScaleQueries {
         t(s, d, "lineitem").where(col("l_partkey") % 3 === 0),
         "l_orderkey", "l_partkey")
       // seed = min src: a 1-row aggregate collect (bounded, never data-
-      // sized) so the query needs no SF-specific node-id literal
-      val src = e.agg(min(col("src"))).head().getLong(0)
-      graft.operators.Graph.bfsDistances(e, src, maxHops = 4)
+      // sized) so the query needs no SF-specific node-id literal; null
+      // min (zero edges after the filter) → empty result with the BFS
+      // schema instead of an opaque NPE the bench would swallow
+      val seed = e.agg(min(col("src"))).head()
+      if (seed.isNullAt(0))
+        e.select(col("src").as("node"), lit(0L).as("dist")).limit(0)
+      else graft.operators.Graph.bfsDistances(e, seed.getLong(0), maxHops = 4)
     }),
 
     // --- hop-bounded weighted shortest paths over the tie-strength
@@ -293,8 +297,12 @@ object ScaleQueries {
         "l_orderkey", "l_partkey")
         .select(col("src"), col("dst"),
           expr("1000000 div n_co").as("w"))
-      val src = e.agg(min(col("src"))).head().getLong(0)
-      graft.operators.Graph.ssspBounded(e, src, maxHops = 3)
+      // same null-seed guard as q_graph_bfs (zero edges → empty frame,
+      // never a null-unboxing NPE inside the bench's catch-all)
+      val seed = e.agg(min(col("src"))).head()
+      if (seed.isNullAt(0))
+        e.select(col("src").as("node"), lit(0L).as("dist")).limit(0)
+      else graft.operators.Graph.ssspBounded(e, seed.getLong(0), maxHops = 3)
     }),
 
     // --- HITS hubs/authorities on the directed buyer→part graph: L1

@@ -1928,11 +1928,26 @@ object EventStreams {
     * arrival order, which is what a real limiter means. State times out
     * one `widthMs` past the window close (event-time timers + the
     * caller's watermark bound total state to active windows).
+    *
+    * Timeout contract (the [[statefulSessions]] posture, enforced here):
+    * the default `NoTimeout` is the BATCH mode — state is removed after
+    * every invocation, which is correct in batch (state cannot outlive
+    * the job) but in streaming would reset the admission counter every
+    * micro-batch, silently re-admitting `n` events per (key, window) per
+    * batch. A streaming input therefore REQUIRES an explicit
+    * `EventTimeTimeout` (with a watermark on `events`) or
+    * `ProcessingTimeTimeout`; passing NoTimeout on a streaming Dataset is
+    * rejected up front rather than miscounting downstream.
     */
   def streamingWindowedRateLimit(events: Dataset[RateEvent], widthMs: Long,
       n: Int, timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
       : Dataset[RateOut] = {
     require(n >= 1 && widthMs >= 1)
+    require(!events.isStreaming || timeout != GroupStateTimeout.NoTimeout,
+      "streamingWindowedRateLimit on a streaming input needs an explicit " +
+        "EventTimeTimeout (+ watermark) or ProcessingTimeTimeout: under " +
+        "NoTimeout state is dropped after each micro-batch, so the " +
+        "per-(key, window) cap would re-admit n events EVERY batch")
     implicit val outEnc = Encoders.product[RateOut]
     implicit val stEnc = Encoders.scalaLong
 

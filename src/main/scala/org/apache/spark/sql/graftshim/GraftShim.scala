@@ -58,6 +58,32 @@ object GraftShim {
     }
   }
 
+  /** Run `f` and return (result, total input records read by the jobs it
+    * submitted) — listener-measured, draining the (private[spark])
+    * listener bus before reading the counter so async task-end events are
+    * all counted. Lets specs pin I/O bounds ("this maintenance call reads
+    * O(centroids), not O(index)") instead of trusting plan shape alone.
+    * Counts ALL tasks that end while `f` runs, so callers should quiesce
+    * other jobs first (test usage).
+    */
+  def recordsReadDuring[T](spark: SparkSession)(f: => T): (T, Long) = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) acc.addAndGet(m.inputMetrics.recordsRead)
+      }
+    }
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = f
+      spark.sparkContext.listenerBus.waitUntilEmpty()
+      (r, acc.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   /** True when the DataFrame's plan already has a CacheManager entry
     * (plan-canonicalized — the same sharing `persist` itself would hit).
     */

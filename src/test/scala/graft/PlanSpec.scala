@@ -449,6 +449,22 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bnlj.isEmpty, "BFS levels must plan as keyed equi/anti joins")
   }
 
+  test("hits: final round plans over flat checkpointed bases, equi-joins only") {
+    // the round-10 measured shape: auths is checkpointed per round, so the
+    // executed plan of the LAST round must be a few joins over flat RDD
+    // scan leaves (LogicalRDD), never one deep tree composing all rounds —
+    // and every join keyed (a BNLJ would be a node×node cross product)
+    val (_, plan) = executed("q_graph_hits")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty, "HITS rounds must plan as keyed equi-joins")
+    val rddScans = collectWithSubqueries(plan) {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r
+    }
+    assert(rddScans.nonEmpty,
+      "expected flat checkpointed RDD leaves — a zero count means the " +
+        "per-round truncation was dropped and rounds compose one deep tree")
+  }
+
   test("mmdByGroup: pair math runs on the group-dim aggregate, not the corpus") {
     // the (group_a, group_b) self-join must key on dim over the tiny
     // aggregated sums table; the corpus is touched by exactly one
