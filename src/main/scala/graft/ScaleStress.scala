@@ -26,10 +26,16 @@ object ScaleStress {
       .reduce(_ union _)
     emb10.write.mode("overwrite").parquet("/tmp/stress/embeddings10.parquet")
 
+    // dev-only subset hook (mirrors Bench's SPARK_GRAFT_ONLY): regex over
+    // entry tags, so one family's 1x/10x pair can run without the ~30 min
+    // full sweep
+    val only = sys.env.get("SCALE_STRESS_ONLY").map(_.r)
     def time(tag: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[stress] $tag rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      if (only.forall(_.findFirstIn(tag).isDefined)) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[stress] $tag rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
     }
 
     val d1 = docs1
