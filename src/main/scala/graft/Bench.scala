@@ -13,9 +13,31 @@ object Bench {
     val normTotal: Double = perQuery.map(_._4).sum
     val calMin: Double = probes.map(_._2).min
     val calMax: Double = probes.map(_._2).max
-    // >1.5 = a contention window opened somewhere inside the run (the
-    // fixed CPU probe can't slow itself down)
-    val calRatio: Double = calMax / math.max(calMin, 1e-9)
+    // Contention signal over POST-QUERY probes only: the pre-probe
+    // (index 0) is assigned to no query's segment — probes are taken
+    // after the query they index — and it systematically reads slow
+    // (lingering JVM/table-cache warm-up), so including it fakes
+    // contention on quiet runs (measured: cal_pre 1.01 vs an all-quiet
+    // 0.14-0.49 trace → ratio 7.2, a pointless retry). A contended START
+    // is still caught: queries 1..calEvery map to the first post-query
+    // probe, which is in this set. Denominator = the robust baseline
+    // below, not the raw min.
+    val calRatio: Double = probes.filter(_._1 > 0).map(_._2).max /
+      math.max(Sweep.baseline(probes.map(_._2)), 1e-9)
+  }
+
+  private object Sweep {
+    /** Quiet-box baseline = SECOND-smallest probe: a single anomalously
+      * FAST probe (scheduler luck on a short fixed job) would otherwise
+      * lower the baseline and inflate every query's load factor,
+      * over-deflating value_norm. One outlier is voted out; two
+      * independently-fast probes are evidence the box really is that
+      * quiet.
+      */
+    def baseline(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(math.min(1, s.length - 1))
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -93,10 +115,19 @@ object Bench {
     // the best attempt kept, so a transiently-contended box no longer
     // writes the round's official number (VERDICT r9 item 1). Probe cost
     // (~0.4 s each, ~20 probes) is untimed and excluded from all totals.
+    // Each probe = MEDIAN of 3 back-to-back sub-probes: a single GC pause
+    // or scheduler hiccup inside one sub-probe gets voted out (round-10:
+    // every attempt of an otherwise-quiet run read cal_ratio 2.8-5.0 off
+    // lone spikes, forcing pointless retries), while a real contention
+    // window — which spans all three — still reads at full strength.
+    // Same total probe cost as the old single 1e8 probe.
     def calibrate(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(100000000L).selectExpr("sum(id * 3 + 1)").collect()
-      (System.nanoTime() - t0) / 1e9
+      val xs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(50000000L).selectExpr("sum(id * 3 + 1)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      xs(1)
     }
     calibrate() // untimed: the probe's own plan/codegen warm-up
     val calEvery = 15
@@ -143,15 +174,16 @@ object Bench {
         }
       val calPost = calibrate()
       if (probes.last._1 != qIdx) probes += ((qIdx, calPost))
-      // Normalization baseline = the quietest probe this run saw. Each
-      // query is assigned the load factor of the first probe at/after its
-      // position. If the whole run was uniformly contended the min probe
+      // Normalization baseline = the robust quiet value this run saw
+      // (second-smallest probe — see Sweep.baseline). Each query is
+      // assigned the load factor of the first probe at/after its
+      // position. If the whole run was uniformly contended the baseline
       // is contended too and norm stays honest (it can't invent a quiet
       // box it never saw); the absolute cal values still expose that case.
-      val minProbe = probes.map(_._2).min
+      val base = Sweep.baseline(probes.map(_._2).toSeq)
       val perQuery = raw.zipWithIndex.map { case ((name, sec), i) =>
         val seg = probes.find(_._1 >= i + 1).getOrElse(probes.last)._2
-        val factor = math.max(1.0, seg / minProbe)
+        val factor = math.max(1.0, seg / base)
         (name, sec, factor, sec / factor)
       }
       Sweep(perQuery, probes.toSeq, calPre, calPost)

@@ -326,6 +326,13 @@ object Similarity {
     val assigned = ivfAssign(df, idCol, vecCol, centroidEvery)
     df.join(assigned, idCol)
       .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    // codebook sidecar written at build time: probe selection and batch
+    // maintenance then read |centroids| rows instead of re-filtering the
+    // index (the id-recipe derivation stays available as a fallback, so
+    // a layout without the sidecar — e.g. pre-round-10 — still serves)
+    df.where(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
+      .write.mode("overwrite").parquet(ivfCodebookPath(path))
     df.sparkSession.read.parquet(path)
       .withColumn("centroid_id", col("centroid_id").cast("long"))
   }
@@ -341,14 +348,24 @@ object Similarity {
     * list IS the query plan). `centroidEvery` must match the value the
     * index was written with (the every-Nth-id centroid recipe is
     * re-derivable from ids alone, so the index needs no side metadata).
+    *
+    * Pass `codebook` (the [[ivfCodebook]] sidecar, written by
+    * [[writeIvfIndex]] since round 10) to bound PROBE SELECTION input by
+    * the centroid count too: without it the `id % centroidEvery` filter
+    * is a data-column predicate that prunes no partitions, so selecting
+    * nprobe probes scans the whole index — invisible at gate scale,
+    * O(index) per query at 100 TB. Answers are identical either way
+    * (spec-pinned): the sidecar holds exactly the recipe's rows.
     */
   def knnIvfIndexed(index: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, centroidEvery: Long = 50,
-      nprobe: Int = 3): DataFrame = {
+      nprobe: Int = 3, codebook: Option[DataFrame] = None): DataFrame = {
     val q = index.where(col(idCol) === queryId)
       .select(col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm"))
-    val cents = index.where(col(idCol) % centroidEvery === 0)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
+    val cents = codebook
+      .map(_.select(col("centroid_id"), col("cvec")))
+      .getOrElse(index.where(col(idCol) % centroidEvery === 0)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec")))
     val probeIds = cents.join(broadcast(q))
       .select(col("centroid_id"), cosine(col("cvec"), col("qvec")).as("cs"))
       .orderBy(col("cs").desc, col("centroid_id")).limit(nprobe)

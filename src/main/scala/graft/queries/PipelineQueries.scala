@@ -878,11 +878,15 @@ object PipelineQueries {
     // scan bound is pinned in SimilaritySpec ---
     "q_knn_ivf_layout" -> ((s, d) => {
       Tables.load(s, d)
+      val path = Tables.scratchDir(s, s"ivf_${d.replaceAll("[^A-Za-z0-9]", "_")}")
       val index = Similarity.writeIvfIndex(s.table("embeddings"), "vec_id",
-        "embedding",
-        Tables.scratchDir(s, s"ivf_${d.replaceAll("[^A-Za-z0-9]", "_")}"))
+        "embedding", path)
+      // probe selection reads the build-time codebook sidecar
+      // (O(centroids)); the inverted-list scan stays partition-pruned
       Similarity.knnIvfIndexed(index, "vec_id", "embedding",
-        queryId = 0L, k = 10)
+        queryId = 0L, k = 10,
+        codebook = Some(Similarity.ivfCodebook(s, path, "vec_id",
+          "embedding", 50)))
     }),
 
     // --- deterministic train/val/test split: md5(doc_id) mod 100 buckets

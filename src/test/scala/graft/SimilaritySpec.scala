@@ -451,6 +451,17 @@ class SimilaritySpec extends SparkSpec
     val scannedRows = pruned.map(_.metrics("numOutputRows").value).max
     assert(scannedRows > 0 && scannedRows * 2 < total,
       s"probed scan read $scannedRows of $total rows — not pruned")
+    // probe selection through the build-time codebook sidecar must give
+    // the IDENTICAL answer (the sidecar holds exactly the id-recipe rows);
+    // at 100 TB this is the difference between O(centroids) and O(index)
+    // input per query's probe step
+    val cb = Similarity.ivfCodebook(spark, dir, "vec_id", "embedding", 50L)
+    assert(cb.count() == index.where(col("vec_id") % 50 === 0).count(),
+      "sidecar must hold exactly the centroid-recipe rows")
+    val servedCb = Similarity.knnIvfIndexed(index, "vec_id", "embedding",
+      queryId = 0L, k = 10, codebook = Some(cb))
+    assert(rows(servedCb) == direct,
+      "codebook-served probe selection must not change the answer")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
