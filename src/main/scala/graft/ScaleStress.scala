@@ -376,6 +376,32 @@ object ScaleStress {
       Eval.prCurve(d, col("doc_id") % 1000L, col("doc_id") % 7 === 0).count()
     time("eval-prcurve 1x")(prc(d1))
     time("eval-prcurve 10x")(prc(d10))
+    // IVF maintenance: appending a FIXED batch must cost ~the same against
+    // a 1x and a 10x index — the round-10 codebook sidecar bounds the
+    // per-batch input by O(batch + centroids); the pre-sidecar shape read
+    // the whole index per batch, which this entry would expose as ~10x
+    // growth. (Both indexes use the same fixed centroidEvery so the
+    // codebook itself is the only thing that grows at 10x.)
+    def ivfMaintain(e: org.apache.spark.sql.DataFrame, tag: String): Long = {
+      val path = s"/tmp/stress/ivf_maint_$tag"
+      // build is untimed — it legitimately grows with the corpus; the
+      // claim under test is the APPEND's per-batch cost
+      Similarity.writeIvfIndex(e, "vec_id", "embedding", path,
+        centroidEvery = Similarity.sizeCentroidEvery(e.count()))
+      val batch = e.limit(100)
+        .withColumn("vec_id", col("vec_id") + 90000000L)
+      time(s"ivf-maintain $tag (one fixed 100-row batch)") {
+        Similarity.appendIvfBatch(batch, "vec_id", "embedding", path,
+          centroidEvery = Similarity.sizeCentroidEvery(e.count()))
+        batch.count()
+      }
+      spark.read.parquet(path).count()
+    }
+    // the build runs OUTSIDE time(), so gate it on the subset filter too
+    if (only.forall(_.findFirstIn("ivf-maintain").isDefined)) {
+      ivfMaintain(e1, "1x")
+      ivfMaintain(e10, "10x")
+    }
     spark.stop()
   }
 }

@@ -381,6 +381,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[knnIvfIndexed]] for a LITERAL query vector — the online-serving
+    * pattern where the query embedding arrives from outside the corpus
+    * (a user query encoded at request time) instead of naming an indexed
+    * id. With the `codebook` sidecar the whole request touches
+    * O(centroids) + the nprobe probed partition directories — no step
+    * scans the index. `excludeId` drops one known id from the result
+    * (the self-exclusion [[knnIvfIndexed]] performs when the query IS a
+    * corpus vector), letting the two paths answer identically for the
+    * same vector — spec-pinned, and gate-checked against the same DuckDB
+    * oracle as `q_knn_ivf`.
+    */
+  def knnIvfIndexedVec(index: DataFrame, idCol: String, vecCol: String,
+      qvec: Seq[Float], k: Int, centroidEvery: Long = 50,
+      nprobe: Int = 3, codebook: Option[DataFrame] = None,
+      excludeId: Option[Long] = None): DataFrame = {
+    val q = index.sparkSession.range(1)
+      .select(typedLit(qvec).as("qvec"))
+      .select(col("qvec"), norm(col("qvec")).as("qnrm"))
+    val cents = codebook
+      .map(_.select(col("centroid_id"), col("cvec")))
+      .getOrElse(index.where(col(idCol) % centroidEvery === 0)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec")))
+    val probeIds = cents.join(broadcast(q))
+      .select(col("centroid_id"), cosine(col("cvec"), col("qvec")).as("cs"))
+      .orderBy(col("cs").desc, col("centroid_id")).limit(nprobe)
+      .select("centroid_id").collect().map(_.getLong(0)).toSeq
+    val lists = index.select(col(idCol), col(vecCol),
+        norm(col(vecCol)).as("nrm"), col("centroid_id"))
+      .where(col("centroid_id").isin(probeIds: _*))
+    excludeId.fold(lists)(id => lists.where(col(idCol) =!= id))
+      .join(broadcast(q))
+      .select(col(idCol),
+        cosineScore(dot(col(vecCol), col("qvec")), col("nrm") * col("qnrm")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Sidecar location of the persisted codebook for an IVF layout at
     * `path`. The `_` prefix keeps it INSIDE the index directory yet
     * invisible to `spark.read.parquet(path)` (parquet discovery skips

@@ -889,6 +889,27 @@ object PipelineQueries {
           "embedding", 50)))
     }),
 
+    // --- IVF served for a LITERAL query vector (the online pattern: the
+    // embedding arrives from outside the corpus at request time): probe
+    // selection off the build-time codebook sidecar, lists partition-
+    // pruned; the vector here is id 0's (1-row bounded collect) with
+    // excludeId=0, so the answer — and the oracle — are exactly
+    // q_knn_ivf's ---
+    "q_knn_ivf_vec" -> ((s, d) => {
+      Tables.load(s, d)
+      val path = Tables.scratchDir(s,
+        s"ivfvec_${d.replaceAll("[^A-Za-z0-9]", "_")}")
+      val index = Similarity.writeIvfIndex(s.table("embeddings"), "vec_id",
+        "embedding", path)
+      val qvec = s.table("embeddings").where(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.knnIvfIndexedVec(index, "vec_id", "embedding", qvec,
+        k = 10,
+        codebook = Some(Similarity.ivfCodebook(s, path, "vec_id",
+          "embedding", 50)),
+        excludeId = Some(0L))
+    }),
+
     // --- deterministic train/val/test split: md5(doc_id) mod 100 buckets
     // (80/10/10) — content-stable assignment, the standard reproducible
     // alternative to seeded random sampling; oracle replays the same hash ---
@@ -1723,6 +1744,7 @@ object PipelineQueries {
     // gate entries replay the one oracle.
     "q_knn_ivf" -> ivfOracleSql,
     "q_knn_ivf_layout" -> ivfOracleSql,
+    "q_knn_ivf_vec" -> ivfOracleSql,
 
     "q_text_stats" ->
       s"""WITH t AS (

@@ -462,6 +462,15 @@ class SimilaritySpec extends SparkSpec
       queryId = 0L, k = 10, codebook = Some(cb))
     assert(rows(servedCb) == direct,
       "codebook-served probe selection must not change the answer")
+    // the literal-vector serving path (online pattern: query embedding
+    // from outside the corpus) with excludeId must answer identically to
+    // the by-id path for the same vector
+    val qvec = emb.where(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val servedVec = Similarity.knnIvfIndexedVec(index, "vec_id",
+      "embedding", qvec, k = 10, codebook = Some(cb), excludeId = Some(0L))
+    assert(rows(servedVec) == direct,
+      "vector-literal serving must equal by-id serving for the same vector")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
