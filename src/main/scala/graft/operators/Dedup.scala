@@ -1652,6 +1652,129 @@ object Dedup {
        |LEFT JOIN rebuilt ON rebuilt.doc_id = d.$idCol""".stripMargin
   }
 
+  /** Domain-scoped BOILERPLATE stripping — the CCNet/RefinedWeb curation
+    * pass: template text repeated across many documents of the SAME
+    * source (navigation, headers, legal footers) is removed from EVERY
+    * document, including the first (unlike [[dedupSegments]]' winner-keeps
+    * semantics, where one copy survives). A segment is boilerplate when
+    * its lowercase fingerprint appears in ≥ `minDocs` DISTINCT documents
+    * of one domain; other domains' identical text is untouched (a phrase
+    * that is template on one site can be content on another). Returns
+    * (doc_id, total_segs, kept_segs, text) — the [[dedupSegments]] shape.
+    *
+    * Segments are fixed-length non-overlapping token windows (the
+    * [[dedupSegments]] generator), so matching is alignment-sensitive:
+    * the classic line-based variant is this same pipeline with a line
+    * splitter when the corpus has line structure. Scale shape: one
+    * tokenizing scan, a (domain, fingerprint)-keyed distinct-doc count
+    * (bounded by segment vocabulary, never corpus²), one anti-join, one
+    * doc-keyed rebuild — all keyed shuffles, O(total tokens) work.
+    */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      domainCol: String, segLen: Int, minDocs: Int): DataFrame = {
+    require(segLen >= 1 && minDocs >= 2)
+    val base = Caching.persist(df.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(domainCol).cast("string").as("dom"),
+      TextAnalysis.tokens(col(textCol)).as("toks"),
+      filter(split(col(textCol), "\\s+"), t => t =!= "").as("rtoks")))
+    val segs = base
+      .select(col("doc_id"), col("dom"), col("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("dom"),
+        explode(sequence(lit(0L),
+          expr(s"(size(toks) - 1) div $segLen"))).as("seg"),
+        col("toks"))
+      .select(col("doc_id"), col("dom"), col("seg"),
+        md5(array_join(
+          slice(col("toks"), (col("seg") * segLen + 1).cast("int"),
+            lit(segLen)), " ")).as("fp"))
+      .transform(Caching.persist)
+    val boiler = segs.groupBy(col("dom"), col("fp"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .where(col("ndocs") >= minDocs)
+      .select(col("dom"), col("fp"))
+    val keptKeys = segs.join(boiler, Seq("dom", "fp"), "left_anti")
+      .select(col("doc_id"), col("seg"))
+    val raw = base
+      .select(col("doc_id"), col("rtoks"))
+      .where(size(col("rtoks")) >= 1)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L),
+          expr(s"(size(rtoks) - 1) div $segLen"))).as("seg"),
+        col("rtoks"))
+      .select(col("doc_id"), col("seg"),
+        array_join(slice(col("rtoks"), (col("seg") * segLen + 1).cast("int"),
+          lit(segLen)), " ").as("seg_text"))
+    val rebuilt = keptKeys.join(raw, Seq("doc_id", "seg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_segs"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg"), col("seg_text")))),
+          s => s.getField("seg_text")), " ").as("text"))
+    val totals = segs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("total_segs"))
+    base.select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("total_segs"), lit(0L)).as("total_segs"),
+        coalesce(col("kept_segs"), lit(0L)).as("kept_segs"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
+
+  /** DuckDB replay of [[stripBoilerplate]] value-for-value (same md5
+    * segment fingerprints, same ≥ `minDocs` distinct-doc threshold per
+    * (domain, fingerprint), same raw-case reassembly).
+    */
+  def stripBoilerplateOracleSql(segLen: Int, minDocs: Int,
+      table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text", domainCol: String = "source"): String = {
+    val rawToks =
+      s"CASE WHEN trim($textCol) = '' THEN []::VARCHAR[] " +
+        s"ELSE list_filter(string_split_regex($textCol, '\\s+'), t -> t <> '') END"
+    s"""WITH toks AS (
+       |  SELECT $idCol::BIGINT AS doc_id, $domainCol::VARCHAR AS dom,
+       |         ${TextAnalysis.toksSql(textCol)} AS toks,
+       |         $rawToks AS rtoks
+       |  FROM $table),
+       |segs AS (
+       |  SELECT doc_id, dom,
+       |         unnest(range(0, ((len(toks) - 1) // $segLen) + 1))::BIGINT
+       |           AS seg,
+       |         toks, rtoks
+       |  FROM toks WHERE len(toks) >= 1),
+       |fp AS (
+       |  SELECT doc_id, dom, seg,
+       |         md5(array_to_string(
+       |           toks[seg * $segLen + 1 : seg * $segLen + $segLen], ' '))
+       |           AS fp,
+       |         array_to_string(
+       |           rtoks[seg * $segLen + 1 : seg * $segLen + $segLen], ' ')
+       |           AS seg_text
+       |  FROM segs),
+       |boiler AS (
+       |  SELECT dom, fp FROM fp
+       |  GROUP BY dom, fp HAVING count(DISTINCT doc_id) >= $minDocs),
+       |kept AS (
+       |  SELECT doc_id, seg, seg_text FROM fp
+       |  ANTI JOIN boiler USING (dom, fp)),
+       |rebuilt AS (
+       |  SELECT doc_id, count(*)::BIGINT AS kept_segs,
+       |         string_agg(seg_text, ' ' ORDER BY seg) AS text
+       |  FROM kept GROUP BY doc_id),
+       |totals AS (
+       |  SELECT doc_id, count(*)::BIGINT AS total_segs
+       |  FROM fp GROUP BY doc_id)
+       |SELECT d.$idCol::BIGINT AS doc_id,
+       |       coalesce(totals.total_segs, 0)::BIGINT AS total_segs,
+       |       coalesce(rebuilt.kept_segs, 0)::BIGINT AS kept_segs,
+       |       coalesce(rebuilt.text, '') AS text
+       |FROM $table d
+       |LEFT JOIN totals ON totals.doc_id = d.$idCol
+       |LEFT JOIN rebuilt ON rebuilt.doc_id = d.$idCol""".stripMargin
+  }
+
   /** MinHash candidate-recall evaluation against the exact blocked-Jaccard
     * truth — "measure, don't guess" for the LSH tier: within the same id
     * window the exact tier scores, how many truth pairs (J ≥ threshold)

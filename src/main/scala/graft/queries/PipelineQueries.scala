@@ -693,6 +693,15 @@ object PipelineQueries {
     "q_dedup_segments" -> ((s, d) =>
       Dedup.dedupSegments(docs(s, d), "doc_id", "text", segLen = 10)),
 
+    // --- domain-scoped BOILERPLATE strip (CCNet/RefinedWeb): bigram
+    // segments repeated in >= 3 distinct docs of one source are template
+    // text, removed from EVERY doc of that source — unlike dedup's
+    // winner-keeps; identical text in other sources untouched
+    // (oracle-checked) ---
+    "q_text_boilerplate" -> ((s, d) =>
+      Dedup.stripBoilerplate(docs(s, d), "doc_id", "text", "source",
+        segLen = 2, minDocs = 3)),
+
     // --- intra-doc repeated-segment strip (the Gopher-repetition repair
     // step): winner scope narrowed to (doc, fingerprint) so cross-doc
     // repeats survive (oracle-checked) ---
@@ -1704,6 +1713,8 @@ object PipelineQueries {
     },
 
     "q_dedup_segments" -> Dedup.dedupSegmentsOracleSql(segLen = 10),
+    "q_text_boilerplate" -> Dedup.stripBoilerplateOracleSql(segLen = 2,
+      minDocs = 3),
 
     "q_dedup_minhash_recall" ->
       Dedup.minhashRecallOracleSql(idWindow = 25L, threshold = 0.5),

@@ -552,6 +552,32 @@ class DedupSpec extends SparkSpec {
     assert(t(0L) == "x y z" && t(1L) == "") // tail [z] duplicates doc0's
   }
 
+  test("stripBoilerplate: template segs removed from EVERY doc, domain-scoped") {
+    import graft.operators.Dedup
+    // domain A: "nav bar" opens 3 distinct docs → boilerplate (minDocs=3),
+    // stripped from ALL of them (no winner survives — the CCNet semantics,
+    // unlike dedupSegments). Domain B carries the same text once → content.
+    val docs = Seq(
+      (0L, "A", "Nav BAR alpha beta"),
+      (1L, "A", "nav bar Gamma DELTA"),
+      (2L, "A", "nav bar epsilon zeta"),
+      (3L, "B", "nav bar eta theta")).toDF("doc_id", "source", "text")
+    val r = Dedup.stripBoilerplate(docs, "doc_id", "text", "source",
+        segLen = 2, minDocs = 3)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getString(3))).toMap
+    assert(r(0L) == ((2L, 1L, "alpha beta")))
+    assert(r(1L) == ((2L, 1L, "Gamma DELTA"))) // raw case preserved
+    assert(r(2L) == ((2L, 1L, "epsilon zeta")))
+    assert(r(3L) == ((2L, 2L, "nav bar eta theta"))) // other domain intact
+    // below the threshold (2 docs) nothing is boilerplate
+    val two = Dedup.stripBoilerplate(
+        docs.where(col("doc_id") < 2), "doc_id", "text", "source",
+        segLen = 2, minDocs = 3)
+      .collect().map(x => x.getLong(0) -> x.getString(3)).toMap
+    assert(two(0L) == "Nav BAR alpha beta" && two(1L) == "nav bar Gamma DELTA")
+  }
+
   test("dedupSegments perDoc: intra-doc repeats collapse, cross-doc survive") {
     import graft.operators.Dedup
     val docs = Seq(
