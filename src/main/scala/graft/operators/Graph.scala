@@ -539,12 +539,13 @@ object Graph {
       raw.crossJoin(broadcast(tot)).select(col("node"),
         expr(s"cast(raw as decimal(38,0)) * $S div tot").as("score_u"))
     // Per-round CHECKPOINT of auths, measured best (round-10 A/B at
-    // sf0.1/32, Scratch warm reps): this r9 shape runs 0.88-1.17 s;
-    // swapping it for truncateEvery(every=2) — fewer planner passes on
-    // paper — measured 2.1-3.9 s, 3-4x SLOWER, because between
-    // truncations the composed tree re-executes the broadcast total
-    // subtrees against InMemoryRelation scans instead of a flat
-    // LogicalRDD. The flat-base-per-round shape is also why the "fuse
+    // sf0.1/32, Scratch warm reps — COUNT phase; construction adds ~3 s
+    // in bench context either way, Scratch6): this r9 shape executes in
+    // 0.88-1.17 s; swapping it for truncateEvery(every=2) — fewer
+    // planner passes on paper — executed in 2.1-3.9 s, 3-4x SLOWER,
+    // because between truncations the composed tree re-executes the
+    // broadcast total subtrees against InMemoryRelation scans instead
+    // of a flat LogicalRDD. The flat-base-per-round shape is also why the "fuse
     // the two half-step edge joins like spamMass" idea can't apply:
     // spamMass's two propagations are INDEPENDENT per round (one tagged
     // union feeds one join), while HITS alternates — hraw_r consumes
@@ -567,10 +568,10 @@ object Graph {
       // twice (totA's node join + araw's edge join), and the persist
       // dedups that edge join's execution while costing only a cacheQuery
       // pass on a few-node tree over the checkpointed auths. Round-10
-      // A/B (Scratch, sf0.1/32, warm): plain hubs 0.79-1.72 s across
-      // runs, persisted 0.86-0.91 s — same mean, far lower variance;
-      // kept for the stabler record. Values identical (persist never
-      // changes results).
+      // A/B (Scratch COUNT phase, sf0.1/32, warm): plain hubs
+      // 0.79-1.72 s across runs, persisted 0.86-0.91 s — same mean, far
+      // lower variance; kept for the stabler record. Values identical
+      // (persist never changes results).
       hubs = Caching.persist(scoreOf(hraw, totH))
     }
     auths.select(lit("auth").as("side"), col("node"), col("score_u"))
