@@ -22,8 +22,14 @@ object Bench {
     // is still caught: queries 1..calEvery map to the first post-query
     // probe, which is in this set. Denominator = the robust baseline
     // below, not the raw min.
-    val calRatio: Double = probes.filter(_._1 > 0).map(_._2).max /
-      math.max(Sweep.baseline(probes.map(_._2)), 1e-9)
+    val calRatio: Double = {
+      // guard: a filtered run (SPARK_GRAFT_ONLY matching zero queries)
+      // takes no post-query probe at all — an unguarded .max would throw
+      // and kill the bench before any record is written
+      val post = probes.filter(_._1 > 0).map(_._2)
+      if (post.isEmpty) 1.0
+      else post.max / math.max(Sweep.baseline(probes.map(_._2)), 1e-9)
+    }
   }
 
   private object Sweep {
@@ -32,11 +38,15 @@ object Bench {
       * lower the baseline and inflate every query's load factor,
       * over-deflating value_norm. One outlier is voted out; two
       * independently-fast probes are evidence the box really is that
-      * quiet.
+      * quiet. With fewer than 3 probes (a short SPARK_GRAFT_ONLY subset:
+      * pre + post only) the vote has no population — second-smallest
+      * would just pick the LARGER of two, clamping every factor to 1 and
+      * silently disabling normalization exactly when subsets run — so the
+      * raw min is used instead.
       */
     def baseline(xs: Seq[Double]): Double = {
       val s = xs.sorted
-      s(math.min(1, s.length - 1))
+      if (s.length < 3) s.head else s(1)
     }
   }
 
@@ -131,6 +141,7 @@ object Bench {
     }
     calibrate() // untimed: the probe's own plan/codegen warm-up
     val calEvery = 15
+    val heavyProbeSec = 3.0
 
     def runSweep(): Sweep = {
       val calPre = calibrate()
@@ -168,8 +179,16 @@ object Bench {
           // probe taken AFTER the query it indexes (r9's ADVICE off-by-one:
           // recording it before meant every calEvery-th query was assigned
           // the PREVIOUS segment's load), so find(_._1 >= position) below
-          // really is "the nearest probe measured after this query ran"
-          if (qIdx % calEvery == 0) probes += ((qIdx, calibrate()))
+          // really is "the nearest probe measured after this query ran".
+          // Heavy queries (raw > heavyProbeSec) additionally get their OWN
+          // immediate post-probe (VERDICT r10 item 5): a contention spike
+          // shorter than the 15-query segment otherwise lands on one
+          // heavy query's record unremarked (spam_mass read 10.0 s at
+          // factor 1.06 while same-code attempts read 7.3-8.9). ~10
+          // queries exceed the threshold → ~4 s of extra untimed probes,
+          // <2% of the sweep.
+          if (qIdx % calEvery == 0 || sec > heavyProbeSec)
+            probes += ((qIdx, calibrate()))
           name -> sec
         }
       val calPost = calibrate()
@@ -251,7 +270,16 @@ object Bench {
     val fam = best.perQuery.groupBy(_._1.split("_")(1)).toSeq.sortBy(_._1)
       .map { case (f, rs) => s"\"" + f + "\":" + f"${rs.map(_._2).sum}%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"${best.total}%.3f"},"unit":"sec","value_norm":${f"${best.normTotal}%.3f"},"n_queries":${best.perQuery.size},"queries":$fam,"cal_pre":${f"${best.calPre}%.3f"},"cal_post":${f"${best.calPost}%.3f"},"cal_min":${f"${best.calMin}%.3f"},"cal_max":${f"${best.calMax}%.3f"},"cal_ratio":${f"${best.calRatio}%.3f"},"attempts":${attempts.size},"contended":$contended,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    // per-attempt totals IN the metric line (ADVICE r10): attempts 2+ run
+    // warmer (JIT/page cache/shuffle reuse survive across sweeps), so a
+    // round that happened to retry carries a systematic advantage in
+    // cross-round comparisons — the raw trail makes that bias visible in
+    // the record itself instead of only in BENCH_HISTORY.jsonl (≤3
+    // attempts → bounded line length)
+    val attTotals = attempts.map(a => f"${a.total}%.3f").mkString("[", ",", "]")
+    val attNorm = attempts.map(a => f"${a.normTotal}%.3f")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f"${best.total}%.3f"},"unit":"sec","value_norm":${f"${best.normTotal}%.3f"},"n_queries":${best.perQuery.size},"queries":$fam,"cal_pre":${f"${best.calPre}%.3f"},"cal_post":${f"${best.calPost}%.3f"},"cal_min":${f"${best.calMin}%.3f"},"cal_max":${f"${best.calMax}%.3f"},"cal_ratio":${f"${best.calRatio}%.3f"},"attempts":${attempts.size},"attempt_totals":$attTotals,"attempt_norm_totals":$attNorm,"contended":$contended,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

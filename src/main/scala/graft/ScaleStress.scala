@@ -376,12 +376,14 @@ object ScaleStress {
       Eval.prCurve(d, col("doc_id") % 1000L, col("doc_id") % 7 === 0).count()
     time("eval-prcurve 1x")(prc(d1))
     time("eval-prcurve 10x")(prc(d10))
-    // IVF maintenance: appending a FIXED batch must cost ~the same against
-    // a 1x and a 10x index — the round-10 codebook sidecar bounds the
-    // per-batch input by O(batch + centroids); the pre-sidecar shape read
+    // IVF maintenance: appending a FIXED batch against a 1x vs a 10x
+    // index — the round-10 codebook sidecar bounds per-batch input by
+    // O(batch + centroids), never O(index); the pre-sidecar shape read
     // the whole index per batch, which this entry would expose as ~10x
-    // growth. (Both indexes use the same fixed centroidEvery so the
-    // codebook itself is the only thing that grows at 10x.)
+    // growth. Both indexes use the deployment sqrt sizing, so the 10x
+    // codebook is ~sqrt(10)x larger and the bound under test is
+    // O(batch + centroids) — expect near-flat with a mild sqrt(10)
+    // centroid term, NOT strictly flat (ADVICE r10 wording fix).
     def ivfMaintain(e: org.apache.spark.sql.DataFrame, tag: String): Long = {
       val path = s"/tmp/stress/ivf_maint_$tag"
       // build is untimed — it legitimately grows with the corpus; the
@@ -402,6 +404,17 @@ object ScaleStress {
       ivfMaintain(e1, "1x")
       ivfMaintain(e10, "10x")
     }
+    // boilerplate strip (VERDICT r10 item 6): one tokenizing scan, a
+    // (domain, fp)-keyed distinct-doc count, one anti-join, one doc-keyed
+    // rebuild — O(total tokens). 10x docs in the SAME 20 domains is the
+    // worst case (every domain's fp groups grow 10x deep); the aggregate
+    // is keyed, so work must stay ~linear — superlinear growth here would
+    // mean the fp count or the rebuild degenerated into a per-domain sort
+    def boiler(d: org.apache.spark.sql.DataFrame): Long =
+      Dedup.stripBoilerplate(d, "doc_id", "text", "source",
+        segLen = 10, minDocs = 3).count()
+    time("boilerplate 1x (5k docs)")(boiler(d1))
+    time("boilerplate 10x (50k docs, 10x-deeper domains)")(boiler(d10))
     spark.stop()
   }
 }

@@ -28,6 +28,24 @@ object Graph {
     */
   val RankScale: Long = 1000000000000L
 
+  /** Lineage-truncation cadence for the single-reference damped loops
+    * ([[pageRank]], [[trustRank]], [[spamMass]]): the frame is
+    * checkpointed every this-many rounds so arbitrarily deep iteration
+    * counts keep a bounded logical tree, while shallow (gate-sized) runs
+    * never pay a checkpoint. See [[pageRank]]'s docstring for the
+    * measured A/B that picked lazy-with-periodic-truncation over the
+    * per-round checkpoint the multi-reference loops use.
+    */
+  val TruncateRounds: Int = 8
+
+  /** [[Caching.checkpoint]] on every [[TruncateRounds]]-th round, plain
+    * lazy composition between (NOT [[Caching.truncateEvery]], whose
+    * between-round persist pays a planning pass per round for nothing
+    * when the frame is referenced once).
+    */
+  private def truncate(df: DataFrame, round: Int): DataFrame =
+    if (round % TruncateRounds == 0) Caching.checkpoint(df) else df
+
   /** Undirected co-occurrence edges: items sharing a group (parts sharing
     * an order, docs sharing a near-dup family, hosts sharing a page) become
     * edge pairs, emitted in BOTH directions and deduplicated across groups
@@ -95,10 +113,25 @@ object Graph {
     * is one src-keyed join of the current rank against the persisted edge
     * table plus one dst-keyed aggregate — k iterations = k·2 bounded
     * shuffles, no driver-side state (the loop only composes lazy plans;
-    * nothing is collected). For deep iteration counts on a real cluster,
-    * checkpoint every few rounds exactly like
-    * [[Dedup.connectedComponents]]'s `checkpointDir` mode — at the gate's
-    * fixed k the composed plan stays well under Catalyst limits.
+    * nothing is collected).
+    *
+    * Truncation discipline (round-11 A/B, Scratch6 construct+count at
+    * sf0.1/32): LAZY composition wins here, unlike hits/BFS/SSSP/kCore.
+    * Those loops reference the previous round's frame MORE THAN ONCE per
+    * round (BFS: anti-join + union; HITS: edge join + broadcast total), so
+    * an untruncated tree re-executes shared subtrees combinatorially and
+    * per-round [[Caching.checkpoint]] was 1.5-4× faster. The damped
+    * propagations reference `ranks` exactly ONCE per round — the lazy tree
+    * grows linearly and every subtree executes exactly once — so the
+    * per-round checkpoint's cost (a planner pass + eager AQE stage
+    * materialization per round, ~1.7 s warm each) buys nothing: measured
+    * 5-iteration gate query, lazy 1.2 s construct + 3.7 s count vs
+    * per-round checkpoint 8.4 s construct + 0.4 s count warm (cold: 13.0
+    * vs 36.5 s). Deep iteration counts still get lineage truncation —
+    * every [[TruncateRounds]] rounds the frame is checkpointed so a
+    * k=100 cluster run never approaches Catalyst tree limits; at the
+    * gate's k=5 the branch never fires and the plan is byte-identical to
+    * pure lazy.
     */
   def pageRank(edges: DataFrame, iters: Int, dampNum: Int = 85): DataFrame = {
     require(iters >= 0 && dampNum >= 0 && dampNum <= 100)
@@ -117,16 +150,17 @@ object Graph {
     val base = (100L - dampNum) * (RankScale / math.max(n, 1L)) / 100L
     var ranks = deg.select(col("node"),
       lit(RankScale / math.max(n, 1L)).as("rank_u"))
-    for (_ <- 1 to iters) {
+    for (r <- 1 to iters) {
       // `div`, not `/`: Spark's `/` on BIGINTs is DOUBLE division, whose
       // rounding can cross an integer boundary before the floor (rank_u
       // ~1e12 → abs error ~1e-5) — the whole point of integer carriers is
       // that no double ever appears
       val contribs = e.join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), expr("rank_u div degree").as("c"))
-      ranks = contribs.groupBy(col("dst").as("node"))
+      val next = contribs.groupBy(col("dst").as("node"))
         .agg((lit(base) + expr(s"($dampNum * sum(c)) div 100"))
           .cast("long").as("rank_u"))
+      ranks = truncate(next, r)
     }
     ranks
   }
@@ -176,16 +210,20 @@ object Graph {
     val sdC = sd.select(col("node").as("dst"), lit(0L).as("c"),
       lit(1).as("tel"))
     var ranks = sd.select(col("node"), lit(init).as("rank_u"))
-    for (_ <- 1 to iters) {
+    for (r <- 1 to iters) {
       val contribs = e.join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), expr("rank_u div degree").as("c"),
           lit(0).as("tel"))
         .unionAll(sdC)
-      ranks = contribs.groupBy(col("dst").as("node"))
+      // lazy between rounds, truncated every TruncateRounds — `ranks` is
+      // referenced once per round, so the lazy tree has no shared-subtree
+      // recompute; see [[pageRank]]'s measured A/B
+      val next = contribs.groupBy(col("dst").as("node"))
         .agg(expr(s"($dampNum * sum(c)) div 100").as("p"),
           max(col("tel")).as("__tel"))
         .select(col("node"),
           (col("p") + col("__tel") * lit(base)).cast("long").as("rank_u"))
+      ranks = truncate(next, r)
     }
     ranks
   }
@@ -271,18 +309,21 @@ object Graph {
         lit(initP).as("rank_u"))
       .unionAll(sd.select(col("node"), lit(1).as("kind"),
         lit(initT).as("rank_u")))
-    for (_ <- 1 to iters) {
+    for (r <- 1 to iters) {
       val contribs = e.join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), col("kind"), expr("rank_u div degree").as("c"),
           lit(0).as("tel"))
         .unionAll(sdC)
-      ranks = contribs.groupBy(col("dst").as("node"), col("kind"))
+      // lazy between rounds, truncated every TruncateRounds — the tagged
+      // frame is referenced once per round ([[pageRank]] has the A/B)
+      val next = contribs.groupBy(col("dst").as("node"), col("kind"))
         .agg(expr(s"($dampNum * sum(c)) div 100").as("p"),
           max(col("tel")).as("__tel"))
         .select(col("node"), col("kind"),
           (col("p") + when(col("kind") === 0, lit(baseP))
             .otherwise(col("__tel") * lit(baseT)))
             .cast("long").as("rank_u"))
+      ranks = truncate(next, r)
     }
     // un-tag: one row per node had kind 0 (rank) and optionally kind 1
     // (trust); PageRank-side rows define the output node set (left join

@@ -91,6 +91,31 @@ class GraphSpec extends SparkSpec {
     assert(r.size == 6)
   }
 
+  test("pageRank: deep iteration across the truncation boundary is " +
+      "value-exact vs an in-driver replay") {
+    // TruncateRounds-crossing run (round 11: the damped loops compose
+    // lazily and checkpoint every TruncateRounds rounds — this pins that
+    // the truncated frame re-enters the recurrence with unchanged values)
+    val iters = Graph.TruncateRounds + 1
+    val pairs = Set((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val edges = pairs ++ pairs.map(p => (p._2, p._1))
+    val got = Graph.pageRank(edgesOf(pairs.toSeq: _*), iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact integer replay of the pinned semantics, driver-side
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val S = Graph.RankScale
+    val n = deg.size.toLong
+    val base = (100L - 85L) * (S / n) / 100L
+    var rank = deg.keySet.map(_ -> S / n).toMap
+    for (_ <- 1 to iters) {
+      rank = edges.toSeq
+        .flatMap { case (s, d) => rank.get(s).map(r => d -> r / deg(s)) }
+        .groupBy(_._1)
+        .map { case (d, cs) => d -> (base + 85L * cs.map(_._2).sum / 100L) }
+    }
+    assert(got == rank)
+  }
+
   test("spamMass single-pass pyramid equals the standalone composition") {
     // the tagged-union iteration must reproduce pageRank + trustRank
     // byte-for-byte — asymmetric degrees + a seed outside the edge set +
