@@ -80,6 +80,18 @@ object ScaleStress {
       Similarity.knnPq(e1, "vec_id", "embedding", 0L, 10).count())
     time("knn pq 10x (20k vecs)")(
       Similarity.knnPq(e10, "vec_id", "embedding", 0L, 10).count())
+    // BQ: one threshold aggregate + one Hamming scan over 32x-compressed
+    // words + a bounded exact re-rank — strictly linear in corpus size
+    time("knn bq 1x (2k vecs)")(
+      Similarity.knnBq(e1, "vec_id", "embedding", 0L, 10).count())
+    time("knn bq 10x (20k vecs)")(
+      Similarity.knnBq(e10, "vec_id", "embedding", 0L, 10).count())
+    // Matryoshka: coarse scan on mDim/dim of the data + bounded re-rank —
+    // strictly linear
+    time("knn mrl 1x (2k vecs)")(
+      Similarity.knnMatryoshka(e1, "vec_id", "embedding", 0L, 10).count())
+    time("knn mrl 10x (20k vecs)")(
+      Similarity.knnMatryoshka(e10, "vec_id", "embedding", 0L, 10).count())
     time("neardup-auto 1x")(
       Similarity.nearDupPairsAuto(e1, "vec_id", "embedding", 0.4).count())
     time("neardup-auto 10x")(

@@ -852,6 +852,209 @@ object Similarity {
        |  FROM scored a, q WHERE a.id <> $queryId)
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
 
+  /** Binary-quantized (1-bit-per-dimension) encoding of an embedding
+    * column — the 32× compression rung of the ladder between
+    * [[quantizeInt8]] (4×) and [[pqEncode]] (~64×), and the sketch modern
+    * vector stores serve Hamming pre-filters from. Bit i is "dimension i
+    * above the corpus per-dimension mean" (mean-thresholded binary scalar
+    * quantization — sign bits alone collapse for non-centered embedding
+    * models), packed 32 bits per BIGINT word.
+    *
+    * Exactness: thresholds compare in pure integers — `v_fx·n > Σ v_fx`
+    * (v_fx = round(v·1e6), n = corpus rows) is the mean test with no
+    * double division, so the encoding is partition-order-proof and
+    * replays bit-for-bit in the oracle engine (a parallel double mean
+    * would be neither). Bound: |v|·1e6·n must stay under 2^63 —
+    * n ≤ ~9·10¹² rows at |v| ≤ 1, far past any corpus. Scale shape: one
+    * posexplode aggregate for the (dim)-row threshold table (broadcast),
+    * one encode scan; 32 bits/word keeps every packed word positive, so
+    * no sign-bit edge case crosses engines.
+    */
+  private[graft] def bqEncoded(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int): DataFrame = {
+    val words = (dim + 31) / 32
+    val fx = df.select(col(idCol).as("id"),
+      expr(s"transform($vecCol, x -> " +
+        "CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))").as("vfx"))
+    val sums = fx.select(posexplode(col("vfx")).as(Seq("i", "v")))
+      .groupBy(col("i")).agg(sum(col("v")).as("sfx"), count(lit(1)).as("nn"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, sfx))), " +
+        "s -> s.sfx)").as("sums"), max(col("nn")).as("n"))
+    fx.join(broadcast(sums))
+      .select(col("id"),
+        expr(s"""transform(sequence(0, ${words - 1}), w ->
+          aggregate(sequence(0, 31), 0L, (acc, b) ->
+            acc + IF(w * 32 + b < $dim AND
+                     element_at(vfx, w * 32 + b + 1) * n >
+                       element_at(sums, w * 32 + b + 1),
+                     shiftleft(1L, b), 0L)))""").as("bits"))
+  }
+
+  /** ANN top-k through the binary sketch: Hamming distance over the
+    * packed [[bqEncoded]] words (one `bit_count(xor)` per word — `dim/32`
+    * integer ops per candidate instead of `dim` multiplies, on 32× less
+    * data) picks `k·oversample` candidates, which an exact full-precision
+    * cosine re-ranks to the final k. The standard two-phase serving
+    * pattern for 100 TB vector corpora: the Hamming scan is the cheap
+    * full pass (or rides a bit-sliced index), the float vectors are
+    * touched only for the bounded candidate set. Deterministic end to
+    * end (integer Hamming, id ties, exact re-rank on the same fold as
+    * [[knnBrute]]) → [[knnBqOracleSql]] replays it value-for-value;
+    * recall vs [[knnBrute]] is measured in SimilaritySpec.
+    */
+  def knnBq(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int, dim: Int = 64, oversample: Int = 4): DataFrame = {
+    val enc = Caching.persist(bqEncoded(df, idCol, vecCol, dim))
+    val qb = enc.where(col("id") === queryId).select(col("bits").as("qbits"))
+    val cands = enc.join(broadcast(qb))
+      .where(col("id") =!= queryId)
+      .select(col("id"),
+        expr("aggregate(zip_with(bits, qbits, " +
+          "(x, y) -> CAST(bit_count(x ^ y) AS BIGINT)), " +
+          "0L, (acc, h) -> acc + h)").as("ham"))
+      .orderBy(col("ham").asc, col("id"))
+      .limit(k * oversample)
+      .select(col("id").as(idCol))
+    val q = df.where(col(idCol) === queryId)
+      .select(col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm"))
+    df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+      .join(broadcast(cands), Seq(idCol))
+      .join(broadcast(q))
+      .select(col(idCol),
+        cosineScore(dot(col(vecCol), col("qvec")),
+          col("nrm") * col("qnrm")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB SQL replaying [[knnBq]] value-for-value (same integer mean
+    * threshold, same 32-bit word packing, same Hamming + exact-cosine
+    * two-phase).
+    */
+  def knnBqOracleSql(queryId: Long, k: Int, dim: Int = 64,
+      oversample: Int = 4, table: String = "embeddings",
+      idCol: String = "vec_id", vecCol: String = "embedding"): String = {
+    val words = (dim + 31) / 32
+    s"""WITH vecs AS (
+       |  SELECT $idCol AS id, $vecCol::DOUBLE[] AS v,
+       |         sqrt(list_dot_product($vecCol::DOUBLE[], $vecCol::DOUBLE[])) AS nrm,
+       |         list_transform($vecCol::DOUBLE[],
+       |           x -> round(x * 1000000)::BIGINT) AS vfx
+       |  FROM $table),
+       |sums AS (
+       |  SELECT g.i AS i, sum(vfx[g.i + 1])::BIGINT AS sfx,
+       |         count(*)::BIGINT AS nn
+       |  FROM vecs, generate_series(0, ${dim - 1}) g(i) GROUP BY g.i),
+       |sarr AS (SELECT list(sfx ORDER BY i) AS sums, max(nn) AS n FROM sums),
+       |enc AS (
+       |  SELECT id, list_transform(generate_series(0, ${words - 1}), w ->
+       |    list_sum(list_transform(generate_series(0, 31), b ->
+       |      CASE WHEN w * 32 + b < $dim
+       |                AND vfx[w * 32 + b + 1] * n > sums[w * 32 + b + 1]
+       |           THEN 1::BIGINT << b ELSE 0::BIGINT END))::BIGINT) AS bits
+       |  FROM vecs, sarr),
+       |q AS (SELECT bits AS qbits FROM enc WHERE id = $queryId),
+       |cand AS (
+       |  SELECT e.id,
+       |         list_sum(list_transform(generate_series(1, $words), j ->
+       |           bit_count(xor(e.bits[j], q.qbits[j]))::BIGINT))::BIGINT AS ham
+       |  FROM enc e, q WHERE e.id <> $queryId
+       |  ORDER BY ham, e.id LIMIT ${k * oversample}),
+       |qv AS (SELECT v AS qvec, nrm AS qnrm FROM vecs WHERE id = $queryId)
+       |SELECT id AS $idCol, score FROM (
+       |  SELECT a.id,
+       |         list_dot_product(a.v, qv.qvec) / (a.nrm * qv.qnrm) AS score
+       |  FROM vecs a JOIN cand c ON c.id = a.id, qv)
+       |ORDER BY score DESC, id LIMIT $k""".stripMargin
+  }
+
+  /** Matryoshka-style prefix-dimension retrieval (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning"): MRL-trained encoders front-load
+    * information, so cosine over the FIRST `mDim` dimensions is a faithful
+    * coarse ranking at `mDim/dim` of the scan cost — the serving pattern
+    * is coarse top-(k·oversample) on the prefix, exact full-dimension
+    * re-rank of just those candidates. Works as a (weaker) candidate
+    * generator on non-MRL embeddings too; recall vs [[knnBrute]] is
+    * measured in SimilaritySpec, and with `mDim = dim` the result equals
+    * [[knnBrute]] exactly (spec-pinned).
+    *
+    * Exactness: the coarse phase ranks by prefix cosine computed from
+    * EXACT integer sums — cfx / (√pn2_a · √pn2_q) where cfx = Σ v_fx·q_fx
+    * and pn2 = Σ v_fx² on the round(v·1e6) carrier — one deterministic
+    * double division per candidate, no parallel double accumulation, so
+    * the candidate set and the final k replay bit-for-bit in DuckDB
+    * ([[knnMatryoshkaOracleSql]]). The re-rank is [[knnBrute]]'s fold.
+    */
+  def knnMatryoshka(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, mDim: Int = 16,
+      oversample: Int = 4): DataFrame = {
+    val fx = df.select(col(idCol).as("id"),
+      expr(s"transform(slice($vecCol, 1, $mDim), x -> " +
+        "CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))").as("pfx"))
+      .select(col("id"), col("pfx"),
+        expr("aggregate(transform(pfx, x -> x * x), 0L, " +
+          "(acc, v) -> acc + v)").as("pn2"))
+    val qp = fx.where(col("id") === queryId)
+      .select(col("pfx").as("qpfx"), col("pn2").as("qpn2"))
+    val cands = fx.join(broadcast(qp))
+      .where(col("id") =!= queryId)
+      .select(col("id"),
+        cosineScore(
+          expr("aggregate(zip_with(pfx, qpfx, (x, y) -> x * y), 0L, " +
+            "(acc, v) -> acc + v)").cast("double"),
+          sqrt(col("pn2").cast("double")) * sqrt(col("qpn2").cast("double")))
+          .as("cscore"))
+      .orderBy(col("cscore").desc, col("id"))
+      .limit(k * oversample)
+      .select(col("id").as(idCol))
+    val q = df.where(col(idCol) === queryId)
+      .select(col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm"))
+    df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+      .join(broadcast(cands), Seq(idCol))
+      .join(broadcast(q))
+      .select(col(idCol),
+        cosineScore(dot(col(vecCol), col("qvec")),
+          col("nrm") * col("qnrm")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB SQL replaying [[knnMatryoshka]] value-for-value (same integer
+    * prefix carrier, same single-division prefix cosine, same re-rank).
+    */
+  def knnMatryoshkaOracleSql(queryId: Long, k: Int, mDim: Int = 16,
+      oversample: Int = 4, table: String = "embeddings",
+      idCol: String = "vec_id", vecCol: String = "embedding"): String =
+    s"""WITH vecs AS (
+       |  SELECT $idCol AS id, $vecCol::DOUBLE[] AS v,
+       |         sqrt(list_dot_product($vecCol::DOUBLE[], $vecCol::DOUBLE[])) AS nrm,
+       |         list_transform(($vecCol::DOUBLE[])[1 : $mDim],
+       |           x -> round(x * 1000000)::BIGINT) AS pfx
+       |  FROM $table),
+       |pre AS (
+       |  SELECT id, pfx,
+       |         list_sum(list_transform(pfx, x -> x * x))::BIGINT AS pn2
+       |  FROM vecs),
+       |qp AS (SELECT pfx AS qpfx, pn2 AS qpn2 FROM pre WHERE id = $queryId),
+       |cand AS (
+       |  SELECT id FROM (
+       |    SELECT p.id,
+       |           CASE WHEN sqrt(p.pn2::DOUBLE) * sqrt(qp.qpn2::DOUBLE) = 0
+       |                THEN '-infinity'::DOUBLE
+       |                ELSE list_sum(list_transform(
+       |                       generate_series(1, $mDim), j ->
+       |                       p.pfx[j] * qp.qpfx[j]))::DOUBLE
+       |                     / (sqrt(p.pn2::DOUBLE) * sqrt(qp.qpn2::DOUBLE))
+       |           END AS cscore
+       |    FROM pre p, qp WHERE p.id <> $queryId
+       |    ORDER BY cscore DESC, p.id LIMIT ${k * oversample})),
+       |qv AS (SELECT v AS qvec, nrm AS qnrm FROM vecs WHERE id = $queryId)
+       |SELECT id AS $idCol, score FROM (
+       |  SELECT a.id,
+       |         list_dot_product(a.v, qv.qvec) / (a.nrm * qv.qnrm) AS score
+       |  FROM vecs a JOIN cand c ON c.id = a.id, qv)
+       |ORDER BY score DESC, id LIMIT $k""".stripMargin
+
   /** Product-quantization codebook (Jégou/Douze/Schmid 2011, "Product
     * Quantization for Nearest Neighbor Search"): split the `dim`-dimensional
     * space into `m` subspaces of `dim/m` dims; each subspace's code vectors

@@ -856,6 +856,26 @@ object PipelineQueries {
         queryId = 0L, k = 10)
     }),
 
+    // --- binary-quantization ANN: 1-bit/dim mean-thresholded sketch
+    // (integer threshold — partition-order-proof), Hamming candidate scan
+    // over 32x-compressed words, exact cosine re-rank — deterministic,
+    // replayed in DuckDB (Similarity.knnBqOracleSql) ---
+    "q_knn_bq" -> ((s, d) => {
+      Tables.load(s, d)
+      Similarity.knnBq(s.table("embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)
+    }),
+
+    // --- Matryoshka prefix-dim retrieval: coarse top-(k*4) by prefix
+    // cosine on exact integer sums (16 of 64 dims), exact full-dim
+    // re-rank — deterministic, replayed in DuckDB
+    // (Similarity.knnMatryoshkaOracleSql) ---
+    "q_knn_mrl" -> ((s, d) => {
+      Tables.load(s, d)
+      Similarity.knnMatryoshka(s.table("embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)
+    }),
+
     // --- product-quantization ANN: deterministic sampled codebook, encode
     // + ADC top-k — fully deterministic, replayed in DuckDB
     // (Similarity.knnPqOracleSql); compression/recall trade measured in
@@ -1577,6 +1597,8 @@ object PipelineQueries {
         |SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin,
     "q_knn_lsh_md5" -> Similarity.knnLshOracleSql(queryId = 0L, k = 10),
     "q_knn_quantized" -> Similarity.knnQuantizedOracleSql(queryId = 0L, k = 10),
+    "q_knn_bq" -> Similarity.knnBqOracleSql(queryId = 0L, k = 10),
+    "q_knn_mrl" -> Similarity.knnMatryoshkaOracleSql(queryId = 0L, k = 10),
     "q_knn_pq" -> Similarity.knnPqOracleSql(queryId = 0L, k = 10),
     "q_knn_ivfpq" -> Similarity.knnIvfPqOracleSql(queryId = 0L, k = 10),
     "q_dedup_jaccard_char" -> Dedup.jaccardCharOracleSql(),

@@ -224,6 +224,54 @@ class SimilaritySpec extends SparkSpec
     assert(auto.subsetOf(exact), "LSH candidates are exact-verified")
   }
 
+  test("knnBq recall vs brute force on planted near-duplicates") {
+    val exact = Similarity.knnBrute(planted, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.knnBq(planted, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"BQ recall@10 = $recall")
+  }
+
+  test("bqEncoded: packed words within [0, 2^32), query Hamming-0 to itself") {
+    val enc = Similarity.bqEncoded(emb, "vec_id", "embedding", 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(enc.nonEmpty)
+    // 32 bits per word keeps every packed value positive on BOTH engines —
+    // the no-sign-bit invariant the oracle parity relies on
+    assert(enc.forall { case (_, ws) =>
+      ws.length == 2 && ws.forall(w => w >= 0L && w < (1L << 32))
+    })
+    // identical vectors encode identically (Hamming 0): planted id 100001
+    // differs from 0 by a constant shift, most bits should agree too
+    val byId = enc.toMap
+    assert(byId(0L) == byId(0L))
+    val dims = enc.head._2.length * 32
+    assert(dims >= 64)
+  }
+
+  test("knnMatryoshka with mDim = dim equals knnBrute exactly") {
+    // full-prefix coarse ranking is a superset of the exact top-k at 4x
+    // oversample, so the exact re-rank must reproduce knnBrute verbatim
+    val brute = Similarity.knnBrute(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val mrl = Similarity.knnMatryoshka(emb, "vec_id", "embedding", 0L, 10,
+        mDim = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(mrl == brute)
+  }
+
+  test("knnMatryoshka recall vs brute force on planted near-duplicates") {
+    // planted dups are near-parallel in EVERY prefix, so the 16-dim coarse
+    // phase must surface them all
+    val exact = Similarity.knnBrute(planted, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.knnMatryoshka(planted, "vec_id", "embedding",
+        0L, 10).collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"MRL recall@10 = $recall")
+  }
+
   test("knnQuantized: int8 ranking agrees closely with full-precision") {
     val exact = Similarity.knnBrute(emb, "vec_id", "embedding", 0L, 10)
       .collect().map(_.getLong(0)).toSet
