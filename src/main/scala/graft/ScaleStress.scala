@@ -92,6 +92,24 @@ object ScaleStress {
       Similarity.knnMatryoshka(e1, "vec_id", "embedding", 0L, 10).count())
     time("knn mrl 10x (20k vecs)")(
       Similarity.knnMatryoshka(e10, "vec_id", "embedding", 0L, 10).count())
+    // balanced IVF: one n·k scoring join + two windows — linear in n·k;
+    // sqrt sizing keeps both corpora at the deployment centroid count
+    time("knn balanced 1x (2k vecs)")(
+      Similarity.balancedIvfAssign(e1, "vec_id", "embedding",
+        Similarity.sizeCentroidEvery(e1.count()), 110).count())
+    time("knn balanced 10x (20k vecs)")(
+      Similarity.balancedIvfAssign(e10, "vec_id", "embedding",
+        Similarity.sizeCentroidEvery(e10.count()), 110).count())
+    // ANN recall measurement: fixed |Q|=20 query sample ⇒ truth side is
+    // |Q| broadcast passes over the corpus — linear in n at fixed |Q|
+    time("knn recall 1x (2k vecs)")(
+      Similarity.annRecallIvf(e1, "vec_id", "embedding",
+        queryEvery = 100L, k = 10,
+        centroidEvery = Similarity.sizeCentroidEvery(e1.count())).count())
+    time("knn recall 10x (20k vecs)")(
+      Similarity.annRecallIvf(e10, "vec_id", "embedding",
+        queryEvery = 1000L, k = 10,
+        centroidEvery = Similarity.sizeCentroidEvery(e10.count())).count())
     time("neardup-auto 1x")(
       Similarity.nearDupPairsAuto(e1, "vec_id", "embedding", 0.4).count())
     time("neardup-auto 10x")(

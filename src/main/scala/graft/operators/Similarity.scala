@@ -207,6 +207,232 @@ object Similarity {
       .select(col(idCol), col("centroid_id"))
   }
 
+  /** Capacity-balanced IVF assignment: [[ivfAssign]] with a hard cap on
+    * every inverted-list's size. Natural nearest-centroid assignment is
+    * skewed by the data distribution itself — dense regions pile onto few
+    * centroids, and at serving time a probe of a fat list costs its length
+    * (the IVF analogue of a skewed shuffle partition; FAISS deployments
+    * rebalance for exactly this reason). One deterministic rebalance pass:
+    * every vector keeps its top-2 centroids; within each primary list
+    * members are ranked best-fit-first (cosine desc, id asc); rows past
+    * `cap = ceil(n·slackPct / (100·k))` spill to their second-nearest
+    * centroid. The spilled rows are by construction each list's WORST
+    * fits, so the assignment-quality loss is the minimum a single-pass cap
+    * can achieve. Primary lists are ≤ cap exactly; a receiving list can
+    * exceed cap only via spill-ins (single-pass, no cascade — bounded by
+    * cap + its own spill fan-in, documented rather than iterated because a
+    * cascading rebalance is a convergence loop for marginal gain). With a
+    * single centroid (nothing to spill to) every row stays primary.
+    *
+    * Scale shape: one broadcast codebook join (k centroids — model-sized),
+    * one per-vector argmax window, one per-list ranking window partitioned
+    * on centroid_id — the same key the inverted lists shuffle on anyway —
+    * and two count aggregates for the cap. No pair enumeration; linear in
+    * n·k like plain assignment. Returns (idCol, centroid_id, spilled) —
+    * spilled ∈ {0,1} marks rows served from their second-nearest list.
+    * Replayed value-for-value in DuckDB ([[balancedIvfAssignOracleSql]]).
+    */
+  def balancedIvfAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroidEvery: Long = 50, slackPct: Int = 110): DataFrame = {
+    require(slackPct >= 100, "slackPct < 100 cannot hold all vectors")
+    val cents = df.where(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"),
+        norm(col(vecCol)).as("cnrm"))
+    val scored = df
+      .select(col(idCol).as("id"), col(vecCol), norm(col(vecCol)).as("nrm"))
+      .join(broadcast(cents))
+      .select(col("id"), col("centroid_id"),
+        cosineScore(dot(col(vecCol), col("cvec")),
+          col("nrm") * col("cnrm")).as("cscore"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cscore").desc, col("centroid_id"))
+    // persisted: the top-2 frame feeds both the primary ranking and the
+    // spill-target lookup — without it the n·k scoring join runs twice
+    val top2 = Caching.persist(
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 2))
+    val prim = top2.where(col("rn") === 1)
+      .select(col("id"), col("centroid_id"), col("cscore"))
+    val sec = top2.where(col("rn") === 2)
+      .select(col("id"), col("centroid_id").as("alt_centroid"))
+    val cap = prim.agg(count(lit(1)).as("n"))
+      .crossJoin(cents.agg(count(lit(1)).as("kc")))
+      .select(expr(
+        s"CAST((n * $slackPct + kc * 100 - 1) DIV (kc * 100) AS BIGINT)")
+        .as("cap"))
+    val lw = Window.partitionBy(col("centroid_id"))
+      .orderBy(col("cscore").desc, col("id"))
+    prim.withColumn("lr", row_number().over(lw).cast("long"))
+      .join(broadcast(cap))
+      .join(sec, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("lr") <= col("cap") || col("alt_centroid").isNull,
+          col("centroid_id")).otherwise(col("alt_centroid"))
+          .as("centroid_id"),
+        when(col("lr") <= col("cap") || col("alt_centroid").isNull, lit(0L))
+          .otherwise(lit(1L)).as("spilled"))
+  }
+
+  /** DuckDB SQL replaying [[balancedIvfAssign]] value-for-value (same
+    * every-Nth codebook, same top-2 windows, same integer cap).
+    */
+  def balancedIvfAssignOracleSql(centroidEvery: Long = 50,
+      slackPct: Int = 110, table: String = "embeddings",
+      idCol: String = "vec_id", vecCol: String = "embedding"): String =
+    s"""WITH vecs AS (
+       |  SELECT $idCol AS id, $vecCol::DOUBLE[] AS v,
+       |         sqrt(list_dot_product($vecCol::DOUBLE[], $vecCol::DOUBLE[])) AS nrm
+       |  FROM $table),
+       |cents AS (
+       |  SELECT id AS centroid_id, v AS cvec, nrm AS cnrm FROM vecs
+       |  WHERE id % $centroidEvery = 0),
+       |top2 AS (
+       |  SELECT id, centroid_id, cscore, rn FROM (
+       |    SELECT a.id, c.centroid_id,
+       |           list_dot_product(a.v, c.cvec) / (a.nrm * c.cnrm) AS cscore,
+       |           row_number() OVER (PARTITION BY a.id
+       |             ORDER BY list_dot_product(a.v, c.cvec) / (a.nrm * c.cnrm)
+       |               DESC, c.centroid_id) AS rn
+       |    FROM vecs a CROSS JOIN cents c)
+       |  WHERE rn <= 2),
+       |prim AS (SELECT id, centroid_id, cscore FROM top2 WHERE rn = 1),
+       |sec AS (SELECT id, centroid_id AS alt_centroid FROM top2 WHERE rn = 2),
+       |cap AS (
+       |  SELECT ((SELECT count(*) FROM vecs) * $slackPct
+       |          + (SELECT count(*) FROM cents) * 100 - 1)
+       |         // ((SELECT count(*) FROM cents) * 100) AS cap),
+       |ranked AS (
+       |  SELECT id, centroid_id, cscore,
+       |         row_number() OVER (PARTITION BY centroid_id
+       |           ORDER BY cscore DESC, id)::BIGINT AS lr
+       |  FROM prim)
+       |SELECT r.id AS $idCol,
+       |       CASE WHEN r.lr <= cap.cap OR s.alt_centroid IS NULL
+       |            THEN r.centroid_id ELSE s.alt_centroid END AS centroid_id,
+       |       CASE WHEN r.lr <= cap.cap OR s.alt_centroid IS NULL
+       |            THEN 0 ELSE 1 END::BIGINT AS spilled
+       |FROM ranked r CROSS JOIN cap LEFT JOIN sec s ON s.id = r.id""".stripMargin
+
+  /** Measured recall@k of the IVF tier against exact brute force — the
+    * number an ANN deployment is actually tuned by (recall/cost at a given
+    * `nprobe`), computed corpus-side over a deterministic query sample
+    * (every `queryEvery`-th id). Ground truth is the exact top-k per query
+    * ([[knnBatch]] shape); the approximate side replays [[knnIvf]]'s
+    * probe-then-rerank for every query at once. Returns one row per query:
+    * (query_id, hits, recall_pct) with recall_pct = hits·100 DIV k — all
+    * integers, bit-stable across engines.
+    *
+    * Scale shape: the truth side is one corpus scan × |Q| broadcast
+    * queries — recall is MEASURED on a sample precisely because exact
+    * ground truth costs a scan per query; the approximate side touches
+    * only probed lists. Both sides are broadcast joins + per-query
+    * windows, no pair shuffle. The same sweep at production scale sizes
+    * `nprobe`: raise it until recall_pct clears the product floor.
+    */
+  def annRecallIvf(df: DataFrame, idCol: String, vecCol: String,
+      queryEvery: Long, k: Int, centroidEvery: Long = 50,
+      nprobe: Int = 3): DataFrame = {
+    val base = Caching.persist(df.select(col(idCol).as("id"),
+      col(vecCol).as("v"), norm(col(vecCol)).as("nrm")))
+    val queries = base.where(col("id") % queryEvery === 0)
+      .select(col("id").as("qid"), col("v").as("qvec"),
+        col("nrm").as("qnrm"))
+    val qw = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("id"))
+    val truth = base.join(broadcast(queries))
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        cosineScore(dot(col("v"), col("qvec")),
+          col("nrm") * col("qnrm")).as("score"))
+      .withColumn("rank", row_number().over(qw))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("id"))
+    val cents = base.where(col("id") % centroidEvery === 0)
+      .select(col("id").as("centroid_id"), col("v").as("cvec"),
+        col("nrm").as("cnrm"))
+    val probes = cents.join(broadcast(queries))
+      .select(col("qid"), col("centroid_id"),
+        cosineScore(dot(col("cvec"), col("qvec")),
+          col("cnrm") * col("qnrm")).as("cs"))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cs").desc, col("centroid_id"))))
+      .where(col("pr") <= nprobe)
+      .select(col("qid"), col("centroid_id"))
+    val assigned = ivfAssign(base, "id", "v", centroidEvery)
+    val approx = base.join(assigned, "id")
+      .join(broadcast(probes), Seq("centroid_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        cosineScore(dot(col("v"), col("qvec")),
+          col("nrm") * col("qnrm")).as("score"))
+      .withColumn("rank", row_number().over(qw))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("qid", "id"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("qid").as("query_id"), col("hits"),
+        expr(s"CAST(hits * 100 DIV $k AS BIGINT)").as("recall_pct"))
+  }
+
+  /** DuckDB SQL replaying [[annRecallIvf]] value-for-value (same query
+    * sample, same exact truth, same probe-then-rerank approximation).
+    */
+  def annRecallIvfOracleSql(queryEvery: Long, k: Int,
+      centroidEvery: Long = 50, nprobe: Int = 3,
+      table: String = "embeddings", idCol: String = "vec_id",
+      vecCol: String = "embedding"): String =
+    s"""WITH vecs AS (
+       |  SELECT $idCol AS id, $vecCol::DOUBLE[] AS v,
+       |         sqrt(list_dot_product($vecCol::DOUBLE[], $vecCol::DOUBLE[])) AS nrm
+       |  FROM $table),
+       |qs AS (SELECT id AS qid, v AS qvec, nrm AS qnrm FROM vecs
+       |       WHERE id % $queryEvery = 0),
+       |truth AS (
+       |  SELECT qid, id FROM (
+       |    SELECT q.qid, a.id,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY list_dot_product(a.v, q.qvec) / (a.nrm * q.qnrm)
+       |               DESC, a.id) AS rank
+       |    FROM vecs a CROSS JOIN qs q WHERE a.id <> q.qid)
+       |  WHERE rank <= $k),
+       |cents AS (
+       |  SELECT id AS centroid_id, v AS cvec, nrm AS cnrm FROM vecs
+       |  WHERE id % $centroidEvery = 0),
+       |probes AS (
+       |  SELECT qid, centroid_id FROM (
+       |    SELECT q.qid, c.centroid_id,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY list_dot_product(c.cvec, q.qvec)
+       |               / (c.cnrm * q.qnrm) DESC, c.centroid_id) AS pr
+       |    FROM cents c CROSS JOIN qs q)
+       |  WHERE pr <= $nprobe),
+       |assigned AS (
+       |  SELECT id, centroid_id FROM (
+       |    SELECT a.id, c.centroid_id,
+       |           row_number() OVER (PARTITION BY a.id
+       |             ORDER BY list_dot_product(a.v, c.cvec) / (a.nrm * c.cnrm)
+       |               DESC, c.centroid_id) AS rn
+       |    FROM vecs a CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |approx AS (
+       |  SELECT qid, id FROM (
+       |    SELECT p.qid, a.id,
+       |           row_number() OVER (PARTITION BY p.qid
+       |             ORDER BY list_dot_product(a.v, q.qvec) / (a.nrm * q.qnrm)
+       |               DESC, a.id) AS rank
+       |    FROM vecs a
+       |    JOIN assigned s ON s.id = a.id
+       |    JOIN probes p ON p.centroid_id = s.centroid_id
+       |    JOIN qs q ON q.qid = p.qid
+       |    WHERE a.id <> p.qid)
+       |  WHERE rank <= $k)
+       |SELECT t.qid AS query_id,
+       |       count(x.id)::BIGINT AS hits,
+       |       (count(x.id) * 100 // $k)::BIGINT AS recall_pct
+       |FROM truth t LEFT JOIN approx x ON x.qid = t.qid AND x.id = t.id
+       |GROUP BY t.qid""".stripMargin
+
   /** Lloyd k-means over an embedding column, entirely in DataFrame ops:
     * assignment = broadcast join + window argmax; update = `posexplode` →
     * per-(centroid, dim) mean → re-assembled in dim order. The k centroids

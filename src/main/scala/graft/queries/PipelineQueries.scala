@@ -876,6 +876,26 @@ object PipelineQueries {
         queryId = 0L, k = 10)
     }),
 
+    // --- capacity-balanced IVF assignment: every inverted list capped at
+    // ceil(n*110%/k); overflow (each list's worst fits) spills to the
+    // second-nearest centroid — the serving-skew rebalance, deterministic,
+    // replayed in DuckDB (Similarity.balancedIvfAssignOracleSql) ---
+    "q_knn_balanced" -> ((s, d) => {
+      Tables.load(s, d)
+      Similarity.balancedIvfAssign(s.table("embeddings"), "vec_id",
+        "embedding", centroidEvery = 50, slackPct = 110)
+    }),
+
+    // --- measured IVF recall@k vs exact brute force over a deterministic
+    // query sample (every 25th id, nprobe=2 so the number is informative)
+    // — the tuning metric an ANN deployment ships on, replayed in DuckDB
+    // (Similarity.annRecallIvfOracleSql) ---
+    "q_knn_recall" -> ((s, d) => {
+      Tables.load(s, d)
+      Similarity.annRecallIvf(s.table("embeddings"), "vec_id", "embedding",
+        queryEvery = 25L, k = 10, centroidEvery = 50, nprobe = 2)
+    }),
+
     // --- product-quantization ANN: deterministic sampled codebook, encode
     // + ADC top-k — fully deterministic, replayed in DuckDB
     // (Similarity.knnPqOracleSql); compression/recall trade measured in
@@ -1599,6 +1619,10 @@ object PipelineQueries {
     "q_knn_quantized" -> Similarity.knnQuantizedOracleSql(queryId = 0L, k = 10),
     "q_knn_bq" -> Similarity.knnBqOracleSql(queryId = 0L, k = 10),
     "q_knn_mrl" -> Similarity.knnMatryoshkaOracleSql(queryId = 0L, k = 10),
+    "q_knn_balanced" -> Similarity.balancedIvfAssignOracleSql(
+      centroidEvery = 50, slackPct = 110),
+    "q_knn_recall" -> Similarity.annRecallIvfOracleSql(queryEvery = 25L,
+      k = 10, centroidEvery = 50, nprobe = 2),
     "q_knn_pq" -> Similarity.knnPqOracleSql(queryId = 0L, k = 10),
     "q_knn_ivfpq" -> Similarity.knnIvfPqOracleSql(queryId = 0L, k = 10),
     "q_dedup_jaccard_char" -> Dedup.jaccardCharOracleSql(),

@@ -313,6 +313,78 @@ class SimilaritySpec extends SparkSpec
     assert(assigned.groupBy("vec_id").count().where(col("count") > 1).count() == 0)
   }
 
+  test("balancedIvfAssign: caps hold, spills go second-nearest, minimal") {
+    val n = emb.count()
+    val kc = emb.where(col("vec_id") % 50 === 0).count()
+    val cap = (n * 110 + kc * 100 - 1) / (kc * 100)
+    val out = Similarity.balancedIvfAssign(emb, "vec_id", "embedding",
+      centroidEvery = 50, slackPct = 110).cache()
+    assert(out.count() == n) // one row per vector, none lost
+    // un-spilled rows sit exactly where plain assignment puts them
+    val natural = Similarity.ivfAssign(emb, "vec_id", "embedding", 50L)
+      .withColumnRenamed("centroid_id", "nat_centroid")
+    assert(out.where(col("spilled") === 0).join(natural, "vec_id")
+      .where(col("centroid_id") =!= col("nat_centroid")).count() == 0)
+    // primary (un-spilled) load never exceeds the cap
+    val overCap = out.where(col("spilled") === 0)
+      .groupBy("centroid_id").count().where(col("count") > cap).count()
+    assert(overCap == 0, s"primary list over cap=$cap")
+    // spill count is exactly the sum of the natural lists' overflow —
+    // the single-pass minimum
+    val expectedSpills = natural.groupBy("nat_centroid").count()
+      .agg(sum(greatest(col("count") - cap, lit(0L)))).head().getLong(0)
+    assert(out.where(col("spilled") === 1).count() == expectedSpills)
+    // every spilled row lands on its SECOND-nearest centroid
+    val cents = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val second = emb.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        Similarity.cosine(col("embedding"), col("cvec")).as("cs"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("cs").desc, col("centroid_id"))))
+      .where(col("rn") === 2)
+      .select(col("vec_id"), col("centroid_id").as("snd"))
+    assert(out.where(col("spilled") === 1).join(second, "vec_id")
+      .where(col("centroid_id") =!= col("snd")).count() == 0)
+    out.unpersist()
+  }
+
+  test("balancedIvfAssign: partition-layout invariant; single centroid " +
+      "never spills") {
+    val a = Similarity.balancedIvfAssign(emb, "vec_id", "embedding", 50, 110)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val b = Similarity.balancedIvfAssign(emb.repartition(7), "vec_id",
+        "embedding", 50, 110)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(a.toSeq == b.toSeq)
+    // one centroid (stride past max id): nothing to spill to — everything
+    // stays primary even though the single list is over any cap
+    val one = Similarity.balancedIvfAssign(emb, "vec_id", "embedding",
+      centroidEvery = 1000000L, slackPct = 110)
+    assert(one.where(col("spilled") =!= 0).count() == 0)
+    assert(one.select("centroid_id").distinct().count() == 1)
+  }
+
+  test("annRecallIvf: probing every list gives recall 100, fields consistent") {
+    val kc = emb.where(col("vec_id") % 50 === 0).count().toInt
+    val full = Similarity.annRecallIvf(emb, "vec_id", "embedding",
+      queryEvery = 100L, k = 10, centroidEvery = 50, nprobe = kc)
+      .collect()
+    assert(full.length == emb.where(col("vec_id") % 100 === 0).count())
+    // all lists probed ⇒ the approximate side IS brute force
+    assert(full.forall(_.getLong(2) == 100L), "full-probe recall must be 100")
+    // partial probe: hits ≤ k, recall_pct = hits*100 div k, and at least
+    // one query below 100 (otherwise nprobe=1 would be uninformative here)
+    val part = Similarity.annRecallIvf(emb, "vec_id", "embedding",
+      queryEvery = 100L, k = 10, centroidEvery = 50, nprobe = 1)
+      .collect()
+    assert(part.forall(r => r.getLong(1) <= 10 &&
+      r.getLong(2) == r.getLong(1) * 100 / 10))
+    assert(part.exists(_.getLong(2) < 100L))
+  }
+
   test("standardizeEmbeddings: per-dim mean 0 / unit variance, constant dim → 0") {
     val df = Seq(
       (1L, Seq(1.0f, 5.0f, 7.0f)),
