@@ -445,6 +445,29 @@ object ScaleStress {
         segLen = 10, minDocs = 3).count()
     time("boilerplate 1x (5k docs)")(boiler(d1))
     time("boilerplate 10x (50k docs, 10x-deeper domains)")(boiler(d10))
+    // Bradley–Terry: games aggregate once to a pair-count-sized edge
+    // table (item count is FIXED at 20 sources here), so 10x more games
+    // only deepens the first aggregate — the 8 MM rounds run on the same
+    // model-sized frames and per-round cost must not grow with the corpus
+    def bt(d: org.apache.spark.sql.DataFrame): Long = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      val games = d.select(col("source"), col("doc_id"), col("lang"),
+          col("n_chars"))
+        .withColumn("prev_lang", lag("lang", 1).over(w))
+        .withColumn("prev_chars", lag("n_chars", 1).over(w))
+        .where(col("prev_lang").isNotNull &&
+          col("prev_lang") =!= col("lang") &&
+          col("n_chars") =!= col("prev_chars"))
+        .select(
+          when(col("n_chars") > col("prev_chars"), col("lang"))
+            .otherwise(col("prev_lang")).as("winner"),
+          when(col("n_chars") > col("prev_chars"), col("prev_lang"))
+            .otherwise(col("lang")).as("loser"))
+      graft.operators.Eval.bradleyTerry(games, "winner", "loser").count()
+    }
+    time("bradley-terry 1x (5k docs)")(bt(d1))
+    time("bradley-terry 10x (50k docs)")(bt(d10))
     spark.stop()
   }
 }

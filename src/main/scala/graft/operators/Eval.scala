@@ -1241,4 +1241,122 @@ object Eval {
        |       END AS ndcg_micro
        |FROM agg""".stripMargin
   }
+
+  /** Fixed-point scale for [[bradleyTerry]] strengths (1.0 == 1e6). */
+  val BtScale = 1000000L
+
+  /** Bradley–Terry preference-strength fit (Bradley & Terry 1952; the
+    * model behind Chatbot-Arena-style Elo boards and RLHF preference-data
+    * analysis): given pairwise outcomes (winner, loser), estimate a
+    * positive strength per item such that P(i beats j) = p_i/(p_i+p_j),
+    * via `iters` rounds of the MM algorithm (Hunter 2004):
+    * p_i ← W_i / Σ_j n_ij/(p_i+p_j), then rescale to mean 1. All
+    * arithmetic is BIGINT on the [[BtScale]] carrier — each round is a
+    * per-edge integer division summed per item, so the fit is bit-stable
+    * in any partition order and replays exactly in DuckDB
+    * ([[bradleyTerryOracleSql]]). Items with zero wins (MLE diverges to 0)
+    * and post-normalization underflows clamp to 1 micro-unit — the
+    * documented floor, applied identically in both engines. Carrier
+    * bounds: games-per-pair and item count ≤ ~1e6 keep every product
+    * under 2^63.
+    *
+    * Scale shape: games aggregate once to an (i,j,n) edge table — the
+    * model input is pair-count-sized, not game-count-sized — then each MM
+    * round is two hash joins on the strength frame + one aggregate,
+    * exactly [[Graph.pageRank]]'s per-round cost. The strength frame is
+    * referenced TWICE per round (p_i and p_j), so it gets the per-round
+    * [[Caching.checkpoint]] the multi-reference rule prescribes
+    * (PLANS.md round-10 A/B). The final rank window is global but runs
+    * on the item table — a model, not data. Returns
+    * (item, strength_u, rank).
+    */
+  def bradleyTerry(games: DataFrame, winnerCol: String, loserCol: String,
+      iters: Int = 8): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val S = BtScale
+    val g = games.select(col(winnerCol).cast("string").as("w"),
+        col(loserCol).cast("string").as("l"))
+      .where(col("w").isNotNull && col("l").isNotNull &&
+        col("w") =!= col("l"))
+    val dir = Caching.persist(
+      g.groupBy(col("w"), col("l")).agg(count(lit(1)).as("n")))
+    val edges = Caching.persist(
+      dir.select(col("w").as("i"), col("l").as("j"), col("n"))
+        .unionByName(dir.select(col("l").as("i"), col("w").as("j"),
+          col("n")))
+        .groupBy(col("i"), col("j")).agg(sum(col("n")).as("n")))
+    val items = edges.select(col("i").as("item")).distinct()
+    val wins = Caching.persist(
+      items.join(dir.groupBy(col("w").as("item"))
+          .agg(sum(col("n")).as("wraw")), Seq("item"), "left")
+        .select(col("item"), coalesce(col("wraw"), lit(0L)).as("wins")))
+    var p = wins.select(col("item"), lit(S).as("p"))
+    for (_ <- 1 to iters) {
+      val denom = edges
+        .join(p.select(col("item").as("i"), col("p").as("pi")), Seq("i"))
+        .join(p.select(col("item").as("j"), col("p").as("pj")), Seq("j"))
+        .groupBy(col("i").as("item"))
+        .agg(sum(expr(s"(n * $S * $S) DIV (pi + pj)")).as("denom"))
+      val raw = wins.join(denom, Seq("item"))
+        .select(col("item"),
+          expr(s"GREATEST((wins * $S * $S) DIV denom, 1L)").as("p"))
+      val mean = raw.agg(
+        expr("CAST(sum(p) DIV count(1) AS BIGINT)").as("mean"))
+      p = Caching.checkpoint(raw.crossJoin(broadcast(mean))
+        .select(col("item"),
+          expr(s"GREATEST((p * $S) DIV mean, 1L)").as("p")))
+    }
+    p.select(col("item"), col("p").as("strength_u"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("strength_u").desc, col("item"))).cast("long"))
+  }
+
+  /** DuckDB SQL replaying [[bradleyTerry]] value-for-value: one chained
+    * CTE pair (denominator, clamped-normalized update) per MM round over
+    * the same BIGINT carrier. `gamesCte` must be a CTE fragment defining
+    * `games(w, l)` — winner/loser as VARCHAR, already non-null and
+    * w <> l (mirror the caller's derivation).
+    */
+  def bradleyTerryOracleSql(gamesCte: String, iters: Int = 8): String = {
+    val S = BtScale
+    val iterCtes = (1 to iters).map { t =>
+      val prev = if (t == 1) "p0" else s"p${t - 1}"
+      // MATERIALIZED: each round references the previous strength CTE
+      // twice (p_i and p_j) and the normalizer re-reads r$t — default
+      // CTE inlining would re-expand the whole chain per reference
+      // (exponential in iters; same fix as pcaPowerOracleSql)
+      s"""d$t AS MATERIALIZED (
+         |  SELECT e.i AS item,
+         |         sum((e.n * $S * $S) // (pi.p + pj.p))::BIGINT AS denom
+         |  FROM edges e
+         |  JOIN $prev pi ON pi.item = e.i
+         |  JOIN $prev pj ON pj.item = e.j
+         |  GROUP BY e.i),
+         |r$t AS MATERIALIZED (
+         |  SELECT w.item,
+         |         greatest((w.wins * $S * $S) // d.denom, 1)::BIGINT AS p
+         |  FROM wins w JOIN d$t d USING (item)),
+         |p$t AS MATERIALIZED (
+         |  SELECT item,
+         |         greatest((p * $S) // (SELECT sum(p) // count(*) FROM r$t),
+         |                  1)::BIGINT AS p
+         |  FROM r$t)"""
+    }.mkString(",\n")
+    s"""WITH $gamesCte,
+       |dir AS (SELECT w, l, count(*)::BIGINT AS n FROM games GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT i, j, sum(n)::BIGINT AS n FROM (
+       |    SELECT w AS i, l AS j, n FROM dir
+       |    UNION ALL SELECT l AS i, w AS j, n FROM dir)
+       |  GROUP BY 1, 2),
+       |items AS (SELECT DISTINCT i AS item FROM edges),
+       |wins AS (
+       |  SELECT it.item, coalesce(sum(d.n), 0)::BIGINT AS wins
+       |  FROM items it LEFT JOIN dir d ON d.w = it.item GROUP BY 1),
+       |p0 AS (SELECT item, $S::BIGINT AS p FROM items),
+       |$iterCtes
+       |SELECT item, p AS strength_u,
+       |       row_number() OVER (ORDER BY p DESC, item)::BIGINT AS rank
+       |FROM p$iters""".stripMargin
+  }
 }

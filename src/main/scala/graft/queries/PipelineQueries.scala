@@ -1267,6 +1267,30 @@ object PipelineQueries {
         dim = 64, epsFx = 200000L, minPts = 6)
     }),
 
+    // --- Bradley–Terry preference-strength fit (the Chatbot-Arena / RLHF
+    // preference-data model): pairwise outcomes from consecutive same-user
+    // events (higher value wins), 8 MM rounds on the BIGINT micro carrier,
+    // replayed exactly in DuckDB (Eval.bradleyTerryOracleSql) ---
+    "q_pipeline_elo" -> ((s, d) => {
+      Tables.load(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+      val games = s.table("events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .where(col("prev_type").isNotNull &&
+          col("prev_type") =!= col("event_type") &&
+          col("value") =!= col("prev_value"))
+        .select(
+          when(col("value") > col("prev_value"), col("event_type"))
+            .otherwise(col("prev_type")).as("winner"),
+          when(col("value") > col("prev_value"), col("prev_type"))
+            .otherwise(col("event_type")).as("loser"))
+      graft.operators.Eval.bradleyTerry(games, "winner", "loser", iters = 8)
+    }),
+
     // --- precision/recall/FPR operating points at every distinct score
     // threshold — the curve behind the AUC/AP single numbers, exact
     // integer floors off the bucketed prefix sum (oracle-checked) ---
@@ -2067,6 +2091,22 @@ object PipelineQueries {
 
     "q_pipeline_auc" -> graft.operators.Eval.rocAucOracleSql(
       "events", "round(value * 100)", "event_type = 'purchase'"),
+
+    "q_pipeline_elo" -> graft.operators.Eval.bradleyTerryOracleSql(
+      """games AS (
+        |  SELECT CASE WHEN value > prev_value THEN event_type
+        |              ELSE prev_type END AS w,
+        |         CASE WHEN value > prev_value THEN prev_type
+        |              ELSE event_type END AS l
+        |  FROM (
+        |    SELECT event_type, value,
+        |           lag(event_type) OVER (PARTITION BY user_id
+        |                                 ORDER BY event_id) AS prev_type,
+        |           lag(value) OVER (PARTITION BY user_id
+        |                            ORDER BY event_id) AS prev_value
+        |    FROM events)
+        |  WHERE prev_type IS NOT NULL AND prev_type <> event_type
+        |    AND value <> prev_value)""".stripMargin, iters = 8),
 
     "q_pipeline_prcurve" -> graft.operators.Eval.prCurveOracleSql(
       "events", "round(value * 100)", "event_type = 'purchase'"),

@@ -424,4 +424,52 @@ class EvalSpec extends SparkSpec {
     assert(g4.getLong(1) == 3 * w(0) + 2 * w(1) + 1 * w(2))
     assert(g4.getLong(2) == 9 * w(0) + 3 * w(1) + 2 * w(2))
   }
+
+  test("bradleyTerry: dominance order, symmetry, zero-win floor") {
+    // transitive dominance A > B > C: 3-0, 3-0, 3-0
+    val games = (Seq.fill(3)(("A", "B")) ++ Seq.fill(3)(("B", "C")) ++
+      Seq.fill(3)(("A", "C"))).toDF("winner", "loser")
+    val fit = Eval.bradleyTerry(games, "winner", "loser")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(fit("A")._2 == 1L && fit("B")._2 == 2L && fit("C")._2 == 3L)
+    assert(fit("A")._1 > fit("B")._1 && fit("B")._1 > fit("C")._1)
+    // C never won: MM sends it to the documented 1-micro-unit floor's
+    // neighborhood, far below the mean strength
+    assert(fit("C")._1 < Eval.BtScale / 10)
+    // perfectly symmetric record -> equal strengths, rank = name order
+    val even = Seq(("A", "B"), ("B", "A"), ("B", "C"), ("C", "B"))
+      .toDF("winner", "loser")
+    val ev = Eval.bradleyTerry(even, "winner", "loser")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(ev("A")._1 == ev("C")._1)
+    assert(ev.values.map(_._2).toSeq.sorted == Seq(1L, 2L, 3L))
+  }
+
+  test("bradleyTerry: strength ratio tracks observed win rate") {
+    // A beats B 3 of 4 times: BT MLE satisfies pA/(pA+pB) = 3/4, so
+    // pA/pB -> 3 (two-item case converges in a few MM rounds)
+    val games = (Seq.fill(3)(("A", "B")) ++ Seq(("B", "A")))
+      .toDF("winner", "loser")
+    val fit = Eval.bradleyTerry(games, "winner", "loser", iters = 12)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ratio = fit("A").toDouble / fit("B")
+    assert(math.abs(ratio - 3.0) < 0.05, s"pA/pB = $ratio")
+  }
+
+  test("bradleyTerry: partition-layout invariant; self-games and empty " +
+      "input handled") {
+    val games = (Seq.fill(5)(("A", "B")) ++ Seq.fill(2)(("B", "C")) ++
+      Seq(("C", "A"), ("A", "A"))).toDF("winner", "loser")
+    val a = Eval.bradleyTerry(games, "winner", "loser")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val b = Eval.bradleyTerry(games.repartition(7), "winner", "loser")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(a.toSeq == b.toSeq) // self-game (A,A) dropped, fit bit-stable
+    assert(Eval.bradleyTerry(games.limit(0), "winner", "loser")
+      .count() == 0L)
+  }
 }
