@@ -502,7 +502,16 @@ object Graph {
     * `max((c, -label))` to match the Spark struct-max exactly.
     */
   def labelPropagationOracleSql(groupExpr: String, itemExpr: String,
-      table: String, iters: Int, maxGroupSize: Int = 64): String = {
+      table: String, iters: Int, maxGroupSize: Int = 64): String =
+    s"""WITH ${coEdgesSql(groupExpr, itemExpr, table, maxGroupSize)},
+       |${lpaChainSql(iters)}
+       |SELECT node, label FROM l$iters""".stripMargin
+
+  /** The `l0..l<iters>` CTE chain replaying [[labelPropagation]] over an
+    * in-scope `edges(src, dst)` CTE — shared by the LPA oracle and
+    * composites that need the labels as an intermediate ([[modularity]]).
+    */
+  private def lpaChainSql(iters: Int): String = {
     val iterCtes = (1 to iters).map { i =>
       val prev = if (i == 1) "l0" else s"l${i - 1}"
       s"""l$i AS (
@@ -514,11 +523,95 @@ object Graph {
          |    GROUP BY e.dst, l.label) t
          |  GROUP BY dst)"""
     }.mkString(",\n")
-    s"""WITH ${coEdgesSql(groupExpr, itemExpr, table, maxGroupSize)},
-       |l0 AS (SELECT DISTINCT src AS node, src::BIGINT AS label FROM edges),
-       |$iterCtes
-       |SELECT node, label FROM l$iters""".stripMargin
+    s"""l0 AS (SELECT DISTINCT src AS node, src::BIGINT AS label FROM edges),
+       |$iterCtes""".stripMargin
   }
+
+  /** Newman modularity of a community assignment (Newman & Girvan 2004) —
+    * the number that says whether [[labelPropagation]] / components found
+    * real structure or noise: per community c over a DIRECTED edge table,
+    *   q_c = e_c/m − (out_c · in_c)/m²
+    * where e_c = edges with both ends in c, out_c/in_c = community
+    * out-/in-degree, m = edges with BOTH endpoints labeled (nodes absent
+    * from `labels` are outside the evaluated graph). Over a symmetric
+    * table like [[coEdges]]' this is exactly undirected modularity; Q =
+    * Σ_c q_c ∈ [−1/2, 1) and anything ≳0.3 is conventionally "has
+    * communities". Returned per community — (label, n_nodes, e_in,
+    * deg_out, deg_in, q_micro) — so the degenerate giant community is
+    * visible, not averaged away; Q is the column sum. q_micro =
+    * (e_c·m − out_c·in_c)·1e6 div m² carried in DECIMAL(38,0) (m up to
+    * ~1e12 edges keeps e_c·m ≤ 1e24 ≪ 1e38); both engines truncate
+    * division toward zero, so negative q replays exactly.
+    *
+    * Scale shape: two node-keyed label joins onto the edge table, three
+    * keyed aggregates, one count — all linear in |E|, no windows, no
+    * pair enumeration. Empty labeled graph (m = 0) yields q_micro 0 per
+    * community rather than a division crash.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val lab = Caching.persist(labels.select(col("node"), col("label")))
+    val el = Caching.persist(edges.select(col("src"), col("dst"))
+      .join(lab.select(col("node").as("src"), col("label").as("lsrc")),
+        "src")
+      .join(lab.select(col("node").as("dst"), col("label").as("ldst")),
+        "dst")
+      .select(col("lsrc"), col("ldst")))
+    val m = math.max(el.count(), 1L)
+    val ein = el.where(col("lsrc") === col("ldst"))
+      .groupBy(col("lsrc").as("label")).agg(count(lit(1)).as("e_in"))
+    val outd = el.groupBy(col("lsrc").as("label"))
+      .agg(count(lit(1)).as("deg_out"))
+    val ind = el.groupBy(col("ldst").as("label"))
+      .agg(count(lit(1)).as("deg_in"))
+    lab.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+      .join(ein, Seq("label"), "left")
+      .join(outd, Seq("label"), "left")
+      .join(ind, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"),
+        coalesce(col("deg_out"), lit(0L)).as("deg_out"),
+        coalesce(col("deg_in"), lit(0L)).as("deg_in"))
+      .withColumn("q_micro", expr(
+        s"CAST(((CAST(e_in AS DECIMAL(38,0)) * $m" +
+          s" - CAST(deg_out AS DECIMAL(38,0)) * deg_in) * 1000000)" +
+          s" DIV (CAST($m AS DECIMAL(38,0)) * $m) AS BIGINT)"))
+  }
+
+  /** DuckDB replay of [[modularity]] ∘ [[labelPropagation]] ∘ [[coEdges]]
+    * — the gate composition: LPA communities over the co-occurrence graph,
+    * scored in the same query.
+    */
+  def modularityOracleSql(groupExpr: String, itemExpr: String,
+      table: String, iters: Int, maxGroupSize: Int = 64): String =
+    s"""WITH ${coEdgesSql(groupExpr, itemExpr, table, maxGroupSize)},
+       |${lpaChainSql(iters)},
+       |labels AS (SELECT node, label FROM l$iters),
+       |el AS MATERIALIZED (
+       |  SELECT ls.label AS lsrc, ld.label AS ldst
+       |  FROM edges e
+       |  JOIN labels ls ON ls.node = e.src
+       |  JOIN labels ld ON ld.node = e.dst),
+       |mm AS (SELECT greatest(count(*), 1)::HUGEINT AS m FROM el),
+       |ein AS (SELECT lsrc AS label, count(*)::BIGINT AS e_in FROM el
+       |        WHERE lsrc = ldst GROUP BY 1),
+       |outd AS (SELECT lsrc AS label, count(*)::BIGINT AS deg_out FROM el
+       |         GROUP BY 1),
+       |ind AS (SELECT ldst AS label, count(*)::BIGINT AS deg_in FROM el
+       |        GROUP BY 1),
+       |nn AS (SELECT label, count(*)::BIGINT AS n_nodes FROM labels
+       |       GROUP BY 1)
+       |SELECT nn.label, nn.n_nodes,
+       |       coalesce(ein.e_in, 0)::BIGINT AS e_in,
+       |       coalesce(outd.deg_out, 0)::BIGINT AS deg_out,
+       |       coalesce(ind.deg_in, 0)::BIGINT AS deg_in,
+       |       ((coalesce(ein.e_in, 0)::HUGEINT * mm.m
+       |         - coalesce(outd.deg_out, 0)::HUGEINT
+       |           * coalesce(ind.deg_in, 0)) * 1000000
+       |        // (mm.m * mm.m))::BIGINT AS q_micro
+       |FROM nn
+       |LEFT JOIN ein USING (label)
+       |LEFT JOIN outd USING (label)
+       |LEFT JOIN ind USING (label), mm""".stripMargin
 
   /** HITS hubs & authorities (Kleinberg 1999, "Authoritative Sources in a
     * Hyperlinked Environment") over a DIRECTED (src, dst) edge table —

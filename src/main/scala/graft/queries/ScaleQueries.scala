@@ -271,6 +271,16 @@ object ScaleQueries {
       graft.operators.Graph.labelPropagation(graft.operators.Graph.coEdges(
         t(s, d, "lineitem"), "l_orderkey", "l_partkey"), iters = 4)),
 
+    // --- Newman modularity of the LPA communities: did label propagation
+    // find real structure? per-community e_in/degrees/q_micro on exact
+    // DECIMAL carriers, Q = sum of q_micro (oracle-checked) ---
+    "q_graph_modularity" -> ((s, d) => {
+      val e = graft.operators.Graph.coEdges(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey")
+      graft.operators.Graph.modularity(e,
+        graft.operators.Graph.labelPropagation(e, iters = 4))
+    }),
+
     // --- single-source BFS hop distances from the minimum sampled part
     // over the co-purchase graph: level-synchronous frontier expansion,
     // recursive-CTE oracle (oracle-checked) ---
@@ -392,6 +402,8 @@ object ScaleQueries {
       hubCap = 40, topN = 200),
 
     "q_graph_lpa" -> graft.operators.Graph.labelPropagationOracleSql(
+      "l_orderkey", "l_partkey", "lineitem", iters = 4),
+    "q_graph_modularity" -> graft.operators.Graph.modularityOracleSql(
       "l_orderkey", "l_partkey", "lineitem", iters = 4),
     "q_graph_sssp" -> graft.operators.Graph.ssspOracleSql(
       """gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item

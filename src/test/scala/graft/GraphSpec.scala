@@ -352,4 +352,41 @@ class GraphSpec extends SparkSpec {
       == Seq(Seq(42L, 0L)))
   }
 
+  test("modularity: two bridged triangles, perfect split scores 5/14 " +
+      "per Newman") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} + bridge 3-4, symmetric directed table
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L), (6L, 20L)).toDF("node", "label")
+    val got = Graph.modularity(e, labels)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // m = 14 directed edges; each community: e_in = 6, deg = 7 either way
+    // q = 6/14 - 49/196 = 25/140 -> floor(35e6/196) = 178571 micro
+    assert(got(10L) == ((3L, 6L, 7L, 7L, 178571L)))
+    assert(got(20L) == ((3L, 6L, 7L, 7L, 178571L)))
+    // everything in ONE community: Q = 1 - 1 = 0 exactly
+    val one = Graph.modularity(e, labels.select(col("node"),
+      lit(99L).as("label"))).collect()
+    assert(one.length == 1 && one(0).getLong(5) == 0L)
+    // anti-community (each edge crosses): negative q, truncation toward
+    // zero matches the oracle engine ((0*2 - 1)*1e6 div 4 = -250000)
+    val anti = Graph.modularity(
+      Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
+      Seq((1L, 7L), (2L, 8L)).toDF("node", "label"))
+      .collect().map(_.getLong(5)).toSeq
+    assert(anti == Seq(-250000L, -250000L))
+    // unlabeled endpoints fall out of the evaluated graph (m excludes
+    // the bridge when node 4 has no label) and m=0 is q=0, not a crash
+    val part = Graph.modularity(e,
+      labels.where(col("node") <= 3L))
+    assert(part.collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+      == Seq((6L, 6L)))
+    assert(Graph.modularity(e, labels.limit(0)).count() == 0L)
+  }
+
 }
