@@ -468,6 +468,15 @@ object ScaleStress {
     }
     time("bradley-terry 1x (5k docs)")(bt(d1))
     time("bradley-terry 10x (50k docs)")(bt(d10))
+    // unigram tokenizer: seed + DP run on the DISTINCT-WORD table (fixed
+    // 31-word synthetic vocab), so 10x docs only deepens the word count
+    // and the per-doc join — must stay ~linear in corpus tokens
+    def uni(d: org.apache.spark.sql.DataFrame): Long =
+      TextAnalysis.unigramEncode(d, "doc_id", "text",
+        TextAnalysis.unigramSeedVocab(d, "doc_id", "text",
+          maxPieceLen = 5, topK = 120), maxPieceLen = 5).count()
+    time("unigram-encode 1x (5k docs)")(uni(d1))
+    time("unigram-encode 10x (50k docs)")(uni(d10))
     spark.stop()
   }
 }

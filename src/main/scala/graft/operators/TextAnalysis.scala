@@ -3124,4 +3124,234 @@ object TextAnalysis {
        |       CASE WHEN apply_fim THEN n - c2 ELSE 0 END AS n_suffix
        |FROM cuts2""".stripMargin
   }
+
+  // --------------------------------------------------------------------
+  // Unigram-LM (SentencePiece-style) tokenizer — the OTHER major subword
+  // tokenizer next to the BPE lifecycle above (Kudo 2018, "Subword
+  // Regularization"): a vocabulary of pieces with unigram probabilities,
+  // words segmented by the maximum-likelihood piece sequence (Viterbi).
+  // --------------------------------------------------------------------
+
+  /** Frequency-seeded unigram vocabulary — SentencePiece's seeding step:
+    * every single character plus the `topK` most frequent multi-character
+    * substrings (length ≤ `maxPieceLen`) of the corpus vocabulary,
+    * frequency-weighted by word occurrence counts. Returns (piece, freq)
+    * — exact integers, top-K pinned by (freq desc, piece asc).
+    *
+    * Scale shape: substring explosion runs over the DISTINCT-WORD table
+    * (the bpeTrain trick — cost ∝ vocabulary, not corpus), one keyed
+    * aggregate, one TakeOrdered(topK). Nothing corpus-sized past the
+    * first word count.
+    */
+  def unigramSeedVocab(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maxPieceLen: Int = 5,
+      topK: Int = 120): org.apache.spark.sql.DataFrame = {
+    require(maxPieceLen >= 2 && topK >= 0)
+    val words = Caching.persist(
+      df.select(explode(tokens(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq")))
+    val chars = words
+      .select(explode(split(col("w"), "")).as("piece"), col("freq"))
+      .where(col("piece") =!= "")
+      .groupBy(col("piece")).agg(sum(col("freq")).as("freq"))
+    val multi = words
+      .select(col("freq"), explode(flatten(transform(
+        sequence(lit(1), length(col("w"))), s => {
+          val maxL = least(lit(maxPieceLen), length(col("w")) - s + 1)
+          when(maxL >= 2,
+            transform(sequence(lit(2), maxL), l => col("w").substr(s, l)))
+            .otherwise(array().cast("array<string>"))
+        }))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("freq"))
+      .orderBy(col("freq").desc, col("piece"))
+      .limit(topK)
+    chars.unionByName(multi)
+  }
+
+  /** DuckDB replay of [[unigramSeedVocab]] (same distinct-word weighting,
+    * same top-K pin; generate_series with stop < start is empty, so the
+    * short-word guard is implicit).
+    */
+  def unigramSeedVocabOracleSql(maxPieceLen: Int = 5, topK: Int = 120,
+      table: String = "documents", textCol: String = "text"): String =
+    s"""WITH words AS (
+       |  SELECT w, count(*)::BIGINT AS freq FROM (
+       |    SELECT unnest(${toksSql(textCol)}) AS w FROM $table)
+       |  GROUP BY w),
+       |chars AS (
+       |  SELECT c AS piece, sum(freq)::BIGINT AS freq FROM (
+       |    SELECT unnest(string_split(w, '')) AS c, freq FROM words)
+       |  WHERE c <> '' GROUP BY c),
+       |multi AS (
+       |  SELECT piece, freq FROM (
+       |    SELECT substr(w, s, l) AS piece, sum(freq)::BIGINT AS freq FROM (
+       |      SELECT w, freq, s,
+       |             unnest(generate_series(2,
+       |               least($maxPieceLen, len(w) - s + 1))) AS l
+       |      FROM (SELECT w, freq,
+       |              unnest(generate_series(1, len(w))) AS s
+       |            FROM words))
+       |    GROUP BY 1)
+       |  ORDER BY freq DESC, piece LIMIT $topK)
+       |SELECT piece, freq FROM chars
+       |UNION ALL SELECT piece, freq FROM multi""".stripMargin
+
+  /** Viterbi segmentation COST of the whole corpus under a unigram-LM
+    * vocabulary — the E-step of SentencePiece training and the serving
+    * metric of a deployed unigram tokenizer: per document, the word
+    * count, the total piece count of the maximum-likelihood segmentation,
+    * and its total negative log-likelihood in micro-nats. Piece cost =
+    * −round(ln(freq/F)·1e6) (F = vocabulary total) — one deterministic
+    * double ln per DISTINCT piece, then everything downstream is exact
+    * BIGINT min-plus, so the optimum replays bit-for-bit in DuckDB
+    * ([[unigramEncodeOracleSql]]).
+    *
+    * The per-word DP runs as min-plus PATH DOUBLING over the position
+    * DAG: edge (j→i) for every vocabulary piece w[j+1..i], then
+    * ceil(log2(maxWordLen)) squaring rounds of seg ⊕ seg — 5 rounds
+    * reach any ≤32-piece path, vs ~maxWordLen rounds of Bellman-Ford.
+    * Ties prefer FEWER PIECES via the packed key k = cost·64 + pieces
+    * (piece counts < 64 by the maxWordLen cap, so packed addition is
+    * exact lexicographic (cost, pieces) min-plus). The DP table is
+    * (distinct word × position-pair)-sized — vocabulary work, never
+    * corpus work; per-doc totals come from one corpus-sized equi-join of
+    * exploded tokens to the word metrics.
+    *
+    * Robustness floors, applied identically in both engines: single
+    * characters absent from `vocab` cost `unkCostMicro` (so unseen text
+    * stays segmentable); words longer than `maxWordLen` (DP cap) fall
+    * back to per-character UNK cost with pieces = length. Docs with zero
+    * tokens produce no row ([[bpeEncodeCorpus]] posture).
+    */
+  def unigramEncode(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocab: org.apache.spark.sql.DataFrame,
+      maxPieceLen: Int = 5, maxWordLen: Int = 32,
+      unkCostMicro: Long = 30000000L): org.apache.spark.sql.DataFrame = {
+    require(maxWordLen >= 2 && maxWordLen < 64,
+      "packed (cost, pieces) key needs piece counts < 64")
+    val costs = vocab.crossJoin(broadcast(
+        vocab.agg(sum(col("freq")).cast("double").as("tot"))))
+      .select(col("piece"),
+        (-round(log(col("freq").cast("double") / col("tot")) * 1e6))
+          .cast("long").as("cost"))
+    val docWords = Caching.persist(
+      df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("w")))
+    val words = Caching.persist(
+      docWords.groupBy(col("w")).agg(count(lit(1)).as("occ")))
+    val short = words.where(length(col("w")) <= maxWordLen)
+    // every (start, len ≤ maxPieceLen) substring of every distinct word
+    val spans = short.select(col("w"), explode(flatten(transform(
+        sequence(lit(1), length(col("w"))), s =>
+          transform(sequence(lit(1),
+            least(lit(maxPieceLen), length(col("w")) - s + 1)), l =>
+            struct((s - 1).cast("long").as("j"), (s - 1 + l).cast("long").as("i"),
+              col("w").substr(s, l).as("piece")))))).as("e"))
+      .select(col("w"), col("e.j"), col("e.i"), col("e.piece"))
+    // char edges always exist (UNK floor); multi-char edges need the vocab
+    val eChar = spans.where(col("i") - col("j") === 1)
+      .join(costs, Seq("piece"), "left")
+      .select(col("w"), col("j"), col("i"),
+        (coalesce(col("cost"), lit(unkCostMicro)) * 64 + 1).as("k"))
+    val eMulti = spans.where(col("i") - col("j") > 1)
+      .join(costs, Seq("piece"))
+      .select(col("w"), col("j"), col("i"), (col("cost") * 64 + 1).as("k"))
+    var seg = Caching.checkpoint(eMulti.unionByName(eChar)
+      .groupBy(col("w"), col("j"), col("i")).agg(min(col("k")).as("k")))
+    val rounds = math.ceil(math.log(maxWordLen) / math.log(2)).toInt
+    for (_ <- 1 to rounds) {
+      // min-plus squaring: seg is referenced twice per round -> per-round
+      // checkpoint per the multi-reference rule (PLANS.md round-10)
+      val comp = seg.select(col("w"), col("j"), col("i").as("mid"), col("k").as("ka"))
+        .join(seg.select(col("w"), col("j").as("mid"), col("i"), col("k").as("kb")),
+          Seq("w", "mid"))
+        .select(col("w"), col("j"), col("i"), (col("ka") + col("kb")).as("k"))
+      seg = Caching.checkpoint(seg.unionByName(comp)
+        .groupBy(col("w"), col("j"), col("i")).agg(min(col("k")).as("k")))
+    }
+    val wmShort = short
+      .join(seg, seg("w") === short("w") && col("j") === 0 &&
+        col("i") === length(short("w")).cast("long"))
+      .select(short("w").as("w"), col("occ"),
+        expr("k div 64").as("cost_micro"), pmod(col("k"), lit(64L)).as("pieces"))
+    val wmLong = words.where(length(col("w")) > maxWordLen)
+      .select(col("w"), col("occ"),
+        (length(col("w")).cast("long") * unkCostMicro).as("cost_micro"),
+        length(col("w")).cast("long").as("pieces"))
+    val wm = wmShort.unionByName(wmLong)
+    docWords.join(wm, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("pieces")).as("n_pieces"),
+        sum(col("cost_micro")).as("cost_micro"))
+  }
+
+  /** DuckDB replay of [[unigramEncode]] ∘ [[unigramSeedVocab]] — the gate
+    * composition. The squaring rounds and the edge table are MATERIALIZED:
+    * each round references the previous seg CTE twice, and default
+    * inlining would re-expand the chain exponentially (the
+    * bradleyTerryOracleSql lesson).
+    */
+  def unigramEncodeOracleSql(maxPieceLen: Int = 5, topK: Int = 120,
+      maxWordLen: Int = 32, unkCostMicro: Long = 30000000L,
+      table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text"): String = {
+    val rounds = math.ceil(math.log(maxWordLen) / math.log(2)).toInt
+    val iterCtes = (1 to rounds).map { r =>
+      val prev = if (r == 1) "seg0" else s"seg${r - 1}"
+      s"""seg$r AS MATERIALIZED (
+         |  SELECT w, j, i, min(k)::BIGINT AS k FROM (
+         |    SELECT w, j, i, k FROM $prev
+         |    UNION ALL
+         |    SELECT a.w, a.j, b.i, a.k + b.k AS k
+         |    FROM $prev a JOIN $prev b ON b.w = a.w AND b.j = a.i)
+         |  GROUP BY w, j, i)"""
+    }.mkString(",\n")
+    s"""WITH vocab AS MATERIALIZED (
+       |  ${unigramSeedVocabOracleSql(maxPieceLen, topK, table, textCol)
+            .replace("\n", "\n  ")}),
+       |costs AS MATERIALIZED (
+       |  SELECT piece,
+       |         (-round(ln(freq::DOUBLE / (SELECT sum(freq) FROM vocab))
+       |                 * 1000000))::BIGINT AS cost
+       |  FROM vocab),
+       |docwords AS MATERIALIZED (
+       |  SELECT $idCol AS doc_id, unnest(${toksSql(textCol)}) AS w
+       |  FROM $table),
+       |words AS MATERIALIZED (
+       |  SELECT w, count(*)::BIGINT AS occ FROM docwords GROUP BY w),
+       |short AS (SELECT * FROM words WHERE len(w) <= $maxWordLen),
+       |spans AS (
+       |  SELECT w, (s - 1)::BIGINT AS j, (s - 1 + l)::BIGINT AS i,
+       |         substr(w, s, l) AS piece FROM (
+       |    SELECT w, s,
+       |           unnest(generate_series(1,
+       |             least($maxPieceLen, len(w) - s + 1))) AS l
+       |    FROM (SELECT w, unnest(generate_series(1, len(w))) AS s
+       |          FROM short))),
+       |seg0 AS MATERIALIZED (
+       |  SELECT w, j, i, min(k)::BIGINT AS k FROM (
+       |    SELECT sp.w, sp.j, sp.i,
+       |           coalesce(c.cost, $unkCostMicro) * 64 + 1 AS k
+       |    FROM spans sp LEFT JOIN costs c ON c.piece = sp.piece
+       |    WHERE sp.i - sp.j = 1
+       |    UNION ALL
+       |    SELECT sp.w, sp.j, sp.i, c.cost * 64 + 1 AS k
+       |    FROM spans sp JOIN costs c ON c.piece = sp.piece
+       |    WHERE sp.i - sp.j > 1)
+       |  GROUP BY w, j, i),
+       |$iterCtes,
+       |wm AS (
+       |  SELECT s.w, s.occ, g.k // 64 AS cost_micro, g.k % 64 AS pieces
+       |  FROM short s JOIN seg$rounds g
+       |    ON g.w = s.w AND g.j = 0 AND g.i = len(s.w)
+       |  UNION ALL
+       |  SELECT w, occ, len(w)::BIGINT * $unkCostMicro AS cost_micro,
+       |         len(w)::BIGINT AS pieces
+       |  FROM words WHERE len(w) > $maxWordLen)
+       |SELECT d.doc_id, count(*)::BIGINT AS n_words,
+       |       sum(wm.pieces)::BIGINT AS n_pieces,
+       |       sum(wm.cost_micro)::BIGINT AS cost_micro
+       |FROM docwords d JOIN wm ON wm.w = d.w
+       |GROUP BY d.doc_id""".stripMargin
+  }
 }

@@ -90,6 +90,24 @@ object PipelineQueries {
       TextAnalysis.tokenizerFertility(docs(s, d), "doc_id", "text", "lang",
         numMerges = 10)),
 
+    // --- unigram-LM (SentencePiece) tokenizer seeding: every char + the
+    // top-K frequency-weighted multi-char substrings of the distinct-word
+    // vocabulary (oracle-checked) ---
+    "q_text_unigram_vocab" -> ((s, d) =>
+      TextAnalysis.unigramSeedVocab(docs(s, d), "doc_id", "text",
+        maxPieceLen = 5, topK = 120)),
+
+    // --- unigram-LM Viterbi encode: per-doc piece counts + exact
+    // micro-nat NLL of the max-likelihood segmentation under the seeded
+    // vocab — min-plus path doubling on the packed (cost, pieces) key,
+    // replayed in DuckDB (oracle-checked) ---
+    "q_text_unigram_encode" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextAnalysis.unigramEncode(dd, "doc_id", "text",
+        TextAnalysis.unigramSeedVocab(dd, "doc_id", "text",
+          maxPieceLen = 5, topK = 120), maxPieceLen = 5)
+    }),
+
     // --- Unicode script-mix profile: code-point range counts + ratios,
     // the model-free mislabeled-language signal (oracle-checked) ---
     "q_text_scripts" -> ((s, d) =>
@@ -1854,6 +1872,10 @@ object PipelineQueries {
     // deterministic rows-only query gained an oracle (VERDICT r03 item 3)
     "q_text_bpe_merges" -> TextAnalysis.bpeTrainOracleSql(numMerges = 10),
     "q_text_bpe_encode" -> TextAnalysis.bpeEncodeOracleSql(numMerges = 10),
+    "q_text_unigram_vocab" -> TextAnalysis.unigramSeedVocabOracleSql(
+      maxPieceLen = 5, topK = 120),
+    "q_text_unigram_encode" -> TextAnalysis.unigramEncodeOracleSql(
+      maxPieceLen = 5, topK = 120),
     "q_text_fertility" -> TextAnalysis.fertilityOracleSql("lang",
       numMerges = 10),
     "q_text_scripts" -> TextAnalysis.scriptProfileOracleSql(),

@@ -820,4 +820,82 @@ class TextSpec extends SparkSpec {
     assert(toks == Set("common"))
   }
 
+  test("unigramSeedVocab: chars always kept, top-K multi pinned by " +
+      "(freq desc, piece asc)") {
+    val docs = Seq((1L, "aa ab aa"), (2L, "ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramSeedVocab(docs, "doc_id", "text",
+      maxPieceLen = 5, topK = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // chars: a appears 2x in each "aa" (freq 2) + 1x in each "ab" (freq 2)
+    // = 6; b = 2. multi candidates: aa freq 2, ab freq 2 — topK=1 keeps
+    // "aa" (tie broken by piece asc)
+    assert(got == Map("a" -> 6L, "b" -> 2L, "aa" -> 2L))
+  }
+
+  test("unigramEncode: hand vocab picks the single-piece segmentation") {
+    val docs = Seq((7L, "ab ab")).toDF("doc_id", "text")
+    val vocab = Seq(("a", 10L), ("b", 10L), ("ab", 20L))
+      .toDF("piece", "freq")
+    val row = TextAnalysis.unigramEncode(docs, "doc_id", "text", vocab)
+      .collect()(0)
+    // F=40: cost(ab) = -round(ln(0.5)*1e6) = 693147 beats
+    // cost(a)+cost(b) = 2*1386294
+    assert(row.getLong(1) == 2L && row.getLong(2) == 2L)
+    assert(row.getLong(3) == 2L * 693147L)
+  }
+
+  test("unigramEncode: UNK chars and over-length words hit the " +
+      "documented floors") {
+    val docs = Seq((1L, "zz"), (2L, "aaaa")).toDF("doc_id", "text")
+    val vocab = Seq(("a", 1L)).toDF("piece", "freq")
+    val got = TextAnalysis.unigramEncode(docs, "doc_id", "text", vocab,
+      maxPieceLen = 2, maxWordLen = 3, unkCostMicro = 5000000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // "zz": both chars unknown -> 2 pieces at the UNK floor
+    assert(got(1L) == ((1L, 2L, 10000000L)))
+    // "aaaa" is longer than maxWordLen=3 -> per-char fallback
+    assert(got(2L) == ((1L, 4L, 20000000L)))
+  }
+
+  test("unigramEncode: min-plus doubling equals driver-side Viterbi on " +
+      "the corpus vocabulary") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(60)
+    val vocab = TextAnalysis.unigramSeedVocab(docs, "doc_id", "text",
+      maxPieceLen = 5, topK = 50)
+    val pieces = vocab.collect().map(r => r.getString(0) -> r.getLong(1))
+    val tot = pieces.map(_._2).sum.toDouble
+    val cost = pieces.map { case (p, f) =>
+      p -> -math.round(math.log(f / tot) * 1e6) }.toMap
+    val unk = 30000000L
+    def viterbi(w: String): (Long, Long) = { // (cost, pieces), ties: fewer
+      val n = w.length
+      val dp = Array.fill(n + 1)((Long.MaxValue, Long.MaxValue))
+      dp(0) = (0L, 0L)
+      for (i <- 1 to n; l <- 1 to math.min(5, i)) {
+        val p = w.substring(i - l, i)
+        val c = if (l == 1) Some(cost.getOrElse(p, unk))
+          else cost.get(p)
+        c.foreach { cc =>
+          val cand = (dp(i - l)._1 + cc, dp(i - l)._2 + 1)
+          if (dp(i - l)._1 != Long.MaxValue &&
+            (cand._1 < dp(i)._1 ||
+              (cand._1 == dp(i)._1 && cand._2 < dp(i)._2))) dp(i) = cand
+        }
+      }
+      dp(n)
+    }
+    val expected = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        val segs = rows.map(r => viterbi(r.getString(1)))
+        id -> ((rows.length.toLong, segs.map(_._2).sum, segs.map(_._1).sum))
+      }
+    val got = TextAnalysis.unigramEncode(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+  }
+
 }
