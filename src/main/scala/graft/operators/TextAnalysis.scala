@@ -3172,17 +3172,23 @@ object TextAnalysis {
     * same top-K pin; generate_series with stop < start is empty, so the
     * short-word guard is implicit).
     */
-  def unigramSeedVocabOracleSql(maxPieceLen: Int = 5, topK: Int = 120,
-      table: String = "documents", textCol: String = "text"): String =
-    s"""WITH words AS (
+  /** The seed-vocabulary CTE list ending in `vocab(piece, freq)` — kept
+    * at TOP level (CTE names prefixed `uv` to avoid collisions) because a
+    * nested `WITH` inside a CTE body fails to resolve under an outer
+    * `WITH RECURSIVE` ([[unigramTrainOracleSql]] needs RECURSIVE for the
+    * walk).
+    */
+  private def seedVocabCtes(maxPieceLen: Int, topK: Int, table: String,
+      textCol: String): String =
+    s"""uvwords AS (
        |  SELECT w, count(*)::BIGINT AS freq FROM (
        |    SELECT unnest(${toksSql(textCol)}) AS w FROM $table)
        |  GROUP BY w),
-       |chars AS (
+       |uvchars AS (
        |  SELECT c AS piece, sum(freq)::BIGINT AS freq FROM (
-       |    SELECT unnest(string_split(w, '')) AS c, freq FROM words)
+       |    SELECT unnest(string_split(w, '')) AS c, freq FROM uvwords)
        |  WHERE c <> '' GROUP BY c),
-       |multi AS (
+       |uvmulti AS (
        |  SELECT piece, freq FROM (
        |    SELECT substr(w, s, l) AS piece, sum(freq)::BIGINT AS freq FROM (
        |      SELECT w, freq, s,
@@ -3190,11 +3196,75 @@ object TextAnalysis {
        |               least($maxPieceLen, len(w) - s + 1))) AS l
        |      FROM (SELECT w, freq,
        |              unnest(generate_series(1, len(w))) AS s
-       |            FROM words))
+       |            FROM uvwords))
        |    GROUP BY 1)
-       |  ORDER BY freq DESC, piece LIMIT $topK)
-       |SELECT piece, freq FROM chars
-       |UNION ALL SELECT piece, freq FROM multi""".stripMargin
+       |  ORDER BY freq DESC, piece LIMIT $topK),
+       |vocab AS MATERIALIZED (
+       |  SELECT piece, freq FROM uvchars
+       |  UNION ALL SELECT piece, freq FROM uvmulti)""".stripMargin
+
+  def unigramSeedVocabOracleSql(maxPieceLen: Int = 5, topK: Int = 120,
+      table: String = "documents", textCol: String = "text"): String =
+    s"""WITH ${seedVocabCtes(maxPieceLen, topK, table, textCol)}
+       |SELECT piece, freq FROM vocab""".stripMargin
+
+  /** The shared unigram DP tables: (docWords, words, short, spans, edges,
+    * seg) — [[unigramEncode]] reads the (0, len) entries off `seg`;
+    * [[unigramTrain]] additionally extracts the canonical path through
+    * `edges`. `seg` is the all-pairs min-plus closure of the packed
+    * (cost·64 + pieces) edge keys.
+    */
+  private def unigramDp(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocab: org.apache.spark.sql.DataFrame,
+      maxPieceLen: Int, maxWordLen: Int, unkCostMicro: Long):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    require(maxWordLen >= 2 && maxWordLen < 64,
+      "packed (cost, pieces) key needs piece counts < 64")
+    val costs = vocab.crossJoin(broadcast(
+        vocab.agg(sum(col("freq")).cast("double").as("tot"))))
+      .select(col("piece"),
+        (-round(log(col("freq").cast("double") / col("tot")) * 1e6))
+          .cast("long").as("cost"))
+    val docWords = Caching.persist(
+      df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("w")))
+    val words = Caching.persist(
+      docWords.groupBy(col("w")).agg(count(lit(1)).as("occ")))
+    val short = words.where(length(col("w")) <= maxWordLen)
+    // every (start, len ≤ maxPieceLen) substring of every distinct word
+    val spans = short.select(col("w"), explode(flatten(transform(
+        sequence(lit(1), length(col("w"))), s =>
+          transform(sequence(lit(1),
+            least(lit(maxPieceLen), length(col("w")) - s + 1)), l =>
+            struct((s - 1).cast("long").as("j"), (s - 1 + l).cast("long").as("i"),
+              col("w").substr(s, l).as("piece")))))).as("e"))
+      .select(col("w"), col("e.j"), col("e.i"), col("e.piece"))
+    // char edges always exist (UNK floor); multi-char edges need the vocab
+    val eChar = spans.where(col("i") - col("j") === 1)
+      .join(costs, Seq("piece"), "left")
+      .select(col("w"), col("j"), col("i"),
+        (coalesce(col("cost"), lit(unkCostMicro)) * 64 + 1).as("k"))
+    val eMulti = spans.where(col("i") - col("j") > 1)
+      .join(costs, Seq("piece"))
+      .select(col("w"), col("j"), col("i"), (col("cost") * 64 + 1).as("k"))
+    val edges = Caching.checkpoint(eMulti.unionByName(eChar)
+      .groupBy(col("w"), col("j"), col("i")).agg(min(col("k")).as("k")))
+    var seg = edges
+    val rounds = math.ceil(math.log(maxWordLen) / math.log(2)).toInt
+    for (_ <- 1 to rounds) {
+      // min-plus squaring: seg is referenced twice per round -> per-round
+      // checkpoint per the multi-reference rule (PLANS.md round-10)
+      val comp = seg.select(col("w"), col("j"), col("i").as("mid"), col("k").as("ka"))
+        .join(seg.select(col("w"), col("j").as("mid"), col("i"), col("k").as("kb")),
+          Seq("w", "mid"))
+        .select(col("w"), col("j"), col("i"), (col("ka") + col("kb")).as("k"))
+      seg = Caching.checkpoint(seg.unionByName(comp)
+        .groupBy(col("w"), col("j"), col("i")).agg(min(col("k")).as("k")))
+    }
+    (docWords, words, short, spans, edges, seg)
+  }
 
   /** Viterbi segmentation COST of the whole corpus under a unigram-LM
     * vocabulary — the E-step of SentencePiece training and the serving
@@ -3227,48 +3297,9 @@ object TextAnalysis {
       textCol: String, vocab: org.apache.spark.sql.DataFrame,
       maxPieceLen: Int = 5, maxWordLen: Int = 32,
       unkCostMicro: Long = 30000000L): org.apache.spark.sql.DataFrame = {
-    require(maxWordLen >= 2 && maxWordLen < 64,
-      "packed (cost, pieces) key needs piece counts < 64")
-    val costs = vocab.crossJoin(broadcast(
-        vocab.agg(sum(col("freq")).cast("double").as("tot"))))
-      .select(col("piece"),
-        (-round(log(col("freq").cast("double") / col("tot")) * 1e6))
-          .cast("long").as("cost"))
-    val docWords = Caching.persist(
-      df.select(col(idCol).as("doc_id"),
-        explode(tokens(col(textCol))).as("w")))
-    val words = Caching.persist(
-      docWords.groupBy(col("w")).agg(count(lit(1)).as("occ")))
-    val short = words.where(length(col("w")) <= maxWordLen)
-    // every (start, len ≤ maxPieceLen) substring of every distinct word
-    val spans = short.select(col("w"), explode(flatten(transform(
-        sequence(lit(1), length(col("w"))), s =>
-          transform(sequence(lit(1),
-            least(lit(maxPieceLen), length(col("w")) - s + 1)), l =>
-            struct((s - 1).cast("long").as("j"), (s - 1 + l).cast("long").as("i"),
-              col("w").substr(s, l).as("piece")))))).as("e"))
-      .select(col("w"), col("e.j"), col("e.i"), col("e.piece"))
-    // char edges always exist (UNK floor); multi-char edges need the vocab
-    val eChar = spans.where(col("i") - col("j") === 1)
-      .join(costs, Seq("piece"), "left")
-      .select(col("w"), col("j"), col("i"),
-        (coalesce(col("cost"), lit(unkCostMicro)) * 64 + 1).as("k"))
-    val eMulti = spans.where(col("i") - col("j") > 1)
-      .join(costs, Seq("piece"))
-      .select(col("w"), col("j"), col("i"), (col("cost") * 64 + 1).as("k"))
-    var seg = Caching.checkpoint(eMulti.unionByName(eChar)
-      .groupBy(col("w"), col("j"), col("i")).agg(min(col("k")).as("k")))
-    val rounds = math.ceil(math.log(maxWordLen) / math.log(2)).toInt
-    for (_ <- 1 to rounds) {
-      // min-plus squaring: seg is referenced twice per round -> per-round
-      // checkpoint per the multi-reference rule (PLANS.md round-10)
-      val comp = seg.select(col("w"), col("j"), col("i").as("mid"), col("k").as("ka"))
-        .join(seg.select(col("w"), col("j").as("mid"), col("i"), col("k").as("kb")),
-          Seq("w", "mid"))
-        .select(col("w"), col("j"), col("i"), (col("ka") + col("kb")).as("k"))
-      seg = Caching.checkpoint(seg.unionByName(comp)
-        .groupBy(col("w"), col("j"), col("i")).agg(min(col("k")).as("k")))
-    }
+    val (docWords, words, short, _, _, seg) =
+      unigramDp(df, idCol, textCol, vocab, maxPieceLen, maxWordLen,
+        unkCostMicro)
     val wmShort = short
       .join(seg, seg("w") === short("w") && col("j") === 0 &&
         col("i") === length(short("w")).cast("long"))
@@ -3291,10 +3322,14 @@ object TextAnalysis {
     * inlining would re-expand the chain exponentially (the
     * bradleyTerryOracleSql lesson).
     */
-  def unigramEncodeOracleSql(maxPieceLen: Int = 5, topK: Int = 120,
-      maxWordLen: Int = 32, unkCostMicro: Long = 30000000L,
-      table: String = "documents", idCol: String = "doc_id",
-      textCol: String = "text"): String = {
+  /** The common oracle CTE chain (vocab → costs → docwords → words →
+    * short → spans → seg0 → seg<rounds>) shared by
+    * [[unigramEncodeOracleSql]] and [[unigramTrainOracleSql]]. Returns
+    * (chainSql, rounds).
+    */
+  private def unigramChainSql(maxPieceLen: Int, topK: Int,
+      maxWordLen: Int, unkCostMicro: Long, table: String,
+      idCol: String, textCol: String): (String, Int) = {
     val rounds = math.ceil(math.log(maxWordLen) / math.log(2)).toInt
     val iterCtes = (1 to rounds).map { r =>
       val prev = if (r == 1) "seg0" else s"seg${r - 1}"
@@ -3306,9 +3341,7 @@ object TextAnalysis {
          |    FROM $prev a JOIN $prev b ON b.w = a.w AND b.j = a.i)
          |  GROUP BY w, j, i)"""
     }.mkString(",\n")
-    s"""WITH vocab AS MATERIALIZED (
-       |  ${unigramSeedVocabOracleSql(maxPieceLen, topK, table, textCol)
-            .replace("\n", "\n  ")}),
+    (s"""${seedVocabCtes(maxPieceLen, topK, table, textCol)},
        |costs AS MATERIALIZED (
        |  SELECT piece,
        |         (-round(ln(freq::DOUBLE / (SELECT sum(freq) FROM vocab))
@@ -3339,7 +3372,16 @@ object TextAnalysis {
        |    FROM spans sp JOIN costs c ON c.piece = sp.piece
        |    WHERE sp.i - sp.j > 1)
        |  GROUP BY w, j, i),
-       |$iterCtes,
+       |$iterCtes""".stripMargin, rounds)
+  }
+
+  def unigramEncodeOracleSql(maxPieceLen: Int = 5, topK: Int = 120,
+      maxWordLen: Int = 32, unkCostMicro: Long = 30000000L,
+      table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text"): String = {
+    val (chain, rounds) = unigramChainSql(maxPieceLen, topK, maxWordLen,
+      unkCostMicro, table, idCol, textCol)
+    s"""WITH $chain,
        |wm AS (
        |  SELECT s.w, s.occ, g.k // 64 AS cost_micro, g.k % 64 AS pieces
        |  FROM short s JOIN seg$rounds g
@@ -3353,5 +3395,135 @@ object TextAnalysis {
        |       sum(wm.cost_micro)::BIGINT AS cost_micro
        |FROM docwords d JOIN wm ON wm.w = d.w
        |GROUP BY d.doc_id""".stripMargin
+  }
+
+  /** One hard-EM round of SentencePiece unigram TRAINING: segment every
+    * distinct word by the CANONICAL maximum-likelihood path under the
+    * [[unigramSeedVocab]] seed (Viterbi; ties → fewer pieces, then the
+    * longest-last-piece walk below), count the pieces actually used
+    * weighted by word occurrences, and return the re-estimated vocabulary
+    * (piece, freq) — the M-step counts. Pieces the optimum never uses
+    * drop out (their EM count is zero); unknown characters that the UNK
+    * floor had to cover ENTER with their observed counts — exactly how
+    * hard EM heals a seed vocabulary. Iterating encode∘train converges
+    * the classic way; one round is the documented default (soft EM's
+    * forward-backward expectations are the refinement this trades away).
+    *
+    * The canonical path is extracted WITHOUT backpointer state: an edge
+    * (j,i) is on some optimal path iff dpF[j] + k(j,i) + dpB[i] equals
+    * the word total (dpF/dpB = forward/backward closures, all packed
+    * (cost, pieces) keys, so "optimal" already means fewest-pieces-
+    * among-cheapest); `chosen[i] = min tight j` makes the walk from the
+    * word end deterministic, and the telescoping identity k = dpF[i] −
+    * dpF[j] guarantees the walked path IS optimal. The walk frontier is
+    * one row per distinct word, shrinking as words complete — at most
+    * max-pieces rounds of vocabulary-sized joins; per-doc work never
+    * enters the loop. Words over `maxWordLen` contribute their per-char
+    * UNK fallback counts ([[unigramEncode]]'s floor, applied identically
+    * here). Replays in DuckDB via a recursive-CTE walk over the same
+    * `chosen` table ([[unigramTrainOracleSql]]).
+    */
+  def unigramTrain(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maxPieceLen: Int = 5, topK: Int = 120,
+      maxWordLen: Int = 32,
+      unkCostMicro: Long = 30000000L): org.apache.spark.sql.DataFrame = {
+    val seed = unigramSeedVocab(df, idCol, textCol, maxPieceLen, topK)
+    val (_, words, short, spans, edges, seg) =
+      unigramDp(df, idCol, textCol, seed, maxPieceLen, maxWordLen,
+        unkCostMicro)
+    val wlen = short.select(col("w"), length(col("w")).cast("long").as("len"))
+    val dpf = seg.where(col("j") === 0)
+      .select(col("w"), col("i").as("pos"), col("k"))
+      .unionByName(short.select(col("w"), lit(0L).as("pos"), lit(0L).as("k")))
+    val dpb = seg.join(wlen, Seq("w")).where(col("i") === col("len"))
+      .select(col("w"), col("j").as("pos"), col("k"))
+      .unionByName(wlen.select(col("w"), col("len").as("pos"),
+        lit(0L).as("k")))
+    val tot = seg.join(wlen, Seq("w"))
+      .where(col("j") === 0 && col("i") === col("len"))
+      .select(col("w"), col("k").as("ktot"))
+    val tight = edges
+      .join(dpf.select(col("w"), col("pos").as("j"), col("k").as("kf")),
+        Seq("w", "j"))
+      .join(dpb.select(col("w"), col("pos").as("i"), col("k").as("kb")),
+        Seq("w", "i"))
+      .join(tot, Seq("w"))
+      .where(col("kf") + col("k") + col("kb") === col("ktot"))
+    val chosen = Caching.persist(
+      tight.groupBy(col("w"), col("i")).agg(min(col("j")).as("j")))
+    var frontier = Caching.checkpoint(
+      wlen.select(col("w"), col("len").as("i")))
+    val usedParts = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    var it = 0
+    while (it < maxWordLen && !frontier.isEmpty) {
+      val step = Caching.checkpoint(frontier.join(chosen, Seq("w", "i")))
+      usedParts += step
+      frontier = Caching.checkpoint(
+        step.select(col("w"), col("j").as("i")).where(col("i") > 0))
+      it += 1
+    }
+    val longChars = words.where(length(col("w")) > maxWordLen)
+      .select(explode(split(col("w"), "")).as("piece"), col("occ"))
+      .where(col("piece") =!= "")
+    val pathPieces =
+      if (usedParts.isEmpty) longChars.limit(0)
+      else usedParts.reduce(_ unionByName _)
+        .join(spans, Seq("w", "j", "i"))
+        .join(words, Seq("w"))
+        .select(col("piece"), col("occ"))
+    pathPieces.unionByName(longChars)
+      .groupBy(col("piece")).agg(sum(col("occ")).as("freq"))
+  }
+
+  /** DuckDB replay of [[unigramTrain]] — the shared DP chain plus the
+    * tight-edge/chosen tables and a recursive-CTE canonical walk.
+    */
+  def unigramTrainOracleSql(maxPieceLen: Int = 5, topK: Int = 120,
+      maxWordLen: Int = 32, unkCostMicro: Long = 30000000L,
+      table: String = "documents", idCol: String = "doc_id",
+      textCol: String = "text"): String = {
+    val (chain, rounds) = unigramChainSql(maxPieceLen, topK, maxWordLen,
+      unkCostMicro, table, idCol, textCol)
+    s"""WITH RECURSIVE $chain,
+       |dpf AS MATERIALIZED (
+       |  SELECT w, i AS pos, k FROM seg$rounds WHERE j = 0
+       |  UNION ALL SELECT w, 0::BIGINT, 0::BIGINT FROM short),
+       |dpb AS MATERIALIZED (
+       |  SELECT g.w, g.j AS pos, g.k FROM seg$rounds g
+       |  JOIN short s ON s.w = g.w AND g.i = len(s.w)
+       |  UNION ALL SELECT w, len(w)::BIGINT, 0::BIGINT FROM short),
+       |tot AS MATERIALIZED (
+       |  SELECT g.w, g.k AS ktot FROM seg$rounds g
+       |  JOIN short s ON s.w = g.w AND g.j = 0 AND g.i = len(s.w)),
+       |tight AS MATERIALIZED (
+       |  SELECT e.w, e.j, e.i FROM seg0 e
+       |  JOIN dpf f ON f.w = e.w AND f.pos = e.j
+       |  JOIN dpb b ON b.w = e.w AND b.pos = e.i
+       |  JOIN tot t ON t.w = e.w
+       |  WHERE f.k + e.k + b.k = t.ktot),
+       |chosen AS MATERIALIZED (
+       |  SELECT w, i, min(j)::BIGINT AS j FROM tight GROUP BY w, i),
+       |walk(w, pos) AS (
+       |  SELECT w, len(w)::BIGINT FROM short
+       |  UNION
+       |  SELECT c.w, c.j FROM walk k
+       |  JOIN chosen c ON c.w = k.w AND c.i = k.pos
+       |  WHERE k.pos > 0),
+       |used AS (
+       |  SELECT c.w, c.j, k.pos AS i FROM walk k
+       |  JOIN chosen c ON c.w = k.w AND c.i = k.pos),
+       |pathpieces AS (
+       |  SELECT sp.piece, wd.occ FROM used u
+       |  JOIN spans sp ON sp.w = u.w AND sp.j = u.j AND sp.i = u.i
+       |  JOIN words wd ON wd.w = u.w),
+       |longchars AS (
+       |  SELECT c AS piece, occ FROM (
+       |    SELECT unnest(string_split(w, '')) AS c, occ FROM words
+       |    WHERE len(w) > $maxWordLen)
+       |  WHERE c <> '')
+       |SELECT piece, sum(occ)::BIGINT AS freq FROM (
+       |  SELECT * FROM pathpieces UNION ALL SELECT * FROM longchars)
+       |GROUP BY piece""".stripMargin
   }
 }

@@ -97,6 +97,14 @@ object PipelineQueries {
       TextAnalysis.unigramSeedVocab(docs(s, d), "doc_id", "text",
         maxPieceLen = 5, topK = 120)),
 
+    // --- unigram-LM hard-EM training round: canonical Viterbi path per
+    // distinct word (tight-edge + min-j walk, no backpointer state),
+    // M-step piece counts — unused pieces drop, UNK chars enter
+    // (oracle-checked via recursive-CTE walk) ---
+    "q_text_unigram_train" -> ((s, d) =>
+      TextAnalysis.unigramTrain(docs(s, d), "doc_id", "text",
+        maxPieceLen = 5, topK = 120)),
+
     // --- unigram-LM Viterbi encode: per-doc piece counts + exact
     // micro-nat NLL of the max-likelihood segmentation under the seeded
     // vocab — min-plus path doubling on the packed (cost, pieces) key,
@@ -1875,6 +1883,8 @@ object PipelineQueries {
     "q_text_unigram_vocab" -> TextAnalysis.unigramSeedVocabOracleSql(
       maxPieceLen = 5, topK = 120),
     "q_text_unigram_encode" -> TextAnalysis.unigramEncodeOracleSql(
+      maxPieceLen = 5, topK = 120),
+    "q_text_unigram_train" -> TextAnalysis.unigramTrainOracleSql(
       maxPieceLen = 5, topK = 120),
     "q_text_fertility" -> TextAnalysis.fertilityOracleSql("lang",
       numMerges = 10),

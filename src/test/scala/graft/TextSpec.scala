@@ -858,6 +858,37 @@ class TextSpec extends SparkSpec {
     assert(got(2L) == ((1L, 4L, 20000000L)))
   }
 
+  test("unigramTrain: hard-EM keeps the used pieces, drops the rest") {
+    val docs = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    // seed = {a:3, b:3, ab:3}; single-piece "ab" beats a+b, so the EM
+    // counts keep ONLY ab (chars were never used by the optimum)
+    val got = TextAnalysis.unigramTrain(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("ab" -> 3L))
+    // over-length words contribute their per-char fallback counts
+    val long = Seq((1L, "aaaa ab")).toDF("doc_id", "text")
+    val g2 = TextAnalysis.unigramTrain(long, "doc_id", "text",
+      maxWordLen = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g2("a") == 4L && g2("ab") == 1L)
+  }
+
+  test("unigramTrain: EM counts conserve the encode piece total") {
+    // the M-step counts pieces of canonical optimal segmentations; the
+    // packed key makes every optimal segmentation share its piece COUNT,
+    // so sum(train freq) must equal sum(encode n_pieces) exactly
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(120)
+    val seed = TextAnalysis.unigramSeedVocab(docs, "doc_id", "text",
+      maxPieceLen = 5, topK = 120)
+    val nPieces = TextAnalysis.unigramEncode(docs, "doc_id", "text", seed,
+        maxPieceLen = 5)
+      .agg(sum(col("n_pieces"))).head().getLong(0)
+    val emTotal = TextAnalysis.unigramTrain(docs, "doc_id", "text",
+        maxPieceLen = 5, topK = 120)
+      .agg(sum(col("freq"))).head().getLong(0)
+    assert(emTotal == nPieces, s"EM total $emTotal vs encode $nPieces")
+  }
+
   test("unigramEncode: min-plus doubling equals driver-side Viterbi on " +
       "the corpus vocabulary") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(60)
