@@ -1242,6 +1242,84 @@ object Eval {
        |FROM agg""".stripMargin
   }
 
+  /** Isotonic (PAV) probability calibration — the non-parametric
+    * companion to temperature scaling and the per-bin reliability curve:
+    * fit the best NON-DECREASING map from score buckets to label
+    * frequency (Zadrozny & Elkan 2002; sklearn's
+    * `IsotonicRegression`-based `CalibratedClassifierCV`). Computed by
+    * the exact minimax identity — for occupied buckets b_1 < … < b_B,
+    *   iso_i = max_{j ≤ i} min_{k ≥ i} mean(labels in buckets j..k)
+    * — instead of the sequential pool-adjacent-violators sweep, so the
+    * whole fit is joins + aggregates over the BUCKET table: B²/2 span
+    * pairs, B³/6 triple rows, never a corpus-sized loop or window. Keep
+    * B ≲ 256 (`bucketWidth` sizes it) — the bucket table is a model, and
+    * the cube is the price of a windowless exact fit. Means are exact
+    * micro floors ((ΣS)·1e6 div (ΣC)); the minimax over floored means is
+    * engine-portable and within one micro of the real-valued fit.
+    * Returns per occupied bucket: (bucket, n, mean_micro, iso_micro) —
+    * iso_micro is the calibrated probability; monotonicity is
+    * spec-pinned. Scores are bucketed by `score div bucketWidth`
+    * (non-negative scores assumed — the usual micro-unit carrier).
+    */
+  def isotonicCalibrate(df: DataFrame, score: Column, label: Column,
+      bucketWidth: Long = 1L): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be positive")
+    val base = df.select(score.cast("long").as("score"),
+        label.cast("boolean").cast("long").as("y"))
+      .where(col("score").isNotNull && col("y").isNotNull)
+    val bt = Caching.persist(base
+      .groupBy(expr(s"score div $bucketWidth").as("b"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s")))
+    val spans = bt.select(col("b").as("j"))
+      .join(bt.select(col("b").as("k")), col("j") <= col("k"))
+      .join(bt.select(col("b").as("m"), col("n"), col("s")),
+        col("m") >= col("j") && col("m") <= col("k"))
+      .groupBy(col("j"), col("k"))
+      .agg(expr("CAST(sum(s) * 1000000 DIV sum(n) AS BIGINT)")
+        .as("mean_micro"))
+    val iso = spans
+      .join(bt.select(col("b").as("i")),
+        col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("j")).agg(min(col("mean_micro")).as("inner"))
+      .groupBy(col("i")).agg(max(col("inner")).as("iso_micro"))
+    bt.join(iso, col("b") === col("i"))
+      .select(col("b").as("bucket"), col("n"),
+        expr("CAST(s * 1000000 DIV n AS BIGINT)").as("mean_micro"),
+        col("iso_micro"))
+  }
+
+  /** DuckDB replay of [[isotonicCalibrate]] (same bucket floor, same
+    * minimax over exact micro-floored span means).
+    */
+  def isotonicOracleSql(table: String, scoreExpr: String,
+      labelExpr: String, bucketWidth: Long = 1L): String =
+    s"""WITH base AS (
+       |  SELECT ($scoreExpr)::BIGINT AS score,
+       |         ($labelExpr)::BOOLEAN::BIGINT AS y
+       |  FROM $table
+       |  WHERE ($scoreExpr) IS NOT NULL AND ($labelExpr) IS NOT NULL),
+       |bt AS MATERIALIZED (
+       |  SELECT score // $bucketWidth AS b, count(*)::BIGINT AS n,
+       |         sum(y)::BIGINT AS s
+       |  FROM base GROUP BY 1),
+       |spans AS MATERIALIZED (
+       |  SELECT j.b AS j, k.b AS k,
+       |         (sum(m.s) * 1000000 // sum(m.n))::BIGINT AS mean_micro
+       |  FROM bt j
+       |  JOIN bt k ON j.b <= k.b
+       |  JOIN bt m ON m.b >= j.b AND m.b <= k.b
+       |  GROUP BY 1, 2),
+       |iso AS (
+       |  SELECT i, max(inner_m)::BIGINT AS iso_micro FROM (
+       |    SELECT i.b AS i, sp.j, min(sp.mean_micro) AS inner_m
+       |    FROM spans sp JOIN bt i ON sp.j <= i.b AND sp.k >= i.b
+       |    GROUP BY 1, 2)
+       |  GROUP BY i)
+       |SELECT bt.b AS bucket, bt.n,
+       |       (bt.s * 1000000 // bt.n)::BIGINT AS mean_micro,
+       |       iso.iso_micro
+       |FROM bt JOIN iso ON iso.i = bt.b""".stripMargin
+
   /** Fixed-point scale for [[bradleyTerry]] strengths (1.0 == 1e6). */
   val BtScale = 1000000L
 

@@ -1293,6 +1293,16 @@ object PipelineQueries {
         dim = 64, epsFx = 200000L, minPts = 6)
     }),
 
+    // --- isotonic (PAV) calibration: best non-decreasing score→frequency
+    // map via the exact minimax identity over the bucket table — joins +
+    // aggregates only, no sequential sweep (oracle-checked) ---
+    "q_pipeline_isotonic" -> ((s, d) => {
+      Tables.load(s, d)
+      graft.operators.Eval.isotonicCalibrate(s.table("events"),
+        round(col("value") * 100, 0).cast("long"),
+        col("event_type") === "purchase", bucketWidth = 200L)
+    }),
+
     // --- Bradley–Terry preference-strength fit (the Chatbot-Arena / RLHF
     // preference-data model): pairwise outcomes from consecutive same-user
     // events (higher value wins), 8 MM rounds on the BIGINT micro carrier,
@@ -2123,6 +2133,10 @@ object PipelineQueries {
 
     "q_pipeline_auc" -> graft.operators.Eval.rocAucOracleSql(
       "events", "round(value * 100)", "event_type = 'purchase'"),
+
+    "q_pipeline_isotonic" -> graft.operators.Eval.isotonicOracleSql(
+      "events", "round(value * 100)", "event_type = 'purchase'",
+      bucketWidth = 200L),
 
     "q_pipeline_elo" -> graft.operators.Eval.bradleyTerryOracleSql(
       """games AS (

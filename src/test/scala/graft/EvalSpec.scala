@@ -425,6 +425,34 @@ class EvalSpec extends SparkSpec {
     assert(g4.getLong(2) == 9 * w(0) + 3 * w(1) + 2 * w(2))
   }
 
+  test("isotonicCalibrate: hand PAV pooling, monotone output, " +
+      "monotone input unchanged") {
+    // bucket means 0/2, 2/2, 1/2, 2/2 -> PAV pools buckets 2-3 to 3/4
+    val rows = Seq((1L, 0), (1L, 0), (2L, 1), (2L, 1), (3L, 1), (3L, 0),
+      (4L, 1), (4L, 1)).toDF("score", "y")
+    val got = Eval.isotonicCalibrate(rows, col("score"), col("y") === 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((0L, 0L)))
+    assert(got(2L) == ((1000000L, 750000L)))
+    assert(got(3L) == ((500000L, 750000L)))
+    assert(got(4L) == ((1000000L, 1000000L)))
+    // already-monotone input comes back untouched
+    val mono = Seq((1L, 0), (1L, 0), (2L, 1), (2L, 0), (3L, 1), (3L, 1))
+      .toDF("score", "y")
+    val g2 = Eval.isotonicCalibrate(mono, col("score"), col("y") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(g2.forall(r => r._2 == r._3))
+    // real data: calibrated output is non-decreasing in bucket
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val iso = Eval.isotonicCalibrate(ev,
+        round(col("value") * 100, 0).cast("long"),
+        col("event_type") === "purchase", bucketWidth = 500L)
+      .orderBy(col("bucket"))
+      .collect().map(_.getLong(3))
+    assert(iso.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
+
   test("bradleyTerry: dominance order, symmetry, zero-win floor") {
     // transitive dominance A > B > C: 3-0, 3-0, 3-0
     val games = (Seq.fill(3)(("A", "B")) ++ Seq.fill(3)(("B", "C")) ++
