@@ -1340,12 +1340,14 @@ object Eval {
     *
     * Scale shape: games aggregate once to an (i,j,n) edge table — the
     * model input is pair-count-sized, not game-count-sized — then each MM
-    * round is two hash joins on the strength frame + one aggregate,
-    * exactly [[Graph.pageRank]]'s per-round cost. The strength frame is
-    * referenced TWICE per round (p_i and p_j), so it gets the per-round
-    * [[Caching.checkpoint]] the multi-reference rule prescribes
-    * (PLANS.md round-10 A/B). The final rank window is global but runs
-    * on the item table — a model, not data. Returns
+    * round is two hash joins of the edge table against the ITEM-sized
+    * strength table + one aggregate. Strengths live as a driver-side map
+    * re-broadcast per round (the BPE-loop / logisticTrain posture: the
+    * model is collected, the data never is) — items are models, domains,
+    * or sources by construction, so the per-round collect is model-sized;
+    * the lazy-lineage/checkpoint question disappears because each round's
+    * plan starts from a literal local table. The final rank window is
+    * global but runs on the item table — a model, not data. Returns
     * (item, strength_u, rank).
     */
   def bradleyTerry(games: DataFrame, winnerCol: String, loserCol: String,
@@ -1368,23 +1370,29 @@ object Eval {
       items.join(dir.groupBy(col("w").as("item"))
           .agg(sum(col("n")).as("wraw")), Seq("item"), "left")
         .select(col("item"), coalesce(col("wraw"), lit(0L)).as("wins")))
-    var p = wins.select(col("item"), lit(S).as("p"))
-    for (_ <- 1 to iters) {
+    val spark = games.sparkSession
+    import spark.implicits._
+    // model-sized state: (item, wins, strength) collected once, iterated
+    // driver-side-broadcast per round — each round plans a flat local
+    // table instead of growing lineage or paying a checkpoint
+    var p: Map[String, Long] =
+      wins.collect().map(r => r.getString(0) -> S).toMap
+    val winsMap: Map[String, Long] =
+      wins.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (_ <- 1 to iters if winsMap.nonEmpty) {
+      val pDf = broadcast(p.toSeq.toDF("item", "p"))
       val denom = edges
-        .join(p.select(col("item").as("i"), col("p").as("pi")), Seq("i"))
-        .join(p.select(col("item").as("j"), col("p").as("pj")), Seq("j"))
+        .join(pDf.select(col("item").as("i"), col("p").as("pi")), Seq("i"))
+        .join(pDf.select(col("item").as("j"), col("p").as("pj")), Seq("j"))
         .groupBy(col("i").as("item"))
         .agg(sum(expr(s"(n * $S * $S) DIV (pi + pj)")).as("denom"))
-      val raw = wins.join(denom, Seq("item"))
-        .select(col("item"),
-          expr(s"GREATEST((wins * $S * $S) DIV denom, 1L)").as("p"))
-      val mean = raw.agg(
-        expr("CAST(sum(p) DIV count(1) AS BIGINT)").as("mean"))
-      p = Caching.checkpoint(raw.crossJoin(broadcast(mean))
-        .select(col("item"),
-          expr(s"GREATEST((p * $S) DIV mean, 1L)").as("p")))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val raw = winsMap.map { case (item, w) =>
+        item -> math.max(w * S * S / denom(item), 1L) }
+      val mean = math.max(raw.values.sum / raw.size, 1L)
+      p = raw.map { case (item, v) => item -> math.max(v * S / mean, 1L) }
     }
-    p.select(col("item"), col("p").as("strength_u"))
+    p.toSeq.toDF("item", "strength_u")
       .withColumn("rank", row_number().over(
         Window.orderBy(col("strength_u").desc, col("item"))).cast("long"))
   }
