@@ -491,4 +491,50 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bnlj.isEmpty,
       "per-class stats must equi-join gold/pred totals on the class key")
   }
+
+  test("balancedIvfAssign: codebook broadcasts, top-2 rides a group " +
+      "limit, spill join is id-keyed") {
+    // the n×k scoring join broadcasts the model-sized codebook (allowed
+    // BNLJ), the rn<=2 filter must push into the window as a
+    // WindowGroupLimit (partial top-2, no full per-vector sort spill),
+    // and the secondary-centroid lookup joins on the id equi-key
+    val (_, plan) = executed("q_knn_balanced")
+    val s = plan.toString()
+    assert(s.contains("WindowGroupLimit"),
+      "top-2 centroid filter must plan as WindowGroupLimit")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "spill-target lookup must be an id-keyed equi join")
+  }
+
+  test("annRecallIvf: truth and approx sides broadcast the query sample") {
+    // both ranking passes broadcast |Q|-sized sides against one corpus
+    // scan each; the truth∪approx recall join is (qid,id)-keyed
+    val (_, plan) = executed("q_knn_recall")
+    val shuffles = collectWithSubqueries(plan) { case x: ShuffleExchangeExec => x }
+    // windows shuffle on qid/id; nothing should shuffle corpus×|Q| pair
+    // sets beyond the two ranking exchanges, the assignment argmax, the
+    // hit join, and the final aggregate (measured shape: 7)
+    assert(shuffles.size <= 7,
+      s"recall should need at most ranking+agg exchanges, got ${shuffles.size}")
+  }
+
+  test("isotonicCalibrate: the cube runs on the bucket table, the corpus " +
+      "is aggregated exactly once") {
+    // every nested-loop side must be the model-sized bucket table — the
+    // corpus appears only below the single bucket groupBy
+    val (_, plan) = executed("q_pipeline_isotonic")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    // span pair + triple joins are range joins over bt (≤3 BNLJ), all
+    // broadcast-small by construction
+    assert(bnlj.size <= 3, s"only bucket-table range joins may nest-loop; " +
+      s"got ${bnlj.size}")
+  }
+
+  test("modularity: label joins are node-keyed, aggregates keyed by label") {
+    val (_, plan) = executed("q_graph_modularity")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty,
+      "modularity must plan node/label equi-joins only — a BNLJ is an " +
+        "edge×community cross product")
+  }
 }
