@@ -577,6 +577,106 @@ object Graph {
           s" DIV (CAST($m AS DECIMAL(38,0)) * $m) AS BIGINT)"))
   }
 
+  /** One synchronous round of Louvain-style local moves (Blondel et al.
+    * 2008 phase-1 step): every node moves to the candidate community
+    * (its neighbors' communities or its own) with the highest modularity
+    * gain. On the directed-symmetric carrier the per-candidate gain
+    * reduces — constants dropped — to the exact integer score
+    *   score(u, c) = m·w_uc − k_u·(tot_c − [c = c_u]·k_u)
+    * (w_uc = u's edges into c, k_u = degree, tot_c = community degree,
+    * the [c = c_u] term removes u from its own community before
+    * comparing, the standard remove-then-insert). Argmax per node with
+    * (score desc, label asc) ties — deterministic, LPA's convention.
+    * Synchronous rounds can oscillate on pathological symmetric inputs
+    * (like synchronous LPA — compose with [[modularity]] to ACCEPT a
+    * round only if Q improved); a greedy sequential sweep would not, but
+    * it is inherently serial. Products ride DECIMAL(38,0) so m up to
+    * ~1e12 edges cannot overflow. Returns (node, label).
+    *
+    * Scale shape: two node-keyed label joins, three keyed aggregates,
+    * one (node, candidate)-keyed argmax window whose partition size is
+    * the node's neighbor-community count — linear in |E|, the same
+    * budget as one LPA round.
+    */
+  def modularityRefine(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val lab = Caching.persist(labels.select(col("node"), col("label")))
+    val el = Caching.persist(edges.select(col("src"), col("dst"))
+      .join(lab.select(col("node").as("src"), col("label").as("lsrc")),
+        "src")
+      .join(lab.select(col("node").as("dst"), col("label").as("ldst")),
+        "dst"))
+    val m = math.max(el.count(), 1L)
+    val deg = el.groupBy(col("src").as("node")).agg(count(lit(1)).as("k"))
+    val tot = el.groupBy(col("lsrc").as("label"))
+      .agg(count(lit(1)).as("tot"))
+    val wuc = el.groupBy(col("src").as("node"), col("ldst").as("cand"))
+      .agg(count(lit(1)).as("wuc"))
+    // the own community is always a candidate (staying must be an option
+    // even with zero intra edges)
+    val cands = wuc.unionByName(lab.select(col("node"),
+        col("label").as("cand"), lit(0L).as("wuc")))
+      .groupBy(col("node"), col("cand")).agg(sum(col("wuc")).as("wuc"))
+    val scored = cands
+      .join(lab, Seq("node"))
+      .join(deg, Seq("node"), "left")
+      .join(tot.withColumnRenamed("label", "tot_label"),
+        col("cand") === col("tot_label"), "left")
+      .select(col("node"), col("cand"),
+        expr(s"CAST(CAST(wuc AS DECIMAL(38,0)) * $m" +
+          s" - CAST(coalesce(k, 0) AS DECIMAL(38,0))" +
+          s" * (coalesce(tot, 0) - IF(cand = label, coalesce(k, 0), 0))" +
+          s" AS DECIMAL(38,0))").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node"))
+      .orderBy(col("score").desc, col("cand"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("node"), col("cand").as("label"))
+  }
+
+  /** DuckDB replay of [[modularityRefine]] ∘ [[labelPropagation]] ∘
+    * [[coEdges]] — the gate composition.
+    */
+  def modularityRefineOracleSql(groupExpr: String, itemExpr: String,
+      table: String, iters: Int, maxGroupSize: Int = 64): String =
+    s"""WITH ${coEdgesSql(groupExpr, itemExpr, table, maxGroupSize)},
+       |${lpaChainSql(iters)},
+       |labels AS (SELECT node, label FROM l$iters),
+       |el AS MATERIALIZED (
+       |  SELECT e.src, e.dst, ls.label AS lsrc, ld.label AS ldst
+       |  FROM edges e
+       |  JOIN labels ls ON ls.node = e.src
+       |  JOIN labels ld ON ld.node = e.dst),
+       |mm AS (SELECT greatest(count(*), 1)::HUGEINT AS m FROM el),
+       |deg AS (SELECT src AS node, count(*)::BIGINT AS k FROM el
+       |        GROUP BY 1),
+       |tot AS (SELECT lsrc AS label, count(*)::BIGINT AS tot FROM el
+       |        GROUP BY 1),
+       |wuc AS (SELECT src AS node, ldst AS cand, count(*)::BIGINT AS wuc
+       |        FROM el GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT node, cand, sum(wuc)::BIGINT AS wuc FROM (
+       |    SELECT node, cand, wuc FROM wuc
+       |    UNION ALL SELECT node, label AS cand, 0 FROM labels)
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT c.node, c.cand,
+       |         c.wuc::HUGEINT * mm.m
+       |           - coalesce(d.k, 0)::HUGEINT
+       |             * (coalesce(t.tot, 0)
+       |                - CASE WHEN c.cand = lb.label
+       |                       THEN coalesce(d.k, 0) ELSE 0 END) AS score
+       |  FROM cands c
+       |  JOIN labels lb ON lb.node = c.node
+       |  LEFT JOIN deg d ON d.node = c.node
+       |  LEFT JOIN tot t ON t.label = c.cand, mm)
+       |SELECT node, cand AS label FROM (
+       |  SELECT node, cand,
+       |         row_number() OVER (PARTITION BY node
+       |           ORDER BY score DESC, cand) AS rn
+       |  FROM scored)
+       |WHERE rn = 1""".stripMargin
+
   /** DuckDB replay of [[modularity]] ∘ [[labelPropagation]] ∘ [[coEdges]]
     * — the gate composition: LPA communities over the co-occurrence graph,
     * scored in the same query.

@@ -281,6 +281,16 @@ object ScaleQueries {
         graft.operators.Graph.labelPropagation(e, iters = 4))
     }),
 
+    // --- one Louvain-style local-move round refining the LPA communities:
+    // exact integer modularity-gain argmax per node, remove-then-insert
+    // semantics (oracle-checked) ---
+    "q_graph_refine" -> ((s, d) => {
+      val e = graft.operators.Graph.coEdges(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey")
+      graft.operators.Graph.modularityRefine(e,
+        graft.operators.Graph.labelPropagation(e, iters = 4))
+    }),
+
     // --- single-source BFS hop distances from the minimum sampled part
     // over the co-purchase graph: level-synchronous frontier expansion,
     // recursive-CTE oracle (oracle-checked) ---
@@ -404,6 +414,8 @@ object ScaleQueries {
     "q_graph_lpa" -> graft.operators.Graph.labelPropagationOracleSql(
       "l_orderkey", "l_partkey", "lineitem", iters = 4),
     "q_graph_modularity" -> graft.operators.Graph.modularityOracleSql(
+      "l_orderkey", "l_partkey", "lineitem", iters = 4),
+    "q_graph_refine" -> graft.operators.Graph.modularityRefineOracleSql(
       "l_orderkey", "l_partkey", "lineitem", iters = 4),
     "q_graph_sssp" -> graft.operators.Graph.ssspOracleSql(
       """gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item

@@ -352,6 +352,37 @@ class GraphSpec extends SparkSpec {
       == Seq(Seq(42L, 0L)))
   }
 
+  test("modularityRefine: one local-move round heals a mislabeled node, " +
+      "perfect split is a fixed point") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val good = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L), (6L, 20L)).toDF("node", "label")
+    // node 3 mislabeled into the right triangle's community
+    val bad = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L),
+      (5L, 20L), (6L, 20L)).toDF("node", "label")
+    def labelMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val healed = labelMap(Graph.modularityRefine(e, bad))
+    // node 3 has 2 edges into {1,2}'s community vs 1 into its own (after
+    // removing itself) -> the gain argmax moves it back
+    assert(healed(3L) == 10L)
+    // the perfect split does not move anyone
+    assert(labelMap(Graph.modularityRefine(e, good)) == labelMap(good))
+    // and Q(refined bad) > Q(bad) — the move was a real improvement
+    def q(labels: org.apache.spark.sql.DataFrame): Long =
+      Graph.modularity(e, labels).agg(sum(col("q_micro")))
+        .head().getLong(0)
+    val refined = Graph.modularityRefine(e, bad)
+    assert(q(refined) > q(bad), s"Q ${q(refined)} vs ${q(bad)}")
+    // isolated labeled node keeps its community (left-join k=0 path)
+    val isolated = labelMap(Graph.modularityRefine(e,
+      good.unionByName(Seq((99L, 7L)).toDF("node", "label"))))
+    assert(isolated(99L) == 7L)
+  }
+
   test("modularity: two bridged triangles, perfect split scores 5/14 " +
       "per Newman") {
     import spark.implicits._
