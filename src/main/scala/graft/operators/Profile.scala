@@ -819,6 +819,84 @@ object Profile {
         (col("l_distinct") < l).as("violates_l")): _*)
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the privacy
+    * tier ABOVE [[kAnonymity]]'s l-diversity: a quasi-identifier group
+    * leaks when its sensitive-value DISTRIBUTION differs from the
+    * corpus-wide one (l distinct values can still be 99% one value), so
+    * each group's total-variation distance to the global distribution
+    * must stay ≤ t. Exact integer form: for group g with size N_g over
+    * corpus size N, TV_micro = (Σ_s |n_gs·N − p_s·N_g|)·1e6 div
+    * (2·N_g·N) — the per-value terms ride DECIMAL(38,0) (n·N ≤ N² up to
+    * N~1e18 digits-wise safe at 38), sums are order-free, one floor at
+    * the end. NULL sensitive cells are missingness and join neither
+    * distribution ([[kAnonymity]]'s posture). Returns per group:
+    * (quasi…, n, tv_micro, violates_t).
+    *
+    * Scale shape: one pass to the (group, value) cell aggregate, a
+    * broadcast of the VALUE-DOMAIN distribution (t-closeness presumes a
+    * small categorical/banded domain — that is what makes the metric
+    * meaningful), and a groups × domain expansion that is linear in the
+    * group count. No windows, nothing corpus-sized after the first
+    * aggregate.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, tMicro: Long): DataFrame = {
+    require(quasiCols.nonEmpty && tMicro >= 0)
+    val q = quasiCols.map(col)
+    val base = Caching.persist(df.where(col(sensitiveCol).isNotNull)
+      .select(q :+ col(sensitiveCol).as("__s"): _*))
+    val cells = base.groupBy(q :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__n"))
+    val gv = broadcast(base.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__p")))
+    val grp = base.groupBy(q: _*).agg(count(lit(1)).as("__ng"))
+    val n = math.max(base.count(), 1L)
+    grp.join(gv)
+      .join(cells, quasiCols :+ "__s", "left")
+      .select(q ++ Seq(col("__ng"),
+        expr(s"abs(CAST(coalesce(__n, 0) AS DECIMAL(38,0)) * $n" +
+          s" - CAST(__p AS DECIMAL(38,0)) * __ng)").as("__term")): _*)
+      .groupBy(q :+ col("__ng"): _*)
+      .agg(expr(s"CAST(sum(__term) * 1000000" +
+        s" DIV (2 * CAST(__ng AS DECIMAL(38,0)) * $n) AS BIGINT)")
+        .as("tv_micro"))
+      .select(q ++ Seq(col("__ng").as("n"), col("tv_micro"),
+        (col("tv_micro") > tMicro).as("violates_t")): _*)
+  }
+
+  /** DuckDB replay of [[tCloseness]] (same NULL posture, same HUGEINT
+    * cross-multiplied terms, same single floor).
+    */
+  def tClosenessOracleSql(table: String, quasiCols: Seq[String],
+      sensitiveExpr: String, tMicro: Long): String = {
+    val qs = quasiCols.mkString(", ")
+    s"""WITH base AS (
+       |  SELECT $qs, ($sensitiveExpr) AS s FROM $table
+       |  WHERE ($sensitiveExpr) IS NOT NULL),
+       |cells AS (
+       |  SELECT $qs, s, count(*)::BIGINT AS n FROM base
+       |  GROUP BY ${(1 to quasiCols.size + 1).mkString(", ")}),
+       |gv AS (SELECT s, count(*)::BIGINT AS p FROM base GROUP BY 1),
+       |grp AS (SELECT $qs, count(*)::BIGINT AS ng FROM base
+       |        GROUP BY ${(1 to quasiCols.size).mkString(", ")}),
+       |tot AS (SELECT greatest(count(*), 1)::HUGEINT AS n FROM base),
+       |terms AS (
+       |  SELECT ${quasiCols.map(c => s"grp.$c").mkString(", ")}, grp.ng,
+       |         abs(coalesce(cells.n, 0)::HUGEINT * tot.n
+       |             - gv.p::HUGEINT * grp.ng) AS term
+       |  FROM grp CROSS JOIN gv CROSS JOIN tot
+       |  LEFT JOIN cells ON ${quasiCols.map(c =>
+            s"cells.$c = grp.$c").mkString(" AND ")} AND cells.s = gv.s)
+       |SELECT $qs, ng AS n,
+       |       (sum(term) * 1000000
+       |        // (2 * ng::HUGEINT * (SELECT n FROM tot)))::BIGINT
+       |         AS tv_micro,
+       |       (sum(term) * 1000000
+       |        // (2 * ng::HUGEINT * (SELECT n FROM tot)))::BIGINT
+       |         > $tMicro AS violates_t
+       |FROM terms GROUP BY ${(1 to quasiCols.size + 1).mkString(", ")}""".stripMargin
+  }
+
   /** Functional-dependency check — "does `detCol` determine `depCol`?"
     * (the schema-discovery / normalization audit: order→customer should
     * hold, order→shipmode should not). Returns one row:

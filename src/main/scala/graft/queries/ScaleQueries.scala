@@ -189,6 +189,15 @@ object ScaleQueries {
           floor(col("c_acctbal") / 100).cast("long").as("bal_band")),
         Seq("c_nationkey", "c_mktsegment"), "bal_band", k = 10, l = 3)),
 
+    // --- t-closeness: each quasi-group's balance-band DISTRIBUTION must
+    // stay within TV 0.3 of the corpus-wide one — the leak l-diversity
+    // misses when l values are 99% one value (oracle-checked) ---
+    "q_pipeline_tclose" -> ((s, d) =>
+      graft.operators.Profile.tCloseness(
+        t(s, d, "customer").select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", tMicro = 300000L)),
+
     // --- seeded-Laplace DP release of the (lang, source) histogram:
     // the audit-mode mechanism (seeded uniform = replayable; production
     // swaps real entropy behind the same shape) (oracle-checked) ---
@@ -383,6 +392,9 @@ object ScaleQueries {
       "floor(c_acctbal / 100)::BIGINT", k = 10, l = 3),
     "q_pipeline_dp" -> graft.operators.Profile.dpNoisyCountsOracleSql(
       "documents", "lang || ':' || source", epsMicro = 500000L),
+    "q_pipeline_tclose" -> graft.operators.Profile.tClosenessOracleSql(
+      "customer", Seq("c_nationkey", "c_mktsegment"),
+      "floor(c_acctbal / 1000)::BIGINT", tMicro = 300000L),
     "q_graph_degree" -> graft.operators.Graph.degreesOracleSql(
       "l_orderkey", "l_partkey", "lineitem"),
     "q_graph_pagerank" -> graft.operators.Graph.pageRankOracleSql(

@@ -486,4 +486,30 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(sharp("a") - 100000000L)
       < math.abs(r1("a") - 100000000L))
   }
+
+  test("tCloseness: hand TV distances, absent values count, NULLs drop") {
+    // global {a:4, b:4}; g1 {a:3, b:1} and g2 {a:1, b:3} are both TV=1/4
+    val rows = (Seq.fill(3)(("g1", "a")) ++ Seq(("g1", "b")) ++
+      Seq(("g2", "a")) ++ Seq.fill(3)(("g2", "b"))).toDF("grp", "s")
+    val got = Profile.tCloseness(rows, Seq("grp"), "s", tMicro = 200000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("g1") == ((4L, 250000L, true)))
+    assert(got("g2") == ((4L, 250000L, true)))
+    // a value ABSENT from a group still contributes its global mass:
+    // global {a:4, b:2}, g3 = {a:2} -> TV = 1/3
+    val rows2 = (Seq(("g3", "a"), ("g3", "a"), ("g4", "a"), ("g4", "a"),
+      ("g4", "b"), ("g4", "b"))).toDF("grp", "s")
+    val g3 = Profile.tCloseness(rows2, Seq("grp"), "s", tMicro = 500000L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(g3("g3") == 333333L)
+    // g4 {a:2,b:2} vs global {a:4,b:2}: Σ|n·N−p·Ng| = 4+4, /(2·4·6) = 1/6
+    assert(g3("g4") == 166666L)
+    // NULL sensitive rows join neither distribution
+    val withNull = rows.unionByName(
+      Seq(("g1", null.asInstanceOf[String])).toDF("grp", "s"))
+    val gn = Profile.tCloseness(withNull, Seq("grp"), "s", 200000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gn("g1") == 4L) // the null row did not inflate the group size
+  }
 }
