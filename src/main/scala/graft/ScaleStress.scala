@@ -477,6 +477,22 @@ object ScaleStress {
           maxPieceLen = 5, topK = 120), maxPieceLen = 5).count()
     time("unigram-encode 1x (5k docs)")(uni(d1))
     time("unigram-encode 10x (50k docs)")(uni(d10))
+    // isotonic: one corpus aggregate to ~fixed buckets, then the B³ cube
+    // on the bucket table — 10x docs must only deepen the first aggregate
+    def iso(d: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.Eval.isotonicCalibrate(d,
+        col("n_chars"), col("lang") === "en", bucketWidth = 8L).count()
+    time("isotonic 1x (5k docs)")(iso(d1))
+    time("isotonic 10x (50k docs)")(iso(d10))
+    // t-closeness: cell aggregate + groups × value-domain expansion —
+    // linear in docs at a fixed domain
+    def tclose(d: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.Profile.tCloseness(
+        d.select(col("source"), col("lang"),
+          (col("n_chars") % 7).as("band")),
+        Seq("source", "lang"), "band", tMicro = 300000L).count()
+    time("tclose 1x (5k docs)")(tclose(d1))
+    time("tclose 10x (50k docs)")(tclose(d10))
     spark.stop()
   }
 }
