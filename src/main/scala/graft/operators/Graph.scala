@@ -411,6 +411,25 @@ object Graph {
        |  SELECT src, dst FROM half
        |  UNION ALL SELECT dst AS src, src AS dst FROM half)""".stripMargin
 
+  /** DuckDB CTE chain replaying [[coEdgesWeighted]] — symmetric
+    * `edges(src, dst, n_co)` with the co-occurrence count as the tie
+    * strength (the 2..maxGroupSize size gate matches the Spark side).
+    */
+  def coEdgesWeightedSql(groupExpr: String, itemExpr: String,
+      table: String, maxGroupSize: Int = 64): String =
+    s"""gi AS (
+       |  SELECT DISTINCT $groupExpr AS g, $itemExpr AS item FROM $table),
+       |gok AS (
+       |  SELECT g FROM gi GROUP BY g
+       |  HAVING count(*) BETWEEN 2 AND $maxGroupSize),
+       |halfw AS (
+       |  SELECT a.item AS src, b.item AS dst, count(*)::BIGINT AS n_co
+       |  FROM gi a JOIN gok USING (g) JOIN gi b USING (g)
+       |  WHERE a.item < b.item GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT src, dst, n_co FROM halfw
+       |  UNION ALL SELECT dst AS src, src AS dst, n_co FROM halfw)""".stripMargin
+
   /** DuckDB SQL replaying [[pageRank]] over [[coEdges]] value-for-value:
     * one chained CTE per iteration (the BPE-trainer oracle pattern), floor
     * integer division via `//` on BIGINTs matching Spark's
@@ -546,23 +565,29 @@ object Graph {
     * Scale shape: two node-keyed label joins onto the edge table, three
     * keyed aggregates, one count — all linear in |E|, no windows, no
     * pair enumeration. Empty labeled graph (m = 0) yields q_micro 0 per
-    * community rather than a division crash.
+    * community rather than a division crash. `weightCol` switches every
+    * count to a Σw (integer weights — [[coEdgesWeighted]]'s `n_co`
+    * tie-strength carrier); omitted, Σ1 ≡ the unweighted counts.
     */
-  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+  def modularity(edges: DataFrame, labels: DataFrame,
+      weightCol: Option[String] = None): DataFrame = {
+    val wgt = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val lab = Caching.persist(labels.select(col("node"), col("label")))
-    val el = Caching.persist(edges.select(col("src"), col("dst"))
+    val el = Caching.persist(edges.select(col("src"), col("dst"),
+        wgt.as("wgt"))
       .join(lab.select(col("node").as("src"), col("label").as("lsrc")),
         "src")
       .join(lab.select(col("node").as("dst"), col("label").as("ldst")),
         "dst")
-      .select(col("lsrc"), col("ldst")))
-    val m = math.max(el.count(), 1L)
+      .select(col("lsrc"), col("ldst"), col("wgt")))
+    val m = math.max(el.agg(coalesce(sum(col("wgt")), lit(0L)))
+      .head().getLong(0), 1L)
     val ein = el.where(col("lsrc") === col("ldst"))
-      .groupBy(col("lsrc").as("label")).agg(count(lit(1)).as("e_in"))
+      .groupBy(col("lsrc").as("label")).agg(sum(col("wgt")).as("e_in"))
     val outd = el.groupBy(col("lsrc").as("label"))
-      .agg(count(lit(1)).as("deg_out"))
+      .agg(sum(col("wgt")).as("deg_out"))
     val ind = el.groupBy(col("ldst").as("label"))
-      .agg(count(lit(1)).as("deg_in"))
+      .agg(sum(col("wgt")).as("deg_in"))
     lab.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
       .join(ein, Seq("label"), "left")
       .join(outd, Seq("label"), "left")
@@ -598,19 +623,23 @@ object Graph {
     * the node's neighbor-community count — linear in |E|, the same
     * budget as one LPA round.
     */
-  def modularityRefine(edges: DataFrame, labels: DataFrame): DataFrame = {
+  def modularityRefine(edges: DataFrame, labels: DataFrame,
+      weightCol: Option[String] = None): DataFrame = {
+    val wgt = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val lab = Caching.persist(labels.select(col("node"), col("label")))
-    val el = Caching.persist(edges.select(col("src"), col("dst"))
+    val el = Caching.persist(edges.select(col("src"), col("dst"),
+        wgt.as("wgt"))
       .join(lab.select(col("node").as("src"), col("label").as("lsrc")),
         "src")
       .join(lab.select(col("node").as("dst"), col("label").as("ldst")),
         "dst"))
-    val m = math.max(el.count(), 1L)
-    val deg = el.groupBy(col("src").as("node")).agg(count(lit(1)).as("k"))
+    val m = math.max(el.agg(coalesce(sum(col("wgt")), lit(0L)))
+      .head().getLong(0), 1L)
+    val deg = el.groupBy(col("src").as("node")).agg(sum(col("wgt")).as("k"))
     val tot = el.groupBy(col("lsrc").as("label"))
-      .agg(count(lit(1)).as("tot"))
+      .agg(sum(col("wgt")).as("tot"))
     val wuc = el.groupBy(col("src").as("node"), col("ldst").as("cand"))
-      .agg(count(lit(1)).as("wuc"))
+      .agg(sum(col("wgt")).as("wuc"))
     // the own community is always a candidate (staying must be an option
     // even with zero intra edges)
     val cands = wuc.unionByName(lab.select(col("node"),
@@ -638,21 +667,28 @@ object Graph {
     * [[coEdges]] — the gate composition.
     */
   def modularityRefineOracleSql(groupExpr: String, itemExpr: String,
-      table: String, iters: Int, maxGroupSize: Int = 64): String =
-    s"""WITH ${coEdgesSql(groupExpr, itemExpr, table, maxGroupSize)},
+      table: String, iters: Int, maxGroupSize: Int = 64,
+      weighted: Boolean = false): String = {
+    val edgesCte =
+      if (weighted) coEdgesWeightedSql(groupExpr, itemExpr, table, maxGroupSize)
+      else coEdgesSql(groupExpr, itemExpr, table, maxGroupSize)
+    val w = if (weighted) "e.n_co" else "1"
+    s"""WITH $edgesCte,
        |${lpaChainSql(iters)},
        |labels AS (SELECT node, label FROM l$iters),
        |el AS MATERIALIZED (
-       |  SELECT e.src, e.dst, ls.label AS lsrc, ld.label AS ldst
+       |  SELECT e.src, e.dst, ls.label AS lsrc, ld.label AS ldst,
+       |         ($w)::BIGINT AS wgt
        |  FROM edges e
        |  JOIN labels ls ON ls.node = e.src
        |  JOIN labels ld ON ld.node = e.dst),
-       |mm AS (SELECT greatest(count(*), 1)::HUGEINT AS m FROM el),
-       |deg AS (SELECT src AS node, count(*)::BIGINT AS k FROM el
+       |mm AS (SELECT greatest(coalesce(sum(wgt), 0), 1)::HUGEINT AS m
+       |       FROM el),
+       |deg AS (SELECT src AS node, sum(wgt)::BIGINT AS k FROM el
        |        GROUP BY 1),
-       |tot AS (SELECT lsrc AS label, count(*)::BIGINT AS tot FROM el
+       |tot AS (SELECT lsrc AS label, sum(wgt)::BIGINT AS tot FROM el
        |        GROUP BY 1),
-       |wuc AS (SELECT src AS node, ldst AS cand, count(*)::BIGINT AS wuc
+       |wuc AS (SELECT src AS node, ldst AS cand, sum(wgt)::BIGINT AS wuc
        |        FROM el GROUP BY 1, 2),
        |cands AS (
        |  SELECT node, cand, sum(wuc)::BIGINT AS wuc FROM (
@@ -676,27 +712,35 @@ object Graph {
        |           ORDER BY score DESC, cand) AS rn
        |  FROM scored)
        |WHERE rn = 1""".stripMargin
+  }
 
   /** DuckDB replay of [[modularity]] ∘ [[labelPropagation]] ∘ [[coEdges]]
     * — the gate composition: LPA communities over the co-occurrence graph,
-    * scored in the same query.
+    * scored in the same query (weighted = the [[coEdgesWeighted]] tie
+    * strengths).
     */
   def modularityOracleSql(groupExpr: String, itemExpr: String,
-      table: String, iters: Int, maxGroupSize: Int = 64): String =
-    s"""WITH ${coEdgesSql(groupExpr, itemExpr, table, maxGroupSize)},
+      table: String, iters: Int, maxGroupSize: Int = 64,
+      weighted: Boolean = false): String = {
+    val edgesCte =
+      if (weighted) coEdgesWeightedSql(groupExpr, itemExpr, table, maxGroupSize)
+      else coEdgesSql(groupExpr, itemExpr, table, maxGroupSize)
+    val w = if (weighted) "e.n_co" else "1"
+    s"""WITH $edgesCte,
        |${lpaChainSql(iters)},
        |labels AS (SELECT node, label FROM l$iters),
        |el AS MATERIALIZED (
-       |  SELECT ls.label AS lsrc, ld.label AS ldst
+       |  SELECT ls.label AS lsrc, ld.label AS ldst, ($w)::BIGINT AS wgt
        |  FROM edges e
        |  JOIN labels ls ON ls.node = e.src
        |  JOIN labels ld ON ld.node = e.dst),
-       |mm AS (SELECT greatest(count(*), 1)::HUGEINT AS m FROM el),
-       |ein AS (SELECT lsrc AS label, count(*)::BIGINT AS e_in FROM el
+       |mm AS (SELECT greatest(coalesce(sum(wgt), 0), 1)::HUGEINT AS m
+       |       FROM el),
+       |ein AS (SELECT lsrc AS label, sum(wgt)::BIGINT AS e_in FROM el
        |        WHERE lsrc = ldst GROUP BY 1),
-       |outd AS (SELECT lsrc AS label, count(*)::BIGINT AS deg_out FROM el
+       |outd AS (SELECT lsrc AS label, sum(wgt)::BIGINT AS deg_out FROM el
        |         GROUP BY 1),
-       |ind AS (SELECT ldst AS label, count(*)::BIGINT AS deg_in FROM el
+       |ind AS (SELECT ldst AS label, sum(wgt)::BIGINT AS deg_in FROM el
        |        GROUP BY 1),
        |nn AS (SELECT label, count(*)::BIGINT AS n_nodes FROM labels
        |       GROUP BY 1)
@@ -712,6 +756,7 @@ object Graph {
        |LEFT JOIN ein USING (label)
        |LEFT JOIN outd USING (label)
        |LEFT JOIN ind USING (label), mm""".stripMargin
+  }
 
   /** HITS hubs & authorities (Kleinberg 1999, "Authoritative Sources in a
     * Hyperlinked Environment") over a DIRECTED (src, dst) edge table —

@@ -290,6 +290,17 @@ object ScaleQueries {
         graft.operators.Graph.labelPropagation(e, iters = 4))
     }),
 
+    // --- WEIGHTED modularity of the LPA communities over the tie-strength
+    // graph (co-occurrence counts as weights) — dedup/similarity graphs
+    // are weighted in practice (oracle-checked) ---
+    "q_graph_modularity_w" -> ((s, d) => {
+      val e = graft.operators.Graph.coEdgesWeighted(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey")
+      graft.operators.Graph.modularity(e,
+        graft.operators.Graph.labelPropagation(e, iters = 4),
+        weightCol = Some("n_co"))
+    }),
+
     // --- one Louvain-style local-move round refining the LPA communities:
     // exact integer modularity-gain argmax per node, remove-then-insert
     // semantics (oracle-checked) ---
@@ -429,6 +440,8 @@ object ScaleQueries {
       "l_orderkey", "l_partkey", "lineitem", iters = 4),
     "q_graph_refine" -> graft.operators.Graph.modularityRefineOracleSql(
       "l_orderkey", "l_partkey", "lineitem", iters = 4),
+    "q_graph_modularity_w" -> graft.operators.Graph.modularityOracleSql(
+      "l_orderkey", "l_partkey", "lineitem", iters = 4, weighted = true),
     "q_graph_sssp" -> graft.operators.Graph.ssspOracleSql(
       """gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
         |       FROM lineitem WHERE l_partkey % 3 = 0),

@@ -383,6 +383,39 @@ class GraphSpec extends SparkSpec {
     assert(isolated(99L) == 7L)
   }
 
+  test("weighted modularity/refine: a heavy bridge drains Q and flips " +
+      "the local move") {
+    import spark.implicits._
+    // triangle edges weight 1, bridge 3-4 weight 5
+    val und = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L), (4L, 5L, 1L),
+      (5L, 6L, 1L), (4L, 6L, 1L), (3L, 4L, 5L))
+    val e = (und ++ und.map(t => (t._2, t._1, t._3)))
+      .toDF("src", "dst", "n_co")
+    val split = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L), (6L, 20L)).toDF("node", "label")
+    // m_dir = 22, per side e_in = 6, tot = 11:
+    // q = floor((6*22 - 121)*1e6 / 484) = 22727 (vs 178571 unweighted —
+    // the heavy bridge devalues the split)
+    val q = Graph.modularity(e, split, weightCol = Some("n_co"))
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(q == Map(10L -> 22727L, 20L -> 22727L))
+    // under weights the bridge endpoints prefer each OTHER's community
+    // (score 22*5-7*11=33 beats staying 22*2-7*4=16) — the synchronous
+    // swap the docstring warns about; interior nodes do not move
+    val moved = Graph.modularityRefine(e, split, weightCol = Some("n_co"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(moved(3L) == 20L && moved(4L) == 10L)
+    assert(Seq(1L, 2L).forall(moved(_) == 10L) &&
+      Seq(5L, 6L).forall(moved(_) == 20L))
+    // weight 1 everywhere ≡ the unweighted operator
+    val ones = e.withColumn("n_co", lit(1L))
+    val a = Graph.modularity(ones, split, Some("n_co")).collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val b = Graph.modularity(ones.select("src", "dst"), split).collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("modularity: two bridged triangles, perfect split scores 5/14 " +
       "per Newman") {
     import spark.implicits._
