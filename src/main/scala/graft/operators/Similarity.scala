@@ -433,6 +433,122 @@ object Similarity {
        |FROM truth t LEFT JOIN approx x ON x.qid = t.qid AND x.id = t.id
        |GROUP BY t.qid""".stripMargin
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998) —
+    * the diversification stage of the retrieval stack (retrieve → rerank
+    * → DIVERSIFY): greedily pick `k` results maximizing
+    *   λ·relevance(d, q) − (1−λ)·max_{s ∈ selected} sim(d, s)
+    * so near-duplicate hits don't crowd the answer set. λ rides as the
+    * integer `lambdaPct` and the combination is `lambdaPct·rel −
+    * (100−lambdaPct)·maxSim` — two double cosines scaled by integer
+    * literals, deterministic IEEE, ties by id — so the greedy sequence
+    * replays value-for-value in DuckDB ([[mmrSelectOracleSql]]).
+    *
+    * Scale shape: one corpus pass takes the top-`candN` relevance
+    * candidates (TakeOrdered — the serving bound), ONE candN² pair-cosine
+    * self-join builds the model-sized similarity matrix, and the greedy
+    * loop runs driver-side over that collected matrix (the BPE-loop
+    * posture: the model is collected, the corpus never is). candN caps
+    * driver state at candN² rows — size it like any reranker window.
+    * Returns (idCol, rank, mmr_score) for the k picks in selection order.
+    */
+  def mmrSelect(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, candN: Int = 50,
+      lambdaPct: Int = 70): DataFrame = {
+    require(k >= 1 && candN >= k && lambdaPct >= 0 && lambdaPct <= 100)
+    val q = df.where(col(idCol) === queryId)
+      .select(col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm"))
+    val cands = Caching.persist(df
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm"))
+      .join(broadcast(q))
+      .where(col("id") =!= queryId)
+      .select(col("id"), col("v"), col("nrm"),
+        cosineScore(dot(col("v"), col("qvec")),
+          col("nrm") * col("qnrm")).as("rel"))
+      .orderBy(col("rel").desc, col("id"))
+      .limit(candN))
+    val rel = cands.select(col("id"), col("rel"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val relMap = rel.toMap
+    val sims = cands.select(col("id").as("ida"), col("v").as("va"),
+        col("nrm").as("na"))
+      .join(broadcast(cands.select(col("id").as("idb"), col("v").as("vb"),
+        col("nrm").as("nb"))))
+      .where(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        cosineScore(dot(col("va"), col("vb")),
+          col("na") * col("nb")).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    def sim(a: Long, b: Long): Double =
+      if (a == b) 1.0 else sims(if (a < b) (a, b) else (b, a))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val remaining = scala.collection.mutable.SortedSet.empty[Long] ++
+      relMap.keys
+    for (_ <- 1 to math.min(k, rel.length)) {
+      val pick = remaining.map { id =>
+        val penalty =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => sim(id, s._1)).max
+        val score = lambdaPct * relMap(id) - (100 - lambdaPct) * penalty
+        (id, score)
+      }.maxBy { case (id, s) => (s, -id) }
+      selected += pick
+      remaining -= pick._1
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id, s), i) => (id, (i + 1).toLong, s) }
+      .toDF(idCol, "rank", "mmr_score")
+  }
+
+  /** DuckDB replay of [[mmrSelect]] — one MATERIALIZED chained CTE per
+    * greedy round over the same candidate/similarity tables.
+    */
+  def mmrSelectOracleSql(queryId: Long, k: Int, candN: Int = 50,
+      lambdaPct: Int = 70, table: String = "embeddings",
+      idCol: String = "vec_id", vecCol: String = "embedding"): String = {
+    val rounds = (2 to k).map { r =>
+      val prev = s"sel${r - 1}"
+      s"""sel$r AS MATERIALIZED (
+         |  SELECT * FROM $prev
+         |  UNION ALL
+         |  SELECT id, $r::BIGINT AS rank, score AS mmr_score FROM (
+         |    SELECT c.id,
+         |           $lambdaPct * c.rel - ${100 - lambdaPct} *
+         |             (SELECT max(s.sim)
+         |              FROM sims s JOIN $prev p
+         |                ON (s.ida = c.id AND s.idb = p.id)
+         |                OR (s.idb = c.id AND s.ida = p.id)) AS score
+         |    FROM cands c
+         |    WHERE c.id NOT IN (SELECT id FROM $prev)
+         |    ORDER BY score DESC, c.id LIMIT 1))"""
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT $vecCol::DOUBLE[] AS qvec,
+       |         sqrt(list_dot_product($vecCol::DOUBLE[], $vecCol::DOUBLE[])) AS qnrm
+       |  FROM $table WHERE $idCol = $queryId),
+       |cands AS MATERIALIZED (
+       |  SELECT $idCol AS id, $vecCol::DOUBLE[] AS v,
+       |         sqrt(list_dot_product($vecCol::DOUBLE[], $vecCol::DOUBLE[])) AS nrm,
+       |         list_dot_product($vecCol::DOUBLE[], q.qvec)
+       |           / (sqrt(list_dot_product($vecCol::DOUBLE[], $vecCol::DOUBLE[]))
+       |              * q.qnrm) AS rel
+       |  FROM $table, q WHERE $idCol <> $queryId
+       |  ORDER BY rel DESC, id LIMIT $candN),
+       |sims AS MATERIALIZED (
+       |  SELECT a.id AS ida, b.id AS idb,
+       |         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+       |  FROM cands a JOIN cands b ON a.id < b.id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT id, 1::BIGINT AS rank,
+       |         ($lambdaPct * rel)::DOUBLE AS mmr_score
+       |  FROM cands ORDER BY rel DESC, id LIMIT 1),
+       |$rounds
+       |SELECT id AS $idCol, rank, mmr_score FROM sel$k""".stripMargin
+  }
+
   /** Lloyd k-means over an embedding column, entirely in DataFrame ops:
     * assignment = broadcast join + window argmax; update = `posexplode` →
     * per-(centroid, dim) mean → re-assembled in dim order. The k centroids

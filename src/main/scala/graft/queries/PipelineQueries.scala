@@ -922,6 +922,15 @@ object PipelineQueries {
         queryEvery = 25L, k = 10, centroidEvery = 50, nprobe = 2)
     }),
 
+    // --- MMR diversification: greedy λ·rel − (1−λ)·maxSim selection over
+    // a bounded candidate set — the diversify stage of the retrieval
+    // stack, replayed in DuckDB (Similarity.mmrSelectOracleSql) ---
+    "q_knn_mmr" -> ((s, d) => {
+      Tables.load(s, d)
+      Similarity.mmrSelect(s.table("embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 8, candN = 25, lambdaPct = 70)
+    }),
+
     // --- product-quantization ANN: deterministic sampled codebook, encode
     // + ADC top-k — fully deterministic, replayed in DuckDB
     // (Similarity.knnPqOracleSql); compression/recall trade measured in
@@ -1683,6 +1692,8 @@ object PipelineQueries {
       centroidEvery = 50, slackPct = 110),
     "q_knn_recall" -> Similarity.annRecallIvfOracleSql(queryEvery = 25L,
       k = 10, centroidEvery = 50, nprobe = 2),
+    "q_knn_mmr" -> Similarity.mmrSelectOracleSql(queryId = 0L, k = 8,
+      candN = 25, lambdaPct = 70),
     "q_knn_pq" -> Similarity.knnPqOracleSql(queryId = 0L, k = 10),
     "q_knn_ivfpq" -> Similarity.knnIvfPqOracleSql(queryId = 0L, k = 10),
     "q_dedup_jaccard_char" -> Dedup.jaccardCharOracleSql(),

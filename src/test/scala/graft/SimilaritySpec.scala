@@ -367,6 +367,35 @@ class SimilaritySpec extends SparkSpec
     assert(one.select("centroid_id").distinct().count() == 1)
   }
 
+  test("mmrSelect: pure relevance equals brute order, diversity demotes " +
+      "planted near-dups") {
+    // λ=100: the penalty term vanishes — MMR must reproduce knnBrute
+    val brute = Similarity.knnBrute(emb, "vec_id", "embedding", 0L, 8)
+      .collect().map(_.getLong(0)).toSeq
+    val pure = Similarity.mmrSelect(emb, "vec_id", "embedding", 0L, k = 8,
+        candN = 25, lambdaPct = 100)
+      .orderBy(col("rank")).collect().map(_.getLong(0)).toSeq
+    assert(pure == brute)
+    // planted near-identical copies of id 0 dominate pure relevance, but
+    // at λ=50 the mutual ~1.0 similarity must break the clone run: the
+    // 8 picks cannot be 8 clones
+    val relTop = Similarity.knnBrute(planted, "vec_id", "embedding", 0L, 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(relTop.count(_ >= 100000L) == 8, "clones should own pure top-8")
+    val mmr = Similarity.mmrSelect(planted, "vec_id", "embedding", 0L,
+        k = 8, candN = 25, lambdaPct = 50)
+      .orderBy(col("rank")).collect().map(_.getLong(0)).toSeq
+    assert(mmr.count(_ >= 100000L) < 8,
+      s"diversification must demote some clones, got $mmr")
+    // rank 1 is always the top-relevance hit, and selection is
+    // partition-layout invariant
+    assert(mmr.head == relTop.head)
+    val again = Similarity.mmrSelect(planted.repartition(7), "vec_id",
+        "embedding", 0L, k = 8, candN = 25, lambdaPct = 50)
+      .orderBy(col("rank")).collect().map(_.getLong(0)).toSeq
+    assert(again == mmr)
+  }
+
   test("annRecallIvf: probing every list gives recall 100, fields consistent") {
     val kc = emb.where(col("vec_id") % 50 === 0).count().toInt
     val full = Similarity.annRecallIvf(emb, "vec_id", "embedding",
