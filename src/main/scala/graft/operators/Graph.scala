@@ -1260,6 +1260,124 @@ object Graph {
     visited
   }
 
+  /** Sampled hop-bounded BETWEENNESS centrality (Brandes 2001, with the
+    * standard source-sampling approximation) — the bridge/broker signal
+    * the rest of the centrality family (degree, PageRank, HITS, k-core,
+    * triangles) cannot express: how much shortest-path traffic passes
+    * THROUGH a node. For every sampled source s (`node % sampleEvery =
+    * 0`), a forward BFS of ≤ `maxHops` levels counts shortest paths
+    * (σ), then the backward sweep accumulates Brandes dependencies
+    *   δ(v) += Σ_{v→w on the BFS DAG} σ_v·(1e6 + δ_w) div σ_w
+    * in exact micro floors — integer division per DAG edge, summed, so
+    * every level replays value-for-value in DuckDB
+    * ([[betweennessSampledOracleSql]]). Returns (node, bc_micro) =
+    * Σ_s δ_s(node) over sampled sources, node ≠ s (directed-pair
+    * counting: on a symmetric edge table each unordered pair counts
+    * twice when both endpoints are sampled). Hop bounding is the scale
+    * lever (k-bounded betweenness); σ·(1e6+δ) products stay under 2^63
+    * for maxHops ≤ ~4 on group-capped graphs — the intended regime.
+    *
+    * Scale shape: BOTH sweeps are batched across all sampled sources at
+    * once — state is (source, node)-keyed, so each of the 2·maxHops
+    * rounds is one keyed equi-join + aggregate over |sample|·|reached|
+    * rows, never a per-source driver loop. Per-round
+    * [[Caching.checkpoint]] (the state frame is multi-referenced every
+    * round — the BFS discipline).
+    */
+  def betweennessSampled(edges: DataFrame, sampleEvery: Long,
+      maxHops: Int): DataFrame = {
+    require(sampleEvery >= 1 && maxHops >= 1)
+    val e = Caching.persist(edges.select(col("src"), col("dst")).distinct())
+    val sources = e.select(col("src").as("node")).distinct()
+      .where(pmod(col("node"), lit(sampleEvery)) === 0)
+    var reached = Caching.checkpoint(sources.select(col("node").as("s"),
+      col("node"), lit(0L).as("dist"), lit(1L).as("sigma")))
+    for (level <- 1 to maxHops) {
+      val frontier = reached.where(col("dist") === (level - 1).toLong)
+        .select(col("s"), col("node").as("src"), col("sigma"))
+      val next = e.join(frontier, "src")
+        .select(col("s"), col("dst").as("node"), col("sigma"))
+        .join(reached.select(col("s"), col("node")), Seq("s", "node"),
+          "left_anti")
+        .groupBy(col("s"), col("node")).agg(sum(col("sigma")).as("sigma"))
+        .select(col("s"), col("node"), lit(level.toLong).as("dist"),
+          col("sigma"))
+      reached = Caching.checkpoint(reached.unionByName(next))
+    }
+    var acc = Caching.checkpoint(reached.withColumn("delta", lit(0L)))
+    for (d <- maxHops to 1 by -1) {
+      val lower = acc.where(col("dist") === d.toLong)
+        .select(col("s"), col("node").as("dst"), col("sigma").as("sw"),
+          col("delta").as("dw"))
+      val contrib = e.join(lower, "dst")
+        .select(col("s"), col("src").as("node"), col("sw"), col("dw"))
+        .join(acc.where(col("dist") === (d - 1).toLong)
+          .select(col("s"), col("node"), col("sigma").as("sv")),
+          Seq("s", "node"))
+        .select(col("s"), col("node"),
+          expr("(sv * (1000000 + dw)) DIV sw").as("c"))
+        .groupBy(col("s"), col("node")).agg(sum(col("c")).as("cd"))
+      acc = Caching.checkpoint(acc.join(contrib, Seq("s", "node"), "left")
+        .select(col("s"), col("node"), col("dist"), col("sigma"),
+          (col("delta") + coalesce(col("cd"), lit(0L))).as("delta")))
+    }
+    acc.where(col("node") =!= col("s"))
+      .groupBy(col("node")).agg(sum(col("delta")).as("bc_micro"))
+  }
+
+  /** DuckDB replay of [[betweennessSampled]] ∘ [[coEdges]] — one
+    * MATERIALIZED CTE per forward level and per backward level.
+    */
+  def betweennessSampledOracleSql(groupExpr: String, itemExpr: String,
+      table: String, sampleEvery: Long, maxHops: Int,
+      maxGroupSize: Int = 64): String = {
+    val fwd = (1 to maxHops).map { l =>
+      val prev = s"r${l - 1}"
+      s"""r$l AS MATERIALIZED (
+         |  SELECT s, node, dist, sigma FROM $prev
+         |  UNION ALL
+         |  SELECT f.s, e.dst AS node, $l::BIGINT, sum(f.sigma)::BIGINT
+         |  FROM e
+         |  JOIN (SELECT s, node, sigma FROM $prev WHERE dist = ${l - 1}) f
+         |    ON f.node = e.src
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev x
+         |                    WHERE x.s = f.s AND x.node = e.dst)
+         |  GROUP BY f.s, e.dst)"""
+    }.mkString(",\n")
+    val bwd = (maxHops to 1 by -1).map { d =>
+      val prev = if (d == maxHops) s"b$maxHops" else s"b$d"
+      val name = s"b${d - 1}"
+      s"""$name AS MATERIALIZED (
+         |  SELECT a.s, a.node, a.dist, a.sigma,
+         |         (a.delta + coalesce(c.cd, 0))::BIGINT AS delta
+         |  FROM $prev a LEFT JOIN (
+         |    SELECT v.s, v.node,
+         |           sum((v.sigma * (1000000 + w.delta)) // w.sigma)::BIGINT
+         |             AS cd
+         |    FROM e
+         |    JOIN (SELECT s, node, sigma, delta FROM $prev
+         |          WHERE dist = $d) w ON w.node = e.dst
+         |    JOIN (SELECT s, node, sigma FROM $prev
+         |          WHERE dist = ${d - 1}) v
+         |      ON v.s = w.s AND v.node = e.src
+         |    GROUP BY v.s, v.node) c
+         |    ON c.s = a.s AND c.node = a.node)"""
+    }.mkString(",\n")
+    s"""WITH ${coEdgesSql(groupExpr, itemExpr, table, maxGroupSize)},
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+       |srcs AS (SELECT DISTINCT src AS node FROM e
+       |         WHERE src % $sampleEvery = 0),
+       |r0 AS MATERIALIZED (
+       |  SELECT node AS s, node, 0::BIGINT AS dist, 1::BIGINT AS sigma
+       |  FROM srcs),
+       |$fwd,
+       |b$maxHops AS MATERIALIZED (
+       |  SELECT s, node, dist, sigma, 0::BIGINT AS delta FROM r$maxHops),
+       |$bwd
+       |SELECT node, sum(delta)::BIGINT AS bc_micro FROM b0
+       |WHERE node <> s GROUP BY node""".stripMargin
+  }
+
   /** COUNTED co-occurrence edges: like [[coEdges]] but keeps the
     * co-occurrence count per pair instead of deduplicating to a simple
     * graph — the tie-STRENGTH graph ([[ssspBounded]] turns it into

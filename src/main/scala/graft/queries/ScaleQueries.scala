@@ -290,6 +290,15 @@ object ScaleQueries {
         graft.operators.Graph.labelPropagation(e, iters = 4))
     }),
 
+    // --- sampled hop-bounded Brandes betweenness: the bridge/broker
+    // centrality, batched multi-source BFS + exact-micro backward
+    // dependency sweep (oracle-checked) ---
+    "q_graph_betweenness" -> ((s, d) =>
+      graft.operators.Graph.betweennessSampled(
+        graft.operators.Graph.coEdges(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey"),
+        sampleEvery = 50L, maxHops = 3)),
+
     // --- WEIGHTED modularity of the LPA communities over the tie-strength
     // graph (co-occurrence counts as weights) — dedup/similarity graphs
     // are weighted in practice (oracle-checked) ---
@@ -442,6 +451,10 @@ object ScaleQueries {
       "l_orderkey", "l_partkey", "lineitem", iters = 4),
     "q_graph_modularity_w" -> graft.operators.Graph.modularityOracleSql(
       "l_orderkey", "l_partkey", "lineitem", iters = 4, weighted = true),
+    "q_graph_betweenness" ->
+      graft.operators.Graph.betweennessSampledOracleSql(
+        "l_orderkey", "l_partkey", "lineitem", sampleEvery = 50L,
+        maxHops = 3),
     "q_graph_sssp" -> graft.operators.Graph.ssspOracleSql(
       """gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
         |       FROM lineitem WHERE l_partkey % 3 = 0),

@@ -383,6 +383,42 @@ class GraphSpec extends SparkSpec {
     assert(isolated(99L) == 7L)
   }
 
+  test("betweennessSampled: path, star, and diamond hand values") {
+    import spark.implicits._
+    def sym(und: Seq[(Long, Long)]) =
+      (und ++ und.map(_.swap)).toDF("src", "dst")
+    def bc(e: org.apache.spark.sql.DataFrame, hops: Int = 4) =
+      Graph.betweennessSampled(e, sampleEvery = 1L, maxHops = hops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // path 1-2-3-4-5: ordered pairs through node 3 = 8, through 2/4 = 6
+    val path = bc(sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))))
+    assert(path(3L) == 8000000L)
+    assert(path(2L) == 6000000L && path(4L) == 6000000L)
+    assert(path(1L) == 0L && path(5L) == 0L)
+    // star: center 0 carries every ordered leaf pair = 6
+    val star = bc(sym(Seq((0L, 1L), (0L, 2L), (0L, 3L))))
+    assert(star(0L) == 6000000L)
+    assert(Seq(1L, 2L, 3L).forall(star(_) == 0L))
+    // diamond 1-2-4, 1-3-4: two equal shortest paths split sigma — each
+    // middle node carries exactly half of each crossing pair (exact
+    // 500000-micro floors), totalling 1.0 per middle node
+    val diamond = bc(sym(Seq((1L, 2L), (2L, 4L), (1L, 3L), (3L, 4L))))
+    assert(diamond(2L) == 1000000L && diamond(3L) == 1000000L)
+    assert(diamond(1L) == 1000000L && diamond(4L) == 1000000L)
+    // hop bound: with maxHops=1 nothing is ever intermediate
+    val bounded = bc(sym(Seq((1L, 2L), (2L, 3L))), hops = 1)
+    assert(bounded.values.forall(_ == 0L))
+    // source sampling: only even sources contribute — path 1..5 with
+    // sampleEvery=2 keeps sources {2,4}: node 3 sits between (2,4) and
+    // (2,5) and (4,1)... count: s=2 targets {4,5} via 3 -> 2; s=4
+    // targets {1,2} via 3 -> 2; total 4
+    val sampled = Graph.betweennessSampled(
+      sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))),
+      sampleEvery = 2L, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sampled(3L) == 4000000L)
+  }
+
   test("weighted modularity/refine: a heavy bridge drains Q and flips " +
       "the local move") {
     import spark.implicits._

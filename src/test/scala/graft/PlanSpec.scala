@@ -530,6 +530,19 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"got ${bnlj.size}")
   }
 
+  test("betweennessSampled: both sweeps plan keyed equi-joins over flat " +
+      "checkpointed rounds") {
+    val (_, plan) = executed("q_graph_betweenness")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty,
+      "forward/backward sweeps must join on (s, node)/src/dst equi-keys")
+    val rddScans = collectWithSubqueries(plan) {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r
+    }
+    assert(rddScans.nonEmpty,
+      "per-round truncation dropped — rounds would compose one deep tree")
+  }
+
   test("modularity: label joins are node-keyed, aggregates keyed by label") {
     val (_, plan) = executed("q_graph_modularity")
     val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
