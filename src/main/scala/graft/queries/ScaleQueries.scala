@@ -293,11 +293,18 @@ object ScaleQueries {
     // --- sampled hop-bounded Brandes betweenness: the bridge/broker
     // centrality, batched multi-source BFS + exact-micro backward
     // dependency sweep (oracle-checked) ---
+    // sampleEvery=400/maxHops=2: the two levers ARE the operator's scale
+    // story. The first cut (every 50th node = 400 sources, 3 hops) put
+    // the backward sweep's |sample|*|E| join-aggregate into
+    // sort-spill-merge collapse under the bench session's table-cache
+    // storage pressure (jstacked: UnsafeSorterSpillMerger; 165 s) — ~50
+    // sources at 2 hops is the textbook sampled-betweenness operating
+    // point and keeps the true cost at a normal heavy-query level.
     "q_graph_betweenness" -> ((s, d) =>
       graft.operators.Graph.betweennessSampled(
         graft.operators.Graph.coEdges(
           t(s, d, "lineitem"), "l_orderkey", "l_partkey"),
-        sampleEvery = 50L, maxHops = 3)),
+        sampleEvery = 400L, maxHops = 2)),
 
     // --- WEIGHTED modularity of the LPA communities over the tie-strength
     // graph (co-occurrence counts as weights) — dedup/similarity graphs
@@ -453,8 +460,8 @@ object ScaleQueries {
       "l_orderkey", "l_partkey", "lineitem", iters = 4, weighted = true),
     "q_graph_betweenness" ->
       graft.operators.Graph.betweennessSampledOracleSql(
-        "l_orderkey", "l_partkey", "lineitem", sampleEvery = 50L,
-        maxHops = 3),
+        "l_orderkey", "l_partkey", "lineitem", sampleEvery = 400L,
+        maxHops = 2),
     "q_graph_sssp" -> graft.operators.Graph.ssspOracleSql(
       """gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
         |       FROM lineitem WHERE l_partkey % 3 = 0),

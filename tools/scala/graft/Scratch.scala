@@ -17,6 +17,13 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // mimic Bench's session-level base-table cache for A/B forensics
+    if (sys.env.contains("SCRATCH_CACHE_TABLES")) {
+      graft.sources.Tables.load(spark, sfDir)
+      graft.sources.Tables.names.foreach { n =>
+        spark.table(n).cache(); spark.table(n).count()
+      }
+    }
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (args.contains("explain")) df.explain("formatted")
     if (args.contains("dump")) {
@@ -40,10 +47,16 @@ object Scratch {
     var n = 0L
     (1 to reps).foreach { i =>
       spark.catalog.clearCache() // fresh persist lifecycle per rep
+      if (sys.env.contains("SCRATCH_CACHE_TABLES"))
+        graft.sources.Tables.names.foreach { n =>
+          spark.table(n).cache(); spark.table(n).count()
+        }
+      val tc = System.nanoTime()
       val df2 = SparkEntry.queries(name)(spark, sfDir)
       val t0 = System.nanoTime()
       n = df2.count()
-      println(s"[scratch] $name rep=$i rows=$n sec=${(System.nanoTime() - t0) / 1e9}")
+      println(s"[scratch] $name rep=$i rows=$n sec=${(System.nanoTime() - t0) / 1e9}" +
+        s" construct=${(t0 - tc) / 1e9}")
     }
     spark.stop()
   }
