@@ -131,10 +131,19 @@ object Bench {
     // lone spikes, forcing pointless retries), while a real contention
     // window — which spans all three — still reads at full strength.
     // Same total probe cost as the old single 1e8 probe.
+    // Probe sizing (round 12): 2e8, up from 5e7. At 5e7 a sub-probe reads
+    // ~0.04-0.07 s on today's quiet box, so the per-probe median sat at
+    // 0.12-0.22 s where ~80 ms of ordinary scheduler jitter spans a 1.7×
+    // "contention" ratio — every attempt of a demonstrably quiet run
+    // (probe ABSOLUTES at historical-minimum levels) tripped the >1.5
+    // retry and the record was stamped contended:true. 4× the work puts
+    // the median near 0.5 s, shrinking jitter to a ~1.1× effect while
+    // real contention (which scales the whole probe) still reads at full
+    // strength. ~37 probes × ~0.5 s ≈ 18 s untimed per sweep, <7%.
     def calibrate(): Double = {
       val xs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        spark.range(50000000L).selectExpr("sum(id * 3 + 1)").collect()
+        spark.range(200000000L).selectExpr("sum(id * 3 + 1)").collect()
         (System.nanoTime() - t0) / 1e9
       }.sorted
       xs(1)
@@ -176,6 +185,19 @@ object Bench {
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           val sec = (System.nanoTime() - t0) / 1e9
+          // untimed: release this query's localCheckpoint blocks — they
+          // are RDD-level persists INVISIBLE to the family-boundary
+          // clearCache (checkpoints bypass CacheManager) and never shared
+          // across queries (each fn call creates fresh RDDs), so from
+          // here on they are dead storage. Without this they accumulate
+          // across the whole run: round 11's doubled graph family left
+          // enough blocks that the downstream multimodal queries read
+          // 3-7× their round-10 times with their code untouched, and the
+          // graph family's own later queries (betweenness) collapsed into
+          // sort spills. Blocking so the next query starts from
+          // actually-freed storage. CacheManager persists (the intra-
+          // family plan-identical sharing) are untouched.
+          graft.operators.Caching.releaseCheckpoints(blocking = true)
           // probe taken AFTER the query it indexes (r9's ADVICE off-by-one:
           // recording it before meant every calEvery-th query was assigned
           // the PREVIOUS segment's load), so find(_._1 >= position) below
@@ -244,7 +266,17 @@ object Bench {
       appendHistory(s, attempts.size)
       go = s.calRatio > 1.5 && attempts.size < maxAttempts
     }
-    val best = attempts.minBy(_.normTotal)
+    // the record is the best CLEAN attempt when one exists (VERDICT r11
+    // item 2: round 11's official record was a contended cal_ratio-4.09
+    // sweep while same-code clean attempts sat in BENCH_HISTORY — a
+    // contended sweep can post a lower normTotal than a clean one when
+    // its inflated probes over-deflate whole segments, so "min normTotal
+    // over all attempts" is the wrong order); only a fully-contended
+    // session falls back to min-normTotal-with-contended:true
+    val clean = attempts.filter(_.calRatio <= 1.5)
+    val best =
+      if (clean.nonEmpty) clean.minBy(_.normTotal)
+      else attempts.minBy(_.normTotal)
     val contended = best.calRatio > 1.5
 
     // Full per-query detail with per-query normalization (VERDICT r9

@@ -493,6 +493,47 @@ object ScaleStress {
         Seq("source", "lang"), "band", tMicro = 300000L).count()
     time("tclose 1x (5k docs)")(tclose(d1))
     time("tclose 10x (50k docs)")(tclose(d10))
+
+    // round-11 graph trio (VERDICT r11 item 4). modularity/refine: two
+    // node-keyed label joins + keyed aggregates — linear in |E| by shape,
+    // so the 10x graph must read ~10x (LPA×4 included, itself |E|-linear)
+    def modu(li: org.apache.spark.sql.DataFrame): Long = {
+      val e = Graph.coEdges(li, "l_orderkey", "l_partkey")
+      Graph.modularity(e, Graph.labelPropagation(e, iters = 4)).count()
+    }
+    time("modularity 1x (150k orders)")(modu(li1))
+    time("modularity 10x (1.5M orders)")(modu(li10))
+    def refine(li: org.apache.spark.sql.DataFrame): Long = {
+      val e = Graph.coEdges(li, "l_orderkey", "l_partkey")
+      Graph.modularityRefine(e, Graph.labelPropagation(e, iters = 4))
+        .count()
+    }
+    time("refine 1x (150k orders)")(refine(li1))
+    time("refine 10x (1.5M orders)")(refine(li10))
+    // betweenness: each of the 2·maxHops rounds is |sample|·|reached|
+    // keyed work — the scale levers are the SAMPLE SIZE and hop bound,
+    // so the deployment posture holds |sample| fixed as the graph grows
+    // (sampleEvery scales with |V|); expect ~linear in |E| at fixed
+    // sample. A fixed sampleEvery at 10x would grow sources 10x AND
+    // edges 10x ≈ 100x work — that is the documented lever, not a
+    // defect, and exactly why the parameter exists.
+    def betw(li: org.apache.spark.sql.DataFrame, every: Long): Long =
+      Graph.betweennessSampled(
+        Graph.coEdges(li, "l_orderkey", "l_partkey"),
+        sampleEvery = every, maxHops = 2).count()
+    time("betweenness 1x (every-400th source)")(betw(li1, 400L))
+    time("betweenness 10x (sized every-4000th: fixed |sample|)")(
+      betw(li10, 4000L))
+
+    // mmrSelect: one corpus top-candN pass (TakeOrdered) + a candN² pair
+    // matrix + a driver-side greedy over it — candN is FIXED, so 10x
+    // corpus must cost ~one extra scan, never grow the pair step
+    time("mmr 1x (2k vecs)")(
+      Similarity.mmrSelect(e1, "vec_id", "embedding", 0L, k = 8,
+        candN = 25).count())
+    time("mmr 10x (20k vecs, fixed candN)")(
+      Similarity.mmrSelect(e10, "vec_id", "embedding", 0L, k = 8,
+        candN = 25).count())
     spark.stop()
   }
 }

@@ -29,6 +29,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the parquet write fully materialized this query — its iterative
+      // operators' localCheckpoint blocks are dead storage from here on
+      // (invisible to clearCache; see Caching.releaseCheckpoints), and a
+      // 300-query session would otherwise carry every loop's blocks
+      graft.operators.Caching.releaseCheckpoints()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -101,7 +101,51 @@ object Caching {
         spark.sparkContext.setCheckpointDir(dir)
       }
       df.checkpoint(eager)
-    } else df.localCheckpoint(eager)
+    } else {
+      val out = df.localCheckpoint(eager)
+      // register the checkpoint's block storage for session-level release:
+      // localCheckpoint persists the RDD OUTSIDE CacheManager, so it is
+      // invisible to clearCache() and lives until the RDD object is GC'd —
+      // on a large driver heap that is effectively "until the session
+      // dies", and a long multi-operator session accumulates every
+      // iterative loop's per-round blocks (the round-11 multimodal 3-7×
+      // regression: graph-family checkpoint blocks squeezing the queries
+      // that ran after them). Weak refs keep GC/ContextCleaner semantics
+      // unchanged for sessions that never call [[releaseCheckpoints]].
+      org.apache.spark.sql.graftshim.GraftShim.localCheckpointRdds(out)
+        .foreach(r => ckptRdds.put(r.id,
+          new java.lang.ref.WeakReference(r)))
+      out
+    }
+  }
+
+  private val ckptRdds = new java.util.concurrent.ConcurrentHashMap[
+    Int, java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]()
+
+  /** Release the block-manager storage of every `localCheckpoint` the
+    * graft operators have taken since the last call — the session-level
+    * counterpart of `spark.catalog.clearCache()`, which cannot see
+    * checkpoint blocks (they are RDD-level persists, not CacheManager
+    * entries).
+    *
+    * Only call at a point where no live DataFrame will be read again —
+    * e.g. between fully-materialized query batches (the bench's family
+    * boundary): a checkpointed frame's lineage is truncated, so a later
+    * action on one would fail on the missing blocks rather than
+    * recompute. Operators that already release their own checkpoints
+    * ([[Similarity.kCenterCoreset]]) are unaffected — an unpersisted RDD
+    * unpersists idempotently.
+    */
+  def releaseCheckpoints(blocking: Boolean = false): Unit = {
+    val it = ckptRdds.entrySet().iterator()
+    while (it.hasNext) {
+      val ref = it.next().getValue.get()
+      if (ref != null) {
+        try ref.unpersist(blocking)
+        catch { case _: Throwable => /* context stopped: nothing to free */ }
+      }
+      it.remove()
+    }
   }
 
   /** Periodic lineage truncation for iterative loops: [[checkpoint]] on

@@ -1323,6 +1323,13 @@ object Eval {
   /** Fixed-point scale for [[bradleyTerry]] strengths (1.0 == 1e6). */
   val BtScale = 1000000L
 
+  /** Driver-side item cap for [[bradleyTerry]]: strengths live as a
+    * per-round driver map and the BIGINT carrier doc assumes ≤ ~1e6 items
+    * — enforced so a corpus-sized item column fails with a message, not a
+    * driver OOM.
+    */
+  val MaxBtItems = 1000000
+
   /** Bradley–Terry preference-strength fit (Bradley & Terry 1952; the
     * model behind Chatbot-Arena-style Elo boards and RLHF preference-data
     * analysis): given pairwise outcomes (winner, loser), estimate a
@@ -1334,9 +1341,11 @@ object Eval {
     * in any partition order and replays exactly in DuckDB
     * ([[bradleyTerryOracleSql]]). Items with zero wins (MLE diverges to 0)
     * and post-normalization underflows clamp to 1 micro-unit — the
-    * documented floor, applied identically in both engines. Carrier
-    * bounds: games-per-pair and item count ≤ ~1e6 keep every product
-    * under 2^63.
+    * documented floor, applied identically in both engines (including a
+    * zero-floored denominator, which both engines clamp to 1 before
+    * dividing). Carrier bounds: games-per-pair and item count ≤ ~1e6 keep
+    * every product under 2^63; the item bound is enforced
+    * ([[MaxBtItems]]) because the strength map is driver-side state.
     *
     * Scale shape: games aggregate once to an (i,j,n) edge table — the
     * model input is pair-count-sized, not game-count-sized — then each MM
@@ -1374,11 +1383,23 @@ object Eval {
     import spark.implicits._
     // model-sized state: (item, wins, strength) collected once, iterated
     // driver-side-broadcast per round — each round plans a flat local
-    // table instead of growing lineage or paying a checkpoint
+    // table instead of growing lineage or paying a checkpoint. The item
+    // domain must actually BE model-sized (the carrier-bound doc above):
+    // fail fast instead of letting a corpus-sized item column OOM the
+    // driver inside the collect
+    val winsRows = {
+      val capped = wins.limit(MaxBtItems + 1).collect()
+      require(capped.length <= MaxBtItems,
+        s"bradleyTerry saw more than $MaxBtItems distinct items — the " +
+          "strength table is driver-side state and the BIGINT carrier " +
+          "bound assumes a model-sized item domain (models/domains/" +
+          "sources); aggregate the item column first")
+      capped
+    }
     var p: Map[String, Long] =
-      wins.collect().map(r => r.getString(0) -> S).toMap
+      winsRows.map(r => r.getString(0) -> S).toMap
     val winsMap: Map[String, Long] =
-      wins.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      winsRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     for (_ <- 1 to iters if winsMap.nonEmpty) {
       val pDf = broadcast(p.toSeq.toDF("item", "p"))
       val denom = edges
@@ -1387,8 +1408,13 @@ object Eval {
         .groupBy(col("i").as("item"))
         .agg(sum(expr(s"(n * $S * $S) DIV (pi + pj)")).as("denom"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // denom can floor to 0 near the carrier bound (every per-edge term
+      // (n·S·S) DIV (pi+pj) truncates to 0 once pi+pj > n·S·S, e.g. 1e6
+      // skewed items): clamp to 1 so the update degrades to the documented
+      // micro-floor instead of throwing; the oracle applies the identical
+      // greatest(denom, 1)
       val raw = winsMap.map { case (item, w) =>
-        item -> math.max(w * S * S / denom(item), 1L) }
+        item -> math.max(w * S * S / math.max(denom(item), 1L), 1L) }
       val mean = math.max(raw.values.sum / raw.size, 1L)
       p = raw.map { case (item, v) => item -> math.max(v * S / mean, 1L) }
     }
@@ -1420,7 +1446,8 @@ object Eval {
          |  GROUP BY e.i),
          |r$t AS MATERIALIZED (
          |  SELECT w.item,
-         |         greatest((w.wins * $S * $S) // d.denom, 1)::BIGINT AS p
+         |         greatest((w.wins * $S * $S) // greatest(d.denom, 1),
+         |                  1)::BIGINT AS p
          |  FROM wins w JOIN d$t d USING (item)),
          |p$t AS MATERIALIZED (
          |  SELECT item,

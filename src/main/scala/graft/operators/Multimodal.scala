@@ -30,6 +30,34 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
   */
 object Multimodal {
 
+  /** One-time, JVM-wide: keep ImageIO streams IN MEMORY. The JDK default
+    * (`useCache=true`) makes `ImageIO.read(InputStream)` and
+    * `createImageInputStream` spool every payload to a temp FILE in
+    * java.io.tmpdir for random access — one disk write+delete per row,
+    * even when no reader claims the payload. Our payloads are in-memory
+    * byte arrays, so the file cache is pure disk I/O — and a hidden
+    * coupling: the multimodal queries' wall time tracked /tmp page-cache
+    * pressure from whatever ran before them (the round-11 3-7× slowdown
+    * on unchanged code) while CPU-bound calibration probes read quiet.
+    * Lazily forced by [[readImage]]/[[ImageIoCodec]] so the setting lands
+    * in every JVM (driver or executor) before its first decode.
+    */
+  @transient private lazy val imageIoMemOnly: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** In-memory ImageIO read: `Some(img)` for payloads a JRE reader claims,
+    * `None` otherwise (callers fall back to [[StubCodec]]). All decode
+    * paths route through here so the no-disk-cache posture above is
+    * guaranteed wherever the closure runs.
+    */
+  private[graft] def readImage(
+      payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    imageIoMemOnly
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Typed metadata for a decoded image-like payload. */
   case class ImageMeta(width: Int, height: Int, channels: Int, format: String)
 
@@ -86,7 +114,8 @@ object Multimodal {
     */
   object ImageIoCodec {
     def decode(payload: Array[Byte]): Option[ImageMeta] = {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      imageIoMemOnly // no per-row temp files — see the field's doc
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -109,8 +138,7 @@ object Multimodal {
       */
     def resize(payload: Array[Byte], w: Int, h: Int): Option[(Array[Byte], ImageMeta)] =
       try {
-        Option(javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload))).map { src =>
+        readImage(payload).map { src =>
           val dst = new java.awt.image.BufferedImage(w, h,
             java.awt.image.BufferedImage.TYPE_INT_RGB)
           val g = dst.createGraphics()
@@ -199,10 +227,7 @@ object Multimodal {
         val g = Array.ofDim[Double](16)
         var (sr, sg, sb) = (0.0, 0.0, 0.0)
         var real = false
-        val img =
-          try Option(javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(item.payload)))
-          catch { case scala.util.control.NonFatal(_) => None }
+        val img = readImage(item.payload)
         img match {
           case Some(im) if im.getWidth > 0 && im.getHeight > 0 =>
             real = true

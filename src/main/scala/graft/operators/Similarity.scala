@@ -20,6 +20,13 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object Similarity {
 
+  /** Driver-side candidate cap for [[mmrSelect]]: the greedy loop collects
+    * a candN² pair-cosine matrix, so 10k candidates ≈ 50M pairs ≈ the most
+    * a reranker window should ever ask a driver to hold. Larger candidate
+    * sets belong in the retrieval tiers (IVF/LSH), not the MMR stage.
+    */
+  val MaxMmrCandidates = 10000
+
   /** Sequential left-fold dot product in double precision.
     *
     * Measured (Spark 4.1, 64-dim, sf0.1): this HOF fold beats an unrolled
@@ -455,6 +462,13 @@ object Similarity {
       queryId: Long, k: Int, candN: Int = 50,
       lambdaPct: Int = 70): DataFrame = {
     require(k >= 1 && candN >= k && lambdaPct >= 0 && lambdaPct <= 100)
+    // the greedy loop holds a candN² pair matrix on the driver (the
+    // documented reranker-window bound) — fail fast with a message
+    // instead of letting a corpus-sized candN turn into a driver OOM
+    require(candN <= Similarity.MaxMmrCandidates,
+      s"mmrSelect candN=$candN exceeds the driver-side candidate bound " +
+        s"${Similarity.MaxMmrCandidates} (the pair matrix is candN² rows " +
+        "collected to the driver); shrink the candidate window")
     val q = df.where(col(idCol) === queryId)
       .select(col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm"))
     val cands = Caching.persist(df
@@ -525,6 +539,9 @@ object Similarity {
          |    WHERE c.id NOT IN (SELECT id FROM $prev)
          |    ORDER BY score DESC, c.id LIMIT 1))"""
     }.mkString(",\n")
+    // k=1: the rounds fragment is empty — appending ",\n" unconditionally
+    // would leave a dangling comma after sel1 and the SQL fails to parse
+    val roundsSql = if (k > 1) ",\n" + rounds else ""
     s"""WITH q AS (
        |  SELECT $vecCol::DOUBLE[] AS qvec,
        |         sqrt(list_dot_product($vecCol::DOUBLE[], $vecCol::DOUBLE[])) AS qnrm
@@ -544,8 +561,7 @@ object Similarity {
        |sel1 AS MATERIALIZED (
        |  SELECT id, 1::BIGINT AS rank,
        |         ($lambdaPct * rel)::DOUBLE AS mmr_score
-       |  FROM cands ORDER BY rel DESC, id LIMIT 1),
-       |$rounds
+       |  FROM cands ORDER BY rel DESC, id LIMIT 1)$roundsSql
        |SELECT id AS $idCol, rank, mmr_score FROM sel$k""".stripMargin
   }
 
@@ -3125,6 +3141,10 @@ object Similarity {
     val outRows = (2 to k).map(r =>
       s"SELECT $r::BIGINT AS rank, id::BIGINT AS center_id," +
         s" best::BIGINT AS best_sq FROM c$r").mkString("\nUNION ALL ")
+    // k=1: rounds/outRows are empty — unconditional ",\n"/"UNION ALL"
+    // would leave a dangling comma after b1 and a bare UNION ALL
+    val roundsSql = if (k > 1) ",\n" + rounds else ""
+    val outRowsSql = if (k > 1) "\nUNION ALL " + outRows else ""
     s"""WITH pts AS MATERIALIZED (
        |  SELECT $idCol::BIGINT AS id,
        |         list_transform($vecCol::DOUBLE[],
@@ -3133,11 +3153,9 @@ object Similarity {
        |c1 AS MATERIALIZED (SELECT id, q FROM pts ORDER BY id LIMIT 1),
        |b1 AS MATERIALIZED (
        |  SELECT p.id, p.q, $dist AS best
-       |  FROM pts p, c1 c),
-       |$rounds
+       |  FROM pts p, c1 c)$roundsSql
        |SELECT 1::BIGINT AS rank, id::BIGINT AS center_id, 0::BIGINT AS best_sq
-       |FROM c1
-       |UNION ALL $outRows""".stripMargin
+       |FROM c1$outRowsSql""".stripMargin
   }
 
   /** SIMPLIFIED SILHOUETTE (Hruschka et al. 2004) per cluster of the fixed

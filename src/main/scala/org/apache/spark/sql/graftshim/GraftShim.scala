@@ -42,21 +42,28 @@ object GraftShim {
       registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
     ext.registerFunctions(registry)
 
-  /** Release the block-manager storage behind a `localCheckpoint`'d
-    * DataFrame. Checkpoint storage bypasses CacheManager, so
-    * `df.unpersist()` cannot release it — the persisted RDD sits inside
-    * the plan's `LogicalRDD` leaf. No-op for plans without one. Only
-    * safe once nothing will read the DataFrame again (a later action
-    * would fail on the missing checkpoint blocks, not recompute).
+  /** The `LogicalRDD` leaves of a checkpointed DataFrame's plan — the
+    * RDDs whose block-manager storage a `localCheckpoint` occupies.
+    * Checkpoint storage bypasses CacheManager (it is an RDD-level
+    * persist), so `spark.catalog.clearCache()` and `df.unpersist()` can
+    * never release it; lifecycle code needs the RDD itself.
     */
-  def releaseLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit = {
+  def localCheckpointRdds(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.rdd.RDD[_]] = {
     val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-    classic.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ =>
+    classic.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
   }
+
+  /** Release the block-manager storage behind a `localCheckpoint`'d
+    * DataFrame. No-op for plans without a `LogicalRDD`. Only safe once
+    * nothing will read the DataFrame again (a later action would fail on
+    * the missing checkpoint blocks, not recompute — the lineage was
+    * truncated).
+    */
+  def releaseLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    localCheckpointRdds(df).foreach(_.unpersist(blocking = false))
 
   /** Run `f` and return (result, total input records read by the jobs it
     * submitted) — listener-measured, draining the (private[spark])

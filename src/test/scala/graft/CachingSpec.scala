@@ -101,6 +101,36 @@ class CachingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.reliableCheckpoints")
   }
 
+  test("releaseCheckpoints: frees localCheckpoint blocks that clearCache " +
+      "cannot see") {
+    // the round-11 multimodal regression mechanism: localCheckpoint is an
+    // RDD-level persist outside CacheManager, so a session's family-
+    // boundary clearCache() never releases it and iterative operators'
+    // per-round blocks accumulate for the whole session. The contract
+    // here is the bench/verify lifecycle: once a query is fully
+    // materialized, releaseCheckpoints() must actually drop the blocks.
+    Caching.releaseCheckpoints(blocking = true) // drain earlier suites
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val ck = Caching.checkpoint(
+      docs.select(col("doc_id"), length(col("text")).as("n")), eager = true)
+    assert(ck.count() == 3L)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "an eager localCheckpoint must persist blocks")
+    // the blunt SQL-cache valve does NOT free them — this is exactly why
+    // the lifecycle API exists
+    spark.catalog.clearCache()
+    assert(added.subsetOf(spark.sparkContext.getPersistentRDDs.keySet),
+      "clearCache must not (and cannot) release checkpoint blocks")
+    Caching.releaseCheckpoints(blocking = true)
+    val remaining = added.intersect(
+      spark.sparkContext.getPersistentRDDs.keySet)
+    assert(remaining.isEmpty,
+      s"releaseCheckpoints must drop checkpoint storage; kept $remaining")
+    // idempotent: a second release (and operators that already released
+    // their own checkpoints) is a no-op, not an error
+    Caching.releaseCheckpoints(blocking = true)
+  }
+
   test("scoped: nesting releases only the inner scope's entries") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Caching.scoped {

@@ -500,4 +500,29 @@ class EvalSpec extends SparkSpec {
     assert(Eval.bradleyTerry(games.limit(0), "winner", "loser")
       .count() == 0L)
   }
+
+  test("bradleyTerry: a corpus-sized item domain fails fast, not OOM") {
+    // strengths are driver-side state with a documented ~1e6-item carrier
+    // bound — a caller passing raw document ids must get an error message
+    // before the collect, not a driver OOM. The probe is limit-capped so
+    // the check itself stays model-sized.
+    val big = spark.range(Eval.MaxBtItems.toLong + 1).select(
+      concat(lit("w"), col("id")).as("winner"),
+      concat(lit("l"), col("id")).as("loser"))
+    val e = intercept[IllegalArgumentException] {
+      Eval.bradleyTerry(big, "winner", "loser", iters = 1)
+    }
+    assert(e.getMessage.contains("distinct items"))
+  }
+
+  test("bradleyTerry oracle SQL carries the same zero-denominator floor " +
+      "as the Spark side") {
+    // near the carrier bound every per-edge term can truncate to 0 and
+    // denom(item) = 0: Spark clamps with max(denom, 1) and the oracle must
+    // apply the identical greatest(denom, 1) so neither engine throws or
+    // NULLs where the other floors
+    val sql = Eval.bradleyTerryOracleSql(
+      "games AS (SELECT 'a' AS w, 'b' AS l)", iters = 2)
+    assert(sql.contains("greatest(d.denom, 1)"))
+  }
 }

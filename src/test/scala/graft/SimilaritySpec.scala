@@ -396,6 +396,33 @@ class SimilaritySpec extends SparkSpec
     assert(again == mmr)
   }
 
+  test("mmrSelect: corpus-sized candN fails fast; k=1 oracle SQL has no " +
+      "dangling fragment") {
+    // the greedy loop collects a candN² pair matrix — a mis-sized call
+    // must error with a message, never drive toward a driver OOM (the
+    // require fires before any job runs)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(emb, "vec_id", "embedding", 0L, k = 8,
+        candN = Similarity.MaxMmrCandidates + 1)
+    }
+    assert(e.getMessage.contains("candidate bound"))
+    // k=1 leaves the rounds fragment empty: the CTE list must close
+    // cleanly after sel1 (no dangling comma) and select from sel1
+    val sql1 = Similarity.mmrSelectOracleSql(0L, k = 1)
+    assert(sql1.contains("LIMIT 1)\nSELECT id AS"), sql1.takeRight(200))
+    assert(sql1.contains("FROM sel1"))
+    assert(!sql1.contains("sel2"))
+    // k>1 still chains rounds
+    assert(Similarity.mmrSelectOracleSql(0L, k = 3).contains("FROM sel3"))
+    // kCenterOracleSql shares the pattern: k=1 must not leave a dangling
+    // comma after b1 or a bare trailing UNION ALL
+    val kc1 = Similarity.kCenterOracleSql(1)
+    assert(kc1.contains("c1 c)\nSELECT 1::BIGINT AS rank"),
+      kc1.takeRight(200))
+    assert(kc1.trim.endsWith("FROM c1"))
+    assert(Similarity.kCenterOracleSql(3).contains("FROM c3"))
+  }
+
   test("annRecallIvf: probing every list gives recall 100, fields consistent") {
     val kc = emb.where(col("vec_id") % 50 === 0).count().toInt
     val full = Similarity.annRecallIvf(emb, "vec_id", "embedding",

@@ -1369,4 +1369,78 @@ class StreamingSpec extends SparkSpec {
       "serving answers must be byte-identical before/after compaction")
   }
 
+  test("IVF maintenance loop: append→compact cycles keep file counts AND " +
+      "per-batch read cost bounded, serving identical throughout") {
+    // the day-2 trigger for long-running streaming maintenance: the
+    // single-shot compaction test above proves one cycle; a real stream
+    // runs append→compact→append→compact forever, and the failure mode it
+    // must not have is CREEP — cycle N's per-batch cost quietly growing
+    // because compaction didn't fully restore the O(batch + centroids)
+    // append bound or left file counts drifting upward
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    import org.apache.spark.sql.graftshim.GraftShim
+    val root = java.nio.file.Files
+      .createTempDirectory("ivf-loop").toString
+    val dir = root + "/idx"
+    val init = (0 until 200).map(i =>
+        (i.toLong, Seq((i % 17).toFloat, (i % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeIvfIndex(init, "vec_id", "embedding", dir)
+    def knn() = Similarity.knnIvfIndexed(
+      spark.read.parquet(dir), "vec_id", "embedding",
+      queryId = 3L, k = 5, nprobe = 2).collect().map(_.toSeq).toSeq
+    def dataFiles(d: java.io.File): Array[java.io.File] =
+      d.listFiles().filter(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    def maxFiles(): Int = new java.io.File(dir).listFiles()
+      .filter(d => d.isDirectory && d.getName.contains("=") &&
+        !d.getName.startsWith("_"))
+      .map(dataFiles(_).length).max
+    var nextId = 1000L
+    // batches reuse the init distribution so every vector lands in an
+    // existing centroid — the codebook stays fixed across cycles, making
+    // the two cycles' first-append read costs directly comparable
+    def runBatches(n: Int): Long = {
+      var firstAppendReads = -1L
+      (0 until n).foreach { b =>
+        val batch = Seq((nextId,
+            Seq((nextId % 17).toFloat, (nextId % 5).toFloat)))
+          .toDF("vec_id", "embedding")
+        nextId += 1
+        // recordsReadDuring drains the listener bus itself before
+        // installing its counter, so back-to-back appends don't bleed
+        val (_, recs) = GraftShim.recordsReadDuring(spark) {
+          Similarity.appendIvfBatch(batch, "vec_id", "embedding", dir)
+        }
+        if (b == 0) firstAppendReads = recs
+      }
+      firstAppendReads
+    }
+    // cycle 1: fresh index → 8 maintenance batches → compact
+    val reads1 = runBatches(8)
+    val serve1 = knn()
+    Similarity.compactIvfIndex(spark, dir)
+    assert(knn() == serve1,
+      "cycle-1 compaction must not change serving answers")
+    assert(maxFiles() == 1,
+      s"cycle-1 compaction left ${maxFiles()} files in a directory")
+    // cycle 2: same batch count against the compacted index → compact
+    val reads2 = runBatches(8)
+    val serve2 = knn()
+    Similarity.compactIvfIndex(spark, dir)
+    assert(knn() == serve2,
+      "cycle-2 compaction must not change serving answers")
+    assert(maxFiles() == 1,
+      s"cycle-2 compaction left ${maxFiles()} files in a directory")
+    // the bound under test: the first append AFTER a full cycle reads the
+    // same O(batch + centroids) input as the first append against the
+    // fresh index — cycle 1's 8 appends + compaction must leave NOTHING
+    // behind that inflates cycle 2's per-batch cost (sidecar rows are
+    // back to one per centroid, data files to one bin per directory)
+    assert(reads2 <= reads1,
+      s"post-compaction append read $reads2 records vs $reads1 on the " +
+        "fresh index — maintenance state is creeping across cycles")
+  }
+
 }
