@@ -525,6 +525,32 @@ object ScaleStress {
     time("betweenness 10x (sized every-4000th: fixed |sample|)")(
       betw(li10, 4000L))
 
+    // portable HLL: one distinct aggregate + a 256-row register fold —
+    // pure linear scan shape, the sketch side moves m rows regardless
+    def hll(d: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.Profile.hllDistinct(d, "doc_id", p = 8).count()
+    time("hll 1x (5k docs)")(hll(d1))
+    time("hll 10x (50k docs)")(hll(d10))
+
+    // harmonic centrality: forward-only Brandes machinery — same
+    // fixed-sample lever as betweenness, ~half the work per source
+    def harm(li: org.apache.spark.sql.DataFrame, every: Long): Long =
+      Graph.harmonicSampled(
+        Graph.coEdges(li, "l_orderkey", "l_partkey"),
+        sampleEvery = every, maxHops = 2).count()
+    time("harmonic 1x (every-100th source)")(harm(li1, 100L))
+    time("harmonic 10x (sized every-1000th: fixed |sample|)")(
+      harm(li10, 1000L))
+
+    // ANF/HyperBall: each hop is one edge⋈state join + keyed max over
+    // |E|·m̄ register rows — must scale ~linearly in |E| at fixed p
+    def anf(li: org.apache.spark.sql.DataFrame): Long =
+      Graph.neighborhoodFunction(
+        Graph.coEdges(li.where(col("l_partkey") % 3 === 0),
+          "l_orderkey", "l_partkey"), maxHops = 3, p = 5).count()
+    time("anf 1x (150k orders)")(anf(li1))
+    time("anf 10x (1.5M orders)")(anf(li10))
+
     // mmrSelect: one corpus top-candN pass (TakeOrdered) + a candN² pair
     // matrix + a driver-side greedy over it — candN is FIXED, so 10x
     // corpus must cost ~one extra scan, never grow the pair step

@@ -1385,6 +1385,202 @@ object Graph {
        |WHERE node <> s GROUP BY node""".stripMargin
   }
 
+  /** Sampled hop-bounded HARMONIC centrality (Marchiori & Latora 2000;
+    * Boldi & Vigna's recommended closeness variant) — "how near is this
+    * node to everything": H(v) = Σ_s 1/d(s,v) over the sampled sources,
+    * which handles disconnected pairs by contributing 0 instead of
+    * closeness's divide-by-infinity. Each term is the exact micro floor
+    * `1e6 div d`, summed — order-free integers, so the whole measure
+    * replays in DuckDB ([[harmonicSampledOracleSql]]). Source sampling
+    * (`node % sampleEvery = 0`) and the hop bound are the same two scale
+    * levers as [[betweennessSampled]]; unreached pairs and pairs beyond
+    * `maxHops` contribute 0 by the harmonic definition, so hop bounding
+    * is a TRUNCATION of provably-smallest terms (each ≤ 1e6/(maxHops+1)),
+    * not an approximation of arbitrary error. Returns (node, harm_micro,
+    * n_reached) for every node reached by ≥1 sampled source, node ≠
+    * source.
+    *
+    * Scale shape: the forward half of the Brandes machinery only — one
+    * batched multi-source BFS with (source, node)-keyed state, each of
+    * the maxHops rounds one keyed equi-join + distinct + anti-join over
+    * |sample|·|reached| rows, per-round [[Caching.checkpoint]] (the BFS
+    * discipline), never a per-source driver loop. No backward sweep, no
+    * σ bookkeeping — roughly half a betweenness run at the same levers.
+    */
+  def harmonicSampled(edges: DataFrame, sampleEvery: Long,
+      maxHops: Int): DataFrame = {
+    require(sampleEvery >= 1 && maxHops >= 1)
+    // eager checkpoint flattens the edge build for the per-round plans
+    // (the hits/betweenness discipline)
+    val e = Caching.checkpoint(
+      edges.select(col("src"), col("dst")).distinct(), eager = true)
+    val sources = e.select(col("src").as("node")).distinct()
+      .where(pmod(col("node"), lit(sampleEvery)) === 0)
+    var reached = Caching.checkpoint(sources.select(col("node").as("s"),
+      col("node"), lit(0L).as("dist")))
+    for (level <- 1 to maxHops) {
+      val frontier = reached.where(col("dist") === (level - 1).toLong)
+        .select(col("s"), col("node").as("src"))
+      val next = e.join(frontier, "src")
+        .select(col("s"), col("dst").as("node")).distinct()
+        .join(reached.select(col("s"), col("node")), Seq("s", "node"),
+          "left_anti")
+        .select(col("s"), col("node"), lit(level.toLong).as("dist"))
+      reached = Caching.checkpoint(reached.unionByName(next))
+    }
+    reached.where(col("node") =!= col("s"))
+      .groupBy(col("node"))
+      .agg(sum(expr("1000000 DIV dist")).as("harm_micro"),
+        count(lit(1)).as("n_reached"))
+  }
+
+  /** DuckDB replay of [[harmonicSampled]] ∘ [[coEdges]] — one
+    * MATERIALIZED CTE per BFS level (the forward half of
+    * [[betweennessSampledOracleSql]] without σ).
+    */
+  def harmonicSampledOracleSql(groupExpr: String, itemExpr: String,
+      table: String, sampleEvery: Long, maxHops: Int,
+      maxGroupSize: Int = 64): String = {
+    val fwd = (1 to maxHops).map { l =>
+      val prev = s"r${l - 1}"
+      s"""r$l AS MATERIALIZED (
+         |  SELECT s, node, dist FROM $prev
+         |  UNION ALL
+         |  SELECT DISTINCT f.s, e.dst AS node, $l::BIGINT
+         |  FROM e
+         |  JOIN (SELECT s, node FROM $prev WHERE dist = ${l - 1}) f
+         |    ON f.node = e.src
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev x
+         |                    WHERE x.s = f.s AND x.node = e.dst))"""
+    }.mkString(",\n")
+    s"""WITH ${coEdgesSql(groupExpr, itemExpr, table, maxGroupSize)},
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+       |srcs AS (SELECT DISTINCT src AS node FROM e
+       |         WHERE src % $sampleEvery = 0),
+       |r0 AS MATERIALIZED (
+       |  SELECT node AS s, node, 0::BIGINT AS dist FROM srcs),
+       |$fwd
+       |SELECT node, sum(1000000 // dist)::BIGINT AS harm_micro,
+       |       count(*)::BIGINT AS n_reached
+       |FROM r$maxHops WHERE node <> s GROUP BY node""".stripMargin
+  }
+
+  /** APPROXIMATE NEIGHBORHOOD FUNCTION (ANF — Palmer et al. 2002; the
+    * HyperBall formulation, Boldi & Vigna 2013): N(h) = Σ_v |ball(v, h)|
+    * estimated with one mergeable register sketch per node — THE way
+    * reachability curves and effective diameter are computed on graphs
+    * too big for exact per-node BFS. Each node starts with the portable
+    * HLL register of its own id ([[Profile.hllDistinct]]'s md5/bin
+    * machinery, exactly); each hop element-wise-max-merges every
+    * neighbor's registers into the node's (set union under the sketch);
+    * after hop h the node's registers describe ball(v, h) and the curve
+    * row is the fixed-point raw HLL estimate summed over nodes. Every
+    * step — md5 registers, max merge, the integer estimator — replays
+    * value-for-value in DuckDB ([[neighborhoodFunctionOracleSql]]).
+    * Returns (hop, n_nodes, nf_est) for hop = 0..maxHops; nf_est is the
+    * RAW-regime estimator (like [[Profile.hllDistinct]]'s est_raw):
+    * small balls (hop 0/1) sit in its documented-biased regime, which is
+    * fine for the curve's purpose (growth shape / saturation — the
+    * curve flattens exactly when balls stop growing) and keeps every
+    * row oracle-hashable; no floating point anywhere.
+    *
+    * Scale shape: state is sparse long-form (node, register, ρ) — at
+    * most min(m, |ball|) rows per node — and each hop is ONE edge⋈state
+    * equi-join + a (node, register)-keyed max aggregate: |E|·m̄ rows
+    * shuffled per hop, never a per-source frontier (this is why ANF
+    * exists: h·|E|·m beats |V| BFS runs by orders of magnitude).
+    * Per-hop [[Caching.checkpoint]] (the state is multi-referenced: the
+    * merge AND the curve estimate read it).
+    */
+  def neighborhoodFunction(edges: DataFrame, maxHops: Int,
+      p: Int = 5): DataFrame = {
+    require(maxHops >= 0 && p >= 4 && p <= 10)
+    val m = 1L << p
+    val wBits = 60 - p
+    val alphaMicro = Profile.hllAlphaMicro(p)
+    val e = Caching.checkpoint(
+      edges.select(col("src"), col("dst")).distinct(), eager = true)
+    var state = Caching.checkpoint(
+      e.select(col("src").as("node")).distinct()
+        .select(col("node"), Dedup.portableHash(
+          concat(lit("anf:"), col("node").cast("string"))).as("h"))
+        .select(col("node"), expr(s"h DIV ${1L << wBits}").as("idx"),
+          when(pmod(col("h"), lit(1L << wBits)) === 0L,
+              lit((wBits + 1).toLong))
+            .otherwise(lit((wBits + 1).toLong) -
+              length(ltrim(bin(pmod(col("h"), lit(1L << wBits))), "0")))
+            .as("rho")))
+    def curveRow(st: DataFrame, hop: Int): DataFrame = st
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr(
+          s"shiftleft(CAST(1 AS BIGINT), CAST(${wBits + 1} - rho AS INT))"))
+          .as("t_present"))
+      .select(expr(
+        s"CAST((CAST($alphaMicro AS DECIMAL(38,0)) * ${m * m} * " +
+          s"${1L << (wBits + 1)}) div " +
+          s"(t_present + ($m - n_present) * ${1L << (wBits + 1)}) " +
+          "div 1000000 AS BIGINT)").as("est"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("est")).as("nf_est"))
+      .select(lit(hop.toLong).as("hop"), col("n_nodes"), col("nf_est"))
+    var curve = curveRow(state, 0)
+    for (hop <- 1 to maxHops) {
+      val fromNeighbors = e
+        .join(state.select(col("node").as("dst"), col("idx"), col("rho")),
+          "dst")
+        .select(col("src").as("node"), col("idx"), col("rho"))
+      state = Caching.checkpoint(state.unionByName(fromNeighbors)
+        .groupBy(col("node"), col("idx")).agg(max(col("rho")).as("rho")))
+      curve = curve.unionByName(curveRow(state, hop))
+    }
+    curve
+  }
+
+  /** DuckDB replay of [[neighborhoodFunction]] ∘ [[coEdges]] — one
+    * MATERIALIZED state CTE per hop, one estimate CTE per curve row.
+    */
+  def neighborhoodFunctionOracleSql(groupExpr: String, itemExpr: String,
+      table: String, maxHops: Int, p: Int = 5,
+      maxGroupSize: Int = 64): String = {
+    val m = 1L << p
+    val wBits = 60 - p
+    val alphaMicro = Profile.hllAlphaMicro(p)
+    val hops = (1 to maxHops).map { h =>
+      val prev = s"s${h - 1}"
+      s"""s$h AS MATERIALIZED (
+         |  SELECT node, idx, max(rho)::BIGINT AS rho FROM (
+         |    SELECT node, idx, rho FROM $prev
+         |    UNION ALL
+         |    SELECT e.src AS node, s.idx, s.rho
+         |    FROM e JOIN $prev s ON s.node = e.dst)
+         |  GROUP BY node, idx)"""
+    }.mkString(",\n")
+    def estSql(h: Int) =
+      s"""SELECT $h::BIGINT AS hop, count(*)::BIGINT AS n_nodes,
+         |       sum(est)::BIGINT AS nf_est FROM (
+         |  SELECT (($alphaMicro::HUGEINT * ${m * m} * ${1L << (wBits + 1)})
+         |            // (sum((1::BIGINT << (${wBits + 1} - rho))::BIGINT)
+         |                + ($m - count(*)) * ${1L << (wBits + 1)})
+         |            // 1000000)::BIGINT AS est
+         |  FROM s$h GROUP BY node)""".stripMargin
+    val curve = (0 to maxHops).map(estSql).mkString("\nUNION ALL ")
+    s"""WITH ${coEdgesSql(groupExpr, itemExpr, table, maxGroupSize)},
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+       |s0 AS MATERIALIZED (
+       |  SELECT node,
+       |         h // ${1L << wBits} AS idx,
+       |         (CASE WHEN h % ${1L << wBits} = 0 THEN ${wBits + 1}
+       |               ELSE ${wBits + 1} -
+       |                    length(ltrim(bin(h % ${1L << wBits}), '0'))
+       |          END)::BIGINT AS rho
+       |  FROM (SELECT node,
+       |               ('0x' || substr(md5('anf:' || node::VARCHAR), 1, 15))
+       |                 ::BIGINT AS h
+       |        FROM (SELECT DISTINCT src AS node FROM e))),
+       |$hops
+       |$curve""".stripMargin
+  }
+
   /** COUNTED co-occurrence edges: like [[coEdges]] but keeps the
     * co-occurrence count per pair instead of deduplicating to a simple
     * graph — the tie-STRENGTH graph ([[ssspBounded]] turns it into

@@ -1602,6 +1602,134 @@ object Profile {
     sketch.crossJoin(broadcast(keys.agg(count(lit(1)).as("n_exact"))))
   }
 
+  /** PORTABLE HYPERLOGLOG (Flajolet et al. 2007) — the industry-standard
+    * distinct sketch, implemented so the REGISTERS AND THE ESTIMATE replay
+    * bit-for-bit in any engine (what Spark's builtin
+    * `approx_count_distinct` can never do — its xxhash64 registers are
+    * engine-private, the long-documented `q_approx_sketches` caveat):
+    * every distinct key hashes through the shared 60-bit md5 family, the
+    * top `p` bits pick one of m = 2^p registers, and the register keeps
+    * ρ = position of the leftmost 1-bit in the remaining 60−p bits
+    * (computed EXACTLY as `61 − p − length(trim-zeros(bin(w)))` — both
+    * engines ship `bin`, no floating log anywhere). The raw estimate
+    *   E = α_m · m² / Σ_j 2^(−M_j)
+    * runs entirely in fixed point: the harmonic sum scales by 2^(61−p)
+    * into an exact BIGINT `t_fx`, α_m rides as an integer micro constant,
+    * and E = α_micro·m²·2^(61−p) div t_fx div 1e6 — so the gate
+    * hash-checks the ESTIMATE itself, error and all, like [[kmvDistinct]].
+    *
+    * Returns one row: (m, v_zero, t_fx, est_raw, n_exact). `est_raw` is
+    * the raw-regime HLL estimate (valid when D ≳ 2.5·m, the gate's
+    * regime); `v_zero` (empty registers) is emitted so a caller CAN apply
+    * the small-range linear-counting branch m·ln(m/V) — deliberately not
+    * computed here because ln() is the one step whose last-ulp behavior
+    * is libm-specific, i.e. not oracle-hashable. The register table is a
+    * monoid (merge = per-register max), the same partial/final contract
+    * as the reference's accumulators.
+    *
+    * Scale shape: one distinct-aggregate over the keys (map-side partial
+    * dedup), one m-row register aggregate (groupBy register, max ρ), one
+    * m-row fold — the sketch side moves m rows no matter the corpus. The
+    * exact-count twin is the expensive aggregate; drop `n_exact` in
+    * production (same advice as KMV).
+    */
+  def hllDistinct(df: DataFrame, keyCol: String, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 14, s"p must be in [4,14], got $p")
+    val m = 1L << p
+    val wBits = 60 - p // low bits after the register index
+    val alphaMicro = hllAlphaMicro(p)
+    val keys = df.select(col(keyCol).cast("string").as("key"))
+      .where(col("key").isNotNull).distinct()
+      .transform(Caching.persist)
+    val hashed = keys
+      .select(Dedup.portableHash(concat(lit("hll:"), col("key"))).as("h"))
+      // integer div, not `/`: h has 60 bits and double division would
+      // round above 2^53
+      .select(expr(s"h DIV ${1L << wBits}").as("reg"),
+        pmod(col("h"), lit(1L << wBits)).as("w"))
+    // ρ ∈ [1, wBits+1]: leftmost-1 position in the wBits-wide suffix;
+    // all-zero suffix defines ρ = wBits+1. bin() emits the minimal
+    // binary string in BOTH engines; ltrim('0') makes that robust to a
+    // hypothetical fixed-width variant too.
+    val regs = hashed
+      .select(col("reg"),
+        when(col("w") === 0L, lit((wBits + 1).toLong))
+          .otherwise(lit((wBits + 1).toLong) -
+            length(ltrim(bin(col("w")), "0"))).as("rho"))
+      .groupBy(col("reg")).agg(max(col("rho")).as("mj"))
+    // t_fx = Σ_j 2^(wBits+1−M_j), absent registers contribute 2^(wBits+1)
+    // (M_j = 0); ≤ m·2^(wBits+1) ≤ 2^(p + 61 − p + 1) = 2^62 — exact LONG
+    val present = regs.agg(
+      count(lit(1)).as("n_present"),
+      coalesce(sum(expr(
+          s"shiftleft(CAST(1 AS BIGINT), CAST(${wBits + 1} - mj AS INT))")),
+        lit(0L)).as("t_present"))
+    val sketch = present.select(
+      lit(m).as("m"),
+      (lit(m) - col("n_present")).as("v_zero"),
+      (col("t_present") +
+        (lit(m) - col("n_present")) * lit(1L << (wBits + 1))).as("t_fx"))
+      .select(col("m"), col("v_zero"), col("t_fx"),
+        expr(s"CAST((CAST($alphaMicro AS DECIMAL(38,0)) * ${m * m} * " +
+          s"${1L << (wBits + 1)}) div t_fx div 1000000 AS BIGINT)")
+          .as("est_raw"))
+    sketch.crossJoin(broadcast(keys.agg(count(lit(1)).as("n_exact"))))
+  }
+
+  /** α_m for the HLL raw estimator as an exact micro integer — computed
+    * once on the driver from the standard constant-formula and embedded
+    * identically in the Spark plan and the oracle SQL.
+    */
+  def hllAlphaMicro(p: Int): Long = {
+    val m = 1 << p
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    math.round(alpha * 1e6)
+  }
+
+  /** DuckDB replay of [[hllDistinct]] — same md5 family, same bin()-based
+    * ρ, same fixed-point fold, value-for-value.
+    */
+  def hllOracleSql(table: String, keyExpr: String, p: Int = 8): String = {
+    val m = 1L << p
+    val wBits = 60 - p
+    val alphaMicro = hllAlphaMicro(p)
+    s"""WITH keys AS (
+       |  SELECT DISTINCT ($keyExpr)::VARCHAR AS key FROM $table
+       |  WHERE ($keyExpr) IS NOT NULL),
+       |h AS (
+       |  SELECT ('0x' || substr(md5('hll:' || key), 1, 15))::BIGINT AS h
+       |  FROM keys),
+       |rw AS (
+       |  SELECT h // ${1L << wBits} AS reg, h % ${1L << wBits} AS w FROM h),
+       |regs AS (
+       |  SELECT reg,
+       |         max(CASE WHEN w = 0 THEN ${wBits + 1}
+       |                  ELSE ${wBits + 1} - length(ltrim(bin(w), '0'))
+       |             END)::BIGINT AS mj
+       |  FROM rw GROUP BY reg),
+       |agg AS (
+       |  SELECT count(*)::BIGINT AS n_present,
+       |         coalesce(sum((1::BIGINT << (${wBits + 1} - mj))::BIGINT),
+       |                  0)::BIGINT AS t_present
+       |  FROM regs),
+       |s AS (
+       |  SELECT $m::BIGINT AS m,
+       |         ($m - n_present)::BIGINT AS v_zero,
+       |         (t_present + ($m - n_present) * ${1L << (wBits + 1)})::BIGINT
+       |           AS t_fx
+       |  FROM agg)
+       |SELECT m, v_zero, t_fx,
+       |       (($alphaMicro::HUGEINT * ${m * m} * ${1L << (wBits + 1)})
+       |          // t_fx // 1000000)::BIGINT AS est_raw,
+       |       (SELECT count(*)::BIGINT FROM keys) AS n_exact
+       |FROM s""".stripMargin
+  }
+
   /** BUCKETED QUANTILE NORMALIZATION — align per-source value
     * distributions onto one pooled reference (the cross-source score
     * harmonization step quantile normalization performs in expression

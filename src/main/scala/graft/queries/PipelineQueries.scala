@@ -422,6 +422,17 @@ object PipelineQueries {
         s.table("lineitem"), "l_orderkey", k = 256)
     }),
 
+    // --- portable HyperLogLog: the industry-standard distinct sketch
+    // with md5 registers and a fixed-point raw estimator, so — uniquely
+    // for an HLL — the registers AND the estimate hash-match the oracle
+    // (the builtin approx_count_distinct stays rows-only-documented in
+    // q_approx_sketches; this is the cross-engine answer) ---
+    "q_approx_hll" -> ((s, d) => {
+      Tables.load(s, d)
+      graft.operators.Profile.hllDistinct(
+        s.table("lineitem"), "l_orderkey", p = 8)
+    }),
+
     // --- split-conformal calibration: md5 train/cal/test split, explicit
     // finite-sample conformal rank, integer-cents coverage counts
     // (oracle-checked) ---
@@ -1758,6 +1769,9 @@ object PipelineQueries {
 
     "q_approx_kmv" -> graft.operators.Profile.kmvOracleSql(
       "lineitem", "l_orderkey", k = 256),
+
+    "q_approx_hll" -> graft.operators.Profile.hllOracleSql(
+      "lineitem", "l_orderkey", p = 8),
 
     "q_pipeline_conformal_band" -> graft.operators.Eval.conformalOracleSql(
       "events", "event_type", "event_id", "value", alphaPct = 10),

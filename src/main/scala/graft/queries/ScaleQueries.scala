@@ -300,11 +300,29 @@ object ScaleQueries {
     // storage pressure (jstacked: UnsafeSorterSpillMerger; 165 s) — ~50
     // sources at 2 hops is the textbook sampled-betweenness operating
     // point and keeps the true cost at a normal heavy-query level.
+    // Round-12 re-test AFTER the checkpoint-release lifecycle fix, on a
+    // clean box (cal_ratio 1.0): 50/3 measures 257 s solo vs 14.2 s for
+    // 400/2 — the richer point is genuinely COMPUTE-bound (3 hops reach
+    // most of the dense co-purchase graph per source, so the
+    // |sample|·|reached| state is ~18× larger), not pressure-bound; the
+    // r11 collapse merely made an honestly-oversized gate point visible.
     "q_graph_betweenness" -> ((s, d) =>
       graft.operators.Graph.betweennessSampled(
         graft.operators.Graph.coEdges(
           t(s, d, "lineitem"), "l_orderkey", "l_partkey"),
         sampleEvery = 400L, maxHops = 2)),
+
+    // --- sampled hop-bounded HARMONIC centrality: the "how near to
+    // everything" closeness variant that is safe on disconnected graphs —
+    // batched multi-source BFS (the forward half of the Brandes
+    // machinery), exact micro floors 1e6 div d (oracle-checked). Same
+    // sampling/hop levers as betweenness; forward-only, so the gate can
+    // afford a denser sample (every-100th ⇒ ~200 sources at sf0.1). ---
+    "q_graph_harmonic" -> ((s, d) =>
+      graft.operators.Graph.harmonicSampled(
+        graft.operators.Graph.coEdges(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey"),
+        sampleEvery = 100L, maxHops = 2)),
 
     // --- WEIGHTED modularity of the LPA communities over the tie-strength
     // graph (co-occurrence counts as weights) — dedup/similarity graphs
@@ -326,6 +344,19 @@ object ScaleQueries {
       graft.operators.Graph.modularityRefine(e,
         graft.operators.Graph.labelPropagation(e, iters = 4))
     }),
+
+    // --- approximate neighborhood function (ANF/HyperBall): per-node
+    // reachable-ball sketches merged per hop — the reachability-curve /
+    // effective-diameter primitive for graphs too big for per-node BFS.
+    // Portable md5 HLL registers + fixed-point raw estimator, so every
+    // curve row hash-matches the oracle. Same filtered subgraph as BFS
+    // (the state is |V|·m register rows per hop). ---
+    "q_graph_anf" -> ((s, d) =>
+      graft.operators.Graph.neighborhoodFunction(
+        graft.operators.Graph.coEdges(
+          t(s, d, "lineitem").where(col("l_partkey") % 3 === 0),
+          "l_orderkey", "l_partkey"),
+        maxHops = 3, p = 5)),
 
     // --- single-source BFS hop distances from the minimum sampled part
     // over the co-purchase graph: level-synchronous frontier expansion,
@@ -462,6 +493,10 @@ object ScaleQueries {
       graft.operators.Graph.betweennessSampledOracleSql(
         "l_orderkey", "l_partkey", "lineitem", sampleEvery = 400L,
         maxHops = 2),
+    "q_graph_harmonic" ->
+      graft.operators.Graph.harmonicSampledOracleSql(
+        "l_orderkey", "l_partkey", "lineitem", sampleEvery = 100L,
+        maxHops = 2),
     "q_graph_sssp" -> graft.operators.Graph.ssspOracleSql(
       """gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
         |       FROM lineitem WHERE l_partkey % 3 = 0),
@@ -483,6 +518,10 @@ object ScaleQueries {
       graft.operators.Graph.coEdgesSql("l_orderkey", "l_partkey",
         "(SELECT * FROM lineitem WHERE l_partkey % 3 = 0)"),
       sourceSql = "SELECT min(src) FROM e", maxHops = 4),
+    "q_graph_anf" -> graft.operators.Graph.neighborhoodFunctionOracleSql(
+      "l_orderkey", "l_partkey",
+      "(SELECT * FROM lineitem WHERE l_partkey % 3 = 0)",
+      maxHops = 3, p = 5),
     "q_graph_hits" -> graft.operators.Graph.hitsOracleSql(
       """edges AS (SELECT o_custkey AS src, l_partkey AS dst
         |          FROM orders JOIN lineitem ON o_orderkey = l_orderkey)"""

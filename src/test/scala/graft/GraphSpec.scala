@@ -419,6 +419,83 @@ class GraphSpec extends SparkSpec {
     assert(sampled(3L) == 4000000L)
   }
 
+  test("harmonicSampled: path hand values, hop truncation, sampling, " +
+      "disconnection safety") {
+    import spark.implicits._
+    def sym(und: Seq[(Long, Long)]) =
+      (und ++ und.map(_.swap)).toDF("src", "dst")
+    def hc(e: org.apache.spark.sql.DataFrame, every: Long = 1L,
+        hops: Int = 4) =
+      Graph.harmonicSampled(e, sampleEvery = every, maxHops = hops)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    // path 1-2-3-4: H(2) = 1/1 (from 1) + 1/1 (from 3) + 1/2 (from 4)
+    // = 2.5; H(1) = 1 + 1/2 + 1/3 with exact micro floors
+    val path = hc(sym(Seq((1L, 2L), (2L, 3L), (3L, 4L))))
+    assert(path(2L) == ((2500000L, 3L)))
+    assert(path(1L) == ((1000000L + 500000L + 333333L, 3L)))
+    assert(path(2L) == path(3L) && path(1L) == path(4L)) // symmetry
+    // hop truncation drops ONLY the smallest terms: maxHops=1 keeps the
+    // direct-neighbor contributions exactly
+    val h1 = hc(sym(Seq((1L, 2L), (2L, 3L), (3L, 4L))), hops = 1)
+    assert(h1(2L) == ((2000000L, 2L)) && h1(1L) == ((1000000L, 1L)))
+    // source sampling: only even sources contribute — node 1 is reached
+    // by s=2 at d=1 and s=4 at d=3
+    val sampled = hc(sym(Seq((1L, 2L), (2L, 3L), (3L, 4L))), every = 2L)
+    assert(sampled(1L) == ((1000000L + 333333L, 2L)))
+    // disconnected pairs contribute 0 (they are simply absent) — the
+    // whole reason harmonic beats classic closeness at scale
+    val twoIslands = hc(sym(Seq((1L, 2L), (10L, 11L))))
+    assert(twoIslands(1L) == ((1000000L, 1L)))
+    assert(twoIslands(10L) == ((1000000L, 1L)))
+    // partition-layout invariance (integer micro floors, keyed sums)
+    val e5 = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(hc(e5) == hc(e5.repartition(7)))
+  }
+
+  test("neighborhoodFunction: monotone curve, saturation at the diameter, " +
+      "layout invariance") {
+    import spark.implicits._
+    def sym(und: Seq[(Long, Long)]) =
+      (und ++ und.map(_.swap)).toDF("src", "dst")
+    // path 1-2-3-4 (diameter 3): balls grow until hop 3, then freeze
+    val e = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    val curve = Graph.neighborhoodFunction(e, maxHops = 5, p = 5)
+      .orderBy(col("hop")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(curve.map(_._1).toSeq == (0L to 5L))
+    assert(curve.forall(_._2 == 4L), "every hop row covers every node")
+    // register max-merge only ever adds information → the estimate is
+    // structurally non-decreasing in hop
+    val ests = curve.map(_._3)
+    assert(ests.sliding(2).forall(p => p(0) <= p(1)),
+      s"curve must be monotone, got ${ests.toSeq}")
+    assert(ests(0) < ests(1), "balls strictly grow on the first hop")
+    // saturation: past the diameter every ball is the full component, the
+    // registers stop changing, and the curve rows are IDENTICAL — this is
+    // the effective-diameter read-off
+    assert(ests(3) == ests(4) && ests(4) == ests(5),
+      s"curve must freeze at the diameter, got ${ests.toSeq}")
+    // deterministic and partition-layout invariant (md5 registers, keyed
+    // max merges, integer estimator)
+    val again = Graph.neighborhoodFunction(e.repartition(7), maxHops = 5,
+        p = 5)
+      .orderBy(col("hop")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == curve.toSeq)
+    // two islands saturate at their own component sizes: the hop-5 total
+    // equals the sum of the per-island hop-5 totals
+    val islands = sym(Seq((1L, 2L), (10L, 11L), (11L, 12L)))
+    val tot = Graph.neighborhoodFunction(islands, maxHops = 5, p = 5)
+      .where(col("hop") === 5L).collect().head.getLong(2)
+    val a = Graph.neighborhoodFunction(sym(Seq((1L, 2L))), maxHops = 5,
+      p = 5).where(col("hop") === 5L).collect().head.getLong(2)
+    val b = Graph.neighborhoodFunction(sym(Seq((10L, 11L), (11L, 12L))),
+        maxHops = 5, p = 5)
+      .where(col("hop") === 5L).collect().head.getLong(2)
+    assert(tot == a + b)
+  }
+
   test("weighted modularity/refine: a heavy bridge drains Q and flips " +
       "the local move") {
     import spark.implicits._

@@ -155,4 +155,44 @@ class SketchSpec extends SparkSpec {
     assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1),
       "bottom-k must be partition-layout invariant")
   }
+
+  test("hllDistinct: bounded raw-regime error, duplicate/null/layout " +
+      "invariance, field identities") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // raw regime: 5000 distinct >> 2.5·m (m=256); standard error
+    // 1.04/sqrt(256) ≈ 6.5% — allow 3σ for the single fixed hash draw
+    val big = (1 to 5000).toDF("key")
+    val r = graft.operators.Profile.hllDistinct(big, "key", p = 8)
+      .collect().head
+    val (m, vZero, tFx, est, exact) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(m == 256L && exact == 5000L)
+    assert(math.abs(est - 5000L) < 1000L,
+      s"HLL raw estimate $est implausible for 5000 distinct")
+    // t_fx identity: every register contributes at least 1 (mj ≤ 53)
+    // and at most 2^53 (mj = 0/absent); v_zero registers contribute
+    // exactly 2^53 each
+    assert(tFx >= vZero * (1L << 53) && tFx <= m * (1L << 53))
+    // duplicates don't move the sketch (distinct semantics), nulls drop
+    val dup = graft.operators.Profile.hllDistinct(
+      big.unionAll(big).unionAll(Seq.empty[Option[Int]].toDF("key")),
+      "key", p = 8).collect().head
+    assert(dup.toSeq == r.toSeq)
+    // partition-layout invariance (register max is a monoid)
+    val parts = graft.operators.Profile.hllDistinct(
+      big.repartition(13), "key", p = 8).collect().head
+    assert(parts.toSeq == r.toSeq)
+    // small regime: 40 distinct < 2.5·m → most registers empty; fields
+    // still consistent (est_raw is documented-biased here; v_zero is
+    // emitted exactly so callers can apply linear counting)
+    val small = graft.operators.Profile.hllDistinct(
+      (1 to 200).map(i => i % 40).toDF("key"), "key", p = 8)
+      .collect().head
+    assert(small.getLong(1) >= 256L - 40L && small.getLong(4) == 40L)
+    // p out of range fails fast
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.hllDistinct(big, "key", p = 20)
+    }
+  }
 }
