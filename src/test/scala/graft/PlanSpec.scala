@@ -550,4 +550,47 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "modularity must plan node/label equi-joins only — a BNLJ is an " +
         "edge×community cross product")
   }
+
+  test("harmonicSampled: forward BFS plans keyed equi-joins over flat " +
+      "checkpointed rounds") {
+    val (_, plan) = executed("q_graph_harmonic")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty,
+      "the batched BFS must join on (s, node)/src equi-keys")
+    val rddScans = collectWithSubqueries(plan) {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r
+    }
+    assert(rddScans.nonEmpty,
+      "per-round truncation dropped — rounds would compose one deep tree")
+  }
+
+  test("neighborhoodFunction: each hop is one equi-join + keyed max, " +
+      "never a pair product") {
+    val (_, plan) = executed("q_graph_anf")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty,
+      "register merge must join edge⋈state on dst — a BNLJ would be " +
+        "node×register blowup")
+    val rddScans = collectWithSubqueries(plan) {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r
+    }
+    assert(rddScans.nonEmpty,
+      "per-hop truncation dropped — hops would compose one deep tree")
+  }
+
+  test("hllDistinct: the sketch path is aggregate-only — no join wider " +
+      "than the 1-row exact-count broadcast") {
+    val (_, plan) = executed("q_approx_hll")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    // the only join in the plan is the deliberate 1-row crossJoin gluing
+    // n_exact onto the 1-row sketch — broadcast of a single row
+    assert(bnlj.size <= 1,
+      s"hll must be scan + aggregates, found ${bnlj.size} nested-loop joins")
+    val sorts = collectWithSubqueries(plan) {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(sorts.isEmpty,
+      "hll has no ordered step — a sort means the register fold " +
+        "degenerated into a global order-by")
+  }
 }
