@@ -542,6 +542,18 @@ object ScaleStress {
     time("harmonic 10x (sized every-1000th: fixed |sample|)")(
       harm(li10, 1000L))
 
+    // windowed HLL: one (window, register) aggregate then an m-register
+    // window fold — linear scan shape, state m bytes per window
+    def whll(d: org.apache.spark.sql.DataFrame): Long =
+      graft.streaming.EventStreams.windowedHll(
+        d.select(col("doc_id"),
+          org.apache.spark.sql.functions.to_timestamp(
+            org.apache.spark.sql.functions.from_unixtime(
+              col("doc_id") % 86400L)).as("ts")),
+        "1 hour", col("doc_id"), p = 8).count()
+    time("windowed-hll 1x (5k docs)")(whll(d1))
+    time("windowed-hll 10x (50k docs)")(whll(d10))
+
     // ANF/HyperBall: each hop is one edge⋈state join + keyed max over
     // |E|·m̄ register rows — must scale ~linearly in |E| at fixed p
     def anf(li: org.apache.spark.sql.DataFrame): Long =

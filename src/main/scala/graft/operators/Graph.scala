@@ -1581,6 +1581,49 @@ object Graph {
        |$curve""".stripMargin
   }
 
+  /** EFFECTIVE DIAMETER read-off over the [[neighborhoodFunction]] curve
+    * (Palmer et al. 2002's headline statistic): the smallest hop h whose
+    * estimated neighborhood mass reaches `pct`% of the curve's maximum —
+    * "how many hops reach (say) 90% of everything reachable". Pure
+    * integer comparison over the (maxHops+1)-row curve, so it
+    * hash-replays ([[effectiveDiameterOracleSql]]). `maxHops` must be
+    * sized past saturation for the classic reading (the curve freezing —
+    * spec-pinned in the ANF test — is the observable check); an unsized
+    * run still answers "h hops reach pct% of the ≤maxHops mass". Note
+    * the read-off is over SKETCHED mass: a ball whose late additions are
+    * register-dominated reads as already-saturated, so even pct=100 can
+    * land a hop before the true diameter — the standard ANF behavior
+    * (the estimate, not the exact set, is what exists at scale).
+    * Returns one row: (eff_hop, nf_at_hop, nf_max).
+    *
+    * Scale shape: [[neighborhoodFunction]]'s h·|E|·m̄ work plus one
+    * window over a ≤(maxHops+1)-row frame — the curve is model-sized.
+    */
+  def effectiveDiameter(edges: DataFrame, maxHops: Int, p: Int = 5,
+      pct: Int = 90): DataFrame = {
+    require(pct >= 1 && pct <= 100)
+    val curve = neighborhoodFunction(edges, maxHops, p)
+    val nfMax = curve.agg(max(col("nf_est"))).head().getLong(0)
+    curve.where(col("nf_est") * 100 >= lit(pct) * nfMax)
+      .orderBy(col("hop")).limit(1)
+      .select(col("hop").as("eff_hop"), col("nf_est").as("nf_at_hop"),
+        lit(nfMax).as("nf_max"))
+  }
+
+  /** DuckDB replay of [[effectiveDiameter]] ∘ [[coEdges]]. */
+  def effectiveDiameterOracleSql(groupExpr: String, itemExpr: String,
+      table: String, maxHops: Int, p: Int = 5, pct: Int = 90,
+      maxGroupSize: Int = 64): String =
+    s"""WITH curve AS (
+       |${neighborhoodFunctionOracleSql(groupExpr, itemExpr, table,
+           maxHops, p, maxGroupSize)}
+       |),
+       |mx AS (SELECT max(nf_est) AS nf_max FROM curve)
+       |SELECT hop AS eff_hop, nf_est AS nf_at_hop, mx.nf_max
+       |FROM curve, mx
+       |WHERE nf_est * 100 >= $pct * mx.nf_max
+       |ORDER BY hop LIMIT 1""".stripMargin
+
   /** COUNTED co-occurrence edges: like [[coEdges]] but keeps the
     * co-occurrence count per pair instead of deduplicating to a simple
     * graph — the tie-STRENGTH graph ([[ssspBounded]] turns it into

@@ -358,6 +358,18 @@ object ScaleQueries {
           "l_orderkey", "l_partkey"),
         maxHops = 3, p = 5)),
 
+    // --- effective diameter off the ANF curve: smallest hop reaching
+    // 90% of the reachable mass — Palmer et al.'s headline statistic,
+    // pure integer read-off so the answer hash-checks (oracle-checked).
+    // Smaller subgraph than q_graph_anf: the two workloads share no
+    // cacheable subtree, so the diameter probe gets its own sizing. ---
+    "q_graph_diameter" -> ((s, d) =>
+      graft.operators.Graph.effectiveDiameter(
+        graft.operators.Graph.coEdges(
+          t(s, d, "lineitem").where(col("l_partkey") % 6 === 0),
+          "l_orderkey", "l_partkey"),
+        maxHops = 3, p = 5, pct = 90)),
+
     // --- single-source BFS hop distances from the minimum sampled part
     // over the co-purchase graph: level-synchronous frontier expansion,
     // recursive-CTE oracle (oracle-checked) ---
@@ -522,6 +534,10 @@ object ScaleQueries {
       "l_orderkey", "l_partkey",
       "(SELECT * FROM lineitem WHERE l_partkey % 3 = 0)",
       maxHops = 3, p = 5),
+    "q_graph_diameter" -> graft.operators.Graph.effectiveDiameterOracleSql(
+      "l_orderkey", "l_partkey",
+      "(SELECT * FROM lineitem WHERE l_partkey % 6 = 0)",
+      maxHops = 3, p = 5, pct = 90),
     "q_graph_hits" -> graft.operators.Graph.hitsOracleSql(
       """edges AS (SELECT o_custkey AS src, l_partkey AS dst
         |          FROM orders JOIN lineitem ON o_orderkey = l_orderkey)"""

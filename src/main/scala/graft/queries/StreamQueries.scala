@@ -32,6 +32,13 @@ object StreamQueries {
       EventStreams.windowedKmv(events(s, d), "1 hour", col("user_id"),
         k = 64)),
 
+    // per-window portable HLL distinct-user sketch — m-byte register
+    // state per window, fixed-point raw estimator, every value (estimate
+    // included) hash-checked against the oracle (oracle-checked)
+    "q_stream_hll" -> ((s, d) =>
+      EventStreams.windowedHll(events(s, d), "1 hour", col("user_id"),
+        p = 8)),
+
     // deterministic per-(event_type, hour) rate limiter: first 3 events
     // by (ts, event_id) survive — the ingestion throttle with provenance
     // (oracle-checked; arrival-order streaming twin spec-pinned)
@@ -431,6 +438,9 @@ object StreamQueries {
 
     "q_stream_kmv" -> graft.streaming.EventStreams.windowedKmvOracleSql(
       widthSec = 3600L, keyExpr = "user_id", k = 64),
+
+    "q_stream_hll" -> graft.streaming.EventStreams.windowedHllOracleSql(
+      widthSec = 3600L, keyExpr = "user_id", p = 8),
 
     "q_stream_topk" -> graft.streaming.EventStreams.windowedTopKOracleSql(
       widthSec = 3600L, keyExpr = "event_type", topN = 3),

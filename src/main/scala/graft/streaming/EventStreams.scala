@@ -135,6 +135,76 @@ object EventStreams {
        |FROM s""".stripMargin
   }
 
+  /** Per-tumbling-window PORTABLE HYPERLOGLOG distinct sketch — the
+    * streaming-metric workhorse ("distinct users per window") as a
+    * single mergeable aggregate: [[graft.functions.HllSketch]] registers
+    * as O(m)-byte window state, the fixed-point raw estimator in the
+    * finish fold, every output value oracle-replayable
+    * ([[windowedHllOracleSql]] — same md5 family, same bin()-based ρ).
+    * Sits next to [[windowedKmv]]: KMV is exact below k and O(k) state;
+    * HLL holds its relative error at ANY cardinality in m bytes — the
+    * sketch you ship when windows can hold millions of distinct keys.
+    * Returns (win_start, v_zero, t_fx, est_raw) per window.
+    */
+  def windowedHll(events: DataFrame, width: String, key: Column,
+      p: Int = 8): DataFrame = {
+    val sketch = udaf(new graft.functions.HllSketch(p))
+    events
+      .select(col("ts"), graft.operators.Dedup.portableHash(
+        concat(lit("hll:"), key.cast("string"))).as("h"))
+      .where(col("h").isNotNull) // null keys don't count as a value
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(sketch(col("h")).as("s"))
+      .select(col("w.start").as("win_start"),
+        col("s._1").as("v_zero"), col("s._2").as("t_fx"),
+        col("s._3").as("est_raw"))
+  }
+
+  /** Streaming variant of [[windowedHll]]: watermark-bounded window
+    * state, same register-merge path.
+    */
+  def streamingWindowedHll(stream: DataFrame, width: String,
+      watermark: String, key: Column, p: Int = 8): DataFrame =
+    windowedHll(stream.withWatermark("ts", watermark), width, key, p)
+
+  /** DuckDB replay of [[windowedHll]] over the events table — per-window
+    * register table via GROUP BY, the same fixed-point fold as
+    * [[graft.operators.Profile.hllOracleSql]].
+    */
+  def windowedHllOracleSql(widthSec: Long, keyExpr: String,
+      p: Int = 8): String = {
+    val m = 1L << p
+    val wBits = 60 - p
+    val alphaMicro = graft.operators.Profile.hllAlphaMicro(p)
+    val winUs = widthSec * 1000000L
+    s"""WITH t AS (
+       |  SELECT make_timestamp((epoch_us(ts::TIMESTAMP) // $winUs) * $winUs)
+       |           AS win_start,
+       |         ('0x' || substr(md5('hll:' || ($keyExpr)::VARCHAR), 1, 15))::BIGINT
+       |           AS h
+       |  FROM events WHERE ($keyExpr) IS NOT NULL),
+       |regs AS (
+       |  SELECT win_start, h // ${1L << wBits} AS reg,
+       |         max(CASE WHEN h % ${1L << wBits} = 0 THEN ${wBits + 1}
+       |                  ELSE ${wBits + 1} -
+       |                       length(ltrim(bin(h % ${1L << wBits}), '0'))
+       |             END)::BIGINT AS mj
+       |  FROM t GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT win_start, count(*)::BIGINT AS n_present,
+       |         sum((1::BIGINT << (${wBits + 1} - mj))::BIGINT)::BIGINT
+       |           AS t_present
+       |  FROM regs GROUP BY 1)
+       |SELECT win_start,
+       |       ($m - n_present)::BIGINT AS v_zero,
+       |       (t_present + ($m - n_present) * ${1L << (wBits + 1)})::BIGINT
+       |         AS t_fx,
+       |       (($alphaMicro::HUGEINT * ${m * m} * ${1L << (wBits + 1)})
+       |          // (t_present + ($m - n_present) * ${1L << (wBits + 1)})
+       |          // 1000000)::BIGINT AS est_raw
+       |FROM agg""".stripMargin
+  }
+
   /** Misra–Gries HEAVY HITTERS per tumbling window — "what dominated each
     * window" with O(k) state: the mergeable
     * [[graft.functions.ApproxTopK]] sketch as a window aggregate, top

@@ -496,6 +496,30 @@ class GraphSpec extends SparkSpec {
     assert(tot == a + b)
   }
 
+  test("effectiveDiameter: path read-off, pct monotonicity, star at 1 hop") {
+    import spark.implicits._
+    def sym(und: Seq[(Long, Long)]) =
+      (und ++ und.map(_.swap)).toDF("src", "dst")
+    def eff(e: org.apache.spark.sql.DataFrame, pct: Int) =
+      Graph.effectiveDiameter(e, maxHops = 5, p = 5, pct = pct)
+        .collect().head
+    // path 1-2-3-4 saturates by hop 3: pct=100 must land ON the curve's
+    // maximum, at or before the true diameter (a register collision can
+    // make a smaller ball's SKETCH already equal the saturated one —
+    // that is the estimator's honest read-off, not an error; here it
+    // lands at hop 2)
+    val path = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    val full = eff(path, 100)
+    assert(full.getLong(0) >= 1L && full.getLong(0) <= 3L)
+    assert(full.getLong(1) == full.getLong(2), "at 100% nf_at_hop == max")
+    // the read-off is monotone in pct, and a star (leaf→leaf = 2, so
+    // diameter 2) saturates by hop 2
+    assert(eff(path, 50).getLong(0) <= full.getLong(0))
+    val star = sym(Seq((0L, 1L), (0L, 2L), (0L, 3L)))
+    assert(eff(star, 100).getLong(0) <= 2L)
+    assert(eff(star, 90).getLong(0) <= eff(star, 100).getLong(0))
+  }
+
   test("weighted modularity/refine: a heavy bridge drains Q and flips " +
       "the local move") {
     import spark.implicits._

@@ -95,6 +95,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedHll over a real stream equals batch; UDAF registers " +
+      "equal the column-path global sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = EventStreams.streamingWindowedHll(
+        stream, "15 minutes", "10 minutes", col("user_id"), p = 8)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_out").start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hll_out")
+        .orderBy("win_start").collect().map(_.toSeq)
+      val batch = EventStreams.windowedHll(
+          sampleDF, "15 minutes", col("user_id"), p = 8)
+        .orderBy("win_start").collect().map(_.toSeq)
+      assert(streamed.toSeq == batch.toSeq)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+    // the JVM bit ops in HllSketch must be bit-identical to the
+    // DIV/pmod/bin column formulation: one all-data window through the
+    // UDAF == Profile.hllDistinct's (v_zero, t_fx) on the same keys
+    val viaUdaf = EventStreams.windowedHll(
+        sampleDF, "10 hours", col("user_id"), p = 8)
+      .select("v_zero", "t_fx", "est_raw").collect().map(_.toSeq)
+    val viaColumns = graft.operators.Profile.hllDistinct(
+        sampleDF.select(col("user_id")), "user_id", p = 8)
+      .select("v_zero", "t_fx", "est_raw").collect().map(_.toSeq)
+    assert(viaUdaf.length == 1 && viaUdaf.toSeq == viaColumns.toSeq,
+      "UDAF register math must replay the column path exactly")
+  }
+
   test("windowedTopK over a real stream equals batch; exact regime counts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String, Double)]
