@@ -85,3 +85,17 @@ class HllSketch(p: Int)
     Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
       Encoders.scalaLong)
 }
+
+object HllSketch {
+  /** SQL-name registration (the [[graft.functions.TopK]]/[[CountMin]]
+    * pattern): `hll_sketch_p<p>(hash)` per precision, for SQL-only
+    * clients. Input is the portableHash long; output the
+    * (v_zero, t_fx, est_raw) struct.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession,
+      ps: Seq[Int] = Seq(8, 12)): Unit =
+    ps.foreach { p =>
+      spark.udf.register(s"hll_sketch_p$p",
+        org.apache.spark.sql.functions.udaf(new HllSketch(p)))
+    }
+}

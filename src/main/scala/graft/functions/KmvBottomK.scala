@@ -67,3 +67,17 @@ class KmvBottomK(k: Int)
   override def outputEncoder: Encoder[(Long, Long)] =
     Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
 }
+
+object KmvBottomK {
+  /** SQL-name registration (the [[TopK]]/[[CountMin]] pattern):
+    * `kmv_bottom_k<k>(hash)` per size, for SQL-only clients. Input is the
+    * portableHash long; output the (n_kept, h_k) struct — the estimate
+    * stays a plain column formula so oracles replay it as SQL.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession,
+      ks: Seq[Int] = Seq(64, 256)): Unit =
+    ks.foreach { k =>
+      spark.udf.register(s"kmv_bottom_k$k",
+        org.apache.spark.sql.functions.udaf(new KmvBottomK(k)))
+    }
+}

@@ -987,7 +987,7 @@ object Profile {
         case "max_at_most" =>
           count(when(col(c) > lit(param.toDouble), lit(1)))
         case "accepted_values" =>
-          val vals = param.split(",").map(_.trim)
+          val vals = param.split(",").map(_.trim).toIndexedSeq
           count(when(col(c).isNotNull &&
             !col(c).cast("string").isin(vals: _*), lit(1)))
         case "matches_regex" =>

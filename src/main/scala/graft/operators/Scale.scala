@@ -108,7 +108,8 @@ object Scale {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
     val bigS = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)).cast("int"))
+      pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)),
+        lit(salts)).cast("int"))
     val smallS = small.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")

@@ -86,7 +86,7 @@ object Temporal {
       .rowsBetween(Window.unboundedPreceding, 0)
     u.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         outCols.map(c => col(s"__rv.$c").as(c)): _*)
   }
 
@@ -138,7 +138,7 @@ object Temporal {
       .rowsBetween(0, Window.unboundedFollowing)
     u.withColumn("__rv", first(col("__rv"), ignoreNulls = true).over(w))
       .where(col("__side") === 0)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         outCols.map(c => col(s"__rv.$c").as(c)): _*)
   }
 
@@ -173,7 +173,7 @@ object Temporal {
     val (tb, tf) = (num(col("__rts_b")), num(col("__rts_f")))
     val pickBack = col("__rts_f").isNull ||
       (col("__rts_b").isNotNull && (lts - tb) <= (tf - lts))
-    both.select(left.columns.map(col) ++ valueCols.map(c =>
+    both.select(left.columns.toIndexedSeq.map(col) ++ valueCols.map(c =>
       when(pickBack, col(c + "_b")).otherwise(col(c + "_f"))
         .as(c + suffix)): _*)
   }

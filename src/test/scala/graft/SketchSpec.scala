@@ -156,6 +156,29 @@ class SketchSpec extends SparkSpec {
       "bottom-k must be partition-layout invariant")
   }
 
+  test("sketch UDAFs resolve by SQL name and replay the operator math") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.KmvBottomK.register(spark)
+    graft.functions.HllSketch.register(spark)
+    (1 to 500).toDF("key")
+      .select(graft.operators.Dedup.portableHash(
+        concat(lit("hll:"), col("key").cast("string"))).as("h"))
+      .createOrReplaceTempView("sqlreg_hashes")
+    val r = spark.sql(
+      """SELECT hll_sketch_p8(h) AS s, kmv_bottom_k64(h) AS kv
+        |FROM sqlreg_hashes""".stripMargin).collect().head
+    val s = r.getStruct(0)
+    val kv = r.getStruct(1)
+    assert(kv.getLong(0) == 64L, "500 distinct through k=64 keeps 64")
+    // the SQL-name path must equal the operator's column path exactly
+    val op = graft.operators.Profile.hllDistinct(
+      (1 to 500).toDF("key"), "key", p = 8).collect().head
+    assert(s.getLong(0) == op.getLong(1) && s.getLong(1) == op.getLong(2)
+      && s.getLong(2) == op.getLong(3),
+      "hll_sketch_p8 must replay hllDistinct's (v_zero, t_fx, est_raw)")
+  }
+
   test("hllDistinct: bounded raw-regime error, duplicate/null/layout " +
       "invariance, field identities") {
     import org.apache.spark.sql.functions._
