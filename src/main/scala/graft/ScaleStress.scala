@@ -554,6 +554,15 @@ object ScaleStress {
     time("windowed-hll 1x (5k docs)")(whll(d1))
     time("windowed-hll 10x (50k docs)")(whll(d10))
 
+    // HLL overlap matrix: one corpus pass to G·m register rows, then
+    // G²·m pair-union work — 10x docs in the SAME 20 sources must cost
+    // ~one extra scan (the pair stage is group-domain-sized)
+    def hov(d: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.Profile.hllOverlap(d, "source", "text", p = 8)
+        .count()
+    time("hll-overlap 1x (5k docs)")(hov(d1))
+    time("hll-overlap 10x (50k docs, same 20 sources)")(hov(d10))
+
     // ANF/HyperBall: each hop is one edge⋈state join + keyed max over
     // |E|·m̄ register rows — must scale ~linearly in |E| at fixed p
     def anf(li: org.apache.spark.sql.DataFrame): Long =

@@ -1676,6 +1676,129 @@ object Profile {
     sketch.crossJoin(broadcast(keys.agg(count(lit(1)).as("n_exact"))))
   }
 
+  /** HLL OVERLAP MATRIX — estimated distinct-key overlap between groups
+    * via register algebra: per-group portable HLL registers, pairwise
+    * union by element-wise max (the HLL union is EXACT over sketches —
+    * the union's registers are by definition the max), and
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B) by inclusion–exclusion. The
+    * sketch-tier answer to [[Dedup.sourceOverlap]]'s exact
+    * fingerprint-intersection matrix: at 100 TB the exact version moves
+    * every fingerprint through a join, this moves G·m register rows
+    * total. Same fixed-point estimator as [[hllDistinct]], so every
+    * cell hash-replays ([[hllOverlapOracleSql]]). Inclusion–exclusion
+    * over estimates can go slightly negative on near-disjoint pairs —
+    * clamped to 0, the standard read-out (and the clamp is replayed).
+    *
+    * Returns per unordered group pair (ga < gb): (ga, gb, est_a, est_b,
+    * est_union, est_overlap).
+    *
+    * Scale shape: one distinct aggregate over (group, key), one
+    * (group, register) aggregate (G·m rows total — the model), then a
+    * G²·m pair merge on the register table — group-domain work, corpus
+    * never re-scanned.
+    */
+  def hllOverlap(df: DataFrame, groupCol: String, keyCol: String,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 14, s"p must be in [4,14], got $p")
+    val m = 1L << p
+    val wBits = 60 - p
+    val alphaMicro = hllAlphaMicro(p)
+    val regs = Caching.persist(df
+      .select(col(groupCol).cast("string").as("g"),
+        col(keyCol).cast("string").as("key"))
+      .where(col("g").isNotNull && col("key").isNotNull)
+      .select(col("g"),
+        Dedup.portableHash(concat(lit("hll:"), col("key"))).as("h"))
+      .select(col("g"), expr(s"h DIV ${1L << wBits}").as("reg"),
+        pmod(col("h"), lit(1L << wBits)).as("w"))
+      .select(col("g"), col("reg"),
+        when(col("w") === 0L, lit((wBits + 1).toLong))
+          .otherwise(lit((wBits + 1).toLong) -
+            length(ltrim(bin(col("w")), "0"))).as("rho"))
+      .groupBy(col("g"), col("reg")).agg(max(col("rho")).as("mj")))
+    // est over a (tag, reg, mj) register table — reused for the single
+    // groups and every pair union so the estimator text exists once
+    def est(regTable: DataFrame, tagCols: Seq[String]): DataFrame =
+      regTable
+        .groupBy(tagCols.map(col): _*)
+        .agg(count(lit(1)).as("n_present"),
+          sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
+            s"CAST(${wBits + 1} - mj AS INT))")).as("t_present"))
+        .select(tagCols.map(col) :+
+          expr(s"CAST((CAST($alphaMicro AS DECIMAL(38,0)) * ${m * m} * " +
+            s"${1L << (wBits + 1)}) div (t_present + " +
+            s"($m - n_present) * ${1L << (wBits + 1)}) div 1000000 " +
+            "AS BIGINT)").as("est"): _*)
+    val single = est(regs, Seq("g"))
+    // pair unions as a UNION ALL of retagged register rows + max per
+    // (pair, reg) — NOT a reg-keyed register join, whose unmatched side
+    // would null the pair tags and silently drop one-sided registers.
+    // The pair table is group-domain-sized (G² rows), broadcastable.
+    val pairs = single.select(col("g").as("ga")).crossJoin(
+        single.select(col("g").as("gb")))
+      .where(col("ga") < col("gb"))
+    val unionRegs = pairs.join(regs.withColumnRenamed("g", "ga"), Seq("ga"))
+      .select(col("ga"), col("gb"), col("reg"), col("mj"))
+      .unionByName(pairs.join(regs.withColumnRenamed("g", "gb"), Seq("gb"))
+        .select(col("ga"), col("gb"), col("reg"), col("mj")))
+      .groupBy(col("ga"), col("gb"), col("reg"))
+      .agg(max(col("mj")).as("mj"))
+    val unionEst = est(unionRegs, Seq("ga", "gb"))
+      .withColumnRenamed("est", "est_union")
+    unionEst
+      .join(single.select(col("g").as("ga"), col("est").as("est_a")), "ga")
+      .join(single.select(col("g").as("gb"), col("est").as("est_b")), "gb")
+      .select(col("ga"), col("gb"), col("est_a"), col("est_b"),
+        col("est_union"),
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L))
+          .as("est_overlap"))
+  }
+
+  /** DuckDB replay of [[hllOverlap]] — same register algebra. */
+  def hllOverlapOracleSql(table: String, groupExpr: String,
+      keyExpr: String, p: Int = 8): String = {
+    val m = 1L << p
+    val wBits = 60 - p
+    val alphaMicro = hllAlphaMicro(p)
+    val estExpr =
+      s"""(($alphaMicro::HUGEINT * ${m * m} * ${1L << (wBits + 1)})
+         |  // (sum((1::BIGINT << (${wBits + 1} - mj))::BIGINT)
+         |      + ($m - count(*)) * ${1L << (wBits + 1)})
+         |  // 1000000)::BIGINT""".stripMargin
+    s"""WITH base AS (
+       |  SELECT ($groupExpr)::VARCHAR AS g,
+       |         ('0x' || substr(md5('hll:' || ($keyExpr)::VARCHAR), 1, 15))::BIGINT AS h
+       |  FROM $table
+       |  WHERE ($groupExpr) IS NOT NULL AND ($keyExpr) IS NOT NULL),
+       |regs AS (
+       |  SELECT g, h // ${1L << wBits} AS reg,
+       |         max(CASE WHEN h % ${1L << wBits} = 0 THEN ${wBits + 1}
+       |                  ELSE ${wBits + 1} -
+       |                       length(ltrim(bin(h % ${1L << wBits}), '0'))
+       |             END)::BIGINT AS mj
+       |  FROM base GROUP BY 1, 2),
+       |single AS (SELECT g, $estExpr AS est FROM regs GROUP BY g),
+       |prs AS (
+       |  SELECT a.g AS ga, b.g AS gb FROM single a JOIN single b
+       |  ON a.g < b.g),
+       |uregs AS (
+       |  SELECT ga, gb, reg, max(mj)::BIGINT AS mj FROM (
+       |    SELECT p.ga, p.gb, r.reg, r.mj FROM prs p JOIN regs r
+       |      ON r.g = p.ga
+       |    UNION ALL
+       |    SELECT p.ga, p.gb, r.reg, r.mj FROM prs p JOIN regs r
+       |      ON r.g = p.gb)
+       |  GROUP BY 1, 2, 3),
+       |uest AS (SELECT ga, gb, $estExpr AS est_union FROM uregs
+       |         GROUP BY ga, gb)
+       |SELECT u.ga, u.gb, sa.est AS est_a, sb.est AS est_b, u.est_union,
+       |       greatest(sa.est + sb.est - u.est_union, 0)::BIGINT
+       |         AS est_overlap
+       |FROM uest u
+       |JOIN single sa ON sa.g = u.ga
+       |JOIN single sb ON sb.g = u.gb""".stripMargin
+  }
+
   /** α_m for the HLL raw estimator as an exact micro integer — computed
     * once on the driver from the standard constant-formula and embedded
     * identically in the Spark plan and the oracle SQL.

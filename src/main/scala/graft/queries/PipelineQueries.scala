@@ -453,6 +453,19 @@ object PipelineQueries {
         s.table("lineitem"), "l_orderkey", p = 8)
     }),
 
+    // --- HLL register-algebra source overlap: estimated distinct-text
+    // overlap per source pair via element-wise-max register unions +
+    // inclusion-exclusion — the sketch-tier q_dedup_overlap, G·m register
+    // rows instead of every fingerprint through a join (oracle-checked;
+    // gate sources sit in the raw estimator's documented-biased small
+    // range, which is fine — the gate checks VALUE replay, the
+    // statistical regime is spec-tested at 5k keys) ---
+    "q_approx_hll_overlap" -> ((s, d) => {
+      Tables.load(s, d)
+      graft.operators.Profile.hllOverlap(
+        s.table("documents"), "source", "text", p = 8)
+    }),
+
     // --- split-conformal calibration: md5 train/cal/test split, explicit
     // finite-sample conformal rank, integer-cents coverage counts
     // (oracle-checked) ---
@@ -1792,6 +1805,9 @@ object PipelineQueries {
 
     "q_approx_hll" -> graft.operators.Profile.hllOracleSql(
       "lineitem", "l_orderkey", p = 8),
+
+    "q_approx_hll_overlap" -> graft.operators.Profile.hllOverlapOracleSql(
+      "documents", "source", "text", p = 8),
 
     "q_pipeline_conformal_band" -> graft.operators.Eval.conformalOracleSql(
       "events", "event_type", "event_id", "value", alphaPct = 10),

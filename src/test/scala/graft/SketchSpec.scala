@@ -179,6 +179,44 @@ class SketchSpec extends SparkSpec {
       "hll_sketch_p8 must replay hllDistinct's (v_zero, t_fx, est_raw)")
   }
 
+  test("hllOverlap: inclusion-exclusion recovers planted overlap, " +
+      "disjoint clamps to ~0, identical groups overlap fully") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // A = 1..5000, B = 2501..7500 (true ∩ = 2500, ∪ = 7500), C disjoint
+    val rows = (1 to 5000).map(i => ("A", i)) ++
+      (2501 to 7500).map(i => ("B", i)) ++
+      (100001 to 105000).map(i => ("C", i))
+    val df = rows.toDF("src", "key")
+    val out = graft.operators.Profile.hllOverlap(df, "src", "key", p = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val (estA, estB, estU, estAB) = out(("A", "B"))
+    // raw regime (5000 >> 2.5·256): singles within ~3σ, the
+    // inclusion-exclusion overlap within the error sum of its three terms
+    assert(math.abs(estA - 5000) < 1000 && math.abs(estB - 5000) < 1000)
+    assert(math.abs(estU - 7500) < 1500, s"union est $estU")
+    assert(math.abs(estAB - 2500) < 1800, s"overlap est $estAB")
+    // disjoint pairs read near zero (clamped at zero, never negative)
+    val (_, _, _, estAC) = out(("A", "C"))
+    assert(estAC >= 0L && estAC < 1200L, s"disjoint overlap $estAC")
+    // identical groups: union registers == each side's → overlap == est
+    val dup = df.where(col("src") === "A")
+      .unionAll(df.where(col("src") === "A").withColumn("src", lit("A2")))
+    val same = graft.operators.Profile.hllOverlap(dup, "src", "key", p = 8)
+      .collect().head
+    assert(same.getLong(2) == same.getLong(3) &&
+      same.getLong(3) == same.getLong(4) &&
+      same.getLong(5) == same.getLong(2),
+      "identical groups must overlap at exactly their own estimate")
+    // layout invariance
+    val again = graft.operators.Profile.hllOverlap(df.repartition(13),
+      "src", "key", p = 8).collect().map(_.toSeq).sortBy(_.toString)
+    val base = graft.operators.Profile.hllOverlap(df, "src", "key", p = 8)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(again.toSeq == base.toSeq)
+  }
+
   test("hllDistinct: bounded raw-regime error, duplicate/null/layout " +
       "invariance, field identities") {
     import org.apache.spark.sql.functions._
