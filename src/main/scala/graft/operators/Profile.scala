@@ -1676,6 +1676,78 @@ object Profile {
     sketch.crossJoin(broadcast(keys.agg(count(lit(1)).as("n_exact"))))
   }
 
+  /** Per-group [[hllDistinct]] — one register table keyed by group, the
+    * same fixed-point estimator per group (the grouped form completing
+    * the HLL surface: global / per-window ([[graft.streaming
+    * .EventStreams.windowedHll]]) / per-group / overlap
+    * ([[hllOverlap]])). Returns (grp, v_zero, t_fx, est_raw) per group.
+    * Scale shape: one corpus pass to G·m register rows, one G-row fold.
+    */
+  def hllDistinctBy(df: DataFrame, groupCol: String, keyCol: String,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 14, s"p must be in [4,14], got $p")
+    val m = 1L << p
+    val wBits = 60 - p
+    val alphaMicro = hllAlphaMicro(p)
+    df.select(col(groupCol).cast("string").as("grp"),
+        col(keyCol).cast("string").as("key"))
+      .where(col("grp").isNotNull && col("key").isNotNull)
+      .select(col("grp"),
+        Dedup.portableHash(concat(lit("hll:"), col("key"))).as("h"))
+      .select(col("grp"), expr(s"h DIV ${1L << wBits}").as("reg"),
+        pmod(col("h"), lit(1L << wBits)).as("w"))
+      .select(col("grp"), col("reg"),
+        when(col("w") === 0L, lit((wBits + 1).toLong))
+          .otherwise(lit((wBits + 1).toLong) -
+            length(ltrim(bin(col("w")), "0"))).as("rho"))
+      .groupBy(col("grp"), col("reg")).agg(max(col("rho")).as("mj"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(${wBits + 1} - mj AS INT))")).as("t_present"))
+      .select(col("grp"),
+        (lit(m) - col("n_present")).as("v_zero"),
+        (col("t_present") +
+          (lit(m) - col("n_present")) * lit(1L << (wBits + 1))).as("t_fx"))
+      .select(col("grp"), col("v_zero"), col("t_fx"),
+        expr(s"CAST((CAST($alphaMicro AS DECIMAL(38,0)) * ${m * m} * " +
+          s"${1L << (wBits + 1)}) div t_fx div 1000000 AS BIGINT)")
+          .as("est_raw"))
+  }
+
+  /** DuckDB replay of [[hllDistinctBy]]. */
+  def hllDistinctByOracleSql(table: String, groupExpr: String,
+      keyExpr: String, p: Int = 8): String = {
+    val m = 1L << p
+    val wBits = 60 - p
+    val alphaMicro = hllAlphaMicro(p)
+    s"""WITH base AS (
+       |  SELECT ($groupExpr)::VARCHAR AS grp,
+       |         ('0x' || substr(md5('hll:' || ($keyExpr)::VARCHAR), 1, 15))::BIGINT AS h
+       |  FROM $table
+       |  WHERE ($groupExpr) IS NOT NULL AND ($keyExpr) IS NOT NULL),
+       |regs AS (
+       |  SELECT grp, h // ${1L << wBits} AS reg,
+       |         max(CASE WHEN h % ${1L << wBits} = 0 THEN ${wBits + 1}
+       |                  ELSE ${wBits + 1} -
+       |                       length(ltrim(bin(h % ${1L << wBits}), '0'))
+       |             END)::BIGINT AS mj
+       |  FROM base GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT grp, count(*)::BIGINT AS n_present,
+       |         sum((1::BIGINT << (${wBits + 1} - mj))::BIGINT)::BIGINT
+       |           AS t_present
+       |  FROM regs GROUP BY 1)
+       |SELECT grp,
+       |       ($m - n_present)::BIGINT AS v_zero,
+       |       (t_present + ($m - n_present) * ${1L << (wBits + 1)})::BIGINT
+       |         AS t_fx,
+       |       (($alphaMicro::HUGEINT * ${m * m} * ${1L << (wBits + 1)})
+       |          // (t_present + ($m - n_present) * ${1L << (wBits + 1)})
+       |          // 1000000)::BIGINT AS est_raw
+       |FROM agg""".stripMargin
+  }
+
   /** HLL OVERLAP MATRIX — estimated distinct-key overlap between groups
     * via register algebra: per-group portable HLL registers, pairwise
     * union by element-wise max (the HLL union is EXACT over sketches —
@@ -1733,10 +1805,13 @@ object Profile {
     // pair unions as a UNION ALL of retagged register rows + max per
     // (pair, reg) — NOT a reg-keyed register join, whose unmatched side
     // would null the pair tags and silently drop one-sided registers.
-    // The pair table is group-domain-sized (G² rows), broadcastable.
-    val pairs = single.select(col("g").as("ga")).crossJoin(
-        single.select(col("g").as("gb")))
-      .where(col("ga") < col("gb"))
+    // The pair table is group-domain-sized (G² rows), broadcastable;
+    // persisted because BOTH retag joins consume it — one cross build,
+    // not two (PlanSpec pins the single-product shape).
+    val pairs = Caching.persist(
+      single.select(col("g").as("ga")).crossJoin(
+          single.select(col("g").as("gb")))
+        .where(col("ga") < col("gb")))
     val unionRegs = pairs.join(regs.withColumnRenamed("g", "ga"), Seq("ga"))
       .select(col("ga"), col("gb"), col("reg"), col("mj"))
       .unionByName(pairs.join(regs.withColumnRenamed("g", "gb"), Seq("gb"))

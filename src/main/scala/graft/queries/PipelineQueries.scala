@@ -453,6 +453,14 @@ object PipelineQueries {
         s.table("lineitem"), "l_orderkey", p = 8)
     }),
 
+    // --- per-group HLL: estimated distinct texts per source — the
+    // grouped form of the portable sketch (oracle-checked) ---
+    "q_approx_hll_by" -> ((s, d) => {
+      Tables.load(s, d)
+      graft.operators.Profile.hllDistinctBy(
+        s.table("documents"), "source", "text", p = 8)
+    }),
+
     // --- HLL register-algebra source overlap: estimated distinct-text
     // overlap per source pair via element-wise-max register unions +
     // inclusion-exclusion — the sketch-tier q_dedup_overlap, G·m register
@@ -1807,6 +1815,9 @@ object PipelineQueries {
       "lineitem", "l_orderkey", p = 8),
 
     "q_approx_hll_overlap" -> graft.operators.Profile.hllOverlapOracleSql(
+      "documents", "source", "text", p = 8),
+
+    "q_approx_hll_by" -> graft.operators.Profile.hllDistinctByOracleSql(
       "documents", "source", "text", p = 8),
 
     "q_pipeline_conformal_band" -> graft.operators.Eval.conformalOracleSql(

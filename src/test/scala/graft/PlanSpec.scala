@@ -578,6 +578,18 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "per-hop truncation dropped — hops would compose one deep tree")
   }
 
+  test("hllOverlap: the pair stage joins on group keys — never a " +
+      "register-keyed product") {
+    val (_, plan) = executed("q_approx_hll_overlap")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    // the only permissible nested-loop is the deliberate G×G group-pair
+    // crossJoin (group-domain-sized, broadcastable); register rows only
+    // ever join on equi-keys
+    assert(bnlj.size <= 1,
+      s"hllOverlap planned ${bnlj.size} nested-loop joins — register " +
+        "rows must move through group-keyed equi-joins only")
+  }
+
   test("hllDistinct: the sketch path is aggregate-only — no join wider " +
       "than the 1-row exact-count broadcast") {
     val (_, plan) = executed("q_approx_hll")

@@ -179,6 +179,26 @@ class SketchSpec extends SparkSpec {
       "hll_sketch_p8 must replay hllDistinct's (v_zero, t_fx, est_raw)")
   }
 
+  test("hllDistinctBy: a single group equals the global sketch; groups " +
+      "are independent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1 to 3000).map(i => (if (i % 3 == 0) "x" else "y", i))
+      .toDF("src", "key")
+    val by = graft.operators.Profile.hllDistinctBy(df, "src", "key", p = 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // each group's row must equal the GLOBAL sketch run on just that
+    // group's keys — grouping must not leak registers across groups
+    Seq("x", "y").foreach { g =>
+      val solo = graft.operators.Profile.hllDistinct(
+        df.where(col("src") === g).select("key"), "key", p = 8)
+        .collect().head
+      assert(by(g) == ((solo.getLong(1), solo.getLong(2),
+        solo.getLong(3))), s"group $g diverged from the global sketch")
+    }
+  }
+
   test("hllOverlap: inclusion-exclusion recovers planted overlap, " +
       "disjoint clamps to ~0, identical groups overlap fully") {
     import org.apache.spark.sql.functions._
