@@ -130,7 +130,6 @@ object Bench {
     // every attempt of an otherwise-quiet run read cal_ratio 2.8-5.0 off
     // lone spikes, forcing pointless retries), while a real contention
     // window — which spans all three — still reads at full strength.
-    // Same total probe cost as the old single 1e8 probe.
     // Probe sizing (round 12): 2e8, up from 5e7. At 5e7 a sub-probe reads
     // ~0.04-0.07 s on today's quiet box, so the per-probe median sat at
     // 0.12-0.22 s where ~80 ms of ordinary scheduler jitter spans a 1.7×

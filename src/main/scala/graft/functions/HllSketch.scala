@@ -40,8 +40,17 @@ class HllSketch(p: Int)
   override def zero: Array[Byte] = new Array[Byte](m)
 
   override def reduce(b: Array[Byte], h: Long): Array[Byte] = {
-    // h is a portableHash value: non-negative, < 2^60 — so >>> equals
-    // the column path's integer DIV
+    // h must be a portableHash value: non-negative, < 2^60 (so >>> equals
+    // the column path's integer DIV). Validated because the SQL-registered
+    // form is reachable by clients feeding a full-width hash (xxhash64 is
+    // the classic mistake) — without the check that reads as an
+    // ArrayIndexOutOfBoundsException deep in the aggregate instead of a
+    // contract message.
+    if (h < 0L || h >= (1L << 60))
+      throw new IllegalArgumentException(
+        s"hll_sketch input must be a 60-bit portable hash in [0, 2^60) — " +
+          s"got $h; hash with graft's portable md5 family " +
+          "(Dedup.portableHash), not xxhash64/hash()")
     val reg = (h >>> wBits).toInt
     val w = h & wMask
     val rho =

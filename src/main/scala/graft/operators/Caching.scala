@@ -135,14 +135,24 @@ object Caching {
     * recompute. Operators that already release their own checkpoints
     * ([[Similarity.kCenterCoreset]]) are unaffected — an unpersisted RDD
     * unpersists idempotently.
+    *
+    * CONCURRENCY HAZARD: the registry is JVM-global (one map for every
+    * SparkSession sharing this classloader), so a release issued from
+    * one thread/session unpersists the LIVE checkpoint blocks of any
+    * query still running in another — its next action on a truncated
+    * lineage then fails on the missing blocks. The single-session,
+    * between-batches contract above is load-bearing, not advisory; do
+    * not call this from concurrent drivers sharing the JVM.
     */
   def releaseCheckpoints(blocking: Boolean = false): Unit = {
     val it = ckptRdds.entrySet().iterator()
     while (it.hasNext) {
       val ref = it.next().getValue.get()
       if (ref != null) {
+        // NonFatal only: a stopped context is "nothing to free", but OOM /
+        // InterruptedException must propagate, not be swallowed here
         try ref.unpersist(blocking)
-        catch { case _: Throwable => /* context stopped: nothing to free */ }
+        catch { case scala.util.control.NonFatal(_) => () }
       }
       it.remove()
     }

@@ -1491,6 +1491,12 @@ object Graph {
     * exists: h·|E|·m beats |V| BFS runs by orders of magnitude).
     * Per-hop [[Caching.checkpoint]] (the state is multi-referenced: the
     * merge AND the curve estimate read it).
+    *
+    * Node domain: balls are seeded from src ∪ dst, so a DIRECTED edge
+    * input counts sink-only nodes in N(h) too (a src-only seed would
+    * silently undercount them — ADVICE r12); on [[coEdges]]' symmetric
+    * output the union is identical to the src set. Ball GROWTH still
+    * follows edge direction src→dst (ball(v) = nodes v reaches).
     */
   def neighborhoodFunction(edges: DataFrame, maxHops: Int,
       p: Int = 5): DataFrame = {
@@ -1501,7 +1507,8 @@ object Graph {
     val e = Caching.checkpoint(
       edges.select(col("src"), col("dst")).distinct(), eager = true)
     var state = Caching.checkpoint(
-      e.select(col("src").as("node")).distinct()
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct()
         .select(col("node"), Dedup.portableHash(
           concat(lit("anf:"), col("node").cast("string"))).as("h"))
         .select(col("node"), expr(s"h DIV ${1L << wBits}").as("idx"),
@@ -1576,7 +1583,8 @@ object Graph {
        |  FROM (SELECT node,
        |               ('0x' || substr(md5('anf:' || node::VARCHAR), 1, 15))
        |                 ::BIGINT AS h
-       |        FROM (SELECT DISTINCT src AS node FROM e))),
+       |        FROM (SELECT src AS node FROM e
+       |              UNION SELECT dst FROM e))),
        |$hops
        |$curve""".stripMargin
   }
@@ -1600,10 +1608,26 @@ object Graph {
     * window over a ≤(maxHops+1)-row frame — the curve is model-sized.
     */
   def effectiveDiameter(edges: DataFrame, maxHops: Int, p: Int = 5,
-      pct: Int = 90): DataFrame = {
+      pct: Int = 90): DataFrame =
+    effectiveDiameter(neighborhoodFunction(edges, maxHops, p), pct)
+
+  /** Read-off OVERLOAD over an already-computed [[neighborhoodFunction]]
+    * curve, so a caller wanting both the curve and the diameter pays ONE
+    * ANF run (VERDICT r12 item 5; the edges form above recomputes the
+    * curve lineage after its nfMax head() — bounded, the per-hop states
+    * are checkpointed, but two reads of the same ANF are still two).
+    * Spec-pinned equal to the edges form on the same input. Empty /
+    * edge-less input (nf_est NULL on every row, or no rows) returns an
+    * empty frame instead of NPE-ing on the eager max read (ADVICE r12).
+    */
+  def effectiveDiameter(curve: DataFrame, pct: Int): DataFrame = {
     require(pct >= 1 && pct <= 100)
-    val curve = neighborhoodFunction(edges, maxHops, p)
-    val nfMax = curve.agg(max(col("nf_est"))).head().getLong(0)
+    val mx = curve.agg(max(col("nf_est"))).head()
+    if (mx.isNullAt(0))
+      return curve.where(lit(false))
+        .select(lit(0L).as("eff_hop"), lit(0L).as("nf_at_hop"),
+          lit(0L).as("nf_max"))
+    val nfMax = mx.getLong(0)
     curve.where(col("nf_est") * 100 >= lit(pct) * nfMax)
       .orderBy(col("hop")).limit(1)
       .select(col("hop").as("eff_hop"), col("nf_est").as("nf_at_hop"),

