@@ -554,6 +554,43 @@ object ScaleStress {
     time("windowed-hll 1x (5k docs)")(whll(d1))
     time("windowed-hll 10x (50k docs)")(whll(d10))
 
+    // grouped HLL: one corpus pass to G·m register rows, one G-row fold —
+    // 10x docs over the SAME 20 sources must cost ~one extra scan
+    def hby(d: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.Profile.hllDistinctBy(d, "source", "text", p = 8)
+        .count()
+    time("hll-by 1x (5k docs)")(hby(d1))
+    time("hll-by 10x (50k docs, same 20 sources)")(hby(d10))
+
+    // portable KLL quantiles: a 62-row level histogram pass + a ≤k-row
+    // sample filter pass + a k-row sort — two linear scans, no global
+    // sort, sample size pinned at k regardless of corpus
+    def kll(d: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.Profile.kllQuantile(d, "n_chars", "doc_id",
+        k = 1024, qPermille = Seq(500, 900, 990)).count()
+    time("kll 1x (5k docs)")(kll(d1))
+    time("kll 10x (50k docs)")(kll(d10))
+
+    // grouped KLL: per-source ≤k samples — G·k bounded state
+    def kby(d: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.Profile.kllQuantileBy(d, "source", "n_chars",
+        "doc_id", k = 256, qPermille = Seq(500, 900)).count()
+    time("kll-by 1x (5k docs)")(kby(d1))
+    time("kll-by 10x (50k docs, same 20 sources)")(kby(d10))
+
+    // windowed KLL: the mergeable ≤(k+1)-item sample as window state —
+    // per-window state bounded by k, input linear
+    def wkll(d: org.apache.spark.sql.DataFrame): Long =
+      graft.streaming.EventStreams.windowedKll(
+        d.select(col("doc_id"), col("n_chars"),
+          org.apache.spark.sql.functions.to_timestamp(
+            org.apache.spark.sql.functions.from_unixtime(
+              col("doc_id") % 86400L)).as("ts")),
+        "1 hour", col("n_chars"), col("doc_id"), k = 256,
+        qPermille = Seq(500, 900)).count()
+    time("windowed-kll 1x (5k docs)")(wkll(d1))
+    time("windowed-kll 10x (50k docs)")(wkll(d10))
+
     // HLL overlap matrix: one corpus pass to G·m register rows, then
     // G²·m pair-union work — 10x docs in the SAME 20 sources must cost
     // ~one extra scan (the pair stage is group-domain-sized)

@@ -566,14 +566,41 @@ object Dedup {
 
   /** Connected components over near-duplicate pairs — the last step of a
     * dedup pipeline: pairs → duplicate FAMILIES, one representative (the
-    * minimum id) per family. Iterative min-label propagation: each round
-    * every node takes the minimum label among itself and its neighbors;
-    * converges in O(component diameter) rounds (duplicate clusters are
-    * shallow in practice), each round one shuffled join + aggregate — the
-    * standard large-graph CC shape, no driver-side graph state. Returns
-    * (doc_id, family_id) for every endpoint of `pairs`.
+    * minimum id) per family. Returns (doc_id, family_id) for every
+    * endpoint of `pairs`.
+    *
+    * Two interchangeable engines (identical output, spec-pinned equal;
+    * both O(log) rounds of keyed equi-joins with per-round lineage
+    * truncation):
+    *  - `minlabel` — min-label propagation with a pointer-jumping hop
+    *    ([[connectedComponentsMinLabel]]);
+    *  - `tworule` — the alternating large-star/small-star algorithm
+    *    (Kiveris et al. 2014, [[connectedComponentsTwoRule]]), which
+    *    carries the EDGE set (shrinking toward stars) instead of a
+    *    node-label table.
+    * Select with `spark.graft.cc = minlabel | tworule`; the default is
+    * the one that measured faster on the suite's heaviest CC consumers
+    * (`q_embed_dbscan`, the dedup families — A/B in PLANS.md round 13).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame =
+    pairs.sparkSession.conf.getOption("spark.graft.cc")
+        .getOrElse("minlabel") match {
+      case "tworule" =>
+        connectedComponentsTwoRule(pairs, maxIter, checkpointDir)
+      case "minlabel" =>
+        connectedComponentsMinLabel(pairs, maxIter, checkpointDir)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.cc must be minlabel or tworule, got $other")
+    }
+
+  /** Min-label propagation CC: each round every node takes the minimum
+    * label among itself, its neighbors, and its label's label (the
+    * pointer-jumping hop — doubles propagation distance per round, so
+    * O(log diameter) rounds); each round one shuffled join + aggregate —
+    * the standard large-graph CC shape, no driver-side graph state.
+    */
+  def connectedComponentsMinLabel(pairs: DataFrame, maxIter: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
     // localCheckpoint (eager) rather than persist: it truncates LINEAGE, not
     // just recomputation. With persist, every round's logical plan still
@@ -657,6 +684,90 @@ object Dedup {
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       println(s"[cc] rounds=$i nodes=${labels.count()}")
     labels.select(col("node").as("doc_id"), col("label").as("family_id"))
+  }
+
+  /** Alternating two-rule CC (Kiveris et al. 2014, "Connected Components
+    * in MapReduce and Beyond"): the round state is the EDGE SET, rewritten
+    * toward stars —
+    *  - large-star: every node attaches its LARGER neighbors to the
+    *    minimum of its closed neighborhood;
+    *  - small-star: every node attaches its smaller neighbors (and
+    *    itself) to their minimum.
+    * Both rules preserve connectivity and strictly shrink the potential,
+    * converging in O(log²) rounds (2–4 in practice on shallow dedup/grid
+    * graphs); at the fixpoint the edges ARE (node, component-min) star
+    * edges — no label table, no pointer-jumping join. Per round: two
+    * groupBy-min aggregates + two equi-joins over the current edge set,
+    * which SHRINKS monotonically toward |V| rows (the min-label engine's
+    * per-round work stays Θ(|E|+|V|) throughout) — the reason to A/B the
+    * two on heavy CC consumers. Same contract/levers as
+    * [[connectedComponentsMinLabel]]: per-round lineage truncation,
+    * reliable checkpoints via `checkpointDir` for cluster mode, checksum
+    * fixpoint detection (the edge multiset is encoded as an
+    * order-invariant DECIMAL(38,0) sum — exact, no hashing).
+    */
+  def connectedComponentsTwoRule(pairs: DataFrame, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(false)
+      else Caching.checkpoint(df)
+    val p = pairs.transform(Caching.persist)
+    // canonical directed (u > v) edges, self-loops dropped
+    var edges = truncate(p.select(
+        greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v")).distinct())
+    // order-invariant exact fixpoint witness: count plus the multiset sum
+    // of u·2^32 + v in DECIMAL(38,0) (ids can be full-width longs — the
+    // shifted sum must not overflow; 38 digits carries ~10^19 edges)
+    def checksum(e: DataFrame): String = e.agg(concat_ws("|",
+        count(lit(1)).cast("string"),
+        coalesce(sum(col("u").cast("decimal(38,0)") * lit(4294967296L) +
+          col("v").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)).cast("string")))
+      .collect()(0).getString(0)
+    var prev = checksum(edges)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      // large-star over the symmetrized view: for each center src,
+      // m = min(Γ(src) ∪ {src}); larger neighbors re-attach to m
+      val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
+      val minsL = sym.groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).as("m"))
+      val large = sym.join(minsL, "src").where(col("dst") > col("src"))
+        .select(col("dst").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // small-star over the directed result (all edges u > v): each
+      // center u attaches its smaller neighbors AND itself to their min
+      val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(minsS, "u")
+        .select(col("v").as("x"), col("m"))
+        .unionByName(minsS.select(col("u").as("x"), col("m")))
+        .where(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v")).distinct()
+      edges = truncate(small)
+      val cur = checksum(edges)
+      converged = cur == prev
+      prev = cur
+      i += 1
+    }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(s"[cc-tworule] rounds=$i edges=${edges.count()}")
+    // at the fixpoint edges are (node, root) stars; roots (and any
+    // endpoint that became one) label themselves. The defensive min-agg
+    // keeps one row per node even when maxIter truncates pre-fixpoint
+    // (same partial-result semantics as the min-label engine).
+    val allNodes = p.select(col("id_a").as("doc_id"))
+      .unionByName(p.select(col("id_b").as("doc_id"))).distinct()
+    val attached = edges.groupBy(col("u")).agg(min(col("v")).as("family_id"))
+      .select(col("u").as("doc_id"), col("family_id"))
+    allNodes.join(attached, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("family_id"), col("doc_id")).as("family_id"))
   }
 
   /** Corpus DUPLICATION PROFILE — the family-size histogram every dedup

@@ -1623,7 +1623,11 @@ object Profile {
     * regime); `v_zero` (empty registers) is emitted so a caller CAN apply
     * the small-range linear-counting branch m·ln(m/V) — deliberately not
     * computed here because ln() is the one step whose last-ulp behavior
-    * is libm-specific, i.e. not oracle-hashable. The register table is a
+    * is libm-specific, i.e. not oracle-hashable. Crossover rule (classic
+    * HLL practice, spec-demonstrated in SketchSpec): when
+    * `est_raw < 2.5·m`, read `m·ln(m/v_zero)` instead of `est_raw` — the
+    * raw estimator reads ≈ α·m even on a near-empty sketch, while the
+    * empty-register count still carries the cardinality signal there. The register table is a
     * monoid (merge = per-register max), the same partial/final contract
     * as the reference's accumulators.
     *
@@ -2085,4 +2089,209 @@ object Profile {
        |       greatest(0, n * 1000000 + noise_micro)::BIGINT
        |         AS released_micro
        |FROM z""".stripMargin
+
+  /** PORTABLE MERGEABLE QUANTILE SKETCH (the KLL sampler tier, Karnin,
+    * Lang & Liberty 2016 §2.1, made deterministic) — completes the
+    * hash-checkable sketch family: distinct ([[hllDistinct]]/
+    * [[kmvDistinct]]), top-k, count-min, and now quantiles, each the
+    * portable twin of an engine-private builtin (`percentile_approx`'s
+    * KLL-ish state is Spark-internal, exactly as `approx_count_distinct`'s
+    * xxhash64 registers are — the long-documented `q_approx_sketches`
+    * caveat).
+    *
+    * Design: every ROW gets a 60-bit portable hash of its `idCol` (ids
+    * must be unique per row — the hash IS the row's sampling coin), and a
+    * level `lvl` = leading-zero count of that hash, so row survival to
+    * level l (`lvl ≥ l`) is an independent p=2^−l coin — KLL's geometric
+    * level ladder with the compactor's alternating-parity coin replaced
+    * by the hash bit itself. The sketch keeps S_l* for the smallest l*
+    * with |S_l*| ≤ k; every kept row represents 2^l* rows, and the
+    * q-quantile reads off as the value at rank ⌈q·|S|⌉ of the
+    * value-sorted sample (classic type-1 empirical quantile). Replacing
+    * the compactor with the hash coin is what makes the state a PURE
+    * FUNCTION OF THE INPUT MULTISET — order- and merge-structure-free,
+    * the property hash-replay requires and no sequential KLL compactor
+    * can offer (its state depends on arrival order); the price is the
+    * sampler's O(√(log)/ε²)-style space instead of KLL's optimal
+    * O(1/ε·log log), i.e. rank error ~1/√k instead of ~1/k — spec-pinned
+    * empirically in SketchSpec. Values pass through UNTOUCHED (no
+    * arithmetic, only ordering), so any orderable column type
+    * hash-replays exactly; all rank math is integer.
+    *
+    * Exactness floor: when n ≤ k the sample is the whole input at l*=0
+    * and every read-off is the EXACT type-1 quantile ([[kmvDistinct]]'s
+    * "exact below k" posture).
+    *
+    * Returns one row per requested per-mille point: (q_pm, est_v, lvl,
+    * n_sample).
+    *
+    * Scale shape: one corpus scan to a ≤62-row level histogram (map-side
+    * combinable count), one corpus scan filtered to the ≤k-row sample
+    * (the 1-row l* frame broadcast into the filter), one ≤k-row sort —
+    * no global sort, no corpus shuffle. The two scans share
+    * [[Caching.persist]] here; at 100 TB either pay both scans or take
+    * the single-pass streaming twin ([[graft.functions.KllSketch]], the
+    * same state as ONE aggregate).
+    */
+  def kllQuantile(df: DataFrame, valueCol: String, idCol: String,
+      k: Int, qPermille: Seq[Int]): DataFrame = {
+    require(k >= 16, s"k must be >= 16, got $k")
+    require(qPermille.nonEmpty && qPermille.forall(q => q >= 1 && q <= 1000),
+      "quantile points are per-mille in [1,1000]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lv = Caching.persist(kllLevels(df, valueCol, idCol, None))
+    // 62-row level frame: S_61 is empty by construction (lvl ≤ 60), so a
+    // satisfying l* always exists even on degenerate input
+    val levels = spark.range(0L, 62L).toDF("l")
+    val sizes = levels
+      .join(broadcast(lv.groupBy(col("lvl")).agg(count(lit(1)).as("c"))),
+        col("lvl") >= col("l"), "left")
+      .groupBy(col("l")).agg(coalesce(sum(col("c")), lit(0L)).as("sz"))
+    // min-struct picks the smallest satisfying level and carries its size
+    val lstar = sizes.where(col("sz") <= k)
+      .agg(min(struct(col("l"), col("sz"))).as("m"))
+      .select(col("m.l").as("ls"), col("m.sz").as("n_sample"))
+    val samp = lv.crossJoin(broadcast(lstar))
+      .where(col("lvl") >= col("ls"))
+    val ranked = samp.select(col("v"), col("ls"), col("n_sample"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("v"))).as("rn"))
+    val qs = qPermille.map(_.toLong).toDF("q_pm")
+    ranked.join(broadcast(qs),
+        col("rn") === greatest(lit(1L),
+          expr("(q_pm * n_sample + 999) div 1000")))
+      .select(col("q_pm"), col("v").as("est_v"), col("ls").as("lvl"),
+        col("n_sample"))
+  }
+
+  /** Per-group [[kllQuantile]] — one level histogram and one ≤k-row
+    * sample PER GROUP, the grouped form completing the quantile surface
+    * (global / per-group / per-window via [[graft.streaming.EventStreams
+    * .windowedKll]]). Returns (grp, q_pm, est_v, lvl, n_sample) per
+    * group × point.
+    *
+    * Scale shape: corpus → G·62 histogram rows → G-row l* frame
+    * (equi-joined back, never a theta join) → ≤G·k sample rows → per-group
+    * window sort over ≤k rows.
+    */
+  def kllQuantileBy(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, k: Int, qPermille: Seq[Int]): DataFrame = {
+    require(k >= 16, s"k must be >= 16, got $k")
+    require(qPermille.nonEmpty && qPermille.forall(q => q >= 1 && q <= 1000),
+      "quantile points are per-mille in [1,1000]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lv = Caching.persist(kllLevels(df, valueCol, idCol, Some(groupCol)))
+    val hist = lv.groupBy(col("grp"), col("lvl")).agg(count(lit(1)).as("c"))
+    val levels = spark.range(0L, 62L).toDF("l")
+    // absent (grp, l) pairs have sz = 0: covered by the synthetic l = 61
+    // row per group (S_61 is empty by construction), so min-l selection
+    // below never needs the missing combinations
+    val sizes = hist.join(broadcast(levels), col("lvl") >= col("l"))
+      .groupBy(col("grp"), col("l")).agg(sum(col("c")).as("sz"))
+      .unionByName(hist.select(col("grp")).distinct()
+        .select(col("grp"), lit(61L).as("l"), lit(0L).as("sz")))
+    val lstar = sizes.where(col("sz") <= k)
+      .groupBy(col("grp")).agg(min(struct(col("l"), col("sz"))).as("m"))
+      .select(col("grp"), col("m.l").as("ls"), col("m.sz").as("n_sample"))
+    val samp = lv.join(lstar, Seq("grp")).where(col("lvl") >= col("ls"))
+    val ranked = samp.select(col("grp"), col("v"), col("ls"),
+      col("n_sample"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp")).orderBy(col("v"))).as("rn"))
+    val qs = qPermille.map(_.toLong).toDF("q_pm")
+    ranked.join(broadcast(qs),
+        col("rn") === greatest(lit(1L),
+          expr("(q_pm * n_sample + 999) div 1000")))
+      .select(col("grp"), col("q_pm"), col("v").as("est_v"),
+        col("ls").as("lvl"), col("n_sample"))
+  }
+
+  /** Shared ([grp,] v, lvl) projection for the KLL family: 60-bit
+    * portable row hash of `idCol` (the row's sampling coin), lvl =
+    * leading-zero count within the 60-bit width — the same `bin()`/
+    * `ltrim` integer formulation as the HLL ρ, no floating log anywhere.
+    * Null values, null ids, and (grouped form) null groups drop in both
+    * engines.
+    */
+  private def kllLevels(df: DataFrame, valueCol: String, idCol: String,
+      groupCol: Option[String]): DataFrame = {
+    val grpCols = groupCol.toSeq.map(g => col(g).cast("string").as("grp"))
+    val base = df.select(grpCols :+ col(valueCol).as("v") :+
+        Dedup.portableHash(
+          concat(lit("kll:"), col(idCol).cast("string"))).as("h"): _*)
+      .where(col("v").isNotNull && col("h").isNotNull &&
+        groupCol.map(_ => col("grp").isNotNull).getOrElse(lit(true)))
+    base.select(groupCol.toSeq.map(_ => col("grp")) :+ col("v") :+
+      when(col("h") === 0L, lit(60L))
+        .otherwise(lit(60L) - length(ltrim(bin(col("h")), "0")))
+        .as("lvl"): _*)
+  }
+
+  /** DuckDB replay of [[kllQuantile]] — same md5 row coins, same integer
+    * level/rank math, same type-1 read-off.
+    */
+  def kllOracleSql(table: String, valueExpr: String, idExpr: String,
+      k: Int, qPermille: Seq[Int]): String =
+    s"""WITH lv AS (
+       |  SELECT v, CASE WHEN h = 0 THEN 60
+       |                 ELSE 60 - length(ltrim(bin(h), '0')) END AS lvl
+       |  FROM (
+       |    SELECT ($valueExpr) AS v,
+       |           ('0x' || substr(md5('kll:' || ($idExpr)::VARCHAR), 1, 15))::BIGINT AS h
+       |    FROM $table
+       |    WHERE ($valueExpr) IS NOT NULL AND ($idExpr) IS NOT NULL)),
+       |hist AS (SELECT lvl, count(*)::BIGINT AS c FROM lv GROUP BY 1),
+       |sizes AS (
+       |  SELECT g.l, coalesce(sum(c) FILTER (WHERE hist.lvl >= g.l), 0)
+       |           ::BIGINT AS sz
+       |  FROM generate_series(0, 61) AS g(l) LEFT JOIN hist ON TRUE
+       |  GROUP BY g.l),
+       |lstar AS (SELECT l AS ls, sz AS n_sample FROM sizes
+       |          WHERE sz <= $k ORDER BY l LIMIT 1),
+       |ranked AS (
+       |  SELECT v, ls, n_sample, row_number() OVER (ORDER BY v) AS rn
+       |  FROM lv, lstar WHERE lvl >= ls)
+       |SELECT q.q_pm, r.v AS est_v, r.ls::BIGINT AS lvl, r.n_sample
+       |FROM ranked r
+       |JOIN (SELECT unnest([${qPermille.mkString(", ")}])::BIGINT AS q_pm) q
+       |  ON r.rn = greatest(1, (q.q_pm * r.n_sample + 999) // 1000)""".stripMargin
+
+  /** DuckDB replay of [[kllQuantileBy]]. */
+  def kllByOracleSql(table: String, groupExpr: String, valueExpr: String,
+      idExpr: String, k: Int, qPermille: Seq[Int]): String =
+    s"""WITH lv AS (
+       |  SELECT grp, v, CASE WHEN h = 0 THEN 60
+       |                      ELSE 60 - length(ltrim(bin(h), '0')) END AS lvl
+       |  FROM (
+       |    SELECT ($groupExpr)::VARCHAR AS grp, ($valueExpr) AS v,
+       |           ('0x' || substr(md5('kll:' || ($idExpr)::VARCHAR), 1, 15))::BIGINT AS h
+       |    FROM $table
+       |    WHERE ($groupExpr) IS NOT NULL AND ($valueExpr) IS NOT NULL
+       |      AND ($idExpr) IS NOT NULL)),
+       |hist AS (SELECT grp, lvl, count(*)::BIGINT AS c FROM lv
+       |         GROUP BY 1, 2),
+       |sizes AS (
+       |  SELECT grp, g.l, sum(c)::BIGINT AS sz
+       |  FROM hist JOIN generate_series(0, 61) AS g(l) ON hist.lvl >= g.l
+       |  GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT DISTINCT grp, 61, 0::BIGINT FROM hist),
+       |lstar AS (
+       |  SELECT grp, ls, n_sample FROM (
+       |    SELECT grp, l AS ls, sz AS n_sample,
+       |           row_number() OVER (PARTITION BY grp ORDER BY l) AS rk
+       |    FROM sizes WHERE sz <= $k)
+       |  WHERE rk = 1),
+       |ranked AS (
+       |  SELECT lv.grp, v, ls, n_sample,
+       |         row_number() OVER (PARTITION BY lv.grp ORDER BY v) AS rn
+       |  FROM lv JOIN lstar ON lstar.grp = lv.grp
+       |  WHERE lvl >= ls)
+       |SELECT r.grp, q.q_pm, r.v AS est_v, r.ls::BIGINT AS lvl,
+       |       r.n_sample
+       |FROM ranked r
+       |JOIN (SELECT unnest([${qPermille.mkString(", ")}])::BIGINT AS q_pm) q
+       |  ON r.rn = greatest(1, (q.q_pm * r.n_sample + 999) // 1000)""".stripMargin
 }

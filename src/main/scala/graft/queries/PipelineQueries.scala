@@ -474,6 +474,33 @@ object PipelineQueries {
         s.table("documents"), "source", "text", p = 8)
     }),
 
+    // --- portable KLL-style quantile sketch: deterministic hash-coin
+    // level sampling (the KLL sampler tier), type-1 integer-rank
+    // read-offs over the ≤k sample — the last sketch corner
+    // (percentile_approx's state is engine-private like
+    // approx_count_distinct's; this is its cross-engine twin, estimate
+    // hash-checked) ---
+    "q_approx_kll" -> ((s, d) => {
+      Tables.load(s, d)
+      graft.operators.Profile.kllQuantile(
+        s.table("lineitem").withColumn("rid",
+          concat(col("l_orderkey").cast("string"), lit("_"),
+            col("l_linenumber").cast("string"))),
+        "l_extendedprice", "rid", k = 1024, qPermille = Seq(100, 500, 900, 990))
+    }),
+
+    // --- per-group portable quantile sketch: p50/p90 of quantity per
+    // return flag — the grouped form (oracle-checked) ---
+    "q_approx_kll_by" -> ((s, d) => {
+      Tables.load(s, d)
+      graft.operators.Profile.kllQuantileBy(
+        s.table("lineitem").withColumn("rid",
+          concat(col("l_orderkey").cast("string"), lit("_"),
+            col("l_linenumber").cast("string"))),
+        "l_returnflag", "l_quantity", "rid", k = 256,
+        qPermille = Seq(500, 900))
+    }),
+
     // --- split-conformal calibration: md5 train/cal/test split, explicit
     // finite-sample conformal rank, integer-cents coverage counts
     // (oracle-checked) ---
@@ -1819,6 +1846,16 @@ object PipelineQueries {
 
     "q_approx_hll_by" -> graft.operators.Profile.hllDistinctByOracleSql(
       "documents", "source", "text", p = 8),
+
+    "q_approx_kll" -> graft.operators.Profile.kllOracleSql(
+      "lineitem", "l_extendedprice",
+      "l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR",
+      k = 1024, qPermille = Seq(100, 500, 900, 990)),
+
+    "q_approx_kll_by" -> graft.operators.Profile.kllByOracleSql(
+      "lineitem", "l_returnflag", "l_quantity",
+      "l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR",
+      k = 256, qPermille = Seq(500, 900)),
 
     "q_pipeline_conformal_band" -> graft.operators.Eval.conformalOracleSql(
       "events", "event_type", "event_id", "value", alphaPct = 10),

@@ -39,6 +39,14 @@ object StreamQueries {
       EventStreams.windowedHll(events(s, d), "1 hour", col("user_id"),
         p = 8)),
 
+    // per-window portable quantile sketch — p50/p90/p99 of event value
+    // per hour from the mergeable KllSketch level sample (O(k) window
+    // state), every read-off hash-checked against the oracle
+    // (oracle-checked)
+    "q_stream_kll" -> ((s, d) =>
+      EventStreams.windowedKll(events(s, d), "1 hour", col("value"),
+        col("event_id"), k = 256, qPermille = Seq(500, 900, 990))),
+
     // deterministic per-(event_type, hour) rate limiter: first 3 events
     // by (ts, event_id) survive — the ingestion throttle with provenance
     // (oracle-checked; arrival-order streaming twin spec-pinned)
@@ -441,6 +449,10 @@ object StreamQueries {
 
     "q_stream_hll" -> graft.streaming.EventStreams.windowedHllOracleSql(
       widthSec = 3600L, keyExpr = "user_id", p = 8),
+
+    "q_stream_kll" -> graft.streaming.EventStreams.windowedKllOracleSql(
+      widthSec = 3600L, valueExpr = "value", idExpr = "event_id",
+      k = 256, qPermille = Seq(500, 900, 990)),
 
     "q_stream_topk" -> graft.streaming.EventStreams.windowedTopKOracleSql(
       widthSec = 3600L, keyExpr = "event_type", topN = 3),

@@ -205,6 +205,91 @@ object EventStreams {
        |FROM agg""".stripMargin
   }
 
+  /** Per-tumbling-window PORTABLE QUANTILE sketch — "p50/p90/p99 per
+    * window" as a single mergeable aggregate: [[graft.functions
+    * .KllSketch]]'s ≤(k+1)-item level sample as window state, type-1
+    * integer-rank read-offs in the finish fold, every output value
+    * oracle-replayable ([[windowedKllOracleSql]] — same md5 row coins,
+    * same level/rank math as [[graft.operators.Profile.kllQuantile]]).
+    * Completes the windowed sketch rack: KMV/HLL (distinct), top-k
+    * (heavy hitters), and now quantiles — O(k) state per window each.
+    * Returns (win_start, q_pm, est_v, lvl, n_sample) per window × point.
+    */
+  def windowedKll(events: DataFrame, width: String, value: Column,
+      id: Column, k: Int, qPermille: Seq[Int]): DataFrame = {
+    val sketch = udaf(new graft.functions.KllSketch(k, qPermille))
+    events
+      .select(col("ts"),
+        graft.operators.Dedup.portableHash(
+          concat(lit("kll:"), id.cast("string"))).as("h"),
+        value.cast("double").as("v"))
+      .where(col("h").isNotNull && col("v").isNotNull)
+      .groupBy(window(col("ts"), width).as("w"))
+      .agg(sketch(col("h"), col("v")).as("s"))
+      .select(col("w.start").as("win_start"), col("s.lvl"),
+        col("s.n_sample"), posexplode(col("s.est")))
+      .select(col("win_start"),
+        element_at(
+          array(qPermille.map(q => lit(q.toLong)): _*),
+          col("pos").cast("int") + 1).as("q_pm"),
+        col("col").as("est_v"), col("lvl"), col("n_sample"))
+  }
+
+  /** Streaming variant of [[windowedKll]]: watermark-bounded window
+    * state, same sample-merge path.
+    */
+  def streamingWindowedKll(stream: DataFrame, width: String,
+      watermark: String, value: Column, id: Column, k: Int,
+      qPermille: Seq[Int]): DataFrame =
+    windowedKll(stream.withWatermark("ts", watermark), width, value, id,
+      k, qPermille)
+
+  /** DuckDB replay of [[windowedKll]] over the events table — the
+    * [[graft.operators.Profile.kllByOracleSql]] level/rank machinery
+    * with the window start as the group.
+    */
+  def windowedKllOracleSql(widthSec: Long, valueExpr: String,
+      idExpr: String, k: Int, qPermille: Seq[Int]): String = {
+    val winUs = widthSec * 1000000L
+    s"""WITH lv AS (
+       |  SELECT win_start, v,
+       |         CASE WHEN h = 0 THEN 60
+       |              ELSE 60 - length(ltrim(bin(h), '0')) END AS lvl
+       |  FROM (
+       |    SELECT make_timestamp((epoch_us(ts::TIMESTAMP) // $winUs) * $winUs)
+       |             AS win_start,
+       |           ($valueExpr)::DOUBLE AS v,
+       |           ('0x' || substr(md5('kll:' || ($idExpr)::VARCHAR), 1, 15))::BIGINT AS h
+       |    FROM events
+       |    WHERE ($valueExpr) IS NOT NULL AND ($idExpr) IS NOT NULL)),
+       |hist AS (SELECT win_start, lvl, count(*)::BIGINT AS c FROM lv
+       |         GROUP BY 1, 2),
+       |sizes AS (
+       |  SELECT win_start, g.l, sum(c)::BIGINT AS sz
+       |  FROM hist JOIN generate_series(0, 61) AS g(l) ON hist.lvl >= g.l
+       |  GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT DISTINCT win_start, 61, 0::BIGINT FROM hist),
+       |lstar AS (
+       |  SELECT win_start, ls, n_sample FROM (
+       |    SELECT win_start, l AS ls, sz AS n_sample,
+       |           row_number() OVER (PARTITION BY win_start ORDER BY l)
+       |             AS rk
+       |    FROM sizes WHERE sz <= $k)
+       |  WHERE rk = 1),
+       |ranked AS (
+       |  SELECT lv.win_start, v, ls, n_sample,
+       |         row_number() OVER (PARTITION BY lv.win_start ORDER BY v)
+       |           AS rn
+       |  FROM lv JOIN lstar ON lstar.win_start = lv.win_start
+       |  WHERE lvl >= ls)
+       |SELECT r.win_start, q.q_pm, r.v AS est_v, r.ls::BIGINT AS lvl,
+       |       r.n_sample
+       |FROM ranked r
+       |JOIN (SELECT unnest([${qPermille.mkString(", ")}])::BIGINT AS q_pm) q
+       |  ON r.rn = greatest(1, (q.q_pm * r.n_sample + 999) // 1000)""".stripMargin
+  }
+
   /** Misra–Gries HEAVY HITTERS per tumbling window — "what dominated each
     * window" with O(k) state: the mergeable
     * [[graft.functions.ApproxTopK]] sketch as a window aggregate, top

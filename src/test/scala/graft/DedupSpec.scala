@@ -228,6 +228,44 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 5L -> 5L, 7L -> 5L))
   }
 
+  test("connectedComponentsTwoRule: equals the min-label engine on " +
+      "chains, cycles, stars, dense blobs; conf dispatch routes") {
+    // adversarial shapes: a long chain (deep diameter), a cycle, a hub
+    // star, two dense blobs bridged by one edge, shuffled id order —
+    // both engines must produce the identical (doc_id, family_id) map
+    val chain = (1L to 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val cycle = Seq((100L, 101L), (101L, 102L), (102L, 103L), (103L, 100L))
+    val star = (201L to 208L).map(i => (200L + (i % 3), i)) // hubby mess
+    val blobs = (for {a <- 300L to 305L; b <- 300L to 305L if a < b}
+      yield (a, b)) ++
+      (for {a <- 400L to 405L; b <- 400L to 405L if a < b}
+        yield (a, b)) :+ ((305L, 400L))
+    val pairs = scala.util.Random.shuffle(
+      chain ++ cycle ++ star ++ blobs).toDF("id_a", "id_b")
+    val minLabel = Dedup.connectedComponentsMinLabel(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val twoRule = Dedup.connectedComponentsTwoRule(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(twoRule == minLabel,
+      "two-rule CC diverged from the min-label engine")
+    assert(minLabel(40L) == 1L && minLabel(103L) == 100L &&
+      minLabel(405L) == 300L, "sanity: min-id roots")
+    // empty input: no crash, empty frame (both engines)
+    assert(Dedup.connectedComponentsTwoRule(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0L)
+    // conf dispatch: tworule routes, bogus value fails fast
+    spark.conf.set("spark.graft.cc", "tworule")
+    try {
+      val viaConf = Dedup.connectedComponents(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(viaConf == minLabel)
+      spark.conf.set("spark.graft.cc", "bogus")
+      intercept[IllegalArgumentException] {
+        Dedup.connectedComponents(pairs)
+      }
+    } finally spark.conf.unset("spark.graft.cc")
+  }
+
   test("fuzzyPairs: small edits matched, distant texts and far ids excluded") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),

@@ -590,6 +590,26 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         "rows must move through group-keyed equi-joins only")
   }
 
+  test("kllQuantileBy: corpus rows move only through group-keyed " +
+      "equi-joins — nested loops are model-sized frames") {
+    val (_, plan) = executed("q_approx_kll_by")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    // permissible nested loops: the 62-row level-frame theta join over
+    // the ≤G·62-row histogram, and the per-mille-points rank join over
+    // the ≤G·k-row ranked sample — both model-sized on BOTH sides. The
+    // corpus-sized sample filter is the grp equi-join against the G-row
+    // l* frame, never a nested loop.
+    assert(bnlj.size <= 2,
+      s"kllQuantileBy planned ${bnlj.size} nested-loop joins — corpus " +
+        "rows must reach the sample through the grp equi-join only")
+    val equi = collectWithSubqueries(plan) {
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(equi.nonEmpty, "the lv ⋈ lstar sample filter must be an equi-join")
+  }
+
   test("hllDistinct: the sketch path is aggregate-only — no join wider " +
       "than the 1-row exact-count broadcast") {
     val (_, plan) = executed("q_approx_hll")

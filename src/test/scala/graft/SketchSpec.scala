@@ -276,4 +276,168 @@ class SketchSpec extends SparkSpec {
       graft.operators.Profile.hllDistinct(big, "key", p = 20)
     }
   }
+
+  test("hllDistinct: caller-side linear counting m·ln(m/V) beats est_raw " +
+      "below the 2.5·m crossover (the worked small-range read-off)") {
+    import spark.implicits._
+    // 40 distinct << 2.5·m = 640 for p=8 — the documented-biased regime:
+    // the raw estimator reads ≈ α·m even on a near-empty sketch (that is
+    // WHY Flajolet's linear-counting branch exists), while V = v_zero
+    // (empty registers) still carries the cardinality signal
+    val exact = 40L
+    val df = (1 to 200).map(i => i % 40).toDF("key")
+    val r = graft.operators.Profile.hllDistinct(df, "key", p = 8)
+      .collect().head
+    val (m, vZero, estRaw, nExact) =
+      (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))
+    assert(nExact == exact)
+    // the crossover rule a caller applies (classic HLL practice): when
+    // est_raw < 2.5·m, switch to linear counting on v_zero
+    assert(estRaw < (5L * m) / 2L,
+      s"est_raw=$estRaw must sit below the 2.5·m=${(5L * m) / 2L} " +
+        "crossover on this corpus")
+    // the ln() deliberately lives caller-side (libm-specific last ulp —
+    // not oracle-hashable); v_zero/m are exact integers from the gate
+    val estLin = m * math.log(m.toDouble / vZero)
+    assert(math.abs(estLin - exact) <= 0.15 * exact,
+      s"linear-counting estimate $estLin vs exact $exact")
+    assert(math.abs(estLin - exact) < math.abs(estRaw.toDouble - exact),
+      s"below the crossover linear counting ($estLin) must beat the raw " +
+        s"estimate ($estRaw) — exact $exact")
+  }
+
+  test("kllQuantile: exact type-1 quantiles when n <= k, layout " +
+      "invariance, degenerate inputs") {
+    import spark.implicits._
+    // n = 100 ≤ k: the sample is the whole input at level 0 — every
+    // read-off is the exact type-1 quantile (rank ⌈q·n⌉, 1-based)
+    val df = (1 to 100).map(i => (i.toDouble, i.toString)).toDF("v", "id")
+    val out = graft.operators.Profile
+      .kllQuantile(df, "v", "id", k = 128,
+        qPermille = Seq(10, 500, 900, 1000))
+      .orderBy("q_pm").collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((10L, 1.0), (500L, 50.0), (900L, 90.0), (1000L, 100.0)))
+    assert(out.forall(r => r.getLong(2) == 0L && r.getLong(3) == 100L),
+      "below k the sketch sits at level 0 with the full input as sample")
+    // partition-layout invariance (hash coins, integer rank math)
+    val again = graft.operators.Profile
+      .kllQuantile(df.repartition(7), "v", "id", k = 128,
+        qPermille = Seq(10, 500, 900, 1000))
+      .orderBy("q_pm").collect()
+    assert(again.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+    // empty input: empty output, no NPE; nulls drop
+    assert(graft.operators.Profile.kllQuantile(
+      Seq.empty[(Option[Double], String)].toDF("v", "id"),
+      "v", "id", k = 64, qPermille = Seq(500)).count() == 0L)
+    // parameter contracts fail fast
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.kllQuantile(df, "v", "id", 8, Seq(500))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Profile.kllQuantile(df, "v", "id", 64, Seq(0))
+    }
+  }
+
+  test("kllQuantile: sampled-regime rank error bounded (the ~1/sqrt(k) " +
+      "sampler guarantee)") {
+    import spark.implicits._
+    // v == rank, so the exact rank of any read-off IS its value — the
+    // rank error of the estimate reads off directly
+    val n = 20000
+    val df = (1 to n).map(i => (i.toDouble, s"id$i")).toDF("v", "id")
+    val k = 1024
+    val out = graft.operators.Profile
+      .kllQuantile(df, "v", "id", k, qPermille = Seq(100, 500, 900))
+      .collect()
+    out.foreach { r =>
+      val q = r.getLong(0)
+      val err = math.abs(r.getDouble(1) / n - q / 1000.0)
+      // sample size ≥ k/2 = 512 → σ = sqrt(q(1-q)/512) ≤ 2.3%; 3σ ≈ 7%
+      assert(err <= 0.07, s"q=$q est=${r.getDouble(1)} rank error $err")
+    }
+    assert(out.head.getLong(2) > 0L,
+      "20k rows over k=1024 must raise the level (sampled regime)")
+    assert(out.head.getLong(3) <= k,
+      "sample must fit in k")
+  }
+
+  test("kllQuantileBy: groups are independent — a group's read-offs " +
+      "equal the global sketch on that group alone") {
+    import spark.implicits._
+    val small = (1 to 50).map(i => ("a", i.toDouble, s"a$i"))
+    val big = (1 to 3000).map(i => ("b", (i % 701).toDouble, s"b$i"))
+    val df = (small ++ big).toDF("g", "v", "id")
+    val by = graft.operators.Profile
+      .kllQuantileBy(df, "g", "v", "id", k = 64, qPermille = Seq(500, 900))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSet
+    for (g <- Seq("a", "b")) {
+      val solo = graft.operators.Profile
+        .kllQuantile(df.where(col("g") === g), "v", "id", k = 64,
+          qPermille = Seq(500, 900))
+        .collect()
+        .map(r => (g, r.getLong(0), r.getDouble(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(solo.subsetOf(by), s"group $g diverges from its solo sketch")
+    }
+    // the small group is exact (n=50 ≤ k=64): p50 = rank 25 = 25.0
+    assert(by.contains(("a", 500L, 25.0, 0L, 50L)))
+  }
+
+  test("KllSketch UDAF: replays the column path (level, size, every " +
+      "read-off); merge path exercised across partitions; contracts") {
+    import spark.implicits._
+    val qs = Seq(500, 900, 990)
+    val df = (1 to 5000).map(i => (s"id$i", (i % 997).toDouble))
+      .toDF("id", "v")
+    val colPath = graft.operators.Profile
+      .kllQuantile(df, "v", "id", k = 256, qPermille = qs)
+      .orderBy("q_pm").collect()
+    val sketch = udaf(new graft.functions.KllSketch(256, qs))
+    val hv = df.select(
+      graft.operators.Dedup.portableHash(
+        concat(lit("kll:"), col("id"))).as("h"), col("v"))
+    // 13 partitions force real shuffle merges of partial samples
+    val u = hv.repartition(13).agg(sketch(col("h"), col("v")).as("s"))
+      .select(col("s.lvl"), col("s.n_sample"), col("s.est"))
+      .collect().head
+    assert(colPath.map(_.getDouble(1)).toSeq == u.getSeq[Double](2),
+      "UDAF read-offs must equal the column path's")
+    assert(colPath.head.getLong(2) == u.getLong(0) &&
+      colPath.head.getLong(3) == u.getLong(1),
+      "UDAF (level, sample size) must equal the column path's (l*, |S|)")
+    // input contract: full-width / negative hashes name the contract
+    val agg = new graft.functions.KllSketch(256, Seq(500))
+    val neg = intercept[IllegalArgumentException] {
+      agg.reduce(agg.zero, (-1L, 1.0))
+    }
+    assert(neg.getMessage.contains("portable hash"))
+    intercept[IllegalArgumentException] {
+      agg.reduce(agg.zero, (1L << 60, 1.0))
+    }
+    // boundary hashes accepted; empty group → empty read-offs
+    agg.reduce(agg.zero, (0L, 1.0))
+    agg.reduce(agg.zero, ((1L << 60) - 1L, 1.0))
+    assert(agg.finish(agg.zero).est.isEmpty)
+  }
+
+  test("HllSketch UDAF: out-of-contract hash input fails with the " +
+      "contract message, not an array index error") {
+    val agg = new graft.functions.HllSketch(8)
+    // boundary values of the 60-bit contract are accepted
+    agg.reduce(agg.zero, 0L)
+    agg.reduce(agg.zero, (1L << 60) - 1L)
+    // a negative or full-width hash (xxhash64 is the classic SQL-client
+    // mistake) names the contract instead of AIOOBE-ing in the aggregate
+    val neg = intercept[IllegalArgumentException] {
+      agg.reduce(agg.zero, -1L)
+    }
+    assert(neg.getMessage.contains("portable hash"))
+    val wide = intercept[IllegalArgumentException] {
+      agg.reduce(agg.zero, 1L << 60)
+    }
+    assert(wide.getMessage.contains("portable hash"))
+  }
 }

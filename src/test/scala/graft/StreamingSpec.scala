@@ -128,6 +128,35 @@ class StreamingSpec extends SparkSpec {
       "UDAF register math must replay the column path exactly")
   }
 
+  test("windowedKll over a real stream equals batch; small windows are " +
+      "exact type-1 quantiles") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = EventStreams.streamingWindowedKll(
+        stream, "15 minutes", "10 minutes", col("value"), col("user_id"),
+        k = 16, qPermille = Seq(500, 1000))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("kll_out").start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("kll_out")
+        .orderBy("win_start", "q_pm").collect().map(_.toSeq)
+      val batch = EventStreams.windowedKll(
+          sampleDF, "15 minutes", col("value"), col("user_id"),
+          k = 16, qPermille = Seq(500, 1000))
+        .orderBy("win_start", "q_pm").collect().map(_.toSeq)
+      assert(streamed.toSeq == batch.toSeq)
+      assert(batch.nonEmpty)
+      // every gate window fits in k=16 → exact read-offs: the first
+      // window holds values (1,2,3) → p50 = 2.0, p100 = 3.0
+      val w0 = batch.take(2)
+      assert(w0.map(r => (r(1), r(2))).toSeq ==
+        Seq((500L, 2.0), (1000L, 3.0)))
+    } finally q.stop()
+  }
+
   test("windowedTopK over a real stream equals batch; exact regime counts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String, Double)]
