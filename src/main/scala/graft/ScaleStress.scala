@@ -12,6 +12,9 @@ object ScaleStress {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "8")
+      // dev A/B hook for the CC-engine dispatch (Dedup.connectedComponents)
+      .config("spark.graft.cc",
+        sys.env.getOrElse("SPARK_GRAFT_CC", "minlabel"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

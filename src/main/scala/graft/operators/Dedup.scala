@@ -578,14 +578,19 @@ object Dedup {
     *    (Kiveris et al. 2014, [[connectedComponentsTwoRule]]), which
     *    carries the EDGE set (shrinking toward stars) instead of a
     *    node-label table.
-    * Select with `spark.graft.cc = minlabel | tworule`; the default is
-    * the one that measured faster on the suite's heaviest CC consumers
-    * (`q_embed_dbscan`, the dedup families — A/B in PLANS.md round 13).
+    * Select with `spark.graft.cc = minlabel | tworule` (the conf beats
+    * `engineDefault`, which call sites set to their measured winner —
+    * PLANS.md round-13 A/B: shallow dedup families converge in 1
+    * min-label round, so `minlabel` stays the global default, while
+    * [[Similarity.dbscanGrid]]'s deep grid-adjacency graphs run 14
+    * min-label rounds vs 5 two-rule rounds and measured 2.2× faster
+    * under `tworule` at 10× data).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame =
+      checkpointDir: Option[String] = None,
+      engineDefault: String = "minlabel"): DataFrame =
     pairs.sparkSession.conf.getOption("spark.graft.cc")
-        .getOrElse("minlabel") match {
+        .getOrElse(engineDefault) match {
       case "tworule" =>
         connectedComponentsTwoRule(pairs, maxIter, checkpointDir)
       case "minlabel" =>

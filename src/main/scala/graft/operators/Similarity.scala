@@ -2789,7 +2789,14 @@ object Similarity {
       .join(cores.withColumnRenamed("id", "id_b"), "id_b")
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-    val fams = Dedup.connectedComponents(coreEdges)
+    // engineDefault = tworule: grid-adjacency core graphs are DEEP
+    // (round-13 A/B: 14 min-label rounds vs 5 two-rule rounds here;
+    // 2.2× faster at 10× data) — unlike the shallow dedup families,
+    // where min-label's seed fold converges immediately. Identical
+    // output either way (engine-equality spec in DedupSpec); override
+    // with spark.graft.cc.
+    val fams = Dedup.connectedComponents(coreEdges,
+        engineDefault = "tworule")
       .select(col("doc_id").as("id"), col("family_id"))
     val coreOut = cores.join(fams, Seq("id"), "left")
       .select(col("id"), coalesce(col("family_id"), col("id")).as("cluster"),
