@@ -250,13 +250,19 @@ object Bench {
     // Contention-retry loop (VERDICT r9 item 1): twice (r8, r9) the
     // official record was cut during a host-contention window. A sweep
     // whose probe trace spans >1.5x is NOT accepted as the record; it's
-    // preserved in BENCH_HISTORY.jsonl and the sweep re-runs (≤3 attempts,
-    // so a persistently loaded box still terminates). The record is the
-    // attempt with the lowest normalized total — the closest measurement
-    // of the code on a quiet box this session could obtain — and if every
-    // attempt stayed contended the metric line says so ("contended":true)
-    // instead of leaving the forensics to BENCH_HISTORY.
-    val maxAttempts = 3
+    // preserved in BENCH_HISTORY.jsonl and the sweep re-runs (bounded
+    // attempts, so a persistently loaded box still terminates). The
+    // record is the attempt with the lowest normalized total — the
+    // closest measurement of the code on a quiet box this session could
+    // obtain — and if every attempt stayed contended the metric line
+    // says so ("contended":true) instead of leaving the forensics to
+    // BENCH_HISTORY.
+    // 5 attempts (was 3, VERDICT r12 item 1): round 12's official run
+    // burned all 3 on one contention window and recorded contended:true
+    // while same-code clean attempts existed minutes later. A sweep is
+    // ~5-6 min, so the worst case stays under ~30 min, and the loop
+    // still exits at the FIRST clean attempt — quiet boxes pay nothing.
+    val maxAttempts = 5
     val attempts = scala.collection.mutable.ArrayBuffer[Sweep]()
     var go = true
     while (go) {

@@ -95,6 +95,7 @@ object Tables {
       graft.functions.CountMin.register(spark)
       graft.functions.KmvBottomK.register(spark)
       graft.functions.HllSketch.register(spark)
+      graft.functions.KllSketch.register(spark)
       names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
       // only mark loaded after full success — a partial registration (e.g.
       // transient IO failure on one parquet footer) must be retried, not

@@ -177,6 +177,24 @@ class SketchSpec extends SparkSpec {
     assert(s.getLong(0) == op.getLong(1) && s.getLong(1) == op.getLong(2)
       && s.getLong(2) == op.getLong(3),
       "hll_sketch_p8 must replay hllDistinct's (v_zero, t_fx, est_raw)")
+    // kll_quantile_k256(h, v): SQL name resolves and replays the column
+    // path's read-offs at the registered (500, 900, 990) points
+    graft.functions.KllSketch.register(spark)
+    (1 to 500).map(i => (i.toString, i.toDouble)).toDF("id", "v")
+      .select(graft.operators.Dedup.portableHash(
+        concat(lit("kll:"), col("id"))).as("h"), col("v"))
+      .createOrReplaceTempView("sqlreg_kll")
+    val kq = spark.sql(
+      "SELECT kll_quantile_k256(h, v) AS s FROM sqlreg_kll")
+      .collect().head.getStruct(0)
+    val kop = graft.operators.Profile.kllQuantile(
+      (1 to 500).map(i => (i.toString, i.toDouble)).toDF("id", "v"),
+      "v", "id", k = 256, qPermille = Seq(500, 900, 990))
+      .orderBy("q_pm").collect()
+    assert(kq.getSeq[Double](2) == kop.map(_.getDouble(1)).toSeq &&
+      kq.getLong(0) == kop.head.getLong(2) &&
+      kq.getLong(1) == kop.head.getLong(3),
+      "kll_quantile_k256 must replay kllQuantile's read-offs")
   }
 
   test("hllDistinctBy: a single group equals the global sketch; groups " +
