@@ -2208,6 +2208,137 @@ object Profile {
         col("ls").as("lvl"), col("n_sample"))
   }
 
+  /** WEIGHTED portable quantile sketch — the weighted extension of
+    * [[kllQuantile]] ("p99 of example length weighted by token count"):
+    * a row with integer weight w stands for w unit rows, and the
+    * level-l sample keeps, from each row, the units whose index is
+    * ≡ h (mod 2^l) — SYSTEMATIC SAMPLING driven by the same md5 row
+    * coin, so the per-row survivor count is the exact integer
+    *   survivors_l = w div 2^l + [h mod 2^l < w mod 2^l]
+    * (mean w/2^l over the hash family, heavy rows never fully drop),
+    * survivor sets are nested across levels, and the whole state stays
+    * a pure function of the input multiset — order-free, merge-free,
+    * hash-replayable, all integer. The sketch picks the smallest l*
+    * whose surviving ROW count fits in k; weighted rank reads off the
+    * value-sorted sample's cumulative survivors·2^l* (exact weighted
+    * type-1 quantiles when every row survives at l* = 0).
+    *
+    * Contract: weights are integers in [1, 2^40] (null/zero/negative
+    * rows drop — both engines); `t_total` = Σ survivors·2^l* is the
+    * sketch's weight-mass estimate (exactly Σw at l* = 0). Returns one
+    * row per point: (q_pm, est_v, lvl, n_sample, t_total).
+    *
+    * Scale shape: one corpus scan to a 62-row survival histogram (the
+    * per-row level explode feeds a map-side-combined count), one scan
+    * filtered to the ≤k-row sample, one ≤k-row window — same
+    * two-linear-scans shape as [[kllQuantile]], no global sort.
+    */
+  def kllQuantileWeighted(df: DataFrame, valueCol: String,
+      weightCol: String, idCol: String, k: Int,
+      qPermille: Seq[Int]): DataFrame = {
+    require(k >= 16, s"k must be >= 16, got $k")
+    require(qPermille.nonEmpty && qPermille.forall(q => q >= 1 && q <= 1000),
+      "quantile points are per-mille in [1,1000]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = Caching.persist(df
+      .select(col(valueCol).as("v"),
+        col(weightCol).cast("long").as("w"),
+        Dedup.portableHash(
+          concat(lit("kllw:"), col(idCol).cast("string"))).as("h"))
+      .where(col("v").isNotNull && col("h").isNotNull &&
+        col("w").between(1L, 1L << 40)))
+    // survival at level l ⇔ h mod 2^l < w (the smallest unit index
+    // ≡ h mod 2^l must exist below w); nested in l, so the histogram
+    // counts rows per level in one exploded pass
+    val levels = spark.range(0L, 62L).toDF("l")
+    val sizes = levels.join(
+        broadcast(base
+          .select(explode(expr("sequence(0L, 61L)")).as("l"), col("w"),
+            col("h"))
+          .where(expr("pmod(h, shiftleft(1L, CAST(l AS INT))) < w"))
+          .groupBy(col("l")).agg(count(lit(1)).as("c"))),
+        Seq("l"), "left")
+      .select(col("l"), coalesce(col("c"), lit(0L)).as("sz"))
+    // smallest level whose surviving-row count fits in k; l = 61 is the
+    // documented fallback (rows with h < w — measure-zero in practice)
+    val lstar = sizes.where(col("sz") <= k || col("l") === 61L)
+      .agg(min(struct(col("l"), col("sz"))).as("m"))
+      .select(col("m.l").as("ls"), col("m.sz").as("n_sample"))
+    val samp = base.crossJoin(broadcast(lstar))
+      .where(expr("pmod(h, shiftleft(1L, CAST(ls AS INT))) < w"))
+      .select(col("v"), col("ls"), col("n_sample"),
+        expr("((w div shiftleft(1L, CAST(ls AS INT))) + " +
+          "(CASE WHEN pmod(h, shiftleft(1L, CAST(ls AS INT))) < " +
+          "pmod(w, shiftleft(1L, CAST(ls AS INT))) THEN 1 ELSE 0 END)) " +
+          "* shiftleft(1L, CAST(ls AS INT))").as("contrib"))
+    // ROWS frame, not the orderBy default RANGE: tied values must each
+    // carry their own running total (the straddle intervals partition
+    // (0, T] exactly once; any tie order yields the same est_v)
+    val win = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = samp.select(col("v"), col("ls"), col("n_sample"),
+      col("contrib"), sum(col("contrib")).over(win).as("cum"),
+      sum(col("contrib")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy()).as("t_total"))
+    val qs = qPermille.map(_.toLong).toDF("q_pm")
+    // min v with weighted rank ≥ R: the row whose cumulative block
+    // straddles R (ties in v share cum boundaries → same est_v)
+    cum.join(broadcast(qs),
+        expr("greatest(1L, (q_pm * t_total + 999) div 1000) <= cum AND " +
+          "greatest(1L, (q_pm * t_total + 999) div 1000) > cum - contrib"))
+      .select(col("q_pm"), col("v").as("est_v"), col("ls").as("lvl"),
+        col("n_sample"), col("t_total"))
+  }
+
+  /** DuckDB replay of [[kllQuantileWeighted]] — same systematic-sampling
+    * integer math, value-for-value.
+    */
+  def kllWeightedOracleSql(table: String, valueExpr: String,
+      weightExpr: String, idExpr: String, k: Int,
+      qPermille: Seq[Int]): String =
+    s"""WITH base AS (
+       |  SELECT ($valueExpr) AS v, ($weightExpr)::BIGINT AS w,
+       |         ('0x' || substr(md5('kllw:' || ($idExpr)::VARCHAR), 1, 15))::BIGINT AS h
+       |  FROM $table
+       |  WHERE ($valueExpr) IS NOT NULL AND ($idExpr) IS NOT NULL
+       |    AND ($weightExpr) IS NOT NULL
+       |    AND ($weightExpr)::BIGINT BETWEEN 1 AND ${1L << 40}),
+       |hist AS (
+       |  SELECT g.l, count(*)::BIGINT AS c
+       |  FROM base JOIN generate_series(0, 61) AS g(l)
+       |    ON base.h % (1::BIGINT << g.l::INT) < base.w
+       |  GROUP BY g.l),
+       |sizes AS (
+       |  SELECT g.l, coalesce(hist.c, 0)::BIGINT AS sz
+       |  FROM generate_series(0, 61) AS g(l) LEFT JOIN hist ON hist.l = g.l),
+       |lstar AS (SELECT l AS ls, sz AS n_sample FROM sizes
+       |          WHERE sz <= $k OR l = 61 ORDER BY l LIMIT 1),
+       |samp AS (
+       |  SELECT v, ls, n_sample,
+       |         ((w // (1::BIGINT << ls::INT)) +
+       |          (CASE WHEN h % (1::BIGINT << ls::INT) <
+       |                     w % (1::BIGINT << ls::INT) THEN 1 ELSE 0 END))
+       |           * (1::BIGINT << ls::INT) AS contrib
+       |  FROM base, lstar
+       |  WHERE h % (1::BIGINT << ls::INT) < w),
+       |cum AS (
+       |  SELECT v, ls, n_sample, contrib,
+       |         sum(contrib) OVER (ORDER BY v
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           ::BIGINT AS cum,
+       |         sum(contrib) OVER ()::BIGINT AS t_total
+       |  FROM samp)
+       |SELECT q.q_pm, c.v AS est_v, c.ls::BIGINT AS lvl, c.n_sample,
+       |       c.t_total
+       |FROM cum c
+       |JOIN (SELECT unnest([${qPermille.mkString(", ")}])::BIGINT AS q_pm) q
+       |  ON greatest(1, (q.q_pm * c.t_total + 999) // 1000) <= c.cum
+       | AND greatest(1, (q.q_pm * c.t_total + 999) // 1000)
+       |       > c.cum - c.contrib""".stripMargin
+
   /** Shared ([grp,] v, lvl) projection for the KLL family: 60-bit
     * portable row hash of `idCol` (the row's sampling coin), lvl =
     * leading-zero count within the 60-bit width — the same `bin()`/

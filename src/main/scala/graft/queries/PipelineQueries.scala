@@ -501,6 +501,20 @@ object PipelineQueries {
         qPermille = Seq(500, 900))
     }),
 
+    // --- WEIGHTED portable quantile sketch: quantity-weighted price
+    // percentiles ("p90 price per unit shipped") via systematic
+    // sampling of the weight expansion off the same md5 row coin —
+    // integer survivor counts, weighted rank read-off (oracle-checked) ---
+    "q_approx_kll_w" -> ((s, d) => {
+      Tables.load(s, d)
+      graft.operators.Profile.kllQuantileWeighted(
+        s.table("lineitem").withColumn("rid",
+          concat(col("l_orderkey").cast("string"), lit("_"),
+            col("l_linenumber").cast("string"))),
+        "l_extendedprice", "l_quantity", "rid", k = 1024,
+        qPermille = Seq(500, 900, 990))
+    }),
+
     // --- split-conformal calibration: md5 train/cal/test split, explicit
     // finite-sample conformal rank, integer-cents coverage counts
     // (oracle-checked) ---
@@ -1856,6 +1870,11 @@ object PipelineQueries {
       "lineitem", "l_returnflag", "l_quantity",
       "l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR",
       k = 256, qPermille = Seq(500, 900)),
+
+    "q_approx_kll_w" -> graft.operators.Profile.kllWeightedOracleSql(
+      "lineitem", "l_extendedprice", "l_quantity",
+      "l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR",
+      k = 1024, qPermille = Seq(500, 900, 990)),
 
     "q_pipeline_conformal_band" -> graft.operators.Eval.conformalOracleSql(
       "events", "event_type", "event_id", "value", alphaPct = 10),

@@ -404,6 +404,67 @@ class SketchSpec extends SparkSpec {
     assert(by.contains(("a", 500L, 25.0, 0L, 50L)))
   }
 
+  test("kllQuantileWeighted: exact weighted type-1 quantiles below k, " +
+      "heavy rows never drop, weight contract, layout invariance") {
+    import spark.implicits._
+    // exact regime (every row survives at l* = 0): values 1..4 with
+    // weights 1,2,3,4 → T = 10; p50 → rank 5 → cum(1,3,6,...) → v = 3;
+    // p100 → rank 10 → v = 4; p10 → rank 1 → v = 1
+    val df = Seq((1.0, 1L, "a"), (2.0, 2L, "b"), (3.0, 3L, "c"),
+      (4.0, 4L, "d")).toDF("v", "w", "id")
+    val out = graft.operators.Profile.kllQuantileWeighted(
+        df, "v", "w", "id", k = 16, qPermille = Seq(100, 500, 1000))
+      .orderBy("q_pm").collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((100L, 1.0), (500L, 3.0), (1000L, 4.0)))
+    assert(out.forall(r => r.getLong(2) == 0L && r.getLong(3) == 4L &&
+      r.getLong(4) == 10L), "l*=0: n_sample = rows, t_total = Σw exactly")
+    // zero/negative/oversized weights and null values drop (contract)
+    val dirty = Seq((1.0, 0L, "z"), (1.0, -5L, "n"),
+      (1.0, (1L << 41), "big")).toDF("v", "w", "id")
+    assert(graft.operators.Profile.kllQuantileWeighted(
+      dirty, "v", "w", "id", 16, Seq(500)).count() == 0L)
+    // sampled regime: 20k unit-weight-ish rows + one heavy row carrying
+    // half the total mass — the heavy row's value must BE the median
+    // (systematic sampling keeps ≥ floor(w/2^l) units of any row)
+    val light = (1 to 20000).map(i => (i.toDouble, 1L, s"l$i"))
+    val heavy = Seq((0.5, 20000L, "heavy"))
+    val mixed = (light ++ heavy).toDF("v", "w", "id")
+    val m = graft.operators.Profile.kllQuantileWeighted(
+        mixed, "v", "w", "id", k = 512, qPermille = Seq(400))
+      .collect().head
+    assert(m.getDouble(1) == 0.5,
+      s"p40 must read the heavy row's value, got ${m.getDouble(1)}")
+    assert(m.getLong(2) > 0L, "sampled regime: level raised")
+    // rank error vs the exact weighted quantile on the light tail:
+    // p90 of the mixture sits at light rank ≈ 0.8·20k = 16k; allow the
+    // sampler's ~3σ ≈ 3.5 percentage points of total mass (k=512)
+    val p90 = graft.operators.Profile.kllQuantileWeighted(
+        mixed, "v", "w", "id", k = 512, qPermille = Seq(900))
+      .collect().head.getDouble(1)
+    assert(math.abs(p90 - 16000.0) <= 0.07 * 40000.0,
+      s"p90 rank error too large: est=$p90 exact=16000")
+    // partition-layout invariance (hash coins, integer math)
+    val a = graft.operators.Profile.kllQuantileWeighted(
+      mixed, "v", "w", "id", 512, Seq(250, 750)).orderBy("q_pm")
+      .collect().map(_.toSeq).toSeq
+    val b = graft.operators.Profile.kllQuantileWeighted(
+      mixed.repartition(11), "v", "w", "id", 512, Seq(250, 750))
+      .orderBy("q_pm").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // w = 1 everywhere in the exact regime equals the unweighted sketch
+    val units = (1 to 50).map(i => (i.toDouble, 1L, i.toString))
+      .toDF("v", "w", "id")
+    val wq = graft.operators.Profile.kllQuantileWeighted(
+        units, "v", "w", "id", 64, Seq(500, 900))
+      .orderBy("q_pm").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val uq = graft.operators.Profile.kllQuantile(
+        units, "v", "id", 64, Seq(500, 900))
+      .orderBy("q_pm").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(wq.toSeq == uq.toSeq,
+      "unit weights below k must equal the unweighted exact read-offs")
+  }
+
   test("KllSketch UDAF: replays the column path (level, size, every " +
       "read-off); merge path exercised across partitions; contracts") {
     import spark.implicits._
