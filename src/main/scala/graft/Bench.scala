@@ -303,7 +303,9 @@ object Bench {
     val detail = best.perQuery.map { case (k, raw, factor, norm) =>
       val ns = normByQuery(k)
       val mn = ns.min
-      val spread = ns.max / math.max(mn, 1e-9)
+      // 1e-3 s floor (ADVICE r13): a sub-millisecond norm_min is timer
+      // rounding, and dividing by it turned spread into a meaningless ~1e9
+      val spread = ns.max / math.max(mn, 1e-3)
       s"\"" + k + "\":" +
         f"""{"raw":$raw%.3f,"factor":$factor%.3f,"norm":$norm%.3f,"norm_min":$mn%.3f,"spread":$spread%.2f}"""
     }.mkString("{", ",", "}")

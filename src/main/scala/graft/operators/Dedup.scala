@@ -707,9 +707,17 @@ object Dedup {
     * per-round work stays Θ(|E|+|V|) throughout) — the reason to A/B the
     * two on heavy CC consumers. Same contract/levers as
     * [[connectedComponentsMinLabel]]: per-round lineage truncation,
-    * reliable checkpoints via `checkpointDir` for cluster mode, checksum
-    * fixpoint detection (the edge multiset is encoded as an
-    * order-invariant DECIMAL(38,0) sum — exact, no hashing).
+    * reliable checkpoints via `checkpointDir` for cluster mode, EXACT
+    * fixpoint detection — a count compare every round plus an
+    * `exceptAll`-emptiness check on count-equal rounds (ADVICE r13: the
+    * former count+shifted-sum checksum was not an injective multiset
+    * encoding and, unlike the min-label engine's monotone label sum, had
+    * no monotonicity proof across a star round, so a cross-round
+    * collision could terminate pre-fixpoint). Both sides of the compare
+    * are distinct edge SETS, so equal counts + empty difference ⇒ equal
+    * sets; the exceptAll job only runs on count-equal rounds (≈ the 1–2
+    * rounds around the fixpoint, over the already-shrunken ≈|V|-row star
+    * set) and both operands are checkpointed, so the check is flat-plan.
     */
   def connectedComponentsTwoRule(pairs: DataFrame, maxIter: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
@@ -724,16 +732,12 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .where(col("u") =!= col("v")).distinct())
-    // order-invariant exact fixpoint witness: count plus the multiset sum
-    // of u·2^32 + v in DECIMAL(38,0) (ids can be full-width longs — the
-    // shifted sum must not overflow; 38 digits carries ~10^19 edges)
-    def checksum(e: DataFrame): String = e.agg(concat_ws("|",
-        count(lit(1)).cast("string"),
-        coalesce(sum(col("u").cast("decimal(38,0)") * lit(4294967296L) +
-          col("v").cast("decimal(38,0)")),
-          lit(java.math.BigDecimal.ZERO)).cast("string")))
-      .collect()(0).getString(0)
-    var prev = checksum(edges)
+    // exact fixpoint witness (see scaladoc): the count() doubles as the
+    // checkpoint-materializing action each round (the role the old
+    // checksum agg played); the set-difference probe fires only on
+    // count-equal rounds
+    var prevEdges = edges
+    var prevCount = edges.count()
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -755,9 +759,11 @@ object Dedup {
         .where(col("x") =!= col("m"))
         .select(col("x").as("u"), col("m").as("v")).distinct()
       edges = truncate(small)
-      val cur = checksum(edges)
-      converged = cur == prev
-      prev = cur
+      val curCount = edges.count()
+      converged = curCount == prevCount &&
+        edges.exceptAll(prevEdges).isEmpty
+      prevEdges = edges
+      prevCount = curCount
       i += 1
     }
     if (sys.env.contains("GRAFT_CC_DEBUG"))

@@ -1609,18 +1609,23 @@ object Graph {
     */
   def effectiveDiameter(edges: DataFrame, maxHops: Int, p: Int = 5,
       pct: Int = 90): DataFrame =
-    effectiveDiameter(neighborhoodFunction(edges, maxHops, p), pct)
+    effectiveDiameterFromCurve(neighborhoodFunction(edges, maxHops, p), pct)
 
-  /** Read-off OVERLOAD over an already-computed [[neighborhoodFunction]]
-    * curve, so a caller wanting both the curve and the diameter pays ONE
-    * ANF run (VERDICT r12 item 5; the edges form above recomputes the
-    * curve lineage after its nfMax head() — bounded, the per-hop states
-    * are checkpointed, but two reads of the same ANF are still two).
+  /** Read-off over an already-computed [[neighborhoodFunction]] curve, so
+    * a caller wanting both the curve and the diameter pays ONE ANF run
+    * (VERDICT r12 item 5; the edges form above recomputes the curve
+    * lineage after its nfMax head() — bounded, the per-hop states are
+    * checkpointed, but two reads of the same ANF are still two).
+    * Distinctly NAMED, not overloaded (ADVICE r13): a 2-arg overload
+    * `effectiveDiameter(curve, pct)` silently captured existing positional
+    * `effectiveDiameter(edges, maxHops)` calls — Scala prefers the
+    * alternative applicable without default args — misbinding edges as a
+    * curve and failing at runtime on the missing `nf_est` column.
     * Spec-pinned equal to the edges form on the same input. Empty /
     * edge-less input (nf_est NULL on every row, or no rows) returns an
     * empty frame instead of NPE-ing on the eager max read (ADVICE r12).
     */
-  def effectiveDiameter(curve: DataFrame, pct: Int): DataFrame = {
+  def effectiveDiameterFromCurve(curve: DataFrame, pct: Int): DataFrame = {
     require(pct >= 1 && pct <= 100)
     val mx = curve.agg(max(col("nf_est"))).head()
     if (mx.isNullAt(0))

@@ -520,7 +520,7 @@ class GraphSpec extends SparkSpec {
     assert(eff(star, 90).getLong(0) <= eff(star, 100).getLong(0))
   }
 
-  test("effectiveDiameter: curve overload ≡ edges form; empty input " +
+  test("effectiveDiameter: curve read-off ≡ edges form; empty input " +
       "returns an empty frame; ANF seeds sink-only nodes (directed)") {
     import spark.implicits._
     def sym(und: Seq[(Long, Long)]) =
@@ -531,7 +531,7 @@ class GraphSpec extends SparkSpec {
     val viaEdges = Graph.effectiveDiameter(e, maxHops = 5, p = 5, pct = 90)
       .collect().map(_.toSeq).toSeq
     val curve = Graph.neighborhoodFunction(e, maxHops = 5, p = 5)
-    val viaCurve = Graph.effectiveDiameter(curve, pct = 90)
+    val viaCurve = Graph.effectiveDiameterFromCurve(curve, pct = 90)
       .collect().map(_.toSeq).toSeq
     assert(viaEdges == viaCurve)
     // edge-less input: empty result with the contract schema, not an NPE
