@@ -598,6 +598,38 @@ object ScaleStress {
     time("windowed-kll 1x (5k docs)")(wkll(d1))
     time("windowed-kll 10x (50k docs)")(wkll(d10))
 
+    // WEIGHTED KLL (global / grouped / windowed): same two-linear-scan /
+    // bounded-sample shapes as the unweighted tiers with the systematic
+    // weight-expansion sampler — the level histogram is still ≤62 rows
+    // (global), ≤G·62 (grouped), and the window state ≤(k+1) survivors
+    def kllw(d: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.Profile.kllQuantileWeighted(d, "n_chars",
+        "w", "doc_id", k = 1024, qPermille = Seq(500, 900, 990))
+        .count()
+    def wweight(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("w", lit(1L) + pmod(col("doc_id"), lit(7L)))
+    time("kll-w 1x (5k docs)")(kllw(wweight(d1)))
+    time("kll-w 10x (50k docs)")(kllw(wweight(d10)))
+
+    def kwby(d: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.Profile.kllQuantileWeightedBy(d, "source",
+        "n_chars", "w", "doc_id", k = 256, qPermille = Seq(500, 900))
+        .count()
+    time("kll-w-by 1x (5k docs)")(kwby(wweight(d1)))
+    time("kll-w-by 10x (50k docs, same 20 sources)")(kwby(wweight(d10)))
+
+    def wkllw(d: org.apache.spark.sql.DataFrame): Long =
+      graft.streaming.EventStreams.windowedKllWeighted(
+        d.select(col("doc_id"), col("n_chars"),
+          org.apache.spark.sql.functions.to_timestamp(
+            org.apache.spark.sql.functions.from_unixtime(
+              col("doc_id") % 86400L)).as("ts")),
+        "1 hour", col("n_chars"),
+        lit(1L) + pmod(col("doc_id"), lit(7L)), col("doc_id"), k = 256,
+        qPermille = Seq(500, 900)).count()
+    time("windowed-kll-w 1x (5k docs)")(wkllw(d1))
+    time("windowed-kll-w 10x (50k docs)")(wkllw(d10))
+
     // HLL overlap matrix: one corpus pass to G·m register rows, then
     // G²·m pair-union work — 10x docs in the SAME 20 sources must cost
     // ~one extra scan (the pair stage is group-domain-sized)

@@ -2262,16 +2262,7 @@ object Profile {
     // histogram. The oracle keeps the direct per-level generate_series
     // count — identical numbers by the monotonicity argument.
     val levels = spark.range(0L, 62L).toDF("l")
-    val maxl = base.select(expr(
-        """CASE WHEN pmod(h, shiftleft(1L, CAST(length(bin(w)) AS INT))) >= w
-          |     THEN CAST(length(bin(w)) AS BIGINT) - 1
-          |     ELSE least(61L, CAST(length(bin(w)) AS BIGINT) +
-          |       (CASE WHEN h div shiftleft(1L, CAST(length(bin(w)) AS INT)) = 0
-          |             THEN 61L
-          |             ELSE CAST(length(bin(h div shiftleft(1L, CAST(length(bin(w)) AS INT)))) -
-          |                  length(rtrim('0', bin(h div shiftleft(1L, CAST(length(bin(w)) AS INT))))) AS BIGINT)
-          |        END))
-          |END""".stripMargin).as("ml"))
+    val maxl = base.select(expr(kllwMaxLevelSql).as("ml"))
       .groupBy(col("ml")).agg(count(lit(1)).as("c"))
     val sizes = levels.join(broadcast(maxl), col("ml") >= col("l"), "left")
       .groupBy(col("l")).agg(coalesce(sum(col("c")), lit(0L)).as("sz"))
@@ -2283,10 +2274,7 @@ object Profile {
     val samp = base.crossJoin(broadcast(lstar))
       .where(expr("pmod(h, shiftleft(1L, CAST(ls AS INT))) < w"))
       .select(col("v"), col("ls"), col("n_sample"),
-        expr("((w div shiftleft(1L, CAST(ls AS INT))) + " +
-          "(CASE WHEN pmod(h, shiftleft(1L, CAST(ls AS INT))) < " +
-          "pmod(w, shiftleft(1L, CAST(ls AS INT))) THEN 1 ELSE 0 END)) " +
-          "* shiftleft(1L, CAST(ls AS INT))").as("contrib"))
+        expr(kllwContribSql).as("contrib"))
     // ROWS frame, not the orderBy default RANGE: tied values must each
     // carry their own running total (the straddle intervals partition
     // (0, T] exactly once; any tie order yields the same est_v)
@@ -2348,6 +2336,162 @@ object Profile {
        |  FROM samp)
        |SELECT q.q_pm, c.v AS est_v, c.ls::BIGINT AS lvl, c.n_sample,
        |       c.t_total
+       |FROM cum c
+       |JOIN (SELECT unnest([${qPermille.mkString(", ")}])::BIGINT AS q_pm) q
+       |  ON greatest(1, (q.q_pm * c.t_total + 999) // 1000) <= c.cum
+       | AND greatest(1, (q.q_pm * c.t_total + 999) // 1000)
+       |       > c.cum - c.contrib""".stripMargin
+
+  /** Closed-form max surviving level for the weighted KLL row coin (the
+    * derivation lives on [[kllQuantileWeighted]]) — shared by the global
+    * and grouped engines; consumes columns `h` and `w`.
+    */
+  private val kllwMaxLevelSql: String =
+    """CASE WHEN pmod(h, shiftleft(1L, CAST(length(bin(w)) AS INT))) >= w
+      |     THEN CAST(length(bin(w)) AS BIGINT) - 1
+      |     ELSE least(61L, CAST(length(bin(w)) AS BIGINT) +
+      |       (CASE WHEN h div shiftleft(1L, CAST(length(bin(w)) AS INT)) = 0
+      |             THEN 61L
+      |             ELSE CAST(length(bin(h div shiftleft(1L, CAST(length(bin(w)) AS INT)))) -
+      |                  length(rtrim('0', bin(h div shiftleft(1L, CAST(length(bin(w)) AS INT))))) AS BIGINT)
+      |        END))
+      |END""".stripMargin
+
+  /** Exact integer survivor mass of a weight-w row at level `ls` — the
+    * systematic-sampling count times the per-survivor span; consumes
+    * columns `h`, `w`, `ls`. Shared by the global and grouped engines.
+    */
+  private val kllwContribSql: String =
+    "((w div shiftleft(1L, CAST(ls AS INT))) + " +
+      "(CASE WHEN pmod(h, shiftleft(1L, CAST(ls AS INT))) < " +
+      "pmod(w, shiftleft(1L, CAST(ls AS INT))) THEN 1 ELSE 0 END)) " +
+      "* shiftleft(1L, CAST(ls AS INT))"
+
+  /** Per-group [[kllQuantileWeighted]] — "p99 doc length weighted by
+    * tokens, per language", the form a mixture audit actually asks for
+    * (VERDICT r13 item 1): one survival histogram and one ≤k-row sample
+    * PER GROUP, completing the weighted family's global / per-group /
+    * per-window rack ([[graft.streaming.EventStreams
+    * .windowedKllWeighted]] is the window form, [[graft.functions
+    * .KllWeightedSketch]] the mergeable aggregate all three replay).
+    * Same contract as the global engine: integer weights in [1, 2^40]
+    * (null/zero/negative rows drop), t_total = per-group weight-mass
+    * estimate, exact weighted type-1 quantiles when the group survives
+    * whole at l* = 0. Returns (grp, q_pm, est_v, lvl, n_sample, t_total)
+    * per group × point.
+    *
+    * Level selection per group is exact without a group × 62 cross join:
+    * per-level survivor counts are present for the contiguous range
+    * l ∈ [0, max ml], every missing level has sz = 0, and sz is monotone
+    * non-increasing in l — so ONE synthetic (grp, max ml + 1, 0) row per
+    * group (groups already at ml = 61 excluded: their l = 61 fallback
+    * row is real and must keep its true size) covers the entire missing
+    * tail for the min-(l, sz) selection.
+    *
+    * Scale shape: corpus → ≤G·62 histogram rows → G-row l* frame
+    * (equi-joined back, never a theta join) → ≤G·k sample rows (plus the
+    * measure-zero l = 61 fallback) → per-group window over ≤k rows. No
+    * global sort, no corpus-sized shuffle beyond the group key.
+    */
+  def kllQuantileWeightedBy(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String, idCol: String, k: Int,
+      qPermille: Seq[Int]): DataFrame = {
+    require(k >= 16, s"k must be >= 16, got $k")
+    require(qPermille.nonEmpty && qPermille.forall(q => q >= 1 && q <= 1000),
+      "quantile points are per-mille in [1,1000]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = Caching.persist(df
+      .select(col(groupCol).cast("string").as("grp"),
+        col(valueCol).as("v"),
+        col(weightCol).cast("long").as("w"),
+        Dedup.portableHash(
+          concat(lit("kllw:"), col(idCol).cast("string"))).as("h"))
+      .where(col("grp").isNotNull && col("v").isNotNull &&
+        col("h").isNotNull && col("w").between(1L, 1L << 40)))
+    val levels = spark.range(0L, 62L).toDF("l")
+    val hist = base.select(col("grp"), expr(kllwMaxLevelSql).as("ml"))
+      .groupBy(col("grp"), col("ml")).agg(count(lit(1)).as("c"))
+    val sufs = hist.join(broadcast(levels), col("ml") >= col("l"))
+      .groupBy(col("grp"), col("l")).agg(sum(col("c")).as("sz"))
+    val synth = hist.groupBy(col("grp")).agg(max(col("ml")).as("mm"))
+      .where(col("mm") < 61L)
+      .select(col("grp"), (col("mm") + 1L).as("l"), lit(0L).as("sz"))
+    val lstar = sufs.unionByName(synth)
+      .where(col("sz") <= k || col("l") === 61L)
+      .groupBy(col("grp")).agg(min(struct(col("l"), col("sz"))).as("m"))
+      .select(col("grp"), col("m.l").as("ls"), col("m.sz").as("n_sample"))
+    val samp = base.join(lstar, Seq("grp"))
+      .where(expr("pmod(h, shiftleft(1L, CAST(ls AS INT))) < w"))
+      .select(col("grp"), col("v"), col("ls"), col("n_sample"),
+        expr(kllwContribSql).as("contrib"))
+    // ROWS frame (not RANGE): tied values each carry their own running
+    // total — the straddle intervals partition (0, T] exactly once
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = samp.select(col("grp"), col("v"), col("ls"),
+      col("n_sample"), col("contrib"),
+      sum(col("contrib")).over(win).as("cum"),
+      sum(col("contrib")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp"))).as("t_total"))
+    val qs = qPermille.map(_.toLong).toDF("q_pm")
+    cum.join(broadcast(qs),
+        expr("greatest(1L, (q_pm * t_total + 999) div 1000) <= cum AND " +
+          "greatest(1L, (q_pm * t_total + 999) div 1000) > cum - contrib"))
+      .select(col("grp"), col("q_pm"), col("v").as("est_v"),
+        col("ls").as("lvl"), col("n_sample"), col("t_total"))
+  }
+
+  /** DuckDB replay of [[kllQuantileWeightedBy]] — the
+    * [[kllWeightedOracleSql]] machinery partitioned by the group,
+    * including the synthetic first-missing-level row.
+    */
+  def kllWeightedByOracleSql(table: String, groupExpr: String,
+      valueExpr: String, weightExpr: String, idExpr: String, k: Int,
+      qPermille: Seq[Int]): String =
+    s"""WITH base AS (
+       |  SELECT ($groupExpr)::VARCHAR AS grp, ($valueExpr) AS v,
+       |         ($weightExpr)::BIGINT AS w,
+       |         ('0x' || substr(md5('kllw:' || ($idExpr)::VARCHAR), 1, 15))::BIGINT AS h
+       |  FROM $table
+       |  WHERE ($groupExpr) IS NOT NULL AND ($valueExpr) IS NOT NULL
+       |    AND ($idExpr) IS NOT NULL AND ($weightExpr) IS NOT NULL
+       |    AND ($weightExpr)::BIGINT BETWEEN 1 AND ${1L << 40}),
+       |hist AS (
+       |  SELECT grp, g.l, count(*)::BIGINT AS sz
+       |  FROM base JOIN generate_series(0, 61) AS g(l)
+       |    ON base.h % (1::BIGINT << g.l::INT) < base.w
+       |  GROUP BY 1, 2),
+       |synth AS (
+       |  SELECT grp, max(l) + 1 AS l, 0::BIGINT AS sz FROM hist
+       |  GROUP BY grp HAVING max(l) < 61),
+       |sizes AS (SELECT * FROM hist UNION ALL SELECT * FROM synth),
+       |lstar AS (
+       |  SELECT grp, ls, n_sample FROM (
+       |    SELECT grp, l AS ls, sz AS n_sample,
+       |           row_number() OVER (PARTITION BY grp ORDER BY l, sz) AS rk
+       |    FROM sizes WHERE sz <= $k OR l = 61)
+       |  WHERE rk = 1),
+       |samp AS (
+       |  SELECT base.grp, v, ls, n_sample,
+       |         ((w // (1::BIGINT << ls::INT)) +
+       |          (CASE WHEN h % (1::BIGINT << ls::INT) <
+       |                     w % (1::BIGINT << ls::INT) THEN 1 ELSE 0 END))
+       |           * (1::BIGINT << ls::INT) AS contrib
+       |  FROM base JOIN lstar ON lstar.grp = base.grp
+       |  WHERE h % (1::BIGINT << ls::INT) < w),
+       |cum AS (
+       |  SELECT grp, v, ls, n_sample, contrib,
+       |         sum(contrib) OVER (PARTITION BY grp ORDER BY v
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           ::BIGINT AS cum,
+       |         sum(contrib) OVER (PARTITION BY grp)::BIGINT AS t_total
+       |  FROM samp)
+       |SELECT c.grp, q.q_pm, c.v AS est_v, c.ls::BIGINT AS lvl,
+       |       c.n_sample, c.t_total
        |FROM cum c
        |JOIN (SELECT unnest([${qPermille.mkString(", ")}])::BIGINT AS q_pm) q
        |  ON greatest(1, (q.q_pm * c.t_total + 999) // 1000) <= c.cum

@@ -515,6 +515,21 @@ object PipelineQueries {
         qPermille = Seq(500, 900, 990))
     }),
 
+    // --- per-group WEIGHTED quantile sketch: quantity-weighted price
+    // percentiles per return flag — "p90 price per unit shipped, per
+    // flag", the mixture-audit form (VERDICT r13 item 1); same
+    // systematic-sampling survivor math as q_approx_kll_w with one
+    // ≤k-row sample per group (oracle-checked) ---
+    "q_approx_kll_w_by" -> ((s, d) => {
+      Tables.load(s, d)
+      graft.operators.Profile.kllQuantileWeightedBy(
+        s.table("lineitem").withColumn("rid",
+          concat(col("l_orderkey").cast("string"), lit("_"),
+            col("l_linenumber").cast("string"))),
+        "l_returnflag", "l_extendedprice", "l_quantity", "rid", k = 256,
+        qPermille = Seq(500, 900))
+    }),
+
     // --- split-conformal calibration: md5 train/cal/test split, explicit
     // finite-sample conformal rank, integer-cents coverage counts
     // (oracle-checked) ---
@@ -1875,6 +1890,11 @@ object PipelineQueries {
       "lineitem", "l_extendedprice", "l_quantity",
       "l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR",
       k = 1024, qPermille = Seq(500, 900, 990)),
+
+    "q_approx_kll_w_by" -> graft.operators.Profile.kllWeightedByOracleSql(
+      "lineitem", "l_returnflag", "l_extendedprice", "l_quantity",
+      "l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR",
+      k = 256, qPermille = Seq(500, 900)),
 
     "q_pipeline_conformal_band" -> graft.operators.Eval.conformalOracleSql(
       "events", "event_type", "event_id", "value", alphaPct = 10),

@@ -47,6 +47,16 @@ object StreamQueries {
       EventStreams.windowedKll(events(s, d), "1 hour", col("value"),
         col("event_id"), k = 256, qPermille = Seq(500, 900, 990))),
 
+    // per-window WEIGHTED quantile sketch — unit-weighted p50/p90 of
+    // event value per hour from the mergeable KllWeightedSketch survivor
+    // sample (O(k) window state; weight = a deterministic 1..9 units
+    // column derived from user_id), every read-off hash-checked
+    // (oracle-checked)
+    "q_stream_kll_w" -> ((s, d) =>
+      EventStreams.windowedKllWeighted(events(s, d), "1 hour",
+        col("value"), lit(1L) + pmod(col("user_id"), lit(9L)),
+        col("event_id"), k = 256, qPermille = Seq(500, 900))),
+
     // deterministic per-(event_type, hour) rate limiter: first 3 events
     // by (ts, event_id) survive — the ingestion throttle with provenance
     // (oracle-checked; arrival-order streaming twin spec-pinned)
@@ -453,6 +463,12 @@ object StreamQueries {
     "q_stream_kll" -> graft.streaming.EventStreams.windowedKllOracleSql(
       widthSec = 3600L, valueExpr = "value", idExpr = "event_id",
       k = 256, qPermille = Seq(500, 900, 990)),
+
+    "q_stream_kll_w" -> graft.streaming.EventStreams
+      .windowedKllWeightedOracleSql(
+        widthSec = 3600L, valueExpr = "value",
+        weightExpr = "1 + (user_id % 9)", idExpr = "event_id",
+        k = 256, qPermille = Seq(500, 900)),
 
     "q_stream_topk" -> graft.streaming.EventStreams.windowedTopKOracleSql(
       widthSec = 3600L, keyExpr = "event_type", topN = 3),

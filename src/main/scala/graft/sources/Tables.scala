@@ -96,6 +96,7 @@ object Tables {
       graft.functions.KmvBottomK.register(spark)
       graft.functions.HllSketch.register(spark)
       graft.functions.KllSketch.register(spark)
+      graft.functions.KllWeightedSketch.register(spark)
       names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
       // only mark loaded after full success — a partial registration (e.g.
       // transient IO failure on one parquet footer) must be retried, not

@@ -502,6 +502,88 @@ class SketchSpec extends SparkSpec {
     assert(agg.finish(agg.zero).est.isEmpty)
   }
 
+  test("kllQuantileWeightedBy: groups independent (≡ solo weighted " +
+      "sketch per group); exact regime; layout invariance") {
+    import spark.implicits._
+    // two groups, distinct scales, mixed weights; group a is exact
+    // (4 rows ≤ k): values 1..4 weights 1..4 → T = 10, p50 → v = 3
+    val df = (Seq((1.0, 1L, "a1", "a"), (2.0, 2L, "a2", "a"),
+      (3.0, 3L, "a3", "a"), (4.0, 4L, "a4", "a")) ++
+      (1 to 900).map(i => (i * 10.0, 1L + (i % 5), s"b$i", "b")))
+      .toDF("v", "w", "id", "g")
+    val by = graft.operators.Profile.kllQuantileWeightedBy(
+        df, "g", "v", "w", "id", k = 64, qPermille = Seq(500, 900))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    for (g <- Seq("a", "b")) {
+      val solo = graft.operators.Profile.kllQuantileWeighted(
+          df.where(col("g") === g), "v", "w", "id", k = 64,
+          qPermille = Seq(500, 900))
+        .collect().map(r => (g, r.getLong(0), r.getDouble(1),
+          r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(solo.subsetOf(by), s"group $g diverges from its solo sketch")
+    }
+    // the small group is exact: (a, p50) = 3.0 at l*=0, T = Σw = 10
+    assert(by.contains(("a", 500L, 3.0, 0L, 4L, 10L)))
+    // partition-layout invariance (hash coins, integer math)
+    val a = graft.operators.Profile.kllQuantileWeightedBy(
+      df, "g", "v", "w", "id", 64, Seq(500, 900))
+      .orderBy("grp", "q_pm").collect().map(_.toSeq).toSeq
+    val b = graft.operators.Profile.kllQuantileWeightedBy(
+      df.repartition(11), "g", "v", "w", "id", 64, Seq(500, 900))
+      .orderBy("grp", "q_pm").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("KllWeightedSketch UDAF: replays the weighted column path; " +
+      "merge across partitions; weight drop contract; l=61 growth") {
+    import spark.implicits._
+    val qs = Seq(500, 900)
+    // mixed weights, one heavy row — the sampled regime
+    val df = ((1 to 5000).map(i => (s"id$i", (i % 997).toDouble,
+      1L + (i % 7))) :+ (("heavy", 0.25, 9000L)))
+      .toDF("id", "v", "w")
+    val colPath = graft.operators.Profile
+      .kllQuantileWeighted(df, "v", "w", "id", k = 256, qPermille = qs)
+      .orderBy("q_pm").collect()
+    val sketch = udaf(new graft.functions.KllWeightedSketch(256, qs))
+    val hvw = df.select(
+      graft.operators.Dedup.portableHash(
+        concat(lit("kllw:"), col("id"))).as("h"), col("v"), col("w"))
+    // 13 partitions force real shuffle merges of partial survivor sets
+    val u = hvw.repartition(13)
+      .agg(sketch(col("h"), col("v"), col("w")).as("s"))
+      .select(col("s.lvl"), col("s.n_sample"), col("s.t_total"),
+        col("s.est")).collect().head
+    assert(colPath.map(_.getDouble(1)).toSeq == u.getSeq[Double](3),
+      "UDAF read-offs must equal the column path's")
+    assert(colPath.head.getLong(2) == u.getLong(0) &&
+      colPath.head.getLong(3) == u.getLong(1) &&
+      colPath.head.getLong(4) == u.getLong(2),
+      "UDAF (level, n_sample, t_total) must equal the column path's")
+    // weight contract: out-of-range weights DROP silently (the column
+    // engine's filter), they don't throw
+    val agg = new graft.functions.KllWeightedSketch(16, Seq(500))
+    val z = agg.zero
+    agg.reduce(z, (1L, 1.0, 0L))
+    agg.reduce(z, (1L, 1.0, -3L))
+    agg.reduce(z, (1L, 1.0, 1L << 41))
+    assert(z.n == 0, "out-of-contract weights must not enter the sample")
+    // hash contract still throws (caller bug, same as KllSketch)
+    val neg = intercept[IllegalArgumentException] {
+      agg.reduce(agg.zero, (-1L, 1.0, 1L))
+    }
+    assert(neg.getMessage.contains("portable hash"))
+    // l = 61 fallback: rows with h < w survive every level; more than k
+    // of them must GROW the buffer (not overflow it) at level 61
+    val g = agg.zero
+    (1 to 18).foreach(i => agg.reduce(g, (i.toLong - 1L, i.toDouble,
+      100L)))
+    assert(g.level == 61 && g.n == 18,
+      s"l=61 fallback must keep all survivors, got level=${g.level} " +
+        s"n=${g.n}")
+  }
+
   test("HllSketch UDAF: out-of-contract hash input fails with the " +
       "contract message, not an array index error") {
     val agg = new graft.functions.HllSketch(8)

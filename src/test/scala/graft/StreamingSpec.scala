@@ -157,6 +157,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedKllWeighted over a real stream equals batch; small " +
+      "windows are exact weighted type-1 quantiles") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    // weight = user_id + 1 (deterministic small integers ≥ 1)
+    val wcol = col("user_id") + lit(1L)
+    val q = EventStreams.streamingWindowedKllWeighted(
+        stream, "15 minutes", "10 minutes", col("value"), wcol,
+        col("user_id") * lit(100L) + col("value").cast("long"),
+        k = 16, qPermille = Seq(500, 1000))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("kllw_out").start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("kllw_out")
+        .orderBy("win_start", "q_pm").collect().map(_.toSeq)
+      val batch = EventStreams.windowedKllWeighted(
+          sampleDF, "15 minutes", col("value"), wcol,
+          col("user_id") * lit(100L) + col("value").cast("long"),
+          k = 16, qPermille = Seq(500, 1000))
+        .orderBy("win_start", "q_pm").collect().map(_.toSeq)
+      assert(streamed.toSeq == batch.toSeq)
+      assert(batch.nonEmpty)
+      // first window: values (1,2,3) with weights (2,2,3) → T = 7,
+      // p50 → rank 4 → cum(2,4,7) → v = 2.0; p100 → rank 7 → v = 3.0;
+      // exact regime (3 rows ≤ k): l* = 0, n_sample = 3, t_total = 7
+      val w0 = batch.take(2)
+      assert(w0.map(r => (r(1), r(2), r(3), r(4), r(5))).toSeq ==
+        Seq((500L, 2.0, 0L, 3L, 7L), (1000L, 3.0, 0L, 3L, 7L)))
+    } finally q.stop()
+  }
+
   test("windowedTopK over a real stream equals batch; exact regime counts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String, Double)]
