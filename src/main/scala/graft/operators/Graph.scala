@@ -394,6 +394,140 @@ object Graph {
        |FROM r$iters pr LEFT JOIN t$iters tr ON tr.node = pr.node""".stripMargin
   }
 
+  /** Hop-bounded STRONGLY-CONNECTED COMPONENTS on a directed graph — the
+    * missing companion of [[trustRank]]/[[spamMass]] for link-farm
+    * detection (dense SCCs are the classic farm shape; VERDICT r13 item
+    * 3). Peel-based forward-backward refinement: each peel computes, for
+    * every remaining node,
+    *   f(u) = min id reachable FROM u within `maxHops` (including u),
+    *   b(u) = min id that REACHES u within `maxHops` (including u),
+    * and settles every node with f(u) = b(u) into component f(u) — that
+    * equality certifies u ↔ f(u) mutual reachability, so two nodes
+    * sharing a label are mutually reachable through it. Settled nodes
+    * (and their edges) are removed and the peel repeats, up to `maxPeel`
+    * rounds; whatever remains falls back to singleton labels.
+    *
+    * Contract (what bounded rounds buy): the output NEVER merges two
+    * distinct SCCs — every label group is a subset of one true SCC (the
+    * mutual-reachability certificate above) — and is EXACT when maxHops
+    * covers each SCC's internal reach radius to/from its minimum and
+    * maxPeel covers the settle cascade (spec-pinned on cycle / DAG /
+    * bridged-SCC hand graphs). Under-sized bounds only REFINE (split)
+    * components, deterministically in both engines — the same
+    * partial-result posture as [[bfsDistances]]/[[betweennessSampled]],
+    * which is what lets every round replay in the chained-CTE oracle
+    * ([[sccOracleSql]]). Returns (node, scc_id).
+    *
+    * Scale shape: per peel, 2·maxHops keyed equi-join + min-aggregate
+    * rounds over a (node, label) state of |V| rows (the BFS discipline:
+    * per-round [[Caching.checkpoint]] lineage truncation, edges
+    * checkpointed flat once, anti-join removal between peels — edges
+    * only SHRINK). No driver-side graph state; hop and peel bounds are
+    * the scale levers.
+    */
+  def sccBounded(edges: DataFrame, maxPeel: Int, maxHops: Int): DataFrame = {
+    require(maxPeel >= 1 && maxHops >= 1)
+    var e = Caching.checkpoint(
+      edges.select(col("src"), col("dst"))
+        .where(col("src") =!= col("dst")).distinct(), eager = true)
+    var nodes = Caching.checkpoint(
+      e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct(),
+      eager = true)
+    var settledAll: DataFrame = null
+    for (_ <- 1 to maxPeel) {
+      // f: min forward-reachable id — labels flow AGAINST edge direction
+      // (dst's label informs src), one equi-join + min-agg per hop
+      var f = nodes.select(col("node"), col("node").as("f"))
+      for (_ <- 1 to maxHops) {
+        val viaEdge = e
+          .join(f.withColumnRenamed("node", "dst"), "dst")
+          .select(col("src").as("node"), col("f"))
+        f = Caching.checkpoint(f.unionByName(viaEdge)
+          .groupBy(col("node")).agg(min(col("f")).as("f")))
+      }
+      // b: min id reaching u — labels flow WITH edge direction
+      var b = nodes.select(col("node"), col("node").as("b"))
+      for (_ <- 1 to maxHops) {
+        val viaEdge = e
+          .join(b.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), col("b"))
+        b = Caching.checkpoint(b.unionByName(viaEdge)
+          .groupBy(col("node")).agg(min(col("b")).as("b")))
+      }
+      val settled = Caching.checkpoint(f.join(b, "node")
+        .where(col("f") === col("b"))
+        .select(col("node"), col("f").as("scc_id")), eager = true)
+      settledAll =
+        if (settledAll == null) settled
+        else settledAll.unionByName(settled)
+      nodes = Caching.checkpoint(nodes
+        .join(settled.select(col("node")), Seq("node"), "left_anti"),
+        eager = true)
+      e = Caching.checkpoint(e
+        .join(settled.select(col("node").as("src")), Seq("src"),
+          "left_anti")
+        .join(settled.select(col("node").as("dst")), Seq("dst"),
+          "left_anti"))
+    }
+    // unsettled remainder: singleton fallback (documented partial-result
+    // semantics — still a refinement, never a merge)
+    settledAll.unionByName(
+      nodes.select(col("node"), col("node").as("scc_id")))
+  }
+
+  /** DuckDB replay of [[sccBounded]] — the same bounded peel/hop
+    * iteration as chained CTEs, round-for-round. `edgesSql` must produce
+    * a directed (src, dst) relation (duplicates and self-loops are
+    * dropped here, matching the engine).
+    */
+  def sccOracleSql(edgesSql: String, maxPeel: Int, maxHops: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH e0 AS MATERIALIZED (SELECT DISTINCT src, dst " +
+      s"FROM ($edgesSql) WHERE src <> dst),\n")
+    sb.append("n0 AS MATERIALIZED (SELECT src AS node FROM e0 " +
+      "UNION SELECT dst FROM e0),\n")
+    for (p <- 1 to maxPeel) {
+      sb.append(s"f${p}_0 AS MATERIALIZED " +
+        s"(SELECT node, node AS f FROM n${p - 1}),\n")
+      for (h <- 1 to maxHops)
+        sb.append(s"""f${p}_$h AS MATERIALIZED (
+           |  SELECT node, min(f) AS f FROM (
+           |    SELECT node, f FROM f${p}_${h - 1}
+           |    UNION ALL
+           |    SELECT e.src AS node, x.f
+           |    FROM e${p - 1} e JOIN f${p}_${h - 1} x ON x.node = e.dst)
+           |  GROUP BY node),\n""".stripMargin)
+      sb.append(s"b${p}_0 AS MATERIALIZED " +
+        s"(SELECT node, node AS b FROM n${p - 1}),\n")
+      for (h <- 1 to maxHops)
+        sb.append(s"""b${p}_$h AS MATERIALIZED (
+           |  SELECT node, min(b) AS b FROM (
+           |    SELECT node, b FROM b${p}_${h - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, x.b
+           |    FROM e${p - 1} e JOIN b${p}_${h - 1} x ON x.node = e.src)
+           |  GROUP BY node),\n""".stripMargin)
+      sb.append(s"""s$p AS MATERIALIZED (
+         |  SELECT f.node, f.f AS scc_id
+         |  FROM f${p}_$maxHops f JOIN b${p}_$maxHops b
+         |    ON b.node = f.node AND b.b = f.f),\n""".stripMargin)
+      sb.append(s"n$p AS MATERIALIZED (SELECT node FROM n${p - 1} " +
+        s"WHERE node NOT IN (SELECT node FROM s$p)),\n")
+      sb.append(s"e$p AS MATERIALIZED (SELECT src, dst FROM e${p - 1} " +
+        s"WHERE src IN (SELECT node FROM n$p) " +
+        s"AND dst IN (SELECT node FROM n$p)),\n")
+    }
+    // trim the trailing comma-newline of the last CTE
+    sb.setLength(sb.length - 2)
+    sb.append("\n")
+    sb.append((1 to maxPeel)
+      .map(p => s"SELECT node, scc_id FROM s$p")
+      .mkString("", "\nUNION ALL\n", "\nUNION ALL\n"))
+    sb.append(s"SELECT node, node AS scc_id FROM n$maxPeel")
+    sb.toString
+  }
+
   /** DuckDB SQL replaying [[coEdges]] (same cap, same dedup) over a
     * (group, item) projection of `table`.
     */

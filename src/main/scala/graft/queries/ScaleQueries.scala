@@ -414,6 +414,22 @@ object ScaleQueries {
         .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
       graft.operators.Graph.hits(e, iters = 3)
     }),
+
+    // --- strongly-connected components on the DIRECTED purchase-sequence
+    // graph (part at line i → part at line i+1 within an order): the
+    // trustRank/spamMass companion — dense SCCs are the link-farm shape.
+    // Bounded peel/hop forward-backward refinement, every round replayed
+    // in the chained-CTE oracle (oracle-checked) ---
+    "q_graph_scc" -> ((s, d) => {
+      val li = t(s, d, "lineitem").where(col("l_orderkey") % 3 === 0)
+      val e = li.select(col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"), col("l_partkey").as("src"))
+        .join(li.select(col("l_orderkey").as("ok"),
+          (col("l_linenumber") - 1).as("ln"), col("l_partkey").as("dst")),
+          Seq("ok", "ln"))
+        .select(col("src"), col("dst"))
+      graft.operators.Graph.sccBounded(e, maxPeel = 2, maxHops = 4)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -475,6 +491,13 @@ object ScaleQueries {
     "q_graph_spam_mass" -> graft.operators.Graph.spamMassOracleSql(
       "l_orderkey", "l_partkey", "lineitem", seedPred = "item % 50 = 0",
       iters = 5),
+    "q_graph_scc" -> graft.operators.Graph.sccOracleSql(
+      """SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |FROM (SELECT * FROM lineitem WHERE l_orderkey % 3 = 0) a
+        |JOIN (SELECT * FROM lineitem WHERE l_orderkey % 3 = 0) b
+        |  ON a.l_orderkey = b.l_orderkey
+        | AND b.l_linenumber = a.l_linenumber + 1""".stripMargin,
+      maxPeel = 2, maxHops = 4),
     "q_graph_triangles" -> graft.operators.Graph.trianglesOracleSql(
       graft.operators.Graph.coEdgesSql("l_orderkey", "l_partkey",
         "(SELECT * FROM lineitem WHERE l_partkey % 3 = 0)")),

@@ -621,4 +621,41 @@ class GraphSpec extends SparkSpec {
     assert(Graph.modularity(e, labels.limit(0)).count() == 0L)
   }
 
+  test("sccBounded: cycle collapses to its min; DAG stays singletons; " +
+      "bridged SCCs settle across peels; bounded peels only refine") {
+    import spark.implicits._
+    def scc(edges: Seq[(Long, Long)], peels: Int, hops: Int) =
+      Graph.sccBounded(edges.toDF("src", "dst"), peels, hops)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // 5-cycle: one SCC labeled by its minimum (hops cover the cycle)
+    val cyc = scc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L)),
+      peels = 1, hops = 5)
+    assert(cyc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    // DAG (diamond + tail): every node is its own SCC
+    val dag = scc(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L)),
+      peels = 2, hops = 4)
+    assert(dag == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+    // two 3-cycles bridged one-way (3→10): the downstream SCC cannot
+    // settle in peel 1 (its b-labels see the upstream minimum), so the
+    // SECOND peel — after the settled upstream is removed — is what
+    // resolves it. This pins the peel mechanism itself.
+    val bridged = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L))
+    val two = scc(bridged, peels = 2, hops = 3)
+    assert(two == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // with only ONE peel the downstream trio falls back to singletons —
+    // a REFINEMENT of the true SCCs (never a merge), the documented
+    // bounded-round contract
+    val one = scc(bridged, peels = 1, hops = 3)
+    assert(one == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 11L, 12L -> 12L))
+    // under-sized hops on the 5-cycle still never cross SCC boundaries:
+    // every label must name a node of the same (sole) component
+    val short = scc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L)),
+      peels = 2, hops = 2)
+    assert(short.keySet == Set(1L, 2L, 3L, 4L, 5L) &&
+      short.values.forall(Set(1L, 2L, 3L, 4L, 5L).contains))
+  }
+
 }

@@ -610,6 +610,19 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(equi.nonEmpty, "the lv ⋈ lstar sample filter must be an equi-join")
   }
 
+  test("sccBounded: every peel/hop round is a keyed equi-join — no " +
+      "nested loops, no cartesian products anywhere in the plan") {
+    val (_, plan) = executed("q_graph_scc")
+    val bnlj = collectWithSubqueries(plan) { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.isEmpty,
+      s"sccBounded planned ${bnlj.size} nested-loop joins — label " +
+        "propagation must move through src/dst-keyed equi-joins only")
+    val cart = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(cart.isEmpty, "sccBounded must not plan cartesian products")
+  }
+
   test("hllDistinct: the sketch path is aggregate-only — no join wider " +
       "than the 1-row exact-count broadcast") {
     val (_, plan) = executed("q_approx_hll")
