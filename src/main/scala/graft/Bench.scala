@@ -235,8 +235,10 @@ object Bench {
       // BENCH_DETAIL being committed before the next run overwrites it —
       // EVERY attempt lands here, including the contended ones the retry
       // loop rejects
-      val detail = s.perQuery.map { case (k, v, _, _) =>
-        s"\"" + k + "\":" + f"$v%.3f"
+      // raw AND normalized per query (objects since r14 — earlier records
+      // carried raw-only floats; the regression gate reads both shapes)
+      val detail = s.perQuery.map { case (k, raw, _, norm) =>
+        s"\"" + k + "\":" + f"""{"raw":$raw%.3f,"norm":$norm%.3f}"""
       }.mkString("{", ",", "}")
       val probesJson = s.probes.map { case (i, v) => f"[$i,$v%.3f]" }
         .mkString("[", ",", "]")
@@ -346,14 +348,17 @@ object Bench {
               while (it.hasNext) {
                 val e = it.next()
                 val v = e.getValue
-                // records carry norm_min since r12, norm since r9;
-                // older raw-seconds records are skipped (different unit
-                // discipline — raw includes contention)
+                // objects (since r14) carry per-query norm; older records
+                // are raw-seconds floats — a raw time is a valid UPPER
+                // bound on that attempt's norm (factor ≥ 1), so the min
+                // over a hundred-plus attempts still approximates the
+                // best normalized cost and keeps pre-r14 history useful
                 val m =
                   if (v.isObject && v.has("norm_min"))
                     v.get("norm_min").asDouble()
                   else if (v.isObject && v.has("norm"))
                     v.get("norm").asDouble()
+                  else if (v.isNumber) v.asDouble()
                   else Double.NaN
                 if (!m.isNaN) {
                   val k = e.getKey

@@ -125,6 +125,14 @@ object PipelineQueries {
       TextAnalysis.unigramTrain(docs(s, d), "doc_id", "text",
         maxPieceLen = 5, topK = 120)),
 
+    // --- k-round hard-EM unigram training (the full SentencePiece loop):
+    // each round re-segments under the previous round's counts and
+    // re-estimates — unused pieces drop out, segmentations sharpen;
+    // replayed round-for-round in the chained-CTE oracle (oracle-checked)
+    "q_text_unigram_em" -> ((s, d) =>
+      TextAnalysis.unigramTrainEm(docs(s, d), "doc_id", "text",
+        rounds = 2, maxPieceLen = 5, topK = 120)),
+
     // --- unigram-LM Viterbi encode: per-doc piece counts + exact
     // micro-nat NLL of the max-likelihood segmentation under the seeded
     // vocab — min-plus path doubling on the packed (cost, pieces) key,
@@ -2044,6 +2052,8 @@ object PipelineQueries {
       maxPieceLen = 5, topK = 120),
     "q_text_unigram_train" -> TextAnalysis.unigramTrainOracleSql(
       maxPieceLen = 5, topK = 120),
+    "q_text_unigram_em" -> TextAnalysis.unigramTrainEmOracleSql(
+      rounds = 2, maxPieceLen = 5, topK = 120),
     "q_text_fertility" -> TextAnalysis.fertilityOracleSql("lang",
       numMerges = 10),
     "q_text_scripts" -> TextAnalysis.scriptProfileOracleSql(),

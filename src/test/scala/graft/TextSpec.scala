@@ -889,6 +889,38 @@ class TextSpec extends SparkSpec {
     assert(emTotal == nPieces, s"EM total $emTotal vs encode $nPieces")
   }
 
+  test("unigramTrainEm: rounds=1 equals unigramTrain; character mass " +
+      "conserved per round; vocabularies only sharpen") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val one = asMap(TextAnalysis.unigramTrainEm(docs, "doc_id", "text",
+      rounds = 1, maxPieceLen = 5, topK = 120))
+    val single = asMap(TextAnalysis.unigramTrain(docs, "doc_id", "text",
+      maxPieceLen = 5, topK = 120))
+    assert(one == single, "rounds = 1 must reproduce unigramTrain")
+    // per-round CHARACTER conservation: canonical paths tile each word,
+    // so Σ freq·len(piece) is invariant across EM rounds (= total token
+    // characters, long-word fallback included)
+    def charMass(m: Map[String, Long]): Long =
+      m.map { case (p, f) => p.length.toLong * f }.sum
+    val two = asMap(TextAnalysis.unigramTrainEm(docs, "doc_id", "text",
+      rounds = 2, maxPieceLen = 5, topK = 120))
+    val three = asMap(TextAnalysis.unigramTrainEm(docs, "doc_id", "text",
+      rounds = 3, maxPieceLen = 5, topK = 120))
+    assert(charMass(one) == charMass(two) &&
+      charMass(two) == charMass(three),
+      s"character mass must be conserved per round: " +
+        s"${charMass(one)}/${charMass(two)}/${charMass(three)}")
+    // every piece of a later round was segmentable in that round's DP —
+    // non-empty, and total freq (= piece count) never increases once the
+    // optimum sharpens is NOT a theorem (a char inside a round-1 piece
+    // may re-enter via the UNK floor), so pin only what is: non-empty
+    // vocabularies with all-positive counts
+    assert(two.nonEmpty && three.nonEmpty &&
+      two.values.forall(_ > 0) && three.values.forall(_ > 0))
+  }
+
   test("unigramEncode: min-plus doubling equals driver-side Viterbi on " +
       "the corpus vocabulary") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(60)
