@@ -538,6 +538,44 @@ object PipelineQueries {
         qPermille = Seq(500, 900))
     }),
 
+    // --- sketch sidecar merge chain: the corpus split into 3
+    // deterministic ingest batches, each batch reduced to its mergeable
+    // sketch state (HLL registers / KMV bottom-k / KLL level sample) and
+    // folded left-to-right — O(batch) per ingest, and the merged
+    // estimates EQUAL the one-shot full-corpus sketches, which is the
+    // oracle: the full-corpus DuckDB replays (oracle-checked) ---
+    "q_approx_sidecar" -> ((s, d) => {
+      Tables.load(s, d)
+      val docs = s.table("documents")
+      val batches = (0 to 2).map(i =>
+        docs.where(pmod(col("doc_id"), lit(3)) === i))
+      import graft.operators.SketchSidecar
+      val hll = SketchSidecar.hllEstimate(
+        batches.map(b => SketchSidecar.hllState(b, "text", p = 8))
+          .reduce(SketchSidecar.mergeHll), p = 8)
+      val kmv = SketchSidecar.kmvEstimate(
+        batches.map(b => SketchSidecar.kmvState(b, "text", k = 64))
+          .reduce((x, y) => SketchSidecar.mergeKmv(x, y, 64)), k = 64)
+      val kll = SketchSidecar.kllEstimate(
+        batches.map(b =>
+            SketchSidecar.kllState(b, "n_chars", "doc_id", k = 256))
+          .reduce((x, y) => SketchSidecar.mergeKll(x, y, 256)),
+        qPermille = Seq(500, 900))
+      def stats(df: org.apache.spark.sql.DataFrame, kind: String,
+          cols: Seq[String]) =
+        cols.map(c => df.select(lit(kind).as("kind"), lit(c).as("stat"),
+          col(c).cast("long").as("val"))).reduce(_ unionByName _)
+      stats(hll, "hll", Seq("v_zero", "t_fx", "est_raw"))
+        .unionByName(stats(kmv, "kmv",
+          Seq("n_kept", "h_k", "est_distinct")))
+        .unionByName(kll.select(lit("kll").as("kind"),
+          concat(lit("p"), col("q_pm")).as("stat"),
+          col("est_v").cast("long").as("val")))
+        .unionByName(kll.agg(max(col("n_sample")).as("n"))
+          .select(lit("kll").as("kind"), lit("n_sample").as("stat"),
+            col("n").cast("long").as("val")))
+    }),
+
     // --- split-conformal calibration: md5 train/cal/test split, explicit
     // finite-sample conformal rank, integer-cents coverage counts
     // (oracle-checked) ---
@@ -1903,6 +1941,29 @@ object PipelineQueries {
       "lineitem", "l_returnflag", "l_extendedprice", "l_quantity",
       "l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR",
       k = 256, qPermille = Seq(500, 900)),
+
+    "q_approx_sidecar" -> {
+      val hll = graft.operators.Profile.hllOracleSql(
+        "documents", "text", p = 8)
+      val kmv = graft.operators.Profile.kmvOracleSql(
+        "documents", "text", k = 64)
+      val kll = graft.operators.Profile.kllOracleSql(
+        "documents", "n_chars", "doc_id", k = 256,
+        qPermille = Seq(500, 900))
+      s"""WITH hs AS ($hll), ms AS ($kmv), qs AS ($kll)
+         |SELECT 'hll' AS kind, 'v_zero' AS stat, v_zero::BIGINT AS val
+         |FROM hs
+         |UNION ALL SELECT 'hll', 't_fx', t_fx::BIGINT FROM hs
+         |UNION ALL SELECT 'hll', 'est_raw', est_raw::BIGINT FROM hs
+         |UNION ALL SELECT 'kmv', 'n_kept', n_kept::BIGINT FROM ms
+         |UNION ALL SELECT 'kmv', 'h_k', h_k::BIGINT FROM ms
+         |UNION ALL SELECT 'kmv', 'est_distinct', est_distinct::BIGINT
+         |FROM ms
+         |UNION ALL SELECT 'kll', 'p' || q_pm::VARCHAR, est_v::BIGINT
+         |FROM qs
+         |UNION ALL SELECT 'kll', 'n_sample', max(n_sample)::BIGINT
+         |FROM qs""".stripMargin
+    },
 
     "q_pipeline_conformal_band" -> graft.operators.Eval.conformalOracleSql(
       "events", "event_type", "event_id", "value", alphaPct = 10),

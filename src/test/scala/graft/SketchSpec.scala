@@ -584,6 +584,63 @@ class SketchSpec extends SparkSpec {
         s"n=${g.n}")
   }
 
+  test("SketchSidecar: merged batch states equal the one-shot corpus " +
+      "sketches; fold order free; parquet update swap-publishes") {
+    import spark.implicits._
+    val df = (1 to 3000).map(i => (i.toLong, s"k${i % 1100}",
+      (i % 997).toLong)).toDF("id", "key", "v")
+    // four uneven batches, one of them EMPTY (the degenerate ingest)
+    val batches = Seq(
+      df.where(col("id") % 3 === 0),
+      df.where(col("id") % 3 === 1),
+      df.where(col("id") % 3 === 2),
+      df.limit(0))
+    import graft.operators.SketchSidecar
+    // HLL: merged registers read off exactly the one-shot estimate
+    val hllMerged = SketchSidecar.hllEstimate(
+      batches.map(b => SketchSidecar.hllState(b, "key", p = 6))
+        .reduce(SketchSidecar.mergeHll), p = 6)
+      .collect().head.toSeq
+    val hllFull = graft.operators.Profile.hllDistinct(df, "key", p = 6)
+      .select("m", "v_zero", "t_fx", "est_raw").collect().head.toSeq
+    assert(hllMerged == hllFull)
+    // KMV: bottom-k of merged bottom-ks = one-shot bottom-k
+    val kmvMerged = SketchSidecar.kmvEstimate(
+      batches.map(b => SketchSidecar.kmvState(b, "key", k = 32))
+        .reduce((x, y) => SketchSidecar.mergeKmv(x, y, 32)), k = 32)
+      .collect().head.toSeq
+    val kmvFull = graft.operators.Profile.kmvDistinct(df, "key", k = 32)
+      .select("n_kept", "h_k", "est_distinct").collect().head.toSeq
+    assert(kmvMerged == kmvFull)
+    // KLL: merged level samples read off the one-shot quantiles, and the
+    // fold ORDER cannot matter (associative/commutative state)
+    def kllFold(bs: Seq[org.apache.spark.sql.DataFrame]) =
+      SketchSidecar.kllEstimate(
+        bs.map(b => SketchSidecar.kllState(b, "v", "id", k = 64))
+          .reduce((x, y) => SketchSidecar.mergeKll(x, y, 64)),
+        qPermille = Seq(500, 900))
+        .orderBy("q_pm").collect().map(_.toSeq).toSeq
+    val kllMerged = kllFold(batches)
+    val kllFull = graft.operators.Profile.kllQuantile(
+        df, "v", "id", k = 64, qPermille = Seq(500, 900))
+      .orderBy("q_pm").collect().map(_.toSeq).toSeq
+    assert(kllMerged == kllFull)
+    assert(kllFold(batches.reverse) == kllMerged, "fold order must be free")
+    // parquet lifecycle: create-then-merge through the sidecar file, the
+    // published table after the last ingest reads the same estimate
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidecar")
+      .toString + "/hll_regs"
+    batches.foreach(b => SketchSidecar.updateSidecar(dir,
+      SketchSidecar.hllState(b, "key", p = 6), SketchSidecar.mergeHll))
+    val viaFile = SketchSidecar.hllEstimate(spark.read.parquet(dir), p = 6)
+      .collect().head.toSeq
+    assert(viaFile == hllFull,
+      "the parquet sidecar after incremental ingests must read off the " +
+        "one-shot estimate")
+    // state stays model-sized on disk: ≤ 2^p register rows
+    assert(spark.read.parquet(dir).count() <= 64L)
+  }
+
   test("HllSketch UDAF: out-of-contract hash input fails with the " +
       "contract message, not an array index error") {
     val agg = new graft.functions.HllSketch(8)
