@@ -21,6 +21,10 @@ object SparkEntry {
     graft.queries.MonoidQueries.queries ++
       graft.queries.HostQueries.queries ++
       graft.queries.PipelineQueries.queries ++
+      graft.queries.TextQueries.queries ++
+      graft.queries.DedupQueries.queries ++
+      graft.queries.ApproxQueries.queries ++
+      graft.queries.EmbedQueries.queries ++
       graft.queries.StreamQueries.queries ++
       graft.queries.ScaleQueries.queries ++
       graft.queries.SourceQueries.queries
@@ -39,6 +43,10 @@ object SparkEntry {
     graft.queries.MonoidQueries.oracleSql ++
       graft.queries.HostQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
+      graft.queries.TextQueries.oracleSql ++
+      graft.queries.DedupQueries.oracleSql ++
+      graft.queries.ApproxQueries.oracleSql ++
+      graft.queries.EmbedQueries.oracleSql ++
       graft.queries.StreamQueries.oracleSql ++
       graft.queries.ScaleQueries.oracleSql ++
       graft.queries.SourceQueries.oracleSql

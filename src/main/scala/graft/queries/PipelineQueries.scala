@@ -5,15 +5,19 @@ import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Training-data-pipeline queries (north star, SURVEY.md §2c): text
-  * analysis, deduplication, and similarity search over `documents` and
-  * `embeddings`.
+/** Training-data-pipeline queries over the TPC-H-ish tables and
+  * `documents` (SURVEY.md §2c): mixing/selection (DSIR, DoReMi, UniMax,
+  * curriculum), packing, eval metrics, profiling/privacy, temporal
+  * joins, and the end-to-end chains. The text / dedup / sketch /
+  * similarity families live in their own per-family registries
+  * (TextQueries, DedupQueries, ApproxQueries, EmbedQueries) — split
+  * round 14 with zero behavior change.
   *
-  * Oracle policy: deterministic rational/string computations get full DuckDB
-  * oracles (dialect-translated — `string_split` vs `split`, `len` vs
-  * `size`); LSH-based operators are probabilistic pipelines whose
-  * correctness contract is recall vs an exact baseline — they're covered by
-  * ScalaTest brute-force comparisons and registered rows-only here.
+  * Oracle policy (shared across the query registry): deterministic
+  * rational/string computations get full DuckDB oracles
+  * (dialect-translated); probabilistic pipelines whose correctness
+  * contract is recall vs an exact baseline are covered by ScalaTest
+  * brute-force comparisons and registered rows-only.
   */
 object PipelineQueries {
 
@@ -61,117 +65,7 @@ object PipelineQueries {
       ).foreach { e => e.persist(); e.count() }
     }))
 
-  /** Topic lexicons for the keyword-tagging gate — drawn from the synthetic
-    * corpus vocabulary so every topic actually fires at gate scale.
-    */
-  val KeywordTopics: Map[String, Seq[String]] = Map(
-    "execution" -> Seq("scan", "join", "agg", "sort", "filter", "hash",
-      "merge"),
-    "storage" -> Seq("table", "row", "column", "batch"),
-    "perf" -> Seq("fast", "slow", "big", "small"))
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // --- text analysis: per-doc stats (oracle-checked) ---
-    "q_text_stats" -> ((s, d) => docs(s, d).select(
-      col("doc_id"),
-      col("lang"),
-      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-      TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"),
-      length(col("text")).cast("long").as("n_chars_real"),
-      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
-      TextAnalysis.stopwordRatio(TextAnalysis.tokens(col("text"))).as("stopword_ratio"),
-      TextAnalysis.qualityScore(col("text")).as("quality"))),
-
-    // --- canonical fingerprint (oracle-checked: md5 on both engines) ---
-    "q_text_fingerprint" -> ((s, d) => docs(s, d).select(
-      col("doc_id"),
-      TextAnalysis.fingerprint(col("text")).as("fp"))),
-
-    // --- BPE merge-pair candidates (oracle-checked): one tokenizer-training
-    // iteration's weighted adjacent-pair counts over the distinct-word table ---
-    "q_text_bpe_pairs" -> ((s, d) =>
-      TextAnalysis.bpePairStats(docs(s, d), "doc_id", "text", topK = 50)),
-
-    // --- full BPE trainer (oracle-checked: the k-round merge loop is
-    // deterministic — total tiebreak order — so the oracle unrolls it into
-    // a chained-CTE DuckDB replay, TextAnalysis.bpeTrainOracleSql) ---
-    "q_text_bpe_merges" -> ((s, d) =>
-      TextAnalysis.bpeTrain(docs(s, d), "doc_id", "text", numMerges = 10)),
-
-    // --- distributed BPE encode with the freshly trained merges: per-doc
-    // word + subword totals (oracle: shared trainer CTEs + vocab replace
-    // chain, so both engines train AND encode identically) ---
-    "q_text_bpe_encode" -> ((s, d) =>
-      TextAnalysis.bpeEncodeCorpus(docs(s, d), "doc_id", "text", numMerges = 10)),
-
-    // --- per-language tokenizer fertility of the trained merge table: the
-    // multilingual tokenizer-equity diagnostic (oracle-checked) ---
-    "q_text_fertility" -> ((s, d) =>
-      TextAnalysis.tokenizerFertility(docs(s, d), "doc_id", "text", "lang",
-        numMerges = 10)),
-
-    // --- unigram-LM (SentencePiece) tokenizer seeding: every char + the
-    // top-K frequency-weighted multi-char substrings of the distinct-word
-    // vocabulary (oracle-checked) ---
-    "q_text_unigram_vocab" -> ((s, d) =>
-      TextAnalysis.unigramSeedVocab(docs(s, d), "doc_id", "text",
-        maxPieceLen = 5, topK = 120)),
-
-    // --- unigram-LM hard-EM training round: canonical Viterbi path per
-    // distinct word (tight-edge + min-j walk, no backpointer state),
-    // M-step piece counts — unused pieces drop, UNK chars enter
-    // (oracle-checked via recursive-CTE walk) ---
-    "q_text_unigram_train" -> ((s, d) =>
-      TextAnalysis.unigramTrain(docs(s, d), "doc_id", "text",
-        maxPieceLen = 5, topK = 120)),
-
-    // --- k-round hard-EM unigram training (the full SentencePiece loop):
-    // each round re-segments under the previous round's counts and
-    // re-estimates — unused pieces drop out, segmentations sharpen;
-    // replayed round-for-round in the chained-CTE oracle (oracle-checked)
-    "q_text_unigram_em" -> ((s, d) =>
-      TextAnalysis.unigramTrainEm(docs(s, d), "doc_id", "text",
-        rounds = 2, maxPieceLen = 5, topK = 120)),
-
-    // --- unigram-LM Viterbi encode: per-doc piece counts + exact
-    // micro-nat NLL of the max-likelihood segmentation under the seeded
-    // vocab — min-plus path doubling on the packed (cost, pieces) key,
-    // replayed in DuckDB (oracle-checked) ---
-    "q_text_unigram_encode" -> ((s, d) => {
-      val dd = docs(s, d)
-      TextAnalysis.unigramEncode(dd, "doc_id", "text",
-        TextAnalysis.unigramSeedVocab(dd, "doc_id", "text",
-          maxPieceLen = 5, topK = 120), maxPieceLen = 5)
-    }),
-
-    // --- Unicode script-mix profile: code-point range counts + ratios,
-    // the model-free mislabeled-language signal (oracle-checked) ---
-    "q_text_scripts" -> ((s, d) =>
-      TextAnalysis.scriptProfile(docs(s, d), "doc_id", "text")),
-
-    // --- readability battery: fixed-point Flesch / FK-grade / TTR, the
-    // curriculum-difficulty axes as one map-only pass (oracle-checked) ---
-    "q_text_readability" -> ((s, d) =>
-      TextAnalysis.readability(docs(s, d), "doc_id", "text")),
-
-    // --- keyword/topic tagging against a broadcast dictionary: per-doc
-    // topic hit counts + deterministic dominant topic (oracle-checked) ---
-    "q_text_keywords" -> ((s, d) =>
-      TextAnalysis.keywordTag(docs(s, d), "doc_id", "text", KeywordTopics)),
-
-    // --- skip-gram (center, context) pair counts: the word2vec/GloVe
-    // training-data generation pass, map-only offsets (oracle-checked) ---
-    "q_text_skipgrams" -> ((s, d) =>
-      TextAnalysis.skipGrams(docs(s, d), "text", window = 3,
-        minCount = 25)),
-
-    // --- χ² feature selection per (token, language): the vocabulary
-    // pruner for the NB classifier tier, exact fixed-point contingency
-    // arithmetic on the DECIMAL carrier (oracle-checked) ---
-    "q_text_chi2" -> ((s, d) =>
-      TextAnalysis.chi2Features(docs(s, d), "doc_id", "text", "lang",
-        minDf = 10)),
-
     // --- per-source empirical-CDF calibration of the quality score: one
     // global threshold means "same quantile" in every source
     // (oracle-checked) ---
@@ -213,103 +107,6 @@ object PipelineQueries {
           .select((col("l_quantity") + 3.0).as("l_quantity")),
         "l_quantity")
     }),
-
-    // --- PII redaction (oracle-checked): the corpus carries no PII, so a
-    // deterministic email/phone/IP derived from doc_id is appended on BOTH
-    // engines, then scrubbed — placeholders and counts must hash-match ---
-    "q_text_redact" -> ((s, d) => {
-      val withPii = docs(s, d).select(col("doc_id"),
-        concat(col("text"),
-          lit(" contact user"), col("doc_id"), lit("@example.com or call 555-"),
-          lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
-          lit("-0199 from 10.0."),
-          (col("doc_id") % 256).cast("string"), lit(".7")).as("text"))
-      TextAnalysis.redactPii(withPii, "doc_id", "text")
-    }),
-
-    // --- rolling-hash fingerprint (order-sensitive Rabin-Karp over tokens;
-    // custom codegen expression — rows-only, no 64-bit wrapping-arithmetic
-    // equivalent in the oracle engine) ---
-    "q_text_rolling_fp" -> ((s, d) => docs(s, d)
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        graft.functions.RollingHash.rollingHash64(col("toks")).as("fp64"))),
-
-    // --- portable rolling fingerprint (md5 token hashes, mod-prime fold):
-    // same Rabin-Karp structure as above but engine-portable, so it IS
-    // oracle-checked (TextAnalysis.rollingFpOracleSql) ---
-    "q_text_rolling_fp_mod" -> ((s, d) => docs(s, d)
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        TextAnalysis.portableRollingFp(col("toks")).as("fp_mod"))),
-
-    // --- per-doc token-distribution entropy (repetition/diversity quality
-    // signal; oracle-checked — sorted in-row fold, 6 dp) ---
-    "q_text_entropy" -> ((s, d) =>
-      TextAnalysis.tokenEntropy(docs(s, d), "doc_id", "text")),
-
-    // --- Gopher-style repetition filter signals (oracle-checked) ---
-    "q_text_repetition" -> ((s, d) =>
-      TextAnalysis.repetitionStats(docs(s, d), "doc_id", "text", n = 3)),
-
-    // --- benchmark decontamination: 4-gram overlap counts between the
-    // corpus and a probe ("benchmark") slice — every 20th doc plays the
-    // benchmark (oracle-checked) ---
-    "q_text_contamination" -> ((s, d) => {
-      val all = docs(s, d)
-      TextAnalysis.contamination(
-        all.where(col("doc_id") % 20 =!= 0), "doc_id", "text",
-        all.where(col("doc_id") % 20 === 0), "doc_id", "text", n = 4)
-    }),
-
-    // --- CCNet-style LM quality filter: per-doc unigram cross-entropy
-    // against the corpus distribution (oracle-checked) ---
-    "q_text_perplexity" -> ((s, d) =>
-      TextAnalysis.unigramCrossEntropy(docs(s, d), "doc_id", "text")),
-
-    // --- bigram-LM cross-entropy: the conditional upgrade of the CCNet
-    // filter — word-order scrambles surface here (oracle-checked) ---
-    "q_text_bigram_lm" -> ((s, d) =>
-      TextAnalysis.bigramCrossEntropy(docs(s, d), "doc_id", "text")),
-
-    // --- PMI collocations: multiword-expression extraction (oracle-checked)
-    "q_text_collocations" -> ((s, d) =>
-      TextAnalysis.collocations(docs(s, d), "doc_id", "text", minCount = 25)),
-
-    // --- language ID heuristic + confusion counts vs the labeled column ---
-    "q_text_langid" -> ((s, d) => docs(s, d)
-      .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
-      .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))),
-
-    // --- LSH banding sweep: recall/precision of every (bands, rows)
-    // partition of one shared MinHash signature vs the exact truth — the
-    // parameter-selection table before a 100 TB run (oracle-checked) ---
-    "q_dedup_band_sweep" -> ((s, d) =>
-      Dedup.bandSweep(docs(s, d), "doc_id", "text",
-        idWindow = 25L, threshold = 0.5)),
-
-    // --- Kneser-Ney smoothed bigram LM: absolute discount + continuation
-    // back-off as one exact integer rational (oracle-checked) ---
-    "q_text_kneser" -> ((s, d) =>
-      TextAnalysis.kneserNey(docs(s, d), "text", topN = 100)),
-
-    // --- Hill tail-index of the token-frequency distribution: the
-    // heavy-tail exponent next to zipf's OLS slope (oracle-checked) ---
-    "q_text_hill" -> ((s, d) =>
-      TextAnalysis.hillTailIndex(docs(s, d), "text", k = 100)),
-
-    // --- logistic-regression language classifier trained by batch GD
-    // inside the engine: hard-sigmoid forward, exact micro-unit weights,
-    // one aggregate per round (oracle replays every round) ---
-    "q_text_logreg" -> ((s, d) =>
-      TextAnalysis.logisticTrain(docs(s, d), "doc_id", "text", "lang",
-        posLabel = "en", iters = 8, lrMicro = 2000000L)),
-
-    // --- TextRank keywords: PageRank centrality over the content-word
-    // adjacency graph, exact micro-unit iteration (oracle-checked) ---
-    "q_text_textrank" -> ((s, d) =>
-      TextAnalysis.textRank(docs(s, d), "doc_id", "text",
-        iters = 5, topK = 50)),
 
     // --- data-contract expectations: a declarative constraint battery
     // evaluated in one corpus aggregate — exact violation counts per
@@ -365,24 +162,6 @@ object PipelineQueries {
           TextAnalysis.langId(col("text")).as("pred")),
         "gold", "pred")),
 
-    // --- sliding-window chunking for training pipelines (oracle-checked) ---
-    "q_text_chunk" -> ((s, d) =>
-      TextAnalysis.chunk(docs(s, d), "doc_id", "text", window = 32, stride = 24)),
-
-    // --- tf-idf top terms per doc (oracle-checked; log rounded to 6dp) ---
-    "q_text_tfidf" -> ((s, d) =>
-      TextAnalysis.tfIdf(docs(s, d), "doc_id", "text", topK = 3)),
-
-    // --- Gopher rule battery (Rae et al. 2021 A1.1): every signal + the
-    // composite verdict, one map-only pass (oracle-checked) ---
-    "q_text_gopher" -> ((s, d) =>
-      TextAnalysis.gopherQuality(docs(s, d), "doc_id", "text", minWords = 20)),
-
-    // --- multinomial Naive Bayes language classifier, trained AND applied
-    // on the corpus as one DataFrame program (oracle-checked) ---
-    "q_text_nbayes" -> ((s, d) =>
-      TextAnalysis.naiveBayes(docs(s, d), "lang", docs(s, d), "doc_id", "text")),
-
     // --- BM25 lexical retrieval: every-20th doc probes the rest through an
     // inverted-index join, integer-cleared length normalization
     // (oracle-checked) ---
@@ -393,187 +172,6 @@ object PipelineQueries {
         dd.where(col("doc_id") % 20 === 0)
           .select(col("doc_id").as("probe_id"), col("text")),
         "probe_id", "text", k = 5)
-    }),
-
-    // --- approximate sketches (HLL distinct, quantiles): rows-only —
-    // implementation-specific estimates have no cross-engine oracle; error
-    // bounds vs exact values are asserted in SketchSpec. Quantiles are
-    // emitted as two scalar columns (the driver's comparator can't hash
-    // array cells) ---
-    "q_approx_sketches" -> ((s, d) => {
-      Tables.load(s, d)
-      s.sql(
-        """SELECT l_returnflag,
-          |       approx_count_distinct(l_partkey) AS approx_parts,
-          |       element_at(percentile_approx(l_quantity, array(0.5, 0.95), 10000), 1) AS q50,
-          |       element_at(percentile_approx(l_quantity, array(0.5, 0.95), 10000), 2) AS q95
-          |FROM lineitem GROUP BY l_returnflag""".stripMargin)
-    }),
-
-    // --- percentile_approx in its provably-EXACT regime (the q_approx_topk
-    // pattern applied to quantile sketches): Greenwald-Khanna summaries
-    // retain every sample until the compress threshold (= accuracy), so with
-    // per-group rows <= accuracy the "approx" quantile IS the exact
-    // order statistic — hash-checked against DuckDB's quantile_disc. The
-    // approximate regime keeps its error-bound spec in SketchSpec;
-    // approx_count_distinct has no such regime (HLL registers are lossy at
-    // any cardinality) and stays rows-only in q_approx_sketches ---
-    "q_approx_quantile_exact" -> ((s, d) => {
-      Tables.load(s, d)
-      s.sql(
-        """SELECT l_returnflag,
-          |       percentile_approx(CAST(l_quantity AS DOUBLE), 0.5, 10000) AS q50,
-          |       percentile_approx(CAST(l_quantity AS DOUBLE), 0.95, 10000) AS q95,
-          |       count(*) AS n
-          |FROM lineitem WHERE l_orderkey % 100 = 0
-          |GROUP BY l_returnflag""".stripMargin)
-    }),
-
-    // --- Misra-Gries heavy hitters: k=5 >= 3 distinct values, so the
-    // sketch is provably exact and the oracle checks it against plain
-    // GROUP BY counts; the approximate regime is bound-tested in SketchSpec
-    "q_approx_topk" -> ((s, d) => {
-      Tables.load(s, d)
-      s.sql(
-        """SELECT CAST(pos + 1 AS BIGINT) AS rank, t._1 AS term, t._2 AS cnt
-          |FROM (SELECT approx_top_k_5(l_returnflag) AS tk FROM lineitem)
-          |LATERAL VIEW posexplode(tk) AS pos, t""".stripMargin)
-    }),
-
-    // --- KMV bottom-k distinct sketch: the PORTABLE cardinality
-    // estimator — the md5 hash family, bottom-k, and floor-division
-    // estimate are all integer-exact, so unlike HLL the ESTIMATE itself
-    // is oracle-checked, error and all (exact count rides along) ---
-    "q_approx_kmv" -> ((s, d) => {
-      Tables.load(s, d)
-      graft.operators.Profile.kmvDistinct(
-        s.table("lineitem"), "l_orderkey", k = 256)
-    }),
-
-    // --- portable HyperLogLog: the industry-standard distinct sketch
-    // with md5 registers and a fixed-point raw estimator, so — uniquely
-    // for an HLL — the registers AND the estimate hash-match the oracle
-    // (the builtin approx_count_distinct stays rows-only-documented in
-    // q_approx_sketches; this is the cross-engine answer) ---
-    "q_approx_hll" -> ((s, d) => {
-      Tables.load(s, d)
-      graft.operators.Profile.hllDistinct(
-        s.table("lineitem"), "l_orderkey", p = 8)
-    }),
-
-    // --- per-group HLL: estimated distinct texts per source — the
-    // grouped form of the portable sketch (oracle-checked) ---
-    "q_approx_hll_by" -> ((s, d) => {
-      Tables.load(s, d)
-      graft.operators.Profile.hllDistinctBy(
-        s.table("documents"), "source", "text", p = 8)
-    }),
-
-    // --- HLL register-algebra source overlap: estimated distinct-text
-    // overlap per source pair via element-wise-max register unions +
-    // inclusion-exclusion — the sketch-tier q_dedup_overlap, G·m register
-    // rows instead of every fingerprint through a join (oracle-checked;
-    // gate sources sit in the raw estimator's documented-biased small
-    // range, which is fine — the gate checks VALUE replay, the
-    // statistical regime is spec-tested at 5k keys) ---
-    "q_approx_hll_overlap" -> ((s, d) => {
-      Tables.load(s, d)
-      graft.operators.Profile.hllOverlap(
-        s.table("documents"), "source", "text", p = 8)
-    }),
-
-    // --- portable KLL-style quantile sketch: deterministic hash-coin
-    // level sampling (the KLL sampler tier), type-1 integer-rank
-    // read-offs over the ≤k sample — the last sketch corner
-    // (percentile_approx's state is engine-private like
-    // approx_count_distinct's; this is its cross-engine twin, estimate
-    // hash-checked) ---
-    "q_approx_kll" -> ((s, d) => {
-      Tables.load(s, d)
-      graft.operators.Profile.kllQuantile(
-        s.table("lineitem").withColumn("rid",
-          concat(col("l_orderkey").cast("string"), lit("_"),
-            col("l_linenumber").cast("string"))),
-        "l_extendedprice", "rid", k = 1024, qPermille = Seq(100, 500, 900, 990))
-    }),
-
-    // --- per-group portable quantile sketch: p50/p90 of quantity per
-    // return flag — the grouped form (oracle-checked) ---
-    "q_approx_kll_by" -> ((s, d) => {
-      Tables.load(s, d)
-      graft.operators.Profile.kllQuantileBy(
-        s.table("lineitem").withColumn("rid",
-          concat(col("l_orderkey").cast("string"), lit("_"),
-            col("l_linenumber").cast("string"))),
-        "l_returnflag", "l_quantity", "rid", k = 256,
-        qPermille = Seq(500, 900))
-    }),
-
-    // --- WEIGHTED portable quantile sketch: quantity-weighted price
-    // percentiles ("p90 price per unit shipped") via systematic
-    // sampling of the weight expansion off the same md5 row coin —
-    // integer survivor counts, weighted rank read-off (oracle-checked) ---
-    "q_approx_kll_w" -> ((s, d) => {
-      Tables.load(s, d)
-      graft.operators.Profile.kllQuantileWeighted(
-        s.table("lineitem").withColumn("rid",
-          concat(col("l_orderkey").cast("string"), lit("_"),
-            col("l_linenumber").cast("string"))),
-        "l_extendedprice", "l_quantity", "rid", k = 1024,
-        qPermille = Seq(500, 900, 990))
-    }),
-
-    // --- per-group WEIGHTED quantile sketch: quantity-weighted price
-    // percentiles per return flag — "p90 price per unit shipped, per
-    // flag", the mixture-audit form (VERDICT r13 item 1); same
-    // systematic-sampling survivor math as q_approx_kll_w with one
-    // ≤k-row sample per group (oracle-checked) ---
-    "q_approx_kll_w_by" -> ((s, d) => {
-      Tables.load(s, d)
-      graft.operators.Profile.kllQuantileWeightedBy(
-        s.table("lineitem").withColumn("rid",
-          concat(col("l_orderkey").cast("string"), lit("_"),
-            col("l_linenumber").cast("string"))),
-        "l_returnflag", "l_extendedprice", "l_quantity", "rid", k = 256,
-        qPermille = Seq(500, 900))
-    }),
-
-    // --- sketch sidecar merge chain: the corpus split into 3
-    // deterministic ingest batches, each batch reduced to its mergeable
-    // sketch state (HLL registers / KMV bottom-k / KLL level sample) and
-    // folded left-to-right — O(batch) per ingest, and the merged
-    // estimates EQUAL the one-shot full-corpus sketches, which is the
-    // oracle: the full-corpus DuckDB replays (oracle-checked) ---
-    "q_approx_sidecar" -> ((s, d) => {
-      Tables.load(s, d)
-      val docs = s.table("documents")
-      val batches = (0 to 2).map(i =>
-        docs.where(pmod(col("doc_id"), lit(3)) === i))
-      import graft.operators.SketchSidecar
-      val hll = SketchSidecar.hllEstimate(
-        batches.map(b => SketchSidecar.hllState(b, "text", p = 8))
-          .reduce(SketchSidecar.mergeHll), p = 8)
-      val kmv = SketchSidecar.kmvEstimate(
-        batches.map(b => SketchSidecar.kmvState(b, "text", k = 64))
-          .reduce((x, y) => SketchSidecar.mergeKmv(x, y, 64)), k = 64)
-      val kll = SketchSidecar.kllEstimate(
-        batches.map(b =>
-            SketchSidecar.kllState(b, "n_chars", "doc_id", k = 256))
-          .reduce((x, y) => SketchSidecar.mergeKll(x, y, 256)),
-        qPermille = Seq(500, 900))
-      def stats(df: org.apache.spark.sql.DataFrame, kind: String,
-          cols: Seq[String]) =
-        cols.map(c => df.select(lit(kind).as("kind"), lit(c).as("stat"),
-          col(c).cast("long").as("val"))).reduce(_ unionByName _)
-      stats(hll, "hll", Seq("v_zero", "t_fx", "est_raw"))
-        .unionByName(stats(kmv, "kmv",
-          Seq("n_kept", "h_k", "est_distinct")))
-        .unionByName(kll.select(lit("kll").as("kind"),
-          concat(lit("p"), col("q_pm")).as("stat"),
-          col("est_v").cast("long").as("val")))
-        .unionByName(kll.agg(max(col("n_sample")).as("n"))
-          .select(lit("kll").as("kind"), lit("n_sample").as("stat"),
-            col("n").cast("long").as("val")))
     }),
 
     // --- split-conformal calibration: md5 train/cal/test split, explicit
@@ -591,58 +189,6 @@ object PipelineQueries {
       Tables.load(s, d)
       graft.operators.Profile.quantileNormalize(
         s.table("orders"), "o_orderpriority", "o_totalprice", buckets = 8)
-    }),
-
-    // --- k-center coreset (Gonzalez greedy farthest-point): k diverse
-    // prototypes on exact fixed-point L2², full trace oracle-replayed
-    // round by round (oracle-checked) ---
-    "q_embed_coreset" -> ((s, d) => {
-      Tables.load(s, d)
-      Similarity.kCenterCoreset(s.table("embeddings"), "vec_id",
-        "embedding", k = 8)
-    }),
-
-    // --- simplified silhouette per fixed-codebook cluster: exact BIGINT
-    // squared-L2 a/b, one point×centroid pass, never pairwise
-    // (oracle-checked) ---
-    "q_embed_silhouette" -> ((s, d) => {
-      Tables.load(s, d)
-      Similarity.simplifiedSilhouette(s.table("embeddings"), "vec_id",
-        "embedding", centroidEvery = 50L)
-    }),
-
-    // --- margin-based bitext mining (ratio margin, Artetxe & Schwenk):
-    // cluster-bucketed candidates, per-side kNN-mean normalization, exact
-    // micro-integer scores (oracle-checked) ---
-    "q_embed_margin" -> ((s, d) => {
-      Tables.load(s, d)
-      Similarity.marginMining(s.table("embeddings"), "vec_id", "embedding",
-        centroidEvery = 50L, kNn = 4, topN = 50)
-    }),
-
-    // --- pairwise linear-kernel MMD² between label groups: the
-    // embedding distribution-shift detector — exact fixed-point group
-    // sums, one corpus pass, pair math on the tiny (group × dim)
-    // aggregate (oracle-checked) ---
-    "q_embed_mmd" -> ((s, d) => {
-      Tables.load(s, d)
-      Similarity.mmdByGroup(s.table("embeddings"), "label", "embedding")
-    }),
-
-    // --- Count-Min sketch point estimates: 3 distinct keys over a 3x64
-    // sketch — no key pair collides in every row (checkable, and the spec
-    // pins the never-underestimate + merge guarantees), so the estimates
-    // are exact and the oracle checks them against plain GROUP BY counts;
-    // the approximate regime is bound-tested in SketchSpec ---
-    "q_approx_countmin" -> ((s, d) => {
-      Tables.load(s, d)
-      val sk = s.table("lineitem")
-        .agg(expr("count_min_3x64(l_returnflag)").as("sk"))
-      val keys = s.table("lineitem").select(col("l_returnflag").as("k")).distinct()
-      keys.crossJoin(broadcast(sk))
-        .select(col("k"),
-          graft.functions.CountMin.estimateCol(col("sk"), col("k"), 3, 64)
-            .as("est_n"))
     }),
 
     // --- corpus mixture table: per (source, lang) doc/token volumes and
@@ -808,167 +354,6 @@ object PipelineQueries {
         Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
     }),
 
-    // --- exact dedup on canonicalized word-set key (oracle-checked) ---
-    "q_dedup_exact" -> ((s, d) => Dedup.exactGroups(
-      docs(s, d), col("doc_id"),
-      array_join(array_sort(array_distinct(split(lower(col("text")), " "))), " "))),
-
-    // --- incremental ingest dedup: odd-id docs are the incoming batch,
-    // even-id fingerprints the already-ingested store (oracle-checked) ---
-    "q_dedup_incremental" -> ((s, d) => {
-      val all = docs(s, d)
-      Dedup.incremental(
-        all.where(col("doc_id") % 2 === 1), col("doc_id"),
-        TextAnalysis.fingerprint(col("text")),
-        all.where(col("doc_id") % 2 === 0)
-          .select(TextAnalysis.fingerprint(col("text"))))
-    }),
-
-    // --- the same ingest, bloom-prefiltered: probe-negative rows skip the
-    // anti-join entirely; answer must be bit-identical to q_dedup_incremental
-    // (same oracle) since the bloom only routes rows ---
-    "q_dedup_bloom" -> ((s, d) => {
-      val all = docs(s, d)
-      Dedup.incrementalBloom(
-        all.where(col("doc_id") % 2 === 1), col("doc_id"),
-        TextAnalysis.fingerprint(col("text")),
-        all.where(col("doc_id") % 2 === 0)
-          .select(TextAnalysis.fingerprint(col("text"))))
-    }),
-
-    // --- cross-doc duplicated 8-token spans, the exact-substring dedup
-    // tier (oracle-checked) ---
-    "q_dedup_spans" -> ((s, d) =>
-      Dedup.dupSpans(docs(s, d), "doc_id", "text", spanLen = 8)),
-
-    // --- winnowing (MOSS) fingerprint selection: ~2/(w+1)-density sketch
-    // with the w+k-1 shared-run guarantee (oracle-checked) ---
-    "q_dedup_winnow" -> ((s, d) =>
-      Dedup.winnowFingerprints(docs(s, d), "doc_id", "text", k = 3, w = 4)),
-
-    // --- MOSS match step: doc pairs sharing >= 3 winnowed fingerprints,
-    // stop-gram fingerprints capped out of the join (oracle-checked) ---
-    "q_dedup_winnow_pairs" -> ((s, d) =>
-      Dedup.winnowPairs(docs(s, d), "doc_id", "text", k = 3, w = 4,
-        minShared = 3L)),
-
-    // --- cross-source overlap matrix: shared winnow fingerprints per
-    // source pair, boilerplate fingerprints capped out, post-cap Jaccard
-    // (oracle-checked) ---
-    "q_dedup_overlap" -> ((s, d) =>
-      Dedup.sourceOverlap(docs(s, d), "doc_id", "text", "source",
-        k = 3, w = 4, maxStrata = 10)),
-
-    // --- the strip step completing q_dedup_spans: flagged spans removed,
-    // survivors rejoined in token order (oracle replays detect+strip) ---
-    "q_dedup_strip" -> ((s, d) => {
-      val dd = docs(s, d)
-      Dedup.stripSpans(dd, "doc_id", "text",
-        Dedup.dupSpans(dd, "doc_id", "text", spanLen = 8), spanLen = 8)
-    }),
-
-    // --- paragraph/line-level global dedup: consecutive 10-token segments,
-    // corpus-wide first occurrence survives, docs reassembled from kept
-    // segments (oracle replays fingerprint → winner → rebuild) ---
-    "q_dedup_segments" -> ((s, d) =>
-      Dedup.dedupSegments(docs(s, d), "doc_id", "text", segLen = 10)),
-
-    // --- domain-scoped BOILERPLATE strip (CCNet/RefinedWeb): bigram
-    // segments repeated in >= 3 distinct docs of one source are template
-    // text, removed from EVERY doc of that source — unlike dedup's
-    // winner-keeps; identical text in other sources untouched
-    // (oracle-checked) ---
-    "q_text_boilerplate" -> ((s, d) =>
-      Dedup.stripBoilerplate(docs(s, d), "doc_id", "text", "source",
-        segLen = 2, minDocs = 3)),
-
-    // --- intra-doc repeated-segment strip (the Gopher-repetition repair
-    // step): winner scope narrowed to (doc, fingerprint) so cross-doc
-    // repeats survive (oracle-checked) ---
-    "q_dedup_segments_doc" -> ((s, d) =>
-      Dedup.dedupSegments(docs(s, d), "doc_id", "text", segLen = 5,
-        perDoc = true)),
-
-    // --- per-doc 3-gram novelty of the doc_id % 20 probe batch vs the
-    // rest of the corpus: unseen-gram ratio in exact micro-units
-    // (oracle-checked) ---
-    "q_text_novelty" -> ((s, d) => {
-      val all = docs(s, d)
-      TextAnalysis.ngramNovelty(
-        all.where(col("doc_id") % 20 =!= 0), "doc_id", "text",
-        all.where(col("doc_id") % 20 === 0), "doc_id", "text", n = 3)
-    }),
-
-    // --- soft dedup: 1/family_size loss weights instead of hard drops —
-    // corpus stays intact, expected gradient matches the deduped one
-    // (oracle-checked) ---
-    "q_dedup_soft" -> ((s, d) =>
-      Dedup.softWeights(docs(s, d), "doc_id", "text")),
-
-    // --- LSH quality evaluation: banded-MinHash recall/precision vs the
-    // exact blocked-Jaccard truth in the same id window — measures the
-    // banding parameters on THIS corpus (oracle replays both pipelines) ---
-    "q_dedup_minhash_recall" -> ((s, d) =>
-      Dedup.minhashRecall(docs(s, d), "doc_id", "text",
-        idWindow = 25L, threshold = 0.5)),
-
-    // --- label-noise confusion: corpus-trained Naive Bayes cross-predicts
-    // every doc's lang; off-diagonal cells = metadata error estimate
-    // (oracle-checked) ---
-    "q_text_label_noise" -> ((s, d) =>
-      TextAnalysis.labelNoise(docs(s, d), "lang", "doc_id", "text")),
-
-    // --- exact 2-gram Jaccard over id-window-blocked pairs (oracle-checked)
-    "q_dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(
-      docs(s, d), "doc_id", "text", ngram = 2,
-      idWindow = 25L, threshold = 0.5)),
-
-    // --- directed containment pairs: subset-duplication (doc inside doc)
-    // the symmetric Jaccard tiers miss; both directions' scores reported
-    // (oracle replays the same blocked join + intersection) ---
-    "q_dedup_containment" -> ((s, d) => Dedup.containmentPairs(
-      docs(s, d), "doc_id", "text", ngram = 2,
-      idWindow = 25L, threshold = 0.8)),
-
-    // --- MinHash+LSH near-dup pairs (rows-only; recall-tested in DedupSpec
-    // at its own parameters). 16 hashes / 4 bands keeps the same rows-per-
-    // band selectivity (r = 4) as 32/8 at half the signature cost — the
-    // LSH quality knob is r and the verify threshold, not raw hash count ---
-    "q_dedup_minhash" -> ((s, d) => Dedup.minhashPairs(
-      docs(s, d), "doc_id", "text", ngram = 2,
-      numHashes = 16, bands = 4, threshold = 0.7)),
-
-    // --- exact char-5-gram Jaccard (byte-level dedup robustness; string
-    // shingles end to end so the oracle replays without hashing) ---
-    "q_dedup_jaccard_char" -> ((s, d) => Dedup.jaccardPairsChar(
-      docs(s, d), "doc_id", "text")),
-
-    // --- MinHash+LSH with md5-portable hashes: the SAME pipeline replayed
-    // in DuckDB (Dedup.minhashOracleSql shares the hash constants), so the
-    // full LSH candidate-generation + verification is hash-checked ---
-    "q_dedup_minhash_md5" -> ((s, d) => Dedup.minhashPairsPortable(
-      docs(s, d), "doc_id", "text")),
-
-    // --- dedup families: connected components over the portable-minhash
-    // pair graph, one min-id representative per family (oracle: recursive
-    // transitive closure over the same pairs) ---
-    "q_dedup_components" -> ((s, d) => Dedup.connectedComponents(
-      Dedup.minhashPairsPortable(docs(s, d), "doc_id", "text"))),
-
-    // --- corpus duplication profile: family-size histogram over the same
-    // portable-minhash families + singleton fallback (oracle-checked) ---
-    "q_dedup_profile" -> ((s, d) => Dedup.duplicationProfile(docs(s, d),
-      Dedup.minhashPairsPortable(docs(s, d), "doc_id", "text"), "doc_id")),
-
-    // --- quality-aware dedup retention: the portable-minhash families with
-    // the best-quality member kept (ties to lower id) — what a curation
-    // pass does with near-dup families (oracle: recursive closure + the
-    // same quality window) ---
-    "q_dedup_keep_best" -> ((s, d) => Dedup.keepBest(
-      Dedup.minhashPairsPortable(docs(s, d), "doc_id", "text"),
-      docs(s, d).select(col("doc_id"),
-        TextAnalysis.qualityScore(col("text")).as("score")))),
-
     // --- leakage-safe split: near-dup families (portable-minhash pairs →
     // connected components) share one split bucket, unpaired docs fall back
     // to the plain content-stable split (oracle: recursive closure + the
@@ -976,177 +361,6 @@ object PipelineQueries {
     "q_pipeline_leak_split" -> ((s, d) => Dedup.leakSafeSplit(
       docs(s, d).select(col("doc_id")), "doc_id",
       Dedup.minhashPairsPortable(docs(s, d), "doc_id", "text"))),
-
-    // --- batch analogue of the streaming minhash-band dedup state: per
-    // band bucket the winning doc + claim count (oracle-checked) ---
-    "q_dedup_band_claims" -> ((s, d) => Dedup.minhashBandClaims(
-      docs(s, d), "doc_id", "text")),
-
-    // --- fuzzy (edit-distance) near-dup pairs on blocked prefix compare:
-    // the record-linkage tier below the Jaccard/MinHash families
-    // (oracle-checked — levenshtein is identical unit-cost in DuckDB) ---
-    "q_dedup_fuzzy" -> ((s, d) => Dedup.fuzzyPairs(
-      docs(s, d), "doc_id", "text")),
-
-    // --- SimHash near-dup pairs (rows-only; custom Catalyst expression) ---
-    "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(
-      docs(s, d), "doc_id", "text", maxHamming = 3)),
-
-    // --- SimHash with md5-portable 60-bit hashes: same band-blocked
-    // pipeline replayed in DuckDB (Dedup.simhashOracleSql) → hash-checked ---
-    "q_dedup_simhash_md5" -> ((s, d) => Dedup.simhashPairsPortable(
-      docs(s, d), "doc_id", "text", maxHamming = 3)),
-
-    // --- similarity search: exact brute-force top-k (oracle-checked) ---
-    "q_knn_brute" -> ((s, d) => {
-      Tables.load(s, d)
-      Similarity.knnBrute(s.table("embeddings"), "vec_id", "embedding",
-        queryId = 0L, k = 10)
-    }),
-
-    // --- batch retrieval: top-k for a query SET in one corpus pass ---
-    "q_knn_batch" -> ((s, d) => {
-      Tables.load(s, d)
-      val emb = s.table("embeddings")
-      Similarity.knnBatch(emb, "vec_id", "embedding",
-        emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 5)
-        .select(col("qid"), col("vec_id"), col("score"), col("rank"))
-    }),
-
-    // --- similarity search: LSH ANN top-k (rows-only; recall in spec) ---
-    "q_knn_lsh" -> ((s, d) => {
-      Tables.load(s, d)
-      Similarity.knnLsh(s.table("embeddings"), "vec_id", "embedding",
-        queryId = 0L, k = 10)
-    }),
-
-    // --- LSH ANN with md5-portable hyperplanes: deterministic multi-probe
-    // pipeline replayed in DuckDB (Similarity.knnLshOracleSql) ---
-    "q_knn_lsh_md5" -> ((s, d) => {
-      Tables.load(s, d)
-      Similarity.knnLshPortable(s.table("embeddings"), "vec_id", "embedding",
-        queryId = 0L, k = 10)
-    }),
-
-    // --- int8-quantized exact top-k (4x smaller vectors; integer sums →
-    // deterministic, oracle-replayed) ---
-    "q_knn_quantized" -> ((s, d) => {
-      Tables.load(s, d)
-      Similarity.knnQuantized(s.table("embeddings"), "vec_id", "embedding",
-        queryId = 0L, k = 10)
-    }),
-
-    // --- binary-quantization ANN: 1-bit/dim mean-thresholded sketch
-    // (integer threshold — partition-order-proof), Hamming candidate scan
-    // over 32x-compressed words, exact cosine re-rank — deterministic,
-    // replayed in DuckDB (Similarity.knnBqOracleSql) ---
-    "q_knn_bq" -> ((s, d) => {
-      Tables.load(s, d)
-      Similarity.knnBq(s.table("embeddings"), "vec_id", "embedding",
-        queryId = 0L, k = 10)
-    }),
-
-    // --- Matryoshka prefix-dim retrieval: coarse top-(k*4) by prefix
-    // cosine on exact integer sums (16 of 64 dims), exact full-dim
-    // re-rank — deterministic, replayed in DuckDB
-    // (Similarity.knnMatryoshkaOracleSql) ---
-    "q_knn_mrl" -> ((s, d) => {
-      Tables.load(s, d)
-      Similarity.knnMatryoshka(s.table("embeddings"), "vec_id", "embedding",
-        queryId = 0L, k = 10)
-    }),
-
-    // --- capacity-balanced IVF assignment: every inverted list capped at
-    // ceil(n*110%/k); overflow (each list's worst fits) spills to the
-    // second-nearest centroid — the serving-skew rebalance, deterministic,
-    // replayed in DuckDB (Similarity.balancedIvfAssignOracleSql) ---
-    "q_knn_balanced" -> ((s, d) => {
-      Tables.load(s, d)
-      Similarity.balancedIvfAssign(s.table("embeddings"), "vec_id",
-        "embedding", centroidEvery = 50, slackPct = 110)
-    }),
-
-    // --- measured IVF recall@k vs exact brute force over a deterministic
-    // query sample (every 25th id, nprobe=2 so the number is informative)
-    // — the tuning metric an ANN deployment ships on, replayed in DuckDB
-    // (Similarity.annRecallIvfOracleSql) ---
-    "q_knn_recall" -> ((s, d) => {
-      Tables.load(s, d)
-      Similarity.annRecallIvf(s.table("embeddings"), "vec_id", "embedding",
-        queryEvery = 25L, k = 10, centroidEvery = 50, nprobe = 2)
-    }),
-
-    // --- MMR diversification: greedy λ·rel − (1−λ)·maxSim selection over
-    // a bounded candidate set — the diversify stage of the retrieval
-    // stack, replayed in DuckDB (Similarity.mmrSelectOracleSql) ---
-    "q_knn_mmr" -> ((s, d) => {
-      Tables.load(s, d)
-      Similarity.mmrSelect(s.table("embeddings"), "vec_id", "embedding",
-        queryId = 0L, k = 8, candN = 25, lambdaPct = 70)
-    }),
-
-    // --- product-quantization ANN: deterministic sampled codebook, encode
-    // + ADC top-k — fully deterministic, replayed in DuckDB
-    // (Similarity.knnPqOracleSql); compression/recall trade measured in
-    // SimilaritySpec ---
-    "q_knn_pq" -> ((s, d) => {
-      Tables.load(s, d)
-      Similarity.knnPq(s.table("embeddings"), "vec_id", "embedding",
-        queryId = 0L, k = 10)
-    }),
-
-    // --- IVF-PQ composite (IVFADC): coarse-cell prune + ADC scoring,
-    // deterministic end to end, replayed in DuckDB ---
-    "q_knn_ivfpq" -> ((s, d) => {
-      Tables.load(s, d)
-      Similarity.knnIvfPq(s.table("embeddings"), "vec_id", "embedding",
-        queryId = 0L, k = 10)
-    }),
-
-    // --- similarity search: IVF ANN top-k (oracle-replayed prune + rerank) ---
-    "q_knn_ivf" -> ((s, d) => {
-      Tables.load(s, d)
-      Similarity.knnIvf(s.table("embeddings"), "vec_id", "embedding",
-        queryId = 0L, k = 10)
-    }),
-
-    // --- IVF served from the centroid-partitioned parquet layout: write
-    // the inverted lists as partition dirs, probe through dynamic partition
-    // pruning — answer identical to q_knn_ivf (same oracle), the layout's
-    // scan bound is pinned in SimilaritySpec ---
-    "q_knn_ivf_layout" -> ((s, d) => {
-      Tables.load(s, d)
-      val path = Tables.scratchDir(s, s"ivf_${d.replaceAll("[^A-Za-z0-9]", "_")}")
-      val index = Similarity.writeIvfIndex(s.table("embeddings"), "vec_id",
-        "embedding", path)
-      // probe selection reads the build-time codebook sidecar
-      // (O(centroids)); the inverted-list scan stays partition-pruned
-      Similarity.knnIvfIndexed(index, "vec_id", "embedding",
-        queryId = 0L, k = 10,
-        codebook = Some(Similarity.ivfCodebook(s, path, "vec_id",
-          "embedding", 50)))
-    }),
-
-    // --- IVF served for a LITERAL query vector (the online pattern: the
-    // embedding arrives from outside the corpus at request time): probe
-    // selection off the build-time codebook sidecar, lists partition-
-    // pruned; the vector here is id 0's (1-row bounded collect) with
-    // excludeId=0, so the answer — and the oracle — are exactly
-    // q_knn_ivf's ---
-    "q_knn_ivf_vec" -> ((s, d) => {
-      Tables.load(s, d)
-      val path = Tables.scratchDir(s,
-        s"ivfvec_${d.replaceAll("[^A-Za-z0-9]", "_")}")
-      val index = Similarity.writeIvfIndex(s.table("embeddings"), "vec_id",
-        "embedding", path)
-      val qvec = s.table("embeddings").where(col("vec_id") === 0L)
-        .select(col("embedding")).head().getSeq[Float](0)
-      Similarity.knnIvfIndexedVec(index, "vec_id", "embedding", qvec,
-        k = 10,
-        codebook = Some(Similarity.ivfCodebook(s, path, "vec_id",
-          "embedding", 50)),
-        excludeId = Some(0L))
-    }),
 
     // --- deterministic train/val/test split: md5(doc_id) mod 100 buckets
     // (80/10/10) — content-stable assignment, the standard reproducible
@@ -1173,69 +387,6 @@ object PipelineQueries {
           .orderBy(col("h"), col("doc_id"))).cast("long"))
       .where(col("rk") <= 20)
       .select(col("lang"), col("doc_id"), col("rk"))),
-
-    // --- vocabulary building: corpus-wide token counts with a min-count
-    // floor and deterministic rank — the vocab artifact of a tokenizer
-    // training step (hash groupBy: map-side combine, scales with distinct
-    // tokens, not corpus size) ---
-    "q_text_vocab" -> ((s, d) => docs(s, d)
-      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .where(col("n") >= 25)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("n").desc, col("token"))).cast("long"))),
-
-    // --- Zipf rank-frequency fit: OLS slope/r² over the top-100 terms'
-    // log-log curve — rank-sorted sequential fold, deterministic doubles
-    // (oracle-checked) ---
-    "q_text_zipf" -> ((s, d) =>
-      TextAnalysis.zipfFit(docs(s, d), "text", topN = 100)),
-
-    // --- fill-in-the-middle: PSM reordering at deterministic hash cuts,
-    // 50% apply rate, verbatim passthrough otherwise (oracle-checked) ---
-    "q_text_fim" -> ((s, d) =>
-      TextAnalysis.fimTransform(docs(s, d), "doc_id", "text",
-        fimRatePct = 50L)),
-
-    // --- T5 span corruption: deterministic hash-selected token spans
-    // masked to sentinels, (input, target) training pairs
-    // (oracle-checked) ---
-    "q_text_span_corrupt" -> ((s, d) =>
-      TextAnalysis.spanCorrupt(docs(s, d), "doc_id", "text",
-        spanLen = 3, everyK = 12L)),
-
-    // --- content-defined chunking: rolling-hash boundaries (mean ~12
-    // tokens), insertion-robust chunk fingerprints for incremental dedup
-    // (oracle-checked) ---
-    "q_text_chunk_cdc" -> ((s, d) =>
-      TextAnalysis.chunkCdc(docs(s, d), "doc_id", "text",
-        w = 4, divisor = 12L)),
-
-    // --- Heaps'-law vocabulary-growth fit: β exponent of V ≈ K·n^β over
-    // doc-order prefix points, two-level mega-partition-proof cumsum
-    // (oracle-checked) ---
-    "q_text_heaps" -> ((s, d) =>
-      TextAnalysis.heapsFit(docs(s, d), "doc_id", "text",
-        sampleEvery = 8L, bucketSize = 64L)),
-
-    // --- Good-Turing frequency-of-frequencies: N_r table + exact-rational
-    // adjusted counts r* = (r+1)·N_{r+1}/N_r (oracle-checked) ---
-    "q_text_goodturing" -> ((s, d) =>
-      TextAnalysis.goodTuring(docs(s, d), "text", maxR = 10, ngram = 3)),
-
-    // --- Luhn mod-10 checksum battery: the payment-card precision gate of
-    // a PII detector, run over synthetic variable-length digit runs
-    // (13–16) derived from order keys (oracle-checked) ---
-    "q_text_luhn" -> ((s, d) => {
-      Tables.load(s, d)
-      s.table("orders")
-        .select(col("o_orderkey"),
-          expr("lpad(cast(o_orderkey as string), " +
-            "cast(13 + o_orderkey % 4 as int), '0')").as("pan"))
-        .select(col("o_orderkey"), col("pan"),
-          TextAnalysis.luhnValid(col("pan")).as("luhn_ok"))
-    }),
 
     // --- capstone: the full cleaning pipeline composed — quality filter →
     // language filter → canonical-key dedup (keep lowest doc_id) ---
@@ -1337,35 +488,6 @@ object PipelineQueries {
           col("quality"))
     }),
 
-    // --- embedding near-dup pairs above cosine threshold (rows-only) ---
-    "q_embed_neardup" -> ((s, d) => {
-      Tables.load(s, d)
-      Similarity.nearDupPairs(s.table("embeddings"), "vec_id", "embedding",
-        threshold = 0.4, bits = 6)
-    }),
-
-    // --- embedding near-dup with md5-derived hyperplanes: the full LSH +
-    // cosine-verify pipeline replayed in DuckDB (Similarity.nearDupOracleSql
-    // shares the sign literals) → hash-checked ---
-    "q_embed_neardup_md5" -> ((s, d) => {
-      Tables.load(s, d)
-      Similarity.nearDupPairsPortable(s.table("embeddings"), "vec_id",
-        "embedding", threshold = 0.4)
-    }),
-
-    // --- hard-negative mining: per query, top-5 most-similar vectors that
-    // are neither self nor a labeled positive (oracle-checked) ---
-    "q_embed_hard_negatives" -> ((s, d) => {
-      Tables.load(s, d)
-      val emb = s.table("embeddings")
-      val queries = emb.where(col("vec_id") % 50 === 3)
-      // synthetic positive labels for the gate: each query's next two ids
-      val positives = queries.select(col("vec_id").as("qid"),
-        explode(array(col("vec_id") + 1, col("vec_id") + 2)).as("pos_id"))
-      Similarity.mineHardNegatives(emb, "vec_id", "embedding",
-        queries, "vec_id", "embedding", positives, "qid", "pos_id", k = 5)
-    }),
-
     // --- RAG retrieval pipeline: chunk → feature-hash embed (Weinberger
     // 2009 hashing trick, integer-exact) → per-probe top-5 cosine, the
     // full chain DuckDB-replayed (oracle-checked) ---
@@ -1379,82 +501,12 @@ object PipelineQueries {
         "probe_id", "text", dim = 64, k = 5)
     }),
 
-    // --- corpus anisotropy: mean/min/max cosine over hash-bucketed
-    // neighbor pairs — the Ethayarajh embedding-collapse diagnostic;
-    // exact integer folds, micro-rounded per pair (oracle-checked) ---
-    "q_embed_anisotropy" -> ((s, d) => {
-      Tables.load(s, d)
-      Similarity.anisotropy(s.table("embeddings"), "vec_id", "embedding",
-        buckets = 64)
-    }),
-
     // --- dataset card: the release datasheet as one (metric, value)
     // BIGINT table — counts, composition, dup volume, quality mean,
     // median length (oracle-checked) ---
     "q_pipeline_card" -> ((s, d) =>
       graft.operators.Profile.datasetCard(docs(s, d), "doc_id", "text",
         "lang", "source")),
-
-    // --- Johnson–Lindenstrauss random-sign projection 64 → 16 dims:
-    // derived md5 sign matrix, exact BIGINT fixed-point sums
-    // (oracle-checked) ---
-    "q_embed_jl" -> ((s, d) => {
-      Tables.load(s, d)
-      Similarity.jlProject(s.table("embeddings"), "vec_id", "embedding",
-        dim = 64, outDim = 16)
-    }),
-
-    // --- SemDeDup semantic dedup, bit-exact tier: every-50th-id codebook,
-    // min-id survivor inside each cluster (oracle-checked; the Lloyd-trained
-    // tier is spec-tested) ---
-    "q_embed_semdedup" -> ((s, d) => {
-      Tables.load(s, d)
-      Similarity.semDedupFixed(s.table("embeddings"), "vec_id", "embedding",
-        centroidEvery = 50L, threshold = 0.4)
-    }),
-
-    // --- per-dim z-score standardization: exact fx-carrier moments, the
-    // scale cancels in z = (v·n−s)/√(n·ss−s²) so both engines compute
-    // identical doubles (oracle-checked) ---
-    "q_embed_standardize" -> ((s, d) => {
-      Tables.load(s, d)
-      Similarity.standardizeEmbeddings(s.table("embeddings"), "vec_id",
-        "embedding")
-    }),
-
-    // --- cluster-balanced diversity sample: ≤5 vectors per fixed-codebook
-    // cluster in content-stable md5 order — coverage-preserving coreset,
-    // rank-limit executed as partial top-k (oracle-checked) ---
-    "q_embed_diversity" -> ((s, d) => {
-      Tables.load(s, d)
-      Similarity.diversitySample(s.table("embeddings"), "vec_id", "embedding",
-        centroidEvery = 50L, perCluster = 5)
-    }),
-
-    // --- dimension-correlation matrix: pairwise Pearson corr on exact
-    // integer moments, pair products generated in codegen inside each row
-    // — the PCA/whitening redundancy diagnostic (oracle-checked) ---
-    "q_embed_corr" -> ((s, d) => {
-      Tables.load(s, d)
-      Similarity.correlationMatrix(s.table("embeddings"), "embedding")
-    }),
-
-    // --- top principal component: power method on the exact integer
-    // scatter matrix, L-infinity micro renormalization — the dominant
-    // direction anisotropy correction strips (oracle-checked) ---
-    "q_embed_pca" -> ((s, d) => {
-      Tables.load(s, d)
-      Similarity.pcaPower(s.table("embeddings"), "embedding", iters = 6)
-    }),
-
-    // --- grid-blocked exact DBSCAN on the 2-D JL sketch: density
-    // clusters + border/noise labeling, Chebyshev balls on exact BIGINT
-    // coordinates (oracle-checked) ---
-    "q_embed_dbscan" -> ((s, d) => {
-      Tables.load(s, d)
-      Similarity.dbscanGrid(s.table("embeddings"), "vec_id", "embedding",
-        dim = 64, epsFx = 200000L, minPts = 6)
-    }),
 
     // --- isotonic (PAV) calibration: best non-decreasing score→frequency
     // map via the exact minimax identity over the bucket table — joins +
@@ -1567,13 +619,6 @@ object PipelineQueries {
         col("doc_id") % 100 === 7, skip = 8, take = 24,
         window = 32, stride = 24, dim = 64, k = 5)),
 
-    // --- expected mutual information (token, language) feature ranking:
-    // the information-mass selector next to q_text_chi2's significance
-    // ranking — exact counts, fixed-order 6-dp log terms (oracle-checked) ---
-    "q_text_mi" -> ((s, d) =>
-      TextAnalysis.mutualInfo(docs(s, d), "doc_id", "text", "lang",
-        minDf = 10)),
-
     // --- Lorenz concentration: share of corpus bytes held by the
     // heaviest 1/2/5/10/25/50% of docs — whole-group prefixes, exact
     // micro floors, the actionable curve next to q_scale_skew's Gini
@@ -1597,16 +642,6 @@ object PipelineQueries {
           round(TextAnalysis.qualityScore(col("text")) * 1e6, 0)
             .cast("long")),
         "doc_id", col("q_micro"), col("n_chars"))),
-
-    // --- corpus-pair unigram KL divergence vs the 'en' slice: the TEXT
-    // drift detector next to the numeric PSI/KS — add-one smoothing,
-    // per-term 1e9 fixed-point so the sum is exact in any order
-    // (oracle-checked) ---
-    "q_text_jsd" -> ((s, d) =>
-      TextAnalysis.corpusJsd(docs(s, d), "text", "lang", minCount = 10)),
-
-    "q_text_kl" -> ((s, d) =>
-      TextAnalysis.corpusKl(docs(s, d), "text", "lang", base = "en")),
 
     // --- Brier score + Murphy decomposition of the length pseudo-
     // probability for lang='en': REL−RES+UNC in exact micro floors — the
@@ -1653,71 +688,10 @@ object PipelineQueries {
     }),
   )
 
-  /** Shared by q_dedup_incremental and q_dedup_bloom: the bloom variant's
-    * whole contract is producing the plain anti-join ingest's exact answer.
-    */
-  private val incrementalIngestOracle: String =
-    """WITH fp AS (
-      |  SELECT doc_id,
-      |         md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS dup_key
-      |  FROM documents)
-      |SELECT min(doc_id)::BIGINT AS keep_id, dup_key
-      |FROM fp WHERE doc_id % 2 = 1 AND dup_key IS NOT NULL
-      |  AND dup_key NOT IN (SELECT dup_key FROM fp
-      |                      WHERE doc_id % 2 = 0 AND dup_key IS NOT NULL)
-      |GROUP BY dup_key""".stripMargin
-
-  /** Shared DuckDB replay of the IVF top-k (assignment argmax, probe
-    * selection, exact re-rank; queryId=0, k=10, centroidEvery=50, nprobe=3)
-    * — `q_knn_ivf` and the layout-served `q_knn_ivf_layout` are
-    * answer-identical by construction, so both gate entries use it.
-    */
-  private val ivfOracleSql: String =
-    """WITH vecs AS (
-      |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
-      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-      |  FROM embeddings),
-      |cents AS (
-      |  SELECT id AS centroid_id, v AS cvec, nrm AS cnrm FROM vecs
-      |  WHERE id % 50 = 0),
-      |assigned AS (
-      |  SELECT id, centroid_id FROM (
-      |    SELECT a.id, c.centroid_id,
-      |           row_number() OVER (PARTITION BY a.id
-      |             ORDER BY list_dot_product(a.v, c.cvec) / (a.nrm * c.cnrm) DESC,
-      |                      c.centroid_id) AS rn
-      |    FROM vecs a CROSS JOIN cents c)
-      |  WHERE rn = 1),
-      |q AS (SELECT v AS qvec, nrm AS qnrm FROM vecs WHERE id = 0),
-      |probe AS (
-      |  SELECT centroid_id FROM cents, q
-      |  ORDER BY list_dot_product(cvec, qvec) / (cnrm * qnrm) DESC, centroid_id
-      |  LIMIT 3)
-      |SELECT id AS vec_id, score FROM (
-      |  SELECT a.id, list_dot_product(a.v, q.qvec) / (a.nrm * q.qnrm) AS score
-      |  FROM vecs a
-      |  JOIN assigned USING (id)
-      |  JOIN probe USING (centroid_id), q
-      |  WHERE a.id <> 0)
-      |ORDER BY score DESC, id LIMIT 10""".stripMargin
-
   val oracleSql: Map[String, String] = Map(
-    "q_dedup_minhash_md5" -> Dedup.minhashOracleSql(),
-    "q_dedup_fuzzy" -> Dedup.fuzzyOracleSql(),
-    "q_text_entropy" -> TextAnalysis.entropyOracleSql(),
-    "q_text_repetition" -> TextAnalysis.repetitionOracleSql(n = 3),
-    "q_text_collocations" -> TextAnalysis.collocationsOracleSql(minCount = 25),
-    "q_text_perplexity" -> TextAnalysis.crossEntropyOracleSql(),
-    "q_text_bigram_lm" -> TextAnalysis.bigramCrossEntropyOracleSql(),
-    "q_text_gopher" -> TextAnalysis.gopherOracleSql(minWords = 20),
-    "q_text_readability" -> TextAnalysis.readabilityOracleSql(),
-    "q_text_keywords" -> TextAnalysis.keywordTagOracleSql(KeywordTopics),
-    "q_text_skipgrams" -> TextAnalysis.skipGramsOracleSql(window = 3,
-      minCount = 25),
-    "q_text_chi2" -> TextAnalysis.chi2OracleSql(minDf = 10),
-    "q_text_nbayes" -> TextAnalysis.naiveBayesOracleSql(),
     "q_pipeline_bm25" -> TextAnalysis.bm25OracleSql(k = 5,
       probePred = "id % 20 = 0"),
+
     "q_pipeline_profile" -> graft.operators.Profile.exactOracleSql("lineitem",
       Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
 
@@ -1798,69 +772,12 @@ object PipelineQueries {
         |         row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rank
         |  FROM scored)
         |WHERE rank <= 3""".stripMargin,
-    "q_text_contamination" -> TextAnalysis.contaminationOracleSql(n = 4),
 
-    // exact regime: estimates == true counts (see the query's comment)
-    "q_approx_countmin" ->
-      """SELECT l_returnflag AS k, count(*) AS est_n
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-    "q_text_rolling_fp_mod" -> TextAnalysis.rollingFpOracleSql(),
-    "q_dedup_simhash_md5" -> Dedup.simhashOracleSql(),
-    "q_embed_neardup_md5" -> Similarity.nearDupOracleSql(threshold = 0.4),
-    "q_embed_semdedup" ->
-      Similarity.semDedupOracleSql(centroidEvery = 50L, threshold = 0.4),
-    "q_embed_diversity" ->
-      Similarity.diversityOracleSql(centroidEvery = 50L, perCluster = 5),
-    "q_embed_standardize" -> Similarity.standardizeOracleSql(),
-    "q_embed_corr" -> Similarity.correlationMatrixOracleSql(),
-    "q_embed_pca" -> Similarity.pcaPowerOracleSql(iters = 6),
-    "q_embed_dbscan" -> Similarity.dbscanGridOracleSql(
-      dim = 64, epsFx = 200000L, minPts = 6),
     "q_pipeline_rag" -> Similarity.retrieveOracleSql(window = 32, stride = 24,
       dim = 64, k = 5, probePred = "doc % 100 = 7"),
 
-    "q_embed_hard_negatives" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-        |           FROM embeddings WHERE vec_id % 50 = 3),
-        |scored AS (
-        |  SELECT q.qid, e.vec_id,
-        |         CASE WHEN sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-        |                   * sqrt(list_dot_product(q.qv, q.qv)) = 0
-        |              THEN '-Infinity'::DOUBLE
-        |              ELSE list_dot_product(e.embedding::DOUBLE[], q.qv) /
-        |           (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
-        |            sqrt(list_dot_product(q.qv, q.qv))) END AS score
-        |  FROM embeddings e CROSS JOIN q
-        |  WHERE e.vec_id <> q.qid
-        |    AND e.vec_id <> q.qid + 1 AND e.vec_id <> q.qid + 2),
-        |ranked AS (
-        |  SELECT qid, vec_id, score,
-        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)::BIGINT AS rank
-        |  FROM scored)
-        |SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin,
-    "q_knn_lsh_md5" -> Similarity.knnLshOracleSql(queryId = 0L, k = 10),
-    "q_knn_quantized" -> Similarity.knnQuantizedOracleSql(queryId = 0L, k = 10),
-    "q_knn_bq" -> Similarity.knnBqOracleSql(queryId = 0L, k = 10),
-    "q_knn_mrl" -> Similarity.knnMatryoshkaOracleSql(queryId = 0L, k = 10),
-    "q_knn_balanced" -> Similarity.balancedIvfAssignOracleSql(
-      centroidEvery = 50, slackPct = 110),
-    "q_knn_recall" -> Similarity.annRecallIvfOracleSql(queryEvery = 25L,
-      k = 10, centroidEvery = 50, nprobe = 2),
-    "q_knn_mmr" -> Similarity.mmrSelectOracleSql(queryId = 0L, k = 8,
-      candN = 25, lambdaPct = 70),
-    "q_knn_pq" -> Similarity.knnPqOracleSql(queryId = 0L, k = 10),
-    "q_knn_ivfpq" -> Similarity.knnIvfPqOracleSql(queryId = 0L, k = 10),
-    "q_dedup_jaccard_char" -> Dedup.jaccardCharOracleSql(),
-    "q_dedup_containment" -> Dedup.containmentOracleSql(),
-
-    "q_dedup_band_claims" -> Dedup.bandClaimsOracleSql(),
-    "q_dedup_components" -> Dedup.componentsOracleSql(Dedup.minhashOracleSql()),
-    "q_dedup_profile" -> Dedup.duplicationProfileOracleSql(
-      Dedup.minhashOracleSql()),
     "q_pipeline_leak_split" -> Dedup.leakSafeSplitOracleSql(
       Dedup.minhashOracleSql(), table = "(SELECT doc_id FROM documents)"),
-    "q_dedup_keep_best" -> Dedup.keepBestOracleSql(
-      Dedup.minhashOracleSql(), TextAnalysis.qualitySql("text")),
 
     "q_pipeline_rebalance" -> graft.operators.Scale.downsampleOracleSql(
       weightExpr = s"len(${TextAnalysis.toksSql("text")})"),
@@ -1905,92 +822,15 @@ object PipelineQueries {
     "q_pipeline_temperature" -> graft.operators.Scale.temperatureOracleSql(
       weightExpr = s"len(${TextAnalysis.toksSql("text")})", alpha = 0.5),
 
-    "q_approx_topk" ->
-      """SELECT row_number() OVER (ORDER BY cnt DESC, term) AS rank, term, cnt
-        |FROM (SELECT l_returnflag AS term, count(*) AS cnt
-        |      FROM lineitem GROUP BY 1)""".stripMargin,
-
-    "q_approx_kmv" -> graft.operators.Profile.kmvOracleSql(
-      "lineitem", "l_orderkey", k = 256),
-
-    "q_approx_hll" -> graft.operators.Profile.hllOracleSql(
-      "lineitem", "l_orderkey", p = 8),
-
-    "q_approx_hll_overlap" -> graft.operators.Profile.hllOverlapOracleSql(
-      "documents", "source", "text", p = 8),
-
-    "q_approx_hll_by" -> graft.operators.Profile.hllDistinctByOracleSql(
-      "documents", "source", "text", p = 8),
-
-    "q_approx_kll" -> graft.operators.Profile.kllOracleSql(
-      "lineitem", "l_extendedprice",
-      "l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR",
-      k = 1024, qPermille = Seq(100, 500, 900, 990)),
-
-    "q_approx_kll_by" -> graft.operators.Profile.kllByOracleSql(
-      "lineitem", "l_returnflag", "l_quantity",
-      "l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR",
-      k = 256, qPermille = Seq(500, 900)),
-
-    "q_approx_kll_w" -> graft.operators.Profile.kllWeightedOracleSql(
-      "lineitem", "l_extendedprice", "l_quantity",
-      "l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR",
-      k = 1024, qPermille = Seq(500, 900, 990)),
-
-    "q_approx_kll_w_by" -> graft.operators.Profile.kllWeightedByOracleSql(
-      "lineitem", "l_returnflag", "l_extendedprice", "l_quantity",
-      "l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR",
-      k = 256, qPermille = Seq(500, 900)),
-
-    "q_approx_sidecar" -> {
-      val hll = graft.operators.Profile.hllOracleSql(
-        "documents", "text", p = 8)
-      val kmv = graft.operators.Profile.kmvOracleSql(
-        "documents", "text", k = 64)
-      val kll = graft.operators.Profile.kllOracleSql(
-        "documents", "n_chars", "doc_id", k = 256,
-        qPermille = Seq(500, 900))
-      s"""WITH hs AS ($hll), ms AS ($kmv), qs AS ($kll)
-         |SELECT 'hll' AS kind, 'v_zero' AS stat, v_zero::BIGINT AS val
-         |FROM hs
-         |UNION ALL SELECT 'hll', 't_fx', t_fx::BIGINT FROM hs
-         |UNION ALL SELECT 'hll', 'est_raw', est_raw::BIGINT FROM hs
-         |UNION ALL SELECT 'kmv', 'n_kept', n_kept::BIGINT FROM ms
-         |UNION ALL SELECT 'kmv', 'h_k', h_k::BIGINT FROM ms
-         |UNION ALL SELECT 'kmv', 'est_distinct', est_distinct::BIGINT
-         |FROM ms
-         |UNION ALL SELECT 'kll', 'p' || q_pm::VARCHAR, est_v::BIGINT
-         |FROM qs
-         |UNION ALL SELECT 'kll', 'n_sample', max(n_sample)::BIGINT
-         |FROM qs""".stripMargin
-    },
-
     "q_pipeline_conformal_band" -> graft.operators.Eval.conformalOracleSql(
       "events", "event_type", "event_id", "value", alphaPct = 10),
 
     "q_pipeline_qnorm" -> graft.operators.Profile.quantileNormalizeOracleSql(
       "orders", "o_orderpriority", "o_totalprice", buckets = 8),
 
-    "q_embed_coreset" -> Similarity.kCenterOracleSql(k = 8),
-
-    "q_embed_silhouette" ->
-      Similarity.silhouetteOracleSql(centroidEvery = 50L),
-
-    "q_embed_margin" -> Similarity.marginMiningOracleSql(
-      centroidEvery = 50L, kNn = 4, topN = 50),
-
     "q_pipeline_pack" -> graft.operators.Scale.packOracleSql(
       tokenExpr = s"len(${TextAnalysis.toksSql("text")})",
       budget = 512L, shards = 8),
-
-    // exact regime: rows-per-group <= GK accuracy → exact order statistics
-    "q_approx_quantile_exact" ->
-      """SELECT l_returnflag,
-        |       quantile_disc(l_quantity::DOUBLE, 0.5) AS q50,
-        |       quantile_disc(l_quantity::DOUBLE, 0.95) AS q95,
-        |       count(*) AS n
-        |FROM lineitem WHERE l_orderkey % 100 = 0
-        |GROUP BY l_returnflag""".stripMargin,
 
     "q_pipeline_sample" ->
       """SELECT lang, doc_id, rk FROM (
@@ -2000,62 +840,6 @@ object PipelineQueries {
         |           doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 20""".stripMargin,
-
-    "q_text_vocab" ->
-      s"""SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank
-        |FROM (
-        |  SELECT token, count(*) AS n FROM (
-        |    SELECT unnest(${TextAnalysis.toksSql("text")}) AS token
-        |    FROM documents)
-        |  GROUP BY token)
-        |WHERE n >= 25""".stripMargin,
-
-    "q_text_zipf" -> TextAnalysis.zipfOracleSql(topN = 100),
-    "q_text_hill" -> TextAnalysis.hillOracleSql(k = 100),
-    "q_text_kneser" -> TextAnalysis.kneserNeyOracleSql(topN = 100),
-    "q_dedup_band_sweep" -> Dedup.bandSweepOracleSql(
-      idWindow = 25L, threshold = 0.5),
-
-    "q_text_heaps" -> TextAnalysis.heapsOracleSql(sampleEvery = 8L),
-
-    "q_text_chunk_cdc" ->
-      TextAnalysis.chunkCdcOracleSql(w = 4, divisor = 12L),
-
-    "q_text_span_corrupt" ->
-      TextAnalysis.spanCorruptOracleSql(spanLen = 3, everyK = 12L),
-
-    "q_text_fim" -> TextAnalysis.fimOracleSql(fimRatePct = 50L),
-
-    "q_text_goodturing" ->
-      TextAnalysis.goodTuringOracleSql(maxR = 10, ngram = 3),
-
-    "q_text_luhn" -> {
-      val pan = "lpad(o_orderkey::VARCHAR, (13 + o_orderkey % 4)::INT, '0')"
-      s"""SELECT o_orderkey, pan, ${TextAnalysis.luhnSql("pan")} AS luhn_ok
-         |FROM (SELECT o_orderkey, $pan AS pan FROM orders)""".stripMargin
-    },
-
-    "q_dedup_segments" -> Dedup.dedupSegmentsOracleSql(segLen = 10),
-    "q_text_boilerplate" -> Dedup.stripBoilerplateOracleSql(segLen = 2,
-      minDocs = 3),
-
-    "q_dedup_minhash_recall" ->
-      Dedup.minhashRecallOracleSql(idWindow = 25L, threshold = 0.5),
-
-    "q_dedup_soft" -> Dedup.softWeightsOracleSql(),
-
-    "q_text_label_noise" -> TextAnalysis.labelNoiseOracleSql(),
-
-    "q_dedup_segments_doc" ->
-      Dedup.dedupSegmentsOracleSql(segLen = 5, perDoc = true),
-
-    "q_text_novelty" ->
-      TextAnalysis.ngramNoveltyOracleSql(n = 3, probePred = "id % 20 = 0"),
-
-    "q_embed_jl" -> Similarity.jlProjectOracleSql(dim = 64, outDim = 16),
-
-    "q_embed_anisotropy" -> Similarity.anisotropyOracleSql(buckets = 64),
-    "q_embed_mmd" -> Similarity.mmdOracleSql("label"),
 
     "q_pipeline_card" -> graft.operators.Profile.datasetCardOracleSql(),
 
@@ -2069,78 +853,8 @@ object PipelineQueries {
         |        FROM documents))
         |GROUP BY lang, split""".stripMargin,
 
-    // q_knn_ivf is deterministic end to end (every-Nth-id centroids, double
-    // folds, unique tiebreakers) → full DuckDB replay: assignment argmax,
-    // probe selection, exact re-rank. Constants mirror the queries entry
-    // (queryId=0, k=10, centroidEvery=50, nprobe=3). The layout-served
-    // variant is answer-identical by construction (same assignment, same
-    // probes, same re-rank — only the storage layout differs), so both
-    // gate entries replay the one oracle.
-    "q_knn_ivf" -> ivfOracleSql,
-    "q_knn_ivf_layout" -> ivfOracleSql,
-    "q_knn_ivf_vec" -> ivfOracleSql,
-
-    "q_text_stats" ->
-      s"""WITH t AS (
-        |  SELECT doc_id, lang, text,
-        |         ${TextAnalysis.toksSql("text")} AS toks
-        |  FROM documents)
-        |SELECT doc_id, lang,
-        |       len(toks)::BIGINT AS n_tokens,
-        |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_subwords,
-        |       length(text)::BIGINT AS n_chars_real,
-        |       CASE WHEN length(text) = 0 THEN 0.0
-        |            ELSE length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE / length(text)::DOUBLE END AS punct_ratio,
-        |       CASE WHEN len(toks) = 0 THEN 0.0
-        |            ELSE len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','on','for'], x)))::DOUBLE / len(toks)::DOUBLE END AS stopword_ratio,
-        |       ${TextAnalysis.qualitySql("text")} AS quality
-        |FROM t""".stripMargin,
-
-    "q_text_fingerprint" ->
-      """SELECT doc_id,
-        |       md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS fp
-        |FROM documents""".stripMargin,
-
-    "q_text_bpe_pairs" -> TextAnalysis.bpeOracleSql(topK = 50),
-
-    // the FULL trainer loop, unrolled to a 10-round CTE chain — the last
-    // deterministic rows-only query gained an oracle (VERDICT r03 item 3)
-    "q_text_bpe_merges" -> TextAnalysis.bpeTrainOracleSql(numMerges = 10),
-    "q_text_bpe_encode" -> TextAnalysis.bpeEncodeOracleSql(numMerges = 10),
-    "q_text_unigram_vocab" -> TextAnalysis.unigramSeedVocabOracleSql(
-      maxPieceLen = 5, topK = 120),
-    "q_text_unigram_encode" -> TextAnalysis.unigramEncodeOracleSql(
-      maxPieceLen = 5, topK = 120),
-    "q_text_unigram_train" -> TextAnalysis.unigramTrainOracleSql(
-      maxPieceLen = 5, topK = 120),
-    "q_text_unigram_em" -> TextAnalysis.unigramTrainEmOracleSql(
-      rounds = 2, maxPieceLen = 5, topK = 120),
-    "q_text_fertility" -> TextAnalysis.fertilityOracleSql("lang",
-      numMerges = 10),
-    "q_text_scripts" -> TextAnalysis.scriptProfileOracleSql(),
     "q_pipeline_calibrate" -> graft.operators.Profile.calibrateOracleSql(
       "documents", "source", "doc_id", s"(${TextAnalysis.qualitySql("text")})"),
-
-    "q_text_redact" -> TextAnalysis.redactOracleSql(
-      "text || ' contact user' || doc_id || '@example.com or call 555-' || " +
-        "lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-0199 from 10.0.' || " +
-        "(doc_id % 256)::VARCHAR || '.7'"),
-
-    "q_dedup_incremental" -> incrementalIngestOracle,
-
-    // bloom routing is answer-invariant → the SAME oracle string: the two
-    // entries can never drift apart
-    "q_dedup_bloom" -> incrementalIngestOracle,
-
-    // faithful DuckDB replication of TextAnalysis.langId: the shared
-    // langIdPredCtes fragment (score lists + tie-break CASE generated from
-    // langProfiles — ties toward the later code, matching Spark's
-    // struct(score, code) array_max ordering; CJK short-circuit, 'und'
-    // when nothing scores)
-    "q_text_langid" ->
-      s"""WITH ${TextAnalysis.langIdPredCtes()}
-        |SELECT gold AS lang, pred AS predicted, count(*) AS n
-        |FROM p GROUP BY 1, 2""".stripMargin,
 
     // expectations battery: one scalar-aggregate branch per constraint
     "q_pipeline_expectations" ->
@@ -2167,15 +881,6 @@ object PipelineQueries {
       x1Expr = s"len(${TextAnalysis.toksSql("text")})",
       x2Expr = "length(regexp_replace(text, '[^0-9]', '', 'g'))"),
 
-    // TextRank: word-adjacency edge build + the shared PageRank
-    // chained-CTE iteration, top-k by (rank desc, word)
-    "q_text_textrank" -> TextAnalysis.textRankOracleSql(iters = 5, topK = 50),
-
-    // logistic GD trainer: one (gradient, weights) CTE pair per round,
-    // identical sign-safe integer division
-    "q_text_logreg" -> TextAnalysis.logisticTrainOracleSql(
-      "lang", posLabel = "en", iters = 8, lrMicro = 2000000L),
-
     // Cohen's kappa over the same prediction fragment — confusion-matrix
     // marginals in exact BIGINTs, sign-safe micro truncation
     "q_pipeline_kappa" -> graft.operators.Profile.kappaOracleSql(
@@ -2183,53 +888,6 @@ object PipelineQueries {
 
     "q_pipeline_f1" -> graft.operators.Eval.classificationReportOracleSql(
       TextAnalysis.langIdPredCtes()),
-
-    "q_text_chunk" ->
-      s"""WITH t AS (
-        |  SELECT doc_id AS doc,
-        |         ${TextAnalysis.toksSql("text")} AS toks
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc, toks,
-        |         CASE WHEN len(toks) <= 32 THEN 1
-        |              ELSE (len(toks) - 32 + 24 - 1) // 24 + 1 END AS n_chunks
-        |  FROM t WHERE len(toks) > 0)
-        |SELECT doc, i AS chunk_id,
-        |       array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text,
-        |       len(toks[i * 24 + 1 : i * 24 + 32])::BIGINT AS n_tokens
-        |FROM c, unnest(generate_series(0, n_chunks - 1)) AS u(i)""".stripMargin,
-
-    "q_text_tfidf" ->
-      s"""WITH terms AS (
-        |  SELECT doc_id AS doc, unnest(
-        |    ${TextAnalysis.toksSql("text")}) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc, term, count(*) AS tf FROM terms GROUP BY 1, 2),
-        |dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
-        |n AS (SELECT count(*) AS n_docs FROM documents),
-        |scored AS (
-        |  SELECT doc, tf.term, tf,
-        |         tf * ln((n_docs + 1)::DOUBLE / (df_t + 1)::DOUBLE) AS tfidf
-        |  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN n),
-        |ranked AS (
-        |  SELECT doc, term, tfidf,
-        |         row_number() OVER (PARTITION BY doc ORDER BY tfidf DESC, term) AS rn
-        |  FROM scored)
-        |SELECT doc, term, round(tfidf, 6) AS score, rn AS rank
-        |FROM ranked WHERE rn <= 3""".stripMargin,
-
-    "q_dedup_exact" ->
-      """SELECT array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ') AS dup_key,
-        |       min(doc_id) AS keep_id, count(*) AS copies
-        |FROM documents GROUP BY 1""".stripMargin,
-
-    "q_dedup_spans" -> Dedup.dupSpansOracleSql(spanLen = 8),
-    "q_dedup_strip" -> Dedup.stripSpansOracleSql(spanLen = 8),
-    "q_dedup_winnow" -> Dedup.winnowOracleSql(k = 3, w = 4),
-    "q_dedup_winnow_pairs" ->
-      Dedup.winnowPairsOracleSql(k = 3, w = 4, minShared = 3L),
-    "q_dedup_overlap" ->
-      Dedup.sourceOverlapOracleSql(k = 3, w = 4, maxStrata = 10),
 
     "q_pipeline_e2e3" -> {
       val cleanTable =
@@ -2271,22 +929,6 @@ object PipelineQueries {
         |       + 1)::DOUBLE / ${p + 1}.0 <= r.rate""".stripMargin
     },
 
-    "q_dedup_jaccard" ->
-      s"""WITH t AS (
-        |  SELECT doc_id,
-        |         list_distinct(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
-        |           ELSE list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]) END) AS sh
-        |  FROM (SELECT doc_id,
-        |          ${TextAnalysis.toksSql("text")} AS toks
-        |        FROM documents))
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |       len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE AS jaccard
-        |FROM t a JOIN t b
-        |  ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 25
-        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE >= 0.5""".stripMargin,
-
     "q_pipeline_clean" ->
       s"""WITH t AS (
         |  SELECT doc_id, lang, text,
@@ -2324,31 +966,6 @@ object PipelineQueries {
         |           doc_id) AS rk
         |  FROM deduped)
         |SELECT lang, rk, doc_id, n_tokens, quality FROM sampled WHERE rk <= 15""".stripMargin,
-
-    "q_knn_batch" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-        |           FROM embeddings WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.qid, e.vec_id,
-        |         list_dot_product(e.embedding::DOUBLE[], q.qv) /
-        |           (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
-        |            sqrt(list_dot_product(q.qv, q.qv))) AS score
-        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
-        |ranked AS (
-        |  SELECT qid, vec_id, score,
-        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
-        |  FROM scored)
-        |SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 5""".stripMargin,
-
-    "q_knn_brute" ->
-      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-        |SELECT vec_id,
-        |       list_dot_product(embedding::DOUBLE[], qv) /
-        |         (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
-        |          sqrt(list_dot_product(qv, qv))) AS score
-        |FROM embeddings, q
-        |WHERE vec_id <> 0
-        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_pipeline_auc" -> graft.operators.Eval.rocAucOracleSql(
       "events", "round(value * 100)", "event_type = 'purchase'"),
@@ -2400,16 +1017,11 @@ object PipelineQueries {
       "doc % 100 = 7", skip = 8, take = 24,
       window = 32, stride = 24, dim = 64, k = 5),
 
-    "q_text_mi" -> TextAnalysis.mutualInfoOracleSql(),
-
     "q_pipeline_lorenz" -> graft.operators.Profile.lorenzOracleSql(
       "documents", "n_chars"),
 
     "q_pipeline_auc_by" -> graft.operators.Eval.rocAucByOracleSql(
       "documents", "source", "n_chars", "lang = 'en'"),
-
-    "q_text_kl" -> TextAnalysis.corpusKlOracleSql("lang", base = "en"),
-    "q_text_jsd" -> TextAnalysis.corpusJsdOracleSql("lang", minCount = 10),
 
     "q_pipeline_skyline" -> graft.operators.Profile.skylineOracleSql(
       "documents", "doc_id",
