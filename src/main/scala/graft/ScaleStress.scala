@@ -657,6 +657,40 @@ object ScaleStress {
     time("mmr 10x (20k vecs, fixed candN)")(
       Similarity.mmrSelect(e10, "vec_id", "embedding", 0L, k = 8,
         candN = 25).count())
+
+    // bounded SCC: per peel 2·maxHops keyed equi-join rounds over a
+    // (node, label) state — 10x nodes/edges (a deterministic functional
+    // graph: every node has out-degree 1, so cycles abound) must scale
+    // ~linearly in |E|
+    def scc(d: org.apache.spark.sql.DataFrame): Long =
+      Graph.sccBounded(
+        d.select(col("doc_id").as("src"),
+          (col("doc_id") * 31L % 5000L + (col("doc_id") / 5000L)
+            * 5000L).as("dst")),
+        maxPeel = 2, maxHops = 4).count()
+    time("scc 1x (5k nodes)")(scc(d1))
+    time("scc 10x (50k nodes)")(scc(d10))
+
+    // multi-round unigram EM: the DP is DISTINCT-WORD-sized — 10x docs
+    // over the same vocabulary must cost ~one extra corpus scan per round
+    def uem(d: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.TextAnalysis.unigramTrainEm(d, "doc_id", "text",
+        rounds = 2, maxPieceLen = 5, topK = 120).count()
+    time("unigram-em 1x (5k docs)")(uem(d1))
+    time("unigram-em 10x (50k docs, same vocab)")(uem(d10))
+
+    // sketch sidecar: 3 batch scans to model-sized states + merges that
+    // move only state rows — 10x docs must cost ~the extra scans alone
+    def sidecar(d: org.apache.spark.sql.DataFrame): Long = {
+      import graft.operators.SketchSidecar
+      val st = (0 to 2).map(i =>
+          SketchSidecar.hllState(d.where(col("doc_id") % 3 === i),
+            "text", p = 8))
+        .reduce(SketchSidecar.mergeHll)
+      SketchSidecar.hllEstimate(st, p = 8).count()
+    }
+    time("sidecar-hll 1x (5k docs)")(sidecar(d1))
+    time("sidecar-hll 10x (50k docs)")(sidecar(d10))
     spark.stop()
   }
 }
