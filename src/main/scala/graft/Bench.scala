@@ -332,16 +332,20 @@ object Bench {
     // the bounded count ("regressed").
     val regressions: Seq[(String, Double, Double)] = try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val bestHist = scala.collection.mutable.Map[String, Double]()
+      val histVals = scala.collection.mutable
+        .Map[String, scala.collection.mutable.ArrayBuffer[Double]]()
       val src = scala.io.Source.fromFile("BENCH_HISTORY.jsonl")
       try src.getLines().foreach { line =>
         try {
           val n = om.readTree(line)
-          // same-sf FULL-registry sweeps only: a dev subset run
+          // same-sf FULL-registry CLEAN sweeps only: a dev subset run
           // (SPARK_GRAFT_ONLY) times queries under a different session
-          // cache/memory profile, so its norm_min is not comparable
+          // cache/memory profile, and a CONTENDED sweep's inflated probes
+          // can over-normalize a query BELOW its true cost — a deflated
+          // left-tail value would flag every honest future round
           if (n.path("sf").asText("") == sfDir &&
-              n.path("n_queries").asInt(0) >= 100) {
+              n.path("n_queries").asInt(0) >= 100 &&
+              n.path("cal_ratio").asDouble(99.0) <= 1.5) {
             val qs = n.path("queries")
             if (qs.isObject) {
               val it = qs.fields()
@@ -360,21 +364,23 @@ object Bench {
                     v.get("norm").asDouble()
                   else if (v.isNumber) v.asDouble()
                   else Double.NaN
-                if (!m.isNaN) {
-                  val k = e.getKey
-                  if (m < bestHist.getOrElse(k, Double.MaxValue))
-                    bestHist(k) = m
-                }
+                if (!m.isNaN)
+                  histVals.getOrElseUpdate(e.getKey,
+                    scala.collection.mutable.ArrayBuffer[Double]()) += m
               }
             }
           }
         } catch { case _: Throwable => } // one bad line never kills the gate
       } finally src.close()
+      // best recorded = SECOND-smallest historical value when ≥3 records
+      // exist (the Sweep.baseline outlier vote: one anomalously fast
+      // record — scheduler luck, a lucky warm attempt — is voted out;
+      // two independently-fast records are evidence the cost is real)
       normByQuery.toSeq.flatMap { case (k, ns) =>
         val cur = ns.min
-        bestHist.get(k) match {
-          case Some(b) if cur > 1.5 * math.max(b, 0.2) => Some((k, b, cur))
-          case _ => None
+        histVals.get(k).map(_.sorted).flatMap { s =>
+          val b = if (s.length < 3) s.head else s(1)
+          if (cur > 1.5 * math.max(b, 0.2)) Some((k, b, cur)) else None
         }
       }.sortBy(-_._3)
     } catch { case _: Throwable => Seq.empty }
