@@ -264,6 +264,60 @@ object Bench {
     // while same-code clean attempts existed minutes later. A sweep is
     // ~5-6 min, so the worst case stays under ~30 min, and the loop
     // still exits at the FIRST clean attempt — quiet boxes pay nothing.
+    // Per-query REGRESSION GATE (VERDICT r13 item 2): flag any query
+    // whose current norm_min exceeds the historical baseline by >1.5×,
+    // automating the judge's manual per-round per-query diff. Baseline =
+    // second-smallest recorded value over same-sf FULL-registry CLEAN
+    // sweeps (subset runs time queries under a different cache profile;
+    // contended sweeps' inflated probes can over-normalize a query BELOW
+    // its true cost; the Sweep.baseline outlier vote drops one lucky
+    // record), floored at 0.2 s — below that, planning jitter dominates.
+    // Pre-r14 history carries raw-seconds floats: a raw time is a valid
+    // UPPER bound on that attempt's norm (factor ≥ 1), so those records
+    // stay usable. norm_min over ≥2 attempts is immune to bursts (a
+    // burst can only slow a query); full detail goes to
+    // BENCH_REGRESSIONS.json, the metric line carries the count.
+    def regressionsFor(
+        current: Map[String, Double]): Seq[(String, Double, Double)] = try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val histVals = scala.collection.mutable
+        .Map[String, scala.collection.mutable.ArrayBuffer[Double]]()
+      val src = scala.io.Source.fromFile("BENCH_HISTORY.jsonl")
+      try src.getLines().foreach { line =>
+        try {
+          val n = om.readTree(line)
+          if (n.path("sf").asText("") == sfDir &&
+              n.path("n_queries").asInt(0) >= 100 &&
+              n.path("cal_ratio").asDouble(99.0) <= 1.5) {
+            val qs = n.path("queries")
+            if (qs.isObject) {
+              val it = qs.fields()
+              while (it.hasNext) {
+                val e = it.next()
+                val v = e.getValue
+                val m =
+                  if (v.isObject && v.has("norm_min"))
+                    v.get("norm_min").asDouble()
+                  else if (v.isObject && v.has("norm"))
+                    v.get("norm").asDouble()
+                  else if (v.isNumber) v.asDouble()
+                  else Double.NaN
+                if (!m.isNaN)
+                  histVals.getOrElseUpdate(e.getKey,
+                    scala.collection.mutable.ArrayBuffer[Double]()) += m
+              }
+            }
+          }
+        } catch { case _: Throwable => } // one bad line never kills the gate
+      } finally src.close()
+      current.toSeq.flatMap { case (k, cur) =>
+        histVals.get(k).map(_.sorted).flatMap { s =>
+          val b = if (s.length < 3) s.head else s(1)
+          if (cur > 1.5 * math.max(b, 0.2)) Some((k, b, cur)) else None
+        }
+      }.sortBy(-_._3)
+    } catch { case _: Throwable => Seq.empty }
+
     val maxAttempts = 5
     val attempts = scala.collection.mutable.ArrayBuffer[Sweep]()
     var go = true
@@ -272,6 +326,23 @@ object Bench {
       attempts += s
       appendHistory(s, attempts.size)
       go = s.calRatio > 1.5 && attempts.size < maxAttempts
+    }
+    // Regression-gate CONFIRMATION pass (r14): a first-attempt-clean
+    // session gives norm_min a single sample — no min-across-attempts
+    // robustness — and a busy-but-under-1.5 box then flags spuriously
+    // (observed: 24 flags at cal_ratio 1.485, every one vanishing under
+    // a 5-attempt norm_min). If the sole attempt produced flags, run ONE
+    // extra sweep before reporting: a real code regression survives the
+    // min over two attempts, a burst doesn't. Quiet, regression-free
+    // sessions pay nothing.
+    def normMins(atts: Seq[Sweep]): Map[String, Double] =
+      atts.flatMap(_.perQuery.map(q => (q._1, q._4))).groupBy(_._1)
+        .map { case (k, vs) => (k, vs.map(_._2).min) }
+    if (attempts.size == 1 && regressionsFor(normMins(attempts.toSeq))
+        .nonEmpty) {
+      val s = runSweep()
+      attempts += s
+      appendHistory(s, attempts.size)
     }
     // the record is the best CLEAN attempt when one exists (VERDICT r11
     // item 2: round 11's official record was a contended cal_ratio-4.09
@@ -317,73 +388,8 @@ object Bench {
       w.println(detail); w.close()
     } catch { case _: Throwable => }
 
-    // Per-query REGRESSION GATE (VERDICT r13 item 2): flag any query whose
-    // current norm_min exceeds its best norm_min across every recorded
-    // same-sf sweep in BENCH_HISTORY.jsonl by >1.5×. norm_min is immune by
-    // construction to the contention noise that inflates single
-    // measurements (a burst can only slow a query), so a flagged entry is
-    // a CODE regression signal, not host noise — this automates the
-    // judge's manual per-round per-query diff. The historical best is
-    // floored at 0.2 s: below that, planning jitter dominates and a
-    // 1.5× excursion carries no signal. Current-run attempts were already
-    // appended to the history before this read; they can only LOWER a
-    // query's best, never mask a regression. Full detail goes to
-    // BENCH_REGRESSIONS.json; the machine-read metric line carries only
-    // the bounded count ("regressed").
-    val regressions: Seq[(String, Double, Double)] = try {
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val histVals = scala.collection.mutable
-        .Map[String, scala.collection.mutable.ArrayBuffer[Double]]()
-      val src = scala.io.Source.fromFile("BENCH_HISTORY.jsonl")
-      try src.getLines().foreach { line =>
-        try {
-          val n = om.readTree(line)
-          // same-sf FULL-registry CLEAN sweeps only: a dev subset run
-          // (SPARK_GRAFT_ONLY) times queries under a different session
-          // cache/memory profile, and a CONTENDED sweep's inflated probes
-          // can over-normalize a query BELOW its true cost — a deflated
-          // left-tail value would flag every honest future round
-          if (n.path("sf").asText("") == sfDir &&
-              n.path("n_queries").asInt(0) >= 100 &&
-              n.path("cal_ratio").asDouble(99.0) <= 1.5) {
-            val qs = n.path("queries")
-            if (qs.isObject) {
-              val it = qs.fields()
-              while (it.hasNext) {
-                val e = it.next()
-                val v = e.getValue
-                // objects (since r14) carry per-query norm; older records
-                // are raw-seconds floats — a raw time is a valid UPPER
-                // bound on that attempt's norm (factor ≥ 1), so the min
-                // over a hundred-plus attempts still approximates the
-                // best normalized cost and keeps pre-r14 history useful
-                val m =
-                  if (v.isObject && v.has("norm_min"))
-                    v.get("norm_min").asDouble()
-                  else if (v.isObject && v.has("norm"))
-                    v.get("norm").asDouble()
-                  else if (v.isNumber) v.asDouble()
-                  else Double.NaN
-                if (!m.isNaN)
-                  histVals.getOrElseUpdate(e.getKey,
-                    scala.collection.mutable.ArrayBuffer[Double]()) += m
-              }
-            }
-          }
-        } catch { case _: Throwable => } // one bad line never kills the gate
-      } finally src.close()
-      // best recorded = SECOND-smallest historical value when ≥3 records
-      // exist (the Sweep.baseline outlier vote: one anomalously fast
-      // record — scheduler luck, a lucky warm attempt — is voted out;
-      // two independently-fast records are evidence the cost is real)
-      normByQuery.toSeq.flatMap { case (k, ns) =>
-        val cur = ns.min
-        histVals.get(k).map(_.sorted).flatMap { s =>
-          val b = if (s.length < 3) s.head else s(1)
-          if (cur > 1.5 * math.max(b, 0.2)) Some((k, b, cur)) else None
-        }
-      }.sortBy(-_._3)
-    } catch { case _: Throwable => Seq.empty }
+    val regressions: Seq[(String, Double, Double)] =
+      regressionsFor(normByQuery.map { case (k, ns) => (k, ns.min) })
     try {
       val w = new java.io.PrintWriter("BENCH_REGRESSIONS.json")
       w.println(regressions.map { case (k, b, c) =>
