@@ -313,7 +313,13 @@ object Bench {
       current.toSeq.flatMap { case (k, cur) =>
         histVals.get(k).map(_.sorted).flatMap { s =>
           val b = if (s.length < 3) s.head else s(1)
-          if (cur > 1.5 * math.max(b, 0.2)) Some((k, b, cur)) else None
+          // relative AND absolute threshold: on floor-sized queries a
+          // 1.5× excursion can be ~0.1 s of scheduler jitter (observed:
+          // 0.196 → 0.335 s under external load) — demand ≥0.2 s of
+          // real movement before calling it a regression
+          if (cur > 1.5 * math.max(b, 0.2) && cur - b > 0.2)
+            Some((k, b, cur))
+          else None
         }
       }.sortBy(-_._3)
     } catch { case _: Throwable => Seq.empty }
