@@ -706,8 +706,16 @@ object Graph {
   def modularity(edges: DataFrame, labels: DataFrame,
       weightCol: Option[String] = None): DataFrame = {
     val wgt = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
-    val lab = Caching.persist(labels.select(col("node"), col("label")))
-    val el = Caching.persist(edges.select(col("src"), col("dst"),
+    // persist THEN checkpoint (r14 plan-collapse): the persist keeps the
+    // cross-query CacheManager share point (modularityRefine's lab is the
+    // same canonical LPA tree), while the checkpoint flattens every
+    // downstream reference to a LogicalRDD — without it, each of the
+    // ~9 consumer subtrees re-plans the full lazy LPA×coEdges tree and
+    // the explain of the gate composition ran to 117k lines with
+    // construction measured 10-15 s against <1 s of execution
+    val lab = Caching.checkpoint(
+      Caching.persist(labels.select(col("node"), col("label"))))
+    val el = Caching.checkpoint(edges.select(col("src"), col("dst"),
         wgt.as("wgt"))
       .join(lab.select(col("node").as("src"), col("label").as("lsrc")),
         "src")
@@ -760,8 +768,11 @@ object Graph {
   def modularityRefine(edges: DataFrame, labels: DataFrame,
       weightCol: Option[String] = None): DataFrame = {
     val wgt = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
-    val lab = Caching.persist(labels.select(col("node"), col("label")))
-    val el = Caching.persist(edges.select(col("src"), col("dst"),
+    // persist-then-checkpoint, same rationale as [[modularity]] (r14
+    // plan-collapse): flat lab/el bases for the 5+ downstream consumers
+    val lab = Caching.checkpoint(
+      Caching.persist(labels.select(col("node"), col("label"))))
+    val el = Caching.checkpoint(edges.select(col("src"), col("dst"),
         wgt.as("wgt"))
       .join(lab.select(col("node").as("src"), col("label").as("lsrc")),
         "src")

@@ -2710,12 +2710,17 @@ object Similarity {
       pruneEmptyCells: Boolean = false): DataFrame = {
     require(epsFx >= 1 && minPts >= 1)
     val proj = jlProject(df, idCol, vecCol, dim, outDim = 2)
-    val pts = Caching.persist(proj.groupBy(col("id"))
+    // persist-then-checkpoint (r14 plan-collapse): pts/nbrs/cores are each
+    // referenced 4-6× downstream; without flat bases the composed plan
+    // (probe explode × neighbor join × CC input × border/noise anti-joins)
+    // re-expands every upstream tree per reference — explain ran to 88k
+    // lines and construction measured ~7 s against ~2.5 s of execution
+    val pts = Caching.checkpoint(Caching.persist(proj.groupBy(col("id"))
       .agg(max(when(col("j") === 0, col("out_fx"))).as("x"),
         max(when(col("j") === 1, col("out_fx"))).as("y"))
       .select(col("id"), col("x"), col("y"),
         expr(s"(x - pmod(x, ${epsFx}L)) div ${epsFx}L").as("cx"),
-        expr(s"(y - pmod(y, ${epsFx}L)) div ${epsFx}L").as("cy")))
+        expr(s"(y - pmod(y, ${epsFx}L)) div ${epsFx}L").as("cy"))))
     // HALF-PLANE probe: each unordered cell pair is generated exactly once
     // — the 4 forward offsets cover all 8 neighbor directions when the
     // result is symmetrized (O ∪ −O = the 8-neighborhood), and same-cell
@@ -2765,14 +2770,18 @@ object Similarity {
       .where(col("id_a") < col("id_b") && inBall)
       .select(col("id_a"), col("id_b"))
     val half = Caching.persist(cross.unionAll(same))
-    val nbrs = Caching.persist(half.unionAll(
+    // checkpoint, not persist: nbrs is referenced 4× (core count, core
+    // edges, border assignment twice) — the flat base is what keeps those
+    // consumers' plans small; half's persist above still dedups the
+    // cross+same execution inside this one materialization
+    val nbrs = Caching.checkpoint(half.unionAll(
       half.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
     // +1: the point itself counts toward minPts (standard convention).
     // LEFT join from pts, not a groupBy over nbrs: a point with ZERO
     // neighbors has no nbrs row at all, yet at minPts = 1 its self-count
     // alone makes it a (singleton) core — the groupBy form silently
     // demoted such points to noise
-    val cores = Caching.persist(pts.select(col("id"))
+    val cores = Caching.checkpoint(pts.select(col("id"))
       .join(nbrs.groupBy(col("id_a").as("id"))
         .agg(count(lit(1)).as("nn")), Seq("id"), "left")
       .where(coalesce(col("nn"), lit(0L)) + 1 >= minPts)
