@@ -1432,48 +1432,64 @@ object Graph {
   def betweennessSampled(edges: DataFrame, sampleEvery: Long,
       maxHops: Int): DataFrame = {
     require(sampleEvery >= 1 && maxHops >= 1)
-    // ONE eager checkpoint flattens the edge build (the hits discipline):
-    // every one of the 2·maxHops round plans references a flat LogicalRDD
-    // instead of re-canonicalizing the full co-edge pair-generation
-    // lineage per planning pass — measured in bench harness conditions
-    // (table cache populated, construction billed): 31 s → construction
-    // seconds, count unchanged
-    val e = Caching.checkpoint(
-      edges.select(col("src"), col("dst")).distinct(), eager = true)
-    val sources = e.select(col("src").as("node")).distinct()
+    // r14 restructure (guide §2.4 — remove shuffles outright; §1.2 — fix
+    // the distributed algorithm first), value-identical by construction:
+    //  1. the flat edge base is checkpointed PRE-PARTITIONED on each
+    //     sweep's join key (src forward, dst backward): the LogicalRDD
+    //     keeps the hash partitioning, so every per-level equi-join
+    //     shuffles only the (source, node)-keyed state, never the edges;
+    //  2. per-LEVEL state frames replace the growing re-checkpointed
+    //     union: level l's rows are materialized ONCE instead of
+    //     maxHops−l+1 times (forward) and the backward sweep joins
+    //     level-sized frames instead of rewriting the full accumulator;
+    //  3. the d = 1 backward round is SKIPPED: it only updates the
+    //     dist-0 rows (node = s), which the final filter drops — its
+    //     contribution was always dead work.
+    // The Brandes dependency flow is strictly between adjacent BFS
+    // levels (δ of a dist-d node is finalized before round d consumes
+    // it), so per-level processing reproduces the accumulator exactly.
+    val eSrc = Caching.checkpoint(
+      edges.select(col("src"), col("dst")).repartition(col("src"))
+        .distinct(), eager = true)
+    val eDst = Caching.checkpoint(eSrc.repartition(col("dst")),
+      eager = true)
+    val sources = eSrc.select(col("src").as("node")).distinct()
       .where(pmod(col("node"), lit(sampleEvery)) === 0)
-    var reached = Caching.checkpoint(sources.select(col("node").as("s"),
-      col("node"), lit(0L).as("dist"), lit(1L).as("sigma")))
+    val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    levels += Caching.checkpoint(sources.select(col("node").as("s"),
+      col("node"), lit(1L).as("sigma")))
     for (level <- 1 to maxHops) {
-      val frontier = reached.where(col("dist") === (level - 1).toLong)
+      val frontier = levels(level - 1)
         .select(col("s"), col("node").as("src"), col("sigma"))
-      val next = e.join(frontier, "src")
+      val reachedAll = levels.map(_.select(col("s"), col("node")))
+        .reduce(_ unionByName _)
+      val next = eSrc.join(frontier, "src")
         .select(col("s"), col("dst").as("node"), col("sigma"))
-        .join(reached.select(col("s"), col("node")), Seq("s", "node"),
-          "left_anti")
+        .join(reachedAll, Seq("s", "node"), "left_anti")
         .groupBy(col("s"), col("node")).agg(sum(col("sigma")).as("sigma"))
-        .select(col("s"), col("node"), lit(level.toLong).as("dist"),
-          col("sigma"))
-      reached = Caching.checkpoint(reached.unionByName(next))
+      levels += Caching.checkpoint(next)
     }
-    var acc = Caching.checkpoint(reached.withColumn("delta", lit(0L)))
-    for (d <- maxHops to 1 by -1) {
-      val lower = acc.where(col("dist") === d.toLong)
-        .select(col("s"), col("node").as("dst"), col("sigma").as("sw"),
-          col("delta").as("dw"))
-      val contrib = e.join(lower, "dst")
+    var lower = levels(maxHops).withColumn("delta", lit(0L))
+    val deltas = scala.collection.mutable.ArrayBuffer(lower)
+    for (d <- maxHops to 2 by -1) {
+      val lw = lower.select(col("s"), col("node").as("dst"),
+        col("sigma").as("sw"), col("delta").as("dw"))
+      val contrib = eDst.join(lw, "dst")
         .select(col("s"), col("src").as("node"), col("sw"), col("dw"))
-        .join(acc.where(col("dist") === (d - 1).toLong)
-          .select(col("s"), col("node"), col("sigma").as("sv")),
-          Seq("s", "node"))
+        .join(levels(d - 1).select(col("s"), col("node"),
+          col("sigma").as("sv")), Seq("s", "node"))
         .select(col("s"), col("node"),
           expr("(sv * (1000000 + dw)) DIV sw").as("c"))
         .groupBy(col("s"), col("node")).agg(sum(col("c")).as("cd"))
-      acc = Caching.checkpoint(acc.join(contrib, Seq("s", "node"), "left")
-        .select(col("s"), col("node"), col("dist"), col("sigma"),
-          (col("delta") + coalesce(col("cd"), lit(0L))).as("delta")))
+      lower = Caching.checkpoint(
+        levels(d - 1).join(contrib, Seq("s", "node"), "left")
+          .select(col("s"), col("node"), col("sigma"),
+            coalesce(col("cd"), lit(0L)).as("delta")))
+      deltas += lower
     }
-    acc.where(col("node") =!= col("s"))
+    deltas.map(_.select(col("s"), col("node"), col("delta")))
+      .reduce(_ unionByName _)
+      .where(col("node") =!= col("s"))
       .groupBy(col("node")).agg(sum(col("delta")).as("bc_micro"))
   }
 
@@ -1555,25 +1571,31 @@ object Graph {
   def harmonicSampled(edges: DataFrame, sampleEvery: Long,
       maxHops: Int): DataFrame = {
     require(sampleEvery >= 1 && maxHops >= 1)
-    // eager checkpoint flattens the edge build for the per-round plans
-    // (the hits/betweenness discipline)
-    val e = Caching.checkpoint(
-      edges.select(col("src"), col("dst")).distinct(), eager = true)
-    val sources = e.select(col("src").as("node")).distinct()
+    // r14: pre-partitioned flat edge base + per-level frames, the
+    // [[betweennessSampled]] restructure minus the backward sweep —
+    // level l is materialized once and the edge side of every level's
+    // join stays in place (guide §2.4)
+    val eSrc = Caching.checkpoint(
+      edges.select(col("src"), col("dst")).repartition(col("src"))
+        .distinct(), eager = true)
+    val sources = eSrc.select(col("src").as("node")).distinct()
       .where(pmod(col("node"), lit(sampleEvery)) === 0)
-    var reached = Caching.checkpoint(sources.select(col("node").as("s"),
-      col("node"), lit(0L).as("dist")))
+    val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    levels += Caching.checkpoint(
+      sources.select(col("node").as("s"), col("node")))
     for (level <- 1 to maxHops) {
-      val frontier = reached.where(col("dist") === (level - 1).toLong)
+      val frontier = levels(level - 1)
         .select(col("s"), col("node").as("src"))
-      val next = e.join(frontier, "src")
+      val reachedAll = levels.reduce(_ unionByName _)
+      val next = eSrc.join(frontier, "src")
         .select(col("s"), col("dst").as("node")).distinct()
-        .join(reached.select(col("s"), col("node")), Seq("s", "node"),
-          "left_anti")
-        .select(col("s"), col("node"), lit(level.toLong).as("dist"))
-      reached = Caching.checkpoint(reached.unionByName(next))
+        .join(reachedAll, Seq("s", "node"), "left_anti")
+      levels += Caching.checkpoint(next)
     }
-    reached.where(col("node") =!= col("s"))
+    (1 to maxHops).map(l => levels(l)
+        .select(col("s"), col("node"), lit(l.toLong).as("dist")))
+      .reduce(_ unionByName _)
+      .where(col("node") =!= col("s"))
       .groupBy(col("node"))
       .agg(sum(expr("1000000 DIV dist")).as("harm_micro"),
         count(lit(1)).as("n_reached"))
@@ -1649,8 +1671,24 @@ object Graph {
     val m = 1L << p
     val wBits = 60 - p
     val alphaMicro = Profile.hllAlphaMicro(p)
+    // r14 repack (guide §2.3 — shuffle fewer bytes; §1.2 — per-task work
+    // second): registers ride a DENSE per-node array (regs[i] = ρ of
+    // register i, 0 = absent; every real ρ ≥ 1) instead of long-form
+    // (node, idx, ρ) rows. Each hop's edge⋈state join then moves |E|
+    // array rows instead of |E|·m̄ register rows (measured 8.5M-row
+    // aggregate inputs per hop at sf0.1 before), the per-hop merge is the
+    // engine's own element-wise max monoid UDAF ([[graft.functions
+    // .ArrayReduceAgg]] — the reference operator, ObjectHashAggregate
+    // tier with map-side partial merge), and the curve read-off needs no
+    // per-register aggregation at all. Register CONTENT — and therefore
+    // the integer estimator and every output row — is bit-identical:
+    // max(0, ρ) = ρ, and n/t_present count only non-zero entries.
+    // The edge base is checkpointed pre-partitioned on dst (the hop
+    // join's key), so per-hop joins shuffle only the node-keyed state
+    // (guide §2.4).
     val e = Caching.checkpoint(
-      edges.select(col("src"), col("dst")).distinct(), eager = true)
+      edges.select(col("src"), col("dst")).repartition(col("dst"))
+        .distinct(), eager = true)
     var state = Caching.checkpoint(
       e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node"))).distinct()
@@ -1661,12 +1699,17 @@ object Graph {
               lit((wBits + 1).toLong))
             .otherwise(lit((wBits + 1).toLong) -
               length(ltrim(bin(pmod(col("h"), lit(1L << wBits))), "0")))
-            .as("rho")))
+            .as("rho"))
+        .select(col("node"), expr(
+          s"transform(sequence(0L, ${m - 1}L), " +
+            "i -> IF(i = idx, rho, CAST(0 AS BIGINT)))").as("regs")))
     def curveRow(st: DataFrame, hop: Int): DataFrame = st
-      .groupBy(col("node"))
-      .agg(count(lit(1)).as("n_present"),
-        sum(expr(
-          s"shiftleft(CAST(1 AS BIGINT), CAST(${wBits + 1} - rho AS INT))"))
+      .select(
+        expr("size(filter(regs, r -> r > 0))").cast("long")
+          .as("n_present"),
+        expr("aggregate(regs, CAST(0 AS BIGINT), (a, r) -> a + " +
+          s"IF(r > 0, shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(${wBits + 1} - r AS INT)), CAST(0 AS BIGINT)))")
           .as("t_present"))
       .select(expr(
         s"CAST((CAST($alphaMicro AS DECIMAL(38,0)) * ${m * m} * " +
@@ -1678,11 +1721,12 @@ object Graph {
     var curve = curveRow(state, 0)
     for (hop <- 1 to maxHops) {
       val fromNeighbors = e
-        .join(state.select(col("node").as("dst"), col("idx"), col("rho")),
-          "dst")
-        .select(col("src").as("node"), col("idx"), col("rho"))
+        .join(state.select(col("node").as("dst"), col("regs")), "dst")
+        .select(col("src").as("node"), col("regs"))
       state = Caching.checkpoint(state.unionByName(fromNeighbors)
-        .groupBy(col("node"), col("idx")).agg(max(col("rho")).as("rho")))
+        .groupBy(col("node"))
+        .agg(graft.functions.ArrayReduceAgg
+          .arrayReduce("max", col("regs")).as("regs")))
       curve = curve.unionByName(curveRow(state, hop))
     }
     curve

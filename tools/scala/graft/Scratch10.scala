@@ -31,11 +31,17 @@ object Scratch10 {
       else SparkEntry.queries.keys.toSeq.sorted
         .filter(n => re.forall(_.findFirstIn(n).isDefined))
     val reps = sys.env.getOrElse("SCRATCH10_REPS", "2").toInt
+    // SCRATCH10_NOCLEAR=1 replicates the bench's intra-family profile:
+    // operator persists accumulate across queries (cache-manager
+    // sharing), only checkpoints are released per query
+    val noClear = sys.env.contains("SCRATCH10_NOCLEAR")
     names.foreach { name =>
       (1 to reps).foreach { i =>
-        spark.catalog.clearCache()
-        graft.sources.Tables.names.foreach { n =>
-          spark.table(n).cache(); spark.table(n).count()
+        if (!noClear) {
+          spark.catalog.clearCache()
+          graft.sources.Tables.names.foreach { n =>
+            spark.table(n).cache(); spark.table(n).count()
+          }
         }
         graft.operators.Caching.releaseCheckpoints(blocking = true)
         val tc = System.nanoTime()
