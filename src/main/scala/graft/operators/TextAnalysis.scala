@@ -3233,14 +3233,16 @@ object TextAnalysis {
     val words = Caching.persist(
       docWords.groupBy(col("w")).agg(count(lit(1)).as("occ")))
     val short = words.where(length(col("w")) <= maxWordLen)
-    // every (start, len ≤ maxPieceLen) substring of every distinct word
-    val spans = short.select(col("w"), explode(flatten(transform(
+    // every (start, len ≤ maxPieceLen) substring of every distinct word;
+    // persisted (r14): referenced by eChar, eMulti AND the EM step's
+    // pathPieces join — one explode execution instead of three
+    val spans = Caching.persist(short.select(col("w"), explode(flatten(transform(
         sequence(lit(1), length(col("w"))), s =>
           transform(sequence(lit(1),
             least(lit(maxPieceLen), length(col("w")) - s + 1)), l =>
             struct((s - 1).cast("long").as("j"), (s - 1 + l).cast("long").as("i"),
               col("w").substr(s, l).as("piece")))))).as("e"))
-      .select(col("w"), col("e.j"), col("e.i"), col("e.piece"))
+      .select(col("w"), col("e.j"), col("e.i"), col("e.piece")))
     // char edges always exist (UNK floor); multi-char edges need the vocab
     val eChar = spans.where(col("i") - col("j") === 1)
       .join(costs, Seq("piece"), "left")
@@ -3462,29 +3464,41 @@ object TextAnalysis {
         Seq("w", "i"))
       .join(tot, Seq("w"))
       .where(col("kf") + col("k") + col("kb") === col("ktot"))
+    // r14: the canonical walk runs as a PER-WORD in-row fold instead of
+    // up to maxWordLen sequential join rounds each paying a checkpoint
+    // and an isEmpty driver action (the old loop was ~20-60 tiny jobs of
+    // pure scheduling overhead). chosen is a successor FUNCTION i → j
+    // per word with ≤ maxWordLen entries, so it packs into one map cell
+    // per word; the walk from len(w) is then `aggregate` over a
+    // maxWordLen-step sequence appending cm[last] while it exists —
+    // exactly the sequential frontier iteration, word-locally. The
+    // (i, cm[i]) pairs for visited i > 0 reproduce the old step-row
+    // union bit-for-bit; per-word state is bounded by maxWordLen < 64
+    // (the packed-key require), never corpus-sized.
     val chosen = Caching.persist(
       tight.groupBy(col("w"), col("i")).agg(min(col("j")).as("j")))
-    var frontier = Caching.checkpoint(
-      wlen.select(col("w"), col("len").as("i")))
-    val usedParts = scala.collection.mutable.ArrayBuffer
-      .empty[org.apache.spark.sql.DataFrame]
-    var it = 0
-    while (it < maxWordLen && !frontier.isEmpty) {
-      val step = Caching.checkpoint(frontier.join(chosen, Seq("w", "i")))
-      usedParts += step
-      frontier = Caching.checkpoint(
-        step.select(col("w"), col("j").as("i")).where(col("i") > 0))
-      it += 1
-    }
+    val chosenMap = chosen.groupBy(col("w"))
+      .agg(map_from_entries(collect_list(struct(col("i"), col("j"))))
+        .as("cm"))
+    val used = wlen.join(chosenMap, Seq("w"))
+      .select(col("w"), explode(expr(s"""
+        transform(
+          filter(
+            aggregate(sequence(1, $maxWordLen), array(len),
+              (acc, x) -> IF(element_at(acc, -1) > 0 AND
+                  element_at(cm, element_at(acc, -1)) IS NOT NULL,
+                concat(acc, array(element_at(cm, element_at(acc, -1)))),
+                acc)),
+            p -> p > 0 AND element_at(cm, p) IS NOT NULL),
+          p -> named_struct('i', p, 'j', element_at(cm, p)))""")).as("e"))
+      .select(col("w"), col("e.i"), col("e.j"))
     val longChars = words.where(length(col("w")) > maxWordLen)
       .select(explode(split(col("w"), "")).as("piece"), col("occ"))
       .where(col("piece") =!= "")
-    val pathPieces =
-      if (usedParts.isEmpty) longChars.limit(0)
-      else usedParts.reduce(_ unionByName _)
-        .join(spans, Seq("w", "j", "i"))
-        .join(words, Seq("w"))
-        .select(col("piece"), col("occ"))
+    val pathPieces = used
+      .join(spans, Seq("w", "j", "i"))
+      .join(words, Seq("w"))
+      .select(col("piece"), col("occ"))
     pathPieces.unionByName(longChars)
       .groupBy(col("piece")).agg(sum(col("occ")).as("freq"))
   }
