@@ -436,25 +436,36 @@ object Graph {
       eager = true)
     var settledAll: DataFrame = null
     for (_ <- 1 to maxPeel) {
-      // f: min forward-reachable id — labels flow AGAINST edge direction
-      // (dst's label informs src), one equi-join + min-agg per hop
-      var f = nodes.select(col("node"), col("node").as("f"))
+      // r14 fusion: the f sweep (labels flow AGAINST edges: dst informs
+      // src) and the b sweep (WITH edges) are INDEPENDENT recursions, so
+      // one side-tagged relation propagates both per round — maxHops
+      // fused join+min-agg rounds instead of 2·maxHops, halving the
+      // per-peel job/checkpoint count. The relation is checkpointed
+      // pre-partitioned on the (side, from) join key, so per-round joins
+      // shuffle only the node-keyed label state (guide §2.4). Values
+      // identical: side 0 reproduces f, side 1 reproduces b, round for
+      // round.
+      val rel = Caching.checkpoint(
+        e.select(lit(0L).as("side"), col("dst").as("from"),
+            col("src").as("to"))
+          .unionByName(e.select(lit(1L).as("side"), col("src").as("from"),
+            col("dst").as("to")))
+          .repartition(col("side"), col("from")), eager = true)
+      var st = nodes.select(
+        explode(array(lit(0L), lit(1L))).as("side"),
+        col("node"), col("node").as("lbl"))
       for (_ <- 1 to maxHops) {
-        val viaEdge = e
-          .join(f.withColumnRenamed("node", "dst"), "dst")
-          .select(col("src").as("node"), col("f"))
-        f = Caching.checkpoint(f.unionByName(viaEdge)
-          .groupBy(col("node")).agg(min(col("f")).as("f")))
+        val viaEdge = rel
+          .join(st.select(col("side"), col("node").as("from"),
+            col("lbl")), Seq("side", "from"))
+          .select(col("side"), col("to").as("node"), col("lbl"))
+        st = Caching.checkpoint(st.unionByName(viaEdge)
+          .groupBy(col("side"), col("node")).agg(min(col("lbl")).as("lbl")))
       }
-      // b: min id reaching u — labels flow WITH edge direction
-      var b = nodes.select(col("node"), col("node").as("b"))
-      for (_ <- 1 to maxHops) {
-        val viaEdge = e
-          .join(b.withColumnRenamed("node", "src"), "src")
-          .select(col("dst").as("node"), col("b"))
-        b = Caching.checkpoint(b.unionByName(viaEdge)
-          .groupBy(col("node")).agg(min(col("b")).as("b")))
-      }
+      val f = st.where(col("side") === 0L)
+        .select(col("node"), col("lbl").as("f"))
+      val b = st.where(col("side") === 1L)
+        .select(col("node"), col("lbl").as("b"))
       val settled = Caching.checkpoint(f.join(b, "node")
         .where(col("f") === col("b"))
         .select(col("node"), col("f").as("scc_id")), eager = true)
@@ -1434,10 +1445,11 @@ object Graph {
     require(sampleEvery >= 1 && maxHops >= 1)
     // r14 restructure (guide §2.4 — remove shuffles outright; §1.2 — fix
     // the distributed algorithm first), value-identical by construction:
-    //  1. the flat edge base is checkpointed PRE-PARTITIONED on each
-    //     sweep's join key (src forward, dst backward): the LogicalRDD
-    //     keeps the hash partitioning, so every per-level equi-join
-    //     shuffles only the (source, node)-keyed state, never the edges;
+    //  1. the flat edge base is checkpointed PRE-PARTITIONED on src (the
+    //     join key of both sweeps after the backward join reorder below):
+    //     the LogicalRDD keeps the hash partitioning, so every per-level
+    //     equi-join shuffles only the (source, node)-keyed state, never
+    //     the edges;
     //  2. per-LEVEL state frames replace the growing re-checkpointed
     //     union: level l's rows are materialized ONCE instead of
     //     maxHops−l+1 times (forward) and the backward sweep joins
@@ -1451,8 +1463,6 @@ object Graph {
     val eSrc = Caching.checkpoint(
       edges.select(col("src"), col("dst")).repartition(col("src"))
         .distinct(), eager = true)
-    val eDst = Caching.checkpoint(eSrc.repartition(col("dst")),
-      eager = true)
     val sources = eSrc.select(col("src").as("node")).distinct()
       .where(pmod(col("node"), lit(sampleEvery)) === 0)
     val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -1474,10 +1484,18 @@ object Graph {
     for (d <- maxHops to 2 by -1) {
       val lw = lower.select(col("s"), col("node").as("dst"),
         col("sigma").as("sw"), col("delta").as("dw"))
-      val contrib = eDst.join(lw, "dst")
-        .select(col("s"), col("src").as("node"), col("sw"), col("dw"))
-        .join(levels(d - 1).select(col("s"), col("node"),
-          col("sigma").as("sv")), Seq("s", "node"))
+      // join ORDER is the lever (r14, measured): edges ⋈ level-d state
+      // first fans out to |L_d|·deg rows (59M at the gate point, 4.4 s in
+      // one round) because the deeper level is the larger one in an
+      // expanding BFS; attaching the SMALLER upper level (d−1) to the
+      // edge table first bounds the intermediate at |L_{d−1}|·deg (710k
+      // here, sub-second) and the (s, dst) join against level d then
+      // filters to the same DAG-edge set. Also reuses the src-partitioned
+      // edge base (no dst-partitioned copy needed at all).
+      val contrib = eSrc.join(levels(d - 1).select(col("s"),
+          col("node").as("src"), col("sigma").as("sv")), "src")
+        .select(col("s"), col("src").as("node"), col("dst"), col("sv"))
+        .join(lw, Seq("s", "dst"))
         .select(col("s"), col("node"),
           expr("(sv * (1000000 + dw)) DIV sw").as("c"))
         .groupBy(col("s"), col("node")).agg(sum(col("c")).as("cd"))
