@@ -2241,13 +2241,13 @@ object Profile {
       "quantile points are per-mille in [1,1000]")
     val spark = df.sparkSession
     import spark.implicits._
-    val base = Caching.persist(df
+    val base = Caching.persist(kllwWithMaxLevel(df
       .select(col(valueCol).as("v"),
         col(weightCol).cast("long").as("w"),
         Dedup.portableHash(
           concat(lit("kllw:"), col(idCol).cast("string"))).as("h"))
       .where(col("v").isNotNull && col("h").isNotNull &&
-        col("w").between(1L, 1L << 40)))
+        col("w").between(1L, 1L << 40))))
     // survival at level l ⇔ h mod 2^l < w (the smallest unit index
     // ≡ h mod 2^l must exist below w), and h mod 2^l only grows with l,
     // so survival is MONOTONE in l: each row has a max surviving level
@@ -2262,7 +2262,7 @@ object Profile {
     // histogram. The oracle keeps the direct per-level generate_series
     // count — identical numbers by the monotonicity argument.
     val levels = spark.range(0L, 62L).toDF("l")
-    val maxl = base.select(expr(kllwMaxLevelSql).as("ml"))
+    val maxl = base.select(col("ml"))
       .groupBy(col("ml")).agg(count(lit(1)).as("c"))
     val sizes = levels.join(broadcast(maxl), col("ml") >= col("l"), "left")
       .groupBy(col("l")).agg(coalesce(sum(col("c")), lit(0L)).as("sz"))
@@ -2344,18 +2344,29 @@ object Profile {
 
   /** Closed-form max surviving level for the weighted KLL row coin (the
     * derivation lives on [[kllQuantileWeighted]]) — shared by the global
-    * and grouped engines; consumes columns `h` and `w`.
+    * and grouped engines; consumes columns `h` and `w` and appends `ml`.
+    *
+    * r14: STAGED projections — the one-expression form evaluated
+    * `bin(w)` five times and `bin(h div 2^bw)` twice per row, and with
+    * whole-stage codegen off (the bench harness mode) the interpreted
+    * projection does no common-subexpression elimination, so the
+    * corpus-scan paid ~7 string materializations per row. Factoring the
+    * shared terms into their own columns evaluates each exactly once;
+    * the CASE arithmetic is unchanged term for term.
     */
-  private val kllwMaxLevelSql: String =
-    """CASE WHEN pmod(h, shiftleft(1L, CAST(length(bin(w)) AS INT))) >= w
-      |     THEN CAST(length(bin(w)) AS BIGINT) - 1
-      |     ELSE least(61L, CAST(length(bin(w)) AS BIGINT) +
-      |       (CASE WHEN h div shiftleft(1L, CAST(length(bin(w)) AS INT)) = 0
-      |             THEN 61L
-      |             ELSE CAST(length(bin(h div shiftleft(1L, CAST(length(bin(w)) AS INT)))) -
-      |                  length(rtrim('0', bin(h div shiftleft(1L, CAST(length(bin(w)) AS INT))))) AS BIGINT)
-      |        END))
-      |END""".stripMargin
+  private def kllwWithMaxLevel(base: DataFrame): DataFrame = base
+    .withColumn("__bw", expr("CAST(length(bin(w)) AS INT)"))
+    .withColumn("__hi", expr("h div shiftleft(1L, __bw)"))
+    .withColumn("ml", expr(
+      """CASE WHEN pmod(h, shiftleft(1L, __bw)) >= w
+        |     THEN CAST(__bw AS BIGINT) - 1
+        |     ELSE least(61L, CAST(__bw AS BIGINT) +
+        |       (CASE WHEN __hi = 0 THEN 61L
+        |             ELSE CAST(length(bin(__hi)) -
+        |                  length(rtrim('0', bin(__hi))) AS BIGINT)
+        |        END))
+        |END""".stripMargin))
+    .drop("__bw", "__hi")
 
   /** Exact integer survivor mass of a weight-w row at level `ls` — the
     * systematic-sampling count times the per-survivor span; consumes
@@ -2401,16 +2412,16 @@ object Profile {
       "quantile points are per-mille in [1,1000]")
     val spark = df.sparkSession
     import spark.implicits._
-    val base = Caching.persist(df
+    val base = Caching.persist(kllwWithMaxLevel(df
       .select(col(groupCol).cast("string").as("grp"),
         col(valueCol).as("v"),
         col(weightCol).cast("long").as("w"),
         Dedup.portableHash(
           concat(lit("kllw:"), col(idCol).cast("string"))).as("h"))
       .where(col("grp").isNotNull && col("v").isNotNull &&
-        col("h").isNotNull && col("w").between(1L, 1L << 40)))
+        col("h").isNotNull && col("w").between(1L, 1L << 40))))
     val levels = spark.range(0L, 62L).toDF("l")
-    val hist = base.select(col("grp"), expr(kllwMaxLevelSql).as("ml"))
+    val hist = base.select(col("grp"), col("ml"))
       .groupBy(col("grp"), col("ml")).agg(count(lit(1)).as("c"))
     val sufs = hist.join(broadcast(levels), col("ml") >= col("l"))
       .groupBy(col("grp"), col("l")).agg(sum(col("c")).as("sz"))
