@@ -1460,9 +1460,12 @@ object Graph {
     // The Brandes dependency flow is strictly between adjacent BFS
     // levels (δ of a dist-d node is finalized before round d consumes
     // it), so per-level processing reproduces the accumulator exactly.
-    val eSrc = Caching.checkpoint(
+    // persist UNDER the checkpoint: betweenness and harmonic build the
+    // same canonical src-partitioned edge base over the same input — the
+    // entry lets the second consumer cache-hit the repartition+distinct
+    val eSrc = Caching.checkpoint(Caching.persist(
       edges.select(col("src"), col("dst")).repartition(col("src"))
-        .distinct(), eager = true)
+        .distinct()), eager = true)
     val sources = eSrc.select(col("src").as("node")).distinct()
       .where(pmod(col("node"), lit(sampleEvery)) === 0)
     val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -1593,9 +1596,9 @@ object Graph {
     // [[betweennessSampled]] restructure minus the backward sweep —
     // level l is materialized once and the edge side of every level's
     // join stays in place (guide §2.4)
-    val eSrc = Caching.checkpoint(
+    val eSrc = Caching.checkpoint(Caching.persist(
       edges.select(col("src"), col("dst")).repartition(col("src"))
-        .distinct(), eager = true)
+        .distinct()), eager = true)
     val sources = eSrc.select(col("src").as("node")).distinct()
       .where(pmod(col("node"), lit(sampleEvery)) === 0)
     val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]

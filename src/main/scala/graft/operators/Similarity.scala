@@ -2299,6 +2299,9 @@ object Similarity {
       .select((col("pos") + 1).cast("long").as("pos"),
         col("col").cast("decimal(38,0)").as("v"))
       .groupBy("pos").agg(sum(col("v")).as("s"))
+      // persisted (r14): shared canonically with pcaPower's mom — the
+      // second of q_embed_corr / q_embed_pca cache-hits this corpus pass
+      .transform(graft.operators.Caching.persist)
     val diag = gram.where(col("i") === col("j"))
       .select(col("i").as("pos"), col("sxy").as("sxx"))
     val mi = broadcast(mom.join(diag, "pos")
@@ -2389,12 +2392,18 @@ object Similarity {
             (element_at(col("q"), i) * element_at(col("q"), j)).as("p"))))))
         .as("e"))
       .select(col("e.i"), col("e.j"), col("e.p"))
+    // persisted (r14): gram and mom are canonically identical to
+    // correlationMatrix's over the same input — whichever of
+    // q_embed_corr / q_embed_pca runs first pays the corpus pair pass,
+    // the other cache-hits it (values unchanged)
     val gram = pairs.groupBy("i", "j").agg(count(lit(1)).as("n"),
       sum(col("p").cast("decimal(38,0)")).as("sxy"))
+      .transform(graft.operators.Caching.persist)
     val mom = q2.select(posexplode(col("q")))
       .select((col("pos") + 1).cast("long").as("pos"),
         col("col").cast("decimal(38,0)").as("v"))
       .groupBy("pos").agg(sum(col("v")).as("s"))
+      .transform(graft.operators.Caching.persist)
     val mi = broadcast(mom.select(col("pos").as("i"), col("s").as("si")))
     val mj = broadcast(mom.select(col("pos").as("j"), col("s").as("sj")))
     val upper = gram.join(mi, "i").join(mj, "j")

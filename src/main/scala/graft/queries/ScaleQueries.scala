@@ -276,9 +276,14 @@ object ScaleQueries {
     // --- label-propagation communities over the co-purchase graph:
     // deterministic synchronous LPA, argmax-count / min-label tie-break,
     // every round an ordinary two-phase aggregate (oracle-checked) ---
+    // persisted (r14): q_graph_modularity/q_graph_refine persist the same
+    // canonical LPA tree as their label input — registering the entry
+    // here lets them cache-hit the 4-round execution instead of re-running
+    // it (values unchanged; the count materializes the same frame)
     "q_graph_lpa" -> ((s, d) =>
-      graft.operators.Graph.labelPropagation(graft.operators.Graph.coEdges(
-        t(s, d, "lineitem"), "l_orderkey", "l_partkey"), iters = 4)),
+      graft.operators.Caching.persist(
+        graft.operators.Graph.labelPropagation(graft.operators.Graph.coEdges(
+          t(s, d, "lineitem"), "l_orderkey", "l_partkey"), iters = 4))),
 
     // --- Newman modularity of the LPA communities: did label propagation
     // find real structure? per-community e_in/degrees/q_micro on exact
