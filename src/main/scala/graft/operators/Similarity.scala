@@ -2418,45 +2418,53 @@ object Similarity {
     val smat = Caching.checkpoint(upper.unionAll(
       upper.where(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("sv"))))
-    var v = smat.select(col("i").as("pos")).distinct()
-      .select(col("pos"), lit(1000000L).as("vm"))
-    var wLast = v // placeholder; overwritten in round 1
-    for (r <- 1 to iters) {
-      val prev = v
-      // persist (cheap, hint-free plan → cache-match dedups the 2-3
-      // consumers); the renormalized v is CHECKPOINTED per round — the
-      // round-10 A/B vs the r9 every-2 cadence measured ~6 vs ~8 s warm
-      // (noisy box, direction consistent with hits/BFS/SSSP/kCore: a
-      // flat base per round beats persists over growing trees)
-      val w = smat.join(prev.withColumnRenamed("pos", "j")
-          .withColumnRenamed("vm", "pv"), "j")
-        .groupBy(col("i").as("pos"))
-        .agg(sum(col("sv") * col("pv")).cast("decimal(38,0)").as("w"))
-        .transform(Caching.persist)
-      val mx = w.agg(max(abs(col("w"))).as("mx"))
-      v = w.crossJoin(broadcast(mx))
-        .select(col("pos"),
-          when(col("mx") === 0, lit(0L)).otherwise(
-            when(col("w") < 0, lit(-1L)).otherwise(lit(1L)) *
-              expr("(abs(w) * 1000000) div mx")).as("vm"))
-        .transform(df => Caching.checkpoint(df))
-      if (r == iters) {
-        // Rayleigh at the LAST iterate's input: num = v_{k-1}ᵀ·S·v_{k-1}
-        // = Σ w·v_{k-1}, den = Σ v_{k-1}² — exact DECIMAL carriers
-        wLast = w.join(prev, "pos")
-          .agg(sum(col("w") * col("vm")).cast("decimal(38,0)").as("ray_num"),
-            sum(col("vm").cast("decimal(38,0)") * col("vm"))
-              .cast("decimal(38,0)").as("ray_den"))
-      }
+    // r14: the power rounds run DRIVER-SIDE on the collected d²-row
+    // scatter — a bounded collect (d = embedding dimension, model-sized;
+    // the k-row-codebook pattern, never corpus data). As Spark jobs the 6
+    // rounds were ~18 tiny jobs (per-round join + max + broadcast +
+    // checkpoint) of pure scheduling (~3 s at the gate point) for
+    // arithmetic on 4096 integers. BigInt reproduces the DECIMAL(38,0)
+    // semantics exactly: sums are exact, and `(abs(w) * 1000000) div mx`
+    // is a non-negative truncating divide = BigInt `/`. ray_num/ray_den
+    // stay digit strings (the q_pipeline_linreg precedent).
+    val spark2 = df.sparkSession
+    import spark2.implicits._
+    val entries = smat.collect().map { r =>
+      (r.getLong(0), r.getLong(1), BigInt(r.getDecimal(2).toBigInteger))
     }
-    // ray_num ≈ n²·d·1e24 exceeds 2^53 even at toy scale: DECIMAL(38,0)
-    // values that big survive any engine's arithmetic but not every
-    // comparator's decimal→float64 path, so the exact integers travel
-    // as digit STRINGS (the q_pipeline_linreg precedent)
-    v.crossJoin(broadcast(wLast))
-      .select(col("pos"), col("vm").as("v_micro"),
-        col("ray_num").cast("string").as("ray_num"),
-        col("ray_den").cast("string").as("ray_den"))
+    val poss = entries.map(_._1).distinct.sorted
+    if (poss.isEmpty) {
+      Seq.empty[(Long, Long, String, String)]
+        .toDF("pos", "v_micro", "ray_num", "ray_den")
+    } else {
+      val byRow = entries.groupBy(_._1)
+      var v: Map[Long, BigInt] = poss.map(_ -> BigInt(1000000L)).toMap
+      var rayNum = BigInt(0)
+      var rayDen = BigInt(0)
+      for (r <- 1 to iters) {
+        val prev = v
+        val w: Map[Long, BigInt] = byRow.map { case (i, rs) =>
+          i -> rs.iterator.map { case (_, j, sv) => sv * prev(j) }
+            .foldLeft(BigInt(0))(_ + _)
+        }
+        val mx = w.valuesIterator.map(_.abs).max
+        v = w.map { case (p, wv) =>
+          p -> (if (mx == 0) BigInt(0)
+                else (if (wv < 0) BigInt(-1) else BigInt(1)) *
+                  ((wv.abs * 1000000) / mx))
+        }
+        if (r == iters) {
+          // Rayleigh at the LAST iterate's input: num = v_{k-1}ᵀ·S·v_{k-1}
+          // = Σ w·v_{k-1}, den = Σ v_{k-1}² — exact integer carriers
+          rayNum = w.iterator.map { case (p, wv) => wv * prev(p) }
+            .foldLeft(BigInt(0))(_ + _)
+          rayDen = prev.valuesIterator.map(x => x * x)
+            .foldLeft(BigInt(0))(_ + _)
+        }
+      }
+      poss.map(p => (p, v(p).toLong, rayNum.toString, rayDen.toString))
+        .toSeq.toDF("pos", "v_micro", "ray_num", "ray_den")
+    }
   }
 
   /** DuckDB replay of [[pcaPower]] (chained CTE per power round, HUGEINT

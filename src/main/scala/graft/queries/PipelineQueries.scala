@@ -147,10 +147,14 @@ object PipelineQueries {
     // --- Cohen's kappa: chance-corrected agreement between the langId
     // prediction and the gold lang label — the labeled-data QA statistic,
     // exact BIGINT num/den (oracle-checked) ---
+    // persisted (r14): the (gold, langId pred) frame is canonically
+    // identical to q_pipeline_f1's — the second of the two cache-hits the
+    // per-row langId scoring instead of recomputing it
     "q_pipeline_kappa" -> ((s, d) =>
       graft.operators.Profile.agreementKappa(
-        docs(s, d).select(col("lang").as("gold"),
-          TextAnalysis.langId(col("text")).as("pred")),
+        graft.operators.Caching.persist(
+          docs(s, d).select(col("lang").as("gold"),
+            TextAnalysis.langId(col("text")).as("pred"))),
         "gold", "pred")),
 
     // --- per-class precision/recall/F1 of the langId classifier against
@@ -158,8 +162,9 @@ object PipelineQueries {
     // confusion-cell aggregate then class-level floors (oracle-checked) ---
     "q_pipeline_f1" -> ((s, d) =>
       graft.operators.Eval.classificationReport(
-        docs(s, d).select(col("lang").as("gold"),
-          TextAnalysis.langId(col("text")).as("pred")),
+        graft.operators.Caching.persist(
+          docs(s, d).select(col("lang").as("gold"),
+            TextAnalysis.langId(col("text")).as("pred"))),
         "gold", "pred")),
 
     // --- BM25 lexical retrieval: every-20th doc probes the rest through an
