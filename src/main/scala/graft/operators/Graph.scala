@@ -459,7 +459,14 @@ object Graph {
           .join(st.select(col("side"), col("node").as("from"),
             col("lbl")), Seq("side", "from"))
           .select(col("side"), col("to").as("node"), col("lbl"))
-        st = Caching.checkpoint(st.unionByName(viaEdge)
+        // persist, not checkpoint (r14 A/B at the gate point): each round
+        // is referenced twice (union + join), and the in-flight cache
+        // build dedups that within the SINGLE consuming job — per-round
+        // checkpoints serialized 2·maxHops eager materializations of a
+        // ~|V|-row frame (measured 0.5 s of fixed job overhead per hop on
+        // 98k-row data). Plan depth stays bounded by maxHops (a query
+        // parameter), so no lineage hazard.
+        st = Caching.persist(st.unionByName(viaEdge)
           .groupBy(col("side"), col("node")).agg(min(col("lbl")).as("lbl")))
       }
       val f = st.where(col("side") === 0L)
