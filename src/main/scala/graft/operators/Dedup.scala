@@ -747,9 +747,16 @@ object Dedup {
         .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
       val minsL = sym.groupBy(col("src"))
         .agg(least(col("src"), min(col("dst"))).as("m"))
+      // r14 shuffle elision: repartition on u BEFORE the distinct — hash(u)
+      // satisfies the distinct's (u, v) clustering, keeps the frame
+      // partitioned by u for the small-star aggregate AND its self-join,
+      // and the same trick on `small` pre-partitions the next round's
+      // truncated frame. Saves 2 exchanges per round (guide §2.4); the
+      // row sets are untouched.
       val large = sym.join(minsL, "src").where(col("dst") > col("src"))
         .select(col("dst").as("u"), col("m").as("v"))
-        .where(col("u") =!= col("v")).distinct()
+        .where(col("u") =!= col("v"))
+        .repartition(col("u")).distinct()
       // small-star over the directed result (all edges u > v): each
       // center u attaches its smaller neighbors AND itself to their min
       val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
@@ -757,7 +764,8 @@ object Dedup {
         .select(col("v").as("x"), col("m"))
         .unionByName(minsS.select(col("u").as("x"), col("m")))
         .where(col("x") =!= col("m"))
-        .select(col("x").as("u"), col("m").as("v")).distinct()
+        .select(col("x").as("u"), col("m").as("v"))
+        .repartition(col("u")).distinct()
       edges = truncate(small)
       val curCount = edges.count()
       converged = curCount == prevCount &&
