@@ -2234,7 +2234,10 @@ object TextAnalysis {
           (acc, t) => acc + t), 6).as("score"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("label"))
-    scored.withColumn("pred", row_number().over(w) === 1)
+    // persisted (r14): q_text_label_noise and q_text_nbayes call this
+    // with the same arguments — the same canonical tree — so the second
+    // cache-hits the whole train+score chain (docs × labels rows, small)
+    Caching.persist(scored.withColumn("pred", row_number().over(w) === 1))
   }
 
   /** DuckDB SQL replaying [[naiveBayes]] trained and scored on the same
